@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Standard session configuration for the graft engine.
+  *
+  * Centralizes the settings every entry point (Verify, Bench, tests, user code)
+  * needs so a query behaves identically regardless of who built the session:
+  *
+  *   - `spark.sql.legacy.parquet.nanosAsLong` — the driver's `events.parquet`
+  *     carries INT64 TIMESTAMP(NANOS) which Spark otherwise rejects
+  *     (PARQUET_TYPE_ILLEGAL). We read it as epoch-nanos Long and convert with
+  *     integer `div` (nanos exceed 2^53, so double math would corrupt them).
+  *   - UTC session timezone — all date-part semantics (day-of-week, trunc)
+  *     must match the DuckDB oracle, which operates in UTC.
+  *   - shuffle partitions default 32 — sized for local[32]; on a real cluster
+  *     AQE coalescing makes the initial number less critical.
+  *   - AQE on — runtime coalescing + skew-join handling, the scale path for
+  *     100 TB inputs.
+  */
+object GraftSession {
+
+  def builder(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Apply the graft-required runtime confs to an externally built session
+    * (e.g. the driver's own Verify session). Safe to call repeatedly. */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+}

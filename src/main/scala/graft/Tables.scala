@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-provided parquet tables (`TESTDATA.md`).
+  *
+  * The `events` table is additionally exposed in the OpenSet-normalized shape
+  * (reference: `src/attributes.h:17-25` — built-in props `id`, `stamp`,
+  * `event`): one row per event, `id` the customer key, `stamp` epoch millis,
+  * `event` the event name. All other columns ride along as event properties.
+  */
+object Tables {
+
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  def read(spark: SparkSession, dir: String, name: String): DataFrame = {
+    GraftSession.tune(spark)
+    spark.read.parquet(path(dir, name))
+  }
+
+  def region(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame      = read(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "lineitem")
+  def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+
+  /** Raw events as written by the driver: ts is epoch NANOS (Long). */
+  def eventsRaw(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "events")
+
+  /** OpenSet-normalized event stream: `(id, stamp, event, value, props,
+    * event_id)` with `stamp` in epoch millis.
+    *
+    * `ts div 1000000` is integer division on the Long nanos — ns values
+    * (~1.7e18) exceed 2^53, so any route through DoubleType would silently
+    * corrupt timestamps. Matches DuckDB `epoch_ms(ts)` (floor) for the
+    * oracle.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    eventsRaw(spark, dir).select(
+      col("user_id").as("id"),
+      expr("ts div 1000000").as("stamp"),
+      col("event_type").as("event"),
+      col("value"),
+      col("props"),
+      col("event_id"))
+}

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TimeFns
+
+/** Core OpenSet event-analytics operators over the normalized event stream
+  * `(id, stamp, event, …props)` — Spark-first: window functions and
+  * conditional aggregation instead of the reference's per-customer opcode
+  * interpreter.
+  *
+  * Reference semantics cited per method. None of these shuffle more than
+  * once on the person key; every per-person construct reuses one
+  * `Window.partitionBy(id)` so Catalyst plans a single Exchange for chains
+  * of them.
+  */
+object EventOps {
+
+  /** Per-person event-time window, the backbone of all sequence semantics. */
+  def personWindow: org.apache.spark.sql.expressions.WindowSpec =
+    Window.partitionBy("id").orderBy("stamp")
+
+  /** Synthetic `session` property: 1-based counter incrementing whenever the
+    * gap to the previous event of the same person exceeds `gapMs`.
+    * Reference: `src/grid.cpp:515-522` (computed at grid decode); default
+    * gap 30 min (`src/table.h:125`).
+    *
+    * Implementation: classic gap-and-island —
+    * `sum(gap > gapMs ? 1 : 0) over (person rows unbounded preceding) + 1`.
+    * One shuffle on `id`; codegen-friendly (no UDFs).
+    */
+  def sessionize(events: DataFrame, gapMs: Long = 30 * TimeFns.MinuteMs): DataFrame = {
+    val lagStamp = lag(col("stamp"), 1).over(personWindow)
+    val isNew = when(lagStamp.isNull, lit(0))
+      .when(col("stamp") - lagStamp > gapMs, lit(1))
+      .otherwise(lit(0))
+    events.withColumn("session",
+      sum(isNew).over(personWindow.rowsBetween(Window.unboundedPreceding, Window.currentRow)) + 1)
+  }
+
+  /** Per-person row metadata used by OSL marshals `cursor`, `row_count`,
+    * `first_stamp`, `last_stamp`, `session_count`
+    * (`src/queryinterpreter.cpp:1259-1352,1577-1582`). */
+  def withPersonStats(events: DataFrame): DataFrame = {
+    val whole = Window.partitionBy("id")
+    events
+      .withColumn("row_no", row_number().over(personWindow))
+      .withColumn("row_count", count(lit(1)).over(whole))
+      .withColumn("first_stamp", min(col("stamp")).over(whole))
+      .withColumn("last_stamp", max(col("stamp")).over(whole))
+  }
+
+  /** `.ever` / `.never` property modifiers — person-level existence of a row
+    * matching `cond` (`src/queryinterpreter.cpp:2580-2720`, docs
+    * `language_reference.md:88-100`). Returns `(id, ever: boolean)`. */
+  def ever(events: DataFrame, cond: Column): DataFrame =
+    events.groupBy("id").agg((count(when(cond, 1)) > 0).as("ever"))
+
+  /** Person ids for which any row matches `cond` — the bitmap-index
+    * pre-filter re-expressed as an aggregation-free semi-join driver
+    * (`src/queryindexing.cpp:57-253`). */
+  def matchingPersons(events: DataFrame, cond: Column): DataFrame =
+    events.where(cond).select("id").distinct()
+
+  /** Property count query (`/v1/query/{table}/property/{name}`,
+    * `src/oloop_property.cpp:34-307`): distinct persons per property value.
+    * The reference answers this purely from its inverted bitmap index; the
+    * Spark shape is a partial-aggregated groupBy + countDistinct, which at
+    * scale resolves to two-phase hash agg with map-side combine. */
+  def propertyCounts(events: DataFrame, prop: Column, alias: String = "value"): DataFrame =
+    events.groupBy(prop.as(alias)).agg(countDistinct(col("id")).as("customers"))
+
+  /** Bucketed property count (`bucket` param of the property endpoint,
+    * `src/oloop_property.cpp:139-168`). */
+  def propertyCountsBucketed(events: DataFrame, prop: Column, bucketSize: Double): DataFrame =
+    propertyCounts(events, TimeFns.bucket(prop, bucketSize), "bucket")
+
+  /** Funnel step join: for each person, the first `fromEvent`, then whether a
+    * `toEvent` follows within `withinMs` (OSL nested
+    * `each_row.continue().next()` — `src/queryinterpreter.cpp:2430-2577`).
+    *
+    * Declarative (Tier A) form: two conditional aggregations over one
+    * groupBy — no self-join, single shuffle on `id`. Returns
+    * `(id, first_from, first_to_after)` where `first_to_after` is the stamp
+    * of the first qualifying `toEvent` or null.
+    */
+  def funnel2(events: DataFrame, fromEvent: String, toEvent: String, withinMs: Long): DataFrame = {
+    val firstFrom = min(when(col("event") === fromEvent, col("stamp"))).as("first_from")
+    val perPerson = events.groupBy("id").agg(
+      firstFrom,
+      collect_list(when(col("event") === toEvent, col("stamp"))).as("to_stamps"))
+    perPerson
+      .withColumn("first_to_after",
+        array_min(filter(col("to_stamps"),
+          s => s >= col("first_from") && s <= col("first_from") + withinMs)))
+      .drop("to_stamps")
+  }
+
+  /** Hierarchical tally (`<<` operator, `src/queryinterpreter.cpp:167-334`):
+    * every prefix of the group path aggregates, with distinct-per-person
+    * counting at each node. Spark-native: `rollup` over the path columns +
+    * `countDistinct(id)` (SURVEY §2.4 — the tally tree IS a rollup). */
+  def tallyRollup(events: DataFrame, path: Seq[Column], aggs: Seq[Column]): DataFrame =
+    events.rollup(path: _*).agg(aggs.head, aggs.tail: _*)
+
+  /** Top-k children per tree node after sort — the `trim` parameter
+    * (`src/result.cpp:1038-1044`). `parent` are the grouping columns of the
+    * parent node, `rankBy` the sort column (descending, id-asc tiebreak for
+    * determinism). */
+  def trim(grouped: DataFrame, parent: Seq[String], rankBy: Column, tieBreak: Column, k: Int): DataFrame =
+    grouped
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(parent.map(col): _*).orderBy(rankBy.desc, tieBreak.asc)))
+      .where(col("__rk") <= k)
+      .drop("__rk")
+}

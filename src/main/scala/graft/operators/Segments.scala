@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** OpenSet segments re-expressed as membership DataFrames.
+  *
+  * A segment in the reference is a per-customer boolean materialized as a
+  * bitmap over linear customer ids (`src/tablepartitioned.h:29-85`), with set
+  * algebra marshals `population / intersection / union / compliment /
+  * difference` (`src/queryinterpreter.cpp:624-888`). Here a segment is a
+  * DataFrame of distinct `id` rows; algebra maps to semi/anti joins and
+  * DISTINCT unions, which Catalyst executes as hash joins with partial
+  * aggregation — the 100 TB-safe shape (no driver-side bitmaps; RoaringBitmap
+  * aggregators are an optional later optimization, SURVEY §7.3).
+  */
+object Segments {
+
+  /** Materialize a segment from a person-level predicate over the event
+    * stream: persons having ≥1 row matching `rowCond`. */
+  def fromRowPredicate(events: DataFrame, rowCond: Column): DataFrame =
+    events.where(rowCond).select("id").distinct()
+
+  /** Materialize a segment from a person-level aggregate predicate, e.g.
+    * `sum(value) > 1000` (full-scan segment scripts,
+    * `src/oloop_segment.cpp:352-358`). `aggCond` must reference aggregated
+    * columns of `byPerson`. */
+  def fromAggPredicate(events: DataFrame, aggs: Seq[Column], aggCond: Column): DataFrame =
+    events.groupBy("id").agg(aggs.head, aggs.tail: _*).where(aggCond).select("id")
+
+  /** population(segment) — distinct-person count (`src/oloop_segment.cpp:47-68`). */
+  def population(segment: DataFrame): Long = segment.count()
+
+  def intersection(a: DataFrame, b: DataFrame): DataFrame =
+    a.join(b, Seq("id"), "left_semi")
+
+  def union(a: DataFrame, b: DataFrame): DataFrame =
+    a.union(b).distinct()
+
+  /** difference(a, b): in a, not in b. */
+  def difference(a: DataFrame, b: DataFrame): DataFrame =
+    a.join(b, Seq("id"), "left_anti")
+
+  /** compliment(universe, a) [sic — reference spelling]: persons not in a. */
+  def compliment(universe: DataFrame, a: DataFrame): DataFrame =
+    difference(universe, a)
+
+  /** Segment-compare mode (`segments=` query param,
+    * `src/oloop_query.cpp:69-107`): tag each event row with membership flags
+    * so downstream aggregations can produce per-segment columns without
+    * re-scanning. `segments` maps name → membership DF. Uses left-semi-style
+    * joins folded into one pass via left joins on distinct ids. */
+  def compareColumns(events: DataFrame, segments: Map[String, DataFrame]): DataFrame =
+    segments.foldLeft(events) { case (df, (name, seg)) =>
+      df.join(seg.withColumn(s"__in_$name", lit(1)), Seq("id"), "left")
+        .withColumn(s"in_$name", coalesce(col(s"__in_$name"), lit(0)) === 1)
+        .drop(s"__in_$name")
+    }
+}
