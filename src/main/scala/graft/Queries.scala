@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.AggFns._
 import graft.functions.TimeFns
-import graft.operators.{EventOps, Segments}
+import graft.operators.{EventOps, Segments, TextOps}
 
 /** The operator registry: every SURVEY §2 capability exposed as a named query
   * over the driver's test tables, each paired (where SQL-expressible) with an
@@ -299,7 +299,330 @@ object Queries {
           HAVING ${dsumSql("CASE WHEN event = 'purchase' THEN value END")} > 600.0)
         SELECT event, COUNT(DISTINCT e.id) AS customers_all,
           COUNT(DISTINCT CASE WHEN high.id IS NOT NULL THEN e.id END) AS customers_high
-        FROM e LEFT JOIN high ON e.id = high.id GROUP BY event"""))
+        FROM e LEFT JOIN high ON e.id = high.id GROUP BY event""")),
+
+    // Histogram endpoint: per-person expression -> bucket -> distinct persons
+    // (src/oloop_histogram.cpp:53-220).
+    Q("q_histogram_user_value",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        e.groupBy(col("id")).agg(dsum(col("value")).as("total"))
+          .groupBy(TimeFns.bucket(col("total"), 500.0).as("bucket"))
+          .agg(count(lit(1)).as("customers"))
+      },
+      Some(s"""$E, p AS (SELECT id, ${dsumSql("value")} AS total FROM e GROUP BY id)
+        SELECT FLOOR(total / 500.0) * 500.0 AS bucket, COUNT(*) AS customers
+        FROM p GROUP BY 1""")),
+
+    // get_hour date-part marshal over the stream (src/queryinterpreter.cpp:1298-1348).
+    Q("q_hourly_activity",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        e.groupBy(TimeFns.getHour(col("stamp")).as("hour"))
+          .agg(countDistinct(col("id")).as("customers"), count(lit(1)).as("n_rows"))
+      },
+      Some(s"""$E SELECT hour(make_timestamp(stamp * 1000)) AS hour,
+        COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows FROM e GROUP BY 1""")),
+
+    // start_of_day truncation marshal -> daily active persons.
+    Q("q_daily_active",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        e.groupBy(TimeFns.startOfDay(col("stamp")).as("day_ms"))
+          .agg(countDistinct(col("id")).as("customers"))
+      },
+      Some(s"""$E SELECT epoch_ms(date_trunc('day', make_timestamp(stamp * 1000))) AS day_ms,
+        COUNT(DISTINCT id) AS customers FROM e GROUP BY 1""")),
+
+    // Sequence correlation: the event immediately after each signup
+    // (each_row.continue().next() 1-level => lead(), SURVEY §2.3).
+    Q("q_next_event_after_signup",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val w = Window.partitionBy("id").orderBy(col("stamp").asc, col("event_id").asc)
+        e.withColumn("next_event", lead(col("event"), 1).over(w))
+          .where(col("event") === "signup" && col("next_event").isNotNull)
+          .groupBy(col("next_event"))
+          .agg(count(lit(1)).as("n_rows"), countDistinct(col("id")).as("customers"))
+      },
+      Some(s"""$E, le AS (
+          SELECT id, event, LEAD(event) OVER (PARTITION BY id ORDER BY stamp ASC, event_id ASC) AS next_event
+          FROM e)
+        SELECT next_event, COUNT(*) AS n_rows, COUNT(DISTINCT id) AS customers
+        FROM le WHERE event = 'signup' AND next_event IS NOT NULL GROUP BY next_event""")),
+
+    // each_row .limit(1): first purchase per person only
+    // (src/queryinterpreter.cpp:2454-2458).
+    Q("q_first_purchase",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val w = Window.partitionBy("id").orderBy(col("stamp").asc, col("event_id").asc)
+        e.where(col("event") === "purchase")
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .agg(count(lit(1)).as("n_customers"),
+            dsum(col("value")).as("first_purchase_value"),
+            davg(col("value")).as("avg_first_value"))
+      },
+      Some(s"""$E SELECT COUNT(*) AS n_customers,
+        ${dsumSql("value")} AS first_purchase_value,
+        ${dsumSql("value")} / COUNT(value) AS avg_first_value
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp ASC, event_id ASC) AS rn
+              FROM e WHERE event = 'purchase')
+        WHERE rn = 1""")),
+
+    // Inline time-framed aggregation: sum(purchases) within 24h after first
+    // signup (.look_ahead/.within, src/queryinterpreter.cpp:2460-2533).
+    Q("q_purchases_24h_after_signup",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val firstSignup = e.where(col("event") === "signup")
+          .groupBy("id").agg(min(col("stamp")).as("t0"))
+        e.where(col("event") === "purchase")
+          .join(firstSignup, Seq("id"))
+          .where(col("stamp") >= col("t0") && col("stamp") < col("t0") + TimeFns.days(1))
+          .groupBy("id")
+          .agg(count(lit(1)).as("n_purchases"), dsum(col("value")).as("spend_24h"))
+      },
+      Some(s"""$E, f AS (SELECT id, MIN(stamp) AS t0 FROM e WHERE event = 'signup' GROUP BY id)
+        SELECT e.id, COUNT(*) AS n_purchases, ${dsumSql("value")} AS spend_24h
+        FROM e JOIN f ON e.id = f.id
+        WHERE e.event = 'purchase' AND e.stamp >= f.t0 AND e.stamp < f.t0 + 86400000
+        GROUP BY e.id""")),
+
+    // Weekly retention cohorts: cohort week = start_of_week(first_stamp),
+    // activity offset in weeks -> distinct persons.
+    Q("q_weekly_retention",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val w = Window.partitionBy("id")
+        e.withColumn("cohort_ms", TimeFns.startOfWeek(min(col("stamp")).over(w)))
+          .withColumn("week_ms", TimeFns.startOfWeek(col("stamp")))
+          .withColumn("week_no", ((col("week_ms") - col("cohort_ms")) / TimeFns.WeekMs).cast("long"))
+          .groupBy(col("cohort_ms"), col("week_no"))
+          .agg(countDistinct(col("id")).as("customers"))
+      },
+      Some(s"""$E, f AS (
+          SELECT id, epoch_ms(date_trunc('week', make_timestamp(MIN(stamp) OVER (PARTITION BY id) * 1000))) AS cohort_ms,
+                 epoch_ms(date_trunc('week', make_timestamp(stamp * 1000))) AS week_ms
+          FROM e)
+        SELECT cohort_ms, CAST((week_ms - cohort_ms) / 604800000.0 AS BIGINT) AS week_no,
+          COUNT(DISTINCT id) AS customers
+        FROM f GROUP BY 1, 2""")),
+
+    // Session durations: sessionize -> per-session span -> bucketed counts.
+    Q("q_session_durations",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        EventOps.sessionize(e)
+          .groupBy(col("id"), col("session"))
+          .agg((max(col("stamp")) - min(col("stamp"))).as("dur_ms"),
+            count(lit(1)).as("n_events"))
+          .groupBy(TimeFns.bucket((col("dur_ms") / lit(60000.0)), 10.0).as("dur_min_bucket"))
+          .agg(count(lit(1)).as("n_sessions"), dsum(col("n_events").cast("double")).as("n_events"))
+      },
+      Some(s"""$E, l AS (
+          SELECT id, stamp,
+            CASE WHEN stamp - LAG(stamp) OVER (PARTITION BY id ORDER BY stamp) > 1800000
+                 THEN 1 ELSE 0 END AS isnew
+          FROM e),
+        se AS (
+          SELECT id, stamp, SUM(isnew) OVER (PARTITION BY id ORDER BY stamp ROWS UNBOUNDED PRECEDING) + 1 AS session
+          FROM l),
+        d AS (
+          SELECT id, session, MAX(stamp) - MIN(stamp) AS dur_ms, COUNT(*) AS n_events
+          FROM se GROUP BY id, session)
+        SELECT FLOOR((dur_ms / 60000.0) / 10.0) * 10.0 AS dur_min_bucket,
+          COUNT(*) AS n_sessions, ${dsumSql("n_events")} AS n_events
+        FROM d GROUP BY 1""")),
+
+    // --------------------------------------------- LLM data-pipeline operators
+    // Exact dedup by content hash (hash-groupBy).
+    Q("q_dedup_exact",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        graft.operators.Dedup.exactGroups(d, col("doc_id"), col("text"))
+      },
+      Some("""SELECT md5(text) AS content_hash, MIN(doc_id) AS representative,
+        COUNT(*) AS n_copies FROM documents GROUP BY 1""")),
+
+    // MinHash + LSH candidate pairs (shingle -> minhash -> band -> bucket join).
+    Q("q_minhash_lsh_pairs",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        graft.operators.Dedup.minhashCandidates(d, col("doc_id"), col("text"))
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+          FROM documents),
+        s AS (
+          SELECT doc_id,
+            CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                 ELSE [] END AS sh
+          FROM t),
+        bands AS (
+          SELECT doc_id, band,
+            md5(array_to_string([list_aggregate(list_transform(sh, x -> md5((band * 4 + r)::VARCHAR || ':' || x)), 'min') FOR r IN [0,1,2,3]], '|')) AS sig
+          FROM s, (SELECT UNNEST([0,1,2,3]) AS band)
+          WHERE len(sh) > 0)
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""")),
+
+    // Exact n-gram Jaccard near-dup pairs on a bounded subset (O(n²) tier;
+    // LSH above is the scale path).
+    Q("q_ngram_jaccard_pairs",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).where(col("doc_id") < 100)
+        graft.operators.Dedup.ngramJaccardPairs(d, col("doc_id"), col("text"), 0.02)
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+          FROM documents WHERE doc_id < 100),
+        s AS (
+          SELECT doc_id,
+            list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                 ELSE [] END) AS sh
+          FROM t)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) AS jaccard
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.02""")),
+
+    // Document fingerprinting (k smallest shingle hashes).
+    Q("q_doc_fingerprints",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        d.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint"))
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+          FROM documents),
+        s AS (
+          SELECT doc_id,
+            CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                 ELSE [] END AS sh
+          FROM t)
+        SELECT doc_id, array_to_string(list_sort(list_transform(sh, x -> md5(x)))[1:4], '|') AS fingerprint
+        FROM s""")),
+
+    // Text quality signals aggregated per language.
+    Q("q_text_quality_by_lang",
+      (s, dir) => {
+        val d = TextOps.withQualitySignals(Tables.documents(s, dir))
+        d.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            dsum(col("n_tokens").cast("double")).as("total_tokens"),
+            davg(col("stopword_ratio")).as("avg_stopword_ratio"),
+            davg(col("mean_token_len")).as("avg_token_len"))
+      },
+      Some(s"""WITH t AS (
+          SELECT lang, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+          FROM documents),
+        q AS (
+          SELECT lang, len(toks) AS n_tokens,
+            CASE WHEN len(toks) > 0
+                 THEN CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','in','to','is'], x))) AS DOUBLE) / len(toks)
+                 ELSE 0.0 END AS stopword_ratio,
+            CASE WHEN len(toks) > 0
+                 THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
+                 ELSE 0.0 END AS mean_token_len
+          FROM t)
+        SELECT lang, COUNT(*) AS n_docs,
+          ${dsumSql("n_tokens")} AS total_tokens,
+          ${dsumSql("stopword_ratio")} / COUNT(stopword_ratio) AS avg_stopword_ratio,
+          ${dsumSql("mean_token_len")} / COUNT(mean_token_len) AS avg_token_len
+        FROM q GROUP BY lang""")),
+
+    // Language-ID heuristic vs labeled lang (confusion counts).
+    Q("q_langid_confusion",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        d.withColumn("predicted", TextOps.langIdHeuristic(col("text")))
+          .groupBy(col("lang"), col("predicted"))
+          .agg(count(lit(1)).as("n_docs"))
+      },
+      Some("""WITH t AS (
+          SELECT lang, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+          FROM documents)
+        SELECT lang,
+          CASE WHEN list_contains(toks, 'the') THEN 'en'
+               WHEN list_contains(toks, 'le') THEN 'fr'
+               WHEN list_contains(toks, 'der') THEN 'de'
+               WHEN list_contains(toks, 'el') THEN 'es'
+               ELSE 'unknown' END AS predicted,
+          COUNT(*) AS n_docs
+        FROM t GROUP BY 1, 2""")),
+
+    // Brute-force cosine top-k ANN (queries = vec_id < 10, k = 5).
+    Q("q_ann_cosine_topk",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        graft.operators.Similarity.bruteForceTopK(
+          emb, emb.where(col("vec_id") < 10), 5)
+          .select(col("qid"), col("rank"), col("nid"), col("cos"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS ce FROM embeddings),
+        scored AS (
+          SELECT qid, nid,
+            list_dot_product(qe, ce) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))) AS cos
+          FROM q JOIN c ON qid <> nid),
+        ranked AS (
+          SELECT qid, nid, cos, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+          FROM scored)
+        SELECT qid, rank, nid, cos FROM ranked WHERE rank <= 5""")),
+
+    // LSH-bucketed ANN (scale path) — engine-side only; LSH plane derivation
+    // is not reasonably SQL-expressible, driver records rows-only.
+    Q("q_ann_lsh_topk",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        graft.operators.Similarity.lshTopK(
+          emb, emb.where(col("vec_id") < 10), 64, 5)
+          .select(col("qid"), col("rank"), col("nid"))
+      },
+      None),
+
+    // SimHash signatures (near-dup fingerprint; rows-only oracle).
+    Q("q_simhash",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        d.select(col("doc_id"), graft.operators.Dedup.simhash(col("text")).as("simhash"))
+      },
+      None),
+
+    // Multimodal: binary assets with typed metadata (text bytes stand in for
+    // image/audio payloads; plumbing is the point).
+    Q("q_binary_assets",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id").as("asset_id"), encode(col("text"), "UTF-8").as("asset"),
+            col("source"))
+        graft.operators.Multimodal.withMetadata(d)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_assets"),
+            sum(col("meta.byte_len")).as("total_bytes"),
+            countDistinct(col("meta.content_hash")).as("n_distinct"))
+      },
+      Some("""SELECT source, COUNT(*) AS n_assets,
+        SUM(octet_length(encode(text))) AS total_bytes,
+        COUNT(DISTINCT md5(text)) AS n_distinct
+        FROM documents GROUP BY source""")),
+
+    // Multimodal decode plumbing (stubbed decoder over mapPartitions;
+    // rows-only oracle — the schema/batch shape is what's exercised).
+    Q("q_multimodal_decode",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id").as("asset_id"), encode(col("text"), "UTF-8").as("asset"))
+        graft.operators.Multimodal.decodeStub(d)
+          .groupBy(col("width"))
+          .agg(count(lit(1)).as("n_assets"), max(col("height")).as("max_height"))
+      },
+      None)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

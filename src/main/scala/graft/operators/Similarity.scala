@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — broadcast the (small) query set,
+  * score every corpus vector with an in-row fold (codegen, no UDF), keep
+  * top-k per query with a window rank. At 100 TB corpus scale the scan is
+  * embarrassingly parallel and the only shuffle is the tiny top-k
+  * aggregation.
+  *
+  * Scale path: LSH bucketing via random-hyperplane signs (deterministic
+  * seeded planes) — corpus is bucketed once (in-row signature), queries probe
+  * only their bucket: turns the all-pairs scan into an equi-join on the
+  * signature.
+  */
+object Similarity {
+
+  /** Cast to double once; all arithmetic in double for engine parity. */
+  private def asDouble(v: Column): Column = v.cast("array<double>")
+
+  /** In-row dot product of two equal-length double arrays (sequential fold —
+    * deterministic summation order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val da = asDouble(a)
+    val db = asDouble(b)
+    dot(da, db) / (norm(da) * norm(db))
+  }
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest corpus
+    * vectors (excluding itself). Queries are broadcast — the corpus scan
+    * never shuffles its vectors. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("ce"))
+    val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
+    val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (dot(col("qe"), col("ce")) / (norm(col("qe")) * norm(col("ce")))).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Random-hyperplane LSH signature: `planes` pseudo-random unit directions
+    * derived deterministically from (seed, dimension index) via a hash-based
+    * value in [-0.5, 0.5); signature bit p = sign of dot(v, plane_p).
+    * Deterministic across engines and runs. */
+  def lshSignature(v: Column, dim: Int, planes: Int = 8): Column = {
+    val dv = asDouble(v)
+    val bitCols = (0 until planes).map { p =>
+      // plane component j: fractional hash of (p, j), centered on 0
+      val proj = (0 until dim).map { j =>
+        val h = (conv(substring(md5(lit(s"$p:$j")), 1, 8), 16, 10).cast("double") /
+          lit(4294967296.0)) - 0.5
+        element_at(dv, j + 1) * h
+      }.reduce(_ + _)
+      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Bucketed ANN: join corpus and queries on LSH signature, then exact
+    * cosine within buckets. Trades recall for a scan→equi-join reduction. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
+              planes: Int = 8): DataFrame = {
+    val c = corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("ce"))
+      .withColumn("sig", lshSignature(col("ce"), dim, planes))
+    val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
+      .withColumn("sig", lshSignature(col("qe"), dim, planes))
+    val scored = c.join(broadcast(q), Seq("sig"))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (dot(col("qe"), col("ce")) / (norm(col("qe")) * norm(col("ce")))).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}

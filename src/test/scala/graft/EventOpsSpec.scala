@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TimeFns
+import graft.operators.{EventOps, Segments}
+
+/** Semantics mirrored from the reference's unit fixtures:
+  * sessions (`test/test_sessions.h`), funnels (`README.md:244-316`),
+  * segment algebra (`src/queryinterpreter.cpp:624-888`). */
+class EventOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val M = TimeFns.MinuteMs
+
+  test("sessionize: gap > 30min starts a new session; session_count = max") {
+    // user 1: events at 0, 10m, 200m, 205m -> sessions 1,1,2,2
+    // user 2: single event -> session 1
+    val e = Seq(
+      (1L, 0L * M, "a"), (1L, 10 * M, "b"), (1L, 200 * M, "c"), (1L, 205 * M, "d"),
+      (2L, 50 * M, "a")
+    ).toDF("id", "stamp", "event")
+    val out = EventOps.sessionize(e).orderBy("id", "stamp")
+      .select("id", "session").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 1L), (1L, 1L), (1L, 2L), (1L, 2L), (2L, 1L)))
+  }
+
+  test("sessionize honors custom gap") {
+    val e = Seq((1L, 0L, "a"), (1L, 5 * M, "b")).toDF("id", "stamp", "event")
+    assert(EventOps.sessionize(e, gapMs = 4 * M)
+      .agg(max("session")).as[Long].head() == 2L)
+    assert(EventOps.sessionize(e, gapMs = 6 * M)
+      .agg(max("session")).as[Long].head() == 1L)
+  }
+
+  test("funnel2: first from-event anchors; to-event must follow within window") {
+    val e = Seq(
+      // converts: signup@10, purchase@20
+      (1L, 10L, "signup"), (1L, 20L, "purchase"),
+      // no conversion: purchase before signup only
+      (2L, 5L, "purchase"), (2L, 10L, "signup"),
+      // conversion outside window
+      (3L, 0L, "signup"), (3L, 1000L, "purchase"),
+      // never signed up
+      (4L, 7L, "purchase")
+    ).toDF("id", "stamp", "event")
+    val f = EventOps.funnel2(e, "signup", "purchase", withinMs = 100L)
+    val rows = f.orderBy("id")
+      .select("id", "first_from", "first_to_after")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+    assert(rows.toSeq == Seq(
+      (1L, Some(10L), Some(20L)),
+      (2L, Some(10L), None),
+      (3L, Some(0L), None),
+      (4L, None, None)))
+  }
+
+  test("segment algebra matches set semantics") {
+    val e = Seq(
+      (1L, 1L, "buy"), (2L, 1L, "buy"), (3L, 1L, "view"), (4L, 1L, "view")
+    ).toDF("id", "stamp", "event")
+    val buyers = Segments.fromRowPredicate(e, col("event") === "buy")
+    val viewers = Segments.fromRowPredicate(e, col("event") === "view")
+    val uni = e.select("id").distinct()
+    assert(Segments.population(buyers) == 2)
+    assert(Segments.population(Segments.intersection(buyers, viewers)) == 0)
+    assert(Segments.population(Segments.union(buyers, viewers)) == 4)
+    assert(Segments.population(Segments.difference(uni, buyers)) == 2)
+    assert(Segments.compliment(uni, buyers).as[Long].collect().toSet == Set(3L, 4L))
+  }
+
+  test("ever/never person-level existence") {
+    val e = Seq((1L, 1L, "err"), (1L, 2L, "ok"), (2L, 1L, "ok"))
+      .toDF("id", "stamp", "event")
+    val ev = EventOps.ever(e, col("event") === "err")
+      .as[(Long, Boolean)].collect().toMap
+    assert(ev == Map(1L -> true, 2L -> false))
+  }
+
+  test("trim keeps top-k per parent with deterministic tie-break") {
+    val g = Seq(("x", "a", 10L), ("x", "b", 10L), ("x", "c", 5L), ("y", "d", 1L))
+      .toDF("grp", "child", "n")
+    val out = EventOps.trim(g, Seq("grp"), col("n"), col("child"), 2)
+      .select("grp", "child").as[(String, String)].collect().toSet
+    assert(out == Set(("x", "a"), ("x", "b"), ("y", "d")))
+  }
+}

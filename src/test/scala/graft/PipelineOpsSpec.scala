@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+
+/** LLM-pipeline operator specs: dedup family, ANN, text analysis,
+  * multimodal plumbing. */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docA = "the quick brown fox jumps over the lazy dog again and again ok"
+  private val docA2 = "the quick brown fox jumps over the lazy dog again and again ok" // exact dup
+  private val docB = "the quick brown fox jumps over the lazy dog again and again yes" // near dup
+  private val docC = "completely different words appear here with nothing shared at all whatsoever"
+
+  private def docs = Seq((0L, docA), (1L, docA2), (2L, docB), (3L, docC))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups by content hash") {
+    val g = Dedup.exactGroups(docs, col("doc_id"), col("text"))
+    assert(g.count() == 3)
+    val dup = g.where(col("n_copies") === 2).select("representative").as[Long].head()
+    assert(dup == 0L)
+    assert(Dedup.exactDedup(docs, "doc_id", "text").count() == 3)
+  }
+
+  test("minhash LSH finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashCandidates(docs, col("doc_id"), col("text"))
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))          // exact dup always collides
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated never
+  }
+
+  test("ngram jaccard: dup=1.0, near-dup high, unrelated filtered") {
+    val p = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(p((0L, 1L)) == 1.0)
+    assert(p((0L, 2L)) > 0.5 && p((0L, 2L)) < 1.0)
+    assert(!p.contains((0L, 3L)))
+  }
+
+  test("simhash: identical texts equal; near-dups close in hamming; unrelated far") {
+    val sh = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sh(0L) == sh(1L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0L), sh(2L)) < ham(sh(0L), sh(3L)))
+  }
+
+  test("fingerprint stable and discriminating") {
+    val fp = docs.select(col("doc_id"), TextOps.fingerprint(col("text")).as("f"))
+      .as[(Long, String)].collect().toMap
+    assert(fp(0L) == fp(1L))
+    assert(fp(0L) != fp(3L))
+    assert(fp(0L).split("\\|").length == 4)
+  }
+
+  test("text quality signals") {
+    val q = TextOps.withQualitySignals(Seq((1L, "the cat sat")).toDF("doc_id", "text"))
+      .select("n_tokens", "n_stopwords", "mean_token_len", "stopword_ratio")
+      .head()
+    assert(q.getInt(0) == 3)
+    assert(q.getInt(1) == 1)
+    assert(math.abs(q.getDouble(2) - 3.0) < 1e-9)
+    assert(math.abs(q.getDouble(3) - 1.0 / 3) < 1e-9)
+  }
+
+  test("cosine similarity basics") {
+    val v = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(1f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f)), (3L, Array(0.9f, 0.1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(v, v.where(col("vec_id") === 0), 2)
+      .select("rank", "nid").as[(Int, Long)].collect().toMap
+    assert(top(1) == 1L) // identical vector first (cos=1)
+    assert(top(2) == 3L) // then the nearly-parallel one
+  }
+
+  test("LSH signature buckets identical vectors together") {
+    val v = Seq(
+      (0L, Array.fill(8)(1f)), (1L, Array.fill(8)(1f)),
+      (2L, Array.tabulate(8)(i => if (i % 2 == 0) 1f else -1f))
+    ).toDF("vec_id", "embedding")
+    val sig = v.select(col("vec_id"),
+      Similarity.lshSignature(col("embedding"), 8).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sig(0L) == sig(1L))
+  }
+
+  test("multimodal: metadata + stub decode plumbing") {
+    val assets = Seq((1L, "hello world"), (2L, ""))
+      .toDF("asset_id", "text")
+      .select(col("asset_id"), encode(col("text"), "UTF-8").as("asset"))
+    val meta = Multimodal.withMetadata(assets)
+      .select("asset_id", "meta.byte_len", "meta.format")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getString(2)))).toMap
+    assert(meta(1L)._1 == 11L)
+    assert(meta(1L)._2 == "unknown")
+    val feats = Multimodal.decodeStub(assets)
+    assert(feats.schema == Multimodal.featureSchema)
+    assert(feats.count() == 2)
+    assert(feats.where(col("asset_id") === 1L).select("features").head()
+      .getSeq[Float](0).length == 8)
+  }
+
+  test("png magic bytes sniffed") {
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A)
+    val assets = Seq((1L, png)).toDF("asset_id", "asset")
+    val f = Multimodal.withMetadata(assets).select("meta.format").as[String].head()
+    assert(f == "png")
+  }
+}
