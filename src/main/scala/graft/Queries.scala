@@ -622,8 +622,113 @@ object Queries {
           .groupBy(col("width"))
           .agg(count(lit(1)).as("n_assets"), max(col("height")).as("max_height"))
       },
-      None)
+      None),
+
+    // ------------------------------------------------------- OSL script engine
+    // Full OSL pipeline: parse -> per-customer interpreter (flatMapGroups)
+    // -> relational merge. Script mirrors README.md:152-196.
+    Q("q_osl_event_tally",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |  sum value as total_value
+            |end
+            |each_row where event.is(== 'purchase')
+            |  << get_day_of_week(stamp), event
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"), col("total_value"))
+      },
+      Some(s"""$E, p AS (
+          SELECT id, CAST(dayofweek(make_timestamp(stamp * 1000)) + 1 AS VARCHAR) AS g1,
+                 event AS g2, value
+          FROM e WHERE event = 'purchase')
+        SELECT CAST(2 AS INTEGER) AS depth, g1, g2,
+          COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows, ${dsumSql("value")} AS total_value
+        FROM p GROUP BY g1, g2
+        UNION ALL
+        SELECT CAST(1 AS INTEGER) AS depth, g1, CAST(NULL AS VARCHAR) AS g2,
+          COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows, ${dsumSql("value")} AS total_value
+        FROM p GROUP BY g1""")),
+
+    // OSL @segment scripts: ever/never predicates evaluated per customer.
+    Q("q_osl_segments",
+      (s, dir) => {
+        val script =
+          """@segment buyers
+            |if event.ever(== 'purchase')
+            |  return(true)
+            |end
+            |@segment errorless
+            |if event.never(== 'error')
+            |  return(true)
+            |end
+            |""".stripMargin
+        val m = graft.osl.OslEngine.segments(Tables.events(s, dir), script, now = OslNow)
+          .groupBy(col("segment")).agg(count(lit(1)).as("n"))
+        // a segment with zero members still reports population 0
+        import s.implicits._
+        Seq("buyers", "errorless").toDF("segment")
+          .join(m, Seq("segment"), "left")
+          .select(col("segment"), coalesce(col("n"), lit(0L)).as("population"))
+      },
+      Some(s"""$E SELECT 'buyers' AS segment, COUNT(*) AS population FROM (
+          SELECT id FROM e GROUP BY id
+          HAVING COUNT(CASE WHEN event = 'purchase' THEN 1 END) > 0)
+        UNION ALL
+        SELECT 'errorless', COUNT(*) FROM (
+          SELECT id FROM e GROUP BY id
+          HAVING COUNT(CASE WHEN event = 'error' THEN 1 END) = 0)""")),
+
+    // OSL nested sequence iteration (continue().next()) as a segment —
+    // purchase strictly after a signup row.
+    Q("q_osl_funnel_segment",
+      (s, dir) => {
+        val script =
+          """@segment signup_then_purchase
+            |each_row where event.is(== 'signup')
+            |  each_row.continue().next() where event.is(== 'purchase')
+            |    return(true)
+            |  end
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.segments(Tables.events(s, dir), script, now = OslNow)
+          .groupBy(col("segment")).agg(count(lit(1)).as("population"))
+      },
+      Some(s"""$E, r AS (
+          SELECT id, event, ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS rn
+          FROM e),
+        sg AS (SELECT id, MIN(rn) AS srn FROM r WHERE event = 'signup' GROUP BY id)
+        SELECT 'signup_then_purchase' AS segment, COUNT(*) AS population FROM (
+          SELECT DISTINCT sg.id FROM sg JOIN r ON r.id = sg.id
+          WHERE r.event = 'purchase' AND r.rn > sg.srn)""")),
+
+    // OSL histogram script: per-person inline aggregation -> bucket
+    // (src/oloop_histogram.cpp semantics; fixed-point sums for parity).
+    Q("q_osl_histogram",
+      (s, dir) => {
+        val script =
+          """total = sum(value) where event.is(== 'purchase')
+            |return(bucket(total, 100))
+            |""".stripMargin
+        graft.osl.OslEngine.histogram(Tables.events(s, dir), script, now = OslNow)
+          .groupBy(col("value").as("bucket"))
+          .agg(count(lit(1)).as("customers"))
+      },
+      Some(s"""$E, p AS (
+          SELECT id, COALESCE(CAST(SUM(CASE WHEN event = 'purchase' THEN CAST(value AS DECIMAL(28,4)) END) AS DOUBLE), 0.0) AS total
+          FROM e GROUP BY id)
+        SELECT FLOOR(total / 100) * 100 AS bucket, COUNT(*) AS customers
+        FROM p GROUP BY 1"""))
   )
+
+  /** Pinned `now` for OSL scripts (determinism across engines/runs —
+    * SURVEY §7.4). 2024-07-01T00:00:00Z. */
+  val OslNow: Long = 1719792000000L
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

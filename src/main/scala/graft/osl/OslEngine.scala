@@ -1,0 +1,182 @@
+package graft.osl
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Ast._
+
+/** Runs OSL scripts over the normalized event DataFrame
+  * `(id, stamp, event, …props)` — the engine's Tier B path (SURVEY §7.1):
+  *
+  *   events.groupByKey(id) → per-customer [[Interpreter]] → per-person,
+  *   per-node partial aggregates → relational merge.
+  *
+  * The only shuffle is on `id` (the same key the storage layer
+  * buckets/partitions by, so at scale this is co-located), plus the final
+  * tiny group-node aggregation. Partials are already deduplicated with the
+  * reference's distinct-key semantics, so the merge is plain SUM/MIN/MAX —
+  * associative, partial-aggregatable, skew-tolerant.
+  */
+object OslEngine {
+
+  val MaxDepth = 8 // result tree key depth cap (src/result.h:19)
+
+  /** Flattened per-person, per-node partial emitted by the interpreter. */
+  private val partialSchema: StructType = {
+    val gs = (1 to MaxDepth).map(i => StructField(s"g$i", StringType, nullable = true))
+    StructType(
+      StructField("depth", IntegerType) +: gs)
+  }
+
+  private def fullPartialSchema(nSel: Int): StructType = {
+    val aggFields = (0 until nSel).flatMap { j =>
+      Seq(
+        StructField(s"s_$j", LongType), StructField(s"c_$j", LongType),
+        StructField(s"mn_$j", DoubleType), StructField(s"mx_$j", DoubleType))
+    }
+    StructType(partialSchema.fields ++ aggFields)
+  }
+
+  /** Convert a Spark Row into the interpreter's value array. */
+  private def rowToValues(row: Row, n: Int): Array[Value] = {
+    val out = new Array[Value](n)
+    var i = 0
+    while (i < n) {
+      out(i) = if (row.isNullAt(i)) VNone else Value(row.get(i))
+      i += 1
+    }
+    out
+  }
+
+  /** Run an event query script; returns the group-tree nodes as rows
+    * `(depth, g1..g8, <select aliases…>)`. */
+  def query(events: DataFrame, script: String,
+            now: Long, sessionGapMs: Long = 30 * 60 * 1000L): DataFrame = {
+    val program = Parser.program(script)
+    val selects =
+      (if (program.select.nonEmpty) program.select
+       else Seq(SelectCol("count", "id", "id", None, all = false))).toVector
+
+    val partials = runInterpreter(events, program, now, sessionGapMs)
+
+    val gCols = (1 to MaxDepth).map(i => col(s"g$i"))
+    val aggExprs = selects.zipWithIndex.map { case (sel, j) =>
+      // sums are ×10,000 fixed-point longs: exact merge, then one double
+      // division — equal to the oracle's CAST(SUM(DECIMAL) AS DOUBLE)
+      sel.agg match {
+        case "count"          => sum(col(s"c_$j")).as(sel.alias)
+        case "sum"            => (sum(col(s"s_$j")) / lit(10000.0)).as(sel.alias)
+        case "min"            => min(col(s"mn_$j")).as(sel.alias)
+        case "max"            => max(col(s"mx_$j")).as(sel.alias)
+        case "avg"            => (sum(col(s"s_$j")) / lit(10000.0) / sum(col(s"c_$j"))).as(sel.alias)
+        case _ /*value,var*/  => (sum(col(s"s_$j")) / lit(10000.0)).as(sel.alias)
+      }
+    }
+    partials.groupBy(col("depth") +: gCols: _*)
+      .agg(aggExprs.head, aggExprs.tail: _*)
+  }
+
+  /** Run a multi-`@segment` script; returns membership `(segment, id)`.
+    * All segments evaluate in ONE pass over each customer. */
+  def segments(events: DataFrame, script: String,
+               now: Long, sessionGapMs: Long = 30 * 60 * 1000L): DataFrame = {
+    val defs = Parser.segments(script)
+    val spark = events.sparkSession
+    val schema = events.schema
+    val nCols = schema.fields.length
+    val colIdx: Map[String, Int] = schema.fieldNames.zipWithIndex.toMap
+    val idIdx = colIdx("id")
+    val stampIdx = colIdx("stamp")
+    val interps = defs.map(d =>
+      (d.name, new Interpreter(Program(Nil, d.code), colIdx, now, sessionGapMs)))
+
+    implicit val enc = Encoders.product[(String, String)]
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    implicit val rowEnc: org.apache.spark.sql.Encoder[Row] = ExpressionEncoder(schema)
+
+    val ds = events.as(rowEnc)
+      .groupByKey(r => r.get(idIdx).toString)(Encoders.STRING)
+    val out = ds.flatMapGroups { (pid: String, it: Iterator[Row]) =>
+      val rows = it.map(r => rowToValues(r, nCols)).toArray
+      java.util.Arrays.sort(rows, Ordering.by((a: Array[Value]) => a(stampIdx).asLong))
+      val rowsSeq: IndexedSeq[Array[Value]] = rows
+      interps.iterator.flatMap { case (name, interp) =>
+        val res = interp.run(VStr(pid), rowsSeq)
+        val member = res.returned.lastOption.exists(_.truthy)
+        if (member) Iterator((name, pid)) else Iterator.empty
+      }
+    }(enc)
+    out.toDF("segment", "id")
+  }
+
+  /** Run a histogram-style script: per-person `return(expr)` values
+    * (src/oloop_histogram.cpp) — returns `(id, value)` rows. */
+  def histogram(events: DataFrame, script: String,
+                now: Long, sessionGapMs: Long = 30 * 60 * 1000L): DataFrame = {
+    val program = Parser.program(script)
+    val spark = events.sparkSession
+    val schema = events.schema
+    val nCols = schema.fields.length
+    val colIdx: Map[String, Int] = schema.fieldNames.zipWithIndex.toMap
+    val idIdx = colIdx("id")
+    val stampIdx = colIdx("stamp")
+    val interp = new Interpreter(program, colIdx, now, sessionGapMs)
+
+    implicit val enc = Encoders.product[(String, Double)]
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    implicit val rowEnc: org.apache.spark.sql.Encoder[Row] = ExpressionEncoder(schema)
+
+    val ds = events.as(rowEnc)
+      .groupByKey(r => r.get(idIdx).toString)(Encoders.STRING)
+    val out = ds.flatMapGroups { (pid: String, it: Iterator[Row]) =>
+      val rows = it.map(r => rowToValues(r, nCols)).toArray
+      java.util.Arrays.sort(rows, Ordering.by((a: Array[Value]) => a(stampIdx).asLong))
+      val res = interp.run(VStr(pid), rows)
+      res.returned.iterator.map(v => (pid, v.asDouble))
+    }(enc)
+    out.toDF("id", "value")
+  }
+
+  // ------------------------------------------------------------------ private
+  private def runInterpreter(events: DataFrame, program: Program,
+                             now: Long, sessionGapMs: Long): DataFrame = {
+    val spark = events.sparkSession
+    val schema = events.schema
+    val nCols = schema.fields.length
+    val colIdx: Map[String, Int] = schema.fieldNames.zipWithIndex.toMap
+    val idIdx = colIdx("id")
+    val stampIdx = colIdx("stamp")
+    val selects =
+      (if (program.select.nonEmpty) program.select
+       else Seq(SelectCol("count", "id", "id", None, all = false))).toVector
+    val nSel = selects.length
+    val outSchema = fullPartialSchema(nSel)
+    val interp = new Interpreter(program, colIdx, now, sessionGapMs)
+
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    implicit val rowEnc: org.apache.spark.sql.Encoder[Row] = ExpressionEncoder(schema)
+    implicit val outEnc: org.apache.spark.sql.Encoder[Row] =
+      ExpressionEncoder(outSchema)
+
+    val ds = events.as(rowEnc)
+      .groupByKey(r => r.get(idIdx).toString)(Encoders.STRING)
+
+    ds.flatMapGroups { (pid: String, it: Iterator[Row]) =>
+      val rows = it.map(r => rowToValues(r, nCols)).toArray
+      java.util.Arrays.sort(rows, Ordering.by((a: Array[Value]) => a(stampIdx).asLong))
+      val res = interp.run(VStr(pid), rows)
+      res.nodes.iterator.map { case (path, bufs) =>
+        val gs: Seq[Any] = (0 until MaxDepth).map(i =>
+          if (i < path.length) path(i) else null)
+        val aggs: Seq[Any] = (0 until nSel).flatMap { j =>
+          val b = bufs(j)
+          Seq(b.sumFixed, b.cnt,
+            if (b.cnt > 0) b.min else Double.MaxValue,
+            if (b.cnt > 0) b.max else Double.MinValue)
+        }
+        Row.fromSeq((path.length +: gs) ++ aggs)
+      }
+    }(outEnc)
+  }
+}

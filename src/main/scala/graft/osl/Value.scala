@@ -1,0 +1,144 @@
+package graft.osl
+
+/** OSL runtime variant — the engine's equivalent of the reference's `cvar`
+  * (`lib/var/var.h`): bool/int/double/string plus list/dict/set containers
+  * with implicit numeric conversions and loose equality.
+  *
+  * Used only inside the Tier-B per-customer interpreter; never crosses an
+  * executor boundary unserialised.
+  */
+sealed trait Value extends Serializable {
+  def truthy: Boolean = this match {
+    case VNone          => false
+    case VBool(b)       => b
+    case VInt(i)        => i != 0
+    case VDbl(d)        => d != 0.0
+    case VStr(s)        => s.nonEmpty
+    case VList(xs)      => xs.nonEmpty
+    case VSet(xs)       => xs.nonEmpty
+    case VDict(m)       => m.nonEmpty
+  }
+  def asDouble: Double = this match {
+    case VInt(i)  => i.toDouble
+    case VDbl(d)  => d
+    case VBool(b) => if (b) 1.0 else 0.0
+    case VStr(s)  => try s.toDouble catch { case _: Throwable => 0.0 }
+    case _        => 0.0
+  }
+  def asLong: Long = this match {
+    case VInt(i)  => i
+    case VDbl(d)  => d.toLong
+    case VBool(b) => if (b) 1L else 0L
+    case VStr(s)  => try s.trim.toDouble.toLong catch { case _: Throwable => 0L }
+    case _        => 0L
+  }
+  def asStr: String = this match {
+    case VStr(s)  => s
+    case VInt(i)  => i.toString
+    case VDbl(d)  => if (d == d.floor && !d.isInfinite) f"$d%.1f" else d.toString
+    case VBool(b) => if (b) "true" else "false"
+    case VNone    => ""
+    case VList(xs) => xs.map(_.asStr).mkString("[", ",", "]")
+    case VSet(xs)  => xs.toSeq.map(_.asStr).sorted.mkString("{", ",", "}")
+    case VDict(m)  => m.map { case (k, v) => s"$k:${v.asStr}" }.mkString("{", ",", "}")
+  }
+  def isNumeric: Boolean = this match {
+    case VInt(_) | VDbl(_) | VBool(_) => true
+    case _ => false
+  }
+}
+
+case object VNone extends Value
+final case class VBool(b: Boolean) extends Value
+final case class VInt(i: Long) extends Value
+final case class VDbl(d: Double) extends Value
+final case class VStr(s: String) extends Value
+final case class VList(xs: Vector[Value]) extends Value
+final case class VSet(xs: Set[Value]) extends Value
+final case class VDict(m: Map[String, Value]) extends Value
+
+object Value {
+  def apply(a: Any): Value = a match {
+    case null            => VNone
+    case v: Value        => v
+    case b: Boolean      => VBool(b)
+    case i: Int          => VInt(i.toLong)
+    case l: Long         => VInt(l)
+    case f: Float        => VDbl(f.toDouble)
+    case d: Double       => VDbl(d)
+    case s: String       => VStr(s)
+    case xs: Seq[_]      => VList(xs.map(apply).toVector)
+    case xs: Array[_]    => VList(xs.map(apply).toVector)
+    case other           => VStr(other.toString)
+  }
+
+  /** Loose equality: numeric compare when both numeric, else string compare
+    * when one side is a string and the other scalar, else structural. */
+  def eq(a: Value, b: Value): Boolean = (a, b) match {
+    case (VNone, VNone) => true
+    case (VNone, _) | (_, VNone) => false
+    case (x, y) if x.isNumeric && y.isNumeric => x.asDouble == y.asDouble
+    case (VStr(s), y) => s == y.asStr
+    case (x, VStr(s)) => x.asStr == s
+    case (x, y) => x == y
+  }
+
+  def cmp(a: Value, b: Value): Int = (a, b) match {
+    case (x, y) if x.isNumeric && y.isNumeric => java.lang.Double.compare(x.asDouble, y.asDouble)
+    case (x, y) => x.asStr.compareTo(y.asStr)
+  }
+
+  /** `in` / `contains` membership: container on the right/left resp. */
+  def contains(container: Value, item: Value): Boolean = container match {
+    case VList(xs) => xs.exists(eq(_, item))
+    case VSet(xs)  => xs.exists(eq(_, item))
+    case VDict(m)  => m.contains(item.asStr)
+    case VStr(s)   => s.contains(item.asStr)
+    case _         => false
+  }
+
+  /** `any`: does container share any element with the operand list/set. */
+  def any(container: Value, items: Value): Boolean = {
+    val its: Seq[Value] = items match {
+      case VList(xs) => xs
+      case VSet(xs)  => xs.toSeq
+      case v         => Seq(v)
+    }
+    its.exists(contains(container, _))
+  }
+
+  def plus(a: Value, b: Value): Value = (a, b) match {
+    case (VList(x), VList(y)) => VList(x ++ y)
+    case (VList(x), y)        => VList(x :+ y)
+    case (VSet(x), VSet(y))   => VSet(x ++ y)
+    case (VSet(x), VList(y))  => VSet(x ++ y)
+    case (VSet(x), y)         => VSet(x + y)
+    case (VDict(x), VDict(y)) => VDict(x ++ y)
+    case (VStr(x), y)         => VStr(x + y.asStr)
+    case (x, VStr(y))         => VStr(x.asStr + y)
+    case (VDbl(_), _) | (_, VDbl(_)) => VDbl(a.asDouble + b.asDouble)
+    case _                    => VInt(a.asLong + b.asLong)
+  }
+
+  def minus(a: Value, b: Value): Value = (a, b) match {
+    case (VList(x), VList(y)) => VList(x.filterNot(e => y.exists(eq(_, e))))
+    case (VList(x), y)        => VList(x.filterNot(e => eq(e, y)))
+    case (VSet(x), VList(y))  => VSet(x.filterNot(e => y.exists(eq(_, e))))
+    case (VSet(x), y)         => VSet(x.filterNot(e => eq(e, y)))
+    case (VDict(x), VList(y)) => VDict(x -- y.map(_.asStr))
+    case (VDict(x), y)        => VDict(x - y.asStr)
+    case (VDbl(_), _) | (_, VDbl(_)) => VDbl(a.asDouble - b.asDouble)
+    case _                    => VInt(a.asLong - b.asLong)
+  }
+
+  def times(a: Value, b: Value): Value =
+    if (a.isNumeric && b.isNumeric)
+      (a, b) match {
+        case (VDbl(_), _) | (_, VDbl(_)) => VDbl(a.asDouble * b.asDouble)
+        case _ => VInt(a.asLong * b.asLong)
+      }
+    else VNone
+
+  def div(a: Value, b: Value): Value =
+    if (b.asDouble == 0.0) VNone else VDbl(a.asDouble / b.asDouble)
+}

@@ -1,0 +1,198 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.osl._
+
+/** OSL engine semantics, mirroring the reference's documented behavior:
+  * README.md:152-316 (event query + segment walkthroughs) and
+  * test/test_osl_language.h-style language cases. */
+class OslSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 2024-01-01 is a Monday → get_day_of_week = 2 (Sunday=1 convention)
+  private val Mon = 1704067200000L
+  private val Tue = Mon + 86400000L
+  private val H = 3600000L
+
+  private def highstreet = Seq(
+    // id, stamp, event, product_name, product_price, product_group
+    ("alice", Mon + 1 * H, "purchase", "fly rod", 99.95, Seq("outdoor", "angling")),
+    ("alice", Mon + 2 * H, "purchase", "gilded spoon", 27.99, Seq("outdoor")),
+    ("bob", Mon + 3 * H, "purchase", "fly rod", 99.95, Seq("outdoor")),
+    ("bob", Tue + 1 * H, "purchase", "hammer", 19.99, Seq("hardware"))
+  ).toDF("id", "stamp", "event", "product_name", "product_price", "product_group")
+
+  test("README event query: tally tree with distinct-person counts per node") {
+    val script =
+      """select
+        |  count id
+        |  count product_name as purchased
+        |  sum product_price as total_spent
+        |end
+        |each_row where product_group.is(contains 'outdoor')
+        |  << get_day_of_week(stamp), product_name
+        |end
+        |""".stripMargin
+    val out = OslEngine.query(highstreet, script, now = Tue + 10 * H)
+      .select("depth", "g1", "g2", "id", "purchased", "total_spent")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), Option(r.getString(2)).getOrElse(""),
+        r.getLong(3), r.getLong(4), math.round(r.getDouble(5) * 100) / 100.0))
+      .toSet
+    assert(out == Set(
+      (1, "2", "", 2L, 3L, 227.89),          // Monday: both people, 3 rows
+      (2, "2", "fly rod", 2L, 2L, 199.90),   // both bought a fly rod
+      (2, "2", "gilded spoon", 1L, 1L, 27.99)))
+  }
+
+  test("tally dedup: same row tallied twice counts once (non-all)") {
+    val script =
+      """select
+        |  count id
+        |  sum product_price as spent
+        |end
+        |each_row where event.is(== 'purchase')
+        |  << 'a'
+        |  << 'a'
+        |end
+        |""".stripMargin
+    val one = Seq(("u1", Mon, "purchase", "x", 10.0, Seq("g")))
+      .toDF("id", "stamp", "event", "product_name", "product_price", "product_group")
+    val out = OslEngine.query(one, script, now = Tue).select("id", "spent")
+      .as[(Long, Double)].head()
+    assert(out == ((1L, 10.0)))
+  }
+
+  test("README segments: nested continue().next() funnel + ever()") {
+    val script =
+      """@segment grommet_then_panini
+        |each_row where event.is(== 'cart_item') && product_name.is(== 'grommet')
+        |  each_row.continue().next() where event.is(== 'cart_item') && product_name.is(== 'panini press')
+        |    return(true)
+        |  end
+        |end
+        |@segment has_outdoor
+        |if product_group.ever(contains 'outdoor')
+        |  return(true)
+        |end
+        |""".stripMargin
+    val data = Seq(
+      ("u1", Mon + 1 * H, "cart_item", "grommet", 1.0, Seq[String]()),
+      ("u1", Mon + 2 * H, "cart_item", "panini press", 1.0, Seq[String]()),
+      ("u2", Mon + 1 * H, "cart_item", "panini press", 1.0, Seq[String]()),
+      ("u2", Mon + 2 * H, "cart_item", "grommet", 1.0, Seq[String]()),
+      ("u3", Mon + 1 * H, "cart_item", "grommet", 1.0, Seq("outdoor"))
+    ).toDF("id", "stamp", "event", "product_name", "product_price", "product_group")
+    val m = OslEngine.segments(data, script, now = Tue)
+      .as[(String, String)].collect().toSet
+    assert(m == Set(("grommet_then_panini", "u1"), ("has_outdoor", "u3")))
+  }
+
+  test("each_row limit + reverse") {
+    val script =
+      """select
+        |  sum product_price as spent
+        |end
+        |each_row.reverse().limit(1) where event.is(== 'purchase')
+        |  << 'last'
+        |end
+        |""".stripMargin
+    val data = Seq(
+      ("u1", Mon + 1 * H, "purchase", "a", 1.0, Seq[String]()),
+      ("u1", Mon + 2 * H, "purchase", "b", 2.0, Seq[String]()),
+      ("u1", Mon + 3 * H, "purchase", "c", 5.0, Seq[String]())
+    ).toDF("id", "stamp", "event", "product_name", "product_price", "product_group")
+    val out = OslEngine.query(data, script, now = Tue).select("spent")
+      .as[Double].head()
+    assert(out == 5.0) // reverse: last purchase only
+  }
+
+  test("inline aggregations and histogram return") {
+    val script =
+      """total = sum(product_price) where event.is(== 'purchase')
+        |n = count(product_price) where event.is(== 'purchase')
+        |return(bucket(total, 50))
+        |""".stripMargin
+    val data = Seq(
+      ("u1", Mon + 1 * H, "purchase", "a", 60.0, Seq[String]()),
+      ("u1", Mon + 2 * H, "purchase", "b", 70.0, Seq[String]()), // total 130 -> bucket 100
+      ("u2", Mon + 1 * H, "purchase", "c", 20.0, Seq[String]())  // total 20 -> bucket 0
+    ).toDF("id", "stamp", "event", "product_name", "product_price", "product_group")
+    val out = OslEngine.histogram(data, script, now = Tue)
+      .as[(String, Double)].collect().toMap
+    assert(out == Map("u1" -> 100.0, "u2" -> 0.0))
+  }
+
+  test("language: vars, containers, for/in, break, if/else") {
+    val script =
+      """total = 0
+        |items = [1, 2, 3, 4]
+        |for x in items
+        |  if x == 3
+        |    break
+        |  end
+        |  total = total + x
+        |end
+        |d = {'a': 10, 'b': 20}
+        |if 'a' in d
+        |  total = total + d['a']
+        |else
+        |  total = 0
+        |end
+        |return(total)
+        |""".stripMargin
+    val data = Seq(("u1", Mon, "e", "x", 1.0, Seq[String]()))
+      .toDF("id", "stamp", "event", "product_name", "product_price", "product_group")
+    val out = OslEngine.histogram(data, script, now = Tue).as[(String, Double)].head()
+    assert(out == (("u1", 13.0))) // 1+2 then +10
+  }
+
+  test("time marshals and builtins") {
+    val script =
+      """span_days = to_days(last_stamp - first_stamp)
+        |return(span_days + row_count)
+        |""".stripMargin
+    val data = Seq(
+      ("u1", Mon, "e", "x", 1.0, Seq[String]()),
+      ("u1", Mon + 3 * 86400000L, "e", "y", 1.0, Seq[String]())
+    ).toDF("id", "stamp", "event", "product_name", "product_price", "product_group")
+    val out = OslEngine.histogram(data, script, now = Tue).as[(String, Double)].head()
+    assert(out == (("u1", 5.0))) // 3 days + 2 rows
+  }
+
+  test("sessions: session property and session_count") {
+    val script = """return(session_count)"""
+    val data = Seq(
+      ("u1", Mon, "e", "x", 1.0, Seq[String]()),
+      ("u1", Mon + 10 * 60000L, "e", "y", 1.0, Seq[String]()),
+      ("u1", Mon + 10 * H, "e", "z", 1.0, Seq[String]())
+    ).toDF("id", "stamp", "event", "product_name", "product_price", "product_group")
+    val out = OslEngine.histogram(data, script, now = Tue).as[(String, Double)].head()
+    assert(out == (("u1", 2.0)))
+  }
+
+  test("ever/never with look_back frame") {
+    val script =
+      """@segment recent_buyer
+        |if event.within(2_hours, last_stamp).ever(== 'purchase')
+        |  return(true)
+        |end
+        |""".stripMargin
+    val data = Seq(
+      ("u1", Mon + 1 * H, "view", "x", 1.0, Seq[String]()),
+      ("u1", Mon + 9 * H, "purchase", "y", 1.0, Seq[String]()),
+      ("u2", Mon + 1 * H, "purchase", "x", 1.0, Seq[String]()),
+      ("u2", Mon + 9 * H, "view", "y", 1.0, Seq[String]())
+    ).toDF("id", "stamp", "event", "product_name", "product_price", "product_group")
+    val m = OslEngine.segments(data, script, now = Mon + 10 * H)
+      .as[(String, String)].collect().toSet
+    assert(m == Set(("recent_buyer", "u1"))) // u2's purchase is 9h before last_stamp
+  }
+
+  test("time literals expand at lex time") {
+    val toks = Lexer.lex("x = 3_months + 2_weeks")
+    val ints = toks.collect { case Lexer.TInt(v) => v }
+    assert(ints == Vector(3L * 31 * 86400000L, 2L * 7 * 86400000L))
+  }
+}
