@@ -452,7 +452,16 @@ object Queries {
         val d = Tables.documents(s, dir)
         graft.operators.Dedup.minhashCandidates(d, col("doc_id"), col("text"))
       },
-      Some("""WITH t AS (
+      Some {
+        import graft.operators.Dedup.{kmA, kmB, MinhashP => MP}
+        val bandSigs = (0 until 4).map { b =>
+          val mins = (0 until 4).map { r =>
+            val i = b * 4 + r
+            s"CAST(list_aggregate(list_transform(hs, v -> (v * ${kmA(i)} + ${kmB(i)}) % $MP), 'min') AS VARCHAR)"
+          }
+          s"SELECT doc_id, $b AS band, md5(${mins.mkString(" || '|' || ")}) AS sig FROM h"
+        }
+        s"""WITH t AS (
           SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
           FROM documents),
         s AS (
@@ -461,13 +470,13 @@ object Queries {
                  THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
                  ELSE [] END AS sh
           FROM t),
-        bands AS (
-          SELECT doc_id, band,
-            md5(array_to_string([list_aggregate(list_transform(sh, x -> md5((band * 4 + r)::VARCHAR || ':' || x)), 'min') FOR r IN [0,1,2,3]], '|')) AS sig
-          FROM s, (SELECT UNNEST([0,1,2,3]) AS band)
-          WHERE len(sh) > 0)
+        h AS (
+          SELECT doc_id, list_transform(sh, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % $MP) AS hs
+          FROM s WHERE len(sh) > 0),
+        bands AS (${bandSigs.mkString(" UNION ALL ")})
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""")),
+        FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id"""
+      }),
 
     // Exact n-gram Jaccard near-dup pairs on a bounded subset (O(n²) tier;
     // LSH above is the scale path).

@@ -32,6 +32,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated never
   }
 
+  test("LSH band signatures: Catalyst expression path == compiled kernel path") {
+    // withLshBands (pure Column expressions) and the UDF kernel inside
+    // minhashCandidates must be byte-identical; compare sigs per (doc, band).
+    val exprSigs = Dedup.withLshBands(docs.select(col("doc_id"), col("text")), col("text"))
+      .select(col("doc_id"), explode(col("lsh_bands")).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.sig"))
+      .as[(Long, Int, String)].collect().toSet
+    // reach the kernel through the public API: pairs must match expression path
+    val exprPairs = {
+      val e = Dedup.withLshBands(docs.select(col("doc_id"), col("text")), col("text"))
+        .select(col("doc_id"), explode(col("lsh_bands")).as("b"))
+        .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig"))
+      val a = e.as("a"); val b = e.as("b")
+      a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig")
+          && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id")).distinct()
+        .as[(Long, Long)].collect().toSet
+    }
+    val kernelPairs = Dedup.minhashCandidates(docs, col("doc_id"), col("text"))
+      .as[(Long, Long)].collect().toSet
+    assert(exprSigs.nonEmpty)
+    assert(kernelPairs == exprPairs)
+  }
+
   test("ngram jaccard: dup=1.0, near-dup high, unrelated filtered") {
     val p = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 0.3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
