@@ -739,11 +739,43 @@ object Queries {
     * SURVEY §7.4). 2024-07-01T00:00:00Z. */
   val OslNow: Long = 1719792000000L
 
+  /** Property-endpoint value filter modes (rx / sub / comparisons —
+    * src/oloop_property.cpp:139-218) and customer-prop enrichment
+    * (src/queryinterpreter.cpp:3116-3264) exposed as registry entries. */
+  private val extraRegistry: Seq[Q] = Seq(
+    Q("q_property_filter_modes",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        e.where(col("event").rlike("^(sign|err)") || col("event").contains("view"))
+          .groupBy(col("event"))
+          .agg(countDistinct(col("id")).as("customers"))
+      },
+      Some(s"""$E SELECT event, COUNT(DISTINCT id) AS customers FROM e
+        WHERE regexp_matches(event, '^(sign|err)') OR contains(event, 'view')
+        GROUP BY event""")),
+
+    Q("q_customer_prop_enrichment",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val props = Tables.customer(s, dir)
+          .select(col("c_custkey").as("id"), col("c_mktsegment"))
+        graft.operators.CustomerProps.enrich(e, props)
+          .groupBy(col("c_mktsegment"))
+          .agg(countDistinct(col("id")).as("customers"),
+            count(lit(1)).as("n_rows"))
+      },
+      Some(s"""$E SELECT c_mktsegment, COUNT(DISTINCT e.id) AS customers, COUNT(*) AS n_rows
+        FROM e LEFT JOIN customer ON e.id = c_custkey
+        GROUP BY c_mktsegment"""))
+  )
+
+  def allRegistry: Seq[Q] = registry ++ extraRegistry
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    registry.map(q => q.name -> q.fn).toMap
+    allRegistry.map(q => q.name -> q.fn).toMap
 
   def oracleSql: Map[String, String] =
-    registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
+    allRegistry.flatMap(q => q.oracle.map(q.name -> _)).toMap
 
-  def benchNames: Seq[String] = registry.filter(_.bench).map(_.name)
+  def benchNames: Seq[String] = allRegistry.filter(_.bench).map(_.name)
 }

@@ -1,0 +1,123 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.Segments
+
+/** Streaming surface (SURVEY §2.9): ingest pipeline, on-insert segment
+  * refresh, and enter/exit eventing.
+  *
+  * The reference's shape — HTTP JSON → WAL → per-partition drain →
+  * grid upsert → on_insert segments → enter/exit messages to subscribers
+  * (`src/rpc_insert.cpp`, `src/oloop_insert.cpp:166-183`,
+  * `src/message_broker.h`) — maps to Structured Streaming `foreachBatch`:
+  * append the micro-batch to the events table, re-evaluate flagged segments
+  * for the touched customers only, diff membership, and append enter/exit
+  * records to a subscriber-readable table.
+  *
+  * Storage is plain parquet directories (this container has no Delta):
+  *   dir/events/          — the event log (append)
+  *   dir/segments/<name>/ — current membership (overwritten per refresh)
+  *   dir/segment_events/  — enter/exit stream (append)
+  *
+  * Late/out-of-order data: the reference supports unbounded lateness via
+  * merge-sort on stamp (`src/grid.cpp:1272-1368`); the equivalent here is
+  * recompute-affected-customers per batch, not state-store watermarks
+  * (SURVEY §2.9 "Watermarks: none").
+  */
+object Streams {
+
+  /** A segment definition for on-insert refresh: given the touched subset of
+    * the events table, return the member ids (`events => membership`). */
+  type SegmentFn = DataFrame => DataFrame
+
+  /** Start the ingest pipeline on a streaming events DataFrame
+    * (same schema as the batch events table: id, stamp, event, …).
+    *
+    * Per micro-batch (all paths touch only the batch's customer ids):
+    *  1. append to `dir/events`
+    *  2. for each on-insert segment: recompute membership for touched ids
+    *     over their FULL history, diff vs stored membership → enter/exit
+    *  3. append enter/exit records to `dir/segment_events`, update
+    *     `dir/segments/<name>`
+    */
+  def startIngest(stream: DataFrame, dir: String, checkpoint: String,
+                  onInsertSegments: Map[String, SegmentFn] = Map.empty,
+                  trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery = {
+    // Trigger.AvailableNow terminates once the data available AT START is
+    // drained — use it for scheduled catch-up jobs, not live ingest.
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, dir, onInsertSegments, batchId)
+        ()
+      }
+      .start()
+  }
+
+  /** The batch body of the ingest pipeline — also callable directly (the
+    * reference's bulk `POST /v1/insert` path). */
+  def ingestBatch(batch: DataFrame, dir: String,
+                  onInsertSegments: Map[String, SegmentFn], batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    batch.write.mode("append").parquet(s"$dir/events")
+
+    if (onInsertSegments.nonEmpty) {
+      val touched = batch.select("id").distinct().cache()
+      val history = spark.read.parquet(s"$dir/events")
+        .join(touched, Seq("id"), "left_semi")
+      val nowMs = batch.agg(max(col("stamp"))).head().getLong(0)
+      onInsertSegments.foreach { case (name, fn) =>
+        val segDir = s"$dir/segments/$name"
+        val newMembers = fn(history).select("id").distinct().cache()
+        val prev = previousMembership(spark, segDir, newMembers)
+        val oldMembers = prev.join(touched, Seq("id"), "left_semi")
+        val entered = newMembers.join(oldMembers, Seq("id"), "left_anti")
+          .select(col("id"), lit(name).as("segment"), lit("entered").as("state"),
+            lit(nowMs).as("stamp"), lit(batchId).as("batch_id"))
+        val exited = oldMembers.join(newMembers, Seq("id"), "left_anti")
+          .select(col("id"), lit(name).as("segment"), lit("exited").as("state"),
+            lit(nowMs).as("stamp"), lit(batchId).as("batch_id"))
+        val changes = entered.unionByName(exited)
+        if (!changes.isEmpty)
+          changes.write.mode("append").parquet(s"$dir/segment_events")
+        // new membership = (stored - touched exits) + entries; rewrite fully
+        val untouchedMembers = prev.join(touched, Seq("id"), "left_anti")
+        val updated = untouchedMembers.unionByName(newMembers)
+        val staged = updated.cache()
+        staged.count() // materialize before overwriting the source directory
+        staged.write.mode("overwrite").parquet(s"$segDir.tmp")
+        spark.read.parquet(s"$segDir.tmp").write.mode("overwrite").parquet(segDir)
+      }
+      touched.unpersist()
+    }
+  }
+
+  private def previousMembership(spark: SparkSession, segDir: String,
+                                 template: DataFrame): DataFrame =
+    try spark.read.parquet(segDir).select("id")
+    catch {
+      case _: Throwable => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], template.schema)
+    }
+
+  /** Current enter/exit event log (the subscriber view —
+    * `src/rpc_sub.cpp:274-411`'s queue equivalent). */
+  def segmentEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/segment_events")
+
+  /** Streaming sessionization with the built-in session_window — tumbling
+    * gap-based sessions over event time (SURVEY §2.9 "Windows"). */
+  def sessionCounts(stream: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "1 hour"): DataFrame = {
+    stream
+      .withColumn("ts", timestamp_millis(col("stamp")))
+      .withWatermark("ts", watermark)
+      .groupBy(col("id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+  }
+}

@@ -1,0 +1,144 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{CustomerProps, EventIngest}
+import graft.streaming.Streams
+
+/** Ingest semantics (z-order, row-hash dedup, retention — mirrors
+  * test/test_zorder.h and test_db.h cases) and the streaming pipeline
+  * (on-insert segments, enter/exit eventing). */
+class IngestStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("json parse ignores unknown keys, coerces types") {
+    val schema = StructType(Seq(
+      StructField("id", StringType), StructField("stamp", LongType),
+      StructField("event", StringType), StructField("page", StringType)))
+    val raw = Seq(
+      """{"id":"u1","stamp":1458820830,"event":"page_view","page":"blog","unknown_key":42}"""
+    ).toDF("json")
+    val parsed = EventIngest.parseJson(raw, "json", schema)
+      .withColumn("stamp", EventIngest.normalizeStamp(col("stamp")))
+    val r = parsed.head()
+    assert(r.getAs[String]("id") == "u1")
+    assert(r.getAs[Long]("stamp") == 1458820830000L) // seconds -> millis
+    assert(parsed.columns.toSeq == Seq("id", "stamp", "event", "page"))
+  }
+
+  test("normalizeStamp accepts ISO8601 strings") {
+    val df = Seq("2016-03-24T12:00:30Z").toDF("stamp")
+      .select(EventIngest.normalizeStamp(col("stamp")).as("ms"))
+    assert(df.as[Long].head() == 1458820830000L)
+  }
+
+  test("z-order: same-stamp rows order by event_order rank; replace on same hash") {
+    val order = Seq("alpha", "bravo")
+    val existing = Seq(
+      ("u1", 100L, "bravo", "x"), ("u1", 100L, "alpha", "y")
+    ).toDF("id", "stamp", "event", "payload")
+    // identical (stamp, event-rank, payload hash) -> replaces, not duplicates
+    val incoming = Seq(("u1", 100L, "alpha", "y")).toDF("id", "stamp", "event", "payload")
+    val merged = EventIngest.upsert(existing, incoming, order, Seq("event", "payload"))
+    assert(merged.count() == 2)
+    val ordered = EventIngest.ordered(merged, order)
+      .select("event").as[String].collect().toSeq
+    assert(ordered == Seq("alpha", "bravo"))
+  }
+
+  test("retention: eventMax keeps most recent; TTL drops old rows") {
+    val e = (1 to 10).map(i => ("u1", i * 1000L, "e", s"p$i"))
+      .toDF("id", "stamp", "event", "payload")
+    val capped = EventIngest.cullEventMax(e, 3)
+    assert(capped.select("stamp").as[Long].collect().sorted.toSeq == Seq(8000L, 9000L, 10000L))
+    assert(EventIngest.cullTtl(e, nowMs = 11000L, ttlMs = 5000L).count() == 5)
+  }
+
+  test("customer props: enrich + write-back merge") {
+    val props = Seq(("u1", "gold"), ("u2", "basic")).toDF("id", "tier")
+    val events = Seq(("u1", 1L, "buy"), ("u3", 2L, "view")).toDF("id", "stamp", "event")
+    val enriched = CustomerProps.enrich(events, props)
+    assert(enriched.where(col("id") === "u1").select("tier").as[String].head() == "gold")
+    assert(enriched.where(col("id") === "u3").select("tier").head().isNullAt(0))
+
+    val updates = Seq(("u2", "silver"), ("u4", "gold")).toDF("id", "tier")
+    val merged = CustomerProps.writeBack(props, updates)
+      .as[(String, String)].collect().toMap
+    assert(merged == Map("u1" -> "gold", "u2" -> "silver", "u4" -> "gold"))
+  }
+
+  test("streaming ingest: on-insert segments emit enter/exit events") {
+    val dir = Files.createTempDirectory("graft_stream").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Double)]
+    val stream = mem.toDF().toDF("id", "stamp", "event", "value")
+
+    // segment: customers whose total purchase value > 100
+    val seg: Streams.SegmentFn = ev =>
+      ev.where(col("event") === "purchase").groupBy("id")
+        .agg(sum("value").as("v")).where(col("v") > 100).select("id")
+
+    val q = Streams.startIngest(stream, dir, ckpt, Map("big_spender" -> seg))
+    // batch 1: u1 crosses threshold, u2 does not
+    mem.addData((1L, 1000L, "purchase", 150.0), (2L, 1000L, "purchase", 50.0))
+    q.processAllAvailable()
+    // batch 2: u2 crosses; u1 gets a non-purchase event (stays in)
+    mem.addData((2L, 2000L, "purchase", 80.0), (1L, 2000L, "view", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val events = spark.read.parquet(s"$dir/events")
+    assert(events.count() == 4)
+    val segEvents = Streams.segmentEvents(spark, dir)
+      .select("id", "state").as[(Long, String)].collect().toSet
+    assert(segEvents == Set((1L, "entered"), (2L, "entered")))
+    val members = spark.read.parquet(s"$dir/segments/big_spender")
+      .as[Long].collect().toSet
+    assert(members == Set(1L, 2L))
+  }
+
+  test("streaming session windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    val stream = mem.toDF().toDF("id", "stamp", "event")
+    val out = Streams.sessionCounts(stream, gap = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("sess")
+      .outputMode("complete").start()
+    val base = 1704067200000L
+    mem.addData((1L, base, "a"), (1L, base + 600000L, "b"), (1L, base + 4000000L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT id, n_events FROM sess ORDER BY n_events DESC")
+      .as[(Long, Long)].collect().toSeq
+    assert(rows == Seq((1L, 2L), (1L, 1L))) // two sessions: {a,b}, {c}
+  }
+
+  test("result tree: g/c/_ nesting with sort and trim") {
+    val df = Seq(
+      (1, "2", null, 2L), (2, "2", "fly rod", 2L), (2, "2", "spoon", 1L),
+      (1, "5", null, 1L), (2, "5", "fly rod", 1L)
+    ).toDF("depth", "g1", "g2", "n")
+      .withColumn("g3", lit(null).cast("string"))
+      .withColumn("g4", lit(null).cast("string"))
+      .withColumn("g5", lit(null).cast("string"))
+      .withColumn("g6", lit(null).cast("string"))
+      .withColumn("g7", lit(null).cast("string"))
+      .withColumn("g8", lit(null).cast("string"))
+    val full = ResultTree.fromNodeRows(df, Seq("n"))
+    assert(full.length == 2)
+    assert(full.head.g == "2")             // sorted desc by n
+    assert(full.head.children.map(_.g) == Seq("fly rod", "spoon"))
+    // trim applies per node, root included (src/result.cpp:1038-1044)
+    val trimmed = ResultTree.fromNodeRows(df, Seq("n"), trim = 1)
+    assert(trimmed.length == 1)
+    assert(trimmed.head.g == "2")
+    assert(trimmed.head.children.map(_.g) == Seq("fly rod"))
+    val json = ResultTree.toJson(trimmed)
+    assert(json.contains("\"g\":\"fly rod\"") && json.contains("\"c\":[2]"))
+  }
+}
