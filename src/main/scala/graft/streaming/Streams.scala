@@ -97,6 +97,35 @@ object Streams {
     }
   }
 
+  /** Full segment refresh — the body of the reference's background refresh
+    * loop (`src/oloop_seg_refresh.cpp`; `refresh=`/`ttl=` flags on
+    * `@segment`). Recomputes each segment over the whole events table,
+    * diffs against stored membership (enter/exit events appended), and
+    * rewrites membership. Run it on the schedule the segment's `refresh`
+    * flag dictates (e.g. from a cron'd batch job or Trigger.AvailableNow
+    * stream). */
+  def refreshSegments(spark: SparkSession, dir: String,
+                      segments: Map[String, SegmentFn], nowMs: Long): Unit = {
+    val history = spark.read.parquet(s"$dir/events")
+    segments.foreach { case (name, fn) =>
+      val segDir = s"$dir/segments/$name"
+      val newMembers = fn(history).select("id").distinct().cache()
+      val prev = previousMembership(spark, segDir, newMembers).cache()
+      val entered = newMembers.join(prev, Seq("id"), "left_anti")
+        .select(col("id"), lit(name).as("segment"), lit("entered").as("state"),
+          lit(nowMs).as("stamp"), lit(-1L).as("batch_id"))
+      val exited = prev.join(newMembers, Seq("id"), "left_anti")
+        .select(col("id"), lit(name).as("segment"), lit("exited").as("state"),
+          lit(nowMs).as("stamp"), lit(-1L).as("batch_id"))
+      val changes = entered.unionByName(exited)
+      if (!changes.isEmpty)
+        changes.write.mode("append").parquet(s"$dir/segment_events")
+      newMembers.write.mode("overwrite").parquet(s"$segDir.tmp")
+      spark.read.parquet(s"$segDir.tmp").write.mode("overwrite").parquet(segDir)
+      newMembers.unpersist(); prev.unpersist()
+    }
+  }
+
   private def previousMembership(spark: SparkSession, segDir: String,
                                  template: DataFrame): DataFrame =
     try spark.read.parquet(segDir).select("id")

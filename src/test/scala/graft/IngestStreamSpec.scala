@@ -102,6 +102,26 @@ class IngestStreamSpec extends SparkSpec {
     assert(members == Set(1L, 2L))
   }
 
+  test("refreshSegments: full recompute diffs membership and emits exits") {
+    val dir = Files.createTempDirectory("graft_refresh").toString
+    Seq((1L, 1000L, "purchase", 150.0), (2L, 1000L, "purchase", 150.0))
+      .toDF("id", "stamp", "event", "value")
+      .write.mode("append").parquet(s"$dir/events")
+    val seg: Streams.SegmentFn = ev =>
+      ev.where(col("event") === "purchase").groupBy("id")
+        .agg(sum("value").as("v")).where(col("v") > 100).select("id")
+    Streams.refreshSegments(spark, dir, Map("big" -> seg), nowMs = 2000L)
+    assert(spark.read.parquet(s"$dir/segments/big").as[Long].collect().toSet == Set(1L, 2L))
+    // u2's spend drops below threshold via a refund event -> exit on refresh
+    Seq((2L, 3000L, "purchase", -100.0)).toDF("id", "stamp", "event", "value")
+      .write.mode("append").parquet(s"$dir/events")
+    Streams.refreshSegments(spark, dir, Map("big" -> seg), nowMs = 4000L)
+    assert(spark.read.parquet(s"$dir/segments/big").as[Long].collect().toSet == Set(1L))
+    val exits = Streams.segmentEvents(spark, dir).where(col("state") === "exited")
+      .select("id").as[Long].collect().toSeq
+    assert(exits == Seq(2L))
+  }
+
   test("streaming session windows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, String)]
