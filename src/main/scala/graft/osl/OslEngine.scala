@@ -52,8 +52,15 @@ object OslEngine {
   /** Run an event query script; returns the group-tree nodes as rows
     * `(depth, g1..g8, <select aliases…>)`. */
   def query(events: DataFrame, script: String,
-            now: Long, sessionGapMs: Long = 30 * 60 * 1000L): DataFrame = {
+            now: Long, sessionGapMs: Long = 30 * 60 * 1000L,
+            forceTierB: Boolean = false): DataFrame = {
     val program = Parser.program(script)
+    if (!forceTierB) {
+      TierA.compile(program, events, now, sessionGapMs) match {
+        case Some(df) => return df
+        case None => ()
+      }
+    }
     val selects =
       (if (program.select.nonEmpty) program.select
        else Seq(SelectCol("count", "id", "id", None, all = false))).toVector

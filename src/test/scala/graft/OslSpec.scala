@@ -190,6 +190,42 @@ class OslSpec extends SparkSpec {
     assert(m == Set(("recent_buyer", "u1"))) // u2's purchase is 9h before last_stamp
   }
 
+  test("Tier A compiles the declarative shape and matches Tier B exactly") {
+    val script =
+      """select
+        |  count id as customers
+        |  count product_name as purchased
+        |  sum product_price as total_spent
+        |  min product_price as cheapest
+        |  avg product_price as avg_price
+        |end
+        |each_row where product_group.is(contains 'outdoor') && product_price.is(> 20)
+        |  << get_day_of_week(stamp), product_name
+        |end
+        |""".stripMargin
+    // Tier A must actually engage (no flatMapGroups in the plan)
+    val a = OslEngine.query(highstreet, script, now = Tue)
+    assert(!a.queryExecution.executedPlan.toString.contains("MapGroups"))
+    val b = OslEngine.query(highstreet, script, now = Tue, forceTierB = true)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("depth", "g1", "g2", "customers", "purchased", "total_spent", "cheapest", "avg_price")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), Option(r.getString(2)),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+      .toSet
+    assert(canon(a) == canon(b))
+    assert(canon(a).nonEmpty)
+  }
+
+  test("Tier A declines non-declarative scripts (nesting, frames, limit)") {
+    val p1 = Parser.program(
+      "each_row.limit(1) where event.is(== 'x')\n  << event\nend\n")
+    assert(TierA.compile(p1, highstreet, Tue, 1800000L).isEmpty)
+    val p2 = Parser.program(
+      "each_row where event.ever(== 'x')\n  << event\nend\n")
+    assert(TierA.compile(p2, highstreet, Tue, 1800000L).isEmpty)
+  }
+
   test("time literals expand at lex time") {
     val toks = Lexer.lex("x = 3_months + 2_weeks")
     val ints = toks.collect { case Lexer.TInt(v) => v }
