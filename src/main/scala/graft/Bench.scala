@@ -11,8 +11,14 @@ object Bench {
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warm the JVM/codegen once so measured numbers reflect steady state.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // Warm the JVM/codegen with a full pass at the smallest SF: generated
+    // classes are cached by source, so each measured query then runs
+    // steady-state instead of paying first-compile + JIT (measured swings of
+    // 1s ↔ 27s on identical plans otherwise).
+    Queries.benchNames.foreach { name =>
+      try Queries.queries(name)(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+    }
 
     val results = Queries.benchNames.map { name =>
       val fn = Queries.queries(name)

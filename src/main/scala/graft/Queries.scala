@@ -766,7 +766,24 @@ object Queries {
       },
       Some(s"""$E SELECT c_mktsegment, COUNT(DISTINCT e.id) AS customers, COUNT(*) AS n_rows
         FROM e LEFT JOIN customer ON e.id = c_custkey
-        GROUP BY c_mktsegment"""))
+        GROUP BY c_mktsegment""")),
+
+    // Embedding-cosine near-duplicate detection (dedup family; bounded
+    // subset for the O(n²) tier — LSH buckets are the scale path).
+    Q("q_embedding_neardup",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).where(col("vec_id") < 500)
+        graft.operators.Similarity.cosineNearDupPairs(emb, 0.9)
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("id_a")).as("n_left"))
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 500),
+        p AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cos
+          FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        SELECT COUNT(*) AS n_pairs, COUNT(DISTINCT id_a) AS n_left
+        FROM p WHERE cos >= 0.9"""))
   )
 
   def allRegistry: Seq[Q] = registry ++ extraRegistry

@@ -39,32 +39,59 @@ object Similarity {
     * vectors (excluding itself). Queries are broadcast — the corpus scan
     * never shuffles its vectors. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    // norms are per-VECTOR columns computed before the join — same IEEE
+    // expression as dot/(|a||b|) per pair, but evaluated n times, not n²
     val c = corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("ce"))
+      .withColumn("cn", norm(col("ce")))
     val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
+      .withColumn("qn", norm(col("qe")))
     val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        (dot(col("qe"), col("ce")) / (norm(col("qe")) * norm(col("ce")))).as("cos"))
+        (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Deterministic pseudo-random plane component for (plane p, dim j):
+    * md5("p:j") first 8 hex chars as a fraction of 2^32, centered on 0.
+    * Computed in Scala at plan-build time — as Catalyst expressions these
+    * were dim×planes md5 calls constant-folded on EVERY analysis. */
+  def planeComponent(p: Int, j: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val dig = md.digest(s"$p:$j".getBytes("UTF-8"))
+    var h = 0L
+    var i = 0
+    while (i < 4) { h = (h << 8) | (dig(i) & 0xFFL); i += 1 }
+    h.toDouble / 4294967296.0 - 0.5
+  }
+
   /** Random-hyperplane LSH signature: `planes` pseudo-random unit directions
-    * derived deterministically from (seed, dimension index) via a hash-based
-    * value in [-0.5, 0.5); signature bit p = sign of dot(v, plane_p).
-    * Deterministic across engines and runs. */
+    * derived deterministically from (plane, dimension); signature bit p =
+    * sign of dot(v, plane_p). Deterministic across engines and runs. */
   def lshSignature(v: Column, dim: Int, planes: Int = 8): Column = {
     val dv = asDouble(v)
     val bitCols = (0 until planes).map { p =>
-      // plane component j: fractional hash of (p, j), centered on 0
       val proj = (0 until dim).map { j =>
-        val h = (conv(substring(md5(lit(s"$p:$j")), 1, 8), 16, 10).cast("double") /
-          lit(4294967296.0)) - 0.5
-        element_at(dv, j + 1) * h
+        element_at(dv, j + 1) * lit(planeComponent(p, j))
       }.reduce(_ + _)
       when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bitCols.reduce(_ + _)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all (a < b) pairs with cosine ≥
+    * `threshold`. Brute-force tier — run on an LSH bucket or bounded subset;
+    * at corpus scale feed it [[lshTopK]]'s buckets instead. */
+  def cosineNearDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
+    val v = vectors.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("n", norm(col("e"))) // per-vector, not per-pair
+    val a = v.select(col("vec_id").as("id_a"), col("e").as("ea"), col("n").as("na"))
+    val b = v.select(col("vec_id").as("id_b"), col("e").as("eb"), col("n").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+      .where(col("cos") >= threshold)
   }
 
   /** Bucketed ANN: join corpus and queries on LSH signature, then exact
@@ -73,12 +100,14 @@ object Similarity {
               planes: Int = 8): DataFrame = {
     val c = corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("ce"))
       .withColumn("sig", lshSignature(col("ce"), dim, planes))
+      .withColumn("cn", norm(col("ce")))
     val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
       .withColumn("sig", lshSignature(col("qe"), dim, planes))
+      .withColumn("qn", norm(col("qe")))
     val scored = c.join(broadcast(q), Seq("sig"))
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        (dot(col("qe"), col("ce")) / (norm(col("qe")) * norm(col("ce")))).as("cos"))
+        (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)

@@ -138,6 +138,18 @@ class IngestStreamSpec extends SparkSpec {
     assert(rows == Seq((1L, 2L), (1L, 1L))) // two sessions: {a,b}, {c}
   }
 
+  test("bucketed layout removes the person-key shuffle") {
+    val e = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 30L, "a"))
+      .toDF("id", "stamp", "event")
+    assert(Layout.personAggShuffles(e)) // plain DF shuffles on id
+    spark.sql("DROP TABLE IF EXISTS graft_bucketed_test")
+    Layout.writeBucketedEvents(e, "graft_bucketed_test", buckets = 4)
+    val bucketed = Layout.readTable(spark, "graft_bucketed_test")
+    assert(!Layout.personAggShuffles(bucketed)) // bucketed does not
+    assert(bucketed.count() == 3)
+    spark.sql("DROP TABLE IF EXISTS graft_bucketed_test")
+  }
+
   test("result tree: g/c/_ nesting with sort and trim") {
     val df = Seq(
       (1, "2", null, 2L), (2, "2", "fly rod", 2L), (2, "2", "spoon", 1L),
