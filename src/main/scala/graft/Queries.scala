@@ -783,7 +783,23 @@ object Queries {
             list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cos
           FROM v a JOIN v b ON a.vec_id < b.vec_id)
         SELECT COUNT(*) AS n_pairs, COUNT(DISTINCT id_a) AS n_left
-        FROM p WHERE cos >= 0.9"""))
+        FROM p WHERE cos >= 0.9""")),
+
+    // Token counting: whitespace vs BPE-ish regex sub-word tokens per source.
+    Q("q_token_counts",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        d.groupBy(col("source"))
+          .agg(
+            sum(TextOps.tokenCount(col("text")).cast("long")).as("ws_tokens"),
+            sum(TextOps.bpeishTokenCount(col("text")).cast("long")).as("bpe_tokens"),
+            count(lit(1)).as("n_docs"))
+      },
+      Some(s"""SELECT source,
+        SUM(len(list_filter(string_split(text, ' '), x -> len(x) > 0))) AS ws_tokens,
+        SUM(len(regexp_extract_all(text, '${TextOps.BpeishPattern}'))) AS bpe_tokens,
+        COUNT(*) AS n_docs
+        FROM documents GROUP BY source"""))
   )
 
   def allRegistry: Seq[Q] = registry ++ extraRegistry

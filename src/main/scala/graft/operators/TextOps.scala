@@ -19,6 +19,15 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-ish sub-word tokenization: letter runs, digit runs, and individual
+    * punctuation marks each count as a token (the pre-tokenization split
+    * most BPE vocabularies apply before merges). */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def bpeishTokens(text: Column): Column = regexp_extract_all(text, lit(BpeishPattern), lit(0))
+
+  def bpeishTokenCount(text: Column): Column = size(bpeishTokens(text))
+
   /** Small english-ish stopword list used by quality scoring. */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to", "is")
 

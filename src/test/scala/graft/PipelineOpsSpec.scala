@@ -90,6 +90,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(q.getDouble(3) - 1.0 / 3) < 1e-9)
   }
 
+  test("DotProduct codegen expression == lambda fold, bit-exact") {
+    val v = Seq(
+      (0L, Array(0.1f, -2.5f, 3.75f, 0.33f)),
+      (1L, Array(1.5f, 0.25f, -0.125f, 9.9f))
+    ).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val a = v.select(col("e").as("ea")).crossJoin(v.select(col("e").as("eb")))
+    val rows = a.select(
+      Similarity.dot(col("ea"), col("eb")).as("native"),
+      Similarity.dotFold(col("ea"), col("eb")).as("fold"))
+      .as[(Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, f) => assert(n == f) } // exact, not approx
+  }
+
   test("cosine similarity basics") {
     val v = Seq(
       (0L, Array(1f, 0f, 0f)), (1L, Array(1f, 0f, 0f)),
