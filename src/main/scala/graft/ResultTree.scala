@@ -44,12 +44,28 @@ object ResultTree {
     case other => other.toString
   }
 
+  /** Build the tree honoring an OSL `sort` section: `group` sorts by group
+    * label, anything else by the named aggregate column
+    * (src/rpc_query.cpp:330-341, src/result.cpp:944-1036). */
+  def fromProgramSort(df: DataFrame, aggCols: Seq[String],
+                      sort: Seq[graft.osl.Ast.SortSpec],
+                      trim: Int = 0): Seq[Node] =
+    sort.headOption match {
+      case Some(s) if s.column == "group" =>
+        fromNodeRows(df, aggCols, ascending = s.ascending, trim = trim, byGroup = true)
+      case Some(s) =>
+        val idx = math.max(0, aggCols.indexOf(s.column))
+        fromNodeRows(df, aggCols, sortCol = idx, ascending = s.ascending, trim = trim)
+      case None => fromNodeRows(df, aggCols, trim = trim)
+    }
+
   /** Build the tree from node rows. `aggCols` names the aggregate columns in
     * `c`-array order; `sortBy` is an index into aggCols (None = first),
-    * descending by default; `trim` keeps top-k children per node (0 = all). */
+    * descending by default; `trim` keeps top-k children per node (0 = all);
+    * `byGroup` sorts by group label instead of an aggregate. */
   def fromNodeRows(df: DataFrame, aggCols: Seq[String],
                    sortCol: Int = 0, ascending: Boolean = false,
-                   trim: Int = 0): Seq[Node] = {
+                   trim: Int = 0, byGroup: Boolean = false): Seq[Node] = {
     val maxDepth = graft.osl.OslEngine.MaxDepth
     val rows = df.collect()
     val byPath: Map[Vector[String], Row] = rows.map { r =>
@@ -76,8 +92,13 @@ object ResultTree {
       var nodes = childRows.map { case (p, r) =>
         Node(p.last, aggs(r), build(p))
       }.toSeq
-      nodes = nodes.sortBy(sortKey)(if (ascending) Ordering.Double.TotalOrdering
-        else Ordering.Double.TotalOrdering.reverse)
+      nodes =
+        if (byGroup) {
+          val sorted = nodes.sortBy(_.g.toString)
+          if (ascending) sorted else sorted.reverse
+        } else nodes.sortBy(sortKey)(
+          if (ascending) Ordering.Double.TotalOrdering
+          else Ordering.Double.TotalOrdering.reverse)
       if (trim > 0) nodes.take(trim) else nodes
     }
 

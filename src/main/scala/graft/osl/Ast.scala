@@ -73,7 +73,12 @@ object Ast {
   final case class SelectCol(agg: String, prop: String, alias: String,
                              withKey: Option[String], all: Boolean) extends Serializable
 
-  final case class Program(select: Seq[SelectCol], code: Seq[Stmt]) extends Serializable
+  /** `sort` section entry: column (select alias or `group`) + ascending flag
+    * (`src/rpc_query.cpp:330-341`: sort=column|group, order=asc|desc). */
+  final case class SortSpec(column: String, ascending: Boolean) extends Serializable
+
+  final case class Program(select: Seq[SelectCol], code: Seq[Stmt],
+                           sort: Seq[SortSpec] = Nil) extends Serializable
 
   final case class SegmentDef(name: String, flags: Map[String, String],
                               code: Seq[Stmt]) extends Serializable

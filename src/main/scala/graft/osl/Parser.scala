@@ -53,13 +53,27 @@ final class Parser(toks: Vector[Tok]) {
       select = parseSelectBody()
     }
     skipNewlines()
-    if (peekIdent.contains("sort")) { // accepted and ignored (driver sorts)
+    var sort: Seq[SortSpec] = Nil
+    if (peekIdent.contains("sort")) {
       next(); endOfStmt()
-      while (!peekIdent.contains("end")) { next() }
+      val specs = Seq.newBuilder[SortSpec]
+      skipNewlines()
+      while (!peekIdent.contains("end")) {
+        val colName = expectIdent()
+        val asc = peekIdent match {
+          case Some("asc")  => next(); true
+          case Some("desc") => next(); false
+          case _            => false // reference default: descending
+        }
+        endOfStmt()
+        specs += SortSpec(colName, asc)
+        skipNewlines()
+      }
       next(); endOfStmt()
+      sort = specs.result()
     }
     val code = parseBlock(topLevel = true)
-    Program(select, code)
+    Program(select, code, sort)
   }
 
   def parseSegments(): Seq[SegmentDef] = {

@@ -226,6 +226,38 @@ class OslSpec extends SparkSpec {
     assert(TierA.compile(p2, highstreet, Tue, 1800000L).isEmpty)
   }
 
+  test("sort section parses into SortSpec (default desc)") {
+    val p = Parser.program(
+      """select
+        |  count id as customers
+        |end
+        |sort
+        |  customers
+        |  group asc
+        |end
+        |each_row where event.is(== 'x')
+        |  << event
+        |end
+        |""".stripMargin)
+    assert(p.sort == Seq(Ast.SortSpec("customers", false), Ast.SortSpec("group", true)))
+  }
+
+  test("customer history JSON: ordered events, nulls omitted, sets expanded") {
+    val e = Seq(
+      ("u1", 20L, "b", Some(2.0), Seq("t1", "t2")),
+      ("u1", 10L, "a", None, Seq[String]()),
+      ("u2", 5L, "z", Some(1.0), Seq[String]())
+    ).toDF("id", "stamp", "event", "value", "tags")
+    val json = Customers.historyJson(e, "u1")
+    assert(json.startsWith("{\"id\":\"u1\",\"events\":["))
+    val firstEvent = json.split("\\[", 2)(1)
+    assert(firstEvent.indexOf("\"event\":\"a\"") < firstEvent.indexOf("\"event\":\"b\""))
+    assert(!json.contains("u2"))
+    assert(json.contains("\"tags\":[\"t1\",\"t2\"]"))
+    // row 'a' has null value -> omitted
+    assert(!json.split("\\},\\{")(0).contains("\"value\""))
+  }
+
   test("time literals expand at lex time") {
     val toks = Lexer.lex("x = 3_months + 2_weeks")
     val ints = toks.collect { case Lexer.TInt(v) => v }
