@@ -595,6 +595,18 @@ object Queries {
       },
       None),
 
+    // IVF-flat ANN (scale path #2): deterministic coarse cells, probe
+    // nearest nprobe cells per query; rows-only oracle (centroid seeding is
+    // engine-side).
+    Q("q_ann_ivf_topk",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        graft.operators.Similarity.ivfTopK(
+          emb, emb.where(col("vec_id") < 10), k = 5)
+          .select(col("qid"), col("rank"), col("nid"))
+      },
+      None),
+
     // SimHash signatures (near-dup fingerprint; rows-only oracle).
     Q("q_simhash",
       (s, dir) => {

@@ -100,6 +100,61 @@ object Similarity {
       .where(col("cos") >= threshold)
   }
 
+  /** IVF (inverted-file) ANN index: partition the corpus into `nlist`
+    * coarse cells (nearest of `nlist` deterministic centroid vectors taken
+    * from the corpus itself — ids sorted, evenly strided, a k-means-free
+    * seeding that is reproducible across engines and runs), then answer
+    * queries by probing the `nprobe` nearest cells only.
+    *
+    * Scale shape: centroids are tiny and broadcast; corpus assignment is a
+    * scan (argmin over nlist dot products, codegen'd); the query join is an
+    * equi-join on cell id touching nprobe/nlist of the corpus. This is the
+    * standard IVF-flat recall/cost trade.
+    */
+  def ivfAssign(corpus: DataFrame, nlist: Int): (DataFrame, Array[(Long, Array[Double])]) = {
+    val v = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val ids = v.select("vec_id").orderBy("vec_id")
+      .collect().map(_.getLong(0))
+    val stride = math.max(1, ids.length / nlist)
+    val centroidIds = (0 until nlist).map(i => ids(math.min(i * stride, ids.length - 1)))
+    val centroids = v.where(col("vec_id").isin(centroidIds: _*))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val assigned = v.withColumn("cell", nearestCentroid(col("e"), centroids, 1)(0))
+    (assigned, centroids)
+  }
+
+  /** Column: the `take` nearest centroid ids (by cosine) as an array. */
+  private def nearestCentroid(e: Column, centroids: Array[(Long, Array[Double])],
+                              take: Int): Column = {
+    val scored = centroids.map { case (cid, vec) =>
+      val cvec = array(vec.map(lit): _*)
+      val cn = math.sqrt(vec.map(x => x * x).sum)
+      struct((dot(e, cvec) / (norm(e) * lit(cn))).as("cos"), lit(cid).as("cid"))
+    }
+    slice(transform(reverse(array_sort(array(scored: _*))), s => s.getField("cid")), 1, take)
+  }
+
+  /** IVF-flat top-k: probe the `nprobe` nearest cells per query, exact
+    * cosine within them. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val (assigned, centroids) = ivfAssign(corpus, nlist)
+    val c = assigned.select(col("vec_id").as("nid"), col("e").as("ce"), col("cell"))
+      .withColumn("cn", norm(col("ce")))
+    val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
+      .withColumn("cell", explode(nearestCentroid(col("qe"), centroids, nprobe)))
+      .withColumn("qn", norm(col("qe")))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cos"))
+      .distinct() // a neighbor may appear via several probed cells
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Bucketed ANN: join corpus and queries on LSH signature, then exact
     * cosine within buckets. Trades recall for a scan→equi-join reduction. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,

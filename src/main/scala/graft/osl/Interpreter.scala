@@ -146,7 +146,9 @@ final class Interpreter(
           execBlock(body, st) match {
             case SNormal | SContinue => ()
             case SBreak(1, false, false) => return SNormal
-            case SBreak(d, all, top) => return SBreak(d - 1, all, top)
+            case SBreak(d, all, top) =>
+              if (all && st.loopDepth == 1) return SNormal
+              else return SBreak(if (all) d else d - 1, all, top)
             case s => return s
           }
           i += 1
@@ -205,7 +207,13 @@ final class Interpreter(
               case SBreak(1, false, false) => return SNormal
               case SBreak(_, false, top) if top => return SNormal
               case SBreak(d, all, top) =>
-                if (all) return SBreak(Int.MaxValue, all = true, top = false)
+                // break('all') exits every loop frame but the SCRIPT
+                // continues after the outermost loop
+                // (src/queryinterpreter.cpp:415-463)
+                if (all) {
+                  if (st.loopDepth == 1) return SNormal
+                  else return SBreak(Int.MaxValue, all = true, top = false)
+                }
                 else return SBreak(d - 1, all = false, top = top)
               case s => return s
             }
@@ -522,6 +530,11 @@ final class Interpreter(
       case "to_weeks" => VInt(args(0).asLong / 604800000L)
       case "iso8601_to_stamp" =>
         VInt(java.time.Instant.parse(args(0).asStr).toEpochMilli)
+      case "get_row" =>
+        val i = args(0).asLong.toInt
+        if (i >= 0 && i < st.rows.length)
+          VDict(columns.map { case (n2, ci) => n2 -> st.rows(i)(ci) })
+        else VNone
       case n if n.startsWith("get_") || n.startsWith("start_of_") =>
         dateMarshal(n, args(0).asLong)
       case "set" => VSet(args.toSet)
@@ -544,11 +557,6 @@ final class Interpreter(
       case "int" => VInt(args(0).asLong)
       case "float" => VDbl(args(0).asDouble)
       case "str" => VStr(args(0).asStr)
-      case "get_row" =>
-        val i = args(0).asLong.toInt
-        if (i >= 0 && i < st.rows.length)
-          VDict(columns.map { case (n2, ci) => n2 -> st.rows(i)(ci) })
-        else VNone
       case "url_decode" => urlDecode(args(0).asStr)
       case "log" | "debug" =>
         st.vars("__debug_log") = Value.plus(

@@ -258,6 +258,88 @@ class OslSpec extends SparkSpec {
     assert(!json.split("\\},\\{")(0).contains("\"value\""))
   }
 
+  test("language: dict/list mutation, subscripts, methods, len/keys") {
+    // mirrors test_osl_language.h container cases via per-person script
+    val script =
+      """d = {'cheeses': {'orange': 'chedder', 'hard': 'parmesan'}}
+        |d['cheeses'] = d['cheeses'] - ['orange']
+        |l = [1, 2, 3]
+        |l = l + [4]
+        |l = l - [2]
+        |s = 'a,b,c'
+        |parts = s.split(',')
+        |total = len(keys(d['cheeses'])) + len(l) + len(parts)
+        |return(total)
+        |""".stripMargin
+    val data = Seq(("u1", 1L, "e")).toDF("id", "stamp", "event")
+    val out = OslEngine.histogram(data, script, now = Tue).as[(String, Double)].head()
+    assert(out == (("u1", 7.0))) // 1 key + 3 list + 3 parts
+  }
+
+  test("language: url_decode parts and params") {
+    val script =
+      """parts = url_decode('http://somehost.com/this/is/the/path?param1=one&param3')
+        |ok = 0
+        |if parts['host'] == 'somehost.com'
+        |  ok = ok + 1
+        |end
+        |if parts['path'] == '/this/is/the/path'
+        |  ok = ok + 1
+        |end
+        |if parts['params']['param1'] == 'one'
+        |  ok = ok + 1
+        |end
+        |if parts['params']['param3'] == true
+        |  ok = ok + 1
+        |end
+        |return(ok)
+        |""".stripMargin
+    val data = Seq(("u1", 1L, "e")).toDF("id", "stamp", "event")
+    val out = OslEngine.histogram(data, script, now = Tue).as[(String, Double)].head()
+    assert(out == (("u1", 4.0)))
+  }
+
+  test("language: bucket/round/fix/trunc math marshals") {
+    val script =
+      """a = bucket(537, 100)
+        |b = round(2.5)
+        |c = int(fix(37.05782, 2) == '37.06')
+        |d = trunc(9.99)
+        |return(a + b + c + d)
+        |""".stripMargin
+    val data = Seq(("u1", 1L, "e")).toDF("id", "stamp", "event")
+    val out = OslEngine.histogram(data, script, now = Tue).as[(String, Double)].head()
+    // 500 + 2 (banker's: 2.5 -> 2) + 1 + 9
+    assert(out == (("u1", 512.0)))
+  }
+
+  test("language: break('all') unwinds nested each_row") {
+    val script =
+      """n = 0
+        |each_row where event.is(!= '__none__')
+        |  each_row where event.is(!= '__none__')
+        |    n = n + 1
+        |    break('all')
+        |  end
+        |  n = n + 100
+        |end
+        |return(n)
+        |""".stripMargin
+    val data = Seq(("u1", 1L, "a"), ("u1", 2L, "b")).toDF("id", "stamp", "event")
+    val out = OslEngine.histogram(data, script, now = Tue).as[(String, Double)].head()
+    assert(out == (("u1", 1.0))) // inner body once, outer continuation skipped
+  }
+
+  test("language: get_row returns the row as a dict") {
+    val script =
+      """r = get_row(cursor + 1)
+        |return(int(r['event'] == 'b'))
+        |""".stripMargin
+    val data = Seq(("u1", 1L, "a"), ("u1", 2L, "b")).toDF("id", "stamp", "event")
+    val out = OslEngine.histogram(data, script, now = Tue).as[(String, Double)].head()
+    assert(out == (("u1", 1.0)))
+  }
+
   test("time literals expand at lex time") {
     val toks = Lexer.lex("x = 3_months + 2_weeks")
     val ints = toks.collect { case Lexer.TInt(v) => v }

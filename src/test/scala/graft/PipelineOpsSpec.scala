@@ -116,6 +116,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(top(2) == 3L) // then the nearly-parallel one
   }
 
+  test("IVF: probes the right cell, finds in-cluster neighbors") {
+    // two well-separated clusters; ids 0-3 cluster X, ids 4-7 cluster Y
+    val v = (0L to 3L).map(i => (i, Array(1f, 0.01f * i, 0f))) ++
+      (4L to 7L).map(i => (i, Array(0f, 0.01f * i, 1f)))
+    val df = v.toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(df, df.where(col("vec_id") === 0), k = 3,
+      nlist = 2, nprobe = 1)
+      .select("nid").as[Long].collect().toSet
+    assert(out.nonEmpty)
+    assert(out.subsetOf(Set(1L, 2L, 3L))) // only cluster-X neighbors
+  }
+
   test("LSH signature buckets identical vectors together") {
     val v = Seq(
       (0L, Array.fill(8)(1f)), (1L, Array.fill(8)(1f)),
