@@ -15,15 +15,19 @@ object Bench {
     // classes are cached by source, so each measured query then runs
     // steady-state instead of paying first-compile + JIT (measured swings of
     // 1s ↔ 27s on identical plans otherwise).
-    Queries.benchNames.foreach { name =>
-      try Queries.queries(name)(spark, "/root/testdata/sf0.001").count()
+    // Force FULL materialization: count() lets Catalyst prune computed
+    // columns (a projection-heavy query would measure as a metadata count);
+    // the noop sink evaluates every output column without writing.
+    def run(name: String, dir: String): Unit =
+      try Queries.queries(name)(spark, dir)
+        .write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
-    }
+
+    Queries.benchNames.foreach(run(_, "/root/testdata/sf0.001"))
 
     val results = Queries.benchNames.map { name =>
-      val fn = Queries.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      run(name, sfDir)
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -502,7 +502,9 @@ object Queries {
     // Document fingerprinting (k smallest shingle hashes).
     Q("q_doc_fingerprints",
       (s, dir) => {
+        // single-file local input = one partition; spread the kernel
         val d = Tables.documents(s, dir)
+          .repartition(s.sparkContext.defaultParallelism)
         d.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint"))
       },
       Some("""WITH t AS (

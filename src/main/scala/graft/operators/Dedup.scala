@@ -180,11 +180,39 @@ object Dedup {
 
   /** SimHash: 32-bit signature from per-token md5s — bit k of the signature
     * is 1 when the sum over tokens of (bit k set ? +1 : -1) is positive.
-    * In-row, codegen-friendly; pairs within small Hamming distance are
-    * near-dups. Returns signature as Long (0..2^32). */
+    * Pairs within small Hamming distance are near-dups. Returns the
+    * signature as Long (0..2^32).
+    *
+    * Compiled kernel; [[simhashExpr]] is the pure-Column equivalent kept for
+    * parity tests (bits × tokens interpreted lambda evals otherwise). */
   def simhash(text: Column, bits: Int = 32): Column = {
+    val kernel = udf { (t: String) =>
+      if (t == null) 0L
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val votes = new Array[Long](bits)
+        t.split(" ").filter(_.nonEmpty).foreach { tok =>
+          val dig = md.digest(tok.getBytes("UTF-8"))
+          md.reset()
+          // first 8 hex chars = first 4 bytes as an unsigned 32-bit value
+          var h = 0L
+          var i = 0
+          while (i < 4) { h = (h << 8) | (dig(i) & 0xFFL); i += 1 }
+          var k = 0
+          while (k < bits) {
+            votes(k) += (if (((h >> k) & 1L) == 1L) 1L else -1L)
+            k += 1
+          }
+        }
+        (0 until bits).map(k => if (votes(k) > 0) 1L << k else 0L).sum
+      }
+    }
+    kernel(text)
+  }
+
+  /** Pure-Column simhash (parity reference for [[simhash]]). */
+  def simhashExpr(text: Column, bits: Int = 32): Column = {
     val toks = TextOps.tokens(text)
-    // per-token 32-bit value from the first 8 hex chars of md5
     val hashes = transform(toks, t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
     val bitCols = (0 until bits).map { k =>
       val votes = aggregate(hashes, lit(0L),

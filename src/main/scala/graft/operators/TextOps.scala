@@ -77,7 +77,32 @@ object TextOps {
 
   /** Document fingerprint (winnowing-style): the k lexicographically
     * smallest md5 hashes of the doc's 3-word shingles, joined. Two docs
-    * sharing most content share most of the fingerprint. */
-  def fingerprint(text: Column, k: Int = 4): Column =
+    * sharing most content share most of the fingerprint.
+    *
+    * Compiled kernel (one JVM call per row); [[fingerprintExpr]] is the
+    * equivalent pure-Column form, kept spec-asserted identical — interpreted
+    * per-element lambda costs made it 60× slower at sf0.1. */
+  def fingerprint(text: Column, k: Int = 4): Column = {
+    val kernel = udf { (t: String) =>
+      if (t == null) ""
+      else {
+        val toks = t.split(" ").filter(_.nonEmpty)
+        if (toks.length < 3) ""
+        else {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val hashes = (0 to toks.length - 3).map { i =>
+            val dig = md.digest((toks(i) + " " + toks(i + 1) + " " + toks(i + 2)).getBytes("UTF-8"))
+            md.reset()
+            dig.map(b => f"$b%02x").mkString
+          }
+          hashes.sorted.take(k).mkString("|")
+        }
+      }
+    }
+    kernel(text)
+  }
+
+  /** Pure-Column fingerprint (parity reference for [[fingerprint]]). */
+  def fingerprintExpr(text: Column, k: Int = 4): Column =
     concat_ws("|", slice(array_sort(transform(shingles(text), s => md5(s))), 1, k))
 }

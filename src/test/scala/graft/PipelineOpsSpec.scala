@@ -72,6 +72,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ham(sh(0L), sh(2L)) < ham(sh(0L), sh(3L)))
   }
 
+  test("fingerprint & simhash kernels == expression forms") {
+    val mixed = docs.union(Seq((4L, "ab"), (5L, "")).toDF("doc_id", "text"))
+    val fp = mixed.select(
+      TextOps.fingerprint(col("text")).as("k"),
+      TextOps.fingerprintExpr(col("text")).as("e"))
+      .as[(String, String)].collect()
+    fp.foreach { case (k, e) => assert(k == e) }
+    val sh = mixed.select(
+      Dedup.simhash(col("text")).as("k"),
+      Dedup.simhashExpr(col("text")).as("e"))
+      .as[(Long, Long)].collect()
+    sh.foreach { case (k, e) => assert(k == e) }
+  }
+
   test("fingerprint stable and discriminating") {
     val fp = docs.select(col("doc_id"), TextOps.fingerprint(col("text")).as("f"))
       .as[(Long, String)].collect().toMap
