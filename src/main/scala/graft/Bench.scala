@@ -3,7 +3,7 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every registry query against SPARK_GRAFT_SF_DIR and
   * prints one JSON line with per-query wall seconds. Each query is forced
-  * with a count() (full materialization, no collect-to-driver). */
+  * with a noop sink (full materialization, no collect-to-driver). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -11,29 +11,48 @@ object Bench {
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warm the JVM/codegen with a full pass at the smallest SF: generated
-    // classes are cached by source, so each measured query then runs
-    // steady-state instead of paying first-compile + JIT (measured swings of
-    // 1s ↔ 27s on identical plans otherwise).
     // Force FULL materialization: count() lets Catalyst prune computed
     // columns (a projection-heavy query would measure as a metadata count);
     // the noop sink evaluates every output column without writing.
-    def run(name: String, dir: String): Unit =
-      try Queries.queries(name)(spark, dir)
-        .write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => () }
+    def run(name: String, dir: String): Option[String] =
+      try {
+        Queries.queries(name)(spark, dir)
+          .write.mode("overwrite").format("noop").save()
+        None
+      } catch {
+        case t: Throwable =>
+          Some(Option(t.getMessage).getOrElse(t.getClass.getName).take(200))
+      }
 
+    // Warm the JVM/codegen with a full pass at the smallest SF: generated
+    // classes are cached by source, so each measured query then runs
+    // steady-state instead of paying first-compile + JIT (measured swings of
+    // 1s vs 27s on identical plans otherwise). Warmup failures are ignored;
+    // the measured pass reports them.
     Queries.benchNames.foreach(run(_, "/root/testdata/sf0.001"))
 
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = Queries.benchNames.map { name =>
       val t0 = System.nanoTime()
-      run(name, sfDir)
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = run(name, sfDir)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // A crashed query must not masquerade as a fast result: report -1.
+      err.foreach(errors(name) = _)
+      name -> (if (err.isDefined) -1.0 else dt)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -140,7 +140,7 @@ object Queries {
         se AS (
           SELECT id, SUM(isnew) OVER (PARTITION BY id ORDER BY stamp ROWS UNBOUNDED PRECEDING) + 1 AS session
           FROM l)
-        SELECT id, MAX(session) AS n_sessions, COUNT(*) AS n_events FROM se GROUP BY id""")),
+        SELECT id, CAST(MAX(session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM se GROUP BY id""")),
 
     // Funnel: first signup -> first purchase within 7 days
     // (nested each_row.continue().next(), src/queryinterpreter.cpp:2430-2577).
@@ -631,7 +631,7 @@ object Queries {
             countDistinct(col("meta.content_hash")).as("n_distinct"))
       },
       Some("""SELECT source, COUNT(*) AS n_assets,
-        SUM(octet_length(encode(text))) AS total_bytes,
+        CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
         COUNT(DISTINCT md5(text)) AS n_distinct
         FROM documents GROUP BY source""")),
 
@@ -810,8 +810,8 @@ object Queries {
             count(lit(1)).as("n_docs"))
       },
       Some(s"""SELECT source,
-        SUM(len(list_filter(string_split(text, ' '), x -> len(x) > 0))) AS ws_tokens,
-        SUM(len(regexp_extract_all(text, '${TextOps.BpeishPattern}'))) AS bpe_tokens,
+        CAST(SUM(len(list_filter(string_split(text, ' '), x -> len(x) > 0))) AS BIGINT) AS ws_tokens,
+        CAST(SUM(len(regexp_extract_all(text, '${TextOps.BpeishPattern}'))) AS BIGINT) AS bpe_tokens,
         COUNT(*) AS n_docs
         FROM documents GROUP BY source"""))
   )

@@ -62,7 +62,7 @@ object Multimodal {
         val w = 1 + (math.abs(bytes.length) % 64)
         val h = 1 + (math.abs(if (bytes.isEmpty) 0 else bytes(0).toInt) % 64)
         val feats = Array.tabulate(8) { k =>
-          (bytes.drop(k).take(16).foldLeft(0)(_ + _.toInt & 0xFF) % 256).toFloat / 256f
+          (bytes.drop(k).take(16).foldLeft(0)((acc, b) => acc + (b & 0xFF)) % 256).toFloat / 256f
         }
         Row(id, w, h, feats.toSeq)
       }

@@ -84,6 +84,29 @@ final class Interpreter(
   private case object SReturn extends Signal
   private case object ExitException extends RuntimeException with scala.util.control.NoStackTrace
 
+  /** Shared loop-frame unwind, mirroring the reference's breakDepth machine
+    * (src/queryinterpreter.cpp:428-459, 2312-2327). Called by both ForIn and
+    * EachRow with the body's signal; returns None to keep iterating, or
+    * Some(sig) for the frame to return (SNormal = this frame exits cleanly).
+    * - break      -> exit this frame.
+    * - break N    -> unwind N frames.
+    * - break('all') -> unwind every frame; script continues after outermost.
+    * - break('top') -> unwind all but the outermost frame, which continues
+    *   iterating (breakDepth = nestDepth-1); at nest depth 1 it degenerates
+    *   to a plain break. */
+  private def handleLoopSignal(sig: Signal, st: State): Option[Signal] = sig match {
+    case SNormal | SContinue => None
+    case SBreak(_, _, true) =>
+      if (st.loopDepth <= 2) Some(SNormal)
+      else Some(SBreak(0, all = false, top = true))
+    case SBreak(_, true, _) =>
+      if (st.loopDepth == 1) Some(SNormal)
+      else Some(SBreak(0, all = true, top = false))
+    case SBreak(1, _, _) => Some(SNormal)
+    case SBreak(d, _, _) => Some(SBreak(d - 1, all = false, top = false))
+    case s => Some(s)
+  }
+
   private def execBlock(stmts: Seq[Stmt], st: State): Signal = {
     var i = 0
     while (i < stmts.length) {
@@ -143,14 +166,7 @@ final class Interpreter(
         var i = 0
         while (i < items.length) {
           st.vars(v) = items(i)
-          execBlock(body, st) match {
-            case SNormal | SContinue => ()
-            case SBreak(1, false, false) => return SNormal
-            case SBreak(d, all, top) =>
-              if (all && st.loopDepth == 1) return SNormal
-              else return SBreak(if (all) d else d - 1, all, top)
-            case s => return s
-          }
+          handleLoopSignal(execBlock(body, st), st).foreach(s => return s)
           i += 1
         }
         SNormal
@@ -202,21 +218,7 @@ final class Interpreter(
           st.cursorValid = true
           if (eval(er.where, st).truthy) {
             matches += 1
-            execBlock(er.body, st) match {
-              case SNormal | SContinue => ()
-              case SBreak(1, false, false) => return SNormal
-              case SBreak(_, false, top) if top => return SNormal
-              case SBreak(d, all, top) =>
-                // break('all') exits every loop frame but the SCRIPT
-                // continues after the outermost loop
-                // (src/queryinterpreter.cpp:415-463)
-                if (all) {
-                  if (st.loopDepth == 1) return SNormal
-                  else return SBreak(Int.MaxValue, all = true, top = false)
-                }
-                else return SBreak(d - 1, all = false, top = top)
-              case s => return s
-            }
+            handleLoopSignal(execBlock(er.body, st), st).foreach(s => return s)
           }
         }
         i += (if (reverse) -1 else 1)

@@ -45,7 +45,7 @@ object TierA {
           val filtered = base0.where(pred)
           val d = gCols.length
           val withG = gCols.zipWithIndex.foldLeft(filtered) { case (df, (g, i)) =>
-            df.withColumn(s"g${i + 1}", canonKey(g))
+            df.withColumn(s"g${i + 1}", canonKey(filtered, g))
           }
           val gNames = (1 to d).map(i => col(s"g$i"))
           val gid = grouping_id(gNames: _*)
@@ -76,13 +76,20 @@ object TierA {
     if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
 
   /** Canonical group-key string, matching Interpreter.canonKey: integral
-    * doubles render without a decimal point. */
-  private def canonKey(c: Column): Column = {
-    val asD = c.cast("string").try_cast("double") // ANSI-safe for text keys
-    when(c.isNull, lit(null).cast("string"))
-      .when(asD.isNotNull && asD === floor(asD) && abs(asD) < 1e15,
-        asD.cast("long").cast("string"))
-      .otherwise(c.cast("string"))
+    * doubles render without a decimal point. The rewrite applies only to
+    * NUMERIC-typed keys — Interpreter.canonKey rewrites VDbl only, so string
+    * keys ('007', ' 7', '1e3') must pass through verbatim in both tiers. */
+  private def canonKey(df: org.apache.spark.sql.DataFrame, c: Column): Column = {
+    val numeric = df.select(c).schema.head.dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    if (!numeric) c.cast("string")
+    else {
+      val asD = c.cast("double")
+      when(c.isNull, lit(null).cast("string"))
+        .when(asD === floor(asD) && abs(asD) < 1e15,
+          asD.cast("long").cast("string"))
+        .otherwise(c.cast("string"))
+    }
   }
 
   private def compileAgg(s: SelectCol): Option[(String, Column)] = s.agg match {

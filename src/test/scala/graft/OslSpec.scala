@@ -330,6 +330,53 @@ class OslSpec extends SparkSpec {
     assert(out == (("u1", 1.0))) // inner body once, outer continuation skipped
   }
 
+  test("language: break('top') in 3-deep nest unwinds to the outermost loop") {
+    // Reference (queryinterpreter.cpp:436-439): break('top') sets
+    // breakDepth = nestDepth-1 — BOTH inner loops exit, the outermost
+    // continues. Per outer iteration (2 rows): +1 at depth 3, skip the
+    // rest of depth 2 and depth 1 bodies' tails? No — only loops unwind;
+    // the outermost body continues AFTER its inner loop: +1 (inner) then
+    // +1000 (outer tail) per outer row.
+    val script =
+      """n = 0
+        |each_row where event.is(!= '__none__')
+        |  each_row where event.is(!= '__none__')
+        |    each_row where event.is(!= '__none__')
+        |      n = n + 1
+        |      break('top')
+        |      n = n + 10
+        |    end
+        |    n = n + 100
+        |  end
+        |  n = n + 1000
+        |end
+        |return(n)
+        |""".stripMargin
+    val data = Seq(("u1", 1L, "a"), ("u1", 2L, "b")).toDF("id", "stamp", "event")
+    val out = OslEngine.histogram(data, script, now = Tue).as[(String, Double)].head()
+    // per outer row: depth-3 body runs once (+1), depth-2 loop is unwound
+    // (no +100), outer tail runs (+1000) -> 2 * 1001
+    assert(out == (("u1", 2002.0)))
+  }
+
+  test("language: break('top') in for/in mixes with each_row") {
+    val script =
+      """n = 0
+        |for x in [1, 2]
+        |  for y in [1, 2, 3]
+        |    n = n + 1
+        |    break('top')
+        |  end
+        |  n = n + 10
+        |end
+        |return(n)
+        |""".stripMargin
+    val data = Seq(("u1", 1L, "a")).toDF("id", "stamp", "event")
+    val out = OslEngine.histogram(data, script, now = Tue).as[(String, Double)].head()
+    // inner for exits after first y; outer continues its tail: 2 * 11
+    assert(out == (("u1", 22.0)))
+  }
+
   test("language: get_row returns the row as a dict") {
     val script =
       """r = get_row(cursor + 1)

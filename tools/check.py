@@ -51,6 +51,14 @@ def main(out_dir: str, sf_dir: str) -> int:
             print(f"FAIL {name}: rows {len(g)} vs {len(x)}")
             n_fail += 1
             continue
+        dtype_mix = [c for c in g.columns
+                     if (pd.api.types.is_integer_dtype(g[c]) != pd.api.types.is_integer_dtype(x[c]))
+                     and (pd.api.types.is_numeric_dtype(g[c]) and pd.api.types.is_numeric_dtype(x[c]))]
+        if dtype_mix:
+            print(f"FAIL {name}: int/float dtype mismatch (driver hash would differ): "
+                  + ", ".join(f"{c} got={g[c].dtype} exp={x[c].dtype}" for c in dtype_mix))
+            n_fail += 1
+            continue
         try:
             pd.testing.assert_frame_equal(g, x, check_dtype=False, check_exact=True)
             print(f"PASS {name} ({len(g)} rows)")
