@@ -74,16 +74,34 @@ object Similarity {
 
   /** Random-hyperplane LSH signature: `planes` pseudo-random unit directions
     * derived deterministically from (plane, dimension); signature bit p =
-    * sign of dot(v, plane_p). Deterministic across engines and runs. */
+    * sign of dot(v, plane_p). Deterministic across engines and runs.
+    *
+    * Implemented as a compiled kernel UDF: the equivalent Catalyst tree is
+    * planes×dim element_at/multiply nodes (512 for 64-dim), which blows past
+    * codegen limits and falls back to interpreted eval — measured 136 s for
+    * 2 000 rows at sf0.1 vs sub-second for this one-pass primitive loop.
+    * Sum order (j ascending per plane) matches the old expression fold, so
+    * signatures are bit-identical. */
   def lshSignature(v: Column, dim: Int, planes: Int = 8): Column = {
-    val dv = asDouble(v)
-    val bitCols = (0 until planes).map { p =>
-      val proj = (0 until dim).map { j =>
-        element_at(dv, j + 1) * lit(planeComponent(p, j))
-      }.reduce(_ + _)
-      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    val mats = Array.tabulate(planes, dim)((p, j) => planeComponent(p, j))
+    val kernel = udf { (arr: Seq[Double]) =>
+      if (arr == null) null.asInstanceOf[java.lang.Long]
+      else {
+        var sig = 0L
+        var p = 0
+        while (p < planes) {
+          val plane = mats(p)
+          val n = math.min(dim, arr.length)
+          var proj = 0.0
+          var j = 0
+          while (j < n) { proj += arr(j) * plane(j); j += 1 }
+          if (proj > 0) sig |= (1L << p)
+          p += 1
+        }
+        java.lang.Long.valueOf(sig)
+      }
     }
-    bitCols.reduce(_ + _)
+    kernel(asDouble(v))
   }
 
   /** Embedding-cosine near-duplicate pairs: all (a < b) pairs with cosine ≥
