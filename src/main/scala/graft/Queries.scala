@@ -595,7 +595,28 @@ object Queries {
           emb, emb.where(col("vec_id") < 10), 64, 5)
           .select(col("qid"), col("rank"), col("nid"))
       },
-      None),
+      // Plane p component j = md5("p:j") first 8 hex chars as a centered
+      // fraction of 2^32 — reproduced verbatim; signature join + exact
+      // cosine rank inside buckets.
+      Some("""WITH planes AS (
+          SELECT p.p, list_transform(range(64),
+            j -> CAST(('0x'||substr(md5(p.p||':'||j),1,8)) AS BIGINT) / 4294967296.0 - 0.5) AS plane
+          FROM (SELECT unnest(range(8)) AS p) p),
+        v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        sig AS (
+          SELECT vec_id, CAST(SUM(CASE WHEN list_dot_product(e, plane) > 0
+                                      THEN 1::BIGINT << CAST(p AS INT) ELSE 0 END) AS BIGINT) AS sig
+          FROM v CROSS JOIN planes GROUP BY vec_id),
+        sv AS (SELECT s.vec_id, s.sig, v.e, sqrt(list_dot_product(v.e, v.e)) AS n
+               FROM sig s JOIN v USING (vec_id)),
+        scored AS (
+          SELECT q.vec_id AS qid, c.vec_id AS nid,
+                 list_dot_product(q.e, c.e) / (q.n * c.n) AS cos
+          FROM sv c JOIN sv q ON c.sig = q.sig AND q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        ranked AS (SELECT qid, nid,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+                   FROM scored)
+        SELECT qid, CAST(rank AS INT) AS rank, nid FROM ranked WHERE rank <= 5""")),
 
     // IVF-flat ANN (scale path #2): deterministic coarse cells, probe
     // nearest nprobe cells per query; rows-only oracle (centroid seeding is
@@ -607,7 +628,44 @@ object Queries {
           emb, emb.where(col("vec_id") < 10), k = 5)
           .select(col("qid"), col("rank"), col("nid"))
       },
-      None),
+      // Full IVF replica: strided centroid seeding, argmax-(cos,cid) cell
+      // assignment, nprobe=4 probing, rank by (cos desc, nid asc). DuckDB
+      // list_dot_product folds j-ascending like the DotProduct expression,
+      // so every double is IEEE-identical.
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        ids AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rn,
+                       COUNT(*) OVER () AS n FROM v),
+        cents AS (
+          SELECT DISTINCT i.vec_id AS cid, cv.e AS ce, sqrt(list_dot_product(cv.e, cv.e)) AS cn
+          FROM (SELECT unnest(range(16)) AS k) k
+          JOIN ids i ON i.rn = LEAST(k.k * GREATEST(1, i.n // 16), i.n - 1)
+          JOIN v cv ON cv.vec_id = i.vec_id),
+        assign AS (
+          SELECT vec_id, cid AS cell FROM (
+            SELECT a.vec_id, c.cid,
+              ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                ORDER BY list_dot_product(a.e, c.ce) / (sqrt(list_dot_product(a.e, a.e)) * c.cn) DESC,
+                         c.cid DESC) AS r
+            FROM v a CROSS JOIN cents c) WHERE r = 1),
+        corpus AS (
+          SELECT a.vec_id AS nid, v.e AS ce, sqrt(list_dot_product(v.e, v.e)) AS cn2, a.cell
+          FROM assign a JOIN v USING (vec_id)),
+        probes AS (
+          SELECT vec_id AS qid, cid AS cell FROM (
+            SELECT q.vec_id, c.cid,
+              ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                ORDER BY list_dot_product(q.e, c.ce) / (sqrt(list_dot_product(q.e, q.e)) * c.cn) DESC,
+                         c.cid DESC) AS r
+            FROM v q CROSS JOIN cents c WHERE q.vec_id < 10) WHERE r <= 4),
+        qv AS (SELECT vec_id AS qid, e AS qe, sqrt(list_dot_product(e, e)) AS qn FROM v WHERE vec_id < 10),
+        scored AS (
+          SELECT DISTINCT p.qid, c.nid,
+            list_dot_product(q.qe, c.ce) / (q.qn * c.cn2) AS cos
+          FROM probes p JOIN corpus c USING (cell) JOIN qv q ON q.qid = p.qid
+          WHERE p.qid <> c.nid),
+        ranked AS (SELECT qid, nid,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank FROM scored)
+        SELECT qid, CAST(rank AS INT) AS rank, nid FROM ranked WHERE rank <= 5""")),
 
     // SimHash signatures (near-dup fingerprint; rows-only oracle).
     Q("q_simhash",
@@ -615,7 +673,22 @@ object Queries {
         val d = Tables.documents(s, dir)
         d.select(col("doc_id"), graft.operators.Dedup.simhash(col("text")).as("simhash"))
       },
-      None),
+      // Per-token md5 bit votes, replicated in SQL; empty/tokenless docs
+      // keep signature 0 via the left join.
+      Some("""WITH t AS (
+          SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> len(x)>0)) AS tok
+          FROM documents),
+        h AS (
+          SELECT doc_id, CAST(('0x'||substr(md5(tok),1,8)) AS BIGINT) AS h FROM t),
+        v AS (
+          SELECT doc_id, k.k, SUM(CASE WHEN (h >> k.k) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+          FROM h CROSS JOIN (SELECT unnest(range(32)) AS k) k
+          GROUP BY doc_id, k.k),
+        s AS (
+          SELECT doc_id, CAST(SUM(CASE WHEN vote > 0 THEN 1::BIGINT << CAST(k AS INT) ELSE 0 END) AS BIGINT) AS simhash
+          FROM v GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+        FROM documents d LEFT JOIN s USING (doc_id)""")),
 
     // Multimodal: binary assets with typed metadata (text bytes stand in for
     // image/audio payloads; plumbing is the point).
@@ -645,7 +718,20 @@ object Queries {
           .groupBy(col("width"))
           .agg(count(lit(1)).as("n_assets"), max(col("height")).as("max_height"))
       },
-      None),
+      // The deterministic decode stand-in is SQL-expressible: width from
+      // byte length, height from the (signed) first UTF-8 byte.
+      Some("""WITH b AS (
+          SELECT doc_id, octet_length(encode(text)) AS blen,
+            CASE WHEN octet_length(encode(text)) = 0 THEN NULL
+                 ELSE CAST(('0x'||substr(hex(encode(text)),1,2)) AS INT) END AS b0u
+          FROM documents),
+        d AS (
+          SELECT doc_id, 1 + (blen % 64) AS width,
+            1 + (CASE WHEN b0u IS NULL THEN 0
+                      ELSE ABS(CASE WHEN b0u >= 128 THEN b0u - 256 ELSE b0u END) END % 64) AS height
+          FROM b)
+        SELECT CAST(width AS INT) AS width, COUNT(*) AS n_assets, CAST(MAX(height) AS INT) AS max_height
+        FROM d GROUP BY width""")),
 
     // ------------------------------------------------------- OSL script engine
     // Full OSL pipeline: parse -> per-customer interpreter (flatMapGroups)
@@ -677,6 +763,30 @@ object Queries {
         SELECT CAST(1 AS INTEGER) AS depth, g1, CAST(NULL AS VARCHAR) AS g2,
           COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows, ${dsumSql("value")} AS total_value
         FROM p GROUP BY g1""")),
+
+    // OSL `var` select aggregator: declares a script variable; the result
+    // column counts tallies deduped per (var value, row, node)
+    // (src/queryinterpreter.cpp:242-244, 306-311). The variable mutates per
+    // row, so the dedup key stays row-unique and the node count equals the
+    // tallied-row count.
+    Q("q_osl_var_tally",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  var n as hits
+            |end
+            |each_row where event.is(== 'purchase')
+            |  n = n + 1
+            |  << get_day_of_week(stamp)
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("g1"), col("customers"), col("hits"))
+      },
+      Some(s"""$E SELECT CAST(dayofweek(make_timestamp(stamp * 1000)) + 1 AS VARCHAR) AS g1,
+        COUNT(DISTINCT id) AS customers, COUNT(*) AS hits
+        FROM e WHERE event = 'purchase' GROUP BY g1""")),
 
     // OSL @segment scripts: ever/never predicates evaluated per customer.
     Q("q_osl_segments",

@@ -37,6 +37,9 @@ final class Interpreter(
     * Returns (tally partials, script return values). */
   def run(personId: Value, rows: IndexedSeq[Array[Value]]): PersonResult = {
     val st = new State(personId, rows)
+    // `var` select columns declare script variables (reference: PSHRESCOL
+    // pushes columnVars[i].value, src/queryinterpreter.cpp:1868-1880)
+    selects.foreach(s => if (s.agg == "var") st.vars.getOrElseUpdate(s.prop, VInt(0)))
     if (sessionReferenced && stampIdx >= 0) st.computeSessions()
     try execBlock(program.code, st)
     catch { case ExitException => () }
@@ -54,6 +57,9 @@ final class Interpreter(
     val seen: mutable.Set[(Int, Vector[String], String, Long)] = mutable.Set.empty
     val returned: mutable.ArrayBuffer[Value] = mutable.ArrayBuffer.empty
     var loopDepth: Int = 0
+    /** Monotonic tally order stamp — `value` select columns keep the value
+      * of the LAST tally per node (src/queryinterpreter.cpp:303-305). */
+    var tallySeq: Long = 0L
 
     def computeSessions(): Unit = {
       var s = 1L
@@ -259,21 +265,38 @@ final class Interpreter(
       var j = 0
       while (j < selects.length) {
         val sel = selects(j)
-        val isPeople = sel.prop == "id"
-        val rawVal: Value =
-          if (isPeople) st.personId
-          else rowValue(sel.prop, st)
-        if (rawVal != VNone) {
-          val distinctVal = sel.withKey match {
-            case Some(k) => rowValue(k, st).asStr
-            case None => rawVal.asStr
-          }
-          val rowKey = if (isPeople) 0L else st.cursor.toLong
-          val dedupKey = (j, node, distinctVal, rowKey)
-          if (sel.all || !st.seen.contains(dedupKey)) {
-            if (!sel.all) st.seen += dedupKey
-            bufs(j).add(sel.agg, rawVal)
-          }
+        sel.agg match {
+          case "var" =>
+            // `var x`: counts tallies, deduped per (current value of x, row,
+            // node) — the distinct value is the VARIABLE's value, not a row
+            // column (src/queryinterpreter.cpp:242-244, 306-311)
+            val dv = st.vars.getOrElse(sel.prop, VNone).asStr
+            val dedupKey = (j, node, dv, st.cursor.toLong)
+            if (sel.all || !st.seen.contains(dedupKey)) {
+              if (!sel.all) st.seen += dedupKey
+              bufs(j).addVar()
+            }
+          case _ =>
+            val isPeople = sel.prop == "id"
+            val rawVal: Value =
+              if (isPeople) st.personId
+              else rowValue(sel.prop, st)
+            if (rawVal != VNone) {
+              val distinctVal = sel.withKey match {
+                case Some(k) => rowValue(k, st).asStr
+                case None => rawVal.asStr
+              }
+              val rowKey = if (isPeople) 0L else st.cursor.toLong
+              val dedupKey = (j, node, distinctVal, rowKey)
+              if (sel.all || !st.seen.contains(dedupKey)) {
+                if (!sel.all) st.seen += dedupKey
+                if (sel.agg == "value") {
+                  // last tally wins per node (src/queryinterpreter.cpp:303)
+                  st.tallySeq += 1
+                  bufs(j).setLast(Interpreter.toFixed(rawVal.asDouble), st.tallySeq)
+                } else bufs(j).add(sel.agg, rawVal)
+              }
+            }
         }
         j += 1
       }
@@ -644,6 +667,8 @@ object Interpreter {
     var cnt: Long = 0L
     var min: Double = Double.MaxValue
     var max: Double = Double.MinValue
+    var lastFixed: Long = 0L // `value` modifier: last tallied value ×10,000
+    var lastSeq: Long = -1L  // tally order stamp for last-write-wins merge
     def add(agg: String, v: Value): Unit = {
       cnt += 1
       val d = v.asDouble
@@ -651,6 +676,9 @@ object Interpreter {
       if (d < min) min = d
       if (d > max) max = d
     }
+    /** `var` modifier: each deduped tally adds 1 (src/queryinterpreter.cpp:306). */
+    def addVar(): Unit = { cnt += 1; sumFixed += 10000L }
+    def setLast(fixed: Long, seq: Long): Unit = { lastFixed = fixed; lastSeq = seq }
   }
 
   /** double → ×10,000 fixed point, HALF_UP — identical to SQL

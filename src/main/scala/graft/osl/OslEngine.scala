@@ -33,7 +33,8 @@ object OslEngine {
     val aggFields = (0 until nSel).flatMap { j =>
       Seq(
         StructField(s"s_$j", LongType), StructField(s"c_$j", LongType),
-        StructField(s"mn_$j", DoubleType), StructField(s"mx_$j", DoubleType))
+        StructField(s"mn_$j", DoubleType), StructField(s"mx_$j", DoubleType),
+        StructField(s"l_$j", LongType), StructField(s"q_$j", LongType))
     }
     StructType(partialSchema.fields ++ aggFields)
   }
@@ -77,7 +78,14 @@ object OslEngine {
         case "min"            => min(col(s"mn_$j")).as(sel.alias)
         case "max"            => max(col(s"mx_$j")).as(sel.alias)
         case "avg"            => (sum(col(s"s_$j")) / lit(10000.0) / sum(col(s"c_$j"))).as(sel.alias)
-        case _ /*value,var*/  => (sum(col(s"s_$j")) / lit(10000.0)).as(sel.alias)
+        // `value`: last tally wins — deterministic here via the max tally
+        // sequence across persons (the reference overwrites in merge order,
+        // src/result.cpp:347-351, which is thread-arbitrary)
+        case "value"          => when(max(col(s"q_$j")) >= 0,
+                                    max(struct(col(s"q_$j").as("q"), col(s"l_$j").as("l")))
+                                      .getField("l") / 10000.0).as(sel.alias)
+        // `var`: deduped tally counter (src/queryinterpreter.cpp:306-311)
+        case _ /*var*/        => sum(col(s"c_$j")).as(sel.alias)
       }
     }
     partials.groupBy(col("depth") +: gCols: _*)
@@ -180,7 +188,8 @@ object OslEngine {
           val b = bufs(j)
           Seq(b.sumFixed, b.cnt,
             if (b.cnt > 0) b.min else Double.MaxValue,
-            if (b.cnt > 0) b.max else Double.MinValue)
+            if (b.cnt > 0) b.max else Double.MinValue,
+            b.lastFixed, b.lastSeq)
         }
         Row.fromSeq((path.length +: gs) ++ aggs)
       }

@@ -377,6 +377,48 @@ class OslSpec extends SparkSpec {
     assert(out == (("u1", 22.0)))
   }
 
+  test("select `value` keeps the last tallied row's value per node") {
+    val script =
+      """select
+        |  count id
+        |  value product_price as last_price
+        |end
+        |each_row where event.is(== 'purchase')
+        |  << product_name
+        |end
+        |""".stripMargin
+    val data = Seq(
+      ("u1", Mon + 1 * H, "purchase", "rod", 10.0, Seq[String]()),
+      ("u1", Mon + 2 * H, "purchase", "rod", 25.0, Seq[String]()),
+      ("u1", Mon + 3 * H, "purchase", "net", 7.0, Seq[String]())
+    ).toDF("id", "stamp", "event", "product_name", "product_price", "product_group")
+    val out = OslEngine.query(data, script, now = Tue)
+      .select("g1", "last_price").as[(String, Double)].collect().toMap
+    assert(out == Map("rod" -> 25.0, "net" -> 7.0)) // last row wins per node
+  }
+
+  test("select `var` declares a script variable and counts deduped tallies") {
+    val script =
+      """select
+        |  count id
+        |  var n_loops as loops
+        |end
+        |each_row where event.is(== 'purchase')
+        |  n_loops = n_loops + 1
+        |  << 'a'
+        |  << 'a'
+        |end
+        |""".stripMargin
+    val data = Seq(
+      ("u1", Mon + 1 * H, "purchase", "x", 1.0, Seq[String]()),
+      ("u1", Mon + 2 * H, "purchase", "y", 1.0, Seq[String]())
+    ).toDF("id", "stamp", "event", "product_name", "product_price", "product_group")
+    val out = OslEngine.query(data, script, now = Tue)
+      .select("g1", "loops").as[(String, Long)].collect().toMap
+    // per row: two << 'a' tallies dedup to one (same var value, row, node)
+    assert(out == Map("a" -> 2L))
+  }
+
   test("language: get_row returns the row as a dict") {
     val script =
       """r = get_row(cursor + 1)
