@@ -131,13 +131,22 @@ object Similarity {
     */
   def ivfAssign(corpus: DataFrame, nlist: Int): (DataFrame, Array[(Long, Array[Double])]) = {
     val v = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
-    val ids = v.select("vec_id").orderBy("vec_id")
-      .collect().map(_.getLong(0))
-    val stride = math.max(1, ids.length / nlist)
-    val centroidIds = (0 until nlist).map(i => ids(math.min(i * stride, ids.length - 1)))
-    val centroids = v.where(col("vec_id").isin(centroidIds: _*))
+    // Strided centroid seeding without collecting the corpus: count once,
+    // compute the nlist target ranks, rank IDS ONLY through a global
+    // row_number (16 bytes/row through the one-off sort — an index-build
+    // cost), and collect just the nlist centroid rows for broadcast.
+    val n = v.count()
+    val stride = math.max(1L, n / nlist)
+    val targets = (0 until nlist).map(i => math.min(i.toLong * stride, n - 1)).distinct
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
+    val cids = v.select("vec_id")
+      .withColumn("rn", row_number().over(w) - 1)
+      .where(col("rn").isin(targets: _*))
+      .select("vec_id")
+    val centroids = v.join(broadcast(cids), "vec_id")
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .map(r => (r.getAs[Long]("vec_id"), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
     val assigned = v.withColumn("cell", nearestCentroid(col("e"), centroids, 1)(0))
     (assigned, centroids)
   }
