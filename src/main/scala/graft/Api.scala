@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Route-shaped façade mirroring the reference's REST surface
+  * (`src/rpc.h:25-94`). Each method corresponds to one route and returns the
+  * route's JSON body as a String (or a DataFrame where the caller composes
+  * further). HTTP itself is out of scope — any server (or none) can sit in
+  * front of this; the semantics live here.
+  *
+  * | Reference route                        | Method            |
+  * |----------------------------------------|-------------------|
+  * | POST /v1/table/{t}                     | tableCreate       |
+  * | GET /v1/table/{t}                      | tableDescribe     |
+  * | GET /v1/tables                         | tableList         |
+  * | DELETE /v1/table/{t}                   | tableDrop         |
+  * | PUT /v1/table/{t}/property/{p}         | propertyAdd       |
+  * | DELETE /v1/table/{t}/property/{p}      | propertyDrop      |
+  * | PUT /v1/table/{t}/settings             | settingsUpdate    |
+  * | POST /v1/insert/{t}                    | insert            |
+  * | POST /v1/query/{t}/event               | queryEvent        |
+  * | POST /v1/query/{t}/segment             | querySegment      |
+  * | GET /v1/query/{t}/property/{p}         | queryProperty     |
+  * | GET /v1/query/{t}/customer?id=         | queryCustomer     |
+  * | POST /v1/query/{t}/histogram/{name}    | queryHistogram    |
+  * | GET /v1/status                         | status            |
+  *
+  * Cluster/internode routes are intentionally absent: Spark's cluster
+  * manager, shuffle and storage replication replace them (SURVEY §2.1).
+  */
+final class Api(spark: SparkSession, warehouse: String) {
+
+  val catalog = new Catalog(spark, warehouse)
+
+  // ------------------------------------------------------------------- tables
+  def tableCreate(meta: TableMeta): String = {
+    catalog.create(meta)
+    s"""{"message":"created","table":"${meta.table}"}"""
+  }
+
+  def tableDescribe(table: String): String = {
+    val m = catalog.describe(table)
+    val props = m.properties.map { p =>
+      val extras =
+        (if (p.isSet) ",\"is_set\":true" else "") +
+        (if (p.isCustomer) ",\"is_customer\":true" else "")
+      s"""{"name":"${p.name}","type":"${p.ptype}"$extras}"""
+    }.mkString(",")
+    s"""{"table":"${m.table}","properties":[$props],"event_order":[${m.settings.eventOrder.map("\"" + _ + "\"").mkString(",")}]}"""
+  }
+
+  def tableList(): String =
+    catalog.list().map("\"" + _ + "\"").mkString("{\"tables\":[", ",", "]}")
+
+  def tableDrop(table: String): String = {
+    catalog.drop(table)
+    s"""{"message":"dropped","table":"$table"}"""
+  }
+
+  def propertyAdd(table: String, prop: PropDef): String = {
+    catalog.addProperty(table, prop)
+    s"""{"message":"added","table":"$table","property":"${prop.name}"}"""
+  }
+
+  def propertyDrop(table: String, name: String): String = {
+    catalog.dropProperty(table, name)
+    s"""{"message":"dropped","table":"$table","property":"$name"}"""
+  }
+
+  def settingsUpdate(table: String, f: TableSettings => TableSettings): String = {
+    catalog.updateSettings(table, f)
+    s"""{"message":"updated","table":"$table"}"""
+  }
+
+  // ------------------------------------------------------------------- insert
+  /** `POST /v1/insert/{t}`: a batch of JSON event objects (one per line /
+    * array element), parsed against the table schema with stamp
+    * normalization, then upserted (src/rpc_insert.cpp). */
+  def insert(table: String, jsonEvents: Seq[String], nowMs: Long): String = {
+    import graft.operators.EventIngest
+    import spark.implicits._
+    val m = catalog.describe(table)
+    val parsed = EventIngest.parseJson(
+      jsonEvents.toDF("j"), "j",
+      // accept second/ISO stamps: parse as string, normalize below
+      org.apache.spark.sql.types.StructType(m.eventsSchema.fields.map(f =>
+        if (f.name == "stamp") f.copy(dataType = org.apache.spark.sql.types.StringType) else f)))
+      .withColumn("stamp", EventIngest.normalizeStamp(col("stamp")))
+    catalog.insert(table, parsed, nowMs)
+    s"""{"message":"yummy"}""" // the reference's insert ack (src/rpc_insert.cpp)
+  }
+
+  // ------------------------------------------------------------------ queries
+  /** `POST /v1/query/{t}/event`: OSL script → group-tree JSON (`g/c/_`). */
+  def queryEvent(table: String, script: String, nowMs: Long,
+                 trim: Int = 0): String = {
+    val m = catalog.describe(table)
+    val program = graft.osl.Parser.program(script)
+    val selects =
+      (if (program.select.nonEmpty) program.select
+       else Seq(graft.osl.Ast.SelectCol("count", "id", "id", None, all = false)))
+    val df = graft.osl.OslEngine.query(catalog.events(table), script,
+      now = nowMs, sessionGapMs = m.settings.sessionTimeMs)
+    val nodes = ResultTree.fromProgramSort(df, selects.map(_.alias), program.sort, trim)
+    ResultTree.toJson(nodes)
+  }
+
+  /** `POST /v1/query/{t}/segment`: @segment script(s) → per-segment counts. */
+  def querySegment(table: String, script: String, nowMs: Long): String = {
+    val m = catalog.describe(table)
+    val defs = graft.osl.Parser.segments(script)
+    val counts = graft.osl.OslEngine.segments(catalog.events(table), script,
+        now = nowMs, sessionGapMs = m.settings.sessionTimeMs)
+      .groupBy(col("segment")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    defs.map(d => s"""{"segment":"${d.name}","count":${counts.getOrElse(d.name, 0L)}}""")
+      .mkString("[", ",", "]")
+  }
+
+  /** `GET /v1/query/{t}/property/{p}`: distinct customers per value,
+    * optionally bucketed (src/oloop_property.cpp). */
+  def queryProperty(table: String, prop: String,
+                    bucket: Option[Double] = None): String = {
+    import graft.operators.EventOps
+    val ev = catalog.events(table)
+    val df = bucket match {
+      case Some(b) => EventOps.propertyCountsBucketed(ev, col(prop), b)
+      case None    => EventOps.propertyCounts(ev, col(prop))
+    }
+    val rows = df.orderBy(df.columns.head).collect()
+    rows.map { r =>
+      val v = Option(r.get(0)).map {
+        case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+        case o => o.toString
+      }.getOrElse("null")
+      s"""{"value":$v,"customers":${r.getLong(1)}}"""
+    }.mkString("[", ",", "]")
+  }
+
+  /** `GET /v1/query/{t}/customer?id=`: one customer's history as JSON. */
+  def queryCustomer(table: String, id: Any): String =
+    Customers.historyJson(catalog.events(table), id)
+
+  /** `POST /v1/query/{t}/histogram/{name}`: per-person `return(expr)` →
+    * bucketed distinct-person counts, zero-filled (src/oloop_histogram.cpp). */
+  def queryHistogram(table: String, name: String, script: String, nowMs: Long,
+                     bucket: Double = 1.0,
+                     fill: Option[(Double, Double)] = None): String = {
+    val m = catalog.describe(table)
+    val perPerson = graft.osl.OslEngine.histogram(catalog.events(table), script,
+      now = nowMs, sessionGapMs = m.settings.sessionTimeMs)
+    val counted = perPerson
+      .groupBy((floor(col("value") / bucket) * bucket).as("bucket"))
+      .agg(countDistinct(col("id")).as("customers"))
+      .orderBy(col("bucket"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    val filled: Seq[(Double, Double)] = fill match {
+      case Some((lo, hi)) =>
+        val m0 = counted.map { case (b, c) => b -> c.toDouble }.toMap
+        Iterator.iterate(lo)(_ + bucket).takeWhile(_ <= hi)
+          .map(b => b -> m0.getOrElse(b, 0.0)).toSeq
+      case None => counted.map { case (b, c) => (b, c.toDouble) }.toSeq
+    }
+    val items = filled.map { case (b, c) =>
+      val bs = if (b == b.floor && math.abs(b) < 1e15) b.toLong.toString else b.toString
+      s"""{"g":$bs,"c":${c.toLong}}"""
+    }.mkString(",")
+    s"""{"name":"$name","histogram":[$items]}"""
+  }
+
+  // ------------------------------------------------------------------- status
+  def status(): String = {
+    val tables = catalog.list()
+    s"""{"tables":${tables.length},"spark":"${spark.version}","defaultParallelism":${spark.sparkContext.defaultParallelism}}"""
+  }
+}

@@ -1,0 +1,255 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Property definition (`POST /v1/table` body, docs/rest/README.md:28-79):
+  * `type` ∈ text|int|double|bool; `is_set` makes it a collection; and
+  * `is_customer` attaches it to the customer instead of the event history. */
+final case class PropDef(
+    name: String,
+    ptype: String,
+    isSet: Boolean = false,
+    isCustomer: Boolean = false) {
+  def sparkType: DataType = {
+    val base: DataType = ptype match {
+      case "text"   => StringType
+      case "int"    => LongType
+      case "double" => DoubleType
+      case "bool"   => BooleanType
+      case other    => throw new IllegalArgumentException(s"bad property type '$other'")
+    }
+    if (isSet) ArrayType(base) else base
+  }
+}
+
+/** Table settings (`src/table.h:118-131` defaults + `PUT /table/settings`). */
+final case class TableSettings(
+    idTextual: Boolean = true,
+    eventMax: Int = 5000,                            // table.h:122
+    eventTtlMs: Long = 86400000L * 365L * 5L,        // table.h:124 (5 years)
+    sessionTimeMs: Long = 30L * 60L * 1000L,         // table.h:125
+    segmentIntervalMs: Long = 1000L,                 // table.h:127
+    tzOffsetMs: Long = 0L,                           // table.h:123
+    eventOrder: Seq[String] = Nil)                   // z-order (table.cpp:138-146)
+
+final case class TableMeta(
+    table: String,
+    properties: Seq[PropDef],
+    settings: TableSettings) {
+
+  def eventProps: Seq[PropDef] = properties.filterNot(_.isCustomer)
+  def customerProps: Seq[PropDef] = properties.filter(_.isCustomer)
+
+  /** Event-history schema: fixed (id, stamp, event) + event properties. */
+  def eventsSchema: StructType = {
+    val idType = if (settings.idTextual) StringType else LongType
+    StructType(
+      StructField("id", idType, nullable = false) ::
+      StructField("stamp", LongType, nullable = false) ::
+      StructField("event", StringType, nullable = false) ::
+      eventProps.map(p => StructField(p.name, p.sparkType, nullable = true)).toList)
+  }
+
+  /** Customer-properties schema: id + customer props (facts, not history). */
+  def customerSchema: StructType = {
+    val idType = if (settings.idTextual) StringType else LongType
+    StructType(
+      StructField("id", idType, nullable = false) ::
+      customerProps.map(p => StructField(p.name, p.sparkType, nullable = true)).toList)
+  }
+}
+
+/** Persistent table catalog — the engine's DDL surface, mirroring the
+  * reference's `/v1/table` routes (`src/rpc.h:31-52`): create, describe,
+  * list, drop, add/remove property, update settings.
+  *
+  * Metadata lives as one JSON file per table under
+  * `<warehouse>/<table>/table.json`; event history as parquet under
+  * `<warehouse>/<table>/events`. On a cluster the warehouse is any shared
+  * filesystem (HDFS/S3); metadata IO is tiny and driver-side by design,
+  * data IO is all Spark jobs. Property-name rules follow
+  * docs/rest/README.md:42 (lowercase alphanumeric + `_`, no leading digit).
+  */
+final class Catalog(spark: SparkSession, warehouse: String) {
+
+  private val NameRx = "^[a-z_][a-z0-9_]*$".r
+  private val MaxProps = 4096 // src/common.h:10
+
+  private def dir(table: String) = new java.io.File(warehouse, table)
+  private def metaFile(table: String) = new java.io.File(dir(table), "table.json")
+  private def eventsDir(table: String) = new java.io.File(dir(table), "events").toString
+  private def customersDir(table: String) = new java.io.File(dir(table), "customers").toString
+
+  // ------------------------------------------------------------------ meta IO
+  private def writeMeta(m: TableMeta): Unit = {
+    val sb = new StringBuilder
+    def js(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    sb.append("{\"table\":").append(js(m.table))
+    sb.append(",\"id_type\":").append(js(if (m.settings.idTextual) "textual" else "numeric"))
+    sb.append(",\"properties\":[")
+    sb.append(m.properties.map { p =>
+      s"{\"name\":${js(p.name)},\"type\":${js(p.ptype)},\"is_set\":${p.isSet},\"is_customer\":${p.isCustomer}}"
+    }.mkString(","))
+    sb.append("],\"event_order\":[")
+    sb.append(m.settings.eventOrder.map(js).mkString(","))
+    sb.append("],\"settings\":{")
+    sb.append(s"""\"event_max\":${m.settings.eventMax},\"event_ttl_ms\":${m.settings.eventTtlMs},""")
+    sb.append(s"""\"session_time_ms\":${m.settings.sessionTimeMs},\"segment_interval_ms\":${m.settings.segmentIntervalMs},""")
+    sb.append(s"""\"tz_offset_ms\":${m.settings.tzOffsetMs}}}""")
+    dir(m.table).mkdirs()
+    java.nio.file.Files.write(metaFile(m.table).toPath,
+      sb.toString.getBytes("UTF-8"))
+  }
+
+  private val metaSchema = StructType(Seq(
+    StructField("table", StringType),
+    StructField("id_type", StringType),
+    StructField("properties", ArrayType(StructType(Seq(
+      StructField("name", StringType), StructField("type", StringType),
+      StructField("is_set", BooleanType), StructField("is_customer", BooleanType))))),
+    StructField("event_order", ArrayType(StringType)),
+    StructField("settings", StructType(Seq(
+      StructField("event_max", LongType), StructField("event_ttl_ms", LongType),
+      StructField("session_time_ms", LongType), StructField("segment_interval_ms", LongType),
+      StructField("tz_offset_ms", LongType))))))
+
+  def describe(table: String): TableMeta = {
+    require(exists(table), s"no such table '$table'")
+    import scala.jdk.CollectionConverters._
+    val row = spark.read.schema(metaSchema).json(metaFile(table).toString).head()
+    val props = row.getSeq[org.apache.spark.sql.Row](2).map(p =>
+      PropDef(p.getString(0), p.getString(1), p.getBoolean(2), p.getBoolean(3)))
+    val st = row.getStruct(4)
+    TableMeta(row.getString(0), props, TableSettings(
+      idTextual = row.getString(1) == "textual",
+      eventMax = st.getLong(0).toInt, eventTtlMs = st.getLong(1),
+      sessionTimeMs = st.getLong(2), segmentIntervalMs = st.getLong(3),
+      tzOffsetMs = st.getLong(4),
+      eventOrder = row.getSeq[String](3)))
+  }
+
+  // --------------------------------------------------------------------- DDL
+  def exists(table: String): Boolean = metaFile(table).isFile
+
+  def create(meta: TableMeta): Unit = {
+    require(NameRx.pattern.matcher(meta.table).matches(), s"bad table name '${meta.table}'")
+    require(!exists(meta.table), s"table '${meta.table}' already exists")
+    validateProps(meta.properties)
+    writeMeta(meta)
+  }
+
+  private def validateProps(props: Seq[PropDef]): Unit = {
+    require(props.length <= MaxProps, s"more than $MaxProps properties")
+    val dupes = props.groupBy(_.name).collect { case (n, ps) if ps.length > 1 => n }
+    require(dupes.isEmpty, s"duplicate properties: ${dupes.mkString(",")}")
+    props.foreach { p =>
+      require(NameRx.pattern.matcher(p.name).matches(), s"bad property name '${p.name}'")
+      p.sparkType // validates the type string
+      require(!Seq("id", "stamp", "event").contains(p.name), s"'${p.name}' is reserved")
+    }
+  }
+
+  def list(): Seq[String] = {
+    val d = new java.io.File(warehouse)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && new java.io.File(f, "table.json").isFile)
+      .map(_.getName).toSeq.sorted
+  }
+
+  def drop(table: String): Unit = {
+    require(exists(table), s"no such table '$table'")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(dir(table))
+  }
+
+  def addProperty(table: String, prop: PropDef): Unit = {
+    val m = describe(table)
+    validateProps(m.properties :+ prop)
+    writeMeta(m.copy(properties = m.properties :+ prop))
+  }
+
+  def dropProperty(table: String, name: String): Unit = {
+    val m = describe(table)
+    require(m.properties.exists(_.name == name), s"no such property '$name'")
+    writeMeta(m.copy(properties = m.properties.filterNot(_.name == name)))
+  }
+
+  def updateSettings(table: String, f: TableSettings => TableSettings): Unit = {
+    val m = describe(table)
+    writeMeta(m.copy(settings = f(m.settings)))
+  }
+
+  // -------------------------------------------------------------------- data
+  /** Event history; empty (with the right schema) before the first insert.
+    * Columns added after data was written surface as nulls; dropped
+    * properties disappear from the projection immediately. */
+  def events(table: String): DataFrame = {
+    val m = describe(table)
+    val schema = m.eventsSchema
+    val d = new java.io.File(eventsDir(table))
+    if (!d.isDirectory) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else {
+      val raw = spark.read.parquet(eventsDir(table))
+      schema.fields.foldLeft(raw) { (df, f) =>
+        if (df.columns.contains(f.name)) df
+        else df.withColumn(f.name, lit(null).cast(f.dataType))
+      }.select(schema.fieldNames.map(col): _*)
+    }
+  }
+
+  /** Insert with the reference's full pipeline (`src/oloop_insert.cpp`):
+    * upsert by (id, stamp, z-order rank, row hash), z-ordered merge, TTL and
+    * eventMax culls. Small-scale storage is read-merge-replace parquet; the
+    * identical flow lands on Delta/Iceberg MERGE INTO on a cluster. */
+  def insert(table: String, incoming: DataFrame, nowMs: Long): Unit = {
+    import graft.operators.EventIngest
+    val m = describe(table)
+    val payload = m.eventProps.map(_.name)
+    val aligned = incoming.select(m.eventsSchema.fieldNames.map(col): _*)
+    val merged0 = EventIngest.upsert(events(table), aligned,
+      m.settings.eventOrder, payload)
+    val merged = EventIngest.cullEventMax(
+      EventIngest.cullTtl(merged0, nowMs, m.settings.eventTtlMs),
+      m.settings.eventMax, m.settings.eventOrder)
+    val tmp = eventsDir(table) + "_tmp"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val dst = new java.io.File(eventsDir(table))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+    }
+    rm(dst)
+    require(new java.io.File(tmp).renameTo(dst), s"swap failed for $table")
+  }
+
+  /** Customer-property facts (`is_customer` props), merged by id. */
+  def customers(table: String): DataFrame = {
+    val m = describe(table)
+    val d = new java.io.File(customersDir(table))
+    if (!d.isDirectory) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.customerSchema)
+    else spark.read.parquet(customersDir(table))
+  }
+
+  def mergeCustomers(table: String, updates: DataFrame): Unit = {
+    val merged = graft.operators.CustomerProps.writeBack(customers(table), updates)
+    val tmp = customersDir(table) + "_tmp"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val dst = new java.io.File(customersDir(table))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+    }
+    rm(dst)
+    require(new java.io.File(tmp).renameTo(dst), s"swap failed for $table")
+  }
+}

@@ -1,0 +1,148 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Catalog DDL + Api façade semantics, mirroring the reference's
+  * /v1/table, /v1/insert and /v1/query routes (src/rpc.h:25-94,
+  * docs/rest/README.md). */
+class CatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshApi(): Api =
+    new Api(spark, Files.createTempDirectory("graft_wh").toString)
+
+  private def highstreetMeta = TableMeta("highstreet",
+    Seq(
+      PropDef("product_name", "text"),
+      PropDef("product_price", "double"),
+      PropDef("product_group", "text", isSet = true),
+      PropDef("total_spent", "double", isCustomer = true)),
+    TableSettings(eventOrder = Seq("purchase", "purchase_item")))
+
+  test("create / describe / list / drop round-trip") {
+    val api = freshApi()
+    api.tableCreate(highstreetMeta)
+    val m = api.catalog.describe("highstreet")
+    assert(m == highstreetMeta)
+    assert(api.tableList() == """{"tables":["highstreet"]}""")
+    assert(api.tableDescribe("highstreet").contains("\"is_set\":true"))
+    // reserved / invalid names rejected
+    intercept[IllegalArgumentException] {
+      api.catalog.create(TableMeta("Bad-Name", Nil, TableSettings()))
+    }
+    intercept[IllegalArgumentException] {
+      api.catalog.create(TableMeta("t2", Seq(PropDef("stamp", "int")), TableSettings()))
+    }
+    intercept[IllegalArgumentException] {
+      api.catalog.create(TableMeta("t2", Seq(PropDef("x", "uuid")), TableSettings()))
+    }
+    api.tableDrop("highstreet")
+    assert(api.catalog.list().isEmpty)
+  }
+
+  test("property add/drop evolve the schema over existing data") {
+    val api = freshApi()
+    api.tableCreate(highstreetMeta)
+    api.insert("highstreet", Seq(
+      """{"id":"u1","stamp":"1704067200","event":"purchase","product_name":"rod","product_price":9.5}"""),
+      nowMs = 1704067200000L)
+    api.propertyAdd("highstreet", PropDef("coupon", "text"))
+    val ev = api.catalog.events("highstreet")
+    assert(ev.columns.contains("coupon"))
+    assert(ev.where(col("coupon").isNull).count() == 1) // old rows read as null
+    api.propertyDrop("highstreet", "coupon")
+    assert(!api.catalog.events("highstreet").columns.contains("coupon"))
+  }
+
+  test("insert: stamp normalization, upsert replace, z-order, ttl cull") {
+    val api = freshApi()
+    api.tableCreate(highstreetMeta)
+    val now = 1704067200000L
+    // seconds-resolution stamp is promoted to millis
+    api.insert("highstreet", Seq(
+      """{"id":"u1","stamp":"1704067200","event":"purchase","product_name":"rod","product_price":9.5}""",
+      """{"id":"u1","stamp":"1704067200","event":"purchase_item","product_name":"reel","product_price":5.0}""",
+      """{"id":"u1","stamp":"1103067200000","event":"purchase","product_name":"ancient","product_price":1.0}"""),
+      nowMs = now)
+    val ev1 = api.catalog.events("highstreet").orderBy("stamp").collect()
+    // the >5y-old row was TTL-culled; the two same-stamp rows remain
+    assert(ev1.length == 2)
+    assert(ev1.map(_.getAs[Long]("stamp")).toSet == Set(1704067200000L))
+    // same (id, stamp, rank, row-hash) replaces; different payload merges in
+    api.insert("highstreet", Seq(
+      """{"id":"u1","stamp":"1704067200","event":"purchase","product_name":"rod","product_price":9.5}""",
+      """{"id":"u1","stamp":"1704067200","event":"purchase","product_name":"net","product_price":3.0}"""),
+      nowMs = now)
+    val ev2 = api.catalog.events("highstreet")
+    assert(ev2.count() == 3) // rod replaced, net added, reel kept
+    // z-order: purchase (rank 0) sorts before purchase_item (rank 1) on ties
+    val ordered = graft.operators.EventIngest.ordered(ev2, Seq("purchase", "purchase_item"))
+      .select("event").as[String].collect()
+    assert(ordered.last == "purchase_item")
+  }
+
+  test("query routes: event tree, segment counts, property, customer, histogram") {
+    val api = freshApi()
+    api.tableCreate(highstreetMeta)
+    val now = 1704067200000L
+    api.insert("highstreet", Seq(
+      """{"id":"u1","stamp":"1704067200","event":"purchase","product_name":"rod","product_price":9.5}""",
+      """{"id":"u1","stamp":"1704070800","event":"purchase","product_name":"reel","product_price":5.0}""",
+      """{"id":"u2","stamp":"1704067200","event":"browse","product_name":"rod"}"""),
+      nowMs = now)
+
+    val tree = api.queryEvent("highstreet",
+      """select
+        |  count id
+        |  sum product_price as spent
+        |end
+        |each_row where event.is(== 'purchase')
+        |  << product_name
+        |end
+        |""".stripMargin, nowMs = now + 86400000L)
+    assert(tree.contains("\"g\":\"rod\"") && tree.contains("\"g\":\"reel\""))
+
+    val segs = api.querySegment("highstreet",
+      """@segment buyers
+        |if event.ever(== 'purchase')
+        |  return(true)
+        |end
+        |@segment browsers
+        |if event.ever(== 'browse')
+        |  return(true)
+        |end
+        |""".stripMargin, nowMs = now + 86400000L)
+    assert(segs.contains("""{"segment":"buyers","count":1}"""))
+    assert(segs.contains("""{"segment":"browsers","count":1}"""))
+
+    val propJson = api.queryProperty("highstreet", "product_name")
+    assert(propJson.contains("""{"value":"rod","customers":2}"""))
+
+    val cust = api.queryCustomer("highstreet", "u1")
+    assert(cust.contains("\"id\":\"u1\"") && cust.contains("\"product_name\":\"rod\""))
+
+    val hist = api.queryHistogram("highstreet", "spend",
+      """spend = sum(product_price) where event.is(== 'purchase')
+        |return(spend)
+        |""".stripMargin, nowMs = now + 86400000L, bucket = 5.0,
+      fill = Some((0.0, 15.0)))
+    // u1 spent 14.5 -> bucket 10; u2 spent 0 -> bucket 0; buckets 5/15 zero-filled
+    assert(hist.contains("""{"g":10,"c":1}""") && hist.contains("""{"g":5,"c":0}"""))
+
+    assert(api.status().contains("\"tables\":1"))
+  }
+
+  test("customer-property facts merge by id") {
+    val api = freshApi()
+    api.tableCreate(highstreetMeta)
+    api.catalog.mergeCustomers("highstreet",
+      Seq(("u1", 14.5)).toDF("id", "total_spent"))
+    api.catalog.mergeCustomers("highstreet",
+      Seq(("u1", 20.0), ("u2", 1.0)).toDF("id", "total_spent"))
+    val c = api.catalog.customers("highstreet").orderBy("id")
+      .as[(String, Double)].collect().toSeq
+    assert(c == Seq(("u1", 20.0), ("u2", 1.0))) // update wins, new id appends
+  }
+}
