@@ -24,6 +24,10 @@ import org.apache.spark.sql.functions._
   * | GET /v1/query/{t}/property/{p}         | queryProperty     |
   * | GET /v1/query/{t}/customer?id=         | queryCustomer     |
   * | POST /v1/query/{t}/histogram/{name}    | queryHistogram    |
+  * | PUT /v1/subscription/{t}/{seg}/{sub}   | subscriptionCreate|
+  * | DELETE /v1/subscription/{t}/{seg}/{sub}| subscriptionDelete|
+  * | (web-hook push)                        | subscriptionPoll  |
+  * | (background refresh loop)              | segmentRefresh    |
   * | GET /v1/status                         | status            |
   *
   * Cluster/internode routes are intentionally absent: Spark's cluster
@@ -167,6 +171,87 @@ final class Api(spark: SparkSession, warehouse: String) {
       s"""{"g":$bs,"c":${c.toLong}}"""
     }.mkString(",")
     s"""{"name":"$name","histogram":[$items]}"""
+  }
+
+  // ------------------------------------------------------- segments + subs
+  /** Segment refresh over the stored table — the reference's background
+    * refresh loop (`src/oloop_seg_refresh.cpp`), run on demand or on the
+    * schedule each `@segment`'s `refresh=` flag dictates. Membership diffs
+    * append enter/exit events that subscriptions consume. */
+  def segmentRefresh(table: String, script: String, nowMs: Long): String = {
+    val defs = graft.osl.Parser.segments(script)
+    val fns: Map[String, graft.streaming.Streams.SegmentFn] =
+      defs.map { d =>
+        d.name -> ((ev: DataFrame) =>
+          graft.osl.OslEngine.segments(ev, script, now = nowMs)
+            .where(col("segment") === d.name))
+      }.toMap
+    graft.streaming.Streams.refreshSegments(spark,
+      new java.io.File(warehouse, table).toString, fns, nowMs)
+    defs.map(d => "\"" + d.name + "\"").mkString("{\"refreshed\":[", ",", "]}")
+  }
+
+  /** `PUT /v1/subscription/{t}/{segment}/{sub}`: register an independent
+    * feed over the segment's enter/exit events (docs/rest/README.md:160-216;
+    * default retention 3 h). The web-hook push becomes a poll here — feeding
+    * a real hook is a `foreachBatch` away. */
+  def subscriptionCreate(table: String, segment: String, sub: String,
+                         retentionMs: Long = 3L * 3600 * 1000,
+                         nowMs: Long): String = {
+    val f = subFile(table, segment, sub)
+    f.getParentFile.mkdirs()
+    writeSub(f, cursor = nowMs - retentionMs, retentionMs)
+    s"""{"message":"subscribed","segment":"$segment","subscriber":"$sub"}"""
+  }
+
+  def subscriptionDelete(table: String, segment: String, sub: String): String = {
+    val f = subFile(table, segment, sub)
+    require(f.isFile, s"no such subscription '$sub'")
+    f.delete()
+    s"""{"message":"unsubscribed","segment":"$segment","subscriber":"$sub"}"""
+  }
+
+  /** Poll a subscription: enter/exit messages since the subscriber's cursor
+    * (each feed is independent), in the reference's message shape. */
+  def subscriptionPoll(table: String, segment: String, sub: String,
+                       nowMs: Long): String = {
+    val f = subFile(table, segment, sub)
+    require(f.isFile, s"no such subscription '$sub'")
+    val (cursor, retention) = readSub(f)
+    val floor = math.max(cursor, nowMs - retention)
+    val events = try {
+      graft.streaming.Streams.segmentEvents(spark,
+          new java.io.File(warehouse, table).toString)
+        .where(col("segment") === segment && col("stamp") > floor)
+        .orderBy(col("stamp"), col("id"))
+        .collect()
+    } catch { case _: Throwable => Array.empty[org.apache.spark.sql.Row] }
+    val msgs = events.map { r =>
+      val stamp = r.getAs[Long]("stamp")
+      val iso = java.time.Instant.ofEpochMilli(stamp).toString
+      s"""{"stamp":$stamp,"stamp_iso":"$iso","uid":"${r.getAs[String]("id")}","state":"${r.getAs[String]("state")}"}"""
+    }.mkString(",")
+    val newCursor = events.lastOption.map(_.getAs[Long]("stamp")).getOrElse(cursor)
+    writeSub(f, newCursor, retention)
+    s"""{"segment":"$segment","subscriber":"$sub","count":${events.length},"messages":[$msgs]}"""
+  }
+
+  private def subFile(table: String, segment: String, sub: String) =
+    new java.io.File(new java.io.File(warehouse, table), s"subs/$segment/$sub.properties")
+
+  private def writeSub(f: java.io.File, cursor: Long, retentionMs: Long): Unit = {
+    val p = new java.util.Properties()
+    p.setProperty("cursor", cursor.toString)
+    p.setProperty("retention_ms", retentionMs.toString)
+    val out = new java.io.FileOutputStream(f)
+    try p.store(out, null) finally out.close()
+  }
+
+  private def readSub(f: java.io.File): (Long, Long) = {
+    val p = new java.util.Properties()
+    val in = new java.io.FileInputStream(f)
+    try p.load(in) finally in.close()
+    (p.getProperty("cursor").toLong, p.getProperty("retention_ms").toLong)
   }
 
   // ------------------------------------------------------------------- status

@@ -134,6 +134,45 @@ class CatalogSpec extends SparkSpec {
     assert(api.status().contains("\"tables\":1"))
   }
 
+  test("subscriptions: independent cursors over segment enter/exit events") {
+    val api = freshApi()
+    api.tableCreate(highstreetMeta)
+    val now = 1704067200000L
+    val script =
+      """@segment buyers refresh=300
+        |if event.ever(== 'purchase')
+        |  return(true)
+        |end
+        |""".stripMargin
+    api.insert("highstreet", Seq(
+      """{"id":"u1","stamp":"1704067200","event":"purchase","product_name":"rod","product_price":9.5}"""),
+      nowMs = now)
+    api.subscriptionCreate("highstreet", "buyers", "sub1", nowMs = now)
+    api.segmentRefresh("highstreet", script, nowMs = now + 1000)
+
+    val poll1 = api.subscriptionPoll("highstreet", "buyers", "sub1", nowMs = now + 2000)
+    assert(poll1.contains("\"uid\":\"u1\"") && poll1.contains("\"state\":\"entered\""))
+    assert(poll1.contains("\"count\":1"))
+    // cursor advanced: nothing new on the second poll
+    val poll2 = api.subscriptionPoll("highstreet", "buyers", "sub1", nowMs = now + 3000)
+    assert(poll2.contains("\"count\":0"))
+    // a second subscriber gets its own independent feed
+    api.subscriptionCreate("highstreet", "buyers", "sub2", nowMs = now)
+    val poll3 = api.subscriptionPoll("highstreet", "buyers", "sub2", nowMs = now + 3000)
+    assert(poll3.contains("\"count\":1"))
+    // a new buyer appears -> entered event on the next refresh
+    api.insert("highstreet", Seq(
+      """{"id":"u2","stamp":"1704067300","event":"purchase","product_name":"net","product_price":3.0}"""),
+      nowMs = now)
+    api.segmentRefresh("highstreet", script, nowMs = now + 4000)
+    val poll4 = api.subscriptionPoll("highstreet", "buyers", "sub1", nowMs = now + 5000)
+    assert(poll4.contains("\"uid\":\"u2\"") && poll4.contains("\"state\":\"entered\""))
+    api.subscriptionDelete("highstreet", "buyers", "sub1")
+    intercept[IllegalArgumentException] {
+      api.subscriptionPoll("highstreet", "buyers", "sub1", nowMs = now + 6000)
+    }
+  }
+
   test("customer-property facts merge by id") {
     val api = freshApi()
     api.tableCreate(highstreetMeta)
