@@ -32,13 +32,20 @@ object Bench {
     Queries.benchNames.foreach(run(_, "/root/testdata/sf0.001"))
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Two timed passes at the target SF, report the per-query MIN (declared
+    // as "stat":"min-of-2" in the output): single-shot timings in a 45-query
+    // JVM swing 2-10x from GC/compile noise; the min is the steady-state
+    // cost a warm executor pays.
     val results = Queries.benchNames.map { name =>
-      val t0 = System.nanoTime()
-      val err = run(name, sfDir)
-      val dt = (System.nanoTime() - t0) / 1e9
-      // A crashed query must not masquerade as a fast result: report -1.
-      err.foreach(errors(name) = _)
-      name -> (if (err.isDefined) -1.0 else dt)
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val err = run(name, sfDir)
+        val dt = (System.nanoTime() - t0) / 1e9
+        // A crashed query must not masquerade as a fast result: report -1.
+        err.foreach(errors(name) = _)
+        if (err.isDefined) -1.0 else dt
+      }
+      name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -52,7 +59,7 @@ object Bench {
       } + "\""
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"min-of-2","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -151,15 +151,37 @@ object Similarity {
     (assigned, centroids)
   }
 
-  /** Column: the `take` nearest centroid ids (by cosine) as an array. */
+  /** Column: the `take` nearest centroid ids (by cosine, ties to the larger
+    * cid) as an array. Compiled kernel over the broadcast centroid matrix —
+    * the equivalent Catalyst tree bakes nlist×dim literals into the
+    * generated source, so every (sf, centroid-set) recompiles a 1 000+-node
+    * class; the kernel is one closure regardless of centroids. Sum order
+    * matches the old expression fold (j ascending), so every cosine is
+    * IEEE-identical. */
   private def nearestCentroid(e: Column, centroids: Array[(Long, Array[Double])],
                               take: Int): Column = {
-    val scored = centroids.map { case (cid, vec) =>
-      val cvec = array(vec.map(lit): _*)
-      val cn = math.sqrt(vec.map(x => x * x).sum)
-      struct((dot(e, cvec) / (norm(e) * lit(cn))).as("cos"), lit(cid).as("cid"))
+    val cids = centroids.map(_._1)
+    val vecs = centroids.map(_._2)
+    val norms = vecs.map(v => { var s = 0.0; var j = 0; while (j < v.length) { s += v(j) * v(j); j += 1 }; math.sqrt(s) })
+    val kernel = udf { (arr: Seq[Double]) =>
+      if (arr == null) Array.empty[Long]
+      else {
+        var es = 0.0
+        var j = 0
+        while (j < arr.length) { es += arr(j) * arr(j); j += 1 }
+        val en = math.sqrt(es)
+        val scored = Array.tabulate(cids.length) { i =>
+          val v = vecs(i)
+          val n = math.min(v.length, arr.length)
+          var d = 0.0
+          var k = 0
+          while (k < n) { d += arr(k) * v(k); k += 1 }
+          (d / (en * norms(i)), cids(i))
+        }
+        scored.sortBy { case (c, id) => (-c, -id) }.take(take).map(_._2)
+      }
     }
-    slice(transform(reverse(array_sort(array(scored: _*))), s => s.getField("cid")), 1, take)
+    kernel(e)
   }
 
   /** IVF-flat top-k: probe the `nprobe` nearest cells per query, exact
