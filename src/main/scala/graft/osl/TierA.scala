@@ -31,41 +31,143 @@ object TierA {
        else Seq(SelectCol("count", "id", "id", None, all = false))).toVector
 
     program.code match {
-      case Seq(EachRow(mods, where, Seq(Tally(groups)))) if isDefault(mods) =>
+      case Seq(EachRow(mods, where, body)) if isDefault(mods) =>
         for {
-          pred <- compileExpr(where, now)
-          gCols <- traverse(groups.map(g => compileExpr(g, now)))
+          tallies <- flattenTallies(body, None)
+          if tallies.nonEmpty &&
+            tallies.forall { case (_, gs) => gs.nonEmpty && gs.size <= OslEngine.MaxDepth } &&
+            // multi-tally dedup differs under `all` (a row may reach the same
+            // node via two tallies) -> Tier B for mixed shapes
+            (tallies.size == 1 || selects.forall(!_.all))
+          personTests <- personTestColumns(where +: tallies.flatMap(_._1), now)
+          // validate every expression compiles (placeholders for person tests)
+          placeholder = personTests.map { case (pt, _) => pt -> (lit(true): Column) }.toMap
+          _ <- compileExpr(where, now, placeholder)
+          _ <- traverse(tallies.map(_._1.map(compileExpr(_, now, placeholder))
+            .getOrElse(Some(lit(true)))))
+          _ <- traverse(tallies.map(t =>
+            traverse(t._2.map(g => compileExpr(g, now, placeholder)))))
           aggs <- traverse(selects.map(compileAgg))
-          if groups.nonEmpty && groups.size <= OslEngine.MaxDepth
         } yield {
           val needsSession = Interpreter.referencesSession(program)
           val base0 = if (needsSession)
             graft.operators.EventOps.sessionize(events, sessionGapMs)
           else events
-          val filtered = base0.where(pred)
-          val d = gCols.length
-          val withG = gCols.zipWithIndex.foldLeft(filtered) { case (df, (g, i)) =>
-            df.withColumn(s"g${i + 1}", canonKey(filtered, g))
+          // person-level predicates (unframed ever/never) evaluate over the
+          // customer's FULL history: window-exists columns, added pre-filter
+          val base = personTests.zipWithIndex.foldLeft(base0) {
+            case (df, ((_, winCol), i)) => df.withColumn(s"__pt$i", winCol)
           }
-          val gNames = (1 to d).map(i => col(s"g$i"))
-          val gid = grouping_id(gNames: _*)
-          val rolled = withG.rollup(gNames: _*)
-            .agg(aggs.head._2.as(aggs.head._1),
-              (aggs.tail.map { case (n, c) => c.as(n) } :+ gid.as("__gid")): _*)
-          // grouping_id bit i set = column i grouped OUT; tally nodes are the
-          // contiguous prefixes (gid = 0, 1, 3, 7, …); the grand total (all
-          // out) has no tally equivalent (src/queryinterpreter.cpp:324-333).
-          val depth = (lit(d) - expr("bit_count(__gid)")).cast("int").as("depth")
-          val padded = (d + 1 to OslEngine.MaxDepth).map(i =>
-            lit(null).cast("string").as(s"g$i"))
-          // rollup only generates prefix groupings; drop the grand total,
-          // which has no tally-tree equivalent
-          rolled
-            .where(col("__gid") =!= ((1 << d) - 1))
-            .select((depth +: gNames) ++ padded ++ selects.map(s => col(s.alias)): _*)
+          val real: Map[PropTest, Column] = personTests.zipWithIndex.map {
+            case ((pt, _), i) =>
+              pt -> (coalesce(col(s"__pt$i"), lit(0)) === (if (pt.kind == "ever") 1 else 0))
+          }.toMap
+          val predF = compileExpr(where, now, real).get
+          val tallyPredsF = tallies.map(_._1.map(p => compileExpr(p, now, real).get)
+            .getOrElse(lit(true)))
+          val tallyGroupsF = tallies.map(t => t._2.map(g => compileExpr(g, now, real).get))
+          val filtered = base.where(predF)
+
+          if (tallies.size == 1 && tallies.head._1.isEmpty)
+            rollupPlan(filtered, tallyGroupsF.head, selects, aggs)
+          else
+            explodePlan(filtered, tallyGroupsF, tallyPredsF, selects, aggs)
         }
       case _ => None
     }
+  }
+
+  /** Single-tally fast path: Spark `rollup` generates every prefix node in
+    * one pass with partial aggregation. */
+  private def rollupPlan(filtered: DataFrame, gCols: Seq[Column],
+                         selects: Vector[SelectCol],
+                         aggs: Seq[(String, Column)]): DataFrame = {
+    val d = gCols.length
+    val withG = gCols.zipWithIndex.foldLeft(filtered) { case (df, (g, i)) =>
+      df.withColumn(s"g${i + 1}", canonKey(filtered, g))
+    }
+    val gNames = (1 to d).map(i => col(s"g$i"))
+    val gid = grouping_id(gNames: _*)
+    val rolled = withG.rollup(gNames: _*)
+      .agg(aggs.head._2.as(aggs.head._1),
+        (aggs.tail.map { case (n, c) => c.as(n) } :+ gid.as("__gid")): _*)
+    // grouping_id bit i set = column i grouped OUT; tally nodes are the
+    // contiguous prefixes (gid = 0, 1, 3, 7, …); the grand total (all
+    // out) has no tally equivalent (src/queryinterpreter.cpp:324-333).
+    val depth = (lit(d) - expr("bit_count(__gid)")).cast("int").as("depth")
+    val padded = (d + 1 to OslEngine.MaxDepth).map(i =>
+      lit(null).cast("string").as(s"g$i"))
+    // rollup only generates prefix groupings; drop the grand total,
+    // which has no tally-tree equivalent
+    rolled
+      .where(col("__gid") =!= ((1 << d) - 1))
+      .select((depth +: gNames) ++ padded ++ selects.map(s => col(s.alias)): _*)
+  }
+
+  /** Multi-tally / conditional-tally path: emit every (tally, prefix-depth)
+    * node as a struct, explode, dedupe per (node, row) — the interpreter's
+    * distinct-key semantics (src/queryinterpreter.cpp:242-255) — then one
+    * hash aggregation per node. */
+  private def explodePlan(filtered: DataFrame, tallyGroups: Seq[Seq[Column]],
+                          tallyPreds: Seq[Column], selects: Vector[SelectCol],
+                          aggs: Seq[(String, Column)]): DataFrame = {
+    val withRow = filtered.withColumn("__rowid", monotonically_increasing_id())
+    val entries: Seq[Column] = tallyGroups.zip(tallyPreds).flatMap { case (gs, p) =>
+      val keys = gs.map(g => canonKey(filtered, g))
+      (1 to gs.length).map { d =>
+        val fields = lit(d).as("depth") +:
+          (0 until OslEngine.MaxDepth).map(i =>
+            (if (i < d) keys(i) else lit(null).cast("string")).as(s"g${i + 1}"))
+        when(p, struct(fields: _*)).otherwise(lit(null))
+      }
+    }
+    val nodeCols = col("__n.depth").as("depth") +:
+      (1 to OslEngine.MaxDepth).map(i => col(s"__n.g$i").as(s"g$i"))
+    val pathCols = Seq("depth") ++ (1 to OslEngine.MaxDepth).map(i => s"g$i")
+    val exploded = withRow
+      .withColumn("__n", explode(filter(array(entries: _*), x => x.isNotNull)))
+      .select(nodeCols ++ withRow.columns.map(col): _*)
+      // a row reaching the same node via several tallies counts once
+      .dropDuplicates("__rowid" +: pathCols)
+    exploded.groupBy(pathCols.map(col): _*)
+      .agg(aggs.head._2.as(aggs.head._1),
+        aggs.tail.map { case (n, c) => c.as(n) }: _*)
+      .select(pathCols.map(col) ++ selects.map(s => col(s.alias)): _*)
+  }
+
+  /** Flatten an each_row body of tallies and (nestable) else-less `if`s into
+    * per-tally predicates; anything else is not Tier-A-able. */
+  private def flattenTallies(body: Seq[Stmt], pred: Option[Expr])
+      : Option[Seq[(Option[Expr], Seq[Expr])]] =
+    body.foldLeft(Option(Vector.empty[(Option[Expr], Seq[Expr])])) {
+      case (None, _) => None
+      case (Some(acc), Tally(gs)) => Some(acc :+ (pred, gs))
+      case (Some(acc), If(c, thenB, elseB)) if elseB.isEmpty =>
+        val combined = pred.map(p => BinOp("&&", p, c): Expr).orElse(Some(c))
+        flattenTallies(thenB, combined).map(acc ++ _)
+      case _ => None
+    }
+
+  /** Un-framed, un-shifted ever/never tests are person-constant: compile each
+    * to a window-exists over the customer's FULL history (the interpreter
+    * scans all rows when no frame narrows the range,
+    * src/queryinterpreter.cpp:2580-2720 via frameBounds(None)). */
+  private def personTestColumns(exprs: Seq[Expr], now: Long)
+      : Option[Seq[(PropTest, Column)]] = {
+    val tests = scala.collection.mutable.LinkedHashSet.empty[PropTest]
+    def walk(e: Expr): Unit = e match {
+      case pt @ PropTest(_, k, _, None, false) if k == "ever" || k == "never" =>
+        tests += pt
+      case BinOp(_, l, r) => walk(l); walk(r)
+      case UnOp(_, x) => walk(x)
+      case _ => ()
+    }
+    exprs.foreach(walk)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+    traverse(tests.toSeq.map { pt =>
+      compileCmp(col(pt.prop), pt.cmp, now).map(rowPred =>
+        pt -> max(when(rowPred, 1)).over(w))
+    })
   }
 
   private def isDefault(m: EachRowMods): Boolean =
@@ -107,8 +209,12 @@ object TierA {
     case _ => None // value/var/with-key variants -> Tier B
   }
 
-  /** Compile the supported expression subset; None = not Tier-A-able. */
-  def compileExpr(e: Expr, now: Long): Option[Column] = e match {
+  /** Compile the supported expression subset; None = not Tier-A-able.
+    * `person` maps the person-constant ever/never tests (already
+    * materialized as window-exists columns) to their boolean columns. */
+  def compileExpr(e: Expr, now: Long,
+                  person: Map[PropTest, Column] = Map.empty): Option[Column] = e match {
+    case pt: PropTest if person.contains(pt) => Some(person(pt))
     case Lit(VInt(i)) => Some(lit(i))
     case Lit(VDbl(d)) => Some(lit(d))
     case Lit(VStr(s)) => Some(lit(s))
@@ -119,19 +225,19 @@ object TierA {
     case VarRef("event_time") => Some(col("stamp"))
     case VarRef(n) => Some(col(n)) // row property (validated by analyzer)
     case PropRef(n) => Some(col(n))
-    case ListLit(items) => traverse(items.map(compileExpr(_, now))).map(array(_: _*))
+    case ListLit(items) => traverse(items.map(compileExpr(_, now, person))).map(array(_: _*))
 
-    case UnOp("!", x) => compileExpr(x, now).map(!_)
-    case UnOp("-", x) => compileExpr(x, now).map(c => -c)
+    case UnOp("!", x) => compileExpr(x, now, person).map(!_)
+    case UnOp("-", x) => compileExpr(x, now, person).map(c => -c)
 
     case BinOp(op, l, r) =>
-      for { lc <- compileExpr(l, now); rc <- compileExpr(r, now); c <- binop(op, lc, rc) } yield c
+      for { lc <- compileExpr(l, now, person); rc <- compileExpr(r, now, person); c <- binop(op, lc, rc) } yield c
 
     case PropTest(prop, kind, cmp, None, false) if kind == "is" || kind == "is_not" =>
       compileCmp(col(prop), cmp, now).map(c => if (kind == "is") c else !c)
 
     case Call(name, args) =>
-      traverse(args.map(compileExpr(_, now))).flatMap(as => marshal(name, as))
+      traverse(args.map(compileExpr(_, now, person))).flatMap(as => marshal(name, as))
 
     case _ => None // frames, ever/never, inline aggs, containers -> Tier B
   }

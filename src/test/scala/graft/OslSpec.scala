@@ -221,9 +221,76 @@ class OslSpec extends SparkSpec {
     val p1 = Parser.program(
       "each_row.limit(1) where event.is(== 'x')\n  << event\nend\n")
     assert(TierA.compile(p1, highstreet, Tue, 1800000L).isEmpty)
+    // FRAMED ever is row-anchored -> Tier B; the unframed form compiles
     val p2 = Parser.program(
-      "each_row where event.ever(== 'x')\n  << event\nend\n")
+      "each_row where event.within(2_hours, last_stamp).ever(== 'x')\n  << event\nend\n")
     assert(TierA.compile(p2, highstreet, Tue, 1800000L).isEmpty)
+    val p3 = Parser.program(
+      "each_row where event.ever(== 'x')\n  << event\nend\n")
+    assert(TierA.compile(p3, highstreet, Tue, 1800000L).isDefined)
+  }
+
+  private def tierDiff(script: String,
+                       data: org.apache.spark.sql.DataFrame = highstreet): Unit = {
+    val p = Parser.program(script)
+    assert(TierA.compile(p, data, Tue, 1800000L).isDefined, "expected Tier A to engage")
+    val a = OslEngine.query(data, script, now = Tue)
+    val b = OslEngine.query(data, script, now = Tue, forceTierB = true)
+    val cols = a.columns
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.map(col): _*).collect()
+        .map(r => cols.map(c => Option(r.get(r.fieldIndex(c))).map {
+          case d: Double => (math.round(d * 10000) / 10000.0).toString
+          case o => o.toString
+        }.orNull).toVector).toSet
+    assert(canon(a) == canon(b), s"tier mismatch for:\n$script")
+    assert(canon(a).nonEmpty)
+  }
+
+  test("Tier A ≡ Tier B: unframed ever/never person predicates") {
+    tierDiff(
+      """select
+        |  count id as customers
+        |  sum product_price as spent
+        |end
+        |each_row where product_name.ever(== 'fly rod') && event.is(== 'purchase')
+        |  << get_day_of_week(stamp)
+        |end
+        |""".stripMargin)
+    tierDiff(
+      """each_row where product_name.never(== 'hammer')
+        |  << event
+        |end
+        |""".stripMargin)
+  }
+
+  test("Tier A ≡ Tier B: multiple tallies per row") {
+    tierDiff(
+      """select
+        |  count id as customers
+        |  count product_name as n_rows
+        |  sum product_price as spent
+        |end
+        |each_row where event.is(== 'purchase')
+        |  << product_name
+        |  << get_day_of_week(stamp), product_name
+        |end
+        |""".stripMargin)
+  }
+
+  test("Tier A ≡ Tier B: conditional (if-wrapped) tallies") {
+    tierDiff(
+      """select
+        |  count id as customers
+        |  sum product_price as spent
+        |end
+        |each_row where event.is(== 'purchase')
+        |  << 'all'
+        |  if product_price.is(> 50)
+        |    << 'big', product_name
+        |  end
+        |end
+        |""".stripMargin)
   }
 
   test("sort section parses into SortSpec (default desc)") {
