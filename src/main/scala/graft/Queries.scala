@@ -788,6 +788,48 @@ object Queries {
         COUNT(DISTINCT id) AS customers, COUNT(*) AS hits
         FROM e WHERE event = 'purchase' GROUP BY g1""")),
 
+    // Tier A widened shapes in one script: an unframed `ever` person
+    // predicate (window-exists, no interpreter) + an unconditional tally +
+    // an if-wrapped tally — compiles to filter/explode/dedup/hash-agg with
+    // zero flatMapGroups (the OslSpec differential tests pin Tier A ≡ B).
+    Q("q_osl_ever_multitally",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |  sum value as total_value
+            |end
+            |each_row where event.ever(== 'error') && event.is(== 'purchase')
+            |  << 'all'
+            |  if value.is(> 100)
+            |    << 'big', get_day_of_week(stamp)
+            |  end
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"), col("total_value"))
+      },
+      Some(s"""$E, pe AS (
+          SELECT id FROM e GROUP BY id
+          HAVING SUM(CASE WHEN event = 'error' THEN 1 ELSE 0 END) > 0),
+        p AS (
+          SELECT e.id, e.value, e.stamp FROM e JOIN pe USING (id)
+          WHERE e.event = 'purchase')
+        SELECT CAST(1 AS INTEGER) AS depth, 'all' AS g1, CAST(NULL AS VARCHAR) AS g2,
+          COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows, ${dsumSql("value")} AS total_value
+        FROM p
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), 'big', CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*), ${dsumSql("value")}
+        FROM p WHERE value > 100
+        UNION ALL
+        SELECT CAST(2 AS INTEGER), 'big',
+          CAST(dayofweek(make_timestamp(stamp * 1000)) + 1 AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*), ${dsumSql("value")}
+        FROM p WHERE value > 100 GROUP BY 3""")),
+
     // OSL @segment scripts: ever/never predicates evaluated per customer.
     Q("q_osl_segments",
       (s, dir) => {
