@@ -1,0 +1,46 @@
+package graft
+
+/** Plan-quality invariants over the registry queries — the properties that
+  * keep these operators viable at 100 TB: filters reach the parquet scan,
+  * small dimensions broadcast, projections prune the read schema, and
+  * Tier-A-able OSL scripts never fall back to per-customer interpretation.
+  * Asserted on the sf0.001 data the driver ships. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    Queries.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("customer fetch pushes the id filter into the parquet scan") {
+    val p = Customers.history(Tables.events(spark, dir), 42L)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(user_id,42)"), p.take(2000))
+  }
+
+  test("small dimension joins broadcast (no shuffle of the fact side)") {
+    assert(plan("q_mktsegment_orders").contains("BroadcastHashJoin"))
+    assert(plan("q_region_nation_rollup").contains("BroadcastHashJoin"))
+    assert(plan("q_customer_prop_enrichment").contains("BroadcastHashJoin"))
+  }
+
+  test("projections prune the events read schema to referenced columns") {
+    val p = plan("q_event_type_counts")
+    // value/event/user_id are read; the payload JSON column must NOT be
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.nonEmpty)
+    assert(!readSchema.contains("payload"), readSchema)
+  }
+
+  test("Tier-A-able OSL scripts never interpret (no MapGroups in plan)") {
+    for (q <- Seq("q_osl_event_tally", "q_osl_ever_multitally"))
+      assert(!plan(q).contains("MapGroups"), s"$q fell back to Tier B")
+    // and the interpreter-only shapes do (sanity that the probe works)
+    assert(plan("q_osl_var_tally").contains("MapGroups"))
+  }
+
+  test("brute-force ANN broadcasts the query side") {
+    assert(plan("q_ann_cosine_topk").contains("BroadcastNestedLoopJoin") ||
+      plan("q_ann_cosine_topk").contains("BroadcastHashJoin"))
+  }
+}
