@@ -122,23 +122,73 @@ final class Api(spark: SparkSession, warehouse: String) {
       .mkString("[", ",", "]")
   }
 
-  /** `GET /v1/query/{t}/property/{p}`: distinct customers per value,
-    * optionally bucketed (src/oloop_property.cpp). */
+  /** `GET /v1/query/{t}/property/{p}` with the full parameter surface
+    * (docs/rest/README.md:296-316): value search modes
+    * (`gt/gte/lt/lte/eq/between/rx/sub`), `bucket=` numeric grouping,
+    * `order=asc/desc` (by customer count; default desc), `trim=` top-k, and
+    * `segments=` per-segment distinct-customer counts (`*` = everyone;
+    * named segments read the membership last written by [[segmentRefresh]]).
+    * All answered by one scan + one hash aggregation; memberships broadcast. */
   def queryProperty(table: String, prop: String,
-                    bucket: Option[Double] = None): String = {
-    import graft.operators.EventOps
+                    bucket: Option[Double] = None,
+                    modes: Seq[(String, String)] = Nil,
+                    order: String = "desc", trim: Int = 0,
+                    segments: Seq[String] = Nil): String = {
     val ev = catalog.events(table)
-    val df = bucket match {
-      case Some(b) => EventOps.propertyCountsBucketed(ev, col(prop), b)
-      case None    => EventOps.propertyCounts(ev, col(prop))
+    val c = col(prop)
+    val num = c.cast("string").try_cast("double") // ANSI-safe numeric view
+    val filtered = modes.foldLeft(ev) { case (df, (op, v)) =>
+      op match {
+        case "gt"  => df.where(num > v.toDouble)
+        case "gte" => df.where(num >= v.toDouble)
+        case "lt"  => df.where(num < v.toDouble)
+        case "lte" => df.where(num <= v.toDouble)
+        case "eq"  => df.where(num === v.toDouble)
+        case "between" => // "lo,hi": >= lo and < hi (reference: between + and)
+          val Array(lo, hi) = v.split(",", 2).map(_.trim.toDouble)
+          df.where(num >= lo && num < hi)
+        case "rx"  => df.where(c.cast("string").rlike(v))
+        case "sub" => df.where(c.cast("string").contains(v))
+        case other => throw new IllegalArgumentException(s"bad search mode '$other'")
+      }
     }
-    val rows = df.orderBy(df.columns.head).collect()
+    val valueCol = bucket match {
+      case Some(b) => (floor(num / b) * b).as("__v")
+      case None    => c.as("__v")
+    }
+    val segNames = if (segments.isEmpty) Seq("*") else segments
+    val withFlags = segNames.zipWithIndex.foldLeft(filtered.select(valueCol, col("id"))) {
+      case (df, ("*", i)) => df.withColumn(s"__s$i", lit(true))
+      case (df, (name, i)) =>
+        val segDir = new java.io.File(warehouse, s"$table/segments/$name").toString
+        val members = spark.read.parquet(segDir).select(col("id").as("__mid"))
+        df.join(broadcast(members), df("id") === col("__mid"), "left")
+          .withColumn(s"__s$i", col("__mid").isNotNull).drop("__mid")
+    }
+    val aggs = segNames.indices.map(i =>
+      countDistinct(when(col(s"__s$i"), col("id"))).as(s"__c$i"))
+    val counted = withFlags.groupBy(col("__v"))
+      .agg(aggs.head, aggs.tail: _*)
+    // reference default: descending by customer count (first segment)
+    val sorted = counted.orderBy(
+      if (order == "asc") col("__c0").asc else col("__c0").desc,
+      col("__v").asc)
+    val limited = if (trim > 0) sorted.limit(trim) else sorted
+    val rows = limited.collect()
     rows.map { r =>
       val v = Option(r.get(0)).map {
         case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+        case d: Double => if (d == d.floor && math.abs(d) < 1e15) d.toLong.toString else d.toString
         case o => o.toString
       }.getOrElse("null")
-      s"""{"value":$v,"customers":${r.getLong(1)}}"""
+      if (segNames == Seq("*"))
+        s"""{"value":$v,"customers":${r.getLong(1)}}"""
+      else {
+        val cs = segNames.zipWithIndex.map { case (n, i) =>
+          s""""$n":${r.getLong(1 + i)}"""
+        }.mkString(",")
+        s"""{"value":$v,"counts":{$cs}}"""
+      }
     }.mkString("[", ",", "]")
   }
 

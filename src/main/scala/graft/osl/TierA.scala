@@ -198,7 +198,10 @@ object TierA {
     case "count" if s.prop == "id" && s.withKey.isEmpty =>
       Some(s.alias -> countDistinct(col("id")))
     case "count" if s.prop == "id" =>
-      Some(s.alias -> countDistinct(col(s.withKey.get)))
+      // `with` overrides the distinct value, but the dedup cache resets per
+      // CUSTOMER (queryinterpreter.cpp:96, 223-226): the count is distinct
+      // (person, key) pairs, not distinct key values across persons
+      Some(s.alias -> countDistinct(col("id"), col(s.withKey.get)))
     case "count" if s.withKey.isEmpty =>
       // non-id count: one unit per matching row per node (row-distinct key)
       Some(s.alias -> count(col(s.prop)))

@@ -173,6 +173,38 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("property query: search modes, bucket, order, trim, per-segment counts") {
+    val api = freshApi()
+    api.tableCreate(highstreetMeta)
+    val now = 1704067200000L
+    api.insert("highstreet", Seq(
+      """{"id":"u1","stamp":"1704067200","event":"purchase","product_name":"fly rod","product_price":99.0}""",
+      """{"id":"u1","stamp":"1704067300","event":"purchase","product_name":"reel","product_price":55.0}""",
+      """{"id":"u2","stamp":"1704067200","event":"purchase","product_name":"fly net","product_price":7.0}""",
+      """{"id":"u3","stamp":"1704067200","event":"browse","product_name":"fly rod"}"""),
+      nowMs = now)
+    // sub-string search
+    val sub = api.queryProperty("highstreet", "product_name", modes = Seq("sub" -> "fly"))
+    assert(sub.contains("\"fly rod\"") && sub.contains("\"fly net\"") && !sub.contains("reel"))
+    // numeric gt + bucket
+    val gt = api.queryProperty("highstreet", "product_price",
+      bucket = Some(50.0), modes = Seq("gt" -> "10"))
+    assert(gt.contains("""{"value":50,"customers":1}""") && !gt.contains(""""value":0"""))
+    // order asc + trim
+    val asc = api.queryProperty("highstreet", "product_name", order = "asc", trim = 1)
+    assert(asc.count(_ == '{') == 1)
+    // per-segment counts (vs everyone)
+    api.segmentRefresh("highstreet",
+      """@segment buyers
+        |if event.ever(== 'purchase')
+        |  return(true)
+        |end
+        |""".stripMargin, nowMs = now + 1000)
+    val seg = api.queryProperty("highstreet", "product_name",
+      modes = Seq("sub" -> "fly rod"), segments = Seq("*", "buyers"))
+    assert(seg.contains(""""counts":{"*":2,"buyers":1}"""))
+  }
+
   test("customer-property facts merge by id") {
     val api = freshApi()
     api.tableCreate(highstreetMeta)

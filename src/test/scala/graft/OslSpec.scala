@@ -264,6 +264,24 @@ class OslSpec extends SparkSpec {
         |""".stripMargin)
   }
 
+  test("Tier A ≡ Tier B: count id with session (distinct-key override)") {
+    val data = Seq(
+      ("u1", Mon + 1 * H, "purchase", "a", 1.0, Seq[String]()),
+      ("u1", Mon + 2 * H, "purchase", "b", 1.0, Seq[String]()), // same session
+      ("u1", Mon + 9 * H, "purchase", "c", 1.0, Seq[String]()), // new session
+      ("u2", Mon + 1 * H, "purchase", "d", 1.0, Seq[String]())
+    ).toDF("id", "stamp", "event", "product_name", "product_price", "product_group")
+    tierDiff(
+      """select
+        |  count id as customers
+        |  count id with session as sessions
+        |end
+        |each_row where event.is(== 'purchase')
+        |  << event
+        |end
+        |""".stripMargin, data)
+  }
+
   test("Tier A ≡ Tier B: multiple tallies per row") {
     tierDiff(
       """select
