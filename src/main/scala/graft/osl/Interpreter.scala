@@ -22,7 +22,11 @@ final class Interpreter(
     program: Program,
     columns: Map[String, Int], // property name -> row array index
     now: Long,
-    sessionGapMs: Long = 30 * 60 * 1000L) extends Serializable {
+    sessionGapMs: Long = 30 * 60 * 1000L,
+    // `stamp_counts` query param (src/rpc_query.cpp:329): the per-row part
+    // of the distinct key becomes the row STAMP, so rows sharing a stamp
+    // count as one larger row (src/queryinterpreter.cpp:249-251)
+    stampedRowIds: Boolean = false) extends Serializable {
 
   import Interpreter._
 
@@ -271,7 +275,7 @@ final class Interpreter(
             // node) — the distinct value is the VARIABLE's value, not a row
             // column (src/queryinterpreter.cpp:242-244, 306-311)
             val dv = st.vars.getOrElse(sel.prop, VNone).asStr
-            val dedupKey = (j, node, dv, st.cursor.toLong)
+            val dedupKey = (j, node, dv, rowKeyAt(st))
             if (sel.all || !st.seen.contains(dedupKey)) {
               if (!sel.all) st.seen += dedupKey
               bufs(j).addVar()
@@ -286,7 +290,10 @@ final class Interpreter(
                 case Some(k) => rowValue(k, st).asStr
                 case None => rawVal.asStr
               }
-              val rowKey = if (isPeople) 0L else st.cursor.toLong
+              // `count session` parses to dist_count_person mode in the
+              // reference (queryparserosl.h:1092-1100): the row part of the
+              // key is 0, so each session number counts once per person/node
+              val rowKey = if (isPeople || sel.prop == "session") 0L else rowKeyAt(st)
               val dedupKey = (j, node, distinctVal, rowKey)
               if (sel.all || !st.seen.contains(dedupKey)) {
                 if (!sel.all) st.seen += dedupKey
@@ -303,6 +310,9 @@ final class Interpreter(
       depth += 1
     }
   }
+
+  private def rowKeyAt(st: State): Long =
+    if (stampedRowIds) st.stampAt(st.cursor) else st.cursor.toLong
 
   private def rowValue(prop: String, st: State): Value =
     prop match {

@@ -54,9 +54,10 @@ object OslEngine {
     * `(depth, g1..g8, <select aliases…>)`. */
   def query(events: DataFrame, script: String,
             now: Long, sessionGapMs: Long = 30 * 60 * 1000L,
-            forceTierB: Boolean = false): DataFrame = {
+            forceTierB: Boolean = false,
+            stampedRowIds: Boolean = false): DataFrame = {
     val program = Parser.program(script)
-    if (!forceTierB) {
+    if (!forceTierB && !stampedRowIds) {
       TierA.compile(program, events, now, sessionGapMs) match {
         case Some(df) => return df
         case None => ()
@@ -66,7 +67,7 @@ object OslEngine {
       (if (program.select.nonEmpty) program.select
        else Seq(SelectCol("count", "id", "id", None, all = false))).toVector
 
-    val partials = runInterpreter(events, program, now, sessionGapMs)
+    val partials = runInterpreter(events, program, now, sessionGapMs, stampedRowIds)
 
     val gCols = (1 to MaxDepth).map(i => col(s"g$i"))
     val aggExprs = selects.zipWithIndex.map { case (sel, j) =>
@@ -155,7 +156,8 @@ object OslEngine {
 
   // ------------------------------------------------------------------ private
   private def runInterpreter(events: DataFrame, program: Program,
-                             now: Long, sessionGapMs: Long): DataFrame = {
+                             now: Long, sessionGapMs: Long,
+                             stampedRowIds: Boolean = false): DataFrame = {
     val spark = events.sparkSession
     val schema = events.schema
     val nCols = schema.fields.length
@@ -167,7 +169,7 @@ object OslEngine {
        else Seq(SelectCol("count", "id", "id", None, all = false))).toVector
     val nSel = selects.length
     val outSchema = fullPartialSchema(nSel)
-    val interp = new Interpreter(program, colIdx, now, sessionGapMs)
+    val interp = new Interpreter(program, colIdx, now, sessionGapMs, stampedRowIds)
 
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     implicit val rowEnc: org.apache.spark.sql.Encoder[Row] = ExpressionEncoder(schema)

@@ -202,6 +202,10 @@ object TierA {
       // CUSTOMER (queryinterpreter.cpp:96, 223-226): the count is distinct
       // (person, key) pairs, not distinct key values across persons
       Some(s.alias -> countDistinct(col("id"), col(s.withKey.get)))
+    case "count" if s.prop == "session" && s.withKey.isEmpty =>
+      // `count session` = dist_count_person mode (queryparserosl.h:1092-1100)
+      // with the same per-customer dedup scope
+      Some(s.alias -> countDistinct(col("id"), col("session")))
     case "count" if s.withKey.isEmpty =>
       // non-id count: one unit per matching row per node (row-distinct key)
       Some(s.alias -> count(col(s.prop)))

@@ -275,6 +275,7 @@ class OslSpec extends SparkSpec {
       """select
         |  count id as customers
         |  count id with session as sessions
+        |  count session as sessions2
         |end
         |each_row where event.is(== 'purchase')
         |  << event
@@ -502,6 +503,87 @@ class OslSpec extends SparkSpec {
       .select("g1", "loops").as[(String, Long)].collect().toMap
     // per row: two << 'a' tallies dedup to one (same var value, row, node)
     assert(out == Map("a" -> 2L))
+  }
+
+  test("reference test_count_methods: normal and stamped row-id counting") {
+    // Mirrors /root/reference/test/test_count_methods.h: 5 rows for one
+    // user — 2 sharing stamp T0 (rabbit, val 100), 3 sharing stamp T1
+    // (goat, val 200) — tallied by (some_thing, some_color).
+    val T0 = 1458800000000L
+    val T1 = 1458801000000L
+    val data = Seq(
+      ("user1", T0, "some event", "rabbit", "orange", 100.0),
+      ("user1", T0, "some event", "rabbit", "purple", 100.0),
+      ("user1", T1, "some event", "goat", "green", 200.0),
+      ("user1", T1, "some event", "goat", "golden", 200.0),
+      ("user1", T1, "some event", "goat", "cyan", 200.0)
+    ).toDF("id", "stamp", "event", "some_thing", "some_color", "some_val")
+    val script =
+      """select
+        |  count id
+        |  count some_thing as things
+        |  count some_color as colors
+        |  sum some_val as vals
+        |end
+        |each_row where event.is(== 'some event')
+        |  << some_thing, some_color
+        |end
+        |""".stripMargin
+    def depth1(stamped: Boolean) =
+      OslEngine.query(data, script, now = T1 + 1000, forceTierB = true,
+          stampedRowIds = stamped)
+        .where(col("depth") === 1)
+        .select("g1", "id", "things", "colors", "vals")
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+        .toMap
+    // normal count: c = [1,3,3,600] goat / [1,2,2,200] rabbit
+    val normal = depth1(stamped = false)
+    assert(normal("goat") == ((1L, 3L, 3L, 600.0)))
+    assert(normal("rabbit") == ((1L, 2L, 2L, 200.0)))
+    // date count (useStampedRowIds): rows sharing a stamp count once for
+    // same-valued aggregates: goat [1,1,3,200], rabbit [1,1,2,100]
+    val stamped = depth1(stamped = true)
+    assert(stamped("goat") == ((1L, 1L, 3L, 200.0)))
+    assert(stamped("rabbit") == ((1L, 1L, 2L, 100.0)))
+  }
+
+  test("reference test_sessions: session numbering, count session, session_count") {
+    // Mirrors /root/reference/test/test_sessions.h: 9 events in 3 bursts
+    // separated by years -> 3 sessions; node 'all' counts [1,3,9]
+    // (people, distinct sessions, rows).
+    val stamps = Seq(1458800000L, 1458800100L, 1458800200L,
+      1545220000L, 1545220100L, 1545220900L,
+      1631600000L, 1631600400L, 1631601200L)
+    val strs = Seq("rabbit", "train", "cat", "dog", "cat", "rabbit",
+      "train", "plane", "automobile")
+    val vals = (100 to 108).map(_.toDouble)
+    val data = stamps.indices.map(i =>
+      ("user1", stamps(i) * 1000L, "some event", strs(i), vals(i)))
+      .toDF("id", "stamp", "event", "some_str", "some_val")
+    val script =
+      """select
+        |  count id
+        |  count session as sessions
+        |  count some_val as vals
+        |end
+        |n_in_2 = 0
+        |each_row where event.is(== 'some event')
+        |  << 'all', some_str
+        |  if session == 2
+        |    n_in_2 = n_in_2 + 1
+        |  end
+        |end
+        |return(int(session_count == 3) * 100 + n_in_2)
+        |""".stripMargin
+    val hist = OslEngine.histogram(data, script, now = 1631610000000L)
+      .as[(String, Double)].head()
+    assert(hist == (("user1", 103.0))) // session_count==3 true; 3 rows in session 2
+    val tree = OslEngine.query(data, script, now = 1631610000000L, forceTierB = true)
+      .where(col("depth") === 1)
+      .select("id", "sessions", "vals").as[(Long, Long, Long)].collect().toSeq
+    assert(tree == Seq((1L, 3L, 9L))) // reference c = [1,3,9]
   }
 
   test("language: get_row returns the row as a dict") {
