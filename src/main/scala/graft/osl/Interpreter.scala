@@ -360,6 +360,8 @@ final class Interpreter(
     case UnOp("-", x) =>
       eval(x, st) match {
         case VInt(i) => VInt(-i)
+        case VBool(b) => VBool(!b) // cvar unary minus flips bools (var.h:1257-1258)
+        case VStr(str) => VStr("-" + str) // var.h:1259-1260
         case v => VDbl(-v.asDouble)
       }
     case UnOp(_, x) => eval(x, st)

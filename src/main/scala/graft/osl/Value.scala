@@ -127,9 +127,21 @@ object Value {
     case (VSet(x), y)         => VSet(x.filterNot(e => eq(e, y)))
     case (VDict(x), VList(y)) => VDict(x -- y.map(_.asStr))
     case (VDict(x), y)        => VDict(x - y.asStr)
+    // string minus removes every occurrence of the operand
+    // (cvar::subStrings, lib/var/var.h:655-664)
+    case (VStr(x), y)         => VStr(removeAll(x, y.asStr))
     case (VDbl(_), _) | (_, VDbl(_)) => VDbl(a.asDouble - b.asDouble)
     case _                    => VInt(a.asLong - b.asLong)
   }
+
+  private def removeAll(left: String, right: String): String =
+    if (right.isEmpty) left
+    else {
+      var s = left
+      var i = s.indexOf(right)
+      while (i >= 0) { s = s.substring(0, i) + s.substring(i + right.length); i = s.indexOf(right) }
+      s
+    }
 
   def times(a: Value, b: Value): Value =
     if (a.isNumeric && b.isNumeric)
