@@ -140,20 +140,27 @@ final class Interpreter(
       target match {
         case VarRef(n) => st.vars(n) = newVal
         case PropRef(n) => st.vars(n) = newVal // customer-prop write-back: modeled as var
-        case Subscript(recv, idx) =>
-          val container = eval(recv, st)
-          val key = eval(idx, st)
-          val updated = container match {
-            case VDict(m) => VDict(m + (key.asStr -> newVal))
-            case VList(xs) =>
-              val i = key.asLong.toInt
-              if (i >= 0 && i < xs.length) VList(xs.updated(i, newVal)) else VList(xs)
-            case _ => VDict(Map(key.asStr -> newVal))
-          }
-          recv match {
-            case VarRef(n) => st.vars(n) = updated
+        case sub: Subscript =>
+          // nested subscripts update bottom-up: nested['a']['b'] = v
+          // rebuilds each enclosing container (reference cvar subscripts
+          // return references, so nesting is free there)
+          def update(target: Expr, nv: Value): Unit = target match {
+            case VarRef(n) => st.vars(n) = nv
+            case PropRef(n) => st.vars(n) = nv
+            case Subscript(r2, i2) =>
+              val container = eval(r2, st)
+              val key = eval(i2, st)
+              val updated = container match {
+                case VDict(m) => VDict(m + (key.asStr -> nv))
+                case VList(xs) =>
+                  val i = key.asLong.toInt
+                  if (i >= 0 && i < xs.length) VList(xs.updated(i, nv)) else VList(xs)
+                case _ => VDict(Map(key.asStr -> nv))
+              }
+              update(r2, updated)
             case _ => ()
           }
+          update(sub, newVal)
         case _ => ()
       }
       SNormal
@@ -254,8 +261,21 @@ final class Interpreter(
       case Some(LookBack(span, anchor)) =>
         val a = anchor.map(e => eval(e, st).asLong).getOrElse(anchorStamp)
         (if (eval(span, st).asLong == Long.MaxValue) Long.MinValue else a - eval(span, st).asLong, a)
-      case Some(DateRange(s, e)) => (eval(s, st).asLong, eval(e, st).asLong)
+      // ISO8601 strings convert like the reference's stamp coercion
+      // (marshal_ISO8601_to_stamp, src/queryinterpreter.cpp:464-480);
+      // range bounds are inclusive
+      case Some(DateRange(s, e)) => (asStamp(eval(s, st)), asStamp(eval(e, st)))
     }
+
+  /** Stamp coercion for frame bounds: ISO8601 strings parse to epoch ms. */
+  private def asStamp(v: Value): Long = v match {
+    case VStr(s) if s.exists(c => c == '-' || c == ':') =>
+      try java.time.OffsetDateTime.parse(s).toInstant.toEpochMilli
+      catch { case _: Throwable =>
+        try java.time.Instant.parse(s).toEpochMilli
+        catch { case _: Throwable => v.asLong } }
+    case other => other.asLong
+  }
 
   // ------------------------------------------------------------------- tally
   /** Emit the current row into every prefix node of the group path
@@ -337,7 +357,15 @@ final class Interpreter(
     case ListLit(items) => VList(items.map(eval(_, st)).toVector)
     case SetLit(items) => VSet(items.map(eval(_, st)).toSet)
     case DictLit(pairs) =>
-      VDict(pairs.map { case (k, v) => eval(k, st).asStr -> eval(v, st) }.toMap)
+      // bare-word keys ({fruits: ...}) read as literal strings when no such
+      // variable is defined (reference dict literals accept unquoted keys)
+      VDict(pairs.map { case (k, v) =>
+        val key = k match {
+          case VarRef(n) if !st.vars.contains(n) && !columns.contains(n) => n
+          case other => eval(other, st).asStr
+        }
+        key -> eval(v, st)
+      }.toMap)
 
     case VarRef(name) => lookup(name, st)
     case PropRef(name) => lookup(name, st)
@@ -552,14 +580,26 @@ final class Interpreter(
           }
         } else VNone
       case "round" =>
-        VDbl(java.math.BigDecimal.valueOf(args(0).asDouble)
-          .setScale(args.lift(1).map(_.asLong.toInt).getOrElse(0),
-            java.math.RoundingMode.HALF_EVEN).doubleValue())
+        // C round() on the scaled double (marshal_round,
+        // src/queryinterpreter.cpp:508-533): halves away from zero AFTER
+        // the power-of-ten multiply, so round(5.545, 2) == 5.55
+        val power = math.pow(10.0, args.lift(1).map(_.asLong.toDouble).getOrElse(0.0))
+        VDbl(Interpreter.cRound(args(0).asDouble * power) / power)
       case "trunc" => VInt(args(0).asDouble.toLong)
       case "fix" =>
-        val places = args(1).asLong.toInt
-        VStr(java.math.BigDecimal.valueOf(args(0).asDouble)
-          .setScale(places, java.math.RoundingMode.HALF_EVEN).toPlainString)
+        // string-formatting round (marshal_fix, src/queryinterpreter.cpp:
+        // 535-574): abs value, C round at the scaled power, re-insert the
+        // decimal point, re-apply the sign
+        val places = math.min(args(1).asLong.toInt, 10)
+        val v0 = args(0).asDouble
+        val neg = v0 < 0
+        val power = if (places != 0) math.pow(10.0, places) else 1.0
+        val rounded = Interpreter.cRound(math.abs(v0) * power).toLong
+        var str = rounded.toString
+        if (str.length <= places) str = "0" * (places - str.length + 1) + str
+        if (places != 0)
+          str = str.substring(0, str.length - places) + "." + str.substring(str.length - places)
+        VStr(if (neg) "-" + str else str)
       case "to_seconds" => VInt(args(0).asLong / 1000L)
       case "to_minutes" => VInt(args(0).asLong / 60000L)
       case "to_hours" => VInt(args(0).asLong / 3600000L)
@@ -692,6 +732,10 @@ object Interpreter {
     def addVar(): Unit = { cnt += 1; sumFixed += 10000L }
     def setLast(fixed: Long, seq: Long): Unit = { lastFixed = fixed; lastSeq = seq }
   }
+
+  /** C `round()`: halves away from zero. */
+  def cRound(x: Double): Double =
+    if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)
 
   /** double → ×10,000 fixed point, HALF_UP — identical to SQL
     * `CAST(x AS DECIMAL(·,4))`. */

@@ -88,8 +88,16 @@ object Value {
     case (x, y) => x.asStr.compareTo(y.asStr)
   }
 
-  /** `in` / `contains` membership: container on the right/left resp. */
-  def contains(container: Value, item: Value): Boolean = container match {
+  /** `in` / `contains` membership: container on the right/left resp.
+    * A container operand means contains-ALL-of
+    * (cvar::containsAllOf, lib/var/var.h:559-584). */
+  def contains(container: Value, item: Value): Boolean = item match {
+    case VList(xs) => xs.forall(containsOne(container, _))
+    case VSet(xs)  => xs.forall(containsOne(container, _))
+    case _         => containsOne(container, item)
+  }
+
+  private def containsOne(container: Value, item: Value): Boolean = container match {
     case VList(xs) => xs.exists(eq(_, item))
     case VSet(xs)  => xs.exists(eq(_, item))
     case VDict(m)  => m.contains(item.asStr)

@@ -395,8 +395,8 @@ class OslSpec extends SparkSpec {
         |""".stripMargin
     val data = Seq(("u1", 1L, "e")).toDF("id", "stamp", "event")
     val out = OslEngine.histogram(data, script, now = Tue).as[(String, Double)].head()
-    // 500 + 2 (banker's: 2.5 -> 2) + 1 + 9
-    assert(out == (("u1", 512.0)))
+    // 500 + 3 (C round(): 2.5 away from zero -> 3) + 1 + 9
+    assert(out == (("u1", 513.0)))
   }
 
   test("language: break('all') unwinds nested each_row") {
@@ -584,6 +584,165 @@ class OslSpec extends SparkSpec {
       .where(col("depth") === 1)
       .select("id", "sessions", "vals").as[(Long, Long, Long)].collect().toSeq
     assert(tree == Seq((1L, 3L, 9L))) // reference c = [1,3,9]
+  }
+
+  // The reference's language suite uses 5 purchase rows for one user:
+  // fruits orange/apple/pear/banana/orange (test_osl_language.h:19-58)
+  private def fruitRows = Seq(
+    ("u1", 1458820830000L, "purchase", "orange", 5.55),
+    ("u1", 1458820831000L, "purchase", "apple", 9.95),
+    ("u1", 1458820832000L, "purchase", "pear", 12.49),
+    ("u1", 1458820833000L, "purchase", "banana", 2.49),
+    ("u1", 1458820834000L, "purchase", "orange", 5.55)
+  ).toDF("id", "stamp", "event", "fruit", "price")
+
+  /** Run `script` (which increments `ok` per passing check) and assert all
+    * `expected` checks passed — the ASSERTDEBUGLOG equivalent. */
+  private def checkScript(script: String, expected: Int,
+                          data: org.apache.spark.sql.DataFrame = fruitRows): Unit = {
+    val wrapped = s"ok = 0\n$script\nreturn(ok)\n"
+    val out = OslEngine.histogram(data, wrapped, now = 1458830000000L)
+      .as[(String, Double)].head()
+    assert(out._2 == expected.toDouble, s"script checks failed: got ${out._2}/$expected")
+  }
+
+  test("reference osl_language: containers contains/any semantics") {
+    checkScript(
+      """test_value = ['apple', 'pear', 'orange']
+        |ok = ok + int(test_value[0] == 'apple')
+        |ok = ok + int(test_value[1] != 'apple')
+        |ok = ok + int(len(test_value) == 3)
+        |ok = ok + int('apple' in test_value)
+        |ok = ok + int((test_value contains 'donkey') == false)
+        |ok = ok + int(test_value contains ['apple', 'pear'])
+        |ok = ok + int((test_value contains ['apple', 'duck']) == false)
+        |ok = ok + int(test_value any ['donkey', 'apple', 'bear'])
+        |ok = ok + int((test_value any ['donkey', 'duck', 'bear']) == false)
+        |""".stripMargin, 9)
+  }
+
+  test("reference osl_language: dict literals with bare keys, nested update") {
+    checkScript(
+      """test_value = {
+        |  fruits: ['apple', 'orange', 'pear', 'banana'],
+        |  animals: ['zebra', 'unicorn', 'donkey'],
+        |  a_boolean: true
+        |}
+        |ok = ok + int(len(test_value) == 3)
+        |ok = ok + int(len(test_value['fruits']) == 4)
+        |ok = ok + int(test_value['animals'][1] == 'unicorn')
+        |someDict = {'hello': 'goodbye', 'many': [1,2,3,4]}
+        |someDict = someDict + {'fresh': 'prince'}
+        |ok = ok + int(len(someDict) == 3)
+        |someDict = someDict - 'hello'
+        |ok = ok + int(len(someDict) == 2)
+        |someDict['cheese'] = {'orange': ['chedder'], 'soft': ['mozza', 'cream']}
+        |someDict['cheese'] = someDict['cheese'] - 'orange'
+        |ok = ok + int(len(someDict['cheese']) == 1)
+        |some_set = set('one', 'two', 'three')
+        |ok = ok + int(len(some_set) == 3)
+        |some_set = some_set - 'two'
+        |ok = ok + int(len(some_set) == 2)
+        |nested = {}
+        |nested['yellow'] = {}
+        |nested['yellow']['green'] = 'this is green'
+        |ok = ok + int(nested['yellow']['green'] == 'this is green')
+        |""".stripMargin, 9)
+  }
+
+  test("reference osl_language: for-loop break/continue counters") {
+    checkScript(
+      """source_list = ['one', 'two', 'three', 'four', 'five', 'six', 'seven']
+        |counter = 0
+        |for item in source_list
+        |  counter = counter + 1
+        |  if counter == 3
+        |    break
+        |  end
+        |end
+        |ok = ok + int(counter == 3)
+        |counter = 0
+        |after_count = 0
+        |for item in source_list
+        |  counter = counter + 1
+        |  if counter >= 3
+        |    continue
+        |  end
+        |  after_count = after_count + 1
+        |end
+        |ok = ok + int(counter == 7)
+        |ok = ok + int(after_count == 2)
+        |letter_list = ['a', 'b', 'c', 'd']
+        |counter = 0
+        |for number in source_list
+        |  for letter in letter_list
+        |    if number == 'three' && letter == 'c'
+        |      break(2)
+        |    end
+        |    counter = counter + 1
+        |  end
+        |end
+        |ok = ok + int(counter == 10)
+        |""".stripMargin, 4)
+  }
+
+  test("reference osl_language: each_row .range is inclusive, .reverse flips") {
+    checkScript(
+      """counter = 0
+        |last = 0
+        |ordered = true
+        |each_row.range('2016-03-24T12:00:31+00:00', '2016-03-24T12:00:33+00:00') where event.is(== 'purchase')
+        |  counter = counter + 1
+        |  if last != 0 && stamp < last
+        |    ordered = false
+        |  end
+        |  last = stamp
+        |end
+        |ok = ok + int(counter == 3)
+        |ok = ok + int(ordered)
+        |rcounter = 0
+        |rlast = 0
+        |rordered = true
+        |each_row.reverse().range('2016-03-24T12:00:31+00:00', '2016-03-24T12:00:33+00:00') where event.is(== 'purchase')
+        |  rcounter = rcounter + 1
+        |  if rlast != 0 && stamp > rlast
+        |    rordered = false
+        |  end
+        |  rlast = stamp
+        |end
+        |ok = ok + int(rcounter == 3)
+        |ok = ok + int(rordered)
+        |""".stripMargin, 4)
+  }
+
+  test("reference osl_language: number functions round and bucket") {
+    checkScript(
+      """ok = ok + int(round(33.544, 2) == 33.54)
+        |ok = ok + int(round(8.3854, 2) == 8.39)
+        |ok = ok + int(round(12.4912, 2) == 12.49)
+        |ok = ok + int(round(5.545, 2) == 5.55)
+        |ok = ok + int(bucket(513, 25) == 500)
+        |ok = ok + int(bucket(525, 25) == 525)
+        |ok = ok + int(bucket(551, 25) == 550)
+        |ok = ok + int(bucket(5.11, 0.25) == 5.00)
+        |ok = ok + int(bucket(5.25, 0.25) == 5.25)
+        |ok = ok + int(bucket(5.51, 0.25) == 5.50)
+        |ok = ok + int(fix(5.545, 2) == '5.55')
+        |ok = ok + int(fix(-5.545, 2) == '-5.55')
+        |ok = ok + int(fix(0.07, 2) == '0.07')
+        |""".stripMargin, 13)
+  }
+
+  test("reference osl_language: each_row .continue inherits the outer cursor") {
+    checkScript(
+      """counter = 0
+        |each_row.limit(1) where event.is(== 'purchase')
+        |  each_row.continue() where event.is(== 'purchase')
+        |    counter = counter + 1
+        |  end
+        |end
+        |ok = ok + int(counter == 5)
+        |""".stripMargin, 1)
   }
 
   test("language: get_row returns the row as a dict") {
