@@ -745,6 +745,36 @@ class OslSpec extends SparkSpec {
         |""".stripMargin, 1)
   }
 
+  test("reference osl_language: .continue().next(), .from, loose str==num") {
+    checkScript(
+      """counter = 0
+        |each_row.limit(1) where event.is(== 'purchase')
+        |  each_row.continue().next() where event.is(== 'purchase')
+        |    counter = counter + 1
+        |  end
+        |end
+        |ok = ok + int(counter == 4)
+        |fcounter = 0
+        |each_row.from(2) where event.is(== 'purchase')
+        |  fcounter = fcounter + 1
+        |end
+        |ok = ok + int(fcounter == 3)
+        |someVar = '3.14'
+        |ok = ok + int(someVar == 3.14)
+        |someDict = {'hello': 'goodbye', 'many': [1,2,3,4]}
+        |ok = ok + int(someDict['many'][1] == 2)
+        |someDict = someDict - ['hello', 'many']
+        |ok = ok + int(len(someDict) == 0)
+        |someSet = set()
+        |someSet = someSet + 'hello'
+        |someSet = someSet + 'goodbye'
+        |someSet = someSet + 'hello'
+        |ok = ok + int(len(someSet) == 2)
+        |someSet = someSet - 'hello'
+        |ok = ok + int(len(someSet) == 1)
+        |""".stripMargin, 7)
+  }
+
   test("language: get_row returns the row as a dict") {
     val script =
       """r = get_row(cursor + 1)
