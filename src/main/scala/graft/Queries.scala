@@ -31,6 +31,37 @@ object Queries {
   private val DSUM = "CAST(SUM(CAST(%s AS DECIMAL(28,4))) AS DOUBLE)"
   private def dsumSql(expr: String) = DSUM.format(expr)
 
+  /** MinHash-LSH candidate pairs in DuckDB SQL (shared by the pairs query
+    * and the connected-components oracle). Split as CTE-list + final SELECT
+    * so the components oracle can extend the WITH clause. */
+  private val MinhashPairsCtes: String = {
+    import graft.operators.Dedup.{kmA, kmB, MinhashP => MP}
+    val bandSigs = (0 until 4).map { b =>
+      val mins = (0 until 4).map { r =>
+        val i = b * 4 + r
+        s"CAST(list_aggregate(list_transform(hs, v -> (v * ${kmA(i)} + ${kmB(i)}) % $MP), 'min') AS VARCHAR)"
+      }
+      s"SELECT doc_id, $b AS band, md5(${mins.mkString(" || '|' || ")}) AS sig FROM h"
+    }
+    s"""t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= 3
+             THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ELSE [] END AS sh
+      FROM t),
+    h AS (
+      SELECT doc_id, list_transform(sh, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % $MP) AS hs
+      FROM s WHERE len(sh) > 0),
+    bands AS (${bandSigs.mkString(" UNION ALL ")})"""
+  }
+
+  private val MinhashPairsSelect: String =
+    """SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id"""
+
   val registry: Seq[Q] = Seq(
 
     // ---------------------------------------------------------------- relational
@@ -452,31 +483,33 @@ object Queries {
         val d = Tables.documents(s, dir)
         graft.operators.Dedup.minhashCandidates(d, col("doc_id"), col("text"))
       },
-      Some {
-        import graft.operators.Dedup.{kmA, kmB, MinhashP => MP}
-        val bandSigs = (0 until 4).map { b =>
-          val mins = (0 until 4).map { r =>
-            val i = b * 4 + r
-            s"CAST(list_aggregate(list_transform(hs, v -> (v * ${kmA(i)} + ${kmB(i)}) % $MP), 'min') AS VARCHAR)"
-          }
-          s"SELECT doc_id, $b AS band, md5(${mins.mkString(" || '|' || ")}) AS sig FROM h"
-        }
-        s"""WITH t AS (
-          SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
-          FROM documents),
-        s AS (
-          SELECT doc_id,
-            CASE WHEN len(toks) >= 3
-                 THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-                 ELSE [] END AS sh
-          FROM t),
-        h AS (
-          SELECT doc_id, list_transform(sh, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % $MP) AS hs
-          FROM s WHERE len(sh) > 0),
-        bands AS (${bandSigs.mkString(" UNION ALL ")})
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id"""
-      }),
+      Some(s"""WITH $MinhashPairsCtes
+        $MinhashPairsSelect""")),
+
+    // Near-dup clustering: connected components over the LSH candidate
+    // pairs (iterative min-label propagation; representative = min doc_id).
+    // Oracle: recursive-CTE reachability over the same pair SQL.
+    Q("q_neardup_components",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val pairs = graft.operators.Dedup.minhashCandidates(d, col("doc_id"), col("text"))
+        graft.operators.Dedup.connectedComponents(pairs, d.select("doc_id"))
+          .groupBy(col("label").as("component"))
+          .agg(count(lit(1)).as("n_members"))
+          .where(col("n_members") > 1)
+      },
+      Some(s"""WITH RECURSIVE $MinhashPairsCtes,
+        pairs AS ($MinhashPairsSelect),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach(v, l) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, r.l FROM edges e JOIN reach r ON e.dst = r.v),
+        lab AS (SELECT v, MIN(l) AS label FROM reach GROUP BY v)
+        SELECT label AS component, COUNT(*) AS n_members
+        FROM lab GROUP BY label""")),
 
     // Exact n-gram Jaccard near-dup pairs on a bounded subset (O(n²) tier;
     // LSH above is the scale path).

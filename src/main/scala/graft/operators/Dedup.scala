@@ -21,6 +21,41 @@ object Dedup {
     docs.groupBy(md5(text).as("content_hash"))
       .agg(min(id).as("representative"), count(lit(1)).as("n_copies"))
 
+  /** Connected components over candidate-pair edges by iterative min-label
+    * propagation: every vertex adopts the smallest label among itself and
+    * its neighbors until fixpoint. Labels converge to the component's
+    * minimum id, which doubles as the deterministic representative.
+    *
+    * Scale shape: each round is one shuffle join on the edge list plus a
+    * groupBy — the classic large-graph CC without any graph library.
+    * Near-dup clusters are small and dense, so rounds ≈ cluster diameter
+    * (single digits); `localCheckpoint` cuts the growing lineage each round
+    * so plans stay O(1). Returns `(v, label)` for every id in `ids`;
+    * vertices without edges keep their own id as label. */
+  def connectedComponents(pairs: DataFrame, ids: DataFrame,
+                          maxIter: Int = 20): DataFrame = {
+    val idCol = ids.columns.head
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = ids.select(col(idCol).as("v"), col(idCol).as("label"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("v"))
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      val updated = labels.join(neighborMin, labels("v") === neighborMin("src"), "left")
+        .select(col("v"), col("label"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("nl"))
+        .localCheckpoint(true)
+      changed = updated.where(col("nl") < col("label")).count()
+      labels = updated.select(col("v"), col("nl").as("label"))
+      iter += 1
+    }
+    labels
+  }
+
   /** Keep one representative row per distinct content (min id wins). */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

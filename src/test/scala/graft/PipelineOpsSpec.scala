@@ -17,6 +17,17 @@ class PipelineOpsSpec extends SparkSpec {
   private def docs = Seq((0L, docA), (1L, docA2), (2L, docB), (3L, docC))
     .toDF("doc_id", "text")
 
+  test("connected components: chains collapse to min-id label, isolated keep own") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val ids = (1L to 12L).toDF("doc_id")
+    val cc = Dedup.connectedComponents(pairs, ids)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L)) // 4-chain -> label 1
+    assert(cc(10L) == 10L && cc(11L) == 10L)
+    assert(cc(5L) == 5L && cc(12L) == 12L) // isolated vertices
+  }
+
   test("exact dedup groups by content hash") {
     val g = Dedup.exactGroups(docs, col("doc_id"), col("text"))
     assert(g.count() == 3)
