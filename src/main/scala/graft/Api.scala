@@ -304,6 +304,135 @@ final class Api(spark: SparkSession, warehouse: String) {
     (p.getProperty("cursor").toLong, p.getProperty("retention_ms").toLong)
   }
 
+  // -------------------------------------------------------------------- batch
+  /** `POST /v1/query/{t}/batch` (docs/rest/README.md:379-415): one text
+    * block mixing `@segment` definitions (refreshed first), `@use` (segment
+    * scope for what follows), `@property name [bucket=]` and
+    * `@histogram name [bucket=|min=|max=|foreach=]` sections with their
+    * scripts — answered as one combined JSON document. */
+  def queryBatch(table: String, script: String, nowMs: Long): String = {
+    final case class Section(kind: String, header: String, body: StringBuilder)
+    val sections = scala.collection.mutable.ArrayBuffer.empty[Section]
+    script.linesIterator.foreach { line =>
+      val t = line.trim
+      if (t.startsWith("@")) {
+        val kind = t.drop(1).takeWhile(!_.isWhitespace)
+        sections += Section(kind, t.drop(1 + kind.length).trim, new StringBuilder)
+      } else if (sections.nonEmpty)
+        sections.last.body.append(line).append("\n")
+    }
+
+    def flags(header: String): (Seq[String], Map[String, String]) = {
+      val parts = header.split("\\s+").filter(_.nonEmpty)
+      val (kv, bare) = parts.partition(_.contains("="))
+      (bare.toSeq, kv.map { p =>
+        val Array(k, v) = p.split("=", 2); k -> v
+      }.toMap)
+    }
+    // time literals in flag values (5_minutes) expand like the lexer does
+    def spanMs(v: String): Double = graft.osl.Lexer.lex(s"x = $v")
+      .collectFirst { case graft.osl.Lexer.TInt(ms) => ms.toDouble }
+      .getOrElse(v.toDouble)
+
+    // 1. refresh all @segment sections in one pass
+    val segSections = sections.filter(_.kind == "segment")
+    if (segSections.nonEmpty) {
+      val segScript = segSections
+        .map(s => s"@segment ${s.header}\n${s.body}").mkString("\n")
+      segmentRefresh(table, segScript, nowMs)
+    }
+
+    var useSegments: Seq[String] = Nil
+    def memberFilter(df: DataFrame): DataFrame =
+      if (useSegments.isEmpty) df
+      else {
+        val members = useSegments.map { name =>
+          spark.read.parquet(
+            new java.io.File(warehouse, s"$table/segments/$name").toString)
+        }.reduce(_ union _).distinct()
+        df.join(broadcast(members), Seq("id"), "left_semi")
+      }
+
+    val props = scala.collection.mutable.ArrayBuffer.empty[String]
+    val hists = scala.collection.mutable.ArrayBuffer.empty[String]
+    sections.foreach { s =>
+      s.kind match {
+        case "use" => useSegments = s.header.split("\\s+").filter(_.nonEmpty).toSeq
+        case "property" =>
+          val (bare, kv) = flags(s.header)
+          val name = bare.head
+          val segs = if (useSegments.isEmpty) Nil else "*" +: useSegments
+          props += s""""$name":${queryProperty(table, name,
+            bucket = kv.get("bucket").map(spanMs), segments = segs)}"""
+        case "histogram" =>
+          val (bare, kv) = flags(s.header)
+          val name = bare.head
+          val bucket = kv.get("bucket").map(spanMs).getOrElse(1.0)
+          val fill = for (lo <- kv.get("min"); hi <- kv.get("max"))
+            yield (spanMs(lo), spanMs(hi))
+          val events = memberFilter(catalog.events(table))
+          val m = catalog.describe(table)
+          def runOne(inject: String): Seq[(Double, Long)] =
+            graft.osl.OslEngine.histogram(events, inject + s.body.toString,
+                now = nowMs, sessionGapMs = m.settings.sessionTimeMs)
+              .groupBy((floor(col("value") / bucket) * bucket).as("b"))
+              .agg(countDistinct(col("id")).as("c"))
+              .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+          val counted: Seq[(String, Seq[(Double, Long)])] = kv.get("foreach") match {
+            case None => Seq("" -> runOne(""))
+            case Some(prop) =>
+              // each_value iterates the property's distinct values
+              // (bounded — the reference walks the property index)
+              val values = catalog.events(table).select(col(prop)).distinct()
+                .limit(256).collect().map(_.get(0)).filter(_ != null)
+              values.toSeq.map { v =>
+                val lit = v match {
+                  case s2: String => "'" + s2.replace("'", "\\'") + "'"
+                  case other => other.toString
+                }
+                v.toString -> runOne(s"each_value = $lit\n")
+              }
+          }
+          def render(rows: Seq[(Double, Long)]): String = {
+            val filled = fill match {
+              case Some((lo, hi)) =>
+                val m0 = rows.toMap
+                Iterator.iterate(lo)(_ + bucket).takeWhile(_ <= hi)
+                  .map(b => b -> m0.getOrElse(b, 0L)).toSeq
+              case None => rows.sortBy(_._1)
+            }
+            filled.map { case (b, c) =>
+              val bs = if (b == b.floor && math.abs(b) < 1e15) b.toLong.toString else b.toString
+              s"""{"g":$bs,"c":$c}"""
+            }.mkString("[", ",", "]")
+          }
+          hists += (counted match {
+            case Seq(("", rows)) => s""""$name":${render(rows)}"""
+            case groups =>
+              val inner = groups.map { case (v, rows) =>
+                s""""${v.replace("\"", "\\\"")}":${render(rows)}"""
+              }.mkString(",")
+              s""""$name":{$inner}"""
+          })
+        case _ => () // segment handled above
+      }
+    }
+
+    val segCounts =
+      if (segSections.isEmpty) ""
+      else {
+        val counts = segSections.map { s =>
+          val name = s.header.split("\\s+").head
+          val n = try spark.read.parquet(
+              new java.io.File(warehouse, s"$table/segments/$name").toString).count()
+            catch { case _: Throwable => 0L }
+          s"""{"segment":"$name","count":$n}"""
+        }
+        s""""segments":[${counts.mkString(",")}],"""
+      }
+    s"""{$segCounts"properties":{${props.mkString(",")}},"histograms":{${hists.mkString(",")}}}"""
+  }
+
   // ------------------------------------------------------------------- status
   def status(): String = {
     val tables = catalog.list()

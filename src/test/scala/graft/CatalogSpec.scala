@@ -205,6 +205,47 @@ class CatalogSpec extends SparkSpec {
     assert(seg.contains(""""counts":{"*":2,"buyers":1}"""))
   }
 
+  test("batch route: segments + @use + properties + histograms with foreach") {
+    val api = freshApi()
+    api.tableCreate(highstreetMeta)
+    val now = 1704067200000L
+    api.insert("highstreet", Seq(
+      """{"id":"u1","stamp":"1704067200","event":"purchase","product_name":"rod","product_price":99.0}""",
+      """{"id":"u1","stamp":"1704067300","event":"purchase","product_name":"reel","product_price":55.0}""",
+      """{"id":"u2","stamp":"1704067200","event":"purchase","product_name":"net","product_price":7.0}""",
+      """{"id":"u3","stamp":"1704067200","event":"browse","product_name":"rod"}"""),
+      nowMs = now)
+    val batch =
+      """@segment buyers refresh=5_minutes
+        |if event.ever(== 'purchase')
+        |  return(true)
+        |end
+        |
+        |@use buyers
+        |
+        |@property product_name
+        |
+        |@histogram spend bucket=50 min=0 max=150
+        |spend = sum(product_price) where event.is(== 'purchase')
+        |return(spend)
+        |
+        |@histogram per_product foreach=product_name
+        |n = count(event) where product_name.is(== each_value)
+        |return(n)
+        |""".stripMargin
+    val out = api.queryBatch("highstreet", batch, nowMs = now + 1000)
+    assert(out.contains("""{"segment":"buyers","count":2}"""))
+    // '*' counts everyone (u1+u3 saw rod); 'buyers' only the @use segment
+    assert(out.contains(""""value":"rod","counts":{"*":2,"buyers":1}"""))
+    // u1 spent 154 -> bucket 150; u2 spent 7 -> bucket 0; 50/100 zero-filled
+    assert(out.contains(""""spend":[{"g":0,"c":1},{"g":50,"c":0},{"g":100,"c":0},{"g":150,"c":1}]"""))
+    // foreach: per product_name counts (u3 excluded by @use)
+    assert(out.contains(""""per_product":{"""))
+    // within buyers: u2 has net (n=1), u1 does not (n=0)
+    assert(out.contains(""""net":[{"g":0,"c":1},{"g":1,"c":1}]"""))
+    assert(api.queryBatch("highstreet", "@property product_name", now).contains("rod"))
+  }
+
   test("customer-property facts merge by id") {
     val api = freshApi()
     api.tableCreate(highstreetMeta)
