@@ -155,6 +155,27 @@ object Queries {
       Some(s"""$E SELECT FLOOR(value / 50.0) * 50.0 AS bucket,
         COUNT(DISTINCT id) AS customers FROM e GROUP BY 1""")),
 
+    // Event JSON properties: the reference's insert path maps the event's
+    // `_` JSON sub-document into schema columns (src/grid.cpp:769-1200);
+    // the Spark-native analog extracts from the JSON props column in-query
+    // (codegen'd get_json_object — no UDF, pushdown-friendly).
+    Q("q_props_json_extract",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        e.withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+          .where(col("k") > 50)
+          .groupBy(col("event"))
+          .agg(countDistinct(col("k")).as("n_k"), count(lit(1)).as("n_rows"),
+            dsum(col("value")).as("total_value"))
+      },
+      Some(s"""WITH p AS (
+          SELECT event_type AS event,
+            CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k, value
+          FROM events)
+        SELECT event, COUNT(DISTINCT k) AS n_k, COUNT(*) AS n_rows,
+          ${dsumSql("value")} AS total_value
+        FROM p WHERE k > 50 GROUP BY event""")),
+
     // Session assignment + session_count (src/grid.cpp:515-522; 30-min gap).
     Q("q_sessions_per_user",
       (s, dir) => {
