@@ -26,10 +26,11 @@ class PlanSpec extends SparkSpec {
 
   test("projections prune the events read schema to referenced columns") {
     val p = plan("q_event_type_counts")
-    // value/event/user_id are read; the payload JSON column must NOT be
+    // value/event/user_id are read; the props JSON column (carried by the
+    // Tables.events projection but unused here) must be pruned at the scan
     val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
     assert(readSchema.nonEmpty)
-    assert(!readSchema.contains("payload"), readSchema)
+    assert(!readSchema.contains("props"), readSchema)
   }
 
   test("Tier-A-able OSL scripts never interpret (no MapGroups in plan)") {
