@@ -1005,6 +1005,28 @@ object Queries {
         SELECT COUNT(*) AS n_pairs, COUNT(DISTINCT id_a) AS n_left
         FROM p WHERE cos >= 0.9""")),
 
+    // Canonical text normalization (NFC + lower + control-strip + whitespace
+    // collapse): the cleaning step ahead of exact/near dedup. Counts how
+    // many raw docs collapse to each normalized form.
+    Q("q_text_normalize",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        d.select(col("source"), TextOps.normalize(col("text")).as("norm"))
+          .groupBy(col("source"))
+          .agg(countDistinct(col("norm")).as("n_distinct"),
+            count(lit(1)).as("n_docs"),
+            sum(length(col("norm")).cast("long")).as("total_chars"))
+      },
+      Some("""WITH n AS (
+          SELECT source,
+            trim(regexp_replace(
+              regexp_replace(lower(nfc_normalize(text)), '[\x00-\x20\x7f]', ' ', 'g'),
+              ' +', ' ', 'g'), ' ') AS norm
+          FROM documents)
+        SELECT source, COUNT(DISTINCT norm) AS n_distinct, COUNT(*) AS n_docs,
+          CAST(SUM(len(norm)) AS BIGINT) AS total_chars
+        FROM n GROUP BY source""")),
+
     // Token counting: whitespace vs BPE-ish regex sub-word tokens per source.
     Q("q_token_counts",
       (s, dir) => {

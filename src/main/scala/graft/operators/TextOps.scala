@@ -13,6 +13,37 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Canonical text normalization for dedup/cleaning pipelines: Unicode NFC,
+    * lowercase (root locale — matches utf8proc/DuckDB `lower`), control
+    * characters to spaces, whitespace runs collapsed, trimmed. One compiled
+    * kernel call per row (NFC needs the JDK normalizer; everything else
+    * rides along in the same pass). */
+  def normalize(text: Column): Column = {
+    val kernel = udf { (s: String) =>
+      if (s == null) null
+      else {
+        val nfc = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+        val lower = nfc.toLowerCase(java.util.Locale.ROOT)
+        val sb = new java.lang.StringBuilder(lower.length)
+        var i = 0
+        var lastSpace = true // leading whitespace drops (trim semantics)
+        while (i < lower.length) {
+          val c = lower.charAt(i)
+          // ASCII controls + space + DEL only — unicode spaces pass
+          // through, keeping the kernel bit-identical to the SQL-regex oracle
+          val isWs = c <= ' ' || c == '\u007f'
+          if (isWs) { if (!lastSpace) sb.append(' '); lastSpace = true }
+          else { sb.append(c); lastSpace = false }
+          i += 1
+        }
+        var n = sb.length
+        while (n > 0 && sb.charAt(n - 1) == ' ') n -= 1
+        sb.substring(0, n)
+      }
+    }
+    kernel(text)
+  }
+
   /** Whitespace tokenization. Deterministic; empty string → [""] filtered. */
   def tokens(text: Column): Column =
     filter(split(text, " "), t => length(t) > 0)
