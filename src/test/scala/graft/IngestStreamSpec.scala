@@ -36,6 +36,43 @@ class IngestStreamSpec extends SparkSpec {
     assert(df.as[Long].head() == 1458820830000L)
   }
 
+  test("reference test_zorder scenario: out-of-order insert, rank sort, idempotence") {
+    // The 14 events from /root/reference/test/test_zorder.h:28-113, inserted
+    // out of stamp order; event_order = alpha, beta, cappa (others rank 99).
+    val T = 1458820000000L
+    def ev(stampSec: Long, event: String, v: Long) =
+      ("user1", stampSec * 1000L, event, v)
+    val incoming = Seq(
+      ev(1458820830L, "delta", 4), ev(1458820830L, "cappa", 3),
+      ev(1458820830L, "beta", 2), ev(1458820830L, "alpha", 1),
+      ev(1458820830L, "beta", 2222),
+      ev(1458820840L, "delta", 4), ev(1458820840L, "cappa", 3),
+      ev(1458820840L, "beta", 2),
+      ev(1458820820L, "alpha", 1), ev(1458820820L, "delta", 4),
+      ev(1458820820L, "cappa", 3), ev(1458820820L, "beta", 2),
+      ev(1458820820L, "alpha", 2), ev(1458820820L, "echo", 5)
+    ).toDF("id", "stamp", "event", "some_val")
+    val empty = incoming.limit(0)
+    val order = Seq("alpha", "beta", "cappa")
+    val merged = EventIngest.upsert(empty, incoming, order, Seq("some_val"))
+    assert(merged.count() == 14) // distinct (stamp, rank, payload) rows all kept
+    // same-stamp same-event different payload (beta 2 vs 2222) both survive
+    assert(merged.where(col("event") === "beta" && col("stamp") === 1458820830000L)
+      .count() == 2)
+    // re-inserting the identical batch is a replace, not a duplicate
+    assert(EventIngest.upsert(merged, incoming, order, Seq("some_val")).count() == 14)
+    // read-side ordering: stamps ascend; within a stamp, z-order rank ascends
+    val seq = EventIngest.ordered(merged, order)
+      .select("stamp", "event").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(seq.map(_._1).sameElements(seq.map(_._1).sorted))
+    val rank = order.zipWithIndex.toMap.withDefaultValue(99)
+    seq.groupBy(_._1).foreach { case (_, evs) =>
+      val ranks = evs.map(e => rank(e._2))
+      assert(ranks.sameElements(ranks.sorted), s"rank order broken: ${evs.mkString(",")}")
+    }
+  }
+
   test("z-order: same-stamp rows order by event_order rank; replace on same hash") {
     val order = Seq("alpha", "bravo")
     val existing = Seq(
