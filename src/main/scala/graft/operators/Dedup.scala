@@ -50,9 +50,13 @@ object Dedup {
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("nl"))
         .localCheckpoint(true)
       changed = updated.where(col("nl") < col("label")).count()
+      // the previous round's checkpoint blocks are dead once `updated` is
+      // materialized — unpersist or they accumulate in storage memory
+      labels.unpersist(false)
       labels = updated.select(col("v"), col("nl").as("label"))
       iter += 1
     }
+    edges.unpersist(false)
     labels
   }
 
