@@ -1027,6 +1027,46 @@ object Queries {
           CAST(SUM(len(norm)) AS BIGINT) AS total_chars
         FROM n GROUP BY source""")),
 
+    // Corpus vocabulary: top-k tokens by document frequency (stopword/vocab
+    // derivation; explode -> hash agg -> tiny top-k).
+    Q("q_top_tokens",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        TextOps.topTokens(d, col("text"), 20)
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS token
+          FROM documents)
+        SELECT token, COUNT(DISTINCT doc_id) AS doc_freq, COUNT(*) AS occurrences
+        FROM t GROUP BY token ORDER BY doc_freq DESC, token ASC LIMIT 20""")),
+
+    // Int8 scalar quantization of embeddings (the storage-compression step
+    // for vector indexes): per-label code sums + worst reconstruction error.
+    Q("q_embedding_quantize",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        emb.select(col("label"),
+            graft.operators.Similarity.quantizeStats(col("embedding")).as("st"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(col("st.qsum")).as("total_qsum"),
+            max(col("st.max_err")).as("max_err"))
+      },
+      Some("""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+        q AS (SELECT label, list_aggregate(e, 'min') AS mn,
+                     list_aggregate(e, 'max') AS mx, e FROM v),
+        z AS (SELECT label, mn, (mx - mn) / 255.0 AS scale,
+          CASE WHEN mx = mn THEN list_transform(e, x -> CAST(0 AS BIGINT))
+               ELSE list_transform(e, x -> CAST(round((x - mn) / ((mx - mn) / 255.0)) AS BIGINT)) END AS qs,
+          e FROM q),
+        w AS (SELECT label, CAST(list_sum(qs) AS BIGINT) AS qsum,
+          list_aggregate(list_transform(range(1, len(e) + 1),
+            i -> abs(e[i] - (mn + qs[i] * scale))), 'max') AS max_err
+          FROM z)
+        SELECT label, COUNT(*) AS n_vecs, CAST(SUM(qsum) AS BIGINT) AS total_qsum,
+          MAX(max_err) AS max_err
+        FROM w GROUP BY label""")),
+
     // Token counting: whitespace vs BPE-ish regex sub-word tokens per source.
     Q("q_token_counts",
       (s, dir) => {

@@ -104,6 +104,42 @@ object Similarity {
     kernel(asDouble(v))
   }
 
+  /** Per-vector int8 scalar quantization stats: min/max-ranged 0..255 codes
+    * (C-style rounding, halves away from zero), code sum and max absolute
+    * reconstruction error — the compression step ANN indexes apply before
+    * storing 100 TB of vectors. One kernel pass per row; constant-scale
+    * vectors quantize to all-zeros. Returns struct(qsum, max_err). */
+  def quantizeStats(v: Column): Column = {
+    val kernel = udf { (arr: Seq[Double]) =>
+      if (arr == null || arr.isEmpty) (0L, 0.0)
+      else {
+        var mn = arr(0); var mx = arr(0)
+        var i = 1
+        while (i < arr.length) {
+          val x = arr(i)
+          if (x < mn) mn = x
+          if (x > mx) mx = x
+          i += 1
+        }
+        val scale = (mx - mn) / 255.0
+        var qsum = 0L
+        var maxErr = 0.0
+        i = 0
+        while (i < arr.length) {
+          val x = arr(i)
+          val q = if (scale == 0.0) 0L
+            else graft.osl.Interpreter.cRound((x - mn) / scale).toLong
+          qsum += q
+          val err = math.abs(x - (mn + q * scale))
+          if (err > maxErr) maxErr = err
+          i += 1
+        }
+        (qsum, maxErr)
+      }
+    }
+    kernel(asDouble(v)).cast("struct<qsum:bigint,max_err:double>")
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a < b) pairs with cosine ≥
     * `threshold`. Brute-force tier — run on an LSH bucket or bounded subset;
     * at corpus scale feed it [[lshTopK]]'s buckets instead. */

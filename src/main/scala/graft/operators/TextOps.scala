@@ -106,6 +106,17 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Corpus vocabulary: top-k tokens by document frequency (ties broken
+    * lexicographically). The building block for stopword/vocab derivation —
+    * one explode + one hash aggregation + a tiny top-k sort. */
+  def topTokens(docs: DataFrame, text: Column, k: Int): DataFrame =
+    docs.select(explode(tokens(text)).as("token"), col("doc_id"))
+      .groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("doc_freq"),
+        count(lit(1)).as("occurrences"))
+      .orderBy(col("doc_freq").desc, col("token").asc)
+      .limit(k)
+
   /** Document fingerprint (winnowing-style): the k lexicographically
     * smallest md5 hashes of the doc's 3-word shingles, joined. Two docs
     * sharing most content share most of the fingerprint.
