@@ -67,7 +67,8 @@ object OslEngine {
       (if (program.select.nonEmpty) program.select
        else Seq(SelectCol("count", "id", "id", None, all = false))).toVector
 
-    val partials = runInterpreter(events, program, now, sessionGapMs, stampedRowIds)
+    val partials = runInterpreter(prefilter(events, program.code, now),
+      program, now, sessionGapMs, stampedRowIds)
 
     val gCols = (1 to MaxDepth).map(i => col(s"g$i"))
     val aggExprs = selects.zipWithIndex.map { case (sel, j) =>
@@ -106,12 +107,18 @@ object OslEngine {
     val stampIdx = colIdx("stamp")
     val interps = defs.map(d =>
       (d.name, new Interpreter(Program(Nil, d.code), colIdx, now, sessionGapMs)))
+    // single-definition, single-each_row segment scripts admit the same
+    // index pre-filter: skipped persons are simply non-members
+    val source = defs match {
+      case Seq(d) => prefilter(events, d.code, now)
+      case _ => events
+    }
 
     implicit val enc = Encoders.product[(String, String)]
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     implicit val rowEnc: org.apache.spark.sql.Encoder[Row] = ExpressionEncoder(schema)
 
-    val ds = events.as(rowEnc)
+    val ds = source.as(rowEnc)
       .groupByKey(r => r.get(idIdx).toString)(Encoders.STRING)
     val out = ds.flatMapGroups { (pid: String, it: Iterator[Row]) =>
       val rows = it.map(r => rowToValues(r, nCols)).toArray
@@ -155,6 +162,22 @@ object OslEngine {
   }
 
   // ------------------------------------------------------------------ private
+  /** Tier B index pre-filter (SURVEY §4.1): when the whole script is one
+    * each_row, a person whose rows never satisfy the (weakened, row-pure)
+    * where can produce no tallies/returns — semi-join them away before the
+    * per-customer interpreter runs. The reference answers the same question
+    * from its bitmap index before mounting customers. */
+  private def prefilter(events: DataFrame, code: Seq[Stmt], now: Long): DataFrame =
+    code match {
+      case Seq(er: EachRow) =>
+        TierA.rowPredicateWeakening(er.where, events.columns.toSet, now) match {
+          case Some(pred) =>
+            events.join(events.where(pred).select("id").distinct(), Seq("id"), "left_semi")
+          case None => events
+        }
+      case _ => events
+    }
+
   private def runInterpreter(events: DataFrame, program: Program,
                              now: Long, sessionGapMs: Long,
                              stampedRowIds: Boolean = false): DataFrame = {

@@ -170,6 +170,42 @@ object TierA {
     })
   }
 
+  /** A row-pure WEAKENING of an each_row `where`: the conjunction of those
+    * top-level conjuncts that are positive row tests compilable to Columns
+    * (dropping frames, ever/never, vars — each drop widens the match set,
+    * so `persons with ≥1 row matching the weakening` is a superset of
+    * `persons whose loop body ever runs`). Used by the Tier B index
+    * pre-filter (SURVEY §4.1 — the reference answers this from its bitmap
+    * index, src/oloop_query.cpp). None when nothing usable survives. */
+  def rowPredicateWeakening(where: Expr, rowCols: Set[String],
+                            now: Long): Option[Column] = {
+    def conjuncts(e: Expr): Seq[Expr] = e match {
+      case BinOp("&&", l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def pure(e: Expr): Boolean = e match {
+      case Lit(_) => true
+      case VarRef("now") | PropRef("now") => true
+      case VarRef(n) => rowCols(n)
+      case PropRef(n) => rowCols(n)
+      case ListLit(xs) => xs.forall(pure)
+      case BinOp(_, l, r) => pure(l) && pure(r)
+      case UnOp(_, x) => pure(x)
+      case Call(_, as) => as.forall(pure)
+      case _ => false
+    }
+    val usable = conjuncts(where).filter {
+      // only POSITIVE row tests: a never/is_not conjunct can hold for
+      // persons with no matching rows at all
+      case PropTest(p, "is", cmp, _, _) => rowCols(p) && pure(cmp.operand)
+      case b @ BinOp(op, _, _)
+        if Set("==", ">", ">=", "<", "<=", "in", "contains", "any")(op) => pure(b)
+      case _ => false
+    }
+    val compiled = usable.flatMap(c => compileExpr(c, now))
+    if (compiled.isEmpty) None else Some(compiled.reduce(_ && _))
+  }
+
   private def isDefault(m: EachRowMods): Boolean =
     !m.reverse && !m.continueFrom && !m.next &&
       m.from.isEmpty && m.limit.isEmpty && m.frame.isEmpty

@@ -775,6 +775,30 @@ class OslSpec extends SparkSpec {
         |""".stripMargin, 7)
   }
 
+  test("Tier B index pre-filter: non-matching persons are skipped, results equal") {
+    // u2 has no 'signup' at all -> pre-filtered away before interpretation;
+    // membership must be identical either way
+    val data = Seq(
+      ("u1", Mon + 1 * H, "signup"), ("u1", Mon + 2 * H, "purchase"),
+      ("u2", Mon + 1 * H, "view"), ("u3", Mon + 1 * H, "signup")
+    ).toDF("id", "stamp", "event")
+    val script =
+      """@segment converted
+        |each_row where event.is(== 'signup')
+        |  each_row.continue().next() where event.is(== 'purchase')
+        |    return(true)
+        |  end
+        |end
+        |""".stripMargin
+    val members = OslEngine.segments(data, script, now = Tue)
+      .select("id").as[String].collect().toSet
+    assert(members == Set("u1"))
+    // the weakening appears as a left-semi join in the plan
+    val plan = OslEngine.segments(data, script, now = Tue)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.take(1500))
+  }
+
   test("language: get_row returns the row as a dict") {
     val script =
       """r = get_row(cursor + 1)
