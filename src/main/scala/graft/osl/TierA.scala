@@ -148,25 +148,91 @@ object TierA {
       case _ => None
     }
 
-  /** Un-framed, un-shifted ever/never tests are person-constant: compile each
-    * to a window-exists over the customer's FULL history (the interpreter
-    * scans all rows when no frame narrows the range,
-    * src/queryinterpreter.cpp:2580-2720 via frameBounds(None)). */
+  /** Un-shifted ever/never tests compile to window-exists columns over the
+    * customer's history (the interpreter scans all rows within the frame
+    * bounds, src/queryinterpreter.cpp:2580-2720 via frameBounds):
+    *  - no frame                  -> exists over the whole person partition;
+    *  - now/first/last-anchored   -> exists with constant or person-constant
+    *    stamp bounds (first/last via min/max(stamp) person windows);
+    *  - cursor-anchored look_back/look_ahead/within -> a RANGE window frame
+    *    on stamp, [lo, hi] inclusive like the interpreter's bounds.
+    * A test whose frame shape is not expressible poisons compilation
+    * (returns None) — correctness never falls through to a wrong column. */
   private def personTestColumns(exprs: Seq[Expr], now: Long)
       : Option[Seq[(PropTest, Column)]] = {
     val tests = scala.collection.mutable.LinkedHashSet.empty[PropTest]
+    var sawUncompilable = false
     def walk(e: Expr): Unit = e match {
-      case pt @ PropTest(_, k, _, None, false) if k == "ever" || k == "never" =>
-        tests += pt
+      case pt @ PropTest(_, k, _, _, next) if k == "ever" || k == "never" =>
+        if (next) sawUncompilable = true else tests += pt
       case BinOp(_, l, r) => walk(l); walk(r)
       case UnOp(_, x) => walk(x)
       case _ => ()
     }
     exprs.foreach(walk)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+    if (sawUncompilable) return None
+    val W = org.apache.spark.sql.expressions.Window
+    val person = W.partitionBy(col("id"))
+    // person-constant stamp anchors (evaluated over the full history)
+    def anchorCol(e: Expr): Option[Column] = e match {
+      case VarRef("now") | PropRef("now") => Some(lit(now))
+      case Lit(VInt(i)) => Some(lit(i))
+      case Lit(VDbl(d)) => Some(lit(d.toLong))
+      case Lit(VStr(s)) => // ISO literals in .range frames
+        try Some(lit(java.time.OffsetDateTime.parse(s).toInstant.toEpochMilli))
+        catch { case _: Throwable =>
+          try Some(lit(java.time.Instant.parse(s).toEpochMilli))
+          catch { case _: Throwable => None } }
+      case VarRef("last_stamp") => Some(max(col("stamp")).over(person))
+      case VarRef("first_stamp") => Some(min(col("stamp")).over(person))
+      case _ => None
+    }
+    def spanMs(e: Expr): Option[Long] = e match {
+      case Lit(VInt(i)) => Some(i)
+      case Lit(VDbl(d)) => Some(d.toLong)
+      case _ => None
+    }
+    def boundedExists(rowPred: Column, lo: Column, hi: Column): Column =
+      max(when(rowPred && col("stamp").between(lo, hi), 1)).over(person)
+    def rangeExists(rowPred: Column, lo: Long, hi: Long): Column = {
+      val loB = if (lo == Long.MinValue) W.unboundedPreceding else lo
+      val hiB = if (hi == Long.MaxValue) W.unboundedFollowing else hi
+      max(when(rowPred, 1)).over(person.orderBy(col("stamp")).rangeBetween(loB, hiB))
+    }
     traverse(tests.toSeq.map { pt =>
-      compileCmp(col(pt.prop), pt.cmp, now).map(rowPred =>
-        pt -> max(when(rowPred, 1)).over(w))
+      compileCmp(col(pt.prop), pt.cmp, now).flatMap { rowPred =>
+        pt.frame match {
+          case None => Some(pt -> max(when(rowPred, 1)).over(person))
+          case Some(Within(span, anchor)) =>
+            (spanMs(span), anchorCol(anchor)) match {
+              case (Some(s), Some(a)) => Some(pt -> boundedExists(rowPred, a - s, a + s))
+              case (Some(s), None) if anchor == PropRef("stamp") || anchor == VarRef("stamp") =>
+                Some(pt -> rangeExists(rowPred, -s, s))
+              case _ => None
+            }
+          case Some(LookBack(span, anchor)) =>
+            (spanMs(span), anchor) match {
+              case (Some(s), None) => // cursor-anchored
+                Some(pt -> rangeExists(rowPred, if (s == Long.MaxValue) Long.MinValue else -s, 0L))
+              case (Some(s), Some(a)) => anchorCol(a).map(ac =>
+                pt -> boundedExists(rowPred,
+                  if (s == Long.MaxValue) lit(Long.MinValue) else ac - s, ac))
+              case _ => None
+            }
+          case Some(LookAhead(span, anchor)) =>
+            (spanMs(span), anchor) match {
+              case (Some(s), None) =>
+                Some(pt -> rangeExists(rowPred, 0L, if (s == Long.MaxValue) Long.MaxValue else s))
+              case (Some(s), Some(a)) => anchorCol(a).map(ac =>
+                pt -> boundedExists(rowPred, ac,
+                  if (s == Long.MaxValue) lit(Long.MaxValue) else ac + s))
+              case _ => None
+            }
+          case Some(DateRange(s, e)) =>
+            for (lo <- anchorCol(s); hi <- anchorCol(e))
+              yield pt -> boundedExists(rowPred, lo, hi)
+        }
+      }
     })
   }
 

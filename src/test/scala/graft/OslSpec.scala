@@ -221,13 +221,17 @@ class OslSpec extends SparkSpec {
     val p1 = Parser.program(
       "each_row.limit(1) where event.is(== 'x')\n  << event\nend\n")
     assert(TierA.compile(p1, highstreet, Tue, 1800000L).isEmpty)
-    // FRAMED ever is row-anchored -> Tier B; the unframed form compiles
+    // .next()-shifted ever depends on the cursor position -> Tier B;
+    // unframed and framed (window-expressible) forms compile
     val p2 = Parser.program(
-      "each_row where event.within(2_hours, last_stamp).ever(== 'x')\n  << event\nend\n")
+      "each_row where event.next().ever(== 'x')\n  << event\nend\n")
     assert(TierA.compile(p2, highstreet, Tue, 1800000L).isEmpty)
     val p3 = Parser.program(
       "each_row where event.ever(== 'x')\n  << event\nend\n")
     assert(TierA.compile(p3, highstreet, Tue, 1800000L).isDefined)
+    val p4 = Parser.program(
+      "each_row where event.within(2_hours, last_stamp).ever(== 'x')\n  << event\nend\n")
+    assert(TierA.compile(p4, highstreet, Tue, 1800000L).isDefined)
   }
 
   private def tierDiff(script: String,
@@ -278,6 +282,34 @@ class OslSpec extends SparkSpec {
         |  count session as sessions2
         |end
         |each_row where event.is(== 'purchase')
+        |  << event
+        |end
+        |""".stripMargin, data)
+  }
+
+  test("Tier A ≡ Tier B: framed ever/never (cursor, now and last_stamp anchors)") {
+    val data = Seq(
+      ("u1", Mon + 1 * H, "purchase", "a", 1.0, Seq[String]()),
+      ("u1", Mon + 9 * H, "view", "b", 1.0, Seq[String]()),
+      ("u2", Mon + 8 * H, "purchase", "c", 1.0, Seq[String]()),
+      ("u2", Mon + 9 * H, "view", "d", 1.0, Seq[String]()),
+      ("u3", Mon + 1 * H, "view", "e", 1.0, Seq[String]())
+    ).toDF("id", "stamp", "event", "product_name", "product_price", "product_group")
+    // person-constant anchor: purchase within 2h of the person's last event
+    tierDiff(
+      """each_row where event.within(2_hours, last_stamp).ever(== 'purchase')
+        |  << event
+        |end
+        |""".stripMargin, data)
+    // cursor-anchored look_back: rows preceded by a purchase within 2h
+    tierDiff(
+      """each_row where event.look_back(2_hours).ever(== 'purchase') && event.is(== 'view')
+        |  << product_name
+        |end
+        |""".stripMargin, data)
+    // cursor-anchored look_ahead never: rows NOT followed by a view in 2h
+    tierDiff(
+      """each_row where event.look_ahead(2_hours).never(== 'view')
         |  << event
         |end
         |""".stripMargin, data)
