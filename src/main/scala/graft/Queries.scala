@@ -884,6 +884,30 @@ object Queries {
           COUNT(DISTINCT id), COUNT(*), ${dsumSql("value")}
         FROM p WHERE value > 100 GROUP BY 3""")),
 
+    // Framed (cursor-anchored) ever inside a Tier A script: purchases with a
+    // signup in the trailing 24h window — compiles to a RANGE window frame
+    // on stamp, no interpreter (PlanSpec-style: zero MapGroups).
+    Q("q_osl_framed_ever",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |each_row where event.look_back(24_hours).ever(== 'signup') && event.is(== 'purchase')
+            |  << get_day_of_week(stamp)
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("g1"), col("customers"), col("n_rows"))
+      },
+      Some(s"""$E SELECT CAST(dayofweek(make_timestamp(p.stamp * 1000)) + 1 AS VARCHAR) AS g1,
+        COUNT(DISTINCT p.id) AS customers, COUNT(*) AS n_rows
+        FROM e p WHERE p.event = 'purchase' AND EXISTS (
+          SELECT 1 FROM e s2 WHERE s2.id = p.id AND s2.event = 'signup'
+            AND s2.stamp BETWEEN p.stamp - 86400000 AND p.stamp)
+        GROUP BY g1""")),
+
     // OSL @segment scripts: ever/never predicates evaluated per customer.
     Q("q_osl_segments",
       (s, dir) => {
