@@ -200,27 +200,44 @@ final class Api(spark: SparkSession, warehouse: String) {
     * bucketed distinct-person counts, zero-filled (src/oloop_histogram.cpp). */
   def queryHistogram(table: String, name: String, script: String, nowMs: Long,
                      bucket: Double = 1.0,
-                     fill: Option[(Double, Double)] = None): String = {
+                     fill: Option[(Double, Double)] = None,
+                     foreach: Option[String] = None): String = {
     val m = catalog.describe(table)
-    val perPerson = graft.osl.OslEngine.histogram(catalog.events(table), script,
-      now = nowMs, sessionGapMs = m.settings.sessionTimeMs)
-    val counted = perPerson
-      .groupBy((floor(col("value") / bucket) * bucket).as("bucket"))
-      .agg(countDistinct(col("id")).as("customers"))
-      .orderBy(col("bucket"))
-      .collect().map(r => (r.getDouble(0), r.getLong(1)))
-    val filled: Seq[(Double, Double)] = fill match {
-      case Some((lo, hi)) =>
-        val m0 = counted.map { case (b, c) => b -> c.toDouble }.toMap
-        Iterator.iterate(lo)(_ + bucket).takeWhile(_ <= hi)
-          .map(b => b -> m0.getOrElse(b, 0.0)).toSeq
-      case None => counted.map { case (b, c) => (b, c.toDouble) }.toSeq
+    def runOne(inject: String): Seq[(Double, Long)] =
+      graft.osl.OslEngine.histogram(catalog.events(table), inject + script,
+          now = nowMs, sessionGapMs = m.settings.sessionTimeMs)
+        .groupBy((floor(col("value") / bucket) * bucket).as("bucket"))
+        .agg(countDistinct(col("id")).as("customers"))
+        .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    def render(rows: Seq[(Double, Long)]): String = {
+      val filled: Seq[(Double, Long)] = fill match {
+        case Some((lo, hi)) =>
+          val m0 = rows.toMap
+          Iterator.iterate(lo)(_ + bucket).takeWhile(_ <= hi)
+            .map(b => b -> m0.getOrElse(b, 0L)).toSeq
+        case None => rows.sortBy(_._1)
+      }
+      filled.map { case (b, c) =>
+        val bs = if (b == b.floor && math.abs(b) < 1e15) b.toLong.toString else b.toString
+        s"""{"g":$bs,"c":$c}"""
+      }.mkString("[", ",", "]")
     }
-    val items = filled.map { case (b, c) =>
-      val bs = if (b == b.floor && math.abs(b) < 1e15) b.toLong.toString else b.toString
-      s"""{"g":$bs,"c":${c.toLong}}"""
-    }.mkString(",")
-    s"""{"name":"$name","histogram":[$items]}"""
+    foreach match {
+      case None => s"""{"name":"$name","histogram":${render(runOne(""))}}"""
+      case Some(prop) =>
+        // each_value iterates the property's distinct values (bounded — the
+        // reference walks the property index)
+        val values = catalog.events(table).select(col(prop)).distinct()
+          .limit(256).collect().map(_.get(0)).filter(_ != null)
+        val inner = values.toSeq.map { v =>
+          val lit0 = v match {
+            case s2: String => "'" + s2.replace("'", "\\'") + "'"
+            case other => other.toString
+          }
+          s""""${v.toString.replace("\"", "\\\"")}":${render(runOne(s"each_value = $lit0\n"))}"""
+        }.mkString(",")
+        s"""{"name":"$name","histogram":{$inner}}"""
+    }
   }
 
   // ------------------------------------------------------- segments + subs

@@ -132,6 +132,14 @@ class CatalogSpec extends SparkSpec {
     assert(hist.contains("""{"g":10,"c":1}""") && hist.contains("""{"g":5,"c":0}"""))
 
     assert(api.status().contains("\"tables\":1"))
+
+    val histEach = api.queryHistogram("highstreet", "per_product",
+      """n = count(event) where product_name.is(== each_value)
+        |return(n)
+        |""".stripMargin, nowMs = now + 86400000L,
+      foreach = Some("product_name"))
+    // every product value gets its own sub-histogram keyed by value
+    assert(histEach.contains("\"rod\":[") && histEach.contains("\"reel\":["))
   }
 
   test("subscriptions: independent cursors over segment enter/exit events") {
