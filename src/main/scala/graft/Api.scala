@@ -321,6 +321,29 @@ final class Api(spark: SparkSession, warehouse: String) {
     (p.getProperty("cursor").toLong, p.getProperty("retention_ms").toLong)
   }
 
+  // ---------------------------------------------------------------- streaming
+  /** Live ingest into a catalog table — the reference's insert drain loop
+    * (`src/oloop_insert.cpp`) as Structured Streaming: micro-batches append
+    * to the table's event log, `on_insert` segments refresh incrementally
+    * for the touched customers only, and their enter/exit events feed any
+    * registered [[subscriptionPoll]] cursors. The stream must carry the
+    * table's events schema (id, stamp, event, …). */
+  def startIngest(table: String, stream: DataFrame, checkpoint: String,
+                  onInsertScript: Option[String] = None,
+                  nowMs: Long): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(catalog.exists(table), s"no such table '$table'")
+    val fns: Map[String, graft.streaming.Streams.SegmentFn] =
+      onInsertScript.map { script =>
+        graft.osl.Parser.segments(script).map { d =>
+          d.name -> ((ev: DataFrame) =>
+            graft.osl.OslEngine.segments(ev, script, now = nowMs)
+              .where(col("segment") === d.name))
+        }.toMap
+      }.getOrElse(Map.empty)
+    graft.streaming.Streams.startIngest(stream,
+      new java.io.File(warehouse, table).toString, checkpoint, fns)
+  }
+
   // -------------------------------------------------------------------- batch
   /** `POST /v1/query/{t}/batch` (docs/rest/README.md:379-415): one text
     * block mixing `@segment` definitions (refreshed first), `@use` (segment

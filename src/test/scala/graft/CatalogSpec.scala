@@ -254,6 +254,38 @@ class CatalogSpec extends SparkSpec {
     assert(api.queryBatch("highstreet", "@property product_name", now).contains("rod"))
   }
 
+  test("streaming ingest into a catalog table feeds segments and subscriptions") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val api = freshApi()
+    api.tableCreate(highstreetMeta)
+    val now = 1704067200000L
+    val script =
+      """@segment buyers on_insert=true
+        |if event.ever(== 'purchase')
+        |  return(true)
+        |end
+        |""".stripMargin
+    api.subscriptionCreate("highstreet", "buyers", "live", nowMs = 0L)
+
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(String, Long, String, String, Double, Seq[String])]
+    val stream = mem.toDF.toDF("id", "stamp", "event", "product_name",
+      "product_price", "product_group")
+    val ckpt = Files.createTempDirectory("graft_api_ckpt").toString
+    val q = api.startIngest("highstreet", stream, ckpt,
+      onInsertScript = Some(script), nowMs = now)
+    mem.addData(("u1", now, "purchase", "rod", 9.5, Seq[String]()))
+    q.processAllAvailable()
+    mem.addData(("u2", now + 1000, "browse", "rod", 0.0, Seq[String]()))
+    q.processAllAvailable()
+    q.stop()
+
+    assert(api.catalog.events("highstreet").count() == 2)
+    val poll = api.subscriptionPoll("highstreet", "buyers", "live", nowMs = now + 5000)
+    assert(poll.contains("\"uid\":\"u1\"") && poll.contains("\"state\":\"entered\""))
+    assert(!poll.contains("u2")) // browser never entered
+  }
+
   test("customer-property facts merge by id") {
     val api = freshApi()
     api.tableCreate(highstreetMeta)
