@@ -45,6 +45,24 @@ object Segments {
   def compliment(universe: DataFrame, a: DataFrame): DataFrame =
     difference(universe, a)
 
+  // ------------------------------------------------------------ bitmap tier
+  /** Aggregate a membership DataFrame into one compact [[graft.functions
+    * .IdBitmap]] — the reference's segment representation
+    * (`src/tablepartitioned.h:29-85`). Partial bitmaps build per partition
+    * and OR-merge, so the shuffle carries chunk images, not id rows. Use for
+    * repeated segment algebra over the same segments: popcount and
+    * AND/OR/ANDNOT run in microseconds with no further scans or joins
+    * (`src/queryinterpreter.cpp:624-888` — the reference short-circuits
+    * whole-segment math the same way). */
+  def membershipBitmap(segment: DataFrame): graft.functions.IdBitmap = {
+    import org.apache.spark.sql.Encoders
+    val bytes = segment.select(col("id").cast("long"))
+      .as(Encoders.scalaLong)
+      .select(graft.functions.IdBitmap.agg)
+      .head()
+    graft.functions.IdBitmap.deserialize(bytes)
+  }
+
   /** Segment-compare mode (`segments=` query param,
     * `src/oloop_query.cpp:69-107`): tag each event row with membership flags
     * so downstream aggregations can produce per-segment columns without

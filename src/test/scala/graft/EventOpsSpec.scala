@@ -70,6 +70,29 @@ class EventOpsSpec extends SparkSpec {
     assert(Segments.compliment(uni, buyers).as[Long].collect().toSet == Set(3L, 4L))
   }
 
+  test("bitmap segments: distributed aggregation + algebra match set semantics") {
+    import graft.functions.IdBitmap
+    // ids spanning several 64Ki chunks, aggregated across partitions
+    val buyerIds = Seq(1L, 70000L, 70001L, 1000000L, 5L)
+    val viewerIds = Seq(5L, 70001L, 9L, 2000000L)
+    val buyers = buyerIds.toDF("id").repartition(4)
+    val viewers = viewerIds.toDF("id").repartition(3)
+    val b = Segments.membershipBitmap(buyers)
+    val v = Segments.membershipBitmap(viewers)
+    assert(b.cardinality == 5 && v.cardinality == 4)
+    assert(b.and(v).toSeq.toSet == (buyerIds.toSet & viewerIds.toSet))
+    assert(b.or(v).cardinality == (buyerIds.toSet | viewerIds.toSet).size)
+    assert(b.andNot(v).toSeq.toSet == (buyerIds.toSet -- viewerIds.toSet))
+    assert(buyerIds.forall(b.contains) && !b.contains(2L) && !b.contains(2000000L))
+    // algebra agrees with the DataFrame set algebra on the same memberships
+    assert(b.and(v).cardinality ==
+      Segments.population(Segments.intersection(buyers, viewers)))
+    assert(b.or(v).cardinality ==
+      Segments.population(Segments.union(buyers, viewers)))
+    // serialization round-trip
+    assert(IdBitmap.deserialize(b.serialize()).toSeq == b.toSeq)
+  }
+
   test("ever/never person-level existence") {
     val e = Seq((1L, 1L, "err"), (1L, 2L, "ok"), (2L, 1L, "ok"))
       .toDF("id", "stamp", "event")
