@@ -318,9 +318,12 @@ final class Interpreter(
               if (sel.all || !st.seen.contains(dedupKey)) {
                 if (!sel.all) st.seen += dedupKey
                 if (sel.agg == "value") {
-                  // last tally wins per node (src/queryinterpreter.cpp:303)
+                  // last tally wins per node (src/queryinterpreter.cpp:303);
+                  // the reference carries the raw TYPED value (result.cpp:
+                  // 709-718) — keep both numeric and text forms
                   st.tallySeq += 1
-                  bufs(j).setLast(Interpreter.toFixed(rawVal.asDouble), st.tallySeq)
+                  bufs(j).setLast(Interpreter.toFixed(rawVal.asDouble),
+                    rawVal.asStr, st.tallySeq)
                 } else bufs(j).add(sel.agg, rawVal)
               }
             }
@@ -720,6 +723,7 @@ object Interpreter {
     var min: Double = Double.MaxValue
     var max: Double = Double.MinValue
     var lastFixed: Long = 0L // `value` modifier: last tallied value ×10,000
+    var lastStr: String = null // `value` on text properties: the raw string
     var lastSeq: Long = -1L  // tally order stamp for last-write-wins merge
     def add(agg: String, v: Value): Unit = {
       cnt += 1
@@ -730,7 +734,9 @@ object Interpreter {
     }
     /** `var` modifier: each deduped tally adds 1 (src/queryinterpreter.cpp:306). */
     def addVar(): Unit = { cnt += 1; sumFixed += 10000L }
-    def setLast(fixed: Long, seq: Long): Unit = { lastFixed = fixed; lastSeq = seq }
+    def setLast(fixed: Long, str: String, seq: Long): Unit = {
+      lastFixed = fixed; lastStr = str; lastSeq = seq
+    }
   }
 
   /** C `round()`: halves away from zero. */

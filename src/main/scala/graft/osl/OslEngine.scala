@@ -34,7 +34,8 @@ object OslEngine {
       Seq(
         StructField(s"s_$j", LongType), StructField(s"c_$j", LongType),
         StructField(s"mn_$j", DoubleType), StructField(s"mx_$j", DoubleType),
-        StructField(s"l_$j", LongType), StructField(s"q_$j", LongType))
+        StructField(s"l_$j", LongType), StructField(s"ls_$j", StringType),
+        StructField(s"q_$j", LongType))
     }
     StructType(partialSchema.fields ++ aggFields)
   }
@@ -82,10 +83,20 @@ object OslEngine {
         case "avg"            => (sum(col(s"s_$j")) / lit(10000.0) / sum(col(s"c_$j"))).as(sel.alias)
         // `value`: last tally wins — deterministic here via the max tally
         // sequence across persons (the reference overwrites in merge order,
-        // src/result.cpp:347-351, which is thread-arbitrary)
-        case "value"          => when(max(col(s"q_$j")) >= 0,
-                                    max(struct(col(s"q_$j").as("q"), col(s"l_$j").as("l")))
-                                      .getField("l") / 10000.0).as(sel.alias)
+        // src/result.cpp:347-351, which is thread-arbitrary). Output type
+        // follows the SOURCE property: text properties return the string
+        // (result.cpp:709-711), everything else the number.
+        case "value" =>
+          val isText = events.schema.fields
+            .find(_.name == sel.prop).exists(_.dataType == StringType)
+          if (isText)
+            when(max(col(s"q_$j")) >= 0,
+              max(struct(col(s"q_$j").as("q"), col(s"ls_$j").as("v")))
+                .getField("v")).as(sel.alias)
+          else
+            when(max(col(s"q_$j")) >= 0,
+              max(struct(col(s"q_$j").as("q"), col(s"l_$j").as("l")))
+                .getField("l") / 10000.0).as(sel.alias)
         // `var`: deduped tally counter (src/queryinterpreter.cpp:306-311)
         case _ /*var*/        => sum(col(s"c_$j")).as(sel.alias)
       }
@@ -214,7 +225,7 @@ object OslEngine {
           Seq(b.sumFixed, b.cnt,
             if (b.cnt > 0) b.min else Double.MaxValue,
             if (b.cnt > 0) b.max else Double.MinValue,
-            b.lastFixed, b.lastSeq)
+            b.lastFixed, b.lastStr, b.lastSeq)
         }
         Row.fromSeq((path.length +: gs) ++ aggs)
       }

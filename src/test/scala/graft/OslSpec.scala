@@ -515,6 +515,25 @@ class OslSpec extends SparkSpec {
     assert(out == Map("rod" -> 25.0, "net" -> 7.0)) // last row wins per node
   }
 
+  test("select `value` on a text property returns the string") {
+    val script =
+      """select
+        |  count id
+        |  value product_name as last_product
+        |end
+        |each_row where event.is(== 'purchase')
+        |  << 'all'
+        |end
+        |""".stripMargin
+    val data = Seq(
+      ("u1", Mon + 1 * H, "purchase", "rod", 1.0, Seq[String]()),
+      ("u1", Mon + 2 * H, "purchase", "net", 2.0, Seq[String]())
+    ).toDF("id", "stamp", "event", "product_name", "product_price", "product_group")
+    val out = OslEngine.query(data, script, now = Tue)
+      .select("g1", "last_product").as[(String, String)].head()
+    assert(out == (("all", "net")))
+  }
+
   test("select `var` declares a script variable and counts deduped tallies") {
     val script =
       """select
