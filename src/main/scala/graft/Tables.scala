@@ -34,6 +34,17 @@ object Tables {
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
 
   /** Raw events as written by the driver: ts is epoch NANOS (Long). */
+  /** Register every test table (plus the normalized `events` view) as temp
+    * views so plain `spark.sql(...)` works over them — the engine's SQL
+    * surface for users who skip the DataFrame API. */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+      .foreach(n => read(spark, dir, n).createOrReplaceTempView(n))
+    eventsRaw(spark, dir).createOrReplaceTempView("events_raw")
+    events(spark, dir).createOrReplaceTempView("events")
+  }
+
   def eventsRaw(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "events")
 
   /** OpenSet-normalized event stream: `(id, stamp, event, value, props,

@@ -40,6 +40,19 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_osl_var_tally").contains("MapGroups"))
   }
 
+  test("spark.sql works over the registered views (SQL surface)") {
+    Tables.registerViews(spark, dir)
+    graft.functions.DotProduct.register(spark) // expose graft_dot to raw SQL
+    val n = spark.sql(
+      "SELECT COUNT(DISTINCT id) FROM events WHERE event = 'purchase'")
+      .head().getLong(0)
+    assert(n > 0)
+    val dot = spark.sql(
+      "SELECT graft_dot(CAST(embedding AS ARRAY<DOUBLE>), CAST(embedding AS ARRAY<DOUBLE>)) FROM embeddings LIMIT 1")
+      .head().getDouble(0)
+    assert(dot > 0.0)
+  }
+
   test("brute-force ANN broadcasts the query side") {
     assert(plan("q_ann_cosine_topk").contains("BroadcastNestedLoopJoin") ||
       plan("q_ann_cosine_topk").contains("BroadcastHashJoin"))
