@@ -850,6 +850,68 @@ class OslSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), plan.take(1500))
   }
 
+  // The 4 page_view events from /root/reference/test/test_db.h:24-59
+  private def testDbRows = {
+    val S = 1000L
+    Seq(
+      ("user1", 1458820830L * S, "page_view", "blog", null.asInstanceOf[String], null.asInstanceOf[Seq[String]]),
+      ("user1", 1458820840L * S, "page_view", "home page", "google.co.uk", Seq("big", "floppy", "slippers")),
+      ("user1", 1458820841L * S, "page_view", "home page", "google.co.uk", Seq("silly", "floppy", "ears")),
+      ("user1", 1458820900L * S, "page_view", "about", null.asInstanceOf[String], null.asInstanceOf[Seq[String]])
+    ).toDF("id", "stamp", "event", "page", "referral_source", "referral_search")
+  }
+
+  test("reference test_db: iterating a set property skips nil rows, c=[1,1,2,2]") {
+    val script =
+      """select
+        |  count id
+        |  count session as sessions
+        |  count page as pages
+        |  count referral_source as sources
+        |end
+        |counter = 0
+        |each_row where page.is(!= nil)
+        |  for ref in referral_search
+        |    counter = counter + 1
+        |    << id, referral_source, ref
+        |  end
+        |end
+        |""".stripMargin
+    val out = OslEngine.query(testDbRows, script, now = 1458830000000L,
+        forceTierB = true)
+      .where(col("depth") === 1)
+      .select("id", "sessions", "pages", "sources")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L, 2L, 2L))) // reference c = [1,1,2,2]
+  }
+
+  test("reference test_db: nested reverse().within() timing windows, c=[1,2]/[1,1]") {
+    val script =
+      """select
+        |  count id
+        |  count page as pages
+        |end
+        |each_row.reverse().limit(1) where page.is(== 'home page')
+        |  match_stamp = stamp
+        |  each_row.continue().next().reverse().within(10_seconds, match_stamp) where event.is(== 'page_view')
+        |    << 'test1', 'home_page', page
+        |  end
+        |end
+        |each_row.reverse().limit(1) where page.is(== 'home page')
+        |  match_stamp = stamp
+        |  each_row.continue().next().reverse().within(100_seconds, match_stamp) where event.is(== 'page_view')
+        |    << 'test2', 'home_page', page
+        |  end
+        |end
+        |""".stripMargin
+    val byG1 = OslEngine.query(testDbRows, script, now = 1458830000000L)
+      .where(col("depth") === 1)
+      .select("g1", "id", "pages")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(byG1("test1") == ((1L, 1L))) // 10s window: one row
+    assert(byG1("test2") == ((1L, 2L))) // 100s window: both home-page-era rows
+  }
+
   test("language: get_row returns the row as a dict") {
     val script =
       """r = get_row(cursor + 1)
