@@ -60,6 +60,18 @@ object Dedup {
     labels
   }
 
+  /** End-to-end near-dedup: MinHash-LSH candidates → connected components →
+    * keep each cluster's representative (= the component's min id; docs in
+    * no cluster keep themselves). The standard corpus-scale dedup pipeline
+    * in one call. */
+  def nearDedup(docs: DataFrame, idName: String, textName: String): DataFrame = {
+    val pairs = minhashCandidates(docs, col(idName), col(textName))
+    val labels = connectedComponents(pairs, docs.select(col(idName)))
+    docs.join(labels, docs(idName) === labels("v"))
+      .where(col("v") === col("label"))
+      .drop("v", "label")
+  }
+
   /** Keep one representative row per distinct content (min id wins). */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -28,6 +28,13 @@ class PipelineOpsSpec extends SparkSpec {
     assert(cc(5L) == 5L && cc(12L) == 12L) // isolated vertices
   }
 
+  test("nearDedup keeps one representative per cluster plus unclustered docs") {
+    // docs 0/1/2 form one near-dup cluster (exact + near); 3 is unrelated
+    val kept = Dedup.nearDedup(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 3L))
+  }
+
   test("exact dedup groups by content hash") {
     val g = Dedup.exactGroups(docs, col("doc_id"), col("text"))
     assert(g.count() == 3)
