@@ -332,6 +332,41 @@ object Queries {
         UNION ALL SELECT 'difference', COUNT(*) FROM (SELECT id FROM high EXCEPT SELECT id FROM active)
         UNION ALL SELECT 'compliment', COUNT(*) FROM (SELECT id FROM uni EXCEPT SELECT id FROM high)""")),
 
+    // The same algebra on the BITMAP tier: memberships aggregate into
+    // roaring-layout IdBitmaps (typed Aggregator, partial bitmaps OR-merged
+    // through the shuffle), then every population is a driver-side popcount
+    // over AND/OR/ANDNOT — the reference's whole-segment short-circuit
+    // (src/queryinterpreter.cpp:624-888). Same oracle as q_segment_algebra.
+    Q("q_segment_algebra_bitmap",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.events(s, dir)
+        val high = Segments.membershipBitmap(Segments.fromAggPredicate(
+          e, Seq(dsum(when(col("event") === "purchase", col("value"))).as("pv")),
+          col("pv") > 600.0))
+        val active = Segments.membershipBitmap(Segments.fromAggPredicate(
+          e, Seq(count(lit(1)).as("c")), col("c") >= 70L))
+        val universe = Segments.membershipBitmap(e.select("id").distinct())
+        Seq(
+          ("high_value", high.cardinality), ("active", active.cardinality),
+          ("intersection", high.and(active).cardinality),
+          ("union", high.or(active).cardinality),
+          ("difference", high.andNot(active).cardinality),
+          ("compliment", universe.andNot(high).cardinality))
+          .toDF("segment", "population")
+      },
+      Some(s"""$E, high AS (
+          SELECT id FROM e GROUP BY id
+          HAVING ${dsumSql("CASE WHEN event = 'purchase' THEN value END")} > 600.0),
+        active AS (SELECT id FROM e GROUP BY id HAVING COUNT(*) >= 70),
+        uni AS (SELECT DISTINCT id FROM e)
+        SELECT 'high_value' AS segment, COUNT(*) AS population FROM high
+        UNION ALL SELECT 'active', COUNT(*) FROM active
+        UNION ALL SELECT 'intersection', COUNT(*) FROM (SELECT id FROM high INTERSECT SELECT id FROM active)
+        UNION ALL SELECT 'union', COUNT(*) FROM (SELECT id FROM high UNION SELECT id FROM active)
+        UNION ALL SELECT 'difference', COUNT(*) FROM (SELECT id FROM high EXCEPT SELECT id FROM active)
+        UNION ALL SELECT 'compliment', COUNT(*) FROM (SELECT id FROM uni EXCEPT SELECT id FROM high)""")),
+
     // Segment-compare mode (`segments=a,b` -> per-segment result columns,
     // src/oloop_query.cpp:69-107): conditional agg per membership flag.
     Q("q_segment_compare",
