@@ -1,0 +1,97 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.osl._
+
+/** Property-based differential testing: random declarative scripts from a
+  * small grammar must produce IDENTICAL results through the Tier A compiler
+  * and the Tier B interpreter. Catches semantic drift that hand-picked
+  * examples miss (this class of test found the count-with and count-session
+  * scope bugs). */
+class TierPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Mon = 1704067200000L
+  private val H = 3600000L
+
+  // a deterministic little world: 6 people, 40 events
+  private lazy val world = {
+    val rnd = new scala.util.Random(7)
+    val events = Seq("purchase", "view", "signup", "error")
+    val products = Seq("rod", "reel", "net", "fly")
+    (0 until 40).map { i =>
+      (s"u${rnd.nextInt(6)}", Mon + rnd.nextInt(72) * H,
+        events(rnd.nextInt(events.length)),
+        products(rnd.nextInt(products.length)),
+        math.round(rnd.nextDouble() * 10000) / 100.0)
+    }.toDF("id", "stamp", "event", "product_name", "product_price").cache()
+  }
+
+  private val genCmp: Gen[String] = Gen.oneOf(
+    "event.is(== 'purchase')",
+    "event.is(!= 'error')",
+    "product_price.is(> 50)",
+    "product_name.is(in ['rod', 'net'])",
+    "event.ever(== 'signup')",
+    "event.never(== 'error')",
+    "event.look_back(24_hours).ever(== 'signup')",
+    "product_price.look_ahead(12_hours).ever(> 80)")
+
+  private val genWhere: Gen[String] = for {
+    n <- Gen.choose(1, 3)
+    cs <- Gen.listOfN(n, genCmp)
+  } yield cs.mkString(" && ")
+
+  private val genGroup: Gen[String] = Gen.oneOf(
+    "event", "product_name", "get_day_of_week(stamp)",
+    "bucket(product_price, 25)", "'k'")
+
+  private val genSelect: Gen[String] = Gen.someOf(
+    Seq("count event as n_rows", "sum product_price as total",
+      "min product_price as mn", "max product_price as mx",
+      "avg product_price as av")).map(extra =>
+    ("count id as customers" +: extra.toSeq).mkString("\n  "))
+
+  private val genScript: Gen[String] = for {
+    sel <- genSelect
+    where <- genWhere
+    g1 <- genGroup
+    g2 <- Gen.option(genGroup)
+    cond <- Gen.option(genCmp.suchThat(!_.contains("ever") pipe identity))
+  } yield {
+    val groups = (Seq(g1) ++ g2.toSeq).mkString(", ")
+    val body = cond match {
+      case Some(c) if !c.contains("ever") && !c.contains("never") =>
+        s"  << $groups\n  if $c\n    << 'extra', $groups\n  end"
+      case _ => s"  << $groups"
+    }
+    s"select\n  $sel\nend\neach_row where $where\n$body\nend\n"
+  }
+
+  implicit class PipeOps[A](a: A) { def pipe[B](f: A => B): B = f(a) }
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Set[Vector[String]] = {
+    val cols = df.columns
+    df.collect().map(r => cols.indices.map(i =>
+      Option(r.get(i)).map {
+        case d: Double => (math.round(d * 10000) / 10000.0).toString
+        case o => o.toString
+      }.orNull).toVector).toSet
+  }
+
+  test("random declarative scripts: Tier A == Tier B (25 seeded samples)") {
+    val params = Gen.Parameters.default
+    (1 to 25).foreach { i =>
+      val script = genScript.pureApply(params, Seed(i.toLong * 7919))
+      val p = Parser.program(script)
+      assert(TierA.compile(p, world, Mon + 100 * H, 1800000L).isDefined,
+        s"sample $i did not compile to Tier A:\n$script")
+      val a = canon(OslEngine.query(world, script, now = Mon + 100 * H))
+      val b = canon(OslEngine.query(world, script, now = Mon + 100 * H,
+        forceTierB = true))
+      assert(a == b, s"tier mismatch on sample $i:\n$script\nA=$a\nB=$b")
+    }
+  }
+}
