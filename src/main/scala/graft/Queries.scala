@@ -1126,6 +1126,39 @@ object Queries {
           MAX(max_err) AS max_err
         FROM w GROUP BY label""")),
 
+    // Benchmark decontamination: distinct word-8-gram overlap of every doc
+    // against a held-out benchmark slice (doc_id < 25) — counts per
+    // contamination level.
+    Q("q_contamination",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        TextOps.contaminationCounts(
+            d.where(col("doc_id") >= 25), d.where(col("doc_id") < 25))
+          .groupBy(col("n_contaminated"))
+          .agg(count(lit(1)).as("n_docs"))
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+          FROM documents),
+        g AS (
+          SELECT doc_id,
+            CASE WHEN len(toks) >= 8
+                 THEN list_distinct(list_transform(range(1, len(toks) - 6),
+                   i -> list_aggregate(toks[i:i+7], 'string_agg', ' ')))
+                 ELSE [] END AS grams
+          FROM t),
+        bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 25),
+        corpus AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id >= 25),
+        hits AS (
+          SELECT c.doc_id, COUNT(*) AS n
+          FROM corpus c JOIN bench b USING (gram) GROUP BY c.doc_id),
+        per_doc AS (
+          SELECT d.doc_id, COALESCE(h.n, 0) AS n_contaminated
+          FROM (SELECT doc_id FROM documents WHERE doc_id >= 25) d
+          LEFT JOIN hits h USING (doc_id))
+        SELECT CAST(n_contaminated AS BIGINT) AS n_contaminated, COUNT(*) AS n_docs
+        FROM per_doc GROUP BY 1""")),
+
     // Token counting: whitespace vs BPE-ish regex sub-word tokens per source.
     Q("q_token_counts",
       (s, dir) => {

@@ -106,6 +106,28 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Benchmark decontamination: per corpus document, how many of its
+    * distinct word n-grams appear anywhere in the `benchmark` set — the
+    * overlap screen run before training on scraped corpora. The benchmark's
+    * n-gram set is tiny relative to the corpus and broadcast; the corpus
+    * explodes n-grams once and aggregates back — one scan + one broadcast
+    * join at 100 TB. */
+  def contaminationCounts(corpus: DataFrame, benchmark: DataFrame,
+                          text: Column = col("text"), n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast => bc}
+    val benchGrams = benchmark
+      .select(explode(shingles(text, n)).as("gram")).distinct()
+    val corpusGrams = corpus
+      .select(col("doc_id"), explode_outer(array_distinct(shingles(text, n))).as("gram"))
+    corpusGrams.join(bc(benchGrams), Seq("gram"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated"))
+      // zero rows for clean docs: restore them with an outer join
+      .join(corpus.select(col("doc_id")), Seq("doc_id"), "right")
+      .select(col("doc_id"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+  }
+
   /** Corpus vocabulary: top-k tokens by document frequency (ties broken
     * lexicographically). The building block for stopword/vocab derivation —
     * one explode + one hash aggregation + a tiny top-k sort. */

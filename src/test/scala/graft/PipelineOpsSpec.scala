@@ -35,6 +35,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kept == Set(0L, 3L))
   }
 
+  test("contamination counts distinct benchmark n-gram overlaps") {
+    val corpus = Seq(
+      (10L, "one two three four five six seven eight nine ten"),
+      (11L, "totally different words with no benchmark overlap here at all ok")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (1L, "one two three four five six seven eight plus tail words")
+    ).toDF("doc_id", "text")
+    val out = TextOps.contaminationCounts(corpus, bench, n = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(out(10L) == 1L) // the single shared 8-gram
+    assert(out(11L) == 0L) // clean doc still reported
+  }
+
   test("exact dedup groups by content hash") {
     val g = Dedup.exactGroups(docs, col("doc_id"), col("text"))
     assert(g.count() == 3)
