@@ -334,11 +334,16 @@ final class Api(spark: SparkSession, warehouse: String) {
     require(catalog.exists(table), s"no such table '$table'")
     val fns: Map[String, graft.streaming.Streams.SegmentFn] =
       onInsertScript.map { script =>
-        graft.osl.Parser.segments(script).map { d =>
-          d.name -> ((ev: DataFrame) =>
-            graft.osl.OslEngine.segments(ev, script, now = nowMs)
-              .where(col("segment") === d.name))
-        }.toMap
+        graft.osl.Parser.segments(script)
+          // only segments flagged on_insert=true refresh per batch (the
+          // reference defaults the flag to FALSE, rpc_query.cpp:693); the
+          // rest wait for the scheduled refresh loop
+          .filter(_.flags.get("on_insert").exists(_.equalsIgnoreCase("true")))
+          .map { d =>
+            d.name -> ((ev: DataFrame) =>
+              graft.osl.OslEngine.segments(ev, script, now = nowMs)
+                .where(col("segment") === d.name))
+          }.toMap
       }.getOrElse(Map.empty)
     graft.streaming.Streams.startIngest(stream,
       new java.io.File(warehouse, table).toString, checkpoint, fns)
