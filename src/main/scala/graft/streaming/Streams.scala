@@ -134,6 +134,28 @@ object Streams {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], template.schema)
     }
 
+  /** Which segment definitions are due for a refresh, given each one's
+    * `refresh=` flag (seconds or a time literal like `5_minutes`) and the
+    * last refresh times — the driver loop the reference runs per table
+    * (`src/table.cpp:104-126` segmentRefresh schedule). Segments without a
+    * refresh flag never come due (on-demand / on_insert only). */
+  def dueForRefresh(defs: Seq[graft.osl.Ast.SegmentDef],
+                    lastRefreshMs: Map[String, Long],
+                    nowMs: Long): Seq[graft.osl.Ast.SegmentDef] =
+    defs.filter { d =>
+      d.flags.get("refresh").exists { v =>
+        // the segment parser lexes time literals (5_minutes) to their ms
+        // value before flags reach us; bare numbers mean SECONDS (the
+        // reference's default is 86400 = daily, table.h:42). Disambiguate
+        // by shape: multiples of 1000 at or above one minute are ms.
+        val raw = v.toDouble.toLong
+        val intervalMs =
+          if (raw >= 60000L && raw % 1000L == 0L) raw else raw * 1000L
+        intervalMs > 0 &&
+          nowMs - lastRefreshMs.getOrElse(d.name, Long.MinValue / 2) >= intervalMs
+      }
+    }
+
   /** Current enter/exit event log (the subscriber view —
     * `src/rpc_sub.cpp:274-411`'s queue equivalent). */
   def segmentEvents(spark: SparkSession, dir: String): DataFrame =

@@ -36,6 +36,26 @@ class IngestStreamSpec extends SparkSpec {
     assert(df.as[Long].head() == 1458820830000L)
   }
 
+  test("dueForRefresh honors refresh= flags (seconds and time literals)") {
+    val defs = graft.osl.Parser.segments(
+      """@segment fast refresh=300
+        |return(true)
+        |@segment slow refresh=5_minutes
+        |return(true)
+        |@segment manual
+        |return(true)
+        |""".stripMargin)
+    val t0 = 1000000L
+    // nothing refreshed yet: every flagged segment is due
+    assert(Streams.dueForRefresh(defs, Map.empty, t0).map(_.name) ==
+      Seq("fast", "slow"))
+    // 299s after refresh: neither due; 300s: both (5_minutes == 300s)
+    val last = Map("fast" -> t0, "slow" -> t0)
+    assert(Streams.dueForRefresh(defs, last, t0 + 299000L).isEmpty)
+    assert(Streams.dueForRefresh(defs, last, t0 + 300000L).map(_.name) ==
+      Seq("fast", "slow"))
+  }
+
   test("reference test_zorder scenario: out-of-order insert, rank sort, idempotence") {
     // The 14 events from /root/reference/test/test_zorder.h:28-113, inserted
     // out of stamp order; event_order = alpha, beta, cappa (others rank 99).
