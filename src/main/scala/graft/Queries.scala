@@ -216,6 +216,51 @@ object Queries {
         SELECT (SELECT COUNT(first_from) FROM f) AS n_entered,
                (SELECT COUNT(*) FROM c) AS n_converted""")),
 
+    // Event transition matrix (path analysis): counts of each
+    // event -> immediately-next-event step per person, deterministic order
+    // by (stamp, event_id).
+    Q("q_event_transitions",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        EventOps.transitions(e, col("event_id"))
+      },
+      Some(s"""$E, l AS (
+          SELECT event,
+            LEAD(event) OVER (PARTITION BY id ORDER BY stamp, event_id) AS next_event,
+            id
+          FROM e)
+        SELECT event, next_event, COUNT(*) AS n_transitions,
+          COUNT(DISTINCT id) AS customers
+        FROM l WHERE next_event IS NOT NULL GROUP BY event, next_event""")),
+
+    // Three-step funnel (signup -> click -> purchase, each step within 7d of
+    // the previous) via the in-row funnelN fold — no self-joins.
+    Q("q_funnel3",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val f = EventOps.funnelN(e, Seq("signup", "click", "purchase"),
+          TimeFns.days(7))
+        f.agg(count(col("step_0")).as("n_step0"),
+          count(col("step_1")).as("n_step1"),
+          count(col("step_2")).as("n_step2"))
+      },
+      Some(s"""$E, s0 AS (
+          SELECT id, MIN(CASE WHEN event = 'signup' THEN stamp END) AS t0
+          FROM e GROUP BY id),
+        s1 AS (
+          SELECT s0.id, t0, MIN(e.stamp) AS t1
+          FROM s0 JOIN e ON e.id = s0.id AND e.event = 'click'
+            AND e.stamp > s0.t0 AND e.stamp <= s0.t0 + 604800000
+          GROUP BY s0.id, t0),
+        s2 AS (
+          SELECT s1.id, MIN(e.stamp) AS t2
+          FROM s1 JOIN e ON e.id = s1.id AND e.event = 'purchase'
+            AND e.stamp > s1.t1 AND e.stamp <= s1.t1 + 604800000
+          GROUP BY s1.id)
+        SELECT (SELECT COUNT(t0) FROM s0) AS n_step0,
+               (SELECT COUNT(*) FROM s1) AS n_step1,
+               (SELECT COUNT(*) FROM s2) AS n_step2""")),
+
     // .ever / .never modifiers (src/queryinterpreter.cpp:2580-2720).
     Q("q_ever_error_never_signup",
       (s, dir) => {

@@ -98,6 +98,41 @@ object EventOps {
       .drop("to_stamps")
   }
 
+  /** N-step funnel: the stamp of each step's first qualifying occurrence,
+    * where step k must land in `(stamp_{k-1}, stamp_{k-1} + withinMs]` —
+    * the general form of the nested `each_row.continue().next()` pattern
+    * (src/queryinterpreter.cpp:2430-2577), still one groupBy on `id` and
+    * zero self-joins: per-person stamp lists fold step by step in-row.
+    * Returns `(id, step_0 … step_{n-1})` stamps (null once a step misses). */
+  def funnelN(events: DataFrame, steps: Seq[String], withinMs: Long): DataFrame = {
+    require(steps.nonEmpty)
+    val listCols = steps.zipWithIndex.map { case (ev, i) =>
+      sort_array(collect_list(when(col("event") === ev, col("stamp")))).as(s"__l$i")
+    }
+    val perPerson = events.groupBy("id").agg(listCols.head, listCols.tail: _*)
+    val withSteps = steps.indices.foldLeft(perPerson) { case (df, i) =>
+      val stepCol =
+        if (i == 0) array_min(col(s"__l$i"))
+        else array_min(filter(col(s"__l$i"),
+          s => s > col(s"step_${i - 1}") && s <= col(s"step_${i - 1}") + withinMs))
+      df.withColumn(s"step_$i", stepCol)
+    }
+    withSteps.select(col("id") +: steps.indices.map(i => col(s"step_$i")): _*)
+  }
+
+  /** Event transition matrix: counts of (event -> immediately next event)
+    * per person ordered by (stamp, event_id) — the path-analysis primitive.
+    * One window pass + one hash aggregation. */
+  def transitions(events: DataFrame, orderTiebreak: Column): DataFrame = {
+    val w = Window.partitionBy(col("id")).orderBy(col("stamp"), orderTiebreak)
+    events
+      .withColumn("next_event", lead(col("event"), 1).over(w))
+      .where(col("next_event").isNotNull)
+      .groupBy(col("event"), col("next_event"))
+      .agg(count(lit(1)).as("n_transitions"),
+        countDistinct(col("id")).as("customers"))
+  }
+
   /** Hierarchical tally (`<<` operator, `src/queryinterpreter.cpp:167-334`):
     * every prefix of the group path aggregates, with distinct-per-person
     * counting at each node. Spark-native: `rollup` over the path columns +

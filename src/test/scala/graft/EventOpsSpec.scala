@@ -93,6 +93,34 @@ class EventOpsSpec extends SparkSpec {
     assert(IdBitmap.deserialize(b.serialize()).toSeq == b.toSeq)
   }
 
+  test("funnelN chains steps within the window of the previous step") {
+    val e = Seq(
+      (1L, 10L, "a"), (1L, 20L, "b"), (1L, 25L, "c"),   // full a->b->c
+      (2L, 10L, "a"), (2L, 200L, "b"),                  // b too late
+      (3L, 10L, "a"), (3L, 20L, "b"), (3L, 300L, "c"),  // c too late
+      (4L, 20L, "b"), (4L, 30L, "c")                    // never entered
+    ).toDF("id", "stamp", "event")
+    val f = EventOps.funnelN(e, Seq("a", "b", "c"), withinMs = 50L)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(f(1L) == ((Some(10L), Some(20L), Some(25L))))
+    assert(f(2L) == ((Some(10L), None, None)))
+    assert(f(3L) == ((Some(10L), Some(20L), None)))
+    assert(f(4L) == ((None, None, None)))
+  }
+
+  test("transitions counts consecutive event pairs per person") {
+    val e = Seq(
+      (1L, 10L, "a", 1L), (1L, 20L, "b", 2L), (1L, 30L, "a", 3L),
+      (2L, 10L, "a", 4L), (2L, 20L, "b", 5L)
+    ).toDF("id", "stamp", "event", "event_id")
+    val t = EventOps.transitions(e, col("event_id"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(t(("a", "b")) == ((2L, 2L))) // both people
+    assert(t(("b", "a")) == ((1L, 1L))) // only person 1
+  }
+
   test("ever/never person-level existence") {
     val e = Seq((1L, 1L, "err"), (1L, 2L, "ok"), (2L, 1L, "ok"))
       .toDF("id", "stamp", "event")
