@@ -1204,6 +1204,28 @@ object Queries {
         SELECT CAST(n_contaminated AS BIGINT) AS n_contaminated, COUNT(*) AS n_docs
         FROM per_doc GROUP BY 1""")),
 
+    // Deterministic stratified sampling (corpus mixing): per-source keep
+    // rates over a stable id-hash bucket — reproducible across engines,
+    // runs and cluster sizes; a scan-speed filter, no shuffle.
+    Q("q_stratified_sample",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val rates = Map("src0" -> 50, "src1" -> 100, "src2" -> 25)
+        graft.operators.Sampling.stratifiedSample(d, col("doc_id"), col("source"), rates)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"), countDistinct(col("doc_id")).as("n_docs"))
+      },
+      Some("""WITH h AS (
+          SELECT source, doc_id,
+            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+          FROM documents),
+        kept AS (
+          SELECT * FROM h
+          WHERE bucket < CASE source WHEN 'src0' THEN 50 WHEN 'src1' THEN 100
+                                     WHEN 'src2' THEN 25 ELSE 0 END)
+        SELECT source, COUNT(*) AS n_kept, COUNT(DISTINCT doc_id) AS n_docs
+        FROM kept GROUP BY source""")),
+
     // Token counting: whitespace vs BPE-ish regex sub-word tokens per source.
     Q("q_token_counts",
       (s, dir) => {
