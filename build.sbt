@@ -15,6 +15,10 @@ run / fork := true
 // the logger prefixes every line with "[info] ", which breaks any harness
 // that parses the bench/verify JSON line from stdout.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and suppress sbt's own trailing "[success] Total time" line so the
+// JSON line a harness tails for stays at the very end of the output.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -33,7 +33,7 @@ import org.apache.spark.sql.functions._
   * Cluster/internode routes are intentionally absent: Spark's cluster
   * manager, shuffle and storage replication replace them (SURVEY §2.1).
   */
-final class Api(spark: SparkSession, warehouse: String) {
+final class Api(spark: SparkSession, val warehouse: String) {
 
   val catalog = new Catalog(spark, warehouse)
 
@@ -177,7 +177,7 @@ final class Api(spark: SparkSession, warehouse: String) {
     val rows = limited.collect()
     rows.map { r =>
       val v = Option(r.get(0)).map {
-        case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+        case s: String => Json.str(s)
         case d: Double => if (d == d.floor && math.abs(d) < 1e15) d.toLong.toString else d.toString
         case o => o.toString
       }.getOrElse("null")
@@ -231,10 +231,10 @@ final class Api(spark: SparkSession, warehouse: String) {
           .limit(256).collect().map(_.get(0)).filter(_ != null)
         val inner = values.toSeq.map { v =>
           val lit0 = v match {
-            case s2: String => "'" + s2.replace("'", "\\'") + "'"
+            case s2: String => Json.oslStr(s2)
             case other => other.toString
           }
-          s""""${v.toString.replace("\"", "\\\"")}":${render(runOne(s"each_value = $lit0\n"))}"""
+          s"""${Json.str(v.toString)}:${render(runOne(s"each_value = $lit0\n"))}"""
         }.mkString(",")
         s"""{"name":"$name","histogram":{$inner}}"""
     }
@@ -279,46 +279,61 @@ final class Api(spark: SparkSession, warehouse: String) {
   }
 
   /** Poll a subscription: enter/exit messages since the subscriber's cursor
-    * (each feed is independent), in the reference's message shape. */
+    * (each feed is independent), in the reference's message shape.
+    *
+    * The cursor is a (stamp, id) watermark, not a bare stamp — a refresh
+    * stamps its whole diff batch with one nowMs, so a poll racing a refresh
+    * re-delivers the remaining same-stamp rows on the next poll instead of
+    * permanently skipping them. A missing event log reads as an empty feed;
+    * any other read failure propagates to the caller. */
   def subscriptionPoll(table: String, segment: String, sub: String,
                        nowMs: Long): String = {
     val f = subFile(table, segment, sub)
     require(f.isFile, s"no such subscription '$sub'")
-    val (cursor, retention) = readSub(f)
-    val floor = math.max(cursor, nowMs - retention)
-    val events = try {
-      graft.streaming.Streams.segmentEvents(spark,
+    val (cursor, cursorId, retention) = readSub(f)
+    val logDir = new java.io.File(warehouse, s"$table/segment_events")
+    val events =
+      if (!logDir.isDirectory) Array.empty[org.apache.spark.sql.Row]
+      else graft.streaming.Streams.segmentEvents(spark,
           new java.io.File(warehouse, table).toString)
-        .where(col("segment") === segment && col("stamp") > floor)
+        .where(col("segment") === segment &&
+          col("stamp") > (nowMs - retention) &&
+          (col("stamp") > cursor ||
+            (col("stamp") === cursor && col("id").cast("string") > cursorId)))
         .orderBy(col("stamp"), col("id"))
         .collect()
-    } catch { case _: Throwable => Array.empty[org.apache.spark.sql.Row] }
     val msgs = events.map { r =>
       val stamp = r.getAs[Long]("stamp")
       val iso = java.time.Instant.ofEpochMilli(stamp).toString
-      s"""{"stamp":$stamp,"stamp_iso":"$iso","uid":"${r.getAs[String]("id")}","state":"${r.getAs[String]("state")}"}"""
+      s"""{"stamp":$stamp,"stamp_iso":"$iso","uid":${Json.str(String.valueOf(r.getAs[Any]("id")))},"state":"${r.getAs[String]("state")}"}"""
     }.mkString(",")
-    val newCursor = events.lastOption.map(_.getAs[Long]("stamp")).getOrElse(cursor)
-    writeSub(f, newCursor, retention)
+    val (newCursor, newCursorId) = events.lastOption
+      .map(r => (r.getAs[Long]("stamp"), String.valueOf(r.getAs[Any]("id"))))
+      .getOrElse((cursor, cursorId))
+    writeSub(f, newCursor, retention, newCursorId)
     s"""{"segment":"$segment","subscriber":"$sub","count":${events.length},"messages":[$msgs]}"""
   }
 
   private def subFile(table: String, segment: String, sub: String) =
     new java.io.File(new java.io.File(warehouse, table), s"subs/$segment/$sub.properties")
 
-  private def writeSub(f: java.io.File, cursor: Long, retentionMs: Long): Unit = {
+  private def writeSub(f: java.io.File, cursor: Long, retentionMs: Long,
+                       cursorId: String = ""): Unit = {
     val p = new java.util.Properties()
     p.setProperty("cursor", cursor.toString)
+    p.setProperty("cursor_id", cursorId)
     p.setProperty("retention_ms", retentionMs.toString)
     val out = new java.io.FileOutputStream(f)
     try p.store(out, null) finally out.close()
   }
 
-  private def readSub(f: java.io.File): (Long, Long) = {
+  private def readSub(f: java.io.File): (Long, String, Long) = {
     val p = new java.util.Properties()
     val in = new java.io.FileInputStream(f)
     try p.load(in) finally in.close()
-    (p.getProperty("cursor").toLong, p.getProperty("retention_ms").toLong)
+    (p.getProperty("cursor").toLong,
+      Option(p.getProperty("cursor_id")).getOrElse(""),
+      p.getProperty("retention_ms").toLong)
   }
 
   // ---------------------------------------------------------------- streaming
@@ -432,7 +447,7 @@ final class Api(spark: SparkSession, warehouse: String) {
                 .limit(256).collect().map(_.get(0)).filter(_ != null)
               values.toSeq.map { v =>
                 val lit = v match {
-                  case s2: String => "'" + s2.replace("'", "\\'") + "'"
+                  case s2: String => Json.oslStr(s2)
                   case other => other.toString
                 }
                 v.toString -> runOne(s"each_value = $lit\n")
@@ -455,7 +470,7 @@ final class Api(spark: SparkSession, warehouse: String) {
             case Seq(("", rows)) => s""""$name":${render(rows)}"""
             case groups =>
               val inner = groups.map { case (v, rows) =>
-                s""""${v.replace("\"", "\\\"")}":${render(rows)}"""
+                s"""${Json.str(v)}:${render(rows)}"""
               }.mkString(",")
               s""""$name":{$inner}"""
           })

@@ -85,12 +85,7 @@ final class Catalog(spark: SparkSession, warehouse: String) {
   // ------------------------------------------------------------------ meta IO
   private def writeMeta(m: TableMeta): Unit = {
     val sb = new StringBuilder
-    def js(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\""
+    def js(s: String): String = Json.str(s)
     sb.append("{\"table\":").append(js(m.table))
     sb.append(",\"id_type\":").append(js(if (m.settings.idTextual) "textual" else "numeric"))
     sb.append(",\"properties\":[")
@@ -193,9 +188,43 @@ final class Catalog(spark: SparkSession, warehouse: String) {
   /** Event history; empty (with the right schema) before the first insert.
     * Columns added after data was written surface as nulls; dropped
     * properties disappear from the projection immediately. */
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree); f.delete()
+  }
+
+  /** Crash-safe directory swap. Writes new contents to `<dst>_tmp`, moves the
+    * live dir aside to `<dst>_bak`, renames tmp into place, then drops the
+    * backup — so at every instant either the old or the new contents exist
+    * under a recoverable name. [[recoverSwap]] (run before every read and
+    * write) finishes or rolls back an interrupted swap. */
+  private def swapInto(dstPath: String)(write: String => Unit): Unit = {
+    recoverSwap(dstPath)
+    val dst = new java.io.File(dstPath)
+    val tmp = new java.io.File(dstPath + "_tmp")
+    val bak = new java.io.File(dstPath + "_bak")
+    write(tmp.toString)
+    if (dst.isDirectory)
+      require(dst.renameTo(bak), s"backup rename failed for $dstPath")
+    if (!tmp.renameTo(dst)) {
+      if (bak.isDirectory) bak.renameTo(dst) // roll back to the old contents
+      throw new IllegalStateException(s"swap failed for $dstPath")
+    }
+    rmTree(bak)
+  }
+
+  private def recoverSwap(dstPath: String): Unit = {
+    val dst = new java.io.File(dstPath)
+    val bak = new java.io.File(dstPath + "_bak")
+    if (!dst.isDirectory && bak.isDirectory) // crashed between the two renames
+      require(bak.renameTo(dst), s"swap recovery failed for $dstPath")
+    if (dst.isDirectory) rmTree(bak)         // completed swap; drop leftovers
+    rmTree(new java.io.File(dstPath + "_tmp")) // stale partial write
+  }
+
   def events(table: String): DataFrame = {
     val m = describe(table)
     val schema = m.eventsSchema
+    recoverSwap(eventsDir(table))
     val d = new java.io.File(eventsDir(table))
     if (!d.isDirectory) spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -222,19 +251,13 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     val merged = EventIngest.cullEventMax(
       EventIngest.cullTtl(merged0, nowMs, m.settings.eventTtlMs),
       m.settings.eventMax, m.settings.eventOrder)
-    val tmp = eventsDir(table) + "_tmp"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val dst = new java.io.File(eventsDir(table))
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
-    }
-    rm(dst)
-    require(new java.io.File(tmp).renameTo(dst), s"swap failed for $table")
+    swapInto(eventsDir(table))(tmp => merged.write.mode(SaveMode.Overwrite).parquet(tmp))
   }
 
   /** Customer-property facts (`is_customer` props), merged by id. */
   def customers(table: String): DataFrame = {
     val m = describe(table)
+    recoverSwap(customersDir(table))
     val d = new java.io.File(customersDir(table))
     if (!d.isDirectory) spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.customerSchema)
@@ -243,13 +266,6 @@ final class Catalog(spark: SparkSession, warehouse: String) {
 
   def mergeCustomers(table: String, updates: DataFrame): Unit = {
     val merged = graft.operators.CustomerProps.writeBack(customers(table), updates)
-    val tmp = customersDir(table) + "_tmp"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val dst = new java.io.File(customersDir(table))
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
-    }
-    rm(dst)
-    require(new java.io.File(tmp).renameTo(dst), s"swap failed for $table")
+    swapInto(customersDir(table))(tmp => merged.write.mode(SaveMode.Overwrite).parquet(tmp))
   }
 }

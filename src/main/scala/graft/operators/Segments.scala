@@ -56,7 +56,22 @@ object Segments {
     * whole-segment math the same way). */
   def membershipBitmap(segment: DataFrame): graft.functions.IdBitmap = {
     import org.apache.spark.sql.Encoders
-    val bytes = segment.select(col("id").cast("long"))
+    import org.apache.spark.sql.types._
+    val asLong: Column = segment.schema("id").dataType match {
+      case LongType | IntegerType | ShortType | ByteType => col("id").cast("long")
+      // ANSI-safe: try_cast turns non-numeric text into null (flagged below
+      // with a clear error) instead of an opaque runtime cast exception.
+      case StringType => expr("try_cast(id AS BIGINT)")
+      case t => throw new IllegalArgumentException(
+        s"unsupported id type $t for bitmap segments (need integral or numeric text)")
+    }
+    val guarded = when(col("id").isNull, lit(null).cast("long"))
+      .when(asLong.isNull || asLong < 0, raise_error(concat(
+        lit("id not bitmap-indexable (need non-negative integral): "),
+        col("id").cast("string"))).cast("long"))
+      .otherwise(asLong)
+    val bytes = segment.select(guarded.as("id"))
+      .where(col("id").isNotNull) // null ids have no membership
       .as(Encoders.scalaLong)
       .select(graft.functions.IdBitmap.agg)
       .head()

@@ -10,6 +10,10 @@ object Lexer {
   sealed trait Tok { def text: String }
   final case class TIdent(text: String) extends Tok
   final case class TInt(v: Long) extends Tok { def text = v.toString }
+  /** A time literal (`5_minutes`) expanded to ms at lex time. Distinct from
+    * TInt so consumers that care about units (segment `refresh=` flags) know
+    * the value is ms rather than inferring the unit from its shape. */
+  final case class TTime(v: Long) extends Tok { def text = v.toString }
   final case class TDbl(v: Double) extends Tok { def text = v.toString }
   final case class TStr(s: String) extends Tok { def text = s }
   final case class TOp(text: String) extends Tok
@@ -75,7 +79,7 @@ object Lexer {
           unitMs.get(unit) match {
             case Some(ms) =>
               i = j
-              val t = TInt(numTxt.toDouble.toLong * ms); out += t; lastSignificant = t
+              val t = TTime(numTxt.toDouble.toLong * ms); out += t; lastSignificant = t
             case None =>
               val t = if (numTxt.contains('.')) TDbl(numTxt.toDouble) else TInt(numTxt.toLong)
               out += t; lastSignificant = t

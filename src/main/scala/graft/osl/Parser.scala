@@ -92,6 +92,7 @@ final class Parser(toks: Vector[Tok]) {
         val v = next() match {
           case TIdent(s) => s
           case TInt(i) => i.toString
+          case TTime(ms) => s"${ms}ms" // explicit unit: lexed from a time literal
           case TDbl(d) => d.toString
           case TStr(s) => s
           case t => fail(s"bad flag value '${t.text}'")
@@ -458,6 +459,7 @@ final class Parser(toks: Vector[Tok]) {
 
   private def parsePrimary(): Expr = next() match {
     case TInt(i) => Lit(VInt(i))
+    case TTime(ms) => Lit(VInt(ms))
     case TDbl(d) => Lit(VDbl(d))
     case TStr(s) => Lit(VStr(s))
     case TIdent("true") => Lit(VBool(true))

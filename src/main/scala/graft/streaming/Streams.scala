@@ -144,13 +144,12 @@ object Streams {
                     nowMs: Long): Seq[graft.osl.Ast.SegmentDef] =
     defs.filter { d =>
       d.flags.get("refresh").exists { v =>
-        // the segment parser lexes time literals (5_minutes) to their ms
-        // value before flags reach us; bare numbers mean SECONDS (the
-        // reference's default is 86400 = daily, table.h:42). Disambiguate
-        // by shape: multiples of 1000 at or above one minute are ms.
-        val raw = v.toDouble.toLong
+        // the lexer tags values that came from time literals (5_minutes)
+        // with an explicit `ms` suffix; bare numbers mean SECONDS (the
+        // reference's default is 86400 = daily, table.h:42).
         val intervalMs =
-          if (raw >= 60000L && raw % 1000L == 0L) raw else raw * 1000L
+          if (v.endsWith("ms")) v.dropRight(2).toDouble.toLong
+          else v.toDouble.toLong * 1000L
         intervalMs > 0 &&
           nowMs - lastRefreshMs.getOrElse(d.name, Long.MinValue / 2) >= intervalMs
       }

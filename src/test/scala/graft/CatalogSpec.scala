@@ -286,6 +286,70 @@ class CatalogSpec extends SparkSpec {
     assert(!poll.contains("u2")) // browser never entered
   }
 
+  test("crash-safe swap: orphaned backup and tmp dirs recover on read") {
+    val api = freshApi()
+    api.tableCreate(highstreetMeta)
+    val now = 1704067200000L
+    api.insert("highstreet", Seq(
+      """{"id":"u1","stamp":"1704067200","event":"purchase","product_name":"rod","product_price":9.5}"""),
+      nowMs = now)
+    val whDir = api.catalog.events("highstreet") // warm
+    assert(whDir.count() == 1)
+    // simulate a crash between the two renames of a swap: the live dir was
+    // moved aside to _bak and the process died before tmp -> dst
+    val wh = new java.io.File(api.warehouse, "highstreet")
+    val events = new java.io.File(wh, "events")
+    val bak = new java.io.File(wh, "events_bak")
+    val tmp = new java.io.File(wh, "events_tmp")
+    assert(events.renameTo(bak))
+    tmp.mkdirs()
+    new java.io.File(tmp, "partial.parquet").createNewFile()
+    // the next read detects the orphan, restores the backup, clears the tmp
+    assert(api.catalog.events("highstreet").count() == 1)
+    assert(events.isDirectory && !bak.exists && !tmp.exists)
+    // and the next insert still works end-to-end on the recovered dir
+    api.insert("highstreet", Seq(
+      """{"id":"u2","stamp":"1704067300","event":"purchase","product_name":"net","product_price":3.0}"""),
+      nowMs = now)
+    assert(api.catalog.events("highstreet").count() == 2)
+  }
+
+  test("subscription poll: same-stamp events after the cursor are not lost") {
+    val api = freshApi()
+    api.tableCreate(highstreetMeta)
+    val now = 1704067200000L
+    api.subscriptionCreate("highstreet", "buyers", "sub", nowMs = now)
+    val logDir = new java.io.File(api.warehouse, "highstreet/segment_events").toString
+    def append(id: String, stamp: Long): Unit =
+      Seq((id, "buyers", "entered", stamp, -1L))
+        .toDF("id", "segment", "state", "stamp", "batch_id")
+        .write.mode("append").parquet(logDir)
+    // a refresh stamps its whole batch with one nowMs; the first poll races
+    // it and sees only the first row
+    append("ua", now + 1000)
+    val p1 = api.subscriptionPoll("highstreet", "buyers", "sub", nowMs = now + 2000)
+    assert(p1.contains("\"count\":1") && p1.contains("\"uid\":\"ua\""))
+    // the rest of the same-stamp batch lands after the poll
+    append("ub", now + 1000)
+    val p2 = api.subscriptionPoll("highstreet", "buyers", "sub", nowMs = now + 3000)
+    assert(p2.contains("\"count\":1") && p2.contains("\"uid\":\"ub\""),
+      s"same-stamp event skipped: $p2")
+  }
+
+  test("JSON escaping: control characters in values stay valid JSON") {
+    assert(Json.str("a\nb\tc\"d\\e") == "\"a\\u000ab\\u0009c\\\"d\\\\e\"")
+    intercept[IllegalArgumentException] { Json.oslStr("bad\nvalue") }
+    assert(Json.oslStr("it's a \\ test") == "'it\\'s a \\\\ test'")
+    val api = freshApi()
+    api.tableCreate(highstreetMeta)
+    val now = 1704067200000L
+    api.insert("highstreet", Seq(
+      """{"id":"u1","stamp":"1704067200","event":"purchase","product_name":"two\nlines","product_price":1.0}"""),
+      nowMs = now)
+    val out = api.queryProperty("highstreet", "product_name")
+    assert(!out.contains("\n") && out.contains("two\\u000alines"))
+  }
+
   test("customer-property facts merge by id") {
     val api = freshApi()
     api.tableCreate(highstreetMeta)

@@ -54,6 +54,16 @@ class IngestStreamSpec extends SparkSpec {
     assert(Streams.dueForRefresh(defs, last, t0 + 299000L).isEmpty)
     assert(Streams.dueForRefresh(defs, last, t0 + 300000L).map(_.name) ==
       Seq("fast", "slow"))
+    // a big bare number is SECONDS, never reinterpreted as ms: refresh=300000
+    // (~3.5 days) must not fire after 300s (ADVICE r2 — units are tagged by
+    // the lexer now, not inferred from divisibility)
+    val big = graft.osl.Parser.segments(
+      """@segment rare refresh=300000
+        |return(true)
+        |""".stripMargin)
+    val lastBig = Map("rare" -> t0)
+    assert(Streams.dueForRefresh(big, lastBig, t0 + 300000L).isEmpty)
+    assert(Streams.dueForRefresh(big, lastBig, t0 + 300000000L).map(_.name) == Seq("rare"))
   }
 
   test("reference test_zorder scenario: out-of-order insert, rank sort, idempotence") {

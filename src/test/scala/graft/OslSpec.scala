@@ -924,7 +924,8 @@ class OslSpec extends SparkSpec {
 
   test("time literals expand at lex time") {
     val toks = Lexer.lex("x = 3_months + 2_weeks")
-    val ints = toks.collect { case Lexer.TInt(v) => v }
+    // time literals carry their unit: they lex to TTime (ms), not bare TInt
+    val ints = toks.collect { case Lexer.TTime(v) => v }
     assert(ints == Vector(3L * 31 * 86400000L, 2L * 7 * 86400000L))
   }
 }
