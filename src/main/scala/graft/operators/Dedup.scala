@@ -38,7 +38,12 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
-    var labels = ids.select(col(idCol).as("v"), col(idCol).as("label"))
+    // Only edge-touched vertices can ever adopt a smaller label; everything
+    // else is a singleton and joins back once at the end. Keeps each round's
+    // frames at O(vertices-with-edges) — after LSH candidate generation
+    // that's the (small) near-dup population, not the whole corpus.
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v"))
       .localCheckpoint(true)
     var changed = 1L
     var iter = 0
@@ -57,7 +62,9 @@ object Dedup {
       iter += 1
     }
     edges.unpersist(false)
-    labels
+    ids.select(col(idCol).as("v"))
+      .join(labels.withColumnRenamed("v", "__tv"), col("v") === col("__tv"), "left")
+      .select(col("v"), coalesce(col("label"), col("v")).as("label"))
   }
 
   /** End-to-end near-dedup: MinHash-LSH candidates → connected components →
