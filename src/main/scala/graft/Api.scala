@@ -192,9 +192,10 @@ final class Api(spark: SparkSession, val warehouse: String) {
     }.mkString("[", ",", "]")
   }
 
-  /** `GET /v1/query/{t}/customer?id=`: one customer's history as JSON. */
+  /** `GET /v1/query/{t}/customer?id=`: one customer's history as JSON.
+    * Reads only the customer's id-hash bucket (partition-pruned). */
   def queryCustomer(table: String, id: Any): String =
-    Customers.historyJson(catalog.events(table), id)
+    Customers.historyJson(catalog.customerEvents(table, id), id)
 
   /** `POST /v1/query/{t}/histogram/{name}`: per-person `return(expr)` →
     * bucketed distinct-person counts, zero-filled (src/oloop_histogram.cpp). */

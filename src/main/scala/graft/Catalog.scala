@@ -32,7 +32,8 @@ final case class TableSettings(
     sessionTimeMs: Long = 30L * 60L * 1000L,         // table.h:125
     segmentIntervalMs: Long = 1000L,                 // table.h:127
     tzOffsetMs: Long = 0L,                           // table.h:123
-    eventOrder: Seq[String] = Nil)                   // z-order (table.cpp:138-146)
+    eventOrder: Seq[String] = Nil,                   // z-order (table.cpp:138-146)
+    storageBuckets: Int = 32)                        // id-hash partition count
 
 final case class TableMeta(
     table: String,
@@ -97,7 +98,7 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     sb.append("],\"settings\":{")
     sb.append(s"""\"event_max\":${m.settings.eventMax},\"event_ttl_ms\":${m.settings.eventTtlMs},""")
     sb.append(s"""\"session_time_ms\":${m.settings.sessionTimeMs},\"segment_interval_ms\":${m.settings.segmentIntervalMs},""")
-    sb.append(s"""\"tz_offset_ms\":${m.settings.tzOffsetMs}}}""")
+    sb.append(s"""\"tz_offset_ms\":${m.settings.tzOffsetMs},\"storage_buckets\":${m.settings.storageBuckets}}}""")
     dir(m.table).mkdirs()
     java.nio.file.Files.write(metaFile(m.table).toPath,
       sb.toString.getBytes("UTF-8"))
@@ -113,7 +114,7 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     StructField("settings", StructType(Seq(
       StructField("event_max", LongType), StructField("event_ttl_ms", LongType),
       StructField("session_time_ms", LongType), StructField("segment_interval_ms", LongType),
-      StructField("tz_offset_ms", LongType))))))
+      StructField("tz_offset_ms", LongType), StructField("storage_buckets", LongType))))))
 
   def describe(table: String): TableMeta = {
     require(exists(table), s"no such table '$table'")
@@ -127,7 +128,9 @@ final class Catalog(spark: SparkSession, warehouse: String) {
       eventMax = st.getLong(0).toInt, eventTtlMs = st.getLong(1),
       sessionTimeMs = st.getLong(2), segmentIntervalMs = st.getLong(3),
       tzOffsetMs = st.getLong(4),
-      eventOrder = row.getSeq[String](3)))
+      eventOrder = row.getSeq[String](3),
+      // metas written before bucketed storage existed default to 32
+      storageBuckets = if (st.isNullAt(5)) 32 else st.getLong(5).toInt))
   }
 
   // --------------------------------------------------------------------- DDL
@@ -221,37 +224,115 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     rmTree(new java.io.File(dstPath + "_tmp")) // stale partial write
   }
 
-  def events(table: String): DataFrame = {
-    val m = describe(table)
+  /** Recover interrupted swaps for the events dir: the whole-dir swap names
+    * plus each per-bucket swap, plus any abandoned staging root. Driver-side
+    * metadata ops bounded by the bucket count. */
+  private def recoverEvents(table: String): Unit = {
+    val root = eventsDir(table)
+    recoverSwap(root)
+    rmTree(new java.io.File(root + "_stage"))
+    val d = new java.io.File(root)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .map(_.getName)
+      .filter(n => n.endsWith("_bak") || n.endsWith("_tmp"))
+      .map(n => n.stripSuffix("_bak").stripSuffix("_tmp")).distinct
+      .foreach(b => recoverSwap(new java.io.File(d, b).toString))
+  }
+
+  private def bucketCol(n: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(col("id")), lit(n.toLong)).cast("int")
+
+  private def hasParquet(f: java.io.File): Boolean =
+    (f.isFile && f.getName.endsWith(".parquet")) ||
+      Option(f.listFiles()).getOrElse(Array.empty).exists(hasParquet)
+
+  /** Event history with the `__bucket` partition column retained (for
+    * partition-pruned reads); empty (right schema) before the first insert. */
+  private def eventsWithBucket(table: String, m: TableMeta): DataFrame = {
     val schema = m.eventsSchema
-    recoverSwap(eventsDir(table))
+    recoverEvents(table)
     val d = new java.io.File(eventsDir(table))
-    if (!d.isDirectory) spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val withBucket = StructType(schema.fields :+ StructField("__bucket", IntegerType))
+    if (!hasParquet(d)) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withBucket)
     else {
       val raw = spark.read.parquet(eventsDir(table))
-      schema.fields.foldLeft(raw) { (df, f) =>
+      withBucket.fields.foldLeft(raw) { (df, f) =>
         if (df.columns.contains(f.name)) df
         else df.withColumn(f.name, lit(null).cast(f.dataType))
-      }.select(schema.fieldNames.map(col): _*)
+      }.select(withBucket.fieldNames.map(col): _*)
     }
+  }
+
+  def events(table: String): DataFrame = {
+    val m = describe(table)
+    eventsWithBucket(table, m).drop("__bucket")
+  }
+
+  /** One customer's history, partition-pruned to their id-hash bucket: the
+    * scan touches 1/`storage_buckets` of the table (the reference answers
+    * `GET /customer` from the person's partition the same way,
+    * `src/oloop_person.cpp`). */
+  def customerEvents(table: String, id: Any): DataFrame = {
+    val m = describe(table)
+    val b = pmod(xxhash64(lit(id)), lit(m.settings.storageBuckets.toLong)).cast("int")
+    eventsWithBucket(table, m)
+      .where(col("__bucket").isNull || col("__bucket") === b)
+      .where(col("id") === lit(id))
+      .drop("__bucket")
   }
 
   /** Insert with the reference's full pipeline (`src/oloop_insert.cpp`):
     * upsert by (id, stamp, z-order rank, row hash), z-ordered merge, TTL and
-    * eventMax culls. Small-scale storage is read-merge-replace parquet; the
-    * identical flow lands on Delta/Iceberg MERGE INTO on a cluster. */
+    * eventMax culls — per TOUCHED id-hash bucket only. Storage is
+    * `events/__bucket=<hash(id) % storage_buckets>/` parquet: a batch reads,
+    * merges and atomically swaps just the buckets its ids hash into, so
+    * ingest cost scales with the batch's id spread, not the table size
+    * (at cluster scale the same layout maps onto Delta/Iceberg MERGE with
+    * partition pruning). Culls apply to touched customers' buckets — the
+    * reference likewise culls a person's grid when it is re-packed on
+    * insert, not table-wide. */
   def insert(table: String, incoming: DataFrame, nowMs: Long): Unit = {
     import graft.operators.EventIngest
     val m = describe(table)
     val payload = m.eventProps.map(_.name)
+    val nB = m.settings.storageBuckets
     val aligned = incoming.select(m.eventsSchema.fieldNames.map(col): _*)
-    val merged0 = EventIngest.upsert(events(table), aligned,
+    // bounded by storage_buckets — a tiny driver-side list, never row data
+    val touched: Seq[Int] = aligned.select(bucketCol(nB).as("__bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.isEmpty) return
+    val existing = eventsWithBucket(table, m)
+      .where(col("__bucket").isNull || col("__bucket").isin(touched: _*))
+      .drop("__bucket")
+    val merged0 = EventIngest.upsert(existing, aligned,
       m.settings.eventOrder, payload)
     val merged = EventIngest.cullEventMax(
       EventIngest.cullTtl(merged0, nowMs, m.settings.eventTtlMs),
       m.settings.eventMax, m.settings.eventOrder)
-    swapInto(eventsDir(table))(tmp => merged.write.mode(SaveMode.Overwrite).parquet(tmp))
+    // stage the touched buckets, then swap each into place crash-safely
+    val root = new java.io.File(eventsDir(table))
+    val stage = new java.io.File(eventsDir(table) + "_stage")
+    rmTree(stage)
+    merged.withColumn("__bucket", bucketCol(nB))
+      .repartition(math.max(touched.size, 1), col("__bucket"))
+      .write.partitionBy("__bucket").mode(SaveMode.Overwrite).parquet(stage.toString)
+    root.mkdirs()
+    touched.foreach { b =>
+      val dst = new java.io.File(root, s"__bucket=$b")
+      val staged = new java.io.File(stage, s"__bucket=$b")
+      val bak = new java.io.File(dst.toString + "_bak")
+      rmTree(bak)
+      if (dst.isDirectory)
+        require(dst.renameTo(bak), s"backup rename failed for $dst")
+      if (staged.isDirectory && !staged.renameTo(dst)) {
+        if (bak.isDirectory) bak.renameTo(dst) // roll back to the old bucket
+        throw new IllegalStateException(s"swap failed for $dst")
+      }
+      // staged absent = every row of the bucket was culled: dst stays gone
+      rmTree(bak)
+    }
+    rmTree(stage)
   }
 
   /** Customer-property facts (`is_customer` props), merged by id. */

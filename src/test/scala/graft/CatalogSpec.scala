@@ -350,6 +350,43 @@ class CatalogSpec extends SparkSpec {
     assert(!out.contains("\n") && out.contains("two\\u000alines"))
   }
 
+  test("bucketed storage: inserts rewrite only touched id-hash buckets") {
+    val api = freshApi()
+    api.tableCreate(highstreetMeta)
+    val now = 1704067200000L
+    api.insert("highstreet", Seq(
+      """{"id":"u1","stamp":"1704067200","event":"purchase","product_name":"rod","product_price":9.5}""",
+      """{"id":"u2","stamp":"1704067200","event":"browse","product_name":"rod"}"""),
+      nowMs = now)
+    val root = new java.io.File(api.warehouse, "highstreet/events")
+    def bucketDirs = root.listFiles().filter(f =>
+      f.isDirectory && f.getName.startsWith("__bucket=")).sortBy(_.getName)
+    val before = bucketDirs.map(d => d.getName -> d.lastModified()).toMap
+    assert(before.nonEmpty, "expected __bucket= partition dirs")
+    Thread.sleep(1100) // dir mtime granularity
+    // a u1-only insert must not touch u2's bucket dir
+    api.insert("highstreet", Seq(
+      """{"id":"u1","stamp":"1704070800","event":"purchase","product_name":"reel","product_price":5.0}"""),
+      nowMs = now)
+    val m = api.catalog.describe("highstreet")
+    import org.apache.spark.sql.functions.{pmod, xxhash64, lit => flit}
+    val b1 = Seq("u1").toDF("id")
+      .select(pmod(xxhash64(col("id")), flit(m.settings.storageBuckets.toLong)).cast("int"))
+      .head().getInt(0)
+    val after = bucketDirs.map(d => d.getName -> d.lastModified()).toMap
+    after.foreach { case (name, mtime) =>
+      if (name == s"__bucket=$b1") assert(mtime > before(name), s"$name not rewritten")
+      else assert(mtime == before(name), s"untouched $name was rewritten")
+    }
+    assert(api.catalog.events("highstreet").count() == 3)
+    // customer fetch prunes to the id's bucket partition
+    val plan = api.catalog.customerEvents("highstreet", "u1")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__bucket"),
+      s"expected partition pruning in:\n$plan")
+    assert(api.queryCustomer("highstreet", "u1").contains("\"product_name\":\"reel\""))
+  }
+
   test("customer-property facts merge by id") {
     val api = freshApi()
     api.tableCreate(highstreetMeta)
