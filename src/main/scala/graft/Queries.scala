@@ -898,6 +898,62 @@ object Queries {
           COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows, ${dsumSql("value")} AS total_value
         FROM p GROUP BY g1""")),
 
+    // Three-level continue().next() funnel through the EVENT-QUERY route:
+    // Tier A compiles the chain to row_number + greedy-chain min windows
+    // (one sort-shuffle on id, no interpreter). Oracle mirrors the greedy
+    // construction: a row fires at level k iff it sits after the earliest
+    // chain matching levels 1..k-1.
+    Q("q_osl_chain_funnel",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |  sum value as total_value
+            |end
+            |each_row where event.is(== 'signup')
+            |  << 'signup'
+            |  each_row.continue().next() where event.is(== 'view')
+            |    << 'viewed'
+            |    each_row.continue().next() where event.is(== 'purchase')
+            |      << 'converted', bucket(value, 100)
+            |    end
+            |  end
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"), col("total_value"))
+      },
+      Some(s"""$E, r AS (
+          SELECT id, event, value,
+                 ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS rn
+          FROM e),
+        m1 AS (SELECT id, MIN(rn) AS m FROM r WHERE event = 'signup' GROUP BY id),
+        lv2 AS (SELECT r.id, r.value, r.rn FROM r JOIN m1 ON r.id = m1.id
+                WHERE r.event = 'view' AND r.rn > m1.m),
+        m2 AS (SELECT id, MIN(rn) AS m FROM lv2 GROUP BY id),
+        lv3 AS (SELECT r.id, r.value,
+                  CAST(CAST(FLOOR(r.value / 100) * 100 AS BIGINT) AS VARCHAR) AS b
+                FROM r JOIN m2 ON r.id = m2.id
+                WHERE r.event = 'purchase' AND r.rn > m2.m),
+        lv1 AS (SELECT id, value FROM r WHERE event = 'signup')
+        SELECT CAST(1 AS INTEGER) AS depth, 'signup' AS g1, CAST(NULL AS VARCHAR) AS g2,
+          COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows, ${dsumSql("value")} AS total_value
+        FROM lv1
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), 'viewed', CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*), ${dsumSql("value")}
+        FROM lv2
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), 'converted', CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*), ${dsumSql("value")}
+        FROM lv3
+        UNION ALL
+        SELECT CAST(2 AS INTEGER), 'converted', b,
+          COUNT(DISTINCT id), COUNT(*), ${dsumSql("value")}
+        FROM lv3 GROUP BY b""")),
+
     // OSL `var` select aggregator: declares a script variable; the result
     // column counts tallies deduped per (var value, row, node)
     // (src/queryinterpreter.cpp:242-244, 306-311). The variable mutates per

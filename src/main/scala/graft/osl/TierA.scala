@@ -31,18 +31,21 @@ object TierA {
        else Seq(SelectCol("count", "id", "id", None, all = false))).toVector
 
     program.code match {
-      case Seq(EachRow(mods, where, body)) if isDefault(mods) =>
+      case Seq(er @ EachRow(mods, _, _)) if isDefault(mods) =>
         for {
-          tallies <- flattenTallies(body, None)
+          levels <- extractLevels(er)
+          tallies = levels.flatMap(_._2)
           if tallies.nonEmpty &&
             tallies.forall { case (_, gs) => gs.nonEmpty && gs.size <= OslEngine.MaxDepth } &&
             // multi-tally dedup differs under `all` (a row may reach the same
-            // node via two tallies) -> Tier B for mixed shapes
-            (tallies.size == 1 || selects.forall(!_.all))
-          personTests <- personTestColumns(where +: tallies.flatMap(_._1), now)
+            // node via two tallies — or, in a chain, via two outer cursor
+            // positions) -> Tier B for mixed shapes
+            ((tallies.size == 1 && levels.size == 1) || selects.forall(!_.all))
+          wheres = levels.map(_._1)
+          personTests <- personTestColumns(wheres ++ tallies.flatMap(_._1), now)
           // validate every expression compiles (placeholders for person tests)
           placeholder = personTests.map { case (pt, _) => pt -> (lit(true): Column) }.toMap
-          _ <- compileExpr(where, now, placeholder)
+          _ <- traverse(wheres.map(compileExpr(_, now, placeholder)))
           _ <- traverse(tallies.map(_._1.map(compileExpr(_, now, placeholder))
             .getOrElse(Some(lit(true)))))
           _ <- traverse(tallies.map(t =>
@@ -62,20 +65,83 @@ object TierA {
             case ((pt, _), i) =>
               pt -> (coalesce(col(s"__pt$i"), lit(0)) === (if (pt.kind == "ever") 1 else 0))
           }.toMap
-          val predF = compileExpr(where, now, real).get
-          val tallyPredsF = tallies.map(_._1.map(p => compileExpr(p, now, real).get)
-            .getOrElse(lit(true)))
-          val tallyGroupsF = tallies.map(t => t._2.map(g => compileExpr(g, now, real).get))
-          val filtered = base.where(predF)
 
-          if (tallies.size == 1 && tallies.head._1.isEmpty)
-            rollupPlan(filtered, tallyGroupsF.head, selects, aggs)
-          else
-            explodePlan(filtered, tallyGroupsF, tallyPredsF, selects, aggs)
+          if (levels.size == 1) {
+            val (where, lvlTallies) = levels.head
+            val predF = compileExpr(where, now, real).get
+            val tallyPredsF = lvlTallies.map(_._1.map(p => compileExpr(p, now, real).get)
+              .getOrElse(lit(true)))
+            val tallyGroupsF = lvlTallies.map(t => t._2.map(g => compileExpr(g, now, real).get))
+            val filtered = base.where(predF)
+            if (lvlTallies.size == 1 && lvlTallies.head._1.isEmpty)
+              rollupPlan(filtered, tallyGroupsF.head, selects, aggs)
+            else
+              explodePlan(filtered, tallyGroupsF, tallyPredsF, selects, aggs)
+          } else
+            chainPlan(base, levels, now, real, selects, aggs)
         }
       case _ => None
     }
   }
+
+  /** Compile a `.continue().next()` funnel chain relationally.
+    *
+    * Interpreter semantics (src/queryinterpreter.cpp:2430-2577): level-k's
+    * cursor starts one past the level-(k-1) match and scans forward, so a
+    * row fires at level k iff SOME strictly-increasing row chain matching
+    * `where`s 1..k-1 ends before it. Tally dedup is per (row, node), so
+    * multiple chains to the same row count once — existence, not paths.
+    * Existence of a chain ending before row r is equivalent to r sitting
+    * after the GREEDY (earliest) chain, so each level adds one conditional
+    * min-over-person window on the row number: `m1 = min rn where P1`,
+    * `mk = min rn where Pk && rn > m(k-1)`; level-k rows are eligible iff
+    * `rn > m(k-1)`. One sort-shuffle on `id` computes every window; tallies
+    * then flow through the explode plan with eligibility AND'ed in. */
+  private def chainPlan(base: DataFrame,
+                        levels: Seq[(Expr, Seq[(Option[Expr], Seq[Expr])])],
+                        now: Long, real: Map[PropTest, Column],
+                        selects: Vector[SelectCol],
+                        aggs: Seq[(String, Column)]): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val person = W.partitionBy(col("id"))
+    val levelPreds = levels.map(l => compileExpr(l._1, now, real).get)
+    var df = base.withColumn("__rn",
+      row_number().over(person.orderBy(col("stamp"))))
+    // eligibility column per level: rn past the greedy chain prefix
+    val eligible: Seq[Column] = levelPreds.zipWithIndex.map { case (p, k) =>
+      if (k > 0)
+        df = df.withColumn(s"__m$k",
+          min(when(levelPreds(k - 1) &&
+              (if (k == 1) lit(true) else col("__rn") > col(s"__m${k - 1}")),
+            col("__rn"))).over(person))
+      if (k == 0) lit(true) else col("__rn") > col(s"__m$k")
+    }
+    val tallyPreds = levels.zip(eligible).flatMap { case ((where, ts), elig) =>
+      val p = compileExpr(where, now, real).get
+      ts.map(_._1.map(ip => compileExpr(ip, now, real).get)
+        .getOrElse(lit(true)) && p && elig)
+    }
+    val tallyGroups = levels.flatMap(_._2).map(t =>
+      t._2.map(g => compileExpr(g, now, real).get))
+    explodePlan(df, tallyGroups, tallyPreds, selects, aggs)
+  }
+
+  /** Decompose a default-mods `each_row` into a chain of levels: each level
+    * is (where, tallies) and may end in exactly one nested
+    * `each_row.continue().next()` (no frame/limit/from/reverse, not under an
+    * `if`). None = not chain-shaped -> Tier B. */
+  private def extractLevels(top: EachRow)
+      : Option[Seq[(Expr, Seq[(Option[Expr], Seq[Expr])])]] =
+    flattenBody(top.body, None).flatMap { case (tallies, nested) =>
+      nested match {
+        case None => Some(Vector((top.where, tallies)))
+        case Some(n) => extractLevels(n).map(rest => (top.where, tallies) +: rest)
+      }
+    }
+
+  private def isChainStep(m: EachRowMods): Boolean =
+    m.continueFrom && m.next && !m.reverse &&
+      m.from.isEmpty && m.limit.isEmpty && m.frame.isEmpty
 
   /** Single-tally fast path: Spark `rollup` generates every prefix node in
     * one pass with partial aggregation. */
@@ -135,16 +201,23 @@ object TierA {
       .select(pathCols.map(col) ++ selects.map(s => col(s.alias)): _*)
   }
 
-  /** Flatten an each_row body of tallies and (nestable) else-less `if`s into
-    * per-tally predicates; anything else is not Tier-A-able. */
-  private def flattenTallies(body: Seq[Stmt], pred: Option[Expr])
-      : Option[Seq[(Option[Expr], Seq[Expr])]] =
-    body.foldLeft(Option(Vector.empty[(Option[Expr], Seq[Expr])])) {
+  /** Flatten an each_row body of tallies, (nestable) else-less `if`s and at
+    * most one unconditional chain-step nested loop into per-tally predicates
+    * plus the nested loop; anything else is not Tier-A-able. */
+  private def flattenBody(body: Seq[Stmt], pred: Option[Expr])
+      : Option[(Vector[(Option[Expr], Seq[Expr])], Option[EachRow])] =
+    body.foldLeft(Option((Vector.empty[(Option[Expr], Seq[Expr])], Option.empty[EachRow]))) {
       case (None, _) => None
-      case (Some(acc), Tally(gs)) => Some(acc :+ (pred, gs))
-      case (Some(acc), If(c, thenB, elseB)) if elseB.isEmpty =>
+      case (Some((acc, nested)), Tally(gs)) => Some((acc :+ (pred, gs), nested))
+      case (Some((acc, nested)), If(c, thenB, elseB)) if elseB.isEmpty =>
         val combined = pred.map(p => BinOp("&&", p, c): Expr).orElse(Some(c))
-        flattenTallies(thenB, combined).map(acc ++ _)
+        flattenBody(thenB, combined).flatMap { case (ts, n2) =>
+          // a nested loop under an `if` runs conditionally per cursor — the
+          // chain-existence rewrite doesn't cover that
+          if (n2.isDefined) None else Some((acc ++ ts, nested))
+        }
+      case (Some((acc, None)), e: EachRow) if pred.isEmpty && isChainStep(e.mods) =>
+        Some((acc, Some(e)))
       case _ => None
     }
 

@@ -315,6 +315,96 @@ class OslSpec extends SparkSpec {
         |""".stripMargin, data)
   }
 
+  test("Tier A ≡ Tier B: nested continue().next() funnel chains") {
+    val data = Seq(
+      // u1: full signup -> view -> purchase chain
+      ("u1", Mon + 1 * H, "signup", "a", 1.0, Seq[String]()),
+      ("u1", Mon + 2 * H, "view", "b", 2.0, Seq[String]()),
+      ("u1", Mon + 3 * H, "purchase", "c", 30.0, Seq[String]()),
+      ("u1", Mon + 4 * H, "purchase", "d", 40.0, Seq[String]()),
+      // u2: purchase BEFORE signup (must not count), then view after
+      ("u2", Mon + 1 * H, "purchase", "e", 5.0, Seq[String]()),
+      ("u2", Mon + 2 * H, "signup", "f", 1.0, Seq[String]()),
+      ("u2", Mon + 3 * H, "view", "g", 1.0, Seq[String]()),
+      // u3: signup only
+      ("u3", Mon + 1 * H, "signup", "h", 1.0, Seq[String]()),
+      // u4: view -> purchase but never signed up
+      ("u4", Mon + 1 * H, "view", "i", 1.0, Seq[String]()),
+      ("u4", Mon + 2 * H, "purchase", "j", 9.0, Seq[String]())
+    ).toDF("id", "stamp", "event", "product_name", "product_price", "product_group")
+    // two-level funnel with tallies at both levels
+    tierDiff(
+      """select
+        |  count id as customers
+        |  count product_name as n_rows
+        |  sum product_price as spent
+        |end
+        |each_row where event.is(== 'signup')
+        |  << 'signup'
+        |  each_row.continue().next() where event.is(== 'purchase')
+        |    << 'converted', product_name
+        |  end
+        |end
+        |""".stripMargin, data)
+    // three-level chain: signup -> view -> purchase in strict row order
+    tierDiff(
+      """select
+        |  count id as customers
+        |end
+        |each_row where event.is(== 'signup')
+        |  each_row.continue().next() where event.is(== 'view')
+        |    each_row.continue().next() where event.is(== 'purchase')
+        |      << 'signup_view_purchase'
+        |    end
+        |  end
+        |end
+        |""".stripMargin, data)
+    // conditional tally inside the inner level
+    tierDiff(
+      """select
+        |  count id as customers
+        |  sum product_price as spent
+        |end
+        |each_row where event.is(== 'signup')
+        |  each_row.continue().next() where event.is(== 'purchase')
+        |    if product_price.is(> 10)
+        |      << 'big_purchase'
+        |    end
+        |    << 'any_purchase'
+        |  end
+        |end
+        |""".stripMargin, data)
+  }
+
+  test("Tier A declines non-chain nesting (limit, frame, conditional nest)") {
+    def declines(script: String): Unit =
+      assert(TierA.compile(Parser.program(script), highstreet, Tue, 1800000L).isEmpty,
+        s"expected Tier B for:\n$script")
+    declines(
+      """each_row where event.is(== 'signup')
+        |  each_row.continue().next().limit(1) where event.is(== 'purchase')
+        |    << 'first_conversion'
+        |  end
+        |end
+        |""".stripMargin)
+    declines(
+      """each_row where event.is(== 'signup')
+        |  each_row.continue().next().within(1_days, stamp) where event.is(== 'purchase')
+        |    << 'fast_conversion'
+        |  end
+        |end
+        |""".stripMargin)
+    declines(
+      """each_row where event.is(== 'signup')
+        |  if product_price.is(> 5)
+        |    each_row.continue().next() where event.is(== 'purchase')
+        |      << 'conditional_chain'
+        |    end
+        |  end
+        |end
+        |""".stripMargin)
+  }
+
   test("Tier A ≡ Tier B: multiple tallies per row") {
     tierDiff(
       """select

@@ -95,4 +95,51 @@ class TierPropertySpec extends SparkSpec {
       assert(a == b, s"tier mismatch on sample $i:\n$script\nA=$a\nB=$b")
     }
   }
+
+  // ------------------------------------------------------- chain scripts
+  // Unique stamps per person: chain semantics depend on row ORDER, and both
+  // tiers break stamp ties arbitrarily, so the differential world must be
+  // collision-free (the driver's test data is too).
+  private lazy val chainWorld = {
+    val rnd = new scala.util.Random(11)
+    val events = Seq("purchase", "view", "signup", "error")
+    val products = Seq("rod", "reel", "net", "fly")
+    (0 until 60).map { i =>
+      (s"u${i % 6}", Mon + (i / 6) * 7 * H + (i % 6) * H,
+        events(rnd.nextInt(4)), products(rnd.nextInt(4)),
+        math.round(rnd.nextDouble() * 10000) / 100.0)
+    }.toDF("id", "stamp", "event", "product_name", "product_price").cache()
+  }
+
+  private val genChainScript: Gen[String] = for {
+    sel <- genSelect
+    depth <- Gen.choose(2, 3)
+    wheres <- Gen.listOfN(depth, genWhere)
+    gs <- Gen.listOfN(depth, genGroup)
+    tallyOuter <- Gen.oneOf(true, false)
+  } yield {
+    val sb = new StringBuilder(s"select\n  $sel\nend\n")
+    wheres.zipWithIndex.foreach { case (w, k) =>
+      val head = if (k == 0) "each_row" else "each_row.continue().next()"
+      sb.append("  " * k).append(s"$head where $w\n")
+      if (k == depth - 1 || tallyOuter)
+        sb.append("  " * (k + 1)).append(s"<< 'L$k', ${gs(k)}\n")
+    }
+    (depth - 1 to 0 by -1).foreach(k => sb.append("  " * k).append("end\n"))
+    sb.toString
+  }
+
+  test("random continue().next() chains: Tier A == Tier B (25 seeded samples)") {
+    val params = Gen.Parameters.default
+    (1 to 25).foreach { i =>
+      val script = genChainScript.pureApply(params, Seed(i.toLong * 104729))
+      val p = Parser.program(script)
+      assert(TierA.compile(p, chainWorld, Mon + 100 * H, 1800000L).isDefined,
+        s"chain sample $i did not compile to Tier A:\n$script")
+      val a = canon(OslEngine.query(chainWorld, script, now = Mon + 100 * H))
+      val b = canon(OslEngine.query(chainWorld, script, now = Mon + 100 * H,
+        forceTierB = true))
+      assert(a == b, s"tier mismatch on chain sample $i:\n$script\nA=$a\nB=$b")
+    }
+  }
 }
