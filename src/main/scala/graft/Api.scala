@@ -197,32 +197,53 @@ final class Api(spark: SparkSession, val warehouse: String) {
   def queryCustomer(table: String, id: Any): String =
     Customers.historyJson(catalog.customerEvents(table, id), id)
 
+  /** Reference histogram fill/clip (`src/result.cpp:780-941`
+    * jsonResultHistogramFill): applied whenever `bucket=` is set. min/max
+    * default to the OBSERVED key set; `min=`/`max=` override. Every count at
+    * a key >= max totals into one re-injected max branch (tail clipping);
+    * keys missing from [min, max) zero-fill; keys below min stay as-is. */
+  private def histogramRender(rows: Seq[(Double, Long)], bucket: Option[Double],
+                              minO: Option[Double], maxO: Option[Double]): String = {
+    def fmt(g: Double) =
+      if (g == g.floor && math.abs(g) < 1e15) g.toLong.toString else g.toString
+    val filled: Seq[(Double, Long)] = bucket match {
+      case _ if rows.isEmpty => Nil
+      case None => rows.sortBy(_._1)
+      case Some(b) =>
+        val keys = rows.map(_._1)
+        val mn = minO.getOrElse(keys.min)
+        val mx = maxO.getOrElse(keys.max)
+        val overflow = rows.filter(_._1 >= mx).map(_._2).sum
+        val kept = rows.filter(_._1 < mx).toMap
+        val zeroFill = Iterator.from(0).map(i => mn + i * b).takeWhile(_ < mx)
+          .filterNot(kept.contains).map(_ -> 0L).toSeq
+        (kept.toSeq ++ zeroFill :+ (mx -> overflow)).sortBy(_._1)
+    }
+    filled.map { case (g, c) => s"""{"g":${fmt(g)},"c":$c}""" }
+      .mkString("[", ",", "]")
+  }
+
   /** `POST /v1/query/{t}/histogram/{name}`: per-person `return(expr)` →
-    * bucketed distinct-person counts, zero-filled (src/oloop_histogram.cpp). */
+    * bucketed distinct-person counts, filled/clipped per the reference
+    * (src/oloop_histogram.cpp + result.cpp histogram fill). */
   def queryHistogram(table: String, name: String, script: String, nowMs: Long,
-                     bucket: Double = 1.0,
-                     fill: Option[(Double, Double)] = None,
+                     bucket: Option[Double] = None,
+                     min: Option[Double] = None,
+                     max: Option[Double] = None,
                      foreach: Option[String] = None): String = {
     val m = catalog.describe(table)
-    def runOne(inject: String): Seq[(Double, Long)] =
-      graft.osl.OslEngine.histogram(catalog.events(table), inject + script,
-          now = nowMs, sessionGapMs = m.settings.sessionTimeMs)
-        .groupBy((floor(col("value") / bucket) * bucket).as("bucket"))
-        .agg(countDistinct(col("id")).as("customers"))
-        .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
-    def render(rows: Seq[(Double, Long)]): String = {
-      val filled: Seq[(Double, Long)] = fill match {
-        case Some((lo, hi)) =>
-          val m0 = rows.toMap
-          Iterator.iterate(lo)(_ + bucket).takeWhile(_ <= hi)
-            .map(b => b -> m0.getOrElse(b, 0L)).toSeq
-        case None => rows.sortBy(_._1)
+    def runOne(inject: String): Seq[(Double, Long)] = {
+      val perPerson = graft.osl.OslEngine.histogram(catalog.events(table),
+        inject + script, now = nowMs, sessionGapMs = m.settings.sessionTimeMs)
+      val keyed = bucket match {
+        case Some(b) => perPerson.groupBy((floor(col("value") / b) * b).as("g"))
+        case None => perPerson.groupBy(col("value").as("g"))
       }
-      filled.map { case (b, c) =>
-        val bs = if (b == b.floor && math.abs(b) < 1e15) b.toLong.toString else b.toString
-        s"""{"g":$bs,"c":$c}"""
-      }.mkString("[", ",", "]")
+      keyed.agg(countDistinct(col("id")).as("customers"))
+        .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
     }
+    def render(rows: Seq[(Double, Long)]): String =
+      histogramRender(rows, bucket, min, max)
     foreach match {
       case None => s"""{"name":"$name","histogram":${render(runOne(""))}}"""
       case Some(prop) =>
@@ -428,17 +449,22 @@ final class Api(spark: SparkSession, val warehouse: String) {
         case "histogram" =>
           val (bare, kv) = flags(s.header)
           val name = bare.head
-          val bucket = kv.get("bucket").map(spanMs).getOrElse(1.0)
-          val fill = for (lo <- kv.get("min"); hi <- kv.get("max"))
-            yield (spanMs(lo), spanMs(hi))
+          val bucket = kv.get("bucket").map(spanMs)
+          val minO = kv.get("min").map(spanMs)
+          val maxO = kv.get("max").map(spanMs)
           val events = memberFilter(catalog.events(table))
           val m = catalog.describe(table)
-          def runOne(inject: String): Seq[(Double, Long)] =
-            graft.osl.OslEngine.histogram(events, inject + s.body.toString,
-                now = nowMs, sessionGapMs = m.settings.sessionTimeMs)
-              .groupBy((floor(col("value") / bucket) * bucket).as("b"))
-              .agg(countDistinct(col("id")).as("c"))
+          def runOne(inject: String): Seq[(Double, Long)] = {
+            val perPerson = graft.osl.OslEngine.histogram(events,
+              inject + s.body.toString,
+              now = nowMs, sessionGapMs = m.settings.sessionTimeMs)
+            val keyed = bucket match {
+              case Some(b) => perPerson.groupBy((floor(col("value") / b) * b).as("g"))
+              case None => perPerson.groupBy(col("value").as("g"))
+            }
+            keyed.agg(countDistinct(col("id")).as("c"))
               .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+          }
           val counted: Seq[(String, Seq[(Double, Long)])] = kv.get("foreach") match {
             case None => Seq("" -> runOne(""))
             case Some(prop) =>
@@ -454,19 +480,8 @@ final class Api(spark: SparkSession, val warehouse: String) {
                 v.toString -> runOne(s"each_value = $lit\n")
               }
           }
-          def render(rows: Seq[(Double, Long)]): String = {
-            val filled = fill match {
-              case Some((lo, hi)) =>
-                val m0 = rows.toMap
-                Iterator.iterate(lo)(_ + bucket).takeWhile(_ <= hi)
-                  .map(b => b -> m0.getOrElse(b, 0L)).toSeq
-              case None => rows.sortBy(_._1)
-            }
-            filled.map { case (b, c) =>
-              val bs = if (b == b.floor && math.abs(b) < 1e15) b.toLong.toString else b.toString
-              s"""{"g":$bs,"c":$c}"""
-            }.mkString("[", ",", "]")
-          }
+          def render(rows: Seq[(Double, Long)]): String =
+            histogramRender(rows, bucket, minO, maxO)
           hists += (counted match {
             case Seq(("", rows)) => s""""$name":${render(rows)}"""
             case groups =>

@@ -126,10 +126,25 @@ class CatalogSpec extends SparkSpec {
     val hist = api.queryHistogram("highstreet", "spend",
       """spend = sum(product_price) where event.is(== 'purchase')
         |return(spend)
-        |""".stripMargin, nowMs = now + 86400000L, bucket = 5.0,
-      fill = Some((0.0, 15.0)))
-    // u1 spent 14.5 -> bucket 10; u2 spent 0 -> bucket 0; buckets 5/15 zero-filled
+        |""".stripMargin, nowMs = now + 86400000L, bucket = Some(5.0),
+      min = Some(0.0), max = Some(15.0))
+    // u1 spent 14.5 -> bucket 10; u2 spent 0 -> bucket 0; bucket 5 zero-filled;
+    // max branch re-injected with the (empty) >= 15 tail
     assert(hist.contains("""{"g":10,"c":1}""") && hist.contains("""{"g":5,"c":0}"""))
+    assert(hist.contains("""{"g":15,"c":0}"""))
+    // tail clipping: max=10 totals everything >= 10 into the max branch
+    val clipped = api.queryHistogram("highstreet", "spend",
+      """spend = sum(product_price) where event.is(== 'purchase')
+        |return(spend)
+        |""".stripMargin, nowMs = now + 86400000L, bucket = Some(5.0),
+      max = Some(10.0))
+    assert(clipped.contains("""{"g":10,"c":1}""") && clipped.contains("""{"g":0,"c":1}"""))
+    // default fill: bucket set, no min/max -> observed min..max, tail at max
+    val defFill = api.queryHistogram("highstreet", "spend",
+      """spend = sum(product_price) where event.is(== 'purchase')
+        |return(spend)
+        |""".stripMargin, nowMs = now + 86400000L, bucket = Some(5.0))
+    assert(defFill.contains("""{"g":5,"c":0}""") && defFill.contains("""{"g":10,"c":1}"""))
 
     assert(api.status().contains("\"tables\":1"))
 
