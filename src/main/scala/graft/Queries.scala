@@ -155,6 +155,63 @@ object Queries {
       Some(s"""$E SELECT FLOOR(value / 50.0) * 50.0 AS bucket,
         COUNT(DISTINCT id) AS customers FROM e GROUP BY 1""")),
 
+    // Discrete percentiles per event type (quantile_disc semantics: the
+    // smallest value whose rank >= ceil(p*n)) — computed via one window
+    // rank + conditional mins so both engines take the exact same value,
+    // no floating interpolation to diverge on. One sort-shuffle per group.
+    Q("q_value_percentiles",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val w = Window.partitionBy(col("event")).orderBy(col("value"))
+        val ranked = e.select(col("event"), col("value"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event"))))
+        def pct(p: Double) = min(when(col("rn") >= ceil(lit(p) * col("n")), col("value")))
+        ranked.groupBy(col("event"))
+          .agg(pct(0.5).as("p50"), pct(0.9).as("p90"), pct(0.99).as("p99"),
+            count(lit(1)).as("n_rows"))
+      },
+      Some(s"""$E, r AS (
+          SELECT event, value,
+            ROW_NUMBER() OVER (PARTITION BY event ORDER BY value) AS rn,
+            COUNT(*) OVER (PARTITION BY event) AS n
+          FROM e)
+        SELECT event,
+          MIN(CASE WHEN rn >= CEIL(0.5 * n) THEN value END) AS p50,
+          MIN(CASE WHEN rn >= CEIL(0.9 * n) THEN value END) AS p90,
+          MIN(CASE WHEN rn >= CEIL(0.99 * n) THEN value END) AS p99,
+          COUNT(*) AS n_rows
+        FROM r GROUP BY event""")),
+
+    // Rolling 7-day window per event type: daily partial aggregation first
+    // (map-side combine collapses the row count), then a tiny RANGE-frame
+    // window over the day keys — the scale shape for trailing-window
+    // metrics (the window input is days x types, not events).
+    Q("q_rolling_7day",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val daily = e.select(col("event"), expr("stamp div 86400000").as("day"),
+            col("value"))
+          .groupBy(col("event"), col("day"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(28, 4))).as("v"))
+        val w = Window.partitionBy(col("event")).orderBy(col("day"))
+          .rangeBetween(-6, Window.currentRow)
+        daily.select(col("event"), col("day"),
+            sum(col("n")).over(w).as("events_7d"),
+            sum(col("v")).over(w).cast("double").as("value_7d"))
+      },
+      Some(s"""$E, d AS (
+          SELECT event, stamp // 86400000 AS day, COUNT(*) AS n,
+            SUM(CAST(value AS DECIMAL(28,4))) AS v
+          FROM e GROUP BY 1, 2)
+        SELECT event, day,
+          CAST(SUM(n) OVER (PARTITION BY event ORDER BY day
+            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS events_7d,
+          CAST(SUM(v) OVER (PARTITION BY event ORDER BY day
+            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS value_7d
+        FROM d""")),
+
     // Event JSON properties: the reference's insert path maps the event's
     // `_` JSON sub-document into schema columns (src/grid.cpp:769-1200);
     // the Spark-native analog extracts from the JSON props column in-query
