@@ -147,8 +147,15 @@ object OslEngine {
   /** Run a histogram-style script: per-person `return(expr)` values
     * (src/oloop_histogram.cpp) — returns `(id, value)` rows. */
   def histogram(events: DataFrame, script: String,
-                now: Long, sessionGapMs: Long = 30 * 60 * 1000L): DataFrame = {
+                now: Long, sessionGapMs: Long = 30 * 60 * 1000L,
+                forceTierB: Boolean = false): DataFrame = {
     val program = Parser.program(script)
+    if (!forceTierB) {
+      TierA.compileHistogram(program, events, now) match {
+        case Some(df) => return df
+        case None => ()
+      }
+    }
     val spark = events.sparkSession
     val schema = events.schema
     val nCols = schema.fields.length

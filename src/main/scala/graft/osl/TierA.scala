@@ -309,6 +309,102 @@ object TierA {
     })
   }
 
+  /** Compile a histogram-route script (`x = agg(col) where rowPred …;
+    * return(expr)`, src/oloop_histogram.cpp) to one hash aggregation:
+    * `groupBy(id).agg(conditional aggs)` → `select(id, return-expr)`.
+    * Conditional aggregates run over ALL of a person's rows (no pre-filter:
+    * a person with zero matching rows still returns, with empty-agg
+    * defaults). Matches the interpreter exactly:
+    *  - sums/avgs go through ×10,000 HALF_UP fixed point (= DECIMAL(28,4));
+    *  - count/dcount skip nil (null) argument values;
+    *  - empty min/max/avg/row are nil, which every numeric consumption
+    *    reads as 0 — compiled as coalesce(…, 0).
+    * Frames, `.reverse`, session references, vars referencing other vars
+    * and non-inline-agg assignments decline to the interpreter. */
+  def compileHistogram(program: Program, events: DataFrame,
+                       now: Long): Option[DataFrame] = {
+    if (program.select.nonEmpty || program.code.isEmpty) return None
+    if (Interpreter.referencesSession(program)) return None
+    val rowCols = events.columns.toSet
+    // every name referenced below must be a row column or builtin — inline
+    // aggs referencing earlier VARS (or anything stateful) decline
+    def rowPure(e: Expr): Boolean = e match {
+      case Lit(VNone) => false // nil literals have non-numeric compare semantics
+      case Lit(_) => true
+      case VarRef("now") | PropRef("now") => true
+      case VarRef(n) => rowCols(n)
+      case PropRef(n) => rowCols(n)
+      case ListLit(xs) => xs.forall(rowPure)
+      case BinOp(_, l, r) => rowPure(l) && rowPure(r)
+      case UnOp(_, x) => rowPure(x)
+      case Call(_, as) => as.forall(rowPure)
+      case PropTest(p, k, cmp, None, false) if k == "is" || k == "is_not" =>
+        rowCols(p) && rowPure(cmp.operand)
+      case _ => false
+    }
+    val (assigns, ret) = (program.code.init, program.code.last)
+    val retExpr = ret match {
+      case Return(Some(e)) => e
+      case _ => return None
+    }
+    val vars = scala.collection.mutable.LinkedHashMap.empty[String, Column]
+    assigns.foreach {
+      case Assign(VarRef(name), "=", ia: InlineAgg)
+          if ia.frame.isEmpty && !ia.reverse && rowPure(ia.where) &&
+            ia.arg.forall(rowPure) && !rowCols(name) =>
+        val pred = compileExpr(ia.where, now).getOrElse(return None)
+        val argC = ia.arg.map(a => compileExpr(a, now).getOrElse(return None))
+        val arg = argC.getOrElse(lit(1L))
+        // ×10,000 fixed point with HALF_UP — exactly Interpreter.toFixed
+        val fixed = when(pred, arg.cast(org.apache.spark.sql.types.DecimalType(28, 4)))
+        val c: Column = ia.kind match {
+          case "sum" => coalesce(sum(fixed).cast("double"), lit(0.0))
+          case "count" => count(when(pred, arg))
+          case "dcount" => countDistinct(when(pred, arg))
+          case "min" => coalesce(min(when(pred, arg.cast("double"))), lit(0.0))
+          case "max" => coalesce(max(when(pred, arg.cast("double"))), lit(0.0))
+          case "avg" => coalesce(
+            (sum(fixed).cast("double") / count(when(pred, arg))), lit(0.0))
+          case "test" => count(when(pred, arg)) > 0
+          case _ => return None // `row` needs the person row index
+        }
+        vars(name) = c
+      case _ => return None
+    }
+    if (vars.isEmpty) return None
+    // the return expr may only reference the declared vars (+ now/literals)
+    def retOk(e: Expr): Boolean = e match {
+      case Lit(VNone) => false
+      case Lit(_) => true
+      case VarRef("now") | PropRef("now") => true
+      case VarRef(n) => vars.contains(n)
+      case PropRef(n) => vars.contains(n)
+      case BinOp(_, l, r) => retOk(l) && retOk(r)
+      case UnOp(_, x) => retOk(x)
+      case Call(_, as) => as.forall(retOk)
+      case _ => false
+    }
+    if (!retOk(retExpr)) return None
+    val agged = events.groupBy(col("id"))
+      .agg(vars.head._2.as(s"__v_${vars.head._1}"),
+        vars.tail.map { case (n, c) => c.as(s"__v_$n") }.toSeq: _*)
+    val varMap: Map[String, Column] = vars.keys.map(n => n -> col(s"__v_$n")).toMap
+    def compileRet(e: Expr): Option[Column] = e match {
+      case VarRef(n) if varMap.contains(n) => Some(varMap(n))
+      case PropRef(n) if varMap.contains(n) => Some(varMap(n))
+      case BinOp(op, l, r) =>
+        for { lc <- compileRet(l); rc <- compileRet(r); c <- binop(op, lc, rc) } yield c
+      case UnOp("!", x) => compileRet(x).map(!_)
+      case UnOp("-", x) => compileRet(x).map(c => -c)
+      case Call(name, as) => traverse(as.map(compileRet)).flatMap(marshal(name, _))
+      case other => compileExpr(other, now)
+    }
+    // interpreter person ids surface as strings (groupByKey key)
+    compileRet(retExpr).map(rc =>
+      agged.select(col("id").cast("string").as("id"),
+        rc.cast("double").as("value")))
+  }
+
   /** A row-pure WEAKENING of an each_row `where`: the conjunction of those
     * top-level conjuncts that are positive row tests compilable to Columns
     * (dropping frames, ever/never, vars — each drop widens the match set,

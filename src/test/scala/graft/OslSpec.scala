@@ -405,6 +405,51 @@ class OslSpec extends SparkSpec {
         |""".stripMargin)
   }
 
+  test("Tier A ≡ Tier B: histogram inline-agg scripts compile to one aggregation") {
+    def histDiff(script: String,
+                 data: org.apache.spark.sql.DataFrame = highstreet): Unit = {
+      val p = Parser.program(script)
+      assert(TierA.compileHistogram(p, data, Tue).isDefined,
+        s"expected histogram Tier A to engage for:\n$script")
+      val a = OslEngine.histogram(data, script, now = Tue)
+      assert(!a.queryExecution.executedPlan.toString.contains("MapGroups"))
+      val b = OslEngine.histogram(data, script, now = Tue, forceTierB = true)
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0),
+          math.round(r.getDouble(1) * 10000) / 10000.0)).toSet
+      assert(canon(a) == canon(b), s"histogram tier mismatch for:\n$script")
+      assert(canon(a).nonEmpty)
+    }
+    histDiff(
+      """total = sum(product_price) where event.is(== 'purchase')
+        |return(bucket(total, 25))
+        |""".stripMargin)
+    histDiff(
+      """n = count(event) where product_group.is(contains 'outdoor')
+        |d = dcount(product_name) where event.is(== 'purchase')
+        |return(n * 100 + d)
+        |""".stripMargin)
+    histDiff( // empty matches: min/avg are nil -> 0 under numeric use
+      """m = max(product_price) where event.is(== 'no_such_event')
+        |a = avg(product_price) where event.is(== 'purchase')
+        |return(m + a)
+        |""".stripMargin)
+    histDiff(
+      """seen = test(event) where product_price.is(> 100)
+        |return(seen)
+        |""".stripMargin)
+    // interpreter-only shapes still decline: frames, var-referencing wheres
+    assert(TierA.compileHistogram(Parser.program(
+      """t = sum(product_price).look_back(2_hours) where event.is(== 'purchase')
+        |return(t)
+        |""".stripMargin), highstreet, Tue).isEmpty)
+    assert(TierA.compileHistogram(Parser.program(
+      """lo = min(product_price) where event.is(== 'purchase')
+        |n = count(event) where product_price.is(> lo)
+        |return(n)
+        |""".stripMargin), highstreet, Tue).isEmpty)
+  }
+
   test("Tier A ≡ Tier B: multiple tallies per row") {
     tierDiff(
       """select
