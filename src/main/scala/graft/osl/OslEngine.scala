@@ -108,8 +108,15 @@ object OslEngine {
   /** Run a multi-`@segment` script; returns membership `(segment, id)`.
     * All segments evaluate in ONE pass over each customer. */
   def segments(events: DataFrame, script: String,
-               now: Long, sessionGapMs: Long = 30 * 60 * 1000L): DataFrame = {
+               now: Long, sessionGapMs: Long = 30 * 60 * 1000L,
+               forceTierB: Boolean = false): DataFrame = {
     val defs = Parser.segments(script)
+    if (!forceTierB) {
+      TierA.compileSegments(defs, events, now) match {
+        case Some(df) => return df
+        case None => ()
+      }
+    }
     val spark = events.sparkSession
     val schema = events.schema
     val nCols = schema.fields.length

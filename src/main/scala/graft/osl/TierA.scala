@@ -405,6 +405,130 @@ object TierA {
         rc.cast("double").as("value")))
   }
 
+  /** Compile a multi-`@segment` script to relational membership when every
+    * definition is declarative: `if <person-pred> return(true) [else
+    * return(false)]` or `return(<person-pred>)`, where the predicate is a
+    * boolean combination of ever/never tests and comparisons over inline
+    * aggregates. One groupBy(id) computes every segment's membership column
+    * (Catalyst reuses the aggregation exchange across the per-segment
+    * branches); the refresh loop then scales as one scan + one shuffle
+    * instead of per-person interpretation. Top-level frames anchor at `now`
+    * (src/queryinterpreter.cpp cursor-invalid anchor), so bounds are
+    * constants. Anything else — nested each_row (funnel segments), vars,
+    * non-constant anchors — declines to the interpreter. */
+  def compileSegments(defs: Seq[SegmentDef], events: DataFrame,
+                      now: Long): Option[DataFrame] = {
+    if (defs.isEmpty) return None
+    val members = defs.map(d => segmentMember(d.code, now).getOrElse(return None))
+    val agged = events.groupBy(col("id"))
+      .agg(members.head.as("__m_0"),
+        members.tail.zipWithIndex.map { case (m, i) => m.as(s"__m_${i + 1}") }: _*)
+    Some(defs.zipWithIndex.map { case (d, i) =>
+      agged.where(col(s"__m_$i"))
+        .select(lit(d.name).as("segment"), col("id").cast("string").as("id"))
+    }.reduce(_ unionByName _))
+  }
+
+  /** The membership aggregate-boolean for one segment body, or None. */
+  private def segmentMember(code: Seq[Stmt], now: Long): Option[Column] = {
+    def isRet(s: Stmt, v: Boolean): Boolean = s match {
+      case Return(Some(Lit(VBool(b)))) => b == v
+      case _ => false
+    }
+    code match {
+      case Seq(If(cond, Seq(t), e)) if isRet(t, v = true) &&
+          (e.isEmpty || (e.length == 1 && isRet(e.head, v = false))) =>
+        translateBool(cond, now)
+      case Seq(Return(Some(expr))) => translateBool(expr, now)
+      case _ => None
+    }
+  }
+
+  /** Constant frame bounds at top level (cursor invalid → anchor = now). */
+  private def constBounds(frame: Option[Frame], now: Long): Option[(Long, Long)] = {
+    def c(e: Expr): Option[Long] = e match {
+      case VarRef("now") | PropRef("now") => Some(now)
+      case Lit(VInt(i)) => Some(i)
+      case Lit(VDbl(d)) => Some(d.toLong)
+      case Lit(VStr(s)) =>
+        try Some(java.time.OffsetDateTime.parse(s).toInstant.toEpochMilli)
+        catch { case _: Throwable =>
+          try Some(java.time.Instant.parse(s).toEpochMilli)
+          catch { case _: Throwable => None } }
+      case _ => None
+    }
+    def span(e: Expr): Option[Long] = e match {
+      case Lit(VInt(i)) => Some(i)
+      case Lit(VDbl(d)) => Some(d.toLong)
+      case _ => None
+    }
+    frame match {
+      case None => Some((Long.MinValue, Long.MaxValue))
+      case Some(Within(s, a)) => for (sv <- span(s); av <- c(a)) yield (av - sv, av + sv)
+      case Some(LookBack(s, a)) =>
+        for (sv <- span(s); av <- a.map(c).getOrElse(Some(now)))
+          yield (if (sv == Long.MaxValue) Long.MinValue else av - sv, av)
+      case Some(LookAhead(s, a)) =>
+        for (sv <- span(s); av <- a.map(c).getOrElse(Some(now)))
+          yield (av, if (sv == Long.MaxValue) Long.MaxValue else av + sv)
+      case Some(DateRange(s, e)) => for (lo <- c(s); hi <- c(e)) yield (lo, hi)
+    }
+  }
+
+  /** Boolean person-predicate → one aggregate Column. */
+  private def translateBool(e: Expr, now: Long): Option[Column] = e match {
+    case PropTest(prop, kind, cmp, frame, false) if kind == "ever" || kind == "never" =>
+      for {
+        rowPred <- compileCmp(col(prop), cmp, now)
+        (lo, hi) <- constBounds(frame, now)
+      } yield {
+        val bounded =
+          if (lo == Long.MinValue && hi == Long.MaxValue) rowPred
+          else rowPred && col("stamp").between(lo, hi)
+        val found = coalesce(max(when(bounded, 1)), lit(0))
+        if (kind == "ever") found === 1 else found === 0
+      }
+    case BinOp("&&", l, r) =>
+      for (lc <- translateBool(l, now); rc <- translateBool(r, now)) yield lc && rc
+    case BinOp("||", l, r) =>
+      for (lc <- translateBool(l, now); rc <- translateBool(r, now)) yield lc || rc
+    case UnOp("!", x) => translateBool(x, now).map(!_)
+    case BinOp(op, l, r) if Set("==", "!=", ">", ">=", "<", "<=")(op) =>
+      for (lc <- translateVal(l, now); rc <- translateVal(r, now); c <- binop(op, lc, rc)) yield c
+    case Lit(VBool(b)) => Some(lit(b))
+    case _ => None
+  }
+
+  /** Numeric sub-expressions over inline aggregates (constant-frame,
+    * row-pure, never-nil kinds only). */
+  private def translateVal(e: Expr, now: Long): Option[Column] = e match {
+    case ia: InlineAgg if !ia.reverse =>
+      for {
+        (lo, hi) <- constBounds(ia.frame, now)
+        wherePred <- compileExpr(ia.where, now)
+        argC <- ia.arg.map(a => compileExpr(a, now)).getOrElse(Some(lit(1L)))
+      } yield {
+        val pred =
+          if (lo == Long.MinValue && hi == Long.MaxValue) wherePred
+          else wherePred && col("stamp").between(lo, hi)
+        val fixed = when(pred, argC.cast(org.apache.spark.sql.types.DecimalType(28, 4)))
+        ia.kind match {
+          case "sum" => coalesce(sum(fixed).cast("double"), lit(0.0))
+          case "count" => count(when(pred, argC)).cast("double")
+          case "dcount" => countDistinct(when(pred, argC)).cast("double")
+          case "test" => (count(when(pred, argC)) > 0).cast("double")
+          case _ => return None // min/max/avg are nil when empty: interpreter compare semantics
+        }
+      }
+    case Lit(VInt(i)) => Some(lit(i.toDouble))
+    case Lit(VDbl(d)) => Some(lit(d))
+    case VarRef("now") | PropRef("now") => Some(lit(now.toDouble))
+    case BinOp(op, l, r) if Set("+", "-", "*", "/")(op) =>
+      for (lc <- translateVal(l, now); rc <- translateVal(r, now); c <- binop(op, lc, rc)) yield c
+    case UnOp("-", x) => translateVal(x, now).map(c => -c)
+    case _ => None
+  }
+
   /** A row-pure WEAKENING of an each_row `where`: the conjunction of those
     * top-level conjuncts that are positive row tests compilable to Columns
     * (dropping frames, ever/never, vars — each drop widens the match set,

@@ -450,6 +450,56 @@ class OslSpec extends SparkSpec {
         |""".stripMargin), highstreet, Tue).isEmpty)
   }
 
+  test("Tier A ≡ Tier B: declarative segment scripts compile to one aggregation") {
+    def segDiff(script: String,
+                data: org.apache.spark.sql.DataFrame = highstreet): Unit = {
+      val defs = Parser.segments(script)
+      assert(TierA.compileSegments(defs, data, Tue).isDefined,
+        s"expected segment Tier A to engage for:\n$script")
+      val a = OslEngine.segments(data, script, now = Tue)
+      assert(!a.queryExecution.executedPlan.toString.contains("MapGroups"))
+      val b = OslEngine.segments(data, script, now = Tue, forceTierB = true)
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(canon(a) == canon(b), s"segment tier mismatch for:\n$script")
+    }
+    segDiff(
+      """@segment buyers
+        |if event.ever(== 'purchase')
+        |  return(true)
+        |end
+        |@segment outdoor_browsers
+        |if product_group.ever(contains 'outdoor') && event.never(== 'purchase')
+        |  return(true)
+        |end
+        |""".stripMargin)
+    segDiff( // framed ever anchored at now + inline-agg comparison
+      """@segment recent_buyers
+        |if event.look_back(36_hours).ever(== 'purchase')
+        |  return(true)
+        |end
+        |@segment big_spenders
+        |if (sum(product_price) where event.is(== 'purchase')) > 100
+        |  return(true)
+        |else
+        |  return(false)
+        |end
+        |""".stripMargin)
+    segDiff( // bare boolean return
+      """@segment active
+        |return((count(event) where event.is(!= 'nothing')) > 1)
+        |""".stripMargin)
+    // funnels and var-stateful segments still interpret
+    assert(TierA.compileSegments(Parser.segments(
+      """@segment signup_then_purchase
+        |each_row where event.is(== 'signup')
+        |  each_row.continue().next() where event.is(== 'purchase')
+        |    return(true)
+        |  end
+        |end
+        |""".stripMargin), highstreet, Tue).isEmpty)
+  }
+
   test("Tier A ≡ Tier B: multiple tallies per row") {
     tierDiff(
       """select
