@@ -690,6 +690,30 @@ object Queries {
         FROM s a JOIN s b ON a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.02""")),
 
+    // Document chunking: 64-token windows with 16 tokens of overlap — the
+    // pre-embedding split for RAG/context-bounded training. In-row Column
+    // exprs (sequence + slice), exploded only at the output boundary.
+    Q("q_doc_chunks",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .repartition(s.sparkContext.defaultParallelism)
+        TextOps.chunk(d, col("text"), size = 64, overlap = 16)
+          .select(col("doc_id"), col("chunk_ix"), col("chunk_text"),
+            col("chunk_tokens"))
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+          FROM documents),
+        c AS (
+          SELECT doc_id, toks, len(toks) AS n,
+            CASE WHEN len(toks) <= 64 THEN 1
+                 ELSE 1 + CAST(CEIL((len(toks) - 64) / 48.0) AS INTEGER) END AS nc
+          FROM t WHERE len(toks) > 0)
+        SELECT doc_id, CAST(u.i AS INTEGER) AS chunk_ix,
+          array_to_string(list_slice(toks, u.i * 48 + 1, u.i * 48 + 64), ' ') AS chunk_text,
+          CAST(LEAST(64, n - u.i * 48) AS INTEGER) AS chunk_tokens
+        FROM c, LATERAL (SELECT unnest(range(0, c.nc)) AS i) u""")),
+
     // Document fingerprinting (k smallest shingle hashes).
     Q("q_doc_fingerprints",
       (s, dir) => {

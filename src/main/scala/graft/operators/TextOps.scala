@@ -106,6 +106,39 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Chunk documents into token windows of `size` with `overlap` tokens of
+    * context carried between consecutive chunks — the standard pre-embedding
+    * split for RAG / context-window-bounded training. In-row Column
+    * expressions (sequence + slice; no UDF, no explode until the caller asks
+    * for rows), so chunking runs at scan speed and composes with
+    * partitioning. Documents with no tokens produce no chunks.
+    *
+    * Returns one row per chunk: every original column plus
+    * `(chunk_ix, chunk_text, chunk_tokens)`. */
+  def chunk(docs: DataFrame, text: Column,
+            size: Int = 64, overlap: Int = 16): DataFrame = {
+    require(size > overlap && overlap >= 0, s"need size > overlap >= 0")
+    val step = size - overlap
+    val toks = tokens(text)
+    val n = org.apache.spark.sql.functions.size(toks)
+    // number of chunks: 1 if n <= size else 1 + ceil((n - size) / step)
+    val extra = ceil((n - size).cast("double") / step).cast("int")
+    val nChunks = when(n <= size, lit(1)).otherwise(lit(1) + extra)
+    val chunks = when(n > 0,
+      transform(sequence(lit(0), nChunks - 1), i =>
+        struct(
+          i.as("chunk_ix"),
+          concat_ws(" ", slice(toks, i * step + 1, lit(size))).as("chunk_text"),
+          least(lit(size), n - i * step).as("chunk_tokens"))))
+      .otherwise(array().cast(
+        "array<struct<chunk_ix:int,chunk_text:string,chunk_tokens:int>>"))
+    docs.withColumn("__c", explode(chunks))
+      .withColumn("chunk_ix", col("__c.chunk_ix"))
+      .withColumn("chunk_text", col("__c.chunk_text"))
+      .withColumn("chunk_tokens", col("__c.chunk_tokens"))
+      .drop("__c")
+  }
+
   /** Benchmark decontamination: per corpus document, how many of its
     * distinct word n-grams appear anywhere in the `benchmark` set — the
     * overlap screen run before training on scraped corpora. The benchmark's

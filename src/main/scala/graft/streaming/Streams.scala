@@ -160,6 +160,16 @@ object Streams {
   def segmentEvents(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/segment_events")
 
+  /** Streaming exact dedup: drop rows whose key was already seen within the
+    * watermark delay. State is bounded by the watermark (old keys age out of
+    * the store), which is the only shape that survives an unbounded stream —
+    * the batch analog is `Dedup.exactDedup`. Dedup ingestion feeds use
+    * `md5(text)` (or the insert row-hash) as the key. */
+  def dedupStream(stream: DataFrame, keyCols: Seq[String],
+                  tsCol: String = "ts", watermark: String = "1 hour"): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Streaming sessionization with the built-in session_window — tumbling
     * gap-based sessions over event time (SURVEY §2.9 "Windows"). */
   def sessionCounts(stream: DataFrame, gap: String = "30 minutes",

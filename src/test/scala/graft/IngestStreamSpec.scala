@@ -205,6 +205,25 @@ class IngestStreamSpec extends SparkSpec {
     assert(rows == Seq((1L, 2L), (1L, 1L))) // two sessions: {a,b}, {c}
   }
 
+  test("streaming dedup drops duplicate keys within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, String)]
+    val stream = mem.toDF().toDF("ts", "doc_id", "text")
+    val out = Streams.dedupStream(stream, Seq("text"), watermark = "1 hour")
+    val q = out.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    def t(ms: Long) = new java.sql.Timestamp(1704067200000L + ms)
+    mem.addData((t(0), "d1", "same text"), (t(1000), "d2", "same text"),
+      (t(2000), "d3", "other text"))
+    q.processAllAvailable()
+    // a later batch re-sends a duplicate inside the watermark window
+    mem.addData((t(3000), "d4", "same text"), (t(4000), "d5", "fresh text"))
+    q.processAllAvailable()
+    q.stop()
+    val texts = spark.sql("SELECT text FROM dedup").as[String].collect().sorted.toSeq
+    assert(texts == Seq("fresh text", "other text", "same text"))
+  }
+
   test("bucketed layout removes the person-key shuffle") {
     val e = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 30L, "a"))
       .toDF("id", "stamp", "event")
