@@ -714,6 +714,46 @@ object Queries {
           CAST(LEAST(64, n - u.i * 48) AS INTEGER) AS chunk_tokens
         FROM c, LATERAL (SELECT unnest(range(0, c.nc)) AS i) u""")),
 
+    // BM25 keyword-search top-k: per-term tf evaluates in-row over the
+    // token array; corpus stats (N, avgdl, per-term df) reduce to one
+    // broadcast stats row — two scans total at any corpus size. The oracle
+    // mirrors the exact arithmetic association, scores rounded to 4dp.
+    Q("q_bm25_topk",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .repartition(s.sparkContext.defaultParallelism)
+        graft.operators.Similarity.bm25TopK(d, col("doc_id"), col("text"),
+          Seq("join", "vector", "slow"), k = 25)
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+          FROM documents),
+        d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM t),
+        s AS (
+          SELECT COUNT(*) AS n,
+            CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+            COUNT(*) FILTER (WHERE list_contains(toks, 'join')) AS df0,
+            COUNT(*) FILTER (WHERE list_contains(toks, 'vector')) AS df1,
+            COUNT(*) FILTER (WHERE list_contains(toks, 'slow')) AS df2
+          FROM d),
+        sc AS (
+          SELECT doc_id,
+            ln((CAST(n AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5) + 1.0)
+              * (CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) * 2.2)
+              / (CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE)
+                 + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+          + ln((CAST(n AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5) + 1.0)
+              * (CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) * 2.2)
+              / (CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE)
+                 + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+          + ln((CAST(n AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5) + 1.0)
+              * (CAST(len(list_filter(toks, x -> x = 'slow')) AS DOUBLE) * 2.2)
+              / (CAST(len(list_filter(toks, x -> x = 'slow')) AS DOUBLE)
+                 + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) AS raw
+          FROM d, s)
+        SELECT doc_id, ROUND(raw, 4) AS score FROM sc
+        ORDER BY score DESC, doc_id ASC LIMIT 25""")),
+
     // Document fingerprinting (k smallest shingle hashes).
     Q("q_doc_fingerprints",
       (s, dir) => {

@@ -44,6 +44,39 @@ object Similarity {
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself). Queries are broadcast — the corpus scan
     * never shuffles its vectors. */
+  /** BM25 keyword-search top-k (Robertson/Sparck Jones; k1/b defaults per
+    * the literature). The query's term list is tiny and fixed, so per-term
+    * frequencies evaluate IN-ROW (array filters over the token array — no
+    * explode, no per-term shuffle) and the corpus stats (N, avg doc length,
+    * per-term doc frequency) reduce to ONE broadcast-joined stats row: two
+    * scans total regardless of corpus size. Deterministic tiebreak on id. */
+  def bm25TopK(docs: DataFrame, id: Column, text: Column, query: Seq[String],
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "empty query")
+    val toks = TextOps.tokens(text)
+    val base = docs.select(id.as("doc_id"), toks.as("__toks"),
+      size(toks).cast("long").as("__dl"))
+    val statCols = Seq(
+      count(lit(1)).as("__n"),
+      (sum(col("__dl")).cast("double") / count(lit(1))).as("__avgdl")) ++
+      query.zipWithIndex.map { case (t, i) =>
+        count(when(array_contains(col("__toks"), t), 1)).as(s"__df_$i")
+      }
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+    val scored = base.crossJoin(broadcast(stats))
+    val termScores = query.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(col("__toks"), x => x === lit(t))).cast("double")
+      val df = col(s"__df_$i").cast("double")
+      val idf = log((col("__n").cast("double") - df + 0.5) / (df + 0.5) + 1.0)
+      idf * (tf * (k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl").cast("double") / col("__avgdl")))
+    }
+    scored
+      .select(col("doc_id"), round(termScores.reduce(_ + _), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     // norms are per-VECTOR columns computed before the join — same IEEE
     // expression as dot/(|a||b|) per pair, but evaluated n times, not n²
