@@ -365,7 +365,9 @@ object TierA {
           case "max" => coalesce(max(when(pred, arg.cast("double"))), lit(0.0))
           case "avg" => coalesce(
             (sum(fixed).cast("double") / count(when(pred, arg))), lit(0.0))
-          case "test" => count(when(pred, arg)) > 0
+          // long 0/1: VBool is numeric to the interpreter (asDouble = 1/0),
+          // so every numeric consumption of a test var agrees
+          case "test" => (count(when(pred, arg)) > 0).cast("long")
           case _ => return None // `row` needs the person row index
         }
         vars(name) = c

@@ -129,6 +129,74 @@ class TierPropertySpec extends SparkSpec {
     sb.toString
   }
 
+  // ------------------------------------------- segment + histogram scripts
+  private val genPersonPred: Gen[String] = {
+    val leaf = Gen.oneOf(
+      "event.ever(== 'purchase')", "event.never(== 'error')",
+      "product_name.ever(in ['rod', 'net'])",
+      "event.look_back(48_hours).ever(== 'signup')",
+      "(sum(product_price) where event.is(== 'purchase')) > 150",
+      "(count(event) where product_price.is(> 40)) >= 2",
+      "(dcount(product_name) where event.is(== 'view')) > 1")
+    for {
+      n <- Gen.choose(1, 3)
+      ls <- Gen.listOfN(n, leaf)
+      op <- Gen.oneOf(" && ", " || ")
+    } yield ls.mkString(op)
+  }
+
+  test("random declarative segments: Tier A == Tier B (20 seeded samples)") {
+    val params = Gen.Parameters.default
+    (1 to 20).foreach { i =>
+      val preds = (0 until 2).map(j =>
+        genPersonPred.pureApply(params, Seed(i.toLong * 31337 + j)))
+      val script = preds.zipWithIndex.map { case (p, j) =>
+        s"@segment s$j\nif $p\n  return(true)\nend\n"
+      }.mkString
+      val defs = Parser.segments(script)
+      assert(TierA.compileSegments(defs, world, Mon + 100 * H).isDefined,
+        s"segment sample $i did not compile:\n$script")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val a = canon(OslEngine.segments(world, script, now = Mon + 100 * H))
+      val b = canon(OslEngine.segments(world, script, now = Mon + 100 * H,
+        forceTierB = true))
+      assert(a == b, s"segment tier mismatch on sample $i:\n$script\nA=$a\nB=$b")
+    }
+  }
+
+  private val genHistScript: Gen[String] = {
+    val agg = Gen.oneOf(
+      "sum(product_price) where event.is(== 'purchase')",
+      "count(event) where product_name.is(in ['rod', 'fly'])",
+      "dcount(product_name) where event.is(!= 'error')",
+      "max(product_price) where event.is(== 'view')",
+      "avg(product_price) where product_price.is(> 20)",
+      "test(event) where product_price.is(> 90)")
+    for {
+      a1 <- agg; a2 <- agg
+      ret <- Gen.oneOf("return(bucket(x + y, 10))", "return(x * 100 + y)",
+        "return(x - y)", "return(bucket(x, 25) + y)")
+    } yield s"x = $a1\ny = $a2\n$ret\n"
+  }
+
+  test("random histogram scripts: Tier A == Tier B (20 seeded samples)") {
+    val params = Gen.Parameters.default
+    (1 to 20).foreach { i =>
+      val script = genHistScript.pureApply(params, Seed(i.toLong * 65537))
+      val p = Parser.program(script)
+      assert(TierA.compileHistogram(p, world, Mon + 100 * H).isDefined,
+        s"histogram sample $i did not compile:\n$script")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0),
+          math.round(r.getDouble(1) * 10000) / 10000.0)).toSet
+      val a = canon(OslEngine.histogram(world, script, now = Mon + 100 * H))
+      val b = canon(OslEngine.histogram(world, script, now = Mon + 100 * H,
+        forceTierB = true))
+      assert(a == b, s"histogram tier mismatch on sample $i:\n$script\nA=$a\nB=$b")
+    }
+  }
+
   test("random continue().next() chains: Tier A == Tier B (25 seeded samples)") {
     val params = Gen.Parameters.default
     (1 to 25).foreach { i =>
