@@ -110,13 +110,19 @@ object OslEngine {
   def segments(events: DataFrame, script: String,
                now: Long, sessionGapMs: Long = 30 * 60 * 1000L,
                forceTierB: Boolean = false): DataFrame = {
-    val defs = Parser.segments(script)
-    if (!forceTierB) {
-      TierA.compileSegments(defs, events, now) match {
-        case Some(df) => return df
-        case None => ()
+    val allDefs = Parser.segments(script)
+    // MIXED compilation: each definition compiles independently when its
+    // shape allows; a funnel segment in the script no longer drags the
+    // declarative ones into the interpreter. All compiled definitions
+    // share one aggregation pass; the rest share one interpreter pass.
+    val (compiled, defs) =
+      if (forceTierB) (None, allDefs)
+      else {
+        val (a, b) = allDefs.partition(d =>
+          TierA.compileSegments(Seq(d), events, now).isDefined)
+        (TierA.compileSegments(a, events, now), b)
       }
-    }
+    if (defs.isEmpty) return compiled.get
     val spark = events.sparkSession
     val schema = events.schema
     val nCols = schema.fields.length
@@ -148,7 +154,8 @@ object OslEngine {
         if (member) Iterator((name, pid)) else Iterator.empty
       }
     }(enc)
-    out.toDF("segment", "id")
+    val interpreted = out.toDF("segment", "id")
+    compiled.map(_.unionByName(interpreted)).getOrElse(interpreted)
   }
 
   /** Run a histogram-style script: per-person `return(expr)` values

@@ -498,6 +498,26 @@ class OslSpec extends SparkSpec {
         |  end
         |end
         |""".stripMargin), highstreet, Tue).isEmpty)
+    // MIXED script: the declarative def compiles, the funnel interprets,
+    // and the union matches the all-interpreted result
+    val mixed =
+      """@segment buyers
+        |if event.ever(== 'purchase')
+        |  return(true)
+        |end
+        |@segment browse_then_buy
+        |each_row where event.is(== 'browse')
+        |  each_row.continue().next() where event.is(== 'purchase')
+        |    return(true)
+        |  end
+        |end
+        |""".stripMargin
+    def canonSeg(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val ma = canonSeg(OslEngine.segments(highstreet, mixed, now = Tue))
+    val mb = canonSeg(OslEngine.segments(highstreet, mixed, now = Tue,
+      forceTierB = true))
+    assert(ma == mb && ma.exists(_._1 == "buyers"))
   }
 
   test("Tier A ≡ Tier B: multiple tallies per row") {
