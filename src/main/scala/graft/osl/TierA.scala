@@ -34,14 +34,14 @@ object TierA {
       case Seq(er @ EachRow(mods, _, _)) if isDefault(mods) =>
         for {
           levels <- extractLevels(er)
-          tallies = levels.flatMap(_._2)
+          tallies = levels.flatMap(_.tallies)
           if tallies.nonEmpty &&
             tallies.forall { case (_, gs) => gs.nonEmpty && gs.size <= OslEngine.MaxDepth } &&
             // multi-tally dedup differs under `all` (a row may reach the same
             // node via two tallies — or, in a chain, via two outer cursor
             // positions) -> Tier B for mixed shapes
             ((tallies.size == 1 && levels.size == 1) || selects.forall(!_.all))
-          wheres = levels.map(_._1)
+          wheres = levels.map(_.where)
           personTests <- personTestColumns(wheres ++ tallies.flatMap(_._1), now)
           // validate every expression compiles (placeholders for person tests)
           placeholder = personTests.map { case (pt, _) => pt -> (lit(true): Column) }.toMap
@@ -67,7 +67,7 @@ object TierA {
           }.toMap
 
           if (levels.size == 1) {
-            val (where, lvlTallies) = levels.head
+            val ChainLevel(where, lvlTallies, _) = levels.head
             val predF = compileExpr(where, now, real).get
             val tallyPredsF = lvlTallies.map(_._1.map(p => compileExpr(p, now, real).get)
               .getOrElse(lit(true)))
@@ -98,13 +98,13 @@ object TierA {
     * `rn > m(k-1)`. One sort-shuffle on `id` computes every window; tallies
     * then flow through the explode plan with eligibility AND'ed in. */
   private def chainPlan(base: DataFrame,
-                        levels: Seq[(Expr, Seq[(Option[Expr], Seq[Expr])])],
+                        levels: Seq[ChainLevel],
                         now: Long, real: Map[PropTest, Column],
                         selects: Vector[SelectCol],
                         aggs: Seq[(String, Column)]): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val person = W.partitionBy(col("id"))
-    val levelPreds = levels.map(l => compileExpr(l._1, now, real).get)
+    val levelPreds = levels.map(l => compileExpr(l.where, now, real).get)
     var df = base.withColumn("__rn",
       row_number().over(person.orderBy(col("stamp"))))
     // eligibility column per level: rn past the greedy chain prefix
@@ -116,32 +116,64 @@ object TierA {
             col("__rn"))).over(person))
       if (k == 0) lit(true) else col("__rn") > col(s"__m$k")
     }
-    val tallyPreds = levels.zip(eligible).flatMap { case ((where, ts), elig) =>
-      val p = compileExpr(where, now, real).get
-      ts.map(_._1.map(ip => compileExpr(ip, now, real).get)
+    // `.limit(1)` on the innermost level: the scan stops at the FIRST
+    // where-match after each visited outer row, so row j is visited iff no
+    // same-level match sits between it and the latest visited outer row —
+    // i.e. lastVisitedOuter(j) exists and >= lastSameLevelMatch(j), both
+    // over the preceding-rows frame.
+    val lastK = levels.length - 1
+    val eligibleFinal: Seq[Column] =
+      if (!levels(lastK).limit1) eligible
+      else {
+        val prevFrame = person.orderBy(col("__rn"))
+          .rowsBetween(W.unboundedPreceding, -1)
+        val visitedPrev = levelPreds(lastK - 1) && eligible(lastK - 1)
+        df = df
+          .withColumn("__lastPrev", max(when(visitedPrev, col("__rn"))).over(prevFrame))
+          .withColumn("__lastSelf", max(when(levelPreds(lastK), col("__rn"))).over(prevFrame))
+        eligible.updated(lastK,
+          col("__lastPrev").isNotNull &&
+            coalesce(col("__lastSelf"), lit(-1L)) <= col("__lastPrev"))
+      }
+    val tallyPreds = levels.zip(eligibleFinal).flatMap { case (lvl, elig) =>
+      val p = compileExpr(lvl.where, now, real).get
+      lvl.tallies.map(_._1.map(ip => compileExpr(ip, now, real).get)
         .getOrElse(lit(true)) && p && elig)
     }
-    val tallyGroups = levels.flatMap(_._2).map(t =>
+    val tallyGroups = levels.flatMap(_.tallies).map(t =>
       t._2.map(g => compileExpr(g, now, real).get))
     explodePlan(df, tallyGroups, tallyPreds, selects, aggs)
   }
 
+  /** One chain level: its where, its tallies, and whether it carries
+    * `.limit(1)` (allowed on the innermost level only). */
+  final case class ChainLevel(where: Expr,
+                              tallies: Seq[(Option[Expr], Seq[Expr])],
+                              limit1: Boolean)
+
   /** Decompose a default-mods `each_row` into a chain of levels: each level
-    * is (where, tallies) and may end in exactly one nested
-    * `each_row.continue().next()` (no frame/limit/from/reverse, not under an
-    * `if`). None = not chain-shaped -> Tier B. */
-  private def extractLevels(top: EachRow)
-      : Option[Seq[(Expr, Seq[(Option[Expr], Seq[Expr])])]] =
+    * may end in exactly one nested `each_row.continue().next()` (no
+    * frame/from/reverse, not under an `if`; `.limit(1)` only on the
+    * innermost level). None = not chain-shaped -> Tier B. */
+  private def extractLevels(top: EachRow, limit1: Boolean = false)
+      : Option[Seq[ChainLevel]] =
     flattenBody(top.body, None).flatMap { case (tallies, nested) =>
       nested match {
-        case None => Some(Vector((top.where, tallies)))
-        case Some(n) => extractLevels(n).map(rest => (top.where, tallies) +: rest)
+        case None => Some(Vector(ChainLevel(top.where, tallies, limit1)))
+        case Some(_) if limit1 => None // limit(1) must be innermost
+        case Some(n) =>
+          extractLevels(n, isLimit1(n.mods)).map(rest =>
+            ChainLevel(top.where, tallies, limit1) +: rest)
       }
     }
 
+  private def isLimit1(m: EachRowMods): Boolean =
+    m.limit.contains(Lit(VInt(1L)))
+
   private def isChainStep(m: EachRowMods): Boolean =
     m.continueFrom && m.next && !m.reverse &&
-      m.from.isEmpty && m.limit.isEmpty && m.frame.isEmpty
+      m.from.isEmpty && m.frame.isEmpty &&
+      (m.limit.isEmpty || isLimit1(m))
 
   /** Single-tally fast path: Spark `rollup` generates every prefix node in
     * one pass with partial aggregation. */

@@ -376,14 +376,69 @@ class OslSpec extends SparkSpec {
         |""".stripMargin, data)
   }
 
-  test("Tier A declines non-chain nesting (limit, frame, conditional nest)") {
+  test("Tier A ≡ Tier B: limit(1) funnel chains (first match per step)") {
+    val data = Seq(
+      // u1: signup, purchase, purchase — only the FIRST purchase tallies
+      ("u1", Mon + 1 * H, "signup", "a", 1.0, Seq[String]()),
+      ("u1", Mon + 2 * H, "purchase", "b", 10.0, Seq[String]()),
+      ("u1", Mon + 3 * H, "purchase", "c", 20.0, Seq[String]()),
+      // u2: signup, purchase, signup, purchase — BOTH purchases are a
+      // first-match for some signup
+      ("u2", Mon + 1 * H, "signup", "d", 1.0, Seq[String]()),
+      ("u2", Mon + 2 * H, "purchase", "e", 30.0, Seq[String]()),
+      ("u2", Mon + 3 * H, "signup", "f", 1.0, Seq[String]()),
+      ("u2", Mon + 4 * H, "purchase", "g", 40.0, Seq[String]()),
+      // u3: purchase before any signup — nothing tallies
+      ("u3", Mon + 1 * H, "purchase", "h", 5.0, Seq[String]()),
+      // u4: a row that is both steps' predicate never blocks itself
+      ("u4", Mon + 1 * H, "signup", "i", 1.0, Seq[String]()),
+      ("u4", Mon + 2 * H, "signup", "j", 1.0, Seq[String]()),
+      ("u4", Mon + 3 * H, "purchase", "k", 50.0, Seq[String]())
+    ).toDF("id", "stamp", "event", "product_name", "product_price", "product_group")
+    tierDiff(
+      """select
+        |  count id as customers
+        |  count product_name as n_rows
+        |  sum product_price as spent
+        |end
+        |each_row where event.is(== 'signup')
+        |  each_row.continue().next().limit(1) where event.is(== 'purchase')
+        |    << 'first_purchase', product_name
+        |  end
+        |end
+        |""".stripMargin, data)
+    // 3-level with limit(1) innermost
+    tierDiff(
+      """select
+        |  count id as customers
+        |end
+        |each_row where event.is(== 'signup')
+        |  each_row.continue().next() where event.is(== 'purchase')
+        |    each_row.continue().next().limit(1) where event.is(== 'purchase')
+        |      << 'second_purchase'
+        |    end
+        |  end
+        |end
+        |""".stripMargin, data)
+  }
+
+  test("Tier A declines non-chain nesting (limit>1, frame, conditional nest)") {
     def declines(script: String): Unit =
       assert(TierA.compile(Parser.program(script), highstreet, Tue, 1800000L).isEmpty,
         s"expected Tier B for:\n$script")
-    declines(
+    declines( // limit(1) on a NON-innermost level
       """each_row where event.is(== 'signup')
-        |  each_row.continue().next().limit(1) where event.is(== 'purchase')
-        |    << 'first_conversion'
+        |  each_row.continue().next().limit(1) where event.is(== 'browse')
+        |    each_row.continue().next() where event.is(== 'purchase')
+        |      << 'converted'
+        |    end
+        |  end
+        |end
+        |""".stripMargin)
+    declines( // limit > 1
+      """each_row where event.is(== 'signup')
+        |  each_row.continue().next().limit(2) where event.is(== 'purchase')
+        |    << 'first_two'
         |  end
         |end
         |""".stripMargin)

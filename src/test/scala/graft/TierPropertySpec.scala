@@ -117,10 +117,12 @@ class TierPropertySpec extends SparkSpec {
     wheres <- Gen.listOfN(depth, genWhere)
     gs <- Gen.listOfN(depth, genGroup)
     tallyOuter <- Gen.oneOf(true, false)
+    limit1 <- Gen.oneOf(true, false)
   } yield {
     val sb = new StringBuilder(s"select\n  $sel\nend\n")
     wheres.zipWithIndex.foreach { case (w, k) =>
-      val head = if (k == 0) "each_row" else "each_row.continue().next()"
+      val lim = if (limit1 && k == depth - 1) ".limit(1)" else ""
+      val head = if (k == 0) "each_row" else s"each_row.continue().next()$lim"
       sb.append("  " * k).append(s"$head where $w\n")
       if (k == depth - 1 || tallyOuter)
         sb.append("  " * (k + 1)).append(s"<< 'L$k', ${gs(k)}\n")
