@@ -67,7 +67,7 @@ object TierA {
           }.toMap
 
           if (levels.size == 1) {
-            val ChainLevel(where, lvlTallies, _) = levels.head
+            val ChainLevel(where, lvlTallies, _, _) = levels.head
             val predF = compileExpr(where, now, real).get
             val tallyPredsF = lvlTallies.map(_._1.map(p => compileExpr(p, now, real).get)
               .getOrElse(lit(true)))
@@ -89,14 +89,21 @@ object TierA {
     * Interpreter semantics (src/queryinterpreter.cpp:2430-2577): level-k's
     * cursor starts one past the level-(k-1) match and scans forward, so a
     * row fires at level k iff SOME strictly-increasing row chain matching
-    * `where`s 1..k-1 ends before it. Tally dedup is per (row, node), so
-    * multiple chains to the same row count once — existence, not paths.
-    * Existence of a chain ending before row r is equivalent to r sitting
-    * after the GREEDY (earliest) chain, so each level adds one conditional
-    * min-over-person window on the row number: `m1 = min rn where P1`,
-    * `mk = min rn where Pk && rn > m(k-1)`; level-k rows are eligible iff
-    * `rn > m(k-1)`. One sort-shuffle on `id` computes every window; tallies
-    * then flow through the explode plan with eligibility AND'ed in. */
+    * `where`s 1..k-1 ends before it (within each level's cursor-anchored
+    * frame). Tally dedup is per (row, node), so multiple chains to the same
+    * row count once — existence, not paths.
+    *
+    * Existence composes row-locally: a row is VISITED at level k iff it
+    * matches `where`k and some visited level-(k-1) row precedes it — the
+    * LATEST such row is always the best witness, for the frame bound
+    * (closest stamp) and for `.limit(1)` (fewest intervening matches)
+    * alike. So each level adds one max-over-preceding-rows window carrying
+    * the latest visited previous row's (rn, stamp):
+    *   eligible_k = witness exists
+    *              [&& stamp - witness.stamp <= span      -- framed level]
+    *              [&& lastSameLevelMatch.rn <= witness.rn -- limit(1)]
+    * One sort-shuffle on `id` computes every window; tallies flow through
+    * the explode plan with eligibility AND'ed in. */
   private def chainPlan(base: DataFrame,
                         levels: Seq[ChainLevel],
                         now: Long, real: Map[PropTest, Column],
@@ -107,35 +114,28 @@ object TierA {
     val levelPreds = levels.map(l => compileExpr(l.where, now, real).get)
     var df = base.withColumn("__rn",
       row_number().over(person.orderBy(col("stamp"))))
-    // eligibility column per level: rn past the greedy chain prefix
-    val eligible: Seq[Column] = levelPreds.zipWithIndex.map { case (p, k) =>
-      if (k > 0)
-        df = df.withColumn(s"__m$k",
-          min(when(levelPreds(k - 1) &&
-              (if (k == 1) lit(true) else col("__rn") > col(s"__m${k - 1}")),
-            col("__rn"))).over(person))
-      if (k == 0) lit(true) else col("__rn") > col(s"__m$k")
-    }
-    // `.limit(1)` on the innermost level: the scan stops at the FIRST
-    // where-match after each visited outer row, so row j is visited iff no
-    // same-level match sits between it and the latest visited outer row —
-    // i.e. lastVisitedOuter(j) exists and >= lastSameLevelMatch(j), both
-    // over the preceding-rows frame.
-    val lastK = levels.length - 1
-    val eligibleFinal: Seq[Column] =
-      if (!levels(lastK).limit1) eligible
-      else {
-        val prevFrame = person.orderBy(col("__rn"))
-          .rowsBetween(W.unboundedPreceding, -1)
-        val visitedPrev = levelPreds(lastK - 1) && eligible(lastK - 1)
-        df = df
-          .withColumn("__lastPrev", max(when(visitedPrev, col("__rn"))).over(prevFrame))
-          .withColumn("__lastSelf", max(when(levelPreds(lastK), col("__rn"))).over(prevFrame))
-        eligible.updated(lastK,
-          col("__lastPrev").isNotNull &&
-            coalesce(col("__lastSelf"), lit(-1L)) <= col("__lastPrev"))
+    val prevRows = person.orderBy(col("__rn"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    var visited: Column = levelPreds.head // level 0 visits every match
+    val eligible: Seq[Column] = lit(true) +: (1 until levels.length).map { k =>
+      df = df.withColumn(s"__pv$k",
+        max(when(visited, struct(col("__rn").as("rn"), col("stamp").as("st"))))
+          .over(prevRows))
+      val witness = col(s"__pv$k")
+      var elig = witness.isNotNull
+      levels(k).spanMs.foreach { span =>
+        elig = elig && (col("stamp") - witness.getField("st") <= span)
       }
-    val tallyPreds = levels.zip(eligibleFinal).flatMap { case (lvl, elig) =>
+      if (levels(k).limit1) {
+        df = df.withColumn(s"__ls$k",
+          max(when(levelPreds(k), col("__rn"))).over(prevRows))
+        elig = elig &&
+          coalesce(col(s"__ls$k"), lit(-1L)) <= witness.getField("rn")
+      }
+      visited = levelPreds(k) && elig
+      elig
+    }
+    val tallyPreds = levels.zip(eligible).flatMap { case (lvl, elig) =>
       val p = compileExpr(lvl.where, now, real).get
       lvl.tallies.map(_._1.map(ip => compileExpr(ip, now, real).get)
         .getOrElse(lit(true)) && p && elig)
@@ -145,34 +145,60 @@ object TierA {
     explodePlan(df, tallyGroups, tallyPreds, selects, aggs)
   }
 
-  /** One chain level: its where, its tallies, and whether it carries
-    * `.limit(1)` (allowed on the innermost level only). */
+  /** One chain level: its where, its tallies, whether it carries
+    * `.limit(1)` (allowed on the innermost level only), and its
+    * cursor-anchored forward frame span in ms (None = unframed). */
   final case class ChainLevel(where: Expr,
                               tallies: Seq[(Option[Expr], Seq[Expr])],
-                              limit1: Boolean)
+                              limit1: Boolean,
+                              spanMs: Option[Long])
 
   /** Decompose a default-mods `each_row` into a chain of levels: each level
     * may end in exactly one nested `each_row.continue().next()` (no
-    * frame/from/reverse, not under an `if`; `.limit(1)` only on the
-    * innermost level). None = not chain-shaped -> Tier B. */
-  private def extractLevels(top: EachRow, limit1: Boolean = false)
+    * from/reverse, not under an `if`; `.limit(1)` only on the innermost
+    * level; frames must be cursor-anchored and forward-compatible). None =
+    * not chain-shaped -> Tier B. */
+  private def extractLevels(top: EachRow, limit1: Boolean = false,
+                            spanMs: Option[Long] = None)
       : Option[Seq[ChainLevel]] =
     flattenBody(top.body, None).flatMap { case (tallies, nested) =>
       nested match {
-        case None => Some(Vector(ChainLevel(top.where, tallies, limit1)))
+        case None => Some(Vector(ChainLevel(top.where, tallies, limit1, spanMs)))
         case Some(_) if limit1 => None // limit(1) must be innermost
         case Some(n) =>
-          extractLevels(n, isLimit1(n.mods)).map(rest =>
-            ChainLevel(top.where, tallies, limit1) +: rest)
+          chainSpan(n.mods.frame).flatMap(span =>
+            extractLevels(n, isLimit1(n.mods), span).map(rest =>
+              ChainLevel(top.where, tallies, limit1, spanMs) +: rest))
       }
     }
+
+  /** A chain level's frame, when the compiler covers it: cursor-anchored
+    * `.look_ahead(span)` / `.within(span, stamp)` — for a forward scan over
+    * stamp-sorted rows both reduce to `stamp <= anchor + span`. Literal
+    * spans only; 'forever' (MaxValue) = unframed. Some(None) = no frame;
+    * None = unsupported shape. */
+  private def chainSpan(frame: Option[Frame]): Option[Option[Long]] = {
+    def span(e: Expr): Option[Long] = e match {
+      case Lit(VInt(i)) => Some(i)
+      case Lit(VDbl(d)) => Some(d.toLong)
+      case _ => None
+    }
+    frame match {
+      case None => Some(None)
+      case Some(LookAhead(s, None)) =>
+        span(s).map(v => if (v == Long.MaxValue) None else Some(v))
+      case Some(Within(s, anchor))
+          if anchor == PropRef("stamp") || anchor == VarRef("stamp") =>
+        span(s).map(v => if (v == Long.MaxValue) None else Some(v))
+      case _ => None
+    }
+  }
 
   private def isLimit1(m: EachRowMods): Boolean =
     m.limit.contains(Lit(VInt(1L)))
 
   private def isChainStep(m: EachRowMods): Boolean =
-    m.continueFrom && m.next && !m.reverse &&
-      m.from.isEmpty && m.frame.isEmpty &&
+    m.continueFrom && m.next && !m.reverse && m.from.isEmpty &&
       (m.limit.isEmpty || isLimit1(m))
 
   /** Single-tally fast path: Spark `rollup` generates every prefix node in

@@ -420,6 +420,29 @@ class OslSpec extends SparkSpec {
         |  end
         |end
         |""".stripMargin, data)
+    // framed steps: purchase within 90 minutes of the signup cursor — u1's
+    // 1h gap qualifies, u2's 1h gaps qualify, u4's 2h gap does not
+    tierDiff(
+      """select
+        |  count id as customers
+        |  count product_name as n_rows
+        |end
+        |each_row where event.is(== 'signup')
+        |  each_row.continue().next().look_ahead(5400000) where event.is(== 'purchase')
+        |    << 'fast_conversion', product_name
+        |  end
+        |end
+        |""".stripMargin, data)
+    tierDiff( // within(span, stamp) is the same forward bound; with limit(1)
+      """select
+        |  count id as customers
+        |end
+        |each_row where event.is(== 'signup')
+        |  each_row.continue().next().within(90_minutes, stamp).limit(1) where event.is(== 'purchase')
+        |    << 'first_fast_conversion'
+        |  end
+        |end
+        |""".stripMargin, data)
   }
 
   test("Tier A declines non-chain nesting (limit>1, frame, conditional nest)") {
@@ -442,10 +465,17 @@ class OslSpec extends SparkSpec {
         |  end
         |end
         |""".stripMargin)
-    declines(
+    declines( // non-cursor frame anchor on a chain step
       """each_row where event.is(== 'signup')
-        |  each_row.continue().next().within(1_days, stamp) where event.is(== 'purchase')
-        |    << 'fast_conversion'
+        |  each_row.continue().next().within(1_days, now) where event.is(== 'purchase')
+        |    << 'recent_conversion'
+        |  end
+        |end
+        |""".stripMargin)
+    declines( // backward frame on a forward chain step
+      """each_row where event.is(== 'signup')
+        |  each_row.continue().next().look_back(1_days) where event.is(== 'purchase')
+        |    << 'weird'
         |  end
         |end
         |""".stripMargin)

@@ -118,11 +118,14 @@ class TierPropertySpec extends SparkSpec {
     gs <- Gen.listOfN(depth, genGroup)
     tallyOuter <- Gen.oneOf(true, false)
     limit1 <- Gen.oneOf(true, false)
+    frames <- Gen.listOfN(depth,
+      Gen.oneOf("", "", ".look_ahead(10_hours)", ".within(16_hours, stamp)"))
   } yield {
     val sb = new StringBuilder(s"select\n  $sel\nend\n")
     wheres.zipWithIndex.foreach { case (w, k) =>
       val lim = if (limit1 && k == depth - 1) ".limit(1)" else ""
-      val head = if (k == 0) "each_row" else s"each_row.continue().next()$lim"
+      val head = if (k == 0) "each_row"
+        else s"each_row.continue().next()${frames(k)}$lim"
       sb.append("  " * k).append(s"$head where $w\n")
       if (k == depth - 1 || tallyOuter)
         sb.append("  " * (k + 1)).append(s"<< 'L$k', ${gs(k)}\n")
