@@ -1075,6 +1075,56 @@ object Queries {
           COUNT(DISTINCT id), COUNT(*), ${dsumSql("value")}
         FROM lv3 GROUP BY b""")),
 
+    // Time-framed funnel through the event-query route: purchases within
+    // 24h AFTER a signup (cursor-anchored look_ahead step). Tier A compiles
+    // this to latest-witness windows; the oracle uses the same
+    // max-over-preceding construction.
+    Q("q_osl_framed_funnel",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |  sum value as total_value
+            |end
+            |each_row where event.is(== 'signup')
+            |  << 'signup'
+            |  each_row.continue().next().look_ahead(1_days) where event.is(== 'purchase')
+            |    << 'purchase_24h', bucket(value, 100)
+            |  end
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"), col("total_value"))
+      },
+      Some(s"""$E, r AS (
+          SELECT id, event, value, stamp,
+                 ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS rn
+          FROM e),
+        w AS (
+          SELECT *, MAX(CASE WHEN event = 'signup' THEN stamp END)
+            OVER (PARTITION BY id ORDER BY rn
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ws
+          FROM r),
+        lv2 AS (SELECT id, value,
+                  CAST(CAST(FLOOR(value / 100) * 100 AS BIGINT) AS VARCHAR) AS b
+                FROM w
+                WHERE event = 'purchase' AND ws IS NOT NULL
+                  AND stamp - ws <= 86400000),
+        lv1 AS (SELECT id, value FROM r WHERE event = 'signup')
+        SELECT CAST(1 AS INTEGER) AS depth, 'signup' AS g1, CAST(NULL AS VARCHAR) AS g2,
+          COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows, ${dsumSql("value")} AS total_value
+        FROM lv1
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), 'purchase_24h', CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*), ${dsumSql("value")}
+        FROM lv2
+        UNION ALL
+        SELECT CAST(2 AS INTEGER), 'purchase_24h', b,
+          COUNT(DISTINCT id), COUNT(*), ${dsumSql("value")}
+        FROM lv2 GROUP BY b""")),
+
     // OSL `var` select aggregator: declares a script variable; the result
     // column counts tallies deduped per (var value, row, node)
     // (src/queryinterpreter.cpp:242-244, 306-311). The variable mutates per
