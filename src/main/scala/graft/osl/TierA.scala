@@ -668,7 +668,13 @@ object TierA {
     case "min" => Some(s.alias -> min(col(s.prop).cast("double")))
     case "max" => Some(s.alias -> max(col(s.prop).cast("double")))
     case "avg" => Some(s.alias -> graft.functions.AggFns.davg(col(s.prop).cast("double")))
-    case _ => None // value/var/with-key variants -> Tier B
+    case "var" if s.withKey.isEmpty =>
+      // Tier-A-able bodies contain no assignments, so the select variable
+      // is always nil and the dedup key (node, nil, row) reduces to one
+      // count per deduped row per node (queryinterpreter.cpp:242-244,
+      // 306-311)
+      Some(s.alias -> count(lit(1)))
+    case _ => None // `value` and remaining with-key variants -> Tier B
   }
 
   /** Compile the supported expression subset; None = not Tier-A-able.

@@ -605,6 +605,28 @@ class OslSpec extends SparkSpec {
     assert(ma == mb && ma.exists(_._1 == "buyers"))
   }
 
+  test("Tier A ≡ Tier B: `var` select without assignments is a deduped count") {
+    tierDiff(
+      """select
+        |  count id as customers
+        |  var n as hits
+        |end
+        |each_row where event.is(== 'purchase')
+        |  << product_name
+        |end
+        |""".stripMargin)
+    // a script that ASSIGNS the var stays Tier B
+    assert(TierA.compile(Parser.program(
+      """select
+        |  var n as hits
+        |end
+        |each_row where event.is(== 'purchase')
+        |  n = n + 1
+        |  << product_name
+        |end
+        |""".stripMargin), highstreet, Tue, 1800000L).isEmpty)
+  }
+
   test("Tier A ≡ Tier B: multiple tallies per row") {
     tierDiff(
       """select

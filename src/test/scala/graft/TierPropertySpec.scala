@@ -52,7 +52,8 @@ class TierPropertySpec extends SparkSpec {
     Seq("count event as n_rows", "sum product_price as total",
       "min product_price as mn", "max product_price as mx",
       "avg product_price as av", "count session as sessions",
-      "count id with product_name as buyers_by_product")).map(extra =>
+      "count id with product_name as buyers_by_product",
+      "var v as deduped_hits")).map(extra =>
     ("count id as customers" +: extra.toSeq).mkString("\n  "))
 
   private val genScript: Gen[String] = for {
