@@ -50,7 +50,21 @@ object TierA {
             .getOrElse(Some(lit(true)))))
           _ <- traverse(tallies.map(t =>
             traverse(t._2.map(g => compileExpr(g, now, placeholder)))))
-          aggs <- traverse(selects.map(compileAgg))
+          // `value` (last tally wins, merged by write-sequence) compiles
+          // only for one UNCONDITIONAL tally at one level: there the
+          // interpreter's global write counter collapses to the per-person
+          // rank among writing rows (uniform writes per row), so the merge
+          // key is a window column. Conditional/multi-tally/chain shapes
+          // write non-uniformly -> Tier B.
+          valueOk = tallies.size == 1 && levels.size == 1 &&
+            tallies.head._1.isEmpty
+          aggs <- traverse(selects.zipWithIndex.map { case (s, j) =>
+            if (s.agg != "value") compileAgg(s)
+            else if (valueOk && s.withKey.isEmpty && s.prop != "id" &&
+                s.prop != "session" && events.columns.contains(s.prop))
+              Some(s.alias -> valueAgg(s, j, events))
+            else None
+          })
         } yield {
           val needsSession = Interpreter.referencesSession(program)
           val base0 = if (needsSession)
@@ -72,7 +86,17 @@ object TierA {
             val tallyPredsF = lvlTallies.map(_._1.map(p => compileExpr(p, now, real).get)
               .getOrElse(lit(true)))
             val tallyGroupsF = lvlTallies.map(t => t._2.map(g => compileExpr(g, now, real).get))
-            val filtered = base.where(predF)
+            val filtered0 = base.where(predF)
+            // per-person write rank for `value` selects (merge key)
+            val W = org.apache.spark.sql.expressions.Window
+            val filtered = selects.zipWithIndex.foldLeft(filtered0) {
+              case (df, (s, j)) if s.agg == "value" =>
+                df.withColumn(s"__vq_$j",
+                  count(when(col(s.prop).isNotNull, 1))
+                    .over(W.partitionBy(col("id")).orderBy(col("stamp"))
+                      .rowsBetween(W.unboundedPreceding, W.currentRow)))
+              case (df, _) => df
+            }
             if (lvlTallies.size == 1 && lvlTallies.head._1.isEmpty)
               rollupPlan(filtered, tallyGroupsF.head, selects, aggs)
             else
@@ -674,7 +698,30 @@ object TierA {
       // count per deduped row per node (queryinterpreter.cpp:242-244,
       // 306-311)
       Some(s.alias -> count(lit(1)))
-    case _ => None // `value` and remaining with-key variants -> Tier B
+    case _ => None // remaining with-key variants -> Tier B
+  }
+
+  /** `value` select: last write wins per node, merged across persons by the
+    * write-sequence counter then the value itself (OslEngine merge
+    * semantics, src/result.cpp:347-351 made deterministic). For one
+    * unconditional tally the counter order per node equals the per-person
+    * rank among non-null writing rows (`__vq_j`), so the merge is
+    * max(struct(rank, value)). Text properties carry the raw string;
+    * numeric ones the ×10,000 fixed point (= Interpreter.toFixed). */
+  private def valueAgg(s: SelectCol, j: Int, events: DataFrame): Column = {
+    val q = col(s"__vq_$j")
+    val isText = events.schema.fields
+      .find(_.name == s.prop).exists(_.dataType ==
+        org.apache.spark.sql.types.StringType)
+    if (isText)
+      max(when(col(s.prop).isNotNull, struct(q.as("q"), col(s.prop).as("v"))))
+        .getField("v")
+    else {
+      val fixedL = (col(s.prop).cast(org.apache.spark.sql.types.DecimalType(28, 4))
+        * 10000).cast("long")
+      max(when(col(s.prop).isNotNull, struct(q.as("q"), fixedL.as("l"))))
+        .getField("l") / 10000.0
+    }
   }
 
   /** Compile the supported expression subset; None = not Tier-A-able.

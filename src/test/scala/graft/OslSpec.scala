@@ -627,6 +627,31 @@ class OslSpec extends SparkSpec {
         |""".stripMargin), highstreet, Tue, 1800000L).isEmpty)
   }
 
+  test("Tier A ≡ Tier B: `value` selects (numeric and text, last write wins)") {
+    tierDiff(
+      """select
+        |  count id as customers
+        |  value product_price as last_price
+        |  value product_name as last_name
+        |end
+        |each_row where event.is(== 'purchase')
+        |  << get_day_of_week(stamp)
+        |end
+        |""".stripMargin)
+    // conditional tallies write non-uniformly -> the merge counter does not
+    // collapse -> Tier B
+    assert(TierA.compile(Parser.program(
+      """select
+        |  value product_price as last_price
+        |end
+        |each_row where event.is(== 'purchase')
+        |  if product_price.is(> 20)
+        |    << product_name
+        |  end
+        |end
+        |""".stripMargin), highstreet, Tue, 1800000L).isEmpty)
+  }
+
   test("Tier A ≡ Tier B: multiple tallies per row") {
     tierDiff(
       """select
