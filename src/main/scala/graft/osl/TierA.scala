@@ -272,9 +272,15 @@ object TierA {
     val nodeCols = col("__n.depth").as("depth") +:
       (1 to OslEngine.MaxDepth).map(i => col(s"__n.g$i").as(s"g$i"))
     val pathCols = Seq("depth") ++ (1 to OslEngine.MaxDepth).map(i => s"g$i")
+    // only the aggregate inputs survive the explode: the dedup shuffle
+    // carries (node, rowid, id, select props) — not the whole event row
+    val needed = ("__rowid" +: "id" +:
+      (selects.flatMap(s => s.prop +: s.withKey.toSeq) ++
+        withRow.columns.filter(_.startsWith("__vq_")))).distinct
+      .filter(withRow.columns.contains)
     val exploded = withRow
       .withColumn("__n", explode(filter(array(entries: _*), x => x.isNotNull)))
-      .select(nodeCols ++ withRow.columns.map(col): _*)
+      .select(nodeCols ++ needed.map(col): _*)
       // a row reaching the same node via several tallies counts once
       .dropDuplicates("__rowid" +: pathCols)
     exploded.groupBy(pathCols.map(col): _*)
