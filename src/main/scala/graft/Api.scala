@@ -161,6 +161,7 @@ final class Api(spark: SparkSession, val warehouse: String) {
       case (df, ("*", i)) => df.withColumn(s"__s$i", lit(true))
       case (df, (name, i)) =>
         val segDir = new java.io.File(warehouse, s"$table/segments/$name").toString
+        Fs.recoverSwap(segDir)
         val members = spark.read.parquet(segDir).select(col("id").as("__mid"))
         df.join(broadcast(members), df("id") === col("__mid"), "left")
           .withColumn(s"__s$i", col("__mid").isNotNull).drop("__mid")
@@ -429,8 +430,9 @@ final class Api(spark: SparkSession, val warehouse: String) {
       if (useSegments.isEmpty) df
       else {
         val members = useSegments.map { name =>
-          spark.read.parquet(
-            new java.io.File(warehouse, s"$table/segments/$name").toString)
+          val segDir = new java.io.File(warehouse, s"$table/segments/$name").toString
+          Fs.recoverSwap(segDir)
+          spark.read.parquet(segDir)
         }.reduce(_ union _).distinct()
         df.join(broadcast(members), Seq("id"), "left_semi")
       }
@@ -499,9 +501,11 @@ final class Api(spark: SparkSession, val warehouse: String) {
       else {
         val counts = segSections.map { s =>
           val name = s.header.split("\\s+").head
-          val n = try spark.read.parquet(
-              new java.io.File(warehouse, s"$table/segments/$name").toString).count()
-            catch { case _: Throwable => 0L }
+          val segDir = new java.io.File(warehouse, s"$table/segments/$name").toString
+          Fs.recoverSwap(segDir)
+          val n =
+            if (!new java.io.File(segDir).isDirectory) 0L // not yet refreshed
+            else spark.read.parquet(segDir).count()
           s"""{"segment":"$name","count":$n}"""
         }
         s""""segments":[${counts.mkString(",")}],"""

@@ -191,38 +191,10 @@ final class Catalog(spark: SparkSession, warehouse: String) {
   /** Event history; empty (with the right schema) before the first insert.
     * Columns added after data was written surface as nulls; dropped
     * properties disappear from the projection immediately. */
-  private def rmTree(f: java.io.File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree); f.delete()
-  }
-
-  /** Crash-safe directory swap. Writes new contents to `<dst>_tmp`, moves the
-    * live dir aside to `<dst>_bak`, renames tmp into place, then drops the
-    * backup — so at every instant either the old or the new contents exist
-    * under a recoverable name. [[recoverSwap]] (run before every read and
-    * write) finishes or rolls back an interrupted swap. */
-  private def swapInto(dstPath: String)(write: String => Unit): Unit = {
-    recoverSwap(dstPath)
-    val dst = new java.io.File(dstPath)
-    val tmp = new java.io.File(dstPath + "_tmp")
-    val bak = new java.io.File(dstPath + "_bak")
-    write(tmp.toString)
-    if (dst.isDirectory)
-      require(dst.renameTo(bak), s"backup rename failed for $dstPath")
-    if (!tmp.renameTo(dst)) {
-      if (bak.isDirectory) bak.renameTo(dst) // roll back to the old contents
-      throw new IllegalStateException(s"swap failed for $dstPath")
-    }
-    rmTree(bak)
-  }
-
-  private def recoverSwap(dstPath: String): Unit = {
-    val dst = new java.io.File(dstPath)
-    val bak = new java.io.File(dstPath + "_bak")
-    if (!dst.isDirectory && bak.isDirectory) // crashed between the two renames
-      require(bak.renameTo(dst), s"swap recovery failed for $dstPath")
-    if (dst.isDirectory) rmTree(bak)         // completed swap; drop leftovers
-    rmTree(new java.io.File(dstPath + "_tmp")) // stale partial write
-  }
+  private def rmTree(f: java.io.File): Unit = Fs.rmTree(f)
+  private def swapInto(dstPath: String)(write: String => Unit): Unit =
+    Fs.swapInto(dstPath)(write)
+  private def recoverSwap(dstPath: String): Unit = Fs.recoverSwap(dstPath)
 
   /** Recover interrupted swaps for the events dir: the whole-dir swap names
     * plus each per-bucket swap, plus any abandoned staging root. Driver-side

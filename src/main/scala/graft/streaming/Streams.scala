@@ -120,19 +120,21 @@ object Streams {
       val changes = entered.unionByName(exited)
       if (!changes.isEmpty)
         changes.write.mode("append").parquet(s"$dir/segment_events")
-      newMembers.write.mode("overwrite").parquet(s"$segDir.tmp")
-      spark.read.parquet(s"$segDir.tmp").write.mode("overwrite").parquet(segDir)
+      // crash-safe swap: a reader never sees a half-written membership dir
+      graft.Fs.swapInto(segDir)(tmp =>
+        newMembers.write.mode("overwrite").parquet(tmp))
       newMembers.unpersist(); prev.unpersist()
     }
   }
 
   private def previousMembership(spark: SparkSession, segDir: String,
-                                 template: DataFrame): DataFrame =
-    try spark.read.parquet(segDir).select("id")
-    catch {
-      case _: Throwable => spark.createDataFrame(
+                                 template: DataFrame): DataFrame = {
+    graft.Fs.recoverSwap(segDir) // finish/roll back an interrupted swap
+    if (!new java.io.File(segDir).isDirectory)
+      spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], template.schema)
-    }
+    else spark.read.parquet(segDir).select("id")
+  }
 
   /** Which segment definitions are due for a refresh, given each one's
     * `refresh=` flag (seconds or a time literal like `5_minutes`) and the
