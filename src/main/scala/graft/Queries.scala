@@ -1434,6 +1434,27 @@ object Queries {
     // Deterministic stratified sampling (corpus mixing): per-source keep
     // rates over a stable id-hash bucket — reproducible across engines,
     // runs and cluster sizes; a scan-speed filter, no shuffle.
+    // Deterministic 90/5/5 train/val/test split (id-hash percentiles, no
+    // shuffle; the same recipe as deterministicSample so samples and splits
+    // compose consistently).
+    Q("q_train_val_test",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        graft.operators.Sampling.trainValTestSplit(d, col("doc_id"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            dsum(length(col("text")).cast("double")).as("total_chars"))
+      },
+      Some("""WITH h AS (
+          SELECT text,
+            CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'train'
+                 WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 95 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM documents)
+        SELECT split, COUNT(*) AS n_docs,
+          CAST(SUM(CAST(CAST(LENGTH(text) AS DOUBLE) AS DECIMAL(28,4))) AS DOUBLE) AS total_chars
+        FROM h GROUP BY split""")),
+
     Q("q_stratified_sample",
       (s, dir) => {
         val d = Tables.documents(s, dir)

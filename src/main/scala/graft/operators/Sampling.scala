@@ -19,6 +19,20 @@ object Sampling {
   def deterministicSample(df: DataFrame, id: Column, pct: Int): DataFrame =
     df.where(hashBucket(id) < pct)
 
+  /** Deterministic train/val/test assignment by id-hash percentile:
+    * buckets [0,train) -> train, [train,train+val) -> val, rest -> test.
+    * A plain projection — no shuffle, stable across runs, engines and
+    * cluster sizes, and consistent with [[deterministicSample]] so a
+    * sampled corpus splits the same way as the full one. */
+  def trainValTestSplit(df: DataFrame, id: Column,
+                        trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100)
+    df.withColumn("split",
+      when(hashBucket(id) < trainPct, "train")
+        .when(hashBucket(id) < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
   /** Per-stratum rates: keep ~rates(stratum)% of each stratum's rows
     * (strata absent from the map are dropped) — source-weighted corpus
     * mixing in one filter. */
