@@ -134,6 +134,7 @@ final class Api(spark: SparkSession, val warehouse: String) {
                     modes: Seq[(String, String)] = Nil,
                     order: String = "desc", trim: Int = 0,
                     segments: Seq[String] = Nil): String = {
+    require(bucket.forall(_ > 0), s"bucket must be > 0, got ${bucket.get}")
     val ev = catalog.events(table)
     val c = col(prop)
     val num = c.cast("string").try_cast("double") // ANSI-safe numeric view
@@ -207,6 +208,7 @@ final class Api(spark: SparkSession, val warehouse: String) {
                               minO: Option[Double], maxO: Option[Double]): String = {
     def fmt(g: Double) =
       if (g == g.floor && math.abs(g) < 1e15) g.toLong.toString else g.toString
+    require(bucket.forall(_ > 0), s"bucket must be > 0, got ${bucket.get}")
     val filled: Seq[(Double, Long)] = bucket match {
       case _ if rows.isEmpty => Nil
       case None => rows.sortBy(_._1)
@@ -216,7 +218,13 @@ final class Api(spark: SparkSession, val warehouse: String) {
         val mx = maxO.getOrElse(keys.max)
         val overflow = rows.filter(_._1 >= mx).map(_._2).sum
         val kept = rows.filter(_._1 < mx).toMap
-        val zeroFill = Iterator.from(0).map(i => mn + i * b).takeWhile(_ < mx)
+        // Fill keys on the SAME grid as the data (floor(v/b)*b): indexing
+        // from floor(mn/b) and multiplying per key — never accumulating —
+        // so fractional buckets (0.1*3 != 0.30000000000000004) can't
+        // produce a zero-filled twin next to a real entry.
+        val k0 = math.floor(mn / b)
+        val zeroFill = Iterator.from(0).map(i => (k0 + i) * b)
+          .takeWhile(_ < mx)
           .filterNot(kept.contains).map(_ -> 0L).toSeq
         (kept.toSeq ++ zeroFill :+ (mx -> overflow)).sortBy(_._1)
     }
@@ -232,6 +240,7 @@ final class Api(spark: SparkSession, val warehouse: String) {
                      min: Option[Double] = None,
                      max: Option[Double] = None,
                      foreach: Option[String] = None): String = {
+    require(bucket.forall(_ > 0), s"bucket must be > 0, got ${bucket.get}")
     val m = catalog.describe(table)
     def runOne(inject: String): Seq[(Double, Long)] = {
       val perPerson = graft.osl.OslEngine.histogram(catalog.events(table),

@@ -247,10 +247,15 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     * `src/oloop_person.cpp`). */
   def customerEvents(table: String, id: Any): DataFrame = {
     val m = describe(table)
-    val b = pmod(xxhash64(lit(id)), lit(m.settings.storageBuckets.toLong)).cast("int")
+    // Hash the literal AT THE STORED id TYPE: Spark hash functions are
+    // type-sensitive (xxhash64 of Int 5 != Long 5 != String "5"), so an
+    // uncast caller-supplied literal would prune to the wrong bucket.
+    // Mirrors insert's xxhash64(col("id")).
+    val idLit = lit(id).cast(m.eventsSchema("id").dataType)
+    val b = pmod(xxhash64(idLit), lit(m.settings.storageBuckets.toLong)).cast("int")
     eventsWithBucket(table, m)
       .where(col("__bucket").isNull || col("__bucket") === b)
-      .where(col("id") === lit(id))
+      .where(col("id") === idLit)
       .drop("__bucket")
   }
 
@@ -264,12 +269,25 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     * partition pruning). Culls apply to touched customers' buckets — the
     * reference likewise culls a person's grid when it is re-packed on
     * insert, not table-wide. */
+  /** Parquet content at the events root that is NOT under a `__bucket=` dir:
+    * a legacy flat (pre-bucket) layout. Such tables must be migrated whole —
+    * a per-touched-bucket swap would leave the flat files in place next to
+    * partition dirs (conflicting directory structures on the next read) and
+    * duplicate the flat rows that hash into swapped buckets. */
+  private def legacyFlatFiles(root: java.io.File): Array[java.io.File] =
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filterNot(_.getName.startsWith("__bucket="))
+      .filter(hasParquet)
+
   def insert(table: String, incoming: DataFrame, nowMs: Long): Unit = {
     import graft.operators.EventIngest
     val m = describe(table)
     val payload = m.eventProps.map(_.name)
     val nB = m.settings.storageBuckets
     val aligned = incoming.select(m.eventsSchema.fieldNames.map(col): _*)
+    recoverEvents(table)
+    if (legacyFlatFiles(new java.io.File(eventsDir(table))).nonEmpty)
+      return insertMigrateLegacy(table, m, aligned, nowMs)
     // bounded by storage_buckets — a tiny driver-side list, never row data
     val touched: Seq[Int] = aligned.select(bucketCol(nB).as("__bucket"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
@@ -305,6 +323,29 @@ final class Catalog(spark: SparkSession, warehouse: String) {
       rmTree(bak)
     }
     rmTree(stage)
+  }
+
+  /** First insert into a legacy flat (pre-bucket) events dir migrates the
+    * WHOLE table: merge the batch into the full history, write every bucket,
+    * and swap the entire events root atomically ([[Fs.swapInto]] — the old
+    * flat files leave with the old root; a crash at any point is recovered
+    * by `recoverSwap(root)` on the next read/insert). One-time O(table)
+    * cost, after which inserts are per-touched-bucket again. */
+  private def insertMigrateLegacy(table: String, m: TableMeta,
+                                  aligned: DataFrame, nowMs: Long): Unit = {
+    import graft.operators.EventIngest
+    val nB = m.settings.storageBuckets
+    val existing = eventsWithBucket(table, m).drop("__bucket")
+    val merged0 = EventIngest.upsert(existing, aligned,
+      m.settings.eventOrder, m.eventProps.map(_.name))
+    val merged = EventIngest.cullEventMax(
+      EventIngest.cullTtl(merged0, nowMs, m.settings.eventTtlMs),
+      m.settings.eventMax, m.settings.eventOrder)
+    swapInto(eventsDir(table)) { tmp =>
+      merged.withColumn("__bucket", bucketCol(nB))
+        .repartition(nB, col("__bucket"))
+        .write.partitionBy("__bucket").mode(SaveMode.Overwrite).parquet(tmp)
+    }
   }
 
   /** Customer-property facts (`is_customer` props), merged by id. */

@@ -115,14 +115,17 @@ object OslEngine {
     // shape allows; a funnel segment in the script no longer drags the
     // declarative ones into the interpreter. All compiled definitions
     // share one aggregation pass; the rest share one interpreter pass.
-    val (compiled, defs) =
-      if (forceTierB) (None, allDefs)
-      else {
-        val (a, b) = allDefs.partition(d =>
-          TierA.compileSegments(Seq(d), events, now).isDefined)
-        (TierA.compileSegments(a, events, now), b)
-      }
-    if (defs.isEmpty) return compiled.get
+    val (compilable, defs) =
+      if (forceTierB) (Nil, allDefs)
+      else allDefs.partition(d => TierA.segmentCompilable(d, now))
+    // one batch compile for every compilable def (shared aggregation pass);
+    // the probe above is a pure AST shape check, so each def is compiled
+    // exactly once
+    val compiled = TierA.compileSegments(compilable, events, now)
+    (compiled, defs) match {
+      case (Some(c), Seq()) => return c
+      case _ =>
+    }
     val spark = events.sparkSession
     val schema = events.schema
     val nCols = schema.fields.length

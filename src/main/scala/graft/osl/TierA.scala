@@ -506,6 +506,13 @@ object TierA {
     * (src/queryinterpreter.cpp cursor-invalid anchor), so bounds are
     * constants. Anything else — nested each_row (funnel segments), vars,
     * non-constant anchors — declines to the interpreter. */
+  /** Cheap shape probe: would [[compileSegments]] accept this definition?
+    * Translates the AST to (discarded) Columns — no DataFrame plan is
+    * built, so callers can partition a script's definitions per-def
+    * without paying a full aggregate-plan construction per probe. */
+  def segmentCompilable(d: SegmentDef, now: Long): Boolean =
+    segmentMember(d.code, now).isDefined
+
   def compileSegments(defs: Seq[SegmentDef], events: DataFrame,
                       now: Long): Option[DataFrame] = {
     if (defs.isEmpty) return None

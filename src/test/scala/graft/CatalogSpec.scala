@@ -402,6 +402,90 @@ class CatalogSpec extends SparkSpec {
     assert(api.queryCustomer("highstreet", "u1").contains("\"product_name\":\"reel\""))
   }
 
+  test("customerEvents hashes the lookup id at the stored id type") {
+    val api = freshApi()
+    // numeric table: id stored as LongType — an uncast Int/String literal
+    // would xxhash64 to a different bucket and silently return no history
+    api.tableCreate(TableMeta("numtab",
+      Seq(PropDef("product_price", "double")),
+      TableSettings(idTextual = false)))
+    val now = 1704067200000L
+    api.insert("numtab", Seq(
+      """{"id":7,"stamp":"1704067200","event":"purchase","product_price":9.5}""",
+      """{"id":8,"stamp":"1704067200","event":"browse"}"""),
+      nowMs = now)
+    // Int, Long and numeric-string callers all prune to id 7's bucket
+    assert(api.catalog.customerEvents("numtab", 7).count() == 1)
+    assert(api.catalog.customerEvents("numtab", 7L).count() == 1)
+    assert(api.catalog.customerEvents("numtab", "7").count() == 1)
+    assert(api.catalog.customerEvents("numtab", 9L).count() == 0)
+  }
+
+  test("legacy flat events dir: first insert migrates the whole table") {
+    val api = freshApi()
+    api.tableCreate(highstreetMeta)
+    val now = 1704067200000L
+    // simulate a pre-bucket layout: flat parquet files at the events root
+    val root = new java.io.File(api.warehouse, "highstreet/events")
+    val m = api.catalog.describe("highstreet")
+    val legacy = Seq(
+      ("u1", 1704060000000L, "purchase", "rod", 9.5, Seq[String]()),
+      ("u2", 1704060000000L, "browse", "rod", 0.0, Seq[String]()))
+      .toDF("id", "stamp", "event", "product_name", "product_price", "product_group")
+    spark.createDataFrame(legacy.rdd, m.eventsSchema)
+      .write.mode("overwrite").parquet(root.toString)
+    assert(root.listFiles().exists(_.getName.endsWith(".parquet")))
+    // the flat layout reads fine before any insert
+    assert(api.catalog.events("highstreet").count() == 2)
+    // first insert migrates: merged whole, bucketed layout, no flat leftovers
+    api.insert("highstreet", Seq(
+      """{"id":"u1","stamp":"1704067200","event":"purchase","product_name":"reel","product_price":5.0}"""),
+      nowMs = now)
+    val files = root.listFiles().filterNot(f =>
+      f.getName.startsWith(".") || f.getName == "_SUCCESS")
+    assert(files.nonEmpty && files.forall(f =>
+      f.isDirectory && f.getName.startsWith("__bucket=")),
+      s"expected pure bucketed layout, got ${files.map(_.getName).mkString(",")}")
+    val ev = api.catalog.events("highstreet")
+    assert(ev.count() == 3, "legacy rows lost or duplicated in migration")
+    assert(ev.where(col("id") === "u2").count() == 1)
+    // and the NEXT insert is per-touched-bucket again over the migrated dir
+    api.insert("highstreet", Seq(
+      """{"id":"u3","stamp":"1704067300","event":"browse","product_name":"net"}"""),
+      nowMs = now)
+    assert(api.catalog.events("highstreet").count() == 4)
+  }
+
+  test("histogram fill: fractional buckets stay on the data grid; bucket>0 enforced") {
+    val api = freshApi()
+    api.tableCreate(highstreetMeta)
+    val now = 1704067200000L
+    // values 0.1 and 0.5 with bucket 0.1: naive mn + i*b accumulation puts a
+    // zero-filled 0.30000000000000004 next to the real 0.3 grid key
+    api.insert("highstreet", Seq(
+      """{"id":"u1","stamp":"1704067200","event":"purchase","product_name":"a","product_price":0.1}""",
+      """{"id":"u2","stamp":"1704067200","event":"purchase","product_name":"b","product_price":0.5}"""),
+      nowMs = now)
+    val hist = api.queryHistogram("highstreet", "spend",
+      """spend = sum(product_price) where event.is(== 'purchase')
+        |return(spend)
+        |""".stripMargin, nowMs = now + 86400000L, bucket = Some(0.1))
+    val gs = """"g":([-0-9.E]+)""".r.findAllMatchIn(hist).map(_.group(1)).toSeq
+    assert(gs.distinct.size == gs.size, s"duplicate grid keys in $hist")
+    // grid: 0.1, 0.2, 3*0.1 (= 0.30000000000000004, matching the data
+    // grid exactly — no off-grid twin), 0.4, 0.5 (observed-max tail)
+    assert(gs.size == 5, s"expected 5 grid keys, got $gs in $hist")
+    assert(gs.contains("0.30000000000000004"), s"fill left the data grid: $gs")
+    // zero/negative bucket widths are rejected, not an infinite fill loop
+    intercept[IllegalArgumentException] {
+      api.queryHistogram("highstreet", "spend", "return(1)\n", nowMs = now,
+        bucket = Some(0.0))
+    }
+    intercept[IllegalArgumentException] {
+      api.queryProperty("highstreet", "product_price", bucket = Some(-1.0))
+    }
+  }
+
   test("customer-property facts merge by id") {
     val api = freshApi()
     api.tableCreate(highstreetMeta)
