@@ -51,13 +51,13 @@ object TierA {
           _ <- traverse(tallies.map(t =>
             traverse(t._2.map(g => compileExpr(g, now, placeholder)))))
           // `value` (last tally wins, merged by write-sequence) compiles
-          // only for one UNCONDITIONAL tally at one level: there the
-          // interpreter's global write counter collapses to the per-person
-          // rank among writing rows (uniform writes per row), so the merge
-          // key is a window column. Conditional/multi-tally/chain shapes
-          // write non-uniformly -> Tier B.
-          valueOk = tallies.size == 1 && levels.size == 1 &&
-            tallies.head._1.isEmpty
+          // for ONE tally at one level — conditional or not: the writing
+          // rows are exactly the rows satisfying the tally predicate with a
+          // non-null source prop, so the interpreter's global write counter
+          // collapses to the per-person rank among those rows (uniform
+          // writes per row), and the merge key is a window column counting
+          // them. Multi-tally/chain shapes write non-uniformly -> Tier B.
+          valueOk = tallies.size == 1 && levels.size == 1
           aggs <- traverse(selects.zipWithIndex.map { case (s, j) =>
             if (s.agg != "value") compileAgg(s)
             else if (valueOk && s.withKey.isEmpty && s.prop != "id" &&
@@ -87,12 +87,14 @@ object TierA {
               .getOrElse(lit(true)))
             val tallyGroupsF = lvlTallies.map(t => t._2.map(g => compileExpr(g, now, real).get))
             val filtered0 = base.where(predF)
-            // per-person write rank for `value` selects (merge key)
+            // per-person write rank for `value` selects (merge key): counts
+            // the WRITING rows — tally predicate satisfied, source non-null
             val W = org.apache.spark.sql.expressions.Window
+            val writePred = tallyPredsF.headOption.getOrElse(lit(true))
             val filtered = selects.zipWithIndex.foldLeft(filtered0) {
               case (df, (s, j)) if s.agg == "value" =>
                 df.withColumn(s"__vq_$j",
-                  count(when(col(s.prop).isNotNull, 1))
+                  count(when(writePred && col(s.prop).isNotNull, 1))
                     .over(W.partitionBy(col("id")).orderBy(col("stamp"))
                       .rowsBetween(W.unboundedPreceding, W.currentRow)))
               case (df, _) => df
@@ -574,17 +576,14 @@ object TierA {
 
   /** Boolean person-predicate → one aggregate Column. */
   private def translateBool(e: Expr, now: Long): Option[Column] = e match {
-    case PropTest(prop, kind, cmp, frame, false) if kind == "ever" || kind == "never" =>
+    // `.next()` is accepted as a no-op: at segment top level the cursor is
+    // invalid, so the interpreter's scan start (cursor+1) collapses to 0 —
+    // the same full-history scan (Interpreter.evalPropTest:481).
+    case PropTest(prop, kind, cmp, frame, _) if kind == "ever" || kind == "never" =>
       for {
         rowPred <- compileCmp(col(prop), cmp, now)
-        (lo, hi) <- constBounds(frame, now)
-      } yield {
-        val bounded =
-          if (lo == Long.MinValue && hi == Long.MaxValue) rowPred
-          else rowPred && col("stamp").between(lo, hi)
-        val found = coalesce(max(when(bounded, 1)), lit(0))
-        if (kind == "ever") found === 1 else found === 0
-      }
+        found <- existsAgg(rowPred, frame, now)
+      } yield if (kind == "ever") found else !found
     case BinOp("&&", l, r) =>
       for (lc <- translateBool(l, now); rc <- translateBool(r, now)) yield lc && rc
     case BinOp("||", l, r) =>
@@ -594,6 +593,90 @@ object TierA {
       for (lc <- translateVal(l, now); rc <- translateVal(r, now); c <- binop(op, lc, rc)) yield c
     case Lit(VBool(b)) => Some(lit(b))
     case _ => None
+  }
+
+  /** `exists row: rowPred && stamp in frame` as ONE aggregate Column
+    * (segment context: cursor invalid, anchors default to `now`).
+    * Constant bounds fold into the row predicate. Person-dependent anchors
+    * (`first_stamp`/`last_stamp`, Interpreter builtins :415-416) can't
+    * appear as per-row bounds inside the same aggregation — but after
+    * dropping vacuous sides (every stamp is >= min(stamp) and <= max(stamp))
+    * each such frame is one-sided, and a one-sided existence test is an
+    * aggregate comparison:
+    *   exists pred-row with stamp >= L  <=>  max(stamp | pred) >= L
+    *   exists pred-row with stamp <= U  <=>  min(stamp | pred) <= U
+    * with L/U built from min/max(stamp) aggregates of the same groupBy.
+    * Frames with person-dependent bounds on BOTH sides decline (None). */
+  private def existsAgg(rowPred: Column, frame: Option[Frame],
+                        now: Long): Option[Column] = {
+    sealed trait B
+    case class Cst(v: Long) extends B        // constant epoch ms
+    case class PMin(d: Long) extends B       // min(stamp) + d
+    case class PMax(d: Long) extends B       // max(stamp) + d
+    case object Inf extends B                // unbounded on that side
+
+    def end(e: Expr): Option[B] = e match {
+      case VarRef("now") | PropRef("now") => Some(Cst(now))
+      case Lit(VInt(i)) => Some(Cst(i))
+      case Lit(VDbl(d)) => Some(Cst(d.toLong))
+      case Lit(VStr(s)) => // ISO literals, like constBounds
+        try Some(Cst(java.time.OffsetDateTime.parse(s).toInstant.toEpochMilli))
+        catch { case _: Throwable =>
+          try Some(Cst(java.time.Instant.parse(s).toEpochMilli))
+          catch { case _: Throwable => None } }
+      case VarRef("last_stamp") | PropRef("last_stamp") => Some(PMax(0))
+      case VarRef("first_stamp") | PropRef("first_stamp") => Some(PMin(0))
+      case _ => None
+    }
+    def span(e: Expr): Option[Long] = e match {
+      case Lit(VInt(i)) => Some(i)
+      case Lit(VDbl(d)) => Some(d.toLong)
+      case _ => None
+    }
+    def shift(b: B, s: Long): B = b match {
+      case _ if s == Long.MaxValue || s == Long.MinValue => Inf
+      case Cst(v) => Cst(v + s)
+      case PMin(d) => PMin(d + s)
+      case PMax(d) => PMax(d + s)
+      case Inf => Inf
+    }
+    val bounds: Option[(B, B)] = frame match {
+      case None => Some((Inf, Inf))
+      case Some(Within(s, a)) =>
+        for (sv <- span(s); av <- end(a)) yield (shift(av, -sv), shift(av, sv))
+      case Some(LookBack(s, a)) =>
+        for (sv <- span(s); av <- a.map(end).getOrElse(Some(Cst(now))))
+          yield (shift(av, -sv), av)
+      case Some(LookAhead(s, a)) =>
+        for (sv <- span(s); av <- a.map(end).getOrElse(Some(Cst(now))))
+          yield (av, shift(av, sv))
+      case Some(DateRange(s, e2)) => for (lo <- end(s); hi <- end(e2)) yield (lo, hi)
+    }
+    bounds.flatMap { case (lo0, hi0) =>
+      // vacuous person bounds: stamp >= min+d (d<=0) / <= max+d (d>=0)
+      val lo = lo0 match { case PMin(d) if d <= 0 => Inf; case b => b }
+      val hi = hi0 match { case PMax(d) if d >= 0 => Inf; case b => b }
+      // constant bounds fold into the row predicate (inclusive, like
+      // Interpreter.frameBounds)
+      val pred = Seq(
+        lo match { case Cst(v) => Some(col("stamp") >= v); case _ => None },
+        hi match { case Cst(v) => Some(col("stamp") <= v); case _ => None })
+        .flatten.foldLeft(rowPred)(_ && _)
+      def pcol(b: B): Column = b match {
+        case PMin(d) => min(col("stamp")) + lit(d)
+        case PMax(d) => max(col("stamp")) + lit(d)
+        case _ => lit(0L)
+      }
+      (lo, hi) match {
+        case (Cst(_) | Inf, Cst(_) | Inf) =>
+          Some(coalesce(max(when(pred, 1)), lit(0)) === 1)
+        case (pl @ (PMin(_) | PMax(_)), Cst(_) | Inf) =>
+          Some(coalesce(max(when(pred, col("stamp"))) >= pcol(pl), lit(false)))
+        case (Cst(_) | Inf, pu @ (PMin(_) | PMax(_))) =>
+          Some(coalesce(min(when(pred, col("stamp"))) <= pcol(pu), lit(false)))
+        case _ => None // person-dependent on both sides: not one aggregate
+      }
+    }
   }
 
   /** Numeric sub-expressions over inline aggregates (constant-frame,

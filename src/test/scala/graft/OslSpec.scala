@@ -638,9 +638,9 @@ class OslSpec extends SparkSpec {
         |  << get_day_of_week(stamp)
         |end
         |""".stripMargin)
-    // conditional tallies write non-uniformly -> the merge counter does not
-    // collapse -> Tier B
-    assert(TierA.compile(Parser.program(
+    // conditional single tallies compile too (round 4): the write counter
+    // collapses to the rank among predicate-satisfying writing rows
+    tierDiff(
       """select
         |  value product_price as last_price
         |end
@@ -649,7 +649,7 @@ class OslSpec extends SparkSpec {
         |    << product_name
         |  end
         |end
-        |""".stripMargin), highstreet, Tue, 1800000L).isEmpty)
+        |""".stripMargin)
   }
 
   test("Tier A ≡ Tier B: multiple tallies per row") {

@@ -97,6 +97,37 @@ class TierPropertySpec extends SparkSpec {
     }
   }
 
+  test("value selects over conditional tallies: Tier A == Tier B (15 seeded samples)") {
+    val params = Gen.Parameters.default
+    val genCond = Gen.oneOf("event.is(== 'purchase')", "product_price.is(> 30)",
+      "product_name.is(in ['rod', 'fly'])")
+    (1 to 15).foreach { i =>
+      val s0 = Seed(i.toLong * 15485863)
+      val where = genWhere.pureApply(params, s0)
+      val cond = genCond.pureApply(params, s0.next)
+      val g = genGroup.pureApply(params, s0.next.next)
+      val script =
+        s"""select
+           |  value product_name as last_name
+           |  value product_price as last_price
+           |  count id as customers
+           |end
+           |each_row where $where
+           |  if $cond
+           |    << 'v', $g
+           |  end
+           |end
+           |""".stripMargin
+      val p = Parser.program(script)
+      assert(TierA.compile(p, world, Mon + 100 * H, 1800000L).isDefined,
+        s"value sample $i did not compile to Tier A:\n$script")
+      val a = canon(OslEngine.query(world, script, now = Mon + 100 * H))
+      val b = canon(OslEngine.query(world, script, now = Mon + 100 * H,
+        forceTierB = true))
+      assert(a == b, s"value tier mismatch on sample $i:\n$script\nA=$a\nB=$b")
+    }
+  }
+
   // ------------------------------------------------------- chain scripts
   // Unique stamps per person: chain semantics depend on row ORDER, and both
   // tiers break stamp ties arbitrarily, so the differential world must be
@@ -141,6 +172,13 @@ class TierPropertySpec extends SparkSpec {
       "event.ever(== 'purchase')", "event.never(== 'error')",
       "product_name.ever(in ['rod', 'net'])",
       "event.look_back(48_hours).ever(== 'signup')",
+      // .next() at top level: cursor invalid -> same as plain ever
+      "event.next().ever(== 'view')",
+      // person-dependent anchors (first/last_stamp person aggregates)
+      "event.look_back(36_hours, last_stamp).ever(== 'purchase')",
+      "event.within(24_hours, first_stamp).ever(== 'signup')",
+      "product_name.look_ahead(48_hours, first_stamp).never(== 'fly')",
+      "event.look_ahead(2_hours, last_stamp).ever(== 'view')",
       "(sum(product_price) where event.is(== 'purchase')) > 150",
       "(count(event) where product_price.is(> 40)) >= 2",
       "(dcount(product_name) where event.is(== 'view')) > 1")
