@@ -33,11 +33,25 @@ object Dedup {
     * so plans stay O(1). Returns `(v, label)` for every id in `ids`;
     * vertices without edges keep their own id as label. */
   def connectedComponents(pairs: DataFrame, ids: DataFrame,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20,
+                          driverEdgeLimit: Long = 4L << 20): DataFrame = {
     val idCol = ids.columns.head
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // materialize the (possibly expensive) pair computation ONCE; the
+    // symmetric closure reads the checkpoint twice instead of re-running
+    // the candidate generation per union branch
+    val p0 = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val edges = p0.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p0.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
+    p0.unpersist(false)
+    // Broadcast-style size gate: near-dup candidate graphs are usually a
+    // tiny fraction of the corpus (only docs sharing an LSH bucket). When
+    // the edge list fits comfortably on the driver, a local union-find
+    // replaces 2×rounds distributed jobs with one collect — the same
+    // small-side reasoning Catalyst applies to broadcast joins. Large
+    // graphs (the 100 TB path) take the distributed loop below.
+    if (edges.count() <= driverEdgeLimit)
+      return driverUnionFind(edges, ids, idCol)
     // Only edge-touched vertices can ever adopt a smaller label; everything
     // else is a singleton and joins back once at the end. Keeps each round's
     // frames at O(vertices-with-edges) — after LSH candidate generation
@@ -64,6 +78,52 @@ object Dedup {
     edges.unpersist(false)
     ids.select(col(idCol).as("v"))
       .join(labels.withColumnRenamed("v", "__tv"), col("v") === col("__tv"), "left")
+      .select(col("v"), coalesce(col("label"), col("v")).as("label"))
+  }
+
+  /** Small-graph path: collect the edge list, run path-compressed
+    * union-find on the driver (roots = each component's minimum id — the
+    * same labels the distributed loop converges to), broadcast-join the
+    * touched-vertex labels back onto `ids`. */
+  private def driverUnionFind(edges: DataFrame, ids: DataFrame,
+                              idCol: String): DataFrame = {
+    val spark = edges.sparkSession
+    val idType = ids.schema(idCol).dataType
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Long, y: Long) => x < y
+      case (x: Int, y: Int) => x < y
+      case (x: java.lang.Number, y: java.lang.Number) => x.doubleValue < y.doubleValue
+      case (x: String, y: String) => x < y
+      case _ => String.valueOf(a) < String.valueOf(b)
+    }
+    def find(x: Any): Any = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.select(col("src"), col("dst")).collect().foreach { row =>
+      val a = row.get(0); val b = row.get(1)
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        // min id becomes the root: matches the distributed loop's labels
+        if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    edges.unpersist(false)
+    val rows = parent.keys.toSeq.map(v =>
+      org.apache.spark.sql.Row(v, find(v)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__tv", idType),
+      org.apache.spark.sql.types.StructField("label", idType)))
+    val labels = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    ids.select(col(idCol).as("v"))
+      .join(broadcast(labels), col("v") === col("__tv"), "left")
       .select(col("v"), coalesce(col("label"), col("v")).as("label"))
   }
 
@@ -201,12 +261,16 @@ object Dedup {
                         bands: Int = 4, rows: Int = 4): DataFrame = {
     val spark = docs.sparkSession
     // A small single-file input arrives as one partition; spread the kernel
-    // across cores first (rows here are (id, text) only). At cluster scale
-    // the source has many splits and AQE coalesces the extra shuffle.
+    // across cores first (rows here are (id, text) only). Repartition ONLY
+    // when the source is under-parallel — at cluster scale the scan already
+    // has thousands of splits and an unconditional repartition would
+    // shuffle the full text for nothing.
     val parallelism = spark.sparkContext.defaultParallelism
     val sigUdf = udf(bandSigKernel(bands, rows))
-    val base = docs.select(id.as("doc_id"), text.as("__text"))
-      .repartition(parallelism)
+    val base0 = docs.select(id.as("doc_id"), text.as("__text"))
+    val base = if (base0.rdd.getNumPartitions * 2 < parallelism)
+      base0.repartition(parallelism)
+    else base0
     base
       .select(col("doc_id"), explode(sigUdf(col("__text"))).as("b"))
       .groupBy(col("b._1").as("band"), col("b._2").as("sig"))

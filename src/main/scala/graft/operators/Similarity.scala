@@ -206,13 +206,19 @@ object Similarity {
     // cost), and collect just the nlist centroid rows for broadcast.
     val n = v.count()
     val stride = math.max(1L, n / nlist)
-    val targets = (0 until nlist).map(i => math.min(i.toLong * stride, n - 1)).distinct
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
-    val cids = v.select("vec_id")
-      .withColumn("rn", row_number().over(w) - 1)
-      .where(col("rn").isin(targets: _*))
-      .select("vec_id")
-    val centroids = v.join(broadcast(cids), "vec_id")
+    val targets = (0 until nlist).map(i => math.min(i.toLong * stride, n - 1))
+      .distinct.toSet
+    // Global ranks WITHOUT a one-partition window: a distributed sort keeps
+    // range partitions, zipWithIndex stitches per-partition offsets — the
+    // same ranks a global row_number yields, minus the single-task sort
+    // that would bottleneck an index build over a 100 TB corpus.
+    val cidRows = v.select("vec_id").orderBy("vec_id").rdd
+      .zipWithIndex()
+      .filter { case (_, rn) => targets.contains(rn) }
+      .map(_._1.getLong(0))
+      .collect()
+    // nlist ids -> an IN filter the scan can push down; no join needed
+    val centroids = v.where(col("vec_id").isin(cidRows: _*))
       .collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
