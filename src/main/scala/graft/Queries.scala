@@ -1125,6 +1125,58 @@ object Queries {
           COUNT(DISTINCT id), COUNT(*), ${dsumSql("value")}
         FROM lv2 GROUP BY b""")),
 
+    // Guarded + match-limited funnel (round 4 Tier A shapes): the nested
+    // loop spawns only from signup rows passing an `if` guard, and tallies
+    // at most the first 2 purchase matches per spawn. Compiles to the
+    // latest-witness window plan with a cumulative-match-count witness
+    // field (src/queryinterpreter.cpp:2430-2577 `.limit`, 231: matches <
+    // limit). Oracle mirrors: max spawn-row cum-count over preceding rows.
+    Q("q_osl_guarded_funnel",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |each_row where event.is(== 'signup')
+            |  << 'signup'
+            |  if value.is(> 10)
+            |    each_row.continue().next().limit(2) where event.is(== 'purchase')
+            |      << 'purchase_after', bucket(value, 200)
+            |    end
+            |  end
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"))
+      },
+      Some(s"""$E, r AS (
+          SELECT id, event, value,
+                 ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS rn,
+                 SUM(CASE WHEN event = 'purchase' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY id ORDER BY stamp
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mc
+          FROM e),
+        w AS (
+          SELECT *, MAX(CASE WHEN event = 'signup' AND value > 10 THEN mc END)
+            OVER (PARTITION BY id ORDER BY rn
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wmc
+          FROM r),
+        lv2 AS (SELECT id, value,
+                  CAST(CAST(FLOOR(value / 200) * 200 AS BIGINT) AS VARCHAR) AS b
+                FROM w WHERE event = 'purchase' AND wmc IS NOT NULL
+                  AND mc - wmc <= 2),
+        lv1 AS (SELECT id FROM e WHERE event = 'signup')
+        SELECT CAST(1 AS INTEGER) AS depth, 'signup' AS g1, CAST(NULL AS VARCHAR) AS g2,
+          COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows FROM lv1
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), 'purchase_after', CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*) FROM lv2
+        UNION ALL
+        SELECT CAST(2 AS INTEGER), 'purchase_after', b, COUNT(DISTINCT id), COUNT(*)
+        FROM lv2 GROUP BY b""")),
+
     // OSL `var` select aggregator: declares a script variable; the result
     // column counts tallies deduped per (var value, row, node)
     // (src/queryinterpreter.cpp:242-244, 306-311). The variable mutates per

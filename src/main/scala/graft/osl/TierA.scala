@@ -42,10 +42,12 @@ object TierA {
             // positions) -> Tier B for mixed shapes
             ((tallies.size == 1 && levels.size == 1) || selects.forall(!_.all))
           wheres = levels.map(_.where)
-          personTests <- personTestColumns(wheres ++ tallies.flatMap(_._1), now)
+          guards = levels.flatMap(_.guard)
+          personTests <- personTestColumns(
+            wheres ++ guards ++ tallies.flatMap(_._1), now)
           // validate every expression compiles (placeholders for person tests)
           placeholder = personTests.map { case (pt, _) => pt -> (lit(true): Column) }.toMap
-          _ <- traverse(wheres.map(compileExpr(_, now, placeholder)))
+          _ <- traverse((wheres ++ guards).map(compileExpr(_, now, placeholder)))
           _ <- traverse(tallies.map(_._1.map(compileExpr(_, now, placeholder))
             .getOrElse(Some(lit(true)))))
           _ <- traverse(tallies.map(t =>
@@ -81,7 +83,7 @@ object TierA {
           }.toMap
 
           if (levels.size == 1) {
-            val ChainLevel(where, lvlTallies, _, _) = levels.head
+            val ChainLevel(where, lvlTallies, _, _, _) = levels.head
             val predF = compileExpr(where, now, real).get
             val tallyPredsF = lvlTallies.map(_._1.map(p => compileExpr(p, now, real).get)
               .getOrElse(lit(true)))
@@ -142,21 +144,34 @@ object TierA {
       row_number().over(person.orderBy(col("stamp"))))
     val prevRows = person.orderBy(col("__rn"))
       .rowsBetween(W.unboundedPreceding, -1)
+    val curRows = person.orderBy(col("__rn"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
     var visited: Column = levelPreds.head // level 0 visits every match
     val eligible: Seq[Column] = lit(true) +: (1 until levels.length).map { k =>
+      // `.limit(n)`: the interpreter tallies a row only while its inner
+      // loop has made < n matches — i.e. the row's rank among where-matches
+      // strictly after the witness is <= n. Carried as a cumulative match
+      // count: the witness remembers its own count, the row compares.
+      levels(k).limitN.foreach { _ =>
+        df = df.withColumn(s"__mc$k",
+          count(when(levelPreds(k), 1)).over(curRows))
+      }
+      // an `if`-wrapped nested loop spawns only from parent rows satisfying
+      // the guard — AND it into the witness condition
+      val spawn = levels(k).guard
+        .map(g => visited && compileExpr(g, now, real).get)
+        .getOrElse(visited)
+      val wFields = Seq(col("__rn").as("rn"), col("stamp").as("st")) ++
+        levels(k).limitN.map(_ => col(s"__mc$k").as("mc"))
       df = df.withColumn(s"__pv$k",
-        max(when(visited, struct(col("__rn").as("rn"), col("stamp").as("st"))))
-          .over(prevRows))
+        max(when(spawn, struct(wFields: _*))).over(prevRows))
       val witness = col(s"__pv$k")
       var elig = witness.isNotNull
       levels(k).spanMs.foreach { span =>
         elig = elig && (col("stamp") - witness.getField("st") <= span)
       }
-      if (levels(k).limit1) {
-        df = df.withColumn(s"__ls$k",
-          max(when(levelPreds(k), col("__rn"))).over(prevRows))
-        elig = elig &&
-          coalesce(col(s"__ls$k"), lit(-1L)) <= witness.getField("rn")
+      levels(k).limitN.foreach { n =>
+        elig = elig && (col(s"__mc$k") - witness.getField("mc") <= n)
       }
       visited = levelPreds(k) && elig
       elig
@@ -171,30 +186,37 @@ object TierA {
     explodePlan(df, tallyGroups, tallyPreds, selects, aggs)
   }
 
-  /** One chain level: its where, its tallies, whether it carries
-    * `.limit(1)` (allowed on the innermost level only), and its
-    * cursor-anchored forward frame span in ms (None = unframed). */
+  /** One chain level: its where, its tallies, its `.limit(n)` match cap
+    * (allowed on the innermost level only; None = unlimited), its
+    * cursor-anchored forward frame span in ms (None = unframed), and the
+    * `if` guard (evaluated at the PARENT row) under which the level's loop
+    * was entered (None = unconditional). */
   final case class ChainLevel(where: Expr,
                               tallies: Seq[(Option[Expr], Seq[Expr])],
-                              limit1: Boolean,
-                              spanMs: Option[Long])
+                              limitN: Option[Long],
+                              spanMs: Option[Long],
+                              guard: Option[Expr])
 
   /** Decompose a default-mods `each_row` into a chain of levels: each level
     * may end in exactly one nested `each_row.continue().next()` (no
-    * from/reverse, not under an `if`; `.limit(1)` only on the innermost
-    * level; frames must be cursor-anchored and forward-compatible). None =
-    * not chain-shaped -> Tier B. */
-  private def extractLevels(top: EachRow, limit1: Boolean = false,
-                            spanMs: Option[Long] = None)
+    * from/reverse; `.limit(n)` only on the innermost level; frames must be
+    * cursor-anchored and forward-compatible; an else-less `if` wrapping the
+    * nested loop becomes that level's guard). None = not chain-shaped ->
+    * Tier B. */
+  private def extractLevels(top: EachRow, limitN: Option[Long] = None,
+                            spanMs: Option[Long] = None,
+                            guard: Option[Expr] = None)
       : Option[Seq[ChainLevel]] =
     flattenBody(top.body, None).flatMap { case (tallies, nested) =>
       nested match {
-        case None => Some(Vector(ChainLevel(top.where, tallies, limit1, spanMs)))
-        case Some(_) if limit1 => None // limit(1) must be innermost
-        case Some(n) =>
-          chainSpan(n.mods.frame).flatMap(span =>
-            extractLevels(n, isLimit1(n.mods), span).map(rest =>
-              ChainLevel(top.where, tallies, limit1, spanMs) +: rest))
+        case None => Some(Vector(ChainLevel(top.where, tallies, limitN, spanMs, guard)))
+        case Some(_) if limitN.isDefined => None // limit must be innermost
+        case Some((n, g)) =>
+          for {
+            span <- chainSpan(n.mods.frame)
+            lim <- limitOf(n.mods)
+            rest <- extractLevels(n, lim, span, g)
+          } yield ChainLevel(top.where, tallies, limitN, spanMs, guard) +: rest
       }
     }
 
@@ -220,12 +242,18 @@ object TierA {
     }
   }
 
-  private def isLimit1(m: EachRowMods): Boolean =
-    m.limit.contains(Lit(VInt(1L)))
+  /** The level's literal match cap: Some(None) = no limit, Some(Some(n))
+    * = `.limit(n)` with a positive int literal, None = unsupported shape
+    * (dynamic/zero/negative limits run Tier B). */
+  private def limitOf(m: EachRowMods): Option[Option[Long]] = m.limit match {
+    case None => Some(None)
+    case Some(Lit(VInt(n))) if n >= 1 => Some(Some(n))
+    case _ => None
+  }
 
   private def isChainStep(m: EachRowMods): Boolean =
     m.continueFrom && m.next && !m.reverse && m.from.isEmpty &&
-      (m.limit.isEmpty || isLimit1(m))
+      limitOf(m).isDefined
 
   /** Single-tally fast path: Spark `rollup` generates every prefix node in
     * one pass with partial aggregation. */
@@ -292,22 +320,24 @@ object TierA {
   }
 
   /** Flatten an each_row body of tallies, (nestable) else-less `if`s and at
-    * most one unconditional chain-step nested loop into per-tally predicates
-    * plus the nested loop; anything else is not Tier-A-able. */
+    * most one chain-step nested loop into per-tally predicates plus the
+    * nested loop (paired with the accumulated `if` guard it sits under —
+    * the loop spawns only from rows satisfying it); anything else is not
+    * Tier-A-able. */
   private def flattenBody(body: Seq[Stmt], pred: Option[Expr])
-      : Option[(Vector[(Option[Expr], Seq[Expr])], Option[EachRow])] =
-    body.foldLeft(Option((Vector.empty[(Option[Expr], Seq[Expr])], Option.empty[EachRow]))) {
+      : Option[(Vector[(Option[Expr], Seq[Expr])], Option[(EachRow, Option[Expr])])] =
+    body.foldLeft(Option((Vector.empty[(Option[Expr], Seq[Expr])],
+        Option.empty[(EachRow, Option[Expr])]))) {
       case (None, _) => None
       case (Some((acc, nested)), Tally(gs)) => Some((acc :+ (pred, gs), nested))
       case (Some((acc, nested)), If(c, thenB, elseB)) if elseB.isEmpty =>
         val combined = pred.map(p => BinOp("&&", p, c): Expr).orElse(Some(c))
         flattenBody(thenB, combined).flatMap { case (ts, n2) =>
-          // a nested loop under an `if` runs conditionally per cursor — the
-          // chain-existence rewrite doesn't cover that
-          if (n2.isDefined) None else Some((acc ++ ts, nested))
+          if (nested.isDefined && n2.isDefined) None
+          else Some((acc ++ ts, nested.orElse(n2)))
         }
-      case (Some((acc, None)), e: EachRow) if pred.isEmpty && isChainStep(e.mods) =>
-        Some((acc, Some(e)))
+      case (Some((acc, None)), e: EachRow) if isChainStep(e.mods) =>
+        Some((acc, Some((e, pred))))
       case _ => None
     }
 

@@ -445,11 +445,11 @@ class OslSpec extends SparkSpec {
         |""".stripMargin, data)
   }
 
-  test("Tier A declines non-chain nesting (limit>1, frame, conditional nest)") {
+  test("Tier A declines non-chain nesting (outer limit, odd frames, dyn limit)") {
     def declines(script: String): Unit =
       assert(TierA.compile(Parser.program(script), highstreet, Tue, 1800000L).isEmpty,
         s"expected Tier B for:\n$script")
-    declines( // limit(1) on a NON-innermost level
+    declines( // limit on a NON-innermost level
       """each_row where event.is(== 'signup')
         |  each_row.continue().next().limit(1) where event.is(== 'browse')
         |    each_row.continue().next() where event.is(== 'purchase')
@@ -458,10 +458,11 @@ class OslSpec extends SparkSpec {
         |  end
         |end
         |""".stripMargin)
-    declines( // limit > 1
-      """each_row where event.is(== 'signup')
-        |  each_row.continue().next().limit(2) where event.is(== 'purchase')
-        |    << 'first_two'
+    declines( // dynamic (non-literal) limit
+      """x = 2
+        |each_row where event.is(== 'signup')
+        |  each_row.continue().next().limit(x) where event.is(== 'purchase')
+        |    << 'first_x'
         |  end
         |end
         |""".stripMargin)
@@ -479,11 +480,54 @@ class OslSpec extends SparkSpec {
         |  end
         |end
         |""".stripMargin)
-    declines(
+    declines( // if with an ELSE branch around the nested loop
       """each_row where event.is(== 'signup')
         |  if product_price.is(> 5)
         |    each_row.continue().next() where event.is(== 'purchase')
         |      << 'conditional_chain'
+        |    end
+        |  else
+        |    << 'cheap'
+        |  end
+        |end
+        |""".stripMargin)
+  }
+
+  test("Tier A ≡ Tier B: limit(n) and if-guarded funnel chains") {
+    def both(script: String): Unit = tierDiff(script)
+    both( // limit > 1 on the innermost level
+      """select
+        |  count id as customers
+        |  count event as n_rows
+        |end
+        |each_row where product_name.is(== 'fly rod')
+        |  each_row.continue().next().limit(2) where event.is(== 'purchase')
+        |    << 'first_two', product_name
+        |  end
+        |end
+        |""".stripMargin)
+    both( // nested loop under an else-less if (guarded spawn)
+      """select
+        |  count id as customers
+        |end
+        |each_row where event.is(== 'purchase')
+        |  << 'bought'
+        |  if product_price.is(> 50)
+        |    each_row.continue().next() where event.is(== 'purchase')
+        |      << 'after_big_ticket', product_name
+        |    end
+        |  end
+        |end
+        |""".stripMargin)
+    both( // guard + frame + limit together
+      """select
+        |  count id as customers
+        |  count event as n_rows
+        |end
+        |each_row where product_name.is(== 'fly rod')
+        |  if product_price.is(> 50)
+        |    each_row.continue().next().look_ahead(2_days).limit(3) where event.is(== 'purchase')
+        |      << 'guarded_framed', product_name
         |    end
         |  end
         |end

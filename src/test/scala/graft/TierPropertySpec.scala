@@ -149,21 +149,27 @@ class TierPropertySpec extends SparkSpec {
     wheres <- Gen.listOfN(depth, genWhere)
     gs <- Gen.listOfN(depth, genGroup)
     tallyOuter <- Gen.oneOf(true, false)
-    limit1 <- Gen.oneOf(true, false)
+    limitN <- Gen.option(Gen.choose(1L, 3L))
+    guards <- Gen.listOfN(depth, Gen.option(Gen.oneOf(
+      "event.is(!= 'error')", "product_price.is(> 20)",
+      "event.ever(== 'signup')")))
     frames <- Gen.listOfN(depth,
       Gen.oneOf("", "", ".look_ahead(10_hours)", ".within(16_hours, stamp)"))
   } yield {
-    val sb = new StringBuilder(s"select\n  $sel\nend\n")
-    wheres.zipWithIndex.foreach { case (w, k) =>
-      val lim = if (limit1 && k == depth - 1) ".limit(1)" else ""
-      val head = if (k == 0) "each_row"
-        else s"each_row.continue().next()${frames(k)}$lim"
-      sb.append("  " * k).append(s"$head where $w\n")
-      if (k == depth - 1 || tallyOuter)
-        sb.append("  " * (k + 1)).append(s"<< 'L$k', ${gs(k)}\n")
+    // innermost-out: each level may sit under an `if` guard in its parent
+    var block: Seq[String] = Seq(s"<< 'L${depth - 1}', ${gs(depth - 1)}")
+    for (k <- depth - 1 to 1 by -1) {
+      val lim = if (k == depth - 1) limitN.map(n => s".limit($n)").getOrElse("") else ""
+      val head = s"each_row.continue().next()${frames(k)}$lim where ${wheres(k)}"
+      var inner = Seq(head) ++ block.map("  " + _) ++ Seq("end")
+      guards(k).foreach { g =>
+        inner = Seq(s"if $g") ++ inner.map("  " + _) ++ Seq("end")
+      }
+      val tallyHere = if (tallyOuter) Seq(s"<< 'L${k - 1}', ${gs(k - 1)}") else Nil
+      block = tallyHere ++ inner
     }
-    (depth - 1 to 0 by -1).foreach(k => sb.append("  " * k).append("end\n"))
-    sb.toString
+    s"select\n  $sel\nend\neach_row where ${wheres(0)}\n" +
+      block.map("  " + _).mkString("\n") + "\nend\n"
   }
 
   // ------------------------------------------- segment + histogram scripts
