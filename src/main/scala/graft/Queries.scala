@@ -1423,6 +1423,82 @@ object Queries {
         SELECT token, COUNT(DISTINCT doc_id) AS doc_freq, COUNT(*) AS occurrences
         FROM t GROUP BY token ORDER BY doc_freq DESC, token ASC LIMIT 20""")),
 
+    // Gopher-style repetition quality filter: per-doc top-bigram fraction
+    // and distinct-token ratio (compiled kernel, scan speed) plus the keep
+    // verdict — summarized per language so the result is a stable small
+    // table. Division happens once on exact integer counts in both engines.
+    Q("q_repetition_filter",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        TextOps.repetitionFilter(d)
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            count(when(col("keep"), 1)).as("n_kept"),
+            dsum(col("top_bigram_frac")).as("sum_tb"),
+            dsum(col("distinct_token_ratio")).as("sum_dr"))
+      },
+      Some(s"""WITH t AS (
+          SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+          FROM documents),
+        n AS (SELECT doc_id, lang, len(toks) AS n, len(list_distinct(toks)) AS nd FROM t),
+        bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i + 1])) AS g
+               FROM t WHERE len(toks) >= 2),
+        mx AS (SELECT doc_id, MAX(c) AS mx FROM (
+                 SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2) GROUP BY doc_id),
+        sig AS (
+          SELECT n.doc_id, n.lang,
+            CASE WHEN n.n >= 2 THEN CAST(mx.mx AS DOUBLE) / (n.n - 1) ELSE 0.0 END AS tb,
+            CASE WHEN n.n > 0 THEN CAST(n.nd AS DOUBLE) / n.n ELSE 0.0 END AS dr
+          FROM n LEFT JOIN mx USING (doc_id))
+        SELECT lang, COUNT(*) AS n_docs,
+          COUNT(CASE WHEN tb <= 0.05 AND dr >= 0.4 THEN 1 END) AS n_kept,
+          ${dsumSql("tb")} AS sum_tb,
+          ${dsumSql("dr")} AS sum_dr
+        FROM sig GROUP BY lang""")),
+
+    // Per-source document caps (domain caps): keep the first 15 docs of
+    // each source by doc_id — one window rank over a hash shuffle on the
+    // key, the standard anti-domination step in corpus mixing.
+    Q("q_source_caps",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        graft.operators.Sampling.capPerKey(d, col("source"), col("doc_id"), 15)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"),
+            max(col("doc_id")).as("max_kept_id"))
+      },
+      Some("""WITH r AS (
+          SELECT source, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+          FROM documents)
+        SELECT source, COUNT(*) AS n_kept, MAX(doc_id) AS max_kept_id
+        FROM r WHERE rk <= 15 GROUP BY source""")),
+
+    // Corpus-wide top bigrams by document frequency (n-gram statistics for
+    // vocab/boilerplate analysis): in-row shingling, one explode + one
+    // aggregation, tiny top-k sort.
+    Q("q_bigram_topk",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        d.select(explode(TextOps.shingles(col("text"), 2)).as("bigram"),
+            col("doc_id"))
+          .groupBy(col("bigram"))
+          .agg(countDistinct(col("doc_id")).as("doc_freq"),
+            count(lit(1)).as("occurrences"))
+          .orderBy(col("doc_freq").desc, col("bigram").asc)
+          .limit(20)
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+          FROM documents),
+        b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+              FROM t WHERE len(toks) >= 2)
+        SELECT bigram, COUNT(DISTINCT doc_id) AS doc_freq, COUNT(*) AS occurrences
+        FROM b GROUP BY bigram ORDER BY doc_freq DESC, bigram ASC LIMIT 20""")),
+
     // Int8 scalar quantization of embeddings (the storage-compression step
     // for vector indexes): per-label code sums + worst reconstruction error.
     Q("q_embedding_quantize",

@@ -43,4 +43,18 @@ object Sampling {
     }
     df.where(hashBucket(id) < rate)
   }
+
+  /** Cap rows per key: keep the first `k` rows of each key by `order`
+    * (deterministic — the domain/source caps dedup pipelines apply so one
+    * crawl domain can't dominate a training mix). One window rank over a
+    * single shuffle on the key; at 100 TB this is the standard top-k-per-
+    * group plan (rank computes per partition after hash-partitioning by
+    * key, no global sort). */
+  def capPerKey(df: DataFrame, key: Column, order: Column, k: Int): DataFrame = {
+    require(k > 0, s"cap must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(order.asc)
+    df.withColumn("__rk", row_number().over(w)).where(col("__rk") <= k)
+      .drop("__rk")
+  }
 }

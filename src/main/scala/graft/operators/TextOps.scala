@@ -193,6 +193,65 @@ object TextOps {
         coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
   }
 
+  /** Repetition signals (Gopher-style quality pre-filter, Rae et al. 2021
+    * §A1.1): the fraction of the document's word bigrams taken by its most
+    * frequent bigram, and the distinct-token ratio. Highly repetitive
+    * machine-generated or boilerplate text scores high/low respectively.
+    * One compiled kernel pass per row (bigram histogram needs a hash map —
+    * not expressible as a codegen'd Column without per-element lambda
+    * costs); runs at scan speed, no shuffle.
+    *
+    * Returns struct(top_bigram_frac, distinct_token_ratio); zero-token
+    * docs → (0.0, 0.0), one-token docs → (0.0, 1.0). Division is one IEEE
+    * double op on exact integer counts — engine-portable. */
+  def repetitionSignals(text: Column): Column = {
+    val kernel = udf { (t: String) =>
+      if (t == null) (0.0, 0.0)
+      else {
+        val toks = t.split(" ").filter(_.nonEmpty)
+        val n = toks.length
+        if (n == 0) (0.0, 0.0)
+        else {
+          val distinct = new java.util.HashSet[String]()
+          toks.foreach(distinct.add)
+          val dr = distinct.size.toDouble / n
+          if (n < 2) (0.0, dr)
+          else {
+            val counts = new java.util.HashMap[String, Int]()
+            var mx = 0
+            var i = 0
+            while (i < n - 1) {
+              val g = toks(i) + " " + toks(i + 1)
+              val c = counts.merge(g, 1, Integer.sum)
+              if (c > mx) mx = c
+              i += 1
+            }
+            (mx.toDouble / (n - 1), dr)
+          }
+        }
+      }
+    }
+    kernel(text).cast(
+      "struct<top_bigram_frac:double,distinct_token_ratio:double>")
+  }
+
+  /** Repetition filter: annotate with [[repetitionSignals]] and a `keep`
+    * verdict (top-bigram fraction at most `maxTopBigramFrac` AND distinct
+    * ratio at least `minDistinctRatio`). */
+  def repetitionFilter(docs: DataFrame, text: Column = col("text"),
+                       maxTopBigramFrac: Double = 0.05,
+                       minDistinctRatio: Double = 0.4): DataFrame = {
+    val sig = repetitionSignals(text)
+    docs
+      .withColumn("__sig", sig)
+      .withColumn("top_bigram_frac", col("__sig.top_bigram_frac"))
+      .withColumn("distinct_token_ratio", col("__sig.distinct_token_ratio"))
+      .withColumn("keep",
+        col("top_bigram_frac") <= maxTopBigramFrac &&
+          col("distinct_token_ratio") >= minDistinctRatio)
+      .drop("__sig")
+  }
+
   /** Corpus vocabulary: top-k tokens by document frequency (ties broken
     * lexicographically). The building block for stopword/vocab derivation —
     * one explode + one hash aggregation + a tiny top-k sort. */

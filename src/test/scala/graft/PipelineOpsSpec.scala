@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextOps}
 
 /** LLM-pipeline operator specs: dedup family, ANN, text analysis,
   * multimodal plumbing. */
@@ -206,5 +206,33 @@ class PipelineOpsSpec extends SparkSpec {
     val assets = Seq((1L, png)).toDF("asset_id", "asset")
     val f = Multimodal.withMetadata(assets).select("meta.format").as[String].head()
     assert(f == "png")
+  }
+
+  test("repetition signals: hand-computed bigram fraction and distinct ratio") {
+    val docs = Seq(
+      (1L, "a b a b a b"),       // bigrams: ab ba ab ba ab -> top 3/5; 2/6 distinct
+      (2L, "w x y z"),           // all bigrams unique -> 1/3; 4/4 distinct
+      (3L, "solo"),              // one token: no bigrams -> 0.0; ratio 1.0
+      (4L, ""),                  // zero tokens -> (0.0, 0.0)
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionFilter(docs, maxTopBigramFrac = 0.5,
+        minDistinctRatio = 0.5)
+      .select("doc_id", "top_bigram_frac", "distinct_token_ratio", "keep")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((3.0 / 5, 2.0 / 6, false)))
+    assert(out(2L) == ((1.0 / 3, 1.0, true)))
+    assert(out(3L) == ((0.0, 1.0, true)))
+    assert(out(4L) == ((0.0, 0.0, false)))
+    assert(out(5L) == ((0.0, 0.0, false)))
+  }
+
+  test("capPerKey keeps the first k rows per key deterministically") {
+    val df = (1 to 20).map(i => (i.toLong, s"src${i % 2}")).toDF("id", "src")
+    val kept = Sampling.capPerKey(df, col("src"), col("id"), 3)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(kept == Set(("src0", 2L), ("src0", 4L), ("src0", 6L),
+      ("src1", 1L), ("src1", 3L), ("src1", 5L)))
   }
 }
