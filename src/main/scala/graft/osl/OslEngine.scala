@@ -113,15 +113,21 @@ object OslEngine {
     val allDefs = Parser.segments(script)
     // MIXED compilation: each definition compiles independently when its
     // shape allows; a funnel segment in the script no longer drags the
-    // declarative ones into the interpreter. All compiled definitions
-    // share one aggregation pass; the rest share one interpreter pass.
-    val (compilable, defs) =
+    // declarative ones into the interpreter. Declarative defs share one
+    // aggregation pass; funnel (chain) defs compile to window-exists plans
+    // (round 4); the rest share one interpreter pass.
+    val (aggDefs, rest0) =
       if (forceTierB) (Nil, allDefs)
       else allDefs.partition(d => TierA.segmentCompilable(d, now))
+    val (chainDefs, defs) =
+      if (forceTierB) (Nil, rest0)
+      else rest0.partition(d => TierA.segmentChainCompilable(d, now))
     // one batch compile for every compilable def (shared aggregation pass);
-    // the probe above is a pure AST shape check, so each def is compiled
+    // the probes above are pure AST shape checks, so each def is compiled
     // exactly once
-    val compiled = TierA.compileSegments(compilable, events, now)
+    val compiled = (TierA.compileSegments(aggDefs, events, now).toSeq ++
+      chainDefs.map(d => TierA.compileSegmentChain(d, events, now).get))
+      .reduceOption(_ unionByName _)
     (compiled, defs) match {
       case (Some(c), Seq()) => return c
       case _ =>

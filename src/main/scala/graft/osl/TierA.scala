@@ -137,6 +137,26 @@ object TierA {
                         now: Long, real: Map[PropTest, Column],
                         selects: Vector[SelectCol],
                         aggs: Seq[(String, Column)]): DataFrame = {
+    val (df, eligible, _) = chainWitnesses(base, levels, now, real)
+    val tallyPreds = levels.zip(eligible).flatMap { case (lvl, elig) =>
+      val p = compileExpr(lvl.where, now, real).get
+      lvl.tallies.map(_._1.map(ip => compileExpr(ip, now, real).get)
+        .getOrElse(lit(true)) && p && elig)
+    }
+    val tallyGroups = levels.flatMap(_.tallies).map(t =>
+      t._2.map(g => compileExpr(g, now, real).get))
+    explodePlan(df, tallyGroups, tallyPreds, selects, aggs)
+  }
+
+  /** The shared witness machinery: per level k>0, the latest visited
+    * level-(k-1) row's (rn, stamp [, cum-match-count]) as a max-over-
+    * preceding-rows struct, and the eligibility column deciding whether a
+    * where-matching row is VISITED at its level. One sort-shuffle on `id`
+    * computes every window. Returns (augmented frame, per-level
+    * eligibility, per-level where-predicates). */
+  private def chainWitnesses(base: DataFrame, levels: Seq[ChainLevel],
+                             now: Long, real: Map[PropTest, Column])
+      : (DataFrame, Seq[Column], Seq[Column]) = {
     val W = org.apache.spark.sql.expressions.Window
     val person = W.partitionBy(col("id"))
     val levelPreds = levels.map(l => compileExpr(l.where, now, real).get)
@@ -176,14 +196,7 @@ object TierA {
       visited = levelPreds(k) && elig
       elig
     }
-    val tallyPreds = levels.zip(eligible).flatMap { case (lvl, elig) =>
-      val p = compileExpr(lvl.where, now, real).get
-      lvl.tallies.map(_._1.map(ip => compileExpr(ip, now, real).get)
-        .getOrElse(lit(true)) && p && elig)
-    }
-    val tallyGroups = levels.flatMap(_.tallies).map(t =>
-      t._2.map(g => compileExpr(g, now, real).get))
-    explodePlan(df, tallyGroups, tallyPreds, selects, aggs)
+    (df, eligible, levelPreds)
   }
 
   /** One chain level: its where, its tallies, its `.limit(n)` match cap
@@ -556,6 +569,96 @@ object TierA {
       agged.where(col(s"__m_$i"))
         .select(lit(d.name).as("segment"), col("id").cast("string").as("id"))
     }.reduce(_ unionByName _))
+  }
+
+  /** Probe: does [[compileSegmentChain]] accept this definition? Pure AST +
+    * Column-translation check, no DataFrame plan built. */
+  def segmentChainCompilable(d: SegmentDef, now: Long): Boolean =
+    segChainPlanned(d.code, now).isDefined
+
+  /** Compile a funnel-shaped segment — a `.continue().next()` chain whose
+    * innermost body is `return(true)` (optionally under else-less `if`s) —
+    * to a window-exists plan: membership = some row is VISITED at the
+    * innermost level and satisfies the return guards. The interpreter
+    * stops the whole script at the first `return`, so only the constant
+    * `return(true)` compiles (scanning continues while the `if` guard is
+    * false, which is exactly exists-semantics); `return(<expr>)` with a
+    * non-constant value would report the FIRST visited row's value and
+    * declines. The cohort funnel segments of the reference README
+    * (README.md:244-316) all take this shape. */
+  def compileSegmentChain(d: SegmentDef, events: DataFrame,
+                          now: Long): Option[DataFrame] =
+    segChainPlanned(d.code, now).map { case (levels, ret) =>
+      val exprs = levels.map(_.where) ++ levels.flatMap(_.guard) :+ ret
+      val pts = personTestColumns(exprs, now).get
+      val base = pts.zipWithIndex.foldLeft(events) {
+        case (df, ((_, winCol), i)) => df.withColumn(s"__pt$i", winCol)
+      }
+      val real: Map[PropTest, Column] = pts.zipWithIndex.map {
+        case ((pt, _), i) =>
+          pt -> (coalesce(col(s"__pt$i"), lit(0)) === (if (pt.kind == "ever") 1 else 0))
+      }.toMap
+      val (df, eligible, levelPreds) = chainWitnesses(base, levels, now, real)
+      val memberRow = levelPreds.last && eligible.last &&
+        compileExpr(ret, now, real).get
+      df.groupBy(col("id"))
+        .agg(max(when(memberRow, 1)).as("__m"))
+        .where(col("__m") === 1)
+        .select(lit(d.name).as("segment"), col("id").cast("string").as("id"))
+    }
+
+  /** The validated (levels, membership-condition) decomposition of a
+    * funnel-segment body, or None. */
+  private def segChainPlanned(code: Seq[Stmt], now: Long)
+      : Option[(Seq[ChainLevel], Expr)] = {
+    if (Interpreter.referencesSession(Program(Nil, code))) return None
+    extractSegChain(code).filter { case (levels, ret) =>
+      val exprs = levels.map(_.where) ++ levels.flatMap(_.guard) :+ ret
+      personTestColumns(exprs, now) match {
+        case Some(pts) =>
+          val ph = pts.map { case (pt, _) => pt -> (lit(true): Column) }.toMap
+          exprs.forall(e => compileExpr(e, now, ph).isDefined)
+        case None => false
+      }
+    }
+  }
+
+  /** Decompose `each_row … [each_row.continue().next() …]* return(true)`
+    * (each nest optionally under else-less `if`s; optional trailing
+    * `return(false)` fall-through at top level). */
+  private def extractSegChain(code: Seq[Stmt]): Option[(Seq[ChainLevel], Expr)] = {
+    def levelsOf(er: EachRow, limitN: Option[Long], spanMs: Option[Long],
+                 guard: Option[Expr]): Option[(Seq[ChainLevel], Expr)] = {
+      def inner(body: Seq[Stmt], pred: Option[Expr])
+          : Option[Either[(EachRow, Option[Expr]), Expr]] = body match {
+        case Seq(n: EachRow) if isChainStep(n.mods) => Some(Left((n, pred)))
+        case Seq(If(c, b, e)) if e.isEmpty =>
+          val comb = pred.map(p => BinOp("&&", p, c): Expr).orElse(Some(c))
+          inner(b, comb)
+        case Seq(Return(Some(Lit(VBool(true))))) =>
+          Some(Right(pred.getOrElse(Lit(VBool(true)))))
+        case _ => None
+      }
+      inner(er.body, None).flatMap {
+        case Right(ret) =>
+          Some((Seq(ChainLevel(er.where, Nil, limitN, spanMs, guard)), ret))
+        case Left(_) if limitN.isDefined => None // limit must be innermost
+        case Left((n, g)) =>
+          for {
+            span <- chainSpan(n.mods.frame)
+            lim <- limitOf(n.mods)
+            (rest, ret) <- levelsOf(n, lim, span, g)
+          } yield (ChainLevel(er.where, Nil, limitN, spanMs, guard) +: rest, ret)
+      }
+    }
+    code match {
+      case Seq(er: EachRow) if isDefault(er.mods) =>
+        levelsOf(er, None, None, None)
+      case Seq(er: EachRow, Return(Some(Lit(VBool(false)))))
+          if isDefault(er.mods) =>
+        levelsOf(er, None, None, None)
+      case _ => None
+    }
   }
 
   /** The membership aggregate-boolean for one segment body, or None. */

@@ -1209,10 +1209,36 @@ class OslSpec extends SparkSpec {
 
   test("Tier B index pre-filter: non-matching persons are skipped, results equal") {
     // u2 has no 'signup' at all -> pre-filtered away before interpretation;
-    // membership must be identical either way
+    // membership must be identical either way. The inner loop is a plain
+    // `.next()` (no cursor inheritance) so the script is NOT chain-shaped
+    // and genuinely exercises the interpreter + pre-filter path.
     val data = Seq(
       ("u1", Mon + 1 * H, "signup"), ("u1", Mon + 2 * H, "purchase"),
       ("u2", Mon + 1 * H, "view"), ("u3", Mon + 1 * H, "signup")
+    ).toDF("id", "stamp", "event")
+    val script =
+      """@segment converted
+        |each_row where event.is(== 'signup')
+        |  each_row.next() where event.is(== 'purchase')
+        |    return(true)
+        |  end
+        |end
+        |""".stripMargin
+    assert(!TierA.segmentChainCompilable(Parser.segments(script).head, Tue))
+    val members = OslEngine.segments(data, script, now = Tue)
+      .select("id").as[String].collect().toSet
+    assert(members == Set("u1"))
+    // the weakening appears as a left-semi join in the plan
+    val plan = OslEngine.segments(data, script, now = Tue)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.take(1500))
+  }
+
+  test("funnel segments compile to window-exists membership (no interpreter)") {
+    val data = Seq(
+      ("u1", Mon + 1 * H, "signup"), ("u1", Mon + 2 * H, "purchase"),
+      ("u2", Mon + 1 * H, "view"), ("u3", Mon + 2 * H, "signup"),
+      ("u3", Mon + 1 * H, "purchase") // purchase BEFORE signup: not a member
     ).toDF("id", "stamp", "event")
     val script =
       """@segment converted
@@ -1222,13 +1248,13 @@ class OslSpec extends SparkSpec {
         |  end
         |end
         |""".stripMargin
+    assert(TierA.segmentChainCompilable(Parser.segments(script).head, Tue))
     val members = OslEngine.segments(data, script, now = Tue)
       .select("id").as[String].collect().toSet
     assert(members == Set("u1"))
-    // the weakening appears as a left-semi join in the plan
-    val plan = OslEngine.segments(data, script, now = Tue)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("LeftSemi"), plan.take(1500))
+    val b = OslEngine.segments(data, script, now = Tue, forceTierB = true)
+      .select("id").as[String].collect().toSet
+    assert(b == members)
   }
 
   // The 4 page_view events from /root/reference/test/test_db.h:24-59

@@ -215,6 +215,45 @@ class TierPropertySpec extends SparkSpec {
     }
   }
 
+  private val genFunnelSegScript: Gen[String] = for {
+    w0 <- genWhere
+    w1 <- genWhere
+    guard <- Gen.option(Gen.oneOf("product_price.is(> 20)", "event.is(!= 'error')"))
+    retGuard <- Gen.option(Gen.oneOf("product_price.is(> 40)", "event.ever(== 'signup')"))
+    lim <- Gen.option(Gen.choose(1L, 2L))
+    frame <- Gen.oneOf("", ".look_ahead(24_hours)", ".within(30_hours, stamp)")
+  } yield {
+    val limS = lim.map(n => s".limit($n)").getOrElse("")
+    val retBlock = retGuard match {
+      case Some(g) => Seq(s"  if $g", "    return(true)", "  end")
+      case None => Seq("  return(true)")
+    }
+    val inner = Seq(s"each_row.continue().next()$frame$limS where $w1") ++
+      retBlock ++ Seq("end")
+    val innerG = guard match {
+      case Some(g) => Seq(s"if $g") ++ inner.map("  " + _) ++ Seq("end")
+      case None => inner
+    }
+    s"@segment f\neach_row where $w0\n" +
+      innerG.map("  " + _).mkString("\n") + "\nend\n"
+  }
+
+  test("random funnel segments: Tier A window-exists == Tier B (20 seeded samples)") {
+    val params = Gen.Parameters.default
+    (1 to 20).foreach { i =>
+      val script = genFunnelSegScript.pureApply(params, Seed(i.toLong * 49157))
+      val defs = Parser.segments(script)
+      assert(defs.forall(d => TierA.segmentChainCompilable(d, Mon + 100 * H)),
+        s"funnel segment sample $i did not probe compilable:\n$script")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val a = canon(OslEngine.segments(chainWorld, script, now = Mon + 100 * H))
+      val b = canon(OslEngine.segments(chainWorld, script, now = Mon + 100 * H,
+        forceTierB = true))
+      assert(a == b, s"funnel segment mismatch on sample $i:\n$script\nA=$a\nB=$b")
+    }
+  }
+
   private val genHistScript: Gen[String] = {
     val agg = Gen.oneOf(
       "sum(product_price) where event.is(== 'purchase')",
