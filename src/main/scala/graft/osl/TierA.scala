@@ -212,7 +212,8 @@ object TierA {
 
   /** Decompose a default-mods `each_row` into a chain of levels: each level
     * may end in exactly one nested `each_row.continue().next()` (no
-    * from/reverse; `.limit(n)` only on the innermost level; frames must be
+    * from/reverse; `.limit(n)` with a positive literal on ANY chain level —
+    * the cumulative-count witness logic is per-level; frames must be
     * cursor-anchored and forward-compatible; an else-less `if` wrapping the
     * nested loop becomes that level's guard). None = not chain-shaped ->
     * Tier B. */
@@ -223,7 +224,6 @@ object TierA {
     flattenBody(top.body, None).flatMap { case (tallies, nested) =>
       nested match {
         case None => Some(Vector(ChainLevel(top.where, tallies, limitN, spanMs, guard)))
-        case Some(_) if limitN.isDefined => None // limit must be innermost
         case Some((n, g)) =>
           for {
             span <- chainSpan(n.mods.frame)
@@ -642,7 +642,6 @@ object TierA {
       inner(er.body, None).flatMap {
         case Right(ret) =>
           Some((Seq(ChainLevel(er.where, Nil, limitN, spanMs, guard)), ret))
-        case Left(_) if limitN.isDefined => None // limit must be innermost
         case Left((n, g)) =>
           for {
             span <- chainSpan(n.mods.frame)

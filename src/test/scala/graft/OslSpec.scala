@@ -445,19 +445,10 @@ class OslSpec extends SparkSpec {
         |""".stripMargin, data)
   }
 
-  test("Tier A declines non-chain nesting (outer limit, odd frames, dyn limit)") {
+  test("Tier A declines non-chain nesting (odd frames, dyn limit, else)") {
     def declines(script: String): Unit =
       assert(TierA.compile(Parser.program(script), highstreet, Tue, 1800000L).isEmpty,
         s"expected Tier B for:\n$script")
-    declines( // limit on a NON-innermost level
-      """each_row where event.is(== 'signup')
-        |  each_row.continue().next().limit(1) where event.is(== 'browse')
-        |    each_row.continue().next() where event.is(== 'purchase')
-        |      << 'converted'
-        |    end
-        |  end
-        |end
-        |""".stripMargin)
     declines( // dynamic (non-literal) limit
       """x = 2
         |each_row where event.is(== 'signup')

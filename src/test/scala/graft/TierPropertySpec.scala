@@ -150,6 +150,7 @@ class TierPropertySpec extends SparkSpec {
     gs <- Gen.listOfN(depth, genGroup)
     tallyOuter <- Gen.oneOf(true, false)
     limitN <- Gen.option(Gen.choose(1L, 3L))
+    limitLevel <- Gen.choose(1, depth - 1) // any chain level may carry it
     guards <- Gen.listOfN(depth, Gen.option(Gen.oneOf(
       "event.is(!= 'error')", "product_price.is(> 20)",
       "event.ever(== 'signup')")))
@@ -159,7 +160,7 @@ class TierPropertySpec extends SparkSpec {
     // innermost-out: each level may sit under an `if` guard in its parent
     var block: Seq[String] = Seq(s"<< 'L${depth - 1}', ${gs(depth - 1)}")
     for (k <- depth - 1 to 1 by -1) {
-      val lim = if (k == depth - 1) limitN.map(n => s".limit($n)").getOrElse("") else ""
+      val lim = if (k == limitLevel) limitN.map(n => s".limit($n)").getOrElse("") else ""
       val head = s"each_row.continue().next()${frames(k)}$lim where ${wheres(k)}"
       var inner = Seq(head) ++ block.map("  " + _) ++ Seq("end")
       guards(k).foreach { g =>
