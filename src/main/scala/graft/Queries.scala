@@ -62,6 +62,23 @@ object Queries {
     """SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id"""
 
+  /** Shared oracle for both exact n-gram Jaccard tiers (cross-join and
+    * inverted-index) — identical semantics, identical result. */
+  private val NgramJaccardOracle: String =
+    """WITH t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        FROM documents WHERE doc_id < 100),
+      s AS (
+        SELECT doc_id,
+          list_distinct(CASE WHEN len(toks) >= 3
+               THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+               ELSE [] END) AS sh
+        FROM t)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) AS jaccard
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.02"""
+
   val registry: Seq[Q] = Seq(
 
     // ---------------------------------------------------------------- relational
@@ -289,6 +306,67 @@ object Queries {
         SELECT event, next_event, COUNT(*) AS n_transitions,
           COUNT(DISTINCT id) AS customers
         FROM l WHERE next_event IS NOT NULL GROUP BY event, next_event""")),
+
+    // Top 3-step event paths (generalized transitions): the reference's
+    // sequence-correlation idiom as one window pass + one aggregation.
+    Q("q_event_paths3",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        EventOps.paths(e, 3, col("event_id"))
+      },
+      Some(s"""$E, l AS (
+          SELECT id, event,
+            LEAD(event, 1) OVER (PARTITION BY id ORDER BY stamp, event_id) AS e2,
+            LEAD(event, 2) OVER (PARTITION BY id ORDER BY stamp, event_id) AS e3
+          FROM e)
+        SELECT event || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n_paths,
+          COUNT(DISTINCT id) AS customers
+        FROM l WHERE e2 IS NOT NULL AND e3 IS NOT NULL GROUP BY 1""")),
+
+    // Last-touch attribution: every purchase credited to the most recent
+    // preceding click/view of the same person ('direct' when none) — the
+    // backward-scan (.look_back) analytics shape as one window pass.
+    Q("q_attribution_last_touch",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        EventOps.lastTouchAttribution(e, "purchase", Seq("click", "view"), col("event_id"))
+      },
+      Some(s"""$E, t AS (
+          SELECT id, event, value,
+            LAST_VALUE(CASE WHEN event IN ('click','view') THEN event END IGNORE NULLS)
+              OVER (PARTITION BY id ORDER BY stamp, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+          FROM e)
+        SELECT COALESCE(touch, 'direct') AS channel, COUNT(*) AS n_conversions,
+          COUNT(DISTINCT id) AS customers, ${dsumSql("value")} AS attributed_value
+        FROM t WHERE event = 'purchase' GROUP BY 1""")),
+
+    // Time-to-convert histogram: whole days from first signup to the first
+    // purchase at-or-after it, distinct customers per day bucket. One
+    // groupBy on id (stamp lists fold in-row) + one tiny aggregation.
+    Q("q_time_to_convert",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        e.groupBy(col("id")).agg(
+            min(when(col("event") === "signup", col("stamp"))).as("t_signup"),
+            collect_list(when(col("event") === "purchase", col("stamp"))).as("ps"))
+          .withColumn("t_purchase",
+            array_min(filter(col("ps"), x => x >= col("t_signup"))))
+          .where(col("t_signup").isNotNull && col("t_purchase").isNotNull)
+          .select(expr("(t_purchase - t_signup) div 86400000").as("days"))
+          .groupBy(col("days")).agg(count(lit(1)).as("customers"))
+      },
+      Some(s"""$E, s AS (
+          SELECT id, MIN(CASE WHEN event = 'signup' THEN stamp END) AS t_signup
+          FROM e GROUP BY id),
+        p AS (
+          SELECT e.id, MIN(e.stamp) AS t_purchase
+          FROM e JOIN s ON e.id = s.id
+          WHERE e.event = 'purchase' AND e.stamp >= s.t_signup
+          GROUP BY e.id)
+        SELECT (p.t_purchase - s.t_signup) // 86400000 AS days,
+          COUNT(*) AS customers
+        FROM p JOIN s ON p.id = s.id GROUP BY 1""")),
 
     // Three-step funnel (signup -> click -> purchase, each step within 7d of
     // the previous) via the in-row funnelN fold — no self-joins.
@@ -676,19 +754,41 @@ object Queries {
         val d = Tables.documents(s, dir).where(col("doc_id") < 100)
         graft.operators.Dedup.ngramJaccardPairs(d, col("doc_id"), col("text"), 0.02)
       },
-      Some("""WITH t AS (
-          SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
-          FROM documents WHERE doc_id < 100),
-        s AS (
-          SELECT doc_id,
-            list_distinct(CASE WHEN len(toks) >= 3
-                 THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-                 ELSE [] END) AS sh
-          FROM t)
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) AS jaccard
-        FROM s a JOIN s b ON a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.02""")),
+      Some(NgramJaccardOracle)),
+
+    // Same exact Jaccard via the inverted shingle index (posting self-join +
+    // pair count) — the linear-in-shared-shingles scale path; must produce
+    // byte-identical pairs to the cross-join tier, so it shares its oracle.
+    Q("q_ngram_jaccard_indexed",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).where(col("doc_id") < 100)
+        graft.operators.Dedup.ngramJaccardPairsIndexed(d, col("doc_id"), col("text"), 0.02)
+      },
+      Some(NgramJaccardOracle)),
+
+    // Post-LSH candidate scoring: estimated Jaccard = fraction of the 16
+    // minhash positions two signatures share — orders candidates without
+    // re-reading any text (one signature scan + a join on the tiny pair
+    // list). Exact dyadic fraction (n/16), so the double compares bit-equal.
+    Q("q_minhash_jaccard_est",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        graft.operators.Dedup.minhashJaccardEstimate(d, col("doc_id"), col("text"))
+      },
+      Some {
+        import graft.operators.Dedup.{kmA, kmB, MinhashP => MP}
+        val aList = (0 until 16).map(kmA).mkString("[", ",", "]")
+        val bList = (0 until 16).map(kmB).mkString("[", ",", "]")
+        s"""WITH $MinhashPairsCtes,
+          m AS (
+            SELECT doc_id, list_transform(range(0,16), i ->
+              list_aggregate(list_transform(hs, v -> (v * ($aList)[i+1] + ($bList)[i+1]) % $MP), 'min')) AS mins
+            FROM h),
+          pairs AS ($MinhashPairsSelect)
+          SELECT p.id_a, p.id_b,
+            CAST(len(list_filter(range(1,17), i -> a.mins[i] = b.mins[i])) AS DOUBLE) / 16 AS est_jaccard
+          FROM pairs p JOIN m a ON p.id_a = a.doc_id JOIN m b ON p.id_b = b.doc_id"""
+      }),
 
     // Document chunking: 64-token windows with 16 tokens of overlap — the
     // pre-embedding split for RAG/context-bounded training. In-row Column
@@ -1481,7 +1581,9 @@ object Queries {
     // aggregation, tiny top-k sort.
     Q("q_bigram_topk",
       (s, dir) => {
-        val d = Tables.documents(s, dir)
+        // ~200× explode amplification per doc: a 1-split scan would chain
+        // the whole explode+agg to one core — spread qualifies here
+        val d = Tables.spread(Tables.documents(s, dir))
         d.select(explode(TextOps.shingles(col("text"), 2)).as("bigram"),
             col("doc_id"))
           .groupBy(col("bigram"))
@@ -1501,6 +1603,23 @@ object Queries {
 
     // Int8 scalar quantization of embeddings (the storage-compression step
     // for vector indexes): per-label code sums + worst reconstruction error.
+    // Per-label centroids (class prototypes / IVF training step): exact
+    // decimal component sums -> order-independent, oracle-bit-equal. The
+    // shuffle carries only labels×dim partial sums, never the vectors.
+    Q("q_embedding_centroids",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        graft.operators.Similarity.labelCentroids(emb, col("label"), col("embedding"))
+      },
+      Some("""WITH u AS (
+          SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+            unnest(embedding) AS x
+          FROM embeddings)
+        SELECT label, pos,
+          CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS centroid,
+          COUNT(*) AS n
+        FROM u GROUP BY label, pos""")),
+
     Q("q_embedding_quantize",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)

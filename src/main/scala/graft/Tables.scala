@@ -23,6 +23,25 @@ object Tables {
     spark.read.parquet(path(dir, name))
   }
 
+  /** Spread an under-parallel scan across the cluster before a
+    * compute-HEAVY pipeline stage (per-row kernels costing ≫ the shuffle
+    * write of the row). A small single-row-group parquet file arrives as
+    * ONE usable input split, which chains the whole fused pipeline to one
+    * core; a round-robin repartition breaks that fusion at the cost of one
+    * shuffle of the (small) input. Applied ONLY when the scan has fewer
+    * splits than half the cluster parallelism — a real 100 TB input
+    * already has thousands of splits and the exchange would be pure waste.
+    *
+    * NOT for cheap-per-row pipelines: round-robin repartition locally
+    * sorts rows first (spark.sql.execution.sortBeforeRepartition, kept on
+    * for retry determinism) and the exchange + extra stage costs more than
+    * single-core aggregation of a few hundred thousand narrow rows —
+    * measured 2× slower on plain groupBy/rollup queries at sf0.1. */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < p) df.repartition(p) else df
+  }
+
   def region(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "customer")

@@ -36,22 +36,27 @@ object Dedup {
                           maxIter: Int = 20,
                           driverEdgeLimit: Long = 4L << 20): DataFrame = {
     val idCol = ids.columns.head
-    // materialize the (possibly expensive) pair computation ONCE; the
-    // symmetric closure reads the checkpoint twice instead of re-running
-    // the candidate generation per union branch
+    // materialize the (possibly expensive) pair computation ONCE; every
+    // consumer below reads the checkpoint instead of re-running the
+    // candidate generation
     val p0 = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    // Broadcast-style size gate: near-dup candidate graphs are usually a
+    // tiny fraction of the corpus (only docs sharing an LSH bucket). When
+    // the pair list fits comfortably on the driver, a local union-find
+    // replaces 2×rounds distributed jobs with one collect — the same
+    // small-side reasoning Catalyst applies to broadcast joins. Large
+    // graphs (the 100 TB path) take the distributed loop below. Union-find
+    // is direction-blind, so the driver path collects the raw pairs and
+    // never materializes the symmetric closure.
+    if (p0.count() * 2 <= driverEdgeLimit) {
+      val rows = p0.collect()
+      p0.unpersist(false)
+      return driverUnionFind(rows, ids, idCol)
+    }
     val edges = p0.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p0.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
     p0.unpersist(false)
-    // Broadcast-style size gate: near-dup candidate graphs are usually a
-    // tiny fraction of the corpus (only docs sharing an LSH bucket). When
-    // the edge list fits comfortably on the driver, a local union-find
-    // replaces 2×rounds distributed jobs with one collect — the same
-    // small-side reasoning Catalyst applies to broadcast joins. Large
-    // graphs (the 100 TB path) take the distributed loop below.
-    if (edges.count() <= driverEdgeLimit)
-      return driverUnionFind(edges, ids, idCol)
     // Only edge-touched vertices can ever adopt a smaller label; everything
     // else is a singleton and joins back once at the end. Keeps each round's
     // frames at O(vertices-with-edges) — after LSH candidate generation
@@ -81,13 +86,14 @@ object Dedup {
       .select(col("v"), coalesce(col("label"), col("v")).as("label"))
   }
 
-  /** Small-graph path: collect the edge list, run path-compressed
-    * union-find on the driver (roots = each component's minimum id — the
+  /** Small-graph path: run path-compressed union-find on the driver over
+    * the collected pair rows (roots = each component's minimum id — the
     * same labels the distributed loop converges to), broadcast-join the
     * touched-vertex labels back onto `ids`. */
-  private def driverUnionFind(edges: DataFrame, ids: DataFrame,
+  private def driverUnionFind(pairRows: Array[org.apache.spark.sql.Row],
+                              ids: DataFrame,
                               idCol: String): DataFrame = {
-    val spark = edges.sparkSession
+    val spark = ids.sparkSession
     val idType = ids.schema(idCol).dataType
     val parent = scala.collection.mutable.HashMap.empty[Any, Any]
     def lt(a: Any, b: Any): Boolean = (a, b) match {
@@ -104,7 +110,7 @@ object Dedup {
       while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    edges.select(col("src"), col("dst")).collect().foreach { row =>
+    pairRows.foreach { row =>
       val a = row.get(0); val b = row.get(1)
       parent.getOrElseUpdate(a, a)
       parent.getOrElseUpdate(b, b)
@@ -114,7 +120,6 @@ object Dedup {
         if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
       }
     }
-    edges.unpersist(false)
     val rows = parent.keys.toSeq.map(v =>
       org.apache.spark.sql.Row(v, find(v)))
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -207,15 +212,17 @@ object Dedup {
     * measured ~50× over Catalyst's interpreted higher-order lambdas, which
     * cost ~1 µs per ELEMENT across k passes. Row-level UDF overhead is paid
     * once per document. */
-  private def bandSigKernel(bands: Int, rows: Int): String => Seq[(Int, String)] = {
-    val k = bands * rows
+  /** k raw minhash values for a text, or null when the text has no 3-token
+    * shingles. One md5 per shingle, k derived KM hashes — shared by the
+    * band-signature kernel and [[minhashSignatures]]. */
+  private def minsKernel(k: Int): String => Array[Long] = {
     val as = Array.tabulate(k)(kmA)
     val bs = Array.tabulate(k)(kmB)
     (text: String) => {
-      if (text == null) Nil
+      if (text == null) null
       else {
         val toks = text.split(" ").filter(_.nonEmpty)
-        if (toks.length < 3) Nil
+        if (toks.length < 3) null
         else {
           val md = java.security.MessageDigest.getInstance("MD5")
           val mins = Array.fill(k)(Long.MaxValue)
@@ -238,15 +245,58 @@ object Dedup {
             }
             i += 1
           }
-          (0 until bands).map { b =>
-            val sigIn = (0 until rows).map(r => mins(b * rows + r).toString).mkString("|")
-            val sigDig = md.digest(sigIn.getBytes("UTF-8"))
-            md.reset()
-            (b, sigDig.map(x => f"$x%02x").mkString)
-          }
+          mins
         }
       }
     }
+  }
+
+  private def bandSigKernel(bands: Int, rows: Int): String => Seq[(Int, String)] = {
+    val mk = minsKernel(bands * rows)
+    (text: String) => {
+      val mins = mk(text)
+      if (mins == null) Nil
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        (0 until bands).map { b =>
+          val sigIn = (0 until rows).map(r => mins(b * rows + r).toString).mkString("|")
+          val sigDig = md.digest(sigIn.getBytes("UTF-8"))
+          md.reset()
+          (b, sigDig.map(x => f"$x%02x").mkString)
+        }
+      }
+    }
+  }
+
+  /** `(doc_id, mins: array<long>)` — the k raw minhash values per document
+    * (docs with no 3-token shingles are dropped). The signature table for
+    * similarity *estimation*: the expected fraction of equal positions
+    * between two docs' signatures is their shingle-set Jaccard. */
+  def minhashSignatures(docs: DataFrame, id: Column, text: Column,
+                        k: Int = 16): DataFrame = {
+    val u = udf(minsKernel(k))
+    docs.select(id.as("doc_id"), u(text).as("mins"))
+      .where(col("mins").isNotNull)
+  }
+
+  /** Estimated Jaccard similarity for each LSH candidate pair: the fraction
+    * of the k minhash positions on which the two signatures agree — the
+    * cheap post-LSH scoring step that orders candidates without ever
+    * touching the texts again. One signature scan + one shuffle join of the
+    * (small) pair list against the (doc_id, 16-long) signature table. */
+  def minhashJaccardEstimate(docs: DataFrame, id: Column, text: Column,
+                             bands: Int = 4, rows: Int = 4): DataFrame = {
+    val k = bands * rows
+    val pairs = minhashCandidates(docs, id, text, bands, rows)
+    val sigs = minhashSignatures(docs, id, text, k)
+    pairs
+      .join(sigs.select(col("doc_id").as("__ida"), col("mins").as("__ma")),
+        col("id_a") === col("__ida"))
+      .join(sigs.select(col("doc_id").as("__idb"), col("mins").as("__mb")),
+        col("id_b") === col("__idb"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("__ma"), col("__mb"), (x, y) => x === y),
+          b => b)).cast("double") / k).as("est_jaccard"))
   }
 
   /** Candidate near-duplicate pairs (id_a < id_b) from MinHash-LSH: docs
@@ -259,18 +309,9 @@ object Dedup {
     * bounded by true-duplicate group sizes. */
   def minhashCandidates(docs: DataFrame, id: Column, text: Column,
                         bands: Int = 4, rows: Int = 4): DataFrame = {
-    val spark = docs.sparkSession
-    // A small single-file input arrives as one partition; spread the kernel
-    // across cores first (rows here are (id, text) only). Repartition ONLY
-    // when the source is under-parallel — at cluster scale the scan already
-    // has thousands of splits and an unconditional repartition would
-    // shuffle the full text for nothing.
-    val parallelism = spark.sparkContext.defaultParallelism
     val sigUdf = udf(bandSigKernel(bands, rows))
-    val base0 = docs.select(id.as("doc_id"), text.as("__text"))
-    val base = if (base0.rdd.getNumPartitions * 2 < parallelism)
-      base0.repartition(parallelism)
-    else base0
+    // md5-per-shingle kernel ≫ shuffle cost per row → spread qualifies
+    val base = graft.Tables.spread(docs.select(id.as("doc_id"), text.as("__text")))
     base
       .select(col("doc_id"), explode(sigUdf(col("__text"))).as("b"))
       .groupBy(col("b._1").as("band"), col("b._2").as("sig"))
@@ -282,6 +323,48 @@ object Dedup {
           |    struct(least(x, y) AS id_a, greatest(x, y) AS id_b))))""".stripMargin)).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
+  }
+
+  /** Exact n-gram Jaccard pairs via an inverted shingle index — the scale
+    * path that replaces [[ngramJaccardPairs]]'s O(n²) cross-join: explode
+    * each doc's distinct shingles into `(shingle, doc)` postings, self-join
+    * on the shingle (pairs exist only where docs actually share a shingle),
+    * count the common shingles per pair, and derive
+    * `jaccard = common / (|A| + |B| - common)`. Shuffles carry postings and
+    * pair counts — never the texts — and both the posting join and the pair
+    * aggregation partial-combine before moving. Identical output to the
+    * cross-join form on any input (docs sharing nothing never surface,
+    * which a `threshold > 0` filters out anyway).
+    *
+    * `maxDocFreq` (optional) drops shingles appearing in more than that
+    * many docs before pairing — the standard stop-shingle guard against the
+    * quadratic hot-key blowup at corpus scale. It biases Jaccard DOWNWARD
+    * for pairs sharing dropped shingles; leave unset for exact results. */
+  def ngramJaccardPairsIndexed(docs: DataFrame, id: Column, text: Column,
+                               threshold: Double,
+                               maxDocFreq: Option[Long] = None): DataFrame = {
+    val sh = docs
+      .select(id.as("doc_id"), array_distinct(TextOps.shingles(text)).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .where(col("n_sh") > 0)
+    val post0 = sh.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("g"))
+    val post = maxDocFreq match {
+      case Some(cap) =>
+        val freq = post0.groupBy(col("g")).agg(count(lit(1)).as("__df"))
+          .where(col("__df") <= cap).select(col("g"))
+        post0.join(freq, Seq("g"), "left_semi")
+      case None => post0
+    }
+    val a = post.select(col("g"), col("doc_id").as("id_a"), col("n_sh").as("na"))
+    val b = post.select(col("g"), col("doc_id").as("id_b"), col("n_sh").as("nb"))
+    a.join(b, Seq("g"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("common"))
+      .select(col("id_a"), col("id_b"),
+        (col("common").cast("double") / (col("na") + col("nb") - col("common")))
+          .as("jaccard"))
+      .where(col("jaccard") >= threshold)
   }
 
   /** Exact n-gram Jaccard similarity between all pairs of the given docs

@@ -133,6 +133,51 @@ object EventOps {
         countDistinct(col("id")).as("customers"))
   }
 
+  /** Top event paths: counts of each n-step sequence of consecutive events
+    * per person ordered by (stamp, tiebreak) — the generalized form of
+    * [[transitions]] and the reference's sequence-correlation idiom
+    * (`src/queryinterpreter.cpp:2430-2577` nested each_row; path examples
+    * `README.md:244-316`). One window pass (n-1 `lead`s share one sort) +
+    * one hash aggregation. */
+  def paths(events: DataFrame, n: Int, orderTiebreak: Column): DataFrame = {
+    require(n >= 2, s"paths needs n >= 2, got $n")
+    val w = Window.partitionBy(col("id")).orderBy(col("stamp"), orderTiebreak)
+    val steps = col("event") +: (1 until n).map(i => lead(col("event"), i).over(w))
+    val withSteps = events.select(col("id") +:
+      steps.zipWithIndex.map { case (c, i) => c.as(s"__e$i") }: _*)
+    withSteps
+      .where((1 until n).map(i => col(s"__e$i").isNotNull).reduce(_ && _))
+      .select(col("id"),
+        concat_ws(">", (0 until n).map(i => col(s"__e$i")): _*).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_paths"), countDistinct(col("id")).as("customers"))
+  }
+
+  /** Last-touch attribution: each conversion event is credited to the most
+    * recent preceding touch event of the same person (`'direct'` when none
+    * exists). The marketing-analytics counterpart of the reference's
+    * backward scan (`.look_back` iteration,
+    * `src/queryinterpreter.cpp:2460-2533`), expressed as one
+    * last-non-null-over-preceding-rows window — a single sort-shuffle on
+    * `id`, no self-join. Returns per-channel conversion counts, distinct
+    * converters, and exact attributed value. */
+  def lastTouchAttribution(events: DataFrame, conversionEvent: String,
+                           touchEvents: Seq[String],
+                           orderTiebreak: Column): DataFrame = {
+    val w = Window.partitionBy(col("id")).orderBy(col("stamp"), orderTiebreak)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = last(
+      when(col("event").isin(touchEvents: _*), col("event")),
+      ignoreNulls = true).over(w)
+    events
+      .withColumn("__touch", touch)
+      .where(col("event") === conversionEvent)
+      .groupBy(coalesce(col("__touch"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        countDistinct(col("id")).as("customers"),
+        graft.functions.AggFns.dsum(col("value")).as("attributed_value"))
+  }
+
   /** Hierarchical tally (`<<` operator, `src/queryinterpreter.cpp:167-334`):
     * every prefix of the group path aggregates, with distinct-per-person
     * counting at each node. Spark-native: `rollup` over the path columns +

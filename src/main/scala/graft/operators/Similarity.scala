@@ -297,4 +297,28 @@ object Similarity {
       .partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
+
+  /** Per-label centroids, componentwise: `(label, pos, centroid, n)` — the
+    * class-prototype / IVF-training aggregation. Component sums run in
+    * exact decimal space (per-element cast to DECIMAL(18,6)) making the
+    * result order-independent and oracle-exact; the final divide is one
+    * deterministic IEEE op. Spark casts float→decimal through the exact
+    * DOUBLE value, and no double ever falls exactly halfway between two
+    * 6-decimal values, so the rounding is engine-independent — an oracle
+    * must mirror the route (`CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6))`),
+    * since a direct float→decimal conversion at float precision rounds a
+    * handful of elements differently.
+    *
+    * Scale shape: posexplode emits `rows × dim` narrow rows, but hash
+    * partial aggregation collapses them to `labels × dim` per task BEFORE
+    * the shuffle — the exchange carries only the tiny centroid frame, never
+    * the vectors. */
+  def labelCentroids(vectors: DataFrame, label: Column, vec: Column): DataFrame =
+    vectors
+      .select(label.as("label"), posexplode(vec).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(
+        (sum(col("x").cast("decimal(18,6)")).cast("double") / count(lit(1)))
+          .as("centroid"),
+        count(lit(1)).as("n"))
 }

@@ -121,6 +121,34 @@ class EventOpsSpec extends SparkSpec {
     assert(t(("b", "a")) == ((1L, 1L))) // only person 1
   }
 
+  test("paths counts n-step sequences per person") {
+    val e = Seq(
+      (1L, 10L, "a", 1L), (1L, 20L, "b", 2L), (1L, 30L, "c", 3L), (1L, 40L, "a", 4L),
+      (2L, 10L, "a", 5L), (2L, 20L, "b", 6L), (2L, 30L, "c", 7L)
+    ).toDF("id", "stamp", "event", "event_id")
+    val p = EventOps.paths(e, 3, col("event_id"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(p("a>b>c") == ((2L, 2L))) // both people
+    assert(p("b>c>a") == ((1L, 1L))) // only person 1's tail
+    assert(p.size == 2)              // person 2 has no 4th event
+  }
+
+  test("last-touch attribution credits the most recent preceding touch") {
+    val e = Seq(
+      // person 1: click then purchase -> click credited; later view then purchase
+      (1L, 10L, "click", 1L, 5.0), (1L, 20L, "purchase", 2L, 10.0),
+      (1L, 30L, "view", 3L, 0.0), (1L, 40L, "purchase", 4L, 20.0),
+      // person 2: purchase with no preceding touch -> direct
+      (2L, 10L, "purchase", 5L, 7.0)
+    ).toDF("id", "stamp", "event", "event_id", "value")
+    val a = EventOps.lastTouchAttribution(e, "purchase", Seq("click", "view"), col("event_id"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(a("click") == ((1L, 1L, 10.0)))
+    assert(a("view") == ((1L, 1L, 20.0)))
+    assert(a("direct") == ((1L, 1L, 7.0)))
+  }
+
   test("ever/never person-level existence") {
     val e = Seq((1L, 1L, "err"), (1L, 2L, "ok"), (2L, 1L, "ok"))
       .toDF("id", "stamp", "event")

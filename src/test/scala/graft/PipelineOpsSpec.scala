@@ -64,6 +64,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated never
   }
 
+  test("indexed ngram jaccard == cross-join ngram jaccard") {
+    val cross = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 0.01)
+      .as[(Long, Long, Double)].collect().toSet
+    val indexed = Dedup.ngramJaccardPairsIndexed(docs, col("doc_id"), col("text"), 0.01)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(indexed == cross)
+    assert(cross.nonEmpty) // the near-dup docs share most shingles
+    // stop-shingle cap: capping at df<=1 removes every shared shingle here
+    assert(Dedup.ngramJaccardPairsIndexed(docs, col("doc_id"), col("text"), 0.01,
+      maxDocFreq = Some(1L)).count() == 0)
+  }
+
+  test("minhash jaccard estimate: exact dups score 1.0, estimates stay in [0,1]") {
+    val est = Dedup.minhashJaccardEstimate(docs, col("doc_id"), col("text"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(est((0L, 1L)) == 1.0) // identical text -> identical signature
+    // near-dup scores below exact but well above zero; all estimates valid
+    assert(est((0L, 2L)) > 0.3 && est((0L, 2L)) < 1.0)
+    assert(est.values.forall(j => j >= 0.0 && j <= 1.0))
+  }
+
   test("LSH band signatures: Catalyst expression path == compiled kernel path") {
     // withLshBands (pure Column expressions) and the UDF kernel inside
     // minhashCandidates must be byte-identical; compare sigs per (doc, band).
