@@ -1488,6 +1488,105 @@ object Queries {
         SELECT COUNT(*) AS n_pairs, COUNT(DISTINCT id_a) AS n_left
         FROM p WHERE cos >= 0.9""")),
 
+    // SemDedup (cluster-then-pairwise semantic dedup): IVF-cell clustering
+    // confines the quadratic cosine scan to single cells; inside each cell
+    // any vector with a lower-id near-duplicate (cos >= 0.9) is dropped.
+    // Reports per-cell corpus and survivor counts.
+    Q("q_semdedup",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        graft.operators.Similarity.semDedup(emb, tau = 0.9)
+          .groupBy(col("cell"))
+          .agg(count(lit(1)).as("n_vectors"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      },
+      // Mirrors the IVF oracle's strided-centroid seeding + argmax-(cos,cid)
+      // assignment, then the in-cell lower-id near-dup rule.
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        ids AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rn,
+                       COUNT(*) OVER () AS n FROM v),
+        cents AS (
+          SELECT DISTINCT i.vec_id AS cid, cv.e AS ce, sqrt(list_dot_product(cv.e, cv.e)) AS cn
+          FROM (SELECT unnest(range(16)) AS k) k
+          JOIN ids i ON i.rn = LEAST(k.k * GREATEST(1, i.n // 16), i.n - 1)
+          JOIN v cv ON cv.vec_id = i.vec_id),
+        assign AS (
+          SELECT vec_id, cid AS cell FROM (
+            SELECT a.vec_id, c.cid,
+              ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                ORDER BY list_dot_product(a.e, c.ce) / (sqrt(list_dot_product(a.e, a.e)) * c.cn) DESC,
+                         c.cid DESC) AS r
+            FROM v a CROSS JOIN cents c) WHERE r = 1),
+        av AS (
+          SELECT a.vec_id, a.cell, v.e, sqrt(list_dot_product(v.e, v.e)) AS nn
+          FROM assign a JOIN v USING (vec_id)),
+        dropped AS (
+          SELECT DISTINCT b.vec_id
+          FROM av a JOIN av b ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE list_dot_product(a.e, b.e) / (a.nn * b.nn) >= 0.9)
+        SELECT av.cell, COUNT(*) AS n_vectors,
+          CAST(SUM(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM av LEFT JOIN dropped d ON av.vec_id = d.vec_id
+        GROUP BY av.cell""")),
+
+    // PII scan + redaction audit: per source, regex hit counts for emails /
+    // IPv4s / phones and the chars a redaction pass would remove. Pure
+    // codegen'd regexp over the scan — the compliance sweep every corpus
+    // release runs. (Synthetic corpus carries no PII: the zeros ARE the
+    // expected audit result, and the spec proves the patterns on real
+    // fixtures.)
+    Q("q_pii_scan",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        d.select(col("source"), TextOps.piiCounts(col("text")).as("c"),
+            (length(col("text")) - length(TextOps.piiRedact(col("text"))))
+              .cast("long").as("delta"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("c.emails").cast("long")).as("emails"),
+            sum(col("c.ipv4s").cast("long")).as("ipv4s"),
+            sum(col("c.phones").cast("long")).as("phones"),
+            sum(col("delta")).as("chars_removed"))
+      },
+      Some(s"""SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(len(regexp_extract_all(text, '${TextOps.EmailPattern}'))) AS BIGINT) AS emails,
+          CAST(SUM(len(regexp_extract_all(text, '${TextOps.Ipv4Pattern}'))) AS BIGINT) AS ipv4s,
+          CAST(SUM(len(regexp_extract_all(text, '${TextOps.PhonePattern}'))) AS BIGINT) AS phones,
+          CAST(SUM(len(text) - len(
+            regexp_replace(regexp_replace(regexp_replace(text,
+              '${TextOps.EmailPattern}', '<EMAIL>', 'g'),
+              '${TextOps.Ipv4Pattern}', '<IP>', 'g'),
+              '${TextOps.PhonePattern}', '<PHONE>', 'g'))) AS BIGINT) AS chars_removed
+        FROM documents GROUP BY source""")),
+
+    // Sequence packing (concat-then-chunk): per source stream, docs ordered
+    // by id form one token stream cut into 256-token training sequences;
+    // a doc belongs to the pack its first token lands in. One window over
+    // one shuffle on source; packs then aggregate per (source, pack).
+    Q("q_pack_sequences",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(col("source"), col("doc_id"), TextOps.tokenCount(col("text")).as("toks"))
+        graft.operators.Sampling.packSequences(d, col("source"), col("doc_id"),
+            col("toks"), budget = 256)
+          .groupBy(col("source"), col("pack"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("toks").cast("long")).as("pack_tokens"),
+            min(col("token_offset")).as("first_offset"))
+      },
+      Some("""WITH t AS (
+          SELECT source, doc_id,
+            len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS toks
+          FROM documents),
+        o AS (
+          SELECT source, doc_id, toks,
+            CAST(COALESCE(SUM(toks) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+          FROM t)
+        SELECT source, off // 256 AS pack, COUNT(*) AS n_docs,
+          CAST(SUM(toks) AS BIGINT) AS pack_tokens, MIN(off) AS first_offset
+        FROM o GROUP BY source, off // 256""")),
+
     // Canonical text normalization (NFC + lower + control-strip + whitespace
     // collapse): the cleaning step ahead of exact/near dedup. Counts how
     // many raw docs collapse to each normalized form.

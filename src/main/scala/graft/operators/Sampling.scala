@@ -57,4 +57,26 @@ object Sampling {
     df.withColumn("__rk", row_number().over(w)).where(col("__rk") <= k)
       .drop("__rk")
   }
+
+  /** Sequence packing for training batches: per stream (e.g. source), docs
+    * are laid out in `order` as one concatenated token stream and cut into
+    * `budget`-token training sequences; each doc's `pack` is the sequence
+    * its FIRST token lands in (`token_offset div budget` — the concat-then-
+    * chunk pipeline every LLM pretraining mix runs). Adds `token_offset` and
+    * `pack`.
+    *
+    * One window (exclusive running sum) over a single shuffle on the stream
+    * key — packing is embarrassingly parallel across streams, and within a
+    * stream the running sum is the standard rank plan. No state, no driver
+    * loop, deterministic on any cluster size. */
+  def packSequences(df: DataFrame, stream: Column, order: Column,
+                    tokenCount: Column, budget: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stream).orderBy(order.asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("token_offset",
+        coalesce(sum(tokenCount.cast("long")).over(w), lit(0L)))
+      .withColumn("pack", (col("token_offset") / budget).cast("long"))
+  }
 }

@@ -298,6 +298,34 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** SemDedup (semantic dedup over embeddings, Abbas et al. 2023 shape):
+    * cluster the corpus coarsely, then inside each cluster drop every vector
+    * that has a LOWER-id near-duplicate (cosine ≥ `tau`) — the deterministic
+    * "keep the first representative" policy. Returns one verdict row per
+    * vector: `(vec_id, cell, kept)`.
+    *
+    * Scale shape: clustering is [[ivfAssign]] (broadcast centroids, one scan);
+    * the quadratic pair scan is confined to single cells — with nlist sized
+    * ~sqrt(n/target_cell) each cell's self-join is bounded, and cells run in
+    * parallel (shuffle key = cell). Nothing quadratic ever crosses cells, so
+    * the 100 TB cost is sum(cell²) not corpus². */
+  def semDedup(corpus: DataFrame, tau: Double, nlist: Int = 16): DataFrame = {
+    val (assigned0, _) = ivfAssign(corpus, nlist)
+    val assigned = assigned0.withColumn("n", norm(col("e")))
+    val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
+      col("e").as("ea"), col("n").as("na"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
+      col("e").as("eb"), col("n").as("nb"))
+    val dropped = a.join(b, Seq("cell"))
+      .where(col("id_a") < col("id_b") &&
+        dot(col("ea"), col("eb")) / (col("na") * col("nb")) >= tau)
+      .select(col("id_b").as("vec_id")).distinct()
+    assigned.select(col("vec_id"), col("cell"))
+      .join(dropped.withColumn("__drop", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(!col("__drop"), lit(true)).as("kept"))
+  }
+
   /** Per-label centroids, componentwise: `(label, pos, centroid, n)` — the
     * class-prototype / IVF-training aggregation. Component sums run in
     * exact decimal space (per-element cast to DECIMAL(18,6)) making the

@@ -99,11 +99,17 @@ object TextOps {
     * speed. */
   def shingles(text: Column, w: Int = 3): Column = {
     val toks = tokens(text)
-    val starts = sequence(lit(0), size(toks) - w) // empty when size < w
-    when(size(toks) >= w,
-      transform(starts, i =>
-        concat_ws(" ", (0 until w).map(k => element_at(toks, i + k + 1)): _*)))
-      .otherwise(array().cast("array<string>"))
+    // zip_with over w shifted slices, NOT transform+element_at: an
+    // element_at(toks, i) inside a lambda re-inlines the whole
+    // filter(split(text)) tree per ELEMENT (O(w·K²) interpreted work per
+    // doc — measured 400 s single-core at sf0.1 for bigrams); slices
+    // evaluate the token array O(w) times per ROW and the per-element
+    // lambda is a 2-string concat.
+    val cnt = size(toks) - (w - 1)
+    val sh = (2 to w).foldLeft(slice(toks, lit(1), cnt)) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k), cnt), (a, b) => concat(a, lit(" "), b))
+    }
+    when(size(toks) >= w, sh).otherwise(array().cast("array<string>"))
   }
 
   /** Chunk documents into token windows of `size` with `overlap` tokens of
@@ -293,4 +299,29 @@ object TextOps {
   /** Pure-Column fingerprint (parity reference for [[fingerprint]]). */
   def fingerprintExpr(text: Column, k: Int = 4): Column =
     concat_ws("|", slice(array_sort(transform(shingles(text), s => md5(s))), 1, k))
+
+  // -------------------------------------------------------------------- PII
+  // Detection/redaction patterns kept to the regex subset where Java regex
+  // (Spark codegen) and RE2 (DuckDB oracle) agree exactly: no backrefs, no
+  // lookaround, ASCII word boundaries over ASCII text.
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePattern = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** Per-doc PII hit counts as a struct `{emails, ipv4s, phones}` — pure
+    * codegen'd regexp_count, no UDF, runs at scan speed. */
+  def piiCounts(text: Column): Column = struct(
+    regexp_count(text, lit(EmailPattern)).as("emails"),
+    regexp_count(text, lit(Ipv4Pattern)).as("ipv4s"),
+    regexp_count(text, lit(PhonePattern)).as("phones"))
+
+  /** Redacted text: emails → `<EMAIL>`, then IPv4 → `<IP>`, then phones →
+    * `<PHONE>`. Email first so `user@10.0.0.1`-style hosts redact as one
+    * email, not an email stub plus an IP. Pure Column chain (codegen). */
+  def piiRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, lit(EmailPattern), lit("<EMAIL>")),
+        lit(Ipv4Pattern), lit("<IP>")),
+      lit(PhonePattern), lit("<PHONE>"))
 }

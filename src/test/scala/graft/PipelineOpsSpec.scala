@@ -196,6 +196,56 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.subsetOf(Set(1L, 2L, 3L))) // only cluster-X neighbors
   }
 
+  test("semDedup drops lower-id near-duplicates within a cell only") {
+    // n=6, nlist=2 -> strided centroids at vec_ids 0 and 3.
+    // 1 duplicates 0; 2 is nearly parallel to 0; 4 duplicates 3;
+    // 5 is diagonal (cos 0.707 to both centroids, tie -> larger cid cell).
+    val v = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(1f, 0f)), (2L, Array(0.99f, 0.14f)),
+      (3L, Array(0f, 1f)), (4L, Array(0f, 0.9f)), (5L, Array(0.7f, 0.7f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(v, tau = 0.95, nlist = 2)
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (id, cell, kept) => id -> ((cell, kept)) }.toMap
+    assert(out(0L)._2 && out(3L)._2 && out(5L)._2) // representatives kept
+    assert(!out(1L)._2 && !out(2L)._2 && !out(4L)._2) // near-dups dropped
+    assert(out(0L)._1 == out(1L)._1 && out(1L)._1 == out(2L)._1)
+    assert(out(5L)._1 == out(3L)._1) // tie goes to the larger centroid id
+  }
+
+  test("PII counts and redaction") {
+    val d = Seq(
+      (0L, "contact bob.smith+x@example.co.uk or 10.0.0.1 now"),
+      (1L, "call 555-123-4567 twice 555.987.6543"),
+      (2L, "clean text with no identifiers at all")
+    ).toDF("doc_id", "text")
+    val got = d.select(col("doc_id"), TextOps.piiCounts(col("text")).as("c"),
+        TextOps.piiRedact(col("text")).as("r"))
+      .select(col("doc_id"), col("c.emails"), col("c.ipv4s"), col("c.phones"), col("r"))
+      .as[(Long, Int, Int, Int, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    assert(got(0L) == ((1, 1, 0, "contact <EMAIL> or <IP> now")))
+    assert(got(1L) == ((0, 0, 2, "call <PHONE> twice <PHONE>")))
+    assert(got(2L) == ((0, 0, 0, "clean text with no identifiers at all")))
+  }
+
+  test("packSequences: exclusive offsets, pack = first-token chunk") {
+    val d = Seq(
+      ("a", 0L, 100), ("a", 1L, 100), ("a", 2L, 80), ("a", 3L, 10),
+      ("b", 0L, 300)
+    ).toDF("source", "doc_id", "toks")
+    val out = Sampling.packSequences(d, col("source"), col("doc_id"),
+        col("toks"), budget = 256)
+      .select("source", "doc_id", "token_offset", "pack")
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
+    assert(out(("a", 0L)) == ((0L, 0L)))
+    assert(out(("a", 1L)) == ((100L, 0L)))
+    assert(out(("a", 2L)) == ((200L, 0L)))  // starts in pack 0, straddles
+    assert(out(("a", 3L)) == ((280L, 1L)))  // first token past the boundary
+    assert(out(("b", 0L)) == ((0L, 0L)))    // streams pack independently
+  }
+
   test("LSH signature buckets identical vectors together") {
     val v = Seq(
       (0L, Array.fill(8)(1f)), (1L, Array.fill(8)(1f)),
