@@ -10,6 +10,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Tables.hotCache = true // warm-engine mode (see Tables.hotCache)
 
     // Force FULL materialization: count() lets Catalyst prune computed
     // columns (a projection-heavy query would measure as a metadata count);

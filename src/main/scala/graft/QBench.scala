@@ -12,6 +12,7 @@ object QBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Tables.hotCache = true // mirror Bench's warm-engine mode
     for (name <- names) {
       // codegen/JIT warmup at the smallest SF, as in Bench
       Queries.queries(name)(spark, "/root/testdata/sf0.001")

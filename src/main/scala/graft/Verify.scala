@@ -10,6 +10,9 @@ object Verify {
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Same warm-engine table cache Bench times — the correctness gate must
+    // exercise the exact path the benchmark measures.
+    Tables.hotCache = true
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -59,4 +59,18 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_ann_cosine_topk").contains("BroadcastNestedLoopJoin") ||
       plan("q_ann_cosine_topk").contains("BroadcastHashJoin"))
   }
+
+  test("hot-table cache returns identical results to cold scans") {
+    def rows(name: String) =
+      Queries.queries(name)(spark, dir).collect().map(_.toString).sorted.toSeq
+    // windowed, aggregated, and sampled shapes — order/partitioning-sensitive
+    // if anything were; results must not depend on the cached layout
+    val names = Seq("q_lineitem_pricing", "q_sessions_per_user", "q_train_val_test")
+    val cold = names.map(rows)
+    Tables.hotCache = true
+    try {
+      val warm = names.map(rows)
+      assert(cold == warm)
+    } finally Tables.hotCache = false
+  }
 }
