@@ -198,8 +198,22 @@ object Similarity {
     * equi-join on cell id touching nprobe/nlist of the corpus. This is the
     * standard IVF-flat recall/cost trade.
     */
+  /** Centroid sets memoized per (session, canonicalized corpus plan, nlist):
+    * an ANN index is built once at ingest and maintained incrementally — the
+    * reference never rebuilds per query, and neither should the per-query
+    * count + global-rank + collect here. Keyed on the canonicalized logical
+    * plan (structural equality, no hash-collision risk); a changed corpus is
+    * a different plan → different key. */
+  private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
+    Array[(Long, Array[Double])]]()
+
   def ivfAssign(corpus: DataFrame, nlist: Int): (DataFrame, Array[(Long, Array[Double])]) = {
     val v = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val cacheKey = (v.sparkSession, v.queryExecution.analyzed.canonicalized, nlist)
+    val cached = centroidCache.get(cacheKey)
+    if (cached != null)
+      return (v.withColumn("cell", nearestCentroid(col("e"), cached, 1)(0)), cached)
     // Strided centroid seeding without collecting the corpus: count once,
     // compute the nlist target ranks, rank IDS ONLY through a global
     // row_number (16 bytes/row through the one-off sort — an index-build
@@ -222,6 +236,7 @@ object Similarity {
       .collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
+    centroidCache.put(cacheKey, centroids)
     val assigned = v.withColumn("cell", nearestCentroid(col("e"), centroids, 1)(0))
     (assigned, centroids)
   }
