@@ -79,6 +79,10 @@ object Queries {
       FROM s a JOIN s b ON a.doc_id < b.doc_id
       WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.02"""
 
+  /** Pinned `now` for OSL scripts (determinism across engines/runs —
+    * SURVEY §7.4). 2024-07-01T00:00:00Z. */
+  val OslNow: Long = 1719792000000L
+
   val registry: Seq[Q] = Seq(
 
     // ---------------------------------------------------------------- relational
@@ -676,6 +680,26 @@ object Queries {
         SELECT cohort_ms, CAST((week_ms - cohort_ms) / 604800000.0 AS BIGINT) AS week_no,
           COUNT(DISTINCT id) AS customers
         FROM f GROUP BY 1, 2""")),
+
+    // RFM segmentation (recency/frequency/monetary classes by fixed
+    // thresholds): per purchaser stats in one groupBy(id), then one tiny
+    // class aggregation — no windows, no global quantile sort.
+    Q("q_rfm_segments",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        EventOps.rfm(e, "purchase", nowMs = OslNow)
+      },
+      Some(s"""$E, per AS (
+          SELECT id, ($OslNow - MAX(stamp)) // 86400000 AS recency_days,
+            COUNT(*) AS freq, ${dsumSql("value")} AS money
+          FROM e WHERE event = 'purchase' GROUP BY id)
+        SELECT
+          CASE WHEN recency_days <= 7 THEN 'recent'
+               WHEN recency_days <= 30 THEN 'warm' ELSE 'lapsed' END AS r,
+          CASE WHEN freq >= 10 THEN 'high' WHEN freq >= 3 THEN 'mid' ELSE 'low' END AS f,
+          CASE WHEN money >= 500.0 THEN 'high' WHEN money >= 100.0 THEN 'mid' ELSE 'low' END AS m,
+          COUNT(*) AS customers, ${dsumSql("money")} AS total_value
+        FROM per GROUP BY 1, 2, 3""")),
 
     // Session durations: sessionize -> per-session span -> bucketed counts.
     Q("q_session_durations",
@@ -1437,10 +1461,6 @@ object Queries {
         SELECT FLOOR(total / 100) * 100 AS bucket, COUNT(*) AS customers
         FROM p GROUP BY 1"""))
   )
-
-  /** Pinned `now` for OSL scripts (determinism across engines/runs —
-    * SURVEY §7.4). 2024-07-01T00:00:00Z. */
-  val OslNow: Long = 1719792000000L
 
   /** Property-endpoint value filter modes (rx / sub / comparisons —
     * src/oloop_property.cpp:139-218) and customer-prop enrichment

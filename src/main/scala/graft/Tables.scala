@@ -35,14 +35,15 @@ object Tables {
     * caching the corpus is impossible and the scan IS the fast path. */
   @volatile var hotCache: Boolean = false
 
-  /** Only tables whose queries are scan/compute-bound cache: wide decimal
-    * rows (lineitem), text blobs (documents), float vectors (embeddings) —
-    * there the single-core decode gates the whole pipeline. The narrow
-    * `events` table stays on parquet: its queries are shuffle-bound, column
-    * pruning leaves a 2-3-column dictionary decode that beats cached-batch
-    * decompression (measured 0.4 s vs 0.6 s for groupBy(id), and the gap
-    * compounds over union-of-aggregates shapes). */
-  private val hotTables = Set("lineitem", "documents", "embeddings")
+  /** Only tables whose single-core decode gates whole pipelines cache;
+    * measured per-query (interleaved min-of-3, hot vs cold at sf0.1) that
+    * leaves exactly `lineitem` — 600 k wide decimal rows, 0.93 s -> 0.41 s.
+    * The small documents/embeddings tables LOSE 0.2-0.3 s per query under
+    * the cache (32-partition task overhead + batch decompression beats
+    * their sub-100 ms pruned decode), and the narrow events table's queries
+    * are shuffle-bound. Compute-heavy doc kernels get their parallelism
+    * from [[spread]] instead, which costs nothing when idle. */
+  private val hotTables = Set("lineitem")
   private val hot =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 

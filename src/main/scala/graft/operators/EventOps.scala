@@ -178,6 +178,37 @@ object EventOps {
         graft.functions.AggFns.dsum(col("value")).as("attributed_value"))
   }
 
+  /** RFM segmentation: per converting person, recency (whole days since
+    * their last `conversionEvent` at `nowMs`), frequency (conversion count)
+    * and monetary (exact-decimal value sum) — classed by fixed business
+    * thresholds and counted per (r, f, m) cell. The classic behavioral
+    * segmentation the reference expresses as three segment scripts; here
+    * one groupBy(id) + one tiny class aggregation, both map-side partial —
+    * no windows, no per-metric global sort (quantile-based RFM would need
+    * one; fixed thresholds are the shape that scales). */
+  def rfm(events: DataFrame, conversionEvent: String, nowMs: Long,
+          recencyDayCuts: (Int, Int) = (7, 30),
+          freqCuts: (Long, Long) = (3L, 10L),
+          moneyCuts: (Double, Double) = (100.0, 500.0)): DataFrame = {
+    val conv = events.where(col("event") === conversionEvent)
+    val per = conv.groupBy(col("id")).agg(
+        max(col("stamp")).as("last_ms"),
+        count(lit(1)).as("freq"),
+        graft.functions.AggFns.dsum(col("value")).as("money"))
+      // integer day floor — a double-division route can round up at the
+      // precision edge and disagree with the SQL oracle's floor
+      .withColumn("recency_days", expr(s"($nowMs - last_ms) div 86400000"))
+    val r = when(col("recency_days") <= recencyDayCuts._1, "recent")
+      .when(col("recency_days") <= recencyDayCuts._2, "warm").otherwise("lapsed")
+    val f = when(col("freq") >= freqCuts._2, "high")
+      .when(col("freq") >= freqCuts._1, "mid").otherwise("low")
+    val m = when(col("money") >= moneyCuts._2, "high")
+      .when(col("money") >= moneyCuts._1, "mid").otherwise("low")
+    per.groupBy(r.as("r"), f.as("f"), m.as("m"))
+      .agg(count(lit(1)).as("customers"),
+        graft.functions.AggFns.dsum(col("money")).as("total_value"))
+  }
+
   /** Hierarchical tally (`<<` operator, `src/queryinterpreter.cpp:167-334`):
     * every prefix of the group path aggregates, with distinct-per-person
     * counting at each node. Spark-native: `rollup` over the path columns +

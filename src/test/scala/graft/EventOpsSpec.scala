@@ -149,6 +149,25 @@ class EventOpsSpec extends SparkSpec {
     assert(a("direct") == ((1L, 1L, 7.0)))
   }
 
+  test("RFM classes by fixed thresholds") {
+    val day = 86400000L
+    val now = 100L * day
+    val e = Seq(
+      // person 1: 12 purchases, last 2 days ago, 60 value -> recent/high/low
+      (1 to 12).map(i => (1L, now - 2 * day - i, "purchase", 5.0)),
+      // person 2: 1 purchase 40 days ago, 600 value -> lapsed/low/high
+      Seq((2L, now - 40 * day, "purchase", 600.0)),
+      // person 3: non-purchaser, excluded
+      Seq((3L, now - day, "view", 1.0))
+    ).flatten.toDF("id", "stamp", "event", "value")
+    val out = EventOps.rfm(e, "purchase", nowMs = now)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(("recent", "high", "low")) == ((1L, 60.0)))
+    assert(out(("lapsed", "low", "high")) == ((1L, 600.0)))
+    assert(out.size == 2)
+  }
+
   test("ever/never person-level existence") {
     val e = Seq((1L, 1L, "err"), (1L, 2L, "ok"), (2L, 1L, "ok"))
       .toDF("id", "stamp", "event")
