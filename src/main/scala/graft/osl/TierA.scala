@@ -162,9 +162,14 @@ object TierA {
     val levelPreds = levels.map(l => compileExpr(l.where, now, real).get)
     var df = base.withColumn("__rn",
       row_number().over(person.orderBy(col("stamp"))))
-    val prevRows = person.orderBy(col("__rn"))
+    // Order the witness windows by `stamp` itself, not `__rn`: per-person
+    // stamps are unique by contract (TierB's stable sort and the interpreter
+    // break ties arbitrarily — see TierPropertySpec), so the orderings are
+    // identical, and sharing the row_number window's (id, stamp) sort lets
+    // every window in the chain ride ONE physical Sort instead of two.
+    val prevRows = person.orderBy(col("stamp"))
       .rowsBetween(W.unboundedPreceding, -1)
-    val curRows = person.orderBy(col("__rn"))
+    val curRows = person.orderBy(col("stamp"))
       .rowsBetween(W.unboundedPreceding, W.currentRow)
     var visited: Column = levelPreds.head // level 0 visits every match
     val eligible: Seq[Column] = lit(true) +: (1 until levels.length).map { k =>
