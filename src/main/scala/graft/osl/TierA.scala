@@ -307,7 +307,6 @@ object TierA {
   private def explodePlan(filtered: DataFrame, tallyGroups: Seq[Seq[Column]],
                           tallyPreds: Seq[Column], selects: Vector[SelectCol],
                           aggs: Seq[(String, Column)]): DataFrame = {
-    val withRow = filtered.withColumn("__rowid", monotonically_increasing_id())
     val entries: Seq[Column] = tallyGroups.zip(tallyPreds).flatMap { case (gs, p) =>
       val keys = gs.map(g => canonKey(filtered, g))
       (1 to gs.length).map { d =>
@@ -320,17 +319,21 @@ object TierA {
     val nodeCols = col("__n.depth").as("depth") +:
       (1 to OslEngine.MaxDepth).map(i => col(s"__n.g$i").as(s"g$i"))
     val pathCols = Seq("depth") ++ (1 to OslEngine.MaxDepth).map(i => s"g$i")
-    // only the aggregate inputs survive the explode: the dedup shuffle
-    // carries (node, rowid, id, select props) — not the whole event row
-    val needed = ("__rowid" +: "id" +:
+    // only the aggregate inputs survive the explode; the node aggregation
+    // carries (node, id, select props) — not the whole event row
+    val needed = ("id" +:
       (selects.flatMap(s => s.prop +: s.withKey.toSeq) ++
-        withRow.columns.filter(_.startsWith("__vq_")))).distinct
-      .filter(withRow.columns.contains)
-    val exploded = withRow
-      .withColumn("__n", explode(filter(array(entries: _*), x => x.isNotNull)))
+        filtered.columns.filter(_.startsWith("__vq_")))).distinct
+      .filter(filtered.columns.contains)
+    // "a row reaching the same node via several tallies counts once"
+    // (src/queryinterpreter.cpp:242-255): duplicate (node, row) pairs can
+    // only arise WITHIN one row's entry array — identical structs — so an
+    // in-row array_distinct replaces a whole-frame dropDuplicates, whose
+    // first()-over-strings buffer forced a SortAggregate + an extra shuffle
+    val exploded = filtered
+      .withColumn("__n",
+        explode(array_distinct(filter(array(entries: _*), x => x.isNotNull))))
       .select(nodeCols ++ needed.map(col): _*)
-      // a row reaching the same node via several tallies counts once
-      .dropDuplicates("__rowid" +: pathCols)
     exploded.groupBy(pathCols.map(col): _*)
       .agg(aggs.head._2.as(aggs.head._1),
         aggs.tail.map { case (n, c) => c.as(n) }: _*)
