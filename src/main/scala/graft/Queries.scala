@@ -1508,6 +1508,29 @@ object Queries {
         SELECT COUNT(*) AS n_pairs, COUNT(DISTINCT id_a) AS n_left
         FROM p WHERE cos >= 0.9""")),
 
+    // Cross-source exact dedup: within each content-hash group keep the
+    // copy from the most-preferred source (curated dump beats crawl), then
+    // lowest id. One min_by hash aggregation — no window, no join.
+    Q("q_dedup_priority",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        graft.operators.Dedup.exactDedupPrioritized(d, col("doc_id"),
+            col("text"), col("source"), Seq("src3", "src1", "src0"))
+          .groupBy(col("kept_source"))
+          .agg(count(lit(1)).as("n_groups"), sum(col("n_copies")).as("n_docs"))
+      },
+      Some("""WITH g AS (
+          SELECT md5(text) AS content_hash,
+            arg_min(source, printf('%02d|%012d',
+              CASE WHEN source = 'src3' THEN 0
+                   WHEN source = 'src1' THEN 1
+                   WHEN source = 'src0' THEN 2 ELSE 3 END, doc_id)) AS kept_source,
+            COUNT(*) AS n_copies
+          FROM documents GROUP BY md5(text))
+        SELECT kept_source, COUNT(*) AS n_groups,
+          CAST(SUM(n_copies) AS BIGINT) AS n_docs
+        FROM g GROUP BY kept_source""")),
+
     // SemDedup (cluster-then-pairwise semantic dedup): IVF-cell clustering
     // confines the quadratic cosine scan to single cells; inside each cell
     // any vector with a lower-id near-duplicate (cos >= 0.9) is dropped.

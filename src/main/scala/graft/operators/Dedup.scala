@@ -21,6 +21,28 @@ object Dedup {
     docs.groupBy(md5(text).as("content_hash"))
       .agg(min(id).as("representative"), count(lit(1)).as("n_copies"))
 
+  /** Exact dedup with source priority: within each content-hash group keep
+    * the copy from the most-preferred source (then lowest id) — the
+    * cross-source dedup policy of multi-crawl corpora, where e.g. a curated
+    * dump beats a web crawl of the same page. Sources absent from
+    * `priority` rank last. One hash aggregation: min_by over a zero-padded
+    * `rank|id` string key (engine-portable total order — DuckDB's arg_min
+    * can't compare structs; the id makes the key unique per row) — no
+    * window, no join. */
+  def exactDedupPrioritized(docs: DataFrame, id: Column, text: Column,
+                            source: Column,
+                            priority: Seq[String]): DataFrame = {
+    val rank = priority.zipWithIndex.foldLeft(lit(priority.length): Column) {
+      case (acc, (s, i)) => when(source === s, lit(i)).otherwise(acc)
+    }
+    val key = format_string("%02d|%012d", rank, id)
+    docs.groupBy(md5(text).as("content_hash"))
+      .agg(
+        min_by(id, key).as("representative"),
+        min_by(source, key).as("kept_source"),
+        count(lit(1)).as("n_copies"))
+  }
+
   /** Connected components over candidate-pair edges by iterative min-label
     * propagation: every vertex adopts the smallest label among itself and
     * its neighbors until fixpoint. Labels converge to the component's

@@ -35,6 +35,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kept == Set(0L, 3L))
   }
 
+  test("prioritized exact dedup keeps the preferred source's copy") {
+    val d = Seq(
+      (10L, "same text here", "crawl"),
+      (11L, "same text here", "curated"),   // preferred -> representative
+      (12L, "same text here", "crawl"),
+      (13L, "unique text", "crawl"),
+      (14L, "other dup", "wiki"), (15L, "other dup", "wiki") // unlisted src, min id
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.exactDedupPrioritized(d, col("doc_id"), col("text"),
+        col("source"), Seq("curated", "crawl"))
+      .select("representative", "kept_source", "n_copies")
+      .as[(Long, String, Long)].collect().toSet
+    assert(out == Set((11L, "curated", 3L), (13L, "crawl", 1L), (14L, "wiki", 2L)))
+  }
+
   test("contamination counts distinct benchmark n-gram overlaps") {
     val corpus = Seq(
       (10L, "one two three four five six seven eight nine ten"),
