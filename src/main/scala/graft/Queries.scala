@@ -605,6 +605,31 @@ object Queries {
       Some(s"""$E SELECT epoch_ms(date_trunc('day', make_timestamp(stamp * 1000))) AS day_ms,
         COUNT(DISTINCT id) AS customers FROM e GROUP BY 1""")),
 
+    // Sketch tier for the 100 TB path: HyperLogLog distinct counts and
+    // t-digest percentiles trade exactness for one-pass mergeable state —
+    // at corpus scale an exact distinct over high-cardinality keys shuffles
+    // every key, a sketch shuffles kilobytes. No SQL oracle (sketches are
+    // engine-specific): the driver records a rows-only check, and the spec
+    // pins relative error against the exact tier.
+    Q("q_daily_active_approx",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        e.groupBy(TimeFns.startOfDay(col("stamp")).as("day_ms"))
+          .agg(approx_count_distinct(col("id"), rsd = 0.02).as("customers_approx"))
+      },
+      None),
+    Q("q_value_percentiles_approx",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        e.groupBy(col("event"))
+          .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.9), lit(0.99)),
+            lit(10000)).as("pcts"),
+            count(lit(1)).as("n_rows"))
+          .select(col("event"), col("pcts")(0).as("p50"), col("pcts")(1).as("p90"),
+            col("pcts")(2).as("p99"), col("n_rows"))
+      },
+      None),
+
     // Sequence correlation: the event immediately after each signup
     // (each_row.continue().next() 1-level => lead(), SURVEY §2.3).
     Q("q_next_event_after_signup",

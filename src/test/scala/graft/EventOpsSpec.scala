@@ -149,6 +149,29 @@ class EventOpsSpec extends SparkSpec {
     assert(a("direct") == ((1L, 1L, 7.0)))
   }
 
+  test("sketch tier tracks the exact tier within declared error") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = Queries.queries("q_daily_active")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approx = Queries.queries("q_daily_active_approx")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (day, a) =>
+      assert(math.abs(a - exact(day)).toDouble / exact(day) < 0.1,
+        s"day $day: approx $a vs exact ${exact(day)}")
+    }
+    val exactP = Queries.queries("q_value_percentiles")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap // p50
+    val approxP = Queries.queries("q_value_percentiles_approx")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(approxP.keySet == exactP.keySet)
+    approxP.foreach { case (ev, a) =>
+      val e = exactP(ev)
+      assert(math.abs(a - e) / math.max(math.abs(e), 1e-9) < 0.05,
+        s"event $ev: approx p50 $a vs exact $e")
+    }
+  }
+
   test("RFM classes by fixed thresholds") {
     val day = 86400000L
     val now = 100L * day
