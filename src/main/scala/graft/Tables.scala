@@ -35,28 +35,37 @@ object Tables {
     * caching the corpus is impossible and the scan IS the fast path. */
   @volatile var hotCache: Boolean = false
 
-  /** Only tables whose single-core decode gates whole pipelines cache;
-    * measured per-query (interleaved min-of-3, hot vs cold at sf0.1) that
-    * leaves exactly `lineitem` — 600 k wide decimal rows, 0.93 s -> 0.41 s.
-    * The small documents/embeddings tables LOSE 0.2-0.3 s per query under
-    * the cache (32-partition task overhead + batch decompression beats
-    * their sub-100 ms pruned decode), and the narrow events table's queries
-    * are shuffle-bound. Compute-heavy doc kernels get their parallelism
-    * from [[spread]] instead, which costs nothing when idle. */
-  private val hotTables = Set("lineitem")
+  /** Per-table cache policy (value = repartition to cluster width before
+    * persisting), measured per-query (interleaved min-of-3, hot vs cold at
+    * sf0.1): `lineitem`'s wide decimal decode gates its whole pipeline and
+    * wants parallel cached batches (0.93 s -> 0.41 s); every other hot
+    * table persists AS READ — decode once, keep one partition, and let the
+    * first shuffle provide the parallelism (a forced repartition LOST
+    * 0.2-0.3 s per query on the small tables; the no-repartition cache
+    * wins 0.05-0.18 s per query across the board with no losers). Tiny
+    * dimension tables aren't worth cache bookkeeping. */
+  private val hotTables = Map(
+    "lineitem" -> true, "events" -> false, "documents" -> false,
+    "embeddings" -> false, "orders" -> false, "customer" -> false,
+    "part" -> false, "supplier" -> false)
   private val hot =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
   def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     GraftSession.tune(spark)
-    if (!hotCache || !hotTables.contains(name)) spark.read.parquet(path(dir, name))
-    else hot.computeIfAbsent((spark, dir, name), _ => {
-      val raw = spark.read.parquet(path(dir, name))
-      val p = spark.sparkContext.defaultParallelism
-      val df = if (raw.rdd.getNumPartitions * 2 < p) raw.repartition(p) else raw
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df
-    })
+    def raw() = spark.read.parquet(path(dir, name))
+    if (!hotCache) raw()
+    else hotTables.get(name) match {
+      case None => raw()
+      case Some(spreadIt) => hot.computeIfAbsent((spark, dir, name), _ => {
+        val df0 = raw()
+        val p = spark.sparkContext.defaultParallelism
+        val df = if (spreadIt && df0.rdd.getNumPartitions * 2 < p)
+          df0.repartition(p) else df0
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df
+      })
+    }
   }
 
   /** Spread an under-parallel scan across the cluster before a
