@@ -77,6 +77,8 @@ object Sampling {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     df.withColumn("token_offset",
         coalesce(sum(tokenCount.cast("long")).over(w), lit(0L)))
-      .withColumn("pack", (col("token_offset") / budget).cast("long"))
+      // integer floor-div: the double-division route is only exact for
+      // power-of-two budgets (…9999 doubles truncate one pack too low)
+      .withColumn("pack", expr(s"token_offset div $budget"))
   }
 }

@@ -259,6 +259,14 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(("a", 2L)) == ((200L, 0L)))  // starts in pack 0, straddles
     assert(out(("a", 3L)) == ((280L, 1L)))  // first token past the boundary
     assert(out(("b", 0L)) == ((0L, 0L)))    // streams pack independently
+    // non-power-of-two budget: pack must be exact integer floor division
+    val odd = Sampling.packSequences(d, col("source"), col("doc_id"),
+        col("toks"), budget = 90)
+      .select("source", "doc_id", "pack").as[(String, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(odd(("a", 1L)) == 1L)  // offset 100 -> pack 1
+    assert(odd(("a", 2L)) == 2L)  // offset 200 -> pack 2
+    assert(odd(("a", 3L)) == 3L)  // offset 280 -> pack 3
   }
 
   test("LSH signature buckets identical vectors together") {
