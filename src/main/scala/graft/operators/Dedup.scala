@@ -309,8 +309,16 @@ object Dedup {
   def minhashJaccardEstimate(docs: DataFrame, id: Column, text: Column,
                              bands: Int = 4, rows: Int = 4): DataFrame = {
     val k = bands * rows
-    val pairs = minhashCandidates(docs, id, text, bands, rows)
-    val sigs = minhashSignatures(docs, id, text, k)
+    // Cache the signature table (it IS the minhash index: one md5-per-
+    // shingle kernel scan); candidates AND both join sides read it. Lazy
+    // persist, not an eager checkpoint: the first consumer materializes it
+    // in-flow (no blocking job), the others hit the in-memory batches.
+    // Un-cached, the kernel would re-run for every consumer (3×).
+    val sigs = graft.Tables.spread(minhashSignatures(docs, id, text, k))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandUdf = udf(bandSigFromMins(bands, rows))
+    val pairs = pairsFromBandRows(
+      sigs.select(col("doc_id"), explode(bandUdf(col("mins"))).as("b")))
     pairs
       .join(sigs.select(col("doc_id").as("__ida"), col("mins").as("__ma")),
         col("id_a") === col("__ida"))
@@ -334,8 +342,13 @@ object Dedup {
     val sigUdf = udf(bandSigKernel(bands, rows))
     // md5-per-shingle kernel ≫ shuffle cost per row → spread qualifies
     val base = graft.Tables.spread(docs.select(id.as("doc_id"), text.as("__text")))
-    base
-      .select(col("doc_id"), explode(sigUdf(col("__text"))).as("b"))
+    pairsFromBandRows(
+      base.select(col("doc_id"), explode(sigUdf(col("__text"))).as("b")))
+  }
+
+  /** Bucket-local pair generation over `(doc_id, b: (band, sig))` rows. */
+  private def pairsFromBandRows(bandRows: DataFrame): DataFrame =
+    bandRows
       .groupBy(col("b._1").as("band"), col("b._2").as("sig"))
       .agg(collect_list(col("doc_id")).as("ids"))
       .where(size(col("ids")) > 1)
@@ -345,7 +358,22 @@ object Dedup {
           |    struct(least(x, y) AS id_a, greatest(x, y) AS id_b))))""".stripMargin)).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
-  }
+
+  /** Band signatures derived from an already-computed mins array —
+    * byte-identical to [[bandSigKernel]]'s construction. */
+  private def bandSigFromMins(bands: Int, rows: Int): Seq[Long] => Seq[(Int, String)] =
+    (mins: Seq[Long]) => {
+      if (mins == null) Nil
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        (0 until bands).map { b =>
+          val sigIn = (0 until rows).map(r => mins(b * rows + r).toString).mkString("|")
+          val sigDig = md.digest(sigIn.getBytes("UTF-8"))
+          md.reset()
+          (b, sigDig.map(x => f"$x%02x").mkString)
+        }
+      }
+    }
 
   /** Exact n-gram Jaccard pairs via an inverted shingle index — the scale
     * path that replaces [[ngramJaccardPairs]]'s O(n²) cross-join: explode
