@@ -326,7 +326,11 @@ object Similarity {
     * the 100 TB cost is sum(cell²) not corpus². */
   def semDedup(corpus: DataFrame, tau: Double, nlist: Int = 16): DataFrame = {
     val (assigned0, _) = ivfAssign(corpus, nlist)
+    // lazily cache the assignment (vec_id, e, cell, norm): the pair join's
+    // two sides and the final verdict select all read it — uncached, the
+    // centroid-argmax kernel would re-run per consumer
     val assigned = assigned0.withColumn("n", norm(col("e")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
       col("e").as("ea"), col("n").as("na"))
     val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
