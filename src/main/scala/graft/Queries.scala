@@ -488,11 +488,17 @@ object Queries {
     Q("q_segment_algebra",
       (s, dir) => {
         val e = Tables.events(s, dir)
+        // materialized customer sets: the reference CACHES segment bitmaps
+        // and runs algebra on them (src/tablepartitioned.h) — persist the
+        // tiny membership frames so the six set operations below don't
+        // re-aggregate the event table per branch
         val high = Segments.fromAggPredicate(
           e, Seq(dsum(when(col("event") === "purchase", col("value"))).as("pv")),
           col("pv") > 600.0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val active = Segments.fromAggPredicate(
           e, Seq(count(lit(1)).as("c")), col("c") >= 70L)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val universe = e.select("id").distinct()
         val rows = Seq(
           ("high_value", high), ("active", active),
