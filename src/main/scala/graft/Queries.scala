@@ -1230,6 +1230,43 @@ object Queries {
           COUNT(DISTINCT id), COUNT(*), ${dsumSql("value")}
         FROM lv3 GROUP BY b""")),
 
+    // Reverse (backward-scan) funnel: for each purchase, the views that
+    // PRECEDE it within 16h — the last-touch shape expressed in OSL. A
+    // `.reverse()` chain step compiles to a nearest-FOLLOWING-spawn witness
+    // window (min-struct over following rows), sharing the same single
+    // (id, stamp) sort as forward chains.
+    Q("q_osl_reverse_funnel",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |each_row where event.is(== 'purchase')
+            |  << 'purchase'
+            |  each_row.continue().next().reverse().look_back(16_hours) where event.is(== 'view')
+            |    << 'prior_view'
+            |  end
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("customers"), col("n_rows"))
+      },
+      Some(s"""$E, r AS (
+          SELECT id, event, stamp,
+                 ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS rn
+          FROM e),
+        lv1 AS (SELECT id FROM r WHERE event = 'purchase'),
+        lv2 AS (SELECT a.id FROM r a WHERE a.event = 'view' AND EXISTS (
+                  SELECT 1 FROM r p WHERE p.id = a.id AND p.event = 'purchase'
+                    AND p.rn > a.rn AND p.stamp - a.stamp <= 57600000))
+        SELECT CAST(1 AS INTEGER) AS depth, 'purchase' AS g1,
+          COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows
+        FROM lv1 HAVING COUNT(*) > 0
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), 'prior_view', COUNT(DISTINCT id), COUNT(*)
+        FROM lv2 HAVING COUNT(*) > 0""")),
+
     // Time-framed funnel through the event-query route: purchases within
     // 24h AFTER a signup (cursor-anchored look_ahead step). Tier A compiles
     // this to latest-witness windows; the oracle uses the same

@@ -83,7 +83,7 @@ object TierA {
           }.toMap
 
           if (levels.size == 1) {
-            val ChainLevel(where, lvlTallies, _, _, _) = levels.head
+            val ChainLevel(where, lvlTallies, _, _, _, _) = levels.head
             val predF = compileExpr(where, now, real).get
             val tallyPredsF = lvlTallies.map(_._1.map(p => compileExpr(p, now, real).get)
               .getOrElse(lit(true)))
@@ -171,15 +171,27 @@ object TierA {
       .rowsBetween(W.unboundedPreceding, -1)
     val curRows = person.orderBy(col("stamp"))
       .rowsBetween(W.unboundedPreceding, W.currentRow)
+    // mirrored frames for `.reverse()` levels: the loop walks BACKWARD from
+    // the spawn, so the witness is the NEAREST FOLLOWING spawn (min rn > r)
+    // and the match counter accumulates from the right. The nearest spawn
+    // is the best witness by the same argument as the forward case: stamps
+    // are sorted, frames are stamp-intervals containing the spawn→row
+    // stretch, and the nearest spawn's loop has made the fewest matches.
+    val nextRows = person.orderBy(col("stamp"))
+      .rowsBetween(1, W.unboundedFollowing)
+    val curRowsR = person.orderBy(col("stamp"))
+      .rowsBetween(W.currentRow, W.unboundedFollowing)
     var visited: Column = levelPreds.head // level 0 visits every match
     val eligible: Seq[Column] = lit(true) +: (1 until levels.length).map { k =>
+      val rev = levels(k).reverse
       // `.limit(n)`: the interpreter tallies a row only while its inner
       // loop has made < n matches — i.e. the row's rank among where-matches
-      // strictly after the witness is <= n. Carried as a cumulative match
-      // count: the witness remembers its own count, the row compares.
+      // strictly after (reverse: before) the witness is <= n. Carried as a
+      // cumulative match count: the witness remembers its own count, the
+      // row compares; the subtraction cancels direction.
       levels(k).limitN.foreach { _ =>
         df = df.withColumn(s"__mc$k",
-          count(when(levelPreds(k), 1)).over(curRows))
+          count(when(levelPreds(k), 1)).over(if (rev) curRowsR else curRows))
       }
       // an `if`-wrapped nested loop spawns only from parent rows satisfying
       // the guard — AND it into the witness condition
@@ -189,11 +201,14 @@ object TierA {
       val wFields = Seq(col("__rn").as("rn"), col("stamp").as("st")) ++
         levels(k).limitN.map(_ => col(s"__mc$k").as("mc"))
       df = df.withColumn(s"__pv$k",
-        max(when(spawn, struct(wFields: _*))).over(prevRows))
+        if (rev) min(when(spawn, struct(wFields: _*))).over(nextRows)
+        else max(when(spawn, struct(wFields: _*))).over(prevRows))
       val witness = col(s"__pv$k")
       var elig = witness.isNotNull
       levels(k).spanMs.foreach { span =>
-        elig = elig && (col("stamp") - witness.getField("st") <= span)
+        elig = elig &&
+          (if (rev) witness.getField("st") - col("stamp") <= span
+           else col("stamp") - witness.getField("st") <= span)
       }
       levels(k).limitN.foreach { n =>
         elig = elig && (col(s"__mc$k") - witness.getField("mc") <= n)
@@ -213,7 +228,8 @@ object TierA {
                               tallies: Seq[(Option[Expr], Seq[Expr])],
                               limitN: Option[Long],
                               spanMs: Option[Long],
-                              guard: Option[Expr])
+                              guard: Option[Expr],
+                              reverse: Boolean = false)
 
   /** Decompose a default-mods `each_row` into a chain of levels: each level
     * may end in exactly one nested `each_row.continue().next()` (no
@@ -224,26 +240,29 @@ object TierA {
     * Tier B. */
   private def extractLevels(top: EachRow, limitN: Option[Long] = None,
                             spanMs: Option[Long] = None,
-                            guard: Option[Expr] = None)
+                            guard: Option[Expr] = None,
+                            reverse: Boolean = false)
       : Option[Seq[ChainLevel]] =
     flattenBody(top.body, None).flatMap { case (tallies, nested) =>
       nested match {
-        case None => Some(Vector(ChainLevel(top.where, tallies, limitN, spanMs, guard)))
+        case None =>
+          Some(Vector(ChainLevel(top.where, tallies, limitN, spanMs, guard, reverse)))
         case Some((n, g)) =>
           for {
-            span <- chainSpan(n.mods.frame)
+            span <- chainSpan(n.mods.frame, n.mods.reverse)
             lim <- limitOf(n.mods)
-            rest <- extractLevels(n, lim, span, g)
-          } yield ChainLevel(top.where, tallies, limitN, spanMs, guard) +: rest
+            rest <- extractLevels(n, lim, span, g, n.mods.reverse)
+          } yield ChainLevel(top.where, tallies, limitN, spanMs, guard, reverse) +: rest
       }
     }
 
   /** A chain level's frame, when the compiler covers it: cursor-anchored
-    * `.look_ahead(span)` / `.within(span, stamp)` — for a forward scan over
-    * stamp-sorted rows both reduce to `stamp <= anchor + span`. Literal
-    * spans only; 'forever' (MaxValue) = unframed. Some(None) = no frame;
-    * None = unsupported shape. */
-  private def chainSpan(frame: Option[Frame]): Option[Option[Long]] = {
+    * `.look_ahead(span)` / `.within(span, stamp)` on a forward step (both
+    * reduce to `stamp <= anchor + span` over stamp-sorted rows), and the
+    * mirrored `.look_back(span)` / `.within(span, stamp)` on a `.reverse()`
+    * step (`stamp >= anchor - span`). Literal spans only; 'forever'
+    * (MaxValue) = unframed. Some(None) = no frame; None = unsupported. */
+  private def chainSpan(frame: Option[Frame], reverse: Boolean): Option[Option[Long]] = {
     def span(e: Expr): Option[Long] = e match {
       case Lit(VInt(i)) => Some(i)
       case Lit(VDbl(d)) => Some(d.toLong)
@@ -251,7 +270,9 @@ object TierA {
     }
     frame match {
       case None => Some(None)
-      case Some(LookAhead(s, None)) =>
+      case Some(LookAhead(s, None)) if !reverse =>
+        span(s).map(v => if (v == Long.MaxValue) None else Some(v))
+      case Some(LookBack(s, None)) if reverse =>
         span(s).map(v => if (v == Long.MaxValue) None else Some(v))
       case Some(Within(s, anchor))
           if anchor == PropRef("stamp") || anchor == VarRef("stamp") =>
@@ -270,8 +291,7 @@ object TierA {
   }
 
   private def isChainStep(m: EachRowMods): Boolean =
-    m.continueFrom && m.next && !m.reverse && m.from.isEmpty &&
-      limitOf(m).isDefined
+    m.continueFrom && m.next && m.from.isEmpty && limitOf(m).isDefined
 
   /** Single-tally fast path: Spark `rollup` generates every prefix node in
     * one pass with partial aggregation. */
@@ -636,7 +656,8 @@ object TierA {
     * `return(false)` fall-through at top level). */
   private def extractSegChain(code: Seq[Stmt]): Option[(Seq[ChainLevel], Expr)] = {
     def levelsOf(er: EachRow, limitN: Option[Long], spanMs: Option[Long],
-                 guard: Option[Expr]): Option[(Seq[ChainLevel], Expr)] = {
+                 guard: Option[Expr],
+                 reverse: Boolean): Option[(Seq[ChainLevel], Expr)] = {
       def inner(body: Seq[Stmt], pred: Option[Expr])
           : Option[Either[(EachRow, Option[Expr]), Expr]] = body match {
         case Seq(n: EachRow) if isChainStep(n.mods) => Some(Left((n, pred)))
@@ -649,21 +670,21 @@ object TierA {
       }
       inner(er.body, None).flatMap {
         case Right(ret) =>
-          Some((Seq(ChainLevel(er.where, Nil, limitN, spanMs, guard)), ret))
+          Some((Seq(ChainLevel(er.where, Nil, limitN, spanMs, guard, reverse)), ret))
         case Left((n, g)) =>
           for {
-            span <- chainSpan(n.mods.frame)
+            span <- chainSpan(n.mods.frame, n.mods.reverse)
             lim <- limitOf(n.mods)
-            (rest, ret) <- levelsOf(n, lim, span, g)
-          } yield (ChainLevel(er.where, Nil, limitN, spanMs, guard) +: rest, ret)
+            (rest, ret) <- levelsOf(n, lim, span, g, n.mods.reverse)
+          } yield (ChainLevel(er.where, Nil, limitN, spanMs, guard, reverse) +: rest, ret)
       }
     }
     code match {
       case Seq(er: EachRow) if isDefault(er.mods) =>
-        levelsOf(er, None, None, None)
+        levelsOf(er, None, None, None, reverse = false)
       case Seq(er: EachRow, Return(Some(Lit(VBool(false)))))
           if isDefault(er.mods) =>
-        levelsOf(er, None, None, None)
+        levelsOf(er, None, None, None, reverse = false)
       case _ => None
     }
   }

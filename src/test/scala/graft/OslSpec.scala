@@ -315,6 +315,61 @@ class OslSpec extends SparkSpec {
         |""".stripMargin, data)
   }
 
+  test("Tier A ≡ Tier B: .reverse() chain steps (backward funnels)") {
+    val data = Seq(
+      // u1: view then purchase -> purchase has a PRECEDING view
+      ("u1", Mon + 1 * H, "view", "a", 1.0, Seq[String]()),
+      ("u1", Mon + 2 * H, "purchase", "b", 30.0, Seq[String]()),
+      // u2: purchase with no preceding view (view comes after)
+      ("u2", Mon + 1 * H, "purchase", "c", 5.0, Seq[String]()),
+      ("u2", Mon + 2 * H, "view", "d", 1.0, Seq[String]()),
+      // u3: view 20h before purchase — outside a 16h look_back
+      ("u3", Mon + 1 * H, "view", "e", 1.0, Seq[String]()),
+      ("u3", Mon + 21 * H, "purchase", "f", 9.0, Seq[String]())
+    ).toDF("id", "stamp", "event", "product_name", "product_price", "product_group")
+    // last-touch shape: each purchase, scan BACKWARD for a view
+    tierDiff(
+      """select
+        |  count id as customers
+        |  count product_name as n_rows
+        |end
+        |each_row where event.is(== 'purchase')
+        |  << 'purchase'
+        |  each_row.continue().next().reverse() where event.is(== 'view')
+        |    << 'had_prior_view', product_name
+        |  end
+        |end
+        |""".stripMargin, data)
+    // framed: the preceding view must fall within 16h of the purchase
+    tierDiff(
+      """select
+        |  count id as customers
+        |end
+        |each_row where event.is(== 'purchase')
+        |  each_row.continue().next().reverse().look_back(16_hours) where event.is(== 'view')
+        |    << 'recent_prior_view'
+        |  end
+        |end
+        |""".stripMargin, data)
+    // limit(1): only the nearest preceding view is visited
+    tierDiff(
+      """select
+        |  count id as customers
+        |  count product_name as n_rows
+        |end
+        |each_row where event.is(== 'purchase')
+        |  each_row.continue().next().reverse().limit(1) where event.is(== 'view')
+        |    << 'nearest_view', product_name
+        |  end
+        |end
+        |""".stripMargin,
+      Seq(
+        ("u1", Mon + 1 * H, "view", "v1", 1.0, Seq[String]()),
+        ("u1", Mon + 2 * H, "view", "v2", 1.0, Seq[String]()),
+        ("u1", Mon + 3 * H, "purchase", "p", 30.0, Seq[String]())
+      ).toDF("id", "stamp", "event", "product_name", "product_price", "product_group"))
+  }
+
   test("Tier A ≡ Tier B: nested continue().next() funnel chains") {
     val data = Seq(
       // u1: full signup -> view -> purchase chain

@@ -35,8 +35,8 @@ class PlanSpec extends SparkSpec {
 
   test("Tier-A-able OSL scripts never interpret (no MapGroups in plan)") {
     for (q <- Seq("q_osl_event_tally", "q_osl_ever_multitally", "q_osl_chain_funnel",
-        "q_osl_framed_funnel", "q_osl_guarded_funnel", "q_osl_funnel_segment",
-        "q_osl_segments", "q_osl_histogram"))
+        "q_osl_framed_funnel", "q_osl_guarded_funnel", "q_osl_reverse_funnel",
+        "q_osl_funnel_segment", "q_osl_segments", "q_osl_histogram"))
       assert(!plan(q).contains("MapGroups"), s"$q fell back to Tier B")
     // and the interpreter-only shapes do (sanity that the probe works)
     assert(plan("q_osl_var_tally").contains("MapGroups"))

@@ -156,12 +156,17 @@ class TierPropertySpec extends SparkSpec {
       "event.ever(== 'signup')")))
     frames <- Gen.listOfN(depth,
       Gen.oneOf("", "", ".look_ahead(10_hours)", ".within(16_hours, stamp)"))
+    revs <- Gen.listOfN(depth, Gen.oneOf(false, false, true))
   } yield {
     // innermost-out: each level may sit under an `if` guard in its parent
     var block: Seq[String] = Seq(s"<< 'L${depth - 1}', ${gs(depth - 1)}")
     for (k <- depth - 1 to 1 by -1) {
       val lim = if (k == limitLevel) limitN.map(n => s".limit($n)").getOrElse("") else ""
-      val head = s"each_row.continue().next()${frames(k)}$lim where ${wheres(k)}"
+      // a .reverse() step walks backward: mirror the forward-only frame
+      val frame = if (revs(k) && frames(k) == ".look_ahead(10_hours)")
+        ".look_back(10_hours)" else frames(k)
+      val rev = if (revs(k)) ".reverse()" else ""
+      val head = s"each_row.continue().next()$rev$frame$lim where ${wheres(k)}"
       var inner = Seq(head) ++ block.map("  " + _) ++ Seq("end")
       guards(k).foreach { g =>
         inner = Seq(s"if $g") ++ inner.map("  " + _) ++ Seq("end")
