@@ -31,7 +31,9 @@ object TierA {
        else Seq(SelectCol("count", "id", "id", None, all = false))).toVector
 
     program.code match {
-      case Seq(er @ EachRow(mods, _, _)) if isDefault(mods) =>
+      case Seq(er @ EachRow(mods, _, _))
+          if isTopShape(mods) &&
+            (!mods.reverse || selects.forall(_.agg != "value")) =>
         for {
           levels <- extractLevels(er)
           tallies = levels.flatMap(_.tallies)
@@ -680,10 +682,10 @@ object TierA {
       }
     }
     code match {
-      case Seq(er: EachRow) if isDefault(er.mods) =>
+      case Seq(er: EachRow) if isTopShape(er.mods) =>
         levelsOf(er, None, None, None, reverse = false)
       case Seq(er: EachRow, Return(Some(Lit(VBool(false)))))
-          if isDefault(er.mods) =>
+          if isTopShape(er.mods) =>
         levelsOf(er, None, None, None, reverse = false)
       case _ => None
     }
@@ -907,7 +909,15 @@ object TierA {
   }
 
   private def isDefault(m: EachRowMods): Boolean =
-    !m.reverse && !m.continueFrom && !m.next &&
+    !m.reverse && isTopShape(m)
+
+  /** Top-level loop shape Tier A covers: `.reverse()` is allowed — a
+    * backward TOP-LEVEL scan visits the same row SET (tally dedup is per
+    * (row, node), nested witnesses depend only on the visited set), so
+    * everything except order-sensitive `value` selects compiles; the
+    * caller guards that case. */
+  private def isTopShape(m: EachRowMods): Boolean =
+    !m.continueFrom && !m.next &&
       m.from.isEmpty && m.limit.isEmpty && m.frame.isEmpty
 
   private def traverse[T](xs: Seq[Option[T]]): Option[Seq[T]] =

@@ -351,6 +351,27 @@ class OslSpec extends SparkSpec {
         |  end
         |end
         |""".stripMargin, data)
+    // top-level reverse: same visited SET (order-only change) -> compiles
+    tierDiff(
+      """select
+        |  count id as customers
+        |  sum product_price as spent
+        |end
+        |each_row.reverse() where event.is(== 'purchase')
+        |  << 'purchase', product_name
+        |end
+        |""".stripMargin, data)
+    // reverse top + forward chain: spawn set is order-independent
+    tierDiff(
+      """select
+        |  count id as customers
+        |end
+        |each_row.reverse() where event.is(== 'view')
+        |  each_row.continue().next() where event.is(== 'purchase')
+        |    << 'view_then_purchase'
+        |  end
+        |end
+        |""".stripMargin, data)
     // limit(1): only the nearest preceding view is visited
     tierDiff(
       """select

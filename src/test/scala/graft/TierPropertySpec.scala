@@ -174,7 +174,9 @@ class TierPropertySpec extends SparkSpec {
       val tallyHere = if (tallyOuter) Seq(s"<< 'L${k - 1}', ${gs(k - 1)}") else Nil
       block = tallyHere ++ inner
     }
-    s"select\n  $sel\nend\neach_row where ${wheres(0)}\n" +
+    // `value` selects are order-sensitive; reverse-top only without them
+    val topRev = if (revs(0) && !sel.contains("value ")) ".reverse()" else ""
+    s"select\n  $sel\nend\neach_row$topRev where ${wheres(0)}\n" +
       block.map("  " + _).mkString("\n") + "\nend\n"
   }
 
