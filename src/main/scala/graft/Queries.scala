@@ -1698,6 +1698,22 @@ object Queries {
           CAST(SUM(toks) AS BIGINT) AS pack_tokens, MIN(off) AS first_offset
         FROM o GROUP BY source, off // 256""")),
 
+    // BPE merge training: the tokenizer-vocabulary induction step. Corpus
+    // touched once (distinct-word frequency table); each merge iteration
+    // aggregates pair counts over that table only. Iterative driver loop ->
+    // not SQL-expressible, rows-only check; the spec pins hand-computed
+    // merges. Excluded from the bench sweep (12 iterations = 12 jobs).
+    Q("q_bpe_merges",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val merges = TextOps.trainBpeMerges(d, col("text"), nMerges = 12)
+        import s.implicits._
+        merges.zipWithIndex
+          .map { case ((a, b), i) => (i + 1L, a, b) }
+          .toDF("rank", "left", "right")
+      },
+      None, bench = false),
+
     // Canonical text normalization (NFC + lower + control-strip + whitespace
     // collapse): the cleaning step ahead of exact/near dedup. Counts how
     // many raw docs collapse to each normalized form.

@@ -300,6 +300,62 @@ object TextOps {
   def fingerprintExpr(text: Column, k: Int = 4): Column =
     concat_ws("|", slice(array_sort(transform(shingles(text), s => md5(s))), 1, k))
 
+  /** BPE merge training (Sennrich et al. 2016): iteratively merge the most
+    * frequent adjacent symbol pair. Returns the merge table
+    * `(rank, left, right)` — the artifact a tokenizer ships.
+    *
+    * Scale shape: the corpus is touched ONCE (token explode → distinct-word
+    * frequency table); every merge iteration then runs on the distinct-word
+    * table only — one pair-count aggregation (map-side partial) + one
+    * in-row merge map, with `localCheckpoint` every few rounds to keep the
+    * plan O(1). This is the standard distributed formulation: corpus size
+    * drops out after the first pass, iterations cost O(|vocab|).
+    * Ties break deterministically (count desc, then pair lexicographic). */
+  def trainBpeMerges(docs: DataFrame, text: Column, nMerges: Int): Seq[(String, String)] = {
+    require(nMerges >= 1, s"nMerges must be positive, got $nMerges")
+    val mergeUdf = udf { (syms: Seq[String], a: String, b: String) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toSeq
+    }
+    var words = docs.select(explode(tokens(text)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(split(col("w"), "").as("syms"), col("freq"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    var round = 0
+    while (!done && merges.length < nMerges) {
+      val pairs = words
+        .select(explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (x, y) => struct(x.as("l"), y.as("r")))).as("p"), col("freq"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (pairs.isEmpty) done = true
+      else {
+        val (a, b) = (pairs(0).getString(0), pairs(0).getString(1))
+        merges += ((a, b))
+        words = words.select(
+          mergeUdf(col("syms"), lit(a), lit(b)).as("syms"), col("freq"))
+        round += 1
+        if (round % 8 == 0) {
+          val cp = words.localCheckpoint(true)
+          words = cp
+        }
+      }
+    }
+    merges.toSeq
+  }
+
   // -------------------------------------------------------------------- PII
   // Detection/redaction patterns kept to the regex subset where Java regex
   // (Spark codegen) and RE2 (DuckDB oracle) agree exactly: no backrefs, no

@@ -228,6 +228,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(5L)._1 == out(3L)._1) // tie goes to the larger centroid id
   }
 
+  test("BPE merge training follows pair frequency with deterministic ties") {
+    // words: "aa" x2, "ab" x1  ->  pairs (a,a):2, (a,b):1
+    val d = Seq((0L, "aa aa ab")).toDF("doc_id", "text")
+    val m = TextOps.trainBpeMerges(d, col("text"), nMerges = 5)
+    // merge1 collapses "aa"; "ab" still holds the (a,b) pair -> merge2
+    assert(m == Seq(("a", "a"), ("a", "b")))  // then no pairs remain
+
+    // classic shape: "low" x3 "lowest" x1 -> (l,o) 4, (o,w) 4 ... tie
+    // breaks lexicographically: (l,o) first, then (lo,w)
+    val d2 = Seq((0L, "low low low lowest")).toDF("doc_id", "text")
+    val m2 = TextOps.trainBpeMerges(d2, col("text"), nMerges = 2)
+    assert(m2 == Seq(("l", "o"), ("lo", "w")))
+  }
+
   test("PII counts and redaction") {
     val d = Seq(
       (0L, "contact bob.smith+x@example.co.uk or 10.0.0.1 now"),
