@@ -1698,6 +1698,43 @@ object Queries {
           CAST(SUM(toks) AS BIGINT) AS pack_tokens, MIN(off) AS first_offset
         FROM o GROUP BY source, off // 256""")),
 
+    // Composite quality filter (C4/Gopher-style rule cascade): every doc
+    // gets a verdict — first failing rule or 'kept' — and per-(source,
+    // verdict) counts audit the cut. Pure scan-speed Column expressions.
+    Q("q_quality_filter",
+      (s, dir) => {
+        val d = TextOps.withQualitySignals(Tables.documents(s, dir))
+        val verdict = when(col("n_tokens") < 30, "too_short")
+          .when(col("stopword_ratio") < 0.02, "low_stopword")
+          .when(col("mean_token_len") > 5.0, "long_tokens")
+          .otherwise("kept")
+        d.groupBy(col("source"), verdict.as("verdict"))
+          .agg(count(lit(1)).as("n_docs"),
+            dsum(col("n_tokens").cast("double")).as("tokens"))
+      },
+      Some(s"""WITH t AS (
+          SELECT source, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+          FROM documents),
+        q AS (
+          SELECT source, len(toks) AS n_tokens,
+            CASE WHEN len(toks) > 0
+                 THEN CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','in','to','is'], x))) AS DOUBLE) / len(toks)
+                 ELSE 0.0 END AS stopword_ratio,
+            CASE WHEN len(toks) > 0
+                 THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
+                 ELSE 0.0 END AS mean_token_len
+          FROM t),
+        v AS (
+          SELECT source, n_tokens,
+            CASE WHEN n_tokens < 30 THEN 'too_short'
+                 WHEN stopword_ratio < 0.02 THEN 'low_stopword'
+                 WHEN mean_token_len > 5.0 THEN 'long_tokens'
+                 ELSE 'kept' END AS verdict
+          FROM q)
+        SELECT source, verdict, COUNT(*) AS n_docs,
+          ${dsumSql("n_tokens")} AS tokens
+        FROM v GROUP BY source, verdict""")),
+
     // BPE merge training: the tokenizer-vocabulary induction step. Corpus
     // touched once (distinct-word frequency table); each merge iteration
     // aggregates pair counts over that table only. Iterative driver loop ->
