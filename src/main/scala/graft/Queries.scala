@@ -1998,7 +1998,52 @@ object Queries {
         CAST(SUM(len(list_filter(string_split(text, ' '), x -> len(x) > 0))) AS BIGINT) AS ws_tokens,
         CAST(SUM(len(regexp_extract_all(text, '${TextOps.BpeishPattern}'))) AS BIGINT) AS bpe_tokens,
         COUNT(*) AS n_docs
-        FROM documents GROUP BY source"""))
+        FROM documents GROUP BY source""")),
+
+    // As-of join: each purchase picks up the latest at-or-before click of
+    // the same person (union + one sorted window pass — no range join).
+    // Oracle: DuckDB's native ASOF LEFT JOIN over the same pre-aggregated
+    // right side.
+    Q("q_asof_prior_click",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val purchases = e.where(col("event") === "purchase")
+          .select("id", "stamp", "event_id", "value")
+        val clicks = e.where(col("event") === "click")
+          .groupBy(col("id"), col("stamp").as("click_stamp"))
+          .agg(max(col("value")).as("click_value"))
+        EventOps.asofJoin(purchases, clicks, "id", "stamp", "click_stamp",
+          Seq("click_value"))
+      },
+      Some(s"""$E,
+        l AS (SELECT id, stamp, event_id, value FROM e WHERE event = 'purchase'),
+        r AS (SELECT id, stamp AS click_stamp, MAX(value) AS click_value
+              FROM e WHERE event = 'click' GROUP BY 1, 2)
+        SELECT l.id, l.stamp, l.event_id, l.value,
+          r.click_stamp AS asof_click_stamp, r.click_value AS asof_click_value
+        FROM l ASOF LEFT JOIN r ON l.id = r.id AND l.stamp >= r.click_stamp""")),
+
+    // CCNet-style line dedup (boilerplate removal): lines present in more
+    // than 390 distinct docs drop; docs reassemble in original order.
+    // The synthetic corpus has no newlines, so "lines" are the
+    // space-delimited tokens — same machinery, same oracle shape.
+    Q("q_line_dedup",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        TextOps.lineDedup(d, col("doc_id"), col("text"), " ", 390L)
+      },
+      Some("""WITH ls AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        lines AS (SELECT doc_id, unnest(l) AS line,
+                         unnest(generate_series(1, len(l))) AS pos FROM ls),
+        nz AS (SELECT * FROM lines WHERE len(line) > 0),
+        freq AS (SELECT line, COUNT(DISTINCT doc_id) AS df FROM nz GROUP BY 1),
+        kept AS (SELECT n.doc_id, n.pos, n.line
+                 FROM nz n JOIN freq f ON n.line = f.line WHERE f.df <= 390),
+        agg AS (SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS text_clean,
+                       COUNT(*) AS n_kept FROM kept GROUP BY 1)
+        SELECT d.doc_id, COALESCE(a.text_clean, '') AS text_clean,
+               COALESCE(a.n_kept, 0) AS n_kept
+        FROM documents d LEFT JOIN agg a USING (doc_id)"""))
   )
 
   def allRegistry: Seq[Q] = registry ++ extraRegistry

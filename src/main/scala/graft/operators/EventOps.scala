@@ -209,6 +209,55 @@ object EventOps {
         graft.functions.AggFns.dsum(col("money")).as("total_value"))
   }
 
+  /** As-of join: attach to each left row the payload of the latest right row
+    * of the same key with `rightTime <= leftTime` (backward inclusive) — the
+    * time-series correlation primitive (DuckDB ASOF JOIN / pandas
+    * merge_asof), the relational form of the reference's backward cursor
+    * scan (`.look_back`, `src/queryinterpreter.cpp:2460-2533`).
+    *
+    * Spark-first: a direct range join would plan as a broadcast-nested-loop
+    * or an exploding theta join. Instead tag and UNION both sides, sort once
+    * per key, and carry the right payload forward with
+    * `last(ignoreNulls)` over preceding rows — one shuffle + one sort on the
+    * key, linear in rows, AQE-skew-splittable at any scale.
+    *
+    * Right payload columns arrive as `prefix+name`; left rows with no prior
+    * right row keep nulls (left-join semantics). With `toleranceMs`, matches
+    * older than `leftTime - tolerance` are nulled. Make `(key, rightTime)`
+    * unique on the right (pre-aggregate) — ties are otherwise arbitrary,
+    * same as SQL ASOF. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTime: String, rightTime: String, payload: Seq[String],
+               prefix: String = "asof_",
+               toleranceMs: Option[Long] = None): DataFrame = {
+    val rPay = (rightTime +: payload).distinct
+    val lSide = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+    val lFull = rPay.foldLeft(lSide)((df, c) =>
+      df.withColumn(s"__r_$c", lit(null).cast(right.schema(c).dataType)))
+    val rSide = right.select(
+      Seq(col(key), col(rightTime).as("__t"), lit(0).as("__side")) ++
+        rPay.map(c => col(c).as(s"__r_$c")): _*)
+    // right rows carry nulls for every non-key left column
+    val rFull = left.columns.filterNot(_ == key).foldLeft(rSide)((df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+    val unioned = lFull.unionByName(rFull.select(lFull.columns.map(col): _*))
+    // side 0 (right) sorts before side 1 (left) at equal time -> inclusive >=
+    val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rPay.foldLeft(unioned)((df, c) =>
+      df.withColumn(s"$prefix$c", last(col(s"__r_$c"), ignoreNulls = true).over(w)))
+    val matched = carried.where(col("__side") === 1)
+    val tol = toleranceMs.map { t =>
+      col(s"$prefix$rightTime").isNotNull &&
+        col("__t") - col(s"$prefix$rightTime") <= t
+    }.getOrElse(lit(true))
+    val out = rPay.foldLeft(matched)((df, c) =>
+      df.withColumn(s"$prefix$c", when(tol, col(s"$prefix$c"))))
+    out.select(left.columns.map(col) ++ rPay.map(c => col(s"$prefix$c")): _*)
+  }
+
   /** Hierarchical tally (`<<` operator, `src/queryinterpreter.cpp:167-334`):
     * every prefix of the group path aggregates, with distinct-per-person
     * counting at each node. Spark-native: `rollup` over the path columns +

@@ -380,4 +380,39 @@ object TextOps {
         regexp_replace(text, lit(EmailPattern), lit("<EMAIL>")),
         lit(Ipv4Pattern), lit("<IP>")),
       lit(PhonePattern), lit("<PHONE>"))
+
+  /** CCNet-style line-level dedup / boilerplate removal: split each doc on
+    * `delim`, drop every line whose corpus-wide document frequency exceeds
+    * `maxDocFreq` (navbars, cookie banners, license footers), and reassemble
+    * the survivors in original order. Returns
+    * `(doc_id, text_clean, n_kept)` — one row per input doc, empty string
+    * when nothing survives.
+    *
+    * Scale shape: explode → two-phase hash agg on the line (distinct-doc
+    * count) → join back (AQE broadcasts when the distinct-line table is
+    * small) → one groupBy(doc) rebuild. No windows over the full corpus, no
+    * driver collection; the only wide exchanges key on line hash and doc id. */
+  def lineDedup(docs: DataFrame, idCol: Column, textCol: Column,
+                delim: String, maxDocFreq: Long): DataFrame = {
+    val lines = docs
+      .select(idCol.as("doc_id"),
+        posexplode(split(textCol, java.util.regex.Pattern.quote(delim)))
+          .as(Seq("__pos", "__line")))
+      .where(length(col("__line")) > 0)
+    val freq = lines.groupBy("__line")
+      .agg(countDistinct(col("doc_id")).as("__df"))
+    val kept = lines.join(freq.where(col("__df") <= maxDocFreq), "__line")
+    val rebuilt = kept.groupBy("doc_id").agg(
+      array_join(
+        transform(
+          array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          s => s.getField("__line")),
+        delim).as("text_clean"),
+      count(lit(1)).as("n_kept"))
+    docs.select(idCol.as("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
 }

@@ -206,4 +206,28 @@ class EventOpsSpec extends SparkSpec {
       .select("grp", "child").as[(String, String)].collect().toSet
     assert(out == Set(("x", "a"), ("x", "b"), ("y", "d")))
   }
+
+  test("asofJoin: latest at-or-before right row, left-join semantics") {
+    val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (1L, 5L, "p0"), (2L, 9L, "p3"))
+      .toDF("id", "stamp", "tag")
+    val right = Seq((1L, 10L, 1.0), (1L, 15L, 2.0), (2L, 50L, 9.0))
+      .toDF("id", "rstamp", "v")
+    val out = EventOps.asofJoin(left, right, "id", "stamp", "rstamp", Seq("v"))
+      .select("tag", "asof_rstamp", "asof_v")
+      .as[(String, Option[Long], Option[Double])].collect().toSet
+    assert(out == Set(
+      ("p0", None, None),                 // nothing at or before 5
+      ("p1", Some(10L), Some(1.0)),       // inclusive: rstamp == stamp matches
+      ("p2", Some(15L), Some(2.0)),       // latest of {10, 15}
+      ("p3", None, None)))                // right row is in the future
+  }
+
+  test("asofJoin tolerance nulls stale matches") {
+    val left = Seq((1L, 100L, "a"), (1L, 200L, "b")).toDF("id", "stamp", "tag")
+    val right = Seq((1L, 95L, 1.0)).toDF("id", "rstamp", "v")
+    val out = EventOps.asofJoin(left, right, "id", "stamp", "rstamp", Seq("v"),
+        toleranceMs = Some(10L))
+      .select("tag", "asof_v").as[(String, Option[Double])].collect().toMap
+    assert(out == Map("a" -> Some(1.0), "b" -> None)) // 200-95 > 10 -> stale
+  }
 }

@@ -344,4 +344,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kept == Set(("src0", 2L), ("src0", 4L), ("src0", 6L),
       ("src1", 1L), ("src1", 3L), ("src1", 5L)))
   }
+
+  test("lineDedup drops high-doc-frequency lines, keeps order, empties covered") {
+    val docs = Seq(
+      (1L, "boiler\nkeep one\nboiler2"),
+      (2L, "boiler\nunique line\nboiler2"),
+      (3L, "boiler\nboiler2"),
+      (4L, "boiler")
+    ).toDF("doc_id", "text")
+    // "boiler" df=4, "boiler2" df=3 -> dropped at maxDocFreq=2; rest kept
+    val out = TextOps.lineDedup(docs, col("doc_id"), col("text"), "\n", 2L)
+      .as[(Long, String, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out(1L) == (("keep one", 1L)))
+    assert(out(2L) == (("unique line", 1L)))
+    assert(out(3L) == (("", 0L)))
+    assert(out(4L) == (("", 0L)))
+    assert(out.size == 4)
+  }
 }
