@@ -32,10 +32,14 @@ object TierA {
 
     program.code match {
       case Seq(er @ EachRow(mods, _, _))
-          if isTopShape(mods) &&
+          if isTopLoop(mods) &&
             (!mods.reverse || selects.forall(_.agg != "value")) =>
         for {
-          levels <- extractLevels(er)
+          // top-level `.limit(n)` (literal, positive) compiles: the visited
+          // set is the first (reverse: last) n where-matching rows per
+          // person — a cumulative-match-count cap on the same person sort
+          topLimit <- limitOf(mods)
+          levels <- extractLevels(er, topLimit, None, None, mods.reverse)
           tallies = levels.flatMap(_.tallies)
           if tallies.nonEmpty &&
             tallies.forall { case (_, gs) => gs.nonEmpty && gs.size <= OslEngine.MaxDepth } &&
@@ -85,15 +89,27 @@ object TierA {
           }.toMap
 
           if (levels.size == 1) {
-            val ChainLevel(where, lvlTallies, _, _, _, _) = levels.head
+            val ChainLevel(where, lvlTallies, limitN, _, _, _) = levels.head
             val predF = compileExpr(where, now, real).get
             val tallyPredsF = lvlTallies.map(_._1.map(p => compileExpr(p, now, real).get)
               .getOrElse(lit(true)))
             val tallyGroupsF = lvlTallies.map(t => t._2.map(g => compileExpr(g, now, real).get))
-            val filtered0 = base.where(predF)
+            val W = org.apache.spark.sql.expressions.Window
+            val filtered0 = limitN match {
+              case None => base.where(predF)
+              case Some(n) =>
+                // `.limit(n)`: stop after n where-matches — keep rows whose
+                // match rank from the scan start (reverse: from the end) is
+                // within the cap; same (id, stamp) sort as every window here
+                val frame = W.partitionBy(col("id")).orderBy(col("stamp"))
+                val cum = count(when(predF, 1)).over(
+                  if (mods.reverse) frame.rowsBetween(W.currentRow, W.unboundedFollowing)
+                  else frame.rowsBetween(W.unboundedPreceding, W.currentRow))
+                base.withColumn("__mc0", cum)
+                  .where(predF && col("__mc0") <= n).drop("__mc0")
+            }
             // per-person write rank for `value` selects (merge key): counts
             // the WRITING rows — tally predicate satisfied, source non-null
-            val W = org.apache.spark.sql.expressions.Window
             val writePred = tallyPredsF.headOption.getOrElse(lit(true))
             val filtered = selects.zipWithIndex.foldLeft(filtered0) {
               case (df, (s, j)) if s.agg == "value" =>
@@ -183,8 +199,17 @@ object TierA {
       .rowsBetween(1, W.unboundedFollowing)
     val curRowsR = person.orderBy(col("stamp"))
       .rowsBetween(W.currentRow, W.unboundedFollowing)
-    var visited: Column = levelPreds.head // level 0 visits every match
-    val eligible: Seq[Column] = lit(true) +: (1 until levels.length).map { k =>
+    // level 0 visits every match, capped by a top-level `.limit(n)` (first
+    // — reverse: last — n where-matching rows per person)
+    val elig0: Column = levels.head.limitN match {
+      case None => lit(true)
+      case Some(n) =>
+        df = df.withColumn("__mc0", count(when(levelPreds.head, 1))
+          .over(if (levels.head.reverse) curRowsR else curRows))
+        col("__mc0") <= n
+    }
+    var visited: Column = levelPreds.head && elig0
+    val eligible: Seq[Column] = elig0 +: (1 until levels.length).map { k =>
       val rev = levels(k).reverse
       // `.limit(n)`: the interpreter tallies a row only while its inner
       // loop has made < n matches — i.e. the row's rank among where-matches
@@ -222,7 +247,7 @@ object TierA {
   }
 
   /** One chain level: its where, its tallies, its `.limit(n)` match cap
-    * (allowed on the innermost level only; None = unlimited), its
+    * (allowed on any level, including the top; None = unlimited), its
     * cursor-anchored forward frame span in ms (None = unframed), and the
     * `if` guard (evaluated at the PARENT row) under which the level's loop
     * was entered (None = unconditional). */
@@ -917,8 +942,12 @@ object TierA {
     * everything except order-sensitive `value` selects compiles; the
     * caller guards that case. */
   private def isTopShape(m: EachRowMods): Boolean =
-    !m.continueFrom && !m.next &&
-      m.from.isEmpty && m.limit.isEmpty && m.frame.isEmpty
+    isTopLoop(m) && m.limit.isEmpty
+
+  /** [[isTopShape]] relaxed to admit a `.limit` (validated separately by
+    * [[limitOf]] — literal positive caps compile, dynamic ones run Tier B). */
+  private def isTopLoop(m: EachRowMods): Boolean =
+    !m.continueFrom && !m.next && m.from.isEmpty && m.frame.isEmpty
 
   private def traverse[T](xs: Seq[Option[T]]): Option[Seq[T]] =
     if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None

@@ -218,9 +218,13 @@ class OslSpec extends SparkSpec {
   }
 
   test("Tier A declines non-declarative scripts (nesting, frames, limit)") {
+    // literal top-level limits compile (round 4); zero/dynamic ones decline
     val p1 = Parser.program(
-      "each_row.limit(1) where event.is(== 'x')\n  << event\nend\n")
+      "each_row.limit(0) where event.is(== 'x')\n  << event\nend\n")
     assert(TierA.compile(p1, highstreet, Tue, 1800000L).isEmpty)
+    val p1b = Parser.program(
+      "each_row.limit(1) where event.is(== 'x')\n  << event\nend\n")
+    assert(TierA.compile(p1b, highstreet, Tue, 1800000L).isDefined)
     // .next()-shifted ever depends on the cursor position -> Tier B;
     // unframed and framed (window-expressible) forms compile
     val p2 = Parser.program(
@@ -311,6 +315,42 @@ class OslSpec extends SparkSpec {
     tierDiff(
       """each_row where event.look_ahead(2_hours).never(== 'view')
         |  << event
+        |end
+        |""".stripMargin, data)
+  }
+
+  test("Tier A ≡ Tier B: top-level .limit(n), forward and reverse") {
+    val data = Seq(
+      ("u1", Mon + 1 * H, "purchase", "a", 10.0, Seq[String]()),
+      ("u1", Mon + 2 * H, "view",     "b",  1.0, Seq[String]()),
+      ("u1", Mon + 3 * H, "purchase", "c", 20.0, Seq[String]()),
+      ("u1", Mon + 4 * H, "purchase", "d", 40.0, Seq[String]()),
+      ("u2", Mon + 1 * H, "purchase", "e",  5.0, Seq[String]()),
+      ("u3", Mon + 1 * H, "view",     "f",  1.0, Seq[String]())
+    ).toDF("id", "stamp", "event", "product_name", "product_price", "product_group")
+    // first 2 purchases per person: u1 -> {a, c}, u2 -> {e}
+    tierDiff(
+      """select
+        |  count id as customers
+        |  sum product_price as spent
+        |end
+        |each_row.limit(2) where event.is(== 'purchase')
+        |  << product_name
+        |end
+        |""".stripMargin, data)
+    // last 2 purchases per person: u1 -> {c, d}, u2 -> {e}
+    tierDiff(
+      """each_row.reverse().limit(2) where event.is(== 'purchase')
+        |  << product_name
+        |end
+        |""".stripMargin, data)
+    // chain under a limited top: only the first purchase spawns the nested
+    // scan, so u1's view@2h is reachable but nothing after purchase@3h is
+    tierDiff(
+      """each_row.limit(1) where event.is(== 'purchase')
+        |  each_row.continue().next() where event.is(== 'view')
+        |    << product_name
+        |  end
         |end
         |""".stripMargin, data)
   }

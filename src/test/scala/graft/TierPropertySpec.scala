@@ -150,7 +150,7 @@ class TierPropertySpec extends SparkSpec {
     gs <- Gen.listOfN(depth, genGroup)
     tallyOuter <- Gen.oneOf(true, false)
     limitN <- Gen.option(Gen.choose(1L, 3L))
-    limitLevel <- Gen.choose(1, depth - 1) // any chain level may carry it
+    limitLevel <- Gen.choose(0, depth - 1) // any chain level may carry it, incl. top
     guards <- Gen.listOfN(depth, Gen.option(Gen.oneOf(
       "event.is(!= 'error')", "product_price.is(> 20)",
       "event.ever(== 'signup')")))
@@ -176,7 +176,8 @@ class TierPropertySpec extends SparkSpec {
     }
     // `value` selects are order-sensitive; reverse-top only without them
     val topRev = if (revs(0) && !sel.contains("value ")) ".reverse()" else ""
-    s"select\n  $sel\nend\neach_row$topRev where ${wheres(0)}\n" +
+    val topLim = if (limitLevel == 0) limitN.map(n => s".limit($n)").getOrElse("") else ""
+    s"select\n  $sel\nend\neach_row$topRev$topLim where ${wheres(0)}\n" +
       block.map("  " + _).mkString("\n") + "\nend\n"
   }
 
