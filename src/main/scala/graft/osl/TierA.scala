@@ -39,7 +39,12 @@ object TierA {
           // set is the first (reverse: last) n where-matching rows per
           // person — a cumulative-match-count cap on the same person sort
           topLimit <- limitOf(mods)
+          // top-level `.from(k)` (literal): iteration starts at 0-based row
+          // index k — single loops only (a chain's nested cursor semantics
+          // under a shifted start stay Tier B)
+          topFrom <- fromOf(mods)
           levels <- extractLevels(er, topLimit, None, None, mods.reverse)
+          if topFrom.isEmpty || levels.size == 1
           tallies = levels.flatMap(_.tallies)
           if tallies.nonEmpty &&
             tallies.forall { case (_, gs) => gs.nonEmpty && gs.size <= OslEngine.MaxDepth } &&
@@ -95,19 +100,39 @@ object TierA {
               .getOrElse(lit(true)))
             val tallyGroupsF = lvlTallies.map(t => t._2.map(g => compileExpr(g, now, real).get))
             val W = org.apache.spark.sql.expressions.Window
-            val filtered0 = limitN match {
-              case None => base.where(predF)
+            val frame = W.partitionBy(col("id")).orderBy(col("stamp"))
+            // `.from(k)`: only rows at 0-based person-row index >= k are
+            // scanned (reverse: the scan walks DOWN from index k)
+            val base1 = topFrom match {
+              case None => base
+              case Some(k) =>
+                val withRn = base.withColumn("__rn0", row_number().over(frame))
+                // reverse: the interpreter starts AT index k and walks down,
+                // visiting nothing when the person has <= k rows (no clamp)
+                if (mods.reverse)
+                  withRn.withColumn("__cnt0",
+                    count(lit(1)).over(W.partitionBy(col("id"))))
+                else withRn
+            }
+            val effPred = topFrom match {
+              case None => predF
+              case Some(k) =>
+                if (mods.reverse)
+                  predF && col("__rn0") <= k + 1 && col("__cnt0") > k
+                else predF && col("__rn0") >= k + 1
+            }
+            val filtered0 = (limitN match {
+              case None => base1.where(effPred)
               case Some(n) =>
                 // `.limit(n)`: stop after n where-matches — keep rows whose
                 // match rank from the scan start (reverse: from the end) is
                 // within the cap; same (id, stamp) sort as every window here
-                val frame = W.partitionBy(col("id")).orderBy(col("stamp"))
-                val cum = count(when(predF, 1)).over(
+                val cum = count(when(effPred, 1)).over(
                   if (mods.reverse) frame.rowsBetween(W.currentRow, W.unboundedFollowing)
                   else frame.rowsBetween(W.unboundedPreceding, W.currentRow))
-                base.withColumn("__mc0", cum)
-                  .where(predF && col("__mc0") <= n).drop("__mc0")
-            }
+                base1.withColumn("__mc0", cum)
+                  .where(effPred && col("__mc0") <= n).drop("__mc0")
+            }).drop("__rn0", "__cnt0")
             // per-person write rank for `value` selects (merge key): counts
             // the WRITING rows — tally predicate satisfied, source non-null
             val writePred = tallyPredsF.headOption.getOrElse(lit(true))
@@ -314,6 +339,14 @@ object TierA {
   private def limitOf(m: EachRowMods): Option[Option[Long]] = m.limit match {
     case None => Some(None)
     case Some(Lit(VInt(n))) if n >= 1 => Some(Some(n))
+    case _ => None
+  }
+
+  /** Literal non-negative `.from(k)` start offset: Some(None) = absent,
+    * None = dynamic/negative -> Tier B. */
+  private def fromOf(m: EachRowMods): Option[Option[Long]] = m.from match {
+    case None => Some(None)
+    case Some(Lit(VInt(n))) if n >= 0 => Some(Some(n))
     case _ => None
   }
 
@@ -942,12 +975,13 @@ object TierA {
     * everything except order-sensitive `value` selects compiles; the
     * caller guards that case. */
   private def isTopShape(m: EachRowMods): Boolean =
-    isTopLoop(m) && m.limit.isEmpty
+    isTopLoop(m) && m.limit.isEmpty && m.from.isEmpty
 
-  /** [[isTopShape]] relaxed to admit a `.limit` (validated separately by
-    * [[limitOf]] — literal positive caps compile, dynamic ones run Tier B). */
+  /** [[isTopShape]] relaxed to admit `.limit`/`.from` (validated separately
+    * by [[limitOf]]/[[fromOf]] — literal values compile, dynamic ones run
+    * Tier B; `.from` additionally requires a single-level loop). */
   private def isTopLoop(m: EachRowMods): Boolean =
-    !m.continueFrom && !m.next && m.from.isEmpty && m.frame.isEmpty
+    !m.continueFrom && !m.next && m.frame.isEmpty
 
   private def traverse[T](xs: Seq[Option[T]]): Option[Seq[T]] =
     if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None

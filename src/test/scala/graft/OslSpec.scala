@@ -353,6 +353,33 @@ class OslSpec extends SparkSpec {
         |  end
         |end
         |""".stripMargin, data)
+    // `.from(k)`: scan starts at 0-based row index k — u1 skips purchase@1h
+    tierDiff(
+      """each_row.from(1) where event.is(== 'purchase')
+        |  << product_name
+        |end
+        |""".stripMargin, data)
+    // from + limit compose: first match at-or-after index 1
+    tierDiff(
+      """each_row.from(1).limit(1) where event.is(== 'purchase')
+        |  << product_name
+        |end
+        |""".stripMargin, data)
+    // reverse from: walk DOWN from index 2 -> u1 sees {c, a}
+    tierDiff(
+      """each_row.from(2).reverse() where event.is(== 'purchase')
+        |  << product_name
+        |end
+        |""".stripMargin, data)
+    // chains under a shifted start stay Tier B
+    val pChainFrom = Parser.program(
+      """each_row.from(1) where event.is(== 'purchase')
+        |  each_row.continue().next() where event.is(== 'view')
+        |    << product_name
+        |  end
+        |end
+        |""".stripMargin)
+    assert(TierA.compile(pChainFrom, highstreet, Tue, 1800000L).isEmpty)
   }
 
   test("Tier A ≡ Tier B: .reverse() chain steps (backward funnels)") {
