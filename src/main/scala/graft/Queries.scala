@@ -2043,7 +2043,26 @@ object Queries {
                        COUNT(*) AS n_kept FROM kept GROUP BY 1)
         SELECT d.doc_id, COALESCE(a.text_clean, '') AS text_clean,
                COALESCE(a.n_kept, 0) AS n_kept
-        FROM documents d LEFT JOIN agg a USING (doc_id)"""))
+        FROM documents d LEFT JOIN agg a USING (doc_id)""")),
+
+    // Unigram LM (perplexity-proxy) quality filter: bits/token under corpus
+    // unigram frequencies; keep <= 4.95 (rare-token-heavy docs score high).
+    Q("q_unigram_bits",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        TextOps.unigramBits(d, col("doc_id"), col("text"), keepMaxBits = 4.95)
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+            unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
+          FROM documents),
+        cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1),
+        tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM cnt),
+        b AS (SELECT doc_id, round(-log2(cnt.c / tot.t), 4) AS bits
+              FROM toks, cnt, tot WHERE toks.tok = cnt.tok)
+        SELECT doc_id, COUNT(*) AS n_tokens,
+          CAST(SUM(CAST(bits AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS bits_per_token,
+          (CAST(SUM(CAST(bits AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*)) <= 4.95 AS keep
+        FROM b GROUP BY 1"""))
   )
 
   def allRegistry: Seq[Q] = registry ++ extraRegistry

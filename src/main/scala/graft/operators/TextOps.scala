@@ -381,6 +381,36 @@ object TextOps {
         lit(Ipv4Pattern), lit("<IP>")),
       lit(PhonePattern), lit("<PHONE>"))
 
+  /** Unigram language-model scoring — the KenLM-perplexity-filter analogue
+    * (CCNet's quality dimension) with the corpus itself as the model: each
+    * doc scores `bits_per_token = mean(-log2 p(tok))` under corpus unigram
+    * frequencies. Low bits = repetitive/predictable text, high bits = rare-
+    * token garbage; `keep` brackets the healthy middle.
+    *
+    * Determinism across engines: each per-token surprisal rounds to 4
+    * decimals (`round` half-away-from-zero — identical in Spark and DuckDB
+    * for positive values) and sums in exact DECIMAL space, so the mean is
+    * bit-stable regardless of aggregation order.
+    *
+    * Scale shape: one explode → token hash-agg (the model fits executors —
+    * vocab, not corpus, sized) → join tokens back on the token key (AQE
+    * broadcasts small vocabularies) → one groupBy(doc). No windows, no
+    * driver state. */
+  def unigramBits(docs: DataFrame, idCol: Column, textCol: Column,
+                  keepMaxBits: Double): DataFrame = {
+    val toks = docs.select(idCol.as("doc_id"), explode(tokens(textCol)).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).cast("double").as("t"))
+    val scored = toks.join(counts, "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("bits", round(-log2(col("c") / col("t")), 4))
+    scored.groupBy("doc_id").agg(
+        count(lit(1)).as("n_tokens"),
+        (graft.functions.AggFns.dsum(col("bits")) / count(lit(1)))
+          .as("bits_per_token"))
+      .withColumn("keep", col("bits_per_token") <= keepMaxBits)
+  }
+
   /** CCNet-style line-level dedup / boilerplate removal: split each doc on
     * `delim`, drop every line whose corpus-wide document frequency exceeds
     * `maxDocFreq` (navbars, cookie banners, license footers), and reassemble

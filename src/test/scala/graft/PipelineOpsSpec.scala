@@ -345,6 +345,17 @@ class PipelineOpsSpec extends SparkSpec {
       ("src1", 1L), ("src1", 3L), ("src1", 5L)))
   }
 
+  test("unigramBits: surprisal from corpus frequencies, hand-computed") {
+    // corpus: a a a b -> p(a)=3/4, p(b)=1/4; bits(a)=round(log2(4/3),4)=0.415,
+    // bits(b)=2.0. doc1="a a" -> 0.415; doc2="a b" -> (0.415+2)/2 = 1.2075
+    val docs = Seq((1L, "a a"), (2L, "a b")).toDF("doc_id", "text")
+    val out = TextOps.unigramBits(docs, col("doc_id"), col("text"), 1.0)
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(out(1L) == ((2L, 0.415, true)))
+    assert(out(2L) == ((2L, 1.2075, false)))
+  }
+
   test("lineDedup drops high-doc-frequency lines, keeps order, empties covered") {
     val docs = Seq(
       (1L, "boiler\nkeep one\nboiler2"),
