@@ -172,6 +172,79 @@ object Streams {
     stream.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** One tracked funnel per person: how far the person has advanced and the
+    * first/last matched stamps. Small and fixed-size — the state store
+    * carries O(active persons), not their event history. */
+  final case class FunnelProgress(step: Int, firstStamp: Long, lastStamp: Long)
+
+  /** A completed funnel: the person, the anchor step's stamp, the final
+    * step's stamp. */
+  final case class FunnelCompletion(id: String, startStamp: Long, endStamp: Long)
+
+  /** Incremental funnel over a live stream — the streaming counterpart of
+    * `EventOps.funnelN` (same strictly-after, within-window advance rule):
+    * per person, advance one tracked funnel through `steps`, emit a
+    * completion record when the last step lands, then re-arm.
+    *
+    * `flatMapGroupsWithState` with an event-time timeout keeps state
+    * BOUNDED: a funnel that stalls past `withinMs` behind the watermark is
+    * dropped on timeout, so the store holds only in-flight funnels — the
+    * only shape that survives an unbounded stream. Rows inside a
+    * micro-batch process in stamp order; cross-batch late data older than
+    * the watermark is ignored (the batch engine remains the
+    * unbounded-lateness path, SURVEY §2.9 divergence note). */
+  def funnelStream(stream: DataFrame, steps: Seq[String], withinMs: Long,
+                   watermark: String = "1 hour"): org.apache.spark.sql.Dataset[FunnelCompletion] = {
+    require(steps.size >= 2, "funnel needs at least 2 steps")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // the watermark column must survive into the stateful operator, so it
+    // rides along as the tuple's 4th field
+    val typed = stream
+      .withColumn("__ts", timestamp_millis(col("stamp")))
+      .withWatermark("__ts", watermark)
+      .select(col("id").cast("string").as("_1"), col("stamp").cast("long").as("_2"),
+        col("event").cast("string").as("_3"), col("__ts").as("_4"))
+      .as[(String, Long, String, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelProgress, FunnelCompletion](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (id: String, rows: Iterator[(String, Long, String, java.sql.Timestamp)],
+         state: GroupState[FunnelProgress]) =>
+          if (state.hasTimedOut) { // stalled past the window: drop the funnel
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(FunnelProgress(0, 0L, 0L))
+            val out = scala.collection.mutable.ArrayBuffer.empty[FunnelCompletion]
+            rows.toArray.sortBy(_._2).foreach { case (_, stamp, event, _) =>
+              // anchor: the FIRST step-0 event arms the funnel (funnelN's
+              // min(step_0)); later step-0 events don't re-anchor
+              if (st.step == 0) {
+                if (event == steps.head) st = FunnelProgress(1, stamp, stamp)
+              } else if (event == steps(st.step) &&
+                  stamp > st.lastStamp && stamp - st.lastStamp <= withinMs) {
+                st = st.copy(step = st.step + 1, lastStamp = stamp)
+                if (st.step == steps.size) {
+                  out += FunnelCompletion(id, st.firstStamp, stamp)
+                  st = FunnelProgress(0, 0L, 0L) // re-arm
+                }
+              }
+            }
+            if (st.step == 0) state.remove()
+            else {
+              state.update(st)
+              // expire when no advance can arrive inside the window anymore;
+              // clamped above the watermark (setting at-or-behind it throws)
+              state.setTimeoutTimestamp(
+                math.max(st.lastStamp + withinMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming sessionization with the built-in session_window — tumbling
     * gap-based sessions over event time (SURVEY §2.9 "Windows"). */
   def sessionCounts(stream: DataFrame, gap: String = "30 minutes",

@@ -224,6 +224,35 @@ class IngestStreamSpec extends SparkSpec {
     assert(texts == Seq("fresh text", "other text", "same text"))
   }
 
+  test("streaming funnel: stateful advance, completion, re-arm across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    val stream = mem.toDF().toDF("id", "stamp", "event")
+    val out = Streams.funnelStream(stream, Seq("signup", "view", "purchase"),
+      withinMs = 60000L, watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("fun")
+      .outputMode("append").start()
+    val base = 1704067200000L
+    // u1 advances signup->view in batch 1; u2 signs up only
+    mem.addData((1L, base, "signup"), (1L, base + 1000L, "view"),
+      (2L, base + 2000L, "signup"))
+    q.processAllAvailable()
+    // batch 2: u1 completes (within 60s of the view); u2's view arrives too
+    // late (70s after signup) and must NOT advance
+    mem.addData((1L, base + 30000L, "purchase"), (2L, base + 72000L, "view"))
+    q.processAllAvailable()
+    // batch 3: u1 re-armed — a fresh signup->view->purchase run completes again
+    mem.addData((1L, base + 100000L, "signup"), (1L, base + 101000L, "view"),
+      (1L, base + 102000L, "purchase"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT id, startStamp, endStamp FROM fun ORDER BY endStamp")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(rows == Seq(
+      ("1", base, base + 30000L),
+      ("1", base + 100000L, base + 102000L)))
+  }
+
   test("bucketed layout removes the person-key shuffle") {
     val e = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 30L, "a"))
       .toDF("id", "stamp", "event")
