@@ -2062,7 +2062,28 @@ object Queries {
         SELECT doc_id, COUNT(*) AS n_tokens,
           CAST(SUM(CAST(bits AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS bits_per_token,
           (CAST(SUM(CAST(bits AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*)) <= 4.95 AS keep
-        FROM b GROUP BY 1"""))
+        FROM b GROUP BY 1""")),
+
+    // Temperature-based rebalancing (alpha = 0.5) over the skewed lang
+    // distribution: each language keeps sqrt(n_min/n_lang) of its docs,
+    // decided by the portable id-hash bucket — dominant langs shed rows.
+    Q("q_temperature_mix",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        graft.operators.Sampling.temperatureMix(d, col("doc_id"), col("lang"), 0.5)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"),
+            round(max(col("keep_frac")), 4).as("keep_frac"))
+      },
+      Some("""WITH c AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n FROM documents GROUP BY 1),
+        w AS (SELECT lang, pow(n, -0.5) AS w FROM c),
+        m AS (SELECT MAX(w) AS mw FROM w),
+        r AS (SELECT lang, w / mw AS keep_frac FROM w, m),
+        kept AS (SELECT d.lang, r.keep_frac FROM documents d JOIN r USING (lang)
+          WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+                < keep_frac * 100)
+        SELECT lang, COUNT(*) AS n_kept, round(MAX(keep_frac), 4) AS keep_frac
+        FROM kept GROUP BY 1"""))
   )
 
   def allRegistry: Seq[Q] = registry ++ extraRegistry

@@ -58,6 +58,30 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Temperature-based source rebalancing: downsample each source so the
+    * mixture follows `n_s^alpha` (alpha < 1 flattens the source
+    * distribution — the multi-corpus/multilingual rebalancing rule). Each
+    * source keeps `n_s^(alpha-1) / max_s' n_s'^(alpha-1)` of its rows — the
+    * smallest source keeps 100%, dominant ones shed — decided per row by
+    * the same portable id-hash bucket as [[deterministicSample]].
+    *
+    * Scale shape: one tiny per-source count agg (broadcast back), then a
+    * scan-speed filter. No shuffle of the data itself, reproducible on any
+    * cluster size. Adds `keep_frac` (the source's keep fraction). */
+  def temperatureMix(df: DataFrame, id: Column, source: Column,
+                     alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val counts = df.groupBy(source.as("__src"))
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .withColumn("__w", pow(col("__n"), alpha - 1))
+    val maxW = counts.agg(max(col("__w")).as("__mw"))
+    val rates = counts.crossJoin(broadcast(maxW))
+      .select(col("__src"), (col("__w") / col("__mw")).as("keep_frac"))
+    df.join(broadcast(rates), source === col("__src"))
+      .where(hashBucket(id) < col("keep_frac") * 100)
+      .drop("__src")
+  }
+
   /** Sequence packing for training batches: per stream (e.g. source), docs
     * are laid out in `order` as one concatenated token stream and cut into
     * `budget`-token training sequences; each doc's `pack` is the sequence

@@ -356,6 +356,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(2L) == ((2L, 1.2075, false)))
   }
 
+  test("temperatureMix: alpha-tempered keep fractions, smallest source full") {
+    // A has 4 rows, B has 1: alpha=0.5 -> w = n^-0.5, keep_frac A = 0.5, B = 1
+    val df = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "A"), (5L, "B"))
+      .toDF("doc_id", "src")
+    val out = Sampling.temperatureMix(df, col("doc_id"), col("src"), 0.5)
+    val fracs = out.select("src", "keep_frac").distinct()
+      .as[(String, Double)].collect().toMap
+    assert(fracs.get("B").contains(1.0))
+    assert(fracs.get("A").forall(f => math.abs(f - 0.5) < 1e-12))
+    // B's single row always survives; A keeps exactly the bucket<50 subset
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    val expectA = df.where(col("src") === "A" &&
+      Sampling.hashBucket(col("doc_id")) < 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == expectA + 5L)
+  }
+
   test("lineDedup drops high-doc-frequency lines, keeps order, empties covered") {
     val docs = Seq(
       (1L, "boiler\nkeep one\nboiler2"),
