@@ -60,6 +60,18 @@ class PlanSpec extends SparkSpec {
       plan("q_ann_cosine_topk").contains("BroadcastHashJoin"))
   }
 
+  test("as-of join plans as union + one window — no range/theta join") {
+    val p = plan("q_asof_prior_click")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    assert(p.contains("Union") && p.contains("Window"), p.take(2000))
+  }
+
+  test("temperature mix broadcasts the rates; the data side never shuffles") {
+    val p = plan("q_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("hot-table cache returns identical results to cold scans") {
     def rows(name: String) =
       Queries.queries(name)(spark, dir).collect().map(_.toString).sorted.toSeq
