@@ -80,7 +80,7 @@ final class Catalog(spark: SparkSession, warehouse: String) {
 
   private def dir(table: String) = new java.io.File(warehouse, table)
   private def metaFile(table: String) = new java.io.File(dir(table), "table.json")
-  private def eventsDir(table: String) = new java.io.File(dir(table), "events").toString
+  private[graft] def eventsDir(table: String) = new java.io.File(dir(table), "events").toString
   private def customersDir(table: String) = new java.io.File(dir(table), "customers").toString
 
   // ------------------------------------------------------------------ meta IO
@@ -306,6 +306,10 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     rmTree(stage)
     merged.withColumn("__bucket", bucketCol(nB))
       .repartition(math.max(touched.size, 1), col("__bucket"))
+      // cluster each bucket's files by (id, stamp): parquet row-group stats
+      // then prune customer fetches and time-bounded scans, and readers get
+      // the person-major order every window consumer re-sorts into anyway
+      .sortWithinPartitions(col("__bucket"), col("id"), col("stamp"))
       .write.partitionBy("__bucket").mode(SaveMode.Overwrite).parquet(stage.toString)
     root.mkdirs()
     touched.foreach { b =>
@@ -344,6 +348,7 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     swapInto(eventsDir(table)) { tmp =>
       merged.withColumn("__bucket", bucketCol(nB))
         .repartition(nB, col("__bucket"))
+        .sortWithinPartitions(col("__bucket"), col("id"), col("stamp"))
         .write.partitionBy("__bucket").mode(SaveMode.Overwrite).parquet(tmp)
     }
   }

@@ -497,4 +497,25 @@ class CatalogSpec extends SparkSpec {
       .as[(String, Double)].collect().toSeq
     assert(c == Seq(("u1", 20.0), ("u2", 1.0))) // update wins, new id appends
   }
+
+  test("bucket files are written (id, stamp)-clustered for row-group pruning") {
+    val api = freshApi()
+    api.tableCreate(highstreetMeta)
+    api.insert("highstreet", Seq(
+      """{"id":"u9","stamp":5000,"event":"b"}""",
+      """{"id":"u1","stamp":3000,"event":"a"}""",
+      """{"id":"u1","stamp":1000,"event":"a"}""",
+      """{"id":"u9","stamp":2000,"event":"a"}"""), nowMs = 10000L)
+    val root = new java.io.File(api.catalog.eventsDir("highstreet"))
+    val parts = root.listFiles().filter(_.getName.startsWith("__bucket="))
+    assert(parts.nonEmpty)
+    parts.foreach { p =>
+      p.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        // within one file, rows must be (id, stamp)-ordered as written
+        val rows = spark.read.parquet(f.toString)
+          .select("id", "stamp").as[(String, Long)].collect().toSeq
+        assert(rows == rows.sortBy(identity), s"unclustered file: $f")
+      }
+    }
+  }
 }
