@@ -28,6 +28,10 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // zstd ~ 2x smaller files than snappy at comparable scan speed — at
+      // 100 TB the scan is IO-bound, so storage compression is throughput.
+      // (The reference ships LZ4 level 5 for the same trade, src/table.h:128.)
+      .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.ui.enabled", "false")
 
   /** Apply the graft-required runtime confs to an externally built session

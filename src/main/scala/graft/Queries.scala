@@ -1751,6 +1751,21 @@ object Queries {
       },
       None, bench = false),
 
+    // Tokenizer application: encode the corpus with the merges trained
+    // above; per-source sub-word token economy. Iterative/driver-assisted
+    // like training -> rows-only check.
+    Q("q_bpe_encode",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val merges = TextOps.trainBpeMerges(d, col("text"), nMerges = 12)
+        TextOps.bpeEncode(d, col("doc_id"), col("text"), merges)
+          .join(d.select(col("doc_id"), col("source")), "doc_id")
+          .groupBy(col("source"))
+          .agg(sum(col("n_bpe_tokens")).as("bpe_tokens"),
+            count(lit(1)).as("n_docs"))
+      },
+      None, bench = false),
+
     // Canonical text normalization (NFC + lower + control-strip + whitespace
     // collapse): the cleaning step ahead of exact/near dedup. Counts how
     // many raw docs collapse to each normalized form.

@@ -356,6 +356,58 @@ object TextOps {
     merges.toSeq
   }
 
+  /** Apply a trained BPE merge table (from [[trainBpeMerges]]) to text:
+    * each word starts as characters and repeatedly applies the
+    * HIGHEST-PRIORITY (lowest-rank) applicable merge, all occurrences at
+    * once, until none apply — the standard encode loop a tokenizer runs.
+    *
+    * Scale shape mirrors training: only DISTINCT words are encoded (the
+    * merge loop runs on the vocab, not the corpus), then the encodings join
+    * back to the posexploded word stream and re-assemble per doc. The merge
+    * table rides the closure (it's a few hundred pairs — broadcast-sized by
+    * construction). Returns `(doc_id, bpe_tokens, n_bpe_tokens)`. */
+  def bpeEncode(docs: DataFrame, idCol: Column, textCol: Column,
+                merges: Seq[(String, String)]): DataFrame = {
+    val ranks: Map[(String, String), Int] = merges.zipWithIndex.toMap
+    val encodeUdf = udf { (w: String) =>
+      var syms: IndexedSeq[String] = w.split("").toIndexedSeq.filter(_.nonEmpty)
+      var done = syms.length < 2
+      while (!done) {
+        var bestRank = Int.MaxValue
+        var i = 0
+        while (i < syms.length - 1) {
+          val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+          if (r < bestRank) bestRank = r
+          i += 1
+        }
+        if (bestRank == Int.MaxValue) done = true
+        else {
+          val (a, b) = merges(bestRank)
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+              out += (a + b); j += 2
+            } else { out += syms(j); j += 1 }
+          }
+          syms = out.toIndexedSeq
+          done = syms.length < 2
+        }
+      }
+      syms
+    }
+    val words = docs.select(idCol.as("doc_id"),
+      posexplode(tokens(textCol)).as(Seq("__pos", "__w")))
+    val vocab = words.select(col("__w")).distinct()
+      .withColumn("__enc", encodeUdf(col("__w")))
+    words.join(vocab, "__w")
+      .groupBy("doc_id")
+      .agg(flatten(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__enc")))),
+          s => s.getField("__enc"))).as("bpe_tokens"))
+      .withColumn("n_bpe_tokens", size(col("bpe_tokens")))
+  }
+
   // -------------------------------------------------------------------- PII
   // Detection/redaction patterns kept to the regex subset where Java regex
   // (Spark codegen) and RE2 (DuckDB oracle) agree exactly: no backrefs, no

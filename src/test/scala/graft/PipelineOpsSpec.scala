@@ -242,6 +242,17 @@ class PipelineOpsSpec extends SparkSpec {
     assert(m2 == Seq(("l", "o"), ("lo", "w")))
   }
 
+  test("BPE encode applies merges by rank; vocab encoded once, docs rebuilt") {
+    // with merges Seq(("l","o"), ("lo","w")): "low" -> l o w -> lo w -> low
+    // "slow" -> s l o w -> s lo w -> s low; "owl" -> o w l (no (o,w) merge)
+    val merges = Seq(("l", "o"), ("lo", "w"))
+    val d = Seq((1L, "low slow"), (2L, "owl")).toDF("doc_id", "text")
+    val out = TextOps.bpeEncode(d, col("doc_id"), col("text"), merges)
+      .as[(Long, Seq[String], Int)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out(1L) == ((Seq("low", "s", "low"), 3)))
+    assert(out(2L) == ((Seq("o", "w", "l"), 3)))
+  }
+
   test("PII counts and redaction") {
     val d = Seq(
       (0L, "contact bob.smith+x@example.co.uk or 10.0.0.1 now"),
