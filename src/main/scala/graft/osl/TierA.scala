@@ -31,9 +31,7 @@ object TierA {
        else Seq(SelectCol("count", "id", "id", None, all = false))).toVector
 
     program.code match {
-      case Seq(er @ EachRow(mods, _, _))
-          if isTopLoop(mods) &&
-            (!mods.reverse || selects.forall(_.agg != "value")) =>
+      case Seq(er @ EachRow(mods, _, _)) if isTopLoop(mods) =>
         for {
           // top-level `.limit(n)` (literal, positive) compiles: the visited
           // set is the first (reverse: last) n where-matching rows per
@@ -134,14 +132,20 @@ object TierA {
                   .where(effPred && col("__mc0") <= n).drop("__mc0")
             }).drop("__rn0", "__cnt0")
             // per-person write rank for `value` selects (merge key): counts
-            // the WRITING rows — tally predicate satisfied, source non-null
+            // the WRITING rows — tally predicate satisfied, source non-null.
+            // A reverse top scans backward, so its LAST write is the
+            // earliest-stamp writer: rank from the end instead
             val writePred = tallyPredsF.headOption.getOrElse(lit(true))
+            val vqFrame = {
+              val f = W.partitionBy(col("id")).orderBy(col("stamp"))
+              if (mods.reverse) f.rowsBetween(W.currentRow, W.unboundedFollowing)
+              else f.rowsBetween(W.unboundedPreceding, W.currentRow)
+            }
             val filtered = selects.zipWithIndex.foldLeft(filtered0) {
               case (df, (s, j)) if s.agg == "value" =>
                 df.withColumn(s"__vq_$j",
                   count(when(writePred && col(s.prop).isNotNull, 1))
-                    .over(W.partitionBy(col("id")).orderBy(col("stamp"))
-                      .rowsBetween(W.unboundedPreceding, W.currentRow)))
+                    .over(vqFrame))
               case (df, _) => df
             }
             if (lvlTallies.size == 1 && lvlTallies.head._1.isEmpty)
@@ -970,10 +974,10 @@ object TierA {
     !m.reverse && isTopShape(m)
 
   /** Top-level loop shape Tier A covers: `.reverse()` is allowed — a
-    * backward TOP-LEVEL scan visits the same row SET (tally dedup is per
-    * (row, node), nested witnesses depend only on the visited set), so
-    * everything except order-sensitive `value` selects compiles; the
-    * caller guards that case. */
+    * backward TOP-LEVEL scan visits the same row SET when unlimited (tally
+    * dedup is per (row, node), nested witnesses depend only on the visited
+    * set), and order-sensitive `value` selects compile too (their write
+    * rank counts from the scan's end). */
   private def isTopShape(m: EachRowMods): Boolean =
     isTopLoop(m) && m.limit.isEmpty && m.from.isEmpty
 

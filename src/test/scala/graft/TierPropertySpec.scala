@@ -106,13 +106,16 @@ class TierPropertySpec extends SparkSpec {
       val where = genWhere.pureApply(params, s0)
       val cond = genCond.pureApply(params, s0.next)
       val g = genGroup.pureApply(params, s0.next.next)
+      // even samples scan backward: value's last write is then the
+      // EARLIEST visited writer (rank-from-end merge key)
+      val rev = if (i % 2 == 0) ".reverse()" else ""
       val script =
         s"""select
            |  value product_name as last_name
            |  value product_price as last_price
            |  count id as customers
            |end
-           |each_row where $where
+           |each_row$rev where $where
            |  if $cond
            |    << 'v', $g
            |  end
@@ -174,8 +177,7 @@ class TierPropertySpec extends SparkSpec {
       val tallyHere = if (tallyOuter) Seq(s"<< 'L${k - 1}', ${gs(k - 1)}") else Nil
       block = tallyHere ++ inner
     }
-    // `value` selects are order-sensitive; reverse-top only without them
-    val topRev = if (revs(0) && !sel.contains("value ")) ".reverse()" else ""
+    val topRev = if (revs(0)) ".reverse()" else ""
     val topLim = if (limitLevel == 0) limitN.map(n => s".limit($n)").getOrElse("") else ""
     s"select\n  $sel\nend\neach_row$topRev$topLim where ${wheres(0)}\n" +
       block.map("  " + _).mkString("\n") + "\nend\n"
