@@ -46,6 +46,42 @@ class OslSpec extends SparkSpec {
       (2, "2", "gilded spoon", 1L, 1L, 27.99)))
   }
 
+  test("reference docs/osl anatomy example: first color -> next differing colors") {
+    // docs/osl/README.md:45-66 — store the first did_foo's color, then tally
+    // the next (up to 3) did_foo rows whose color DIFFERS, grouped under the
+    // first color. Assignment + nested var reference -> interpreter path.
+    val data = Seq(
+      ("u1", Mon + 1 * H, "did_foo", "red"),
+      ("u1", Mon + 2 * H, "did_foo", "red"),   // same color: not a match
+      ("u1", Mon + 3 * H, "did_foo", "blue"),
+      ("u1", Mon + 4 * H, "did_foo", "green"),
+      ("u1", Mon + 5 * H, "other", "pink"),    // wrong event
+      ("u2", Mon + 1 * H, "did_foo", "blue"),
+      ("u2", Mon + 2 * H, "did_foo", "blue")   // never differs -> no tallies
+    ).toDF("id", "stamp", "event", "color_selected")
+    val script =
+      """select
+        |  count id as customers
+        |end
+        |each_row.limit(1) where event.is(== 'did_foo')
+        |  first_color = color_selected
+        |  each_row.continue().next().limit(3) where event.is(== 'did_foo') && color_selected.is(!= first_color)
+        |    << first_color, color_selected
+        |  end
+        |end
+        |""".stripMargin
+    val out = OslEngine.query(data, script, now = Tue)
+      .select("depth", "g1", "g2", "customers")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), Option(r.getString(2)).getOrElse(""),
+        r.getLong(3)))
+      .toSet
+    assert(out == Set(
+      (1, "red", "", 1L),
+      (2, "red", "blue", 1L),
+      (2, "red", "green", 1L)))
+  }
+
   test("tally dedup: same row tallied twice counts once (non-all)") {
     val script =
       """select
