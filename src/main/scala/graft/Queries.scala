@@ -712,6 +712,35 @@ object Queries {
           COUNT(DISTINCT id) AS customers
         FROM f GROUP BY 1, 2""")),
 
+    // Cohort LTV: exact revenue by signup-cohort week x weeks-since-signup
+    // (the retention matrix's monetary sibling). One person-window pass for
+    // the signup anchor, then a hash aggregation over (cohort, age).
+    Q("q_cohort_ltv",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val w = Window.partitionBy("id")
+        val first = min(when(col("event") === "signup", col("stamp"))).over(w)
+        e.withColumn("cohort_ms", first)
+          .where(col("event") === "purchase" && col("cohort_ms").isNotNull &&
+            col("stamp") >= col("cohort_ms"))
+          .withColumn("cohort_week", expr("cohort_ms div 604800000"))
+          .withColumn("weeks_since", expr("(stamp - cohort_ms) div 604800000"))
+          .groupBy(col("cohort_week"), col("weeks_since"))
+          .agg(countDistinct(col("id")).as("customers"),
+            dsum(col("value")).as("revenue"))
+      },
+      Some(s"""$E, f AS (
+          SELECT id, stamp, event, value,
+            MIN(CASE WHEN event = 'signup' THEN stamp END)
+              OVER (PARTITION BY id) AS cohort_ms
+          FROM e)
+        SELECT cohort_ms // 604800000 AS cohort_week,
+          (stamp - cohort_ms) // 604800000 AS weeks_since,
+          COUNT(DISTINCT id) AS customers, ${dsumSql("value")} AS revenue
+        FROM f
+        WHERE event = 'purchase' AND cohort_ms IS NOT NULL AND stamp >= cohort_ms
+        GROUP BY 1, 2""")),
+
     // RFM segmentation (recency/frequency/monetary classes by fixed
     // thresholds): per purchaser stats in one groupBy(id), then one tiny
     // class aggregation — no windows, no global quantile sort.
