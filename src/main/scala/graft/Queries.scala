@@ -806,6 +806,27 @@ object Queries {
       Some(s"""WITH $MinhashPairsCtes
         $MinhashPairsSelect""")),
 
+    // Edit-distance verification of the LSH candidates — the exact-check
+    // stage after recall: keep pairs whose normalized Levenshtein
+    // similarity clears 0.97. Quadratic cost confined to candidate rows.
+    Q("q_editdist_pairs",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val pairs = graft.operators.Dedup.minhashCandidates(d, col("doc_id"), col("text"))
+        graft.operators.Dedup.editDistanceVerify(d, col("doc_id"), col("text"),
+          pairs, minSim = 0.97)
+      },
+      Some(s"""WITH $MinhashPairsCtes,
+        pairs AS ($MinhashPairsSelect)
+        SELECT p.id_a, p.id_b, levenshtein(da.text, db.text) AS edit_dist,
+          round(1 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+                / greatest(greatest(len(da.text), len(db.text)), 1), 4) AS edit_sim
+        FROM pairs p
+        JOIN documents da ON p.id_a = da.doc_id
+        JOIN documents db ON p.id_b = db.doc_id
+        WHERE round(1 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+              / greatest(greatest(len(da.text), len(db.text)), 1), 4) >= 0.97""")),
+
     // Near-dup clustering: connected components over the LSH candidate
     // pairs (iterative min-label propagation; representative = min doc_id).
     // Oracle: recursive-CTE reachability over the same pair SQL.

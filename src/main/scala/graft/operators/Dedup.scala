@@ -347,6 +347,29 @@ object Dedup {
   }
 
   /** Bucket-local pair generation over `(doc_id, b: (band, sig))` rows. */
+  /** Edit-distance verification of candidate pairs — the exact-check stage
+    * after LSH recall: join each pair's texts and keep pairs whose
+    * normalized similarity `1 - lev / max(len)` clears `minSim`. Candidates
+    * are a vanishing fraction of the corpus (that's LSH's job), so the
+    * quadratic-in-length Levenshtein runs on candidate rows only; the joins
+    * are plain equi-joins on doc id (AQE broadcasts the candidate side when
+    * small). Returns `(id_a, id_b, edit_dist, edit_sim)`. */
+  def editDistanceVerify(docs: DataFrame, id: Column, text: Column,
+                         pairs: DataFrame, minSim: Double): DataFrame = {
+    val t = docs.select(id.as("__id"), text.as("__text"))
+    pairs
+      .join(t.withColumnRenamed("__id", "id_a")
+        .withColumnRenamed("__text", "__ta"), "id_a")
+      .join(t.withColumnRenamed("__id", "id_b")
+        .withColumnRenamed("__text", "__tb"), "id_b")
+      .withColumn("edit_dist", levenshtein(col("__ta"), col("__tb")))
+      .withColumn("edit_sim",
+        round(lit(1.0) - col("edit_dist").cast("double") /
+          greatest(greatest(length(col("__ta")), length(col("__tb"))), lit(1)), 4))
+      .where(col("edit_sim") >= minSim)
+      .select(col("id_a"), col("id_b"), col("edit_dist"), col("edit_sim"))
+  }
+
   private def pairsFromBandRows(bandRows: DataFrame): DataFrame =
     bandRows
       .groupBy(col("b._1").as("band"), col("b._2").as("sig"))

@@ -242,6 +242,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(m2 == Seq(("l", "o"), ("lo", "w")))
   }
 
+  test("editDistanceVerify: normalized similarity filter over candidate pairs") {
+    val docs = Seq(
+      (1L, "abcdefghij"),            // 10 chars
+      (2L, "abcdefghiX"),            // lev 1 -> sim 0.9
+      (3L, "XXXXXXXXXX"),            // lev 9 vs doc1 -> sim 0.1
+      (4L, "abcdefghij")             // identical to doc1 -> sim 1.0
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val out = Dedup.editDistanceVerify(docs, col("doc_id"), col("text"), pairs, 0.85)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(out == Set((1L, 2L, 1, 0.9), (1L, 4L, 0, 1.0)))
+  }
+
   test("BPE encode applies merges by rank; vocab encoded once, docs rebuilt") {
     // with merges Seq(("l","o"), ("lo","w")): "low" -> l o w -> lo w -> low
     // "slow" -> s l o w -> s lo w -> s low; "owl" -> o w l (no (o,w) merge)
