@@ -62,6 +62,35 @@ object Queries {
     """SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id"""
 
+  /** BM25 corpus-stats + per-doc raw score CTEs (terms join/vector/slow,
+    * k1=1.2, b=0.75) — shared by the keyword top-k and the hybrid-search
+    * rerank oracles. */
+  private val Bm25ScoredCtes: String = {
+    val terms = Seq("join", "vector", "slow")
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"COUNT(*) FILTER (WHERE list_contains(toks, '$t')) AS df$i"
+    }.mkString(",\n            ")
+    val termScores = terms.zipWithIndex.map { case (t, i) =>
+      s"""ln((CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5) + 1.0)
+              * (CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) * 2.2)
+              / (CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE)
+                 + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))"""
+    }.mkString("\n          + ")
+    s"""t AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+          FROM documents),
+        d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM t),
+        s AS (
+          SELECT COUNT(*) AS n,
+            CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+            $dfCols
+          FROM d),
+        sc AS (
+          SELECT doc_id,
+            $termScores AS raw
+          FROM d, s)"""
+  }
+
   /** Shared oracle for both exact n-gram Jaccard tiers (cross-join and
     * inverted-index) — identical semantics, identical result. */
   private val NgramJaccardOracle: String =
@@ -930,34 +959,44 @@ object Queries {
         graft.operators.Similarity.bm25TopK(d, col("doc_id"), col("text"),
           Seq("join", "vector", "slow"), k = 25)
       },
-      Some("""WITH t AS (
-          SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
-          FROM documents),
-        d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM t),
-        s AS (
-          SELECT COUNT(*) AS n,
-            CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
-            COUNT(*) FILTER (WHERE list_contains(toks, 'join')) AS df0,
-            COUNT(*) FILTER (WHERE list_contains(toks, 'vector')) AS df1,
-            COUNT(*) FILTER (WHERE list_contains(toks, 'slow')) AS df2
-          FROM d),
-        sc AS (
-          SELECT doc_id,
-            ln((CAST(n AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5) + 1.0)
-              * (CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) * 2.2)
-              / (CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE)
-                 + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
-          + ln((CAST(n AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5) + 1.0)
-              * (CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) * 2.2)
-              / (CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE)
-                 + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
-          + ln((CAST(n AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5) + 1.0)
-              * (CAST(len(list_filter(toks, x -> x = 'slow')) AS DOUBLE) * 2.2)
-              / (CAST(len(list_filter(toks, x -> x = 'slow')) AS DOUBLE)
-                 + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) AS raw
-          FROM d, s)
+      Some(s"""WITH $Bm25ScoredCtes
         SELECT doc_id, ROUND(raw, 4) AS score FROM sc
         ORDER BY score DESC, doc_id ASC LIMIT 25""")),
+
+    // Hybrid retrieval: BM25 keyword recall (top-25) -> exact cosine rerank
+    // against a query embedding (vec_id 0) -> top-10. The lexical stage
+    // bounds the vector work to candidate rows; both stages are the
+    // already-verified kernels.
+    Q("q_hybrid_search",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .repartition(s.sparkContext.defaultParallelism)
+        val bm = graft.operators.Similarity.bm25TopK(d, col("doc_id"), col("text"),
+          Seq("join", "vector", "slow"), k = 25)
+        val emb = Tables.embeddings(s, dir)
+        val q = emb.where(col("vec_id") === 0).select(col("embedding").as("__qe"))
+        val reranked = bm
+          .join(emb.select(col("vec_id").as("doc_id"), col("embedding").as("__ce")), "doc_id")
+          .crossJoin(broadcast(q))
+          .withColumn("cos",
+            graft.operators.Similarity.cosine(col("__qe"), col("__ce")))
+        val w = Window.orderBy(col("cos").desc, col("doc_id").asc)
+        reranked.withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 10)
+          .select(col("rank"), col("doc_id"), col("score"), col("cos"))
+      },
+      Some(s"""WITH $Bm25ScoredCtes,
+        bm AS (SELECT doc_id, ROUND(raw, 4) AS score FROM sc
+               ORDER BY score DESC, doc_id ASC LIMIT 25),
+        q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+        r AS (SELECT bm.doc_id, bm.score,
+                list_dot_product(qe, ce.embedding::DOUBLE[])
+                  / (sqrt(list_dot_product(qe, qe))
+                     * sqrt(list_dot_product(ce.embedding::DOUBLE[], ce.embedding::DOUBLE[]))) AS cos
+              FROM bm JOIN embeddings ce ON bm.doc_id = ce.vec_id, q),
+        ranked AS (SELECT ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id ASC) AS rank,
+                          doc_id, score, cos FROM r)
+        SELECT rank, doc_id, score, cos FROM ranked WHERE rank <= 10""")),
 
     // Document fingerprinting (k smallest shingle hashes).
     Q("q_doc_fingerprints",
