@@ -2168,6 +2168,21 @@ object Queries {
           (CAST(SUM(CAST(bits AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*)) <= 4.95 AS keep
         FROM b GROUP BY 1""")),
 
+    // One-pass column profiling over the corpus table: non-null count,
+    // exact distinct, min/max per column — the data-quality gate.
+    Q("q_profile_documents",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        graft.operators.Profiling.profile(d,
+          Seq("doc_id", "lang", "source", "n_chars"))
+      },
+      Some(Seq("doc_id", "lang", "source", "n_chars").map { c =>
+        s"""SELECT '$c' AS "column", COUNT($c) AS n_nonnull,
+           COUNT(DISTINCT $c) AS n_distinct,
+           CAST(MIN($c) AS VARCHAR) AS min_value,
+           CAST(MAX($c) AS VARCHAR) AS max_value FROM documents"""
+      }.mkString(" UNION ALL "))),
+
     // Temperature-based rebalancing (alpha = 0.5) over the skewed lang
     // distribution: each language keeps sqrt(n_min/n_lang) of its docs,
     // decided by the portable id-hash bucket — dominant langs shed rows.
