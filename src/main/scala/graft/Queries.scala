@@ -521,13 +521,22 @@ object Queries {
         // and runs algebra on them (src/tablepartitioned.h) — persist the
         // tiny membership frames so the six set operations below don't
         // re-aggregate the event table per branch
+        // localCheckpoint (lazy), NOT persist(): persist registers the plan
+        // in the session CacheManager, which holds it FOREVER (no release
+        // path from inside a query function that returns a lazy frame) —
+        // across a 90-query sweep those entries pile up, every later
+        // query's planning pays canonicalized-plan lookups against the
+        // growing list, and storage memory stays claimed (the round-4
+        // sweep-wide regression). Checkpoint blocks are plain RDD blocks:
+        // the ContextCleaner reaps them as soon as the query's frames are
+        // garbage-collected.
         val high = Segments.fromAggPredicate(
           e, Seq(dsum(when(col("event") === "purchase", col("value"))).as("pv")),
           col("pv") > 600.0)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint(false)
         val active = Segments.fromAggPredicate(
           e, Seq(count(lit(1)).as("c")), col("c") >= 70L)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint(false)
         val universe = e.select("id").distinct()
         val rows = Seq(
           ("high_value", high), ("active", active),

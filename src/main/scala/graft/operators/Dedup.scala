@@ -25,17 +25,21 @@ object Dedup {
     * the copy from the most-preferred source (then lowest id) — the
     * cross-source dedup policy of multi-crawl corpora, where e.g. a curated
     * dump beats a web crawl of the same page. Sources absent from
-    * `priority` rank last. One hash aggregation: min_by over a zero-padded
-    * `rank|id` string key (engine-portable total order — DuckDB's arg_min
-    * can't compare structs; the id makes the key unique per row) — no
-    * window, no join. */
+    * `priority` rank last. One hash aggregation: min_by over a
+    * `struct(rank, id)` key — Spark structs order lexicographically by
+    * field, so the key is a total order for ANY id value (negative, >10^12)
+    * where a zero-padded string key would silently mis-sort; the id makes
+    * the key unique per row. No window, no join. (A DuckDB oracle must
+    * approximate with a padded-string arg_min key — its arg_min can't
+    * compare structs — which agrees whenever ids are non-negative and
+    * < 10^12, as the test corpora are.) */
   def exactDedupPrioritized(docs: DataFrame, id: Column, text: Column,
                             source: Column,
                             priority: Seq[String]): DataFrame = {
     val rank = priority.zipWithIndex.foldLeft(lit(priority.length): Column) {
       case (acc, (s, i)) => when(source === s, lit(i)).otherwise(acc)
     }
-    val key = format_string("%02d|%012d", rank, id)
+    val key = struct(rank.as("r"), id.as("i"))
     docs.groupBy(md5(text).as("content_hash"))
       .agg(
         min_by(id, key).as("representative"),
@@ -70,10 +74,17 @@ object Dedup {
     // graphs (the 100 TB path) take the distributed loop below. Union-find
     // is direction-blind, so the driver path collects the raw pairs and
     // never materializes the symmetric closure.
-    if (p0.count() * 2 <= driverEdgeLimit) {
-      val rows = p0.collect()
+    // One bounded probe instead of count-then-collect: collect at most
+    // lim+1 rows; getting ≤ lim back proves we hold the COMPLETE edge set
+    // (one job on the small path, where round 4 paid two). On the large
+    // path the probe stops after lim+1 rows of already-checkpointed blocks
+    // (CollectLimit ramps partitions incrementally) — comparable to the
+    // count job it replaces.
+    val lim = (driverEdgeLimit / 2).toInt
+    val probe = p0.limit(lim + 1).collect()
+    if (probe.length <= lim) {
       p0.unpersist(false)
-      return driverUnionFind(rows, ids, idCol)
+      return driverUnionFind(probe, ids, idCol)
     }
     val edges = p0.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p0.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -311,11 +322,15 @@ object Dedup {
     val k = bands * rows
     // Cache the signature table (it IS the minhash index: one md5-per-
     // shingle kernel scan); candidates AND both join sides read it. Lazy
-    // persist, not an eager checkpoint: the first consumer materializes it
-    // in-flow (no blocking job), the others hit the in-memory batches.
-    // Un-cached, the kernel would re-run for every consumer (3×).
+    // LOCAL CHECKPOINT, not persist(): same materialize-once semantics
+    // (first consumer computes it in-flow, the others hit the in-memory
+    // blocks), but the blocks are plain RDD blocks the ContextCleaner
+    // reaps once this query's frames are GC'd — persist() would pin a
+    // CacheManager entry for the session's lifetime (no unpersist hook in
+    // a function returning a lazy frame), which round 4 measured as a
+    // sweep-wide planning+memory tax on every later query.
     val sigs = graft.Tables.spread(minhashSignatures(docs, id, text, k))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val bandUdf = udf(bandSigFromMins(bands, rows))
     val pairs = pairsFromBandRows(
       sigs.select(col("doc_id"), explode(bandUdf(col("mins"))).as("b")))

@@ -204,14 +204,24 @@ object Similarity {
     * count + global-rank + collect here. Keyed on the canonicalized logical
     * plan (structural equality, no hash-collision risk); a changed corpus is
     * a different plan → different key. */
-  private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
+  /** Bounded LRU (access-order): a long-lived API server sees an open-ended
+    * stream of distinct corpus plans, and an unbounded map would pin every
+    * plan (and transitively its session state) for the process lifetime.
+    * 64 live indexes is far beyond any realistic concurrent working set;
+    * eviction only costs a rebuild on next use. */
+  private val centroidCacheMax = 64
+  private val centroidCache = new java.util.LinkedHashMap[
     (org.apache.spark.sql.SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
-    Array[(Long, Array[Double])]]()
+    Array[(Long, Array[Double])]](16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[(org.apache.spark.sql.SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int), Array[(Long, Array[Double])]]): Boolean =
+      size() > centroidCacheMax
+  }
 
   def ivfAssign(corpus: DataFrame, nlist: Int): (DataFrame, Array[(Long, Array[Double])]) = {
     val v = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
     val cacheKey = (v.sparkSession, v.queryExecution.analyzed.canonicalized, nlist)
-    val cached = centroidCache.get(cacheKey)
+    val cached = centroidCache.synchronized(centroidCache.get(cacheKey))
     if (cached != null)
       return (v.withColumn("cell", nearestCentroid(col("e"), cached, 1)(0)), cached)
     // Strided centroid seeding without collecting the corpus: count once,
@@ -236,7 +246,7 @@ object Similarity {
       .collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
-    centroidCache.put(cacheKey, centroids)
+    centroidCache.synchronized(centroidCache.put(cacheKey, centroids))
     val assigned = v.withColumn("cell", nearestCentroid(col("e"), centroids, 1)(0))
     (assigned, centroids)
   }
@@ -328,9 +338,12 @@ object Similarity {
     val (assigned0, _) = ivfAssign(corpus, nlist)
     // lazily cache the assignment (vec_id, e, cell, norm): the pair join's
     // two sides and the final verdict select all read it — uncached, the
-    // centroid-argmax kernel would re-run per consumer
+    // centroid-argmax kernel would re-run per consumer. Lazy localCheckpoint
+    // rather than persist(): no session-lifetime CacheManager entry (this
+    // function cannot unpersist — it returns a lazy frame), and the
+    // ContextCleaner frees the blocks once the query's frames are GC'd.
     val assigned = assigned0.withColumn("n", norm(col("e")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
       col("e").as("ea"), col("n").as("na"))
     val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
