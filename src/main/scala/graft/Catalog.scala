@@ -367,4 +367,19 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     val merged = graft.operators.CustomerProps.writeBack(customers(table), updates)
     swapInto(customersDir(table))(tmp => merged.write.mode(SaveMode.Overwrite).parquet(tmp))
   }
+
+  /** Run an OSL script over the table's event history and merge any
+    * customer-property assignments back into the customer store — the
+    * reference's script-driven prop write-back (`setGridProps`,
+    * `src/queryinterpreter.cpp:3116-3264`), typically wired to `on_insert`.
+    * Prop variables are seeded from — and validated against — the table's
+    * declared `is_customer` schema. */
+  def runPropWriteback(table: String, script: String, nowMs: Long): Unit = {
+    val m = describe(table)
+    require(m.customerProps.nonEmpty,
+      s"table '$table' declares no is_customer properties")
+    val updates = graft.osl.OslEngine.propWriteback(
+      events(table), customers(table), script, nowMs, m.settings.sessionTimeMs)
+    mergeCustomers(table, updates)
+  }
 }

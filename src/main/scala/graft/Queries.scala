@@ -1657,6 +1657,32 @@ object Queries {
         FROM e LEFT JOIN customer ON e.id = c_custkey
         GROUP BY c_mktsegment""")),
 
+    // OSL script-driven customer-prop WRITE-BACK (setGridProps,
+    // src/queryinterpreter.cpp:3116-3264): the script assigns declared
+    // is_customer props per person; the result is the write-back updates
+    // frame a catalog merge would apply (Catalog.runPropWriteback). One
+    // cogroup shuffle on id — the storage bucketing key.
+    Q("q_osl_prop_writeback",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val script =
+          """total_value = sum(value) where event.is(== 'purchase')
+            |purchase_count = count(id) where event.is(== 'purchase')
+            |""".stripMargin
+        val cust = s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(
+            StructField("id", LongType),
+            StructField("total_value", DoubleType),
+            StructField("purchase_count", LongType))))
+        graft.osl.OslEngine.propWriteback(Tables.events(s, dir), cust, script,
+          now = OslNow)
+      },
+      Some(s"""$E SELECT id,
+        COALESCE(CAST(SUM(CASE WHEN event = 'purchase' THEN CAST(value AS DECIMAL(28,4)) END) AS DOUBLE), 0.0) AS total_value,
+        COUNT(CASE WHEN event = 'purchase' THEN 1 END) AS purchase_count
+        FROM e GROUP BY id""")),
+
     // Embedding-cosine near-duplicate detection (dedup family; bounded
     // subset for the O(n²) tier — LSH buckets are the scale path).
     Q("q_embedding_neardup",

@@ -26,7 +26,12 @@ final class Interpreter(
     // `stamp_counts` query param (src/rpc_query.cpp:329): the per-row part
     // of the distinct key becomes the row STAMP, so rows sharing a stamp
     // count as one larger row (src/queryinterpreter.cpp:249-251)
-    stampedRowIds: Boolean = false) extends Serializable {
+    stampedRowIds: Boolean = false,
+    // declared `is_customer` property names: reads resolve against the
+    // seeded customer record, and any assignment marks the person for
+    // write-back (reference propsChanged / setGridProps,
+    // src/queryinterpreter.cpp:3116-3264)
+    propNames: Set[String] = Set.empty) extends Serializable {
 
   import Interpreter._
 
@@ -38,16 +43,27 @@ final class Interpreter(
   private val sessionReferenced = referencesSession(program)
 
   /** Execute for one customer. Rows must be sorted by (stamp, insertion).
-    * Returns (tally partials, script return values). */
-  def run(personId: Value, rows: IndexedSeq[Array[Value]]): PersonResult = {
+    * `initialVars` seeds customer-property variables from the stored
+    * customer record before the script runs (reference getGridProps).
+    * Returns (tally partials, script return values, prop write-back). */
+  def run(personId: Value, rows: IndexedSeq[Array[Value]],
+          initialVars: Map[String, Value] = Map.empty): PersonResult = {
     val st = new State(personId, rows)
+    st.vars ++= initialVars
     // `var` select columns declare script variables (reference: PSHRESCOL
     // pushes columnVars[i].value, src/queryinterpreter.cpp:1868-1880)
     selects.foreach(s => if (s.agg == "var") st.vars.getOrElseUpdate(s.prop, VInt(0)))
     if (sessionReferenced && stampIdx >= 0) st.computeSessions()
     try execBlock(program.code, st)
     catch { case ExitException => () }
-    PersonResult(st.nodes.toMap, st.returned.toVector)
+    // All declared props go back when ANY changed (setGridProps iterates
+    // every prop var once propsChanged is set): untouched props carry
+    // their seeded value, so the downstream whole-row merge is lossless.
+    val props =
+      if (st.propsChanged)
+        propNames.iterator.map(n => n -> st.vars.getOrElse(n, VNone)).toMap
+      else Map.empty[String, Value]
+    PersonResult(st.nodes.toMap, st.returned.toVector, props)
   }
 
   // ------------------------------------------------------------------- state
@@ -56,6 +72,9 @@ final class Interpreter(
     var cursor: Int = 0
     var cursorValid: Boolean = false
     val sessions: Array[Long] = new Array[Long](rows.length)
+    /** Any assignment to a declared customer prop → write-back this person
+      * (reference's propsChanged hash-check, queryinterpreter.cpp:3117). */
+    var propsChanged: Boolean = false
     /** group-node -> per-select (sum, count, min, max) */
     val nodes: mutable.Map[Vector[String], Array[AggBuf]] = mutable.Map.empty
     val seen: mutable.Set[(Int, Vector[String], String, Long)] = mutable.Set.empty
@@ -84,7 +103,8 @@ final class Interpreter(
 
   final case class PersonResult(
       nodes: Map[Vector[String], Array[AggBuf]],
-      returned: Vector[Value])
+      returned: Vector[Value],
+      props: Map[String, Value] = Map.empty)
 
   // ------------------------------------------------------------- control flow
   private sealed trait Signal
@@ -138,15 +158,23 @@ final class Interpreter(
         case "-=" => Value.minus(evalTarget(target, st), v)
       }
       target match {
-        case VarRef(n) => st.vars(n) = newVal
-        case PropRef(n) => st.vars(n) = newVal // customer-prop write-back: modeled as var
+        case VarRef(n) =>
+          st.vars(n) = newVal
+          if (propNames(n)) st.propsChanged = true
+        case PropRef(n) =>
+          st.vars(n) = newVal // customer-prop write-back: modeled as var
+          if (propNames(n)) st.propsChanged = true
         case sub: Subscript =>
           // nested subscripts update bottom-up: nested['a']['b'] = v
           // rebuilds each enclosing container (reference cvar subscripts
           // return references, so nesting is free there)
           def update(target: Expr, nv: Value): Unit = target match {
-            case VarRef(n) => st.vars(n) = nv
-            case PropRef(n) => st.vars(n) = nv
+            case VarRef(n) =>
+              st.vars(n) = nv
+              if (propNames(n)) st.propsChanged = true
+            case PropRef(n) =>
+              st.vars(n) = nv
+              if (propNames(n)) st.propsChanged = true
             case Subscript(r2, i2) =>
               val container = eval(r2, st)
               val key = eval(i2, st)

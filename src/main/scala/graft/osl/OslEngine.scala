@@ -202,6 +202,99 @@ object OslEngine {
     out.toDF("id", "value")
   }
 
+  /** Run a script per customer and emit the customer-property write-back
+    * frame `(id, <customer props…>)` — one row per person whose script
+    * assigned at least one declared prop (reference `setGridProps` /
+    * `propsChanged`, `src/queryinterpreter.cpp:3116-3264`; docs
+    * `docs/osl/language_reference.md` "customer properties").
+    *
+    * `customers` declares the prop schema (`id` + typed prop columns) and
+    * seeds each person's prop variables with their stored values, so reads
+    * before writes see the customer record and untouched props survive the
+    * whole-row merge downstream ([[graft.operators.CustomerProps.writeBack]]).
+    *
+    * Scale shape: ONE cogroup shuffle keyed on `id` — the same key the
+    * storage layer buckets by, so on a real cluster both sides arrive
+    * co-partitioned; the output carries only ids + prop values, never the
+    * event history. Persons without events emit nothing (the reference only
+    * runs `on_insert` scripts for customers whose data changed). */
+  def propWriteback(events: DataFrame, customers: DataFrame, script: String,
+                    now: Long, sessionGapMs: Long = 30 * 60 * 1000L): DataFrame = {
+    val eSchema = events.schema
+    val nCols = eSchema.fields.length
+    val colIdx: Map[String, Int] = eSchema.fieldNames.zipWithIndex.toMap
+    val idIdx = colIdx("id")
+    val stampIdx = colIdx("stamp")
+    val cSchema = customers.schema
+    val cIdx: Map[String, Int] = cSchema.fieldNames.zipWithIndex.toMap
+    require(cIdx.contains("id"), "customers frame must carry an id column")
+    val propFields = cSchema.fields.filterNot(_.name == "id").toVector
+    require(propFields.nonEmpty, "customers frame declares no customer props")
+    val idType = eSchema.fields(idIdx).dataType
+    val outSchema = StructType(StructField("id", idType) +: propFields)
+    val program = Parser.program(script)
+    val interp = new Interpreter(program, colIdx, now, sessionGapMs,
+      propNames = propFields.map(_.name).toSet)
+
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    implicit val evEnc: org.apache.spark.sql.Encoder[Row] = ExpressionEncoder(eSchema)
+    val cuEnc: org.apache.spark.sql.Encoder[Row] = ExpressionEncoder(cSchema)
+    implicit val outEnc: org.apache.spark.sql.Encoder[Row] = ExpressionEncoder(outSchema)
+
+    val ev = events.as(evEnc).groupByKey(r => r.get(idIdx).toString)(Encoders.STRING)
+    val cu = customers.as(cuEnc).groupByKey(r => r.get(cIdx("id")).toString)(Encoders.STRING)
+    ev.cogroup(cu) { (pid: String, evIt: Iterator[Row], cuIt: Iterator[Row]) =>
+      val rows = evIt.map(r => rowToValues(r, nCols)).toArray
+      if (rows.isEmpty) Iterator.empty // customer row only: script doesn't run
+      else {
+        java.util.Arrays.sort(rows, Ordering.by((a: Array[Value]) => a(stampIdx).asLong))
+        val init: Map[String, Value] = cuIt.buffered.headOption match {
+          case Some(cr) => propFields.map { f =>
+            val i = cIdx(f.name)
+            f.name -> (if (cr.isNullAt(i)) (VNone: Value) else Value(cr.get(i)))
+          }.toMap
+          case None => propFields.map(_.name -> (VNone: Value)).toMap
+        }
+        val res = interp.run(VStr(pid), rows, init)
+        if (res.props.isEmpty) Iterator.empty
+        else {
+          val idRaw: Any = idType match {
+            case LongType    => rows(0)(idIdx).asLong
+            case IntegerType => rows(0)(idIdx).asLong.toInt
+            case _           => rows(0)(idIdx).asStr
+          }
+          Iterator(Row.fromSeq(
+            idRaw +: propFields.map(f => valueToSpark(res.props(f.name), f.dataType))))
+        }
+      }
+    }(outEnc).toDF()
+  }
+
+  /** OSL value → Spark value under the DECLARED prop type — the schema
+    * validation half of the reference's `setGridProps` (set props need
+    * containers, empty sets store as NONE, scalars coerce per type). Set
+    * elements are sorted for a deterministic stored order (the reference's
+    * sets are unordered; any fixed order is faithful). */
+  private def valueToSpark(v: Value, dt: DataType): Any = v match {
+    case VNone => null
+    case _ => dt match {
+      case LongType    => v.asLong
+      case IntegerType => v.asLong.toInt
+      case DoubleType  => v.asDouble
+      case StringType  => v.asStr
+      case BooleanType => v.truthy
+      case ArrayType(et, _) =>
+        val items = v match {
+          case VList(xs) => xs
+          case VSet(xs)  => xs.toVector.sortBy(_.asStr)
+          case other     => Vector(other)
+        }
+        if (items.isEmpty) null // empty set -> NONE (queryinterpreter.cpp:3146)
+        else items.map(x => valueToSpark(x, et))
+      case _ => null
+    }
+  }
+
   // ------------------------------------------------------------------ private
   /** Tier B index pre-filter (SURVEY §4.1): when the whole script is one
     * each_row, a person whose rows never satisfy the (weakened, row-pure)

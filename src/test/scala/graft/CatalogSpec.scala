@@ -498,6 +498,48 @@ class CatalogSpec extends SparkSpec {
     assert(c == Seq(("u1", 20.0), ("u2", 1.0))) // update wins, new id appends
   }
 
+  test("OSL script customer-prop write-back (setGridProps semantics)") {
+    // mirrors docs/osl/language_reference.md "customer properties": a script
+    // assigns a declared is_customer prop; the interpreter detects the
+    // change and merges it back into the customer record.
+    val api = freshApi()
+    val meta = TableMeta("shop", Seq(
+      PropDef("product_price", "double"),
+      PropDef("total_spent", "double", isCustomer = true),
+      PropDef("tier", "text", isCustomer = true)), TableSettings())
+    api.tableCreate(meta)
+    val now = 1704067200000L
+    api.insert("shop", Seq(
+      """{"id":"u1","stamp":"1704067200","event":"purchase","product_price":9.5}""",
+      """{"id":"u1","stamp":"1704067300","event":"purchase","product_price":20.5}""",
+      """{"id":"u2","stamp":"1704067200","event":"purchase","product_price":5.0}""",
+      """{"id":"u3","stamp":"1704067200","event":"browse"}"""),
+      nowMs = now)
+    // pre-existing customer record: u2 has a tier the script never touches
+    // and a stale total the script overwrites
+    api.catalog.mergeCustomers("shop",
+      Seq(("u2", 999.0, "gold")).toDF("id", "total_spent", "tier"))
+
+    api.catalog.runPropWriteback("shop",
+      "total_spent = sum(product_price) where event.is(== 'purchase')",
+      nowMs = now + 1000)
+
+    val c = api.catalog.customers("shop")
+      .select("id", "total_spent", "tier").orderBy("id")
+      .as[(String, Double, Option[String])].collect().toSeq
+    assert(c == Seq(
+      ("u1", 30.0, None),          // new customer row created by the script
+      ("u2", 5.0, Some("gold")),   // overwritten total; untouched tier survives
+      ("u3", 0.0, None)))          // no purchases -> sum() = 0, still written
+    // reading a seeded prop: scripts see the stored value before assignment
+    api.catalog.runPropWriteback("shop",
+      "total_spent = total_spent + 1", nowMs = now + 2000)
+    val c2 = api.catalog.customers("shop")
+      .select("id", "total_spent").orderBy("id")
+      .as[(String, Double)].collect().toSeq
+    assert(c2 == Seq(("u1", 31.0), ("u2", 6.0), ("u3", 1.0)))
+  }
+
   test("bucket files are written (id, stamp)-clustered for row-group pruning") {
     val api = freshApi()
     api.tableCreate(highstreetMeta)
