@@ -1609,6 +1609,37 @@ object Queries {
           SELECT DISTINCT sg.id FROM sg JOIN r ON r.id = sg.id
           WHERE r.event = 'purchase' AND r.rn > sg.srn)""")),
 
+    // `.from(0)` absolute-restart chain step with a BACKWARD frame: for
+    // every signup, the purchases up to 1 day BEFORE it (prior-event
+    // attribution — a shape `.continue()` cursors can't reach). Round 5:
+    // compiles to bidirectional nearest-spawn witnesses on the one
+    // (id, stamp) sort (src/queryinterpreter.cpp:2440-2447 `.from` start).
+    Q("q_osl_from_restart",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |each_row where event.is(== 'signup')
+            |  each_row.from(0).look_back(1_days) where event.is(== 'purchase')
+            |    << 'prior_purchase', get_day_of_week(stamp)
+            |  end
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .where(col("depth") === 2)
+          .select(col("g2").as("dow"), col("customers"), col("n_rows"))
+      },
+      Some(s"""$E, pp AS (
+          SELECT DISTINCT p.id, p.stamp
+          FROM e p JOIN e s ON p.id = s.id AND s.event = 'signup'
+            AND p.stamp BETWEEN s.stamp - 86400000 AND s.stamp
+          WHERE p.event = 'purchase')
+        SELECT CAST(dayofweek(make_timestamp(stamp * 1000)) + 1 AS VARCHAR) AS dow,
+          COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows
+        FROM pp GROUP BY dow""")),
+
     // OSL histogram script: per-person inline aggregation -> bucket
     // (src/oloop_histogram.cpp semantics; fixed-point sums for parity).
     Q("q_osl_histogram",

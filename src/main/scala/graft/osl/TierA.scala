@@ -38,11 +38,13 @@ object TierA {
           // person — a cumulative-match-count cap on the same person sort
           topLimit <- limitOf(mods)
           // top-level `.from(k)` (literal): iteration starts at 0-based row
-          // index k — single loops only (a chain's nested cursor semantics
-          // under a shifted start stay Tier B)
+          // index k — single loops handle it below; chains thread it into
+          // level 0's eligibility (chainWitnesses __fc0)
           topFrom <- fromOf(mods)
-          levels <- extractLevels(er, topLimit, None, None, mods.reverse)
-          if topFrom.isEmpty || levels.size == 1
+          levels0 <- extractLevels(er, topLimit, None, None, mods.reverse)
+          levels = if (levels0.size > 1 && topFrom.isDefined)
+            levels0.head.copy(fromStart = topFrom) +: levels0.tail
+          else levels0
           tallies = levels.flatMap(_.tallies)
           if tallies.nonEmpty &&
             tallies.forall { case (_, gs) => gs.nonEmpty && gs.size <= OslEngine.MaxDepth } &&
@@ -92,7 +94,9 @@ object TierA {
           }.toMap
 
           if (levels.size == 1) {
-            val ChainLevel(where, lvlTallies, limitN, _, _, _) = levels.head
+            val where = levels.head.where
+            val lvlTallies = levels.head.tallies
+            val limitN = levels.head.limitN
             val predF = compileExpr(where, now, real).get
             val tallyPredsF = lvlTallies.map(_._1.map(p => compileExpr(p, now, real).get)
               .getOrElse(lit(true)))
@@ -228,46 +232,124 @@ object TierA {
       .rowsBetween(1, W.unboundedFollowing)
     val curRowsR = person.orderBy(col("stamp"))
       .rowsBetween(W.currentRow, W.unboundedFollowing)
+    val allRows = person.orderBy(col("stamp"))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     // level 0 visits every match, capped by a top-level `.limit(n)` (first
-    // — reverse: last — n where-matching rows per person)
-    val elig0: Column = levels.head.limitN match {
-      case None => lit(true)
-      case Some(n) =>
-        df = df.withColumn("__mc0", count(when(levelPreds.head, 1))
-          .over(if (levels.head.reverse) curRowsR else curRows))
-        col("__mc0") <= n
+    // — reverse: last — n where-matching rows per person) and floored by a
+    // top-level `.from(k)` (rows at 0-based index >= k; a reverse top
+    // starts AT index k and walks down, visiting nothing when the person
+    // has <= k rows — the interpreter's no-clamp start). Materialized as a
+    // column so later witness windows can reference it (a window expression
+    // can't nest inside another window's aggregate).
+    val head = levels.head
+    val fromCond0: Option[Column] = head.fromStart.map { k0 =>
+      df = df.withColumn("__fc0",
+        if (head.reverse)
+          col("__rn") <= k0 + 1 && count(lit(1)).over(allRows) > k0
+        else col("__rn") >= k0 + 1)
+      col("__fc0")
+    }
+    val elig0: Column = {
+      val fc = fromCond0.getOrElse(lit(true))
+      head.limitN match {
+        case None => fc
+        case Some(n) =>
+          df = df.withColumn("__mc0",
+            count(when(levelPreds.head && fc, 1))
+              .over(if (head.reverse) curRowsR else curRows))
+          fc && col("__mc0") <= n
+      }
     }
     var visited: Column = levelPreds.head && elig0
     val eligible: Seq[Column] = elig0 +: (1 until levels.length).map { k =>
       val rev = levels(k).reverse
-      // `.limit(n)`: the interpreter tallies a row only while its inner
-      // loop has made < n matches — i.e. the row's rank among where-matches
-      // strictly after (reverse: before) the witness is <= n. Carried as a
-      // cumulative match count: the witness remembers its own count, the
-      // row compares; the subtraction cancels direction.
-      levels(k).limitN.foreach { _ =>
-        df = df.withColumn(s"__mc$k",
-          count(when(levelPreds(k), 1)).over(if (rev) curRowsR else curRows))
-      }
       // an `if`-wrapped nested loop spawns only from parent rows satisfying
       // the guard — AND it into the witness condition
       val spawn = levels(k).guard
         .map(g => visited && compileExpr(g, now, real).get)
         .getOrElse(visited)
-      val wFields = Seq(col("__rn").as("rn"), col("stamp").as("st")) ++
-        levels(k).limitN.map(_ => col(s"__mc$k").as("mc"))
-      df = df.withColumn(s"__pv$k",
-        if (rev) min(when(spawn, struct(wFields: _*))).over(nextRows)
-        else max(when(spawn, struct(wFields: _*))).over(prevRows))
-      val witness = col(s"__pv$k")
-      var elig = witness.isNotNull
-      levels(k).spanMs.foreach { span =>
-        elig = elig &&
-          (if (rev) witness.getField("st") - col("stamp") <= span
-           else col("stamp") - witness.getField("st") <= span)
-      }
-      levels(k).limitN.foreach { n =>
-        elig = elig && (col(s"__mc$k") - witness.getField("mc") <= n)
+      val elig: Column = if (levels(k).isFromStep) {
+        // `.from(k)` step: the loop restarts at ABSOLUTE row `start` for
+        // every spawn, so (a) the row-index floor is spawn-independent,
+        // (b) an unframed step needs only SOME spawn anywhere in the
+        // person, (c) a framed step needs some spawn whose stamp brackets
+        // the row — the nearest at-or-before (max stamp) / at-or-after
+        // (min stamp) spawn is optimal per side, and a spawn may be the
+        // row itself — and (d) `.limit(n)` counts the same fixed match
+        // sequence every run, so the cap is the row's absolute rank among
+        // where-matches past the floor (limits are rejected on framed
+        // from-steps upstream: per-spawn counts diverge under a frame).
+        val start = levels(k).fromStart.get
+        val rowCond = col("__rn") >= start + 1
+        levels(k).limitN.foreach { _ =>
+          df = df.withColumn(s"__mc$k",
+            count(when(levelPreds(k) && rowCond, 1)).over(curRows))
+        }
+        val ahead = levels(k).spanMs
+        val back = levels(k).contraSpanMs
+        val frameElig: Column =
+          if (ahead.isEmpty && back.isEmpty) {
+            df = df.withColumn(s"__pv$k", max(when(spawn, lit(1))).over(allRows))
+            col(s"__pv$k").isNotNull
+          } else {
+            val sides = ahead.map { a =>
+              df = df.withColumn(s"__pv$k",
+                max(when(spawn, col("stamp"))).over(curRows))
+              col(s"__pv$k").isNotNull &&
+                (if (a == Long.MaxValue) lit(true)
+                 else col("stamp") - col(s"__pv$k") <= a)
+            }.toSeq ++ back.map { b =>
+              df = df.withColumn(s"__nv$k",
+                min(when(spawn, col("stamp"))).over(curRowsR))
+              col(s"__nv$k").isNotNull &&
+                (if (b == Long.MaxValue) lit(true)
+                 else col(s"__nv$k") - col("stamp") <= b)
+            }.toSeq
+            sides.reduce(_ || _)
+          }
+        var e = rowCond && frameElig
+        levels(k).limitN.foreach(n => e = e && col(s"__mc$k") <= n)
+        e
+      } else {
+        // `.limit(n)`: the interpreter tallies a row only while its inner
+        // loop has made < n matches — i.e. the row's rank among
+        // where-matches strictly after (reverse: before) the witness is
+        // <= n. Carried as a cumulative match count: the witness remembers
+        // its own count, the row compares; the subtraction cancels
+        // direction.
+        levels(k).limitN.foreach { _ =>
+          df = df.withColumn(s"__mc$k",
+            count(when(levelPreds(k), 1)).over(if (rev) curRowsR else curRows))
+        }
+        val wFields = Seq(col("__rn").as("rn"), col("stamp").as("st")) ++
+          levels(k).limitN.map(_ => col(s"__mc$k").as("mc"))
+        df = df.withColumn(s"__pv$k",
+          if (rev) min(when(spawn, struct(wFields: _*))).over(nextRows)
+          else max(when(spawn, struct(wFields: _*))).over(prevRows))
+        val witness = col(s"__pv$k")
+        var e = witness.isNotNull
+        levels(k).spanMs.foreach { span =>
+          e = e &&
+            (if (rev) witness.getField("st") - col("stamp") <= span
+             else col("stamp") - witness.getField("st") <= span)
+        }
+        // a frame pointing AGAINST the scan direction: the cursor-advanced
+        // scan only reaches rows past the witness, so the row must sit at
+        // the witness stamp itself (and within the span on that side) —
+        // usually empty, compiled honestly rather than interpreted slowly
+        levels(k).contraSpanMs.foreach { span =>
+          e = e &&
+            (if (rev)
+               col("stamp") >= witness.getField("st") &&
+                 col("stamp") - witness.getField("st") <= span
+             else
+               col("stamp") <= witness.getField("st") &&
+                 witness.getField("st") - col("stamp") <= span)
+        }
+        levels(k).limitN.foreach { n =>
+          e = e && (col(s"__mc$k") - witness.getField("mc") <= n)
+        }
+        e
       }
       visited = levelPreds(k) && elig
       elig
@@ -277,64 +359,115 @@ object TierA {
 
   /** One chain level: its where, its tallies, its `.limit(n)` match cap
     * (allowed on any level, including the top; None = unlimited), its
-    * cursor-anchored forward frame span in ms (None = unframed), and the
-    * `if` guard (evaluated at the PARENT row) under which the level's loop
-    * was entered (None = unconditional). */
+    * cursor-anchored frame spans in ms (`spanMs` points WITH the scan
+    * direction, `contraSpanMs` AGAINST it — a `.look_back` on a forward
+    * step; None = unframed on that side), the `if` guard (evaluated at the
+    * PARENT row) under which the level's loop was entered (None =
+    * unconditional), and — for `.from(k)` anchored levels — the absolute
+    * 0-based start row index (`.next()` already folded in). */
   final case class ChainLevel(where: Expr,
                               tallies: Seq[(Option[Expr], Seq[Expr])],
                               limitN: Option[Long],
                               spanMs: Option[Long],
                               guard: Option[Expr],
-                              reverse: Boolean = false)
+                              reverse: Boolean = false,
+                              contraSpanMs: Option[Long] = None,
+                              fromStart: Option[Long] = None,
+                              isFromStep: Boolean = false)
 
   /** Decompose a default-mods `each_row` into a chain of levels: each level
-    * may end in exactly one nested `each_row.continue().next()` (no
-    * from/reverse; `.limit(n)` with a positive literal on ANY chain level —
-    * the cumulative-count witness logic is per-level; frames must be
-    * cursor-anchored and forward-compatible; an else-less `if` wrapping the
-    * nested loop becomes that level's guard). None = not chain-shaped ->
-    * Tier B. */
+    * may end in exactly one nested `each_row.continue().next()` chain step
+    * (`.limit(n)` with a positive literal on ANY chain level — the
+    * cumulative-count witness logic is per-level; frames must be
+    * cursor-anchored with literal spans, in EITHER direction — a
+    * backward-pointing frame compiles to its honest witness-stamp bound),
+    * or one `each_row.from(k)` step (forward, literal k: the loop restarts
+    * at absolute row k per spawn — frames anchor at the spawn, limits only
+    * when unframed since per-spawn match counts diverge under a frame).
+    * An else-less `if` wrapping the nested loop becomes that level's
+    * guard. None = not chain-shaped -> Tier B. */
   private def extractLevels(top: EachRow, limitN: Option[Long] = None,
                             spanMs: Option[Long] = None,
                             guard: Option[Expr] = None,
-                            reverse: Boolean = false)
+                            reverse: Boolean = false,
+                            contraSpanMs: Option[Long] = None,
+                            fromStart: Option[Long] = None,
+                            isFromStep: Boolean = false)
       : Option[Seq[ChainLevel]] =
     flattenBody(top.body, None).flatMap { case (tallies, nested) =>
+      val head = ChainLevel(top.where, tallies, limitN, spanMs, guard,
+        reverse, contraSpanMs, fromStart, isFromStep)
       nested match {
-        case None =>
-          Some(Vector(ChainLevel(top.where, tallies, limitN, spanMs, guard, reverse)))
-        case Some((n, g)) =>
+        case None => Some(Vector(head))
+        case Some((n, g)) if n.mods.continueFrom =>
           for {
-            span <- chainSpan(n.mods.frame, n.mods.reverse)
+            (span, contra) <- chainSpan(n.mods.frame, n.mods.reverse)
             lim <- limitOf(n.mods)
-            rest <- extractLevels(n, lim, span, g, n.mods.reverse)
-          } yield ChainLevel(top.where, tallies, limitN, spanMs, guard, reverse) +: rest
+            rest <- extractLevels(n, lim, span, g, n.mods.reverse, contra)
+          } yield head +: rest
+        case Some((n, g)) =>
+          // `.from(k)` step: absolute restart, forward only
+          for {
+            k <- fromOf(n.mods).flatten
+            (ahead, back) <- fromStepFrame(n.mods.frame)
+            lim <- limitOf(n.mods)
+            if lim.isEmpty || (ahead.isEmpty && back.isEmpty)
+            rest <- extractLevels(n, lim, ahead, g, reverse = false, back,
+              Some(k + (if (n.mods.next) 1L else 0L)), isFromStep = true)
+          } yield head +: rest
       }
     }
 
-  /** A chain level's frame, when the compiler covers it: cursor-anchored
-    * `.look_ahead(span)` / `.within(span, stamp)` on a forward step (both
-    * reduce to `stamp <= anchor + span` over stamp-sorted rows), and the
-    * mirrored `.look_back(span)` / `.within(span, stamp)` on a `.reverse()`
-    * step (`stamp >= anchor - span`). Literal spans only; 'forever'
-    * (MaxValue) = unframed. Some(None) = no frame; None = unsupported. */
-  private def chainSpan(frame: Option[Frame], reverse: Boolean): Option[Option[Long]] = {
-    def span(e: Expr): Option[Long] = e match {
-      case Lit(VInt(i)) => Some(i)
-      case Lit(VDbl(d)) => Some(d.toLong)
-      case _ => None
-    }
+  /** A `.continue()` chain step's frame, when the compiler covers it:
+    * cursor-anchored literal spans as `(aligned, contra)` — aligned points
+    * with the scan (`.look_ahead` forward / `.look_back` reversed, and the
+    * binding half of `.within`), contra against it (the scan can only
+    * reach a contra row at the anchor stamp itself; the compiled
+    * witness-stamp bound evaluates that honestly). 'forever' (MaxValue)
+    * spans drop the non-binding bound. None = unsupported shape. */
+  private def chainSpan(frame: Option[Frame], reverse: Boolean)
+      : Option[(Option[Long], Option[Long])] = {
     frame match {
-      case None => Some(None)
-      case Some(LookAhead(s, None)) if !reverse =>
-        span(s).map(v => if (v == Long.MaxValue) None else Some(v))
-      case Some(LookBack(s, None)) if reverse =>
-        span(s).map(v => if (v == Long.MaxValue) None else Some(v))
+      case None => Some((None, None))
+      case Some(LookAhead(s, None)) =>
+        litSpan(s).map { v =>
+          if (!reverse) (if (v == Long.MaxValue) None else Some(v), None)
+          else (None, Some(v)) // against a reverse scan: stamp >= anchor
+        }
+      case Some(LookBack(s, None)) =>
+        litSpan(s).map { v =>
+          if (reverse) (if (v == Long.MaxValue) None else Some(v), None)
+          else (None, Some(v)) // against a forward scan: stamp <= anchor
+        }
       case Some(Within(s, anchor))
           if anchor == PropRef("stamp") || anchor == VarRef("stamp") =>
-        span(s).map(v => if (v == Long.MaxValue) None else Some(v))
+        // only the aligned half can bind on a cursor-advanced scan
+        litSpan(s).map(v => (if (v == Long.MaxValue) None else Some(v), None))
       case _ => None
     }
+  }
+
+  /** A `.from(k)` step's frame as `(aheadSpan, backSpan)` relative to the
+    * SPAWN stamp: the absolute restart walks the whole tail, so both frame
+    * halves can bind — `.look_ahead` keeps rows in [spawn, spawn+a],
+    * `.look_back` in [spawn-b, spawn], `.within` either side. MaxValue =
+    * direction-only bound (witness on that side, no span test). */
+  private def fromStepFrame(frame: Option[Frame])
+      : Option[(Option[Long], Option[Long])] = frame match {
+    case None => Some((None, None))
+    case Some(LookAhead(s, None)) => litSpan(s).map(v => (Some(v), None))
+    case Some(LookBack(s, None))  => litSpan(s).map(v => (None, Some(v)))
+    case Some(Within(s, anchor))
+        if anchor == PropRef("stamp") || anchor == VarRef("stamp") =>
+      litSpan(s).map(v =>
+        if (v == Long.MaxValue) (None, None) else (Some(v), Some(v)))
+    case _ => None
+  }
+
+  private def litSpan(e: Expr): Option[Long] = e match {
+    case Lit(VInt(i)) => Some(i)
+    case Lit(VDbl(d)) => Some(d.toLong)
+    case _ => None
   }
 
   /** The level's literal match cap: Some(None) = no limit, Some(Some(n))
@@ -354,8 +487,14 @@ object TierA {
     case _ => None
   }
 
+  /** A nested loop the chain compiler accepts: the classic
+    * `.continue().next()` cursor step (`.from` present is ignored — the
+    * interpreter gives `.continue` precedence when the cursor is live), or
+    * a forward `.from(k)` absolute-restart step with a literal k. */
   private def isChainStep(m: EachRowMods): Boolean =
-    m.continueFrom && m.next && m.from.isEmpty && limitOf(m).isDefined
+    (m.continueFrom && m.next && limitOf(m).isDefined) ||
+    (!m.continueFrom && !m.reverse && fromOf(m).exists(_.isDefined) &&
+      limitOf(m).isDefined)
 
   /** Single-tally fast path: Spark `rollup` generates every prefix node in
     * one pass with partial aggregation. */
@@ -735,12 +874,14 @@ object TierA {
       inner(er.body, None).flatMap {
         case Right(ret) =>
           Some((Seq(ChainLevel(er.where, Nil, limitN, spanMs, guard, reverse)), ret))
-        case Left((n, g)) =>
+        case Left((n, g)) if n.mods.continueFrom =>
           for {
-            span <- chainSpan(n.mods.frame, n.mods.reverse)
+            (span, contra) <- chainSpan(n.mods.frame, n.mods.reverse)
+            if contra.isEmpty // segment steps stay cursor-aligned
             lim <- limitOf(n.mods)
             (rest, ret) <- levelsOf(n, lim, span, g, n.mods.reverse)
           } yield (ChainLevel(er.where, Nil, limitN, spanMs, guard, reverse) +: rest, ret)
+        case Left(_) => None // `.from(k)` steps: query chains only
       }
     }
     code match {

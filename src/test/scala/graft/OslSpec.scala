@@ -407,15 +407,15 @@ class OslSpec extends SparkSpec {
         |  << product_name
         |end
         |""".stripMargin, data)
-    // chains under a shifted start stay Tier B
-    val pChainFrom = Parser.program(
+    // round 5: chains under a shifted top start compile too (__fc0 floor):
+    // u1's idx>=1 purchases are c@3h and d@4h; only c has a following one
+    tierDiff(
       """each_row.from(1) where event.is(== 'purchase')
-        |  each_row.continue().next() where event.is(== 'view')
+        |  each_row.continue().next() where event.is(== 'purchase')
         |    << product_name
         |  end
         |end
-        |""".stripMargin)
-    assert(TierA.compile(pChainFrom, highstreet, Tue, 1800000L).isEmpty)
+        |""".stripMargin, data)
   }
 
   test("Tier A ≡ Tier B: .reverse() chain steps (backward funnels)") {
@@ -643,13 +643,23 @@ class OslSpec extends SparkSpec {
         |  end
         |end
         |""".stripMargin)
-    declines( // backward frame on a forward chain step
-      """each_row where event.is(== 'signup')
-        |  each_row.continue().next().look_back(1_days) where event.is(== 'purchase')
-        |    << 'weird'
-        |  end
-        |end
-        |""".stripMargin)
+    // round 5: a backward frame on a forward chain step COMPILES (to its
+    // honest nothing-past-the-anchor bound) — the scan can't reach rows at
+    // or before the cursor, so both tiers agree on EMPTY
+    locally {
+      val script =
+        """each_row where product_name.is(== 'fly rod')
+          |  each_row.continue().next().look_back(1_days) where event.is(== 'purchase')
+          |    << 'weird'
+          |  end
+          |end
+          |""".stripMargin
+      val p = Parser.program(script)
+      assert(TierA.compile(p, highstreet, Tue, 1800000L).isDefined,
+        "expected the contra-framed chain to compile")
+      assert(OslEngine.query(highstreet, script, now = Tue).isEmpty)
+      assert(OslEngine.query(highstreet, script, now = Tue, forceTierB = true).isEmpty)
+    }
     declines( // if with an ELSE branch around the nested loop
       """each_row where event.is(== 'signup')
         |  if product_price.is(> 5)
@@ -661,6 +671,72 @@ class OslSpec extends SparkSpec {
         |  end
         |end
         |""".stripMargin)
+    declines( // from-step with BOTH a frame and a limit: per-spawn match
+      // counts diverge under the frame -> interpreter
+      """each_row where event.is(== 'signup')
+        |  each_row.from(0).look_back(1_days).limit(1) where event.is(== 'purchase')
+        |    << 'framed_limited'
+        |  end
+        |end
+        |""".stripMargin)
+    declines( // reverse from-step -> interpreter
+      """each_row where event.is(== 'signup')
+        |  each_row.from(3).reverse() where event.is(== 'purchase')
+        |    << 'rev_from'
+        |  end
+        |end
+        |""".stripMargin)
+  }
+
+  test("Tier A ≡ Tier B: .from(k) restart chain steps") {
+    val data = Seq(
+      ("u1", Mon + 1 * H, "purchase", "a", 10.0, Seq[String]()),
+      ("u1", Mon + 2 * H, "signup",   "s",  0.0, Seq[String]()),
+      ("u1", Mon + 3 * H, "view",     "b",  1.0, Seq[String]()),
+      ("u1", Mon + 4 * H, "purchase", "c", 20.0, Seq[String]()),
+      ("u2", Mon + 1 * H, "signup",   "s",  0.0, Seq[String]()),
+      ("u2", Mon + 30 * H, "purchase", "d", 5.0, Seq[String]()), // 29h gap
+      ("u3", Mon + 1 * H, "purchase", "e",  7.0, Seq[String]())  // no signup
+    ).toDF("id", "stamp", "event", "product_name", "product_price", "product_group")
+    // a from-step rescans from an ABSOLUTE row per spawn, so with
+    // .look_back it reaches rows BEFORE the spawning cursor — the search
+    // shape a .continue() chain cannot express (prior-event attribution):
+    // u1's purchase@1h is 1h before its signup; u2's purchase comes after
+    tierDiff(
+      """select
+        |  count id as customers
+        |  count event as n_rows
+        |end
+        |each_row where event.is(== 'signup')
+        |  each_row.from(0).look_back(1_days) where event.is(== 'purchase')
+        |    << 'prior_purchase', product_name
+        |  end
+        |end
+        |""".stripMargin, data)
+    // unframed with .next() and limit: the first 2 where-matches at
+    // index >= 2, once ANY spawn exists (u1's view@3h spawns; purchase@4h)
+    tierDiff(
+      """select
+        |  count id as customers
+        |end
+        |each_row where event.is(== 'view')
+        |  each_row.from(1).next().limit(2) where event.is(== 'purchase')
+        |    << 'early_purchases'
+        |  end
+        |end
+        |""".stripMargin, data)
+    // within-framed from-step: spawn stamp brackets the row on EITHER side
+    // (u1: purchases 1h before and 2h after its signup both qualify)
+    tierDiff(
+      """select
+        |  count id as customers
+        |end
+        |each_row where event.is(== 'signup')
+        |  each_row.from(0).within(1_days, stamp) where event.is(== 'purchase')
+        |    << 'near_signup'
+        |  end
+        |end
+        |""".stripMargin, data)
   }
 
   test("Tier A ≡ Tier B: limit(n) and if-guarded funnel chains") {

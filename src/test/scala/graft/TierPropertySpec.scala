@@ -157,19 +157,39 @@ class TierPropertySpec extends SparkSpec {
     guards <- Gen.listOfN(depth, Gen.option(Gen.oneOf(
       "event.is(!= 'error')", "product_price.is(> 20)",
       "event.ever(== 'signup')")))
+    // contra-directional frames (.look_back on a forward step, un-mirrored
+    // .look_ahead on a reverse step) compile to honest witness-stamp bounds
     frames <- Gen.listOfN(depth,
-      Gen.oneOf("", "", ".look_ahead(10_hours)", ".within(16_hours, stamp)"))
+      Gen.oneOf("", "", ".look_ahead(10_hours)", ".within(16_hours, stamp)",
+        ".look_back(14_hours)", ".look_ahead(6_hours)"))
     revs <- Gen.listOfN(depth, Gen.oneOf(false, false, true))
+    // `.from(k)` absolute-restart steps (forward; limit only when unframed)
+    fromSteps <- Gen.listOfN(depth, Gen.oneOf(false, false, true))
+    froms <- Gen.listOfN(depth, Gen.choose(0L, 6L))
+    fromNexts <- Gen.listOfN(depth, Gen.oneOf(true, false))
+    topFrom <- Gen.option(Gen.choose(0L, 5L))
   } yield {
     // innermost-out: each level may sit under an `if` guard in its parent
     var block: Seq[String] = Seq(s"<< 'L${depth - 1}', ${gs(depth - 1)}")
     for (k <- depth - 1 to 1 by -1) {
-      val lim = if (k == limitLevel) limitN.map(n => s".limit($n)").getOrElse("") else ""
-      // a .reverse() step walks backward: mirror the forward-only frame
-      val frame = if (revs(k) && frames(k) == ".look_ahead(10_hours)")
-        ".look_back(10_hours)" else frames(k)
-      val rev = if (revs(k)) ".reverse()" else ""
-      val head = s"each_row.continue().next()$rev$frame$lim where ${wheres(k)}"
+      val head = if (fromSteps(k)) {
+        val frame = frames(k) match {
+          case ".look_ahead(6_hours)" => "" // keep the option space small
+          case f => f
+        }
+        val lim = if (k == limitLevel && frame.isEmpty)
+          limitN.map(n => s".limit($n)").getOrElse("") else ""
+        val nxt = if (fromNexts(k)) ".next()" else ""
+        s"each_row.from(${froms(k)})$nxt$frame$lim where ${wheres(k)}"
+      } else {
+        val lim = if (k == limitLevel) limitN.map(n => s".limit($n)").getOrElse("") else ""
+        // mirror ONE look_ahead variant on reverse steps (aligned frame);
+        // the 6-hour variant stays un-mirrored to exercise contra frames
+        val frame = if (revs(k) && frames(k) == ".look_ahead(10_hours)")
+          ".look_back(10_hours)" else frames(k)
+        val rev = if (revs(k)) ".reverse()" else ""
+        s"each_row.continue().next()$rev$frame$lim where ${wheres(k)}"
+      }
       var inner = Seq(head) ++ block.map("  " + _) ++ Seq("end")
       guards(k).foreach { g =>
         inner = Seq(s"if $g") ++ inner.map("  " + _) ++ Seq("end")
@@ -178,8 +198,9 @@ class TierPropertySpec extends SparkSpec {
       block = tallyHere ++ inner
     }
     val topRev = if (revs(0)) ".reverse()" else ""
+    val topFromS = topFrom.map(j => s".from($j)").getOrElse("")
     val topLim = if (limitLevel == 0) limitN.map(n => s".limit($n)").getOrElse("") else ""
-    s"select\n  $sel\nend\neach_row$topRev$topLim where ${wheres(0)}\n" +
+    s"select\n  $sel\nend\neach_row$topFromS$topRev$topLim where ${wheres(0)}\n" +
       block.map("  " + _).mkString("\n") + "\nend\n"
   }
 
@@ -297,9 +318,9 @@ class TierPropertySpec extends SparkSpec {
     }
   }
 
-  test("random continue().next() chains: Tier A == Tier B (25 seeded samples)") {
+  test("random continue().next() chains: Tier A == Tier B (40 seeded samples)") {
     val params = Gen.Parameters.default
-    (1 to 25).foreach { i =>
+    (1 to 40).foreach { i =>
       val script = genChainScript.pureApply(params, Seed(i.toLong * 104729))
       val p = Parser.program(script)
       assert(TierA.compile(p, chainWorld, Mon + 100 * H, 1800000L).isDefined,
