@@ -58,6 +58,44 @@ object Queries {
     bands AS (${bandSigs.mkString(" UNION ALL ")})"""
   }
 
+  /** BPE merge training unrolled as a DuckDB CTE chain: `nMerges` is a fixed
+    * literal, so the driver loop in [[TextOps.trainBpeMerges]] becomes
+    * `m1..mN` (argmax pair per round, count desc / pair asc ties) over
+    * `w0..wN` word tables. The left-to-right non-overlapping merge
+    * application is exact via a paren-wrapped symbol encoding —
+    * `(a)(b)(c)`; `replace` on `(a)(b)` consumes whole symbols so adjacent
+    * matches can't half-overlap (the testdata charset is space + lowercase
+    * letters; parens verified absent at every SF). CTEs are MATERIALIZED:
+    * each level is referenced twice and DuckDB's default inlining would
+    * re-derive the whole prefix per reference (2^N blowup). */
+  private def bpeMergeCtes(nMerges: Int): String = {
+    val parts = Seq.newBuilder[String]
+    parts += """w0 AS MATERIALIZED (
+      SELECT string_split(w,'') AS syms, freq FROM (
+        SELECT token AS w, COUNT(*) AS freq FROM (
+          SELECT unnest(list_filter(string_split(text,' '), x -> len(x) > 0)) AS token
+          FROM documents) GROUP BY token))"""
+    for (i <- 1 to nMerges) {
+      val p = i - 1
+      parts += s"""m$i AS MATERIALIZED (
+        SELECT p[1] AS l, p[2] AS r, SUM(freq) AS cnt FROM (
+          SELECT unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS p, freq
+          FROM w$p WHERE len(syms) > 1)
+        GROUP BY 1, 2 ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)"""
+      parts += s"""w$i AS MATERIALIZED (
+        SELECT string_split(substr(mg, 2, len(mg)-2), ')(') AS syms, freq FROM (
+          SELECT replace('(' || array_to_string(syms, ')(') || ')',
+                         '(' || m.l || ')(' || m.r || ')',
+                         '(' || m.l || m.r || ')') AS mg, freq
+          FROM w$p, m$i m))"""
+    }
+    val union = (1 to nMerges)
+      .map(i => s"SELECT $i AS rank, l AS lhs, r AS rhs FROM m$i")
+      .mkString(" UNION ALL ")
+    parts += s"merges AS MATERIALIZED (SELECT * FROM ($union))"
+    parts.result().mkString(",\n")
+  }
+
   private val MinhashPairsSelect: String =
     """SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id"""
@@ -1892,9 +1930,10 @@ object Queries {
 
     // BPE merge training: the tokenizer-vocabulary induction step. Corpus
     // touched once (distinct-word frequency table); each merge iteration
-    // aggregates pair counts over that table only. Iterative driver loop ->
-    // not SQL-expressible, rows-only check; the spec pins hand-computed
-    // merges. Excluded from the bench sweep (12 iterations = 12 jobs).
+    // aggregates pair counts over that table only. nMerges=12 is a fixed
+    // literal, so the driver loop unrolls into a 12-step chained-CTE DuckDB
+    // oracle (bpeMergeCtes) — hash-exact, no longer rows-only. Excluded
+    // from the bench sweep (12 iterations = 12 jobs).
     Q("q_bpe_merges",
       (s, dir) => {
         val d = Tables.documents(s, dir)
@@ -1902,13 +1941,18 @@ object Queries {
         import s.implicits._
         merges.zipWithIndex
           .map { case ((a, b), i) => (i + 1L, a, b) }
-          .toDF("rank", "left", "right")
+          .toDF("rank", "lhs", "rhs")
       },
-      None, bench = false),
+      Some(s"""WITH ${bpeMergeCtes(12)}
+        SELECT CAST(rank AS BIGINT) AS rank, lhs, rhs FROM merges"""),
+      bench = false),
 
     // Tokenizer application: encode the corpus with the merges trained
-    // above; per-source sub-word token economy. Iterative/driver-assisted
-    // like training -> rows-only check.
+    // above; per-source sub-word token economy. The encode loop (apply the
+    // lowest-rank applicable merge until none apply) is a recursive CTE
+    // over the DISTINCT vocab: a word row recurses only while some merge's
+    // paren-wrapped pair occurs in its encoded form, so the per-word
+    // fixpoint is exactly the one non-recursing row.
     Q("q_bpe_encode",
       (s, dir) => {
         val d = Tables.documents(s, dir)
@@ -1919,7 +1963,33 @@ object Queries {
           .agg(sum(col("n_bpe_tokens")).as("bpe_tokens"),
             count(lit(1)).as("n_docs"))
       },
-      None, bench = false),
+      Some(s"""WITH RECURSIVE ${bpeMergeCtes(12)},
+        vocab AS MATERIALIZED (
+          SELECT DISTINCT unnest(list_filter(string_split(text,' '), x -> len(x) > 0)) AS w
+          FROM documents),
+        enc AS (
+          SELECT w, '(' || array_to_string(string_split(w,''), ')(') || ')' AS es FROM vocab
+          UNION ALL
+          SELECT e2.w, replace(e2.es, '('||mm.lhs||')('||mm.rhs||')', '('||mm.lhs||mm.rhs||')') AS es
+          FROM (
+            SELECT e.w, e.es,
+              (SELECT MIN(m2.rank) FROM merges m2
+                WHERE contains(e.es, '('||m2.lhs||')('||m2.rhs||')')) AS best
+            FROM enc e) e2
+          JOIN merges mm ON mm.rank = e2.best),
+        final AS (
+          SELECT w, len(string_split(substr(es, 2, len(es)-2), ')(')) AS ntok
+          FROM enc e
+          WHERE NOT EXISTS (SELECT 1 FROM merges m
+                            WHERE contains(e.es, '('||m.lhs||')('||m.rhs||')'))),
+        tok AS (
+          SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> len(x) > 0)) AS w
+          FROM documents),
+        dc AS (
+          SELECT t.doc_id, SUM(f.ntok) AS n FROM tok t JOIN final f USING (w) GROUP BY t.doc_id)
+        SELECT d.source, CAST(SUM(dc.n) AS BIGINT) AS bpe_tokens, COUNT(*) AS n_docs
+        FROM dc JOIN documents d USING (doc_id) GROUP BY d.source"""),
+      bench = false),
 
     // Canonical text normalization (NFC + lower + control-strip + whitespace
     // collapse): the cleaning step ahead of exact/near dedup. Counts how
