@@ -44,6 +44,9 @@ object Lexer {
     def isJoiner(t: Tok): Boolean = t match {
       case TOp(o) => Set("&&", "||", ",", "+", "-", "*", "/", "==", "!=",
         ">=", "<=", ">", "<", "=", "+=", "-=", "<<", ".").contains(o)
+      // the reference's scripts put the condition on the line AFTER
+      // `where` (README.md:167-171 `each_row where\n  product_group…`)
+      case TIdent("where") => true
       case _ => false
     }
 
