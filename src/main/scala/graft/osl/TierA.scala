@@ -30,9 +30,21 @@ object TierA {
       (if (program.select.nonEmpty) program.select
        else Seq(SelectCol("count", "id", "id", None, all = false))).toVector
 
-    program.code match {
+    // leading `n = 0`-style inits compile by DROPPING them: writeOnly
+    // below proves the assigned names are never read, so the assignments
+    // can't influence any result column (body accumulations likewise
+    // vanish inside flattenBody under the same proof)
+    val coreCode = program.code.dropWhile {
+      case Assign(VarRef(_), _, _) => true
+      case _ => false
+    }
+    coreCode match {
       case Seq(er @ EachRow(mods, _, _)) if isTopLoop(mods) =>
         for {
+          // assignments target write-only simple vars, or Tier B: the
+          // interpreter resolves bare names vars-first (Interpreter.lookup),
+          // so a read anywhere would observe the accumulation
+          writeOnly <- writeOnlyAssignedVars(program)
           // top-level `.limit(n)` (literal, positive) compiles: the visited
           // set is the first (reverse: last) n where-matching rows per
           // person — a cumulative-match-count cap on the same person sort
@@ -45,6 +57,14 @@ object TierA {
           levels = if (levels0.size > 1 && topFrom.isDefined)
             levels0.head.copy(fromStart = topFrom) +: levels0.tail
           else levels0
+          // a `var x` select dedups tallies on x's VALUE (Interpreter.tally
+          // dedup key) — inert for write-only accumulation only while the
+          // value is constant per row visit and visits can't repeat a row:
+          // assignments must lead their bodies (never sit between tallies)
+          // and `.from` restart steps (row revisits at different
+          // accumulated values) stay Tier B
+          if !selects.exists(s => s.agg == "var" && writeOnly(s.prop)) ||
+            (assignsLeadingOnly(program.code) && !levels.exists(_.isFromStep))
           tallies = levels.flatMap(_.tallies)
           if tallies.nonEmpty &&
             tallies.forall { case (_, gs) => gs.nonEmpty && gs.size <= OslEngine.MaxDepth } &&
@@ -573,6 +593,11 @@ object TierA {
     body.foldLeft(Option((Vector.empty[(Option[Expr], Seq[Expr])],
         Option.empty[(EachRow, Option[Expr])]))) {
       case (None, _) => None
+      // write-only accumulation before any tally of this body: dropped —
+      // compile() only proceeds when writeOnlyAssignedVars proves the
+      // names are never read (and guards the `var`-select dedup case)
+      case (s @ Some((acc, nested)), Assign(VarRef(_), _, _))
+          if acc.isEmpty && nested.isEmpty => s
       case (Some((acc, nested)), Tally(gs)) => Some((acc :+ (pred, gs), nested))
       case (Some((acc, nested)), If(c, thenB, elseB)) if elseB.isEmpty =>
         val combined = pred.map(p => BinOp("&&", p, c): Expr).orElse(Some(c))
@@ -584,6 +609,91 @@ object TierA {
         Some((acc, Some((e, pred))))
       case _ => None
     }
+
+  /** The program's assigned variable names, when every assignment is
+    * droppable: all targets are simple `VarRef`s and no assigned name is
+    * READ outside an assignment right-hand side. The interpreter resolves
+    * bare identifiers vars-first (Interpreter.lookup shadows row columns),
+    * so an assigned name appearing in a where / guard / tally group /
+    * comparator operand / frame / inline-agg would observe the accumulated
+    * value → Tier B. `PropTest.prop` and select props are NOT reads: the
+    * interpreter resolves those against row columns only
+    * (Interpreter.evalPropTest valueAt / rowValue). A never-read var can
+    * only reach the result through a `var x` select's dedup key, which
+    * [[compile]] guards separately. None = some assignment isn't provably
+    * inert. */
+  private def writeOnlyAssignedVars(program: Program): Option[Set[String]] = {
+    val assigned = Set.newBuilder[String]
+    var simple = true
+    val reads = Seq.newBuilder[Expr]
+    def frameExprs(f: Frame): Seq[Expr] = f match {
+      case Within(s, a)    => Seq(s, a)
+      case LookAhead(s, a) => s +: a.toSeq
+      case LookBack(s, a)  => s +: a.toSeq
+      case DateRange(s, e) => Seq(s, e)
+    }
+    def walk(sts: Seq[Stmt]): Unit = sts.foreach {
+      case Assign(VarRef(n), _, _) => assigned += n // rhs dropped with it
+      case Assign(_, _, _)         => simple = false
+      case If(c, b, e)             => reads += c; walk(b); walk(e)
+      case ForIn(_, it, b)         => reads += it; walk(b)
+      case EachRow(mods, w, b) =>
+        reads += w
+        mods.from.foreach(reads += _)
+        mods.limit.foreach(reads += _)
+        mods.frame.foreach(f => reads ++= frameExprs(f))
+        walk(b)
+      case Tally(gs)   => reads ++= gs
+      case Return(v)   => v.foreach(reads += _)
+      case ExprStmt(e) => reads += e
+      case _           => ()
+    }
+    walk(program.code)
+    val d = assigned.result()
+    if (!simple) return None
+    if (d.isEmpty) return Some(d)
+    def readsVar(e: Expr): Boolean = e match {
+      case VarRef(n)  => d(n)
+      case PropRef(n) => d(n)
+      case Lit(_)     => false
+      case ListLit(xs) => xs.exists(readsVar)
+      case SetLit(xs)  => xs.exists(readsVar)
+      case DictLit(ps) => ps.exists { case (k, v) => readsVar(k) || readsVar(v) }
+      case BinOp(_, l, r) => readsVar(l) || readsVar(r)
+      case UnOp(_, x)     => readsVar(x)
+      case Call(_, as)    => as.exists(readsVar)
+      case MethodCall(r0, _, as) => readsVar(r0) || as.exists(readsVar)
+      case Subscript(r0, i)      => readsVar(r0) || readsVar(i)
+      case PropTest(_, _, cmp, frame, _) =>
+        readsVar(cmp.operand) || frame.exists(frameExprs(_).exists(readsVar))
+      case InlineAgg(_, arg, frame, _, w) =>
+        arg.exists(readsVar) || readsVar(w) ||
+          frame.exists(frameExprs(_).exists(readsVar))
+    }
+    if (reads.result().exists(readsVar)) None else Some(d)
+  }
+
+  /** True when assignments appear only as LEADING statements of the
+    * top-level code and of each_row bodies — i.e. no tally can execute
+    * before an assignment within one row visit (the `var`-select dedup
+    * precondition; see [[compile]]). Assignments inside `if` bodies or
+    * after a body's first non-assignment fail. */
+  private def assignsLeadingOnly(sts: Seq[Stmt]): Boolean = {
+    def noAssigns(b: Seq[Stmt]): Boolean = b.forall {
+      case _: Assign       => false
+      case If(_, t, e)     => noAssigns(t) && noAssigns(e)
+      case EachRow(_, _, b2) => noAssigns(b2)
+      case ForIn(_, _, b2) => noAssigns(b2)
+      case _               => true
+    }
+    sts.dropWhile(_.isInstanceOf[Assign]).forall {
+      case _: Assign         => false
+      case If(_, t, e)       => noAssigns(t) && noAssigns(e)
+      case EachRow(_, _, b2) => assignsLeadingOnly(b2)
+      case ForIn(_, _, b2)   => noAssigns(b2)
+      case _                 => true
+    }
+  }
 
   /** Un-shifted ever/never tests compile to window-exists columns over the
     * customer's history (the interpreter scans all rows within the frame
@@ -1168,10 +1278,11 @@ object TierA {
     case "max" => Some(s.alias -> max(col(s.prop).cast("double")))
     case "avg" => Some(s.alias -> graft.functions.AggFns.davg(col(s.prop).cast("double")))
     case "var" if s.withKey.isEmpty =>
-      // Tier-A-able bodies contain no assignments, so the select variable
-      // is always nil and the dedup key (node, nil, row) reduces to one
-      // count per deduped row per node (queryinterpreter.cpp:242-244,
-      // 306-311)
+      // the dedup key (node, var value, row) reduces to one count per
+      // deduped row per node (queryinterpreter.cpp:242-244, 306-311):
+      // either the variable is never assigned (always nil), or compile()'s
+      // write-only + leading-assignment + no-`.from` guard proves its
+      // value is constant per row visit and visits never repeat a row
       Some(s.alias -> count(lit(1)))
     case _ => None // remaining with-key variants -> Tier B
   }

@@ -274,6 +274,88 @@ class OslSpec extends SparkSpec {
     assert(TierA.compile(p4, highstreet, Tue, 1800000L).isDefined)
   }
 
+  test("Tier A write-only accumulations: compiled when unread, declined when read") {
+    // the q_osl_var_tally idiom — init + leading accumulation + var select —
+    // compiles (round 5): the variable is never read and dedup stays per-row
+    val varTally =
+      """select
+        |  count id as customers
+        |  var n as hits
+        |end
+        |n = 0
+        |each_row where event.is(== 'purchase')
+        |  n = n + 1
+        |  << product_name
+        |end
+        |""".stripMargin
+    assert(TierA.compile(Parser.program(varTally), highstreet, Tue, 1800000L).isDefined)
+    tierDiff(varTally)
+    // reading the accumulated value (tally group) observes the sequence -> Tier B
+    val read = Parser.program(
+      """select
+        |  count id as customers
+        |end
+        |n = 0
+        |each_row where event.is(== 'purchase')
+        |  n = n + 1
+        |  << bucket(n, 2)
+        |end
+        |""".stripMargin)
+    assert(TierA.compile(read, highstreet, Tue, 1800000L).isEmpty)
+    // assignment AFTER a tally with a `var` select on the assigned name:
+    // the dedup key changes between tallies -> Tier B (leading-only rule)
+    val late = Parser.program(
+      """select
+        |  var n as hits
+        |end
+        |each_row where event.is(== 'purchase')
+        |  << product_name
+        |  n = n + 1
+        |  << 'again', product_name
+        |end
+        |""".stripMargin)
+    assert(TierA.compile(late, highstreet, Tue, 1800000L).isEmpty)
+    // same late assignment WITHOUT a var select is inert -> compiles
+    val lateNoVar =
+      """select
+        |  count id as customers
+        |end
+        |each_row where event.is(== 'purchase')
+        |  << product_name
+        |  n = n + 1
+        |end
+        |""".stripMargin
+    assert(TierA.compile(Parser.program(lateNoVar), highstreet, Tue, 1800000L).isEmpty)
+    // (body assignments after a tally stay Tier B even unread — flattenBody
+    // only drops LEADING ones — but leading unread accumulation compiles)
+    val leadNoVar =
+      """select
+        |  count id as customers
+        |end
+        |each_row where event.is(== 'purchase')
+        |  n = n + 1
+        |  << product_name
+        |end
+        |""".stripMargin
+    assert(TierA.compile(Parser.program(leadNoVar), highstreet, Tue, 1800000L).isDefined)
+    tierDiff(leadNoVar)
+    // `.from` restart chain + var select on the assigned name -> Tier B
+    // (row revisits at different accumulated values break the dedup proof)
+    val fromVar = Parser.program(
+      """select
+        |  var n as hits
+        |end
+        |each_row where event.is(== 'cart_item')
+        |  n = n + 1
+        |  << 'outer', product_name
+        |  each_row.from(0) where event.is(== 'cart_item')
+        |    << 'inner', product_name
+        |  end
+        |end
+        |""".stripMargin)
+    assert(TierA.compile(fromVar, highstreet, Tue, 1800000L).isEmpty)
+  }
+
   private def tierDiff(script: String,
                        data: org.apache.spark.sql.DataFrame = highstreet): Unit = {
     val p = Parser.program(script)
@@ -905,8 +987,9 @@ class OslSpec extends SparkSpec {
         |  << product_name
         |end
         |""".stripMargin)
-    // a script that ASSIGNS the var stays Tier B
-    assert(TierA.compile(Parser.program(
+    // a script that ASSIGNS the var compiles too (round 5): write-only
+    // accumulation leading its body keeps the dedup per-row
+    tierDiff(
       """select
         |  var n as hits
         |end
@@ -914,7 +997,7 @@ class OslSpec extends SparkSpec {
         |  n = n + 1
         |  << product_name
         |end
-        |""".stripMargin), highstreet, Tue, 1800000L).isEmpty)
+        |""".stripMargin)
   }
 
   test("Tier A ≡ Tier B: `value` selects (numeric and text, last write wins)") {

@@ -36,10 +36,23 @@ class PlanSpec extends SparkSpec {
   test("Tier-A-able OSL scripts never interpret (no MapGroups in plan)") {
     for (q <- Seq("q_osl_event_tally", "q_osl_ever_multitally", "q_osl_chain_funnel",
         "q_osl_framed_funnel", "q_osl_guarded_funnel", "q_osl_reverse_funnel",
-        "q_osl_funnel_segment", "q_osl_segments", "q_osl_histogram"))
+        "q_osl_funnel_segment", "q_osl_segments", "q_osl_histogram",
+        "q_osl_var_tally")) // var_tally: write-only accumulation compiles (round 5)
       assert(!plan(q).contains("MapGroups"), s"$q fell back to Tier B")
-    // and the interpreter-only shapes do (sanity that the probe works)
-    assert(plan("q_osl_var_tally").contains("MapGroups"))
+    // and an interpreter-only shape does (sanity that the probe works):
+    // reading the accumulated var observes the row sequence -> Tier B
+    val tierB = graft.osl.OslEngine.query(
+      Tables.events(spark, dir),
+      """select
+        |  count id as customers
+        |end
+        |n = 0
+        |each_row where event.is(== 'purchase')
+        |  n = n + 1
+        |  << bucket(n, 2)
+        |end
+        |""".stripMargin, now = Queries.OslNow)
+    assert(tierB.queryExecution.executedPlan.toString.contains("MapGroups"))
   }
 
   test("spark.sql works over the registered views (SQL surface)") {

@@ -56,20 +56,33 @@ class TierPropertySpec extends SparkSpec {
       "var v as deduped_hits")).map(extra =>
     ("count id as customers" +: extra.toSeq).mkString("\n  "))
 
+  // write-only accumulations (round 5): an optional `x = 0` init before the
+  // loop plus a leading body accumulation — never read, so Tier A drops
+  // them; `v` is the `var v` select name (exercises the dedup-key guard),
+  // the others are plain unread vars
+  private val genAccum: Gen[Option[(String, String)]] = Gen.option(Gen.oneOf(
+    ("v = 0", "v = v + 1"),
+    ("acc_total = 0", "acc_total = acc_total + product_price"),
+    ("", "acc_hits += 1"),
+    ("seen_rows = 0", "seen_rows = seen_rows + int(product_price > 10)")))
+
   private val genScript: Gen[String] = for {
     sel <- genSelect
     where <- genWhere
     g1 <- genGroup
     g2 <- Gen.option(genGroup)
     cond <- Gen.option(genCmp.suchThat(!_.contains("ever") pipe identity))
+    accum <- genAccum
   } yield {
     val groups = (Seq(g1) ++ g2.toSeq).mkString(", ")
+    val acc = accum.map { case (_, a) => s"  $a\n" }.getOrElse("")
+    val init = accum.collect { case (i, _) if i.nonEmpty => s"$i\n" }.getOrElse("")
     val body = cond match {
       case Some(c) if !c.contains("ever") && !c.contains("never") =>
-        s"  << $groups\n  if $c\n    << 'extra', $groups\n  end"
-      case _ => s"  << $groups"
+        s"$acc  << $groups\n  if $c\n    << 'extra', $groups\n  end"
+      case _ => s"$acc  << $groups"
     }
-    s"select\n  $sel\nend\neach_row where $where\n$body\nend\n"
+    s"select\n  $sel\nend\n${init}each_row where $where\n$body\nend\n"
   }
 
   implicit class PipeOps[A](a: A) { def pipe[B](f: A => B): B = f(a) }
@@ -168,9 +181,15 @@ class TierPropertySpec extends SparkSpec {
     froms <- Gen.listOfN(depth, Gen.choose(0L, 6L))
     fromNexts <- Gen.listOfN(depth, Gen.oneOf(true, false))
     topFrom <- Gen.option(Gen.choose(0L, 5L))
+    // write-only accumulators at level heads (NOT the `var v` select name:
+    // assignment to it plus a `.from` revisit step is Tier B by design)
+    accums <- Gen.listOfN(depth, Gen.oneOf("", "", "acc += 1",
+      "acc = acc + product_price"))
   } yield {
     // innermost-out: each level may sit under an `if` guard in its parent
-    var block: Seq[String] = Seq(s"<< 'L${depth - 1}', ${gs(depth - 1)}")
+    var block: Seq[String] =
+      (if (accums(depth - 1).nonEmpty) Seq(accums(depth - 1)) else Nil) :+
+        s"<< 'L${depth - 1}', ${gs(depth - 1)}"
     for (k <- depth - 1 to 1 by -1) {
       val head = if (fromSteps(k)) {
         val frame = frames(k) match {
@@ -195,7 +214,8 @@ class TierPropertySpec extends SparkSpec {
         inner = Seq(s"if $g") ++ inner.map("  " + _) ++ Seq("end")
       }
       val tallyHere = if (tallyOuter) Seq(s"<< 'L${k - 1}', ${gs(k - 1)}") else Nil
-      block = tallyHere ++ inner
+      val accHere = if (accums(k - 1).nonEmpty) Seq(accums(k - 1)) else Nil
+      block = accHere ++ tallyHere ++ inner
     }
     val topRev = if (revs(0)) ".reverse()" else ""
     val topFromS = topFrom.map(j => s".from($j)").getOrElse("")
