@@ -1529,6 +1529,49 @@ object Queries {
         COUNT(DISTINCT id) AS customers, COUNT(*) AS hits
         FROM e WHERE event = 'purchase' GROUP BY g1""")),
 
+    // READ accumulator (round 5): the per-person purchase index drives both
+    // a tally group and an if-guard. Tier A compiles the variable to a
+    // running-count window over the visited rows — one sort-shuffle, no
+    // interpreter (OslSpec pins Tier A ≡ Tier B for this shape). Counts
+    // only: rank assignment among same-stamp ties is arbitrary in both
+    // engines, but tied rows share their stamp (hence day-of-week), so
+    // count-type selects are tie-order-independent.
+    Q("q_osl_accum_tally",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |each_row where event.is(== 'purchase')
+            |  n = n + 1
+            |  if n <= 3
+            |    << n, get_day_of_week(stamp)
+            |  end
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"))
+      },
+      Some(s"""$E, p AS (
+          SELECT id, stamp,
+                 ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS n
+          FROM e WHERE event = 'purchase'),
+        q AS (
+          SELECT CAST(n AS VARCHAR) AS g1,
+                 CAST(dayofweek(make_timestamp(stamp * 1000)) + 1 AS VARCHAR) AS g2,
+                 id
+          FROM p WHERE n <= 3)
+        SELECT CAST(2 AS INTEGER) AS depth, g1, g2,
+          COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows
+        FROM q GROUP BY g1, g2
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), g1, CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*)
+        FROM q GROUP BY g1""")),
+
     // Tier A widened shapes in one script: an unframed `ever` person
     // predicate (window-exists, no interpreter) + an unconditional tally +
     // an if-wrapped tally — compiles to filter/explode/dedup/hash-agg with

@@ -41,10 +41,12 @@ object TierA {
     coreCode match {
       case Seq(er @ EachRow(mods, _, _)) if isTopLoop(mods) =>
         for {
-          // assignments target write-only simple vars, or Tier B: the
-          // interpreter resolves bare names vars-first (Interpreter.lookup),
-          // so a read anywhere would observe the accumulation
-          writeOnly <- writeOnlyAssignedVars(program)
+          // assignments target write-only simple vars (dropped) or integer
+          // read-accumulators (materialized as running-count windows below);
+          // anything else is Tier B: the interpreter resolves bare names
+          // vars-first (Interpreter.lookup), so an unmodeled read would
+          // observe the accumulation
+          (writeOnly, accums) <- classifyVars(program)
           // top-level `.limit(n)` (literal, positive) compiles: the visited
           // set is the first (reverse: last) n where-matching rows per
           // person — a cumulative-match-count cap on the same person sort
@@ -53,7 +55,10 @@ object TierA {
           // index k — single loops handle it below; chains thread it into
           // level 0's eligibility (chainWitnesses __fc0)
           topFrom <- fromOf(mods)
-          levels0 <- extractLevels(er, topLimit, None, None, mods.reverse)
+          // reads of accumulated names compile to their window column
+          erC = if (accums.isEmpty) er
+                else substAccums(er, accums.map(_._1).toSet)
+          levels0 <- extractLevels(erC, topLimit, None, None, mods.reverse)
           levels = if (levels0.size > 1 && topFrom.isDefined)
             levels0.head.copy(fromStart = topFrom) +: levels0.tail
           else levels0
@@ -65,6 +70,9 @@ object TierA {
           // accumulated values) stay Tier B
           if !selects.exists(s => s.agg == "var" && writeOnly(s.prop)) ||
             (assignsLeadingOnly(program.code) && !levels.exists(_.isFromStep))
+          // accumulator windows count the SINGLE top loop's visited rows;
+          // classifyVars already rejects nested loops on the read path
+          if accums.isEmpty || levels.size == 1
           tallies = levels.flatMap(_.tallies)
           if tallies.nonEmpty &&
             tallies.forall { case (_, gs) => gs.nonEmpty && gs.size <= OslEngine.MaxDepth } &&
@@ -155,6 +163,20 @@ object TierA {
                 base1.withColumn("__mc0", cum)
                   .where(effPred && col("__mc0") <= n).drop("__mc0")
             }).drop("__rn0", "__cnt0")
+            // read-accumulator variables: every row of `filtered0` IS a
+            // visited row, so the value every body read observes —
+            // init + inc × (1-based visit index), assignments lead the body
+            // — is a running count in scan order (reverse tops walk
+            // backward, so their visit index counts from the scan's end)
+            val withAcc = accums.foldLeft(filtered0) {
+              case (df, (n, init, inc)) =>
+                df.withColumn(s"__acc_$n",
+                  lit(init) + lit(inc) * count(lit(1)).over(
+                    if (mods.reverse)
+                      frame.rowsBetween(W.currentRow, W.unboundedFollowing)
+                    else
+                      frame.rowsBetween(W.unboundedPreceding, W.currentRow)))
+            }
             // per-person write rank for `value` selects (merge key): counts
             // the WRITING rows — tally predicate satisfied, source non-null.
             // A reverse top scans backward, so its LAST write is the
@@ -165,7 +187,7 @@ object TierA {
               if (mods.reverse) f.rowsBetween(W.currentRow, W.unboundedFollowing)
               else f.rowsBetween(W.unboundedPreceding, W.currentRow)
             }
-            val filtered = selects.zipWithIndex.foldLeft(filtered0) {
+            val filtered = selects.zipWithIndex.foldLeft(withAcc) {
               case (df, (s, j)) if s.agg == "value" =>
                 df.withColumn(s"__vq_$j",
                   count(when(writePred && col(s.prop).isNotNull, 1))
@@ -610,33 +632,24 @@ object TierA {
       case _ => None
     }
 
-  /** The program's assigned variable names, when every assignment is
-    * droppable: all targets are simple `VarRef`s and no assigned name is
-    * READ outside an assignment right-hand side. The interpreter resolves
-    * bare identifiers vars-first (Interpreter.lookup shadows row columns),
-    * so an assigned name appearing in a where / guard / tally group /
-    * comparator operand / frame / inline-agg would observe the accumulated
-    * value → Tier B. `PropTest.prop` and select props are NOT reads: the
-    * interpreter resolves those against row columns only
-    * (Interpreter.evalPropTest valueAt / rowValue). A never-read var can
-    * only reach the result through a `var x` select's dedup key, which
-    * [[compile]] guards separately. None = some assignment isn't provably
-    * inert. */
-  private def writeOnlyAssignedVars(program: Program): Option[Set[String]] = {
-    val assigned = Set.newBuilder[String]
-    var simple = true
+  private def frameExprs(f: Frame): Seq[Expr] = f match {
+    case Within(s, a)    => Seq(s, a)
+    case LookAhead(s, a) => s +: a.toSeq
+    case LookBack(s, a)  => s +: a.toSeq
+    case DateRange(s, e) => Seq(s, e)
+  }
+
+  /** Every expression the interpreter evaluates OUTSIDE assignment
+    * right-hand sides — the read positions that can observe a script
+    * variable. (An assignment's rhs is evaluated too, but its value only
+    * flows into the assigned variable, so for classification it lives or
+    * dies with the assignment itself.) */
+  private def readPositions(sts: Seq[Stmt]): Seq[Expr] = {
     val reads = Seq.newBuilder[Expr]
-    def frameExprs(f: Frame): Seq[Expr] = f match {
-      case Within(s, a)    => Seq(s, a)
-      case LookAhead(s, a) => s +: a.toSeq
-      case LookBack(s, a)  => s +: a.toSeq
-      case DateRange(s, e) => Seq(s, e)
-    }
-    def walk(sts: Seq[Stmt]): Unit = sts.foreach {
-      case Assign(VarRef(n), _, _) => assigned += n // rhs dropped with it
-      case Assign(_, _, _)         => simple = false
-      case If(c, b, e)             => reads += c; walk(b); walk(e)
-      case ForIn(_, it, b)         => reads += it; walk(b)
+    def walk(ss: Seq[Stmt]): Unit = ss.foreach {
+      case Assign(_, _, _) => () // rhs dropped with the assignment
+      case If(c, b, e)     => reads += c; walk(b); walk(e)
+      case ForIn(_, it, b) => reads += it; walk(b)
       case EachRow(mods, w, b) =>
         reads += w
         mods.from.foreach(reads += _)
@@ -648,29 +661,218 @@ object TierA {
       case ExprStmt(e) => reads += e
       case _           => ()
     }
+    walk(sts)
+    reads.result()
+  }
+
+  /** Does `e` read (bare-name lookup) any name satisfying `d`? The
+    * interpreter resolves bare identifiers vars-first (Interpreter.lookup
+    * shadows row columns). `PropTest.prop` and select props are NOT reads:
+    * the interpreter resolves those against row columns only
+    * (Interpreter.evalPropTest valueAt / rowValue). */
+  private def readsName(e: Expr, d: String => Boolean): Boolean = e match {
+    case VarRef(n)  => d(n)
+    case PropRef(n) => d(n)
+    case Lit(_)     => false
+    case ListLit(xs) => xs.exists(readsName(_, d))
+    case SetLit(xs)  => xs.exists(readsName(_, d))
+    case DictLit(ps) => ps.exists { case (k, v) => readsName(k, d) || readsName(v, d) }
+    case BinOp(_, l, r) => readsName(l, d) || readsName(r, d)
+    case UnOp(_, x)     => readsName(x, d)
+    case Call(_, as)    => as.exists(readsName(_, d))
+    case MethodCall(r0, _, as) => readsName(r0, d) || as.exists(readsName(_, d))
+    case Subscript(r0, i)      => readsName(r0, d) || readsName(i, d)
+    case PropTest(_, _, cmp, frame, _) =>
+      readsName(cmp.operand, d) || frame.exists(frameExprs(_).exists(readsName(_, d)))
+    case InlineAgg(_, arg, frame, _, w) =>
+      arg.exists(readsName(_, d)) || readsName(w, d) ||
+        frame.exists(frameExprs(_).exists(readsName(_, d)))
+  }
+
+  /** The program's assigned variable names, when every assignment is
+    * droppable: all targets are simple `VarRef`s and no assigned name is
+    * READ outside an assignment right-hand side. A never-read var can
+    * only reach the result through a `var x` select's dedup key, which
+    * [[compile]] guards separately. None = some assignment isn't provably
+    * inert (a read exists, or a target is a container/customer prop). */
+  private def writeOnlyAssignedVars(program: Program): Option[Set[String]] = {
+    val assigned = Set.newBuilder[String]
+    var simple = true
+    def walk(sts: Seq[Stmt]): Unit = sts.foreach {
+      case Assign(VarRef(n), _, _) => assigned += n
+      case Assign(_, _, _)         => simple = false
+      case If(_, b, e)             => walk(b); walk(e)
+      case ForIn(_, _, b)          => walk(b)
+      case EachRow(_, _, b)        => walk(b)
+      case _                       => ()
+    }
     walk(program.code)
     val d = assigned.result()
     if (!simple) return None
     if (d.isEmpty) return Some(d)
-    def readsVar(e: Expr): Boolean = e match {
-      case VarRef(n)  => d(n)
-      case PropRef(n) => d(n)
-      case Lit(_)     => false
-      case ListLit(xs) => xs.exists(readsVar)
-      case SetLit(xs)  => xs.exists(readsVar)
-      case DictLit(ps) => ps.exists { case (k, v) => readsVar(k) || readsVar(v) }
-      case BinOp(_, l, r) => readsVar(l) || readsVar(r)
-      case UnOp(_, x)     => readsVar(x)
-      case Call(_, as)    => as.exists(readsVar)
-      case MethodCall(r0, _, as) => readsVar(r0) || as.exists(readsVar)
-      case Subscript(r0, i)      => readsVar(r0) || readsVar(i)
-      case PropTest(_, _, cmp, frame, _) =>
-        readsVar(cmp.operand) || frame.exists(frameExprs(_).exists(readsVar))
-      case InlineAgg(_, arg, frame, _, w) =>
-        arg.exists(readsVar) || readsVar(w) ||
-          frame.exists(frameExprs(_).exists(readsVar))
+    if (readPositions(program.code).exists(readsName(_, d))) None else Some(d)
+  }
+
+  /** Interpreter builtins win bare-name lookup over script vars
+    * (Interpreter.lookup) — an "accumulator" with one of these names would
+    * actually read the builtin, so classification declines it. */
+  private val builtinNames = Set("now", "cursor", "row_count", "first_stamp",
+    "last_stamp", "session_count", "id", "stamp", "event_time")
+
+  /** Classify the program's assigned variable names into (write-only names,
+    * integer read-accumulators `(name, init, incPerVisit)`), or None when
+    * some assignment fits neither class (→ Tier B).
+    *
+    * Write-only names compile by dropping their assignments
+    * ([[writeOnlyAssignedVars]]). A READ name compiles as an accumulator
+    * when its value at every read site is provably
+    * `init + inc × (1-based visited-row index)`:
+    *  - exactly one top-level leading init `n = <int literal>`;
+    *  - every other assignment to n is a LEADING statement of the single
+    *    top-level loop's body — `n = n ± <int lit>` / `n += <int lit>` /
+    *    `n -= <int lit>` — so each visited row adds one constant BEFORE
+    *    any read of the visit executes (a read between two increments
+    *    would observe a partial sum; leading-only rules that out);
+    *  - reads appear only inside that body (if-conditions / tally groups /
+    *    is-test operands — positions [[compile]] rewrites to the window
+    *    column via [[substAccums]]), never in the loop's `where` (evaluated
+    *    PRE-increment), never inside an ever/never test (those compile as
+    *    windows over the pre-filter frame, where the accumulator column
+    *    doesn't exist), and never named by a select (`var`/`value` dedup
+    *    keys would observe per-row values);
+    *  - the name shadows no interpreter builtin (those win lookup), and
+    *    the body nests no loop (per-spawn accumulation is not one window).
+    * Reads in positions the expression compiler declines anyway (inline
+    * aggs, containers, method calls, framed is-tests) need no special
+    * handling — compile() falls back to Tier B on them. Integer literals
+    * only: both tiers then accumulate in exact long arithmetic
+    * (Value.plus VInt+VInt), so tally keys and comparisons agree. */
+  private def classifyVars(program: Program)
+      : Option[(Set[String], Seq[(String, Long, Long)])] = {
+    writeOnlyAssignedVars(program) match {
+      case Some(w) => return Some((w, Nil))
+      case None    => ()
     }
-    if (reads.result().exists(readsVar)) None else Some(d)
+    // mirror compile()'s core-shape split: leading inits + one top loop
+    val (inits, rest) = program.code.span {
+      case Assign(VarRef(_), _, _) => true
+      case _ => false
+    }
+    val er = rest match {
+      case Seq(e: EachRow) if isTopLoop(e.mods) => e
+      case _ => return None
+    }
+    def isVarAssign(s: Stmt): Boolean = s match {
+      case Assign(VarRef(_), _, _) => true
+      case _ => false
+    }
+    def hasAssign(sts: Seq[Stmt]): Boolean = sts.exists {
+      case _: Assign        => true
+      case If(_, t, e2)     => hasAssign(t) || hasAssign(e2)
+      case EachRow(_, _, b) => hasAssign(b)
+      case ForIn(_, _, b)   => hasAssign(b)
+      case _                => false
+    }
+    def hasLoop(sts: Seq[Stmt]): Boolean = sts.exists {
+      case _: EachRow | _: ForIn => true
+      case If(_, t, e2)          => hasLoop(t) || hasLoop(e2)
+      case _                     => false
+    }
+    val bodyAssigns = er.body.takeWhile(isVarAssign).collect { case a: Assign => a }
+    val bodyRest = er.body.dropWhile(isVarAssign)
+    if (hasAssign(bodyRest) || hasLoop(er.body)) return None
+    val initAssigns = inits.collect { case a: Assign => a }
+    val d: Set[String] =
+      (initAssigns ++ bodyAssigns).collect { case Assign(VarRef(n), _, _) => n }.toSet
+    if (d.exists(builtinNames)) return None
+    val allReads = readPositions(program.code)
+    val readNames = d.filter(n => allReads.exists(readsName(_, Set(n))))
+    val writeOnly = d -- readNames
+    val dR: String => Boolean = readNames
+    // no reads where the window column can't exist or semantics differ
+    if (readsName(er.where, dR)) return None
+    if (program.select.exists(s => dR(s.prop) || s.withKey.exists(dR))) return None
+    def everReads(e: Expr): Boolean = e match {
+      case PropTest(_, k, cmp, frame, _) =>
+        ((k == "ever" || k == "never") &&
+          (cmp.operand +: frame.toSeq.flatMap(frameExprs)).exists(readsName(_, dR))) ||
+          everReads(cmp.operand)
+      case ListLit(xs) => xs.exists(everReads)
+      case SetLit(xs)  => xs.exists(everReads)
+      case DictLit(ps) => ps.exists { case (k, v) => everReads(k) || everReads(v) }
+      case BinOp(_, l, r) => everReads(l) || everReads(r)
+      case UnOp(_, x)     => everReads(x)
+      case Call(_, as)    => as.exists(everReads)
+      case MethodCall(r0, _, as) => everReads(r0) || as.exists(everReads)
+      case Subscript(r0, i)      => everReads(r0) || everReads(i)
+      case InlineAgg(_, a, _, _, w) => a.exists(everReads) || everReads(w)
+      case _ => false
+    }
+    if (allReads.exists(everReads)) return None
+    val accums = readNames.toSeq.sorted.map { n =>
+      val init = initAssigns.collect {
+        case a @ Assign(VarRef(m), _, _) if m == n => a
+      } match {
+        case Seq(Assign(_, "=", Lit(VInt(v)))) => v
+        case _ => return None
+      }
+      val incs = bodyAssigns.collect {
+        case a @ Assign(VarRef(m), _, _) if m == n => a
+      }.map {
+        case Assign(_, "+=", Lit(VInt(k))) => k
+        case Assign(_, "-=", Lit(VInt(k))) => -k
+        case Assign(_, "=", BinOp("+", VarRef(m), Lit(VInt(k)))) if m == n => k
+        case Assign(_, "=", BinOp("+", PropRef(m), Lit(VInt(k)))) if m == n => k
+        case Assign(_, "=", BinOp("+", Lit(VInt(k)), VarRef(m))) if m == n => k
+        case Assign(_, "=", BinOp("+", Lit(VInt(k)), PropRef(m))) if m == n => k
+        case Assign(_, "=", BinOp("-", VarRef(m), Lit(VInt(k)))) if m == n => -k
+        case Assign(_, "=", BinOp("-", PropRef(m), Lit(VInt(k)))) if m == n => -k
+        case _ => return None
+      }
+      (n, init, incs.sum)
+    }
+    Some((writeOnly, accums))
+  }
+
+  /** Rewrite reads of accumulator names to their materialized window
+    * column (`PropRef("__acc_<n>")` compiles to the column [[compile]]
+    * adds over the visited-row frame). Assignment targets keep their name
+    * — flattenBody drops the statements whole. */
+  private def substAccums(er: EachRow, names: Set[String]): EachRow = {
+    def sx(e: Expr): Expr = e match {
+      case VarRef(n) if names(n)  => PropRef("__acc_" + n)
+      case PropRef(n) if names(n) => PropRef("__acc_" + n)
+      case ListLit(xs) => ListLit(xs.map(sx))
+      case SetLit(xs)  => SetLit(xs.map(sx))
+      case DictLit(ps) => DictLit(ps.map { case (k, v) => (sx(k), sx(v)) })
+      case BinOp(op, l, r) => BinOp(op, sx(l), sx(r))
+      case UnOp(op, x)     => UnOp(op, sx(x))
+      case Call(f, as)     => Call(f, as.map(sx))
+      case MethodCall(r0, m, as) => MethodCall(sx(r0), m, as.map(sx))
+      case Subscript(r0, i)      => Subscript(sx(r0), sx(i))
+      case PropTest(p, k, Comparator(op, o), fr, nx) =>
+        PropTest(p, k, Comparator(op, sx(o)), fr.map(sf), nx)
+      case InlineAgg(k, a, fr, rev, w) =>
+        InlineAgg(k, a.map(sx), fr.map(sf), rev, sx(w))
+      case other => other
+    }
+    def sf(f: Frame): Frame = f match {
+      case Within(s, a)    => Within(sx(s), sx(a))
+      case LookAhead(s, a) => LookAhead(sx(s), a.map(sx))
+      case LookBack(s, a)  => LookBack(sx(s), a.map(sx))
+      case DateRange(s, e) => DateRange(sx(s), sx(e))
+    }
+    def st(s: Stmt): Stmt = s match {
+      case Assign(t, op, v)  => Assign(t, op, sx(v))
+      case If(c, b, e)       => If(sx(c), b.map(st), e.map(st))
+      case Tally(gs)         => Tally(gs.map(sx))
+      case ForIn(v, it, b)   => ForIn(v, sx(it), b.map(st))
+      case EachRow(m, w, b)  => EachRow(m, sx(w), b.map(st))
+      case Return(v)         => Return(v.map(sx))
+      case ExprStmt(e)       => ExprStmt(sx(e))
+      case other             => other
+    }
+    er.copy(body = er.body.map(st))
   }
 
   /** True when assignments appear only as LEADING statements of the

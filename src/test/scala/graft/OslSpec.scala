@@ -290,8 +290,9 @@ class OslSpec extends SparkSpec {
         |""".stripMargin
     assert(TierA.compile(Parser.program(varTally), highstreet, Tue, 1800000L).isDefined)
     tierDiff(varTally)
-    // reading the accumulated value (tally group) observes the sequence -> Tier B
-    val read = Parser.program(
+    // reading the accumulated value (tally group) compiles as a
+    // running-count window over the visited rows (round 5)
+    val read =
       """select
         |  count id as customers
         |end
@@ -300,8 +301,9 @@ class OslSpec extends SparkSpec {
         |  n = n + 1
         |  << bucket(n, 2)
         |end
-        |""".stripMargin)
-    assert(TierA.compile(read, highstreet, Tue, 1800000L).isEmpty)
+        |""".stripMargin
+    assert(TierA.compile(Parser.program(read), highstreet, Tue, 1800000L).isDefined)
+    tierDiff(read)
     // assignment AFTER a tally with a `var` select on the assigned name:
     // the dedup key changes between tallies -> Tier B (leading-only rule)
     val late = Parser.program(
@@ -354,6 +356,146 @@ class OslSpec extends SparkSpec {
         |end
         |""".stripMargin)
     assert(TierA.compile(fromVar, highstreet, Tue, 1800000L).isEmpty)
+  }
+
+  test("Tier A read accumulators: running-count window ≡ interpreter") {
+    // richer history: several visited rows per person, interleaved noise
+    val data = Seq(
+      ("u1", Mon + 1 * H, "purchase", "a", 10.0, Seq("g")),
+      ("u1", Mon + 2 * H, "view", "x", 0.0, Seq("g")),
+      ("u1", Mon + 3 * H, "purchase", "b", 20.0, Seq("g")),
+      ("u1", Mon + 4 * H, "purchase", "c", 30.0, Seq("g")),
+      ("u1", Mon + 5 * H, "purchase", "d", 40.0, Seq("g")),
+      ("u2", Mon + 1 * H, "purchase", "e", 15.0, Seq("g")),
+      ("u2", Mon + 2 * H, "purchase", "f", 25.0, Seq("g")),
+      ("u3", Mon + 6 * H, "view", "y", 0.0, Seq("g"))
+    ).toDF("id", "stamp", "event", "product_name", "product_price", "product_group")
+    // the purchase-index tally: group key IS the accumulated value
+    val byIndex =
+      """select
+        |  count id as customers
+        |end
+        |n = 0
+        |each_row where event.is(== 'purchase')
+        |  n = n + 1
+        |  << n, product_name
+        |end
+        |""".stripMargin
+    tierDiff(byIndex, data)
+    // explicit result pin (not just tier equivalence): visit indexes 1..4
+    val pinned = OslEngine.query(data, byIndex, now = Tue)
+      .where(col("depth") === 1).select("g1", "customers")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(pinned == Set(("1", 2L), ("2", 2L), ("3", 1L), ("4", 1L)))
+    // read in an if-guard: "first two purchases" without .limit
+    tierDiff(
+      """select
+        |  count id as customers
+        |  sum product_price as spent
+        |end
+        |n = 0
+        |each_row where event.is(== 'purchase')
+        |  n = n + 1
+        |  if n <= 2
+        |    << 'early', product_name
+        |  end
+        |  << 'all'
+        |end
+        |""".stripMargin, data)
+    // reverse top scan: indexes count from the history's end
+    tierDiff(
+      """select
+        |  count id as customers
+        |end
+        |n = 0
+        |each_row.reverse() where event.is(== 'purchase')
+        |  n = n + 1
+        |  << n, product_name
+        |end
+        |""".stripMargin, data)
+    // interplay with .limit (visited set capped) and .from (start offset)
+    tierDiff(
+      """select
+        |  count id as customers
+        |end
+        |n = 0
+        |each_row.limit(3) where event.is(== 'purchase')
+        |  n = n + 1
+        |  << n
+        |end
+        |""".stripMargin, data)
+    tierDiff(
+      """select
+        |  count id as customers
+        |end
+        |n = 0
+        |each_row.from(1) where event.is(== 'purchase')
+        |  n = n + 1
+        |  << n, product_name
+        |end
+        |""".stripMargin, data)
+    // custom init, decrement, and a second (constant, never-incremented) var
+    tierDiff(
+      """select
+        |  count id as customers
+        |end
+        |n = 10
+        |k = 25
+        |each_row where event.is(== 'purchase')
+        |  n = n - 2
+        |  << n, bucket(product_price, k)
+        |end
+        |""".stripMargin, data)
+    // accumulator read in an is-test comparator operand
+    tierDiff(
+      """select
+        |  count id as customers
+        |end
+        |n = 0
+        |each_row where event.is(== 'purchase')
+        |  n = n + 1
+        |  if product_price.is(> n)
+        |    << 'pricier_than_index'
+        |  end
+        |end
+        |""".stripMargin, data)
+    // declines (correct via Tier B): read in the where (pre-increment),
+    // read under ever, non-integer init, conditional increment
+    def declines(script: String): Unit =
+      assert(TierA.compile(Parser.program(script), data, Tue, 1800000L).isEmpty,
+        s"expected Tier B for:\n$script")
+    declines(
+      """n = 0
+        |each_row where event.is(== 'purchase') && product_price.is(> n)
+        |  n = n + 1
+        |  << product_name
+        |end
+        |""".stripMargin)
+    declines(
+      """n = 0
+        |each_row where event.is(== 'purchase')
+        |  n = n + 1
+        |  if event.ever(== n)
+        |    << 'x'
+        |  end
+        |end
+        |""".stripMargin)
+    declines(
+      """n = 0.5
+        |each_row where event.is(== 'purchase')
+        |  n = n + 1
+        |  << n
+        |end
+        |""".stripMargin)
+    declines(
+      """n = 0
+        |each_row where event.is(== 'purchase')
+        |  if product_price.is(> 15)
+        |    n = n + 1
+        |  end
+        |  << n
+        |end
+        |""".stripMargin)
   }
 
   private def tierDiff(script: String,

@@ -37,10 +37,11 @@ class PlanSpec extends SparkSpec {
     for (q <- Seq("q_osl_event_tally", "q_osl_ever_multitally", "q_osl_chain_funnel",
         "q_osl_framed_funnel", "q_osl_guarded_funnel", "q_osl_reverse_funnel",
         "q_osl_funnel_segment", "q_osl_segments", "q_osl_histogram",
-        "q_osl_var_tally")) // var_tally: write-only accumulation compiles (round 5)
+        "q_osl_var_tally", // write-only accumulation compiles (round 5)
+        "q_osl_accum_tally")) // READ accumulator → running-count window (round 5)
       assert(!plan(q).contains("MapGroups"), s"$q fell back to Tier B")
     // and an interpreter-only shape does (sanity that the probe works):
-    // reading the accumulated var observes the row sequence -> Tier B
+    // a CONDITIONAL increment isn't one constant per visited row -> Tier B
     val tierB = graft.osl.OslEngine.query(
       Tables.events(spark, dir),
       """select
@@ -48,7 +49,9 @@ class PlanSpec extends SparkSpec {
         |end
         |n = 0
         |each_row where event.is(== 'purchase')
-        |  n = n + 1
+        |  if value.is(> 100)
+        |    n = n + 1
+        |  end
         |  << bucket(n, 2)
         |end
         |""".stripMargin, now = Queries.OslNow)

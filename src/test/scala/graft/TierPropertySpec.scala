@@ -110,6 +110,49 @@ class TierPropertySpec extends SparkSpec {
     }
   }
 
+  // read accumulators (round 5): integer init + leading literal increment,
+  // read in tally groups, if-guards, and is-test operands — compiled as a
+  // running-count window over the visited set
+  private val genReadAccum: Gen[(String, String, String)] = Gen.oneOf(
+    ("n = 0", "n = n + 1", "n"),
+    ("n = 10", "n = n - 2", "n"),
+    ("n = 0", "n += 3", "bucket(n, 2)"),
+    ("n = 1", "n = 2 + n", "n"),
+    ("n = 5", "", "n")) // constant: read, never incremented
+
+  test("read accumulators: Tier A == Tier B (20 seeded samples)") {
+    val params = Gen.Parameters.default
+    val genMods = Gen.oneOf("", "", ".reverse()", ".limit(2)", ".from(1)", ".limit(3)")
+    (1 to 20).foreach { i =>
+      val s0 = Seed(i.toLong * 104729)
+      val where = genWhere.pureApply(params, s0)
+      val (init, inc, read) = genReadAccum.pureApply(params, s0.next)
+      val mods = genMods.pureApply(params, s0.next.next)
+      val g2 = genGroup.pureApply(params, s0.next.next.next)
+      val incLine = if (inc.isEmpty) "" else s"  $inc\n"
+      val script =
+        s"""select
+           |  count id as customers
+           |  sum product_price as total
+           |end
+           |$init
+           |each_row$mods where $where
+           |$incLine  << $read, $g2
+           |  if n <= 6
+           |    << 'low', $g2
+           |  end
+           |end
+           |""".stripMargin
+      val p = Parser.program(script)
+      assert(TierA.compile(p, world, Mon + 100 * H, 1800000L).isDefined,
+        s"sample $i did not compile to Tier A:\n$script")
+      val a = canon(OslEngine.query(world, script, now = Mon + 100 * H))
+      val b = canon(OslEngine.query(world, script, now = Mon + 100 * H,
+        forceTierB = true))
+      assert(a == b, s"tier mismatch on sample $i:\n$script\nA=$a\nB=$b")
+    }
+  }
+
   test("value selects over conditional tallies: Tier A == Tier B (15 seeded samples)") {
     val params = Gen.Parameters.default
     val genCond = Gen.oneOf("event.is(== 'purchase')", "product_price.is(> 30)",
