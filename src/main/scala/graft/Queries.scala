@@ -1529,6 +1529,40 @@ object Queries {
         COUNT(DISTINCT id) AS customers, COUNT(*) AS hits
         FROM e WHERE event = 'purchase' GROUP BY g1""")),
 
+    // Framed TOP-LEVEL loop (round 5): the scan itself is time-boxed —
+    // `.range(iso, iso)` bounds compile to a constant stamp predicate
+    // AND'ed into the row filter (scan-speed, no window, no interpreter;
+    // the common "query this date window" shape of the reference's REST
+    // examples). Bounds are inclusive like Interpreter.frameBounds.
+    Q("q_osl_top_range",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |  sum value as total_value
+            |end
+            |each_row.range('2024-01-10T00:00:00Z', '2024-01-20T00:00:00Z') where event.is(== 'purchase')
+            |  << get_day_of_week(stamp), event
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"), col("total_value"))
+      },
+      Some(s"""$E, p AS (
+          SELECT id, CAST(dayofweek(make_timestamp(stamp * 1000)) + 1 AS VARCHAR) AS g1,
+                 event AS g2, value
+          FROM e WHERE event = 'purchase'
+            AND stamp >= 1704844800000 AND stamp <= 1705708800000)
+        SELECT CAST(2 AS INTEGER) AS depth, g1, g2,
+          COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows, ${dsumSql("value")} AS total_value
+        FROM p GROUP BY g1, g2
+        UNION ALL
+        SELECT CAST(1 AS INTEGER) AS depth, g1, CAST(NULL AS VARCHAR) AS g2,
+          COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows, ${dsumSql("value")} AS total_value
+        FROM p GROUP BY g1""")),
+
     // READ accumulator (round 5): the per-person purchase index drives both
     // a tally group and an if-guard. Tier A compiles the variable to a
     // running-count window over the visited rows — one sort-shuffle, no

@@ -39,8 +39,14 @@ object TierA {
       case _ => false
     }
     coreCode match {
-      case Seq(er @ EachRow(mods, _, _)) if isTopLoop(mods) =>
+      case Seq(er @ EachRow(mods, _, _)) if !mods.continueFrom && !mods.next =>
         for {
+          // top-level frame (round 5): bounds are per-person constants —
+          // the interpreter evaluates frameBounds ONCE with the cursor
+          // invalid, anchoring anchor-less frames at the first (reverse:
+          // last) row — so they compile to a stamp predicate; None =
+          // unframed, outer None = unsupported shape → Tier B
+          topFrame <- topFrameBounds(mods, now)
           // assignments target write-only simple vars (dropped) or integer
           // read-accumulators (materialized as running-count windows below);
           // anything else is Tier B: the interpreter resolves bare names
@@ -120,12 +126,40 @@ object TierA {
             case ((pt, _), i) =>
               pt -> (coalesce(col(s"__pt$i"), lit(0)) === (if (pt.kind == "ever") 1 else 0))
           }.toMap
+          // top-level frame bounds: constant sides fold straight into the
+          // row predicate; first/last_stamp-anchored sides ride min/max
+          // windows over the person partition (same id exchange as the rest
+          // of the plan). Inclusive, like Interpreter.frameBounds.
+          val (baseTF, topFrameCond) = topFrame match {
+            case None => (base, None)
+            case Some((lo, hi)) =>
+              var b = base
+              val Wp = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+              def side(bnd: TopB, isLo: Boolean): Option[Column] = bnd match {
+                case TInf => None
+                case TCst(v) =>
+                  Some(if (isLo) col("stamp") >= v else col("stamp") <= v)
+                case TMin(d) =>
+                  if (!b.columns.contains("__tfmin"))
+                    b = b.withColumn("__tfmin", min(col("stamp")).over(Wp))
+                  Some(if (isLo) col("stamp") >= col("__tfmin") + d
+                       else col("stamp") <= col("__tfmin") + d)
+                case TMax(d) =>
+                  if (!b.columns.contains("__tfmax"))
+                    b = b.withColumn("__tfmax", max(col("stamp")).over(Wp))
+                  Some(if (isLo) col("stamp") >= col("__tfmax") + d
+                       else col("stamp") <= col("__tfmax") + d)
+              }
+              val conds = side(lo, isLo = true).toSeq ++ side(hi, isLo = false).toSeq
+              (b, conds.reduceOption(_ && _))
+          }
 
           if (levels.size == 1) {
             val where = levels.head.where
             val lvlTallies = levels.head.tallies
             val limitN = levels.head.limitN
-            val predF = compileExpr(where, now, real).get
+            val predF0 = compileExpr(where, now, real).get
+            val predF = topFrameCond.map(predF0 && _).getOrElse(predF0)
             val tallyPredsF = lvlTallies.map(_._1.map(p => compileExpr(p, now, real).get)
               .getOrElse(lit(true)))
             val tallyGroupsF = lvlTallies.map(t => t._2.map(g => compileExpr(g, now, real).get))
@@ -134,9 +168,9 @@ object TierA {
             // `.from(k)`: only rows at 0-based person-row index >= k are
             // scanned (reverse: the scan walks DOWN from index k)
             val base1 = topFrom match {
-              case None => base
+              case None => baseTF
               case Some(k) =>
-                val withRn = base.withColumn("__rn0", row_number().over(frame))
+                val withRn = baseTF.withColumn("__rn0", row_number().over(frame))
                 // reverse: the interpreter starts AT index k and walks down,
                 // visiting nothing when the person has <= k rows (no clamp)
                 if (mods.reverse)
@@ -162,7 +196,7 @@ object TierA {
                   else frame.rowsBetween(W.unboundedPreceding, W.currentRow))
                 base1.withColumn("__mc0", cum)
                   .where(effPred && col("__mc0") <= n).drop("__mc0")
-            }).drop("__rn0", "__cnt0")
+            }).drop("__rn0", "__cnt0", "__tfmin", "__tfmax")
             // read-accumulator variables: every row of `filtered0` IS a
             // visited row, so the value every body read observes —
             // init + inc × (1-based visit index), assignments lead the body
@@ -199,7 +233,7 @@ object TierA {
             else
               explodePlan(filtered, tallyGroupsF, tallyPredsF, selects, aggs)
           } else
-            chainPlan(base, levels, now, real, selects, aggs)
+            chainPlan(baseTF, levels, now, real, selects, aggs, topFrameCond)
         }
       case _ => None
     }
@@ -229,8 +263,9 @@ object TierA {
                         levels: Seq[ChainLevel],
                         now: Long, real: Map[PropTest, Column],
                         selects: Vector[SelectCol],
-                        aggs: Seq[(String, Column)]): DataFrame = {
-    val (df, eligible, _) = chainWitnesses(base, levels, now, real)
+                        aggs: Seq[(String, Column)],
+                        topFrameCond: Option[Column] = None): DataFrame = {
+    val (df, eligible, _) = chainWitnesses(base, levels, now, real, topFrameCond)
     val tallyPreds = levels.zip(eligible).flatMap { case (lvl, elig) =>
       val p = compileExpr(lvl.where, now, real).get
       lvl.tallies.map(_._1.map(ip => compileExpr(ip, now, real).get)
@@ -248,7 +283,8 @@ object TierA {
     * computes every window. Returns (augmented frame, per-level
     * eligibility, per-level where-predicates). */
   private def chainWitnesses(base: DataFrame, levels: Seq[ChainLevel],
-                             now: Long, real: Map[PropTest, Column])
+                             now: Long, real: Map[PropTest, Column],
+                             topFrameCond: Option[Column] = None)
       : (DataFrame, Seq[Column], Seq[Column]) = {
     val W = org.apache.spark.sql.expressions.Window
     val person = W.partitionBy(col("id"))
@@ -292,7 +328,11 @@ object TierA {
       col("__fc0")
     }
     val elig0: Column = {
-      val fc = fromCond0.getOrElse(lit(true))
+      // a top-level frame gates which rows level 0 VISITS — exactly like a
+      // `.from` floor (the interpreter skips out-of-frame rows before the
+      // where runs, so they neither spawn nor count toward `.limit`)
+      val fc = (fromCond0.toSeq ++ topFrameCond.toSeq)
+        .foldLeft(lit(true): Column)(_ && _)
       head.limitN match {
         case None => fc
         case Some(n) =>
@@ -510,6 +550,78 @@ object TierA {
     case Lit(VInt(i)) => Some(i)
     case Lit(VDbl(d)) => Some(d.toLong)
     case _ => None
+  }
+
+  /** One side of a top-level frame bound. */
+  private sealed trait TopB
+  private final case class TCst(v: Long) extends TopB // constant epoch ms
+  private final case class TMin(d: Long) extends TopB // first_stamp + d
+  private final case class TMax(d: Long) extends TopB // last_stamp + d
+  private case object TInf extends TopB               // unbounded side
+
+  /** A top-level loop's frame as per-person-constant [lo, hi] stamp bounds,
+    * mirroring Interpreter.frameBounds with the cursor INVALID: anchor-less
+    * `.look_back`/`.look_ahead` anchor at the FIRST row's stamp (reverse
+    * tops: the LAST row's), explicit anchors evaluate as numerics
+    * (`now`, literals, `first_stamp`/`last_stamp` builtins), and `.range`
+    * ends additionally accept ISO8601 strings (the interpreter's asStamp
+    * coercion applies to `.range` only). `Some(None)` = unframed;
+    * `None` = a shape the window tier can't express → Tier B (dynamic
+    * anchors/spans, strings outside `.range`, overflowing arithmetic —
+    * the interpreter's wrap-around is semantics we decline, not mimic). */
+  private def topFrameBounds(m: EachRowMods, now: Long)
+      : Option[Option[(TopB, TopB)]] = m.frame match {
+    case None => Some(None)
+    case Some(f) =>
+      def endNum(e: Expr): Option[TopB] = e match {
+        case VarRef("now") | PropRef("now") => Some(TCst(now))
+        case Lit(VInt(i)) => Some(TCst(i))
+        case Lit(VDbl(d)) => Some(TCst(d.toLong))
+        case VarRef("first_stamp") | PropRef("first_stamp") => Some(TMin(0))
+        case VarRef("last_stamp") | PropRef("last_stamp")   => Some(TMax(0))
+        case _ => None
+      }
+      def endStamp(e: Expr): Option[TopB] = e match {
+        case Lit(VStr(s)) =>
+          try Some(TCst(java.time.OffsetDateTime.parse(s).toInstant.toEpochMilli))
+          catch { case _: Throwable =>
+            try Some(TCst(java.time.Instant.parse(s).toEpochMilli))
+            catch { case _: Throwable => None } }
+        case other => endNum(other)
+      }
+      def shiftB(b: TopB, d: Long): Option[TopB] =
+        try Some(b match {
+          case TCst(v) => TCst(Math.addExact(v, d))
+          case TMin(x) => TMin(Math.addExact(x, d))
+          case TMax(x) => TMax(Math.addExact(x, d))
+          case TInf    => TInf
+        }) catch { case _: ArithmeticException => None }
+      val anchorless: TopB = if (m.reverse) TMax(0) else TMin(0)
+      val bounds: Option[(TopB, TopB)] = f match {
+        case LookBack(s, a) =>
+          for {
+            sv <- litSpan(s)
+            av <- a.map(endNum).getOrElse(Some(anchorless))
+            lo <- if (sv == Long.MaxValue) Some(TInf) else shiftB(av, -sv)
+          } yield (lo, av)
+        case LookAhead(s, a) =>
+          for {
+            sv <- litSpan(s)
+            av <- a.map(endNum).getOrElse(Some(anchorless))
+            hi <- if (sv == Long.MaxValue) Some(TInf) else shiftB(av, sv)
+          } yield (av, hi)
+        case Within(s, a) =>
+          for {
+            sv <- litSpan(s)
+            if sv != Long.MaxValue // interpreter wraps a±MaxValue; decline
+            av <- endNum(a)
+            lo <- shiftB(av, -sv)
+            hi <- shiftB(av, sv)
+          } yield (lo, hi)
+        case DateRange(s, e2) =>
+          for (lo <- endStamp(s); hi <- endStamp(e2)) yield (lo, hi)
+      }
+      bounds.map(Some(_))
   }
 
   /** The level's literal match cap: Some(None) = no limit, Some(Some(n))
@@ -759,7 +871,9 @@ object TierA {
       case _ => false
     }
     val er = rest match {
-      case Seq(e: EachRow) if isTopLoop(e.mods) => e
+      // frames allowed: they only shrink the visited set, and the window
+      // in compile() counts exactly the post-filter (visited) rows
+      case Seq(e: EachRow) if !e.mods.continueFrom && !e.mods.next => e
       case _ => return None
     }
     def isVarAssign(s: Stmt): Boolean = s match {

@@ -498,6 +498,102 @@ class OslSpec extends SparkSpec {
         |""".stripMargin)
   }
 
+  test("Tier A framed top-level loops: stamp bounds ≡ interpreter") {
+    val data = Seq(
+      ("u1", Mon + 1 * H, "purchase", "a", 10.0, Seq("g")),
+      ("u1", Mon + 5 * H, "purchase", "b", 20.0, Seq("g")),
+      ("u1", Mon + 30 * H, "purchase", "c", 30.0, Seq("g")),
+      ("u1", Mon + 31 * H, "view", "x", 0.0, Seq("g")),
+      ("u2", Mon + 2 * H, "purchase", "d", 15.0, Seq("g")),
+      ("u2", Mon + 40 * H, "purchase", "e", 25.0, Seq("g")),
+      ("u3", Mon + 50 * H, "view", "y", 0.0, Seq("g"))
+    ).toDF("id", "stamp", "event", "product_name", "product_price", "product_group")
+    // now-anchored trailing window — "events in the last 24 hours"
+    tierDiff(
+      """select
+        |  count id as customers
+        |end
+        |each_row.look_back(24_hours, now) where event.is(== 'purchase')
+        |  << product_name
+        |end
+        |""".stripMargin, data)
+    // constant .range with ISO ends
+    tierDiff(
+      """select
+        |  count id as customers
+        |  sum product_price as spent
+        |end
+        |each_row.range('2024-01-01T00:00:00Z', '2024-01-02T06:00:00Z') where event.is(== 'purchase')
+        |  << product_name
+        |end
+        |""".stripMargin, data)
+    // anchor-less look_ahead: the person's first day of history
+    tierDiff(
+      """select
+        |  count id as customers
+        |end
+        |each_row.look_ahead(24_hours) where event.is(== 'purchase')
+        |  << product_name
+        |end
+        |""".stripMargin, data)
+    // first_stamp-anchored within; and the degenerate anchor-less look_back
+    // (only rows AT the first stamp qualify — honest compilation)
+    tierDiff(
+      """select
+        |  count id as customers
+        |end
+        |each_row.within(6_hours, first_stamp) where event.is(== 'purchase')
+        |  << product_name
+        |end
+        |""".stripMargin, data)
+    tierDiff(
+      """select
+        |  count id as customers
+        |end
+        |each_row.look_back(12_hours) where event.is(== 'purchase')
+        |  << product_name
+        |end
+        |""".stripMargin, data)
+    // reverse top: anchor-less frames anchor at the LAST row
+    tierDiff(
+      """select
+        |  count id as customers
+        |end
+        |each_row.reverse().look_back(24_hours) where event.is(== 'purchase')
+        |  << product_name
+        |end
+        |""".stripMargin, data)
+    // frame + limit + read accumulator compose on the same visited set
+    tierDiff(
+      """select
+        |  count id as customers
+        |end
+        |n = 0
+        |each_row.look_back(36_hours, now).limit(2) where event.is(== 'purchase')
+        |  n = n + 1
+        |  << n, product_name
+        |end
+        |""".stripMargin, data)
+    // framed top over a funnel chain: only in-window signups spawn
+    tierDiff(
+      """select
+        |  count id as customers
+        |end
+        |each_row.look_ahead(30_hours) where event.is(== 'purchase')
+        |  << 'first_purchase'
+        |  each_row.continue().next() where event.is(== 'purchase')
+        |    << 'repeat'
+        |  end
+        |end
+        |""".stripMargin, data)
+    // dynamic anchor (row-dependent) declines to Tier B
+    assert(TierA.compile(Parser.program(
+      """each_row.within(2_hours, stamp) where event.is(== 'purchase')
+        |  << product_name
+        |end
+        |""".stripMargin), data, Tue, 1800000L).isEmpty)
+  }
+
   private def tierDiff(script: String,
                        data: org.apache.spark.sql.DataFrame = highstreet): Unit = {
     val p = Parser.program(script)

@@ -38,7 +38,8 @@ class PlanSpec extends SparkSpec {
         "q_osl_framed_funnel", "q_osl_guarded_funnel", "q_osl_reverse_funnel",
         "q_osl_funnel_segment", "q_osl_segments", "q_osl_histogram",
         "q_osl_var_tally", // write-only accumulation compiles (round 5)
-        "q_osl_accum_tally")) // READ accumulator → running-count window (round 5)
+        "q_osl_accum_tally", // READ accumulator → running-count window (round 5)
+        "q_osl_top_range")) // framed top loop → constant stamp predicate (round 5)
       assert(!plan(q).contains("MapGroups"), s"$q fell back to Tier B")
     // and an interpreter-only shape does (sanity that the probe works):
     // a CONDITIONAL increment isn't one constant per visited row -> Tier B

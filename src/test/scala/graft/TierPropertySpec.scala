@@ -66,9 +66,17 @@ class TierPropertySpec extends SparkSpec {
     ("", "acc_hits += 1"),
     ("seen_rows = 0", "seen_rows = seen_rows + int(product_price > 10)")))
 
+  // top-level frames (round 5): per-person-constant stamp bounds — the
+  // doubled "" keeps most samples unframed
+  private val genTopFrame: Gen[String] = Gen.oneOf(
+    "", "", ".look_back(48_hours, now)",
+    ".range('2024-01-01T00:00:00Z', '2024-01-03T00:00:00Z')",
+    ".look_ahead(36_hours)", ".within(24_hours, first_stamp)")
+
   private val genScript: Gen[String] = for {
     sel <- genSelect
     where <- genWhere
+    tf <- genTopFrame
     g1 <- genGroup
     g2 <- Gen.option(genGroup)
     cond <- Gen.option(genCmp.suchThat(!_.contains("ever") pipe identity))
@@ -82,7 +90,7 @@ class TierPropertySpec extends SparkSpec {
         s"$acc  << $groups\n  if $c\n    << 'extra', $groups\n  end"
       case _ => s"$acc  << $groups"
     }
-    s"select\n  $sel\nend\n${init}each_row where $where\n$body\nend\n"
+    s"select\n  $sel\nend\n${init}each_row$tf where $where\n$body\nend\n"
   }
 
   implicit class PipeOps[A](a: A) { def pipe[B](f: A => B): B = f(a) }
@@ -263,7 +271,10 @@ class TierPropertySpec extends SparkSpec {
     val topRev = if (revs(0)) ".reverse()" else ""
     val topFromS = topFrom.map(j => s".from($j)").getOrElse("")
     val topLim = if (limitLevel == 0) limitN.map(n => s".limit($n)").getOrElse("") else ""
-    s"select\n  $sel\nend\neach_row$topFromS$topRev$topLim where ${wheres(0)}\n" +
+    // a framed TOP gates which rows spawn the chain (round 5); reuse the
+    // topFrom coin so most samples stay unframed
+    val topTF = if (topFrom.isEmpty && fromNexts(0)) ".look_back(80_hours, now)" else ""
+    s"select\n  $sel\nend\neach_row$topFromS$topRev$topTF$topLim where ${wheres(0)}\n" +
       block.map("  " + _).mkString("\n") + "\nend\n"
   }
 
