@@ -64,7 +64,7 @@ object TierA {
           // reads of accumulated names compile to their window column
           erC = if (accums.isEmpty) er
                 else substAccums(er, accums.map(_._1).toSet)
-          levels0 <- extractLevels(erC, topLimit, None, None, mods.reverse)
+          levels0 <- extractLevels(erC, now, topLimit, None, None, mods.reverse)
           levels = if (levels0.size > 1 && topFrom.isDefined)
             levels0.head.copy(fromStart = topFrom) +: levels0.tail
           else levels0
@@ -265,11 +265,11 @@ object TierA {
                         selects: Vector[SelectCol],
                         aggs: Seq[(String, Column)],
                         topFrameCond: Option[Column] = None): DataFrame = {
-    val (df, eligible, _) = chainWitnesses(base, levels, now, real, topFrameCond)
-    val tallyPreds = levels.zip(eligible).flatMap { case (lvl, elig) =>
-      val p = compileExpr(lvl.where, now, real).get
-      lvl.tallies.map(_._1.map(ip => compileExpr(ip, now, real).get)
-        .getOrElse(lit(true)) && p && elig)
+    val (df, eligible, levelPreds) = chainWitnesses(base, levels, now, real, topFrameCond)
+    val tallyPreds = levels.zip(eligible).zip(levelPreds).flatMap {
+      case ((lvl, elig), p) =>
+        lvl.tallies.map(_._1.map(ip => compileExpr(ip, now, real).get)
+          .getOrElse(lit(true)) && p && elig)
     }
     val tallyGroups = levels.flatMap(_.tallies).map(t =>
       t._2.map(g => compileExpr(g, now, real).get))
@@ -288,9 +288,33 @@ object TierA {
       : (DataFrame, Seq[Column], Seq[Column]) = {
     val W = org.apache.spark.sql.expressions.Window
     val person = W.partitionBy(col("id"))
-    val levelPreds = levels.map(l => compileExpr(l.where, now, real).get)
     var df = base.withColumn("__rn",
       row_number().over(person.orderBy(col("stamp"))))
+    // absolute-anchored step frames: spawn-independent [lo, hi] stamp
+    // bounds fold into the level's row predicate (the interpreter skips
+    // out-of-bounds rows before the where runs, uniformly per spawn) —
+    // person-anchored sides ride min/max windows on the same partition
+    val absSides = levels.flatMap(_.absBounds.toSeq.flatMap(b => Seq(b._1, b._2)))
+    if (absSides.exists(_.isInstanceOf[TMin]))
+      df = df.withColumn("__afmin", min(col("stamp")).over(person))
+    if (absSides.exists(_.isInstanceOf[TMax]))
+      df = df.withColumn("__afmax", max(col("stamp")).over(person))
+    def absCond(b: (TopB, TopB)): Column = {
+      def side(bnd: TopB, isLo: Boolean): Option[Column] = bnd match {
+        case TInf => None
+        case TCst(v) => Some(if (isLo) col("stamp") >= v else col("stamp") <= v)
+        case TMin(d) => Some(if (isLo) col("stamp") >= col("__afmin") + d
+                             else col("stamp") <= col("__afmin") + d)
+        case TMax(d) => Some(if (isLo) col("stamp") >= col("__afmax") + d
+                             else col("stamp") <= col("__afmax") + d)
+      }
+      (side(b._1, isLo = true).toSeq ++ side(b._2, isLo = false).toSeq)
+        .foldLeft(lit(true): Column)(_ && _)
+    }
+    val levelPreds = levels.map { l =>
+      val p = compileExpr(l.where, now, real).get
+      l.absBounds.map(b => p && absCond(b)).getOrElse(p)
+    }
     // Order the witness windows by `stamp` itself, not `__rn`: per-person
     // stamps are unique by contract (TierB's stable sort and the interpreter
     // break ties arbitrarily — see TierPropertySpec), so the orderings are
@@ -455,7 +479,8 @@ object TierA {
                               reverse: Boolean = false,
                               contraSpanMs: Option[Long] = None,
                               fromStart: Option[Long] = None,
-                              isFromStep: Boolean = false)
+                              isFromStep: Boolean = false,
+                              absBounds: Option[(TopB, TopB)] = None)
 
   /** Decompose a default-mods `each_row` into a chain of levels: each level
     * may end in exactly one nested `each_row.continue().next()` chain step
@@ -468,82 +493,92 @@ object TierA {
     * when unframed since per-spawn match counts diverge under a frame).
     * An else-less `if` wrapping the nested loop becomes that level's
     * guard. None = not chain-shaped -> Tier B. */
-  private def extractLevels(top: EachRow, limitN: Option[Long] = None,
+  private def extractLevels(top: EachRow, now: Long,
+                            limitN: Option[Long] = None,
                             spanMs: Option[Long] = None,
                             guard: Option[Expr] = None,
                             reverse: Boolean = false,
                             contraSpanMs: Option[Long] = None,
                             fromStart: Option[Long] = None,
-                            isFromStep: Boolean = false)
+                            isFromStep: Boolean = false,
+                            absBounds: Option[(TopB, TopB)] = None)
       : Option[Seq[ChainLevel]] =
     flattenBody(top.body, None).flatMap { case (tallies, nested) =>
       val head = ChainLevel(top.where, tallies, limitN, spanMs, guard,
-        reverse, contraSpanMs, fromStart, isFromStep)
+        reverse, contraSpanMs, fromStart, isFromStep, absBounds)
       nested match {
         case None => Some(Vector(head))
         case Some((n, g)) if n.mods.continueFrom =>
           for {
-            (span, contra) <- chainSpan(n.mods.frame, n.mods.reverse)
+            (span, contra, abs) <- chainSpan(n.mods.frame, n.mods.reverse, now)
             lim <- limitOf(n.mods)
-            rest <- extractLevels(n, lim, span, g, n.mods.reverse, contra)
+            rest <- extractLevels(n, now, lim, span, g, n.mods.reverse, contra,
+              absBounds = abs)
           } yield head +: rest
         case Some((n, g)) =>
           // `.from(k)` step: absolute restart, forward only
           for {
             k <- fromOf(n.mods).flatten
-            (ahead, back) <- fromStepFrame(n.mods.frame)
+            (ahead, back, abs) <- fromStepFrame(n.mods.frame, now)
             lim <- limitOf(n.mods)
+            // spawn-relative frames + limit: per-spawn match counts diverge
+            // → Tier B; absolute bounds give one fixed match sequence
             if lim.isEmpty || (ahead.isEmpty && back.isEmpty)
-            rest <- extractLevels(n, lim, ahead, g, reverse = false, back,
-              Some(k + (if (n.mods.next) 1L else 0L)), isFromStep = true)
+            rest <- extractLevels(n, now, lim, ahead, g, reverse = false, back,
+              Some(k + (if (n.mods.next) 1L else 0L)), isFromStep = true,
+              absBounds = abs)
           } yield head +: rest
       }
     }
 
   /** A `.continue()` chain step's frame, when the compiler covers it:
-    * cursor-anchored literal spans as `(aligned, contra)` — aligned points
-    * with the scan (`.look_ahead` forward / `.look_back` reversed, and the
-    * binding half of `.within`), contra against it (the scan can only
-    * reach a contra row at the anchor stamp itself; the compiled
+    * cursor-anchored literal spans as `(aligned, contra, None)` — aligned
+    * points with the scan (`.look_ahead` forward / `.look_back` reversed,
+    * and the binding half of `.within`), contra against it (the scan can
+    * only reach a contra row at the anchor stamp itself; the compiled
     * witness-stamp bound evaluates that honestly). 'forever' (MaxValue)
-    * spans drop the non-binding bound. None = unsupported shape. */
-  private def chainSpan(frame: Option[Frame], reverse: Boolean)
-      : Option[(Option[Long], Option[Long])] = {
+    * spans drop the non-binding bound. Frames with EXPLICIT anchors
+    * (`now`, literals, ISO `.range` ends, `first/last_stamp`) have
+    * spawn-independent bounds → `(None, None, Some(bounds))`, folded into
+    * the level's row predicate. None = unsupported shape. */
+  private def chainSpan(frame: Option[Frame], reverse: Boolean, now: Long)
+      : Option[(Option[Long], Option[Long], Option[(TopB, TopB)])] = {
     frame match {
-      case None => Some((None, None))
+      case None => Some((None, None, None))
       case Some(LookAhead(s, None)) =>
         litSpan(s).map { v =>
-          if (!reverse) (if (v == Long.MaxValue) None else Some(v), None)
-          else (None, Some(v)) // against a reverse scan: stamp >= anchor
+          if (!reverse) (if (v == Long.MaxValue) None else Some(v), None, None)
+          else (None, Some(v), None) // against a reverse scan: stamp >= anchor
         }
       case Some(LookBack(s, None)) =>
         litSpan(s).map { v =>
-          if (reverse) (if (v == Long.MaxValue) None else Some(v), None)
-          else (None, Some(v)) // against a forward scan: stamp <= anchor
+          if (reverse) (if (v == Long.MaxValue) None else Some(v), None, None)
+          else (None, Some(v), None) // against a forward scan: stamp <= anchor
         }
       case Some(Within(s, anchor))
           if anchor == PropRef("stamp") || anchor == VarRef("stamp") =>
         // only the aligned half can bind on a cursor-advanced scan
-        litSpan(s).map(v => (if (v == Long.MaxValue) None else Some(v), None))
-      case _ => None
+        litSpan(s).map(v => (if (v == Long.MaxValue) None else Some(v), None, None))
+      case Some(f) => frameAsBounds(f, now, None).map(b => (None, None, Some(b)))
     }
   }
 
-  /** A `.from(k)` step's frame as `(aheadSpan, backSpan)` relative to the
-    * SPAWN stamp: the absolute restart walks the whole tail, so both frame
-    * halves can bind — `.look_ahead` keeps rows in [spawn, spawn+a],
-    * `.look_back` in [spawn-b, spawn], `.within` either side. MaxValue =
-    * direction-only bound (witness on that side, no span test). */
-  private def fromStepFrame(frame: Option[Frame])
-      : Option[(Option[Long], Option[Long])] = frame match {
-    case None => Some((None, None))
-    case Some(LookAhead(s, None)) => litSpan(s).map(v => (Some(v), None))
-    case Some(LookBack(s, None))  => litSpan(s).map(v => (None, Some(v)))
+  /** A `.from(k)` step's frame as `(aheadSpan, backSpan, absBounds)`:
+    * spawn-relative halves for cursor-anchored frames (the absolute
+    * restart walks the whole tail, so both can bind — `.look_ahead` keeps
+    * rows in [spawn, spawn+a], `.look_back` in [spawn-b, spawn], `.within`
+    * either side; MaxValue = direction-only bound), or spawn-independent
+    * constant bounds for explicit anchors. */
+  private def fromStepFrame(frame: Option[Frame], now: Long)
+      : Option[(Option[Long], Option[Long], Option[(TopB, TopB)])] = frame match {
+    case None => Some((None, None, None))
+    case Some(LookAhead(s, None)) => litSpan(s).map(v => (Some(v), None, None))
+    case Some(LookBack(s, None))  => litSpan(s).map(v => (None, Some(v), None))
     case Some(Within(s, anchor))
         if anchor == PropRef("stamp") || anchor == VarRef("stamp") =>
       litSpan(s).map(v =>
-        if (v == Long.MaxValue) (None, None) else (Some(v), Some(v)))
-    case _ => None
+        if (v == Long.MaxValue) (None, None, None) else (Some(v), Some(v), None))
+    case Some(f) => frameAsBounds(f, now, None).map(b => (None, None, Some(b)))
   }
 
   private def litSpan(e: Expr): Option[Long] = e match {
@@ -552,12 +587,12 @@ object TierA {
     case _ => None
   }
 
-  /** One side of a top-level frame bound. */
-  private sealed trait TopB
-  private final case class TCst(v: Long) extends TopB // constant epoch ms
-  private final case class TMin(d: Long) extends TopB // first_stamp + d
-  private final case class TMax(d: Long) extends TopB // last_stamp + d
-  private case object TInf extends TopB               // unbounded side
+  /** One side of a per-person-constant frame bound. */
+  sealed trait TopB
+  final case class TCst(v: Long) extends TopB // constant epoch ms
+  final case class TMin(d: Long) extends TopB // first_stamp + d
+  final case class TMax(d: Long) extends TopB // last_stamp + d
+  case object TInf extends TopB               // unbounded side
 
   /** A top-level loop's frame as per-person-constant [lo, hi] stamp bounds,
     * mirroring Interpreter.frameBounds with the cursor INVALID: anchor-less
@@ -573,55 +608,64 @@ object TierA {
       : Option[Option[(TopB, TopB)]] = m.frame match {
     case None => Some(None)
     case Some(f) =>
-      def endNum(e: Expr): Option[TopB] = e match {
-        case VarRef("now") | PropRef("now") => Some(TCst(now))
-        case Lit(VInt(i)) => Some(TCst(i))
-        case Lit(VDbl(d)) => Some(TCst(d.toLong))
-        case VarRef("first_stamp") | PropRef("first_stamp") => Some(TMin(0))
-        case VarRef("last_stamp") | PropRef("last_stamp")   => Some(TMax(0))
-        case _ => None
-      }
-      def endStamp(e: Expr): Option[TopB] = e match {
-        case Lit(VStr(s)) =>
-          try Some(TCst(java.time.OffsetDateTime.parse(s).toInstant.toEpochMilli))
-          catch { case _: Throwable =>
-            try Some(TCst(java.time.Instant.parse(s).toEpochMilli))
-            catch { case _: Throwable => None } }
-        case other => endNum(other)
-      }
-      def shiftB(b: TopB, d: Long): Option[TopB] =
-        try Some(b match {
-          case TCst(v) => TCst(Math.addExact(v, d))
-          case TMin(x) => TMin(Math.addExact(x, d))
-          case TMax(x) => TMax(Math.addExact(x, d))
-          case TInf    => TInf
-        }) catch { case _: ArithmeticException => None }
       val anchorless: TopB = if (m.reverse) TMax(0) else TMin(0)
-      val bounds: Option[(TopB, TopB)] = f match {
-        case LookBack(s, a) =>
-          for {
-            sv <- litSpan(s)
-            av <- a.map(endNum).getOrElse(Some(anchorless))
-            lo <- if (sv == Long.MaxValue) Some(TInf) else shiftB(av, -sv)
-          } yield (lo, av)
-        case LookAhead(s, a) =>
-          for {
-            sv <- litSpan(s)
-            av <- a.map(endNum).getOrElse(Some(anchorless))
-            hi <- if (sv == Long.MaxValue) Some(TInf) else shiftB(av, sv)
-          } yield (av, hi)
-        case Within(s, a) =>
-          for {
-            sv <- litSpan(s)
-            if sv != Long.MaxValue // interpreter wraps a±MaxValue; decline
-            av <- endNum(a)
-            lo <- shiftB(av, -sv)
-            hi <- shiftB(av, sv)
-          } yield (lo, hi)
-        case DateRange(s, e2) =>
-          for (lo <- endStamp(s); hi <- endStamp(e2)) yield (lo, hi)
-      }
-      bounds.map(Some(_))
+      frameAsBounds(f, now, Some(anchorless)).map(Some(_))
+  }
+
+  /** A frame's per-person-constant [lo, hi] bounds, or None when a side is
+    * dynamic. `anchorless` supplies the anchor for anchor-less
+    * `.look_back`/`.look_ahead` (top loops: the first/reverse-last row's
+    * stamp); None there means anchor-less frames are NOT constant (chain
+    * steps anchor at the spawn cursor — the witness machinery's job). */
+  private def frameAsBounds(f: Frame, now: Long, anchorless: Option[TopB])
+      : Option[(TopB, TopB)] = {
+    def endNum(e: Expr): Option[TopB] = e match {
+      case VarRef("now") | PropRef("now") => Some(TCst(now))
+      case Lit(VInt(i)) => Some(TCst(i))
+      case Lit(VDbl(d)) => Some(TCst(d.toLong))
+      case VarRef("first_stamp") | PropRef("first_stamp") => Some(TMin(0))
+      case VarRef("last_stamp") | PropRef("last_stamp")   => Some(TMax(0))
+      case _ => None
+    }
+    def endStamp(e: Expr): Option[TopB] = e match {
+      case Lit(VStr(s)) =>
+        try Some(TCst(java.time.OffsetDateTime.parse(s).toInstant.toEpochMilli))
+        catch { case _: Throwable =>
+          try Some(TCst(java.time.Instant.parse(s).toEpochMilli))
+          catch { case _: Throwable => None } }
+      case other => endNum(other)
+    }
+    def shiftB(b: TopB, d: Long): Option[TopB] =
+      try Some(b match {
+        case TCst(v) => TCst(Math.addExact(v, d))
+        case TMin(x) => TMin(Math.addExact(x, d))
+        case TMax(x) => TMax(Math.addExact(x, d))
+        case TInf    => TInf
+      }) catch { case _: ArithmeticException => None }
+    f match {
+      case LookBack(s, a) =>
+        for {
+          sv <- litSpan(s)
+          av <- a.map(endNum).getOrElse(anchorless)
+          lo <- if (sv == Long.MaxValue) Some(TInf) else shiftB(av, -sv)
+        } yield (lo, av)
+      case LookAhead(s, a) =>
+        for {
+          sv <- litSpan(s)
+          av <- a.map(endNum).getOrElse(anchorless)
+          hi <- if (sv == Long.MaxValue) Some(TInf) else shiftB(av, sv)
+        } yield (av, hi)
+      case Within(s, a) =>
+        for {
+          sv <- litSpan(s)
+          if sv != Long.MaxValue // interpreter wraps a±MaxValue; decline
+          av <- endNum(a)
+          lo <- shiftB(av, -sv)
+          hi <- shiftB(av, sv)
+        } yield (lo, hi)
+      case DateRange(s, e2) =>
+        for (lo <- endStamp(s); hi <- endStamp(e2)) yield (lo, hi)
+    }
   }
 
   /** The level's literal match cap: Some(None) = no limit, Some(Some(n))
@@ -1269,7 +1313,7 @@ object TierA {
   private def segChainPlanned(code: Seq[Stmt], now: Long)
       : Option[(Seq[ChainLevel], Expr)] = {
     if (Interpreter.referencesSession(Program(Nil, code))) return None
-    extractSegChain(code).filter { case (levels, ret) =>
+    extractSegChain(code, now).filter { case (levels, ret) =>
       val exprs = levels.map(_.where) ++ levels.flatMap(_.guard) :+ ret
       personTestColumns(exprs, now) match {
         case Some(pts) =>
@@ -1283,10 +1327,11 @@ object TierA {
   /** Decompose `each_row … [each_row.continue().next() …]* return(true)`
     * (each nest optionally under else-less `if`s; optional trailing
     * `return(false)` fall-through at top level). */
-  private def extractSegChain(code: Seq[Stmt]): Option[(Seq[ChainLevel], Expr)] = {
+  private def extractSegChain(code: Seq[Stmt], now: Long)
+      : Option[(Seq[ChainLevel], Expr)] = {
     def levelsOf(er: EachRow, limitN: Option[Long], spanMs: Option[Long],
-                 guard: Option[Expr],
-                 reverse: Boolean): Option[(Seq[ChainLevel], Expr)] = {
+                 guard: Option[Expr], reverse: Boolean,
+                 absBounds: Option[(TopB, TopB)]): Option[(Seq[ChainLevel], Expr)] = {
       def inner(body: Seq[Stmt], pred: Option[Expr])
           : Option[Either[(EachRow, Option[Expr]), Expr]] = body match {
         case Seq(n: EachRow) if isChainStep(n.mods) => Some(Left((n, pred)))
@@ -1297,25 +1342,26 @@ object TierA {
           Some(Right(pred.getOrElse(Lit(VBool(true)))))
         case _ => None
       }
+      def level = ChainLevel(er.where, Nil, limitN, spanMs, guard, reverse,
+        absBounds = absBounds)
       inner(er.body, None).flatMap {
-        case Right(ret) =>
-          Some((Seq(ChainLevel(er.where, Nil, limitN, spanMs, guard, reverse)), ret))
+        case Right(ret) => Some((Seq(level), ret))
         case Left((n, g)) if n.mods.continueFrom =>
           for {
-            (span, contra) <- chainSpan(n.mods.frame, n.mods.reverse)
+            (span, contra, abs) <- chainSpan(n.mods.frame, n.mods.reverse, now)
             if contra.isEmpty // segment steps stay cursor-aligned
             lim <- limitOf(n.mods)
-            (rest, ret) <- levelsOf(n, lim, span, g, n.mods.reverse)
-          } yield (ChainLevel(er.where, Nil, limitN, spanMs, guard, reverse) +: rest, ret)
+            (rest, ret) <- levelsOf(n, lim, span, g, n.mods.reverse, abs)
+          } yield (level +: rest, ret)
         case Left(_) => None // `.from(k)` steps: query chains only
       }
     }
     code match {
       case Seq(er: EachRow) if isTopShape(er.mods) =>
-        levelsOf(er, None, None, None, reverse = false)
+        levelsOf(er, None, None, None, reverse = false, absBounds = None)
       case Seq(er: EachRow, Return(Some(Lit(VBool(false)))))
           if isTopShape(er.mods) =>
-        levelsOf(er, None, None, None, reverse = false)
+        levelsOf(er, None, None, None, reverse = false, absBounds = None)
       case _ => None
     }
   }

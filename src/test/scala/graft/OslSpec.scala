@@ -594,6 +594,79 @@ class OslSpec extends SparkSpec {
         |""".stripMargin), data, Tue, 1800000L).isEmpty)
   }
 
+  test("Tier A absolute-anchored chain-step frames ≡ interpreter") {
+    val data = Seq(
+      ("u1", Mon + 1 * H, "signup", "s", 0.0, Seq("g")),
+      ("u1", Mon + 8 * H, "purchase", "a", 10.0, Seq("g")),
+      ("u1", Mon + 26 * H, "purchase", "b", 20.0, Seq("g")),
+      ("u2", Mon + 20 * H, "signup", "s", 0.0, Seq("g")),
+      ("u2", Mon + 27 * H, "purchase", "c", 30.0, Seq("g")),
+      ("u2", Mon + 44 * H, "purchase", "d", 40.0, Seq("g")),
+      ("u3", Mon + 2 * H, "purchase", "e", 50.0, Seq("g"))
+    ).toDF("id", "stamp", "event", "product_name", "product_price", "product_group")
+    // ISO .range on a continue-step: only in-window purchases convert
+    tierDiff(
+      """select
+        |  count id as customers
+        |end
+        |each_row where event.is(== 'signup')
+        |  << 'signup'
+        |  each_row.continue().next().range('2024-01-01T06:00:00Z', '2024-01-02T04:00:00Z') where event.is(== 'purchase')
+        |    << 'in_window', product_name
+        |  end
+        |end
+        |""".stripMargin, data)
+    // now-anchored look_back on a step (Tue + 30h window reaches back)
+    tierDiff(
+      """select
+        |  count id as customers
+        |end
+        |each_row where event.is(== 'signup')
+        |  << 'signup'
+        |  each_row.continue().next().look_back(30_hours, now) where event.is(== 'purchase')
+        |    << 'recent', product_name
+        |  end
+        |end
+        |""".stripMargin, data)
+    // person-anchored within on a step (first day of each person's history)
+    tierDiff(
+      """select
+        |  count id as customers
+        |end
+        |each_row where event.is(== 'signup')
+        |  << 'signup'
+        |  each_row.continue().next().within(24_hours, first_stamp) where event.is(== 'purchase')
+        |    << 'first_day', product_name
+        |  end
+        |end
+        |""".stripMargin, data)
+    // absolute frame + .limit on the step: the cap counts in-window matches
+    tierDiff(
+      """select
+        |  count id as customers
+        |end
+        |each_row where event.is(== 'signup')
+        |  << 'signup'
+        |  each_row.continue().next().look_back(48_hours, now).limit(1) where event.is(== 'purchase')
+        |    << 'first_recent', product_name
+        |  end
+        |end
+        |""".stripMargin, data)
+    // from-step with an absolute frame + limit (newly compilable: the
+    // bounds are spawn-independent, so the match sequence is fixed)
+    tierDiff(
+      """select
+        |  count id as customers
+        |end
+        |each_row where event.is(== 'signup')
+        |  << 'signup'
+        |  each_row.from(0).range('2024-01-01T00:00:00Z', '2024-01-02T06:00:00Z').limit(2) where event.is(== 'purchase')
+        |    << 'windowed', product_name
+        |  end
+        |end
+        |""".stripMargin, data)
+  }
+
   private def tierDiff(script: String,
                        data: org.apache.spark.sql.DataFrame = highstreet): Unit = {
     val p = Parser.program(script)
@@ -956,10 +1029,19 @@ class OslSpec extends SparkSpec {
         |  end
         |end
         |""".stripMargin)
-    declines( // non-cursor frame anchor on a chain step
-      """each_row where event.is(== 'signup')
+    // round 5: an EXPLICIT constant anchor on a chain step compiles — the
+    // bounds are spawn-independent and fold into the level predicate
+    tierDiff(
+      """each_row where product_group.is(contains 'outdoor')
         |  each_row.continue().next().within(1_days, now) where event.is(== 'purchase')
-        |    << 'recent_conversion'
+        |    << 'recent_conversion', product_name
+        |  end
+        |end
+        |""".stripMargin)
+    declines( // row/var-dependent frame anchor on a chain step
+      """each_row where event.is(== 'signup')
+        |  each_row.continue().next().within(1_days, product_price) where event.is(== 'purchase')
+        |    << 'odd_anchor'
         |  end
         |end
         |""".stripMargin)

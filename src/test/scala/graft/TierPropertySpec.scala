@@ -222,10 +222,13 @@ class TierPropertySpec extends SparkSpec {
       "event.is(!= 'error')", "product_price.is(> 20)",
       "event.ever(== 'signup')")))
     // contra-directional frames (.look_back on a forward step, un-mirrored
-    // .look_ahead on a reverse step) compile to honest witness-stamp bounds
+    // .look_ahead on a reverse step) compile to honest witness-stamp bounds;
+    // explicit-anchor frames (round 5) fold into the level predicate
     frames <- Gen.listOfN(depth,
       Gen.oneOf("", "", ".look_ahead(10_hours)", ".within(16_hours, stamp)",
-        ".look_back(14_hours)", ".look_ahead(6_hours)"))
+        ".look_back(14_hours)", ".look_ahead(6_hours)",
+        ".look_back(60_hours, now)", ".within(30_hours, first_stamp)",
+        ".range('2024-01-01T08:00:00Z', '2024-01-03T00:00:00Z')"))
     revs <- Gen.listOfN(depth, Gen.oneOf(false, false, true))
     // `.from(k)` absolute-restart steps (forward; limit only when unframed)
     fromSteps <- Gen.listOfN(depth, Gen.oneOf(false, false, true))
