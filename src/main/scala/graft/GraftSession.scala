@@ -7,10 +7,12 @@ import org.apache.spark.sql.SparkSession
   * Centralizes the settings every entry point (Verify, Bench, tests, user code)
   * needs so a query behaves identically regardless of who built the session:
   *
-  *   - `spark.sql.legacy.parquet.nanosAsLong` — the driver's `events.parquet`
-  *     carries INT64 TIMESTAMP(NANOS) which Spark otherwise rejects
-  *     (PARQUET_TYPE_ILLEGAL). We read it as epoch-nanos Long and convert with
-  *     integer `div` (nanos exceed 2^53, so double math would corrupt them).
+  *   - `spark.sql.legacy.parquet.nanosAsLong` — legacy driver data carried
+  *     INT64 TIMESTAMP(NANOS), which Spark otherwise rejects
+  *     (PARQUET_TYPE_ILLEGAL); with the flag such files read as epoch-nanos
+  *     Long. Current driver files ship timestamp[us] (read as
+  *     TIMESTAMP_NTZ), where the flag is inert — [[Tables.events]]
+  *     dispatches on the column's actual type.
   *   - UTC session timezone — all date-part semantics (day-of-week, trunc)
   *     must match the DuckDB oracle, which operates in UTC.
   *   - shuffle partitions default 32 — sized for local[32]; on a real cluster

@@ -97,7 +97,6 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
 
-  /** Raw events as written by the driver: ts is epoch NANOS (Long). */
   /** Register every test table (plus the normalized `events` view) as temp
     * views so plain `spark.sql(...)` works over them — the engine's SQL
     * surface for users who skip the DataFrame API. */
@@ -114,17 +113,34 @@ object Tables {
   /** OpenSet-normalized event stream: `(id, stamp, event, value, props,
     * event_id)` with `stamp` in epoch millis.
     *
-    * `ts div 1000000` is integer division on the Long nanos — ns values
-    * (~1.7e18) exceed 2^53, so any route through DoubleType would silently
-    * corrupt timestamps. Matches DuckDB `epoch_ms(ts)` (floor) for the
-    * oracle.
+    * The driver has shipped `ts` under several encodings across rounds, so
+    * the millis conversion dispatches on the column's actual type:
+    *   - TIMESTAMP / TIMESTAMP_NTZ (current files: parquet timestamp[us],
+    *     isAdjustedToUTC=false): `unix_millis`. NTZ wall-clock is
+    *     interpreted in the session timezone, which [[GraftSession.tune]]
+    *     pins to UTC — the same reading DuckDB's `epoch_ms(ts)` gives the
+    *     oracle.
+    *   - Long (legacy epoch-nanos files read via
+    *     `spark.sql.legacy.parquet.nanosAsLong`): integer `ts div 1000000`
+    *     — ns values (~1.7e18) exceed 2^53, so any route through DoubleType
+    *     would silently corrupt timestamps.
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    eventsRaw(spark, dir).select(
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = eventsRaw(spark, dir)
+    val stamp = raw.schema("ts").dataType match {
+      case TimestampType    => unix_millis(col("ts"))
+      case TimestampNTZType => unix_millis(col("ts").cast(TimestampType))
+      case LongType         => expr("ts div 1000000")
+      case other => throw new IllegalArgumentException(
+        s"events.ts: unsupported type $other (expected timestamp or epoch-nanos long)")
+    }
+    raw.select(
       col("user_id").as("id"),
-      expr("ts div 1000000").as("stamp"),
+      stamp.as("stamp"),
       col("event_type").as("event"),
       col("value"),
       col("props"),
       col("event_id"))
+  }
 }

@@ -14,11 +14,17 @@ object Verify {
     // exercise the exact path the benchmark measures.
     Tables.hotCache = true
     new java.io.File(outDir).mkdirs()
+    // A query that throws must leave a visible record, not just vanish from
+    // the output dir — a silent drop once masked 47 broken queries as "all
+    // pass" because the driver only compares results that exist.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        errors(name) = msg.linesIterator.take(3).mkString(" | ").take(500)
+        System.err.println(s"[verify] $name failed: $msg")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -36,6 +42,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    // rc stays 0 so the driver still oracle-compares the queries that DID
+    // succeed; errors.json + stderr make the failures impossible to miss.
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size}/${SparkEntry.queries.size} queries FAILED")
     spark.stop()
   }
 }
