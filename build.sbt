@@ -34,5 +34,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: local[32] runs driver+executors in ONE JVM, and a 95-query
+  // sweep accumulates codegen classes, status-store entries, and hot-table
+  // cache blocks on top of 32 threads of UDF allocation — at 8g the old
+  // gen fills and allocation-heavy kernel queries eat multi-second GC
+  // stalls late in the sweep (the machine has 128 GiB; a real cluster
+  // sizes executor memory independently of this local-mode setting).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

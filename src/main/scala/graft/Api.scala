@@ -257,19 +257,50 @@ final class Api(spark: SparkSession, val warehouse: String) {
     foreach match {
       case None => s"""{"name":"$name","histogram":${render(runOne(""))}}"""
       case Some(prop) =>
-        // each_value iterates the property's distinct values (bounded — the
-        // reference walks the property index)
-        val values = catalog.events(table).select(col(prop)).distinct()
-          .limit(256).collect().map(_.get(0)).filter(_ != null)
-        val inner = values.toSeq.map { v =>
-          val lit0 = v match {
-            case s2: String => Json.oslStr(s2)
-            case other => other.toString
-          }
-          s"""${Json.str(v.toString)}:${render(runOne(s"each_value = $lit0\n"))}"""
+        val groups = foreachHistogram(catalog.events(table),
+          catalog.events(table), script, prop,
+          bucket, nowMs, m.settings.sessionTimeMs)
+        val inner = groups.map { case (v, rows) =>
+          s"""${Json.str(v)}:${render(rows)}"""
         }.mkString(",")
         s"""{"name":"$name","histogram":{$inner}}"""
     }
+  }
+
+  /** `foreach=` histogram evaluation as ONE distributed plan: the distinct
+    * value walk (bounded at 256 — the reference walks the property index,
+    * src/oloop_histogram.cpp:96) feeds [[graft.osl.OslEngine.histogramForeach]],
+    * which binds `each_value` per customer IN MEMORY inside a single
+    * groupByKey pass, and one grouped aggregation buckets every value's
+    * per-person returns together. Replaces |values| sequential driver-looped
+    * Spark jobs with 2 jobs total regardless of value count. Returns
+    * (value → bucket rows) in the distinct-collect order the sequential
+    * loop produced. */
+  private def foreachHistogram(events: DataFrame, valuesFrom: DataFrame,
+                               script: String, prop: String,
+                               bucket: Option[Double], nowMs: Long,
+                               sessionGapMs: Long): Seq[(String, Seq[(Double, Long)])] = {
+    // value walk over the UNFILTERED table — the reference reads the
+    // property index, which segment membership does not narrow
+    val values = valuesFrom.select(col(prop)).distinct()
+      .limit(256).collect().map(_.get(0)).filter(_ != null)
+    if (values.isEmpty) return Nil
+    val perPerson = graft.osl.OslEngine.histogramForeach(
+      events, script, scala.collection.immutable.ArraySeq.unsafeWrapArray(values),
+      now = nowMs, sessionGapMs = sessionGapMs)
+    val keyed = bucket match {
+      case Some(b) => perPerson.groupBy(col("each_value"),
+        (floor(col("value") / b) * b).as("g"))
+      case None => perPerson.groupBy(col("each_value"), col("value").as("g"))
+    }
+    val grouped = keyed.agg(countDistinct(col("id")).as("customers"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rs) =>
+        k -> scala.collection.immutable.ArraySeq.unsafeWrapArray(
+          rs.map(r => (r.getDouble(1), r.getLong(2)))): (String, Seq[(Double, Long)]) }
+    values.toSeq.map(v => String.valueOf(v) ->
+      grouped.getOrElse(String.valueOf(v), Nil))
   }
 
   // ------------------------------------------------------- segments + subs
@@ -479,17 +510,9 @@ final class Api(spark: SparkSession, val warehouse: String) {
           val counted: Seq[(String, Seq[(Double, Long)])] = kv.get("foreach") match {
             case None => Seq("" -> runOne(""))
             case Some(prop) =>
-              // each_value iterates the property's distinct values
-              // (bounded — the reference walks the property index)
-              val values = catalog.events(table).select(col(prop)).distinct()
-                .limit(256).collect().map(_.get(0)).filter(_ != null)
-              values.toSeq.map { v =>
-                val lit = v match {
-                  case s2: String => Json.oslStr(s2)
-                  case other => other.toString
-                }
-                v.toString -> runOne(s"each_value = $lit\n")
-              }
+              // one grouped plan over all values — see [[foreachHistogram]]
+              foreachHistogram(events, catalog.events(table),
+                s.body.toString, prop, bucket, nowMs, m.settings.sessionTimeMs)
           }
           def render(rows: Seq[(Double, Long)]): String =
             histogramRender(rows, bucket, minO, maxO)

@@ -12,6 +12,15 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     Tables.hotCache = true // warm-engine mode (see Tables.hotCache)
 
+    // Optional subset filter for targeted A/B runs: comma-separated query
+    // names (exact match). Unset = full registry sweep.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val names = only match {
+      case Some(set) => Queries.benchNames.filter(set)
+      case None => Queries.benchNames
+    }
+
     // Force FULL materialization: count() lets Catalyst prune computed
     // columns (a projection-heavy query would measure as a metadata count);
     // the noop sink evaluates every output column without writing.
@@ -30,7 +39,7 @@ object Bench {
     // steady-state instead of paying first-compile + JIT (measured swings of
     // 1s vs 27s on identical plans otherwise). Warmup failures are ignored;
     // the measured pass reports them.
-    Queries.benchNames.foreach(run(_, "/root/testdata/sf0.001"))
+    names.foreach(run(_, "/root/testdata/sf0.001"))
 
     // Let the ContextCleaner reap blocks from unreferenced cached/
     // checkpointed RDDs between queries — an iterative operator's leftovers
@@ -46,7 +55,7 @@ object Bench {
     // co-tenant CPU spike that covers one back-to-back pair would otherwise
     // poison both samples and the min alike.
     val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    for (_ <- 1 to 2; name <- Queries.benchNames) {
+    for (_ <- 1 to 2; name <- names) {
       reap()
       val t0 = System.nanoTime()
       val err = run(name, sfDir)
@@ -60,7 +69,7 @@ object Bench {
         case None => v
       }
     }
-    val results = Queries.benchNames.map(n => n -> best(n))
+    val results = names.map(n => n -> best(n))
     // Keep the JSON line COMPACT (ms precision): the harness that reads it
     // keeps only a bounded tail of the process output, and full double
     // precision over ~60 queries pushed the line start past that window.
@@ -85,7 +94,7 @@ object Bench {
     //   2. print the per-query map on its own line (best-effort detail),
     //   3. print a LAST, tiny, self-checked total line the tail always holds.
     val full = s"""{"metric":"total","value":${sec(total)},"unit":"sec","stat":"min-of-2","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
-    try {
+    if (only.isEmpty) try { // subset A/B runs must not clobber the real record
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH.json"),
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

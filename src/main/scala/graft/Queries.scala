@@ -2415,7 +2415,36 @@ object Queries {
           WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
                 < keep_frac * 100)
         SELECT lang, COUNT(*) AS n_kept, round(MAX(keep_frac), 4) AS keep_frac
-        FROM kept GROUP BY 1"""))
+        FROM kept GROUP BY 1""")),
+
+    // foreach-mode histogram (`each_value` iteration over a property's
+    // distinct values, src/oloop_histogram.cpp:232-330) compiled as ONE
+    // grouped plan: a single groupByKey(id) pass binds each_value per
+    // customer in memory, then one aggregation buckets every value's
+    // per-person returns — not |values| sequential driver-looped queries.
+    Q("q_histogram_foreach",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val values = e.select(col("event")).distinct().limit(256)
+          .collect().map(_.get(0)).filter(_ != null)
+        val script = "n = count(id) where event == each_value\nreturn(n)\n"
+        graft.osl.OslEngine.histogramForeach(
+            e, script, scala.collection.immutable.ArraySeq.unsafeWrapArray(values),
+            now = OslNow)
+          .groupBy(col("each_value"),
+            (floor(col("value") / 5) * 5).cast("double").as("bucket"))
+          .agg(countDistinct(col("id")).as("customers"))
+      },
+      Some(s"""$E, vals AS (SELECT DISTINCT event AS v FROM e WHERE event IS NOT NULL),
+        persons AS (SELECT DISTINCT id FROM e),
+        counts AS (SELECT id, event AS v, COUNT(*) AS cnt FROM e GROUP BY 1, 2),
+        per AS (
+          SELECT vals.v, p.id, COALESCE(c.cnt, 0) AS cnt
+          FROM vals CROSS JOIN persons p
+          LEFT JOIN counts c ON c.id = p.id AND c.v = vals.v)
+        SELECT v AS each_value, CAST(FLOOR(cnt / 5.0) * 5 AS DOUBLE) AS bucket,
+          COUNT(DISTINCT id) AS customers
+        FROM per GROUP BY 1, 2"""))
   )
 
   def allRegistry: Seq[Q] = registry ++ extraRegistry

@@ -22,6 +22,14 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // remove any stale result a PRIOR successful run left in a reused
+        // output dir — a failed query must never present old output as
+        // current for the oracle compare
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(s"$outDir/$name"))
         val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
         errors(name) = msg.linesIterator.take(3).mkString(" | ").take(500)
         System.err.println(s"[verify] $name failed: $msg")

@@ -202,6 +202,47 @@ object OslEngine {
     out.toDF("id", "value")
   }
 
+  /** Foreach-mode histogram (`each_value` iteration,
+    * src/oloop_histogram.cpp:232-330): for EVERY customer × EVERY distinct
+    * value of the foreach property, run the script with the `each_value`
+    * variable bound and emit the per-person return values. Returns
+    * `(each_value, id, value)` rows.
+    *
+    * Scale shape: ONE `groupByKey(id)` shuffle — the same pass the plain
+    * histogram pays — with the (bounded, index-walk-sized) value list
+    * riding in the closure; the inner loop over values happens in memory
+    * against the customer's already-sorted rows, exactly the reference's
+    * per-partition loop. The alternative (one full query per value, driver
+    * sequential) costs |values| Spark jobs and |values| shuffles. */
+  def histogramForeach(events: DataFrame, script: String, values: Seq[Any],
+                       now: Long, sessionGapMs: Long = 30 * 60 * 1000L): DataFrame = {
+    val program = Parser.program(script)
+    val schema = events.schema
+    val nCols = schema.fields.length
+    val colIdx: Map[String, Int] = schema.fieldNames.zipWithIndex.toMap
+    val idIdx = colIdx("id")
+    val stampIdx = colIdx("stamp")
+    val interp = new Interpreter(program, colIdx, now, sessionGapMs)
+    val vals: Array[Any] = values.toArray
+
+    implicit val enc = Encoders.product[(String, String, Double)]
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    implicit val rowEnc: org.apache.spark.sql.Encoder[Row] = ExpressionEncoder(schema)
+
+    val ds = events.as(rowEnc)
+      .groupByKey(r => r.get(idIdx).toString)(Encoders.STRING)
+    val out = ds.flatMapGroups { (pid: String, it: Iterator[Row]) =>
+      val rows = it.map(r => rowToValues(r, nCols)).toArray
+      java.util.Arrays.sort(rows, Ordering.by((a: Array[Value]) => a(stampIdx).asLong))
+      vals.iterator.flatMap { v =>
+        val res = interp.run(VStr(pid), rows,
+          Map("each_value" -> Value(v)))
+        res.returned.iterator.map(r => (String.valueOf(v), pid, r.asDouble))
+      }
+    }(enc)
+    out.toDF("each_value", "id", "value")
+  }
+
   /** Run a script per customer and emit the customer-property write-back
     * frame `(id, <customer props…>)` — one row per person whose script
     * assigned at least one declared prop (reference `setGridProps` /

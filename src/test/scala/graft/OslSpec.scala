@@ -160,6 +160,28 @@ class OslSpec extends SparkSpec {
     assert(out == Map("u1" -> 100.0, "u2" -> 0.0))
   }
 
+  test("histogramForeach ≡ per-value injected histogram runs") {
+    // the single-pass grouped foreach plan must agree with the reference's
+    // semantics: bind each_value, run the script per customer, per value
+    // (src/oloop_histogram.cpp:232-330 inner loop)
+    val script =
+      """n = count(id) where product_name == each_value
+        |return(n)
+        |""".stripMargin
+    val values = Seq("fly rod", "gilded spoon", "hammer")
+    val grouped = OslEngine.histogramForeach(highstreet, script, values, now = Tue)
+      .as[(String, String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    val looped = values.map { v =>
+      v -> OslEngine.histogram(highstreet, s"each_value = '$v'\n" + script,
+        now = Tue, forceTierB = true)
+        .as[(String, Double)].collect().toSet
+    }.toMap
+    assert(grouped == looped)
+    assert(grouped("fly rod") == Set(("alice", 1.0), ("bob", 1.0)))
+    assert(grouped("hammer") == Set(("alice", 0.0), ("bob", 1.0)))
+  }
+
   test("language: vars, containers, for/in, break, if/else") {
     val script =
       """total = 0
