@@ -162,7 +162,7 @@ final class Api(spark: SparkSession, val warehouse: String) {
       case (df, ("*", i)) => df.withColumn(s"__s$i", lit(true))
       case (df, (name, i)) =>
         val segDir = new java.io.File(warehouse, s"$table/segments/$name").toString
-        Fs.recoverSwap(segDir)
+        Fs.recoverForRead(segDir)
         val members = spark.read.parquet(segDir).select(col("id").as("__mid"))
         df.join(broadcast(members), df("id") === col("__mid"), "left")
           .withColumn(s"__s$i", col("__mid").isNotNull).drop("__mid")
@@ -471,7 +471,7 @@ final class Api(spark: SparkSession, val warehouse: String) {
       else {
         val members = useSegments.map { name =>
           val segDir = new java.io.File(warehouse, s"$table/segments/$name").toString
-          Fs.recoverSwap(segDir)
+          Fs.recoverForRead(segDir)
           spark.read.parquet(segDir)
         }.reduce(_ union _).distinct()
         df.join(broadcast(members), Seq("id"), "left_semi")
@@ -534,7 +534,7 @@ final class Api(spark: SparkSession, val warehouse: String) {
         val counts = segSections.map { s =>
           val name = s.header.split("\\s+").head
           val segDir = new java.io.File(warehouse, s"$table/segments/$name").toString
-          Fs.recoverSwap(segDir)
+          Fs.recoverForRead(segDir)
           val n =
             if (!new java.io.File(segDir).isDirectory) 0L // not yet refreshed
             else spark.read.parquet(segDir).count()

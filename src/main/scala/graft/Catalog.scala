@@ -222,17 +222,33 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     * partition-pruned reads); empty (right schema) before the first insert. */
   private def eventsWithBucket(table: String, m: TableMeta): DataFrame = {
     val schema = m.eventsSchema
-    recoverEvents(table)
-    val d = new java.io.File(eventsDir(table))
+    val root = eventsDir(table)
+    val d = new java.io.File(root)
     val withBucket = StructType(schema.fields :+ StructField("__bucket", IntegerType))
-    if (!hasParquet(d)) spark.createDataFrame(
+    def empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withBucket)
-    else {
-      val raw = spark.read.parquet(eventsDir(table))
+    def align(raw: DataFrame) =
       withBucket.fields.foldLeft(raw) { (df, f) =>
         if (df.columns.contains(f.name)) df
         else df.withColumn(f.name, lit(null).cast(f.dataType))
       }.select(withBucket.fieldNames.map(col): _*)
+    TableCommit.read(root) match {
+      // manifest store: scan exactly the committed snapshot's files —
+      // concurrent committers retire (not delete) what they replace, so
+      // every planned path stays readable through the grace window
+      case Some(c) =>
+        val files = c.buckets.toSeq.sortBy(_._1).flatMap { case (b, fs) =>
+          fs.map(f => s"$root/__bucket=$b/$f") }
+        if (files.isEmpty) empty
+        // basePath keeps the __bucket dir component as a partition column
+        else align(spark.read.option("basePath", root).parquet(files: _*))
+      case None => // pre-manifest store (or none): directory listing
+        // crash recovery only (safe under the writer lock); routine
+        // stage/bak cleanup is writer-side — a lock-free reader deleting
+        // the staging dir would abort a concurrent writer's job
+        Fs.recoverForRead(root)
+        if (!hasParquet(d)) empty
+        else align(spark.read.parquet(root))
     }
   }
 
@@ -279,7 +295,14 @@ final class Catalog(spark: SparkSession, warehouse: String) {
       .filterNot(_.getName.startsWith("__bucket="))
       .filter(hasParquet)
 
-  def insert(table: String, incoming: DataFrame, nowMs: Long): Unit = {
+  def insert(table: String, incoming: DataFrame, nowMs: Long): Unit =
+    // commit protocol: the whole read-merge-swap holds the table's writer
+    // lock, so a concurrent insert merges against THIS batch's result
+    // instead of the same base (lost update); readers stay lock-free on
+    // the atomic bucket renames
+    Fs.withWriteLock(eventsDir(table)) { insertLocked(table, incoming, nowMs) }
+
+  private def insertLocked(table: String, incoming: DataFrame, nowMs: Long): Unit = {
     import graft.operators.EventIngest
     val m = describe(table)
     val payload = m.eventProps.map(_.name)
@@ -300,7 +323,11 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     val merged = EventIngest.cullEventMax(
       EventIngest.cullTtl(merged0, nowMs, m.settings.eventTtlMs),
       m.settings.eventMax, m.settings.eventOrder)
-    // stage the touched buckets, then swap each into place crash-safely
+    // stage the touched buckets, then commit via the manifest: move the
+    // staged (immutable, uniquely-named) files into the bucket dirs, publish
+    // a new _commit atomically, and retire — not delete — the files they
+    // replace, so readers that planned against the previous snapshot still
+    // find every path (TableCommit.graceMs bounds how long)
     val root = new java.io.File(eventsDir(table))
     val stage = new java.io.File(eventsDir(table) + "_stage")
     rmTree(stage)
@@ -312,20 +339,32 @@ final class Catalog(spark: SparkSession, warehouse: String) {
       .sortWithinPartitions(col("__bucket"), col("id"), col("stamp"))
       .write.partitionBy("__bucket").mode(SaveMode.Overwrite).parquet(stage.toString)
     root.mkdirs()
+    val commit0 = TableCommit.read(root.toString)
+      .getOrElse(TableCommit.fromListing(root.toString)) // one-time migration
+    val newBuckets = scala.collection.mutable.Map(commit0.buckets.toSeq: _*)
+    val retiredNow = scala.collection.mutable.ArrayBuffer.empty[String]
     touched.foreach { b =>
-      val dst = new java.io.File(root, s"__bucket=$b")
       val staged = new java.io.File(stage, s"__bucket=$b")
-      val bak = new java.io.File(dst.toString + "_bak")
-      rmTree(bak)
-      if (dst.isDirectory)
-        require(dst.renameTo(bak), s"backup rename failed for $dst")
-      if (staged.isDirectory && !staged.renameTo(dst)) {
-        if (bak.isDirectory) bak.renameTo(dst) // roll back to the old bucket
-        throw new IllegalStateException(s"swap failed for $dst")
-      }
-      // staged absent = every row of the bucket was culled: dst stays gone
-      rmTree(bak)
+      val dstDir = new java.io.File(root, s"__bucket=$b")
+      val moved: Seq[String] =
+        if (!staged.isDirectory) Nil // every row of the bucket was culled
+        else {
+          dstDir.mkdirs()
+          Option(staged.listFiles()).getOrElse(Array.empty)
+            .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+            .map { f => // Spark part-file names carry a fresh UUID: no clash
+              val dst = new java.io.File(dstDir, f.getName)
+              require(f.renameTo(dst), s"stage move failed for $dst")
+              f.getName
+            }.toSeq
+        }
+      retiredNow ++= newBuckets.getOrElse(b, Nil).map(n => s"__bucket=$b/$n")
+      if (moved.nonEmpty) newBuckets(b) = moved else newBuckets.remove(b): Unit
     }
+    val wallNow = System.currentTimeMillis()
+    val next = TableCommit.State(commit0.gen + 1, newBuckets.toMap,
+      commit0.retired :+ TableCommit.Retired(wallNow, retiredNow.toSeq))
+    TableCommit.write(root.toString, TableCommit.gc(root.toString, next, wallNow))
     rmTree(stage)
   }
 
@@ -351,22 +390,26 @@ final class Catalog(spark: SparkSession, warehouse: String) {
         .sortWithinPartitions(col("__bucket"), col("id"), col("stamp"))
         .write.partitionBy("__bucket").mode(SaveMode.Overwrite).parquet(tmp)
     }
+    // seed the manifest so every subsequent read/commit is snapshot-isolated
+    TableCommit.write(eventsDir(table),
+      TableCommit.fromListing(eventsDir(table)).copy(gen = 1L))
   }
 
   /** Customer-property facts (`is_customer` props), merged by id. */
   def customers(table: String): DataFrame = {
     val m = describe(table)
-    recoverSwap(customersDir(table))
+    Fs.recoverForRead(customersDir(table)) // readers mutate only on crash evidence
     val d = new java.io.File(customersDir(table))
     if (!d.isDirectory) spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.customerSchema)
     else spark.read.parquet(customersDir(table))
   }
 
-  def mergeCustomers(table: String, updates: DataFrame): Unit = {
-    val merged = graft.operators.CustomerProps.writeBack(customers(table), updates)
-    swapInto(customersDir(table))(tmp => merged.write.mode(SaveMode.Overwrite).parquet(tmp))
-  }
+  def mergeCustomers(table: String, updates: DataFrame): Unit =
+    Fs.withWriteLock(customersDir(table)) {
+      val merged = graft.operators.CustomerProps.writeBack(customers(table), updates)
+      swapInto(customersDir(table))(tmp => merged.write.mode(SaveMode.Overwrite).parquet(tmp))
+    }
 
   /** Run an OSL script over the table's event history and merge any
     * customer-property assignments back into the customer store — the

@@ -1,0 +1,140 @@
+package graft
+
+/** Manifest-based commit protocol for the bucketed events store — the
+  * MERGE-shaped transaction layer over plain parquet.
+  *
+  * Problem: a rename-swapped bucket directory gives writer atomicity but NOT
+  * reader snapshot isolation — Spark plans a scan against a file listing,
+  * and a swap that deletes those paths mid-query fails the reader
+  * (FAILED_READ_FILE). The reference avoids this by WAL-ordered visibility
+  * (`src/sidelog.h:15-60`): readers only ever see committed, immutable
+  * state. The same property here, Delta/Iceberg-style:
+  *
+  *   - part files are IMMUTABLE once written; an insert MOVES freshly staged
+  *     files into the bucket dirs under new unique names and never touches
+  *     existing ones;
+  *   - the live file set is defined solely by the `_commit` manifest, which
+  *     is replaced by an atomic rename (readers see the old or the new
+  *     manifest, never a mix);
+  *   - files retired by a commit stay on disk for a grace window
+  *     ([[graceMs]]) so in-flight readers that planned against the previous
+  *     manifest still find every path; a later committer garbage-collects
+  *     them (the VACUUM analogue), along with orphans from crashed writers.
+  *
+  * Writers serialize via [[Fs.withWriteLock]]; readers never lock. Swapping
+  * this layer for Delta/Iceberg replaces exactly [[read]]/[[write]]/[[gc]]
+  * with the format's own log — call sites in [[Catalog]] are unchanged.
+  */
+object TableCommit {
+
+  /** One commit's retired file set: kept on disk until `ts + graceMs`. */
+  final case class Retired(ts: Long, paths: Seq[String])
+
+  /** The manifest: monotonically increasing generation, live parquet file
+    * names per bucket (relative to `__bucket=<b>/`), and the retire log. */
+  final case class State(gen: Long, buckets: Map[Int, Seq[String]],
+                         retired: Seq[Retired])
+
+  /** How long retired files stay readable after being superseded. Bounds
+    * reader staleness the same way Delta's VACUUM retention does: any scan
+    * that planned within the window completes; a longer-running scan fails
+    * the same way it would after VACUUM. */
+  @volatile var graceMs: Long = 10 * 60 * 1000L
+
+  private def commitFile(root: String) = new java.io.File(root, "_commit")
+
+  /** Parse the manifest if present. The file is written whole + renamed, so
+    * a partial read is impossible; a corrupt manifest is a hard error (the
+    * store's source of truth must not be silently ignored). */
+  def read(root: String): Option[State] = {
+    val f = commitFile(root)
+    if (!f.isFile) return None
+    val s = new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    import org.json4s._
+    val j = org.json4s.jackson.JsonMethods.parse(s)
+    implicit val fmts: Formats = DefaultFormats
+    val buckets = (j \ "buckets") match {
+      case JObject(fields) => fields.map { case (k, v) =>
+        k.toInt -> v.extract[Seq[String]] }.toMap
+      case _ => Map.empty[Int, Seq[String]]
+    }
+    val retired = (j \ "retired") match {
+      case JArray(items) => items.map(i =>
+        Retired((i \ "ts").extract[Long], (i \ "paths").extract[Seq[String]]))
+      case _ => Nil
+    }
+    Some(State((j \ "gen").extract[Long], buckets, retired))
+  }
+
+  /** Atomically publish a new manifest: write `_commit_tmp`, fsync, rename
+    * over `_commit` (POSIX rename replaces atomically). */
+  def write(root: String, st: State): Unit = {
+    def jstr(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val buckets = st.buckets.toSeq.sortBy(_._1).map { case (b, fs) =>
+      s"""${jstr(b.toString)}:[${fs.map(jstr).mkString(",")}]"""
+    }.mkString("{", ",", "}")
+    val retired = st.retired.map(r =>
+      s"""{"ts":${r.ts},"paths":[${r.paths.map(jstr).mkString(",")}]}""")
+      .mkString("[", ",", "]")
+    val json = s"""{"gen":${st.gen},"buckets":$buckets,"retired":$retired}"""
+    val tmp = new java.io.File(root, "_commit_tmp")
+    val ch = java.nio.channels.FileChannel.open(tmp.toPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      ch.write(java.nio.ByteBuffer.wrap(
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      ch.force(true)
+    } finally ch.close()
+    java.nio.file.Files.move(tmp.toPath, commitFile(root).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Synthesize a manifest from the directory listing — the one-time
+    * migration for stores written before the manifest existed. */
+  def fromListing(root: String): State = {
+    val d = new java.io.File(root)
+    val buckets = Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
+      .map { bd =>
+        bd.getName.stripPrefix("__bucket=").toInt ->
+          Option(bd.listFiles()).getOrElse(Array.empty)
+            .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+            .map(_.getName).toSeq
+      }
+      .filter(_._2.nonEmpty)
+      .toMap
+    State(0L, buckets, Nil)
+  }
+
+  /** Garbage collection, run by committers while holding the writer lock:
+    * delete retired files past the grace window, plus orphans — parquet
+    * files in bucket dirs referenced by neither the manifest nor the retire
+    * log (a crashed writer moved them in but never committed) that are old
+    * enough that no pre-crash reader can still want them. */
+  def gc(root: String, st: State, nowMs: Long): State = {
+    val (expired, live) = st.retired.partition(_.ts + graceMs <= nowMs)
+    expired.foreach(_.paths.foreach(p =>
+      new java.io.File(root, p).delete(): Unit))
+    val referenced: Set[String] =
+      st.buckets.flatMap { case (b, fs) => fs.map(f => s"__bucket=$b/$f") }.toSet ++
+        st.retired.flatMap(_.paths)
+    val d = new java.io.File(root)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
+      .foreach { bd =>
+        Option(bd.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+            !referenced.contains(s"${bd.getName}/${f.getName}") &&
+            f.lastModified() + graceMs <= nowMs)
+          .foreach(_.delete(): Unit)
+      }
+    st.copy(retired = live)
+  }
+}

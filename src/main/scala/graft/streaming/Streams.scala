@@ -73,25 +73,29 @@ object Streams {
       val nowMs = batch.agg(max(col("stamp"))).head().getLong(0)
       onInsertSegments.foreach { case (name, fn) =>
         val segDir = s"$dir/segments/$name"
-        val newMembers = fn(history).select("id").distinct().cache()
-        val prev = previousMembership(spark, segDir, newMembers)
-        val oldMembers = prev.join(touched, Seq("id"), "left_semi")
-        val entered = newMembers.join(oldMembers, Seq("id"), "left_anti")
-          .select(col("id"), lit(name).as("segment"), lit("entered").as("state"),
-            lit(nowMs).as("stamp"), lit(batchId).as("batch_id"))
-        val exited = oldMembers.join(newMembers, Seq("id"), "left_anti")
-          .select(col("id"), lit(name).as("segment"), lit("exited").as("state"),
-            lit(nowMs).as("stamp"), lit(batchId).as("batch_id"))
-        val changes = entered.unionByName(exited)
-        if (!changes.isEmpty)
-          changes.write.mode("append").parquet(s"$dir/segment_events")
-        // new membership = (stored - touched exits) + entries; rewrite fully
-        val untouchedMembers = prev.join(touched, Seq("id"), "left_anti")
-        val updated = untouchedMembers.unionByName(newMembers)
-        val staged = updated.cache()
-        staged.count() // materialize before overwriting the source directory
-        staged.write.mode("overwrite").parquet(s"$segDir.tmp")
-        spark.read.parquet(s"$segDir.tmp").write.mode("overwrite").parquet(segDir)
+        // same writer lock as refreshSegments: the batch diff-and-rewrite
+        // is a read-modify-write of the membership dir
+        graft.Fs.withWriteLock(segDir) {
+          val newMembers = fn(history).select("id").distinct().cache()
+          val prev = previousMembership(spark, segDir, newMembers)
+          val oldMembers = prev.join(touched, Seq("id"), "left_semi")
+          val entered = newMembers.join(oldMembers, Seq("id"), "left_anti")
+            .select(col("id"), lit(name).as("segment"), lit("entered").as("state"),
+              lit(nowMs).as("stamp"), lit(batchId).as("batch_id"))
+          val exited = oldMembers.join(newMembers, Seq("id"), "left_anti")
+            .select(col("id"), lit(name).as("segment"), lit("exited").as("state"),
+              lit(nowMs).as("stamp"), lit(batchId).as("batch_id"))
+          val changes = entered.unionByName(exited)
+          if (!changes.isEmpty)
+            changes.write.mode("append").parquet(s"$dir/segment_events")
+          // new membership = (stored - touched exits) + entries; rewrite fully
+          val untouchedMembers = prev.join(touched, Seq("id"), "left_anti")
+          val updated = untouchedMembers.unionByName(newMembers)
+          val staged = updated.cache()
+          staged.count() // materialize before overwriting the source directory
+          staged.write.mode("overwrite").parquet(s"$segDir.tmp")
+          spark.read.parquet(s"$segDir.tmp").write.mode("overwrite").parquet(segDir)
+        }
       }
       touched.unpersist()
     }
@@ -109,21 +113,26 @@ object Streams {
     val history = spark.read.parquet(s"$dir/events")
     segments.foreach { case (name, fn) =>
       val segDir = s"$dir/segments/$name"
-      val newMembers = fn(history).select("id").distinct().cache()
-      val prev = previousMembership(spark, segDir, newMembers).cache()
-      val entered = newMembers.join(prev, Seq("id"), "left_anti")
-        .select(col("id"), lit(name).as("segment"), lit("entered").as("state"),
-          lit(nowMs).as("stamp"), lit(-1L).as("batch_id"))
-      val exited = prev.join(newMembers, Seq("id"), "left_anti")
-        .select(col("id"), lit(name).as("segment"), lit("exited").as("state"),
-          lit(nowMs).as("stamp"), lit(-1L).as("batch_id"))
-      val changes = entered.unionByName(exited)
-      if (!changes.isEmpty)
-        changes.write.mode("append").parquet(s"$dir/segment_events")
-      // crash-safe swap: a reader never sees a half-written membership dir
-      graft.Fs.swapInto(segDir)(tmp =>
-        newMembers.write.mode("overwrite").parquet(tmp))
-      newMembers.unpersist(); prev.unpersist()
+      // diff-then-swap holds the segment's writer lock: two refreshers
+      // racing would otherwise diff against the same previous membership
+      // and double-append enter/exit events
+      graft.Fs.withWriteLock(segDir) {
+        val newMembers = fn(history).select("id").distinct().cache()
+        val prev = previousMembership(spark, segDir, newMembers).cache()
+        val entered = newMembers.join(prev, Seq("id"), "left_anti")
+          .select(col("id"), lit(name).as("segment"), lit("entered").as("state"),
+            lit(nowMs).as("stamp"), lit(-1L).as("batch_id"))
+        val exited = prev.join(newMembers, Seq("id"), "left_anti")
+          .select(col("id"), lit(name).as("segment"), lit("exited").as("state"),
+            lit(nowMs).as("stamp"), lit(-1L).as("batch_id"))
+        val changes = entered.unionByName(exited)
+        if (!changes.isEmpty)
+          changes.write.mode("append").parquet(s"$dir/segment_events")
+        // crash-safe swap: a reader never sees a half-written membership dir
+        graft.Fs.swapInto(segDir)(tmp =>
+          newMembers.write.mode("overwrite").parquet(tmp))
+        newMembers.unpersist(); prev.unpersist()
+      }
     }
   }
 

@@ -442,10 +442,13 @@ class CatalogSpec extends SparkSpec {
       """{"id":"u1","stamp":"1704067200","event":"purchase","product_name":"reel","product_price":5.0}"""),
       nowMs = now)
     val files = root.listFiles().filterNot(f =>
-      f.getName.startsWith(".") || f.getName == "_SUCCESS")
+      f.getName.startsWith(".") || f.getName == "_SUCCESS" ||
+        f.getName == "_commit") // migration also seeds the commit manifest
     assert(files.nonEmpty && files.forall(f =>
       f.isDirectory && f.getName.startsWith("__bucket=")),
       s"expected pure bucketed layout, got ${files.map(_.getName).mkString(",")}")
+    assert(TableCommit.read(root.toString).exists(_.buckets.nonEmpty),
+      "migration must seed the snapshot manifest")
     val ev = api.catalog.events("highstreet")
     assert(ev.count() == 3, "legacy rows lost or duplicated in migration")
     assert(ev.where(col("id") === "u2").count() == 1)
