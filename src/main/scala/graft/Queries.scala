@@ -928,6 +928,32 @@ object Queries {
         SELECT label AS component, COUNT(*) AS n_members
         FROM lab GROUP BY label""")),
 
+    // Same components from spanning-star edges (n-1 per bucket instead of
+    // n(n-1)/2 pairs) — the hot-bucket-safe 100 TB path. Shares the
+    // all-pairs oracle: star linkage preserves bucket connectivity exactly,
+    // so the clusters (and this whole result) are identical.
+    Q("q_neardup_star",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val edges = graft.operators.Dedup.minhashStarEdges(d, col("doc_id"), col("text"))
+        graft.operators.Dedup.connectedComponents(edges, d.select("doc_id"))
+          .groupBy(col("label").as("component"))
+          .agg(count(lit(1)).as("n_members"))
+          .where(col("n_members") > 1)
+      },
+      Some(s"""WITH RECURSIVE $MinhashPairsCtes,
+        pairs AS ($MinhashPairsSelect),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach(v, l) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, r.l FROM edges e JOIN reach r ON e.dst = r.v),
+        lab AS (SELECT v, MIN(l) AS label FROM reach GROUP BY v)
+        SELECT label AS component, COUNT(*) AS n_members
+        FROM lab GROUP BY label""")),
+
     // Exact n-gram Jaccard near-dup pairs on a bounded subset (O(n²) tier;
     // LSH above is the scale path).
     Q("q_ngram_jaccard_pairs",
@@ -1254,18 +1280,46 @@ object Queries {
         COUNT(DISTINCT md5(text)) AS n_distinct
         FROM documents GROUP BY source""")),
 
-    // Multimodal decode plumbing (stubbed decoder over mapPartitions;
-    // rows-only oracle — the schema/batch shape is what's exercised).
+    // Multimodal decode — REAL: synthesize a spec-compliant PNG per doc
+    // (dims derived from doc columns), then decode it with the JDK's
+    // ImageIO reader inside mapPartitions. The oracle predicts the
+    // round-trip arithmetically, so a decoder that mis-reads dimensions,
+    // drops channels, or fails to parse (decoded=false -> channels=0)
+    // hash-mismatches.
     Q("q_multimodal_decode",
+      (s, dir) => {
+        val m = graft.operators.Multimodal
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id").as("asset_id"),
+            m.pngColumn(col("doc_id"),
+              (lit(1) + col("doc_id") % 48).cast("int"),
+              (lit(1) + col("n_chars") % 32).cast("int")).as("asset"))
+        m.decodeImage(d)
+          .groupBy(col("width"))
+          .agg(count(lit(1)).as("n_assets"), max(col("height")).as("max_height"),
+            sum(when(col("decoded"), col("channels"))).as("sum_channels"))
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, 1 + (doc_id % 48) AS width, 1 + (n_chars % 32) AS height
+          FROM documents)
+        SELECT CAST(width AS INT) AS width, COUNT(*) AS n_assets,
+          CAST(MAX(height) AS INT) AS max_height,
+          CAST(3 * COUNT(*) AS BIGINT) AS sum_channels
+        FROM d GROUP BY width""")),
+
+    // Decode fallback plumbing: bytes no JDK reader accepts (text bytes
+    // standing in for codec formats) take the deterministic stand-in path
+    // with decoded=false — SQL-expressible: width from byte length, height
+    // from the (signed) first UTF-8 byte.
+    Q("q_multimodal_fallback",
       (s, dir) => {
         val d = Tables.documents(s, dir)
           .select(col("doc_id").as("asset_id"), encode(col("text"), "UTF-8").as("asset"))
-        graft.operators.Multimodal.decodeStub(d)
+        graft.operators.Multimodal.decodeImage(d)
+          .where(!col("decoded"))
           .groupBy(col("width"))
           .agg(count(lit(1)).as("n_assets"), max(col("height")).as("max_height"))
       },
-      // The deterministic decode stand-in is SQL-expressible: width from
-      // byte length, height from the (signed) first UTF-8 byte.
       Some("""WITH b AS (
           SELECT doc_id, octet_length(encode(text)) AS blen,
             CASE WHEN octet_length(encode(text)) = 0 THEN NULL

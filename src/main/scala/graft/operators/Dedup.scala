@@ -200,12 +200,14 @@ object Dedup {
       .select(col("v"), coalesce(col("label"), col("v")).as("label"))
   }
 
-  /** End-to-end near-dedup: MinHash-LSH candidates → connected components →
+  /** End-to-end near-dedup: MinHash-LSH star edges → connected components →
     * keep each cluster's representative (= the component's min id; docs in
     * no cluster keep themselves). The standard corpus-scale dedup pipeline
-    * in one call. */
+    * in one call — star edges keep hot buckets linear
+    * (see [[minhashStarEdges]]) with clusters identical to the all-pairs
+    * form. */
   def nearDedup(docs: DataFrame, idName: String, textName: String): DataFrame = {
-    val pairs = minhashCandidates(docs, col(idName), col(textName))
+    val pairs = minhashStarEdges(docs, col(idName), col(textName))
     val labels = connectedComponents(pairs, docs.select(col(idName)))
     docs.join(labels, docs(idName) === labels("v"))
       .where(col("v") === col("label"))
@@ -368,7 +370,8 @@ object Dedup {
     // so this shares the lsh_pairs cache entry with [[minhashCandidates]]
     val pairs = memoStage(key, s"lsh_pairs_${bands}_$rows") {
       pairsFromBandRows(
-        sigs.select(col("doc_id"), explode(bandUdf(col("mins"))).as("b")))
+        sigs.select(col("doc_id"), explode(bandUdf(col("mins"))).as("b"))
+          .select(col("doc_id"), col("b._1").as("band"), col("b._2").as("sig")))
     }
     pairs
       .join(sigs.select(col("doc_id").as("__ida"), col("mins").as("__ma")),
@@ -380,6 +383,21 @@ object Dedup {
           b => b)).cast("double") / k).as("est_jaccard"))
   }
 
+  /** Memoized `(doc_id, band, sig)` rows — the post-kernel LSH index shared
+    * by the pair and star-edge generators, so the md5-per-shingle kernel
+    * runs once per corpus for the whole family. */
+  private def bandRowsStage(docs: DataFrame, id: Column, text: Column,
+                            bands: Int, rows: Int): DataFrame = {
+    val key = docs.select(id.as("doc_id"), text.as("__text"))
+    memoStage(key, s"lsh_bandrows_${bands}_$rows") {
+      val sigUdf = udf(bandSigKernel(bands, rows))
+      // md5-per-shingle kernel ≫ shuffle cost per row → spread qualifies
+      graft.Tables.spread(key)
+        .select(col("doc_id"), explode(sigUdf(col("__text"))).as("b"))
+        .select(col("doc_id"), col("b._1").as("band"), col("b._2").as("sig"))
+    }
+  }
+
   /** Candidate near-duplicate pairs (id_a < id_b) from MinHash-LSH: docs
     * sharing at least one band signature.
     *
@@ -387,16 +405,42 @@ object Dedup {
     * pairs are generated INSIDE each (band, signature) bucket after a single
     * groupBy shuffle of (doc_id, 16-byte sig) rows — no self-join, no
     * recomputation, and the heavy text never shuffles. Bucket sizes are
-    * bounded by true-duplicate group sizes. */
+    * bounded by true-duplicate group sizes — when those can be huge
+    * (boilerplate clusters at corpus scale), use [[minhashStarEdges]], whose
+    * output is linear in bucket size. */
   def minhashCandidates(docs: DataFrame, id: Column, text: Column,
                         bands: Int = 4, rows: Int = 4): DataFrame = {
     val key = docs.select(id.as("doc_id"), text.as("__text"))
     memoStage(key, s"lsh_pairs_${bands}_$rows") {
-      val sigUdf = udf(bandSigKernel(bands, rows))
-      // md5-per-shingle kernel ≫ shuffle cost per row → spread qualifies
-      val base = graft.Tables.spread(key)
-      pairsFromBandRows(
-        base.select(col("doc_id"), explode(sigUdf(col("__text"))).as("b")))
+      pairsFromBandRows(bandRowsStage(docs, id, text, bands, rows))
+    }
+  }
+
+  /** Spanning-star candidate edges: within each (band, signature) bucket,
+    * one edge from the bucket's min-id representative to every other member
+    * — n−1 edges where all-pairs emits n(n−1)/2.
+    *
+    * EXACT for connected components (every bucket member reaches the
+    * representative, so bucket connectivity — and therefore the transitive
+    * near-dup clusters — is preserved edge-for-component); NOT a substitute
+    * when per-pair scores are needed (use [[minhashCandidates]] and score
+    * the pairs). This is the 100 TB dedup path: a boilerplate cluster of a
+    * million docs landing in one bucket costs 10⁶ edges, not 5·10¹¹ pairs,
+    * and no per-bucket array is ever materialized (aggregate + equi-join,
+    * never collect_list). */
+  def minhashStarEdges(docs: DataFrame, id: Column, text: Column,
+                       bands: Int = 4, rows: Int = 4): DataFrame = {
+    val key = docs.select(id.as("doc_id"), text.as("__text"))
+    memoStage(key, s"lsh_star_${bands}_$rows") {
+      val bandRows = bandRowsStage(docs, id, text, bands, rows)
+      val reps = bandRows.groupBy(col("band"), col("sig"))
+        .agg(min(col("doc_id")).as("id_a"), count(lit(1)).as("__n"))
+        .where(col("__n") > 1)
+        .drop("__n")
+      bandRows.join(reps, Seq("band", "sig"))
+        .where(col("doc_id") =!= col("id_a"))
+        .select(col("id_a"), col("doc_id").as("id_b"))
+        .distinct()
     }
   }
 
@@ -426,7 +470,7 @@ object Dedup {
 
   private def pairsFromBandRows(bandRows: DataFrame): DataFrame =
     bandRows
-      .groupBy(col("b._1").as("band"), col("b._2").as("sig"))
+      .groupBy(col("band"), col("sig"))
       .agg(collect_list(col("doc_id")).as("ids"))
       .where(size(col("ids")) > 1)
       .select(explode(expr(

@@ -1,18 +1,25 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
-  * with typed metadata, plus batched feature extraction.
+  * with typed metadata, plus batched decode / feature extraction.
   *
-  * The decode step is STUBBED (no image/audio libraries in this container):
-  * `fakeDecodeFeatures` derives a deterministic feature vector from the raw
-  * bytes so the Spark-side plumbing — schema, partition-preserving
-  * mapPartitions batching, column pruning before the wide binary scan — is
-  * real and testable. Swap `decodeStub` for a JNI/Java decoder (or a
-  * `mapInPandas` stage on PySpark) in production.
+  * The decode step is REAL for the pure-JVM formats (`javax.imageio`: PNG,
+  * BMP, GIF, JPEG readers ship with the JDK): [[decodeImage]] decodes the
+  * bytes to width/height/channel-count per asset inside `mapPartitions` —
+  * iterator-in/iterator-out, no driver collect, binary column pruned before
+  * the scan when unused. Bytes no JDK reader accepts (or formats that would
+  * need native codecs — video, audio) fall back to a deterministic
+  * stand-in so the pipeline shape stays total; `decoded=false` marks those
+  * rows. Swap the per-row body for a JNI/FFmpeg call (or a `mapInPandas`
+  * stage on PySpark) for codec formats — the batch shape is already the
+  * production one.
   */
 object Multimodal {
 
@@ -27,6 +34,7 @@ object Multimodal {
   def sniffFormat(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(expr("substring(asset, 1, 3)") === lit(Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte)), "jpeg")
       .when(expr("substring(asset, 1, 4)") === lit(Array[Byte](0x89.toByte, 'P', 'N', 'G')), "png")
+      .when(expr("substring(asset, 1, 2)") === lit("BM".getBytes("UTF-8")), "bmp")
       .when(expr("substring(asset, 1, 4)") === lit("RIFF".getBytes("UTF-8")), "riff")
       .otherwise("unknown")
 
@@ -38,19 +46,30 @@ object Multimodal {
       md5(col("asset")).as("content_hash"),
       sniffFormat(col("asset")).as("format")))
 
-  /** Feature schema produced by the (stubbed) decoder. */
-  val featureSchema: StructType = StructType(Seq(
+  /** Schema produced by [[decodeImage]]. */
+  val decodeSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType),
     StructField("width", IntegerType),
     StructField("height", IntegerType),
-    StructField("features", ArrayType(FloatType))))
+    StructField("channels", IntegerType),
+    StructField("decoded", BooleanType)))
 
-  /** Deterministic fake decode: "dimensions" and an 8-dim feature vector
-    * derived from the bytes. Stands in for a real image decode +
-    * feature-extract; the batch shape (iterator-in/iterator-out per
-    * partition, no driver collect) is the production shape. */
-  def decodeStub(df: DataFrame, idCol: String = "asset_id",
-                 binCol: String = "asset"): DataFrame = {
+  /** Deterministic stand-in dimensions for bytes nothing can decode — keeps
+    * the decode stage total and its output stable across retries. */
+  private def fallbackDims(bytes: Array[Byte]): (Int, Int) = {
+    val w = 1 + (math.abs(bytes.length) % 64)
+    val h = 1 + (math.abs(if (bytes.isEmpty) 0 else bytes(0).toInt) % 64)
+    (w, h)
+  }
+
+  /** Real image decode over a binary column: `ImageIO.read` per asset inside
+    * `mapPartitions` (partition-preserving, no shuffle, no driver round
+    * trip). Decodable bytes (PNG/BMP/GIF/JPEG via the JDK's bundled
+    * readers) report true raster width/height and band count with
+    * `decoded=true`; everything else gets the deterministic stand-in and
+    * `decoded=false`. */
+  def decodeImage(df: DataFrame, idCol: String = "asset_id",
+                  binCol: String = "asset"): DataFrame = {
     val spark = df.sparkSession
     val idIdx = df.schema.fieldIndex(idCol)
     val binIdx = df.schema.fieldIndex(binCol)
@@ -58,15 +77,41 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(idIdx)
         val bytes = r.getAs[Array[Byte]](binIdx)
-        // ??? real decoder goes here; deterministic stand-in below
-        val w = 1 + (math.abs(bytes.length) % 64)
-        val h = 1 + (math.abs(if (bytes.isEmpty) 0 else bytes(0).toInt) % 64)
-        val feats = Array.tabulate(8) { k =>
-          (bytes.drop(k).take(16).foldLeft(0)((acc, b) => acc + (b & 0xFF)) % 256).toFloat / 256f
+        val img =
+          try ImageIO.read(new ByteArrayInputStream(bytes))
+          catch { case _: Exception => null }
+        if (img != null)
+          Row(id, img.getWidth, img.getHeight, img.getRaster.getNumBands, true)
+        else {
+          val (w, h) = fallbackDims(bytes)
+          Row(id, w, h, 0, false)
         }
-        Row(id, w, h, feats.toSeq)
       }
     }
-    spark.createDataFrame(rdd, featureSchema)
+    spark.createDataFrame(rdd, decodeSchema)
+  }
+
+  /** Synthesize a real PNG (`ImageIO.write`, deterministic pixels from
+    * `seed`) — the test-side generator for decode round-trips where the
+    * container has no sample image corpus. Returns real, spec-compliant
+    * PNG bytes any decoder accepts. */
+  def pngColumn(seed: Column, width: Column, height: Column): Column = {
+    val kernel = udf { (s: Long, w: Int, h: Int) =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, ((s * 2654435761L + x * 31L + y * 17L) & 0xFFFFFFL).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    kernel(seed, width, height)
   }
 }

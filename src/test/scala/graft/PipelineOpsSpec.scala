@@ -125,6 +125,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kernelPairs == exprPairs)
   }
 
+  test("star edges: identical components to all-pairs, linear edge count") {
+    // a 4-copy duplicate cluster: all-pairs emits C(4,2)=6 pairs per shared
+    // bucket; star emits 3 edges — components must not change
+    val clones = Seq(
+      (20L, "the same boilerplate sentence repeated across mirrors"),
+      (21L, "the same boilerplate sentence repeated across mirrors"),
+      (22L, "the same boilerplate sentence repeated across mirrors"),
+      (23L, "the same boilerplate sentence repeated across mirrors"),
+      (24L, "a completely different document about gardening and soil")
+    ).toDF("doc_id", "text")
+    val ids = clones.select("doc_id")
+    def comps(edges: org.apache.spark.sql.DataFrame) =
+      Dedup.connectedComponents(edges, ids).as[(Long, Long)].collect().toMap
+    val allPairs = Dedup.minhashCandidates(clones, col("doc_id"), col("text"))
+    val star = Dedup.minhashStarEdges(clones, col("doc_id"), col("text"))
+    assert(comps(star) == comps(allPairs))
+    val starEdges = star.as[(Long, Long)].collect().toSet
+    // star: exactly rep->member edges, linear in cluster size
+    assert(starEdges == Set((20L, 21L), (20L, 22L), (20L, 23L)))
+    val pairEdges = allPairs.as[(Long, Long)].collect().toSet
+    assert(pairEdges.size == 6) // quadratic form for comparison
+    // nearDedup keeps one representative per cluster plus the singleton
+    assert(Dedup.nearDedup(clones, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet == Set(20L, 24L))
+  }
+
   test("ngram jaccard: dup=1.0, near-dup high, unrelated filtered") {
     val p = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 0.3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
@@ -318,7 +344,7 @@ class PipelineOpsSpec extends SparkSpec {
     assert(sig(0L) == sig(1L))
   }
 
-  test("multimodal: metadata + stub decode plumbing") {
+  test("multimodal: metadata + fallback decode for non-image bytes") {
     val assets = Seq((1L, "hello world"), (2L, ""))
       .toDF("asset_id", "text")
       .select(col("asset_id"), encode(col("text"), "UTF-8").as("asset"))
@@ -327,11 +353,50 @@ class PipelineOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getString(2)))).toMap
     assert(meta(1L)._1 == 11L)
     assert(meta(1L)._2 == "unknown")
-    val feats = Multimodal.decodeStub(assets)
-    assert(feats.schema == Multimodal.featureSchema)
+    val feats = Multimodal.decodeImage(assets)
+    assert(feats.schema == Multimodal.decodeSchema)
     assert(feats.count() == 2)
-    assert(feats.where(col("asset_id") === 1L).select("features").head()
-      .getSeq[Float](0).length == 8)
+    // text bytes are not an image: deterministic stand-in dims, decoded=false
+    val r1 = feats.where(col("asset_id") === 1L).head()
+    assert(!r1.getBoolean(4))
+    assert(r1.getInt(1) == 1 + (11 % 64)) // width from byte length
+  }
+
+  test("multimodal: real PNG and BMP decode via ImageIO round-trip") {
+    // real image bytes written by the JDK encoder itself
+    def imgBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      img.setRGB(0, 0, 0x336699)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val assets = Seq(
+      (1L, imgBytes("png", 17, 9)),
+      (2L, imgBytes("bmp", 5, 31)),
+      (3L, Array[Byte](1, 2, 3)) // garbage -> fallback
+    ).toDF("asset_id", "asset")
+    val out = Multimodal.decodeImage(assets)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getBoolean(4))).toMap
+    assert(out(1L) == ((17, 9, 3, true)))
+    assert(out(2L) == ((5, 31, 3, true)))
+    assert(out(3L)._4 == false)
+    // format sniff agrees with the real containers
+    val fmts = Multimodal.withMetadata(assets)
+      .select(col("asset_id"), col("meta.format")).as[(Long, String)]
+      .collect().toMap
+    assert(fmts(1L) == "png")
+    assert(fmts(2L) == "bmp")
+  }
+
+  test("multimodal: pngColumn synthesizes bytes ImageIO decodes to the requested dims") {
+    val df = Seq((7L, 13, 21)).toDF("asset_id", "w", "h")
+      .select(col("asset_id"),
+        Multimodal.pngColumn(col("asset_id"), col("w"), col("h")).as("asset"))
+    val r = Multimodal.decodeImage(df).head()
+    assert((r.getInt(1), r.getInt(2), r.getBoolean(4)) == ((13, 21, true)))
   }
 
   test("png magic bytes sniffed") {
