@@ -546,8 +546,19 @@ final class Api(spark: SparkSession, val warehouse: String) {
   }
 
   // ------------------------------------------------------------------- status
+  /** Cluster status with real executor topology. The reference's sentinel
+    * tracks node membership itself (`src/sentinel.cpp`); here Spark's
+    * cluster manager owns membership, so status reports what the manager
+    * actually scheduled: one entry per executor (host, port, running tasks,
+    * cached bytes). On `local[*]` that is the single driver-executor; on
+    * `spark://`/YARN/K8s it is the live fleet — the same JSON either way,
+    * so clients need no deployment-specific handling. */
   def status(): String = {
+    val sc = spark.sparkContext
     val tables = catalog.list()
-    s"""{"tables":${tables.length},"spark":"${spark.version}","defaultParallelism":${spark.sparkContext.defaultParallelism}}"""
+    val execs = sc.statusTracker.getExecutorInfos.map { e =>
+      s"""{"host":"${e.host()}","port":${e.port()},"runningTasks":${e.numRunningTasks()},"cachedBytes":${e.totalOffHeapStorageMemory() + e.totalOnHeapStorageMemory()}}"""
+    }
+    s"""{"tables":${tables.length},"spark":"${spark.version}","master":"${sc.master}","applicationId":"${sc.applicationId}","defaultParallelism":${sc.defaultParallelism},"executors":[${execs.mkString(",")}]}"""
   }
 }

@@ -128,8 +128,12 @@ class HttpSpec extends SparkSpec {
       val cust = req("GET", s"$base/v1/query/highstreet/customer?id=u1").body()
       assert(cust.contains(""""id":"u1"""") && cust.contains("fly rod"))
 
-      // status
-      assert(req("GET", s"$base/v1/status").body().contains(""""tables":1"""))
+      // status reports real executor topology from the status tracker
+      val st = req("GET", s"$base/v1/status").body()
+      assert(st.contains(""""tables":1"""))
+      assert(st.contains(""""master":"local["""))
+      assert(st.contains(""""executors":[{"host":"""))
+      assert(st.contains(""""runningTasks":"""))
     }
   }
 
