@@ -1262,6 +1262,35 @@ object Queries {
         SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
         FROM documents d LEFT JOIN s USING (doc_id)""")),
 
+    // SimHash near-dup pairs within Hamming distance 3, via banded chunks
+    // (pigeonhole-exact — identical to brute force, which the oracle runs
+    // over the same 60-bit signatures: 15-hex-char token hashes, 60 vote
+    // positions).
+    Q("q_simhash_neardup",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        graft.operators.Dedup.simhashNearDupPairs(d, col("doc_id"), col("text"))
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> len(x)>0)) AS tok
+          FROM documents),
+        h AS (
+          SELECT doc_id, CAST(('0x'||substr(md5(tok),1,15)) AS BIGINT) AS h FROM t),
+        v AS (
+          SELECT doc_id, k.k, SUM(CASE WHEN (h >> k.k) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+          FROM h CROSS JOIN (SELECT unnest(range(60)) AS k) k
+          GROUP BY doc_id, k.k),
+        sg AS (
+          SELECT doc_id, CAST(SUM(CASE WHEN vote > 0 THEN 1::BIGINT << CAST(k AS INT) ELSE 0 END) AS BIGINT) AS simhash
+          FROM v GROUP BY doc_id),
+        sigs AS (
+          SELECT d.doc_id, COALESCE(sg.simhash, 0) AS simhash
+          FROM documents d LEFT JOIN sg USING (doc_id))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""")),
+
     // Multimodal: binary assets with typed metadata (text bytes stand in for
     // image/audio payloads; plumbing is the point).
     Q("q_binary_assets",
@@ -1289,10 +1318,13 @@ object Queries {
     Q("q_multimodal_decode",
       (s, dir) => {
         val m = graft.operators.Multimodal
-        val d = Tables.documents(s, dir)
-          .select(col("doc_id").as("asset_id"),
-            m.pngColumn(col("doc_id"),
-              (lit(1) + col("doc_id") % 48).cast("int"),
+        // ImageIO encode+decode ≫ shuffle cost per row -> spread the
+        // under-parallel cached scan before the kernel
+        val d = Tables.spread(Tables.documents(s, dir)
+            .select(col("doc_id").as("asset_id"), col("n_chars")))
+          .select(col("asset_id"),
+            m.pngColumn(col("asset_id"),
+              (lit(1) + col("asset_id") % 48).cast("int"),
               (lit(1) + col("n_chars") % 32).cast("int")).as("asset"))
         m.decodeImage(d)
           .groupBy(col("width"))
@@ -2470,6 +2502,44 @@ object Queries {
                 < keep_frac * 100)
         SELECT lang, COUNT(*) AS n_kept, round(MAX(keep_frac), 4) AS keep_frac
         FROM kept GROUP BY 1""")),
+
+    // DSIR-style importance weights: hashed-unigram log-likelihood ratio of
+    // target (lang='en') vs background, per-token log2 rounded to 4
+    // decimals and decimal-summed (the unigram_bits exactness recipe).
+    // Top-20 docs the resampler would favor.
+    Q("q_dsir_weights",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        graft.operators.Sampling.dsirWeights(
+            d, col("doc_id"), col("text"), col("lang") === "en")
+          .orderBy(col("weight").desc, col("doc_id").asc)
+          .limit(20)
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, lang = 'en' AS t,
+            unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
+          FROM documents),
+        tb AS (
+          SELECT doc_id, t,
+            ('0x' || substr(md5(tok), 1, 6))::BIGINT % 4096 AS b
+          FROM toks),
+        model AS (
+          SELECT b,
+            SUM(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
+            SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS cb
+          FROM tb GROUP BY b),
+        tot AS (SELECT SUM(ct) AS tt, SUM(cb) AS tb2 FROM model),
+        lr AS (
+          SELECT b, round(log2(
+            ((ct + 1) / CAST(tt + 4096 AS DOUBLE)) /
+            ((cb + 1) / CAST(tb2 + 4096 AS DOUBLE))), 4) AS lrv
+          FROM model, tot),
+        scored AS (
+          SELECT tb.doc_id, COUNT(*) AS n_tokens,
+            CAST(SUM(CAST(lrv AS DECIMAL(28,4))) AS DOUBLE) AS weight
+          FROM tb JOIN lr USING (b) GROUP BY tb.doc_id)
+        SELECT doc_id, n_tokens, weight FROM scored
+        ORDER BY weight DESC, doc_id ASC LIMIT 20""")),
 
     // foreach-mode histogram (`each_value` iteration over a property's
     // distinct values, src/oloop_histogram.cpp:232-330) compiled as ONE

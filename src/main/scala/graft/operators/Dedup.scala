@@ -554,14 +554,20 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** SimHash: 32-bit signature from per-token md5s — bit k of the signature
-    * is 1 when the sum over tokens of (bit k set ? +1 : -1) is positive.
-    * Pairs within small Hamming distance are near-dups. Returns the
-    * signature as Long (0..2^32).
+  /** SimHash: `bits`-bit signature from per-token md5s — bit k of the
+    * signature is 1 when the sum over tokens of (bit k set ? +1 : -1) is
+    * positive. Pairs within small Hamming distance are near-dups. Returns
+    * the signature as Long.
     *
-    * Compiled kernel; [[simhashExpr]] is the pure-Column equivalent kept for
-    * parity tests (bits × tokens interpreted lambda evals otherwise). */
+    * Token-hash width follows the signature width: bits ≤ 32 votes over the
+    * md5's first 4 bytes (8 hex chars — the historical 32-bit form), wider
+    * signatures (≤ 60) over the first 15 hex chars, the same 60-bit
+    * reduction [[minsKernel]] uses. Compiled kernel; [[simhashExpr]] is the
+    * pure-Column equivalent kept for parity tests (bits × tokens
+    * interpreted lambda evals otherwise). */
   def simhash(text: Column, bits: Int = 32): Column = {
+    require(bits >= 1 && bits <= 60, s"simhash bits must be in [1,60], got $bits")
+    val wide = bits > 32
     val kernel = udf { (t: String) =>
       if (t == null) 0L
       else {
@@ -570,10 +576,17 @@ object Dedup {
         t.split(" ").filter(_.nonEmpty).foreach { tok =>
           val dig = md.digest(tok.getBytes("UTF-8"))
           md.reset()
-          // first 8 hex chars = first 4 bytes as an unsigned 32-bit value
           var h = 0L
-          var i = 0
-          while (i < 4) { h = (h << 8) | (dig(i) & 0xFFL); i += 1 }
+          if (wide) {
+            // first 15 hex chars = bytes 0..6 + high nibble of byte 7
+            var i = 0
+            while (i < 7) { h = (h << 8) | (dig(i) & 0xFFL); i += 1 }
+            h = (h << 4) | ((dig(7) & 0xF0L) >> 4)
+          } else {
+            // first 8 hex chars = first 4 bytes as an unsigned 32-bit value
+            var i = 0
+            while (i < 4) { h = (h << 8) | (dig(i) & 0xFFL); i += 1 }
+          }
           var k = 0
           while (k < bits) {
             votes(k) += (if (((h >> k) & 1L) == 1L) 1L else -1L)
@@ -601,4 +614,48 @@ object Dedup {
   /** Hamming distance between two simhash signatures. */
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** Near-duplicate pairs by SimHash within `maxDist` Hamming distance,
+    * found through banded chunking instead of an all-pairs scan: split the
+    * `bits`-bit signature into `bands` equal chunks; by pigeonhole, any
+    * pair differing in at most `maxDist < bands` bits agrees on at least
+    * one whole chunk, so candidates = docs sharing a (band, chunk) bucket —
+    * EXACTLY the brute-force result, never a quadratic pass over the
+    * corpus. The verify step re-checks true Hamming distance on candidate
+    * pairs only.
+    *
+    * Scale shape: one compiled-kernel scan for signatures (memoized like
+    * the minhash index), then only `(doc_id, chunk)` rows shuffle. Chunk
+    * width = bits/bands bounds bucket count (2^width per band) — the
+    * 60-bit default gives 15-bit chunks (32 768 buckets per band), keeping
+    * buckets selective where an 8-bit chunk over a 32-bit signature packs
+    * thousands of docs per bucket and goes quadratic (measured 3.3 s vs
+    * 0.4 s at sf0.1). Returns `(id_a, id_b, hamming)`. */
+  def simhashNearDupPairs(docs: DataFrame, id: Column, text: Column,
+                          maxDist: Int = 3, bands: Int = 4,
+                          bits: Int = 60): DataFrame = {
+    require(maxDist < bands,
+      s"pigeonhole recall needs maxDist < bands (got $maxDist >= $bands)")
+    require(bits % bands == 0, "bands must divide bits")
+    val key = docs.select(id.as("doc_id"), text.as("__text"))
+    val sigs = memoStage(key, s"simhash_sigs_$bits") {
+      graft.Tables.spread(key)
+        .select(col("doc_id"), simhash(col("__text"), bits).as("sig"))
+    }
+    val w = bits / bands
+    val chunkStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sig"), b * w).bitwiseAND(lit((1L << w) - 1))
+          .cast("string").as("chunk"))
+    }
+    val bandRows = sigs
+      .select(col("doc_id"), explode(array(chunkStructs: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.chunk").as("sig"))
+    pairsFromBandRows(bandRows)
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("__sa")), "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("__sb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        hammingDistance(col("__sa"), col("__sb")).cast("int").as("hamming"))
+      .where(col("hamming") <= maxDist)
+  }
 }

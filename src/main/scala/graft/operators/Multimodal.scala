@@ -99,11 +99,19 @@ object Multimodal {
     val kernel = udf { (s: Long, w: Int, h: Int) =>
       val img = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      // fill the raster's backing byte array directly — per-pixel setRGB
+      // pays a color-model conversion per call and dominated the encode
+      val buf = img.getRaster.getDataBuffer
+        .asInstanceOf[java.awt.image.DataBufferByte].getData
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
-          img.setRGB(x, y, ((s * 2654435761L + x * 31L + y * 17L) & 0xFFFFFFL).toInt)
+          val rgb = (s * 2654435761L + x * 31L + y * 17L) & 0xFFFFFFL
+          val o = (y * w + x) * 3
+          buf(o) = (rgb & 0xFF).toByte          // B
+          buf(o + 1) = ((rgb >> 8) & 0xFF).toByte  // G
+          buf(o + 2) = ((rgb >> 16) & 0xFF).toByte // R
           x += 1
         }
         y += 1

@@ -105,4 +105,44 @@ object Sampling {
       // power-of-two budgets (…9999 doubles truncate one pack too low)
       .withColumn("pack", expr(s"token_offset div $budget"))
   }
+
+  /** DSIR-style importance weights (data selection via importance
+    * resampling): score every document by the log-likelihood ratio of its
+    * tokens under a hashed-unigram model of the `isTarget` corpus vs the
+    * background, then sample high-weight docs to shift a raw corpus toward
+    * the target distribution. Returns `(doc_id, n_tokens, weight)` with
+    * `weight = Σ_tok log2( p_target(bucket(tok)) / p_background(bucket(tok)) )`,
+    * Laplace-smoothed (+1 per bucket).
+    *
+    * Scale shape: tokens hash into `buckets` feature buckets (md5-derived,
+    * engine-portable), so the model tables are buckets-sized regardless of
+    * corpus vocabulary; both models build in ONE two-phase conditional
+    * aggregation pass, the 1-row totals broadcast back, and scoring is the
+    * token explode joined to the (tiny, AQE-broadcast) bucket table plus
+    * one groupBy(doc). Per-token log-ratios round to 4 decimals and sum as
+    * DECIMAL(28,4) — order-independent, bit-identical across engines (the
+    * [[graft.operators.TextOps.unigramBits]] exactness recipe). */
+  def dsirWeights(docs: DataFrame, id: Column, text: Column,
+                  isTarget: Column, buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val toks = docs.select(id.as("doc_id"), isTarget.as("__t"),
+        explode(TextOps.tokens(text)).as("tok"))
+      .withColumn("b",
+        pmod(conv(substring(md5(col("tok")), 1, 6), 16, 10).cast("long"),
+          lit(buckets.toLong)))
+    val model = toks.groupBy(col("b")).agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("ct"),
+      sum(when(!col("__t"), 1L).otherwise(0L)).as("cb"))
+    val totals = model.agg(
+      sum(col("ct")).as("tt"), sum(col("cb")).as("tb"))
+    val scoredBuckets = model.crossJoin(broadcast(totals))
+      .select(col("b"), round(log2(
+        ((col("ct") + 1).cast("double") / (col("tt") + buckets)) /
+          ((col("cb") + 1).cast("double") / (col("tb") + buckets))), 4)
+        .as("__lr"))
+    toks.join(scoredBuckets, "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        graft.functions.AggFns.dsum(col("__lr")).as("weight"))
+  }
 }

@@ -151,6 +151,52 @@ class PipelineOpsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet == Set(20L, 24L))
   }
 
+  test("dsir importance weights: target-like docs score above background-like") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta", true),
+      (1L, "alpha beta gamma epsilon", true),
+      (2L, "omega psi chi phi", false),
+      (3L, "omega psi chi upsilon", false),
+      (4L, "alpha beta omega psi", true) // mixed
+    ).toDF("doc_id", "text", "is_en")
+    val w = Sampling.dsirWeights(corpus, col("doc_id"), col("text"), col("is_en"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(w.size == 5 && w.values.forall(_._1 == 4L)) // 4 tokens each
+    // pure-target docs positive, pure-background negative, mixed between
+    assert(w(0L)._2 > 0 && w(1L)._2 > 0)
+    assert(w(2L)._2 < 0 && w(3L)._2 < 0)
+    assert(w(4L)._2 < w(0L)._2 && w(4L)._2 > w(2L)._2)
+    // deterministic: same input -> bit-identical weights
+    val w2 = Sampling.dsirWeights(corpus, col("doc_id"), col("text"), col("is_en"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(w.forall { case (k, (_, v)) => w2(k) == v })
+  }
+
+  test("simhash banded near-dup == brute-force within maxDist") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy dog"),   // exact dup: hd 0
+      (2L, "the quick brown fox jumps over the lazy cat"),   // near: small hd
+      (3L, "completely unrelated text about financial markets today"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val banded = Dedup.simhashNearDupPairs(corpus, col("doc_id"), col("text"))
+      .as[(Long, Long, Int)].collect().toSet
+    // brute force over all pairs with the same (60-bit) signatures
+    val sigs = corpus.select(col("doc_id"),
+      Dedup.simhash(col("text"), 60).as("sig")).as[(Long, Long)].collect().toMap
+    val brute = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      hd = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if hd <= 3
+    } yield (a, b, hd)).toSet
+    assert(banded == brute)
+    assert(banded.contains((0L, 1L, 0))) // exact dup found at distance 0
+    // pigeonhole precondition enforced
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairs(corpus, col("doc_id"), col("text"), maxDist = 4, bands = 4)
+    }
+  }
+
   test("ngram jaccard: dup=1.0, near-dup high, unrelated filtered") {
     val p = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 0.3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
