@@ -220,7 +220,8 @@ final class Catalog(spark: SparkSession, warehouse: String) {
 
   /** Event history with the `__bucket` partition column retained (for
     * partition-pruned reads); empty (right schema) before the first insert. */
-  private def eventsWithBucket(table: String, m: TableMeta): DataFrame = {
+  private def eventsWithBucket(table: String, m: TableMeta,
+                               atGen: Option[Long] = None): DataFrame = {
     val schema = m.eventsSchema
     val root = eventsDir(table)
     val d = new java.io.File(root)
@@ -232,23 +233,32 @@ final class Catalog(spark: SparkSession, warehouse: String) {
         if (df.columns.contains(f.name)) df
         else df.withColumn(f.name, lit(null).cast(f.dataType))
       }.select(withBucket.fieldNames.map(col): _*)
-    TableCommit.read(root) match {
-      // manifest store: scan exactly the committed snapshot's files —
-      // concurrent committers retire (not delete) what they replace, so
-      // every planned path stays readable through the grace window
-      case Some(c) =>
-        val files = c.buckets.toSeq.sortBy(_._1).flatMap { case (b, fs) =>
-          fs.map(f => s"$root/__bucket=$b/$f") }
-        if (files.isEmpty) empty
-        // basePath keeps the __bucket dir component as a partition column
-        else align(spark.read.option("basePath", root).parquet(files: _*))
-      case None => // pre-manifest store (or none): directory listing
-        // crash recovery only (safe under the writer lock); routine
-        // stage/bak cleanup is writer-side — a lock-free reader deleting
-        // the staging dir would abort a concurrent writer's job
-        Fs.recoverForRead(root)
-        if (!hasParquet(d)) empty
-        else align(spark.read.parquet(root))
+    def scanSnapshot(c: TableCommit.State) = {
+      val files = c.buckets.toSeq.sortBy(_._1).flatMap { case (b, fs) =>
+        fs.map(f => s"$root/__bucket=$b/$f") }
+      if (files.isEmpty) empty
+      // basePath keeps the __bucket dir component as a partition column
+      else align(spark.read.option("basePath", root).parquet(files: _*))
+    }
+    atGen match {
+      case Some(gen) =>
+        scanSnapshot(TableCommit.readVersion(root, gen).getOrElse(
+          throw new IllegalArgumentException(
+            s"version $gen of '$table' is not available " +
+              "(never committed, or vacuumed past the grace window)")))
+      case None => TableCommit.read(root) match {
+        // manifest store: scan exactly the committed snapshot's files —
+        // concurrent committers retire (not delete) what they replace, so
+        // every planned path stays readable through the grace window
+        case Some(c) => scanSnapshot(c)
+        case None => // pre-manifest store (or none): directory listing
+          // crash recovery only (safe under the writer lock); routine
+          // stage/bak cleanup is writer-side — a lock-free reader deleting
+          // the staging dir would abort a concurrent writer's job
+          Fs.recoverForRead(root)
+          if (!hasParquet(d)) empty
+          else align(spark.read.parquet(root))
+      }
     }
   }
 
@@ -256,6 +266,20 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     val m = describe(table)
     eventsWithBucket(table, m).drop("__bucket")
   }
+
+  /** Time travel: the events table exactly as committed at generation
+    * `gen` (see [[TableCommit.readVersion]]). History depth is bounded by
+    * the retire grace window — the same contract as Delta's VACUUM
+    * retention. */
+  def eventsAt(table: String, gen: Long): DataFrame = {
+    val m = describe(table)
+    eventsWithBucket(table, m, atGen = Some(gen)).drop("__bucket")
+  }
+
+  /** Generations of `table` currently readable via [[eventsAt]],
+    * ascending (live generation last). */
+  def eventVersions(table: String): Seq[Long] =
+    TableCommit.versions(eventsDir(table))
 
   /** One customer's history, partition-pruned to their id-hash bucket: the
     * scan touches 1/`storage_buckets` of the table (the reference answers

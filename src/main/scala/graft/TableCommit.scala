@@ -42,12 +42,36 @@ object TableCommit {
   @volatile var graceMs: Long = 10 * 60 * 1000L
 
   private def commitFile(root: String) = new java.io.File(root, "_commit")
+  private def versionFile(root: String, gen: Long) =
+    new java.io.File(root, s"_commit.v$gen")
 
   /** Parse the manifest if present. The file is written whole + renamed, so
     * a partial read is impossible; a corrupt manifest is a hard error (the
     * store's source of truth must not be silently ignored). */
-  def read(root: String): Option[State] = {
-    val f = commitFile(root)
+  def read(root: String): Option[State] = parseManifest(commitFile(root))
+
+  /** A PAST committed snapshot, readable while every file it references
+    * still exists (the grace window bounds history depth exactly as Delta's
+    * VACUUM retention bounds its time travel). Returns None once vacuumed. */
+  def readVersion(root: String, gen: Long): Option[State] =
+    parseManifest(versionFile(root, gen)).filter(allFilesPresent(root, _))
+
+  /** Generations currently time-travelable (all referenced files present),
+    * ascending. The live generation is always last. */
+  def versions(root: String): Seq[Long] = {
+    val d = new java.io.File(root)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith("_commit.v"))
+      .map(_.getName.stripPrefix("_commit.v").toLong)
+      .filter(g => readVersion(root, g).isDefined)
+      .sorted.toSeq
+  }
+
+  private def allFilesPresent(root: String, st: State): Boolean =
+    st.buckets.forall { case (b, fs) =>
+      fs.forall(f => new java.io.File(root, s"__bucket=$b/$f").isFile) }
+
+  private def parseManifest(f: java.io.File): Option[State] = {
     if (!f.isFile) return None
     val s = new String(java.nio.file.Files.readAllBytes(f.toPath),
       java.nio.charset.StandardCharsets.UTF_8)
@@ -94,6 +118,12 @@ object TableCommit {
     java.nio.file.Files.move(tmp.toPath, commitFile(root).toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // versioned copy for time travel — tiny, GC'd once its files are
+    // vacuumed (see [[gc]]); copied AFTER the live rename so a crash
+    // between the two can only lose the historical copy, never the live one
+    java.nio.file.Files.copy(commitFile(root).toPath,
+      versionFile(root, st.gen).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
   }
 
   /** Synthesize a manifest from the directory listing — the one-time
@@ -134,6 +164,14 @@ object TableCommit {
             !referenced.contains(s"${bd.getName}/${f.getName}") &&
             f.lastModified() + graceMs <= nowMs)
           .foreach(_.delete(): Unit)
+      }
+    // drop version manifests whose snapshot is no longer fully on disk —
+    // they can never be read again
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith("_commit.v"))
+      .foreach { vf =>
+        val gone = parseManifest(vf).exists(v => !allFilesPresent(root, v))
+        if (gone) vf.delete(): Unit
       }
     st.copy(retired = live)
   }

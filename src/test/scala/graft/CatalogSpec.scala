@@ -402,6 +402,42 @@ class CatalogSpec extends SparkSpec {
     assert(api.queryCustomer("highstreet", "u1").contains("\"product_name\":\"reel\""))
   }
 
+  test("time travel: eventsAt reads past generations until vacuumed") {
+    val api = freshApi()
+    api.tableCreate(highstreetMeta)
+    val now = 1704067200000L
+    api.insert("highstreet", Seq(
+      """{"id":"u1","stamp":"1704067200","event":"purchase","product_name":"rod","product_price":9.5}"""),
+      nowMs = now)
+    api.insert("highstreet", Seq(
+      """{"id":"u2","stamp":"1704070800","event":"browse","product_name":"reel"}"""),
+      nowMs = now)
+    val versions = api.catalog.eventVersions("highstreet")
+    assert(versions.size >= 2, s"expected >=2 readable generations, got $versions")
+    val (v1, v2) = (versions(versions.size - 2), versions.last)
+    // the older snapshot sees only the first batch; the live one sees both
+    assert(api.catalog.eventsAt("highstreet", v1).count() == 1)
+    assert(api.catalog.eventsAt("highstreet", v2).count() == 2)
+    assert(api.catalog.events("highstreet").count() == 2)
+    // never-committed generation is a clear error
+    val e = intercept[IllegalArgumentException] {
+      api.catalog.eventsAt("highstreet", 9999L).count()
+    }
+    assert(e.getMessage.contains("not available"))
+    // vacuum: with a zero grace window, the next commit GCs retired files
+    // and the superseded snapshot becomes unreadable
+    val oldGrace = TableCommit.graceMs
+    try {
+      TableCommit.graceMs = 0L
+      api.insert("highstreet", Seq(
+        """{"id":"u1","stamp":"1704074400","event":"browse","product_name":"line"}"""),
+        nowMs = now + 1)
+      val left = api.catalog.eventVersions("highstreet")
+      assert(!left.contains(v1), s"v1 should be vacuumed, have $left")
+      assert(api.catalog.eventsAt("highstreet", left.last).count() == 3)
+    } finally TableCommit.graceMs = oldGrace
+  }
+
   test("customerEvents hashes the lookup id at the stored id type") {
     val api = freshApi()
     // numeric table: id stored as LongType — an uncast Int/String literal
@@ -443,7 +479,8 @@ class CatalogSpec extends SparkSpec {
       nowMs = now)
     val files = root.listFiles().filterNot(f =>
       f.getName.startsWith(".") || f.getName == "_SUCCESS" ||
-        f.getName == "_commit") // migration also seeds the commit manifest
+        // migration also seeds the commit manifest (+ time-travel copies)
+        f.getName.startsWith("_commit"))
     assert(files.nonEmpty && files.forall(f =>
       f.isDirectory && f.getName.startsWith("__bucket=")),
       s"expected pure bucketed layout, got ${files.map(_.getName).mkString(",")}")
