@@ -321,7 +321,7 @@ object Dedup {
     }
   }
 
-  private def bandSigKernel(bands: Int, rows: Int): String => Seq[(Int, String)] = {
+  private[graft] def bandSigKernel(bands: Int, rows: Int): String => Seq[(Int, String)] = {
     val mk = minsKernel(bands * rows)
     (text: String) => {
       val mins = mk(text)

@@ -254,6 +254,67 @@ object Streams {
       }
   }
 
+  /** Per-LSH-bucket streaming state: the first document that claimed the
+    * bucket (its id doubles as the near-dup representative) and its stamp. */
+  final case class BucketState(firstId: Long, firstStamp: Long)
+
+  /** An incremental near-dup match: `doc_id` collided with the bucket that
+    * `dup_of` claimed first, on `band`. */
+  final case class NearDupMatch(doc_id: Long, dup_of: Long, band: Int)
+
+  /** Streaming near-dup detection — the incremental form of
+    * [[graft.operators.Dedup.minhashStarEdges]]: each arriving document's
+    * MinHash band signatures probe per-bucket state; the first document to
+    * claim a bucket becomes its representative, and every later arrival in
+    * that bucket emits a `(doc, representative, band)` star edge. Batch and
+    * stream thus build the SAME edge structure (first-seen rep instead of
+    * min-id rep — the arrival-order analogue).
+    *
+    * State is one (firstId, stamp) pair per live bucket, expired
+    * `retentionMs` behind the watermark by event-time timeout — bounded the
+    * only way an unbounded stream allows, exactly like the funnel state
+    * above. A doc colliding on k bands emits k matches; consumers that want
+    * one verdict per doc take any (they all name a prior near-dup). */
+  def nearDupStream(stream: DataFrame, bands: Int = 4, rows: Int = 4,
+                    watermark: String = "1 hour",
+                    retentionMs: Long = 24L * 3600 * 1000)
+      : org.apache.spark.sql.Dataset[NearDupMatch] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val sigUdf = udf(graft.operators.Dedup.bandSigKernel(bands, rows))
+    val typed = stream
+      .withColumn("__ts", timestamp_millis(col("stamp")))
+      .withWatermark("__ts", watermark)
+      .select(col("doc_id").cast("long").as("_1"), col("stamp").cast("long").as("_2"),
+        explode(sigUdf(col("text"))).as("__b"), col("__ts").as("_4"))
+      .select(col("_1"), col("_2"),
+        concat_ws(":", col("__b._1"), col("__b._2")).as("_3"), col("_4"))
+      .as[(Long, Long, String, java.sql.Timestamp)]
+    typed.groupByKey(_._3)
+      .flatMapGroupsWithState[BucketState, NearDupMatch](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, rows0: Iterator[(Long, Long, String, java.sql.Timestamp)],
+         state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val band = key.takeWhile(_ != ':').toInt
+            // deterministic within a micro-batch: stamp then id order
+            val sorted = rows0.toArray.sortBy(r => (r._2, r._1))
+            var st = state.getOption.orNull
+            val out = scala.collection.mutable.ArrayBuffer.empty[NearDupMatch]
+            sorted.foreach { case (docId, stamp, _, _) =>
+              if (st == null) st = BucketState(docId, stamp)
+              else if (docId != st.firstId) out += NearDupMatch(docId, st.firstId, band)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(math.max(
+              sorted.last._2 + retentionMs, state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming sessionization with the built-in session_window — tumbling
     * gap-based sessions over event time (SURVEY §2.9 "Windows"). */
   def sessionCounts(stream: DataFrame, gap: String = "30 minutes",

@@ -253,6 +253,32 @@ class IngestStreamSpec extends SparkSpec {
       ("1", base + 100000L, base + 102000L)))
   }
 
+  test("streaming near-dup: later arrivals link to the bucket's first doc") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "stamp", "text")
+    val out = Streams.nearDupStream(stream, watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("ndup")
+      .outputMode("append").start()
+    val base = 1704067200000L
+    val boiler = "the same boilerplate sentence repeated across mirror sites"
+    // batch 1: 10 claims the buckets; 11 (identical) links to it; 12 unrelated
+    mem.addData((10L, base, boiler), (11L, base + 1000L, boiler),
+      (12L, base + 2000L, "a completely different document about gardening"))
+    q.processAllAvailable()
+    // batch 2: 13 (identical, later batch) still links to 10 — state persists
+    mem.addData((13L, base + 60000L, boiler))
+    q.processAllAvailable()
+    q.stop()
+    val matches = spark.sql("SELECT DISTINCT doc_id, dup_of FROM ndup")
+      .as[(Long, Long)].collect().toSet
+    assert(matches == Set((11L, 10L), (13L, 10L)))
+    // every band of an identical doc collides -> 4 match rows per dup
+    val perBand = spark.sql("SELECT doc_id, COUNT(DISTINCT band) FROM ndup GROUP BY 1")
+      .as[(Long, Long)].collect().toMap
+    assert(perBand(11L) == 4L && perBand(13L) == 4L)
+  }
+
   test("concurrent inserts + live queries: writer lock prevents lost updates") {
     // Two writers race read-merge-swap inserts into the SAME table while a
     // reader queries throughout. Without Fs.withWriteLock both writers merge
