@@ -432,16 +432,21 @@ object Dedup {
                        bands: Int = 4, rows: Int = 4): DataFrame = {
     val key = docs.select(id.as("doc_id"), text.as("__text"))
     memoStage(key, s"lsh_star_${bands}_$rows") {
-      val bandRows = bandRowsStage(docs, id, text, bands, rows)
-      val reps = bandRows.groupBy(col("band"), col("sig"))
-        .agg(min(col("doc_id")).as("id_a"), count(lit(1)).as("__n"))
-        .where(col("__n") > 1)
-        .drop("__n")
-      bandRows.join(reps, Seq("band", "sig"))
-        .where(col("doc_id") =!= col("id_a"))
-        .select(col("id_a"), col("doc_id").as("id_b"))
-        .distinct()
+      starFromBandRows(bandRowsStage(docs, id, text, bands, rows))
     }
+  }
+
+  /** Star-edge generation over `(doc_id, band, sig)` rows (shared by the
+    * from-scratch and stored-index paths). */
+  private[graft] def starFromBandRows(bandRows: DataFrame): DataFrame = {
+    val reps = bandRows.groupBy(col("band"), col("sig"))
+      .agg(min(col("doc_id")).as("id_a"), count(lit(1)).as("__n"))
+      .where(col("__n") > 1)
+      .drop("__n")
+    bandRows.join(reps, Seq("band", "sig"))
+      .where(col("doc_id") =!= col("id_a"))
+      .select(col("id_a"), col("doc_id").as("id_b"))
+      .distinct()
   }
 
   /** Bucket-local pair generation over `(doc_id, b: (band, sig))` rows. */
@@ -468,7 +473,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("edit_dist"), col("edit_sim"))
   }
 
-  private def pairsFromBandRows(bandRows: DataFrame): DataFrame =
+  private[graft] def pairsFromBandRows(bandRows: DataFrame): DataFrame =
     bandRows
       .groupBy(col("band"), col("sig"))
       .agg(collect_list(col("doc_id")).as("ids"))
@@ -482,7 +487,7 @@ object Dedup {
 
   /** Band signatures derived from an already-computed mins array —
     * byte-identical to [[bandSigKernel]]'s construction. */
-  private def bandSigFromMins(bands: Int, rows: Int): Seq[Long] => Seq[(Int, String)] =
+  private[graft] def bandSigFromMins(bands: Int, rows: Int): Seq[Long] => Seq[(Int, String)] =
     (mins: Seq[Long]) => {
       if (mins == null) Nil
       else {

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextOps}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextIndex, TextOps}
 
 /** LLM-pipeline operator specs: dedup family, ANN, text analysis,
   * multimodal plumbing. */
@@ -149,6 +149,35 @@ class PipelineOpsSpec extends SparkSpec {
     // nearDedup keeps one representative per cluster plus the singleton
     assert(Dedup.nearDedup(clones, "doc_id", "text")
       .select("doc_id").as[Long].collect().toSet == Set(20L, 24L))
+  }
+
+  test("persisted text index: candidates match from-scratch; append is incremental") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tidx").toString
+    val idx = s"$dir/minhash_idx"
+    val c1 = Seq(
+      (30L, "the same boilerplate sentence repeated across mirrors"),
+      (31L, "the same boilerplate sentence repeated across mirrors"),
+      (32L, "a completely different document about gardening and soil")
+    ).toDF("doc_id", "text")
+    TextIndex.build(c1, col("doc_id"), col("text"), idx)
+    // reading the index produces the exact pairs the kernel path produces
+    val fromIdx = TextIndex.candidatePairs(spark, idx)
+      .as[(Long, Long)].collect().toSet
+    val scratch = Dedup.minhashCandidates(c1, col("doc_id"), col("text"))
+      .as[(Long, Long)].collect().toSet
+    assert(fromIdx == scratch && fromIdx.contains((30L, 31L)))
+    // incremental append: only the new doc is signed; re-sent docs are no-ops
+    val c2 = Seq(
+      (31L, "the same boilerplate sentence repeated across mirrors"), // already indexed
+      (33L, "the same boilerplate sentence repeated across mirrors")  // new dup
+    ).toDF("doc_id", "text")
+    TextIndex.append(c2, col("doc_id"), col("text"), idx)
+    val sigs = TextIndex.signatures(spark, idx)
+    assert(sigs.count() == 4)
+    assert(sigs.groupBy(col("doc_id")).count().where(col("count") > 1).count() == 0)
+    // the appended doc joins the existing cluster via stored signatures only
+    val star = TextIndex.starEdges(spark, idx).as[(Long, Long)].collect().toSet
+    assert(star == Set((30L, 31L), (30L, 33L)))
   }
 
   test("dsir importance weights: target-like docs score above background-like") {
