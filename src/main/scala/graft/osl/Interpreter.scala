@@ -70,7 +70,16 @@ final class Interpreter(
   final class State(val personId: Value, val rows: IndexedSeq[Array[Value]]) {
     val vars: mutable.Map[String, Value] = mutable.Map.empty
     var cursor: Int = 0
-    var cursorValid: Boolean = false
+    // the reference interpreter runs a script with the cursor ON the
+    // person's first row (top-level code can read row/customer props before
+    // any each_row — test/test_db.h:296-318 "are props still set" relies on
+    // it); an invalid initial cursor made those reads nil
+    var cursorValid: Boolean = rows.nonEmpty
+    /** Depth of enclosing each_row loops. Frame anchors, `.continue` and
+      * `.next`/`.is` row semantics key on being INSIDE a row iteration —
+      * not on cursor validity, which (like the reference) now also holds at
+      * top level for plain prop reads. */
+    var rowLoopDepth: Int = 0
     val sessions: Array[Long] = new Array[Long](rows.length)
     /** Any assignment to a declared customer prop → write-back this person
       * (reference's propsChanged hash-check, queryinterpreter.cpp:3117). */
@@ -242,19 +251,24 @@ final class Interpreter(
     val reverse = er.mods.reverse
     val limit = er.mods.limit.map(e => eval(e, st).asLong).getOrElse(Long.MaxValue)
 
+    val inRowLoop = st.rowLoopDepth > 0
     var start =
-      if (er.mods.continueFrom && outerValid) outerCursor
+      if (er.mods.continueFrom && inRowLoop && outerValid) outerCursor
       else er.mods.from.map(e => eval(e, st).asLong.toInt)
         .getOrElse(if (reverse) n - 1 else 0)
     if (er.mods.next) start += (if (reverse) -1 else 1)
 
-    // frame bounds on the row stamp
-    val anchorStamp = if (outerValid) st.stampAt(outerCursor) else st.stampAt(if (reverse) n - 1 else 0)
+    // frame bounds on the row stamp: nested loops anchor at the OUTER
+    // cursor; top-level loops at their own first row (reverse: last)
+    val anchorStamp =
+      if (inRowLoop && outerValid) st.stampAt(outerCursor)
+      else st.stampAt(if (reverse) n - 1 else 0)
     val (lo, hi) = frameBounds(er.mods.frame, anchorStamp, st)
 
     var matches = 0L
     var i = start
     st.loopDepth += 1
+    st.rowLoopDepth += 1
     try {
       while (i >= 0 && i < n && matches < limit) {
         val stp = st.stampAt(i)
@@ -271,6 +285,7 @@ final class Interpreter(
       SNormal
     } finally {
       st.loopDepth -= 1
+      st.rowLoopDepth -= 1
       st.cursor = outerCursor
       st.cursorValid = outerValid
     }
@@ -500,13 +515,18 @@ final class Interpreter(
     }
     pt.kind match {
       case "is" | "is_not" =>
-        if (!st.cursorValid) return false
+        // `.is` needs a row-iteration cursor (language_reference.md:98
+        // "the row cursor must be set")
+        if (st.rowLoopDepth == 0 || !st.cursorValid) return false
         val m = applyCmp(pt.cmp, valueAt(st.cursor), st)
         if (pt.kind == "is") m else !m
       case "ever" | "never" =>
-        val anchorStamp = if (st.cursorValid) st.stampAt(st.cursor) else now
+        // inside each_row the frame anchors at the cursor row; at top level
+        // (segment scripts) single-arg frames anchor at query `now`
+        val inRow = st.rowLoopDepth > 0 && st.cursorValid
+        val anchorStamp = if (inRow) st.stampAt(st.cursor) else now
         val (lo, hi) = frameBounds(pt.frame, anchorStamp, st)
-        val startI = if (pt.next && st.cursorValid) st.cursor + 1 else 0
+        val startI = if (pt.next && inRow) st.cursor + 1 else 0
         var i = startI
         var found = false
         while (i < st.rows.length && !found) {
@@ -520,7 +540,8 @@ final class Interpreter(
   }
 
   private def evalInlineAgg(ia: InlineAgg, st: State): Value = {
-    val anchorStamp = if (st.cursorValid) st.stampAt(st.cursor) else now
+    val anchorStamp =
+      if (st.rowLoopDepth > 0 && st.cursorValid) st.stampAt(st.cursor) else now
     val (lo, hi) = frameBounds(ia.frame, anchorStamp, st)
     val outerCursor = st.cursor
     val outerValid = st.cursorValid
@@ -530,6 +551,7 @@ final class Interpreter(
     var maxV = Double.MinValue
     var firstRow = -1L
     val distinct = mutable.Set.empty[String]
+    st.rowLoopDepth += 1 // the agg's internal scan IS a row iteration (`.is` valid)
     try {
       val n = st.rows.length
       var k = 0
@@ -554,6 +576,7 @@ final class Interpreter(
         k += 1
       }
     } finally {
+      st.rowLoopDepth -= 1
       st.cursor = outerCursor
       st.cursorValid = outerValid
     }

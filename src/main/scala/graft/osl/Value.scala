@@ -67,7 +67,12 @@ object Value {
     case f: Float        => VDbl(f.toDouble)
     case d: Double       => VDbl(d)
     case s: String       => VStr(s)
-    case xs: Seq[_]      => VList(xs.map(apply).toVector)
+    // scala.collection.Seq, NOT the default (immutable) Seq: Spark rows
+    // return mutable.ArraySeq for array columns, which is not an
+    // immutable.Seq — an immutable-only match silently stringified every
+    // set prop to VStr("ArraySeq(...)") (caught by the test_db.h port:
+    // `for ref in referral_search` iterated characters)
+    case xs: scala.collection.Seq[_] => VList(xs.map(apply).toVector)
     case xs: Array[_]    => VList(xs.map(apply).toVector)
     case other           => VStr(other.toString)
   }
