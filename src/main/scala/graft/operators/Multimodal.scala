@@ -23,6 +23,13 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** ImageIO defaults to spooling every ImageInputStream/OutputStream
+    * through a temp FILE on disk — per-row disk I/O that dominates decode
+    * of small in-memory assets (measured 4.9 s → well under 1 s for 5 000
+    * tiny PNGs at sf0.1). Force in-memory streams once per JVM; referenced
+    * from each kernel so executors flip it too. */
+  private lazy val inMemoryImageIo: Unit = ImageIO.setUseCache(false)
+
   /** Typed metadata schema attached to every binary asset. */
   val metaSchema: StructType = StructType(Seq(
     StructField("byte_len", LongType),
@@ -74,6 +81,7 @@ object Multimodal {
     val idIdx = df.schema.fieldIndex(idCol)
     val binIdx = df.schema.fieldIndex(binCol)
     val rdd = df.rdd.mapPartitions { rows =>
+      inMemoryImageIo
       rows.map { r =>
         val id = r.getLong(idIdx)
         val bytes = r.getAs[Array[Byte]](binIdx)
@@ -97,6 +105,7 @@ object Multimodal {
     * PNG bytes any decoder accepts. */
   def pngColumn(seed: Column, width: Column, height: Column): Column = {
     val kernel = udf { (s: Long, w: Int, h: Int) =>
+      inMemoryImageIo
       val img = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
       // fill the raster's backing byte array directly — per-pixel setRGB
