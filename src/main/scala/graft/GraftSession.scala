@@ -34,6 +34,13 @@ object GraftSession {
       // 100 TB the scan is IO-bound, so storage compression is throughput.
       // (The reference ships LZ4 level 5 for the same trade, src/table.h:128.)
       .config("spark.sql.parquet.compression.codec", "zstd")
+      // The generated-class cache defaults to 100 entries; a many-query
+      // workload (the 100-query bench sweep, or any long-lived serving
+      // session) holds far more distinct codegen stages than that, and a
+      // thrashed cache re-runs Janino per stage per query — measured as a
+      // uniform ~2-4x inflation of warm queries in the full sweep vs the
+      // same queries isolated. Size it to hold the whole workload.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
 
   /** Apply the graft-required runtime confs to an externally built session
