@@ -954,6 +954,36 @@ object Queries {
         SELECT label AS component, COUNT(*) AS n_members
         FROM lab GROUP BY label""")),
 
+    // Substring-level duplication profile (ExactSubstr signal, Lee et al.
+    // 2022): per-doc coverage of token spans whose 8-token window occurs
+    // more than once in the corpus. Posting kernel + hash agg + per-doc
+    // interval union — text never shuffles.
+    Q("q_dup_span_coverage",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        graft.operators.Dedup.duplicatedSpanCoverage(d, col("doc_id"), col("text"))
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, list_filter(string_split(text,' '), x -> len(x)>0) AS toks
+          FROM documents),
+        n AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM t WHERE len(toks) > 0),
+        g AS (
+          SELECT doc_id, n_tokens,
+            unnest(list_transform(range(1, n_tokens - 8 + 2),
+              i -> {'pos': i - 1, 'h': md5(array_to_string(toks[i:i+7], ' '))})) AS s
+          FROM n WHERE n_tokens >= 8),
+        g2 AS (SELECT doc_id, n_tokens, s.pos AS pos, s.h AS h FROM g),
+        dup AS (SELECT h FROM g2 GROUP BY h HAVING COUNT(*) > 1),
+        dp AS (SELECT g2.doc_id, g2.n_tokens, g2.pos FROM g2 JOIN dup USING (h)),
+        w AS (SELECT doc_id, n_tokens, pos,
+                LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM dp),
+        c AS (SELECT doc_id, SUM(LEAST(8, COALESCE(nxt, pos + 8) - pos)) AS dup_tokens
+              FROM w GROUP BY doc_id)
+        SELECT n.doc_id, CAST(n.n_tokens AS BIGINT) AS n_tokens,
+          CAST(COALESCE(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+          CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE) / n.n_tokens AS dup_fraction
+        FROM n LEFT JOIN c USING (doc_id)""")),
+
     // Exact n-gram Jaccard near-dup pairs on a bounded subset (O(n²) tier;
     // LSH above is the scale path).
     Q("q_ngram_jaccard_pairs",

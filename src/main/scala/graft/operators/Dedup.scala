@@ -501,6 +501,88 @@ object Dedup {
       }
     }
 
+  /** Per-position k-token span hashes: `(n_tokens, [(pos, md5hex)])` for
+    * every position 0..n-k — the posting kernel for substring-level dedup.
+    * One md5 per position over the space-joined k-gram, byte-compatible
+    * with `md5(concat_ws(' ', slice(tokens, pos+1, k)))`. */
+  private def spanHashKernel(k: Int): String => (Int, Array[(Int, String)]) =
+    (text: String) => {
+      if (text == null) (0, Array.empty)
+      else {
+        val toks = text.split(" ").filter(_.nonEmpty)
+        val n = toks.length
+        if (n < k) (n, Array.empty)
+        else {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val out = new Array[(Int, String)](n - k + 1)
+          val sb = new java.lang.StringBuilder
+          var p = 0
+          while (p <= n - k) {
+            sb.setLength(0)
+            var j = 0
+            while (j < k) {
+              if (j > 0) sb.append(' ')
+              sb.append(toks(p + j))
+              j += 1
+            }
+            val dig = md.digest(sb.toString.getBytes("UTF-8"))
+            md.reset()
+            out(p) = (p, dig.map(x => f"$x%02x").mkString)
+            p += 1
+          }
+          (n, out)
+        }
+      }
+    }
+
+  /** Substring-level duplication profile (the ExactSubstr signal of Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models Better",
+    * re-expressed for Spark): a token span is *duplicated* when its k-token
+    * window occurs more than once in the corpus (across documents or
+    * repeated within one). Any exact duplicated substring of ≥ k tokens is
+    * precisely a maximal run of duplicated k-grams, so per-doc coverage of
+    * duplicated k-gram windows equals coverage of duplicated substrings —
+    * the same signal the paper's suffix array computes, without needing the
+    * corpus-sized suffix array in memory.
+    *
+    * Scale shape: one compiled-kernel scan emits `(doc_id, pos, 16-byte
+    * hash)` postings — the text never shuffles; duplicated hashes come from
+    * one hash-aggregation with map-side combine; coverage is a per-doc sort
+    * of only the *duplicated* positions (a window bounded by doc length,
+    * partitioned by doc — no global sort). At 100 TB each stage is linear
+    * in postings with no self-join on the corpus.
+    *
+    * Returns one row per non-empty doc:
+    * `(doc_id, n_tokens, dup_tokens, dup_fraction)` where `dup_tokens` is
+    * the size of the union of all duplicated windows' token positions. */
+  def duplicatedSpanCoverage(docs: DataFrame, id: Column, text: Column,
+                             k: Int = 8): DataFrame = {
+    val u = udf(spanHashKernel(k))
+    val scanned = graft.Tables.spread(
+        docs.select(id.as("doc_id"), text.as("__text")))
+      .select(col("doc_id"), u(col("__text")).as("r"))
+      .select(col("doc_id"), col("r._1").as("n_tokens"), col("r._2").as("spans"))
+      .where(col("n_tokens") > 0)
+    val posts = scanned
+      .select(col("doc_id"), explode(col("spans")).as("s"))
+      .select(col("doc_id"), col("s._1").as("pos"), col("s._2").as("h"))
+    val dupHashes = posts.groupBy(col("h"))
+      .agg(count(lit(1)).as("__n")).where(col("__n") > 1).select(col("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val covered = posts.join(dupHashes, Seq("h"), "left_semi")
+      .withColumn("nxt", lead(col("pos"), 1).over(w))
+      .groupBy(col("doc_id"))
+      .agg(sum(least(lit(k),
+        coalesce(col("nxt"), col("pos") + k) - col("pos"))).as("dup_tokens"))
+    scanned.select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).cast("long").as("dup_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"))
+          .as("dup_fraction"))
+  }
+
   /** Exact n-gram Jaccard pairs via an inverted shingle index — the scale
     * path that replaces [[ngramJaccardPairs]]'s O(n²) cross-join: explode
     * each doc's distinct shingles into `(shingle, doc)` postings, self-join

@@ -553,4 +553,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(4L) == (("", 0L)))
     assert(out.size == 4)
   }
+
+  test("duplicatedSpanCoverage: shared spans, internal repeats, interval union") {
+    // k=3. Doc 1 and 2 share the 5-token run "a b c d e" -> every 3-gram in
+    // it is duplicated, covering all 5 tokens of doc 1 and the first 5 of
+    // doc 2. Doc 3 repeats "x y z" internally (positions 0 and 3) -> its own
+    // 3-gram duplicates itself, covering tokens 0-2 and 3-5 = 6 of 7.
+    // Doc 4 shares nothing. Doc 5 is shorter than k (no windows).
+    val d = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e unrelated tail words"),
+      (3L, "x y z x y z seven"),
+      (4L, "totally disjoint tokens only here"),
+      (5L, "too short")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpanCoverage(d, col("doc_id"), col("text"), k = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((5L, 5L, 1.0)))
+    assert(out(2L) == ((8L, 5L, 5.0 / 8)))
+    assert(out(3L) == ((7L, 6L, 6.0 / 7)))
+    assert(out(4L) == ((5L, 0L, 0.0)))
+    assert(out(5L) == ((2L, 0L, 0.0)))
+  }
 }
