@@ -1269,6 +1269,56 @@ object Queries {
           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank FROM scored)
         SELECT qid, CAST(rank AS INT) AS rank, nid FROM ranked WHERE rank <= 5""")),
 
+    // PQ-ADC top-k: product-quantized codes (m=4 subspaces × 16 codewords
+    // from the strided sample) searched by per-query distance-table lookup.
+    // Full replica oracle: same codebooks, same L2 surrogate cw·cw − 2·q·cw,
+    // same s-ascending table-sum, rank by (adist asc, nid asc).
+    Q("q_ann_pq_topk",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        graft.operators.Similarity.pqTopK(
+          emb, emb.where(col("vec_id") < 10), k = 5)
+          .select(col("qid"), col("rank"), col("nid"))
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        ids AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rn,
+                       COUNT(*) OVER () AS n FROM v),
+        samp AS (
+          SELECT DISTINCT i.vec_id, cv.e
+          FROM (SELECT unnest(range(16)) AS k) k
+          JOIN ids i ON i.rn = LEAST(k.k * GREATEST(1, i.n // 16), i.n - 1)
+          JOIN v cv ON cv.vec_id = i.vec_id),
+        codes AS (SELECT vec_id, e, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code FROM samp),
+        cw AS (
+          SELECT s.s AS sub, c.code, c.e[s.s*16+1 : (s.s+1)*16] AS cwv,
+            list_dot_product(c.e[s.s*16+1 : (s.s+1)*16], c.e[s.s*16+1 : (s.s+1)*16]) AS cs
+          FROM codes c CROSS JOIN (SELECT unnest(range(4)) AS s) s),
+        enc AS (
+          SELECT vec_id, sub, code FROM (
+            SELECT a.vec_id, w.sub, w.code,
+              ROW_NUMBER() OVER (PARTITION BY a.vec_id, w.sub
+                ORDER BY w.cs - 2*list_dot_product(a.e[w.sub*16+1 : (w.sub+1)*16], w.cwv) ASC,
+                         w.code ASC) AS r
+            FROM v a CROSS JOIN cw w) WHERE r = 1),
+        q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 10),
+        dt AS (
+          SELECT q.qid, w.sub, w.code,
+            w.cs - 2*list_dot_product(q.qe[w.sub*16+1 : (w.sub+1)*16], w.cwv) AS dd
+          FROM q CROSS JOIN cw w),
+        sc AS (
+          SELECT d.qid, e2.vec_id AS nid,
+            MAX(CASE WHEN d.sub=0 THEN d.dd END) AS d0,
+            MAX(CASE WHEN d.sub=1 THEN d.dd END) AS d1,
+            MAX(CASE WHEN d.sub=2 THEN d.dd END) AS d2,
+            MAX(CASE WHEN d.sub=3 THEN d.dd END) AS d3
+          FROM enc e2 JOIN dt d ON d.sub = e2.sub AND d.code = e2.code
+          GROUP BY 1, 2),
+        r AS (
+          SELECT qid, nid,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ((d0+d1)+d2)+d3 ASC, nid ASC) AS rank
+          FROM sc WHERE qid <> nid)
+        SELECT qid, CAST(rank AS INT) AS rank, nid FROM r WHERE rank <= 5""")),
+
     // SimHash signatures (near-dup fingerprint; rows-only oracle).
     Q("q_simhash",
       (s, dir) => {

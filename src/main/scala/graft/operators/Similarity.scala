@@ -358,6 +358,143 @@ object Similarity {
         coalesce(!col("__drop"), lit(true)).as("kept"))
   }
 
+  // ------------------------------------------------------------------ PQ
+
+  /** Product-quantization codebooks from the strided corpus sample: `ksub`
+    * sample vectors (the same deterministic seeding [[ivfAssign]] uses),
+    * sliced into `m` subvectors — codebook `s` holds the samples'
+    * subvectors for dimensions `[s·d, (s+1)·d)`, codes ordered by sample
+    * vec_id. Sampled codebooks are the cheap deterministic variant of PQ
+    * training (k-means init without Lloyd refinement — a refinement pass
+    * would slot in here without changing encode/search mechanics).
+    * Returns `m × ksub × d` doubles, memoized like the IVF centroids. */
+  private val pqCache = new java.util.LinkedHashMap[
+    (org.apache.spark.sql.SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int),
+    Array[Array[Array[Double]]]](16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[(org.apache.spark.sql.SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int), Array[Array[Array[Double]]]]): Boolean =
+      size() > centroidCacheMax
+  }
+
+  def pqCodebooks(corpus: DataFrame, m: Int, ksub: Int): Array[Array[Array[Double]]] = {
+    val v = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val cacheKey = (v.sparkSession, v.queryExecution.analyzed.canonicalized, m, ksub)
+    val cached = pqCache.synchronized(pqCache.get(cacheKey))
+    if (cached != null) return cached
+    val n = v.count()
+    val stride = math.max(1L, n / ksub)
+    val targets = (0 until ksub).map(i => math.min(i.toLong * stride, n - 1))
+      .distinct.toSet
+    val sampleIds = v.select("vec_id").orderBy("vec_id").rdd
+      .zipWithIndex()
+      .filter { case (_, rn) => targets.contains(rn) }
+      .map(_._1.getLong(0))
+      .collect()
+    val samples = v.where(col("vec_id").isin(sampleIds: _*))
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val dim = samples.head._2.length
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val d = dim / m
+    val books = Array.tabulate(m) { s =>
+      samples.map { case (_, e) => e.slice(s * d, (s + 1) * d) }
+    }
+    pqCache.synchronized(pqCache.put(cacheKey, books))
+    books
+  }
+
+  /** PQ-encode: each vector's subvector `s` maps to the code of its nearest
+    * codeword by the L2 surrogate `cw·cw − 2·(sub·cw)` (the `sub·sub` term
+    * is constant per argmin; the surrogate — not the full distance — is the
+    * documented comparison everywhere, so engines agree bit-for-bit), ties
+    * to the smaller code. Adds `code: array<int>` (m entries). Compiled
+    * kernel over the broadcast codebooks; dot folds j-ascending. */
+  def pqEncode(corpus: DataFrame, m: Int = 4, ksub: Int = 16): DataFrame = {
+    val books = pqCodebooks(corpus, m, ksub)
+    val v = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    v.withColumn("code", pqCodeKernel(books)(col("e")))
+  }
+
+  private def pqCodeKernel(books: Array[Array[Array[Double]]]): Column => Column = {
+    val m = books.length
+    val cs = books.map(_.map(cw => { var s = 0.0; var j = 0; while (j < cw.length) { s += cw(j) * cw(j); j += 1 }; s }))
+    val kernel = udf { (arr: Seq[Double]) =>
+      if (arr == null) null
+      else Array.tabulate(m) { s =>
+        val d = books(s).head.length
+        val off = s * d
+        var best = 0
+        var bestDist = Double.MaxValue
+        var c = 0
+        while (c < books(s).length) {
+          val cw = books(s)(c)
+          var dot = 0.0
+          var j = 0
+          while (j < d) { dot += arr(off + j) * cw(j); j += 1 }
+          val dist = cs(s)(c) - 2.0 * dot
+          if (dist < bestDist) { bestDist = dist; best = c }
+          c += 1
+        }
+        best
+      }
+    }
+    kernel(_)
+  }
+
+  /** PQ-ADC top-k: queries score every corpus code by table lookup — per
+    * query, a distance table of `m × ksub` surrogate L2 entries
+    * (`cw·cw − 2·(q_sub·cw)`); a neighbor's approximate distance is the
+    * s-ascending sum of its codes' entries. Rank by `(adist asc, nid asc)`.
+    *
+    * Scale shape: the corpus is touched once to encode (codes are 4 ints —
+    * at 100 TB the code table is ~1/250th of the raw vectors and the only
+    * thing the search scans); queries broadcast with their distance tables
+    * inline; scoring is `m` array lookups + adds per (query, code) pair
+    * inside whole-stage codegen — no vector math on the scan side. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 4, ksub: Int = 16): DataFrame = {
+    val books = pqCodebooks(corpus, m, ksub)
+    val enc = pqEncode(corpus, m, ksub)
+      .select(col("vec_id").as("nid"), col("code"))
+    val dtKernel = udf { (arr: Seq[Double]) =>
+      if (arr == null) null
+      else {
+        val out = new Array[Double](m * ksub)
+        var s = 0
+        while (s < m) {
+          val d = books(s).head.length
+          val off = s * d
+          var c = 0
+          while (c < books(s).length) {
+            val cw = books(s)(c)
+            var dot = 0.0
+            var j = 0
+            while (j < d) { dot += arr(off + j) * cw(j); j += 1 }
+            var cc = 0.0
+            j = 0
+            while (j < d) { cc += cw(j) * cw(j); j += 1 }
+            out(s * ksub + c) = cc - 2.0 * dot
+            c += 1
+          }
+          s += 1
+        }
+        out
+      }
+    }
+    val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
+      .withColumn("dt", dtKernel(col("qe")))
+    // s-ascending explicit fold — the exact addition order the oracle mirrors
+    val adist = (0 until m).map(s =>
+        element_at(col("dt"), element_at(col("code"), s + 1) + lit(s * ksub + 1)))
+      .reduce(_ + _)
+    val scored = enc.join(broadcast(q), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), adist.as("adist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("adist").asc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Per-label centroids, componentwise: `(label, pos, centroid, n)` — the
     * class-prototype / IVF-training aggregation. Component sums run in
     * exact decimal space (per-element cast to DECIMAL(18,6)) making the

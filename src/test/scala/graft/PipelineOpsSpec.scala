@@ -312,6 +312,50 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.subsetOf(Set(1L, 2L, 3L))) // only cluster-X neighbors
   }
 
+  test("PQ: sampled vectors encode to their own codes; ADC ranks the exact dup first") {
+    // 8 vectors, dim 4, m=2 subspaces, ksub=4 codewords -> stride 2 samples
+    // vec_ids 0,2,4,6 as codewords 0..3. Vector 1 duplicates 0, so its PQ
+    // code equals 0's in every subspace and ADC puts it at rank 1 for q=0.
+    val v = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)), (3L, Array(0f, 0.9f, 0.1f, 0f)),
+      (4L, Array(0f, 0f, 1f, 0f)), (5L, Array(0f, 0f, 0.9f, 0.1f)),
+      (6L, Array(0f, 0f, 0f, 1f)), (7L, Array(0.1f, 0f, 0f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val enc = Similarity.pqEncode(v, m = 2, ksub = 4)
+      .select(col("vec_id"), col("code")).as[(Long, Seq[Int])].collect().toMap
+    // each sampled vector is its own nearest codeword
+    assert(enc(0L) == Seq(0, 0) && enc(2L) == Seq(1, 0))
+    assert(enc(4L) == Seq(2, 1) || enc(4L)(0) == 2) // sub 1 of vec 4 = (1,0)
+    assert(enc(1L) == enc(0L)) // exact dup -> same code
+    val top = Similarity.pqTopK(v, v.where(col("vec_id") === 0), k = 3,
+        m = 2, ksub = 4)
+      .select("rank", "nid").as[(Int, Long)].collect().toMap
+    assert(top(1) == 1L) // the exact duplicate ranks first
+  }
+
+  test("PQ recall: ADC top-k stays inside the query's cluster") {
+    // 4 well-separated clusters of 8 vectors each (ids in cluster blocks, so
+    // the stride-8 sample picks one codeword per cluster). Codes then
+    // identify clusters in BOTH subspaces, every same-cluster vector shares
+    // the query's code (minimal adist), and ADC top-3 for a cluster-A query
+    // must be cluster-A members only.
+    def clusterVec(c: Int, i: Int): Array[Float] = {
+      val base = Array.fill(4)(0f)
+      base(c) = 1f
+      base((c + 1) % 4) = 0.01f * i // small in-cluster jitter
+      base
+    }
+    val v = for (c <- 0 until 4; i <- 0 until 8)
+      yield ((c * 8 + i).toLong, clusterVec(c, i))
+    val df = v.toDF("vec_id", "embedding")
+    val top = Similarity.pqTopK(df, df.where(col("vec_id") === 0), k = 3,
+        m = 2, ksub = 4)
+      .select("nid").as[Long].collect().toSet
+    assert(top.size == 3 && top.subsetOf((1L to 7L).toSet),
+      s"ADC left the cluster: $top")
+  }
+
   test("semDedup drops lower-id near-duplicates within a cell only") {
     // n=6, nlist=2 -> strided centroids at vec_ids 0 and 3.
     // 1 duplicates 0; 2 is nearly parallel to 0; 4 duplicates 3;
