@@ -970,7 +970,8 @@ object Queries {
         g AS (
           SELECT doc_id, n_tokens,
             unnest(list_transform(range(1, n_tokens - 8 + 2),
-              i -> {'pos': i - 1, 'h': md5(array_to_string(toks[i:i+7], ' '))})) AS s
+              i -> {'pos': i - 1,
+                    'h': ('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 15))::BIGINT})) AS s
           FROM n WHERE n_tokens >= 8),
         g2 AS (SELECT doc_id, n_tokens, s.pos AS pos, s.h AS h FROM g),
         dup AS (SELECT h FROM g2 GROUP BY h HAVING COUNT(*) > 1),

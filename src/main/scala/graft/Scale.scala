@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling harness: measures how the scale-critical operators behave as the
+  * corpus grows, on data the driver does not ship — deterministic ×N
+  * replicas of the sf0.1 tables written to /tmp (doc ids offset per replica,
+  * texts perturbed with a replica-unique token so near-dup structure is
+  * preserved but exact collapse across replicas is impossible; event user
+  * ids offset so the person population scales with the data).
+  *
+  * `runMain graft.Scale [factors]` (default `1,4,10`) prints one wall-second
+  * line per (operator, factor) plus a least-squares scaling exponent — the
+  * evidence behind SCALING.md. An operator whose cost is linear in input
+  * with constant overhead shows an exponent well below 1 at these sizes;
+  * anything super-linear (a hidden self-join, a driver bottleneck) shows >1
+  * and fails loudly here long before a 1000-executor run would.
+  */
+object Scale {
+  def main(args: Array[String]): Unit = {
+    val factors = args.headOption.getOrElse("1,4,10")
+      .split(",").map(_.trim.toInt).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = "/root/testdata/sf0.1"
+    val work = "/tmp/graft_scale"
+
+    def replicate(table: String, n: Int, idCols: Seq[String],
+                  perturbText: Boolean): String = {
+      val out = s"$work/${table}_x$n"
+      if (!new java.io.File(out).exists()) {
+        val src = spark.read.parquet(s"$base/$table.parquet")
+        val reps = (0 until n).map { r =>
+          val off = lit(r.toLong * 10000000L)
+          val shifted = idCols.foldLeft(src)((df, c) =>
+            df.withColumn(c, col(c) + off))
+          if (perturbText && r > 0)
+            shifted.withColumn("text", concat(col("text"), lit(s" rep$r")))
+          else shifted
+        }
+        reps.reduce(_ unionByName _)
+          .repartition(spark.sparkContext.defaultParallelism)
+          .write.mode("overwrite").parquet(out)
+      }
+      out
+    }
+
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    def noop(df: DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+
+    // operator -> (docsPath, eventsPath) => DataFrame
+    val ops: Seq[(String, (String, String) => DataFrame)] = Seq(
+      "dedup_exact" -> ((d: String, _: String) => {
+        val docs = spark.read.parquet(d)
+        operators.Dedup.exactGroups(docs, col("doc_id"), col("text"))
+      }),
+      "minhash_lsh_pairs" -> ((d: String, _: String) => {
+        val docs = spark.read.parquet(d)
+        operators.Dedup.minhashCandidates(docs, col("doc_id"), col("text"))
+      }),
+      "neardup_star_cc" -> ((d: String, _: String) => {
+        val docs = spark.read.parquet(d)
+        val edges = operators.Dedup.minhashStarEdges(docs, col("doc_id"), col("text"))
+        operators.Dedup.connectedComponents(edges, docs.select(col("doc_id")))
+          .groupBy(col("label")).agg(count(lit(1)).as("n"))
+      }),
+      "dup_span_coverage" -> ((d: String, _: String) => {
+        val docs = spark.read.parquet(d)
+        operators.Dedup.duplicatedSpanCoverage(docs, col("doc_id"), col("text"))
+      }),
+      "bm25_topk" -> ((d: String, _: String) => {
+        val docs = spark.read.parquet(d)
+        operators.Similarity.bm25TopK(docs, col("doc_id"), col("text"),
+          Seq("data", "model", "training"), 20)
+      }),
+      "funnel3" -> ((_: String, e: String) => {
+        val ev = normalizeEvents(spark.read.parquet(e))
+        operators.EventOps.funnelN(ev, Seq("signup", "purchase", "churn"),
+          30L * 24 * 3600 * 1000)
+      }),
+      "sessions" -> ((_: String, e: String) => {
+        val ev = normalizeEvents(spark.read.parquet(e))
+        operators.EventOps.sessionize(ev)
+          .groupBy(col("id")).agg(max(col("session")).as("sessions"))
+      }),
+      "event_tally" -> ((_: String, e: String) => {
+        val ev = normalizeEvents(spark.read.parquet(e))
+        ev.groupBy(col("event")).agg(count(lit(1)).as("n"),
+          countDistinct(col("id")).as("people"))
+      }))
+
+    println(f"${"operator"}%-20s " +
+      factors.map(f => f"${s"x$f cold/warm"}%16s").mkString(" ") + " exponent(cold)")
+    val rows = ops.map { case (name, fn) =>
+      // cold = first run at each factor (includes any index/memo build —
+      // the part that actually scales with data); warm = min of 2 repeats
+      // (steady-state with memoized index stages hot). The exponent is fit
+      // on COLD times: a memo hit would otherwise hide super-linear builds.
+      val times = factors.map { f =>
+        val d = replicate("documents", f, Seq("doc_id"), perturbText = true)
+        val e = replicate("events", f, Seq("event_id", "user_id"), perturbText = false)
+        val cold = time(noop(fn(d, e)))
+        val warm = (1 to 2).map(_ => time(noop(fn(d, e)))).min
+        (cold, warm)
+      }
+      // least-squares slope of log(t_cold) on log(f): the scaling exponent
+      val xs = factors.map(f => math.log(f.toDouble))
+      val ys = times.map(t => math.log(t._1))
+      val xm = xs.sum / xs.size; val ym = ys.sum / ys.size
+      val slope = xs.zip(ys).map { case (x, y) => (x - xm) * (y - ym) }.sum /
+        xs.map(x => (x - xm) * (x - xm)).sum
+      println(f"$name%-20s ${times.map(t => f"${t._1}%7.2f/${t._2}%-7.2f").mkString} $slope%8.2f")
+      (name, times.map(_._1), slope)
+    }
+    val worst = rows.maxBy(_._3)
+    println(f"WORST ${worst._1} exponent=${worst._3}%.2f")
+    spark.stop()
+  }
+
+  /** The OpenSet normalization [[Tables.events]] applies, for a parquet path
+    * outside the test-table loader. */
+  private def normalizeEvents(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val stamp = raw.schema("ts").dataType match {
+      case TimestampType    => unix_millis(col("ts"))
+      case TimestampNTZType => unix_millis(col("ts").cast(TimestampType))
+      case LongType         => expr("ts div 1000000")
+      case other => throw new IllegalArgumentException(s"ts: $other")
+    }
+    raw.select(col("user_id").as("id"), stamp.as("stamp"),
+      col("event_type").as("event"), col("value"), col("props"), col("event_id"))
+  }
+}

@@ -501,20 +501,22 @@ object Dedup {
       }
     }
 
-  /** Per-position k-token span hashes: `(n_tokens, [(pos, md5hex)])` for
-    * every position 0..n-k — the posting kernel for substring-level dedup.
-    * One md5 per position over the space-joined k-gram, byte-compatible
-    * with `md5(concat_ws(' ', slice(tokens, pos+1, k)))`. */
-  private def spanHashKernel(k: Int): String => (Int, Array[(Int, String)]) =
+  /** Per-position k-token span hashes as 60-bit longs (md5's first 15 hex
+    * chars — the same reduction [[minsKernel]] uses, so an engine-portable
+    * `('0x'||substr(md5(gram),1,15))::BIGINT` reproduces every value): one
+    * value per position 0..n-k, index = position. Longs, not hex strings —
+    * the posting rows this kernel feeds are shuffled corpus-wide, and 8-byte
+    * keys keep that exchange ~5× smaller than 32-char digests. */
+  private def spanHashKernel(k: Int): String => Array[Long] =
     (text: String) => {
-      if (text == null) (0, Array.empty)
+      if (text == null) Array.empty
       else {
         val toks = text.split(" ").filter(_.nonEmpty)
         val n = toks.length
-        if (n < k) (n, Array.empty)
+        if (n < k) Array.empty
         else {
           val md = java.security.MessageDigest.getInstance("MD5")
-          val out = new Array[(Int, String)](n - k + 1)
+          val out = new Array[Long](n - k + 1)
           val sb = new java.lang.StringBuilder
           var p = 0
           while (p <= n - k) {
@@ -527,10 +529,13 @@ object Dedup {
             }
             val dig = md.digest(sb.toString.getBytes("UTF-8"))
             md.reset()
-            out(p) = (p, dig.map(x => f"$x%02x").mkString)
+            var h = 0L
+            var bi = 0
+            while (bi < 7) { h = (h << 8) | (dig(bi) & 0xFFL); bi += 1 }
+            out(p) = (h << 4) | ((dig(7) & 0xF0L) >> 4)
             p += 1
           }
-          (n, out)
+          out
         }
       }
     }
@@ -545,37 +550,49 @@ object Dedup {
     * the same signal the paper's suffix array computes, without needing the
     * corpus-sized suffix array in memory.
     *
-    * Scale shape: one compiled-kernel scan emits `(doc_id, pos, 16-byte
-    * hash)` postings — the text never shuffles; duplicated hashes come from
-    * one hash-aggregation with map-side combine; coverage is a per-doc sort
-    * of only the *duplicated* positions (a window bounded by doc length,
-    * partitioned by doc — no global sort). At 100 TB each stage is linear
-    * in postings with no self-join on the corpus.
+    * Scale shape: one compiled-kernel scan emits narrow `(doc_id, pos,
+    * 60-bit hash)` postings — the text never shuffles; duplicate detection
+    * is a count-only window over the hash (one posting shuffle — most
+    * k-grams are globally unique, so a pre-aggregation would combine almost
+    * nothing and still pay a second shuffle for the membership join);
+    * coverage is a per-doc sort of only the *duplicated* positions (a
+    * window bounded by doc length, partitioned by doc — no global sort).
+    * At 100 TB each stage is linear in postings with no self-join on the
+    * corpus.
     *
     * Returns one row per non-empty doc:
     * `(doc_id, n_tokens, dup_tokens, dup_fraction)` where `dup_tokens` is
     * the size of the union of all duplicated windows' token positions. */
   def duplicatedSpanCoverage(docs: DataFrame, id: Column, text: Column,
                              k: Int = 8): DataFrame = {
-    val u = udf(spanHashKernel(k))
-    val scanned = graft.Tables.spread(
-        docs.select(id.as("doc_id"), text.as("__text")))
-      .select(col("doc_id"), u(col("__text")).as("r"))
-      .select(col("doc_id"), col("r._1").as("n_tokens"), col("r._2").as("spans"))
+    val base = docs.select(id.as("doc_id"), text.as("__text"))
+    // n_tokens needs no kernel — a codegen'd split/filter/size per row
+    val withN = base
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("__text"))).cast("long").as("n_tokens"))
       .where(col("n_tokens") > 0)
-    val posts = scanned
-      .select(col("doc_id"), explode(col("spans")).as("s"))
-      .select(col("doc_id"), col("s._1").as("pos"), col("s._2").as("h"))
-    val dupHashes = posts.groupBy(col("h"))
-      .agg(count(lit(1)).as("__n")).where(col("__n") > 1).select(col("h"))
-    val w = org.apache.spark.sql.expressions.Window
+    val u = udf(spanHashKernel(k))
+    // ONE kernel pass, narrow 20-byte posting rows; lazy localCheckpoint so
+    // both consumers below read materialized blocks instead of re-running
+    // the md5-per-position scan, and the ContextCleaner frees the blocks
+    // once the query's frames die.
+    val posts = graft.Tables.spread(base)
+      .select(col("doc_id"), posexplode(u(col("__text"))).as(Seq("pos", "h")))
+      .localCheckpoint(false)
+    // duplicated = the window occurs >1 time corpus-wide: a count-only
+    // window over h (no sort — whole-partition frame) replaces the
+    // aggregate + semi-join pair, one shuffle of the postings instead of two
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val wd = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val covered = posts.join(dupHashes, Seq("h"), "left_semi")
-      .withColumn("nxt", lead(col("pos"), 1).over(w))
+    val covered = posts
+      .withColumn("__cnt", count(lit(1)).over(wh))
+      .where(col("__cnt") > 1)
+      .withColumn("nxt", lead(col("pos"), 1).over(wd))
       .groupBy(col("doc_id"))
       .agg(sum(least(lit(k),
         coalesce(col("nxt"), col("pos") + k) - col("pos"))).as("dup_tokens"))
-    scanned.select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
+    withN
       .join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("dup_tokens"), lit(0L)).cast("long").as("dup_tokens"),
