@@ -2548,6 +2548,38 @@ object Queries {
           (CAST(SUM(CAST(bits AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*)) <= 4.95 AS keep
         FROM b GROUP BY 1""")),
 
+    // CCNet head/middle/tail: NTILE terciles of the unigram-LM
+    // bits-per-token ranking (rank-based cut — no float-interpolated
+    // percentile at any boundary). Global rank via distributed sort +
+    // zipWithIndex, never a one-partition window.
+    Q("q_perplexity_buckets",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        graft.operators.TextOps.perplexityBuckets(d, col("doc_id"), col("text"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            min(col("bits_per_token")).as("min_bits"),
+            max(col("bits_per_token")).as("max_bits"))
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+            unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
+          FROM documents),
+        cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1),
+        tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM cnt),
+        b AS (SELECT doc_id, round(-log2(cnt.c / tot.t), 4) AS bits
+              FROM toks, cnt, tot WHERE toks.tok = cnt.tok),
+        bdoc AS (SELECT doc_id, COUNT(*) AS n_tokens,
+            CAST(SUM(CAST(bits AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS bits_per_token
+          FROM b GROUP BY 1),
+        nt AS (SELECT doc_id, n_tokens, bits_per_token,
+            NTILE(3) OVER (ORDER BY bits_per_token ASC, doc_id ASC) AS bucket
+          FROM bdoc)
+        SELECT CAST(bucket AS INT) AS bucket, COUNT(*) AS n_docs,
+          CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+          MIN(bits_per_token) AS min_bits, MAX(bits_per_token) AS max_bits
+        FROM nt GROUP BY bucket""")),
+
     // One-pass column profiling over the corpus table: non-null count,
     // exact distinct, min/max per column — the data-quality gate.
     Q("q_profile_documents",

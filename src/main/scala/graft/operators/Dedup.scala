@@ -752,14 +752,19 @@ object Dedup {
         shiftright(col("sig"), b * w).bitwiseAND(lit((1L << w) - 1))
           .cast("string").as("chunk"))
     }
-    val bandRows = sigs
-      .select(col("doc_id"), explode(array(chunkStructs: _*)).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.chunk").as("sig"))
-    pairsFromBandRows(bandRows)
-      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("__sa")), "id_a")
-      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("__sb")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        hammingDistance(col("__sa"), col("__sb")).cast("int").as("hamming"))
-      .where(col("hamming") <= maxDist)
+    // The verified pair list is part of the index too: memoized alongside
+    // the signatures so repeat queries skip the chunk-bucket pair stage,
+    // not just the kernel scan.
+    memoStage(key, s"simhash_pairs_${bits}_${bands}_$maxDist") {
+      val bandRows = sigs
+        .select(col("doc_id"), explode(array(chunkStructs: _*)).as("b"))
+        .select(col("doc_id"), col("b.band").as("band"), col("b.chunk").as("sig"))
+      pairsFromBandRows(bandRows)
+        .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("__sa")), "id_a")
+        .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("__sb")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          hammingDistance(col("__sa"), col("__sb")).cast("int").as("hamming"))
+        .where(col("hamming") <= maxDist)
+    }
   }
 }

@@ -463,6 +463,40 @@ object TextOps {
       .withColumn("keep", col("bits_per_token") <= keepMaxBits)
   }
 
+  /** CCNet-style perplexity split (head/middle/tail): rank every doc by its
+    * unigram-LM bits-per-token (asc, doc_id tiebreak) and cut the ranking
+    * into `nBuckets` NTILE buckets — bucket 1 = the most-predictable "head"
+    * CCNet keeps, the top tercile = the "tail" it drops. Rank-based, so no
+    * float-interpolated percentile ever decides a boundary (engine-portable
+    * to the bit where a `percentile_cont` threshold would not be).
+    *
+    * Scale shape: the ranking is a distributed sort + `zipWithIndex`
+    * (per-partition offsets stitched — the same global-rank trick the IVF
+    * seeding uses), never a single-partition window; the bucket id is then
+    * the closed form `floor(rank·b/n)+1`, which equals SQL `NTILE(b)`
+    * (larger buckets first) for a total-order ranking. Returns
+    * `(doc_id, n_tokens, bits_per_token, bucket)`. */
+  def perplexityBuckets(docs: DataFrame, idCol: Column, textCol: Column,
+                        nBuckets: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    val scored = unigramBits(docs, idCol, textCol, keepMaxBits = Double.MaxValue)
+      .select(col("doc_id"), col("n_tokens"), col("bits_per_token"))
+      .localCheckpoint(false) // ranked AND joined below — one LM pass, not two
+    val n = scored.count()
+    val b = nBuckets.toLong
+    val rankRows = scored.select(col("doc_id"), col("bits_per_token"))
+      .orderBy(col("bits_per_token").asc, col("doc_id").asc).rdd
+      .zipWithIndex()
+      .map { case (r, rank) =>
+        org.apache.spark.sql.Row(r.get(0), (rank * b / n + 1).toInt) }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        scored.schema("doc_id").dataType),
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.IntegerType)))
+    scored.join(spark.createDataFrame(rankRows, schema), Seq("doc_id"))
+  }
+
   /** CCNet-style line-level dedup / boilerplate removal: split each doc on
     * `delim`, drop every line whose corpus-wide document frequency exceeds
     * `maxDocFreq` (navbars, cookie banners, license footers), and reassemble

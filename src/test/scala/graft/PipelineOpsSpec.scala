@@ -598,6 +598,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.size == 4)
   }
 
+  test("perplexityBuckets: NTILE sizes (larger first) and monotone cut points") {
+    // 5 docs of distinct predictability -> ranks are total-ordered; NTILE(3)
+    // over 5 rows gives bucket sizes 2,2,1 with bits monotone across buckets
+    val d = Seq(
+      (1L, "common common common common"),        // most predictable
+      (2L, "common common common rare1"),
+      (3L, "common common rare2 rare3"),
+      (4L, "common rare4 rare5 rare6"),
+      (5L, "rare7 rare8 rare9 rareA")             // least predictable
+    ).toDF("doc_id", "text")
+    val out = TextOps.perplexityBuckets(d, col("doc_id"), col("text"))
+      .select("doc_id", "bits_per_token", "bucket")
+      .as[(Long, Double, Int)].collect().sortBy(_._1)
+    val byBucket = out.groupBy(_._3).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byBucket(1) == Set(1L, 2L) && byBucket(2) == Set(3L, 4L)
+      && byBucket(3) == Set(5L))
+    // bits are monotone non-decreasing along the bucket order
+    val bits = out.sortBy(r => (r._3, r._2)).map(_._2)
+    assert(bits.zip(bits.tail).forall { case (a, b) => a <= b })
+  }
+
   test("duplicatedSpanCoverage: shared spans, internal repeats, interval union") {
     // k=3. Doc 1 and 2 share the 5-token run "a b c d e" -> every 3-gram in
     // it is duplicated, covering all 5 tokens of doc 1 and the first 5 of
