@@ -34,6 +34,10 @@ object GraftSession {
       // 100 TB the scan is IO-bound, so storage compression is throughput.
       // (The reference ships LZ4 level 5 for the same trade, src/table.h:128.)
       .config("spark.sql.parquet.compression.codec", "zstd")
+      // Engine extensions (native function registry + plan rewrites) ride
+      // the standard config hook, so the same line works on spark-submit
+      // against a real cluster with no code changes.
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // The generated-class cache defaults to 100 entries; a many-query
       // workload (the 100-query bench sweep, or any long-lived serving
       // session) holds far more distinct codegen stages than that, and a

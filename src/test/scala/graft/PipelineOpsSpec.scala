@@ -281,12 +281,24 @@ class PipelineOpsSpec extends SparkSpec {
     ).toDF("vec_id", "embedding")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
     val a = v.select(col("e").as("ea")).crossJoin(v.select(col("e").as("eb")))
-    val rows = a.select(
-      Similarity.dot(col("ea"), col("eb")).as("native"),
-      Similarity.dotFold(col("ea"), col("eb")).as("fold"))
-      .as[(Double, Double)].collect()
-    assert(rows.nonEmpty)
-    rows.foreach { case (n, f) => assert(n == f) } // exact, not approx
+    // exclude the extensions' fold->native rewrite for this test, or the
+    // parity check would compare the native expression to itself
+    val ruleName = graft.plans.RewriteDotProduct.ruleName
+    val prev = spark.conf.getOption("spark.sql.optimizer.excludedRules")
+    spark.conf.set("spark.sql.optimizer.excludedRules", ruleName)
+    try {
+      val folded = a.select(
+        Similarity.dot(col("ea"), col("eb")).as("native"),
+        Similarity.dotFold(col("ea"), col("eb")).as("fold"))
+      assert(!folded.queryExecution.optimizedPlan.toString
+        .matches("(?s).*graft_dot.*graft_dot.*"), "rule exclusion ineffective")
+      val rows = folded.as[(Double, Double)].collect()
+      assert(rows.nonEmpty)
+      rows.foreach { case (n, f) => assert(n == f) } // exact, not approx
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.optimizer.excludedRules", p)
+      case None => spark.conf.unset("spark.sql.optimizer.excludedRules")
+    }
   }
 
   test("cosine similarity basics") {

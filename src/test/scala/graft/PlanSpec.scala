@@ -89,6 +89,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("extensions rewrite the zip_with/aggregate fold to native graft_dot") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // spark.range (not a LocalRelation — ConvertToLocalRelation would
+    // evaluate the whole projection at plan time and hide the rewrite)
+    val df = spark.range(2).select(
+      when(col("id") === 0, array(lit(1.0), lit(2.0), lit(3.0)))
+        .otherwise(array(lit(1.0), lit(2.0))).as("a"), // unequal len -> null
+      array(lit(4.0), lit(5.0), lit(6.0)).as("b"))
+    val folded = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("d"))
+    // the optimizer must have replaced the interpreted fold
+    val opt = folded.queryExecution.optimizedPlan.toString
+    assert(opt.contains("graft_dot"), opt)
+    assert(!opt.contains("aggregate("), opt)
+    // ...with identical semantics, including the unequal-length null
+    val got = folded.as[Option[Double]].collect().toSet
+    assert(got == Set(Some(32.0), None), got.toString)
+    // SQL surface: graft_dot resolves through the injected registry entry
+    val viaSql = spark.sql("SELECT graft_dot(array(1d, 2d), array(3d, 4d))")
+      .as[Double].collect().head
+    assert(viaSql == 11.0)
+  }
+
   test("hot-table cache returns identical results to cold scans") {
     def rows(name: String) =
       Queries.queries(name)(spark, dir).collect().map(_.toString).sorted.toSeq
