@@ -1420,6 +1420,38 @@ object Queries {
           CAST(3 * COUNT(*) AS BIGINT) AS sum_channels
         FROM d GROUP BY width""")),
 
+    // Real audio decode: synthesized PCM16 WAVs (deterministic rate/length
+    // per asset) decoded by the JDK's AudioSystem inside mapPartitions;
+    // oracle = closed form over the synthesis parameters (frame count =
+    // sample count, duration = floor(n*1000/rate)).
+    Q("q_audio_decode",
+      (s, dir) => {
+        val m = graft.operators.Multimodal
+        val d = Tables.spread(Tables.documents(s, dir)
+            .select(col("doc_id").as("asset_id"), col("n_chars")))
+          .select(col("asset_id"),
+            m.wavColumn(col("asset_id"),
+              element_at(
+                array(lit(8000), lit(16000), lit(22050), lit(44100)),
+                (col("asset_id") % 4 + 1).cast("int")),
+              (lit(100) + col("n_chars") % 400).cast("int")).as("asset"))
+        m.decodeAudio(d)
+          .groupBy(col("sample_rate"))
+          .agg(count(lit(1)).as("n_assets"),
+            sum(col("duration_ms")).as("total_ms"),
+            sum(when(col("decoded"), col("n_frames"))).as("total_frames"))
+      },
+      Some("""WITH d AS (
+          SELECT doc_id,
+            CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                 WHEN 2 THEN 22050 ELSE 44100 END AS rate,
+            100 + (n_chars % 400) AS n
+          FROM documents)
+        SELECT CAST(rate AS INT) AS sample_rate, COUNT(*) AS n_assets,
+          CAST(SUM((n * 1000) // rate) AS BIGINT) AS total_ms,
+          CAST(SUM(n) AS BIGINT) AS total_frames
+        FROM d GROUP BY rate""")),
+
     // Decode fallback plumbing: bytes no JDK reader accepts (text bytes
     // standing in for codec formats) take the deterministic stand-in path
     // with decoded=false — SQL-expressible: width from byte length, height

@@ -99,6 +99,80 @@ object Multimodal {
     spark.createDataFrame(rdd, decodeSchema)
   }
 
+  /** Schema produced by [[decodeAudio]]. */
+  val audioSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("bits", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("duration_ms", LongType),
+    StructField("decoded", BooleanType)))
+
+  /** Real audio-container decode over a binary column:
+    * `AudioSystem.getAudioInputStream` per asset inside `mapPartitions`
+    * (the JDK ships WAV/AIFF/AU readers). Decodable bytes report the
+    * container's true sample rate, channel count, bit depth, frame count
+    * and duration; everything else takes the deterministic stand-in with
+    * `decoded=false` — the same total-pipeline shape as [[decodeImage]]. */
+  def decodeAudio(df: DataFrame, idCol: String = "asset_id",
+                  binCol: String = "asset"): DataFrame = {
+    val spark = df.sparkSession
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val decoded =
+          try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new ByteArrayInputStream(bytes))
+            val fmt = in.getFormat
+            val frames = in.getFrameLength
+            val rate = fmt.getSampleRate.toInt
+            val durMs = if (rate > 0 && frames >= 0) frames * 1000L / rate else -1L
+            in.close()
+            Some(Row(id, rate, fmt.getChannels, fmt.getSampleSizeInBits,
+              frames, durMs, true))
+          } catch { case _: Exception => None }
+        decoded.getOrElse {
+          val (w, h) = fallbackDims(bytes)
+          Row(id, w, h, 0, -1L, -1L, false)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, audioSchema)
+  }
+
+  /** Synthesize a real PCM16 mono WAV (44-byte RIFF header + deterministic
+    * samples from `seed`) — spec-compliant bytes any WAV reader accepts;
+    * the audio analogue of [[pngColumn]]. */
+  def wavColumn(seed: Column, sampleRate: Column, nSamples: Column): Column = {
+    val kernel = udf { (s: Long, rate: Int, n: Int) =>
+      val dataLen = n * 2 // PCM16 mono
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1) // PCM
+        .putShort(1) // mono
+        .putInt(rate)
+        .putInt(rate * 2) // byte rate
+        .putShort(2) // block align
+        .putShort(16) // bits
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var i = 0
+      while (i < n) {
+        bb.putShort((((s * 2654435761L + i * 31L) & 0xFFFFL) - 0x8000L).toShort)
+        i += 1
+      }
+      bb.array()
+    }
+    kernel(seed, sampleRate, nSamples)
+  }
+
   /** Synthesize a real PNG (`ImageIO.write`, deterministic pixels from
     * `seed`) — the test-side generator for decode round-trips where the
     * container has no sample image corpus. Returns real, spec-compliant

@@ -125,11 +125,17 @@ object Sampling {
   def dsirWeights(docs: DataFrame, id: Column, text: Column,
                   isTarget: Column, buckets: Int = 4096): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    // drop the token string right after hashing and materialize the narrow
+    // (doc_id, target, bucket) rows ONCE (lazy checkpoint): the model agg
+    // and the scoring join both read them, and the md5-per-token pass —
+    // the scan-heavy half of the query — would otherwise run twice
     val toks = docs.select(id.as("doc_id"), isTarget.as("__t"),
         explode(TextOps.tokens(text)).as("tok"))
       .withColumn("b",
         pmod(conv(substring(md5(col("tok")), 1, 6), 16, 10).cast("long"),
           lit(buckets.toLong)))
+      .select(col("doc_id"), col("__t"), col("b"))
+      .localCheckpoint(false)
     val model = toks.groupBy(col("b")).agg(
       sum(when(col("__t"), 1L).otherwise(0L)).as("ct"),
       sum(when(!col("__t"), 1L).otherwise(0L)).as("cb"))

@@ -522,6 +522,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(fmts(2L) == "bmp")
   }
 
+  test("multimodal: real WAV decode via AudioSystem round-trip + fallback") {
+    val assets = Seq((7L, 16000, 1600), (8L, 44100, 441))
+      .toDF("asset_id", "rate", "n")
+      .select(col("asset_id"),
+        Multimodal.wavColumn(col("asset_id"), col("rate"), col("n")).as("asset"))
+      .union(Seq((9L, "not audio at all".getBytes("UTF-8")))
+        .toDF("asset_id", "asset"))
+    val out = Multimodal.decodeAudio(assets)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(5),
+          r.getBoolean(6)))).toMap
+    assert(out(7L) == ((16000, 1, 16, 1600L, 100L, true)))
+    assert(out(8L) == ((44100, 1, 16, 441L, 10L, true))) // floor(441000/44100)
+    assert(!out(9L)._6 && out(9L)._5 == -1L)
+  }
+
   test("multimodal: pngColumn synthesizes bytes ImageIO decodes to the requested dims") {
     val df = Seq((7L, 13, 21)).toDF("asset_id", "w", "h")
       .select(col("asset_id"),
