@@ -336,6 +336,33 @@ class IngestStreamSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_bucketed_test")
   }
 
+  test("date-partitioned layout prunes partitions for time-framed reads") {
+    val day = 86400000L
+    val d0 = 1704067200000L // 2024-01-01T00:00Z
+    val e = (0 until 10).map(i =>
+        (i.toLong % 3, d0 + i * day + 3600000L, "ev"))
+      .toDF("id", "stamp", "event")
+    spark.sql("DROP TABLE IF EXISTS graft_part_test")
+    Layout.writePartitionedEvents(e, "graft_part_test", buckets = 2)
+    // frame = days 2..4 (stamp-inclusive) -> exactly 3 of the 10 partitions
+    val framed = Layout.timeFramedEvents(spark, "graft_part_test",
+      d0 + 2 * day, d0 + 4 * day + 7200000L)
+    val plan = framed.groupBy("event").count()
+      .queryExecution.executedPlan.toString
+    // pruning is visible in the scan: partition filters on event_date...
+    assert(plan.contains("PartitionFilters") && plan.contains("event_date"),
+      plan.take(3000))
+    // ...and row-exact results come from the stamp bounds
+    assert(framed.count() == 3)
+    val rows = framed.select("stamp").as[Long].collect().toSet
+    assert(rows == Set(d0 + 2 * day, d0 + 3 * day, d0 + 4 * day)
+      .map(_ + 3600000L))
+    // per-person ops inside the frame still avoid the id shuffle? bucketing
+    // survives under partitioning only per-partition; a cross-partition agg
+    // legitimately exchanges — assert only the pruning contract here.
+    spark.sql("DROP TABLE IF EXISTS graft_part_test")
+  }
+
   test("result tree: g/c/_ nesting with sort and trim") {
     val df = Seq(
       (1, "2", null, 2L), (2, "2", "fly rod", 2L), (2, "2", "spoon", 1L),
