@@ -71,7 +71,16 @@ object Plans {
     P("q_ann_pq_topk",
       "PQ-ADC search: corpus encoded once to 4-int codes; queries broadcast with inline " +
         "distance tables; scoring is array lookups + adds in codegen — no vector math on " +
-        "the scan side"))
+        "the scan side"),
+    P("q_kmeans_clusters",
+      "Lloyd's k-means: per iteration ONE scan against the driver-held k×dim centroid " +
+        "matrix (assignment computed BELOW the explode — once per row, not per element) " +
+        "plus a hash agg that partial-combines to k×dim rows per task; embeddings never " +
+        "shuffle"),
+    P("q_bloom_semijoin",
+      "Bloom pre-filtered semi-join: the reference-key Bloom filter probes at scan speed " +
+        "on the fact side, so the exact verify join shuffles only matches + fpp·corpus " +
+        "rows instead of the corpus"))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("local[4]", 4).getOrCreate()

@@ -2713,7 +2713,100 @@ object Queries {
           LEFT JOIN counts c ON c.id = p.id AND c.v = vals.v)
         SELECT v AS each_value, CAST(FLOOR(cnt / 5.0) * 5 AS DOUBLE) AS bucket,
           COUNT(DISTINCT id) AS customers
-        FROM per GROUP BY 1, 2"""))
+        FROM per GROUP BY 1, 2""")),
+
+    // Deterministic Lloyd's k-means (k=4, 2 iterations) over the embedding
+    // corpus: seeded from the 4 lowest vec_ids, cosine assignment with
+    // position-order sums (IEEE ≡ list_dot_product), DECIMAL(18,6) centroid
+    // means — the oracle unrolls the same two iterations and lands on
+    // bit-identical centroids.
+    Q("q_kmeans_clusters",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        graft.operators.Similarity.kmeansCentroids(emb, 4, 2)
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        init AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS cid, e AS ce
+          FROM (SELECT vec_id, e FROM v ORDER BY vec_id ASC LIMIT 4)),
+        s1 AS (
+          SELECT v.vec_id, i.cid,
+            list_dot_product(v.e, i.ce) /
+              (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(i.ce, i.ce))) AS cos
+          FROM v CROSS JOIN init i),
+        a1 AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+            FROM s1) WHERE rn = 1),
+        u1 AS (
+          SELECT a1.cid, generate_subscripts(v.e, 1) - 1 AS pos, unnest(v.e) AS x
+          FROM a1 JOIN v USING (vec_id)),
+        c1 AS (
+          SELECT cid, pos,
+            CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS c
+          FROM u1 GROUP BY cid, pos),
+        ce1 AS (SELECT cid, list(c ORDER BY pos ASC) AS ce FROM c1 GROUP BY cid),
+        s2 AS (
+          SELECT v.vec_id, ce1.cid,
+            list_dot_product(v.e, ce1.ce) /
+              (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(ce1.ce, ce1.ce))) AS cos
+          FROM v CROSS JOIN ce1),
+        a2 AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+            FROM s2) WHERE rn = 1),
+        u2 AS (
+          SELECT a2.cid, generate_subscripts(v.e, 1) - 1 AS pos, unnest(v.e) AS x
+          FROM a2 JOIN v USING (vec_id))
+        SELECT cid AS cluster, pos,
+          CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS centroid,
+          COUNT(*) AS n
+        FROM u2 GROUP BY cid, pos""")),
+
+    // Bloom-filter pre-filtered semi-join: lineitems of urgent orders. The
+    // Bloom stage drops non-members at scan speed before any shuffle; the
+    // exact verify join removes false positives, so the result is EXACTLY
+    // the plain semi-join the oracle computes.
+    Q("q_bloom_semijoin",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val urgent = Tables.orders(s, dir)
+          .where(col("o_orderpriority") === "1-URGENT")
+        graft.operators.BloomOps.bloomSemiJoin(
+            li, col("l_orderkey"), urgent, col("o_orderkey"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n_items,
+          ${dsumSql("l_quantity")} AS sum_qty
+        FROM lineitem
+        WHERE l_orderkey IN (
+          SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        GROUP BY l_returnflag""")),
+
+    // Bloom pre-filtered DECONTAMINATION (anti-join): drop corpus docs whose
+    // content fingerprint appears in the benchmark set. The filter splits
+    // the corpus at scan speed — definite non-members bypass the join
+    // entirely; only possible members pay the exact anti-join (a false
+    // positive must never drop a clean row).
+    Q("q_bloom_decontaminate",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val bench = d.where(col("doc_id") % 7 === 0)
+          .select(md5(col("text")).as("fp"))
+        graft.operators.BloomOps.bloomAntiJoin(
+            d.withColumn("fp", md5(col("text"))), col("fp"), bench, col("fp"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+      },
+      Some("""SELECT source, COUNT(*) AS n_kept,
+          CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+        FROM documents
+        WHERE md5(text) NOT IN (
+          SELECT md5(text) FROM documents WHERE doc_id % 7 = 0)
+        GROUP BY source"""))
   )
 
   def allRegistry: Seq[Q] = registry ++ extraRegistry

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+
+/** Bloom-filter pre-filtered joins — the explicit form of runtime filter
+  * pushdown for the decontamination / membership shapes of a corpus
+  * pipeline.
+  *
+  * At 100 TB the semi-join "keep corpus rows whose key appears in this
+  * reference set" shuffles the entire corpus on the key just to discard
+  * most of it. When the reference set fits a few-MB bitset, the right plan
+  * is: build a Bloom filter over the reference keys once, broadcast it,
+  * drop non-members AT SCAN SPEED on the corpus side, and only then run the
+  * exact join on the (tiny) surviving fraction to remove the false
+  * positives. The result is EXACTLY the semi-join — the Bloom stage only
+  * prunes — but the shuffle carries `matches + fpp·corpus` rows instead of
+  * the corpus. Spark's own runtime row-group filtering applies the same
+  * idea inside AQE; this operator makes it available to any pipeline stage
+  * (and to keys Spark would not derive a runtime filter for).
+  */
+object BloomOps {
+
+  /** Exact left-semi join of `large` on `small`'s keys with a broadcast
+    * Bloom pre-filter on the large side.
+    *
+    * `expectedFpp` sizes the filter (bits ≈ −n·ln(fpp)/ln²2 — 1.2 MB per
+    * million keys at 1%). Key columns may be any integral or string type;
+    * both sides are probed/built through the same canonical encoding, so
+    * filter semantics never depend on the parquet physical type. */
+  def bloomSemiJoin(large: DataFrame, largeKey: Column,
+                    small: DataFrame, smallKey: Column,
+                    expectedFpp: Double = 0.01): DataFrame = {
+    val keys = small.select(smallKey.as("__k")).where(col("__k").isNotNull).distinct()
+    val integral = keys.schema.head.dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case StringType => false
+      case other => throw new IllegalArgumentException(
+        s"bloomSemiJoin key must be integral or string, got $other")
+    }
+    val canon = if (integral) keys.select(col("__k").cast("long").as("__k")) else keys
+    // small side by contract — the count prices the filter, the collect-free
+    // stat.bloomFilter aggregates partial filters per partition and OR-merges
+    val n = math.max(1L, canon.count())
+    val bf = canon.stat.bloomFilter("__k", n, expectedFpp)
+    val might =
+      if (integral) {
+        val u = udf((x: java.lang.Long) => x != null && bf.mightContainLong(x))
+        u(largeKey.cast("long"))
+      } else {
+        val u = udf((x: String) => x != null && bf.mightContainString(x))
+        u(largeKey)
+      }
+    // exact verify join confined to the pre-filtered fraction; AQE
+    // broadcasts the key side when it is small enough
+    large.where(might)
+      .join(canon, largeKey.cast(if (integral) "long" else "string") === col("__k"),
+        "left_semi")
+  }
+
+  /** Exact left-anti join (decontamination: DROP rows whose key is in the
+    * reference set). The Bloom filter cannot pre-filter the anti side —
+    * a false positive would wrongly drop a row — so the filter instead
+    * splits the corpus at scan speed: definite non-members (`mightContain`
+    * false — the overwhelming majority) pass through WITHOUT joining, and
+    * only possible members go through the exact anti-join. */
+  def bloomAntiJoin(large: DataFrame, largeKey: Column,
+                    small: DataFrame, smallKey: Column,
+                    expectedFpp: Double = 0.01): DataFrame = {
+    val keys = small.select(smallKey.as("__k")).where(col("__k").isNotNull).distinct()
+    val integral = keys.schema.head.dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case StringType => false
+      case other => throw new IllegalArgumentException(
+        s"bloomAntiJoin key must be integral or string, got $other")
+    }
+    val canon = if (integral) keys.select(col("__k").cast("long").as("__k")) else keys
+    val n = math.max(1L, canon.count())
+    val bf = canon.stat.bloomFilter("__k", n, expectedFpp)
+    val might =
+      if (integral) {
+        val u = udf((x: java.lang.Long) => x != null && bf.mightContainLong(x))
+        u(largeKey.cast("long"))
+      } else {
+        val u = udf((x: String) => x != null && bf.mightContainString(x))
+        u(largeKey)
+      }
+    val suspects = large.where(might)
+      .join(canon, largeKey.cast(if (integral) "long" else "string") === col("__k"),
+        "left_anti")
+    large.where(!might).unionByName(suspects)
+  }
+}

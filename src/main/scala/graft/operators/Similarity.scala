@@ -518,4 +518,102 @@ object Similarity {
         (sum(col("x").cast("decimal(18,6)")).cast("double") / count(lit(1)))
           .as("centroid"),
         count(lit(1)).as("n"))
+
+  /** Nearest-centroid assignment by cosine with ties to the SMALLEST
+    * cluster id (ascending scan, replace only on strictly greater score) —
+    * the SQL-mirror order `ROW_NUMBER() OVER (ORDER BY cos DESC, cid ASC)`.
+    * Sums run in position order, so every cosine is IEEE-identical to
+    * DuckDB's `list_dot_product`-based expression. */
+  private def nearestClusterMinTie(e: Column,
+                                   centroids: Array[Array[Double]]): Column = {
+    val vecs = centroids
+    val norms = vecs.map { v =>
+      var s = 0.0; var j = 0
+      while (j < v.length) { s += v(j) * v(j); j += 1 }
+      math.sqrt(s)
+    }
+    val kernel = udf { (arr: Seq[Double]) =>
+      var es = 0.0
+      var j = 0
+      while (j < arr.length) { es += arr(j) * arr(j); j += 1 }
+      val en = math.sqrt(es)
+      var best = 0
+      var bestCos = Double.NegativeInfinity
+      var i = 0
+      while (i < vecs.length) {
+        val v = vecs(i)
+        val n = math.min(v.length, arr.length)
+        var d = 0.0
+        var p = 0
+        while (p < n) { d += arr(p) * v(p); p += 1 }
+        val c = d / (en * norms(i))
+        if (c > bestCos) { bestCos = c; best = i }
+        i += 1
+      }
+      best.toLong
+    }
+    kernel(e)
+  }
+
+  /** Deterministic Lloyd's k-means over the embedding column — the corpus
+    * clustering primitive behind cluster-balanced sampling and diversity
+    * analysis of training corpora (the cluster step SemDedup and DSIR-style
+    * curation papers assume as given).
+    *
+    * Everything is cross-engine reproducible (no RNG, no fp order
+    * dependence), so a SQL engine unrolling the same iterations computes
+    * bit-identical centroids:
+    *  - init: the vectors of the k smallest `vec_id`s (a global top-k scan,
+    *    `TakeOrderedAndProject` — not a full sort), cluster ids 0..k-1 in
+    *    id order;
+    *  - assignment: nearest centroid by cosine with position-order sums
+    *    (IEEE-identical to `list_dot_product`), ties to the smaller id;
+    *  - update: per-component mean via DECIMAL(18,6) sums — the
+    *    [[labelCentroids]] recipe, order-independent and exact.
+    *
+    * Scale shape: each iteration is ONE corpus scan against the broadcast
+    * k×dim centroid matrix (driver-held, like any broadcast join side) plus
+    * one posexplode hash-agg whose map-side partial aggregation collapses
+    * to k×dim rows per task before the shuffle — the embeddings themselves
+    * never shuffle, and only the k×dim centroid frame is ever collected.
+    * Iterations are bounded by `iters` (k-means convergence is a quality
+    * knob, not a correctness one).
+    *
+    * Returns `(cluster, pos, centroid, n)` — the centroid matrix after the
+    * final update with each cluster's final member count. Clusters with no
+    * members in the final assignment are absent from the result (a SQL
+    * GROUP BY drops them identically); mid-loop empty clusters keep their
+    * previous centroid. */
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters > 0, s"k and iters must be positive (got k=$k, iters=$iters)")
+    val v = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    var centroids: Array[Array[Double]] =
+      v.orderBy(col("vec_id").asc).limit(k).collect()
+        .map(_.getSeq[Double](1).toArray)
+    require(centroids.length == k, s"corpus has fewer than $k vectors")
+    def update(cs: Array[Array[Double]]): DataFrame =
+      // assign FIRST, in its own projection: a generator's sibling
+      // expressions land in the Project ABOVE the Generate, which would
+      // re-run the kernel once per exploded element (64× — measured 6×
+      // wall time); as a plain attribute the cluster id is computed once
+      // per row and carried through the explode
+      v.select(nearestClusterMinTie(col("e"), cs).as("cluster"), col("e"))
+        .select(col("cluster"), posexplode(col("e")).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(
+          (sum(col("x").cast("decimal(18,6)")).cast("double") / count(lit(1)))
+            .as("centroid"),
+          count(lit(1)).as("n"))
+    // iterations 1..iters-1 materialize only the k×dim centroid frame;
+    // the final iteration's plan is returned lazily like any other query
+    for (_ <- 1 until iters) {
+      val rows = update(centroids).collect()
+      val next = centroids.map(_.clone())
+      rows.foreach { r =>
+        next(r.getLong(0).toInt)(r.getInt(1)) = r.getDouble(2)
+      }
+      centroids = next
+    }
+    update(centroids)
+  }
 }

@@ -669,4 +669,57 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(4L) == ((5L, 0L, 0.0)))
     assert(out(5L) == ((2L, 0L, 0.0)))
   }
+
+  test("kmeansCentroids: hand case converges to the two obvious clusters") {
+    // Two tight groups on orthogonal axes. Seeds = vec_ids 0 and 1 — one
+    // from each group, so one iteration already separates them; the second
+    // iteration must be a fixed point.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (1L, Array(0.0f, 1.0f)), (3L, Array(0.1f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.kmeansCentroids(emb, 2, 2)
+      .as[(Long, Int, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // cluster 0 = {0,2}: centroid (0.95, 0.05); cluster 1 = {1,3}: (0.05, 0.95)
+    assert(out((0L, 0)) == ((0.95, 2L)) && out((0L, 1)) == ((0.05, 2L)))
+    assert(out((1L, 0)) == ((0.05, 2L)) && out((1L, 1)) == ((0.95, 2L)))
+  }
+
+  test("kmeansCentroids: deterministic, counts partition the corpus") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = Similarity.kmeansCentroids(emb, 3, 2).collect().toSet
+    val b = Similarity.kmeansCentroids(emb, 3, 2).collect().toSet
+    assert(a == b)
+    val sizes = Similarity.kmeansCentroids(emb, 3, 2)
+      .where(col("pos") === 0).agg(sum("n")).as[Long].head()
+    assert(sizes == emb.count())
+  }
+
+  test("bloomSemiJoin and bloomAntiJoin equal the exact joins (long keys)") {
+    val large = (1L to 200L).map(i => (i, s"row$i")).toDF("k", "payload")
+    val small = Seq(5L, 17L, 17L, 300L).toDF("sk") // dup + non-matching member
+    val semi = graft.operators.BloomOps
+      .bloomSemiJoin(large, col("k"), small, col("sk"))
+      .select("k").as[Long].collect().toSet
+    assert(semi == Set(5L, 17L))
+    val anti = graft.operators.BloomOps
+      .bloomAntiJoin(large, col("k"), small, col("sk"))
+      .select("k").as[Long].collect().toSet
+    assert(anti == (1L to 200L).toSet -- Set(5L, 17L))
+  }
+
+  test("bloomSemiJoin string keys and null handling match join semantics") {
+    val large = Seq(("a", 1), ("b", 2), (null, 3), ("d", 4))
+      .toDF("k", "v")
+    val small = Seq("b", "d", "zz").toDF("sk")
+    val semi = graft.operators.BloomOps
+      .bloomSemiJoin(large, col("k"), small, col("sk"))
+      .select("v").as[Int].collect().toSet
+    assert(semi == Set(2, 4)) // null key never matches
+    val anti = graft.operators.BloomOps
+      .bloomAntiJoin(large, col("k"), small, col("sk"))
+      .select("v").as[Int].collect().toSet
+    assert(anti == Set(1, 3)) // anti keeps the null-key row
+  }
 }
