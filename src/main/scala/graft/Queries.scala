@@ -2806,7 +2806,105 @@ object Queries {
         FROM documents
         WHERE md5(text) NOT IN (
           SELECT md5(text) FROM documents WHERE doc_id % 7 = 0)
-        GROUP BY source"""))
+        GROUP BY source""")),
+
+    // Corpus-mix drift monitoring: KL divergence (bits) of each source's
+    // hashed-unigram distribution from the whole corpus — per-bucket terms
+    // round to 4 decimals and decimal-sum (the dsir/unigram_bits exactness
+    // recipe), so the oracle lands on identical bits.
+    Q("q_source_drift",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        graft.operators.Sampling.groupDriftKL(d, col("source"), col("text"))
+          .withColumnRenamed("group", "source")
+      },
+      Some("""WITH toks AS (
+          SELECT source AS grp,
+            unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
+          FROM documents),
+        tb AS (SELECT grp,
+            ('0x' || substr(md5(tok), 1, 6))::BIGINT % 4096 AS b
+          FROM toks),
+        gb AS (SELECT grp, b, COUNT(*) AS c_gb FROM tb GROUP BY 1, 2),
+        cbh AS (SELECT b, SUM(c_gb) AS c_b FROM gb GROUP BY 1),
+        cb AS (SELECT r.range AS b, COALESCE(cbh.c_b, 0) AS c_b
+          FROM range(4096) r LEFT JOIN cbh ON cbh.b = r.range),
+        ng AS (SELECT grp, SUM(c_gb) AS n_g FROM gb GROUP BY 1),
+        nt AS (SELECT SUM(c_b) AS n FROM cbh),
+        fl AS (SELECT ng.grp, ng.n_g, cb.b, cb.c_b, nt.n,
+            COALESCE(gb.c_gb, 0) AS c_gb
+          FROM ng CROSS JOIN cb CROSS JOIN nt
+          LEFT JOIN gb ON gb.grp = ng.grp AND gb.b = cb.b),
+        terms AS (SELECT grp, n_g,
+            round(((c_gb + 1) / CAST(n_g + 4096 AS DOUBLE)) *
+              log2(((c_gb + 1) / CAST(n_g + 4096 AS DOUBLE)) /
+                   ((c_b + 1) / CAST(n + 4096 AS DOUBLE))), 8) AS t
+          FROM fl)
+        SELECT grp AS source, CAST(MAX(n_g) AS BIGINT) AS n_tokens,
+          CAST(SUM(CAST(t AS DECIMAL(28,8))) AS DOUBLE) AS kl_bits
+        FROM terms GROUP BY grp""")),
+
+    // Real image RESIZE: synthesized PNGs decoded and nearest-neighbor
+    // downsampled to 8×8 inside mapPartitions; the exact per-channel pixel
+    // sums of the resized raster are recomputed arithmetically by the
+    // oracle from the synthesis formula (PNG is lossless, the NN mapping is
+    // integer floor — every byte is a closed form of the parameters).
+    Q("q_image_resize",
+      (s, dir) => {
+        val m = graft.operators.Multimodal
+        val d = Tables.spread(Tables.documents(s, dir)
+            .select(col("doc_id").as("asset_id"), col("n_chars")))
+          .select(col("asset_id"),
+            m.pngColumn(col("asset_id"),
+              (lit(1) + col("asset_id") % 48).cast("int"),
+              (lit(1) + col("n_chars") % 32).cast("int")).as("asset"))
+        m.resizeImage(d, 8, 8)
+          .where(col("decoded"))
+          .select(col("asset_id"), col("sum_r"), col("sum_g"), col("sum_b"))
+      },
+      Some("""WITH d AS (
+          SELECT doc_id AS asset_id, 1 + (doc_id % 48) AS w, 1 + (n_chars % 32) AS h
+          FROM documents),
+        g AS (SELECT gx.range AS x, gy.range AS y
+          FROM range(8) gx CROSS JOIN range(8) gy),
+        px AS (SELECT d.asset_id,
+            ((d.asset_id * 2654435761 + ((g.x * d.w) // 8) * 31
+              + ((g.y * d.h) // 8) * 17) & 16777215) AS rgb
+          FROM d CROSS JOIN g)
+        SELECT asset_id,
+          CAST(SUM((rgb >> 16) & 255) AS BIGINT) AS sum_r,
+          CAST(SUM((rgb >> 8) & 255) AS BIGINT) AS sum_g,
+          CAST(SUM(rgb & 255) AS BIGINT) AS sum_b
+        FROM px GROUP BY asset_id""")),
+
+    // Real FRAME SAMPLING: synthesized multi-image GIFs (one shrinking
+    // grayscale frame per index) opened with the JDK's ImageReader, every
+    // 2nd frame decoded; per-frame dimensions and frame counts are closed
+    // forms of the synthesis parameters.
+    Q("q_video_frames",
+      (s, dir) => {
+        val m = graft.operators.Multimodal
+        val d = Tables.spread(Tables.documents(s, dir)
+            .select(col("doc_id").as("asset_id")))
+          .select(col("asset_id"),
+            m.gifColumn(col("asset_id"),
+              (lit(4) + col("asset_id") % 16).cast("int"),
+              (lit(3) + col("asset_id") % 12).cast("int"),
+              (lit(1) + col("asset_id") % 7).cast("int")).as("asset"))
+        m.sampleFrames(d, 2)
+      },
+      Some("""WITH d AS (
+          SELECT doc_id AS asset_id, 4 + (doc_id % 16) AS w,
+            3 + (doc_id % 12) AS h, 1 + (doc_id % 7) AS n
+          FROM documents),
+        f AS (SELECT d.asset_id, d.w, d.h, d.n, r.range AS fi
+          FROM d CROSS JOIN range(7) r
+          WHERE r.range < d.n AND r.range % 2 = 0)
+        SELECT asset_id, CAST(fi AS INT) AS frame_idx,
+          CAST(GREATEST(1, w - fi) AS INT) AS width,
+          CAST(GREATEST(1, h - fi) AS INT) AS height,
+          CAST(n AS INT) AS n_frames, TRUE AS decoded
+        FROM f"""))
   )
 
   def allRegistry: Seq[Q] = registry ++ extraRegistry

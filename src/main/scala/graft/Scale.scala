@@ -53,45 +53,60 @@ object Scale {
     def noop(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
-    // operator -> (docsPath, eventsPath) => DataFrame
-    val ops: Seq[(String, (String, String) => DataFrame)] = Seq(
-      "dedup_exact" -> ((d: String, _: String) => {
+    // operator -> (docsPath, eventsPath, embeddingsPath) => DataFrame
+    val ops: Seq[(String, (String, String, String) => DataFrame)] = Seq(
+      "dedup_exact" -> ((d: String, _: String, _: String) => {
         val docs = spark.read.parquet(d)
         operators.Dedup.exactGroups(docs, col("doc_id"), col("text"))
       }),
-      "minhash_lsh_pairs" -> ((d: String, _: String) => {
+      "minhash_lsh_pairs" -> ((d: String, _: String, _: String) => {
         val docs = spark.read.parquet(d)
         operators.Dedup.minhashCandidates(docs, col("doc_id"), col("text"))
       }),
-      "neardup_star_cc" -> ((d: String, _: String) => {
+      "neardup_star_cc" -> ((d: String, _: String, _: String) => {
         val docs = spark.read.parquet(d)
         val edges = operators.Dedup.minhashStarEdges(docs, col("doc_id"), col("text"))
         operators.Dedup.connectedComponents(edges, docs.select(col("doc_id")))
           .groupBy(col("label")).agg(count(lit(1)).as("n"))
       }),
-      "dup_span_coverage" -> ((d: String, _: String) => {
+      "dup_span_coverage" -> ((d: String, _: String, _: String) => {
         val docs = spark.read.parquet(d)
         operators.Dedup.duplicatedSpanCoverage(docs, col("doc_id"), col("text"))
       }),
-      "bm25_topk" -> ((d: String, _: String) => {
+      "bm25_topk" -> ((d: String, _: String, _: String) => {
         val docs = spark.read.parquet(d)
         operators.Similarity.bm25TopK(docs, col("doc_id"), col("text"),
           Seq("data", "model", "training"), 20)
       }),
-      "funnel3" -> ((_: String, e: String) => {
+      "funnel3" -> ((_: String, e: String, _: String) => {
         val ev = normalizeEvents(spark.read.parquet(e))
         operators.EventOps.funnelN(ev, Seq("signup", "purchase", "churn"),
           30L * 24 * 3600 * 1000)
       }),
-      "sessions" -> ((_: String, e: String) => {
+      "sessions" -> ((_: String, e: String, _: String) => {
         val ev = normalizeEvents(spark.read.parquet(e))
         operators.EventOps.sessionize(ev)
           .groupBy(col("id")).agg(max(col("session")).as("sessions"))
       }),
-      "event_tally" -> ((_: String, e: String) => {
+      "event_tally" -> ((_: String, e: String, _: String) => {
         val ev = normalizeEvents(spark.read.parquet(e))
         ev.groupBy(col("event")).agg(count(lit(1)).as("n"),
           countDistinct(col("id")).as("people"))
+      }),
+      // Lloyd's k-means: per iteration one scan vs the broadcast centroid
+      // matrix + one k×dim partial agg — cost must be linear in vectors
+      "kmeans" -> ((_: String, _: String, m: String) => {
+        val emb = spark.read.parquet(m)
+        operators.Similarity.kmeansCentroids(emb, 4, 2)
+      }),
+      // Bloom pre-filtered semi-join: erroring users' events. The filter
+      // build scales with the (replica-scaled) key set, the probe with the
+      // event scan — both linear, no corpus shuffle
+      "bloom_semijoin" -> ((_: String, e: String, _: String) => {
+        val ev = normalizeEvents(spark.read.parquet(e))
+        val errUsers = ev.where(col("event") === "error").select(col("id"))
+        operators.BloomOps.bloomSemiJoin(ev, col("id"), errUsers, col("id"))
+          .groupBy(col("event")).agg(count(lit(1)).as("n"))
       }))
 
     println(f"${"operator"}%-20s " +
@@ -104,8 +119,9 @@ object Scale {
       val times = factors.map { f =>
         val d = replicate("documents", f, Seq("doc_id"), perturbText = true)
         val e = replicate("events", f, Seq("event_id", "user_id"), perturbText = false)
-        val cold = time(noop(fn(d, e)))
-        val warm = (1 to 2).map(_ => time(noop(fn(d, e)))).min
+        val m = replicate("embeddings", f, Seq("vec_id"), perturbText = false)
+        val cold = time(noop(fn(d, e, m)))
+        val warm = (1 to 2).map(_ => time(noop(fn(d, e, m)))).min
         (cold, warm)
       }
       // least-squares slope of log(t_cold) on log(f): the scaling exponent

@@ -42,7 +42,8 @@ object BloomOps {
     val canon = if (integral) keys.select(col("__k").cast("long").as("__k")) else keys
     // small side by contract — the count prices the filter, the collect-free
     // stat.bloomFilter aggregates partial filters per partition and OR-merges
-    val n = math.max(1L, canon.count())
+    val n = canon.count()
+    if (n == 0) return large.where(lit(false)) // semi-join with nothing: empty
     val bf = canon.stat.bloomFilter("__k", n, expectedFpp)
     val might =
       if (integral) {
@@ -76,7 +77,8 @@ object BloomOps {
         s"bloomAntiJoin key must be integral or string, got $other")
     }
     val canon = if (integral) keys.select(col("__k").cast("long").as("__k")) else keys
-    val n = math.max(1L, canon.count())
+    val n = canon.count()
+    if (n == 0) return large // anti-join with nothing drops nothing
     val bf = canon.stat.bloomFilter("__k", n, expectedFpp)
     val might =
       if (integral) {

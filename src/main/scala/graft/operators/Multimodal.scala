@@ -173,6 +173,158 @@ object Multimodal {
     kernel(seed, sampleRate, nSamples)
   }
 
+  /** Schema produced by [[resizeImage]]. */
+  val resizeSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("sum_r", LongType),
+    StructField("sum_g", LongType),
+    StructField("sum_b", LongType),
+    StructField("decoded", BooleanType)))
+
+  /** Real image resize over a binary column: decode (`ImageIO.read`), then
+    * nearest-neighbor downsample to `outW`×`outH` with the explicit integer
+    * mapping `src_x = x·W / outW` (floor) — deterministic by construction,
+    * unlike AWT's interpolating `getScaledInstance`. Emits the resized
+    * raster's exact per-channel pixel sums (longs — the feature-extraction
+    * payload, and an arithmetic oracle can recompute them from synthesized
+    * pixels). Undecodable bytes take the stand-in dims with zero sums and
+    * `decoded=false`, keeping the stage total.
+    *
+    * Same batch shape as [[decodeImage]]: per-asset work inside
+    * `mapPartitions`, no shuffle, no driver round trip. */
+  def resizeImage(df: DataFrame, outW: Int, outH: Int,
+                  idCol: String = "asset_id",
+                  binCol: String = "asset"): DataFrame = {
+    require(outW > 0 && outH > 0, "output dims must be positive")
+    val spark = df.sparkSession
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      inMemoryImageIo
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val img =
+          try ImageIO.read(new ByteArrayInputStream(bytes))
+          catch { case _: Exception => null }
+        if (img != null) {
+          val sw = img.getWidth
+          val sh = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < outH) {
+            val sy = y * sh / outH
+            var x = 0
+            while (x < outW) {
+              val rgb = img.getRGB(x * sw / outW, sy)
+              sr += (rgb >> 16) & 0xFF
+              sg += (rgb >> 8) & 0xFF
+              sb += rgb & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          Row(id, outW, outH, sr, sg, sb, true)
+        } else {
+          val (w, h) = fallbackDims(bytes)
+          Row(id, w, h, 0L, 0L, 0L, false)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, resizeSchema)
+  }
+
+  /** Schema produced by [[sampleFrames]]. */
+  val frameSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("decoded", BooleanType)))
+
+  /** Real frame sampling over a multi-frame container column: open an
+    * `ImageReader` on the bytes, count frames, and decode every `stride`-th
+    * one (the JDK's GIF reader handles multi-image GIFs; a JNI/FFmpeg body
+    * slots in for video codecs — the iterator shape is already the
+    * production one). One output row per SAMPLED frame with its true
+    * decoded dimensions; undecodable bytes produce a single stand-in row
+    * with `decoded=false`. */
+  def sampleFrames(df: DataFrame, stride: Int,
+                   idCol: String = "asset_id",
+                   binCol: String = "asset"): DataFrame = {
+    require(stride > 0, "stride must be positive")
+    val spark = df.sparkSession
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      inMemoryImageIo
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        try {
+          val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+          val readers = ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) throw new IllegalArgumentException("no reader")
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            (0 until n by stride).map { i =>
+              val f = reader.read(i)
+              Row(id, i, f.getWidth, f.getHeight, n, true)
+            }
+          } finally { reader.dispose(); iis.close() }
+        } catch {
+          case _: Exception =>
+            val (w, h) = fallbackDims(bytes)
+            Seq(Row(id, -1, w, h, 0, false))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, frameSchema)
+  }
+
+  /** Synthesize a real multi-frame GIF (the JDK GIF writer's sequence API,
+    * one grayscale frame per index, frame f sized `(width−f·shrink,
+    * height−f·shrink)` floored at 1×1 so per-frame dimensions are a closed
+    * form of the synthesis parameters) — the test-side generator for
+    * frame-sampling round-trips. */
+  def gifColumn(seed: Column, width: Column, height: Column,
+                nFrames: Column, shrink: Int = 1): Column = {
+    val kernel = udf { (s: Long, w: Int, h: Int, n: Int) =>
+      inMemoryImageIo
+      val bos = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < n) {
+          val fw = math.max(1, w - f * shrink)
+          val fh = math.max(1, h - f * shrink)
+          val img = new java.awt.image.BufferedImage(
+            fw, fh, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val buf = img.getRaster.getDataBuffer
+            .asInstanceOf[java.awt.image.DataBufferByte].getData
+          var i = 0
+          while (i < buf.length) {
+            buf(i) = ((s * 2654435761L + f * 131L + i * 31L) & 0xFFL).toByte
+            i += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
+    kernel(seed, width, height, nFrames)
+  }
+
   /** Synthesize a real PNG (`ImageIO.write`, deterministic pixels from
     * `seed`) — the test-side generator for decode round-trips where the
     * container has no sample image corpus. Returns real, spec-compliant

@@ -122,6 +122,65 @@ object Sampling {
     * one groupBy(doc). Per-token log-ratios round to 4 decimals and sum as
     * DECIMAL(28,4) — order-independent, bit-identical across engines (the
     * [[graft.operators.TextOps.unigramBits]] exactness recipe). */
+  /** Per-group distribution drift: KL divergence (bits) of each group's
+    * hashed-unigram token distribution from the whole-corpus distribution —
+    * the monitoring signal behind corpus-mix curation (a source whose
+    * language drifts from the mix shows a rising KL; a near-duplicate of
+    * the mix shows ~0). Smoothing and hashing follow [[dsirWeights]]:
+    * tokens hash into `buckets` md5-derived feature buckets so the model
+    * tables are bucket-sized regardless of vocabulary, and both
+    * distributions are Laplace-smoothed (+1 per bucket).
+    *
+    * `KL(group ‖ corpus) = Σ_b p_gb · log2(p_gb / q_b)` with
+    * `p_gb = (c_gb + 1) / (n_g + B)`, `q_b = (c_b + 1) / (n + B)`.
+    * Per-bucket terms round to 8 decimals and sum as DECIMAL(28,8) — the
+    * [[dsirWeights]] / `TextOps.unigramBits` engine-exactness recipe, at a
+    * scale fitting THESE terms: a smoothed bucket term is O(1/buckets)
+    * (~1e-4), so the 4-decimal rounding the per-token recipes use would
+    * drown the value in rounding bias (measured: it drove the provably
+    * non-negative KL to −0.45); 8 decimals bound the total error by
+    * buckets·5e-9.
+    *
+    * Scale shape: ONE token-explode pass feeds a (group, bucket) hash agg
+    * (partial-combined to groups×buckets rows per task); corpus totals
+    * derive from the same table by a second tiny agg — the text is scanned
+    * once and never shuffled. Returns `(group, n_tokens, kl_bits)`. */
+  def groupDriftKL(docs: DataFrame, group: Column, text: Column,
+                   buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val gb = docs.select(group.as("group"),
+        explode(TextOps.tokens(text)).as("tok"))
+      .withColumn("b",
+        pmod(conv(substring(md5(col("tok")), 1, 6), 16, 10).cast("long"),
+          lit(buckets.toLong)))
+      .groupBy(col("group"), col("b"))
+      .agg(count(lit(1)).as("c_gb"))
+    // bucket-sized frames from here on: corpus per-bucket counts, per-group
+    // totals, and the 1-row corpus total all derive from the gb table
+    val cbHit = gb.groupBy(col("b")).agg(sum(col("c_gb")).as("c_b"))
+    // the sum must run over the FULL bucket domain, not just corpus-hit
+    // buckets: an unhit bucket still carries a positive smoothed term
+    // (p = 1/(n_g+B) vs q = 1/(n+B)), and dropping those terms biases the
+    // provably non-negative KL downward (observed negative totals)
+    val ng = gb.groupBy(col("group")).agg(sum(col("c_gb")).as("n_g"))
+    val n = cbHit.agg(sum(col("c_b")).as("n"))
+    val cb = docs.sparkSession.range(buckets).toDF("b")
+      .join(cbHit, Seq("b"), "left")
+      .select(col("b"), coalesce(col("c_b"), lit(0L)).as("c_b"))
+    val full = ng.crossJoin(broadcast(cb)).crossJoin(broadcast(n))
+      .join(gb, Seq("group", "b"), "left")
+      .select(col("group"), col("n_g"), col("n"),
+        coalesce(col("c_gb"), lit(0L)).as("c_gb"), col("c_b"))
+    val pgb = (col("c_gb") + 1).cast("double") / (col("n_g") + buckets)
+    val qb = (col("c_b") + 1).cast("double") / (col("n") + buckets)
+    full
+      .select(col("group"), col("n_g"),
+        round(pgb * log2(pgb / qb), 8).as("__term"))
+      .groupBy(col("group"))
+      .agg(max(col("n_g")).as("n_tokens"),
+        sum(col("__term").cast("decimal(28,8)")).cast("double").as("kl_bits"))
+  }
+
   def dsirWeights(docs: DataFrame, id: Column, text: Column,
                   isTarget: Column, buckets: Int = 4096): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")

@@ -707,6 +707,89 @@ class PipelineOpsSpec extends SparkSpec {
       .bloomAntiJoin(large, col("k"), small, col("sk"))
       .select("k").as[Long].collect().toSet
     assert(anti == (1L to 200L).toSet -- Set(5L, 17L))
+    // empty reference set: semi keeps nothing, anti keeps everything
+    val none = Seq.empty[Long].toDF("sk")
+    assert(graft.operators.BloomOps
+      .bloomSemiJoin(large, col("k"), none, col("sk")).count() == 0L)
+    assert(graft.operators.BloomOps
+      .bloomAntiJoin(large, col("k"), none, col("sk")).count() == 200L)
+  }
+
+  test("resizeImage: NN-resized pixel sums match the synthesis formula") {
+    val d = Seq((5L, 4, 4), (9L, 7, 3)).toDF("asset_id", "w", "h")
+      .select(col("asset_id"),
+        Multimodal.pngColumn(col("asset_id"), col("w"), col("h")).as("asset"))
+    val out = Multimodal.resizeImage(d, 2, 2)
+      .as[(Long, Int, Int, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // expected: decode is lossless, NN mapping is floor(x'·W/2), so every
+    // resized pixel is the formula value at the mapped source coordinate
+    def sums(s: Long, w: Int, h: Int): (Long, Long, Long) = {
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until 2; x <- 0 until 2) {
+        val rgb = (s * 2654435761L + (x * w / 2) * 31L + (y * h / 2) * 17L) & 0xFFFFFF
+        sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
+      }
+      (sr, sg, sb)
+    }
+    for ((s, w, h) <- Seq((5L, 4, 4), (9L, 7, 3))) {
+      val (sr, sg, sb) = sums(s, w, h)
+      assert(out(s) == ((s, 2, 2, sr, sg, sb, true)))
+    }
+    // undecodable bytes: total stage, decoded=false, zero sums
+    val junk = Seq((1L, Array[Byte](1, 2, 3))).toDF("asset_id", "asset")
+    val f = Multimodal.resizeImage(junk, 2, 2).collect()(0)
+    assert(!f.getBoolean(6) && f.getLong(3) == 0L)
+  }
+
+  test("sampleFrames: every stride-th GIF frame with true decoded dims") {
+    val d = Seq((3L, 5, 4, 4)).toDF("asset_id", "w", "h", "n")
+      .select(col("asset_id"),
+        Multimodal.gifColumn(col("asset_id"), col("w"), col("h"), col("n")).as("asset"))
+    val out = Multimodal.sampleFrames(d, 2)
+      .as[(Long, Int, Int, Int, Int, Boolean)].collect().sortBy(_._2)
+    // 4 frames shrinking from 5×4 by 1 per frame; stride 2 -> frames 0, 2
+    assert(out.toSeq == Seq((3L, 0, 5, 4, 4, true), (3L, 2, 3, 2, 4, true)))
+    val junk = Seq((1L, Array[Byte](9, 9))).toDF("asset_id", "asset")
+    val fb = Multimodal.sampleFrames(junk, 2).collect()(0)
+    assert(fb.getInt(1) == -1 && !fb.getBoolean(5))
+  }
+
+  test("groupDriftKL: single group diverges zero; hand formula matches") {
+    // one group: p_gb == q_b in every bucket, every term log2(1) = 0
+    val one = Seq((1L, "a b c a"), (2L, "b c")).toDF("doc_id", "text")
+      .withColumn("src", lit("s"))
+    val z = Sampling.groupDriftKL(one, col("src"), col("text"), buckets = 8)
+      .select("kl_bits").as[Double].head()
+    assert(z == 0.0)
+
+    // two groups over a 4-bucket space: replicate the formula independently
+    val d = Seq(("A", "x x y"), ("B", "y z z z")).toDF("src", "text")
+    val out = Sampling.groupDriftKL(d, col("src"), col("text"), buckets = 4)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def bucket(tok: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex.take(6), 16) % 4).toInt
+    }
+    val toks = Map("A" -> Seq("x", "x", "y"), "B" -> Seq("y", "z", "z", "z"))
+    val cgb = toks.map { case (g, ts) =>
+      g -> ts.groupBy(bucket).view.mapValues(_.size.toLong).toMap
+    }
+    val cb = (0 until 4).map(b =>
+      b -> cgb.values.map(_.getOrElse(b, 0L)).sum).toMap
+    val n = cb.values.sum
+    toks.foreach { case (g, ts) =>
+      val ng = ts.size.toLong
+      val kl = (0 until 4).map { b =>
+        val p = (cgb(g).getOrElse(b, 0L) + 1).toDouble / (ng + 4)
+        val q = (cb(b) + 1).toDouble / (n + 4)
+        BigDecimal(p * (math.log(p / q) / math.log(2.0)))
+          .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+      assert(out(g) == ((ng, kl)), s"group $g")
+      assert(out(g)._2 >= 0.0, s"KL must be non-negative for $g")
+    }
   }
 
   test("bloomSemiJoin string keys and null handling match join semantics") {
