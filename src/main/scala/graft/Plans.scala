@@ -80,7 +80,11 @@ object Plans {
     P("q_bloom_semijoin",
       "Bloom pre-filtered semi-join: the reference-key Bloom filter probes at scan speed " +
         "on the fact side, so the exact verify join shuffles only matches + fpp·corpus " +
-        "rows instead of the corpus"))
+        "rows instead of the corpus"),
+    P("q_source_drift",
+      "corpus-mix KL drift: one token-explode scan feeds a (source, bucket) hash agg " +
+        "that partial-combines to sources×buckets rows per task; every later frame is " +
+        "bucket-sized and broadcast — the text never shuffles"))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("local[4]", 4).getOrCreate()
