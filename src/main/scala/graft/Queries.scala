@@ -2904,7 +2904,45 @@ object Queries {
           CAST(GREATEST(1, w - fi) AS INT) AS width,
           CAST(GREATEST(1, h - fi) AS INT) AS height,
           CAST(n AS INT) AS n_frames, TRUE AS decoded
-        FROM f"""))
+        FROM f""")),
+
+    // Round-7 Tier A widening: an IF-GUARDED accumulator (purchases-so-far
+    // counter bumped only on purchase rows, read as every visited row's
+    // tally key) compiles to a conditional running-sum window on the single
+    // person sort — no interpreter. Oracle = the same inclusive conditional
+    // running count in SQL.
+    Q("q_osl_guarded_accum",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |each_row where stamp.is(> 0)
+            |  if event.is(== 'purchase')
+            |    n = n + 1
+            |  end
+            |  << n, event
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"))
+      },
+      Some(s"""$E, p AS (
+          SELECT id, event,
+            SUM(CASE WHEN event = 'purchase' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY id ORDER BY stamp
+                    ROWS UNBOUNDED PRECEDING) AS n
+          FROM e WHERE stamp > 0)
+        SELECT CAST(2 AS INTEGER) AS depth, CAST(n AS VARCHAR) AS g1,
+          event AS g2, COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows
+        FROM p GROUP BY g1, g2
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), CAST(n AS VARCHAR), CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*)
+        FROM p GROUP BY CAST(n AS VARCHAR)"""))
   )
 
   def allRegistry: Seq[Q] = registry ++ extraRegistry

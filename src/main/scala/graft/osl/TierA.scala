@@ -52,7 +52,7 @@ object TierA {
           // anything else is Tier B: the interpreter resolves bare names
           // vars-first (Interpreter.lookup), so an unmodeled read would
           // observe the accumulation
-          (writeOnly, accums) <- classifyVars(program)
+          (writeOnly, accums) <- classifyVars(program, events.columns.toSet)
           // top-level `.limit(n)` (literal, positive) compiles: the visited
           // set is the first (reverse: last) n where-matching rows per
           // person — a cumulative-match-count cap on the same person sort
@@ -88,11 +88,13 @@ object TierA {
             ((tallies.size == 1 && levels.size == 1) || selects.forall(!_.all))
           wheres = levels.map(_.where)
           guards = levels.flatMap(_.guard)
+          // guarded-increment conditions compile exactly like tally guards
+          accumConds = accums.flatMap(_._3.flatMap(_.cond))
           personTests <- personTestColumns(
-            wheres ++ guards ++ tallies.flatMap(_._1), now)
+            wheres ++ guards ++ tallies.flatMap(_._1) ++ accumConds, now)
           // validate every expression compiles (placeholders for person tests)
           placeholder = personTests.map { case (pt, _) => pt -> (lit(true): Column) }.toMap
-          _ <- traverse((wheres ++ guards).map(compileExpr(_, now, placeholder)))
+          _ <- traverse((wheres ++ guards ++ accumConds).map(compileExpr(_, now, placeholder)))
           _ <- traverse(tallies.map(_._1.map(compileExpr(_, now, placeholder))
             .getOrElse(Some(lit(true)))))
           _ <- traverse(tallies.map(t =>
@@ -198,18 +200,25 @@ object TierA {
                   .where(effPred && col("__mc0") <= n).drop("__mc0")
             }).drop("__rn0", "__cnt0", "__tfmin", "__tfmax")
             // read-accumulator variables: every row of `filtered0` IS a
-            // visited row, so the value every body read observes —
-            // init + inc × (1-based visit index), assignments lead the body
-            // — is a running count in scan order (reverse tops walk
-            // backward, so their visit index counts from the scan's end)
+            // visited row, so the value every body read observes — init
+            // plus each visited row's (possibly if-guarded) increments,
+            // all applied before any read of the visit — is a running SUM
+            // in scan order (reverse tops walk backward, so their visits
+            // accumulate from the scan's end). Guards compile like tally
+            // predicates; a null/false guard contributes 0 (the
+            // interpreter's falsy skip).
+            val accFrame =
+              if (mods.reverse) frame.rowsBetween(W.currentRow, W.unboundedFollowing)
+              else frame.rowsBetween(W.unboundedPreceding, W.currentRow)
             val withAcc = accums.foldLeft(filtered0) {
-              case (df, (n, init, inc)) =>
+              case (df, (n, init, parts)) =>
+                val perVisit = parts.map {
+                  case AccumPart(None, k, _) => lit(k)
+                  case AccumPart(Some(c), kT, kE) =>
+                    when(compileExpr(c, now, real).get, lit(kT)).otherwise(lit(kE))
+                }.reduceOption(_ + _).getOrElse(lit(0L))
                 df.withColumn(s"__acc_$n",
-                  lit(init) + lit(inc) * count(lit(1)).over(
-                    if (mods.reverse)
-                      frame.rowsBetween(W.currentRow, W.unboundedFollowing)
-                    else
-                      frame.rowsBetween(W.unboundedPreceding, W.currentRow)))
+                  lit(init) + coalesce(sum(perVisit).over(accFrame), lit(0L)))
             }
             // per-person write rank for `value` selects (merge key): counts
             // the WRITING rows — tally predicate satisfied, source non-null.
@@ -776,6 +785,13 @@ object TierA {
       // names are never read (and guards the `var`-select dedup case)
       case (s @ Some((acc, nested)), Assign(VarRef(_), _, _))
           if acc.isEmpty && nested.isEmpty => s
+      // an if whose branches are ONLY var-assigns is pure accumulation
+      // (classifyVars proved the names write-only or leading accumulators
+      // materialized as window columns): dropped like the bare assigns —
+      // this is the only else-bearing if flattenBody accepts
+      case (s @ Some((acc, nested)), If(_, t, e2))
+          if acc.isEmpty && nested.isEmpty && (t ++ e2).nonEmpty &&
+            (t ++ e2).forall(_.isInstanceOf[Assign]) => s
       case (Some((acc, nested)), Tally(gs)) => Some((acc :+ (pred, gs), nested))
       case (Some((acc, nested)), If(c, thenB, elseB)) if elseB.isEmpty =>
         val combined = pred.map(p => BinOp("&&", p, c): Expr).orElse(Some(c))
@@ -875,18 +891,30 @@ object TierA {
   private val builtinNames = Set("now", "cursor", "row_count", "first_stamp",
     "last_stamp", "session_count", "id", "stamp", "event_time")
 
+  /** One per-visit increment contribution of a read-accumulator: a plain
+    * leading assignment (`cond=None`, always `incThen`) or a leading
+    * `if cond { n ± lit … } [else { n ± lit … }]` statement — compiled
+    * `when(cond, incThen).otherwise(incElse)`, which matches the
+    * interpreter exactly: a null/false guard takes the else branch
+    * (falsy-skip when there is none). */
+  private final case class AccumPart(cond: Option[Expr], incThen: Long, incElse: Long)
+
   /** Classify the program's assigned variable names into (write-only names,
-    * integer read-accumulators `(name, init, incPerVisit)`), or None when
+    * integer read-accumulators `(name, init, parts)`), or None when
     * some assignment fits neither class (→ Tier B).
     *
     * Write-only names compile by dropping their assignments
     * ([[writeOnlyAssignedVars]]). A READ name compiles as an accumulator
     * when its value at every read site is provably
-    * `init + inc × (1-based visited-row index)`:
+    * `init + Σ_visited-rows Σ_parts (guard ? inc : 0)`:
     *  - exactly one top-level leading init `n = <int literal>`;
     *  - every other assignment to n is a LEADING statement of the single
     *    top-level loop's body — `n = n ± <int lit>` / `n += <int lit>` /
-    *    `n -= <int lit>` — so each visited row adds one constant BEFORE
+    *    `n -= <int lit>`, either bare or inside an else-less `if` whose
+    *    branch contains only such assignments (round 7: the guard becomes
+    *    a conditional running-sum term; guards must not read any
+    *    accumulator name — mid-visit they'd observe a partial sum) — so
+    *    each visited row adds its (possibly guarded) constants BEFORE
     *    any read of the visit executes (a read between two increments
     *    would observe a partial sum; leading-only rules that out);
     *  - reads appear only inside that body (if-conditions / tally groups /
@@ -903,8 +931,8 @@ object TierA {
     * handling — compile() falls back to Tier B on them. Integer literals
     * only: both tiers then accumulate in exact long arithmetic
     * (Value.plus VInt+VInt), so tally keys and comparisons agree. */
-  private def classifyVars(program: Program)
-      : Option[(Set[String], Seq[(String, Long, Long)])] = {
+  private def classifyVars(program: Program, eventCols: Set[String])
+      : Option[(Set[String], Seq[(String, Long, Seq[AccumPart])])] = {
     writeOnlyAssignedVars(program) match {
       case Some(w) => return Some((w, Nil))
       case None    => ()
@@ -936,9 +964,23 @@ object TierA {
       case If(_, t, e2)          => hasLoop(t) || hasLoop(e2)
       case _                     => false
     }
-    val bodyAssigns = er.body.takeWhile(isVarAssign).collect { case a: Assign => a }
-    val bodyRest = er.body.dropWhile(isVarAssign)
+    // leading accumulation statements: bare var-assigns, or ifs whose
+    // branches hold only var-assigns (the guarded-increment form; an
+    // assignment-free else is the else-less case)
+    def isAccumIf(s: Stmt): Boolean = s match {
+      case If(_, thenB, elseB) =>
+        (thenB ++ elseB).nonEmpty && (thenB ++ elseB).forall(isVarAssign)
+      case _ => false
+    }
+    val lead = er.body.takeWhile(s => isVarAssign(s) || isAccumIf(s))
+    val bodyRest = er.body.drop(lead.length)
     if (hasAssign(bodyRest) || hasLoop(er.body)) return None
+    val bodyAssigns = lead.flatMap {
+      case a: Assign    => Seq(a)
+      case If(_, t, e2) => (t ++ e2).collect { case a: Assign => a }
+      case _            => Nil
+    }
+    val leadConds = lead.collect { case If(c, _, _) => c }
     val initAssigns = inits.collect { case a: Assign => a }
     val d: Set[String] =
       (initAssigns ++ bodyAssigns).collect { case Assign(VarRef(n), _, _) => n }.toSet
@@ -967,6 +1009,56 @@ object TierA {
       case _ => false
     }
     if (allReads.exists(everReads)) return None
+    // a guard evaluates mid-visit, BETWEEN increments: any reference to an
+    // assigned name there is either a partial-sum read (as a variable) or a
+    // shadowing row column sharing the name — both stay interpreted. And
+    // every name a guard references must be a real event column or builtin:
+    // the interpreter resolves a missing prop to nil (falsy), where a
+    // compiled col(...) would fail analysis.
+    def guardRefNames(e: Expr): Set[String] = e match {
+      case VarRef(n)  => Set(n)
+      case PropRef(n) => Set(n)
+      case PropTest(p, _, cmp, frame, _) =>
+        Set(p) ++ guardRefNames(cmp.operand) ++
+          frame.toSeq.flatMap(frameExprs).flatMap(guardRefNames)
+      case BinOp(_, l, r) => guardRefNames(l) ++ guardRefNames(r)
+      case UnOp(_, x)     => guardRefNames(x)
+      case Call(_, as)    => as.flatMap(guardRefNames).toSet
+      case MethodCall(r0, _, as) =>
+        guardRefNames(r0) ++ as.flatMap(guardRefNames)
+      case Subscript(r0, i) => guardRefNames(r0) ++ guardRefNames(i)
+      case ListLit(xs) => xs.flatMap(guardRefNames).toSet
+      case SetLit(xs)  => xs.flatMap(guardRefNames).toSet
+      case DictLit(ps) =>
+        ps.flatMap { case (k, v) => guardRefNames(k) ++ guardRefNames(v) }.toSet
+      case InlineAgg(_, a, _, _, w) =>
+        a.toSeq.flatMap(guardRefNames).toSet ++ guardRefNames(w)
+      case _ => Set.empty
+    }
+    if (leadConds.nonEmpty) {
+      val allowed = eventCols ++ builtinNames + "session"
+      val refs = leadConds.flatMap(guardRefNames).toSet
+      if (refs.exists(d) || !refs.forall(allowed)) return None
+    }
+    // self-referencing integer-literal increment form: Some((target, inc))
+    // when `a` is one, None otherwise (the caller declines a READ name
+    // assigned outside these forms; write-only assigns stay unchecked —
+    // they are dropped wholesale)
+    def incFormOf(a: Assign): Option[(String, Long)] = a match {
+      case Assign(VarRef(m), "+=", Lit(VInt(k))) => Some((m, k))
+      case Assign(VarRef(m), "-=", Lit(VInt(k))) => Some((m, -k))
+      case Assign(VarRef(m), "=", BinOp("+", VarRef(m2), Lit(VInt(k)))) if m2 == m => Some((m, k))
+      case Assign(VarRef(m), "=", BinOp("+", PropRef(m2), Lit(VInt(k)))) if m2 == m => Some((m, k))
+      case Assign(VarRef(m), "=", BinOp("+", Lit(VInt(k)), VarRef(m2))) if m2 == m => Some((m, k))
+      case Assign(VarRef(m), "=", BinOp("+", Lit(VInt(k)), PropRef(m2))) if m2 == m => Some((m, k))
+      case Assign(VarRef(m), "=", BinOp("-", VarRef(m2), Lit(VInt(k)))) if m2 == m => Some((m, -k))
+      case Assign(VarRef(m), "=", BinOp("-", PropRef(m2), Lit(VInt(k)))) if m2 == m => Some((m, -k))
+      case _ => None
+    }
+    def targets(a: Assign, n: String): Boolean = a match {
+      case Assign(VarRef(m), _, _) => m == n
+      case _ => false
+    }
     val accums = readNames.toSeq.sorted.map { n =>
       val init = initAssigns.collect {
         case a @ Assign(VarRef(m), _, _) if m == n => a
@@ -974,20 +1066,24 @@ object TierA {
         case Seq(Assign(_, "=", Lit(VInt(v)))) => v
         case _ => return None
       }
-      val incs = bodyAssigns.collect {
-        case a @ Assign(VarRef(m), _, _) if m == n => a
-      }.map {
-        case Assign(_, "+=", Lit(VInt(k))) => k
-        case Assign(_, "-=", Lit(VInt(k))) => -k
-        case Assign(_, "=", BinOp("+", VarRef(m), Lit(VInt(k)))) if m == n => k
-        case Assign(_, "=", BinOp("+", PropRef(m), Lit(VInt(k)))) if m == n => k
-        case Assign(_, "=", BinOp("+", Lit(VInt(k)), VarRef(m))) if m == n => k
-        case Assign(_, "=", BinOp("+", Lit(VInt(k)), PropRef(m))) if m == n => k
-        case Assign(_, "=", BinOp("-", VarRef(m), Lit(VInt(k)))) if m == n => -k
-        case Assign(_, "=", BinOp("-", PropRef(m), Lit(VInt(k)))) if m == n => -k
-        case _ => return None
+      // every body assignment to a READ name must be an increment form
+      if (bodyAssigns.exists(a => targets(a, n) &&
+          !incFormOf(a).exists(_._1 == n))) return None
+      // per-visit contributions in leading order: bare assigns accumulate
+      // unconditionally; an if's branch assigns accumulate under its guard
+      // (else-branch under the guard's falsy complement)
+      def branchInc(sts: Seq[Stmt]): Long = sts.collect { case a: Assign => a }
+        .flatMap(incFormOf(_).collect { case (m, k) if m == n => k }.toSeq).sum
+      val parts = lead.flatMap {
+        case a: Assign =>
+          incFormOf(a).collect { case (m, k) if m == n => AccumPart(None, k, k) }.toSeq
+        case If(c, thenB, elseB) =>
+          val kT = branchInc(thenB)
+          val kE = branchInc(elseB)
+          if (kT == 0 && kE == 0) Nil else Seq(AccumPart(Some(c), kT, kE))
+        case _ => Nil
       }
-      (n, init, incs.sum)
+      (n, init, parts)
     }
     Some((writeOnly, accums))
   }

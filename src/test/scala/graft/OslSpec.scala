@@ -509,11 +509,139 @@ class OslSpec extends SparkSpec {
         |  << n
         |end
         |""".stripMargin)
+  }
+
+  test("Tier A guarded accumulators: conditional running sums ≡ interpreter") {
+    val data = Seq(
+      ("u1", Mon + 1 * H, "purchase", "a", 10.0, Seq("g")),
+      ("u1", Mon + 2 * H, "view", "x", 0.0, Seq("g")),
+      ("u1", Mon + 3 * H, "purchase", "b", 20.0, Seq("g")),
+      ("u1", Mon + 4 * H, "purchase", "c", 30.0, Seq("g")),
+      ("u2", Mon + 1 * H, "purchase", "e", 15.0, Seq("g")),
+      ("u2", Mon + 2 * H, "view", "z", 0.0, Seq("g")),
+      ("u3", Mon + 6 * H, "view", "y", 0.0, Seq("g"))
+    ).toDF("id", "stamp", "event", "product_name", "product_price", "product_group")
+    // round 7: an if-guarded increment leads the body — the purchases-so-far
+    // counter keyed at EVERY visited row (the guard compiles to a
+    // conditional running-sum term, not a visit count)
+    tierDiff(
+      """select
+        |  count id as customers
+        |end
+        |n = 0
+        |each_row where stamp.is(> 0)
+        |  if event.is(== 'purchase')
+        |    n = n + 1
+        |  end
+        |  << n, event
+        |end
+        |""".stripMargin, data)
+    // mixed parts: unconditional visit count + guarded bonus on the SAME var
+    tierDiff(
+      """select
+        |  count id as customers
+        |end
+        |n = 0
+        |each_row where stamp.is(> 0)
+        |  n = n + 1
+        |  if product_price.is(> 12)
+        |    n = n + 10
+        |  end
+        |  << n
+        |end
+        |""".stripMargin, data)
+    // two accumulators, one guarded; both read in a tally if-condition's
+    // comparator operands (the positions substAccums rewrites)
+    tierDiff(
+      """select
+        |  count id as customers
+        |end
+        |rows = 0
+        |buys = 0
+        |each_row where stamp.is(> 0)
+        |  rows = rows + 1
+        |  if event.is(== 'purchase')
+        |    buys = buys + 1
+        |  end
+        |  if product_price.is(>= buys) && product_price.is(< rows + 100)
+        |    << 'cheap_vs_buys'
+        |  end
+        |end
+        |""".stripMargin, data)
+    // guard may hold an ever person-test (window-exists over the history)
+    tierDiff(
+      """select
+        |  count id as customers
+        |end
+        |n = 0
+        |each_row where event.is(== 'purchase')
+        |  if event.ever(== 'view')
+        |    n = n + 1
+        |  end
+        |  << n
+        |end
+        |""".stripMargin, data)
+    // reverse scan composes: guarded visits accumulate from the end
+    tierDiff(
+      """select
+        |  count id as customers
+        |end
+        |n = 0
+        |each_row.reverse() where stamp.is(> 0)
+        |  if event.is(== 'purchase')
+        |    n = n + 1
+        |  end
+        |  << n
+        |end
+        |""".stripMargin, data)
+    // else-branch increments: when(c, kT).otherwise(kE) — a falsy guard
+    // takes the else, exactly the interpreter's branch choice
+    tierDiff(
+      """select
+        |  count id as customers
+        |end
+        |n = 0
+        |each_row where stamp.is(> 0)
+        |  if event.is(== 'purchase')
+        |    n = n + 1
+        |  else
+        |    n = n + 100
+        |  end
+        |  << n
+        |end
+        |""".stripMargin, data)
+    def declines(script: String): Unit =
+      assert(TierA.compile(Parser.program(script), data, Tue, 1800000L).isEmpty,
+        s"expected Tier B for:\n$script")
+    // a guard reading an accumulator observes a mid-visit partial sum
     declines(
       """n = 0
-        |each_row where event.is(== 'purchase')
-        |  if product_price.is(> 15)
+        |each_row where stamp.is(> 0)
+        |  if n.is(< 2)
         |    n = n + 1
+        |  end
+        |  << n
+        |end
+        |""".stripMargin)
+    // a non-increment assignment in the else branch stays interpreted
+    declines(
+      """n = 0
+        |each_row where stamp.is(> 0)
+        |  if event.is(== 'purchase')
+        |    n = n + 1
+        |  else
+        |    n = 0
+        |  end
+        |  << n
+        |end
+        |""".stripMargin)
+    // an if mixing an assignment with a tally is not a leading accumulation
+    declines(
+      """n = 0
+        |each_row where stamp.is(> 0)
+        |  if event.is(== 'purchase')
+        |    n = n + 1
+        |    << 'buy'
         |  end
         |  << n
         |end

@@ -39,10 +39,12 @@ class PlanSpec extends SparkSpec {
         "q_osl_funnel_segment", "q_osl_segments", "q_osl_histogram",
         "q_osl_var_tally", // write-only accumulation compiles (round 5)
         "q_osl_accum_tally", // READ accumulator → running-count window (round 5)
-        "q_osl_top_range")) // framed top loop → constant stamp predicate (round 5)
+        "q_osl_top_range", // framed top loop → constant stamp predicate (round 5)
+        "q_osl_guarded_accum")) // if-guarded increment → conditional sum (round 7)
       assert(!plan(q).contains("MapGroups"), s"$q fell back to Tier B")
     // and an interpreter-only shape does (sanity that the probe works):
-    // a CONDITIONAL increment isn't one constant per visited row -> Tier B
+    // a guard READING the accumulator observes a mid-visit partial sum ->
+    // Tier B (plain conditional increments compile since round 7)
     val tierB = graft.osl.OslEngine.query(
       Tables.events(spark, dir),
       """select
@@ -50,7 +52,7 @@ class PlanSpec extends SparkSpec {
         |end
         |n = 0
         |each_row where event.is(== 'purchase')
-        |  if value.is(> 100)
+        |  if value.is(> n)
         |    n = n + 1
         |  end
         |  << bucket(n, 2)
