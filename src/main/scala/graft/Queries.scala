@@ -954,6 +954,33 @@ object Queries {
         SELECT label AS component, COUNT(*) AS n_members
         FROM lab GROUP BY label""")),
 
+    // END-TO-END near-dedup (star edges → components → keep each cluster's
+    // min-id representative; unclustered docs keep themselves): the one-call
+    // corpus dedup pipeline, oracle-checked against the recursive-CTE
+    // clustering — kept docs are exactly those NOT labeled into someone
+    // else's component.
+    Q("q_near_dedup",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        graft.operators.Dedup.nearDedup(d, "doc_id", "text")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_kept_id"))
+      },
+      Some(s"""WITH RECURSIVE $MinhashPairsCtes,
+        pairs AS ($MinhashPairsSelect),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach(v, l) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, r.l FROM edges e JOIN reach r ON e.dst = r.v),
+        lab AS (SELECT v, MIN(l) AS label FROM reach GROUP BY v)
+        SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS min_kept_id
+        FROM documents
+        WHERE doc_id NOT IN (SELECT v FROM lab WHERE label <> v)
+        GROUP BY source""")),
+
     // Substring-level duplication profile (ExactSubstr signal, Lee et al.
     // 2022): per-doc coverage of token spans whose 8-token window occurs
     // more than once in the corpus. Posting kernel + hash agg + per-doc

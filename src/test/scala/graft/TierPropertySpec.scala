@@ -161,6 +161,58 @@ class TierPropertySpec extends SparkSpec {
     }
   }
 
+  // guarded read accumulators (round 7): leading `if cond { n ± lit }`
+  // (optional else branch, optional unconditional companion increment)
+  // compile to conditional running-sum windows
+  test("guarded read accumulators: Tier A == Tier B (20 seeded samples)") {
+    val params = Gen.Parameters.default
+    val genGuard = Gen.oneOf(
+      "event.is(== 'purchase')", "product_price.is(> 40)",
+      "product_name.is(in ['rod', 'net'])", "event.ever(== 'signup')",
+      "event.is(!= 'error') && product_price.is(> 10)")
+    val genInc = Gen.oneOf("n = n + 1", "n += 2", "n = n - 1")
+    val genElse = Gen.option(Gen.oneOf("n = n + 10", "n -= 1"))
+    val genPre = Gen.oneOf("", "", "n = n + 1")
+    val genMods = Gen.oneOf("", "", ".reverse()", ".limit(3)", ".from(1)")
+    val genRead = Gen.oneOf("n", "bucket(n, 3)")
+    (1 to 20).foreach { i =>
+      val s0 = Seed(i.toLong * 179424673)
+      val where = genWhere.pureApply(params, s0)
+      val guard = genGuard.pureApply(params, s0.next)
+      val inc = genInc.pureApply(params, s0.next.next)
+      val els = genElse.pureApply(params, s0.next.next.next)
+      val pre = genPre.pureApply(params, s0.slide)
+      val mods = genMods.pureApply(params, s0.slide.next)
+      val read = genRead.pureApply(params, s0.slide.next.next)
+      val g2 = genGroup.pureApply(params, s0.slide.next.next.next)
+      val preLine = if (pre.isEmpty) "" else s"  $pre\n"
+      val elseLines = els.map(e => s"  else\n    $e\n").getOrElse("")
+      val script =
+        s"""select
+           |  count id as customers
+           |  sum product_price as total
+           |end
+           |n = 0
+           |each_row$mods where $where
+           |$preLine  if $guard
+           |    $inc
+           |$elseLines  end
+           |  << $read, $g2
+           |  if n <= 6
+           |    << 'low'
+           |  end
+           |end
+           |""".stripMargin
+      val p = Parser.program(script)
+      assert(TierA.compile(p, world, Mon + 100 * H, 1800000L).isDefined,
+        s"guarded sample $i did not compile to Tier A:\n$script")
+      val a = canon(OslEngine.query(world, script, now = Mon + 100 * H))
+      val b = canon(OslEngine.query(world, script, now = Mon + 100 * H,
+        forceTierB = true))
+      assert(a == b, s"guarded tier mismatch on sample $i:\n$script\nA=$a\nB=$b")
+    }
+  }
+
   test("value selects over conditional tallies: Tier A == Tier B (15 seeded samples)") {
     val params = Gen.Parameters.default
     val genCond = Gen.oneOf("event.is(== 'purchase')", "product_price.is(> 30)",
