@@ -148,11 +148,11 @@ object Sampling {
   def groupDriftKL(docs: DataFrame, group: Column, text: Column,
                    buckets: Int = 4096): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    // hashed buckets via the compiled kernel (one md5 pass per row, the
+    // tokenBucketsExpr parity twin proves byte-identity); the token strings
+    // never materialize as rows
     val gb = docs.select(group.as("group"),
-        explode(TextOps.tokens(text)).as("tok"))
-      .withColumn("b",
-        pmod(conv(substring(md5(col("tok")), 1, 6), 16, 10).cast("long"),
-          lit(buckets.toLong)))
+        explode(TextOps.tokenBucketsKernel(buckets)(text)).as("b"))
       .groupBy(col("group"), col("b"))
       .agg(count(lit(1)).as("c_gb"))
     // bucket-sized frames from here on: corpus per-bucket counts, per-group
@@ -189,11 +189,7 @@ object Sampling {
     // and the scoring join both read them, and the md5-per-token pass —
     // the scan-heavy half of the query — would otherwise run twice
     val toks = docs.select(id.as("doc_id"), isTarget.as("__t"),
-        explode(TextOps.tokens(text)).as("tok"))
-      .withColumn("b",
-        pmod(conv(substring(md5(col("tok")), 1, 6), 16, 10).cast("long"),
-          lit(buckets.toLong)))
-      .select(col("doc_id"), col("__t"), col("b"))
+        explode(TextOps.tokenBucketsKernel(buckets)(text)).as("b"))
       .localCheckpoint(false)
     val model = toks.groupBy(col("b")).agg(
       sum(when(col("__t"), 1L).otherwise(0L)).as("ct"),

@@ -50,6 +50,38 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Per-token hashed feature buckets, one compiled kernel call per row:
+    * each token's md5 first 3 bytes (= first 6 hex chars) mod `buckets` —
+    * byte-identical to the Column route
+    * `pmod(conv(substring(md5(tok), 1, 6), 16, 10), buckets)`
+    * ([[tokenBucketsExpr]], the parity twin kept under test) and to the SQL
+    * oracles' `('0x' || substr(md5(tok), 1, 6))::BIGINT % buckets`. One
+    * MessageDigest per row replaces an md5-string → substring → base-16
+    * conv Column chain per token — the model-build scan of the drift/DSIR
+    * operators at a fraction of the cost. */
+  def tokenBucketsKernel(buckets: Int): Column => Column = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val k = udf { (text: String) =>
+      if (text == null) Array.empty[Long]
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        text.split(" ").iterator.filter(_.nonEmpty).map { tok =>
+          val dig = md.digest(tok.getBytes("UTF-8"))
+          md.reset()
+          val v = ((dig(0) & 0xFFL) << 16) | ((dig(1) & 0xFFL) << 8) |
+            (dig(2) & 0xFFL)
+          v % buckets
+        }.toArray
+      }
+    }
+    (text: Column) => k(text)
+  }
+
+  /** Pure-Column twin of [[tokenBucketsKernel]] (parity reference). */
+  def tokenBucketsExpr(text: Column, buckets: Int): Column =
+    transform(tokens(text), t =>
+      pmod(conv(substring(md5(t), 1, 6), 16, 10).cast("long"), lit(buckets.toLong)))
+
   /** BPE-ish sub-word tokenization: letter runs, digit runs, and individual
     * punctuation marks each count as a token (the pre-tokenization split
     * most BPE vocabularies apply before merges). */

@@ -755,6 +755,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(fb.getInt(1) == -1 && !fb.getBoolean(5))
   }
 
+  test("tokenBucketsKernel matches its Column-expr parity twin") {
+    val d = Seq((1L, "the quick  brown fox"), (2L, ""), (3L, "  a  "),
+      (4L, "punct, mix! 123 ok")).toDF("id", "text")
+    val rows = d.select(col("id"),
+        TextOps.tokenBucketsKernel(64)(col("text")).as("k"),
+        TextOps.tokenBucketsExpr(col("text"), 64).as("e"))
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+    rows.foreach { case (id, k, e) => assert(k == e, s"id $id") }
+    // null text: kernel yields an empty array, the expr twin null — both
+    // explode to zero rows (the only way either is consumed)
+    val nulls = Seq((5L, null.asInstanceOf[String])).toDF("id", "text")
+    assert(nulls.select(explode(TextOps.tokenBucketsKernel(64)(col("text")))).count() == 0)
+    assert(nulls.select(explode(TextOps.tokenBucketsExpr(col("text"), 64))).count() == 0)
+  }
+
   test("groupDriftKL: single group diverges zero; hand formula matches") {
     // one group: p_gb == q_b in every bucket, every term log2(1) = 0
     val one = Seq((1L, "a b c a"), (2L, "b c")).toDF("doc_id", "text")
