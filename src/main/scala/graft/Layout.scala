@@ -75,4 +75,32 @@ object Layout {
     val plan = df.groupBy("id").agg(count(lit(1))).queryExecution.executedPlan
     plan.toString.contains("Exchange")
   }
+
+  /** Bucketed corpus layout: the documents (or any doc-keyed artifact —
+    * signature index, quality scores, dedup labels) bucketed on the key
+    * column. Every equi-join between two tables bucketed the same way
+    * (candidate-pair text verification, signature lookups, label
+    * enrichment) and every `groupBy(key)` reads co-located buckets with NO
+    * exchange on either side — at corpus scale the dedup family's joins
+    * stop shuffling the corpus entirely. Same `saveAsTable` requirement as
+    * the events layout (parquet directories carry no bucket metadata). */
+  def writeBucketedCorpus(docs: DataFrame, table: String,
+                          keyCol: String = "doc_id",
+                          buckets: Int = 32): Unit =
+    docs.write
+      .mode("overwrite")
+      .bucketBy(buckets, keyCol)
+      .sortBy(keyCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** True when a sort-merge equi-join of `a` and `b` on `key` would
+    * SHUFFLE either side (specs prove co-bucketed corpus tables join
+    * exchange-free). The merge hint pins the join strategy — tiny test
+    * frames would otherwise broadcast, whose BroadcastExchange is not a
+    * shuffle and says nothing about bucketing; the probe looks for the
+    * hash-partitioning exchange specifically. */
+  def keyJoinShuffles(a: DataFrame, b: DataFrame, key: String): Boolean =
+    a.hint("merge").join(b, Seq(key)).queryExecution.executedPlan
+      .toString.contains("Exchange hashpartitioning")
 }

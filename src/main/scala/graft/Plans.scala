@@ -82,9 +82,13 @@ object Plans {
         "on the fact side, so the exact verify join shuffles only matches + fpp·corpus " +
         "rows instead of the corpus"),
     P("q_source_drift",
-      "corpus-mix KL drift: one token-explode scan feeds a (source, bucket) hash agg " +
-        "that partial-combines to sources×buckets rows per task; every later frame is " +
-        "bucket-sized and broadcast — the text never shuffles"))
+      "corpus-mix KL drift: one compiled token-bucket kernel scan feeds a (source, bucket) " +
+        "hash agg that partial-combines to sources×buckets rows per task; every later " +
+        "frame is bucket-sized and broadcast — the text never shuffles"),
+    P("q_skew_distinct",
+      "skew-salted exact distinct: two partial-combined hash aggs — the first keyed " +
+        "(key, value-hash salt) so a hot key spreads over 16 reducers, the second " +
+        "keys-sized — no single task ever sees a whole hot key"))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("local[4]", 4).getOrCreate()

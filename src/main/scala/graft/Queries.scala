@@ -2933,6 +2933,20 @@ object Queries {
           CAST(n AS INT) AS n_frames, TRUE AS decoded
         FROM f""")),
 
+    // Skew-safe exact distinct: the events table is the skewed shape (5 hot
+    // event types over 32 cores) — salting splits each key 16 ways by user
+    // hash, so per-cell distincts are disjoint and their sum is exact while
+    // no reducer sees a whole hot key. Oracle = plain COUNT(DISTINCT).
+    Q("q_skew_distinct",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        graft.operators.EventOps.saltedDistinctCount(
+          e, col("event"), col("id"), salts = 16,
+          keyAlias = "event", alias = "n_users")
+      },
+      Some(s"""$E SELECT event, COUNT(DISTINCT id) AS n_users
+        FROM e GROUP BY event""")),
+
     // Round-7 Tier A widening: an IF-GUARDED accumulator (purchases-so-far
     // counter bumped only on purchase rows, read as every visited row's
     // tally key) compiles to a conditional running-sum window on the single

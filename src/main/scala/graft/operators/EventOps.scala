@@ -77,6 +77,31 @@ object EventOps {
   def propertyCountsBucketed(events: DataFrame, prop: Column, bucketSize: Double): DataFrame =
     propertyCounts(events, TimeFns.bucket(prop, bucketSize), "bucket")
 
+  /** EXACT distinct count per key, salted for skew: the plain
+    * `groupBy(key).agg(countDistinct(v))` puts every row of a hot key on
+    * ONE reducer (distinct cannot map-side combine — the reducer must see
+    * every value), so a key holding 20% of a 100 TB corpus serializes 20%
+    * of the shuffle into one task. Salting splits each key into `salts`
+    * sub-groups BY VALUE HASH — every distinct value lands in exactly one
+    * (key, salt) cell, so the per-cell distinct counts are disjoint and
+    * their per-key sum is exactly `count(distinct v)` — while the hot key's
+    * rows spread over `salts` reducers. Two hash aggregations, both
+    * partial-combined; the second one is keys-sized.
+    *
+    * (Additive aggregates — sum/count/min/max — never need this: their
+    * map-side partial combine already collapses hot keys before the
+    * shuffle. Distinct is THE skewed-aggregation case.) */
+  def saltedDistinctCount(df: DataFrame, key: Column, value: Column,
+                          salts: Int = 16,
+                          keyAlias: String = "key",
+                          alias: String = "n_distinct"): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts")
+    df.groupBy(key.as(keyAlias), pmod(hash(value), lit(salts)).as("__salt"))
+      .agg(countDistinct(value).as("__d"))
+      .groupBy(col(keyAlias))
+      .agg(sum(col("__d")).as(alias))
+  }
+
   /** Funnel step join: for each person, the first `fromEvent`, then whether a
     * `toEvent` follows within `withinMs` (OSL nested
     * `each_row.continue().next()` — `src/queryinterpreter.cpp:2430-2577`).

@@ -336,6 +336,36 @@ class IngestStreamSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_bucketed_test")
   }
 
+  test("co-bucketed corpus tables join on doc_id without an exchange") {
+    val docs = Seq((1L, "one text", "en"), (2L, "two text", "de"),
+      (3L, "three text", "en")).toDF("doc_id", "text", "lang")
+    val scores = Seq((1L, 0.9), (2L, 0.4), (3L, 0.7)).toDF("doc_id", "quality")
+    // plain frames shuffle both sides of the equi-join
+    assert(Layout.keyJoinShuffles(docs, scores, "doc_id"))
+    spark.sql("DROP TABLE IF EXISTS graft_corpus_test")
+    spark.sql("DROP TABLE IF EXISTS graft_scores_test")
+    // a crashed prior run can leave the managed location without a catalog
+    // entry, which CREATE TABLE refuses — clear orphaned dirs too
+    for (t <- Seq("graft_corpus_test", "graft_scores_test")) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(s"spark-warehouse/$t"))
+    }
+    Layout.writeBucketedCorpus(docs, "graft_corpus_test", buckets = 4)
+    Layout.writeBucketedCorpus(scores, "graft_scores_test", buckets = 4)
+    val bd = Layout.readTable(spark, "graft_corpus_test")
+    val bs = Layout.readTable(spark, "graft_scores_test")
+    assert(!Layout.keyJoinShuffles(bd, bs, "doc_id"))
+    // and the join is still correct
+    val joined = bd.join(bs, Seq("doc_id")).select("doc_id", "lang", "quality")
+      .as[(Long, String, Double)].collect().toSet
+    assert(joined == Set((1L, "en", 0.9), (2L, "de", 0.4), (3L, "en", 0.7)))
+    spark.sql("DROP TABLE IF EXISTS graft_corpus_test")
+    spark.sql("DROP TABLE IF EXISTS graft_scores_test")
+  }
+
   test("date-partitioned layout prunes partitions for time-framed reads") {
     val day = 86400000L
     val d0 = 1704067200000L // 2024-01-01T00:00Z

@@ -755,6 +755,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(fb.getInt(1) == -1 && !fb.getBoolean(5))
   }
 
+  test("saltedDistinctCount is exact under any salt count") {
+    val rnd = new scala.util.Random(13)
+    // one hot key with many repeated values + a long tail
+    val rows = (0 until 2000).map(i => ("hot", (rnd.nextInt(120)).toLong)) ++
+      (0 until 100).map(i => (s"k${i % 7}", i.toLong))
+    val d = rows.toDF("k", "v")
+    val plain = d.groupBy(col("k")).agg(countDistinct(col("v")))
+      .as[(String, Long)].collect().toMap
+    for (salts <- Seq(1, 3, 16)) {
+      val salted = graft.operators.EventOps
+        .saltedDistinctCount(d, col("k"), col("v"), salts)
+        .as[(String, Long)].collect().toMap
+      assert(salted == plain, s"salts=$salts")
+    }
+  }
+
   test("tokenBucketsKernel matches its Column-expr parity twin") {
     val d = Seq((1L, "the quick  brown fox"), (2L, ""), (3L, "  a  "),
       (4L, "punct, mix! 123 ok")).toDF("id", "text")

@@ -447,6 +447,27 @@ class TierPropertySpec extends SparkSpec {
     }
   }
 
+  // robustness: arbitrary junk must produce a clean parse error (or parse),
+  // never a hang, stack overflow, or unclassified crash — the guarantee an
+  // API server fielding user scripts needs from the front-end
+  test("parser total on random junk and truncated scripts (100 samples)") {
+    val rnd = new scala.util.Random(23)
+    val atoms = Seq("each_row", "select", "end", "if", "else", "<<", "(", ")",
+      "&&", "||", "==", "'x'", "1.5", "now", "__", "@segment", ".limit(",
+      "\n", "  ", "event", ".is(", "return(", "{", "}", "[", "]", ",", "+")
+    val valid = genScript.pureApply(Gen.Parameters.default, Seed(99L))
+    (1 to 100).foreach { i =>
+      val s =
+        if (i % 3 == 0) valid.take(rnd.nextInt(valid.length)) // truncations
+        else (0 until rnd.nextInt(30)).map(_ => atoms(rnd.nextInt(atoms.length))).mkString(" ")
+      try { Parser.program(s); () }
+      catch {
+        case _: IllegalArgumentException => () // the classified parse error
+        case e: Throwable => fail(s"unclassified ${e.getClass} on sample $i:\n$s")
+      }
+    }
+  }
+
   test("random continue().next() chains: Tier A == Tier B (40 seeded samples)") {
     val params = Gen.Parameters.default
     (1 to 40).foreach { i =>
