@@ -107,6 +107,18 @@ object Scale {
         val errUsers = ev.where(col("event") === "error").select(col("id"))
         operators.BloomOps.bloomSemiJoin(ev, col("id"), errUsers, col("id"))
           .groupBy(col("event")).agg(count(lit(1)).as("n"))
+      }),
+      // per-source KL drift: one token-bucket kernel scan + bucket-sized
+      // model frames — must scale with tokens, never with vocabulary
+      "source_drift" -> ((d: String, _: String, _: String) => {
+        val docs = spark.read.parquet(d)
+        operators.Sampling.groupDriftKL(docs, col("source"), col("text"))
+      }),
+      // skew-salted exact distinct: two partial-combined hash aggs; the
+      // replica-scaled user population is the distinct set
+      "salted_distinct" -> ((_: String, e: String, _: String) => {
+        val ev = normalizeEvents(spark.read.parquet(e))
+        operators.EventOps.saltedDistinctCount(ev, col("event"), col("id"))
       }))
 
     println(f"${"operator"}%-20s " +
