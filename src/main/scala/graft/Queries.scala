@@ -2933,6 +2933,30 @@ object Queries {
           CAST(n AS INT) AS n_frames, TRUE AS decoded
         FROM f""")),
 
+    // Outlier-robust value stats: clip each event type's values at the
+    // discrete p05/p95 (rank-based — engine-portable bounds), then the
+    // winsorized mean through the DECIMAL path. One sort window + one agg.
+    Q("q_value_winsorized",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        graft.operators.EventOps.winsorizedStats(
+          e, col("event"), col("value"), 0.05, 0.95, keyAlias = "event")
+      },
+      Some(s"""$E, r AS (
+          SELECT event, value,
+            ROW_NUMBER() OVER (PARTITION BY event ORDER BY value) AS rn,
+            COUNT(*) OVER (PARTITION BY event) AS n
+          FROM e),
+        b AS (
+          SELECT event, value,
+            MIN(CASE WHEN rn >= CEIL(0.05 * n) THEN value END) OVER (PARTITION BY event) AS lo,
+            MIN(CASE WHEN rn >= CEIL(0.95 * n) THEN value END) OVER (PARTITION BY event) AS hi
+          FROM r)
+        SELECT event, COUNT(*) AS n_rows, MIN(lo) AS lo, MIN(hi) AS hi,
+          CAST(SUM(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+          ${dsumSql("LEAST(GREATEST(value, lo), hi)")} / COUNT(*) AS mean_winsorized
+        FROM b GROUP BY event""")),
+
     // Skew-safe exact distinct: the events table is the skewed shape (5 hot
     // event types over 32 cores) — salting splits each key 16 ways by user
     // hash, so per-cell distincts are disjoint and their sum is exact while

@@ -77,6 +77,40 @@ object EventOps {
   def propertyCountsBucketed(events: DataFrame, prop: Column, bucketSize: Double): DataFrame =
     propertyCounts(events, TimeFns.bucket(prop, bucketSize), "bucket")
 
+  /** Winsorized per-key value statistics — the outlier-robust step of a
+    * numeric-feature pipeline: clip each value to the key's discrete
+    * [pLo, pHi] percentiles (rank-based, value-at-position — no floating
+    * interpolation, so any engine lands on the same bounds), then
+    * aggregate. Returns `(key, n_rows, lo, hi, n_clipped, mean_winsorized)`
+    * with the mean through the DECIMAL(28,4) exactness path.
+    *
+    * Scale shape: ONE per-key sort window yields ranks AND the bounds
+    * (min-over-partition of the at-or-above-rank values — no second
+    * shuffle, no join back), then a hash agg. The window input is
+    * (key, value) pairs only. */
+  def winsorizedStats(df: DataFrame, key: Column, value: Column,
+                      pLo: Double = 0.05, pHi: Double = 0.95,
+                      keyAlias: String = "key"): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad percentiles [$pLo,$pHi]")
+    val wS = Window.partitionBy(col(keyAlias)).orderBy(col("__v"))
+    val wP = Window.partitionBy(col(keyAlias))
+    def pct(p: Double) =
+      min(when(col("__rn") >= ceil(lit(p) * col("__n")), col("__v"))).over(wP)
+    df.select(key.as(keyAlias), value.as("__v"))
+      .withColumn("__rn", row_number().over(wS))
+      .withColumn("__n", count(lit(1)).over(wP))
+      .withColumn("__lo", pct(pLo))
+      .withColumn("__hi", pct(pHi))
+      .withColumn("__cv", least(greatest(col("__v"), col("__lo")), col("__hi")))
+      .groupBy(col(keyAlias))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("__lo")).as("lo"), min(col("__hi")).as("hi"),
+        sum(when(col("__v") < col("__lo") || col("__v") > col("__hi"), 1L)
+          .otherwise(0L)).as("n_clipped"),
+        (graft.functions.AggFns.dsum(col("__cv")) / count(lit(1)))
+          .as("mean_winsorized"))
+  }
+
   /** EXACT distinct count per key, salted for skew: the plain
     * `groupBy(key).agg(countDistinct(v))` puts every row of a hot key on
     * ONE reducer (distinct cannot map-side combine — the reducer must see

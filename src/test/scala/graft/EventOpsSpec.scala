@@ -230,4 +230,15 @@ class EventOpsSpec extends SparkSpec {
       .select("tag", "asof_v").as[(String, Option[Double])].collect().toMap
     assert(out == Map("a" -> Some(1.0), "b" -> None)) // 200-95 > 10 -> stale
   }
+
+  test("winsorizedStats clips at discrete percentile bounds, hand-computed") {
+    // key "a": 1..19 plus one outlier 1000 (n=20). Discrete bounds:
+    // lo = value at rank ceil(0.05*20)=1 -> 1; hi = rank ceil(0.95*20)=19
+    // -> 19. The outlier clips to 19: mean = (1+..+19 + 19)/20 = 10.45.
+    val d = ((1 to 19).map(i => ("a", i.toDouble)) :+ ("a", 1000.0))
+      .toDF("k", "v")
+    val r = EventOps.winsorizedStats(d, col("k"), col("v"), 0.05, 0.95)
+      .as[(String, Long, Double, Double, Long, Double)].head()
+    assert(r == (("a", 20L, 1.0, 19.0, 1L, 10.45)))
+  }
 }
