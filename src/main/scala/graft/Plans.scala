@@ -88,7 +88,11 @@ object Plans {
     P("q_skew_distinct",
       "skew-salted exact distinct: two partial-combined hash aggs — the first keyed " +
         "(key, value-hash salt) so a hot key spreads over 16 reducers, the second " +
-        "keys-sized — no single task ever sees a whole hot key"))
+        "keys-sized — no single task ever sees a whole hot key"),
+    P("q_topk_agg",
+      "bounded-heap top-k per key: ObjectHashAggregate with partial buffers capped at " +
+        "k — the exchange carries keys×k entries, never the table, and no window sort " +
+        "of a key's full history exists in the plan"))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("local[4]", 4).getOrCreate()

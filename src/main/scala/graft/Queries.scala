@@ -2933,6 +2933,29 @@ object Queries {
           CAST(n AS INT) AS n_frames, TRUE AS decoded
         FROM f""")),
 
+    // Bounded-heap top-k per key: the aggregator's partial buffer caps at k,
+    // so map-side combine ships keys×k entries through the shuffle where the
+    // window-rank form sorts each key's whole history on one reducer.
+    // Oracle = that window-rank form (identical deterministic ordering).
+    Q("q_topk_agg",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val f = graft.functions.TopK.topK(3)
+        li.groupBy(col("l_returnflag"))
+          .agg(f(col("l_extendedprice"), col("l_orderkey")).as("top"))
+          .select(col("l_returnflag"), posexplode(col("top")).as(Seq("i", "e")))
+          .select(col("l_returnflag"), (col("i") + 1).cast("int").as("rank"),
+            col("e.ord").as("l_extendedprice"), col("e.payload").as("l_orderkey"))
+      },
+      Some("""SELECT l_returnflag, CAST(rank AS INT) AS rank,
+          l_extendedprice, l_orderkey
+        FROM (
+          SELECT l_returnflag, l_extendedprice, l_orderkey,
+            ROW_NUMBER() OVER (PARTITION BY l_returnflag
+              ORDER BY l_extendedprice DESC, l_orderkey ASC) AS rank
+          FROM lineitem)
+        WHERE rank <= 3""")),
+
     // Outlier-robust value stats: clip each event type's values at the
     // discrete p05/p95 (rank-based — engine-portable bounds), then the
     // winsorized mean through the DECIMAL path. One sort window + one agg.

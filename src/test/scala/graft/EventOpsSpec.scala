@@ -231,6 +231,18 @@ class EventOpsSpec extends SparkSpec {
     assert(out == Map("a" -> Some(1.0), "b" -> None)) // 200-95 > 10 -> stale
   }
 
+  test("TopK aggregator: bounded buffer, deterministic ties, cross-partition merge") {
+    val d = Seq(("a", 5.0, 1L), ("a", 7.0, 2L), ("a", 7.0, 1L), ("a", 1.0, 9L),
+      ("b", 3.0, 3L)).toDF("k", "ord", "p").repartition(4) // force merges
+    val f = graft.functions.TopK.topK(2)
+    val out = d.groupBy(col("k")).agg(f(col("ord"), col("p")).as("t"))
+      .select(col("k"), col("t"))
+      .as[(String, Seq[(Double, Long)])].collect().toMap
+    // ord desc, payload asc: (7.0,1) before (7.0,2); 5.0 and 1.0 cut
+    assert(out("a") == Seq((7.0, 1L), (7.0, 2L)))
+    assert(out("b") == Seq((3.0, 3L)))
+  }
+
   test("winsorizedStats clips at discrete percentile bounds, hand-computed") {
     // key "a": 1..19 plus one outlier 1000 (n=20). Discrete bounds:
     // lo = value at rank ceil(0.05*20)=1 -> 1; hi = rank ceil(0.95*20)=19
