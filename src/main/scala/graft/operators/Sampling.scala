@@ -181,6 +181,24 @@ object Sampling {
         sum(col("__term").cast("decimal(28,8)")).cast("double").as("kl_bits"))
   }
 
+  /** Smoothed hashed-unigram bucket model of a reference corpus, as a
+    * driver-held probability array (buckets-sized — ≤ a few KB, the
+    * broadcast side of any drift comparison): `q_b = (c_b + 1) / (n + B)`
+    * with [[TextOps.tokenBucketsKernel]] hashing. The baseline
+    * [[graft.streaming.Streams.driftStream]] monitors live windows
+    * against. */
+  def bucketModel(docs: DataFrame, text: Column, buckets: Int = 4096): Array[Double] = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val counts = docs
+      .select(explode(TextOps.tokenBucketsKernel(buckets)(text)).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("c"))
+      .collect()
+    val arr = Array.fill(buckets)(0L)
+    counts.foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    val n = arr.sum
+    arr.map(c => (c + 1).toDouble / (n + buckets))
+  }
+
   def dsirWeights(docs: DataFrame, id: Column, text: Column,
                   isTarget: Column, buckets: Int = 4096): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")

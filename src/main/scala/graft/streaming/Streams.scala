@@ -315,6 +315,70 @@ object Streams {
       }
   }
 
+  /** Windowed corpus-drift monitor — the streaming deployment of
+    * [[graft.operators.Sampling.groupDriftKL]]: per event-time window and
+    * group, the KL divergence (bits) of the window's hashed-unigram token
+    * distribution from a FIXED reference model
+    * ([[graft.operators.Sampling.bucketModel]] over the accepted baseline
+    * corpus, held in the closure like any broadcast side). A source whose
+    * live text drifts from the baseline mix shows a rising curve within a
+    * watermark delay.
+    *
+    * One streaming aggregation: tokens hash in-row (compiled kernel), and
+    * a typed Aggregator buffers the buckets-sized count vector per open
+    * (window, group) cell — state is O(open windows × groups × buckets),
+    * never O(tokens). The finish pass sums the full smoothed domain, so
+    * the value matches the batch operator's formula exactly. */
+  def driftStream(stream: DataFrame, groupCol: String, textCol: String,
+                  tsCol: String, reference: Array[Double],
+                  windowDur: String = "10 minutes",
+                  watermark: String = "1 hour"): DataFrame = {
+    val buckets = reference.length
+    require(buckets > 0, "empty reference model")
+    val klAgg = org.apache.spark.sql.functions.udaf(new KlAggregator(reference))
+    stream
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol).as("__ts"), col(groupCol).as("group"),
+        explode(graft.operators.TextOps.tokenBucketsKernel(buckets)(col(textCol)))
+          .as("b"))
+      .groupBy(window(col("__ts"), windowDur), col("group"))
+      .agg(count(lit(1)).as("n_tokens"), klAgg(col("b")).as("kl_bits"))
+  }
+
+  /** Bucket-count KL aggregator for [[driftStream]]: buffer = the
+    * buckets-sized count vector; finish = full-domain smoothed
+    * `Σ_b p_b · log2(p_b / q_b)` against the reference probabilities. */
+  private final class KlAggregator(reference: Array[Double])
+      extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Long], Double] {
+    private val b = reference.length
+    def zero: Array[Long] = new Array[Long](b)
+    def reduce(buf: Array[Long], bucket: Long): Array[Long] = {
+      buf(bucket.toInt) += 1; buf
+    }
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < b) { x(i) += y(i); i += 1 }
+      x
+    }
+    def finish(buf: Array[Long]): Double = {
+      var n = 0L
+      var i = 0
+      while (i < b) { n += buf(i); i += 1 }
+      var kl = 0.0
+      i = 0
+      while (i < b) {
+        val p = (buf(i) + 1).toDouble / (n + b)
+        kl += p * (math.log(p / reference(i)) / math.log(2.0))
+        i += 1
+      }
+      kl
+    }
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: org.apache.spark.sql.Encoder[Double] =
+      org.apache.spark.sql.Encoders.scalaDouble
+  }
+
   /** Streaming sessionization with the built-in session_window — tumbling
     * gap-based sessions over event time (SURVEY §2.9 "Windows"). */
   def sessionCounts(stream: DataFrame, gap: String = "30 minutes",

@@ -224,6 +224,48 @@ class IngestStreamSpec extends SparkSpec {
     assert(texts == Seq("fresh text", "other text", "same text"))
   }
 
+  test("streaming drift monitor: windowed KL vs a fixed reference model") {
+    implicit val sqlCtx = spark.sqlContext
+    val B = 8
+    // reference corpus: all 'aa bb' tokens
+    val ref = graft.operators.Sampling.bucketModel(
+      Seq((1L, "aa bb aa bb")).toDF("doc_id", "text"), col("text"), B)
+    val mem = MemoryStream[(java.sql.Timestamp, String, String)]
+    val stream = mem.toDF().toDF("ts", "src", "text")
+    val out = Streams.driftStream(stream, "src", "text", "ts", ref,
+      windowDur = "1 minute", watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("drift")
+      .outputMode("append").start()
+    def t(ms: Long) = new java.sql.Timestamp(1704067200000L + ms)
+    // window 1: source 'same' repeats the reference text; 'other' drifts
+    mem.addData((t(0), "same", "aa bb"), (t(1000), "same", "bb aa"),
+      (t(2000), "other", "zz zz yy"))
+    // advance the watermark past window 1 so append emits it
+    mem.addData((t(120000), "same", "aa"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT `group`, n_tokens, kl_bits FROM drift")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // independent recomputation of the same smoothed full-domain formula
+    def bucket(tok: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val d = md.digest(tok.getBytes("UTF-8"))
+      ((((d(0) & 0xFFL) << 16) | ((d(1) & 0xFFL) << 8) | (d(2) & 0xFFL)) % B).toInt
+    }
+    def kl(toks: Seq[String]): Double = {
+      val c = toks.groupBy(bucket).view.mapValues(_.size.toLong).toMap
+      val n = toks.size
+      (0 until B).map { b =>
+        val p = (c.getOrElse(b, 0L) + 1).toDouble / (n + B)
+        p * (math.log(p / ref(b)) / math.log(2.0))
+      }.sum
+    }
+    assert(rows("same") == ((4L, kl(Seq("aa", "bb", "bb", "aa")))))
+    assert(rows("other") == ((3L, kl(Seq("zz", "zz", "yy")))))
+    // the drifting source diverges far more than the in-distribution one
+    assert(rows("other")._2 > rows("same")._2)
+  }
+
   test("streaming funnel: stateful advance, completion, re-arm across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, String)]
