@@ -2933,6 +2933,41 @@ object Queries {
           CAST(n AS INT) AS n_frames, TRUE AS decoded
         FROM f""")),
 
+    // Corpus-governance overlap matrix: pairwise source-level shingle
+    // Jaccard over 60-bit hash postings (text never shuffles). Top-10
+    // most-overlapping source pairs.
+    Q("q_source_overlap",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        graft.operators.Dedup.sourceShingleOverlap(d, col("source"), col("text"))
+          .orderBy(col("jaccard").desc, col("source_a").asc, col("source_b").asc)
+          .limit(10)
+      },
+      Some("""WITH post AS (
+          SELECT DISTINCT source AS src,
+            ('0x' || substr(md5(g), 1, 15))::BIGINT % 2147483647 AS h
+          FROM (
+            SELECT source, unnest(list_distinct(sh)) AS g FROM (
+              SELECT source, list_transform(
+                range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
+              FROM (SELECT source,
+                list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+                FROM documents)))),
+        sizes AS (SELECT src, COUNT(*) AS n FROM post GROUP BY 1),
+        pairs AS (
+          SELECT a.src AS source_a, b.src AS source_b, COUNT(*) AS common
+          FROM post a JOIN post b ON a.h = b.h AND a.src < b.src
+          GROUP BY 1, 2)
+        SELECT source_a, source_b,
+          CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+          common,
+          round(common / CAST(sa.n + sb.n - common AS DOUBLE), 6) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.src = source_a
+        JOIN sizes sb ON sb.src = source_b
+        ORDER BY jaccard DESC, source_a ASC, source_b ASC LIMIT 10""")),
+
     // Bounded-heap top-k per key: the aggregator's partial buffer caps at k,
     // so map-side combine ships keys×k entries through the shuffle where the
     // window-rank form sorts each key's whole history on one reducer.

@@ -642,6 +642,48 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Pairwise SOURCE-level shingle overlap — the corpus-governance matrix:
+    * for every pair of sources, how much 3-gram content they share
+    * (`jaccard = common / (n_a + n_b − common)` over each source's
+    * distinct-shingle set). High off-diagonal overlap flags sources that
+    * are partial mirrors of each other — the input signal for
+    * [[exactDedupPrioritized]] priorities and mixing weights.
+    *
+    * Scale shape: one scan emits distinct `(60-bit shingle hash, source)`
+    * postings (8-byte keys — the text never shuffles; the md5 reduction is
+    * the engine-portable [[shingleHashes]] recipe, and any collision
+    * affects both engines identically); per-source sizes come from one
+    * hash agg and pair intersections from the postings equi-self-join —
+    * both partial-combined. Sources-squared output, postings-linear work. */
+  def sourceShingleOverlap(docs: DataFrame, source: Column,
+                           text: Column): DataFrame = {
+    // raw (hash, source) postings — per-doc distinct only; cross-doc dedup
+    // happens inside each consumer's aggregation (collect_set / distinct
+    // count), so no standalone DISTINCT exchange is paid
+    val post = docs
+      .select(source.as("src"),
+        explode(array_distinct(shingleHashes(TextOps.shingles(text)))).as("h"))
+    val sizes = post.groupBy(col("src")).agg(countDistinct(col("h")).as("n"))
+    // per-shingle source sets, pairs generated IN-ROW (sources² per shingle
+    // is tiny) — one groupBy(h) shuffle replaces the postings self-join,
+    // the same bucket-local trick the LSH pair generator uses
+    post.groupBy(col("h"))
+      .agg(array_sort(collect_set(col("src"))).as("ss"))
+      .where(size(col("ss")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ss, (x, i) ->
+          |  transform(slice(ss, i + 2, size(ss)), y ->
+          |    struct(x AS source_a, y AS source_b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("src").as("source_a"), col("n").as("n_a")), "source_a")
+      .join(sizes.select(col("src").as("source_b"), col("n").as("n_b")), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("common"),
+        round(col("common").cast("double") /
+          (col("n_a") + col("n_b") - col("common")), 6).as("jaccard"))
+  }
+
   /** Exact n-gram Jaccard similarity between all pairs of the given docs
     * (use on a pre-filtered subset or LSH candidates — O(n²)). */
   def ngramJaccardPairs(docs: DataFrame, id: Column, text: Column,

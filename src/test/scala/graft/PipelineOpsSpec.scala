@@ -755,6 +755,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(fb.getInt(1) == -1 && !fb.getBoolean(5))
   }
 
+  test("sourceShingleOverlap: hand-computed pairwise Jaccard") {
+    val d = Seq(
+      (1L, "a b c d", "A"),   // shingles {a b c, b c d}
+      (2L, "a b c x", "B"),   // shingles {a b c, b c x}
+      (3L, "q r s", "C")      // shingles {q r s}
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.sourceShingleOverlap(d, col("source"), col("text"))
+      .as[(String, String, Long, Long, Long, Double)].collect().toSet
+    // only pairs sharing at least one shingle surface; A∩B = {a b c}
+    assert(out == Set(("A", "B", 2L, 2L, 1L, 0.333333)))
+  }
+
   test("saltedDistinctCount is exact under any salt count") {
     val rnd = new scala.util.Random(13)
     // one hot key with many repeated values + a long tail
