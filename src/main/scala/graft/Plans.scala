@@ -92,7 +92,11 @@ object Plans {
     P("q_topk_agg",
       "bounded-heap top-k per key: ObjectHashAggregate with partial buffers capped at " +
         "k — the exchange carries keys×k entries, never the table, and no window sort " +
-        "of a key's full history exists in the plan"))
+        "of a key's full history exists in the plan"),
+    P("q_source_overlap",
+      "source-pair overlap: 60-bit shingle-hash postings (text never shuffles), ONE " +
+        "groupBy(hash) with in-row pair generation — no postings self-join, no " +
+        "standalone DISTINCT exchange"))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("local[4]", 4).getOrCreate()
