@@ -30,6 +30,13 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Let AQE re-plan the OUTPUT partitioning of cached plans too — off by
+      // default, which pins every memoized index stage (memoStage /
+      // localCheckpoint frames) at the static shuffle-partition count; small
+      // cached index frames then pay 32 near-empty tasks per downstream
+      // stage. With it on, cached frames coalesce by bytes like everything
+      // else; at scale partitions are byte-sized either way.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       // zstd ~ 2x smaller files than snappy at comparable scan speed — at
       // 100 TB the scan is IO-bound, so storage compression is throughput.
       // (The reference ships LZ4 level 5 for the same trade, src/table.h:128.)

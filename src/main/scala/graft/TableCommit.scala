@@ -13,9 +13,17 @@ package graft
   *   - part files are IMMUTABLE once written; an insert MOVES freshly staged
   *     files into the bucket dirs under new unique names and never touches
   *     existing ones;
-  *   - the live file set is defined solely by the `_commit` manifest, which
-  *     is replaced by an atomic rename (readers see the old or the new
-  *     manifest, never a mix);
+  *   - the live file set is defined solely by the manifest log: each commit
+  *     CREATES a new `_commit.v{gen}` file (create-new, never rename — the
+  *     Delta-log discipline, safe on object stores where rename is
+  *     copy+delete and not atomic) and the LIVE state is the
+  *     highest-generation manifest that parses. A reader can never see a
+  *     mix, and a half-written manifest is unreadable (strict JSON — every
+  *     proper prefix has an unclosed brace) so it is simply skipped;
+  *   - create-new doubles as write-conflict detection: two committers
+  *     racing to the same generation means one loses with
+  *     FileAlreadyExistsException instead of silently clobbering — the same
+  *     optimistic-concurrency primitive Delta gets from put-if-absent;
   *   - files retired by a commit stay on disk for a grace window
   *     ([[graceMs]]) so in-flight readers that planned against the previous
   *     manifest still find every path; a later committer garbage-collects
@@ -45,10 +53,24 @@ object TableCommit {
   private def versionFile(root: String, gen: Long) =
     new java.io.File(root, s"_commit.v$gen")
 
-  /** Parse the manifest if present. The file is written whole + renamed, so
-    * a partial read is impossible; a corrupt manifest is a hard error (the
-    * store's source of truth must not be silently ignored). */
-  def read(root: String): Option[State] = parseManifest(commitFile(root))
+  private def versionGens(root: String): Seq[Long] =
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith("_commit.v"))
+      .flatMap(f => f.getName.stripPrefix("_commit.v").toLongOption)
+      .sorted.toSeq
+
+  /** The LIVE state: the highest-generation `_commit.v{gen}` that parses
+    * completely. An unparseable candidate (a committer crashed mid-write)
+    * is skipped — the previous generation is still the committed truth,
+    * exactly the WAL-ordered visibility the reference's sidelog gives
+    * (`src/sidelog.h:15-60`). Falls back to the legacy renamed `_commit`
+    * pointer for stores written before the log existed. */
+  def read(root: String): Option[State] = {
+    versionGens(root).sorted(Ordering[Long].reverse).iterator
+      .flatMap(g => parseManifest(versionFile(root, g)))
+      .nextOption()
+      .orElse(parseManifest(commitFile(root)))
+  }
 
   /** A PAST committed snapshot, readable while every file it references
     * still exists (the grace window bounds history depth exactly as Delta's
@@ -58,41 +80,51 @@ object TableCommit {
 
   /** Generations currently time-travelable (all referenced files present),
     * ascending. The live generation is always last. */
-  def versions(root: String): Seq[Long] = {
-    val d = new java.io.File(root)
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.startsWith("_commit.v"))
-      .map(_.getName.stripPrefix("_commit.v").toLong)
-      .filter(g => readVersion(root, g).isDefined)
-      .sorted.toSeq
-  }
+  def versions(root: String): Seq[Long] =
+    versionGens(root).filter(g => readVersion(root, g).isDefined)
 
   private def allFilesPresent(root: String, st: State): Boolean =
     st.buckets.forall { case (b, fs) =>
       fs.forall(f => new java.io.File(root, s"__bucket=$b/$f").isFile) }
 
+  /** Parse a manifest file; None if absent or INCOMPLETE. Strict-JSON
+    * parse failure ⇔ a committer crashed mid-write (every proper prefix of
+    * the serialized form has an unclosed outer brace, so no truncation can
+    * masquerade as a committed manifest); the trailing `"eof":1` field is a
+    * belt-and-braces end marker on top of that. Skipping such a file is
+    * correct — it was never committed. */
   private def parseManifest(f: java.io.File): Option[State] = {
     if (!f.isFile) return None
-    val s = new String(java.nio.file.Files.readAllBytes(f.toPath),
-      java.nio.charset.StandardCharsets.UTF_8)
-    import org.json4s._
-    val j = org.json4s.jackson.JsonMethods.parse(s)
-    implicit val fmts: Formats = DefaultFormats
-    val buckets = (j \ "buckets") match {
-      case JObject(fields) => fields.map { case (k, v) =>
-        k.toInt -> v.extract[Seq[String]] }.toMap
-      case _ => Map.empty[Int, Seq[String]]
-    }
-    val retired = (j \ "retired") match {
-      case JArray(items) => items.map(i =>
-        Retired((i \ "ts").extract[Long], (i \ "paths").extract[Seq[String]]))
-      case _ => Nil
-    }
-    Some(State((j \ "gen").extract[Long], buckets, retired))
+    try {
+      val s = new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      import org.json4s._
+      val j = org.json4s.jackson.JsonMethods.parse(s)
+      implicit val fmts: Formats = DefaultFormats
+      val buckets = (j \ "buckets") match {
+        case JObject(fields) => fields.map { case (k, v) =>
+          k.toInt -> v.extract[Seq[String]] }.toMap
+        case _ => Map.empty[Int, Seq[String]]
+      }
+      val retired = (j \ "retired") match {
+        case JArray(items) => items.map(i =>
+          Retired((i \ "ts").extract[Long], (i \ "paths").extract[Seq[String]]))
+        case _ => Nil
+      }
+      Some(State((j \ "gen").extract[Long], buckets, retired))
+    } catch { case _: Exception => None }
   }
 
-  /** Atomically publish a new manifest: write `_commit_tmp`, fsync, rename
-    * over `_commit` (POSIX rename replaces atomically). */
+  /** Publish a manifest WITHOUT rename: create `_commit.v{gen}` with
+    * CREATE_NEW and fsync. Readers pick the highest parseable generation,
+    * so the new state becomes visible exactly when the write completes; an
+    * interrupted write leaves an unparseable file that readers skip. If the
+    * generation file already exists COMMITTED, another writer won the race
+    * — throws FileAlreadyExistsException so the caller can re-read and
+    * retry (optimistic concurrency); if it exists but is incomplete (a
+    * crashed writer's torn file), it is reclaimed — safe because an
+    * unparseable manifest is invisible to every reader and the caller holds
+    * the writer lock. */
   def write(root: String, st: State): Unit = {
     def jstr(s: String) = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"
@@ -104,26 +136,23 @@ object TableCommit {
     val retired = st.retired.map(r =>
       s"""{"ts":${r.ts},"paths":[${r.paths.map(jstr).mkString(",")}]}""")
       .mkString("[", ",", "]")
-    val json = s"""{"gen":${st.gen},"buckets":$buckets,"retired":$retired}"""
-    val tmp = new java.io.File(root, "_commit_tmp")
-    val ch = java.nio.channels.FileChannel.open(tmp.toPath,
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING,
+    val json =
+      s"""{"gen":${st.gen},"buckets":$buckets,"retired":$retired,"eof":1}"""
+    val target = versionFile(root, st.gen)
+    if (target.isFile && parseManifest(target).isEmpty)
+      target.delete(): Unit // torn write from a crashed committer — reclaim
+    val ch = java.nio.channels.FileChannel.open(target.toPath,
+      java.nio.file.StandardOpenOption.CREATE_NEW,
       java.nio.file.StandardOpenOption.WRITE)
     try {
       ch.write(java.nio.ByteBuffer.wrap(
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
       ch.force(true)
     } finally ch.close()
-    java.nio.file.Files.move(tmp.toPath, commitFile(root).toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    // versioned copy for time travel — tiny, GC'd once its files are
-    // vacuumed (see [[gc]]); copied AFTER the live rename so a crash
-    // between the two can only lose the historical copy, never the live one
-    java.nio.file.Files.copy(commitFile(root).toPath,
-      versionFile(root, st.gen).toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    // one-time cleanup: the legacy renamed `_commit` pointer is now
+    // superseded by the log (read() prefers any versioned manifest); a
+    // plain delete needs no rename and is idempotent
+    commitFile(root).delete(): Unit
   }
 
   /** Synthesize a manifest from the directory listing — the one-time

@@ -649,26 +649,47 @@ object Dedup {
     * are partial mirrors of each other — the input signal for
     * [[exactDedupPrioritized]] priorities and mixing weights.
     *
-    * Scale shape: one scan emits distinct `(60-bit shingle hash, source)`
+    * Scale shape: ONE corpus scan emits `(60-bit shingle hash, source)`
     * postings (8-byte keys — the text never shuffles; the md5 reduction is
     * the engine-portable [[shingleHashes]] recipe, and any collision
-    * affects both engines identically); per-source sizes come from one
-    * hash agg and pair intersections from the postings equi-self-join —
-    * both partial-combined. Sources-squared output, postings-linear work. */
+    * affects both engines identically), and ONE `groupBy(h)` shuffle folds
+    * them into per-shingle source sets. That distinct-shingle-sized frame
+    * is lazily checkpointed and is the sole input to everything downstream:
+    * per-source sizes are `explode(ss) → groupBy(src).count` (a source in a
+    * shingle's set ⇔ the shingle is in that source's distinct set, so the
+    * counts equal the per-source `countDistinct(h)`) and pair intersections
+    * are generated IN-ROW from each set (sources² per shingle is tiny) —
+    * the same bucket-local trick the LSH pair generator uses. The corpus
+    * scan and the md5 kernel run exactly once per query; earlier revisions
+    * re-ran them three times (pair path + sizes joined twice).
+    * Sources-squared output, postings-linear work. */
   def sourceShingleOverlap(docs: DataFrame, source: Column,
                            text: Column): DataFrame = {
-    // raw (hash, source) postings — per-doc distinct only; cross-doc dedup
-    // happens inside each consumer's aggregation (collect_set / distinct
-    // count), so no standalone DISTINCT exchange is paid
-    val post = docs
-      .select(source.as("src"),
-        explode(array_distinct(shingleHashes(TextOps.shingles(text)))).as("h"))
-    val sizes = post.groupBy(col("src")).agg(countDistinct(col("h")).as("n"))
-    // per-shingle source sets, pairs generated IN-ROW (sources² per shingle
-    // is tiny) — one groupBy(h) shuffle replaces the postings self-join,
-    // the same bucket-local trick the LSH pair generator uses
-    post.groupBy(col("h"))
-      .agg(array_sort(collect_set(col("src"))).as("ss"))
+    // per-shingle source sets; collect_set dedups cross-doc repeats so the
+    // raw postings carry per-doc distinct only (no standalone DISTINCT
+    // exchange). The grouped frame is an INDEX over the corpus (same family
+    // as the memoized minhash signature index): memoStage persists it keyed
+    // on the canonicalized doc-projection plan, so the three consumers here
+    // — and repeat governance queries over the same corpus — read warm
+    // blocks instead of re-running the scan + md5 shingle kernel.
+    val proj = docs.select(source.as("src"), text.as("__text"))
+    val grouped = memoStage(proj, "src_overlap_sets") {
+      proj
+        .select(col("src"),
+          explode(array_distinct(shingleHashes(TextOps.shingles(col("__text"))))).as("h"))
+        .groupBy(col("h"))
+        .agg(array_sort(collect_set(col("src"))).as("ss"))
+    }
+    // |distinct shingles of src| = how many grouped rows contain src.
+    // Sources-sized (bounded, like the k-means centroid frame) — collected
+    // to a literal lookup map so per-source sizes ride along the pair
+    // aggregation instead of costing two broadcast-join stages.
+    val sizes: Seq[(String, Long)] = grouped
+      .select(explode(col("ss")).as("src"))
+      .groupBy(col("src")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    val sizeOf = map(sizes.flatMap { case (s, n) => Seq(lit(s), lit(n)) }: _*)
+    grouped
       .where(size(col("ss")) > 1)
       .select(explode(expr(
         """flatten(transform(ss, (x, i) ->
@@ -676,12 +697,12 @@ object Dedup {
           |    struct(x AS source_a, y AS source_b))))""".stripMargin)).as("p"))
       .groupBy(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
       .agg(count(lit(1)).as("common"))
-      .join(sizes.select(col("src").as("source_a"), col("n").as("n_a")), "source_a")
-      .join(sizes.select(col("src").as("source_b"), col("n").as("n_b")), "source_b")
-      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+      .select(col("source_a"), col("source_b"),
+        sizeOf(col("source_a")).as("n_a"), sizeOf(col("source_b")).as("n_b"),
         col("common"),
         round(col("common").cast("double") /
-          (col("n_a") + col("n_b") - col("common")), 6).as("jaccard"))
+          (sizeOf(col("source_a")) + sizeOf(col("source_b")) - col("common")), 6)
+          .as("jaccard"))
   }
 
   /** Exact n-gram Jaccard similarity between all pairs of the given docs

@@ -438,6 +438,48 @@ class CatalogSpec extends SparkSpec {
     } finally TableCommit.graceMs = oldGrace
   }
 
+  test("commit protocol is rename-free: create-new log, torn-write skip, conflict detect") {
+    val api = freshApi()
+    api.tableCreate(highstreetMeta)
+    val now = 1704067200000L
+    api.insert("highstreet", Seq(
+      """{"id":"u1","stamp":"1704067200","event":"purchase","product_name":"rod","product_price":9.5}"""),
+      nowMs = now)
+    api.insert("highstreet", Seq(
+      """{"id":"u2","stamp":"1704070800","event":"browse","product_name":"reel"}"""),
+      nowMs = now)
+    val root = new java.io.File(api.warehouse, "highstreet/events").toString
+    // (a) LIVE state comes from the versioned log alone — no renamed
+    // `_commit` pointer exists (nothing on the commit path renames at all,
+    // so the protocol holds on stores where rename is copy+delete)
+    assert(!new java.io.File(root, "_commit").exists(),
+      "live pointer must be the _commit.v{gen} log, not a renamed file")
+    val live = TableCommit.read(root).get
+    assert(live.gen == TableCommit.versions(root).max)
+    assert(api.catalog.events("highstreet").count() == 2)
+    // (b) a torn manifest at a HIGHER generation (committer crashed
+    // mid-write; strict-JSON prefix never parses) is invisible to readers
+    val torn = new java.io.File(root, s"_commit.v${live.gen + 1}")
+    java.nio.file.Files.writeString(torn.toPath,
+      s"""{"gen":${live.gen + 1},"buckets":{"0":["part-x.parquet"""")
+    assert(TableCommit.read(root).get.gen == live.gen,
+      "torn higher-gen manifest must be skipped")
+    assert(api.catalog.events("highstreet").count() == 2)
+    // (c) the next committer reclaims the torn file and commits that gen
+    api.insert("highstreet", Seq(
+      """{"id":"u3","stamp":"1704074400","event":"browse","product_name":"net"}"""),
+      nowMs = now)
+    val after = TableCommit.read(root).get
+    assert(after.gen == live.gen + 1 && after.buckets.nonEmpty)
+    assert(api.catalog.events("highstreet").count() == 3)
+    // (d) two writers racing to one generation: the loser gets a clear
+    // conflict instead of clobbering the winner's committed state
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      TableCommit.write(root, after.copy(retired = Nil))
+    }
+    assert(TableCommit.read(root).get == after, "loser must not disturb the log")
+  }
+
   test("customerEvents hashes the lookup id at the stored id type") {
     val api = freshApi()
     // numeric table: id stored as LongType — an uncast Int/String literal
