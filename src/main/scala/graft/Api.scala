@@ -318,19 +318,25 @@ final class Api(spark: SparkSession, val warehouse: String) {
       }.toMap
     graft.streaming.Streams.refreshSegments(spark,
       new java.io.File(warehouse, table).toString, fns, nowMs)
+    // deliver the refresh's enter/exit diff to push subscribers right away
+    subscriptionPushDrain(table, nowMs): Unit
     defs.map(d => "\"" + d.name + "\"").mkString("{\"refreshed\":[", ",", "]}")
   }
 
   /** `PUT /v1/subscription/{t}/{segment}/{sub}`: register an independent
     * feed over the segment's enter/exit events (docs/rest/README.md:160-216;
-    * default retention 3 h). The web-hook push becomes a poll here — feeding
-    * a real hook is a `foreachBatch` away. */
+    * default retention 3 h). With `pushUrl` set, the feed is PUSH-delivered:
+    * every ingest batch / segment refresh drains pending messages to the
+    * webhook ([[subscriptionPushDrain]]) — the reference broker's
+    * per-subscriber queue + notify (src/message_broker.h:19-130). Without
+    * it, the feed is poll-only ([[subscriptionPoll]]). */
   def subscriptionCreate(table: String, segment: String, sub: String,
                          retentionMs: Long = 3L * 3600 * 1000,
-                         nowMs: Long): String = {
+                         nowMs: Long, pushUrl: Option[String] = None): String = {
     val f = subFile(table, segment, sub)
     f.getParentFile.mkdirs()
-    writeSub(f, cursor = nowMs - retentionMs, retentionMs)
+    writeSub(f, cursor = nowMs - retentionMs, retentionMs,
+      pushUrl = pushUrl.getOrElse(""))
     s"""{"message":"subscribed","segment":"$segment","subscriber":"$sub"}"""
   }
 
@@ -353,16 +359,29 @@ final class Api(spark: SparkSession, val warehouse: String) {
                        nowMs: Long): String = {
     val f = subFile(table, segment, sub)
     require(f.isFile, s"no such subscription '$sub'")
-    val (cursor, cursorId, retention) = readSub(f)
+    val st = readSub(f)
+    val (events, payload, newCursor, newCursorId) =
+      pendingMessages(table, segment, sub, st, nowMs)
+    writeSub(f, newCursor, st.retentionMs, newCursorId, st.pushUrl)
+    val _ = events
+    payload
+  }
+
+  /** The subscription's undelivered messages since its cursor, in the
+    * reference's message shape, plus the advanced cursor. Shared by the
+    * poll and push paths so both deliver identical feeds. */
+  private def pendingMessages(table: String, segment: String, sub: String,
+                              st: SubState, nowMs: Long)
+      : (Array[org.apache.spark.sql.Row], String, Long, String) = {
     val logDir = new java.io.File(warehouse, s"$table/segment_events")
     val events =
       if (!logDir.isDirectory) Array.empty[org.apache.spark.sql.Row]
       else graft.streaming.Streams.segmentEvents(spark,
           new java.io.File(warehouse, table).toString)
         .where(col("segment") === segment &&
-          col("stamp") > (nowMs - retention) &&
-          (col("stamp") > cursor ||
-            (col("stamp") === cursor && col("id").cast("string") > cursorId)))
+          col("stamp") > (nowMs - st.retentionMs) &&
+          (col("stamp") > st.cursor ||
+            (col("stamp") === st.cursor && col("id").cast("string") > st.cursorId)))
         .orderBy(col("stamp"), col("id"))
         .collect()
     val msgs = events.map { r =>
@@ -372,31 +391,85 @@ final class Api(spark: SparkSession, val warehouse: String) {
     }.mkString(",")
     val (newCursor, newCursorId) = events.lastOption
       .map(r => (r.getAs[Long]("stamp"), String.valueOf(r.getAs[Any]("id"))))
-      .getOrElse((cursor, cursorId))
-    writeSub(f, newCursor, retention, newCursorId)
-    s"""{"segment":"$segment","subscriber":"$sub","count":${events.length},"messages":[$msgs]}"""
+      .getOrElse((st.cursor, st.cursorId))
+    val payload =
+      s"""{"segment":"$segment","subscriber":"$sub","count":${events.length},"messages":[$msgs]}"""
+    (events, payload, newCursor, newCursorId)
   }
+
+  /** Push delivery: drain every push-registered subscription of `table`,
+    * POSTing its pending enter/exit batch to the registered webhook. The
+    * cursor advances ONLY on a 2xx response — a failed or unreachable hook
+    * leaves it in place, so the next drain retries the same batch
+    * (at-least-once, like the reference broker's retained per-subscriber
+    * queues, src/message_broker.h:19-130); retention bounds the replay
+    * window exactly as it bounds a slow poller. Empty batches are not
+    * posted. Returns a JSON delivery report. Runs after every ingest batch
+    * ([[startIngest]]) and segment refresh ([[segmentRefresh]]). */
+  def subscriptionPushDrain(table: String, nowMs: Long): String = {
+    val subsRoot = new java.io.File(warehouse, s"$table/subs")
+    val subs = for {
+      segDir <- Option(subsRoot.listFiles()).getOrElse(Array.empty).toSeq
+      if segDir.isDirectory
+      f <- Option(segDir.listFiles()).getOrElse(Array.empty).toSeq
+      if f.isFile && f.getName.endsWith(".properties")
+    } yield (segDir.getName, f.getName.stripSuffix(".properties"), f)
+    val reports = subs.flatMap { case (segment, sub, f) =>
+      val st = readSub(f)
+      if (st.pushUrl.isEmpty) None
+      else {
+        val (events, payload, newCursor, newCursorId) =
+          pendingMessages(table, segment, sub, st, nowMs)
+        if (events.isEmpty)
+          Some(s"""{"subscriber":"$sub","segment":"$segment","delivered":0}""")
+        else {
+          val ok = postJson(st.pushUrl, payload)
+          if (ok) writeSub(f, newCursor, st.retentionMs, newCursorId, st.pushUrl)
+          Some(s"""{"subscriber":"$sub","segment":"$segment","delivered":${
+            if (ok) events.length else 0},"ok":$ok}""")
+        }
+      }
+    }
+    s"""{"pushed":[${reports.mkString(",")}]}"""
+  }
+
+  private def postJson(url: String, body: String): Boolean =
+    try {
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofSeconds(10))
+        .header("Content-Type", "application/json")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+        .build()
+      val rsp = Api.httpClient.send(req,
+        java.net.http.HttpResponse.BodyHandlers.discarding())
+      rsp.statusCode() >= 200 && rsp.statusCode() < 300
+    } catch { case _: Exception => false }
+
+  private final case class SubState(cursor: Long, cursorId: String,
+                                    retentionMs: Long, pushUrl: String)
 
   private def subFile(table: String, segment: String, sub: String) =
     new java.io.File(new java.io.File(warehouse, table), s"subs/$segment/$sub.properties")
 
   private def writeSub(f: java.io.File, cursor: Long, retentionMs: Long,
-                       cursorId: String = ""): Unit = {
+                       cursorId: String = "", pushUrl: String = ""): Unit = {
     val p = new java.util.Properties()
     p.setProperty("cursor", cursor.toString)
     p.setProperty("cursor_id", cursorId)
     p.setProperty("retention_ms", retentionMs.toString)
+    p.setProperty("push_url", pushUrl)
     val out = new java.io.FileOutputStream(f)
     try p.store(out, null) finally out.close()
   }
 
-  private def readSub(f: java.io.File): (Long, String, Long) = {
+  private def readSub(f: java.io.File): SubState = {
     val p = new java.util.Properties()
     val in = new java.io.FileInputStream(f)
     try p.load(in) finally in.close()
-    (p.getProperty("cursor").toLong,
+    SubState(p.getProperty("cursor").toLong,
       Option(p.getProperty("cursor_id")).getOrElse(""),
-      p.getProperty("retention_ms").toLong)
+      p.getProperty("retention_ms").toLong,
+      Option(p.getProperty("push_url")).getOrElse(""))
   }
 
   // ---------------------------------------------------------------- streaming
@@ -424,7 +497,8 @@ final class Api(spark: SparkSession, val warehouse: String) {
           }.toMap
       }.getOrElse(Map.empty)
     graft.streaming.Streams.startIngest(stream,
-      new java.io.File(warehouse, table).toString, checkpoint, fns)
+      new java.io.File(warehouse, table).toString, checkpoint, fns,
+      afterBatch = () => subscriptionPushDrain(table, nowMs): Unit)
   }
 
   // -------------------------------------------------------------------- batch
@@ -561,4 +635,13 @@ final class Api(spark: SparkSession, val warehouse: String) {
     }
     s"""{"tables":${tables.length},"spark":"${spark.version}","master":"${sc.master}","applicationId":"${sc.applicationId}","defaultParallelism":${sc.defaultParallelism},"executors":[${execs.mkString(",")}]}"""
   }
+}
+
+object Api {
+  /** Shared webhook client for subscription push delivery — one connection
+    * pool per JVM, like the reference broker's outbound side. */
+  private[graft] lazy val httpClient: java.net.http.HttpClient =
+    java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(5))
+      .build()
 }

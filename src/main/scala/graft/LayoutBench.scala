@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Measured A/B for the bucketed corpus layout ([[Layout.writeBucketedCorpus]]):
+  * the same doc-keyed dedup-family workloads over (a) plain parquet and
+  * (b) co-bucketed tables, reporting wall time and TOTAL SHUFFLE WRITE
+  * BYTES from the stage metrics. Broadcast joins are disabled for the
+  * measurement: at the 100 TB design point neither side of a corpus join
+  * fits in a broadcast, so the flat-layout cost IS the sort-merge
+  * exchange — which bucketing removes (the number this main exists to
+  * print). Run: `sbt "runMain graft.LayoutBench [sfDir]"`; one `LAYOUT`
+  * line per (workload, layout).
+  *
+  * Workloads:
+  *  - `enrich_join`: docs ⋈ per-doc quality artifact on doc_id →
+  *    per-source rollup (the label/score enrichment every pipeline runs);
+  *  - `chunk_stats`: explode token chunks → groupBy(doc_id) (bucketed
+  *    reads keep the doc key's partitioning through the Generate, so the
+  *    re-aggregation needs no exchange).
+  */
+object LayoutBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0)
+      else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
+      .appName("graft-layout-bench").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // model the at-scale join: a 100 TB corpus never broadcasts
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    val shuffleW = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        shuffleW.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        ()
+      }
+    })
+    def measure(tag: String)(f: => Long): Unit = {
+      Thread.sleep(800) // drain pending stage events from setup work
+      shuffleW.set(0)
+      val t0 = System.nanoTime
+      val rows = f
+      Thread.sleep(800)
+      println(f"LAYOUT $tag rows=$rows time=${(System.nanoTime - t0) / 1e9}%.3f " +
+        s"shuffle_write_bytes=${shuffleW.get}")
+    }
+
+    // fresh bucketed tables (orphaned warehouse dirs fail saveAsTable)
+    def dropTable(t: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(s"spark-warehouse/$t"))
+    }
+    Seq("lb_docs_b", "lb_scores_b").foreach(dropTable)
+
+    val docs = Tables.documents(spark, sfDir)
+    def scoresOf(d: org.apache.spark.sql.DataFrame) = d.select(col("doc_id"),
+      graft.operators.TextOps.tokenCount(col("text")).as("n_tokens"),
+      md5(col("text")).as("fp"))
+
+    // layout setup (not measured): bucketed docs + co-bucketed artifact,
+    // and a flat parquet copy of the artifact for the baseline
+    Layout.writeBucketedCorpus(docs, "lb_docs_b")
+    Layout.writeBucketedCorpus(scoresOf(docs), "lb_scores_b")
+    val flatScoresDir = java.nio.file.Files
+      .createTempDirectory("graft-lb-scores").toString
+    scoresOf(docs).write.mode("overwrite").parquet(flatScoresDir)
+
+    val docsB = spark.table("lb_docs_b")
+    val scoresB = spark.table("lb_scores_b")
+    val scoresFlat = spark.read.parquet(flatScoresDir)
+
+    // combinable aggregates only — the rollup's partial-combined shuffle is
+    // a few KB either way, so the A/B delta isolates the JOIN exchanges
+    def enrich(d: org.apache.spark.sql.DataFrame,
+               s: org.apache.spark.sql.DataFrame): Long =
+      d.join(s, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_tokens")).as("tokens"), count(lit(1)).as("docs"),
+          max(col("fp")).as("max_fp"))
+        .count()
+    def chunkStats(d: org.apache.spark.sql.DataFrame): Long =
+      graft.operators.TextOps.chunk(d, col("text"), 64, 8)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+        .count()
+
+    for (round <- 1 to 2) { // round 1 warms code/IO caches; round 2 is clean
+      val suffix = if (round == 1) "_warmup" else ""
+      measure(s"enrich_join_flat$suffix")(enrich(docs, scoresFlat))
+      measure(s"enrich_join_bucketed$suffix")(enrich(docsB, scoresB))
+      measure(s"chunk_stats_flat$suffix")(chunkStats(docs))
+      measure(s"chunk_stats_bucketed$suffix")(chunkStats(docsB))
+    }
+    spark.stop()
+  }
+}

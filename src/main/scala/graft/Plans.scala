@@ -117,8 +117,56 @@ object Plans {
       }
       sb.append("```\n")
     }
+    appendBucketedAB(spark, dir, sb)
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
-    println(s"PLANS.md written (${picks.size} plans)")
+    println(s"PLANS.md written (${picks.size} plans + bucketed-layout A/B)")
     spark.stop()
+  }
+
+  /** Bucketed-corpus A/B: the doc-keyed enrichment join over plain parquet
+    * vs co-bucketed tables ([[Layout.writeBucketedCorpus]]), with broadcast
+    * disabled (a 100 TB corpus never broadcasts). The flat plan shows TWO
+    * `Exchange hashpartitioning(doc_id)` feeding the SortMergeJoin; the
+    * bucketed plan's only exchange is the sources-sized rollup. Measured
+    * shuffle bytes for the same pair of plans are in SCALING.md
+    * (`graft.LayoutBench`). */
+  private def appendBucketedAB(spark: org.apache.spark.sql.SparkSession,
+                               dir: String, sb: StringBuilder): Unit = {
+    import org.apache.spark.sql.functions._
+    Seq("plans_docs_b", "plans_scores_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(s"spark-warehouse/$t"))
+    }
+    val docs = Tables.documents(spark, dir)
+    def scores(d: org.apache.spark.sql.DataFrame) = d.select(col("doc_id"),
+      graft.operators.TextOps.tokenCount(col("text")).as("n_tokens"),
+      md5(col("text")).as("fp"))
+    Layout.writeBucketedCorpus(docs, "plans_docs_b")
+    Layout.writeBucketedCorpus(scores(docs), "plans_scores_b")
+    val flatScores = java.nio.file.Files.createTempDirectory("plans-scores").toString
+    scores(docs).write.mode("overwrite").parquet(flatScores)
+    def enrich(d: org.apache.spark.sql.DataFrame,
+               s: org.apache.spark.sql.DataFrame) =
+      d.join(s, Seq("doc_id")).groupBy(col("source"))
+        .agg(sum(col("n_tokens")).as("tokens"), count(lit(1)).as("docs"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for ((tag, df) <- Seq(
+        "flat parquet (both join sides exchange)" ->
+          enrich(docs, spark.read.parquet(flatScores)),
+        "co-bucketed tables (join exchange-free; only the rollup shuffles)" ->
+          enrich(spark.table("plans_docs_b"), spark.table("plans_scores_b")))) {
+        df.count() // materialize so AQE finalizes the plan
+        sb.append(s"\n## bucketed corpus layout A/B — $tag\n\n```\n")
+        df.queryExecution.executedPlan.toString.linesIterator.take(40)
+          .foreach(l => sb.append(l.take(200)).append('\n'))
+        sb.append("```\n")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 }

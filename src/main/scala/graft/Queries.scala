@@ -2746,7 +2746,11 @@ object Queries {
     // corpus: seeded from the 4 lowest vec_ids, cosine assignment with
     // position-order sums (IEEE ≡ list_dot_product), DECIMAL(18,6) centroid
     // means — the oracle unrolls the same two iterations and lands on
-    // bit-identical centroids.
+    // bit-identical centroids. Oracle caveat: a MID-LOOP empty cluster
+    // keeps its previous centroid in the operator, while the unrolled SQL's
+    // GROUP BY drops it — parity holds because no cluster empties on this
+    // data (k lowest-id seeds over a dense corpus); a k far above the
+    // natural cluster count could diverge on that edge.
     Q("q_kmeans_clusters",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
@@ -3004,7 +3008,7 @@ object Queries {
           SELECT event, value,
             ROW_NUMBER() OVER (PARTITION BY event ORDER BY value) AS rn,
             COUNT(*) OVER (PARTITION BY event) AS n
-          FROM e),
+          FROM e WHERE value IS NOT NULL),
         b AS (
           SELECT event, value,
             MIN(CASE WHEN rn >= CEIL(0.05 * n) THEN value END) OVER (PARTITION BY event) AS lo,
@@ -3065,7 +3069,97 @@ object Queries {
         UNION ALL
         SELECT CAST(1 AS INTEGER), CAST(n AS VARCHAR), CAST(NULL AS VARCHAR),
           COUNT(DISTINCT id), COUNT(*)
-        FROM p GROUP BY CAST(n AS VARCHAR)"""))
+        FROM p GROUP BY CAST(n AS VARCHAR)""")),
+
+    // Round-8 Tier A widening: an accumulator READ inside an ever-test
+    // OPERAND (`value.ever(> n * 50)` — "does this person's history ever
+    // exceed 50× the rows seen so far") compiles to a scanned-prop MAX
+    // window on the person partition compared at the visiting row, instead
+    // of interpreting. Oracle = the same row_number × person-max compare.
+    Q("q_osl_ever_read",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |each_row where stamp.is(> 0)
+            |  n += 1
+            |  if value.ever(> n * 50)
+            |    << 'big_history', event
+            |  end
+            |  << 'all', event
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"))
+      },
+      Some(s"""$E, p AS (
+          SELECT id, event,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS n,
+            MAX(value) OVER (PARTITION BY id) AS mx
+          FROM e WHERE stamp > 0)
+        SELECT CAST(2 AS INTEGER) AS depth, 'big_history' AS g1, event AS g2,
+          COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows
+        FROM p WHERE mx > 50 * n GROUP BY event HAVING COUNT(*) > 0
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), 'big_history', CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*)
+        FROM p WHERE mx > 50 * n HAVING COUNT(*) > 0
+        UNION ALL
+        SELECT CAST(2 AS INTEGER), 'all', event,
+          COUNT(DISTINCT id), COUNT(*)
+        FROM p GROUP BY event
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), 'all', CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*)
+        FROM p"""))
+  ,
+
+    // Round-8 Tier A widening: an accumulator on a CHAIN — the increment
+    // leads the top body, the read sits in the inner step's tally, so each
+    // purchase tallies once per preceding signup under that signup's
+    // ordinal ("which signup # funneled this purchase"). Compiled as a
+    // spawn-value array (collect over the preceding window) exploded into
+    // per-(row, distinct spawn value) tally entries — no interpreter.
+    // Oracle = the signup-ordinal × later-purchase join.
+    Q("q_osl_chain_accum",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |each_row where event.is(== 'signup')
+            |  n += 1
+            |  each_row.continue().next() where event.is(== 'purchase')
+            |    << n, event
+            |  end
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"))
+      },
+      Some(s"""$E, su AS (
+          SELECT id, stamp,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
+          FROM e WHERE event = 'signup'),
+        pairs AS (
+          SELECT p.id, p.stamp, su.i
+          FROM e p JOIN su ON su.id = p.id AND su.stamp < p.stamp
+          WHERE p.event = 'purchase')
+        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
+          'purchase' AS g2, COUNT(DISTINCT id) AS customers,
+          COUNT(*) AS n_rows
+        FROM pairs GROUP BY i
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*)
+        FROM pairs GROUP BY i"""))
   )
 
   def allRegistry: Seq[Q] = registry ++ extraRegistry

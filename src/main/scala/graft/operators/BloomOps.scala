@@ -22,6 +22,14 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, S
   */
 object BloomOps {
 
+  /** A temp key-column name that cannot collide with `large`'s columns —
+    * a fixed `__k` made the join condition ambiguous the moment a caller's
+    * frame already carried a `__k` (e.g. a frame built by another operator
+    * in this library). */
+  private def tempKey(large: DataFrame): String =
+    Iterator.from(0).map(i => if (i == 0) "__bloom_k" else s"__bloom_k$i")
+      .find(n => !large.columns.contains(n)).get
+
   /** Exact left-semi join of `large` on `small`'s keys with a broadcast
     * Bloom pre-filter on the large side.
     *
@@ -32,19 +40,20 @@ object BloomOps {
   def bloomSemiJoin(large: DataFrame, largeKey: Column,
                     small: DataFrame, smallKey: Column,
                     expectedFpp: Double = 0.01): DataFrame = {
-    val keys = small.select(smallKey.as("__k")).where(col("__k").isNotNull).distinct()
+    val kn = tempKey(large)
+    val keys = small.select(smallKey.as(kn)).where(col(kn).isNotNull).distinct()
     val integral = keys.schema.head.dataType match {
       case LongType | IntegerType | ShortType | ByteType => true
       case StringType => false
       case other => throw new IllegalArgumentException(
         s"bloomSemiJoin key must be integral or string, got $other")
     }
-    val canon = if (integral) keys.select(col("__k").cast("long").as("__k")) else keys
+    val canon = if (integral) keys.select(col(kn).cast("long").as(kn)) else keys
     // small side by contract — the count prices the filter, the collect-free
     // stat.bloomFilter aggregates partial filters per partition and OR-merges
     val n = canon.count()
     if (n == 0) return large.where(lit(false)) // semi-join with nothing: empty
-    val bf = canon.stat.bloomFilter("__k", n, expectedFpp)
+    val bf = canon.stat.bloomFilter(kn, n, expectedFpp)
     val might =
       if (integral) {
         val u = udf((x: java.lang.Long) => x != null && bf.mightContainLong(x))
@@ -56,7 +65,7 @@ object BloomOps {
     // exact verify join confined to the pre-filtered fraction; AQE
     // broadcasts the key side when it is small enough
     large.where(might)
-      .join(canon, largeKey.cast(if (integral) "long" else "string") === col("__k"),
+      .join(canon, largeKey.cast(if (integral) "long" else "string") === col(kn),
         "left_semi")
   }
 
@@ -69,17 +78,18 @@ object BloomOps {
   def bloomAntiJoin(large: DataFrame, largeKey: Column,
                     small: DataFrame, smallKey: Column,
                     expectedFpp: Double = 0.01): DataFrame = {
-    val keys = small.select(smallKey.as("__k")).where(col("__k").isNotNull).distinct()
+    val kn = tempKey(large)
+    val keys = small.select(smallKey.as(kn)).where(col(kn).isNotNull).distinct()
     val integral = keys.schema.head.dataType match {
       case LongType | IntegerType | ShortType | ByteType => true
       case StringType => false
       case other => throw new IllegalArgumentException(
         s"bloomAntiJoin key must be integral or string, got $other")
     }
-    val canon = if (integral) keys.select(col("__k").cast("long").as("__k")) else keys
+    val canon = if (integral) keys.select(col(kn).cast("long").as(kn)) else keys
     val n = canon.count()
     if (n == 0) return large // anti-join with nothing drops nothing
-    val bf = canon.stat.bloomFilter("__k", n, expectedFpp)
+    val bf = canon.stat.bloomFilter(kn, n, expectedFpp)
     val might =
       if (integral) {
         val u = udf((x: java.lang.Long) => x != null && bf.mightContainLong(x))
@@ -89,7 +99,7 @@ object BloomOps {
         u(largeKey)
       }
     val suspects = large.where(might)
-      .join(canon, largeKey.cast(if (integral) "long" else "string") === col("__k"),
+      .join(canon, largeKey.cast(if (integral) "long" else "string") === col(kn),
         "left_anti")
     large.where(!might).unionByName(suspects)
   }

@@ -87,7 +87,13 @@ object EventOps {
     * Scale shape: ONE per-key sort window yields ranks AND the bounds
     * (min-over-partition of the at-or-above-rank values — no second
     * shuffle, no join back), then a hash agg. The window input is
-    * (key, value) pairs only. */
+    * (key, value) pairs only.
+    *
+    * NULL values are dropped up front: rank-based percentile bounds are
+    * only engine-portable over non-null values (Spark's window ORDER BY
+    * sorts nulls FIRST, DuckDB's LAST — keeping them would shift every
+    * rank and leak null through least/greatest into the clipped mean).
+    * Winsorizing a value that does not exist has no meaning anyway. */
   def winsorizedStats(df: DataFrame, key: Column, value: Column,
                       pLo: Double = 0.05, pHi: Double = 0.95,
                       keyAlias: String = "key"): DataFrame = {
@@ -97,6 +103,7 @@ object EventOps {
     def pct(p: Double) =
       min(when(col("__rn") >= ceil(lit(p) * col("__n")), col("__v"))).over(wP)
     df.select(key.as(keyAlias), value.as("__v"))
+      .where(col("__v").isNotNull)
       .withColumn("__rn", row_number().over(wS))
       .withColumn("__n", count(lit(1)).over(wP))
       .withColumn("__lo", pct(pLo))

@@ -542,10 +542,13 @@ object Similarity {
       var i = 0
       while (i < vecs.length) {
         val v = vecs(i)
-        val n = math.min(v.length, arr.length)
+        // a ragged embedding column would silently assign to the wrong
+        // cluster under a truncated dot product — refuse instead
+        require(v.length == arr.length,
+          s"embedding dimension ${arr.length} != centroid dimension ${v.length}")
         var d = 0.0
         var p = 0
-        while (p < n) { d += arr(p) * v(p); p += 1 }
+        while (p < v.length) { d += arr(p) * v(p); p += 1 }
         val c = d / (en * norms(i))
         if (c > bestCos) { bestCos = c; best = i }
         i += 1

@@ -76,9 +76,13 @@ object TierA {
           // accumulated values) stay Tier B
           if !selects.exists(s => s.agg == "var" && writeOnly(s.prop)) ||
             (assignsLeadingOnly(program.code) && !levels.exists(_.isFromStep))
-          // accumulator windows count the SINGLE top loop's visited rows;
-          // classifyVars already rejects nested loops on the read path
-          if accums.isEmpty || levels.size == 1
+          // accumulator windows count the TOP loop's visited rows. Single
+          // loops compile directly; a 2-level continue().next() chain
+          // compiles when the inner step is plain (no frame/limit/reverse/
+          // from — spawn eligibility must be exactly "visited spawn
+          // strictly before the row" for the per-spawn entry enumeration)
+          if accums.isEmpty || levels.size == 1 ||
+            (levels.size == 2 && chainAccumOk(levels(1)))
           tallies = levels.flatMap(_.tallies)
           if tallies.nonEmpty &&
             tallies.forall { case (_, gs) => gs.nonEmpty && gs.size <= OslEngine.MaxDepth } &&
@@ -91,9 +95,10 @@ object TierA {
           // guarded-increment conditions compile exactly like tally guards
           accumConds = accums.flatMap(_._3.flatMap(_.cond))
           personTests <- personTestColumns(
-            wheres ++ guards ++ tallies.flatMap(_._1) ++ accumConds, now)
+            wheres ++ guards ++ tallies.flatMap(_._1) ++ accumConds, now,
+            rowCtx = Some(events))
           // validate every expression compiles (placeholders for person tests)
-          placeholder = personTests.map { case (pt, _) => pt -> (lit(true): Column) }.toMap
+          placeholder = personTests.map { case (pt, _, _) => pt -> (lit(true): Column) }.toMap
           _ <- traverse((wheres ++ guards ++ accumConds).map(compileExpr(_, now, placeholder)))
           _ <- traverse(tallies.map(_._1.map(compileExpr(_, now, placeholder))
             .getOrElse(Some(lit(true)))))
@@ -120,13 +125,15 @@ object TierA {
             graft.operators.EventOps.sessionize(events, sessionGapMs)
           else events
           // person-level predicates (unframed ever/never) evaluate over the
-          // customer's FULL history: window-exists columns, added pre-filter
+          // customer's FULL history: window columns, added pre-filter; each
+          // test's predicate comes from its own builder (exists-compare for
+          // constant operands, scanned-prop aggregate compare for
+          // current-row-dependent ones)
           val base = personTests.zipWithIndex.foldLeft(base0) {
-            case (df, ((_, winCol), i)) => df.withColumn(s"__pt$i", winCol)
+            case (df, ((_, winCol, _), i)) => df.withColumn(s"__pt$i", winCol)
           }
           val real: Map[PropTest, Column] = personTests.zipWithIndex.map {
-            case ((pt, _), i) =>
-              pt -> (coalesce(col(s"__pt$i"), lit(0)) === (if (pt.kind == "ever") 1 else 0))
+            case ((pt, _, mk), i) => pt -> mk(col(s"__pt$i"))
           }.toMap
           // top-level frame bounds: constant sides fold straight into the
           // row predicate; first/last_stamp-anchored sides ride min/max
@@ -242,7 +249,8 @@ object TierA {
             else
               explodePlan(filtered, tallyGroupsF, tallyPredsF, selects, aggs)
           } else
-            chainPlan(baseTF, levels, now, real, selects, aggs, topFrameCond)
+            chainPlan(baseTF, levels, now, real, selects, aggs, topFrameCond,
+              accums)
         }
       case _ => None
     }
@@ -268,21 +276,100 @@ object TierA {
     *              [&& lastSameLevelMatch.rn <= witness.rn -- limit(1)]
     * One sort-shuffle on `id` computes every window; tallies flow through
     * the explode plan with eligibility AND'ed in. */
+  /** Inner-step shapes that compose with chain accumulators: spawn
+    * eligibility must be exactly "some VISITED spawn strictly before the
+    * row", so the per-spawn value list is the plain preceding-window
+    * collect. Frames/limits/reverse/from make eligibility witness-specific
+    * — those stay Tier B when an accumulator is read below the step. */
+  private def chainAccumOk(l1: ChainLevel): Boolean =
+    !l1.reverse && !l1.isFromStep && l1.limitN.isEmpty &&
+      l1.spanMs.isEmpty && l1.contraSpanMs.isEmpty && l1.absBounds.isEmpty
+
   private def chainPlan(base: DataFrame,
                         levels: Seq[ChainLevel],
                         now: Long, real: Map[PropTest, Column],
                         selects: Vector[SelectCol],
                         aggs: Seq[(String, Column)],
-                        topFrameCond: Option[Column] = None): DataFrame = {
-    val (df, eligible, levelPreds) = chainWitnesses(base, levels, now, real, topFrameCond)
-    val tallyPreds = levels.zip(eligible).zip(levelPreds).flatMap {
-      case ((lvl, elig), p) =>
-        lvl.tallies.map(_._1.map(ip => compileExpr(ip, now, real).get)
-          .getOrElse(lit(true)) && p && elig)
+                        topFrameCond: Option[Column] = None,
+                        accums: Seq[(String, Long, Seq[AccumPart])] = Nil): DataFrame = {
+    val (df0, eligible, levelPreds) = chainWitnesses(base, levels, now, real, topFrameCond)
+    if (accums.isEmpty) {
+      val tallyPreds = levels.zip(eligible).zip(levelPreds).flatMap {
+        case ((lvl, elig), p) =>
+          lvl.tallies.map(_._1.map(ip => compileExpr(ip, now, real).get)
+            .getOrElse(lit(true)) && p && elig)
+      }
+      val tallyGroups = levels.flatMap(_.tallies).map(t =>
+        t._2.map(g => compileExpr(g, now, real).get))
+      explodePlan(df0, tallyGroups, tallyPreds, selects, aggs)
+    } else {
+      // Chain accumulators (round 8): increments lead the TOP body, so the
+      // value a level-1 visit observes is its SPAWN's running sum — and a
+      // row is visited once per visited spawn strictly before it
+      // (queryinterpreter continue().next() scan). Tally dedup stays per
+      // (row, node): the row's entry array enumerates the DISTINCT spawn
+      // value tuples and array_distinct collapses same-node duplicates, so
+      // a row reached by spawns with equal (or same-key-mapping) values
+      // counts once — exactly the interpreter's distinct-key semantics.
+      val W = org.apache.spark.sql.expressions.Window
+      val person = W.partitionBy(col("id")).orderBy(col("stamp"))
+      val accFrame =
+        if (levels.head.reverse) person.rowsBetween(W.currentRow, W.unboundedFollowing)
+        else person.rowsBetween(W.unboundedPreceding, W.currentRow)
+      val prevRows = person.rowsBetween(W.unboundedPreceding, -1)
+      val visited0 = levelPreds.head && eligible.head
+      var df = df0
+      accums.foreach { case (n, init, parts) =>
+        val perVisit = parts.map {
+          case AccumPart(None, k, _) => lit(k)
+          case AccumPart(Some(c), kT, kE) =>
+            when(compileExpr(c, now, real).get, lit(kT)).otherwise(lit(kE))
+        }.reduceOption(_ + _).getOrElse(lit(0L))
+        df = df.withColumn(s"__acc_$n",
+          lit(init) + coalesce(sum(when(visited0, perVisit)).over(accFrame), lit(0L)))
+      }
+      // ordered spawn tuples strictly before this row (guarded spawns only)
+      val spawnCond = levels(1).guard
+        .map(g => visited0 && compileExpr(g, now, real).get).getOrElse(visited0)
+      val svStruct = struct(accums.map { case (n, _, _) => col(s"__acc_$n").as(n) }: _*)
+      df = df.withColumn("__sv",
+        array_distinct(collect_list(when(spawnCond, svStruct)).over(prevRows)))
+      def bindsOf(v: Column): Map[String, Column] =
+        accums.map { case (n, _, _) => s"__accs_$n" -> v.getField(n) }.toMap
+      val typeBinds: Map[String, Column] =
+        accums.map { case (n, _, _) => s"__accs_$n" -> lit(0L) }.toMap
+      def nodeStruct(d: Int, keys: Seq[Column]): Column =
+        struct((lit(d).as("depth") +:
+          (0 until OslEngine.MaxDepth).map(i =>
+            (if (i < d) keys(i) else lit(null).cast("string")).as(s"g${i + 1}"))): _*)
+      // level-0 tallies fire once per visited top row
+      val ent0: Seq[Column] = levels(0).tallies.flatMap { case (ip, gs) =>
+        val p = ip.map(x => compileExpr(x, now, real).get).getOrElse(lit(true)) &&
+          levelPreds(0) && eligible(0)
+        val keys = gs.map(g => canonKey(df, compileExpr(g, now, real).get))
+        (1 to gs.length).map(d => array(when(p, nodeStruct(d, keys)).otherwise(lit(null))))
+      }
+      // level-1 tallies fire once per (row, distinct spawn tuple)
+      val ent1: Seq[Column] = levels(1).tallies.flatMap { case (ip, gs) =>
+        val rowP = levelPreds(1) && eligible(1)
+        val canonFlags = gs.map { g =>
+          val probe = compileExpr(g, now, real, typeBinds).get
+          df.select(probe).schema.head.dataType
+            .isInstanceOf[org.apache.spark.sql.types.NumericType]
+        }
+        (1 to gs.length).map { d =>
+          transform(col("__sv"), v => {
+            val b = bindsOf(v)
+            val p = ip.map(x => compileExpr(x, now, real, b).get).getOrElse(lit(true))
+            val keys = gs.zip(canonFlags).map { case (g, num) =>
+              canonPure(compileExpr(g, now, real, b).get, num)
+            }
+            when(rowP && p, nodeStruct(d, keys)).otherwise(lit(null))
+          })
+        }
+      }
+      explodeEntryArrays(df, ent0 ++ ent1, selects, aggs)
     }
-    val tallyGroups = levels.flatMap(_.tallies).map(t =>
-      t._2.map(g => compileExpr(g, now, real).get))
-    explodePlan(df, tallyGroups, tallyPreds, selects, aggs)
   }
 
   /** The shared witness machinery: per level k>0, the latest visited
@@ -746,6 +833,21 @@ object TierA {
         when(p, struct(fields: _*)).otherwise(lit(null))
       }
     }
+    explodeEntryArrays(filtered, Seq(array(entries: _*)), selects, aggs)
+  }
+
+  /** Shared explode/aggregate tail: concat the per-row entry arrays,
+    * dedupe per (node, row) — the interpreter's distinct-key semantics
+    * (src/queryinterpreter.cpp:242-255): duplicate (node, row) pairs can
+    * only arise WITHIN one row's combined entry array — identical structs
+    * — so an in-row array_distinct replaces a whole-frame dropDuplicates,
+    * whose first()-over-strings buffer forced a SortAggregate + an extra
+    * shuffle — then one hash aggregation per node. */
+  private def explodeEntryArrays(filtered: DataFrame, entryArrays: Seq[Column],
+                                 selects: Vector[SelectCol],
+                                 aggs: Seq[(String, Column)]): DataFrame = {
+    val all = if (entryArrays.size == 1) entryArrays.head
+              else concat(entryArrays: _*)
     val nodeCols = col("__n.depth").as("depth") +:
       (1 to OslEngine.MaxDepth).map(i => col(s"__n.g$i").as(s"g$i"))
     val pathCols = Seq("depth") ++ (1 to OslEngine.MaxDepth).map(i => s"g$i")
@@ -755,14 +857,9 @@ object TierA {
       (selects.flatMap(s => s.prop +: s.withKey.toSeq) ++
         filtered.columns.filter(_.startsWith("__vq_")))).distinct
       .filter(filtered.columns.contains)
-    // "a row reaching the same node via several tallies counts once"
-    // (src/queryinterpreter.cpp:242-255): duplicate (node, row) pairs can
-    // only arise WITHIN one row's entry array — identical structs — so an
-    // in-row array_distinct replaces a whole-frame dropDuplicates, whose
-    // first()-over-strings buffer forced a SortAggregate + an extra shuffle
     val exploded = filtered
       .withColumn("__n",
-        explode(array_distinct(filter(array(entries: _*), x => x.isNotNull))))
+        explode(array_distinct(filter(all, x => x.isNotNull))))
       .select(nodeCols ++ needed.map(col): _*)
     exploded.groupBy(pathCols.map(col): _*)
       .agg(aggs.head._2.as(aggs.head._1),
@@ -974,7 +1071,21 @@ object TierA {
     }
     val lead = er.body.takeWhile(s => isVarAssign(s) || isAccumIf(s))
     val bodyRest = er.body.drop(lead.length)
-    if (hasAssign(bodyRest) || hasLoop(er.body)) return None
+    if (hasAssign(bodyRest)) return None
+    // nested loops (round 8): at most ONE chain step (continue().next()),
+    // depth 2, loop- and assignment-free inside — reads below it observe
+    // the SPAWNING visit's value, which chainPlan enumerates per spawn
+    def directLoops(sts: Seq[Stmt]): Seq[Stmt] = sts.flatMap {
+      case e: EachRow   => Seq(e)
+      case f: ForIn     => Seq(f)
+      case If(_, t, e2) => directLoops(t) ++ directLoops(e2)
+      case _            => Nil
+    }
+    val chainStep: Option[EachRow] = directLoops(bodyRest) match {
+      case Seq()                                                      => None
+      case Seq(e: EachRow) if isChainStep(e.mods) && !hasLoop(e.body) => Some(e)
+      case _                                                          => return None
+    }
     val bodyAssigns = lead.flatMap {
       case a: Assign    => Seq(a)
       case If(_, t, e2) => (t ++ e2).collect { case a: Assign => a }
@@ -992,10 +1103,18 @@ object TierA {
     // no reads where the window column can't exist or semantics differ
     if (readsName(er.where, dR)) return None
     if (program.select.exists(s => dR(s.prop) || s.withKey.exists(dR))) return None
+    // reads inside ever/never OPERANDS now compile (round 8): the
+    // interpreter evaluates the operand once per visit in the visiting
+    // row's scope, which personTestColumns models as a scanned-prop
+    // aggregate compared at the current row (unsupported op / non-numeric
+    // prop shapes decline there, falling through to Tier B). What must
+    // still decline HERE: reads in FRAME expressions (frameBounds evaluates
+    // them mid-visit into window bounds no fixed WindowSpec can carry) and
+    // reads under a `.next()`-shifted test (cursor-dependent scan start).
     def everReads(e: Expr): Boolean = e match {
-      case PropTest(_, k, cmp, frame, _) =>
-        ((k == "ever" || k == "never") &&
-          (cmp.operand +: frame.toSeq.flatMap(frameExprs)).exists(readsName(_, dR))) ||
+      case PropTest(_, _, cmp, frame, nx) =>
+        frame.toSeq.flatMap(frameExprs).exists(readsName(_, dR)) ||
+          (nx && readsName(cmp.operand, dR)) ||
           everReads(cmp.operand)
       case ListLit(xs) => xs.exists(everReads)
       case SetLit(xs)  => xs.exists(everReads)
@@ -1009,6 +1128,27 @@ object TierA {
       case _ => false
     }
     if (allReads.exists(everReads)) return None
+    chainStep.foreach { e =>
+      // the inner where / frame / limit evaluate DURING the spawn's scan —
+      // reads there are not the spawn-constant the entry transform models
+      if (readsName(e.where, dR)) return None
+      if ((e.mods.from.toSeq ++ e.mods.limit.toSeq ++
+           e.mods.frame.toSeq.flatMap(frameExprs)).exists(readsName(_, dR)))
+        return None
+      // ever/never operands below the chain step can't reach the per-spawn
+      // binds (personTestColumns compiles operands against frame columns)
+      def everOpnd(x: Expr): Boolean = x match {
+        case PropTest(_, k, cmp, _, _) =>
+          ((k == "ever" || k == "never") && readsName(cmp.operand, dR)) ||
+            everOpnd(cmp.operand)
+        case BinOp(_, l, r) => everOpnd(l) || everOpnd(r)
+        case UnOp(_, x2)    => everOpnd(x2)
+        case Call(_, as)    => as.exists(everOpnd)
+        case ListLit(xs)    => xs.exists(everOpnd)
+        case _ => false
+      }
+      if ((e.where +: readPositions(e.body)).exists(everOpnd)) return None
+    }
     // a guard evaluates mid-visit, BETWEEN increments: any reference to an
     // assigned name there is either a partial-sum read (as a variable) or a
     // shadowing row column sharing the name — both stay interpreted. And
@@ -1091,11 +1231,18 @@ object TierA {
   /** Rewrite reads of accumulator names to their materialized window
     * column (`PropRef("__acc_<n>")` compiles to the column [[compile]]
     * adds over the visited-row frame). Assignment targets keep their name
-    * — flattenBody drops the statements whole. */
+    * — flattenBody drops the statements whole.
+    *
+    * Level-aware (round 8): reads INSIDE a nested chain-step loop observe
+    * the SPAWNING top visit's value, not the current row's running count —
+    * those rewrite to `__accs_<n>`, which chainPlan binds per spawn value
+    * inside the entry-array transform. */
   private def substAccums(er: EachRow, names: Set[String]): EachRow = {
+    var inChain = false
+    def pfx = if (inChain) "__accs_" else "__acc_"
     def sx(e: Expr): Expr = e match {
-      case VarRef(n) if names(n)  => PropRef("__acc_" + n)
-      case PropRef(n) if names(n) => PropRef("__acc_" + n)
+      case VarRef(n) if names(n)  => PropRef(pfx + n)
+      case PropRef(n) if names(n) => PropRef(pfx + n)
       case ListLit(xs) => ListLit(xs.map(sx))
       case SetLit(xs)  => SetLit(xs.map(sx))
       case DictLit(ps) => DictLit(ps.map { case (k, v) => (sx(k), sx(v)) })
@@ -1121,6 +1268,12 @@ object TierA {
       case If(c, b, e)       => If(sx(c), b.map(st), e.map(st))
       case Tally(gs)         => Tally(gs.map(sx))
       case ForIn(v, it, b)   => ForIn(v, sx(it), b.map(st))
+      case EachRow(m, w, b) if isChainStep(m) && !inChain =>
+        // reads at or below the chain step observe the spawn's value
+        inChain = true
+        val r = EachRow(m, sx(w), b.map(st))
+        inChain = false
+        r
       case EachRow(m, w, b)  => EachRow(m, sx(w), b.map(st))
       case Return(v)         => Return(v.map(sx))
       case ExprStmt(e)       => ExprStmt(sx(e))
@@ -1159,10 +1312,34 @@ object TierA {
     *    stamp bounds (first/last via min/max(stamp) person windows);
     *  - cursor-anchored look_back/look_ahead/within -> a RANGE window frame
     *    on stamp, [lo, hi] inclusive like the interpreter's bounds.
-    * A test whose frame shape is not expressible poisons compilation
-    * (returns None) — correctness never falls through to a wrong column. */
-  private def personTestColumns(exprs: Seq[Expr], now: Long)
-      : Option[Seq[(PropTest, Column)]] = {
+    *
+    * Returns per test `(pt, windowCol, mkPred)`: the caller materializes
+    * `windowCol` as `__pt{i}` on the PRE-FILTER frame and maps the test to
+    * `mkPred(col("__pt{i}"))` wherever it appears.
+    *
+    * Two operand classes (round 8):
+    *  - ROW-INDEPENDENT operands (literals / `now`): the test is a
+    *    per-person constant — one exists-window, predicate `== 1/0`.
+    *  - CURRENT-ROW-DEPENDENT operands (accumulator reads, row props,
+    *    `stamp`): the interpreter evaluates the operand ONCE per visit in
+    *    the visiting row's scope (Interpreter.applyCmp evals `cmp.operand`
+    *    against the CURSOR row) and compares every scanned row's prop to
+    *    it — so the window must aggregate the SCANNED rows' prop values
+    *    (min/max/collect_set + a null-row flag) and the comparison happens
+    *    OUTSIDE the window, against the current row. Supported for numeric
+    *    props with ==/!=/>/>=/</<= (`rowCtx` supplies the schema);
+    *    anything else declines — including every row-dependent operand in
+    *    segment context (`rowCtx = None`), where no current row exists.
+    *    Null semantics mirror Value.eq/cmp exactly: a null (VNone) scanned
+    *    value never ==-matches, always !=-matches a non-null operand, and
+    *    under the interpreter's string-fallback compare ("" vs digits)
+    *    matches `<`/`<=` but never `>`/`>=`; a null operand (1/0) compares
+    *    as "" against digit strings.
+    * A test whose shape is not expressible poisons compilation (returns
+    * None) — correctness never falls through to a wrong column. */
+  private def personTestColumns(exprs: Seq[Expr], now: Long,
+                                rowCtx: Option[DataFrame] = None)
+      : Option[Seq[(PropTest, Column, Column => Column)]] = {
     val tests = scala.collection.mutable.LinkedHashSet.empty[PropTest]
     var sawUncompilable = false
     def walk(e: Expr): Unit = e match {
@@ -1195,45 +1372,124 @@ object TierA {
       case Lit(VDbl(d)) => Some(d.toLong)
       case _ => None
     }
-    def boundedExists(rowPred: Column, lo: Column, hi: Column): Column =
-      max(when(rowPred && col("stamp").between(lo, hi), 1)).over(person)
-    def rangeExists(rowPred: Column, lo: Long, hi: Long): Column = {
+    // the scanned-row set as (value projection, window): bounded frames
+    // fold stamp bounds into the projection over the person partition;
+    // cursor-anchored frames become RANGE windows on stamp
+    final case class EvScan(proj: Column => Column,
+                            w: org.apache.spark.sql.expressions.WindowSpec)
+    def bounded(lo: Column, hi: Column) =
+      EvScan(c => when(col("stamp").between(lo, hi), c), person)
+    def ranged(lo: Long, hi: Long) = {
       val loB = if (lo == Long.MinValue) W.unboundedPreceding else lo
       val hiB = if (hi == Long.MaxValue) W.unboundedFollowing else hi
-      max(when(rowPred, 1)).over(person.orderBy(col("stamp")).rangeBetween(loB, hiB))
+      EvScan(identity,
+        person.orderBy(col("stamp")).rangeBetween(loB, hiB))
     }
+    def scanOf(pt: PropTest): Option[EvScan] = pt.frame match {
+      case None => Some(EvScan(identity, person))
+      case Some(Within(span, anchor)) =>
+        (spanMs(span), anchorCol(anchor)) match {
+          case (Some(s), Some(a)) => Some(bounded(a - s, a + s))
+          case (Some(s), None) if anchor == PropRef("stamp") || anchor == VarRef("stamp") =>
+            Some(ranged(-s, s))
+          case _ => None
+        }
+      case Some(LookBack(span, anchor)) =>
+        (spanMs(span), anchor) match {
+          case (Some(s), None) => // cursor-anchored
+            Some(ranged(if (s == Long.MaxValue) Long.MinValue else -s, 0L))
+          case (Some(s), Some(a)) => anchorCol(a).map(ac =>
+            bounded(if (s == Long.MaxValue) lit(Long.MinValue) else ac - s, ac))
+          case _ => None
+        }
+      case Some(LookAhead(span, anchor)) =>
+        (spanMs(span), anchor) match {
+          case (Some(s), None) =>
+            Some(ranged(0L, if (s == Long.MaxValue) Long.MaxValue else s))
+          case (Some(s), Some(a)) => anchorCol(a).map(ac =>
+            bounded(ac, if (s == Long.MaxValue) lit(Long.MaxValue) else ac + s))
+          case _ => None
+        }
+      case Some(DateRange(s, e)) =>
+        for (lo <- anchorCol(s); hi <- anchorCol(e)) yield bounded(lo, hi)
+    }
+    // names the operand reads ("now" is a constant, not a row read)
+    def opndRefs(e: Expr): Set[String] = e match {
+      case VarRef(n)  => Set(n) - "now"
+      case PropRef(n) => Set(n) - "now"
+      case BinOp(_, l, r) => opndRefs(l) ++ opndRefs(r)
+      case UnOp(_, x)     => opndRefs(x)
+      case Call(_, as)    => as.flatMap(opndRefs).toSet
+      case ListLit(xs)    => xs.flatMap(opndRefs).toSet
+      case _ => Set.empty
+    }
+    val numericProps: Set[String] = rowCtx.toSeq.flatMap(_.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] => f.name
+    }).toSet ++ Set("stamp", "event_time")
+    // operand must stay in the interpreter's NUMERIC compare branch
+    // (Value.cmp/eq go string-wise the moment either side is non-numeric)
+    def numOpnd(e: Expr): Boolean = e match {
+      case Lit(VInt(_)) | Lit(VDbl(_)) => true
+      case VarRef(n)  => n == "now" || n.startsWith("__acc_") || numericProps(n)
+      case PropRef(n) => n == "now" || n.startsWith("__acc_") || numericProps(n)
+      case BinOp(op, l, r) => Set("+", "-", "*", "/")(op) && numOpnd(l) && numOpnd(r)
+      case UnOp("-", x) => numOpnd(x)
+      case Call(_, as)  => as.forall(numOpnd) // marshal fns are all numeric
+      case _ => false
+    }
+    val aggOps = Set("==", "!=", ">", ">=", "<", "<=")
     traverse(tests.toSeq.map { pt =>
-      compileCmp(col(pt.prop), pt.cmp, now).flatMap { rowPred =>
-        pt.frame match {
-          case None => Some(pt -> max(when(rowPred, 1)).over(person))
-          case Some(Within(span, anchor)) =>
-            (spanMs(span), anchorCol(anchor)) match {
-              case (Some(s), Some(a)) => Some(pt -> boundedExists(rowPred, a - s, a + s))
-              case (Some(s), None) if anchor == PropRef("stamp") || anchor == VarRef("stamp") =>
-                Some(pt -> rangeExists(rowPred, -s, s))
-              case _ => None
+      val propCol = if (pt.prop == "event_time") col("stamp") else col(pt.prop)
+      if (opndRefs(pt.cmp.operand).isEmpty) {
+        // row-independent operand: per-person-constant exists window
+        for {
+          rowPred <- compileCmp(propCol, pt.cmp, now)
+          sc <- scanOf(pt)
+        } yield (pt, max(sc.proj(when(rowPred, 1))).over(sc.w),
+          (c: Column) =>
+            coalesce(c, lit(0)) === (if (pt.kind == "ever") 1 else 0))
+      } else {
+        // current-row-dependent operand: aggregate the scanned props, compare
+        // at the visiting row (only meaningful where a current row exists)
+        for {
+          _ <- rowCtx
+          _ <- if (aggOps(pt.cmp.op) && numericProps(pt.prop) &&
+                   numOpnd(pt.cmp.operand)) Some(()) else None
+          o <- compileExpr(pt.cmp.operand, now)
+          sc <- scanOf(pt)
+        } yield {
+          val needs = pt.cmp.op match {
+            case ">"          => Seq("mx")
+            case ">="         => Seq("mx", "hn")
+            case "<" | "<="   => Seq("mn", "hn")
+            case "==" | "!="  => Seq("vs", "hn")
+          }
+          val fieldCols = needs.map {
+            case "mx" => max(sc.proj(propCol)).over(sc.w).as("mx")
+            case "mn" => min(sc.proj(propCol)).over(sc.w).as("mn")
+            case "vs" => collect_set(sc.proj(propCol)).over(sc.w).as("vs")
+            case "hn" => max(sc.proj(when(propCol.isNull, lit(1)))).over(sc.w).as("hn")
+          }
+          val winCol = struct(fieldCols: _*)
+          val mk = (c: Column) => {
+            def f(n: String) = c.getField(n)
+            def hn = coalesce(f("hn") === 1, lit(false))
+            // null-operand (VNone, e.g. 1/0) rows compare via the
+            // interpreter's string fallback — see the scaladoc table
+            val found = pt.cmp.op match {
+              case ">"  => when(o.isNull, f("mx").isNotNull).otherwise(f("mx") > o)
+              case ">=" => when(o.isNull, f("mx").isNotNull || hn).otherwise(f("mx") >= o)
+              case "<"  => when(o.isNull, lit(false)).otherwise(hn || f("mn") < o)
+              case "<=" => when(o.isNull, hn).otherwise(hn || f("mn") <= o)
+              case "==" => when(o.isNull, hn)
+                .otherwise(coalesce(exists(f("vs"), x => x === o), lit(false)))
+              case "!=" => when(o.isNull, size(f("vs")) > 0)
+                .otherwise(hn || coalesce(exists(f("vs"), x => x =!= o), lit(false)))
             }
-          case Some(LookBack(span, anchor)) =>
-            (spanMs(span), anchor) match {
-              case (Some(s), None) => // cursor-anchored
-                Some(pt -> rangeExists(rowPred, if (s == Long.MaxValue) Long.MinValue else -s, 0L))
-              case (Some(s), Some(a)) => anchorCol(a).map(ac =>
-                pt -> boundedExists(rowPred,
-                  if (s == Long.MaxValue) lit(Long.MinValue) else ac - s, ac))
-              case _ => None
-            }
-          case Some(LookAhead(span, anchor)) =>
-            (spanMs(span), anchor) match {
-              case (Some(s), None) =>
-                Some(pt -> rangeExists(rowPred, 0L, if (s == Long.MaxValue) Long.MaxValue else s))
-              case (Some(s), Some(a)) => anchorCol(a).map(ac =>
-                pt -> boundedExists(rowPred, ac,
-                  if (s == Long.MaxValue) lit(Long.MaxValue) else ac + s))
-              case _ => None
-            }
-          case Some(DateRange(s, e)) =>
-            for (lo <- anchorCol(s); hi <- anchorCol(e))
-              yield pt -> boundedExists(rowPred, lo, hi)
+            val p = coalesce(found, lit(false))
+            if (pt.kind == "ever") p else !p
+          }
+          (pt, winCol, mk)
         }
       }
     })
@@ -1389,11 +1645,10 @@ object TierA {
       val exprs = levels.map(_.where) ++ levels.flatMap(_.guard) :+ ret
       val pts = personTestColumns(exprs, now).get
       val base = pts.zipWithIndex.foldLeft(events) {
-        case (df, ((_, winCol), i)) => df.withColumn(s"__pt$i", winCol)
+        case (df, ((_, winCol, _), i)) => df.withColumn(s"__pt$i", winCol)
       }
       val real: Map[PropTest, Column] = pts.zipWithIndex.map {
-        case ((pt, _), i) =>
-          pt -> (coalesce(col(s"__pt$i"), lit(0)) === (if (pt.kind == "ever") 1 else 0))
+        case ((pt, _, mk), i) => pt -> mk(col(s"__pt$i"))
       }.toMap
       val (df, eligible, levelPreds) = chainWitnesses(base, levels, now, real)
       val memberRow = levelPreds.last && eligible.last &&
@@ -1413,7 +1668,7 @@ object TierA {
       val exprs = levels.map(_.where) ++ levels.flatMap(_.guard) :+ ret
       personTestColumns(exprs, now) match {
         case Some(pts) =>
-          val ph = pts.map { case (pt, _) => pt -> (lit(true): Column) }.toMap
+          val ph = pts.map { case (pt, _, _) => pt -> (lit(true): Column) }.toMap
           exprs.forall(e => compileExpr(e, now, ph).isDefined)
         case None => false
       }
@@ -1703,9 +1958,14 @@ object TierA {
     * doubles render without a decimal point. The rewrite applies only to
     * NUMERIC-typed keys — Interpreter.canonKey rewrites VDbl only, so string
     * keys ('007', ' 7', '1e3') must pass through verbatim in both tiers. */
-  private def canonKey(df: org.apache.spark.sql.DataFrame, c: Column): Column = {
-    val numeric = df.select(c).schema.head.dataType
-      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+  private def canonKey(df: org.apache.spark.sql.DataFrame, c: Column): Column =
+    canonPure(c, df.select(c).schema.head.dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType])
+
+  /** The type-independent half of [[canonKey]]: callers that already know
+    * whether the key is numeric (e.g. a lambda-bound spawn value, which
+    * cannot be schema-probed) canonicalize without a DataFrame. */
+  private def canonPure(c: Column, numeric: Boolean): Column =
     if (!numeric) c.cast("string")
     else {
       val asD = c.cast("double")
@@ -1714,7 +1974,6 @@ object TierA {
           asD.cast("long").cast("string"))
         .otherwise(c.cast("string"))
     }
-  }
 
   private def compileAgg(s: SelectCol): Option[(String, Column)] = s.agg match {
     case "count" if s.prop == "id" && s.withKey.isEmpty =>
@@ -1771,8 +2030,13 @@ object TierA {
   /** Compile the supported expression subset; None = not Tier-A-able.
     * `person` maps the person-constant ever/never tests (already
     * materialized as window-exists columns) to their boolean columns. */
+  /** `binds` resolves names to caller-supplied Columns BEFORE the default
+    * `col(n)` — the hook that lets chain-accumulator reads compile inside a
+    * higher-order `transform` lambda (the name binds to the lambda
+    * variable's struct field, not to a frame column). */
   def compileExpr(e: Expr, now: Long,
-                  person: Map[PropTest, Column] = Map.empty): Option[Column] = e match {
+                  person: Map[PropTest, Column] = Map.empty,
+                  binds: Map[String, Column] = Map.empty): Option[Column] = e match {
     case pt: PropTest if person.contains(pt) => Some(person(pt))
     case Lit(VInt(i)) => Some(lit(i))
     case Lit(VDbl(d)) => Some(lit(d))
@@ -1780,23 +2044,25 @@ object TierA {
     case Lit(VBool(b)) => Some(lit(b))
     case Lit(VNone) => Some(lit(null))
     case VarRef("now") | PropRef("now") => Some(lit(now))
+    case VarRef(n) if binds.contains(n)  => Some(binds(n))
+    case PropRef(n) if binds.contains(n) => Some(binds(n))
     case VarRef("stamp") | PropRef("stamp") => Some(col("stamp"))
     case VarRef("event_time") => Some(col("stamp"))
     case VarRef(n) => Some(col(n)) // row property (validated by analyzer)
     case PropRef(n) => Some(col(n))
-    case ListLit(items) => traverse(items.map(compileExpr(_, now, person))).map(array(_: _*))
+    case ListLit(items) => traverse(items.map(compileExpr(_, now, person, binds))).map(array(_: _*))
 
-    case UnOp("!", x) => compileExpr(x, now, person).map(!_)
-    case UnOp("-", x) => compileExpr(x, now, person).map(c => -c)
+    case UnOp("!", x) => compileExpr(x, now, person, binds).map(!_)
+    case UnOp("-", x) => compileExpr(x, now, person, binds).map(c => -c)
 
     case BinOp(op, l, r) =>
-      for { lc <- compileExpr(l, now, person); rc <- compileExpr(r, now, person); c <- binop(op, lc, rc) } yield c
+      for { lc <- compileExpr(l, now, person, binds); rc <- compileExpr(r, now, person, binds); c <- binop(op, lc, rc) } yield c
 
     case PropTest(prop, kind, cmp, None, false) if kind == "is" || kind == "is_not" =>
-      compileCmp(col(prop), cmp, now).map(c => if (kind == "is") c else !c)
+      compileCmp(col(prop), cmp, now, binds).map(c => if (kind == "is") c else !c)
 
     case Call(name, args) =>
-      traverse(args.map(compileExpr(_, now, person))).flatMap(as => marshal(name, as))
+      traverse(args.map(compileExpr(_, now, person, binds))).flatMap(as => marshal(name, as))
 
     case _ => None // frames, ever/never, inline aggs, containers -> Tier B
   }
@@ -1820,8 +2086,9 @@ object TierA {
     case _ => None
   }
 
-  private def compileCmp(prop: Column, cmp: Comparator, now: Long): Option[Column] =
-    compileExpr(cmp.operand, now).flatMap { o =>
+  private def compileCmp(prop: Column, cmp: Comparator, now: Long,
+                         binds: Map[String, Column] = Map.empty): Option[Column] =
+    compileExpr(cmp.operand, now, binds = binds).flatMap { o =>
       cmp.op match {
         case "==" => Some(prop === o)
         case "!=" => Some(prop =!= o)

@@ -45,7 +45,8 @@ object Streams {
     */
   def startIngest(stream: DataFrame, dir: String, checkpoint: String,
                   onInsertSegments: Map[String, SegmentFn] = Map.empty,
-                  trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery = {
+                  trigger: Trigger = Trigger.ProcessingTime(0L),
+                  afterBatch: () => Unit = () => ()): StreamingQuery = {
     // Trigger.AvailableNow terminates once the data available AT START is
     // drained — use it for scheduled catch-up jobs, not live ingest.
     stream.writeStream
@@ -53,6 +54,10 @@ object Streams {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatch(batch, dir, onInsertSegments, batchId)
+        // post-batch hook: subscription push delivery rides here (the
+        // reference broker notifies subscribers as messages enqueue,
+        // src/message_broker.h:19-130)
+        afterBatch()
         ()
       }
       .start()
@@ -327,8 +332,11 @@ object Streams {
     * One streaming aggregation: tokens hash in-row (compiled kernel), and
     * a typed Aggregator buffers the buckets-sized count vector per open
     * (window, group) cell — state is O(open windows × groups × buckets),
-    * never O(tokens). The finish pass sums the full smoothed domain, so
-    * the value matches the batch operator's formula exactly. */
+    * never O(tokens). The finish pass applies the same smoothed
+    * full-domain formula as the batch operator — but double-summed, not
+    * the batch path's 8-decimal DECIMAL(28,8) recipe, so the two can
+    * differ in the low decimals (the spec checks against an independent
+    * double-precision computation, not against groupDriftKL's hash). */
   def driftStream(stream: DataFrame, groupCol: String, textCol: String,
                   tsCol: String, reference: Array[Double],
                   windowDur: String = "10 minutes",

@@ -196,6 +196,74 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("subscription push delivery: webhook drain, at-least-once retry, retention") {
+    val api = freshApi()
+    api.tableCreate(highstreetMeta)
+    val now = 1704067200000L
+    val script =
+      """@segment buyers refresh=300
+        |if event.ever(== 'purchase')
+        |  return(true)
+        |end
+        |""".stripMargin
+    // a local webhook endpoint with a switchable failure mode
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val failing = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/hook", { exchange =>
+      val body = new String(exchange.getRequestBody.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val code = if (failing.get()) 500 else 200
+      if (code == 200) received.add(body): Unit
+      exchange.sendResponseHeaders(code, -1)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/hook"
+      api.insert("highstreet", Seq(
+        """{"id":"u1","stamp":"1704067200","event":"purchase","product_name":"rod","product_price":9.5}"""),
+        nowMs = now)
+      api.subscriptionCreate("highstreet", "buyers", "hooked", nowMs = now,
+        pushUrl = Some(url))
+      // refresh appends the diff AND drains push subscribers
+      api.segmentRefresh("highstreet", script, nowMs = now + 1000)
+      assert(received.size == 1, s"expected one delivery, got ${received.size}")
+      val first = received.poll()
+      assert(first.contains("\"uid\":\"u1\"") && first.contains("\"state\":\"entered\"")
+        && first.contains("\"count\":1"))
+      // no new events -> no POST (empty batches are not delivered)
+      api.segmentRefresh("highstreet", script, nowMs = now + 2000)
+      assert(received.isEmpty)
+      // webhook down: delivery fails, cursor must NOT advance
+      failing.set(true)
+      api.insert("highstreet", Seq(
+        """{"id":"u2","stamp":"1704067300","event":"purchase","product_name":"net","product_price":3.0}"""),
+        nowMs = now)
+      val failReport = {
+        api.segmentRefresh("highstreet", script, nowMs = now + 3000)
+        // refresh drained against the failing hook; drain again to inspect
+        failing.set(false)
+        api.subscriptionPushDrain("highstreet", nowMs = now + 4000)
+      }
+      assert(failReport.contains("\"delivered\":1"), failReport)
+      val retried = received.poll()
+      assert(retried != null && retried.contains("\"uid\":\"u2\""),
+        "failed delivery must be retried from the unadvanced cursor")
+      // cursor advanced after the successful retry: nothing pending now
+      val again = api.subscriptionPushDrain("highstreet", nowMs = now + 5000)
+      assert(again.contains("\"delivered\":0"))
+      assert(received.isEmpty)
+      // retention bounds the replay window: a push sub whose retention has
+      // already elapsed sees none of the old events
+      api.subscriptionCreate("highstreet", "buyers", "late", nowMs = now + 7200000,
+        retentionMs = 1000, pushUrl = Some(url))
+      api.subscriptionPushDrain("highstreet", nowMs = now + 7200000)
+      assert(received.isEmpty, "events past retention must not be delivered")
+    } finally server.stop(0)
+  }
+
   test("property query: search modes, bucket, order, trim, per-segment counts") {
     val api = freshApi()
     api.tableCreate(highstreetMeta)

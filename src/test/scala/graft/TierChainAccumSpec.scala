@@ -1,0 +1,171 @@
+package graft
+
+import graft.osl._
+
+/** Round-8 Tier A feature: accumulators on 2-level continue().next()
+  * chains — increments lead the TOP body, reads below the chain step
+  * observe the SPAWNING visit's running value, and a row is visited once
+  * per visited spawn strictly before it (so a read-keyed tally can land
+  * one row in SEVERAL nodes — one per distinct spawn value — while tally
+  * dedup stays per (row, node)). Tier B is the authority. */
+class TierChainAccumSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Mon = 1704067200000L
+  private val H = 3600000L
+
+  // unique stamps per person (chain semantics are order-dependent)
+  private lazy val world = {
+    val rnd = new scala.util.Random(13)
+    val events = Seq("purchase", "view", "signup", "error")
+    val products = Seq("rod", "reel", "net", "fly")
+    (0 until 60).map { i =>
+      (s"u${i % 5}", Mon + (i / 5) * 5 * H + (i % 5) * H,
+        events(rnd.nextInt(4)), products(rnd.nextInt(4)),
+        math.round(rnd.nextDouble() * 10000) / 100.0)
+    }.toDF("id", "stamp", "event", "product_name", "product_price").cache()
+  }
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Set[Vector[String]] = {
+    val cols = df.columns
+    df.collect().map(r => cols.indices.map(i =>
+      Option(r.get(i)).map {
+        case d: Double => (math.round(d * 10000) / 10000.0).toString
+        case o => o.toString
+      }.orNull).toVector).toSet
+  }
+
+  private def diff(script: String, expectTierA: Boolean = true): Unit = {
+    val p = Parser.program(script)
+    assert(TierA.compile(p, world, Mon + 100 * H, 1800000L).isDefined == expectTierA,
+      s"Tier A compile expected=$expectTierA for:\n$script")
+    val a = canon(OslEngine.query(world, script, now = Mon + 100 * H))
+    val b = canon(OslEngine.query(world, script, now = Mon + 100 * H,
+      forceTierB = true))
+    assert(a == b, s"tier mismatch:\n$script\nA=$a\nB=$b")
+  }
+
+  private val sel =
+    "select\n  count id as customers\n  count event as n_rows\n  sum product_price as total\nend\n"
+
+  test("spawn-counter read in inner tally group") {
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(== 'signup')
+         |  n += 1
+         |  each_row.continue().next() where event.is(== 'purchase')
+         |    << n, event
+         |  end
+         |end
+         |""".stripMargin)
+  }
+
+  test("same-node collapse: bucket(n, 2) maps distinct spawn values together") {
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(!= 'error')
+         |  n += 1
+         |  each_row.continue().next() where event.is(== 'view')
+         |    << bucket(n, 2), product_name
+         |  end
+         |end
+         |""".stripMargin)
+  }
+
+  test("inner if-condition reads the spawn value") {
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(== 'signup')
+         |  n += 1
+         |  each_row.continue().next() where event.is(!= 'error')
+         |    if n <= 2
+         |      << 'early_spawn', event
+         |    end
+         |    << 'all', event
+         |  end
+         |end
+         |""".stripMargin)
+  }
+
+  test("guarded increment at top + top tally reads + inner reads") {
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(!= 'error')
+         |  if event.is(== 'purchase')
+         |    n = n + 1
+         |  end
+         |  << 'top', n
+         |  each_row.continue().next() where product_price.is(> 10)
+         |    << 'chain', n
+         |  end
+         |end
+         |""".stripMargin)
+  }
+
+  test("guard on the chain step gates which spawns count") {
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(!= 'error')
+         |  n += 1
+         |  if product_price.is(> 30)
+         |    each_row.continue().next() where event.is(== 'view')
+         |      << n, event
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
+  }
+
+  test("top .limit and .reverse compose with chain reads") {
+    diff(
+      s"""${sel}n = 0
+         |each_row.limit(3) where event.is(!= 'error')
+         |  n += 1
+         |  each_row.continue().next() where event.is(== 'purchase')
+         |    << bucket(n, 3), event
+         |  end
+         |end
+         |""".stripMargin)
+    diff(
+      s"""${sel}n = 0
+         |each_row.reverse() where event.is(== 'view')
+         |  n += 2
+         |  each_row.continue().next() where event.is(== 'purchase')
+         |    << n, event
+         |  end
+         |end
+         |""".stripMargin)
+  }
+
+  test("declines stay Tier B: inner limit, inner where read, depth 3, is-read in inner where") {
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(!= 'error')
+         |  n += 1
+         |  each_row.continue().next().limit(1) where event.is(== 'view')
+         |    << n, event
+         |  end
+         |end
+         |""".stripMargin, expectTierA = false)
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(!= 'error')
+         |  n += 1
+         |  each_row.continue().next() where product_price.is(> n)
+         |    << 'deep', event
+         |  end
+         |end
+         |""".stripMargin, expectTierA = false)
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(== 'signup')
+         |  n += 1
+         |  each_row.continue().next() where event.is(== 'view')
+         |    each_row.continue().next() where event.is(== 'purchase')
+         |      << n, event
+         |    end
+         |  end
+         |end
+         |""".stripMargin, expectTierA = false)
+  }
+}

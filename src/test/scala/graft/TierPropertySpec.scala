@@ -138,6 +138,8 @@ class TierPropertySpec extends SparkSpec {
       val mods = genMods.pureApply(params, s0.next.next)
       val g2 = genGroup.pureApply(params, s0.next.next.next)
       val incLine = if (inc.isEmpty) "" else s"  $inc\n"
+      // round 8: the accumulator is also read inside an ever-test OPERAND —
+      // the scanned-prop-aggregate compile path (personTestColumns)
       val script =
         s"""select
            |  count id as customers
@@ -148,6 +150,9 @@ class TierPropertySpec extends SparkSpec {
            |$incLine  << $read, $g2
            |  if n <= 6
            |    << 'low', $g2
+           |  end
+           |  if product_price.ever(>= n * 25)
+           |    << 'ever_hit', $g2
            |  end
            |end
            |""".stripMargin
@@ -465,6 +470,69 @@ class TierPropertySpec extends SparkSpec {
         case _: IllegalArgumentException => () // the classified parse error
         case e: Throwable => fail(s"unclassified ${e.getClass} on sample $i:\n$s")
       }
+    }
+  }
+
+  // chain accumulators (round 8): increment leads the TOP body, reads sit
+  // below the chain step and observe the SPAWNING visit's value — compiled
+  // as per-spawn entry enumeration (one tally per distinct spawn value)
+  test("chain accumulators: Tier A == Tier B (20 seeded samples)") {
+    val params = Gen.Parameters.default
+    val genInc = Gen.oneOf("n += 1", "n = n + 2", "n -= 1")
+    val genGuardedInc = Gen.option(Gen.oneOf(
+      "if event.is(== 'purchase')\n    n += 3\n  end",
+      "if product_price.is(> 40)\n    n = n + 1\n  end"))
+    val genRead = Gen.oneOf("n", "bucket(n, 2)", "n + 10")
+    val genTopMods = Gen.oneOf("", "", ".limit(3)", ".reverse()")
+    val genChainGuard = Gen.option(Gen.oneOf(
+      "event.is(!= 'error')", "product_price.is(> 20)"))
+    val genTopTally = Gen.oneOf(true, false)
+    (1 to 20).foreach { i =>
+      val s0 = Seed(i.toLong * 7368787)
+      val w0 = genWhere.pureApply(params, s0)
+      val w1 = genWhere.pureApply(params, s0.next)
+      val inc = genInc.pureApply(params, s0.next.next)
+      val ginc = genGuardedInc.pureApply(params, s0.next.next.next)
+      val read = genRead.pureApply(params, s0.slide)
+      val mods = genTopMods.pureApply(params, s0.slide.next)
+      val cg = genChainGuard.pureApply(params, s0.slide.next.next)
+      val g2 = genGroup.pureApply(params, s0.slide.next.next.next)
+      val topTally = genTopTally.pureApply(params, s0.slide.slide)
+      val gincLine = ginc.map(g => s"  $g\n").getOrElse("")
+      val topTallyLine = if (topTally) s"  << 'top', $read\n" else ""
+      val inner =
+        s"""each_row.continue().next() where $w1
+           |    << $read, $g2
+           |    if n <= 4
+           |      << 'low_spawn'
+           |    end
+           |  end""".stripMargin
+      val innerG = cg match {
+        case Some(g) =>
+          s"""if $g
+             |    ${inner.linesIterator.mkString("\n  ")}
+             |  end""".stripMargin
+        case None => inner
+      }
+      val script =
+        s"""select
+           |  count id as customers
+           |  count event as n_rows
+           |  sum product_price as total
+           |end
+           |n = 0
+           |each_row$mods where $w0
+           |  $inc
+           |$gincLine$topTallyLine  $innerG
+           |end
+           |""".stripMargin
+      val p = Parser.program(script)
+      assert(TierA.compile(p, chainWorld, Mon + 100 * H, 1800000L).isDefined,
+        s"chain-accum sample $i did not compile to Tier A:\n$script")
+      val a = canon(OslEngine.query(chainWorld, script, now = Mon + 100 * H))
+      val b = canon(OslEngine.query(chainWorld, script, now = Mon + 100 * H,
+        forceTierB = true))
+      assert(a == b, s"chain-accum mismatch on sample $i:\n$script\nA=$a\nB=$b")
     }
   }
 
