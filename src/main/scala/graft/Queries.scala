@@ -3159,7 +3159,51 @@ object Queries {
         UNION ALL
         SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
           COUNT(DISTINCT id), COUNT(*)
-        FROM pairs GROUP BY i"""))
+        FROM pairs GROUP BY i""")),
+
+    // Round-8 Tier A widening: a NON-LITERAL accumulator — running spend
+    // (`spend = spend + value` under a purchase guard), read as a bucketed
+    // tally key. Compiles to a conditional double running-sum window whose
+    // add sequence is exactly the interpreter's fold. Oracle: the same
+    // cumulative conditional sum (both engines stream the default
+    // cumulative frame sequentially in (stamp) order, so the double sums
+    // agree bit-for-bit; the hash gate would catch an engine that didn't).
+    Q("q_osl_prop_accum",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |spend = 0
+            |each_row where stamp.is(> 0)
+            |  if event.is(== 'purchase')
+            |    spend = spend + value
+            |  end
+            |  << bucket(spend, 200), event
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"))
+      },
+      Some(s"""$E, p AS (
+          SELECT id, event,
+            SUM(CASE WHEN event = 'purchase' THEN value ELSE 0 END)
+              OVER (PARTITION BY id ORDER BY stamp
+                    ROWS UNBOUNDED PRECEDING) AS spend
+          FROM e WHERE stamp > 0),
+        k AS (
+          SELECT id, event,
+            CAST(CAST(FLOOR(spend / 200) * 200 AS BIGINT) AS VARCHAR) AS g1
+          FROM p)
+        SELECT CAST(2 AS INTEGER) AS depth, g1, event AS g2,
+          COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows
+        FROM k GROUP BY g1, event
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), g1, CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*)
+        FROM k GROUP BY g1"""))
   )
 
   def allRegistry: Seq[Q] = registry ++ extraRegistry

@@ -52,7 +52,7 @@ object TierA {
           // anything else is Tier B: the interpreter resolves bare names
           // vars-first (Interpreter.lookup), so an unmodeled read would
           // observe the accumulation
-          (writeOnly, accums) <- classifyVars(program, events.columns.toSet)
+          (writeOnly, accums) <- classifyVars(program, events)
           // top-level `.limit(n)` (literal, positive) compiles: the visited
           // set is the first (reverse: last) n where-matching rows per
           // person — a cumulative-match-count cap on the same person sort
@@ -219,13 +219,9 @@ object TierA {
               else frame.rowsBetween(W.unboundedPreceding, W.currentRow)
             val withAcc = accums.foldLeft(filtered0) {
               case (df, (n, init, parts)) =>
-                val perVisit = parts.map {
-                  case AccumPart(None, k, _) => lit(k)
-                  case AccumPart(Some(c), kT, kE) =>
-                    when(compileExpr(c, now, real).get, lit(kT)).otherwise(lit(kE))
-                }.reduceOption(_ + _).getOrElse(lit(0L))
                 df.withColumn(s"__acc_$n",
-                  lit(init) + coalesce(sum(perVisit).over(accFrame), lit(0L)))
+                  lit(init) + coalesce(
+                    sum(perVisitInc(parts, now, real)).over(accFrame), lit(0L)))
             }
             // per-person write rank for `value` selects (merge key): counts
             // the WRITING rows — tally predicate satisfied, source non-null.
@@ -320,13 +316,10 @@ object TierA {
       val visited0 = levelPreds.head && eligible.head
       var df = df0
       accums.foreach { case (n, init, parts) =>
-        val perVisit = parts.map {
-          case AccumPart(None, k, _) => lit(k)
-          case AccumPart(Some(c), kT, kE) =>
-            when(compileExpr(c, now, real).get, lit(kT)).otherwise(lit(kE))
-        }.reduceOption(_ + _).getOrElse(lit(0L))
         df = df.withColumn(s"__acc_$n",
-          lit(init) + coalesce(sum(when(visited0, perVisit)).over(accFrame), lit(0L)))
+          lit(init) + coalesce(
+            sum(when(visited0, perVisitInc(parts, now, real))).over(accFrame),
+            lit(0L)))
       }
       // ordered spawn tuples strictly before this row (guarded spawns only)
       val spawnCond = levels(1).guard
@@ -349,7 +342,11 @@ object TierA {
         val keys = gs.map(g => canonKey(df, compileExpr(g, now, real).get))
         (1 to gs.length).map(d => array(when(p, nodeStruct(d, keys)).otherwise(lit(null))))
       }
-      // level-1 tallies fire once per (row, distinct spawn tuple)
+      // level-1 tallies fire once per (row, distinct spawn tuple); the
+      // whole per-spawn expansion sits behind the ROW predicate, so
+      // non-candidate rows skip the lambda entirely
+      val nodeType = "array<struct<depth:int," +
+        (1 to OslEngine.MaxDepth).map(i => s"g$i:string").mkString(",") + ">>"
       val ent1: Seq[Column] = levels(1).tallies.flatMap { case (ip, gs) =>
         val rowP = levelPreds(1) && eligible(1)
         val canonFlags = gs.map { g =>
@@ -358,14 +355,16 @@ object TierA {
             .isInstanceOf[org.apache.spark.sql.types.NumericType]
         }
         (1 to gs.length).map { d =>
-          transform(col("__sv"), v => {
-            val b = bindsOf(v)
-            val p = ip.map(x => compileExpr(x, now, real, b).get).getOrElse(lit(true))
-            val keys = gs.zip(canonFlags).map { case (g, num) =>
-              canonPure(compileExpr(g, now, real, b).get, num)
-            }
-            when(rowP && p, nodeStruct(d, keys)).otherwise(lit(null))
-          })
+          when(rowP && size(col("__sv")) > 0,
+            transform(col("__sv"), v => {
+              val b = bindsOf(v)
+              val p = ip.map(x => compileExpr(x, now, real, b).get).getOrElse(lit(true))
+              val keys = gs.zip(canonFlags).map { case (g, num) =>
+                canonPure(compileExpr(g, now, real, b).get, num)
+              }
+              when(p, nodeStruct(d, keys)).otherwise(lit(null))
+            }))
+            .otherwise(array().cast(nodeType))
         }
       }
       explodeEntryArrays(df, ent0 ++ ent1, selects, aggs)
@@ -990,11 +989,33 @@ object TierA {
 
   /** One per-visit increment contribution of a read-accumulator: a plain
     * leading assignment (`cond=None`, always `incThen`) or a leading
-    * `if cond { n ± lit … } [else { n ± lit … }]` statement — compiled
-    * `when(cond, incThen).otherwise(incElse)`, which matches the
+    * `if cond { n ± inc … } [else { n ± inc … }]` statement — compiled
+    * `when(cond, Σ incThen).otherwise(Σ incElse)`, which matches the
     * interpreter exactly: a null/false guard takes the else branch
-    * (falsy-skip when there is none). */
-  private final case class AccumPart(cond: Option[Expr], incThen: Long, incElse: Long)
+    * (falsy-skip when there is none). Increments are Exprs: integer
+    * literals (`Lit(VInt)`, possibly negative) or — round 8 — a numeric
+    * row-prop reference (optionally under `UnOp("-", _)` for `-=`), whose
+    * null reads add 0 like the interpreter's `Value.plus(_, VNone)`. */
+  private final case class AccumPart(cond: Option[Expr],
+                                     incThen: Seq[Expr], incElse: Seq[Expr])
+
+  /** Compile one visit's total increment for an accumulator. Non-literal
+    * refs pass through `coalesce(_, 0)` — a null prop must not null the
+    * whole visit's contribution (the interpreter adds 0 for VNone). */
+  private def perVisitInc(parts: Seq[AccumPart], now: Long,
+                          real: Map[PropTest, Column]): Column = {
+    def one(e: Expr): Column = e match {
+      case Lit(VInt(k)) => lit(k)
+      case other => coalesce(compileExpr(other, now, real).get, lit(0L))
+    }
+    def side(incs: Seq[Expr]): Column =
+      incs.map(one).reduceOption(_ + _).getOrElse(lit(0L))
+    parts.map {
+      case AccumPart(None, t, _) => side(t)
+      case AccumPart(Some(c), t, e) =>
+        when(compileExpr(c, now, real).get, side(t)).otherwise(side(e))
+    }.reduceOption(_ + _).getOrElse(lit(0L))
+  }
 
   /** Classify the program's assigned variable names into (write-only names,
     * integer read-accumulators `(name, init, parts)`), or None when
@@ -1025,11 +1046,26 @@ object TierA {
     *    the body nests no loop (per-spawn accumulation is not one window).
     * Reads in positions the expression compiler declines anyway (inline
     * aggs, containers, method calls, framed is-tests) need no special
-    * handling — compile() falls back to Tier B on them. Integer literals
-    * only: both tiers then accumulate in exact long arithmetic
-    * (Value.plus VInt+VInt), so tally keys and comparisons agree. */
-  private def classifyVars(program: Program, eventCols: Set[String])
+    * handling — compile() falls back to Tier B on them.
+    *
+    * Increment values: integer literals (exact long arithmetic in both
+    * tiers — Value.plus VInt+VInt) or, round 8, a NUMERIC row-prop
+    * reference (`spend = spend + product_price`). The non-literal form is
+    * floating-point, so it compiles only when the compiled add sequence is
+    * the interpreter's add sequence exactly: init must be 0 (the window
+    * sum folds left from zero like the interpreter's running value), the
+    * accumulator must have exactly ONE increment statement with at most
+    * one increment per branch (a second add would re-associate
+    * `(n+a)+b` as `n+(a+b)`), and the top loop must scan FORWARD (a
+    * reverse top accumulates in descending row order, but Spark evaluates
+    * an unbounded-following sum frame ascending). Null props add 0
+    * (Value.plus(_, VNone)), matched by coalesce in [[perVisitInc]]. */
+  private def classifyVars(program: Program, events: DataFrame)
       : Option[(Set[String], Seq[(String, Long, Seq[AccumPart])])] = {
+    val eventCols: Set[String] = events.columns.toSet
+    val numericCols: Set[String] = events.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] => f.name
+    }.toSet
     writeOnlyAssignedVars(program) match {
       case Some(w) => return Some((w, Nil))
       case None    => ()
@@ -1180,23 +1216,51 @@ object TierA {
       val refs = leadConds.flatMap(guardRefNames).toSet
       if (refs.exists(d) || !refs.forall(allowed)) return None
     }
-    // self-referencing integer-literal increment form: Some((target, inc))
-    // when `a` is one, None otherwise (the caller declines a READ name
+    // self-referencing increment form: Some((target, incExpr)) when `a` is
+    // one — incExpr is an integer literal or a bare name reference (whose
+    // numeric-column validity is checked below), possibly negated for the
+    // minus forms. None otherwise (the caller declines a READ name
     // assigned outside these forms; write-only assigns stay unchecked —
-    // they are dropped wholesale)
-    def incFormOf(a: Assign): Option[(String, Long)] = a match {
-      case Assign(VarRef(m), "+=", Lit(VInt(k))) => Some((m, k))
-      case Assign(VarRef(m), "-=", Lit(VInt(k))) => Some((m, -k))
-      case Assign(VarRef(m), "=", BinOp("+", VarRef(m2), Lit(VInt(k)))) if m2 == m => Some((m, k))
-      case Assign(VarRef(m), "=", BinOp("+", PropRef(m2), Lit(VInt(k)))) if m2 == m => Some((m, k))
-      case Assign(VarRef(m), "=", BinOp("+", Lit(VInt(k)), VarRef(m2))) if m2 == m => Some((m, k))
-      case Assign(VarRef(m), "=", BinOp("+", Lit(VInt(k)), PropRef(m2))) if m2 == m => Some((m, k))
-      case Assign(VarRef(m), "=", BinOp("-", VarRef(m2), Lit(VInt(k)))) if m2 == m => Some((m, -k))
-      case Assign(VarRef(m), "=", BinOp("-", PropRef(m2), Lit(VInt(k)))) if m2 == m => Some((m, -k))
+    // they are dropped wholesale).
+    def incVal(e: Expr): Option[Expr] = e match {
+      case Lit(VInt(_))         => Some(e)
+      case VarRef(_) | PropRef(_) => Some(e)
+      case _ => None
+    }
+    def neg(e: Expr): Expr = e match {
+      case Lit(VInt(k)) => Lit(VInt(-k))
+      case other        => UnOp("-", other)
+    }
+    def selfRef(e: Expr, m: String): Boolean = e match {
+      case VarRef(m2)  => m2 == m
+      case PropRef(m2) => m2 == m
+      case _ => false
+    }
+    def incFormOf(a: Assign): Option[(String, Expr)] = a match {
+      case Assign(VarRef(m), "+=", e) => incVal(e).map(m -> _)
+      case Assign(VarRef(m), "-=", e) => incVal(e).map(x => m -> neg(x))
+      case Assign(VarRef(m), "=", BinOp("+", s, e)) if selfRef(s, m) =>
+        incVal(e).map(m -> _)
+      case Assign(VarRef(m), "=", BinOp("+", e, s)) if selfRef(s, m) =>
+        incVal(e).map(m -> _)
+      case Assign(VarRef(m), "=", BinOp("-", s, e)) if selfRef(s, m) =>
+        incVal(e).map(x => m -> neg(x))
       case _ => None
     }
     def targets(a: Assign, n: String): Boolean = a match {
       case Assign(VarRef(m), _, _) => m == n
+      case _ => false
+    }
+    def isIntLit(e: Expr): Boolean = e match {
+      case Lit(VInt(_)) => true
+      case _ => false
+    }
+    // a non-literal increment must be a NUMERIC row column that no script
+    // var shadows (vars win bare-name lookup) and no builtin preempts
+    def numericRef(e: Expr): Boolean = e match {
+      case UnOp("-", x) => numericRef(x)
+      case VarRef(p)  => numericCols(p) && !d(p) && !builtinNames(p)
+      case PropRef(p) => numericCols(p) && !d(p) && !builtinNames(p)
       case _ => false
     }
     val accums = readNames.toSeq.sorted.map { n =>
@@ -1212,16 +1276,26 @@ object TierA {
       // per-visit contributions in leading order: bare assigns accumulate
       // unconditionally; an if's branch assigns accumulate under its guard
       // (else-branch under the guard's falsy complement)
-      def branchInc(sts: Seq[Stmt]): Long = sts.collect { case a: Assign => a }
-        .flatMap(incFormOf(_).collect { case (m, k) if m == n => k }.toSeq).sum
+      def branchIncs(sts: Seq[Stmt]): Seq[Expr] = sts.collect { case a: Assign => a }
+        .flatMap(incFormOf(_).collect { case (m, e) if m == n => e }.toSeq)
       val parts = lead.flatMap {
         case a: Assign =>
-          incFormOf(a).collect { case (m, k) if m == n => AccumPart(None, k, k) }.toSeq
+          incFormOf(a).collect { case (m, e) if m == n => AccumPart(None, Seq(e), Seq(e)) }.toSeq
         case If(c, thenB, elseB) =>
-          val kT = branchInc(thenB)
-          val kE = branchInc(elseB)
-          if (kT == 0 && kE == 0) Nil else Seq(AccumPart(Some(c), kT, kE))
+          val t = branchIncs(thenB)
+          val e2 = branchIncs(elseB)
+          if (t.isEmpty && e2.isEmpty) Nil else Seq(AccumPart(Some(c), t, e2))
         case _ => Nil
+      }
+      // non-literal increments: exact fp parity needs the interpreter's
+      // add sequence — init 0, one increment statement with one increment
+      // per branch, forward scan, numeric un-shadowed column refs
+      val allIncs = parts.flatMap(p => p.incThen ++ p.incElse)
+      if (allIncs.exists(!isIntLit(_))) {
+        if (init != 0L || er.mods.reverse) return None
+        if (parts.size != 1 ||
+            parts.exists(p => p.incThen.size > 1 || p.incElse.size > 1)) return None
+        if (allIncs.exists(e => !isIntLit(e) && !numericRef(e))) return None
       }
       (n, init, parts)
     }

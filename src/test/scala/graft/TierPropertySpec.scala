@@ -473,6 +473,69 @@ class TierPropertySpec extends SparkSpec {
     }
   }
 
+  // non-literal accumulators (round 8): a running PROP sum (`spend = spend
+  // + product_price`) — one increment statement, init 0, forward scan —
+  // compiles to a double running-sum window whose add sequence is exactly
+  // the interpreter's (bit-identical keys)
+  test("non-literal prop accumulators: Tier A == Tier B (15 seeded samples)") {
+    val params = Gen.Parameters.default
+    val genInc = Gen.oneOf(
+      "spend = spend + product_price", "spend += product_price",
+      "spend = spend - product_price", "spend -= product_price")
+    val genGuard = Gen.option(Gen.oneOf(
+      "event.is(== 'purchase')", "product_price.is(> 30)"))
+    val genRead = Gen.oneOf("bucket(spend, 100)", "spend > 120", "bucket(spend, 40)")
+    val genMods = Gen.oneOf("", "", ".limit(4)", ".from(1)")
+    (1 to 15).foreach { i =>
+      val s0 = Seed(i.toLong * 2750159)
+      val where = genWhere.pureApply(params, s0)
+      val inc = genInc.pureApply(params, s0.next)
+      val guard = genGuard.pureApply(params, s0.next.next)
+      val read = genRead.pureApply(params, s0.next.next.next)
+      val mods = genMods.pureApply(params, s0.slide)
+      val g2 = genGroup.pureApply(params, s0.slide.next)
+      val incBlock = guard match {
+        case Some(g) => s"  if $g\n    $inc\n  end\n"
+        case None    => s"  $inc\n"
+      }
+      val script =
+        s"""select
+           |  count id as customers
+           |  count event as n_rows
+           |end
+           |spend = 0
+           |each_row$mods where $where
+           |$incBlock  << $read, $g2
+           |  if spend <= 150
+           |    << 'small', $g2
+           |  end
+           |end
+           |""".stripMargin
+      val p = Parser.program(script)
+      assert(TierA.compile(p, world, Mon + 100 * H, 1800000L).isDefined,
+        s"prop-accum sample $i did not compile to Tier A:\n$script")
+      val a = canon(OslEngine.query(world, script, now = Mon + 100 * H))
+      val b = canon(OslEngine.query(world, script, now = Mon + 100 * H,
+        forceTierB = true))
+      assert(a == b, s"prop-accum mismatch on sample $i:\n$script\nA=$a\nB=$b")
+    }
+    // declines: nonzero init, reverse scan, two increments, string prop
+    for (bad <- Seq(
+      "spend = 5\neach_row where event.is(!= 'x')\n  spend += product_price\n  << bucket(spend, 50)\nend\n",
+      "spend = 0\neach_row.reverse() where event.is(!= 'x')\n  spend += product_price\n  << bucket(spend, 50)\nend\n",
+      "spend = 0\neach_row where event.is(!= 'x')\n  spend += product_price\n  spend += 1\n  << bucket(spend, 50)\nend\n",
+      "spend = 0\neach_row where event.is(!= 'x')\n  spend += product_name\n  << bucket(spend, 50)\nend\n")) {
+      val script = s"select\n  count id as customers\nend\n$bad"
+      val p = Parser.program(script)
+      assert(TierA.compile(p, world, Mon + 100 * H, 1800000L).isEmpty,
+        s"expected Tier B decline for:\n$script")
+      val a = canon(OslEngine.query(world, script, now = Mon + 100 * H))
+      val b = canon(OslEngine.query(world, script, now = Mon + 100 * H,
+        forceTierB = true))
+      assert(a == b)
+    }
+  }
+
   // chain accumulators (round 8): increment leads the TOP body, reads sit
   // below the chain step and observe the SPAWNING visit's value — compiled
   // as per-spawn entry enumeration (one tally per distinct spawn value)
