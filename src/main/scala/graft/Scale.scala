@@ -119,6 +119,59 @@ object Scale {
       "salted_distinct" -> ((_: String, e: String, _: String) => {
         val ev = normalizeEvents(spark.read.parquet(e))
         operators.EventOps.saltedDistinctCount(ev, col("event"), col("id"))
+      }),
+      // round-8 Tier A shapes — all windows over ONE (id, stamp) sort, so
+      // cost must scale with events/cores, never with persons²
+      "osl_ever_read" -> ((_: String, e: String, _: String) => {
+        val ev = normalizeEvents(spark.read.parquet(e))
+        graft.osl.OslEngine.query(ev,
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |each_row where stamp.is(> 0)
+            |  n += 1
+            |  if value.ever(> n * 50)
+            |    << 'big_history', event
+            |  end
+            |  << 'all', event
+            |end
+            |""".stripMargin, now = 1719792000000L)
+      }),
+      // per-spawn entry arrays: exploded cells scale with signup×purchase
+      // pairs per person (the interpreter's own visit count), not corpus²
+      "osl_chain_accum" -> ((_: String, e: String, _: String) => {
+        val ev = normalizeEvents(spark.read.parquet(e))
+        graft.osl.OslEngine.query(ev,
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |each_row where event.is(== 'signup')
+            |  n += 1
+            |  each_row.continue().next() where event.is(== 'purchase')
+            |    << n, event
+            |  end
+            |end
+            |""".stripMargin, now = 1719792000000L)
+      }),
+      "osl_prop_accum" -> ((_: String, e: String, _: String) => {
+        val ev = normalizeEvents(spark.read.parquet(e))
+        graft.osl.OslEngine.query(ev,
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |spend = 0
+            |each_row where stamp.is(> 0)
+            |  if event.is(== 'purchase')
+            |    spend = spend + value
+            |  end
+            |  << bucket(spend, 200), event
+            |end
+            |""".stripMargin, now = 1719792000000L)
       }))
 
     println(f"${"operator"}%-20s " +
