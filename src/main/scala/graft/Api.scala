@@ -320,6 +320,10 @@ final class Api(spark: SparkSession, val warehouse: String) {
       new java.io.File(warehouse, table).toString, fns, nowMs)
     // deliver the refresh's enter/exit diff to push subscribers right away
     subscriptionPushDrain(table, nowMs): Unit
+    // streaming small-file maintenance: fold the append-only enter/exit
+    // log back to one file once it fragments
+    graft.streaming.Streams.compactSegmentEvents(spark,
+      new java.io.File(warehouse, table).toString): Unit
     defs.map(d => "\"" + d.name + "\"").mkString("{\"refreshed\":[", ",", "]}")
   }
 
@@ -374,7 +378,7 @@ final class Api(spark: SparkSession, val warehouse: String) {
                               st: SubState, nowMs: Long)
       : (Array[org.apache.spark.sql.Row], String, Long, String) = {
     val logDir = new java.io.File(warehouse, s"$table/segment_events")
-    val events =
+    def scan(): Array[org.apache.spark.sql.Row] =
       if (!logDir.isDirectory) Array.empty[org.apache.spark.sql.Row]
       else graft.streaming.Streams.segmentEvents(spark,
           new java.io.File(warehouse, table).toString)
@@ -384,6 +388,15 @@ final class Api(spark: SparkSession, val warehouse: String) {
             (col("stamp") === st.cursor && col("id").cast("string") > st.cursorId)))
         .orderBy(col("stamp"), col("id"))
         .collect()
+    // a compaction swap renames the log dir under a planned scan for a
+    // moment; one recover-and-retry absorbs the race (cursor semantics are
+    // file-independent, so the retried read sees the identical feed)
+    val events =
+      try scan()
+      catch { case _: Exception =>
+        graft.Fs.recoverForRead(logDir.toString)
+        scan()
+      }
     val msgs = events.map { r =>
       val stamp = r.getAs[Long]("stamp")
       val iso = java.time.Instant.ofEpochMilli(stamp).toString

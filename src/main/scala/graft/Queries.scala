@@ -1347,6 +1347,121 @@ object Queries {
           FROM sc WHERE qid <> nid)
         SELECT qid, CAST(rank AS INT) AS rank, nid FROM r WHERE rank <= 5""")),
 
+    // ANN quality report (round 8): recall@5 of every approximate index
+    // (LSH, IVF, PQ) against the exact cosine top-5 on the same query set —
+    // the eval that decides whether an index is shippable. Oracle: the
+    // three full-replica oracles above plus the brute baseline, namespaced
+    // into one WITH and intersected; recall is one IEEE division + round.
+    Q("q_ann_recall",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        graft.operators.Similarity.annQualityReport(
+          emb, emb.where(col("vec_id") < 10), k = 5)
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        nq AS (SELECT COUNT(*) AS n FROM v WHERE vec_id < 10),
+        b_scored AS (
+          SELECT q.vec_id AS qid, c.vec_id AS nid,
+            list_dot_product(q.e, c.e) / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))) AS cos
+          FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        b_top AS (SELECT qid, nid FROM (
+          SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS r
+          FROM b_scored) WHERE r <= 5),
+        l_planes AS (
+          SELECT p.p, list_transform(range(64),
+            j -> CAST(('0x'||substr(md5(p.p||':'||j),1,8)) AS BIGINT) / 4294967296.0 - 0.5) AS plane
+          FROM (SELECT unnest(range(8)) AS p) p),
+        l_sig AS (
+          SELECT vec_id, CAST(SUM(CASE WHEN list_dot_product(e, plane) > 0
+                                      THEN 1::BIGINT << CAST(p AS INT) ELSE 0 END) AS BIGINT) AS sig
+          FROM v CROSS JOIN l_planes GROUP BY vec_id),
+        l_sv AS (SELECT s.vec_id, s.sig, v.e, sqrt(list_dot_product(v.e, v.e)) AS n
+                 FROM l_sig s JOIN v USING (vec_id)),
+        l_scored AS (
+          SELECT q.vec_id AS qid, c.vec_id AS nid,
+                 list_dot_product(q.e, c.e) / (q.n * c.n) AS cos
+          FROM l_sv c JOIN l_sv q ON c.sig = q.sig AND q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        l_top AS (SELECT qid, nid FROM (
+          SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS r
+          FROM l_scored) WHERE r <= 5),
+        i_ids AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rn,
+                         COUNT(*) OVER () AS n FROM v),
+        i_cents AS (
+          SELECT DISTINCT i.vec_id AS cid, cv.e AS ce, sqrt(list_dot_product(cv.e, cv.e)) AS cn
+          FROM (SELECT unnest(range(16)) AS k) k
+          JOIN i_ids i ON i.rn = LEAST(k.k * GREATEST(1, i.n // 16), i.n - 1)
+          JOIN v cv ON cv.vec_id = i.vec_id),
+        i_assign AS (
+          SELECT vec_id, cid AS cell FROM (
+            SELECT a.vec_id, c.cid,
+              ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                ORDER BY list_dot_product(a.e, c.ce) / (sqrt(list_dot_product(a.e, a.e)) * c.cn) DESC,
+                         c.cid DESC) AS r
+            FROM v a CROSS JOIN i_cents c) WHERE r = 1),
+        i_corpus AS (
+          SELECT a.vec_id AS nid, v.e AS ce, sqrt(list_dot_product(v.e, v.e)) AS cn2, a.cell
+          FROM i_assign a JOIN v USING (vec_id)),
+        i_probes AS (
+          SELECT vec_id AS qid, cid AS cell FROM (
+            SELECT q.vec_id, c.cid,
+              ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                ORDER BY list_dot_product(q.e, c.ce) / (sqrt(list_dot_product(q.e, q.e)) * c.cn) DESC,
+                         c.cid DESC) AS r
+            FROM v q CROSS JOIN i_cents c WHERE q.vec_id < 10) WHERE r <= 4),
+        i_qv AS (SELECT vec_id AS qid, e AS qe, sqrt(list_dot_product(e, e)) AS qn FROM v WHERE vec_id < 10),
+        i_scored AS (
+          SELECT DISTINCT p.qid, c.nid,
+            list_dot_product(q.qe, c.ce) / (q.qn * c.cn2) AS cos
+          FROM i_probes p JOIN i_corpus c USING (cell) JOIN i_qv q ON q.qid = p.qid
+          WHERE p.qid <> c.nid),
+        i_top AS (SELECT qid, nid FROM (
+          SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS r
+          FROM i_scored) WHERE r <= 5),
+        p_samp AS (
+          SELECT DISTINCT i.vec_id, cv.e
+          FROM (SELECT unnest(range(16)) AS k) k
+          JOIN i_ids i ON i.rn = LEAST(k.k * GREATEST(1, i.n // 16), i.n - 1)
+          JOIN v cv ON cv.vec_id = i.vec_id),
+        p_codes AS (SELECT vec_id, e, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code FROM p_samp),
+        p_cw AS (
+          SELECT s.s AS sub, c.code, c.e[s.s*16+1 : (s.s+1)*16] AS cwv,
+            list_dot_product(c.e[s.s*16+1 : (s.s+1)*16], c.e[s.s*16+1 : (s.s+1)*16]) AS cs
+          FROM p_codes c CROSS JOIN (SELECT unnest(range(4)) AS s) s),
+        p_enc AS (
+          SELECT vec_id, sub, code FROM (
+            SELECT a.vec_id, w.sub, w.code,
+              ROW_NUMBER() OVER (PARTITION BY a.vec_id, w.sub
+                ORDER BY w.cs - 2*list_dot_product(a.e[w.sub*16+1 : (w.sub+1)*16], w.cwv) ASC,
+                         w.code ASC) AS r
+            FROM v a CROSS JOIN p_cw w) WHERE r = 1),
+        p_q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 10),
+        p_dt AS (
+          SELECT q.qid, w.sub, w.code,
+            w.cs - 2*list_dot_product(q.qe[w.sub*16+1 : (w.sub+1)*16], w.cwv) AS dd
+          FROM p_q q CROSS JOIN p_cw w),
+        p_sc AS (
+          SELECT d.qid, e2.vec_id AS nid,
+            MAX(CASE WHEN d.sub=0 THEN d.dd END) AS d0,
+            MAX(CASE WHEN d.sub=1 THEN d.dd END) AS d1,
+            MAX(CASE WHEN d.sub=2 THEN d.dd END) AS d2,
+            MAX(CASE WHEN d.sub=3 THEN d.dd END) AS d3
+          FROM p_enc e2 JOIN p_dt d ON d.sub = e2.sub AND d.code = e2.code
+          GROUP BY 1, 2),
+        p_top AS (SELECT qid, nid FROM (
+          SELECT qid, nid,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ((d0+d1)+d2)+d3 ASC, nid ASC) AS r
+          FROM p_sc WHERE qid <> nid) WHERE r <= 5),
+        m AS (
+          SELECT 'ivf' AS method, COUNT(*) AS hits
+          FROM i_top t JOIN b_top b ON t.qid = b.qid AND t.nid = b.nid
+          UNION ALL SELECT 'lsh', COUNT(*)
+          FROM l_top t JOIN b_top b ON t.qid = b.qid AND t.nid = b.nid
+          UNION ALL SELECT 'pq', COUNT(*)
+          FROM p_top t JOIN b_top b ON t.qid = b.qid AND t.nid = b.nid)
+        SELECT m.method, nq.n AS n_queries, m.hits, nq.n * 5 AS possible,
+          ROUND(m.hits / (nq.n * 5.0), 6) AS recall
+        FROM m CROSS JOIN nq""")),
+
     // SimHash signatures (near-dup fingerprint; rows-only oracle).
     Q("q_simhash",
       (s, dir) => {

@@ -619,4 +619,36 @@ object Similarity {
     }
     update(centroids)
   }
+
+  /** ANN quality report — the eval every approximate-index deployment
+    * runs before trusting it: recall@k of each approximate index (LSH,
+    * IVF, PQ) against the EXACT cosine top-k over the same query set.
+    * Returns one row per method: `(method, n_queries, hits, possible,
+    * recall)` where `hits = Σ_q |approx_q ∩ exact_q|`, `possible =
+    * n_queries × k`, `recall = round(hits / possible, 6)` (one IEEE
+    * division then round — engine-portable).
+    *
+    * Scale shape: each index's own top-k plan runs unchanged (their scale
+    * stories apply); the exact baseline is the brute-force scan — at
+    * corpus scale you run this on a SAMPLED query set, which is the
+    * `queries` frame by construction. The intersection is a semi-join on
+    * (qid, nid) pairs — k×queries rows, broadcast-sized. */
+  def annQualityReport(corpus: DataFrame, queries: DataFrame, k: Int,
+                       lshDim: Int = 64): DataFrame = {
+    val exact = bruteForceTopK(corpus, queries, k)
+      .select(col("qid"), col("nid"))
+    // query-set size is bounded by contract (a sampled eval set)
+    val nQ = queries.select(col("vec_id")).distinct().count()
+    def method(name: String, approx: DataFrame): DataFrame =
+      approx.select(col("qid"), col("nid"))
+        .join(exact, Seq("qid", "nid"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(name).as("method"), lit(nQ).as("n_queries"),
+          col("hits"), lit(nQ * k).as("possible"),
+          round(col("hits").cast("double") / lit(nQ * k).cast("double"), 6)
+            .as("recall"))
+    method("ivf", ivfTopK(corpus, queries, k))
+      .unionByName(method("lsh", lshTopK(corpus, queries, lshDim, k)))
+      .unionByName(method("pq", pqTopK(corpus, queries, k)))
+  }
 }

@@ -92,7 +92,7 @@ object Streams {
               lit(nowMs).as("stamp"), lit(batchId).as("batch_id"))
           val changes = entered.unionByName(exited)
           if (!changes.isEmpty)
-            changes.write.mode("append").parquet(s"$dir/segment_events")
+            appendSegmentEvents(changes, dir)
           // new membership = (stored - touched exits) + entries; rewrite fully
           val untouchedMembers = prev.join(touched, Seq("id"), "left_anti")
           val updated = untouchedMembers.unionByName(newMembers)
@@ -132,7 +132,7 @@ object Streams {
             lit(nowMs).as("stamp"), lit(-1L).as("batch_id"))
         val changes = entered.unionByName(exited)
         if (!changes.isEmpty)
-          changes.write.mode("append").parquet(s"$dir/segment_events")
+          appendSegmentEvents(changes, dir)
         // crash-safe swap: a reader never sees a half-written membership dir
         graft.Fs.swapInto(segDir)(tmp =>
           newMembers.write.mode("overwrite").parquet(tmp))
@@ -175,6 +175,46 @@ object Streams {
     * `src/rpc_sub.cpp:274-411`'s queue equivalent). */
   def segmentEvents(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/segment_events")
+
+  /** All appenders to the enter/exit log funnel through the log's own
+    * writer lock: the ingest batch and the refresh loop already hold a
+    * PER-SEGMENT lock, so two different segments could otherwise append
+    * concurrently with a [[compactSegmentEvents]] swap in flight. */
+  private def appendSegmentEvents(changes: DataFrame, dir: String): Unit =
+    graft.Fs.withWriteLock(s"$dir/segment_events") {
+      changes.write.mode("append").parquet(s"$dir/segment_events")
+    }
+
+  /** Compact the append-only enter/exit log — the streaming path's
+    * small-file maintenance: every ingest batch and refresh appends one
+    * part file, and at production batch cadence a week is thousands of
+    * KB-sized files, each a listing + open cost for every poll. When the
+    * log holds at least `minFiles` part files, rewrite it as one
+    * (stamp, id)-sorted file via the crash-safe swap (readers between the
+    * two renames recover through `Fs.recoverForRead`, the same discipline
+    * the membership dirs use). Cursor semantics are untouched: a
+    * subscription cursor is a (stamp, id) watermark, not a file offset, so
+    * polls and push drains see the identical feed before and after.
+    * Returns the number of files compacted (0 = below threshold).
+    * [[graft.Api.segmentRefresh]] runs it after every refresh cycle. */
+  def compactSegmentEvents(spark: SparkSession, dir: String,
+                           minFiles: Int = 8): Long = {
+    val log = new java.io.File(s"$dir/segment_events")
+    if (!log.isDirectory) return 0L
+    graft.Fs.withWriteLock(log.toString) {
+      val parts = Option(log.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      if (parts.length < minFiles) 0L
+      else {
+        val compacted = spark.read.parquet(log.toString)
+          .orderBy(col("stamp"), col("id"))
+          .coalesce(1)
+        graft.Fs.swapInto(log.toString)(tmp =>
+          compacted.write.mode("overwrite").parquet(tmp))
+        parts.length.toLong
+      }
+    }
+  }
 
   /** Streaming exact dedup: drop rows whose key was already seen within the
     * watermark delay. State is bounded by the watermark (old keys age out of

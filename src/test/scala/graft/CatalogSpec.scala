@@ -264,6 +264,46 @@ class CatalogSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("segment-events log compaction: files fold to one, feeds unchanged") {
+    val api = freshApi()
+    api.tableCreate(highstreetMeta)
+    val now = 1704067200000L
+    val script =
+      """@segment buyers refresh=300
+        |if event.ever(== 'purchase')
+        |  return(true)
+        |end
+        |""".stripMargin
+    val logDir = new java.io.File(api.warehouse, "highstreet/segment_events")
+    def partFiles() = Option(logDir.listFiles()).getOrElse(Array.empty)
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    def cycle(i: Int): Unit = {
+      api.insert("highstreet", Seq(
+        s"""{"id":"u$i","stamp":"${1704067200 + i}","event":"purchase","product_name":"rod","product_price":1.0}"""),
+        nowMs = now)
+      api.segmentRefresh("highstreet", script, nowMs = now + (i + 1) * 1000)
+    }
+    // a subscriber consumes the first half of the feed, then the log
+    // fragments further and compacts — its cursor must hold its position
+    api.subscriptionCreate("highstreet", "buyers", "mid", nowMs = now)
+    cycle(0); cycle(1)
+    val before = api.subscriptionPoll("highstreet", "buyers", "mid", nowMs = now + 2500)
+    assert(before.contains("\"count\":2"), before) // u0, u1 entered so far
+    cycle(2); cycle(3)
+    assert(partFiles() >= 4, s"expected fragmented log, got ${partFiles()} files")
+    val n = graft.streaming.Streams.compactSegmentEvents(spark,
+      new java.io.File(api.warehouse, "highstreet").toString, minFiles = 2)
+    assert(n >= 4, s"expected >=4 files compacted, got $n")
+    assert(partFiles() == 1, s"expected one compacted file, got ${partFiles()}")
+    // the remaining half of the feed arrives exactly once, post-compaction
+    val after = api.subscriptionPoll("highstreet", "buyers", "mid", nowMs = now + 10000)
+    assert(after.contains("\"count\":2") && after.contains("\"uid\":\"u2\"") &&
+      after.contains("\"uid\":\"u3\""), after)
+    // below threshold: compaction is a no-op
+    assert(graft.streaming.Streams.compactSegmentEvents(spark,
+      new java.io.File(api.warehouse, "highstreet").toString, minFiles = 2) == 0L)
+  }
+
   test("property query: search modes, bucket, order, trim, per-segment counts") {
     val api = freshApi()
     api.tableCreate(highstreetMeta)
