@@ -96,7 +96,16 @@ object Plans {
     P("q_source_overlap",
       "source-pair overlap: 60-bit shingle-hash postings (text never shuffles), ONE " +
         "groupBy(hash) with in-row pair generation — no postings self-join, no " +
-        "standalone DISTINCT exchange"))
+        "standalone DISTINCT exchange"),
+    P("q_osl_chain_accum",
+      "chain accumulator (round 8): every window — row_number, witness, running sum, " +
+        "spawn-value collect — rides ONE (id, stamp) sort; per-spawn tally entries are " +
+        "generated IN-ROW from the collected array (no self-join on the event table), " +
+        "then one hash agg per node"),
+    P("q_osl_prop_accum",
+      "non-literal accumulator (round 8): the running prop sum is one conditional " +
+        "running-sum window on the same person sort as the tally machinery — no " +
+        "interpreter MapGroups in the plan"))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("local[4]", 4).getOrCreate()

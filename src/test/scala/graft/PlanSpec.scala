@@ -40,7 +40,10 @@ class PlanSpec extends SparkSpec {
         "q_osl_var_tally", // write-only accumulation compiles (round 5)
         "q_osl_accum_tally", // READ accumulator → running-count window (round 5)
         "q_osl_top_range", // framed top loop → constant stamp predicate (round 5)
-        "q_osl_guarded_accum")) // if-guarded increment → conditional sum (round 7)
+        "q_osl_guarded_accum", // if-guarded increment → conditional sum (round 7)
+        "q_osl_ever_read", // accumulator read in an ever operand (round 8)
+        "q_osl_chain_accum", // per-spawn chain accumulator values (round 8)
+        "q_osl_prop_accum")) // non-literal running prop sum (round 8)
       assert(!plan(q).contains("MapGroups"), s"$q fell back to Tier B")
     // and an interpreter-only shape does (sanity that the probe works):
     // a guard READING the accumulator observes a mid-visit partial sum ->
