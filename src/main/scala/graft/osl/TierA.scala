@@ -1837,6 +1837,24 @@ object TierA {
     }
   }
 
+  /** True when the expression references no row column or script var —
+    * only such operands mean the same thing per scanned row and at the
+    * cursor-invalid segment top level (where the interpreter evaluates a
+    * bare name to nil; a compiled per-scanned-row compare would silently
+    * diverge — caught by SegmentOperandSpec). */
+  private def rowFree(e: Expr): Boolean = e match {
+    case Lit(_) => true
+    case VarRef("now") | PropRef("now") => true
+    case VarRef(_) | PropRef(_) => false
+    case ListLit(xs) => xs.forall(rowFree)
+    case SetLit(xs)  => xs.forall(rowFree)
+    case DictLit(ps) => ps.forall { case (k, v) => rowFree(k) && rowFree(v) }
+    case BinOp(_, l, r) => rowFree(l) && rowFree(r)
+    case UnOp(_, x)     => rowFree(x)
+    case Call(_, as)    => as.forall(rowFree)
+    case _ => false
+  }
+
   /** Boolean person-predicate → one aggregate Column. */
   private def translateBool(e: Expr, now: Long): Option[Column] = e match {
     // `.next()` is accepted as a no-op: at segment top level the cursor is
@@ -1844,6 +1862,7 @@ object TierA {
     // the same full-history scan (Interpreter.evalPropTest:481).
     case PropTest(prop, kind, cmp, frame, _) if kind == "ever" || kind == "never" =>
       for {
+        _ <- if (rowFree(cmp.operand)) Some(()) else None
         rowPred <- compileCmp(col(prop), cmp, now)
         found <- existsAgg(rowPred, frame, now)
       } yield if (kind == "ever") found else !found
