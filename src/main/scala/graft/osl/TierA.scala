@@ -272,14 +272,16 @@ object TierA {
     *              [&& lastSameLevelMatch.rn <= witness.rn -- limit(1)]
     * One sort-shuffle on `id` computes every window; tallies flow through
     * the explode plan with eligibility AND'ed in. */
-  /** Inner-step shapes that compose with chain accumulators: spawn
-    * eligibility must be exactly "some VISITED spawn strictly before the
-    * row", so the per-spawn value list is the plain preceding-window
-    * collect. Frames/limits/reverse/from make eligibility witness-specific
-    * — those stay Tier B when an accumulator is read below the step. */
+  /** Inner-step shapes that compose with chain accumulators: forward
+    * continue().next() steps, optionally framed and `.limit(n)`-capped —
+    * per-spawn eligibility is decided IN-ROW from the collected spawn
+    * tuples (stamp for the frame check, the spawn's cumulative inner-match
+    * count for the limit check, exactly the witness arithmetic
+    * [[chainWitnesses]] uses). Reverse and `.from` restart steps stay
+    * Tier B when an accumulator is read below the step: their visited
+    * sets are not "spawns strictly before the row". */
   private def chainAccumOk(l1: ChainLevel): Boolean =
-    !l1.reverse && !l1.isFromStep && l1.limitN.isEmpty &&
-      l1.spanMs.isEmpty && l1.contraSpanMs.isEmpty && l1.absBounds.isEmpty
+    !l1.reverse && !l1.isFromStep
 
   private def chainPlan(base: DataFrame,
                         levels: Seq[ChainLevel],
@@ -321,12 +323,35 @@ object TierA {
             sum(when(visited0, perVisitInc(parts, now, real))).over(accFrame),
             lit(0L)))
       }
-      // ordered spawn tuples strictly before this row (guarded spawns only)
+      // ordered spawn tuples strictly before this row (guarded spawns only);
+      // each tuple carries the spawn's stamp (frame check) and — under a
+      // `.limit(n)` — its cumulative inner-match count (the same witness
+      // arithmetic chainWitnesses uses: matches in (spawn, row] =
+      // mc(row) − mc(spawn) ≤ n). chainWitnesses already materialized
+      // `__mc1` when the level is limited.
       val spawnCond = levels(1).guard
         .map(g => visited0 && compileExpr(g, now, real).get).getOrElse(visited0)
-      val svStruct = struct(accums.map { case (n, _, _) => col(s"__acc_$n").as(n) }: _*)
+      val svFields =
+        accums.map { case (n, _, _) => col(s"__acc_$n").as(n) } ++
+          Seq(col("stamp").as("__st")) ++
+          levels(1).limitN.map(_ => col("__mc1").as("__mc")).toSeq
+      val svStruct = struct(svFields: _*)
       df = df.withColumn("__sv",
-        array_distinct(collect_list(when(spawnCond, svStruct)).over(prevRows)))
+        collect_list(when(spawnCond, svStruct)).over(prevRows))
+      // per-spawn eligibility, evaluated in-row on each collected tuple
+      def spawnOk(v: Column): Column = {
+        val span = levels(1).spanMs.map(sp =>
+          if (sp == Long.MaxValue) lit(true)
+          else col("stamp") - v.getField("__st") <= sp)
+        val contra = levels(1).contraSpanMs.map(sp =>
+          col("stamp") <= v.getField("__st") &&
+            (if (sp == Long.MaxValue) lit(true)
+             else v.getField("__st") - col("stamp") <= sp))
+        val limit = levels(1).limitN.map(n =>
+          col("__mc1") - v.getField("__mc") <= n)
+        (span.toSeq ++ contra.toSeq ++ limit.toSeq)
+          .reduceOption(_ && _).getOrElse(lit(true))
+      }
       def bindsOf(v: Column): Map[String, Column] =
         accums.map { case (n, _, _) => s"__accs_$n" -> v.getField(n) }.toMap
       val typeBinds: Map[String, Column] =
@@ -362,7 +387,7 @@ object TierA {
               val keys = gs.zip(canonFlags).map { case (g, num) =>
                 canonPure(compileExpr(g, now, real, b).get, num)
               }
-              when(p, nodeStruct(d, keys)).otherwise(lit(null))
+              when(spawnOk(v) && p, nodeStruct(d, keys)).otherwise(lit(null))
             }))
             .otherwise(array().cast(nodeType))
         }

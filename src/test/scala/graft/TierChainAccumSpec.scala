@@ -137,16 +137,53 @@ class TierChainAccumSpec extends SparkSpec {
          |""".stripMargin)
   }
 
-  test("declines stay Tier B: inner limit, inner where read, depth 3, is-read in inner where") {
+  test("inner .limit(n) composes: per-spawn match-count eligibility") {
+    for (lim <- Seq(1, 2)) {
+      diff(
+        s"""${sel}n = 0
+           |each_row where event.is(!= 'error')
+           |  n += 1
+           |  each_row.continue().next().limit($lim) where event.is(== 'view')
+           |    << n, event
+           |  end
+           |end
+           |""".stripMargin)
+    }
+  }
+
+  test("inner frames compose: per-spawn stamp eligibility") {
     diff(
       s"""${sel}n = 0
-         |each_row where event.is(!= 'error')
+         |each_row where event.is(== 'signup')
          |  n += 1
-         |  each_row.continue().next().limit(1) where event.is(== 'view')
+         |  each_row.continue().next().look_ahead(12_hours) where event.is(== 'purchase')
          |    << n, event
          |  end
          |end
-         |""".stripMargin, expectTierA = false)
+         |""".stripMargin)
+    // frame + limit together
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(!= 'error')
+         |  n += 2
+         |  each_row.continue().next().look_ahead(18_hours).limit(1) where product_price.is(> 10)
+         |    << bucket(n, 3), event
+         |  end
+         |end
+         |""".stripMargin)
+    // contra-directional frame (look_back on a forward step): honest empty
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(== 'signup')
+         |  n += 1
+         |  each_row.continue().next().look_back(6_hours) where event.is(== 'view')
+         |    << n, event
+         |  end
+         |end
+         |""".stripMargin)
+  }
+
+  test("declines stay Tier B: inner where read, depth 3, is-read in inner where") {
     diff(
       s"""${sel}n = 0
          |each_row where event.is(!= 'error')

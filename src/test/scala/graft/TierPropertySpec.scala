@@ -550,6 +550,9 @@ class TierPropertySpec extends SparkSpec {
     val genChainGuard = Gen.option(Gen.oneOf(
       "event.is(!= 'error')", "product_price.is(> 20)"))
     val genTopTally = Gen.oneOf(true, false)
+    // inner frames/limits compose (late round 8): per-spawn eligibility
+    val genInnerMods = Gen.oneOf("", "", ".limit(1)", ".limit(2)",
+      ".look_ahead(15_hours)", ".look_ahead(20_hours).limit(2)")
     (1 to 20).foreach { i =>
       val s0 = Seed(i.toLong * 7368787)
       val w0 = genWhere.pureApply(params, s0)
@@ -561,10 +564,11 @@ class TierPropertySpec extends SparkSpec {
       val cg = genChainGuard.pureApply(params, s0.slide.next.next)
       val g2 = genGroup.pureApply(params, s0.slide.next.next.next)
       val topTally = genTopTally.pureApply(params, s0.slide.slide)
+      val innerMods = genInnerMods.pureApply(params, s0.slide.slide.next)
       val gincLine = ginc.map(g => s"  $g\n").getOrElse("")
       val topTallyLine = if (topTally) s"  << 'top', $read\n" else ""
       val inner =
-        s"""each_row.continue().next() where $w1
+        s"""each_row.continue().next()$innerMods where $w1
            |    << $read, $g2
            |    if n <= 4
            |      << 'low_spawn'
