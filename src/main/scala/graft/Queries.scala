@@ -1462,6 +1462,31 @@ object Queries {
           ROUND(m.hits / (nq.n * 5.0), 6) AS recall
         FROM m CROSS JOIN nq""")),
 
+    // Per-source corpus report (round 8): the first query a data engineer
+    // runs against a new corpus — volume, token mass, exact-dup rate and
+    // language mix per source, one scan + one hash agg.
+    Q("q_corpus_report",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        d.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(graft.operators.TextOps.tokenCount(col("text")).cast("long"))
+            .as("total_tokens"),
+          countDistinct(md5(col("text"))).as("distinct_docs"),
+          round(lit(1.0) - countDistinct(md5(col("text"))).cast("double") /
+            count(lit(1)).cast("double"), 6).as("dup_rate"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("total_chars"))
+      },
+      Some("""SELECT source,
+          COUNT(*) AS n_docs,
+          CAST(SUM(len(list_filter(string_split(text, ' '), x -> len(x) > 0))) AS BIGINT) AS total_tokens,
+          COUNT(DISTINCT md5(text)) AS distinct_docs,
+          ROUND(1.0 - COUNT(DISTINCT md5(text)) / (COUNT(*) * 1.0), 6) AS dup_rate,
+          COUNT(DISTINCT lang) AS n_langs,
+          CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY source""")),
+
     // SimHash signatures (near-dup fingerprint; rows-only oracle).
     Q("q_simhash",
       (s, dir) => {
@@ -3266,6 +3291,56 @@ object Queries {
         pairs AS (
           SELECT p.id, p.stamp, su.i
           FROM e p JOIN su ON su.id = p.id AND su.stamp < p.stamp
+          WHERE p.event = 'purchase')
+        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
+          'purchase' AS g2, COUNT(DISTINCT id) AS customers,
+          COUNT(*) AS n_rows
+        FROM pairs GROUP BY i
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*)
+        FROM pairs GROUP BY i""")),
+
+    // Late round 8: the FRAMED + LIMITED chain-accumulator shape — each
+    // purchase within 24 h of a signup, while that signup's scan has made
+    // at most 2 purchase-matches, tallied under the signup's ordinal.
+    // Compiled per-spawn: the collected tuples carry the spawn stamp and
+    // its cumulative purchase count, checked in-row. Oracle: running
+    // purchase count difference reproduces the per-spawn match-count cap.
+    Q("q_osl_chain_accum_framed",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |each_row where event.is(== 'signup')
+            |  n += 1
+            |  each_row.continue().next().look_ahead(24_hours).limit(2) where event.is(== 'purchase')
+            |    << n, event
+            |  end
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"))
+      },
+      Some(s"""$E, ec AS (
+          SELECT id, stamp, event,
+            SUM(CASE WHEN event = 'purchase' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY id ORDER BY stamp
+                    ROWS UNBOUNDED PRECEDING) AS pc
+          FROM e),
+        su AS (
+          SELECT id, stamp, pc,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
+          FROM ec WHERE event = 'signup'),
+        pairs AS (
+          SELECT p.id, p.stamp, su.i
+          FROM ec p JOIN su ON su.id = p.id AND su.stamp < p.stamp
+            AND p.stamp - su.stamp <= 86400000
+            AND p.pc - su.pc <= 2
           WHERE p.event = 'purchase')
         SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
           'purchase' AS g2, COUNT(DISTINCT id) AS customers,
