@@ -181,6 +181,16 @@ class TierChainAccumSpec extends SparkSpec {
          |  end
          |end
          |""".stripMargin)
+    // absolute bounds fold into the level predicate, spawn-independent
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(!= 'error')
+         |  n += 1
+         |  each_row.continue().next().range('2024-01-01T06:00:00Z', '2024-01-02T12:00:00Z') where event.is(== 'purchase')
+         |    << n, event
+         |  end
+         |end
+         |""".stripMargin)
   }
 
   test("declines stay Tier B: inner where read, depth 3, is-read in inner where") {

@@ -551,8 +551,11 @@ class TierPropertySpec extends SparkSpec {
       "event.is(!= 'error')", "product_price.is(> 20)"))
     val genTopTally = Gen.oneOf(true, false)
     // inner frames/limits compose (late round 8): per-spawn eligibility
+    // (cursor frames), absolute bounds fold into the level predicate
     val genInnerMods = Gen.oneOf("", "", ".limit(1)", ".limit(2)",
-      ".look_ahead(15_hours)", ".look_ahead(20_hours).limit(2)")
+      ".look_ahead(15_hours)", ".look_ahead(20_hours).limit(2)",
+      ".within(16_hours, stamp)",
+      ".range('2024-01-01T08:00:00Z', '2024-01-03T00:00:00Z')")
     (1 to 20).foreach { i =>
       val s0 = Seed(i.toLong * 7368787)
       val w0 = genWhere.pureApply(params, s0)
