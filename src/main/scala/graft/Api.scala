@@ -428,19 +428,27 @@ final class Api(spark: SparkSession, val warehouse: String) {
       if f.isFile && f.getName.endsWith(".properties")
     } yield (segDir.getName, f.getName.stripSuffix(".properties"), f)
     val reports = subs.flatMap { case (segment, sub, f) =>
-      val st = readSub(f)
-      if (st.pushUrl.isEmpty) None
-      else {
-        val (events, payload, newCursor, newCursorId) =
-          pendingMessages(table, segment, sub, st, nowMs)
-        if (events.isEmpty)
-          Some(s"""{"subscriber":"$sub","segment":"$segment","delivered":0}""")
+      // per-subscription isolation: one broken/racing subscription (e.g.
+      // deleted between the listing and the read) must not abort the whole
+      // drain — its batch just retries next cycle
+      try {
+        val st = readSub(f)
+        if (st.pushUrl.isEmpty) None
         else {
-          val ok = postJson(st.pushUrl, payload)
-          if (ok) writeSub(f, newCursor, st.retentionMs, newCursorId, st.pushUrl)
-          Some(s"""{"subscriber":"$sub","segment":"$segment","delivered":${
-            if (ok) events.length else 0},"ok":$ok}""")
+          val (events, payload, newCursor, newCursorId) =
+            pendingMessages(table, segment, sub, st, nowMs)
+          if (events.isEmpty)
+            Some(s"""{"subscriber":"$sub","segment":"$segment","delivered":0}""")
+          else {
+            val ok = postJson(st.pushUrl, payload)
+            if (ok) writeSub(f, newCursor, st.retentionMs, newCursorId, st.pushUrl)
+            Some(s"""{"subscriber":"$sub","segment":"$segment","delivered":${
+              if (ok) events.length else 0},"ok":$ok}""")
+          }
         }
+      } catch { case e: Exception =>
+        Some(s"""{"subscriber":"$sub","segment":"$segment","delivered":0,"ok":false,"error":${Json.str(
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}}""")
       }
     }
     s"""{"pushed":[${reports.mkString(",")}]}"""
