@@ -33,7 +33,8 @@ import org.apache.spark.sql.functions._
   * Cluster/internode routes are intentionally absent: Spark's cluster
   * manager, shuffle and storage replication replace them (SURVEY §2.1).
   */
-final class Api(spark: SparkSession, val warehouse: String) {
+final class Api(spark: SparkSession, val warehouse: String,
+                clock: () => Long = () => System.currentTimeMillis()) {
 
   val catalog = new Catalog(spark, warehouse)
 
@@ -318,8 +319,9 @@ final class Api(spark: SparkSession, val warehouse: String) {
       }.toMap
     graft.streaming.Streams.refreshSegments(spark,
       new java.io.File(warehouse, table).toString, fns, nowMs)
-    // deliver the refresh's enter/exit diff to push subscribers right away
-    subscriptionPushDrain(table, nowMs): Unit
+    // hand the refresh's enter/exit diff to the push worker — delivery is
+    // async so a slow webhook can't stall the refresh loop
+    schedulePushDrain(table, nowMs)
     // streaming small-file maintenance: fold the append-only enter/exit
     // log back to one file once it fragments
     graft.streaming.Streams.compactSegmentEvents(spark,
@@ -417,8 +419,9 @@ final class Api(spark: SparkSession, val warehouse: String) {
     * (at-least-once, like the reference broker's retained per-subscriber
     * queues, src/message_broker.h:19-130); retention bounds the replay
     * window exactly as it bounds a slow poller. Empty batches are not
-    * posted. Returns a JSON delivery report. Runs after every ingest batch
-    * ([[startIngest]]) and segment refresh ([[segmentRefresh]]). */
+    * posted. Returns a JSON delivery report. Ingest batches and segment
+    * refreshes enqueue this via [[schedulePushDrain]] — the POSTs run on
+    * the push worker thread, never on the hot path. */
   def subscriptionPushDrain(table: String, nowMs: Long): String = {
     val subsRoot = new java.io.File(warehouse, s"$table/subs")
     val subs = for {
@@ -453,6 +456,49 @@ final class Api(spark: SparkSession, val warehouse: String) {
     }
     s"""{"pushed":[${reports.mkString(",")}]}"""
   }
+
+  // ------------------------------------------------- async push delivery
+  // The ingest/refresh hot paths only ENQUEUE a drain request; one daemon
+  // worker performs the webhook POSTs (the reference broker decouples
+  // delivery from insert the same way — per-subscriber queues drained by
+  // the broker thread, src/message_broker.h:19-130). N slow subscribers
+  // (10 s timeout each) therefore delay only later DELIVERIES, never an
+  // ingest batch or a refresh. Requests per table coalesce: scheduling
+  // while one is queued just merges the drain timestamp (max wins), so a
+  // burst of batches against a hanging hook queues O(1) work, and cursors
+  // still advance only on 2xx — delivery stays at-least-once.
+  private val pushPending =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private lazy val pushExec =
+    java.util.concurrent.Executors.newSingleThreadExecutor { r =>
+      val t = new Thread(r, "graft-push-drain"); t.setDaemon(true); t
+    }
+
+  /** Enqueue a push drain of `table`'s subscriptions, evaluated by the
+    * worker with drain timestamp `nowMs` (callers pass their own pinned
+    * time — the ingest path passes a FRESH clock() per batch, so retention
+    * keeps moving on a long-running stream instead of freezing at the
+    * stream-start timestamp). */
+  def schedulePushDrain(table: String, nowMs: Long): Unit = {
+    var fresh = false
+    pushPending.compute(table, (_, old) => {
+      if (old == null) { fresh = true; java.lang.Long.valueOf(nowMs) }
+      else java.lang.Long.valueOf(math.max(old.longValue(), nowMs))
+    })
+    if (fresh) pushExec.execute { () =>
+      val now = pushPending.remove(table)
+      if (now != null)
+        try subscriptionPushDrain(table, now.longValue()): Unit
+        catch { case _: Exception => () }
+    }
+  }
+
+  /** Await completion of every push drain scheduled before this call
+    * (single worker thread: a sentinel task runs after them). Test hook
+    * and graceful-shutdown aid. */
+  def pushDrainAwait(timeoutMs: Long = 30000L): Unit =
+    pushExec.submit(new Runnable { def run(): Unit = () })
+      .get(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS): Unit
 
   private def postJson(url: String, body: String): Boolean =
     try {
@@ -519,7 +565,10 @@ final class Api(spark: SparkSession, val warehouse: String) {
       }.getOrElse(Map.empty)
     graft.streaming.Streams.startIngest(stream,
       new java.io.File(warehouse, table).toString, checkpoint, fns,
-      afterBatch = () => subscriptionPushDrain(table, nowMs): Unit)
+      // per-batch clock(): the drain cutoff must track wall time on a
+      // long-running stream, not freeze at the stream-start nowMs — and
+      // the enqueue is O(1), so subscriber health never gates batch latency
+      afterBatch = () => schedulePushDrain(table, clock()))
   }
 
   // -------------------------------------------------------------------- batch

@@ -67,9 +67,20 @@ object TableCommit {
     * pointer for stores written before the log existed. */
   def read(root: String): Option[State] = {
     versionGens(root).sorted(Ordering[Long].reverse).iterator
-      .flatMap(g => parseManifest(versionFile(root, g)))
+      .flatMap { g =>
+        val st = parseManifest(versionFile(root, g))
+        // a skipped VERSIONED manifest is either a torn write (expected,
+        // silent is fine for the highest gen) or in-place corruption of a
+        // previously committed file — the latter silently rolls the table
+        // back a generation, so make every skip observable
+        if (st.isEmpty)
+          System.err.println(
+            s"[graft] WARN skipping unreadable manifest ${versionFile(root, g)}" +
+              " — falling back to the previous generation")
+        st
+      }
       .nextOption()
-      .orElse(parseManifest(commitFile(root)))
+      .orElse(parseManifest(commitFile(root), requireEof = false))
   }
 
   /** A PAST committed snapshot, readable while every file it references
@@ -90,10 +101,13 @@ object TableCommit {
   /** Parse a manifest file; None if absent or INCOMPLETE. Strict-JSON
     * parse failure ⇔ a committer crashed mid-write (every proper prefix of
     * the serialized form has an unclosed outer brace, so no truncation can
-    * masquerade as a committed manifest); the trailing `"eof":1` field is a
-    * belt-and-braces end marker on top of that. Skipping such a file is
-    * correct — it was never committed. */
-  private def parseManifest(f: java.io.File): Option[State] = {
+    * masquerade as a committed manifest); the trailing `"eof":1` end marker
+    * is VERIFIED on top of that, so a manifest that happens to re-close as
+    * valid JSON after in-place damage still reads as uncommitted. The
+    * legacy renamed `_commit` pointer predates the marker
+    * (`requireEof = false`). */
+  private def parseManifest(f: java.io.File,
+                            requireEof: Boolean = true): Option[State] = {
     if (!f.isFile) return None
     try {
       val s = new String(java.nio.file.Files.readAllBytes(f.toPath),
@@ -111,7 +125,8 @@ object TableCommit {
           Retired((i \ "ts").extract[Long], (i \ "paths").extract[Seq[String]]))
         case _ => Nil
       }
-      Some(State((j \ "gen").extract[Long], buckets, retired))
+      if (requireEof && (j \ "eof").extractOpt[Int] != Some(1)) None
+      else Some(State((j \ "gen").extract[Long], buckets, retired))
     } catch { case _: Exception => None }
   }
 

@@ -78,9 +78,11 @@ object TierA {
             (assignsLeadingOnly(program.code) && !levels.exists(_.isFromStep))
           // accumulator windows count the TOP loop's visited rows. Single
           // loops compile directly; a 2-level continue().next() chain
-          // compiles when the inner step is plain (no frame/limit/reverse/
-          // from — spawn eligibility must be exactly "visited spawn
-          // strictly before the row" for the per-spawn entry enumeration)
+          // compiles with framed and/or `.limit(n)` inner steps (per-spawn
+          // eligibility is decided in-row from the collected spawn tuples)
+          // — only `.reverse()` and `.from(k)` inner steps stay Tier B,
+          // because their visited sets are not "spawns strictly before the
+          // row" (see chainAccumOk)
           if accums.isEmpty || levels.size == 1 ||
             (levels.size == 2 && chainAccumOk(levels(1)))
           tallies = levels.flatMap(_.tallies)
@@ -290,7 +292,8 @@ object TierA {
                         aggs: Seq[(String, Column)],
                         topFrameCond: Option[Column] = None,
                         accums: Seq[(String, Long, Seq[AccumPart])] = Nil): DataFrame = {
-    val (df0, eligible, levelPreds) = chainWitnesses(base, levels, now, real, topFrameCond)
+    val (df0, eligible, levelPreds) =
+      chainWitnesses(base, levels, now, real, topFrameCond, accums)
     if (accums.isEmpty) {
       val tallyPreds = levels.zip(eligible).zip(levelPreds).flatMap {
         case ((lvl, elig), p) =>
@@ -311,18 +314,12 @@ object TierA {
       // counts once — exactly the interpreter's distinct-key semantics.
       val W = org.apache.spark.sql.expressions.Window
       val person = W.partitionBy(col("id")).orderBy(col("stamp"))
-      val accFrame =
-        if (levels.head.reverse) person.rowsBetween(W.currentRow, W.unboundedFollowing)
-        else person.rowsBetween(W.unboundedPreceding, W.currentRow)
       val prevRows = person.rowsBetween(W.unboundedPreceding, -1)
       val visited0 = levelPreds.head && eligible.head
+      // `__acc_` columns are materialized INSIDE chainWitnesses (right
+      // after level-0 eligibility) so that a chain-step guard reading the
+      // accumulator resolves in the witness windows too
       var df = df0
-      accums.foreach { case (n, init, parts) =>
-        df = df.withColumn(s"__acc_$n",
-          lit(init) + coalesce(
-            sum(when(visited0, perVisitInc(parts, now, real))).over(accFrame),
-            lit(0L)))
-      }
       // ordered spawn tuples strictly before this row (guarded spawns only);
       // each tuple carries the spawn's stamp (frame check) and — under a
       // `.limit(n)` — its cumulative inner-match count (the same witness
@@ -404,7 +401,8 @@ object TierA {
     * eligibility, per-level where-predicates). */
   private def chainWitnesses(base: DataFrame, levels: Seq[ChainLevel],
                              now: Long, real: Map[PropTest, Column],
-                             topFrameCond: Option[Column] = None)
+                             topFrameCond: Option[Column] = None,
+                             accums: Seq[(String, Long, Seq[AccumPart])] = Nil)
       : (DataFrame, Seq[Column], Seq[Column]) = {
     val W = org.apache.spark.sql.expressions.Window
     val person = W.partitionBy(col("id"))
@@ -487,6 +485,17 @@ object TierA {
       }
     }
     var visited: Column = levelPreds.head && elig0
+    // accumulator running sums materialize HERE, before the k>=1 witness
+    // windows: a chain-step guard may read the accumulator (rewritten to
+    // `__acc_<n>` by substAccums), and its value at a candidate spawn row
+    // is exactly the running sum over level-0 visits through that row
+    accums.foreach { case (n, init, parts) =>
+      df = df.withColumn(s"__acc_$n",
+        lit(init) + coalesce(
+          sum(when(visited, perVisitInc(parts, now, real)))
+            .over(if (head.reverse) curRowsR else curRows),
+          lit(0L)))
+    }
     val eligible: Seq[Column] = elig0 +: (1 until levels.length).map { k =>
       val rev = levels(k).reverse
       // an `if`-wrapped nested loop spawns only from parent rows satisfying

@@ -227,14 +227,16 @@ class CatalogSpec extends SparkSpec {
         nowMs = now)
       api.subscriptionCreate("highstreet", "buyers", "hooked", nowMs = now,
         pushUrl = Some(url))
-      // refresh appends the diff AND drains push subscribers
+      // refresh appends the diff AND enqueues a push drain (async worker)
       api.segmentRefresh("highstreet", script, nowMs = now + 1000)
+      api.pushDrainAwait()
       assert(received.size == 1, s"expected one delivery, got ${received.size}")
       val first = received.poll()
       assert(first.contains("\"uid\":\"u1\"") && first.contains("\"state\":\"entered\"")
         && first.contains("\"count\":1"))
       // no new events -> no POST (empty batches are not delivered)
       api.segmentRefresh("highstreet", script, nowMs = now + 2000)
+      api.pushDrainAwait()
       assert(received.isEmpty)
       // webhook down: delivery fails, cursor must NOT advance
       failing.set(true)
@@ -243,7 +245,8 @@ class CatalogSpec extends SparkSpec {
         nowMs = now)
       val failReport = {
         api.segmentRefresh("highstreet", script, nowMs = now + 3000)
-        // refresh drained against the failing hook; drain again to inspect
+        // the worker drained against the failing hook; drain again to inspect
+        api.pushDrainAwait()
         failing.set(false)
         api.subscriptionPushDrain("highstreet", nowMs = now + 4000)
       }
@@ -262,6 +265,76 @@ class CatalogSpec extends SparkSpec {
       api.subscriptionPushDrain("highstreet", nowMs = now + 7200000)
       assert(received.isEmpty, "events past retention must not be delivered")
     } finally server.stop(0)
+  }
+
+  test("a hanging webhook cannot stall ingest batches (async push drain)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val now = 1704067200000L
+    // pinned clock so the per-batch drain cutoff stays inside the
+    // synthetic-data retention window
+    val api = new Api(spark, Files.createTempDirectory("graft_wh").toString,
+      clock = () => now + 5000)
+    api.tableCreate(highstreetMeta)
+    val script =
+      """@segment buyers on_insert=true
+        |if event.ever(== 'purchase')
+        |  return(true)
+        |end
+        |""".stripMargin
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+    server.createContext("/slow", { exchange =>
+      // hang every POST until the test releases the gate — the old
+      // synchronous drain would have charged each batch this full wait
+      gate.await(60, java.util.concurrent.TimeUnit.SECONDS): Unit
+      received.add(new String(exchange.getRequestBody.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)): Unit
+      exchange.sendResponseHeaders(200, -1)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/slow"
+      api.subscriptionCreate("highstreet", "buyers", "slowhook", nowMs = now,
+        pushUrl = Some(url))
+      implicit val sc = spark.sqlContext
+      val mem = MemoryStream[(String, Long, String, String, Double, Seq[String])]
+      val stream = mem.toDF.toDF("id", "stamp", "event", "product_name",
+        "product_price", "product_group")
+      val ckpt = Files.createTempDirectory("graft_slow_ckpt").toString
+      val q = api.startIngest("highstreet", stream, ckpt,
+        onInsertScript = Some(script), nowMs = now)
+      mem.addData(("u1", now, "purchase", "rod", 9.5, Seq[String]()))
+      q.processAllAvailable() // batch 1 parks the worker on the hanging POST
+      val t0 = System.nanoTime()
+      (2 to 4).foreach { i =>
+        mem.addData((s"u$i", now + i * 1000L, "purchase", "rod", 1.0, Seq[String]()))
+        q.processAllAvailable()
+      }
+      val batchesMs = (System.nanoTime() - t0) / 1e6
+      q.stop()
+      // 3 batches against a hook that answers nothing: the synchronous
+      // drain paid the 10 s POST timeout per batch (>30 s here); the async
+      // worker charges the batches only their own commit work
+      assert(batchesMs < 25000,
+        f"ingest batches stalled behind the hanging webhook: $batchesMs%.0f ms")
+      assert(api.catalog.events("highstreet").count() == 4)
+      // release the hook: pending messages drain at-least-once (cursor
+      // only ever advanced on a 2xx)
+      gate.countDown()
+      api.pushDrainAwait(60000)
+      api.subscriptionPushDrain("highstreet", nowMs = now + 5000): Unit
+      val settled = api.subscriptionPushDrain("highstreet", nowMs = now + 5000)
+      assert(settled.contains("\"delivered\":0"), settled)
+      val all = received.toArray.mkString
+      (1 to 4).foreach { i =>
+        assert(all.contains(s""""uid":"u$i""""),
+          s"u$i never delivered; received=$all")
+      }
+    } finally { gate.countDown(); server.stop(0) }
   }
 
   test("segment-events log compaction: files fold to one, feeds unchanged") {
@@ -586,6 +659,15 @@ class CatalogSpec extends SparkSpec {
       TableCommit.write(root, after.copy(retired = Nil))
     }
     assert(TableCommit.read(root).get == after, "loser must not disturb the log")
+    // (e) in-place damage that still re-closes as VALID JSON (no "eof":1
+    // end marker survives) reads as uncommitted — the eof field is checked,
+    // not just written — and read() falls back one generation
+    val vf = new java.io.File(root, s"_commit.v${after.gen}")
+    java.nio.file.Files.writeString(vf.toPath,
+      s"""{"gen":${after.gen},"buckets":{}}""")
+    val fallback = TableCommit.read(root).get
+    assert(fallback.gen == after.gen - 1,
+      s"damaged manifest (missing eof) must be skipped, got gen ${fallback.gen}")
   }
 
   test("customerEvents hashes the lookup id at the stored id type") {

@@ -116,6 +116,47 @@ class TierChainAccumSpec extends SparkSpec {
          |""".stripMargin)
   }
 
+  test("guard on the chain step READS the accumulator") {
+    // regression: the guard rewrites to __acc_n and used to hit
+    // UNRESOLVED_COLUMN — chainWitnesses compiled it before chainPlan
+    // materialized the accumulator windows
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(!= 'error')
+         |  n += 1
+         |  if n > 2
+         |    each_row.continue().next() where event.is(== 'view')
+         |      << n, event
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
+    // read mixed with a row prop, and a bucketed tally key
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(!= 'error')
+         |  n += 1
+         |  if n <= 3 && product_price.is(> 5)
+         |    each_row.continue().next() where event.is(== 'purchase')
+         |      << bucket(n, 2), event
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
+    // reverse top: the spawn's running value accumulates from the end
+    diff(
+      s"""${sel}n = 0
+         |each_row.reverse() where event.is(!= 'error')
+         |  n += 1
+         |  if n > 1
+         |    each_row.continue().next() where event.is(== 'view')
+         |      << n, event
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
+  }
+
   test("top .limit and .reverse compose with chain reads") {
     diff(
       s"""${sel}n = 0
