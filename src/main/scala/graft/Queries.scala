@@ -3394,6 +3394,46 @@ object Queries {
         SELECT CAST(1 AS INTEGER), g1, CAST(NULL AS VARCHAR),
           COUNT(DISTINCT id), COUNT(*)
         FROM k GROUP BY g1"""))
+  ,
+
+    // Round-9 Tier A widening: an accumulator READ in the top-level WHERE
+    // — the canonical stateful-cap script ("visit at most 3 purchases").
+    // The where observes the PRE-increment value and n freezes once the
+    // conjunct fails, so the visited set is the first m* where-matches: a
+    // static `.limit(m*)` solved at compile time (TierA.capSolve; the
+    // reference compiles the same script through its sequential VM,
+    // src/queryparserosl.h:3726-3812). The tally reads n post-increment
+    // (the visit ordinal). Oracle = rank-capped purchase rows.
+    Q("q_osl_where_read",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |each_row where event.is(== 'purchase') && n < 3
+            |  n += 1
+            |  << n, event
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"))
+      },
+      Some(s"""$E, p0 AS (
+          SELECT id, event,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS n
+          FROM e WHERE event = 'purchase'),
+        p AS (SELECT * FROM p0 WHERE n <= 3)
+        SELECT CAST(2 AS INTEGER) AS depth, CAST(n AS VARCHAR) AS g1,
+          'purchase' AS g2, COUNT(DISTINCT id) AS customers,
+          COUNT(*) AS n_rows
+        FROM p GROUP BY n
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), CAST(n AS VARCHAR), CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*)
+        FROM p GROUP BY n"""))
   )
 
   def allRegistry: Seq[Q] = registry ++ extraRegistry

@@ -234,6 +234,54 @@ class TierChainAccumSpec extends SparkSpec {
          |""".stripMargin)
   }
 
+  test("memory guard: residual collect shapes decline above the row bound") {
+    // a GUARDED unframed chain accum takes the collect path; above the
+    // per-person row bound it must fall back to Tier B (whose per-person
+    // streaming scan has no O(spawns) window state)
+    val script =
+      s"""${sel}n = 0
+         |each_row where event.is(!= 'error')
+         |  n += 1
+         |  if product_price.is(> 30)
+         |    each_row.continue().next() where event.is(== 'view')
+         |      << n, event
+         |    end
+         |  end
+         |end
+         |""".stripMargin
+    val saved = TierA.maxCollectSpawnRows
+    try {
+      TierA.maxCollectSpawnRows = 5L // world has 12 rows per person
+      assert(TierA.compile(Parser.program(script), world, Mon + 100 * H,
+        1800000L).isEmpty, "collect path must decline above the row bound")
+      // the ORDINAL path needs no collect: it stays Tier A under the bound
+      val ordinalScript =
+        s"""${sel}n = 0
+           |each_row where event.is(!= 'error')
+           |  n += 1
+           |  each_row.continue().next() where event.is(== 'view')
+           |    << n, event
+           |  end
+           |end
+           |""".stripMargin
+      assert(TierA.compile(Parser.program(ordinalScript), world, Mon + 100 * H,
+        1800000L).isDefined, "ordinal path is exempt from the bound")
+      // and a FINITE-framed inner step is range-bounded: also exempt
+      val framedScript =
+        s"""${sel}n = 0
+           |each_row where event.is(!= 'error')
+           |  n += 1
+           |  each_row.continue().next().look_ahead(12_hours) where event.is(== 'view')
+           |    << n, event
+           |  end
+           |end
+           |""".stripMargin
+      assert(TierA.compile(Parser.program(framedScript), world, Mon + 100 * H,
+        1800000L).isDefined, "range-bounded collect is exempt from the bound")
+    } finally TierA.maxCollectSpawnRows = saved
+    diff(script) // and at the default bound it still compiles + matches
+  }
+
   test("declines stay Tier B: inner where read, depth 3, is-read in inner where") {
     diff(
       s"""${sel}n = 0

@@ -166,6 +166,49 @@ class TierPropertySpec extends SparkSpec {
     }
   }
 
+  // where-cap accumulators (round 9): a pure-accumulator conjunct in the
+  // top-level where (`n < 3` — pre-increment read) extracts to a static
+  // visit cap solved at compile time (TierA.capSolve), composing with
+  // .limit/.reverse/.from and body reads
+  test("where-cap accumulators: Tier A == Tier B (20 seeded samples)") {
+    val params = Gen.Parameters.default
+    val genCap = Gen.oneOf(
+      (0L, "n += 1", "n < 3"), (0L, "n += 1", "n <= 2"),
+      (0L, "n += 2", "n < 5"), (0L, "n += 1", "n != 2"),
+      (0L, "n += 1", "n == 0"), (5L, "n -= 1", "n > 1"),
+      (5L, "n -= 2", "n >= 2"), (0L, "n += 1", "4 > n"),
+      (9L, "n += 1", "n < 3") /* init already fails: zero visits */)
+    val genMods = Gen.oneOf("", "", ".reverse()", ".limit(2)", ".from(1)")
+    val genBodyRead = Gen.oneOf("", "", "n", "bucket(n, 3)")
+    (1 to 20).foreach { i =>
+      val s0 = Seed(i.toLong * 15485863)
+      val where = genWhere.pureApply(params, s0)
+      val (init, inc, cond) = genCap.pureApply(params, s0.next)
+      val mods = genMods.pureApply(params, s0.next.next)
+      val read = genBodyRead.pureApply(params, s0.next.next.next)
+      val g2 = genGroup.pureApply(params, s0.slide)
+      val readTally = if (read.isEmpty) "" else s"  << $read, $g2\n"
+      val script =
+        s"""select
+           |  count id as customers
+           |  sum product_price as total
+           |end
+           |n = $init
+           |each_row$mods where $where && $cond
+           |  $inc
+           |$readTally  << 'capped', $g2
+           |end
+           |""".stripMargin
+      val p = Parser.program(script)
+      assert(TierA.compile(p, world, Mon + 100 * H, 1800000L).isDefined,
+        s"where-cap sample $i did not compile to Tier A:\n$script")
+      val a = canon(OslEngine.query(world, script, now = Mon + 100 * H))
+      val b = canon(OslEngine.query(world, script, now = Mon + 100 * H,
+        forceTierB = true))
+      assert(a == b, s"where-cap tier mismatch on sample $i:\n$script\nA=$a\nB=$b")
+    }
+  }
+
   // guarded read accumulators (round 7): leading `if cond { n ± lit }`
   // (optional else branch, optional unconditional companion increment)
   // compile to conditional running-sum windows

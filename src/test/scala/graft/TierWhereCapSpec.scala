@@ -1,0 +1,239 @@
+package graft
+
+import graft.osl._
+
+/** Round-9 Tier A feature: accumulator reads in the top-level WHERE — the
+  * canonical stateful-cap script `n = 0; each_row where event.is(== 'x')
+  * && n < 3 { n += 1 ... }`. The where observes the PRE-increment value,
+  * and once a pure-accumulator conjunct fails n freezes, so the visited
+  * set is the first m* residual-where matches: a static `.limit(m*)`
+  * solved at compile time (TierA.capSolve). Tier B is the authority. */
+class TierWhereCapSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Mon = 1704067200000L
+  private val H = 3600000L
+
+  private lazy val world = {
+    val rnd = new scala.util.Random(29)
+    val events = Seq("purchase", "view", "signup", "error")
+    val products = Seq("rod", "reel", "net", "fly")
+    (0 until 80).map { i =>
+      (s"u${i % 6}", Mon + (i / 6) * 5 * H + (i % 6) * H,
+        events(rnd.nextInt(4)), products(rnd.nextInt(4)),
+        math.round(rnd.nextDouble() * 10000) / 100.0)
+    }.toDF("id", "stamp", "event", "product_name", "product_price").cache()
+  }
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Set[Vector[String]] = {
+    val cols = df.columns
+    df.collect().map(r => cols.indices.map(i =>
+      Option(r.get(i)).map {
+        case d: Double => (math.round(d * 10000) / 10000.0).toString
+        case o => o.toString
+      }.orNull).toVector).toSet
+  }
+
+  private def diff(script: String, expectTierA: Boolean = true): Unit = {
+    val p = Parser.program(script)
+    assert(TierA.compile(p, world, Mon + 100 * H, 1800000L).isDefined == expectTierA,
+      s"Tier A compile expected=$expectTierA for:\n$script")
+    val a = canon(OslEngine.query(world, script, now = Mon + 100 * H))
+    val b = canon(OslEngine.query(world, script, now = Mon + 100 * H,
+      forceTierB = true))
+    assert(a == b, s"tier mismatch:\n$script\nA=$a\nB=$b")
+  }
+
+  private val sel =
+    "select\n  count id as customers\n  count event as n_rows\n  sum product_price as total\nend\n"
+
+  test("canonical cap: n < 3 visits the first 3 matches per person") {
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(== 'purchase') && n < 3
+         |  n += 1
+         |  << 'capped', event
+         |end
+         |""".stripMargin)
+  }
+
+  test("every comparator solves: <=, ==, !=, > and >= with negative inc") {
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(!= 'error') && n <= 2
+         |  n += 1
+         |  << 'le', event
+         |end
+         |""".stripMargin)
+    diff( // == init: exactly the first match visits
+      s"""${sel}n = 0
+         |each_row where event.is(== 'view') && n == 0
+         |  n += 1
+         |  << 'first', product_name
+         |end
+         |""".stripMargin)
+    diff( // != freezes at the unique failing ordinal
+      s"""${sel}n = 0
+         |each_row where event.is(!= 'error') && n != 2
+         |  n += 1
+         |  << 'ne', event
+         |end
+         |""".stripMargin)
+    diff( // countdown: n -= and a > floor
+      s"""${sel}n = 5
+         |each_row where event.is(!= 'error') && n > 2
+         |  n -= 1
+         |  << 'down', event
+         |end
+         |""".stripMargin)
+    diff(
+      s"""${sel}n = 5
+         |each_row where event.is(!= 'error') && n >= 3
+         |  n -= 1
+         |  << 'down_ge', event
+         |end
+         |""".stripMargin)
+    diff( // literal on the left flips the comparator
+      s"""${sel}n = 0
+         |each_row where event.is(!= 'error') && 3 > n
+         |  n += 1
+         |  << 'flipped', event
+         |end
+         |""".stripMargin)
+  }
+
+  test("inc > 1, cap 0, and an inert conjunct") {
+    diff( // n jumps by 2: 0,2,4 pass n<5, 6 fails -> 3 visits
+      s"""${sel}n = 0
+         |each_row where event.is(!= 'error') && n < 5
+         |  n += 2
+         |  << 'by2', event
+         |end
+         |""".stripMargin)
+    diff( // init already fails -> zero visits everywhere
+      s"""${sel}n = 7
+         |each_row where event.is(!= 'error') && n < 3
+         |  n += 1
+         |  << 'never', event
+         |end
+         |""".stripMargin)
+    diff( // increasing n can never fail n >= 0 -> conjunct is inert
+      s"""${sel}n = 0
+         |each_row where event.is(== 'purchase') && n >= 0
+         |  n += 1
+         |  << 'inert', event
+         |end
+         |""".stripMargin)
+  }
+
+  test("cap composes with .limit / .reverse / .from and frames") {
+    diff( // explicit .limit tighter than the cap, and vice versa
+      s"""${sel}n = 0
+         |each_row.limit(2) where event.is(!= 'error') && n < 4
+         |  n += 1
+         |  << 'lim2', event
+         |end
+         |""".stripMargin)
+    diff(
+      s"""${sel}n = 0
+         |each_row.limit(5) where event.is(!= 'error') && n < 2
+         |  n += 1
+         |  << 'cap2', event
+         |end
+         |""".stripMargin)
+    diff( // reverse: the LAST 3 matches visit (scan from the end)
+      s"""${sel}n = 0
+         |each_row.reverse() where event.is(== 'view') && n < 3
+         |  n += 1
+         |  << 'rev', event
+         |end
+         |""".stripMargin)
+    diff( // .from(2): matches count from row index 2
+      s"""${sel}n = 0
+         |each_row.from(2) where event.is(!= 'error') && n < 2
+         |  n += 1
+         |  << 'from2', event
+         |end
+         |""".stripMargin)
+    diff( // top frame gates the scanned range before the cap counts
+      s"""${sel}n = 0
+         |each_row.look_ahead(30_hours, first_stamp) where event.is(!= 'error') && n < 2
+         |  n += 1
+         |  << 'framed', event
+         |end
+         |""".stripMargin)
+  }
+
+  test("cap plus body reads: the window column still counts visited rows") {
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(!= 'error') && n < 4
+         |  n += 1
+         |  << n, event
+         |end
+         |""".stripMargin)
+    diff( // two accumulators: one caps the where, the other keys the tally
+      s"""${sel}n = 0
+         |k = 0
+         |each_row where event.is(!= 'error') && n < 3
+         |  n += 1
+         |  k += 2
+         |  << k, event
+         |end
+         |""".stripMargin)
+  }
+
+  test("cap on a chain top: level 0 spawns only while the cap holds") {
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(== 'signup') && n < 2
+         |  n += 1
+         |  each_row.continue().next() where event.is(== 'purchase')
+         |    << 'chained', event
+         |  end
+         |end
+         |""".stripMargin)
+    diff( // cap + chain + read below the step (spawn-bound value)
+      s"""${sel}n = 0
+         |each_row where event.is(== 'signup') && n < 3
+         |  n += 1
+         |  each_row.continue().next() where event.is(== 'view')
+         |    << n, event
+         |  end
+         |end
+         |""".stripMargin)
+  }
+
+  test("declines stay Tier B: dynamic caps and non-conjunct reads") {
+    diff( // compares the accumulator to a row prop: not static
+      s"""${sel}n = 0
+         |each_row where event.is(!= 'error') && n < product_price
+         |  n += 1
+         |  << 'dyn', event
+         |end
+         |""".stripMargin, expectTierA = false)
+    diff( // guarded increment: per-visit delta is not constant
+      s"""${sel}n = 0
+         |each_row where event.is(!= 'error') && n < 3
+         |  if event.is(== 'purchase')
+         |    n += 1
+         |  end
+         |  << 'guarded', event
+         |end
+         |""".stripMargin, expectTierA = false)
+    diff( // read under || is not a conjunct cap
+      s"""${sel}n = 0
+         |each_row where event.is(== 'purchase') || n < 3
+         |  n += 1
+         |  << 'or', event
+         |end
+         |""".stripMargin, expectTierA = false)
+    diff( // non-literal increment: the cap value is data-dependent
+      s"""${sel}n = 0
+         |each_row where event.is(== 'purchase') && n < 100
+         |  n += product_price
+         |  << 'prop_inc', event
+         |end
+         |""".stripMargin, expectTierA = false)
+  }
+}
