@@ -83,16 +83,11 @@ final class Api(spark: SparkSession, val warehouse: String,
     * array element), parsed against the table schema with stamp
     * normalization, then upserted (src/rpc_insert.cpp). */
   def insert(table: String, jsonEvents: Seq[String], nowMs: Long): String = {
-    import graft.operators.EventIngest
-    import spark.implicits._
-    val m = catalog.describe(table)
-    val parsed = EventIngest.parseJson(
-      jsonEvents.toDF("j"), "j",
-      // accept second/ISO stamps: parse as string, normalize below
-      org.apache.spark.sql.types.StructType(m.eventsSchema.fields.map(f =>
-        if (f.name == "stamp") f.copy(dataType = org.apache.spark.sql.types.StringType) else f)))
-      .withColumn("stamp", EventIngest.normalizeStamp(col("stamp")))
-    catalog.insert(table, parsed, nowMs)
+    // append to the pending WAL; the catalog group-commits the bucket merge
+    // once TableSettings.flushRows rows accumulate (0 = merge every batch).
+    // Parsing (schema coercion, second/ISO stamp normalization) happens at
+    // drain/overlay via Catalog.parsePending — the same transform either way
+    catalog.insertRaw(table, jsonEvents, nowMs)
     s"""{"message":"yummy"}""" // the reference's insert ack (src/rpc_insert.cpp)
   }
 

@@ -33,7 +33,13 @@ final case class TableSettings(
     segmentIntervalMs: Long = 1000L,                 // table.h:127
     tzOffsetMs: Long = 0L,                           // table.h:123
     eventOrder: Seq[String] = Nil,                   // z-order (table.cpp:138-146)
-    storageBuckets: Int = 32)                        // id-hash partition count
+    storageBuckets: Int = 32,                        // id-hash partition count
+    // group-commit threshold for raw-JSON inserts: batches append to a
+    // pending WAL (the reference's sidelog discipline, src/sidelog.h:15-60)
+    // and merge into bucket parquet only once this many rows are pending.
+    // 0 = merge every batch (classic eager behavior). Reads always see
+    // pending rows (WAL overlay), so visibility is unaffected either way.
+    flushRows: Int = 0)
 
 final case class TableMeta(
     table: String,
@@ -98,10 +104,12 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     sb.append("],\"settings\":{")
     sb.append(s"""\"event_max\":${m.settings.eventMax},\"event_ttl_ms\":${m.settings.eventTtlMs},""")
     sb.append(s"""\"session_time_ms\":${m.settings.sessionTimeMs},\"segment_interval_ms\":${m.settings.segmentIntervalMs},""")
-    sb.append(s"""\"tz_offset_ms\":${m.settings.tzOffsetMs},\"storage_buckets\":${m.settings.storageBuckets}}}""")
+    sb.append(s"""\"tz_offset_ms\":${m.settings.tzOffsetMs},\"storage_buckets\":${m.settings.storageBuckets},""")
+    sb.append(s"""\"flush_rows\":${m.settings.flushRows}}}""")
     dir(m.table).mkdirs()
     java.nio.file.Files.write(metaFile(m.table).toPath,
       sb.toString.getBytes("UTF-8"))
+    metaCache.remove(m.table): Unit
   }
 
   private val metaSchema = StructType(Seq(
@@ -114,11 +122,28 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     StructField("settings", StructType(Seq(
       StructField("event_max", LongType), StructField("event_ttl_ms", LongType),
       StructField("session_time_ms", LongType), StructField("segment_interval_ms", LongType),
-      StructField("tz_offset_ms", LongType), StructField("storage_buckets", LongType))))))
+      StructField("tz_offset_ms", LongType), StructField("storage_buckets", LongType),
+      StructField("flush_rows", LongType))))))
+
+  /** (metaFile mtime, parsed meta) — describe() runs on every insert and
+    * query, and the JSON parse is a Spark job; cache by modification time
+    * so the common path is one driver-side stat. [[writeMeta]] invalidates
+    * explicitly (same-millisecond rewrites would alias the mtime); an
+    * out-of-process writer is caught by the mtime check. */
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, TableMeta)]
 
   def describe(table: String): TableMeta = {
     require(exists(table), s"no such table '$table'")
-    import scala.jdk.CollectionConverters._
+    val mtime = metaFile(table).lastModified()
+    val cached = metaCache.get(table)
+    if (cached != null && cached._1 == mtime) return cached._2
+    val m = parseMeta(table)
+    metaCache.put(table, (mtime, m))
+    m
+  }
+
+  private def parseMeta(table: String): TableMeta = {
     val row = spark.read.schema(metaSchema).json(metaFile(table).toString).head()
     val props = row.getSeq[org.apache.spark.sql.Row](2).map(p =>
       PropDef(p.getString(0), p.getString(1), p.getBoolean(2), p.getBoolean(3)))
@@ -130,7 +155,8 @@ final class Catalog(spark: SparkSession, warehouse: String) {
       tzOffsetMs = st.getLong(4),
       eventOrder = row.getSeq[String](3),
       // metas written before bucketed storage existed default to 32
-      storageBuckets = if (st.isNullAt(5)) 32 else st.getLong(5).toInt))
+      storageBuckets = if (st.isNullAt(5)) 32 else st.getLong(5).toInt,
+      flushRows = if (st.isNullAt(6)) 0 else st.getLong(6).toInt))
   }
 
   // --------------------------------------------------------------------- DDL
@@ -163,6 +189,7 @@ final class Catalog(spark: SparkSession, warehouse: String) {
 
   def drop(table: String): Unit = {
     require(exists(table), s"no such table '$table'")
+    metaCache.remove(table): Unit
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
       f.delete()
@@ -171,18 +198,21 @@ final class Catalog(spark: SparkSession, warehouse: String) {
   }
 
   def addProperty(table: String, prop: PropDef): Unit = {
+    flush(table) // pending WAL rows parse against the pre-DDL schema
     val m = describe(table)
     validateProps(m.properties :+ prop)
     writeMeta(m.copy(properties = m.properties :+ prop))
   }
 
   def dropProperty(table: String, name: String): Unit = {
+    flush(table) // pending WAL rows parse against the pre-DDL schema
     val m = describe(table)
     require(m.properties.exists(_.name == name), s"no such property '$name'")
     writeMeta(m.copy(properties = m.properties.filterNot(_.name == name)))
   }
 
   def updateSettings(table: String, f: TableSettings => TableSettings): Unit = {
+    flush(table) // pending WAL rows merge under the pre-update settings
     val m = describe(table)
     writeMeta(m.copy(settings = f(m.settings)))
   }
@@ -264,7 +294,7 @@ final class Catalog(spark: SparkSession, warehouse: String) {
 
   def events(table: String): DataFrame = {
     val m = describe(table)
-    eventsWithBucket(table, m).drop("__bucket")
+    overlayPending(table, m, eventsWithBucket(table, m).drop("__bucket"))
   }
 
   /** Time travel: the events table exactly as committed at generation
@@ -293,10 +323,138 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     // Mirrors insert's xxhash64(col("id")).
     val idLit = lit(id).cast(m.eventsSchema("id").dataType)
     val b = pmod(xxhash64(idLit), lit(m.settings.storageBuckets.toLong)).cast("int")
-    eventsWithBucket(table, m)
+    val pruned = eventsWithBucket(table, m)
       .where(col("__bucket").isNull || col("__bucket") === b)
       .where(col("id") === idLit)
       .drop("__bucket")
+    if (pendingFiles(table).isEmpty) pruned
+    // WAL rows for this id may supersede stored ones: overlay, then filter.
+    // Pruning is lost only while a pending WAL exists (bounded by flushRows)
+    else overlayPending(table, m,
+      eventsWithBucket(table, m).drop("__bucket")).where(col("id") === idLit)
+  }
+
+  // ------------------------------------------------- group-commit pending WAL
+  /** Raw-JSON batches land here before merging into bucket parquet — the
+    * reference's sidelog WAL (`src/sidelog.h:15-60`): an append is one
+    * driver-side file create (milliseconds), while the O(touched-buckets)
+    * read-merge-write runs only when [[TableSettings.flushRows]] rows have
+    * accumulated (group commit). Readers overlay pending rows through the
+    * SAME merge transform the drain will run ([[mergeTouched]]), so
+    * read-your-writes holds regardless of the threshold. Replay after a
+    * crash (drain committed, WAL not yet retired) is idempotent: the upsert
+    * key (id, stamp, z-rank, row-hash) collapses re-merged rows. */
+  private def pendingDir(table: String) =
+    new java.io.File(dir(table), "events_pending")
+
+  /** WAL name carries (nowMs, rows): pending totals and the drain clock
+    * come from the listing alone, no file reads. */
+  private val WalName = """wal-(\d+)-(\d+)-(\d+)\.jsonl""".r
+
+  private def pendingFiles(table: String): Seq[java.io.File] = {
+    val ls = Option(pendingDir(table).listFiles()).getOrElse(Array.empty)
+    val drained = ls.collect {
+      case f if f.getName.endsWith(".drained") =>
+        f.getName.stripSuffix(".drained")
+    }.toSet
+    ls.filter(f => f.isFile && WalName.pattern.matcher(f.getName).matches() &&
+        !drained(f.getName))
+      .sortBy(_.getName).toSeq
+  }
+
+  private def pendingRows(table: String): Long =
+    pendingFiles(table).map { f =>
+      val WalName(_, _, rows) = f.getName: @unchecked; rows.toLong
+    }.sum
+
+  private def appendPending(table: String, jsonEvents: Seq[String],
+                            nowMs: Long): Unit = {
+    val d = pendingDir(table)
+    d.mkdirs()
+    val name = s"wal-${System.nanoTime()}-$nowMs-${jsonEvents.size}.jsonl"
+    val tmp = new java.io.File(d, name + ".tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      jsonEvents.mkString("", "\n", "\n").getBytes("UTF-8"))
+    // rename-in-place is atomic on a local fs; lock-free overlay readers
+    // never observe a half-written .jsonl
+    require(tmp.renameTo(new java.io.File(d, name)), s"WAL publish failed: $name")
+  }
+
+  /** Parse pending WAL lines exactly as [[Api.insert]] parses a live batch:
+    * schema-driven JSON with second/ISO stamp normalization. */
+  private def parsePending(m: TableMeta, files: Seq[java.io.File]): DataFrame = {
+    import graft.operators.EventIngest
+    val raw = spark.read.text(files.map(_.toString): _*).toDF("j")
+      .where(length(trim(col("j"))) > 0)
+    EventIngest.parseJson(raw, "j",
+      StructType(m.eventsSchema.fields.map(f =>
+        if (f.name == "stamp") f.copy(dataType = StringType) else f)))
+      .withColumn("stamp", graft.operators.EventIngest.normalizeStamp(col("stamp")))
+      .select(m.eventsSchema.fieldNames.map(col): _*)
+  }
+
+  /** The live view while a WAL is pending: untouched buckets as committed,
+    * touched buckets through the same merge the drain will write. */
+  private def overlayPending(table: String, m: TableMeta,
+                             base: DataFrame): DataFrame = {
+    val files = pendingFiles(table)
+    if (files.isEmpty) return base
+    val walNow = files.map { f =>
+      val WalName(_, now, _) = f.getName: @unchecked; now.toLong
+    }.max
+    val (touched, merged) = mergeTouched(table, m, parsePending(m, files), walNow)
+    val untouched = eventsWithBucket(table, m)
+      .where(col("__bucket").isNotNull && !col("__bucket").isin(touched: _*))
+      .drop("__bucket")
+    untouched.unionByName(merged)
+  }
+
+  /** Merge pending WAL batches into bucket parquet (one read-merge-write
+    * for ALL pending rows — the group commit) and retire the WAL files.
+    * Caller holds the writer lock. Retiring creates a SIDE MARKER
+    * (`<wal>.drained`) instead of renaming: a lock-free overlay reader
+    * that already planned the WAL path keeps finding it for the same
+    * grace window manifest-retired parquet gets (double reads dedup by
+    * the upsert key, so an in-flight reader spanning the drain still
+    * computes the right rows). Replay after a crash (merge committed,
+    * marker not yet written) is idempotent for the same reason. */
+  private def drainPendingLocked(table: String, nowMs: Long): Unit = {
+    val files = pendingFiles(table)
+    if (files.nonEmpty) {
+      val m = describe(table)
+      val walNow = files.map { f =>
+        val WalName(_, now, _) = f.getName: @unchecked; now.toLong
+      }.max.max(nowMs)
+      insertLocked(table, parsePending(m, files), walNow)
+      files.foreach { f =>
+        val marker = new java.io.File(f.getPath + ".drained")
+        if (!marker.exists()) java.nio.file.Files.createFile(marker.toPath): Unit
+      }
+    }
+    val cutoff = System.currentTimeMillis() - TableCommit.graceMs
+    Option(pendingDir(table).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".drained") && f.lastModified < cutoff)
+      .foreach { marker =>
+        new java.io.File(marker.getPath.stripSuffix(".drained")).delete()
+        marker.delete(): Unit
+      }
+  }
+
+  /** Force-merge any pending WAL into bucket parquet (public flush). */
+  def flush(table: String, nowMs: Long = System.currentTimeMillis()): Unit =
+    Fs.withWriteLock(eventsDir(table)) { drainPendingLocked(table, nowMs) }
+
+  /** Raw-JSON insert (`POST /v1/insert` body): append to the pending WAL,
+    * then merge once [[TableSettings.flushRows]] rows are pending (0 =
+    * merge immediately — classic behavior). */
+  def insertRaw(table: String, jsonEvents: Seq[String], nowMs: Long): Unit = {
+    if (jsonEvents.isEmpty) return
+    val m = describe(table)
+    Fs.withWriteLock(eventsDir(table)) {
+      appendPending(table, jsonEvents, nowMs)
+      if (pendingRows(table) >= math.max(1L, m.settings.flushRows.toLong))
+        drainPendingLocked(table, nowMs)
+    }
   }
 
   /** Insert with the reference's full pipeline (`src/oloop_insert.cpp`):
@@ -323,30 +481,45 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     // commit protocol: the whole read-merge-swap holds the table's writer
     // lock, so a concurrent insert merges against THIS batch's result
     // instead of the same base (lost update); readers stay lock-free on
-    // the atomic bucket renames
-    Fs.withWriteLock(eventsDir(table)) { insertLocked(table, incoming, nowMs) }
+    // the atomic bucket renames. Any pending WAL drains FIRST so this
+    // batch's rows supersede earlier raw-JSON appends (upsert latest-wins)
+    Fs.withWriteLock(eventsDir(table)) {
+      drainPendingLocked(table, nowMs)
+      insertLocked(table, incoming, nowMs)
+    }
+
+  /** The merge both the eager insert WRITES and the pending-WAL overlay
+    * READS: existing rows of the batch's touched buckets upserted with the
+    * batch, TTL and eventMax culled. Sharing one transform makes the
+    * overlaid live view and the post-drain committed state identical by
+    * construction. */
+  private def mergeTouched(table: String, m: TableMeta, aligned: DataFrame,
+                           nowMs: Long): (Seq[Int], DataFrame) = {
+    import graft.operators.EventIngest
+    val nB = m.settings.storageBuckets
+    // bounded by storage_buckets — a tiny driver-side list, never row data
+    val touched: Seq[Int] = aligned.select(bucketCol(nB).as("__bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val existing = eventsWithBucket(table, m)
+      .where(col("__bucket").isNull || col("__bucket").isin(touched: _*))
+      .drop("__bucket")
+    val merged0 = EventIngest.upsert(existing, aligned,
+      m.settings.eventOrder, m.eventProps.map(_.name))
+    val merged = EventIngest.cullEventMax(
+      EventIngest.cullTtl(merged0, nowMs, m.settings.eventTtlMs),
+      m.settings.eventMax, m.settings.eventOrder)
+    (touched, merged)
+  }
 
   private def insertLocked(table: String, incoming: DataFrame, nowMs: Long): Unit = {
-    import graft.operators.EventIngest
     val m = describe(table)
-    val payload = m.eventProps.map(_.name)
     val nB = m.settings.storageBuckets
     val aligned = incoming.select(m.eventsSchema.fieldNames.map(col): _*)
     recoverEvents(table)
     if (legacyFlatFiles(new java.io.File(eventsDir(table))).nonEmpty)
       return insertMigrateLegacy(table, m, aligned, nowMs)
-    // bounded by storage_buckets — a tiny driver-side list, never row data
-    val touched: Seq[Int] = aligned.select(bucketCol(nB).as("__bucket"))
-      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val (touched, merged) = mergeTouched(table, m, aligned, nowMs)
     if (touched.isEmpty) return
-    val existing = eventsWithBucket(table, m)
-      .where(col("__bucket").isNull || col("__bucket").isin(touched: _*))
-      .drop("__bucket")
-    val merged0 = EventIngest.upsert(existing, aligned,
-      m.settings.eventOrder, payload)
-    val merged = EventIngest.cullEventMax(
-      EventIngest.cullTtl(merged0, nowMs, m.settings.eventTtlMs),
-      m.settings.eventMax, m.settings.eventOrder)
     // stage the touched buckets, then commit via the manifest: move the
     // staged (immutable, uniquely-named) files into the bucket dirs, publish
     // a new _commit atomically, and retire — not delete — the files they

@@ -185,6 +185,8 @@ final class Http(api: Api, requestedPort: Int = 0) {
       out = out.copy(tzOffsetMs = n.path("tz_offset").asLong() * 1000L)
     if (n.has("segment_interval"))
       out = out.copy(segmentIntervalMs = n.path("segment_interval").asLong())
+    if (n.has("flush_rows"))
+      out = out.copy(flushRows = n.path("flush_rows").asInt())
     out
   }
 

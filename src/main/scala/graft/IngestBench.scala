@@ -7,13 +7,17 @@ package graft
   *
   *   `INGEST events=<n> batches=<k> secs=<s> events_per_sec=<r>`
   *
-  * `runMain graft.IngestBench [nEvents] [batchSize]` (default 200 000 ×
-  * 20 000 — the reference recommends batches of thousands,
-  * docs/rest/README.md). Measured numbers live in SCALING.md §Ingest. */
+  * `runMain graft.IngestBench [nEvents] [batchSize] [flushRows]` (default
+  * 200 000 × 20 000 — the reference recommends batches of thousands,
+  * docs/rest/README.md). `flushRows` > 0 group-commits: batches append to
+  * the pending WAL and the bucket merge runs once that many rows are
+  * pending (TableSettings.flushRows; a trailing flush is included in the
+  * timing). Measured numbers live in SCALING.md §Ingest. */
 object IngestBench {
   def main(args: Array[String]): Unit = {
     val nEvents = args.headOption.map(_.toInt).getOrElse(200000)
     val batchSize = if (args.length > 1) args(1).toInt else 20000
+    val flushRows = if (args.length > 2) args(2).toInt else 0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -29,7 +33,7 @@ object IngestBench {
     }
     def run(table: String, n: Int, size: Int): Double = {
       api.catalog.create(TableMeta(table,
-        Seq(PropDef("value", "double")), TableSettings()))
+        Seq(PropDef("value", "double")), TableSettings(flushRows = flushRows)))
       val batches = (n + size - 1) / size
       val t0 = System.nanoTime()
       var b = 0
@@ -38,12 +42,15 @@ object IngestBench {
           nowMs = 1704067200000L)
         b += 1
       }
+      // group commit defers the bucket merge; charge the stragglers here
+      api.catalog.flush(table, nowMs = 1704067200000L)
       (System.nanoTime() - t0) / 1e9
     }
     run("warm", 2 * batchSize, batchSize) // JIT/codegen warm-up
     val secs = run("bench", nEvents, batchSize)
     val rate = math.round(nEvents / secs)
     println(s"INGEST events=$nEvents batches=${(nEvents + batchSize - 1) / batchSize} " +
+      s"flush_rows=$flushRows " +
       f"secs=$secs%.2f events_per_sec=$rate")
     spark.stop()
   }

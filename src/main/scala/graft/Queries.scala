@@ -3434,6 +3434,56 @@ object Queries {
         SELECT CAST(1 AS INTEGER), CAST(n AS VARCHAR), CAST(NULL AS VARCHAR),
           COUNT(DISTINCT id), COUNT(*)
         FROM p GROUP BY n"""))
+  ,
+
+    // Round-9 Tier A widening: accumulators on a DEPTH-3 chain (plain
+    // inner steps) — signup -> view -> purchase, tallying the running
+    // signup ordinal at the deepest level. Compiled per-spawn: each
+    // collected tuple carries the running view-match count through its
+    // spawn, and a purchase row is a level-2 visit for spawn i iff a view
+    // lies strictly between them (match-count difference >= 1). Tally
+    // dedup is per (row, node), so the oracle is the DISTINCT
+    // (purchase, signup-ordinal) pairs with an interleaved view.
+    Q("q_osl_chain3_accum",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |each_row where event.is(== 'signup')
+            |  n += 1
+            |  each_row.continue().next() where event.is(== 'view')
+            |    each_row.continue().next() where event.is(== 'purchase')
+            |      << n, event
+            |    end
+            |  end
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"))
+      },
+      Some(s"""$E, su AS (
+          SELECT id, stamp,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
+          FROM e WHERE event = 'signup'),
+        trip AS (
+          SELECT DISTINCT p.id, p.stamp, su.i
+          FROM e p JOIN su ON su.id = p.id AND su.stamp < p.stamp
+          WHERE p.event = 'purchase'
+            AND EXISTS (SELECT 1 FROM e v
+              WHERE v.id = p.id AND v.event = 'view'
+                AND v.stamp > su.stamp AND v.stamp < p.stamp))
+        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
+          'purchase' AS g2, COUNT(DISTINCT id) AS customers,
+          COUNT(*) AS n_rows
+        FROM trip GROUP BY i
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*)
+        FROM trip GROUP BY i"""))
   )
 
   def allRegistry: Seq[Q] = registry ++ extraRegistry

@@ -157,6 +157,34 @@ object Scale {
             |end
             |""".stripMargin, now = 1719792000000L)
       }),
+      // ANN family (round 9): cold runs include the index build — IVF's
+      // centroid assignment, PQ's codebook training loop, LSH's signature
+      // scan. That cold path is exactly where an ANN operator could go
+      // super-linear; the eval set stays the 10 base queries at every
+      // factor, so measured growth is all corpus/index
+      "ann_ivf_topk" -> ((_: String, _: String, m: String) => {
+        val emb = spark.read.parquet(m)
+        operators.Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10), k = 5)
+          .select(col("qid"), col("rank"), col("nid"))
+      }),
+      "ann_pq_topk" -> ((_: String, _: String, m: String) => {
+        val emb = spark.read.parquet(m)
+        operators.Similarity.pqTopK(emb, emb.where(col("vec_id") < 10), k = 5)
+          .select(col("qid"), col("rank"), col("nid"))
+      }),
+      "ann_lsh_topk" -> ((_: String, _: String, m: String) => {
+        val emb = spark.read.parquet(m)
+        operators.Similarity.lshTopK(emb, emb.where(col("vec_id") < 10),
+          dim = 64, k = 5)
+          .select(col("qid"), col("rank"), col("nid"))
+      }),
+      // recall report = brute force (eval-set bounded) + all three
+      // approximate pipelines + semi-join intersections end-to-end
+      "ann_recall" -> ((_: String, _: String, m: String) => {
+        val emb = spark.read.parquet(m)
+        operators.Similarity.annQualityReport(
+          emb, emb.where(col("vec_id") < 10), k = 5)
+      }),
       "osl_prop_accum" -> ((_: String, e: String, _: String) => {
         val ev = normalizeEvents(spark.read.parquet(e))
         graft.osl.OslEngine.query(ev,
@@ -174,9 +202,13 @@ object Scale {
             |""".stripMargin, now = 1719792000000L)
       }))
 
+    // optional second arg: run only operators whose name contains it
+    // (e.g. `runMain graft.Scale 1,4,10 ann_` for the ANN family)
+    val opFilter = if (args.length > 1) args(1) else ""
+    val selected = ops.filter(_._1.contains(opFilter))
     println(f"${"operator"}%-20s " +
       factors.map(f => f"${s"x$f cold/warm"}%16s").mkString(" ") + " exponent(cold)")
-    val rows = ops.map { case (name, fn) =>
+    val rows = selected.map { case (name, fn) =>
       // cold = first run at each factor (includes any index/memo build —
       // the part that actually scales with data); warm = min of 2 repeats
       // (steady-state with memoized index stages hot). The exponent is fit

@@ -89,9 +89,15 @@ object TierA {
           // eligibility is decided in-row from the collected spawn tuples)
           // — only `.reverse()` and `.from(k)` inner steps stay Tier B,
           // because their visited sets are not "spawns strictly before the
-          // row" (see chainAccumOk)
+          // row" (see chainAccumOk). A 3-level chain compiles when both
+          // inner steps are PLAIN (round 9): the per-spawn tuple gains the
+          // running level-1 match count, and a row is a level-2 visit for
+          // spawn s0 iff a level-1 match lies strictly between them — the
+          // same match-count-difference witness arithmetic `.limit` uses
           if accums.isEmpty || levels.size == 1 ||
             (levels.size == 2 && chainAccumOk(levels(1)) &&
+              chainCollectSafe(levels, accums, events)) ||
+            (levels.size == 3 && chainDepth3Ok(levels) &&
               chainCollectSafe(levels, accums, events))
           tallies = levels.flatMap(_.tallies)
           if tallies.nonEmpty &&
@@ -293,6 +299,20 @@ object TierA {
   private def chainAccumOk(l1: ChainLevel): Boolean =
     !l1.reverse && !l1.isFromStep
 
+  /** A PLAIN chain step: unguarded, unframed, unlimited, forward, no
+    * restart — its visited set from spawn s is exactly "where-matching
+    * rows strictly after s". */
+  private def plainStep(l: ChainLevel): Boolean =
+    l.guard.isEmpty && l.spanMs.isEmpty && l.contraSpanMs.isEmpty &&
+      l.limitN.isEmpty && !l.reverse && !l.isFromStep
+
+  /** 3-level chain accumulators (round 9) compile when the top is forward
+    * and both inner steps are plain: a row r is a level-2 visit for spawn
+    * s0 iff some level-1 match lies strictly between s0 and r — decided
+    * in-row per collected tuple from the running level-1 match count. */
+  private def chainDepth3Ok(levels: Seq[ChainLevel]): Boolean =
+    !levels.head.reverse && plainStep(levels(1)) && plainStep(levels(2))
+
   /** Chain-accumulator shapes whose per-spawn values derive from the spawn
     * ORDINAL alone (value = init + c·j): unguarded, unframed, unlimited
     * inner step, forward top, constant integer-literal increments. These
@@ -300,9 +320,9 @@ object TierA {
     * running count. */
   private def chainOrdinalOnly(levels: Seq[ChainLevel],
                                accums: Seq[(String, Long, Seq[AccumPart])]): Boolean = {
-    val l1 = levels(1)
-    !levels.head.reverse && l1.guard.isEmpty && l1.spanMs.isEmpty &&
-      l1.contraSpanMs.isEmpty && l1.limitN.isEmpty &&
+    // depth 3 always collects: the existence check needs per-spawn match
+    // counts, which the ordinal alone cannot carry
+    levels.size == 2 && !levels.head.reverse && plainStep(levels(1)) &&
       accums.forall { case (_, _, parts) =>
         parts.forall(p => p.cond.isEmpty &&
           p.incThen.forall { case Lit(VInt(_)) => true; case _ => false })
@@ -393,10 +413,20 @@ object TierA {
         // FINITE forward frame bounds the collect window itself
         // (rangeBetween(-span, -1)): in-flight tuples are capped by the
         // frame's time width instead of the person's whole history.
+        // depth 3: each tuple also carries the running level-1 match count
+        // THROUGH the spawn row, so the level-2 existence check ("some
+        // level-1 match strictly between spawn and row") is one subtraction
+        if (levels.size == 3) {
+          val curRows = person.rowsBetween(W.unboundedPreceding, W.currentRow)
+          df = df
+            .withColumn("__cm1c", count(when(levelPreds(1), 1)).over(curRows))
+            .withColumn("__cm1p", count(when(levelPreds(1), 1)).over(prevRows))
+        }
         val svFields =
           accums.map { case (n, _, _) => col(s"__acc_$n").as(n) } ++
             Seq(col("stamp").as("__st")) ++
-            levels(1).limitN.map(_ => col("__mc1").as("__mc")).toSeq
+            levels(1).limitN.map(_ => col("__mc1").as("__mc")).toSeq ++
+            (if (levels.size == 3) Seq(col("__cm1c").as("__cm")) else Nil)
         val svStruct = struct(svFields: _*)
         val collectW = levels(1).spanMs match {
           case Some(sp) if sp != Long.MaxValue && levels(1).contraSpanMs.isEmpty =>
@@ -473,7 +503,36 @@ object TierA {
             .otherwise(array().cast(nodeType))
         }
       }
-      explodeEntryArrays(df, ent0 ++ ent1, selects, aggs)
+      // level-2 tallies (depth-3 chains, round 9) fire once per (row,
+      // distinct spawn tuple) where some level-1 match lies strictly
+      // between the spawn and the row: pred-1 matches in (spawn, row) =
+      // __cm1p(row) − __cm(spawn) ≥ 1. Plain inner steps by the gate, so
+      // any pred-1 row after the spawn IS a level-1 visit of that spawn,
+      // and any level-2 row after such a visit is visited from it.
+      val ent2: Seq[Column] =
+        if (levels.size < 3) Nil
+        else levels(2).tallies.flatMap { case (ip, gs) =>
+          val rowP = levelPreds(2) && eligible(2)
+          val canonFlags = gs.map { g =>
+            val probe = compileExpr(g, now, real, typeBinds).get
+            df.select(probe).schema.head.dataType
+              .isInstanceOf[org.apache.spark.sql.types.NumericType]
+          }
+          (1 to gs.length).map { d =>
+            when(rowP && size(col("__sv")) > 0,
+              transform(col("__sv"), v => {
+                val b = bindsOf(v)
+                val p = ip.map(x => compileExpr(x, now, real, b).get).getOrElse(lit(true))
+                val hasMid = col("__cm1p") - v.getField("__cm") >= 1
+                val keys = gs.zip(canonFlags).map { case (g, num) =>
+                  canonPure(compileExpr(g, now, real, b).get, num)
+                }
+                when(hasMid && p, nodeStruct(d, keys)).otherwise(lit(null))
+              }))
+              .otherwise(array().cast(nodeType))
+          }
+        }
+      explodeEntryArrays(df, ent0 ++ ent1 ++ ent2, selects, aggs)
     }
   }
 
@@ -1227,20 +1286,28 @@ object TierA {
     val lead = er.body.takeWhile(s => isVarAssign(s) || isAccumIf(s))
     val bodyRest = er.body.drop(lead.length)
     if (hasAssign(bodyRest)) return None
-    // nested loops (round 8): at most ONE chain step (continue().next()),
-    // depth 2, loop- and assignment-free inside — reads below it observe
-    // the SPAWNING visit's value, which chainPlan enumerates per spawn
+    // nested loops (round 8, deepened round 9): a single chain of
+    // continue().next() steps, at most TWO deep (plan depth 3),
+    // assignment-free inside — reads below a step observe the SPAWNING
+    // level-0 visit's value, which chainPlan enumerates per spawn
     def directLoops(sts: Seq[Stmt]): Seq[Stmt] = sts.flatMap {
       case e: EachRow   => Seq(e)
       case f: ForIn     => Seq(f)
       case If(_, t, e2) => directLoops(t) ++ directLoops(e2)
       case _            => Nil
     }
-    val chainStep: Option[EachRow] = directLoops(bodyRest) match {
-      case Seq()                                                      => None
-      case Seq(e: EachRow) if isChainStep(e.mods) && !hasLoop(e.body) => Some(e)
-      case _                                                          => return None
+    def chainOf(e: EachRow): Option[Seq[EachRow]] = directLoops(e.body) match {
+      case Seq()                                    => Some(Seq(e))
+      case Seq(n: EachRow) if isChainStep(n.mods)   => chainOf(n).map(e +: _)
+      case _                                        => None
     }
+    val chainSteps: Seq[EachRow] = directLoops(bodyRest) match {
+      case Seq()                                => Nil
+      case Seq(e: EachRow) if isChainStep(e.mods) =>
+        chainOf(e).getOrElse(return None)
+      case _                                    => return None
+    }
+    if (chainSteps.size > 2) return None
     val bodyAssigns = lead.flatMap {
       case a: Assign    => Seq(a)
       case If(_, t, e2) => (t ++ e2).collect { case a: Assign => a }
@@ -1294,7 +1361,7 @@ object TierA {
       case _ => false
     }
     if (allReads.exists(everReads)) return None
-    chainStep.foreach { e =>
+    chainSteps.foreach { e =>
       // the inner where / frame / limit evaluate DURING the spawn's scan —
       // reads there are not the spawn-constant the entry transform models
       if (readsName(e.where, dR)) return None

@@ -1,0 +1,119 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Group-commit pending WAL (round 9): raw-JSON inserts append to a sidelog
+  * WAL and merge into bucket parquet only once `flush_rows` rows are
+  * pending, while reads always overlay the pending rows through the same
+  * merge transform the drain will write — the reference's sidelog
+  * discipline (src/sidelog.h:15-60, insert consumer src/oloop_insert.cpp)
+  * re-expressed as deferred Delta-style commits with read-your-writes. */
+class GroupCommitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val T0 = 1704067200000L
+
+  private def freshApi(flushRows: Int): (Api, String) = {
+    val api = new Api(spark, Files.createTempDirectory("graft_gc").toString)
+    api.tableCreate(TableMeta("shop",
+      Seq(PropDef("product_name", "text"), PropDef("product_price", "double")),
+      TableSettings(eventOrder = Seq("purchase"), flushRows = flushRows)))
+    (api, "shop")
+  }
+
+  private def ev(id: String, sec: Long, event: String, name: String = "rod",
+                 price: Double = 10.0): String =
+    s"""{"id":"$id","stamp":$sec,"event":"$event","product_name":"$name","product_price":$price}"""
+
+  test("small batches defer the merge but stay read-visible (overlay)") {
+    val (api, t) = freshApi(flushRows = 1000)
+    val gens0 = api.catalog.eventVersions(t).size
+    api.insert(t, Seq(ev("u1", 1704067200L, "view"), ev("u2", 1704067201L, "view")), T0)
+    api.insert(t, Seq(ev("u1", 1704067202L, "purchase")), T0)
+    // no bucket merge yet: generation count unchanged
+    assert(api.catalog.eventVersions(t).size == gens0,
+      "merge should be deferred below the flush_rows threshold")
+    // …but the live view sees every pending row (read-your-writes)
+    assert(api.catalog.events(t).count() == 3)
+    assert(api.catalog.events(t).where(col("event") === "purchase").count() == 1)
+    // per-customer fetch overlays too
+    assert(api.catalog.customerEvents(t, "u1").count() == 2)
+    // explicit flush merges: a generation commits, WAL empties, rows identical
+    val before = api.catalog.events(t).orderBy("id", "stamp").collect().toSeq
+    api.catalog.flush(t, T0)
+    assert(api.catalog.eventVersions(t).size > gens0)
+    val after = api.catalog.events(t).orderBy("id", "stamp").collect().toSeq
+    assert(after == before, "flush must not change the visible rows")
+  }
+
+  test("crossing the threshold triggers ONE grouped merge") {
+    val (api, t) = freshApi(flushRows = 5)
+    (0 until 4).foreach(i =>
+      api.insert(t, Seq(ev(s"u$i", 1704067200L + i, "view")), T0))
+    val gensBefore = api.catalog.eventVersions(t).size
+    api.insert(t, Seq(ev("u9", 1704067209L, "view")), T0) // 5th pending row
+    assert(api.catalog.eventVersions(t).size == gensBefore + 1,
+      "threshold crossing must commit exactly one grouped generation")
+    assert(api.catalog.events(t).count() == 5)
+  }
+
+  test("upsert semantics hold across the WAL boundary (replace + dedup)") {
+    val (api, t) = freshApi(flushRows = 1000)
+    api.insert(t, Seq(ev("u1", 1704067200L, "purchase", "rod", 9.5)), T0)
+    api.catalog.flush(t, T0) // committed base row
+    // identical row again (pending) → row-hash replace, not a duplicate
+    api.insert(t, Seq(ev("u1", 1704067200L, "purchase", "rod", 9.5)), T0)
+    assert(api.catalog.events(t).count() == 1)
+    // different payload at the same stamp → merges alongside
+    api.insert(t, Seq(ev("u1", 1704067200L, "purchase", "reel", 19.5)), T0)
+    assert(api.catalog.events(t).count() == 2)
+    api.catalog.flush(t, T0)
+    assert(api.catalog.events(t).count() == 2)
+  }
+
+  test("DataFrame insert drains pending first; DDL flushes pending") {
+    val (api, t) = freshApi(flushRows = 1000)
+    api.insert(t, Seq(ev("u1", 1704067200L, "view")), T0)
+    val df = Seq(("u2", 1704067300000L, "purchase", "net", 5.0))
+      .toDF("id", "stamp", "event", "product_name", "product_price")
+    api.catalog.insert(t, df, T0)
+    // the WAL row was merged ahead of the DataFrame batch
+    assert(api.catalog.events(t).count() == 2)
+    api.insert(t, Seq(ev("u3", 1704067400L, "view")), T0)
+    api.propertyAdd(t, PropDef("coupon", "text"))
+    // DDL flushed the pending row under the pre-DDL schema
+    assert(api.catalog.events(t).where(col("id") === "u3").count() == 1)
+    assert(api.catalog.events(t).columns.contains("coupon"))
+  }
+
+  test("WAL replay after a crash is idempotent (dedup by upsert key)") {
+    val (api, t) = freshApi(flushRows = 1000)
+    api.insert(t, Seq(ev("u1", 1704067200L, "view"), ev("u2", 1704067201L, "view")), T0)
+    // find the pending WAL file and copy it aside (simulating a crash
+    // between the drain's manifest commit and the WAL retire)
+    val pend = new java.io.File(
+      new java.io.File(api.warehouse, t), "events_pending")
+    val wal = pend.listFiles().filter(_.getName.endsWith(".jsonl")).head
+    val saved = Files.readAllBytes(wal.toPath)
+    api.catalog.flush(t, T0)
+    assert(api.catalog.events(t).count() == 2)
+    // replay: the same WAL content reappears under a fresh name (a crashed
+    // drain would leave the ORIGINAL un-markered — same parse path) and
+    // drains again
+    Files.write(new java.io.File(pend,
+      s"wal-${System.nanoTime()}-$T0-2.jsonl").toPath, saved)
+    api.catalog.flush(t, T0)
+    assert(api.catalog.events(t).count() == 2, "replayed rows must dedup")
+  }
+
+  test("flush_rows=0 (default) keeps classic eager behavior") {
+    val (api, t) = freshApi(flushRows = 0)
+    val gens0 = api.catalog.eventVersions(t).size
+    api.insert(t, Seq(ev("u1", 1704067200L, "view")), T0)
+    assert(api.catalog.eventVersions(t).size == gens0 + 1,
+      "flush_rows=0 must merge every batch immediately")
+    assert(api.catalog.events(t).count() == 1)
+  }
+}

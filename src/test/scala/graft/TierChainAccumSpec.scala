@@ -282,7 +282,51 @@ class TierChainAccumSpec extends SparkSpec {
     diff(script) // and at the default bound it still compiles + matches
   }
 
-  test("declines stay Tier B: inner where read, depth 3, is-read in inner where") {
+  test("depth-3 chains with plain inner steps compile (round 9)") {
+    // the canonical signup -> view -> purchase chain reading the running
+    // signup ordinal at the deepest level
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(== 'signup')
+         |  n += 1
+         |  each_row.continue().next() where event.is(== 'view')
+         |    each_row.continue().next() where event.is(== 'purchase')
+         |      << n, event
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
+    // tallies at every level of the depth-3 chain, non-unit increment
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(!= 'error')
+         |  n += 2
+         |  << 'top', event
+         |  each_row.continue().next() where event.is(== 'view')
+         |    << n, 'mid'
+         |    each_row.continue().next() where product_price.is(> 20)
+         |      << n, event
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
+    // guarded increment still collects per-spawn values at depth 3
+    diff(
+      s"""${sel}n = 0
+         |each_row where stamp.is(> 0)
+         |  if event.is(== 'purchase')
+         |    n += 1
+         |  end
+         |  each_row.continue().next() where event.is(== 'view')
+         |    each_row.continue().next() where event.is(== 'signup')
+         |      << n, event
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
+  }
+
+  test("declines stay Tier B: inner where read, non-plain depth 3") {
     diff(
       s"""${sel}n = 0
          |each_row where event.is(!= 'error')
@@ -292,13 +336,29 @@ class TierChainAccumSpec extends SparkSpec {
          |  end
          |end
          |""".stripMargin, expectTierA = false)
+    // a framed inner step at depth 3 declines (the existence check's
+    // match-count arithmetic assumes plain steps)
     diff(
       s"""${sel}n = 0
          |each_row where event.is(== 'signup')
          |  n += 1
-         |  each_row.continue().next() where event.is(== 'view')
+         |  each_row.continue().next().look_ahead(12_hours) where event.is(== 'view')
          |    each_row.continue().next() where event.is(== 'purchase')
          |      << n, event
+         |    end
+         |  end
+         |end
+         |""".stripMargin, expectTierA = false)
+    // a guarded spawn step at depth 3 declines
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(== 'signup')
+         |  n += 1
+         |  if product_price.is(> 30)
+         |    each_row.continue().next() where event.is(== 'view')
+         |      each_row.continue().next() where event.is(== 'purchase')
+         |        << n, event
+         |      end
          |    end
          |  end
          |end

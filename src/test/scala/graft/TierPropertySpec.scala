@@ -649,6 +649,59 @@ class TierPropertySpec extends SparkSpec {
     }
   }
 
+  // depth-3 chain accumulators (round 9): plain inner steps; a row is a
+  // level-2 visit for spawn s0 iff a level-1 match lies strictly between
+  // them — per-tuple match-count-difference check
+  test("depth-3 chain accumulators: Tier A == Tier B (15 seeded samples)") {
+    val params = Gen.Parameters.default
+    val genInc = Gen.oneOf("n += 1", "n = n + 2", "n -= 1")
+    val genGuardedInc = Gen.option(Gen.oneOf(
+      "if event.is(== 'purchase')\n    n += 3\n  end",
+      "if product_price.is(> 40)\n    n = n + 1\n  end"))
+    val genRead = Gen.oneOf("n", "bucket(n, 2)", "n + 10")
+    val genTopMods = Gen.oneOf("", "", ".limit(3)", ".from(1)")
+    val genTopTally = Gen.oneOf(true, false)
+    val genMidTally = Gen.oneOf(true, false)
+    (1 to 15).foreach { i =>
+      val s0 = Seed(i.toLong * 9437183)
+      val w0 = genWhere.pureApply(params, s0)
+      val w1 = genWhere.pureApply(params, s0.next)
+      val w2 = genWhere.pureApply(params, s0.next.next)
+      val inc = genInc.pureApply(params, s0.next.next.next)
+      val ginc = genGuardedInc.pureApply(params, s0.slide)
+      val read = genRead.pureApply(params, s0.slide.next)
+      val mods = genTopMods.pureApply(params, s0.slide.next.next)
+      val g2 = genGroup.pureApply(params, s0.slide.next.next.next)
+      val topTally = genTopTally.pureApply(params, s0.slide.slide)
+      val midTally = genMidTally.pureApply(params, s0.slide.slide.next)
+      val gincLine = ginc.map(g => s"  $g\n").getOrElse("")
+      val topTallyLine = if (topTally) s"  << 'top', $read\n" else ""
+      val midTallyLine = if (midTally) s"    << $read, 'mid'\n" else ""
+      val script =
+        s"""select
+           |  count id as customers
+           |  sum product_price as total
+           |end
+           |n = 0
+           |each_row$mods where $w0
+           |  $inc
+           |$gincLine$topTallyLine  each_row.continue().next() where $w1
+           |$midTallyLine    each_row.continue().next() where $w2
+           |      << $read, $g2
+           |    end
+           |  end
+           |end
+           |""".stripMargin
+      val p = Parser.program(script)
+      assert(TierA.compile(p, chainWorld, Mon + 100 * H, 1800000L).isDefined,
+        s"depth-3 accum sample $i did not compile to Tier A:\n$script")
+      val a = canon(OslEngine.query(chainWorld, script, now = Mon + 100 * H))
+      val b = canon(OslEngine.query(chainWorld, script, now = Mon + 100 * H,
+        forceTierB = true))
+      assert(a == b, s"tier mismatch on depth-3 accum sample $i:\n$script\nA=$a\nB=$b")
+    }
+  }
+
   test("random continue().next() chains: Tier A == Tier B (40 seeded samples)") {
     val params = Gen.Parameters.default
     (1 to 40).foreach { i =>
