@@ -98,10 +98,11 @@ object Plans {
         "groupBy(hash) with in-row pair generation — no postings self-join, no " +
         "standalone DISTINCT exchange"),
     P("q_osl_chain_accum",
-      "chain accumulator (round 8): every window — row_number, witness, running sum, " +
-        "spawn-value collect — rides ONE (id, stamp) sort; per-spawn tally entries are " +
-        "generated IN-ROW from the collected array (no self-join on the event table), " +
-        "then one hash agg per node"),
+      "chain accumulator (round 9 ordinal path): the whole chain is ONE running-" +
+        "count window on the (id, stamp) sort — per-spawn tally entries derive " +
+        "IN-ROW from sequence(1, spawn_count) (value = init + c*j), witness and " +
+        "row_number windows pruned, no collected array, no self-join — then one " +
+        "hash agg per node"),
     P("q_osl_prop_accum",
       "non-literal accumulator (round 8): the running prop sum is one conditional " +
         "running-sum window on the same person sort as the tally machinery — no " +

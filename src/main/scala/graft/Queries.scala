@@ -3484,6 +3484,54 @@ object Queries {
         SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
           COUNT(DISTINCT id), COUNT(*)
         FROM trip GROUP BY i"""))
+  ,
+
+    // Round-9 Tier A widening: an EVER-read BELOW a chain step — the
+    // operand observes the SPAWNING signup's running ordinal, so the
+    // compiled compare (person-level max(value) aggregate vs n*50)
+    // re-derives per collected spawn tuple (TierA realB late binding).
+    // Oracle: (purchase, signup-ordinal) pairs where the person's max
+    // value exceeds 50x the ordinal.
+    Q("q_osl_chain_ever_read",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |each_row where event.is(== 'signup')
+            |  n += 1
+            |  each_row.continue().next() where event.is(== 'purchase')
+            |    if value.ever(> n * 50)
+            |      << n, event
+            |    end
+            |  end
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"))
+      },
+      Some(s"""$E, su AS (
+          SELECT id, stamp,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
+          FROM e WHERE event = 'signup'),
+        mv AS (SELECT id, MAX(value) AS mx FROM e GROUP BY id),
+        pairs AS (
+          SELECT p.id, p.stamp, su.i
+          FROM e p
+          JOIN su ON su.id = p.id AND su.stamp < p.stamp
+          JOIN mv ON mv.id = p.id
+          WHERE p.event = 'purchase' AND mv.mx > su.i * 50)
+        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
+          'purchase' AS g2, COUNT(DISTINCT id) AS customers,
+          COUNT(*) AS n_rows
+        FROM pairs GROUP BY i
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*)
+        FROM pairs GROUP BY i"""))
   )
 
   def allRegistry: Seq[Q] = registry ++ extraRegistry

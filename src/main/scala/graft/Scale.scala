@@ -206,6 +206,15 @@ object Scale {
     // (e.g. `runMain graft.Scale 1,4,10 ann_` for the ANN family)
     val opFilter = if (args.length > 1) args(1) else ""
     val selected = ops.filter(_._1.contains(opFilter))
+    // untimed JVM/codegen warm-up against the BASE tables: without it the
+    // first operator's x1 cold time absorbs session start-up and skews its
+    // fitted exponent (a 10s warm-up at x1 reads as a NEGATIVE slope).
+    // The base paths differ from every replica path, so memoized index
+    // stages stay COLD for all measured runs.
+    selected.foreach { case (_, fn) =>
+      noop(fn(s"$base/documents.parquet", s"$base/events.parquet",
+        s"$base/embeddings.parquet"))
+    }
     println(f"${"operator"}%-20s " +
       factors.map(f => f"${s"x$f cold/warm"}%16s").mkString(" ") + " exponent(cold)")
     val rows = selected.map { case (name, fn) =>

@@ -149,8 +149,17 @@ object TierA {
             case (df, ((_, winCol, _), i)) => df.withColumn(s"__pt$i", winCol)
           }
           val real: Map[PropTest, Column] = personTests.zipWithIndex.map {
-            case ((pt, _, mk), i) => pt -> mk(col(s"__pt$i"))
+            case ((pt, _, mk), i) => pt -> mk(col(s"__pt$i"), Map.empty)
           }.toMap
+          // late-bound variants for tests whose operand reads an in-chain
+          // accumulator (__accs_): chainPlan re-derives the predicate per
+          // collected spawn tuple (round 9 — ever-reads below a chain step)
+          val realB: Map[PropTest, Map[String, Column] => Column] =
+            personTests.zipWithIndex.collect {
+              case ((pt, _, mk), i)
+                  if opndReadsChainAccum(pt.cmp.operand) =>
+                pt -> ((b: Map[String, Column]) => mk(col(s"__pt$i"), b))
+            }.toMap
           // top-level frame bounds: constant sides fold straight into the
           // row predicate; first/last_stamp-anchored sides ride min/max
           // windows over the person partition (same id exchange as the rest
@@ -262,7 +271,7 @@ object TierA {
               explodePlan(filtered, tallyGroupsF, tallyPredsF, selects, aggs)
           } else
             chainPlan(baseTF, levels, now, real, selects, aggs, topFrameCond,
-              accums)
+              accums, realB)
         }
       case _ => None
     }
@@ -361,7 +370,9 @@ object TierA {
                         selects: Vector[SelectCol],
                         aggs: Seq[(String, Column)],
                         topFrameCond: Option[Column] = None,
-                        accums: Seq[(String, Long, Seq[AccumPart])] = Nil): DataFrame = {
+                        accums: Seq[(String, Long, Seq[AccumPart])] = Nil,
+                        realB: Map[PropTest, Map[String, Column] => Column] =
+                          Map.empty): DataFrame = {
     val (df0, eligible, levelPreds) =
       chainWitnesses(base, levels, now, real, topFrameCond, accums)
     if (accums.isEmpty) {
@@ -450,6 +461,11 @@ object TierA {
         (span.toSeq ++ contra.toSeq ++ limit.toSeq)
           .reduceOption(_ && _).getOrElse(lit(true))
       }
+      // per-tuple person-test map: late-bound tests re-derive their compare
+      // with the tuple's accumulator binds (ever-reads below a chain step)
+      def realFor(b: Map[String, Column]): Map[PropTest, Column] =
+        if (realB.isEmpty) real
+        else real ++ realB.map { case (pt, f) => pt -> f(b) }
       def bindsOf(v: Column): Map[String, Column] =
         if (ordinal)
           // v IS the spawn ordinal j: value = init + c·j (constant literal
@@ -480,9 +496,14 @@ object TierA {
       val nodeType = "array<struct<depth:int," +
         (1 to OslEngine.MaxDepth).map(i => s"g$i:string").mkString(",") + ">>"
       val ent1: Seq[Column] = levels(1).tallies.flatMap { case (ip, gs) =>
-        val rowP = levelPreds(1) && eligible(1)
+        // eligible(1) ("some spawn can reach this row") is implied by the
+        // per-tuple conditions (a tuple exists = a spawn precedes; frames/
+        // limits re-check per tuple via spawnOk) — leaving it OUT lets
+        // Catalyst prune the witness-struct and row_number windows from
+        // the accum plan entirely: one running-count window survives
+        val rowP = levelPreds(1)
         val canonFlags = gs.map { g =>
-          val probe = compileExpr(g, now, real, typeBinds).get
+          val probe = compileExpr(g, now, realFor(typeBinds), typeBinds).get
           df.select(probe).schema.head.dataType
             .isInstanceOf[org.apache.spark.sql.types.NumericType]
         }
@@ -493,9 +514,10 @@ object TierA {
           when(rowP && nonEmpty,
             transform(spawnArr, v => {
               val b = bindsOf(v)
-              val p = ip.map(x => compileExpr(x, now, real, b).get).getOrElse(lit(true))
+              val r = realFor(b)
+              val p = ip.map(x => compileExpr(x, now, r, b).get).getOrElse(lit(true))
               val keys = gs.zip(canonFlags).map { case (g, num) =>
-                canonPure(compileExpr(g, now, real, b).get, num)
+                canonPure(compileExpr(g, now, r, b).get, num)
               }
               val ok = if (ordinal) p else spawnOk(v) && p
               when(ok, nodeStruct(d, keys)).otherwise(lit(null))
@@ -512,9 +534,10 @@ object TierA {
       val ent2: Seq[Column] =
         if (levels.size < 3) Nil
         else levels(2).tallies.flatMap { case (ip, gs) =>
-          val rowP = levelPreds(2) && eligible(2)
+          // eligible(2) is likewise implied per tuple by hasMid
+          val rowP = levelPreds(2)
           val canonFlags = gs.map { g =>
-            val probe = compileExpr(g, now, real, typeBinds).get
+            val probe = compileExpr(g, now, realFor(typeBinds), typeBinds).get
             df.select(probe).schema.head.dataType
               .isInstanceOf[org.apache.spark.sql.types.NumericType]
           }
@@ -522,10 +545,11 @@ object TierA {
             when(rowP && size(col("__sv")) > 0,
               transform(col("__sv"), v => {
                 val b = bindsOf(v)
-                val p = ip.map(x => compileExpr(x, now, real, b).get).getOrElse(lit(true))
+                val r = realFor(b)
+                val p = ip.map(x => compileExpr(x, now, r, b).get).getOrElse(lit(true))
                 val hasMid = col("__cm1p") - v.getField("__cm") >= 1
                 val keys = gs.zip(canonFlags).map { case (g, num) =>
-                  canonPure(compileExpr(g, now, real, b).get, num)
+                  canonPure(compileExpr(g, now, r, b).get, num)
                 }
                 when(hasMid && p, nodeStruct(d, keys)).otherwise(lit(null))
               }))
@@ -1368,19 +1392,13 @@ object TierA {
       if ((e.mods.from.toSeq ++ e.mods.limit.toSeq ++
            e.mods.frame.toSeq.flatMap(frameExprs)).exists(readsName(_, dR)))
         return None
-      // ever/never operands below the chain step can't reach the per-spawn
-      // binds (personTestColumns compiles operands against frame columns)
-      def everOpnd(x: Expr): Boolean = x match {
-        case PropTest(_, k, cmp, _, _) =>
-          ((k == "ever" || k == "never") && readsName(cmp.operand, dR)) ||
-            everOpnd(cmp.operand)
-        case BinOp(_, l, r) => everOpnd(l) || everOpnd(r)
-        case UnOp(_, x2)    => everOpnd(x2)
-        case Call(_, as)    => as.exists(everOpnd)
-        case ListLit(xs)    => xs.exists(everOpnd)
-        case _ => false
-      }
-      if ((e.where +: readPositions(e.body)).exists(everOpnd)) return None
+      // ever/never operands BELOW the chain step now compile (round 9):
+      // substAccums rewrites their reads to __accs_<n>, and the late-bound
+      // realB predicate re-derives the compare per collected spawn tuple.
+      // The step's own WHERE keeps declining via the readsName check
+      // above (it evaluates during the scan, not at a visit); shapes
+      // personTestColumns can't model (non-numeric prop, non-compare op,
+      // frames reading accums) still fall through to Tier B there.
     }
     // a guard evaluates mid-visit, BETWEEN increments: any reference to an
     // assigned name there is either a partial-sum read (as a variable) or a
@@ -1605,6 +1623,19 @@ object TierA {
     * the SPAWNING top visit's value, not the current row's running count —
     * those rewrite to `__accs_<n>`, which chainPlan binds per spawn value
     * inside the entry-array transform. */
+  /** Does an (already substAccums-rewritten) operand read an IN-CHAIN
+    * accumulator (`__accs_<n>`)? Such tests need the late-bound realB
+    * entry — their compare re-derives per collected spawn tuple. */
+  private def opndReadsChainAccum(e: Expr): Boolean = e match {
+    case VarRef(n)  => n.startsWith("__accs_")
+    case PropRef(n) => n.startsWith("__accs_")
+    case BinOp(_, l, r) => opndReadsChainAccum(l) || opndReadsChainAccum(r)
+    case UnOp(_, x)     => opndReadsChainAccum(x)
+    case Call(_, as)    => as.exists(opndReadsChainAccum)
+    case ListLit(xs)    => xs.exists(opndReadsChainAccum)
+    case _ => false
+  }
+
   private def substAccums(er: EachRow, names: Set[String]): EachRow = {
     var inChain = false
     def pfx = if (inChain) "__accs_" else "__acc_"
@@ -1705,9 +1736,14 @@ object TierA {
     *    as "" against digit strings.
     * A test whose shape is not expressible poisons compilation (returns
     * None) — correctness never falls through to a wrong column. */
+  /** Each compiled ever/never test returns (test, window aggregate column,
+    * predicate builder). The builder takes the materialized aggregate
+    * column AND a bind map: an operand reading an in-chain accumulator
+    * (`__accs_<n>`, round 9) resolves through the binds — chainPlan calls
+    * it per collected spawn tuple, everything else passes Map.empty. */
   private def personTestColumns(exprs: Seq[Expr], now: Long,
                                 rowCtx: Option[DataFrame] = None)
-      : Option[Seq[(PropTest, Column, Column => Column)]] = {
+      : Option[Seq[(PropTest, Column, (Column, Map[String, Column]) => Column)]] = {
     val tests = scala.collection.mutable.LinkedHashSet.empty[PropTest]
     var sawUncompilable = false
     def walk(e: Expr): Unit = e match {
@@ -1798,8 +1834,10 @@ object TierA {
     // (Value.cmp/eq go string-wise the moment either side is non-numeric)
     def numOpnd(e: Expr): Boolean = e match {
       case Lit(VInt(_)) | Lit(VDbl(_)) => true
-      case VarRef(n)  => n == "now" || n.startsWith("__acc_") || numericProps(n)
-      case PropRef(n) => n == "now" || n.startsWith("__acc_") || numericProps(n)
+      // __acc_ = top-level running-sum column; __accs_ = in-chain read,
+      // late-bound to the spawn tuple's value (round 9)
+      case VarRef(n)  => n == "now" || n.startsWith("__acc") || numericProps(n)
+      case PropRef(n) => n == "now" || n.startsWith("__acc") || numericProps(n)
       case BinOp(op, l, r) => Set("+", "-", "*", "/")(op) && numOpnd(l) && numOpnd(r)
       case UnOp("-", x) => numOpnd(x)
       case Call(_, as)  => as.forall(numOpnd) // marshal fns are all numeric
@@ -1814,7 +1852,7 @@ object TierA {
           rowPred <- compileCmp(propCol, pt.cmp, now)
           sc <- scanOf(pt)
         } yield (pt, max(sc.proj(when(rowPred, 1))).over(sc.w),
-          (c: Column) =>
+          (c: Column, _: Map[String, Column]) =>
             coalesce(c, lit(0)) === (if (pt.kind == "ever") 1 else 0))
       } else {
         // current-row-dependent operand: aggregate the scanned props, compare
@@ -1823,7 +1861,7 @@ object TierA {
           _ <- rowCtx
           _ <- if (aggOps(pt.cmp.op) && numericProps(pt.prop) &&
                    numOpnd(pt.cmp.operand)) Some(()) else None
-          o <- compileExpr(pt.cmp.operand, now)
+          _ <- compileExpr(pt.cmp.operand, now) // compilability check
           sc <- scanOf(pt)
         } yield {
           val needs = pt.cmp.op match {
@@ -1839,7 +1877,10 @@ object TierA {
             case "hn" => max(sc.proj(when(propCol.isNull, lit(1)))).over(sc.w).as("hn")
           }
           val winCol = struct(fieldCols: _*)
-          val mk = (c: Column) => {
+          val mk = (c: Column, binds: Map[String, Column]) => {
+            // late-bound operand: in-chain accumulator reads resolve to the
+            // spawn tuple's value (chainPlan passes the tuple binds)
+            val o = compileExpr(pt.cmp.operand, now, Map.empty, binds).get
             def f(n: String) = c.getField(n)
             def hn = coalesce(f("hn") === 1, lit(false))
             // null-operand (VNone, e.g. 1/0) rows compare via the
@@ -2016,7 +2057,7 @@ object TierA {
         case (df, ((_, winCol, _), i)) => df.withColumn(s"__pt$i", winCol)
       }
       val real: Map[PropTest, Column] = pts.zipWithIndex.map {
-        case ((pt, _, mk), i) => pt -> mk(col(s"__pt$i"))
+        case ((pt, _, mk), i) => pt -> mk(col(s"__pt$i"), Map.empty)
       }.toMap
       val (df, eligible, levelPreds) = chainWitnesses(base, levels, now, real)
       val memberRow = levelPreds.last && eligible.last &&

@@ -117,6 +117,64 @@ class TierEverReadSpec extends SparkSpec {
          |""".stripMargin)
   }
 
+  // round 9: ever-reads BELOW a chain step — the operand observes the
+  // SPAWN's accumulator value, so the compiled compare re-derives per
+  // collected spawn tuple (TierA realB late binding)
+  test("ever read below a chain step observes the spawn's value") {
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(== 'signup')
+         |  n += 1
+         |  each_row.continue().next() where event.is(!= 'error')
+         |    if product_price.ever(> n * 50)
+         |      << 'big_history', event
+         |    end
+         |    << n, event
+         |  end
+         |end
+         |""".stripMargin)
+    // never + a different accumulator shape, operand mixing row prop
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(!= 'error')
+         |  n += 2
+         |  each_row.continue().next() where event.is(== 'purchase')
+         |    if budget.never(<= n)
+         |      << 'rich', product_name
+         |    end
+         |    << 'all', event
+         |  end
+         |end
+         |""".stripMargin)
+    // framed (cursor-anchored) ever below the step
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(== 'view')
+         |  n += 1
+         |  each_row.continue().next() where event.is(== 'purchase')
+         |    if product_price.look_back(4_hours).ever(>= n)
+         |      << 'recent_ge', event
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
+    // depth-3: ever-read at the deepest level
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(== 'signup')
+         |  n += 1
+         |  each_row.continue().next() where event.is(== 'view')
+         |    each_row.continue().next() where event.is(== 'purchase')
+         |      if product_price.ever(< n * 10)
+         |        << 'cheap_seen', event
+         |      end
+         |      << n, event
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
+  }
+
   test("declining shapes still fall to Tier B: string prop, frame reads") {
     // string prop with row-dependent operand -> interpreter string compare,
     // not modeled -> Tier B

@@ -649,6 +649,51 @@ class TierPropertySpec extends SparkSpec {
     }
   }
 
+  // ever-reads below a chain step (round 9): the test's operand observes
+  // the SPAWN's accumulator value — compiled compare re-derived per
+  // collected spawn tuple (realB late binding)
+  test("chain ever-reads: Tier A == Tier B (10 seeded samples)") {
+    val params = Gen.Parameters.default
+    val genInc = Gen.oneOf("n += 1", "n = n + 2", "n -= 1")
+    val genEver = Gen.oneOf(
+      "product_price.ever(> n * 10)", "product_price.never(< n)",
+      "product_price.ever(>= n + 20)", "product_price.look_back(20_hours).ever(> n)",
+      "product_price.ever(<= n * 30)", "product_price.ever(!= n)")
+    val genTopMods = Gen.oneOf("", "", ".limit(3)", ".reverse()")
+    (1 to 10).foreach { i =>
+      val s0 = Seed(i.toLong * 32452843)
+      val w0 = genWhere.pureApply(params, s0)
+      val w1 = genWhere.pureApply(params, s0.next)
+      val inc = genInc.pureApply(params, s0.next.next)
+      val ev = genEver.pureApply(params, s0.next.next.next)
+      val mods = genTopMods.pureApply(params, s0.slide)
+      val g2 = genGroup.pureApply(params, s0.slide.next)
+      val script =
+        s"""select
+           |  count id as customers
+           |  sum product_price as total
+           |end
+           |n = 0
+           |each_row$mods where $w0
+           |  $inc
+           |  each_row.continue().next() where $w1
+           |    if $ev
+           |      << 'hit', $g2
+           |    end
+           |    << n, $g2
+           |  end
+           |end
+           |""".stripMargin
+      val p = Parser.program(script)
+      assert(TierA.compile(p, chainWorld, Mon + 100 * H, 1800000L).isDefined,
+        s"chain ever-read sample $i did not compile to Tier A:\n$script")
+      val a = canon(OslEngine.query(chainWorld, script, now = Mon + 100 * H))
+      val b = canon(OslEngine.query(chainWorld, script, now = Mon + 100 * H,
+        forceTierB = true))
+      assert(a == b, s"tier mismatch on chain ever-read sample $i:\n$script\nA=$a\nB=$b")
+    }
+  }
+
   // depth-3 chain accumulators (round 9): plain inner steps; a row is a
   // level-2 visit for spawn s0 iff a level-1 match lies strictly between
   // them — per-tuple match-count-difference check
