@@ -1,0 +1,113 @@
+package graft
+
+/** Multi-JVM execution validation: run a representative query slice on
+  * `local-cluster[2,8,1536]` — Spark's standalone-simulation master, which
+  * launches TWO REAL EXECUTOR PROCESSES (separate JVMs, netty shuffle,
+  * broadcast over RPC, kryo/java serialization on the wire) — and assert
+  * bit-identical results against the same queries on in-process
+  * `local[8]`. This exercises everything single-JVM local mode cannot:
+  * cross-process task serialization of the compiled plans (OSL window
+  * chains, codegen'd kernels, typed Aggregators), executor-side parquet
+  * writes in the ingest path, and shuffle/broadcast over sockets. The
+  * reference's equivalent surface is its scatter-gather RPC layer
+  * (`src/rpc_query.cpp:59-276`).
+  *
+  * `SPARK_HOME=/opt/spark sbt "runMain graft.ClusterSmoke [sfDir]"` —
+  * the executor launcher shells out to `$SPARK_HOME/bin/spark-class`.
+  * Prints one PASS/FAIL line per query plus a summary line.
+  */
+object ClusterSmoke {
+
+  private val queryNames = Seq(
+    // hash agg + distinct agg
+    "q_event_type_counts",
+    // broadcast join + rollup
+    "q_mktsegment_orders",
+    // OSL Tier A window chain with accumulators (round-9 ordinal path)
+    "q_osl_chain_accum",
+    // ever-read below a chain step (round-9 late-bound compare)
+    "q_osl_chain_ever_read",
+    // sessionization windows
+    "q_sessions_per_user",
+    // minhash LSH (memoized index stage built across executors)
+    "q_minhash_lsh_pairs",
+    // typed TopK Aggregator (custom partial/merge serialization)
+    "q_topk_agg")
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Set[Vector[String]] = {
+    val cols = df.columns.sorted
+    df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+      .collect().map(r => cols.indices.map(i =>
+        Option(r.get(i)).map(_.toString).orNull).toVector).toSet
+  }
+
+  private def runAll(master: String, sfDir: String,
+                     extra: Map[String, String]): Map[String, Set[Vector[String]]] = {
+    var b = GraftSession.builder(master, 16)
+      .config("spark.driver.host", "127.0.0.1")
+    extra.foreach { case (k, v) => b = b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try queryNames.map(n => n -> canon(Queries.queries(n)(spark, sfDir))).toMap
+    finally spark.stop()
+  }
+
+  /** Ingest round-trip on the cluster session: REST-shaped inserts (one
+    * below the group-commit threshold, one crossing it) whose parse,
+    * bucket merge and staged parquet writes all run ON THE EXECUTORS,
+    * then a read-back through the WAL overlay + committed manifest. */
+  private def ingestLeg(spark: org.apache.spark.sql.SparkSession): Boolean = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_cluster_smoke").toString
+    val api = new Api(spark, wh)
+    api.catalog.create(TableMeta("smoke",
+      Seq(PropDef("value", "double")), TableSettings(flushRows = 4)))
+    api.insert("smoke", Seq(
+      """{"id":"u1","stamp":1704067200,"event":"signup","value":1.0}""",
+      """{"id":"u2","stamp":1704067201,"event":"view","value":2.0}"""),
+      nowMs = 1704067200000L)
+    val overlaid = api.catalog.events("smoke").count() // pending WAL overlay
+    api.insert("smoke", Seq(
+      """{"id":"u1","stamp":1704067300,"event":"purchase","value":9.5}""",
+      """{"id":"u3","stamp":1704067301,"event":"view","value":3.0}"""),
+      nowMs = 1704067200000L) // 4 pending -> grouped drain commits
+    val committed = api.catalog.events("smoke").count()
+    val gens = api.catalog.eventVersions("smoke").size
+    overlaid == 2 && committed == 4 && gens == 1
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    require(sys.env.contains("SPARK_HOME"),
+      "local-cluster executor launch needs SPARK_HOME (e.g. /opt/spark); " +
+        "distributions also need SPARK_SCALA_VERSION=2.13 (the launcher " +
+        "otherwise probes source-tree build dirs)")
+    // two worker JVMs x 8 cores: every shuffle crosses process boundaries
+    var ingestOk = false
+    val clusterSession = GraftSession.builder("local-cluster[2,8,1536]", 16)
+      .config("spark.driver.host", "127.0.0.1")
+      .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+      .config("spark.executor.memory", "1536m")
+      .getOrCreate()
+    clusterSession.sparkContext.setLogLevel("WARN")
+    val cluster =
+      try {
+        val r = queryNames.map(n =>
+          n -> canon(Queries.queries(n)(clusterSession, sfDir))).toMap
+        ingestOk = ingestLeg(clusterSession)
+        r
+      } finally clusterSession.stop()
+    val local = runAll("local[8]", sfDir, Map.empty)
+    var failed = 0
+    queryNames.foreach { n =>
+      val ok = cluster(n) == local(n) && cluster(n).nonEmpty
+      if (!ok) failed += 1
+      println(s"CLUSTERSMOKE $n rows=${cluster(n).size} " +
+        (if (ok) "PASS" else s"FAIL (local rows=${local(n).size})"))
+    }
+    println(s"CLUSTERSMOKE ingest_roundtrip " + (if (ingestOk) "PASS" else "FAIL"))
+    if (!ingestOk) failed += 1
+    println(s"CLUSTERSMOKE total=${queryNames.size + 1} failed=$failed " +
+      (if (failed == 0) "ALL MATCH across 2 executor JVMs" else "MISMATCH"))
+    if (failed > 0) sys.exit(1)
+  }
+}
