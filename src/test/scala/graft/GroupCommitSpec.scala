@@ -108,6 +108,37 @@ class GroupCommitSpec extends SparkSpec {
     assert(api.catalog.events(t).count() == 2, "replayed rows must dedup")
   }
 
+  test("time travel reads committed generations only — never pending WAL") {
+    val (api, t) = freshApi(flushRows = 1000)
+    api.insert(t, Seq(ev("u1", 1704067200L, "view")), T0)
+    api.catalog.flush(t, T0) // gen 1: one row
+    api.insert(t, Seq(ev("u2", 1704067300L, "view")), T0) // pending only
+    val gen = api.catalog.eventVersions(t).last
+    assert(api.catalog.eventsAt(t, gen).count() == 1,
+      "a committed snapshot must not include pending WAL rows")
+    assert(api.catalog.events(t).count() == 2, "…but the live view does")
+  }
+
+  test("concurrent raw inserts: appends and grouped drains never lose rows") {
+    val (api, t) = freshApi(flushRows = 7)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futs = (0 until 4).map { w =>
+        pool.submit(new Runnable {
+          def run(): Unit = (0 until 10).foreach { i =>
+            api.insert(t, Seq(
+              ev(s"u${w}_$i", 1704067200L + w * 1000 + i, "view")), T0)
+          }
+        })
+      }
+      futs.foreach(_.get())
+    } finally pool.shutdown()
+    api.catalog.flush(t, T0)
+    // 40 distinct rows across 4 writers, mixed appends + threshold drains
+    assert(api.catalog.events(t).count() == 40)
+    assert(api.catalog.events(t).select("id").distinct().count() == 40)
+  }
+
   test("flush_rows=0 (default) keeps classic eager behavior") {
     val (api, t) = freshApi(flushRows = 0)
     val gens0 = api.catalog.eventVersions(t).size
