@@ -43,7 +43,10 @@ class PlanSpec extends SparkSpec {
         "q_osl_guarded_accum", // if-guarded increment → conditional sum (round 7)
         "q_osl_ever_read", // accumulator read in an ever operand (round 8)
         "q_osl_chain_accum", // per-spawn chain accumulator values (round 8)
-        "q_osl_prop_accum")) // non-literal running prop sum (round 8)
+        "q_osl_prop_accum", // non-literal running prop sum (round 8)
+        "q_osl_where_read", // pre-increment where cap -> static limit (round 9)
+        "q_osl_chain3_accum", // depth-3 chain accumulators (round 9)
+        "q_osl_chain_ever_read")) // ever-read below a chain step (round 9)
       assert(!plan(q).contains("MapGroups"), s"$q fell back to Tier B")
     // and an interpreter-only shape does (sanity that the probe works):
     // a guard READING the accumulator observes a mid-visit partial sum ->
@@ -62,6 +65,18 @@ class PlanSpec extends SparkSpec {
         |end
         |""".stripMargin, now = Queries.OslNow)
     assert(tierB.queryExecution.executedPlan.toString.contains("MapGroups"))
+  }
+
+  test("ordinal chain-accum plan: ONE window, no collected spawn array") {
+    // the round-9 ordinal path derives per-spawn entries from
+    // sequence(1, running_spawn_count): the witness-struct and row_number
+    // windows prune away, and NO collect_list survives — the chain's whole
+    // window state is one running count (VERDICT r8 memory item)
+    val p = plan("q_osl_chain_accum")
+    assert(!p.contains("collect_list"),
+      "ordinal chain-accum must not collect spawn tuples")
+    val windows = p.linesIterator.count(_.trim.startsWith("+- Window"))
+    assert(windows == 1, s"expected exactly one Window node, got $windows:\n$p")
   }
 
   test("spark.sql works over the registered views (SQL surface)") {

@@ -204,6 +204,24 @@ class TierWhereCapSpec extends SparkSpec {
          |""".stripMargin)
   }
 
+  test("round-9 features compose: cap + chain + ever-read below the step") {
+    // where-cap (first 2 signups), accumulator read below the chain step in
+    // BOTH a tally group and an ever operand — one script through the
+    // static-cap solve, spawn-tuple enumeration and late-bound compare
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(== 'signup') && n < 2
+         |  n += 1
+         |  each_row.continue().next() where event.is(== 'purchase')
+         |    if product_price.ever(> n * 20)
+         |      << 'pricey_history', event
+         |    end
+         |    << n, event
+         |  end
+         |end
+         |""".stripMargin)
+  }
+
   test("declines stay Tier B: dynamic caps and non-conjunct reads") {
     diff( // compares the accumulator to a row prop: not static
       s"""${sel}n = 0
