@@ -44,6 +44,7 @@ final class Http(api: Api, requestedPort: Int = 0) {
   private val TableSettingsR = """/v1/table/([a-z0-9_]+)/settings/?""".r
   private val Tables   = """/v1/tables/?""".r
   private val Insert   = """/v1/insert/([a-z0-9_]+)/?""".r
+  private val FlushR   = """/v1/table/([a-z0-9_]+)/flush/?""".r
   private val QEvent   = """/v1/query/([a-z0-9_]+)/event/?""".r
   private val QSegment = """/v1/query/([a-z0-9_]+)/segment/?""".r
   private val QBatch   = """/v1/query/([a-z0-9_]+)/batch/?""".r
@@ -80,6 +81,11 @@ final class Http(api: Api, requestedPort: Int = 0) {
             isCustomer = n.path("is_customer").asBoolean(false))))
         case ("DELETE", TableProp(t, p)) => Some(api.propertyDrop(t, p))
         case ("POST", Insert(t))      => Some(api.insert(t, splitEvents(body), now))
+        // group commit: force-merge any pending sidelog WAL into bucket
+        // parquet (a no-op when nothing is pending / flush_rows=0)
+        case ("POST", FlushR(t))      =>
+          api.catalog.flush(t, now)
+          Some(s"""{"message":"flushed","table":"$t"}""")
         case ("POST", QEvent(t))      =>
           Some(api.queryEvent(t, body, now,
             trim = params.get("trim").map(_.toInt).getOrElse(0)))

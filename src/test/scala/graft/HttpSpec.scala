@@ -177,6 +177,18 @@ class HttpSpec extends SparkSpec {
       assert(req("DELETE", s"$base/v1/subscription/shop/buyers/hook1")
         .body().contains("unsubscribed"))
 
+      // group-commit flush route: defer merges via flush_rows, then force
+      req("PUT", s"$base/v1/table/shop/settings", """{"flush_rows": 1000}""")
+      val gens0 = api.catalog.eventVersions("shop").size
+      req("POST", s"$base/v1/insert/shop?now=$now",
+        s"""[{"id":"u9","stamp":${now / 1000 + 60},"event":"buy","sku":"z9"}]""")
+      assert(api.catalog.eventVersions("shop").size == gens0,
+        "merge deferred below flush_rows")
+      assert(req("POST", s"$base/v1/table/shop/flush?now=$now")
+        .body().contains("flushed"))
+      assert(api.catalog.eventVersions("shop").size == gens0 + 1,
+        "flush commits the grouped generation")
+
       // error envelope: reference shape {"error":{"class","message","detail"}}
       val nf = req("GET", s"$base/v1/nope")
       assert(nf.statusCode() == 404 && nf.body().contains(""""error":{"class":"config""""))
