@@ -185,6 +185,59 @@ object Scale {
         operators.Similarity.annQualityReport(
           emb, emb.where(col("vec_id") < 10), k = 5)
       }),
+      // round-9 Tier A shapes: static where-cap (solved to a .limit),
+      // depth-3 chain accumulators (collect path + per-tuple existence),
+      // ever-read below a chain step (late-bound per-spawn compare)
+      "osl_where_read" -> ((_: String, e: String, _: String) => {
+        val ev = normalizeEvents(spark.read.parquet(e))
+        graft.osl.OslEngine.query(ev,
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |each_row where event.is(== 'purchase') && n < 3
+            |  n += 1
+            |  << n, event
+            |end
+            |""".stripMargin, now = 1719792000000L)
+      }),
+      "osl_chain3_accum" -> ((_: String, e: String, _: String) => {
+        val ev = normalizeEvents(spark.read.parquet(e))
+        graft.osl.OslEngine.query(ev,
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |each_row where event.is(== 'signup')
+            |  n += 1
+            |  each_row.continue().next() where event.is(== 'view')
+            |    each_row.continue().next() where event.is(== 'purchase')
+            |      << n, event
+            |    end
+            |  end
+            |end
+            |""".stripMargin, now = 1719792000000L)
+      }),
+      "osl_chain_ever_read" -> ((_: String, e: String, _: String) => {
+        val ev = normalizeEvents(spark.read.parquet(e))
+        graft.osl.OslEngine.query(ev,
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |each_row where event.is(== 'signup')
+            |  n += 1
+            |  each_row.continue().next() where event.is(== 'purchase')
+            |    if value.ever(> n * 50)
+            |      << n, event
+            |    end
+            |  end
+            |end
+            |""".stripMargin, now = 1719792000000L)
+      }),
       "osl_prop_accum" -> ((_: String, e: String, _: String) => {
         val ev = normalizeEvents(spark.read.parquet(e))
         graft.osl.OslEngine.query(ev,
