@@ -393,6 +393,13 @@ final class Catalog(spark: SparkSession, warehouse: String) {
       .select(m.eventsSchema.fieldNames.map(col): _*)
   }
 
+  /** (WAL fileset fingerprint, its touched buckets) per table: the
+    * touched-bucket probe is a real Spark job run eagerly at plan-build
+    * time, and every read while the SAME WAL is pending needs the same
+    * answer — memoize so only the first read (and the drain) pays it. */
+  private val overlayTouched =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Seq[Int])]
+
   /** The live view while a WAL is pending: untouched buckets as committed,
     * touched buckets through the same merge the drain will write. */
   private def overlayPending(table: String, m: TableMeta,
@@ -402,7 +409,13 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     val walNow = files.map { f =>
       val WalName(_, now, _) = f.getName: @unchecked; now.toLong
     }.max
-    val (touched, merged) = mergeTouched(table, m, parsePending(m, files), walNow)
+    val key = files.map(_.getName).mkString(",")
+    val memo = Option(overlayTouched.get(table)).collect {
+      case (k, t) if k == key => t
+    }
+    val (touched, merged) =
+      mergeTouched(table, m, parsePending(m, files), walNow, memo)
+    if (memo.isEmpty) overlayTouched.put(table, (key, touched)): Unit
     val untouched = eventsWithBucket(table, m)
       .where(col("__bucket").isNotNull && !col("__bucket").isin(touched: _*))
       .drop("__bucket")
@@ -494,12 +507,15 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     * overlaid live view and the post-drain committed state identical by
     * construction. */
   private def mergeTouched(table: String, m: TableMeta, aligned: DataFrame,
-                           nowMs: Long): (Seq[Int], DataFrame) = {
+                           nowMs: Long,
+                           knownTouched: Option[Seq[Int]] = None)
+      : (Seq[Int], DataFrame) = {
     import graft.operators.EventIngest
     val nB = m.settings.storageBuckets
     // bounded by storage_buckets — a tiny driver-side list, never row data
-    val touched: Seq[Int] = aligned.select(bucketCol(nB).as("__bucket"))
-      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val touched: Seq[Int] = knownTouched.getOrElse(
+      aligned.select(bucketCol(nB).as("__bucket"))
+        .distinct().collect().map(_.getInt(0)).toSeq.sorted)
     val existing = eventsWithBucket(table, m)
       .where(col("__bucket").isNull || col("__bucket").isin(touched: _*))
       .drop("__bucket")
