@@ -89,15 +89,16 @@ object TierA {
           // eligibility is decided in-row from the collected spawn tuples)
           // — only `.reverse()` and `.from(k)` inner steps stay Tier B,
           // because their visited sets are not "spawns strictly before the
-          // row" (see chainAccumOk). A 3-level chain compiles when both
-          // inner steps are PLAIN (round 9): the per-spawn tuple gains the
-          // running level-1 match count, and a row is a level-2 visit for
-          // spawn s0 iff a level-1 match lies strictly between them — the
-          // same match-count-difference witness arithmetic `.limit` uses
+          // row" (see chainAccumOk). A DEEPER chain (any depth up to
+          // MaxDepth) compiles when every inner step is PLAIN (round 9):
+          // the per-spawn tuple gains the running level-1 match count, and
+          // reachability composes through per-level running-max windows —
+          // a row is a level-j visit for spawn s0 iff P(j-1)(row⁻) >
+          // P1(s0) (see chainDeepOk)
           if accums.isEmpty || levels.size == 1 ||
             (levels.size == 2 && chainAccumOk(levels(1)) &&
               chainCollectSafe(levels, accums, events)) ||
-            (levels.size == 3 && chainDepth3Ok(levels) &&
+            (levels.size >= 3 && chainDeepOk(levels) &&
               chainCollectSafe(levels, accums, events))
           tallies = levels.flatMap(_.tallies)
           if tallies.nonEmpty &&
@@ -315,12 +316,19 @@ object TierA {
     l.guard.isEmpty && l.spanMs.isEmpty && l.contraSpanMs.isEmpty &&
       l.limitN.isEmpty && !l.reverse && !l.isFromStep
 
-  /** 3-level chain accumulators (round 9) compile when the top is forward
-    * and both inner steps are plain: a row r is a level-2 visit for spawn
-    * s0 iff some level-1 match lies strictly between s0 and r — decided
-    * in-row per collected tuple from the running level-1 match count. */
-  private def chainDepth3Ok(levels: Seq[ChainLevel]): Boolean =
-    !levels.head.reverse && plainStep(levels(1)) && plainStep(levels(2))
+  /** Deep (≥3-level) chain accumulators compile when the top is forward
+    * and every inner step is plain. Reachability from a spawn composes
+    * through running-max windows: with `P1(x)` = count of level-1 matches
+    * through x and `Pj(x)` = max over level-j matches y ≤ x of
+    * `P(j-1)(y−1)`, a row r is a level-j visit for spawn s0 iff
+    * `P(j-1)(r−1) > P1(s0)` — a chain s0 < s1 < … < s(j-1) < r exists
+    * exactly when some level-(j-1) match before r has seen a deeper prefix
+    * than s0 had (monotonicity of the running counts; induction on j).
+    * Each level needs ONE extra window over the SAME person sort, and the
+    * collected tuple still carries a single count. */
+  private def chainDeepOk(levels: Seq[ChainLevel]): Boolean =
+    levels.size <= OslEngine.MaxDepth && !levels.head.reverse &&
+      levels.tail.forall(plainStep)
 
   /** Chain-accumulator shapes whose per-spawn values derive from the spawn
     * ORDINAL alone (value = init + c·j): unguarded, unframed, unlimited
@@ -424,20 +432,30 @@ object TierA {
         // FINITE forward frame bounds the collect window itself
         // (rangeBetween(-span, -1)): in-flight tuples are capped by the
         // frame's time width instead of the person's whole history.
-        // depth 3: each tuple also carries the running level-1 match count
-        // THROUGH the spawn row, so the level-2 existence check ("some
-        // level-1 match strictly between spawn and row") is one subtraction
-        if (levels.size == 3) {
+        // deep chains (round 9): each tuple also carries the running
+        // level-1 match count THROUGH the spawn row, and reachability
+        // composes through per-level running-max windows — __P1(x) is the
+        // level-1 match count strictly before x, and __Pj(x) the max over
+        // level-j matches y < x of __P(j-1)(y). A row r is then a level-j
+        // visit for spawn s0 iff __P(j-1)(r) > __cm(s0): a full chain
+        // s0 < s1 < … < s(j-1) < r exists exactly when some level-(j-1)
+        // match before r saw a deeper prefix than existed at s0
+        // (monotone running counts; induction on j).
+        if (levels.size >= 3) {
           val curRows = person.rowsBetween(W.unboundedPreceding, W.currentRow)
           df = df
             .withColumn("__cm1c", count(when(levelPreds(1), 1)).over(curRows))
-            .withColumn("__cm1p", count(when(levelPreds(1), 1)).over(prevRows))
+            .withColumn("__P1", count(when(levelPreds(1), 1)).over(prevRows))
+          (2 to levels.size - 2).foreach { j =>
+            df = df.withColumn(s"__P$j",
+              max(when(levelPreds(j), col(s"__P${j - 1}"))).over(prevRows))
+          }
         }
         val svFields =
           accums.map { case (n, _, _) => col(s"__acc_$n").as(n) } ++
             Seq(col("stamp").as("__st")) ++
             levels(1).limitN.map(_ => col("__mc1").as("__mc")).toSeq ++
-            (if (levels.size == 3) Seq(col("__cm1c").as("__cm")) else Nil)
+            (if (levels.size >= 3) Seq(col("__cm1c").as("__cm")) else Nil)
         val svStruct = struct(svFields: _*)
         val collectW = levels(1).spanMs match {
           case Some(sp) if sp != Long.MaxValue && levels(1).contraSpanMs.isEmpty =>
@@ -525,38 +543,37 @@ object TierA {
             .otherwise(array().cast(nodeType))
         }
       }
-      // level-2 tallies (depth-3 chains, round 9) fire once per (row,
-      // distinct spawn tuple) where some level-1 match lies strictly
-      // between the spawn and the row: pred-1 matches in (spawn, row) =
-      // __cm1p(row) − __cm(spawn) ≥ 1. Plain inner steps by the gate, so
-      // any pred-1 row after the spawn IS a level-1 visit of that spawn,
-      // and any level-2 row after such a visit is visited from it.
-      val ent2: Seq[Column] =
-        if (levels.size < 3) Nil
-        else levels(2).tallies.flatMap { case (ip, gs) =>
-          // eligible(2) is likewise implied per tuple by hasMid
-          val rowP = levelPreds(2)
-          val canonFlags = gs.map { g =>
-            val probe = compileExpr(g, now, realFor(typeBinds), typeBinds).get
-            df.select(probe).schema.head.dataType
-              .isInstanceOf[org.apache.spark.sql.types.NumericType]
-          }
-          (1 to gs.length).map { d =>
-            when(rowP && size(col("__sv")) > 0,
-              transform(col("__sv"), v => {
-                val b = bindsOf(v)
-                val r = realFor(b)
-                val p = ip.map(x => compileExpr(x, now, r, b).get).getOrElse(lit(true))
-                val hasMid = col("__cm1p") - v.getField("__cm") >= 1
-                val keys = gs.zip(canonFlags).map { case (g, num) =>
-                  canonPure(compileExpr(g, now, r, b).get, num)
-                }
-                when(hasMid && p, nodeStruct(d, keys)).otherwise(lit(null))
-              }))
-              .otherwise(array().cast(nodeType))
+      // deeper-level tallies (round 9) fire once per (row, distinct spawn
+      // tuple) whose chain exists: __P(j-1)(row) > __cm(spawn) — plain
+      // inner steps by the gate, so any pred-j row after a valid
+      // level-(j-1) visit IS visited from it (see the __P ladder above).
+      val entDeep: Seq[Column] =
+        (2 until levels.size).flatMap { j =>
+          levels(j).tallies.flatMap { case (ip, gs) =>
+            // eligibility is implied per tuple by the reachability check
+            val rowP = levelPreds(j)
+            val canonFlags = gs.map { g =>
+              val probe = compileExpr(g, now, realFor(typeBinds), typeBinds).get
+              df.select(probe).schema.head.dataType
+                .isInstanceOf[org.apache.spark.sql.types.NumericType]
+            }
+            (1 to gs.length).map { d =>
+              when(rowP && size(col("__sv")) > 0,
+                transform(col("__sv"), v => {
+                  val b = bindsOf(v)
+                  val r = realFor(b)
+                  val p = ip.map(x => compileExpr(x, now, r, b).get).getOrElse(lit(true))
+                  val reach = col(s"__P${j - 1}") > v.getField("__cm")
+                  val keys = gs.zip(canonFlags).map { case (g, num) =>
+                    canonPure(compileExpr(g, now, r, b).get, num)
+                  }
+                  when(reach && p, nodeStruct(d, keys)).otherwise(lit(null))
+                }))
+                .otherwise(array().cast(nodeType))
+            }
           }
         }
-      explodeEntryArrays(df, ent0 ++ ent1 ++ ent2, selects, aggs)
+      explodeEntryArrays(df, ent0 ++ ent1 ++ entDeep, selects, aggs)
     }
   }
 
@@ -1311,7 +1328,7 @@ object TierA {
     val bodyRest = er.body.drop(lead.length)
     if (hasAssign(bodyRest)) return None
     // nested loops (round 8, deepened round 9): a single chain of
-    // continue().next() steps, at most TWO deep (plan depth 3),
+    // continue().next() steps (any depth up to MaxDepth-1 steps),
     // assignment-free inside — reads below a step observe the SPAWNING
     // level-0 visit's value, which chainPlan enumerates per spawn
     def directLoops(sts: Seq[Stmt]): Seq[Stmt] = sts.flatMap {
@@ -1331,7 +1348,7 @@ object TierA {
         chainOf(e).getOrElse(return None)
       case _                                    => return None
     }
-    if (chainSteps.size > 2) return None
+    if (chainSteps.size >= OslEngine.MaxDepth) return None
     val bodyAssigns = lead.flatMap {
       case a: Assign    => Seq(a)
       case If(_, t, e2) => (t ++ e2).collect { case a: Assign => a }

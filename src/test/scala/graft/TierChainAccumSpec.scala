@@ -326,6 +326,57 @@ class TierChainAccumSpec extends SparkSpec {
          |""".stripMargin)
   }
 
+  test("depth-4 and depth-5 plain chains compile (reachability ladder)") {
+    // signup -> view -> purchase -> any non-error, reading the signup
+    // ordinal at level 3: reachability composes via the __P running-max
+    // windows (a level-j visit needs __P(j-1)(row) > c1(spawn))
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(== 'signup')
+         |  n += 1
+         |  each_row.continue().next() where event.is(== 'view')
+         |    each_row.continue().next() where event.is(== 'purchase')
+         |      each_row.continue().next() where event.is(!= 'error')
+         |        << n, event
+         |      end
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
+    // tallies at MULTIPLE levels of a depth-4 chain
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(!= 'error')
+         |  n += 2
+         |  each_row.continue().next() where event.is(== 'view')
+         |    << n, 'mid1'
+         |    each_row.continue().next() where product_price.is(> 20)
+         |      << n, 'mid2'
+         |      each_row.continue().next() where event.is(== 'purchase')
+         |        << n, event
+         |      end
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
+    // depth 5: the ladder extends one more window
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(== 'signup')
+         |  n += 1
+         |  each_row.continue().next() where event.is(== 'view')
+         |    each_row.continue().next() where event.is(!= 'error')
+         |      each_row.continue().next() where event.is(== 'purchase')
+         |        each_row.continue().next() where event.is(== 'view')
+         |          << n, event
+         |        end
+         |      end
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
+  }
+
   test("declines stay Tier B: inner where read, non-plain depth 3") {
     diff(
       s"""${sel}n = 0

@@ -697,7 +697,7 @@ class TierPropertySpec extends SparkSpec {
   // depth-3 chain accumulators (round 9): plain inner steps; a row is a
   // level-2 visit for spawn s0 iff a level-1 match lies strictly between
   // them — per-tuple match-count-difference check
-  test("depth-3 chain accumulators: Tier A == Tier B (15 seeded samples)") {
+  test("depth-3/4 chain accumulators: Tier A == Tier B (15 seeded samples)") {
     val params = Gen.Parameters.default
     val genInc = Gen.oneOf("n += 1", "n = n + 2", "n -= 1")
     val genGuardedInc = Gen.option(Gen.oneOf(
@@ -719,9 +719,24 @@ class TierPropertySpec extends SparkSpec {
       val g2 = genGroup.pureApply(params, s0.slide.next.next.next)
       val topTally = genTopTally.pureApply(params, s0.slide.slide)
       val midTally = genMidTally.pureApply(params, s0.slide.slide.next)
+      // every third sample goes one level deeper (depth 4): the
+      // reachability ladder gains a running-max window per level
+      val depth4 = i % 3 == 0
+      val w3 = genWhere.pureApply(params, s0.slide.slide.next.next)
       val gincLine = ginc.map(g => s"  $g\n").getOrElse("")
       val topTallyLine = if (topTally) s"  << 'top', $read\n" else ""
       val midTallyLine = if (midTally) s"    << $read, 'mid'\n" else ""
+      val deepest =
+        if (depth4)
+          s"""each_row.continue().next() where $w2
+             |      each_row.continue().next() where $w3
+             |        << $read, $g2
+             |      end
+             |    end""".stripMargin
+        else
+          s"""each_row.continue().next() where $w2
+             |      << $read, $g2
+             |    end""".stripMargin
       val script =
         s"""select
            |  count id as customers
@@ -731,9 +746,7 @@ class TierPropertySpec extends SparkSpec {
            |each_row$mods where $w0
            |  $inc
            |$gincLine$topTallyLine  each_row.continue().next() where $w1
-           |$midTallyLine    each_row.continue().next() where $w2
-           |      << $read, $g2
-           |    end
+           |$midTallyLine    $deepest
            |  end
            |end
            |""".stripMargin
