@@ -327,8 +327,10 @@ object TierA {
     * Each level needs ONE extra window over the SAME person sort, and the
     * collected tuple still carries a single count. */
   private def chainDeepOk(levels: Seq[ChainLevel]): Boolean =
-    levels.size <= OslEngine.MaxDepth && !levels.head.reverse &&
-      levels.tail.forall(plainStep)
+    // a reverse TOP only changes which rows spawn (level-0 eligibility,
+    // folded into spawnCond); the inner scans still walk forward, so the
+    // reachability ladder is direction-independent
+    levels.size <= OslEngine.MaxDepth && levels.tail.forall(plainStep)
 
   /** Chain-accumulator shapes whose per-spawn values derive from the spawn
     * ORDINAL alone (value = init + c·j): unguarded, unframed, unlimited

@@ -359,6 +359,31 @@ class TierChainAccumSpec extends SparkSpec {
          |  end
          |end
          |""".stripMargin)
+    // reverse top over a depth-3 chain: only the spawning set flips;
+    // the reachability ladder is direction-independent
+    diff(
+      s"""${sel}n = 0
+         |each_row.reverse() where event.is(== 'signup')
+         |  n += 1
+         |  each_row.continue().next() where event.is(== 'view')
+         |    each_row.continue().next() where event.is(== 'purchase')
+         |      << n, event
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
+    // and with a top .limit on the reverse scan
+    diff(
+      s"""${sel}n = 0
+         |each_row.reverse().limit(2) where event.is(!= 'error')
+         |  n += 1
+         |  each_row.continue().next() where event.is(== 'view')
+         |    each_row.continue().next() where event.is(== 'purchase')
+         |      << n, event
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
     // depth 5: the ladder extends one more window
     diff(
       s"""${sel}n = 0

@@ -704,7 +704,7 @@ class TierPropertySpec extends SparkSpec {
       "if event.is(== 'purchase')\n    n += 3\n  end",
       "if product_price.is(> 40)\n    n = n + 1\n  end"))
     val genRead = Gen.oneOf("n", "bucket(n, 2)", "n + 10")
-    val genTopMods = Gen.oneOf("", "", ".limit(3)", ".from(1)")
+    val genTopMods = Gen.oneOf("", "", ".limit(3)", ".from(1)", ".reverse()")
     val genTopTally = Gen.oneOf(true, false)
     val genMidTally = Gen.oneOf(true, false)
     (1 to 15).foreach { i =>
