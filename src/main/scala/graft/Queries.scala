@@ -3532,6 +3532,58 @@ object Queries {
         SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
           COUNT(DISTINCT id), COUNT(*)
         FROM pairs GROUP BY i"""))
+  ,
+
+    // Round-9 Tier A widening: a DEPTH-4 chain accumulator — signup ->
+    // view -> purchase -> click, tallying the signup ordinal at the
+    // deepest level. Compiled with the reachability ladder (__P1 running
+    // count, __P2 running max of __P1 over purchase rows; a click row is
+    // a level-3 visit for spawn i iff __P2(row) > c1(spawn)). Oracle:
+    // (click, signup-ordinal) pairs with an interleaved view-then-purchase
+    // chain strictly between them.
+    Q("q_osl_chain4_accum",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |each_row where event.is(== 'signup')
+            |  n += 1
+            |  each_row.continue().next() where event.is(== 'view')
+            |    each_row.continue().next() where event.is(== 'purchase')
+            |      each_row.continue().next() where event.is(== 'click')
+            |        << n, event
+            |      end
+            |    end
+            |  end
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"))
+      },
+      Some(s"""$E, su AS (
+          SELECT id, stamp,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
+          FROM e WHERE event = 'signup'),
+        quad AS (
+          SELECT DISTINCT c.id, c.stamp, su.i
+          FROM e c JOIN su ON su.id = c.id AND su.stamp < c.stamp
+          WHERE c.event = 'click'
+            AND EXISTS (SELECT 1 FROM e v JOIN e p
+              ON p.id = v.id AND v.stamp < p.stamp
+              WHERE v.id = c.id AND v.event = 'view' AND p.event = 'purchase'
+                AND v.stamp > su.stamp AND p.stamp < c.stamp))
+        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
+          'click' AS g2, COUNT(DISTINCT id) AS customers,
+          COUNT(*) AS n_rows
+        FROM quad GROUP BY i
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*)
+        FROM quad GROUP BY i"""))
   )
 
   def allRegistry: Seq[Q] = registry ++ extraRegistry
