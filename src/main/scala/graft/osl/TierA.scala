@@ -357,6 +357,27 @@ object TierA {
     * so the default never fires on spec-compliant stores. */
   @volatile var maxCollectSpawnRows: Long = 5000L
 
+  /** (plan semanticHash, probed-at millis) → max rows per person. The
+    * probe is an eager Spark job at COMPILE time; the same events frame is
+    * compiled repeatedly (every deep-chain query), so cache with a short
+    * TTL. Catalog tables naturally invalidate — each committed generation
+    * scans an explicit file list, so the plan hash changes with the data;
+    * the TTL guards raw directory scans whose listing can go stale. */
+  private val rowBoundCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]
+  private val RowBoundTtlMs = 5 * 60 * 1000L
+
+  private def maxRowsPerPerson(events: DataFrame): Long = {
+    val key = events.queryExecution.logical.semanticHash()
+    val nowT = System.currentTimeMillis()
+    val hit = rowBoundCache.get(key)
+    if (hit != null && nowT - hit._1 < RowBoundTtlMs) return hit._2
+    val v = events.groupBy(col("id")).count().agg(max(col("count"))).head().get(0)
+    val mx = if (v == null) 0L else v.asInstanceOf[Long]
+    rowBoundCache.put(key, (nowT, mx))
+    mx
+  }
+
   /** Is the chain-accumulator plan memory-safe for this data? Ordinal and
     * range-bounded shapes always are; the residual collect path checks the
     * actual max rows per person (one cheap count aggregate — conservative:
@@ -367,11 +388,8 @@ object TierA {
     val l1 = levels(1)
     val rangeBounded =
       l1.spanMs.exists(_ != Long.MaxValue) && l1.contraSpanMs.isEmpty
-    chainOrdinalOnly(levels, accums) || rangeBounded || {
-      val mx = events.groupBy(col("id")).count()
-        .agg(max(col("count"))).head().get(0)
-      mx == null || mx.asInstanceOf[Long] <= maxCollectSpawnRows
-    }
+    chainOrdinalOnly(levels, accums) || rangeBounded ||
+      maxRowsPerPerson(events) <= maxCollectSpawnRows
   }
 
   private def chainPlan(base: DataFrame,
