@@ -125,26 +125,36 @@ final class Catalog(spark: SparkSession, warehouse: String) {
       StructField("tz_offset_ms", LongType), StructField("storage_buckets", LongType),
       StructField("flush_rows", LongType))))))
 
-  /** (metaFile mtime, parsed meta) — describe() runs on every insert and
-    * query, and the JSON parse is a Spark job; cache by modification time
-    * so the common path is one driver-side stat. [[writeMeta]] invalidates
-    * explicitly (same-millisecond rewrites would alias the mtime); an
-    * out-of-process writer is caught by the mtime check. */
+  /** (meta content hash, parsed meta) — describe() runs on every insert and
+    * query, and the JSON parse is a Spark job; cache by a digest of the
+    * file CONTENT so the common path is one driver-side read of a ~KB
+    * file. An mtime key would alias on same-millisecond rewrites (a
+    * describe that stat'ed the old file could re-publish stale meta under
+    * the new mtime after [[writeMeta]]'s invalidation); hashing the bytes
+    * that are then parsed makes every cache entry self-consistent — a
+    * racing put can only install the pair matching ITS bytes, and the next
+    * read's digest check corrects it. */
   private val metaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, TableMeta)]
+    new java.util.concurrent.ConcurrentHashMap[String, (String, TableMeta)]
+
+  private def contentKey(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map("%02x".format(_)).mkString
 
   def describe(table: String): TableMeta = {
     require(exists(table), s"no such table '$table'")
-    val mtime = metaFile(table).lastModified()
+    val bytes = java.nio.file.Files.readAllBytes(metaFile(table).toPath)
+    val key = contentKey(bytes)
     val cached = metaCache.get(table)
-    if (cached != null && cached._1 == mtime) return cached._2
-    val m = parseMeta(table)
-    metaCache.put(table, (mtime, m))
+    if (cached != null && cached._1 == key) return cached._2
+    val m = parseMeta(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+    metaCache.put(table, (key, m))
     m
   }
 
-  private def parseMeta(table: String): TableMeta = {
-    val row = spark.read.schema(metaSchema).json(metaFile(table).toString).head()
+  private def parseMeta(json: String): TableMeta = {
+    import spark.implicits._
+    val row = spark.read.schema(metaSchema).json(Seq(json).toDS()).head()
     val props = row.getSeq[org.apache.spark.sql.Row](2).map(p =>
       PropDef(p.getString(0), p.getString(1), p.getBoolean(2), p.getBoolean(3)))
     val st = row.getStruct(4)
@@ -294,6 +304,11 @@ final class Catalog(spark: SparkSession, warehouse: String) {
 
   def events(table: String): DataFrame = {
     val m = describe(table)
+    // the committed base is passed BY NAME: overlayPending lists the WAL
+    // first and only then forces the base plan (which reads the commit
+    // manifest). Planning the base first would race a concurrent drain —
+    // commit gen N+1, then .drained markers — into returning the stale
+    // gen-N base with an empty WAL listing, dropping acked raw inserts.
     overlayPending(table, m, eventsWithBucket(table, m).drop("__bucket"))
   }
 
@@ -317,17 +332,22 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     * `src/oloop_person.cpp`). */
   def customerEvents(table: String, id: Any): DataFrame = {
     val m = describe(table)
+    // List the WAL BEFORE planning the committed base (same read-your-
+    // writes ordering as events(): a drain between the two steps must be
+    // seen by at least one of them).
+    val hasPending = pendingFiles(table).nonEmpty
     // Hash the literal AT THE STORED id TYPE: Spark hash functions are
     // type-sensitive (xxhash64 of Int 5 != Long 5 != String "5"), so an
     // uncast caller-supplied literal would prune to the wrong bucket.
     // Mirrors insert's xxhash64(col("id")).
     val idLit = lit(id).cast(m.eventsSchema("id").dataType)
-    val b = pmod(xxhash64(idLit), lit(m.settings.storageBuckets.toLong)).cast("int")
-    val pruned = eventsWithBucket(table, m)
-      .where(col("__bucket").isNull || col("__bucket") === b)
-      .where(col("id") === idLit)
-      .drop("__bucket")
-    if (pendingFiles(table).isEmpty) pruned
+    if (!hasPending) {
+      val b = pmod(xxhash64(idLit), lit(m.settings.storageBuckets.toLong)).cast("int")
+      eventsWithBucket(table, m)
+        .where(col("__bucket").isNull || col("__bucket") === b)
+        .where(col("id") === idLit)
+        .drop("__bucket")
+    }
     // WAL rows for this id may supersede stored ones: overlay, then filter.
     // Pruning is lost only while a pending WAL exists (bounded by flushRows)
     else overlayPending(table, m,
@@ -400,11 +420,24 @@ final class Catalog(spark: SparkSession, warehouse: String) {
   private val overlayTouched =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Seq[Int])]
 
+  /** Test-only interleave hook, fired right after the WAL listing in
+    * [[overlayPending]]: lets a spec drain the table between "list WAL"
+    * and "plan committed base" to prove the ordering is race-safe. */
+  private[graft] var afterWalListHook: () => Unit = () => ()
+
   /** The live view while a WAL is pending: untouched buckets as committed,
-    * touched buckets through the same merge the drain will write. */
+    * touched buckets through the same merge the drain will write.
+    *
+    * `base` is BY NAME and must not be forced before [[pendingFiles]]
+    * runs: listing first means a drain that lands after the listing leaves
+    * both the WAL files (side-marker retirement + grace window) and the
+    * new committed generation visible — the overlay merge dedups the
+    * double-counted rows by the upsert key. The reverse order could pair a
+    * stale base with an empty listing and lose acked rows. */
   private def overlayPending(table: String, m: TableMeta,
-                             base: DataFrame): DataFrame = {
+                             base: => DataFrame): DataFrame = {
     val files = pendingFiles(table)
+    afterWalListHook()
     if (files.isEmpty) return base
     val walNow = files.map { f =>
       val WalName(_, now, _) = f.getName: @unchecked; now.toLong
@@ -446,10 +479,15 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     }
     val cutoff = System.currentTimeMillis() - TableCommit.graceMs
     Option(pendingDir(table).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.endsWith(".drained") && f.lastModified < cutoff)
-      .foreach { marker =>
-        new java.io.File(marker.getPath.stripSuffix(".drained")).delete()
-        marker.delete(): Unit
+      .filter(_.lastModified < cutoff)
+      .foreach { f =>
+        if (f.getName.endsWith(".drained")) {
+          new java.io.File(f.getPath.stripSuffix(".drained")).delete()
+          f.delete(): Unit
+        // an append that crashed between the .tmp write and its rename
+        // (or whose rename threw) never published — readers ignore .tmp,
+        // so past the grace window it is garbage to reclaim
+        } else if (f.getName.endsWith(".tmp")) f.delete(): Unit
       }
   }
 

@@ -357,23 +357,40 @@ object TierA {
     * so the default never fires on spec-compliant stores. */
   @volatile var maxCollectSpawnRows: Long = 5000L
 
-  /** (plan semanticHash, probed-at millis) → max rows per person. The
+  /** (canonicalized plan, probed-at millis) → max rows per person. The
     * probe is an eager Spark job at COMPILE time; the same events frame is
     * compiled repeatedly (every deep-chain query), so cache with a short
-    * TTL. Catalog tables naturally invalidate — each committed generation
-    * scans an explicit file list, so the plan hash changes with the data;
-    * the TTL guards raw directory scans whose listing can go stale. */
+    * TTL. Keyed by the full canonicalized plan STRING plus the semantic
+    * hash, not the 32-bit hash alone — this is a memory-safety gate, and a
+    * bare-hash collision between two different event frames could admit
+    * the O(spawns)-struct collect plan on data past the bound. The string
+    * pins plan structure and scan locations; the hash adds what the string
+    * elides (LocalRelation prints only its schema, so in-memory frames
+    * with equal schemas need the data-sensitive hash to disambiguate).
+    * Catalog tables naturally invalidate — each
+    * committed generation scans an explicit file list, so the canonical
+    * plan changes with the data; the TTL guards raw directory scans whose
+    * listing can go stale. Entries are evicted past TTL (the key is a
+    * plan-sized string; distinct live plans are few, but don't hoard). */
   private val rowBoundCache =
-    new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]
   private val RowBoundTtlMs = 5 * 60 * 1000L
 
   private def maxRowsPerPerson(events: DataFrame): Long = {
-    val key = events.queryExecution.logical.semanticHash()
+    val canon = events.queryExecution.logical.canonicalized
+    val key = canon.semanticHash().toString + ":" + canon.toString
     val nowT = System.currentTimeMillis()
     val hit = rowBoundCache.get(key)
-    if (hit != null && nowT - hit._1 < RowBoundTtlMs) return hit._2
+    // a cached bound within 10% of the gate is NOT trusted: data growth
+    // within the TTL (directory scans list new files under the same
+    // canonical plan) could have pushed it over — re-probe near the edge,
+    // where being wrong admits the memory spike the gate exists to stop
+    val margin = maxCollectSpawnRows - maxCollectSpawnRows / 10
+    if (hit != null && nowT - hit._1 < RowBoundTtlMs && hit._2 < margin)
+      return hit._2
     val v = events.groupBy(col("id")).count().agg(max(col("count"))).head().get(0)
     val mx = if (v == null) 0L else v.asInstanceOf[Long]
+    rowBoundCache.entrySet().removeIf(e => nowT - e.getValue._1 >= RowBoundTtlMs)
     rowBoundCache.put(key, (nowT, mx))
     mx
   }

@@ -42,6 +42,27 @@ class CatalogSpec extends SparkSpec {
     assert(api.catalog.list().isEmpty)
   }
 
+  test("describe stays fresh when a rewrite aliases the mtime (content-hash cache)") {
+    // round-10 ADVICE fix: an out-of-process writer that rewrites
+    // table.json within the same filesystem-timestamp granularity used to
+    // alias an mtime-keyed cache entry forever; the cache now keys on a
+    // digest of the bytes it parsed, so any content change is seen.
+    val api = freshApi()
+    api.tableCreate(highstreetMeta)
+    val m0 = api.catalog.describe("highstreet") // populate the cache
+    val f = new java.io.File(
+      new java.io.File(api.warehouse, "highstreet"), "table.json")
+    val mtime = f.lastModified()
+    val json = new String(Files.readAllBytes(f.toPath), "UTF-8")
+    val needle = "\"session_time_ms\":" + m0.settings.sessionTimeMs
+    assert(json.contains(needle))
+    Files.write(f.toPath,
+      json.replace(needle, "\"session_time_ms\":12345").getBytes("UTF-8"))
+    assert(f.setLastModified(mtime)) // force the exact alias
+    assert(api.catalog.describe("highstreet").settings.sessionTimeMs == 12345L,
+      "describe must see content changes even under an aliased mtime")
+  }
+
   test("property add/drop evolve the schema over existing data") {
     val api = freshApi()
     api.tableCreate(highstreetMeta)

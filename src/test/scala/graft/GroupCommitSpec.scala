@@ -139,6 +139,48 @@ class GroupCommitSpec extends SparkSpec {
     assert(api.catalog.events(t).select("id").distinct().count() == 40)
   }
 
+  test("a drain racing a read between WAL listing and base planning loses nothing") {
+    // round-10 ADVICE fix: the committed base must be planned AFTER the
+    // WAL listing. The hook fires exactly between the two steps and runs a
+    // full drain (commit gen N+1 + .drained markers) — the worst-case
+    // interleave. The read must still see every acked row exactly once:
+    // WAL files stay readable through the marker grace window and the
+    // overlay merge dedups rows that also landed in the new generation.
+    val (api, t) = freshApi(flushRows = 1000)
+    api.insert(t, Seq(ev("u1", 1704067200L, "view"),
+      ev("u2", 1704067201L, "purchase")), T0)
+    api.catalog.afterWalListHook = () => api.catalog.flush(t, T0)
+    try {
+      val df = api.catalog.events(t)
+      assert(df.count() == 2, "acked rows must survive a racing drain")
+      assert(df.select("id").distinct().count() == 2,
+        "double-committed rows must dedup by the upsert key")
+      // per-customer fetch takes the same listing-first path
+      api.insert(t, Seq(ev("u1", 1704067300L, "view")), T0)
+      assert(api.catalog.customerEvents(t, "u1").count() == 2)
+    } finally api.catalog.afterWalListHook = () => ()
+  }
+
+  test("orphaned .tmp WAL appends are reclaimed past the grace window") {
+    val (api, t) = freshApi(flushRows = 1000)
+    val pend = new java.io.File(
+      new java.io.File(api.warehouse, t), "events_pending")
+    pend.mkdirs()
+    // a crash between the .tmp write and its publishing rename
+    val oldTmp = new java.io.File(pend, s"wal-1-$T0-1.jsonl.tmp")
+    Files.write(oldTmp.toPath, "{}".getBytes("UTF-8"))
+    assert(oldTmp.setLastModified(
+      System.currentTimeMillis() - TableCommit.graceMs - 60000L))
+    // …and one that may still be mid-append (young): must survive
+    val youngTmp = new java.io.File(pend, s"wal-2-$T0-1.jsonl.tmp")
+    Files.write(youngTmp.toPath, "{}".getBytes("UTF-8"))
+    api.catalog.flush(t, T0)
+    assert(!oldTmp.exists(), "aborted append past grace must be swept")
+    assert(youngTmp.exists(), "an in-flight append must not be swept")
+    assert(api.catalog.events(t).count() == 0,
+      ".tmp content must never be read as table rows")
+  }
+
   test("flush_rows=0 (default) keeps classic eager behavior") {
     val (api, t) = freshApi(flushRows = 0)
     val gens0 = api.catalog.eventVersions(t).size

@@ -282,6 +282,41 @@ class TierChainAccumSpec extends SparkSpec {
     diff(script) // and at the default bound it still compiles + matches
   }
 
+  test("row-bound cache never crosses frames: same schema, different data") {
+    // round-10 ADVICE fix: the memory-safety probe cache must key frames
+    // apart even when their plans stringify identically (LocalRelation
+    // prints only the schema) — a shared entry could admit the collect
+    // plan on a frame past the bound, or decline a safe one.
+    val guarded =
+      s"""${sel}n = 0
+         |each_row where event.is(!= 'error')
+         |  n += 1
+         |  if product_price.is(> 30)
+         |    each_row.continue().next() where event.is(== 'view')
+         |      << n, event
+         |    end
+         |  end
+         |end
+         |""".stripMargin
+    // same 5-column schema as `world`, but only 4 rows per person
+    val small = (0 until 20).map { i =>
+      (s"u${i % 5}", Mon + i * H, Seq("purchase", "view")(i % 2), "rod", 50.0)
+    }.toDF("id", "stamp", "event", "product_name", "product_price")
+    val saved = TierA.maxCollectSpawnRows
+    try {
+      TierA.maxCollectSpawnRows = 5L
+      // prime the cache with the SAFE frame (bound 4 ≤ 5 → compiles)…
+      assert(TierA.compile(Parser.program(guarded), small, Mon + 100 * H,
+        1800000L).isDefined, "4 rows/person is under the bound")
+      // …then the 12-rows/person frame must still decline immediately
+      assert(TierA.compile(Parser.program(guarded), world, Mon + 100 * H,
+        1800000L).isEmpty, "a cached bound from another frame must not leak")
+      // and the safe frame keeps compiling after the unsafe probe cached
+      assert(TierA.compile(Parser.program(guarded), small, Mon + 100 * H,
+        1800000L).isDefined)
+    } finally TierA.maxCollectSpawnRows = saved
+  }
+
   test("depth-3 chains with plain inner steps compile (round 9)") {
     // the canonical signup -> view -> purchase chain reading the running
     // signup ordinal at the deepest level
