@@ -3396,6 +3396,53 @@ object Queries {
         FROM k GROUP BY g1"""))
   ,
 
+    // Round-10 Tier A widening: the REVERSE twin of q_osl_prop_accum — a
+    // floating-point accumulator under a `.reverse()` top. The interpreter
+    // folds the per-visit adds in DESCENDING row order; Tier A compiles it
+    // as a running sum over a DESC running frame (ordered by the forward
+    // sort's own row_number, mirrored), which Spark — like DuckDB's
+    // `ORDER BY stamp DESC ROWS UNBOUNDED PRECEDING` here — streams
+    // sequentially in exactly that backward order, so the doubles are
+    // bit-identical across all three engines. Reference: reverse scan
+    // semantics src/queryinterpreter.cpp (iter walks indices down).
+    Q("q_osl_reverse_accum",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |spend = 0
+            |each_row.reverse() where stamp.is(> 0)
+            |  if event.is(== 'purchase')
+            |    spend = spend + value
+            |  end
+            |  << bucket(spend, 200), event
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"))
+      },
+      Some(s"""$E, p AS (
+          SELECT id, event,
+            SUM(CASE WHEN event = 'purchase' THEN value ELSE 0 END)
+              OVER (PARTITION BY id ORDER BY stamp DESC
+                    ROWS UNBOUNDED PRECEDING) AS spend
+          FROM e WHERE stamp > 0),
+        k AS (
+          SELECT id, event,
+            CAST(CAST(FLOOR(spend / 200) * 200 AS BIGINT) AS VARCHAR) AS g1
+          FROM p)
+        SELECT CAST(2 AS INTEGER) AS depth, g1, event AS g2,
+          COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows
+        FROM k GROUP BY g1, event
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), g1, CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*)
+        FROM k GROUP BY g1"""))
+  ,
+
     // Round-9 Tier A widening: an accumulator READ in the top-level WHERE
     // — the canonical stateful-cap script ("visit at most 3 purchases").
     // The where observes the PRE-increment value and n freezes once the

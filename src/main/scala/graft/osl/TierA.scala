@@ -240,15 +240,30 @@ object TierA {
             // accumulate from the scan's end). Guards compile like tally
             // predicates; a null/false guard contributes 0 (the
             // interpreter's falsy skip).
-            val accFrame =
-              if (mods.reverse) frame.rowsBetween(W.currentRow, W.unboundedFollowing)
-              else frame.rowsBetween(W.unboundedPreceding, W.currentRow)
-            val withAcc = accums.foldLeft(filtered0) {
+            // Reverse tops use a DESC RUNNING frame, not an ascending
+            // current→unbounded-following one: Spark streams a running
+            // frame sequentially in sort order — one add per row, in
+            // exactly the interpreter's backward fold order, so
+            // floating-point increments stay bit-identical — while an
+            // unbounded-FOLLOWING frame re-aggregates ascending from each
+            // row (different fp association AND O(rows²) per person).
+            // The DESC order mirrors the forward scan EXACTLY, ties
+            // included: it descends on the forward sort's own row_number,
+            // not on the (possibly duplicated) stamp.
+            val (accBase, accFrame, accTmp) =
+              if (mods.reverse && accums.nonEmpty) {
+                val b = filtered0.withColumn("__ord0", row_number().over(frame))
+                (b, W.partitionBy(col("id")).orderBy(col("__ord0").desc)
+                  .rowsBetween(W.unboundedPreceding, W.currentRow), Seq("__ord0"))
+              } else
+                (filtered0, frame.rowsBetween(W.unboundedPreceding, W.currentRow),
+                 Seq.empty[String])
+            val withAcc = accums.foldLeft(accBase) {
               case (df, (n, init, parts)) =>
                 df.withColumn(s"__acc_$n",
                   lit(init) + coalesce(
                     sum(perVisitInc(parts, now, real)).over(accFrame), lit(0L)))
-            }
+            }.drop(accTmp: _*)
             // per-person write rank for `value` selects (merge key): counts
             // the WRITING rows — tally predicate satisfied, source non-null.
             // A reverse top scans backward, so its LAST write is the
@@ -1311,10 +1326,13 @@ object TierA {
     * sum folds left from zero like the interpreter's running value), the
     * accumulator must have exactly ONE increment statement with at most
     * one increment per branch (a second add would re-associate
-    * `(n+a)+b` as `n+(a+b)`), and the top loop must scan FORWARD (a
-    * reverse top accumulates in descending row order, but Spark evaluates
-    * an unbounded-following sum frame ascending). Null props add 0
-    * (Value.plus(_, VNone)), matched by coalesce in [[perVisitInc]]. */
+    * `(n+a)+b` as `n+(a+b)`). Reverse SINGLE loops compile too (round
+    * 10): the window builder switches to a stamp-DESC running frame,
+    * which Spark streams in the interpreter's backward fold order;
+    * reverse CHAIN tops keep declining (their accumulator windows live
+    * in chainWitnesses, whose reverse frame recomputes ascending). Null
+    * props add 0 (Value.plus(_, VNone)), matched by coalesce in
+    * [[perVisitInc]]. */
   private def classifyVars(program: Program, events: DataFrame)
       : Option[(Set[String], Seq[(String, Long, Seq[AccumPart])],
                 Option[Expr], Option[Long])] = {
@@ -1561,7 +1579,14 @@ object TierA {
       // per branch, forward scan, numeric un-shadowed column refs
       val allIncs = parts.flatMap(p => p.incThen ++ p.incElse)
       if (allIncs.exists(!isIntLit(_))) {
-        if (init != 0L || er.mods.reverse) return None
+        if (init != 0L) return None
+        // a reverse top accumulates in DESCENDING row order. Single loops
+        // compile it bit-exactly (round 10): the window builder runs the
+        // running sum over a stamp-DESC running frame, which Spark streams
+        // sequentially in exactly the interpreter's backward fold order.
+        // Chain shapes keep declining — their accumulator windows live in
+        // chainWitnesses, whose reverse frame recomputes ascending.
+        if (er.mods.reverse && chainSteps.nonEmpty) return None
         if (parts.size != 1 ||
             parts.exists(p => p.incThen.size > 1 || p.incElse.size > 1)) return None
         if (allIncs.exists(e => !isIntLit(e) && !numericRef(e))) return None

@@ -528,7 +528,10 @@ class TierPropertySpec extends SparkSpec {
     val genGuard = Gen.option(Gen.oneOf(
       "event.is(== 'purchase')", "product_price.is(> 30)"))
     val genRead = Gen.oneOf("bucket(spend, 100)", "spend > 120", "bucket(spend, 40)")
-    val genMods = Gen.oneOf("", "", ".limit(4)", ".from(1)")
+    // reverse tops compile since round 10 (stamp-DESC running frame =
+    // the interpreter's backward fold order, fp-exact)
+    val genMods = Gen.oneOf("", "", ".limit(4)", ".from(1)",
+      ".reverse()", ".reverse().limit(3)")
     (1 to 15).foreach { i =>
       val s0 = Seed(i.toLong * 2750159)
       val where = genWhere.pureApply(params, s0)
@@ -562,10 +565,36 @@ class TierPropertySpec extends SparkSpec {
         forceTierB = true))
       assert(a == b, s"prop-accum mismatch on sample $i:\n$script\nA=$a\nB=$b")
     }
-    // declines: nonzero init, reverse scan, two increments, string prop
+    // pinned reverse tops (round 10): backward fold, fp-exact; alone,
+    // with a limit (visits = LAST n matches, accumulated from the end),
+    // and with a guard
+    for (mods <- Seq(".reverse()", ".reverse().limit(3)")) {
+      val script =
+        s"""select
+           |  count id as customers
+           |  count event as n_rows
+           |end
+           |spend = 0
+           |each_row$mods where event.is(!= 'error')
+           |  if product_price.is(> 25)
+           |    spend += product_price
+           |  end
+           |  << bucket(spend, 60), event
+           |end
+           |""".stripMargin
+      val p = Parser.program(script)
+      assert(TierA.compile(p, world, Mon + 100 * H, 1800000L).isDefined,
+        s"reverse prop-accum did not compile to Tier A:\n$script")
+      val a = canon(OslEngine.query(world, script, now = Mon + 100 * H))
+      val b = canon(OslEngine.query(world, script, now = Mon + 100 * H,
+        forceTierB = true))
+      assert(a == b, s"reverse prop-accum mismatch:\n$script\nA=$a\nB=$b")
+    }
+    // declines: nonzero init, reverse CHAIN top (the chain-witness accum
+    // frame recomputes ascending), two increments, string prop
     for (bad <- Seq(
       "spend = 5\neach_row where event.is(!= 'x')\n  spend += product_price\n  << bucket(spend, 50)\nend\n",
-      "spend = 0\neach_row.reverse() where event.is(!= 'x')\n  spend += product_price\n  << bucket(spend, 50)\nend\n",
+      "spend = 0\neach_row.reverse() where event.is(!= 'x')\n  spend += product_price\n  each_row.continue().next() where event.is(== 'view')\n    << bucket(spend, 50), event\n  end\nend\n",
       "spend = 0\neach_row where event.is(!= 'x')\n  spend += product_price\n  spend += 1\n  << bucket(spend, 50)\nend\n",
       "spend = 0\neach_row where event.is(!= 'x')\n  spend += product_name\n  << bucket(spend, 50)\nend\n")) {
       val script = s"select\n  count id as customers\nend\n$bad"
