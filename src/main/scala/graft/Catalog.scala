@@ -107,8 +107,20 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     sb.append(s"""\"tz_offset_ms\":${m.settings.tzOffsetMs},\"storage_buckets\":${m.settings.storageBuckets},""")
     sb.append(s"""\"flush_rows\":${m.settings.flushRows}}}""")
     dir(m.table).mkdirs()
-    java.nio.file.Files.write(metaFile(m.table).toPath,
-      sb.toString.getBytes("UTF-8"))
+    val p = metaFile(m.table).toPath
+    val prevMtime =
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.getLastModifiedTime(p).toMillis
+      else Long.MinValue
+    java.nio.file.Files.write(p, sb.toString.getBytes("UTF-8"))
+    // the describe() fast path trusts an unchanged (size, mtime) stat; a
+    // rewrite landing in the SAME clock millisecond as the previous
+    // version (with the same byte length) would be stat-invisible, so
+    // force the mtime strictly past the old one. Writes are rare (DDL /
+    // settings), the extra stat+set is driver-side only.
+    if (java.nio.file.Files.getLastModifiedTime(p).toMillis <= prevMtime)
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(prevMtime + 1))
     metaCache.remove(m.table): Unit
   }
 
@@ -125,17 +137,20 @@ final class Catalog(spark: SparkSession, warehouse: String) {
       StructField("tz_offset_ms", LongType), StructField("storage_buckets", LongType),
       StructField("flush_rows", LongType))))))
 
-  /** (meta content hash, parsed meta) — describe() runs on every insert and
-    * query, and the JSON parse is a Spark job; cache by a digest of the
-    * file CONTENT so the common path is one driver-side read of a ~KB
-    * file. An mtime key would alias on same-millisecond rewrites (a
-    * describe that stat'ed the old file could re-publish stale meta under
-    * the new mtime after [[writeMeta]]'s invalidation); hashing the bytes
-    * that are then parsed makes every cache entry self-consistent — a
-    * racing put can only install the pair matching ITS bytes, and the next
-    * read's digest check corrects it. */
+  /** (stat size, stat mtime millis, content hash, parsed meta) — describe()
+    * runs on every insert and query. The common path is ONE stat: if the
+    * file's (size, mtime) matches the cache, return without reading — on a
+    * shared filesystem (HDFS/S3) a full read per operation is real I/O. On
+    * stat change, read the bytes and check the content HASH before paying
+    * the Spark-job parse (the hash stays the authoritative key — every
+    * cache entry is self-consistent with its own bytes). The stat prefilter
+    * is sound because [[writeMeta]] forces a strictly-increasing mtime: a
+    * rewrite can never present the previous version's (size, mtime). The
+    * stat is taken BEFORE the read, so a write racing between the two maps
+    * an old stat to new content — the next stat mismatches and
+    * self-corrects via the hash check. */
   private val metaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, TableMeta)]
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, String, TableMeta)]
 
   private def contentKey(bytes: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5").digest(bytes)
@@ -143,12 +158,20 @@ final class Catalog(spark: SparkSession, warehouse: String) {
 
   def describe(table: String): TableMeta = {
     require(exists(table), s"no such table '$table'")
-    val bytes = java.nio.file.Files.readAllBytes(metaFile(table).toPath)
-    val key = contentKey(bytes)
+    val path = metaFile(table).toPath
+    val attrs = java.nio.file.Files.readAttributes(
+      path, classOf[java.nio.file.attribute.BasicFileAttributes])
+    val (sz, mt) = (attrs.size, attrs.lastModifiedTime.toMillis)
     val cached = metaCache.get(table)
-    if (cached != null && cached._1 == key) return cached._2
+    if (cached != null && cached._1 == sz && cached._2 == mt) return cached._4
+    val bytes = java.nio.file.Files.readAllBytes(path)
+    val key = contentKey(bytes)
+    if (cached != null && cached._3 == key) {
+      metaCache.put(table, (sz, mt, key, cached._4))
+      return cached._4
+    }
     val m = parseMeta(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
-    metaCache.put(table, (key, m))
+    metaCache.put(table, (sz, mt, key, m))
     m
   }
 

@@ -106,7 +106,27 @@ object Plans {
     P("q_osl_prop_accum",
       "non-literal accumulator (round 8): the running prop sum is one conditional " +
         "running-sum window on the same person sort as the tally machinery — no " +
-        "interpreter MapGroups in the plan"))
+        "interpreter MapGroups in the plan"),
+    P("q_osl_where_read",
+      "accumulator read in the WHERE (round 9): the stateful cap `n < 3` is solved " +
+        "STATICALLY (capSolve) and folds into the top `.limit` row_number filter — " +
+        "the plan is the plain limited-loop shape, no accumulator window at all"),
+    P("q_osl_chain3_accum",
+      "depth-3 chain accumulator (round 9 reachability ladder): __P1 running-count " +
+        "and __P2 running-max windows all ride the ONE (id, stamp) sort — one window " +
+        "per chain level, no self-join, no collected array in the plan"),
+    P("q_osl_chain4_accum",
+      "depth-4 chain accumulator: the same ladder with one more running-max level — " +
+        "cost grows one window per level on the same single exchange"),
+    P("q_osl_chain_ever_read",
+      "ever-read below a chain step (round 9): the `.ever` predicate resolves " +
+        "against per-person test columns computed on the same sort; spawn-tuple " +
+        "binds stay in-row — no per-spawn re-scan"),
+    P("q_osl_reverse_accum",
+      "reverse single-loop fp accumulator (round 10): row_number (ASC) then a " +
+        "DESC running sum — two intra-partition sorts on ONE exchange, streaming " +
+        "the interpreter's backward fold bit-exactly (never an unbounded-FOLLOWING " +
+        "frame, which re-aggregates ascending and is O(rows²) per person)"))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("local[4]", 4).getOrCreate()

@@ -3405,6 +3405,10 @@ object Queries {
     // sequentially in exactly that backward order, so the doubles are
     // bit-identical across all three engines. Reference: reverse scan
     // semantics src/queryinterpreter.cpp (iter walks indices down).
+    // Tie caveat (shared with the forward twin): both the engine's person
+    // sort and this oracle order by stamp alone, so bit-exactness across
+    // engines assumes (id, stamp)-unique data — pinned by VerifySpec's
+    // uniqueness guard over the driver testdata.
     Q("q_osl_reverse_accum",
       (s, dir) => {
         val script =

@@ -390,18 +390,32 @@ object TierA {
   private val rowBoundCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]
   private val RowBoundTtlMs = 5 * 60 * 1000L
+  // over-margin entries re-probe on this shorter clock instead of every
+  // compile: a table whose max rows/person sits near the gate would
+  // otherwise pay a full Spark aggregate per deep-chain compile
+  private val RowBoundEdgeTtlMs = 30 * 1000L
 
   private def maxRowsPerPerson(events: DataFrame): Long = {
     val canon = events.queryExecution.logical.canonicalized
-    val key = canon.semanticHash().toString + ":" + canon.toString
+    // the canonical plan string pins scan DIRECTORIES, not their contents:
+    // a raw-directory scan that gains files keeps the same canonical plan,
+    // so growth within the TTL could ride a stale low bound through the
+    // memory gate. Fingerprint the resolved file listing into the key —
+    // committed generations and appended raw files alike change the
+    // listing (the commit protocol never rewrites a data file in place),
+    // so growth is a cache MISS, not a stale hit. LocalRelations list no
+    // files; the data-sensitive semantic hash still disambiguates those.
+    val listing = events.inputFiles.sorted.mkString(" ").hashCode
+    val key = canon.semanticHash().toString + ":" + listing + ":" + canon.toString
     val nowT = System.currentTimeMillis()
     val hit = rowBoundCache.get(key)
-    // a cached bound within 10% of the gate is NOT trusted: data growth
-    // within the TTL (directory scans list new files under the same
-    // canonical plan) could have pushed it over — re-probe near the edge,
-    // where being wrong admits the memory spike the gate exists to stop
+    // a cached bound within 10% of the gate gets the SHORT ttl, not full
+    // trust: near the edge, an unfingerprinted growth path (e.g. a
+    // re-written file at the same path) being wrong admits the memory
+    // spike the gate exists to stop — bound that exposure to 30 s
     val margin = maxCollectSpawnRows - maxCollectSpawnRows / 10
-    if (hit != null && nowT - hit._1 < RowBoundTtlMs && hit._2 < margin)
+    if (hit != null && nowT - hit._1 <
+        (if (hit._2 < margin) RowBoundTtlMs else RowBoundEdgeTtlMs))
       return hit._2
     val v = events.groupBy(col("id")).count().agg(max(col("count"))).head().get(0)
     val mx = if (v == null) 0L else v.asInstanceOf[Long]

@@ -43,10 +43,14 @@ class CatalogSpec extends SparkSpec {
   }
 
   test("describe stays fresh when a rewrite aliases the mtime (content-hash cache)") {
-    // round-10 ADVICE fix: an out-of-process writer that rewrites
-    // table.json within the same filesystem-timestamp granularity used to
-    // alias an mtime-keyed cache entry forever; the cache now keys on a
-    // digest of the bytes it parsed, so any content change is seen.
+    // round-10 ADVICE fix, narrowed in round 11: describe() now prefilters
+    // with a (size, mtime) stat — one remote stat instead of a full read
+    // per operation on a shared filesystem — and falls back to the content
+    // hash when the stat changed. An aliased mtime is still seen here
+    // because the rewrite changes the byte LENGTH; in-process writers
+    // can never alias at all (writeMeta forces a strictly-increasing
+    // mtime, pinned by the next test). An out-of-process writer forging
+    // BOTH the old mtime and the old size is outside the contract.
     val api = freshApi()
     api.tableCreate(highstreetMeta)
     val m0 = api.catalog.describe("highstreet") // populate the cache
@@ -61,6 +65,24 @@ class CatalogSpec extends SparkSpec {
     assert(f.setLastModified(mtime)) // force the exact alias
     assert(api.catalog.describe("highstreet").settings.sessionTimeMs == 12345L,
       "describe must see content changes even under an aliased mtime")
+  }
+
+  test("writeMeta forces a strictly-increasing mtime (stat prefilter soundness)") {
+    // the describe() stat fast path trusts an unchanged (size, mtime); a
+    // same-millisecond same-length rewrite would be stat-invisible, so
+    // writeMeta bumps the mtime strictly past the previous version's.
+    // Deterministic forcing: push the file's mtime into the FUTURE, then
+    // rewrite — the bump must land strictly past the forged time.
+    val api = freshApi()
+    api.tableCreate(highstreetMeta)
+    val f = new java.io.File(
+      new java.io.File(api.warehouse, "highstreet"), "table.json")
+    val future = System.currentTimeMillis() + 60000L
+    assert(f.setLastModified(future))
+    api.catalog.updateSettings("highstreet", _.copy(sessionTimeMs = 777L))
+    assert(f.lastModified() > future,
+      "rewrite mtime must be strictly past the previous version's")
+    assert(api.catalog.describe("highstreet").settings.sessionTimeMs == 777L)
   }
 
   test("property add/drop evolve the schema over existing data") {

@@ -317,6 +317,42 @@ class TierChainAccumSpec extends SparkSpec {
     } finally TierA.maxCollectSpawnRows = saved
   }
 
+  test("row-bound cache re-probes when the file listing grows (round 11)") {
+    // the canonical plan string pins scan DIRECTORIES, not contents: a raw
+    // directory that gains files keeps the same canonical plan, and a low
+    // cached bound would ride through the memory gate for the whole TTL.
+    // Round 11 keys the cache on the resolved file listing: growth is a
+    // cache MISS, so the over-bound data declines immediately.
+    val guarded =
+      s"""${sel}n = 0
+         |each_row where event.is(!= 'error')
+         |  n += 1
+         |  if product_price.is(> 30)
+         |    each_row.continue().next() where event.is(== 'view')
+         |      << n, event
+         |    end
+         |  end
+         |end
+         |""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("graft-rowbound").toString
+    def rows(n: Int, part: Int) = (0 until n).map { i =>
+      (s"u${i % 5}", Mon + (part * 1000 + i) * H, Seq("purchase", "view")(i % 2),
+        "rod", 50.0)
+    }.toDF("id", "stamp", "event", "product_name", "product_price")
+    rows(20, 0).coalesce(1).write.mode("append").parquet(dir) // 4 rows/person
+    val saved = TierA.maxCollectSpawnRows
+    try {
+      TierA.maxCollectSpawnRows = 5L
+      assert(TierA.compile(Parser.program(guarded), spark.read.parquet(dir),
+        Mon + 10000 * H, 1800000L).isDefined, "4 rows/person is under the bound")
+      // grow the SAME directory past the bound (now 12 rows/person)
+      rows(40, 1).coalesce(1).write.mode("append").parquet(dir)
+      assert(TierA.compile(Parser.program(guarded), spark.read.parquet(dir),
+        Mon + 10000 * H, 1800000L).isEmpty,
+        "growth under the same path must invalidate the cached row bound")
+    } finally TierA.maxCollectSpawnRows = saved
+  }
+
   test("depth-3 chains with plain inner steps compile (round 9)") {
     // the canonical signup -> view -> purchase chain reading the running
     // signup ordinal at the deepest level

@@ -46,4 +46,25 @@ class VerifySpec extends SparkSpec {
     assert(e.contains("q_fake"))
     assert(!new java.io.File(s"$out/q_fake").exists())
   }
+
+  // The fp-accumulator oracles (q_osl_prop_accum forward, q_osl_reverse_accum
+  // reverse) window ORDER BY stamp with no tiebreaker — as does the engine's
+  // person sort, matching the reference's stamp-ordered scan. With duplicate
+  // (id, stamp) rows DuckDB's tie order could differ from Spark's, so the
+  // bit-exactness claim rests on the test data being (id, stamp)-unique at
+  // millisecond granularity. Pin that assumption: if a future driver dataset
+  // introduces ms-level ties, this fails loudly here instead of as a flaky
+  // oracle hash mismatch.
+  test("driver test data is (id, stamp)-unique — fp-accumulator tie assumption") {
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val dir = s"/root/testdata/$sf"
+      assume(new java.io.File(s"$dir/events.parquet").exists())
+      val e = Tables.events(spark, dir)
+      val total = e.count()
+      val distinct = e.select("id", "stamp").distinct().count()
+      assert(total == distinct,
+        s"$sf: ${total - distinct} duplicate (id, stamp) pairs — the " +
+          "stamp-ordered fp-accumulator oracles need a tiebreaker now")
+    }
+  }
 }
