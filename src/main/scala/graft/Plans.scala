@@ -126,7 +126,12 @@ object Plans {
       "reverse single-loop fp accumulator (round 10): row_number (ASC) then a " +
         "DESC running sum — two intra-partition sorts on ONE exchange, streaming " +
         "the interpreter's backward fold bit-exactly (never an unbounded-FOLLOWING " +
-        "frame, which re-aggregates ascending and is O(rows²) per person)"))
+        "frame, which re-aggregates ascending and is O(rows²) per person)"),
+    P("q_osl_reverse_chain_accum",
+      "reverse CHAIN-top fp accumulator (round 11): the chain-witness running sum " +
+        "rides a __rn-DESC running frame on the same single (id) exchange as the " +
+        "witness windows — backward fold bit-exact, inner scan still forward, " +
+        "spawn tuples collected once"))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("local[4]", 4).getOrCreate()

@@ -3301,6 +3301,57 @@ object Queries {
           COUNT(DISTINCT id), COUNT(*)
         FROM pairs GROUP BY i""")),
 
+    // Round-11 Tier A widening: a REVERSE chain top with a FLOATING-POINT
+    // accumulator — spend folds BACKWARD over signups (the interpreter
+    // scans the person's rows descending; increments lead the body), and
+    // each later purchase tallies under the spawning signup's
+    // backward-running spend bucket. Compiled: the chain-witness
+    // accumulator runs as a running sum over a __rn-DESC running frame —
+    // Spark streams it in exactly the interpreter's backward fold order,
+    // so the doubles are bit-identical (never an unbounded-FOLLOWING
+    // frame, which re-aggregates ascending: different association and
+    // O(rows²) per person). Inner scans still walk forward under a
+    // reverse top. A purchase reached by several signups with the SAME
+    // bucket tallies once (per-(row, node) dedup) — the oracle's
+    // DISTINCT. Reference: reverse scan src/queryinterpreter.cpp
+    // (iter walks indices down) + continue().next() forward semantics.
+    Q("q_osl_reverse_chain_accum",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |spend = 0
+            |each_row.reverse() where event.is(== 'signup')
+            |  spend = spend + value
+            |  each_row.continue().next() where event.is(== 'purchase')
+            |    << bucket(spend, 200), event
+            |  end
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"))
+      },
+      Some(s"""$E, su AS (
+          SELECT id, stamp,
+            SUM(COALESCE(value, 0)) OVER (PARTITION BY id ORDER BY stamp DESC
+                  ROWS UNBOUNDED PRECEDING) AS spend
+          FROM e WHERE event = 'signup'),
+        pairs AS (
+          SELECT DISTINCT p.id, p.stamp,
+            CAST(CAST(FLOOR(b.spend / 200) * 200 AS BIGINT) AS VARCHAR) AS g1
+          FROM e p JOIN su b ON b.id = p.id AND b.stamp < p.stamp
+          WHERE p.event = 'purchase')
+        SELECT CAST(2 AS INTEGER) AS depth, g1, 'purchase' AS g2,
+          COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows
+        FROM pairs GROUP BY g1
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), g1, CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*)
+        FROM pairs GROUP BY g1""")),
+
     // Late round 8: the FRAMED + LIMITED chain-accumulator shape — each
     // purchase within 24 h of a signup, while that signup's scan has made
     // at most 2 purchase-matches, tallied under the signup's ordinal.

@@ -738,12 +738,26 @@ object TierA {
     // accumulator running sums materialize HERE, before the k>=1 witness
     // windows: a chain-step guard may read the accumulator (rewritten to
     // `__acc_<n>` by substAccums), and its value at a candidate spawn row
-    // is exactly the running sum over level-0 visits through that row
+    // is exactly the running sum over level-0 visits through that row.
+    // A reverse top folds from the person's END: use a RUNNING frame over
+    // the mirrored order (__rn DESC — the forward sort's own row_number,
+    // so ties mirror the forward scan exactly), NOT an ascending
+    // current→unbounded-following frame. Spark streams a running frame
+    // sequentially in sort order — one add per row in exactly the
+    // interpreter's backward fold order, so floating-point increments
+    // stay bit-identical (round 11; the single-loop twin landed in round
+    // 10) — while an unbounded-FOLLOWING frame re-aggregates ascending
+    // from each row (different fp association AND O(rows²) per person).
+    val accRunFrame =
+      if (head.reverse)
+        person.orderBy(col("__rn").desc)
+          .rowsBetween(W.unboundedPreceding, W.currentRow)
+      else curRows
     accums.foreach { case (n, init, parts) =>
       df = df.withColumn(s"__acc_$n",
         lit(init) + coalesce(
           sum(when(visited, perVisitInc(parts, now, real)))
-            .over(if (head.reverse) curRowsR else curRows),
+            .over(accRunFrame),
           lit(0L)))
     }
     val eligible: Seq[Column] = elig0 +: (1 until levels.length).map { k =>
@@ -1340,11 +1354,12 @@ object TierA {
     * sum folds left from zero like the interpreter's running value), the
     * accumulator must have exactly ONE increment statement with at most
     * one increment per branch (a second add would re-associate
-    * `(n+a)+b` as `n+(a+b)`). Reverse SINGLE loops compile too (round
-    * 10): the window builder switches to a stamp-DESC running frame,
-    * which Spark streams in the interpreter's backward fold order;
-    * reverse CHAIN tops keep declining (their accumulator windows live
-    * in chainWitnesses, whose reverse frame recomputes ascending). Null
+    * `(n+a)+b` as `n+(a+b)`). Reverse tops compile too — single loops
+    * since round 10, chain tops since round 11: both window builders
+    * switch to a DESC RUNNING frame over the forward sort's own
+    * row_number, which Spark streams in exactly the interpreter's
+    * backward fold order (an unbounded-FOLLOWING frame would re-aggregate
+    * ascending — different fp association and O(rows²) per person). Null
     * props add 0 (Value.plus(_, VNone)), matched by coalesce in
     * [[perVisitInc]]. */
   private def classifyVars(program: Program, events: DataFrame)
@@ -1594,13 +1609,12 @@ object TierA {
       val allIncs = parts.flatMap(p => p.incThen ++ p.incElse)
       if (allIncs.exists(!isIntLit(_))) {
         if (init != 0L) return None
-        // a reverse top accumulates in DESCENDING row order. Single loops
-        // compile it bit-exactly (round 10): the window builder runs the
-        // running sum over a stamp-DESC running frame, which Spark streams
-        // sequentially in exactly the interpreter's backward fold order.
-        // Chain shapes keep declining — their accumulator windows live in
-        // chainWitnesses, whose reverse frame recomputes ascending.
-        if (er.mods.reverse && chainSteps.nonEmpty) return None
+        // a reverse top accumulates in DESCENDING row order — compiled
+        // bit-exactly by BOTH window builders (single loops round 10,
+        // chainWitnesses round 11): the accumulator runs as a running sum
+        // over a DESC running frame on the forward sort's own row_number,
+        // which Spark streams sequentially in exactly the interpreter's
+        // backward fold order.
         if (parts.size != 1 ||
             parts.exists(p => p.incThen.size > 1 || p.incElse.size > 1)) return None
         if (allIncs.exists(e => !isIntLit(e) && !numericRef(e))) return None

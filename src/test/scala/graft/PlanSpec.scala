@@ -46,7 +46,9 @@ class PlanSpec extends SparkSpec {
         "q_osl_prop_accum", // non-literal running prop sum (round 8)
         "q_osl_where_read", // pre-increment where cap -> static limit (round 9)
         "q_osl_chain3_accum", // depth-3 chain accumulators (round 9)
-        "q_osl_chain_ever_read")) // ever-read below a chain step (round 9)
+        "q_osl_chain_ever_read", // ever-read below a chain step (round 9)
+        "q_osl_reverse_accum", // reverse fp accumulator, DESC running frame (round 10)
+        "q_osl_reverse_chain_accum")) // reverse CHAIN-top fp accumulator (round 11)
       assert(!plan(q).contains("MapGroups"), s"$q fell back to Tier B")
     // and an interpreter-only shape does (sanity that the probe works):
     // a guard READING the accumulator observes a mid-visit partial sum ->

@@ -178,6 +178,46 @@ class TierChainAccumSpec extends SparkSpec {
          |""".stripMargin)
   }
 
+  test("reverse top with FLOATING-POINT accumulator (round 11)") {
+    // the chain-witness accumulator runs over a __rn-DESC running frame:
+    // Spark streams it in the interpreter's backward fold order, so
+    // non-literal (fp) increments stay bit-exact under a reverse top
+    diff(
+      s"""${sel}spend = 0
+         |each_row.reverse() where event.is(!= 'error')
+         |  spend += product_price
+         |  each_row.continue().next() where event.is(== 'view')
+         |    << bucket(spend, 40), event
+         |  end
+         |end
+         |""".stripMargin)
+    // guarded fp increment + reverse .limit (visits = LAST n matches)
+    diff(
+      s"""${sel}spend = 0
+         |each_row.reverse().limit(4) where event.is(!= 'error')
+         |  if product_price.is(> 20)
+         |    spend += product_price
+         |  end
+         |  each_row.continue().next() where event.is(== 'purchase')
+         |    << bucket(spend, 60), event
+         |  end
+         |end
+         |""".stripMargin)
+    // depth 3 under a reverse top: the reachability ladder is
+    // direction-independent; the backward fold rides the same DESC frame
+    diff(
+      s"""${sel}spend = 0
+         |each_row.reverse() where event.is(== 'signup')
+         |  spend += product_price
+         |  each_row.continue().next() where event.is(== 'view')
+         |    each_row.continue().next() where event.is(== 'purchase')
+         |      << bucket(spend, 50), event
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
+  }
+
   test("inner .limit(n) composes: per-spawn match-count eligibility") {
     for (lim <- Seq(1, 2)) {
       diff(

@@ -590,11 +590,23 @@ class TierPropertySpec extends SparkSpec {
         forceTierB = true))
       assert(a == b, s"reverse prop-accum mismatch:\n$script\nA=$a\nB=$b")
     }
-    // declines: nonzero init, reverse CHAIN top (the chain-witness accum
-    // frame recomputes ascending), two increments, string prop
+    // reverse CHAIN top (round 11): the chain-witness accumulator now runs
+    // over a __rn-DESC running frame — fp-exact backward fold, spawns
+    // carry the backward running value into the below-chain read
+    locally {
+      val script = "select\n  count id as customers\nend\n" +
+        "spend = 0\neach_row.reverse() where event.is(!= 'x')\n  spend += product_price\n  each_row.continue().next() where event.is(== 'view')\n    << bucket(spend, 50), event\n  end\nend\n"
+      val p = Parser.program(script)
+      assert(TierA.compile(p, world, Mon + 100 * H, 1800000L).isDefined,
+        s"reverse chain-top prop-accum did not compile to Tier A:\n$script")
+      val a = canon(OslEngine.query(world, script, now = Mon + 100 * H))
+      val b = canon(OslEngine.query(world, script, now = Mon + 100 * H,
+        forceTierB = true))
+      assert(a == b, s"reverse chain-top prop-accum mismatch:\n$script\nA=$a\nB=$b")
+    }
+    // declines: nonzero init, two increments, string prop
     for (bad <- Seq(
       "spend = 5\neach_row where event.is(!= 'x')\n  spend += product_price\n  << bucket(spend, 50)\nend\n",
-      "spend = 0\neach_row.reverse() where event.is(!= 'x')\n  spend += product_price\n  each_row.continue().next() where event.is(== 'view')\n    << bucket(spend, 50), event\n  end\nend\n",
       "spend = 0\neach_row where event.is(!= 'x')\n  spend += product_price\n  spend += 1\n  << bucket(spend, 50)\nend\n",
       "spend = 0\neach_row where event.is(!= 'x')\n  spend += product_name\n  << bucket(spend, 50)\nend\n")) {
       val script = s"select\n  count id as customers\nend\n$bad"
