@@ -181,6 +181,32 @@ class GroupCommitSpec extends SparkSpec {
       ".tmp content must never be read as table rows")
   }
 
+  test("overlay read amplification is bounded by TOUCHED buckets (round 11)") {
+    // the live view's extra cost over a committed read is confined to the
+    // buckets the pending rows hash into: untouched buckets scan committed
+    // parquet unchanged. Pending rows clustered on ONE customer must touch
+    // exactly one bucket regardless of how much committed history exists —
+    // the bound that keeps group commit readable at 100 TB (measured shape
+    // in SCALING.md §WAL-overlay reads; WalReadBench).
+    val (api, t) = freshApi(flushRows = 1000000)
+    // committed history across many customers (many buckets)
+    api.insert(t, (0 until 64).map(i =>
+      ev(s"c$i", 1704067200L + i, "view")), T0)
+    api.catalog.flush(t, T0)
+    // pending WAL clustered on one customer
+    api.insert(t, (0 until 50).map(i =>
+      ev("hot", 1704070000L + i, "purchase")), T0)
+    val n = api.catalog.events(t).count() // forces the touched probe
+    assert(n == 114L)
+    val touched = api.catalog.pendingTouchedBuckets(t)
+    assert(touched.isDefined, "overlay read must memoize the touched probe")
+    assert(touched.get.size == 1,
+      s"one-customer pending WAL must touch exactly 1 bucket, got $touched")
+    // and a repeat read on the same pending WAL reuses the memo + parsed
+    // WAL cache (no behavioral change — same rows)
+    assert(api.catalog.events(t).count() == 114L)
+  }
+
   test("flush_rows=0 (default) keeps classic eager behavior") {
     val (api, t) = freshApi(flushRows = 0)
     val gens0 = api.catalog.eventVersions(t).size
