@@ -131,7 +131,13 @@ object Plans {
       "reverse CHAIN-top fp accumulator (round 11): the chain-witness running sum " +
         "rides a __rn-DESC running frame on the same single (id) exchange as the " +
         "witness windows — backward fold bit-exact, inner scan still forward, " +
-        "spawn tuples collected once"))
+        "spawn tuples collected once"),
+    P("q_osl_chain3_framed",
+      "depth-3 chain accumulator with FRAMED inner steps (round 11): reachability " +
+        "is an interval count between endpoint prefix counts (two rangeBetween " +
+        "windows), all on the ONE (id) exchange — and the collect window itself is " +
+        "range-bounded by span1+span2, so the plan is memory-safe without the " +
+        "row-bound gate"))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("local[4]", 4).getOrCreate()

@@ -3588,6 +3588,60 @@ object Queries {
         FROM trip GROUP BY i"""))
   ,
 
+    // Round-11 Tier A widening: a DEPTH-3 chain accumulator with FRAMED
+    // inner steps — signup -> view within 12 h -> purchase within 24 h of
+    // the view, tallying the running signup ordinal at the deepest level.
+    // With exactly one intermediate level, per-spawn reachability is an
+    // INTERVAL COUNT of views in (signup, signup+12h] ∩ [purchase−24h,
+    // purchase): prefix counts are monotone, so the count between interval
+    // endpoints is min(endpoint prefix counts) − max(...) — the spawn
+    // tuple carries its own endpoint counts (a rangeBetween window at the
+    // signup), the row carries the other two. The collect window is
+    // range-bounded by span1+span2 (36 h), so this shape is memory-safe
+    // WITHOUT the row-bound gate. Reference: nested frame semantics
+    // src/queryinterpreter.cpp:2460-2533.
+    Q("q_osl_chain3_framed",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |each_row where event.is(== 'signup')
+            |  n += 1
+            |  each_row.continue().next().look_ahead(12_hours) where event.is(== 'view')
+            |    each_row.continue().next().look_ahead(24_hours) where event.is(== 'purchase')
+            |      << n, event
+            |    end
+            |  end
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"))
+      },
+      Some(s"""$E, su AS (
+          SELECT id, stamp,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
+          FROM e WHERE event = 'signup'),
+        trip AS (
+          SELECT DISTINCT p.id, p.stamp, su.i
+          FROM e p JOIN su ON su.id = p.id AND su.stamp < p.stamp
+          WHERE p.event = 'purchase'
+            AND EXISTS (SELECT 1 FROM e v
+              WHERE v.id = p.id AND v.event = 'view'
+                AND v.stamp > su.stamp AND v.stamp - su.stamp <= 43200000
+                AND v.stamp < p.stamp AND p.stamp - v.stamp <= 86400000))
+        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
+          'purchase' AS g2, COUNT(DISTINCT id) AS customers,
+          COUNT(*) AS n_rows
+        FROM trip GROUP BY i
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*)
+        FROM trip GROUP BY i""")),
+
     // Round-9 Tier A widening: an EVER-read BELOW a chain step — the
     // operand observes the SPAWNING signup's running ordinal, so the
     // compiled compare (person-level max(value) aggregate vs n*50)

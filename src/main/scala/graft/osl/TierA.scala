@@ -94,7 +94,10 @@ object TierA {
           // the per-spawn tuple gains the running level-1 match count, and
           // reachability composes through per-level running-max windows —
           // a row is a level-j visit for spawn s0 iff P(j-1)(row⁻) >
-          // P1(s0) (see chainDeepOk)
+          // P1(s0). Depth-3 chains also compile FRAMED (finite
+          // look_ahead) and GUARDED inner steps (round 11): reachability
+          // becomes an interval count between endpoint prefix counts
+          // (see chainDeepOk)
           if accums.isEmpty || levels.size == 1 ||
             (levels.size == 2 && chainAccumOk(levels(1)) &&
               chainCollectSafe(levels, accums, events)) ||
@@ -331,21 +334,45 @@ object TierA {
     l.guard.isEmpty && l.spanMs.isEmpty && l.contraSpanMs.isEmpty &&
       l.limitN.isEmpty && !l.reverse && !l.isFromStep
 
-  /** Deep (≥3-level) chain accumulators compile when the top is forward
-    * and every inner step is plain. Reachability from a spawn composes
-    * through running-max windows: with `P1(x)` = count of level-1 matches
-    * through x and `Pj(x)` = max over level-j matches y ≤ x of
-    * `P(j-1)(y−1)`, a row r is a level-j visit for spawn s0 iff
+  /** Deep (≥3-level) chain accumulators. Reachability from a spawn
+    * composes through running-max windows: with `P1(x)` = count of
+    * level-1 matches through x and `Pj(x)` = max over level-j matches
+    * y ≤ x of `P(j-1)(y−1)`, a row r is a level-j visit for spawn s0 iff
     * `P(j-1)(r−1) > P1(s0)` — a chain s0 < s1 < … < s(j-1) < r exists
     * exactly when some level-(j-1) match before r has seen a deeper prefix
     * than s0 had (monotonicity of the running counts; induction on j).
     * Each level needs ONE extra window over the SAME person sort, and the
-    * collected tuple still carries a single count. */
+    * collected tuple still carries a single count.
+    *
+    * Depth ≥ 4 requires every inner step PLAIN. Depth 3 (round 11) also
+    * compiles FRAMED (finite look_ahead) and GUARDED inner steps: with
+    * exactly one intermediate level, reachability is the count of
+    * spawning level-1 matches (pred₁ ∧ the level-2 step's guard) in the
+    * stamp interval (s0, s0+span₁] ∩ [r−span₂, r) — and an interval
+    * count between prefix counts at its ENDPOINTS is computable in-row
+    * because prefix counts are monotone: C(min(a,b)) = min(C(a), C(b)).
+    * The tuple carries C(s0) and C(s0+span₁) (a rangeBetween window at
+    * the spawn); the row carries C(r⁻) and C(r−span₂−1); reach ⇔
+    * min(upper endpoints) > max(lower endpoints). Look_back, limits,
+    * reverse and `.from` inner steps — and a deepest-step guard that
+    * READS the accumulator (it would observe the running value at s1,
+    * not the spawn's) — stay Tier B. */
   private def chainDeepOk(levels: Seq[ChainLevel]): Boolean =
     // a reverse TOP only changes which rows spawn (level-0 eligibility,
     // folded into spawnCond); the inner scans still walk forward, so the
     // reachability ladder is direction-independent
-    levels.size <= OslEngine.MaxDepth && levels.tail.forall(plainStep)
+    levels.size <= OslEngine.MaxDepth &&
+      (if (levels.size == 3) levels.tail.forall(frameableStep)
+       else levels.tail.forall(plainStep))
+
+  /** Depth-3 inner-step shapes the interval-count reachability handles:
+    * forward, unlimited, no restart, no look_back; finite look_ahead and
+    * row-prop guards compose (accumulator-reading guards below the first
+    * chain step decline — their `__accs_` rewrite marks them). */
+  private def frameableStep(l: ChainLevel): Boolean =
+    l.contraSpanMs.isEmpty && l.limitN.isEmpty && !l.reverse &&
+      !l.isFromStep &&
+      !l.guard.exists(readsName(_, _.startsWith("__accs_")))
 
   /** Chain-accumulator shapes whose per-spawn values derive from the spawn
     * ORDINAL alone (value = init + c·j): unguarded, unframed, unlimited
@@ -431,9 +458,15 @@ object TierA {
   private def chainCollectSafe(levels: Seq[ChainLevel],
                                accums: Seq[(String, Long, Seq[AccumPart])],
                                events: DataFrame): Boolean = {
-    val l1 = levels(1)
+    def fin(l: ChainLevel) =
+      l.spanMs.exists(_ != Long.MaxValue) && l.contraSpanMs.isEmpty
+    // the collect window is range-bounded only when EVERY hop from spawn
+    // to row is finite (depth 2: span₁; depth 3: span₁+span₂ — see
+    // collectW in chainPlan); otherwise the row-bound memory gate decides
     val rangeBounded =
-      l1.spanMs.exists(_ != Long.MaxValue) && l1.contraSpanMs.isEmpty
+      if (levels.size == 2) fin(levels(1))
+      else if (levels.size == 3) fin(levels(1)) && fin(levels(2))
+      else false
     chainOrdinalOnly(levels, accums) || rangeBounded ||
       maxRowsPerPerson(events) <= maxCollectSpawnRows
   }
@@ -476,6 +509,15 @@ object TierA {
       // accumulator resolves in the witness windows too
       var df = df0
       val ordinal = chainOrdinalOnly(levels, accums)
+      // depth-3 framed inner steps (round 11): finite frame spans feed the
+      // interval-count reachability below (depth ≥ 4 is gated plain, and
+      // depth 2 checks frames per tuple via spawnOk — both leave these None)
+      val span1Fin =
+        if (levels.size == 3) levels(1).spanMs.filter(_ != Long.MaxValue)
+        else None
+      val span2Fin =
+        if (levels.size == 3) levels(2).spanMs.filter(_ != Long.MaxValue)
+        else None
       val spawnCond = levels(1).guard
         .map(g => visited0 && compileExpr(g, now, real).get).getOrElse(visited0)
       if (ordinal) {
@@ -507,11 +549,31 @@ object TierA {
         // s0 < s1 < … < s(j-1) < r exists exactly when some level-(j-1)
         // match before r saw a deeper prefix than existed at s0
         // (monotone running counts; induction on j).
+        // Depth-3 framed/guarded inner steps (round 11): the counted
+        // "level-1 match" is a SPAWNING one (pred₁ ∧ level-2 guard), and
+        // reachability becomes an interval count — level-1 matches with
+        // stamp in (s0, s0+span₁] ∩ [r−span₂, r). Prefix counts are
+        // monotone, so the interval count is min(upper-endpoint prefix
+        // counts) − max(lower-endpoint prefix counts): C(s0) and
+        // C(s0+span₁) ride the tuple (the latter a rangeBetween window
+        // evaluated AT the spawn), C(r⁻) and C(r−span₂−1) are row
+        // columns. Plain shapes degenerate to __P1 > __cm exactly.
         if (levels.size >= 3) {
           val curRows = person.rowsBetween(W.unboundedPreceding, W.currentRow)
+          val guard2 = levels(2).guard
+            .map(g => compileExpr(g, now, real).get)
+          val predA = guard2.map(levelPreds(1) && _).getOrElse(levelPreds(1))
           df = df
-            .withColumn("__cm1c", count(when(levelPreds(1), 1)).over(curRows))
-            .withColumn("__P1", count(when(levelPreds(1), 1)).over(prevRows))
+            .withColumn("__cm1c", count(when(predA, 1)).over(curRows))
+            .withColumn("__P1", count(when(predA, 1)).over(prevRows))
+          span1Fin.foreach { sp =>
+            df = df.withColumn("__hiA", count(when(predA, 1))
+              .over(person.rangeBetween(W.unboundedPreceding, sp)))
+          }
+          span2Fin.foreach { sp =>
+            df = df.withColumn("__loA", count(when(predA, 1))
+              .over(person.rangeBetween(W.unboundedPreceding, -sp - 1)))
+          }
           (2 to levels.size - 2).foreach { j =>
             df = df.withColumn(s"__P$j",
               max(when(levelPreds(j), col(s"__P${j - 1}"))).over(prevRows))
@@ -521,11 +583,26 @@ object TierA {
           accums.map { case (n, _, _) => col(s"__acc_$n").as(n) } ++
             Seq(col("stamp").as("__st")) ++
             levels(1).limitN.map(_ => col("__mc1").as("__mc")).toSeq ++
-            (if (levels.size >= 3) Seq(col("__cm1c").as("__cm")) else Nil)
+            (if (levels.size >= 3) Seq(col("__cm1c").as("__cm")) else Nil) ++
+            (if (span1Fin.isDefined) Seq(col("__hiA").as("__hi")) else Nil)
         val svStruct = struct(svFields: _*)
-        val collectW = levels(1).spanMs match {
-          case Some(sp) if sp != Long.MaxValue && levels(1).contraSpanMs.isEmpty =>
-            person.rangeBetween(-sp, -1)
+        // a finite-frame chain bounds how far a ROW can sit past its
+        // spawn, so the collect window itself is range-bounded: depth 2 by
+        // span₁ (the row is within frame of the spawn); depth 3 by
+        // span₁+span₂ (the row is within span₂ of s1, s1 within span₁ of
+        // the spawn) — and ONLY when every hop is finite. A depth-3 chain
+        // with just one finite hop is unbounded spawn→row and must keep
+        // the full preceding window (the row-bound memory gate applies).
+        val collectW = levels.size match {
+          case 2 => levels(1).spanMs match {
+            case Some(sp) if sp != Long.MaxValue && levels(1).contraSpanMs.isEmpty =>
+              person.rangeBetween(-sp, -1)
+            case _ => prevRows
+          }
+          case 3 => (span1Fin, span2Fin) match {
+            case (Some(a), Some(b)) if a + b > 0 => person.rangeBetween(-(a + b), -1)
+            case _ => prevRows
+          }
           case _ => prevRows
         }
         df = df.withColumn("__sv",
@@ -629,7 +706,19 @@ object TierA {
                   val b = bindsOf(v)
                   val r = realFor(b)
                   val p = ip.map(x => compileExpr(x, now, r, b).get).getOrElse(lit(true))
-                  val reach = col(s"__P${j - 1}") > v.getField("__cm")
+                  // depth-3 framed shapes: interval count between endpoint
+                  // prefix counts (monotone ⇒ min/max of endpoints); plain
+                  // shapes reduce to __P(j-1)(r) > __cm(s0) exactly
+                  val reach =
+                    if (j == 2) {
+                      val ub = span1Fin.map(_ =>
+                        least(col("__P1"), v.getField("__hi")))
+                        .getOrElse(col("__P1"))
+                      val lb = span2Fin.map(_ =>
+                        greatest(v.getField("__cm"), col("__loA")))
+                        .getOrElse(v.getField("__cm"))
+                      ub > lb
+                    } else col(s"__P${j - 1}") > v.getField("__cm")
                   val keys = gs.zip(canonFlags).map { case (g, num) =>
                     canonPure(compileExpr(g, now, r, b).get, num)
                   }

@@ -393,6 +393,78 @@ class TierChainAccumSpec extends SparkSpec {
     } finally TierA.maxCollectSpawnRows = saved
   }
 
+  test("depth-3 framed/guarded inner steps compile (round 11)") {
+    // FRAMED first inner step: spawning level-1 matches are bounded by
+    // (s0, s0+span1] — the tuple's rangeBetween endpoint count
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(== 'signup')
+         |  n += 1
+         |  each_row.continue().next().look_ahead(12_hours) where event.is(== 'view')
+         |    each_row.continue().next() where event.is(== 'purchase')
+         |      << n, event
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
+    // FRAMED deepest step: s1 must sit within [r−span2, r)
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(== 'signup')
+         |  n += 1
+         |  each_row.continue().next() where event.is(== 'view')
+         |    each_row.continue().next().look_ahead(24_hours) where event.is(== 'purchase')
+         |      << n, event
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
+    // BOTH framed + tallies at level 1 too
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(== 'signup')
+         |  n += 1
+         |  each_row.continue().next().look_ahead(36_hours) where event.is(== 'view')
+         |    << bucket(n, 2), event
+         |    each_row.continue().next().look_ahead(24_hours) where event.is(== 'purchase')
+         |      << n, event
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
+    // GUARDED spawn from level 1 (row-prop guard, evaluated at s1)
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(== 'signup')
+         |  n += 1
+         |  if product_price.is(> 30)
+         |    each_row.continue().next() where event.is(== 'view')
+         |      each_row.continue().next() where event.is(== 'purchase')
+         |        << n, event
+         |      end
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
+    // guard at BOTH levels + frame + fp accumulator + reverse top: the
+    // full round-11 composition
+    diff(
+      s"""${sel}spend = 0
+         |each_row.reverse() where event.is(!= 'error')
+         |  spend += product_price
+         |  if product_price.is(> 10)
+         |    each_row.continue().next().look_ahead(60_hours) where event.is(== 'view')
+         |      if product_price.is(> 20)
+         |        each_row.continue().next().look_ahead(48_hours) where event.is(== 'purchase')
+         |          << bucket(spend, 70), event
+         |        end
+         |      end
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
+  }
+
   test("depth-3 chains with plain inner steps compile (round 9)") {
     // the canonical signup -> view -> purchase chain reading the running
     // signup ordinal at the deepest level
@@ -523,26 +595,27 @@ class TierChainAccumSpec extends SparkSpec {
          |  end
          |end
          |""".stripMargin, expectTierA = false)
-    // a framed inner step at depth 3 declines (the existence check's
-    // match-count arithmetic assumes plain steps)
+    // a LIMITED inner step at depth 3 declines (the interval-count
+    // reachability has no per-spawn rank bound)
     diff(
       s"""${sel}n = 0
          |each_row where event.is(== 'signup')
          |  n += 1
-         |  each_row.continue().next().look_ahead(12_hours) where event.is(== 'view')
+         |  each_row.continue().next().limit(2) where event.is(== 'view')
          |    each_row.continue().next() where event.is(== 'purchase')
          |      << n, event
          |    end
          |  end
          |end
          |""".stripMargin, expectTierA = false)
-    // a guarded spawn step at depth 3 declines
+    // a depth-4 framed inner step declines (interval-count reachability
+    // is depth-3 only; the general ladder needs plain steps)
     diff(
       s"""${sel}n = 0
          |each_row where event.is(== 'signup')
          |  n += 1
-         |  if product_price.is(> 30)
-         |    each_row.continue().next() where event.is(== 'view')
+         |  each_row.continue().next().look_ahead(48_hours) where event.is(== 'view')
+         |    each_row.continue().next() where event.is(!= 'error')
          |      each_row.continue().next() where event.is(== 'purchase')
          |        << n, event
          |      end

@@ -737,7 +737,10 @@ class TierPropertySpec extends SparkSpec {
 
   // depth-3 chain accumulators (round 9): plain inner steps; a row is a
   // level-2 visit for spawn s0 iff a level-1 match lies strictly between
-  // them — per-tuple match-count-difference check
+  // them — per-tuple match-count-difference check. Round 11 widens the
+  // depth-3 samples with framed (finite look_ahead) and guarded inner
+  // steps: reachability becomes the interval count between endpoint
+  // prefix counts.
   test("depth-3/4 chain accumulators: Tier A == Tier B (15 seeded samples)") {
     val params = Gen.Parameters.default
     val genInc = Gen.oneOf("n += 1", "n = n + 2", "n -= 1")
@@ -748,6 +751,12 @@ class TierPropertySpec extends SparkSpec {
     val genTopMods = Gen.oneOf("", "", ".limit(3)", ".from(1)", ".reverse()")
     val genTopTally = Gen.oneOf(true, false)
     val genMidTally = Gen.oneOf(true, false)
+    val genMidMods = Gen.oneOf("", "", ".look_ahead(15_hours)",
+      ".look_ahead(40_hours)")
+    val genDeepMods = Gen.oneOf("", "", ".look_ahead(20_hours)",
+      ".look_ahead(50_hours)")
+    val genDeepGuard = Gen.option(Gen.oneOf(
+      "event.is(!= 'error')", "product_price.is(> 25)"))
     (1 to 15).foreach { i =>
       val s0 = Seed(i.toLong * 9437183)
       val w0 = genWhere.pureApply(params, s0)
@@ -764,6 +773,15 @@ class TierPropertySpec extends SparkSpec {
       // reachability ladder gains a running-max window per level
       val depth4 = i % 3 == 0
       val w3 = genWhere.pureApply(params, s0.slide.slide.next.next)
+      // framed/guarded inner steps are depth-3 only (round 11)
+      val midMods =
+        if (depth4) "" else genMidMods.pureApply(params, s0.slide.slide.slide)
+      val deepMods =
+        if (depth4) ""
+        else genDeepMods.pureApply(params, s0.slide.slide.slide.next)
+      val deepGuard =
+        if (depth4) None
+        else genDeepGuard.pureApply(params, s0.slide.slide.slide.next.next)
       val gincLine = ginc.map(g => s"  $g\n").getOrElse("")
       val topTallyLine = if (topTally) s"  << 'top', $read\n" else ""
       val midTallyLine = if (midTally) s"    << $read, 'mid'\n" else ""
@@ -774,10 +792,18 @@ class TierPropertySpec extends SparkSpec {
              |        << $read, $g2
              |      end
              |    end""".stripMargin
-        else
-          s"""each_row.continue().next() where $w2
-             |      << $read, $g2
-             |    end""".stripMargin
+        else deepGuard match {
+          case Some(g) =>
+            s"""if $g
+               |      each_row.continue().next()$deepMods where $w2
+               |        << $read, $g2
+               |      end
+               |    end""".stripMargin
+          case None =>
+            s"""each_row.continue().next()$deepMods where $w2
+               |      << $read, $g2
+               |    end""".stripMargin
+        }
       val script =
         s"""select
            |  count id as customers
@@ -786,7 +812,7 @@ class TierPropertySpec extends SparkSpec {
            |n = 0
            |each_row$mods where $w0
            |  $inc
-           |$gincLine$topTallyLine  each_row.continue().next() where $w1
+           |$gincLine$topTallyLine  each_row.continue().next()$midMods where $w1
            |$midTallyLine    $deepest
            |  end
            |end
