@@ -31,6 +31,97 @@ object Queries {
   private val DSUM = "CAST(SUM(CAST(%s AS DECIMAL(28,4))) AS DOUBLE)"
   private def dsumSql(expr: String) = DSUM.format(expr)
 
+  /** Full IVF replica: strided centroid seeding, argmax-(cos,cid) cell
+    * assignment, nprobe=4 probing, rank by (cos desc, nid asc) — shared by
+    * `q_ann_ivf_topk` (session-memoized index) and `q_ann_ivf_indexed`
+    * (persisted AnnIndex), which are bit-identical by construction. */
+  private val IvfOracleSql =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        ids AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rn,
+                       COUNT(*) OVER () AS n FROM v),
+        cents AS (
+          SELECT DISTINCT i.vec_id AS cid, cv.e AS ce, sqrt(list_dot_product(cv.e, cv.e)) AS cn
+          FROM (SELECT unnest(range(16)) AS k) k
+          JOIN ids i ON i.rn = LEAST(k.k * GREATEST(1, i.n // 16), i.n - 1)
+          JOIN v cv ON cv.vec_id = i.vec_id),
+        assign AS (
+          SELECT vec_id, cid AS cell FROM (
+            SELECT a.vec_id, c.cid,
+              ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                ORDER BY list_dot_product(a.e, c.ce) / (sqrt(list_dot_product(a.e, a.e)) * c.cn) DESC,
+                         c.cid DESC) AS r
+            FROM v a CROSS JOIN cents c) WHERE r = 1),
+        corpus AS (
+          SELECT a.vec_id AS nid, v.e AS ce, sqrt(list_dot_product(v.e, v.e)) AS cn2, a.cell
+          FROM assign a JOIN v USING (vec_id)),
+        probes AS (
+          SELECT vec_id AS qid, cid AS cell FROM (
+            SELECT q.vec_id, c.cid,
+              ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                ORDER BY list_dot_product(q.e, c.ce) / (sqrt(list_dot_product(q.e, q.e)) * c.cn) DESC,
+                         c.cid DESC) AS r
+            FROM v q CROSS JOIN cents c WHERE q.vec_id < 10) WHERE r <= 4),
+        qv AS (SELECT vec_id AS qid, e AS qe, sqrt(list_dot_product(e, e)) AS qn FROM v WHERE vec_id < 10),
+        scored AS (
+          SELECT DISTINCT p.qid, c.nid,
+            list_dot_product(q.qe, c.ce) / (q.qn * c.cn2) AS cos
+          FROM probes p JOIN corpus c USING (cell) JOIN qv q ON q.qid = p.qid
+          WHERE p.qid <> c.nid),
+        ranked AS (SELECT qid, nid,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank FROM scored)
+        SELECT qid, CAST(rank AS INT) AS rank, nid FROM ranked WHERE rank <= 5"""
+
+  /** Full PQ-ADC replica — shared by `q_ann_pq_topk` and
+    * `q_ann_pq_indexed` (bit-identical by construction). */
+  private val PqOracleSql =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        ids AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rn,
+                       COUNT(*) OVER () AS n FROM v),
+        samp AS (
+          SELECT DISTINCT i.vec_id, cv.e
+          FROM (SELECT unnest(range(16)) AS k) k
+          JOIN ids i ON i.rn = LEAST(k.k * GREATEST(1, i.n // 16), i.n - 1)
+          JOIN v cv ON cv.vec_id = i.vec_id),
+        codes AS (SELECT vec_id, e, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code FROM samp),
+        cw AS (
+          SELECT s.s AS sub, c.code, c.e[s.s*16+1 : (s.s+1)*16] AS cwv,
+            list_dot_product(c.e[s.s*16+1 : (s.s+1)*16], c.e[s.s*16+1 : (s.s+1)*16]) AS cs
+          FROM codes c CROSS JOIN (SELECT unnest(range(4)) AS s) s),
+        enc AS (
+          SELECT vec_id, sub, code FROM (
+            SELECT a.vec_id, w.sub, w.code,
+              ROW_NUMBER() OVER (PARTITION BY a.vec_id, w.sub
+                ORDER BY w.cs - 2*list_dot_product(a.e[w.sub*16+1 : (w.sub+1)*16], w.cwv) ASC,
+                         w.code ASC) AS r
+            FROM v a CROSS JOIN cw w) WHERE r = 1),
+        q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 10),
+        dt AS (
+          SELECT q.qid, w.sub, w.code,
+            w.cs - 2*list_dot_product(q.qe[w.sub*16+1 : (w.sub+1)*16], w.cwv) AS dd
+          FROM q CROSS JOIN cw w),
+        sc AS (
+          SELECT d.qid, e2.vec_id AS nid,
+            MAX(CASE WHEN d.sub=0 THEN d.dd END) AS d0,
+            MAX(CASE WHEN d.sub=1 THEN d.dd END) AS d1,
+            MAX(CASE WHEN d.sub=2 THEN d.dd END) AS d2,
+            MAX(CASE WHEN d.sub=3 THEN d.dd END) AS d3
+          FROM enc e2 JOIN dt d ON d.sub = e2.sub AND d.code = e2.code
+          GROUP BY 1, 2),
+        r AS (
+          SELECT qid, nid,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ((d0+d1)+d2)+d3 ASC, nid ASC) AS rank
+          FROM sc WHERE qid <> nid)
+        SELECT qid, CAST(rank AS INT) AS rank, nid FROM r WHERE rank <= 5"""
+
+  /** Per-JVM scratch root for the persisted-index registry queries: each
+    * (kind, source dir) gets a stable slot that build overwrites — fresh
+    * per process, so a prior round's index can never leak into a new
+    * dataset's results. */
+  private lazy val annIndexTmp =
+    java.nio.file.Files.createTempDirectory("graft_annidx").toString
+  private def annIndexPath(kind: String, dir: String): String =
+    s"$annIndexTmp/${kind}_${Integer.toHexString(dir.hashCode)}"
+
   /** MinHash-LSH candidate pairs in DuckDB SQL (shared by the pairs query
     * and the connected-components oracle). Split as CTE-list + final SELECT
     * so the components oracle can extend the WITH clause. */
@@ -1262,40 +1353,7 @@ object Queries {
       // assignment, nprobe=4 probing, rank by (cos desc, nid asc). DuckDB
       // list_dot_product folds j-ascending like the DotProduct expression,
       // so every double is IEEE-identical.
-      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-        ids AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rn,
-                       COUNT(*) OVER () AS n FROM v),
-        cents AS (
-          SELECT DISTINCT i.vec_id AS cid, cv.e AS ce, sqrt(list_dot_product(cv.e, cv.e)) AS cn
-          FROM (SELECT unnest(range(16)) AS k) k
-          JOIN ids i ON i.rn = LEAST(k.k * GREATEST(1, i.n // 16), i.n - 1)
-          JOIN v cv ON cv.vec_id = i.vec_id),
-        assign AS (
-          SELECT vec_id, cid AS cell FROM (
-            SELECT a.vec_id, c.cid,
-              ROW_NUMBER() OVER (PARTITION BY a.vec_id
-                ORDER BY list_dot_product(a.e, c.ce) / (sqrt(list_dot_product(a.e, a.e)) * c.cn) DESC,
-                         c.cid DESC) AS r
-            FROM v a CROSS JOIN cents c) WHERE r = 1),
-        corpus AS (
-          SELECT a.vec_id AS nid, v.e AS ce, sqrt(list_dot_product(v.e, v.e)) AS cn2, a.cell
-          FROM assign a JOIN v USING (vec_id)),
-        probes AS (
-          SELECT vec_id AS qid, cid AS cell FROM (
-            SELECT q.vec_id, c.cid,
-              ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                ORDER BY list_dot_product(q.e, c.ce) / (sqrt(list_dot_product(q.e, q.e)) * c.cn) DESC,
-                         c.cid DESC) AS r
-            FROM v q CROSS JOIN cents c WHERE q.vec_id < 10) WHERE r <= 4),
-        qv AS (SELECT vec_id AS qid, e AS qe, sqrt(list_dot_product(e, e)) AS qn FROM v WHERE vec_id < 10),
-        scored AS (
-          SELECT DISTINCT p.qid, c.nid,
-            list_dot_product(q.qe, c.ce) / (q.qn * c.cn2) AS cos
-          FROM probes p JOIN corpus c USING (cell) JOIN qv q ON q.qid = p.qid
-          WHERE p.qid <> c.nid),
-        ranked AS (SELECT qid, nid,
-          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank FROM scored)
-        SELECT qid, CAST(rank AS INT) AS rank, nid FROM ranked WHERE rank <= 5""")),
+      Some(IvfOracleSql)),
 
     // PQ-ADC top-k: product-quantized codes (m=4 subspaces × 16 codewords
     // from the strided sample) searched by per-query distance-table lookup.
@@ -1308,44 +1366,36 @@ object Queries {
           emb, emb.where(col("vec_id") < 10), k = 5)
           .select(col("qid"), col("rank"), col("nid"))
       },
-      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-        ids AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rn,
-                       COUNT(*) OVER () AS n FROM v),
-        samp AS (
-          SELECT DISTINCT i.vec_id, cv.e
-          FROM (SELECT unnest(range(16)) AS k) k
-          JOIN ids i ON i.rn = LEAST(k.k * GREATEST(1, i.n // 16), i.n - 1)
-          JOIN v cv ON cv.vec_id = i.vec_id),
-        codes AS (SELECT vec_id, e, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code FROM samp),
-        cw AS (
-          SELECT s.s AS sub, c.code, c.e[s.s*16+1 : (s.s+1)*16] AS cwv,
-            list_dot_product(c.e[s.s*16+1 : (s.s+1)*16], c.e[s.s*16+1 : (s.s+1)*16]) AS cs
-          FROM codes c CROSS JOIN (SELECT unnest(range(4)) AS s) s),
-        enc AS (
-          SELECT vec_id, sub, code FROM (
-            SELECT a.vec_id, w.sub, w.code,
-              ROW_NUMBER() OVER (PARTITION BY a.vec_id, w.sub
-                ORDER BY w.cs - 2*list_dot_product(a.e[w.sub*16+1 : (w.sub+1)*16], w.cwv) ASC,
-                         w.code ASC) AS r
-            FROM v a CROSS JOIN cw w) WHERE r = 1),
-        q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 10),
-        dt AS (
-          SELECT q.qid, w.sub, w.code,
-            w.cs - 2*list_dot_product(q.qe[w.sub*16+1 : (w.sub+1)*16], w.cwv) AS dd
-          FROM q CROSS JOIN cw w),
-        sc AS (
-          SELECT d.qid, e2.vec_id AS nid,
-            MAX(CASE WHEN d.sub=0 THEN d.dd END) AS d0,
-            MAX(CASE WHEN d.sub=1 THEN d.dd END) AS d1,
-            MAX(CASE WHEN d.sub=2 THEN d.dd END) AS d2,
-            MAX(CASE WHEN d.sub=3 THEN d.dd END) AS d3
-          FROM enc e2 JOIN dt d ON d.sub = e2.sub AND d.code = e2.code
-          GROUP BY 1, 2),
-        r AS (
-          SELECT qid, nid,
-            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ((d0+d1)+d2)+d3 ASC, nid ASC) AS rank
-          FROM sc WHERE qid <> nid)
-        SELECT qid, CAST(rank AS INT) AS rank, nid FROM r WHERE rank <= 5""")),
+      Some(PqOracleSql)),
+
+    // Round-11: the PERSISTED-index twins. AnnIndex writes the IVF cell
+    // table / PQ codes as parquet (the faiss layout: centroids broadcast,
+    // cell-partitioned inverted lists, 4-int codes) and answers from the
+    // store — a fresh session or an incremental append never re-pays the
+    // build scan (AnnIndexSpec proves append = assign-new-only; the
+    // session-memoized twins above rebuild per session). Same oracles:
+    // both paths run the identical search core, bit-for-bit.
+    Q("q_ann_ivf_indexed",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val path = annIndexPath("ivf", dir)
+        graft.operators.AnnIndex.buildIvf(emb, path)
+        graft.operators.AnnIndex.ivfTopK(
+          s, path, emb.where(col("vec_id") < 10), k = 5)
+          .select(col("qid"), col("rank"), col("nid"))
+      },
+      Some(IvfOracleSql)),
+
+    Q("q_ann_pq_indexed",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val path = annIndexPath("pq", dir)
+        graft.operators.AnnIndex.buildPq(emb, path)
+        graft.operators.AnnIndex.pqTopK(
+          s, path, emb.where(col("vec_id") < 10), k = 5)
+          .select(col("qid"), col("rank"), col("nid"))
+      },
+      Some(PqOracleSql)),
 
     // ANN quality report (round 8): recall@5 of every approximate index
     // (LSH, IVF, PQ) against the exact cosine top-5 on the same query set —

@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted ANN index — the IVF cell table and PQ codebooks/codes as
+  * durable storage artifacts instead of per-session caches.
+  *
+  * [[Similarity.ivfAssign]]/[[Similarity.pqCodebooks]] memoize per
+  * (session, corpus-plan) — the reference analogue builds its index at
+  * ingest and answers every query from it (`src/attributes.h`), which the
+  * memo replicates only within one session: a fresh session (or a corpus
+  * that grew) re-pays the full build scan. This object completes the story
+  * across sessions, exactly like [[TextIndex]] does for MinHash
+  * signatures: [[buildIvf]]/[[buildPq]] write the index once,
+  * [[appendIvf]]/[[appendPq]] maintain it incrementally as new vectors
+  * arrive (anti-join on `vec_id` — re-sending an indexed vector is a
+  * no-op), and the search entry points answer from the store without ever
+  * rescanning indexed vectors.
+  *
+  * Storage shape (the faiss IVF-flat / PQ layout on parquet):
+  *  - `path/meta`       one row: (kind, dim, nlist, m, ksub) — appends and
+  *    reads validate against it (a dim change means a different embedding
+  *    model: fail loudly, never silently mix spaces).
+  *  - `path/centroids`  (cid, vec) — nlist rows, collected + broadcast.
+  *  - `path/cells`      (vec_id, e) partitioned by `cell` — the inverted
+  *    lists. A search reads ONLY the probed cells (partition pruning), so
+  *    at 100 TB a query touches nprobe/nlist of the corpus bytes and the
+  *    build cost is paid once, not per session.
+  *  - `path/books`      (s, c, vec) — m·ksub codeword rows.
+  *  - `path/codes`      (vec_id, code) — 4-int codes, the only thing a PQ
+  *    search scans.
+  *
+  * Appends assign/encode NEW vectors against the STORED
+  * centroids/codebooks (no retrain — the faiss discipline; recall drifts
+  * only if the data distribution does, and a rebuild is an explicit
+  * [[buildIvf]]). Search results are bit-identical to the session-memoized
+  * path on the same corpus: both run the same [[Similarity.ivfSearch]] /
+  * [[Similarity.pqSearch]] cores. */
+object AnnIndex {
+
+  private def asDouble(c: org.apache.spark.sql.Column) = c.cast("array<double>")
+
+  // ------------------------------------------------------------------- meta
+  private case class Meta(kind: String, dim: Int, nlist: Int, m: Int, ksub: Int)
+
+  private def writeMeta(spark: SparkSession, path: String, meta: Meta): Unit = {
+    import spark.implicits._
+    Seq((meta.kind, meta.dim, meta.nlist, meta.m, meta.ksub))
+      .toDF("kind", "dim", "nlist", "m", "ksub")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  private def readMeta(spark: SparkSession, path: String): Meta = {
+    val r = spark.read.parquet(s"$path/meta").head()
+    Meta(r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+  }
+
+  private def dimOf(vecs: DataFrame): Int =
+    vecs.select(size(col("embedding"))).head().getInt(0)
+
+  private def checkDim(meta: Meta, vecs: DataFrame): Unit = {
+    val d = dimOf(vecs)
+    require(d == meta.dim,
+      s"embedding dim $d does not match the index (dim ${meta.dim}) — " +
+        "a different embedding space needs a rebuild, not an append")
+  }
+
+  // -------------------------------------------------------------------- IVF
+  /** Build (or rebuild) the IVF index: centroids via the same deterministic
+    * strided seeding as [[Similarity.ivfAssign]], corpus written as
+    * cell-partitioned inverted lists. */
+  def buildIvf(corpus: DataFrame, path: String, nlist: Int = 16): Unit = {
+    val spark = corpus.sparkSession
+    val (assigned, centroids) = Similarity.ivfAssign(corpus, nlist)
+    import spark.implicits._
+    writeMeta(spark, path, Meta("ivf", dimOf(corpus), nlist, 0, 0))
+    centroids.toSeq.toDF("cid", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    assigned.select(col("vec_id"), col("e"), col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/cells")
+  }
+
+  private def storedCentroids(spark: SparkSession, path: String)
+      : Array[(Long, Array[Double])] =
+    spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getAs[Long]("cid"), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+
+  /** Incrementally index new vectors: assign against the STORED centroids,
+    * append into their cell partitions; vectors already indexed (by
+    * `vec_id`) are skipped. The indexed corpus is never rescanned — the
+    * append cost is O(new vectors), not O(corpus). */
+  def appendIvf(newVecs: DataFrame, path: String): Unit = {
+    val spark = newVecs.sparkSession
+    val meta = readMeta(spark, path)
+    require(meta.kind == "ivf", s"index at $path is ${meta.kind}, not ivf")
+    checkDim(meta, newVecs)
+    val centroids = storedCentroids(spark, path)
+    val existing = spark.read.parquet(s"$path/cells").select("vec_id")
+    newVecs.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .join(existing, Seq("vec_id"), "left_anti")
+      .withColumn("cell", Similarity.nearestCentroid(col("e"), centroids, 1)(0))
+      .write.partitionBy("cell").mode("append").parquet(s"$path/cells")
+  }
+
+  /** IVF top-k answered from the store: centroids collected (tiny), probe
+    * cells computed per query, and the cell scan prunes to the probed
+    * partitions. Bit-identical ranking to [[Similarity.ivfTopK]] over the
+    * same indexed corpus. */
+  def ivfTopK(spark: SparkSession, path: String, queries: DataFrame, k: Int,
+              nprobe: Int = 4): DataFrame = {
+    val meta = readMeta(spark, path)
+    require(meta.kind == "ivf", s"index at $path is ${meta.kind}, not ivf")
+    val centroids = storedCentroids(spark, path)
+    val assigned = spark.read.parquet(s"$path/cells")
+    Similarity.ivfSearch(assigned, centroids, queries, k, nprobe)
+  }
+
+  // --------------------------------------------------------------------- PQ
+  /** Build (or rebuild) the PQ index: codebooks via the same deterministic
+    * strided sampling as [[Similarity.pqCodebooks]], corpus stored as
+    * m-int codes. */
+  def buildPq(corpus: DataFrame, path: String, m: Int = 4, ksub: Int = 16): Unit = {
+    val spark = corpus.sparkSession
+    val books = Similarity.pqCodebooks(corpus, m, ksub)
+    import spark.implicits._
+    writeMeta(spark, path, Meta("pq", dimOf(corpus), 0, m, ksub))
+    books.zipWithIndex.flatMap { case (sub, s) =>
+      sub.zipWithIndex.map { case (cw, c) => (s, c, cw.toSeq) }
+    }.toSeq.toDF("s", "c", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/books")
+    Similarity.pqEncode(corpus, m, ksub)
+      .select(col("vec_id"), col("code"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  private def storedBooks(spark: SparkSession, path: String,
+                          meta: Meta): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(s"$path/books").collect()
+      .map(r => ((r.getAs[Int]("s"), r.getAs[Int]("c")), r.getSeq[Double](2).toArray))
+      .toMap
+    Array.tabulate(meta.m)(s =>
+      (0 until rows.keys.count(_._1 == s)).map(c => rows((s, c))).toArray)
+  }
+
+  /** Incrementally encode new vectors against the STORED codebooks and
+    * append their codes; already-indexed `vec_id`s are skipped. */
+  def appendPq(newVecs: DataFrame, path: String): Unit = {
+    val spark = newVecs.sparkSession
+    val meta = readMeta(spark, path)
+    require(meta.kind == "pq", s"index at $path is ${meta.kind}, not pq")
+    checkDim(meta, newVecs)
+    val books = storedBooks(spark, path, meta)
+    val existing = spark.read.parquet(s"$path/codes").select("vec_id")
+    newVecs.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .join(existing, Seq("vec_id"), "left_anti")
+      .withColumn("code", Similarity.pqCodeKernel(books)(col("e")))
+      .select(col("vec_id"), col("code"))
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
+  /** PQ-ADC top-k answered from the store: codebooks collected (tiny), the
+    * code table is the only thing scanned. Bit-identical ranking to
+    * [[Similarity.pqTopK]] over the same indexed corpus. */
+  def pqTopK(spark: SparkSession, path: String, queries: DataFrame,
+             k: Int): DataFrame = {
+    val meta = readMeta(spark, path)
+    require(meta.kind == "pq", s"index at $path is ${meta.kind}, not pq")
+    val books = storedBooks(spark, path, meta)
+    val enc = spark.read.parquet(s"$path/codes")
+      .select(col("vec_id").as("nid"), col("code"))
+    Similarity.pqSearch(enc, books, queries, k, meta.m, meta.ksub)
+  }
+}

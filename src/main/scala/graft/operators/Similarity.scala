@@ -258,8 +258,9 @@ object Similarity {
     * class; the kernel is one closure regardless of centroids. Sum order
     * matches the old expression fold (j ascending), so every cosine is
     * IEEE-identical. */
-  private def nearestCentroid(e: Column, centroids: Array[(Long, Array[Double])],
-                              take: Int): Column = {
+  private[operators] def nearestCentroid(
+      e: Column, centroids: Array[(Long, Array[Double])],
+      take: Int): Column = {
     val cids = centroids.map(_._1)
     val vecs = centroids.map(_._2)
     val norms = vecs.map(v => { var s = 0.0; var j = 0; while (j < v.length) { s += v(j) * v(j); j += 1 }; math.sqrt(s) })
@@ -289,6 +290,16 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val (assigned, centroids) = ivfAssign(corpus, nlist)
+    ivfSearch(assigned, centroids, queries, k, nprobe)
+  }
+
+  /** The IVF search core over an already-assigned corpus `(vec_id, e,
+    * cell)` — shared by the session-memoized path above and the persisted
+    * index ([[AnnIndex]]), so both produce bit-identical rankings. */
+  private[operators] def ivfSearch(assigned: DataFrame,
+                                   centroids: Array[(Long, Array[Double])],
+                                   queries: DataFrame, k: Int,
+                                   nprobe: Int): DataFrame = {
     val c = assigned.select(col("vec_id").as("nid"), col("e").as("ce"), col("cell"))
       .withColumn("cn", norm(col("ce")))
     val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
@@ -416,7 +427,7 @@ object Similarity {
     v.withColumn("code", pqCodeKernel(books)(col("e")))
   }
 
-  private def pqCodeKernel(books: Array[Array[Array[Double]]]): Column => Column = {
+  private[operators] def pqCodeKernel(books: Array[Array[Array[Double]]]): Column => Column = {
     val m = books.length
     val cs = books.map(_.map(cw => { var s = 0.0; var j = 0; while (j < cw.length) { s += cw(j) * cw(j); j += 1 }; s }))
     val kernel = udf { (arr: Seq[Double]) =>
@@ -457,6 +468,16 @@ object Similarity {
     val books = pqCodebooks(corpus, m, ksub)
     val enc = pqEncode(corpus, m, ksub)
       .select(col("vec_id").as("nid"), col("code"))
+    pqSearch(enc, books, queries, k, m, ksub)
+  }
+
+  /** The PQ-ADC search core over an already-encoded corpus `(nid, code)` —
+    * shared by the session-memoized path above and the persisted index
+    * ([[AnnIndex]]), so both produce bit-identical rankings. */
+  private[operators] def pqSearch(enc: DataFrame,
+                                  books: Array[Array[Array[Double]]],
+                                  queries: DataFrame, k: Int,
+                                  m: Int, ksub: Int): DataFrame = {
     val dtKernel = udf { (arr: Seq[Double]) =>
       if (arr == null) null
       else {
