@@ -137,7 +137,11 @@ object Plans {
         "is an interval count between endpoint prefix counts (two rangeBetween " +
         "windows), all on the ONE (id) exchange — and the collect window itself is " +
         "range-bounded by span1+span2, so the plan is memory-safe without the " +
-        "row-bound gate"))
+        "row-bound gate"),
+    P("q_ann_ivf_indexed",
+      "persisted IVF index (round 11): the cells scan carries an explicit " +
+        "PartitionFilters: cell IN (probed) — a query reads nprobe/nlist of the " +
+        "corpus bytes by construction; centroids are a collected broadcast"))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("local[4]", 4).getOrCreate()
@@ -153,8 +157,10 @@ object Plans {
         .queryExecution.executedPlan.toString
       sb.append(s"\n## ${p.name}\n\n${p.why}\n\n```\n")
       // keep the tree readable: drop codegen ids and trim very long lines
+      // (FileScan lines get extra width — PartitionFilters/PushedFilters,
+      // the pruning evidence, print after the 200-char mark)
       plan.linesIterator.take(60).foreach { l =>
-        sb.append(l.take(200)).append('\n')
+        sb.append(l.take(if (l.contains("FileScan")) 420 else 200)).append('\n')
       }
       sb.append("```\n")
     }

@@ -105,15 +105,26 @@ object AnnIndex {
   }
 
   /** IVF top-k answered from the store: centroids collected (tiny), probe
-    * cells computed per query, and the cell scan prunes to the probed
-    * partitions. Bit-identical ranking to [[Similarity.ivfTopK]] over the
-    * same indexed corpus. */
+    * cells computed per query, and the cell scan prunes STATICALLY to the
+    * probed partitions — the query side is small by contract (it
+    * broadcasts in the search core), so collecting its distinct probe
+    * cells first is one tiny job, and the resulting `cell IN (...)`
+    * filter reaches the parquet scan as a partition filter: a query
+    * touches nprobe/nlist of the corpus bytes by construction, not by
+    * optimizer luck. Bit-identical ranking to [[Similarity.ivfTopK]] over
+    * the same indexed corpus (the filter only drops cells no query
+    * probes). */
   def ivfTopK(spark: SparkSession, path: String, queries: DataFrame, k: Int,
               nprobe: Int = 4): DataFrame = {
     val meta = readMeta(spark, path)
     require(meta.kind == "ivf", s"index at $path is ${meta.kind}, not ivf")
     val centroids = storedCentroids(spark, path)
+    val probed = queries
+      .select(explode(Similarity.nearestCentroid(
+        asDouble(col("embedding")), centroids, nprobe)).as("cell"))
+      .distinct().collect().map(_.getLong(0))
     val assigned = spark.read.parquet(s"$path/cells")
+      .where(col("cell").isin(probed: _*))
     Similarity.ivfSearch(assigned, centroids, queries, k, nprobe)
   }
 
