@@ -220,6 +220,40 @@ object Scale {
             |end
             |""".stripMargin, now = 1719792000000L)
       }),
+      "osl_reverse_chain_accum" -> ((_: String, e: String, _: String) => {
+        val ev = normalizeEvents(spark.read.parquet(e))
+        graft.osl.OslEngine.query(ev,
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |spend = 0
+            |each_row.reverse() where event.is(== 'signup')
+            |  spend = spend + value
+            |  each_row.continue().next() where event.is(== 'purchase')
+            |    << bucket(spend, 200), event
+            |  end
+            |end
+            |""".stripMargin, now = 1719792000000L)
+      }),
+      "osl_chain3_framed" -> ((_: String, e: String, _: String) => {
+        val ev = normalizeEvents(spark.read.parquet(e))
+        graft.osl.OslEngine.query(ev,
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |each_row where event.is(== 'signup')
+            |  n += 1
+            |  each_row.continue().next().look_ahead(12_hours) where event.is(== 'view')
+            |    each_row.continue().next().look_ahead(24_hours) where event.is(== 'purchase')
+            |      << n, event
+            |    end
+            |  end
+            |end
+            |""".stripMargin, now = 1719792000000L)
+      }),
       "osl_chain_ever_read" -> ((_: String, e: String, _: String) => {
         val ev = normalizeEvents(spark.read.parquet(e))
         graft.osl.OslEngine.query(ev,
