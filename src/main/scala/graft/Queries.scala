@@ -1373,13 +1373,16 @@ object Queries {
     // cell-partitioned inverted lists, 4-int codes) and answers from the
     // store — a fresh session or an incremental append never re-pays the
     // build scan (AnnIndexSpec proves append = assign-new-only; the
-    // session-memoized twins above rebuild per session). Same oracles:
-    // both paths run the identical search core, bit-for-bit.
+    // session-memoized twins above rebuild per session). buildIfStale
+    // fingerprints the corpus file listing into the index meta: same
+    // listing → no-op, grown listing → append-only, so only the FIRST
+    // run (or a dataset change) pays the build. Same oracles: both paths
+    // run the identical search core, bit-for-bit.
     Q("q_ann_ivf_indexed",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val path = annIndexPath("ivf", dir)
-        graft.operators.AnnIndex.buildIvf(emb, path)
+        graft.operators.AnnIndex.buildIvfIfStale(emb, path)
         graft.operators.AnnIndex.ivfTopK(
           s, path, emb.where(col("vec_id") < 10), k = 5)
           .select(col("qid"), col("rank"), col("nid"))
@@ -1390,7 +1393,7 @@ object Queries {
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val path = annIndexPath("pq", dir)
-        graft.operators.AnnIndex.buildPq(emb, path)
+        graft.operators.AnnIndex.buildPqIfStale(emb, path)
         graft.operators.AnnIndex.pqTopK(
           s, path, emb.where(col("vec_id") < 10), k = 5)
           .select(col("qid"), col("rank"), col("nid"))

@@ -42,18 +42,73 @@ object AnnIndex {
   private def asDouble(c: org.apache.spark.sql.Column) = c.cast("array<double>")
 
   // ------------------------------------------------------------------- meta
-  private case class Meta(kind: String, dim: Int, nlist: Int, m: Int, ksub: Int)
+  private case class Meta(kind: String, dim: Int, nlist: Int, m: Int,
+                          ksub: Int, fp: Long)
 
   private def writeMeta(spark: SparkSession, path: String, meta: Meta): Unit = {
     import spark.implicits._
-    Seq((meta.kind, meta.dim, meta.nlist, meta.m, meta.ksub))
-      .toDF("kind", "dim", "nlist", "m", "ksub")
+    Seq((meta.kind, meta.dim, meta.nlist, meta.m, meta.ksub, meta.fp))
+      .toDF("kind", "dim", "nlist", "m", "ksub", "fp")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
   private def readMeta(spark: SparkSession, path: String): Meta = {
     val r = spark.read.parquet(s"$path/meta").head()
-    Meta(r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+    Meta(r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
+      r.getLong(5))
+  }
+
+  /** Fingerprint of the corpus' resolved file listing (0 for in-memory
+    * frames — those can change without a listing change, so they never
+    * count as "current"). Lets [[buildIvfIfStale]]/[[buildPqIfStale]]
+    * skip a rebuild when the index already matches the data — the commit
+    * protocol never rewrites a data file in place, so an unchanged
+    * listing means unchanged bytes. */
+  private def corpusFp(corpus: DataFrame): Long = {
+    val files = corpus.inputFiles
+    if (files.isEmpty) 0L
+    else files.sorted.foldLeft(1125899906842597L)((h, f) => h * 31 + f.hashCode)
+  }
+
+  private def metaIfAny(spark: SparkSession, path: String): Option[Meta] =
+    try Some(readMeta(spark, path))
+    catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  /** Ensure the IVF index covers this corpus, doing the least work that
+    * gets there: no index (or different params/dim) → full build; same
+    * corpus listing → no-op; a GROWN corpus → [[appendIvf]] of the new
+    * vectors against the stored centroids (the anti-join skips
+    * already-indexed ids), never a rebuild. The idempotent entry point
+    * for "ensure indexed" call sites — an ingest pipeline calls this
+    * after every commit and pays O(new vectors). */
+  def buildIvfIfStale(corpus: DataFrame, path: String, nlist: Int = 16): Unit = {
+    val spark = corpus.sparkSession
+    val fp = corpusFp(corpus)
+    metaIfAny(spark, path) match {
+      case Some(m) if m.kind == "ivf" && m.nlist == nlist &&
+          fp != 0L && m.fp == fp => () // current
+      case Some(m) if m.kind == "ivf" && m.nlist == nlist &&
+          m.dim == dimOf(corpus) =>
+        appendIvf(corpus, path)
+        writeMeta(spark, path, m.copy(fp = fp))
+      case _ => buildIvf(corpus, path, nlist)
+    }
+  }
+
+  /** PQ twin of [[buildIvfIfStale]]: build, no-op, or append-only. */
+  def buildPqIfStale(corpus: DataFrame, path: String, m: Int = 4,
+                     ksub: Int = 16): Unit = {
+    val spark = corpus.sparkSession
+    val fp = corpusFp(corpus)
+    metaIfAny(spark, path) match {
+      case Some(mt) if mt.kind == "pq" && mt.m == m && mt.ksub == ksub &&
+          fp != 0L && mt.fp == fp => () // current
+      case Some(mt) if mt.kind == "pq" && mt.m == m && mt.ksub == ksub &&
+          mt.dim == dimOf(corpus) =>
+        appendPq(corpus, path)
+        writeMeta(spark, path, mt.copy(fp = fp))
+      case _ => buildPq(corpus, path, m, ksub)
+    }
   }
 
   private def dimOf(vecs: DataFrame): Int =
@@ -74,7 +129,7 @@ object AnnIndex {
     val spark = corpus.sparkSession
     val (assigned, centroids) = Similarity.ivfAssign(corpus, nlist)
     import spark.implicits._
-    writeMeta(spark, path, Meta("ivf", dimOf(corpus), nlist, 0, 0))
+    writeMeta(spark, path, Meta("ivf", dimOf(corpus), nlist, 0, 0, corpusFp(corpus)))
     centroids.toSeq.toDF("cid", "vec")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     assigned.select(col("vec_id"), col("e"), col("cell"))
@@ -136,7 +191,7 @@ object AnnIndex {
     val spark = corpus.sparkSession
     val books = Similarity.pqCodebooks(corpus, m, ksub)
     import spark.implicits._
-    writeMeta(spark, path, Meta("pq", dimOf(corpus), 0, m, ksub))
+    writeMeta(spark, path, Meta("pq", dimOf(corpus), 0, m, ksub, corpusFp(corpus)))
     books.zipWithIndex.flatMap { case (sub, s) =>
       sub.zipWithIndex.map { case (cw, c) => (s, c, cw.toSeq) }
     }.toSeq.toDF("s", "c", "vec")

@@ -92,6 +92,45 @@ class AnnIndexSpec extends SparkSpec {
     assert(spark.read.parquet(s"$path/codes").count() == 60)
   }
 
+  test("buildIfStale: no-op on same listing, append-only on growth") {
+    // file-backed corpus (in-memory frames have no listing fingerprint
+    // and always rebuild)
+    val dataDir = java.nio.file.Files.createTempDirectory("annidx-data").toString
+    corpus(0 until 40).coalesce(1).write.mode("append").parquet(dataDir)
+    val path = java.nio.file.Files.createTempDirectory("annidx").toString
+    def read() = spark.read.parquet(dataDir)
+    AnnIndex.buildIvfIfStale(read(), path, nlist = 8)
+    val centroids0 = spark.read.parquet(s"$path/centroids")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    def cellFiles() = {
+      def walk(f: java.io.File): Seq[String] =
+        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk)
+        else Seq(f.getPath)
+      walk(new java.io.File(s"$path/cells")).filter(_.endsWith(".parquet")).sorted
+    }
+    val files0 = cellFiles()
+    // same listing: a second call must not touch the store
+    AnnIndex.buildIvfIfStale(read(), path, nlist = 8)
+    assert(cellFiles() == files0, "unchanged corpus must be a no-op")
+    // grown listing: append-only — new vectors indexed, existing cell
+    // files untouched, centroids NOT retrained (the faiss discipline)
+    corpus(40 until 60).coalesce(1).write.mode("append").parquet(dataDir)
+    AnnIndex.buildIvfIfStale(read(), path, nlist = 8)
+    assert(spark.read.parquet(s"$path/cells").count() == 60)
+    assert(cellFiles().toSet.intersect(files0.toSet) == files0.toSet,
+      "growth must append, not rewrite the existing cell files")
+    val centroids1 = spark.read.parquet(s"$path/centroids")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(centroids1 == centroids0, "append must not retrain centroids")
+    // and now current again: third call is a no-op
+    val files1 = cellFiles()
+    AnnIndex.buildIvfIfStale(read(), path, nlist = 8)
+    assert(cellFiles() == files1)
+    // different nlist = a different index: full rebuild
+    AnnIndex.buildIvfIfStale(read(), path, nlist = 4)
+    assert(spark.read.parquet(s"$path/centroids").count() == 4)
+  }
+
   test("index invalidation: dim or kind mismatch fails loudly") {
     val base = corpus(0 until 40)
     val path = java.nio.file.Files.createTempDirectory("annidx").toString
