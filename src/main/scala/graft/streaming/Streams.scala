@@ -320,6 +320,27 @@ object Streams {
     * only way an unbounded stream allows, exactly like the funnel state
     * above. A doc colliding on k bands emits k matches; consumers that want
     * one verdict per doc take any (they all name a prior near-dup). */
+  /** Maintain a persisted ANN index ([[graft.operators.AnnIndex]]) from a
+    * vector stream `(vec_id, embedding)`: each micro-batch appends its NEW
+    * vectors against the stored centroids — the anti-join on `vec_id`
+    * makes a replayed batch a no-op, so the at-least-once `foreachBatch`
+    * contract yields exactly-once index contents. The index must already
+    * exist (`AnnIndex.buildIvf`); dim drift in the stream fails the batch
+    * loudly rather than mixing embedding spaces. Pair with
+    * [[startIngest]]'s afterBatch hook or run standalone — the same
+    * discipline keeps the MinHash [[graft.operators.TextIndex]] current
+    * (`TextIndex.append` in place of `AnnIndex.appendIvf`). */
+  def annIndexStream(stream: DataFrame, path: String, checkpoint: String,
+                     trigger: Trigger = Trigger.ProcessingTime(0L))
+      : StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) graft.operators.AnnIndex.appendIvf(batch, path)
+      }
+      .start()
+
   def nearDupStream(stream: DataFrame, bands: Int = 4, rows: Int = 4,
                     watermark: String = "1 hour",
                     retentionMs: Long = 24L * 3600 * 1000)

@@ -131,6 +131,32 @@ class AnnIndexSpec extends SparkSpec {
     assert(spark.read.parquet(s"$path/centroids").count() == 4)
   }
 
+  test("streaming index maintenance: appends per batch, replay-idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val path = java.nio.file.Files.createTempDirectory("annidx").toString
+    AnnIndex.buildIvf(corpus(0 until 40), path, nlist = 8)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.Streams.annIndexStream(
+      mem.toDF().toDF("vec_id", "embedding"), path,
+      java.nio.file.Files.createTempDirectory("annidx-ckpt").toString)
+    try {
+      mem.addData((40 until 50).map(i => (i.toLong, vec(i).toSeq)): _*)
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$path/cells").count() == 50)
+      // a replayed/overlapping batch is a no-op (anti-join dedup)
+      mem.addData((45 until 60).map(i => (i.toLong, vec(i).toSeq)): _*)
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$path/cells").count() == 60)
+      assert(spark.read.parquet(s"$path/cells")
+        .select("vec_id").distinct().count() == 60)
+      // streamed vectors are immediately searchable
+      val probe = Seq((1000L, vec(55).toSeq)).toDF("vec_id", "embedding")
+      assert(AnnIndex.ivfTopK(spark, path, probe, k = 1, nprobe = 3)
+        .select("nid").head().getLong(0) == 55L)
+    } finally q.stop()
+  }
+
   test("index invalidation: dim or kind mismatch fails loudly") {
     val base = corpus(0 until 40)
     val path = java.nio.file.Files.createTempDirectory("annidx").toString
