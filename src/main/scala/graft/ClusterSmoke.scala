@@ -32,7 +32,13 @@ object ClusterSmoke {
     // minhash LSH (memoized index stage built across executors)
     "q_minhash_lsh_pairs",
     // typed TopK Aggregator (custom partial/merge serialization)
-    "q_topk_agg")
+    "q_topk_agg",
+    // reverse chain-top fp accumulator (round-11 DESC running frame —
+    // fp bit-exactness must survive executor-boundary shuffles)
+    "q_osl_reverse_chain_accum",
+    // depth-3 framed inner steps (round-11 interval-count reachability
+    // incl. rangeBetween endpoint windows)
+    "q_osl_chain3_framed")
 
   private def canon(df: org.apache.spark.sql.DataFrame): Set[Vector[String]] = {
     val cols = df.columns.sorted

@@ -432,6 +432,22 @@ class TierChainAccumSpec extends SparkSpec {
          |  end
          |end
          |""".stripMargin)
+    // TIGHT frames — smaller than the world's 5 h row spacing, so most
+    // intervals are EMPTY: pins the min/max endpoint arithmetic at the
+    // boundary (1 h reaches nothing; 5 h reaches only the adjacent row)
+    for (span <- Seq("1_hours", "5_hours", "10_hours")) {
+      diff(
+        s"""${sel}n = 0
+           |each_row where event.is(!= 'error')
+           |  n += 1
+           |  each_row.continue().next().look_ahead($span) where event.is(== 'view')
+           |    each_row.continue().next().look_ahead($span) where event.is(== 'purchase')
+           |      << n, event
+           |    end
+           |  end
+           |end
+           |""".stripMargin)
+    }
     // GUARDED spawn from level 1 (row-prop guard, evaluated at s1)
     diff(
       s"""${sel}n = 0
