@@ -375,15 +375,25 @@ object TierA {
       !l.guard.exists(readsName(_, _.startsWith("__accs_")))
 
   /** Chain-accumulator shapes whose per-spawn values derive from the spawn
-    * ORDINAL alone (value = init + c·j): unguarded, unframed, unlimited
-    * inner step, forward top, constant integer-literal increments. These
-    * compile without collecting spawn tuples — the window state is one
-    * running count. */
+    * ORDINAL alone (value = init + c·j): plain inner steps (any depth —
+    * round 11), forward top, constant integer-literal increments. These
+    * compile without collecting spawn tuples: with plain steps the spawns
+    * that reach a row at level j always form a PREFIX of the spawn
+    * sequence — the reachability condition "∃ level-(j−1) visit from s
+    * before r" only loosens as s moves earlier — so the per-row entry
+    * array is `sequence(1, K_j(r))`, and the prefix SIZE composes through
+    * running-max windows exactly like the round-9 count ladder:
+    *   K_1(r) = spawns strictly before r (one running count);
+    *   K_j(r) = max over pred_(j−1) rows y < r of K_(j−1)(y)
+    * (a spawn reaches level j at r iff it reaches level j−1 at some
+    * earlier pred_(j−1) row; the union of prefixes is the largest).
+    * One window per level, NO collected array, NO per-person row-bound
+    * probe — the deep-chain window state is `depth` longs. A reverse top
+    * stays on the collect path (its spawn ordinals count from the scan's
+    * end — the eligible set is a suffix, not a prefix). */
   private def chainOrdinalOnly(levels: Seq[ChainLevel],
                                accums: Seq[(String, Long, Seq[AccumPart])]): Boolean = {
-    // depth 3 always collects: the existence check needs per-spawn match
-    // counts, which the ordinal alone cannot carry
-    levels.size == 2 && !levels.head.reverse && plainStep(levels(1)) &&
+    levels.size >= 2 && !levels.head.reverse && levels.tail.forall(plainStep) &&
       accums.forall { case (_, _, parts) =>
         parts.forall(p => p.cond.isEmpty &&
           p.incThen.forall { case Lit(VInt(_)) => true; case _ => false })
@@ -521,15 +531,24 @@ object TierA {
       val spawnCond = levels(1).guard
         .map(g => visited0 && compileExpr(g, now, real).get).getOrElse(visited0)
       if (ordinal) {
-        // ORDINAL path (round 9): unframed/unguarded/unlimited inner step
-        // with constant literal increments on a forward top — the j-th
-        // spawn's accumulator value is exactly init + c·j, so the per-spawn
-        // entry array derives from sequence(1, running_spawn_count): the
-        // window carries ONE scalar instead of an O(spawns) struct array
-        // (the memory spike the collected path risks at a pathological
-        // person, VERDICT r8 "What's wrong #2").
+        // ORDINAL path (round 9): plain inner steps with constant literal
+        // increments on a forward top — the j-th spawn's accumulator
+        // value is exactly init + c·j, so the per-spawn entry array
+        // derives from sequence(1, running_spawn_count): the window
+        // carries ONE scalar instead of an O(spawns) struct array (the
+        // memory spike the collected path risks at a pathological person,
+        // VERDICT r8 "What's wrong #2").
         df = df.withColumn("__spawnN",
           coalesce(sum(when(spawnCond, lit(1L))).over(prevRows), lit(0L)))
+        // ANY depth (round 11): the spawns reaching a row at level j form
+        // a PREFIX of the spawn sequence, and the prefix size composes
+        // through running-max windows — K_j(r) = max over pred_(j−1) rows
+        // y < r of K_(j−1)(y), base K_1 = __spawnN (see chainOrdinalOnly)
+        (2 until levels.size).foreach { j =>
+          val prev = if (j == 2) col("__spawnN") else col(s"__K${j - 1}")
+          df = df.withColumn(s"__K$j",
+            coalesce(max(when(levelPreds(j - 1), prev)).over(prevRows), lit(0L)))
+        }
       } else {
         // COLLECT path: ordered spawn tuples strictly before this row
         // (guarded spawns only); each tuple carries the spawn's stamp
@@ -694,23 +713,30 @@ object TierA {
         (2 until levels.size).flatMap { j =>
           levels(j).tallies.flatMap { case (ip, gs) =>
             // eligibility is implied per tuple by the reachability check
+            // (ordinal: baked into the K_j prefix size)
             val rowP = levelPreds(j)
             val canonFlags = gs.map { g =>
               val probe = compileExpr(g, now, realFor(typeBinds), typeBinds).get
               df.select(probe).schema.head.dataType
                 .isInstanceOf[org.apache.spark.sql.types.NumericType]
             }
+            val (spawnArrJ, nonEmptyJ) =
+              if (ordinal) (sequence(lit(1L), col(s"__K$j")), col(s"__K$j") >= 1)
+              else (col("__sv"), size(col("__sv")) > 0)
             (1 to gs.length).map { d =>
-              when(rowP && size(col("__sv")) > 0,
-                transform(col("__sv"), v => {
+              when(rowP && nonEmptyJ,
+                transform(spawnArrJ, v => {
                   val b = bindsOf(v)
                   val r = realFor(b)
                   val p = ip.map(x => compileExpr(x, now, r, b).get).getOrElse(lit(true))
+                  // ordinal: v IS an eligible spawn ordinal (the K_j
+                  // prefix) — reachability already decided. Collect path,
                   // depth-3 framed shapes: interval count between endpoint
                   // prefix counts (monotone ⇒ min/max of endpoints); plain
                   // shapes reduce to __P(j-1)(r) > __cm(s0) exactly
                   val reach =
-                    if (j == 2) {
+                    if (ordinal) lit(true)
+                    else if (j == 2) {
                       val ub = span1Fin.map(_ =>
                         least(col("__P1"), v.getField("__hi")))
                         .getOrElse(col("__P1"))

@@ -80,6 +80,18 @@ class PlanSpec extends SparkSpec {
       "ordinal chain-accum must not collect spawn tuples")
     val windows = p.linesIterator.count(_.trim.startsWith("+- Window"))
     assert(windows == 1, s"expected exactly one Window node, got $windows:\n$p")
+    // round 11 extends the ordinal path to ANY depth of plain steps: the
+    // eligible spawns for a level-j row are a PREFIX of the spawn
+    // sequence, sized by a running-max ladder — depth 3 is TWO windows
+    // (running spawn count + one K level) and depth 4 THREE, with no
+    // collected array and no row-bound probe anywhere
+    for ((q, w) <- Seq("q_osl_chain3_accum" -> 2, "q_osl_chain4_accum" -> 3)) {
+      val dp = plan(q)
+      assert(!dp.contains("collect_list"),
+        s"$q must ride the ordinal prefix ladder, not a collect")
+      val dw = dp.linesIterator.count(_.trim.startsWith("+- Window"))
+      assert(dw == w, s"$q: expected $w Window nodes, got $dw:\n$dp")
+    }
   }
 
   test("spark.sql works over the registered views (SQL surface)") {
