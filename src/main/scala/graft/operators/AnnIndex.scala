@@ -47,9 +47,18 @@ object AnnIndex {
 
   private def writeMeta(spark: SparkSession, path: String, meta: Meta): Unit = {
     import spark.implicits._
+    val prev = metaDirStamp(path)
     Seq((meta.kind, meta.dim, meta.nlist, meta.m, meta.ksub, meta.fp))
       .toDF("kind", "dim", "nlist", "m", "ksub", "fp")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // the store cache trusts an unchanged meta-dir mtime stamp; force it
+    // strictly past the previous version's so a same-millisecond rewrite
+    // can never serve the old model (Catalog.writeMeta's discipline)
+    if (metaDirStamp(path) <= prev) {
+      val d = new java.io.File(s"$path/meta")
+      Option(d.listFiles).flatMap(_.headOption)
+        .getOrElse(d).setLastModified(prev + 1): Unit
+    }
   }
 
   private def readMeta(spark: SparkSession, path: String): Meta = {
@@ -73,6 +82,40 @@ object AnnIndex {
   private def metaIfAny(spark: SparkSession, path: String): Option[Meta] =
     try Some(readMeta(spark, path))
     catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  /** (meta-dir mtime stamp, meta, centroids-or-books) per index path: the
+    * meta row and the broadcast-side model (nlist centroids / m·ksub
+    * codewords) are tiny but cost a Spark job each to load — a query
+    * server answering from the store shouldn't re-collect them per query.
+    * Validity is the meta dir's newest mtime: every build AND IfStale
+    * append rewrites the meta (fp changes), so model changes always bump
+    * the stamp; a stale hit can only ever serve the model that produced
+    * bit-identical results before the rewrite. */
+  private val storeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Meta, AnyRef)]
+
+  private def metaDirStamp(path: String): Long = {
+    val d = new java.io.File(s"$path/meta")
+    Option(d.listFiles).map(_.foldLeft(d.lastModified)((m, f) =>
+      math.max(m, f.lastModified))).getOrElse(d.lastModified)
+  }
+
+  private def cachedModel(spark: SparkSession, path: String, kind: String)
+                         (load: Meta => AnyRef): (Meta, AnyRef) = {
+    val stamp = metaDirStamp(path)
+    val hit = storeCache.get(path)
+    if (hit != null && hit._1 == stamp) {
+      require(hit._2.kind == kind, s"index at $path is ${hit._2.kind}, not $kind")
+      return (hit._2, hit._3)
+    }
+    val meta = readMeta(spark, path)
+    // kind gates BEFORE the model load: reading an IVF store through the
+    // PQ entry point must fail the contract check, not a missing-path read
+    require(meta.kind == kind, s"index at $path is ${meta.kind}, not $kind")
+    val model = load(meta)
+    storeCache.put(path, (stamp, meta, model))
+    (meta, model)
+  }
 
   /** Ensure the IVF index covers this corpus, doing the least work that
     * gets there: no index (or different params/dim) → full build; same
@@ -171,9 +214,8 @@ object AnnIndex {
     * probes). */
   def ivfTopK(spark: SparkSession, path: String, queries: DataFrame, k: Int,
               nprobe: Int = 4): DataFrame = {
-    val meta = readMeta(spark, path)
-    require(meta.kind == "ivf", s"index at $path is ${meta.kind}, not ivf")
-    val centroids = storedCentroids(spark, path)
+    val (_, model) = cachedModel(spark, path, "ivf")(_ => storedCentroids(spark, path))
+    val centroids = model.asInstanceOf[Array[(Long, Array[Double])]]
     val probed = queries
       .select(explode(Similarity.nearestCentroid(
         asDouble(col("embedding")), centroids, nprobe)).as("cell"))
@@ -231,9 +273,8 @@ object AnnIndex {
     * [[Similarity.pqTopK]] over the same indexed corpus. */
   def pqTopK(spark: SparkSession, path: String, queries: DataFrame,
              k: Int): DataFrame = {
-    val meta = readMeta(spark, path)
-    require(meta.kind == "pq", s"index at $path is ${meta.kind}, not pq")
-    val books = storedBooks(spark, path, meta)
+    val (meta, model) = cachedModel(spark, path, "pq")(m => storedBooks(spark, path, m))
+    val books = model.asInstanceOf[Array[Array[Array[Double]]]]
     val enc = spark.read.parquet(s"$path/codes")
       .select(col("vec_id").as("nid"), col("code"))
     Similarity.pqSearch(enc, books, queries, k, meta.m, meta.ksub)
