@@ -388,12 +388,18 @@ object TierA {
     * (a spawn reaches level j at r iff it reaches level j−1 at some
     * earlier pred_(j−1) row; the union of prefixes is the largest).
     * One window per level, NO collected array, NO per-person row-bound
-    * probe — the deep-chain window state is `depth` longs. A reverse top
-    * stays on the collect path (its spawn ordinals count from the scan's
-    * end — the eligible set is a suffix, not a prefix). */
+    * probe — the deep-chain window state is `depth` longs.
+    *
+    * REVERSE tops ride the same ladder (round 11): the spawn SET and the
+    * inner scans are direction-independent — only the accumulator value
+    * mapping changes, because the backward scan gives the forward-i-th
+    * spawn ordinal T−i+1 (T = the person's total spawn count, one more
+    * full-partition count on the same sort). The eligible prefix of
+    * forward size K maps to backward ordinals {T−K+1 … T}, so the entry
+    * array is `sequence(T−K+1, T)` instead of `sequence(1, K)`. */
   private def chainOrdinalOnly(levels: Seq[ChainLevel],
                                accums: Seq[(String, Long, Seq[AccumPart])]): Boolean = {
-    levels.size >= 2 && !levels.head.reverse && levels.tail.forall(plainStep) &&
+    levels.size >= 2 && levels.tail.forall(plainStep) &&
       accums.forall { case (_, _, parts) =>
         parts.forall(p => p.cond.isEmpty &&
           p.incThen.forall { case Lit(VInt(_)) => true; case _ => false })
@@ -549,6 +555,13 @@ object TierA {
           df = df.withColumn(s"__K$j",
             coalesce(max(when(levelPreds(j - 1), prev)).over(prevRows), lit(0L)))
         }
+        // reverse top: backward ordinals need the person's TOTAL spawn
+        // count (same sort, full-partition frame — no extra exchange)
+        if (levels.head.reverse)
+          df = df.withColumn("__spawnT",
+            coalesce(sum(when(spawnCond, lit(1L))).over(
+              person.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)),
+              lit(0L)))
       } else {
         // COLLECT path: ordered spawn tuples strictly before this row
         // (guarded spawns only); each tuple carries the spawn's stamp
@@ -659,6 +672,13 @@ object TierA {
           accums.map { case (n, _, _) => s"__accs_$n" -> v.getField(n) }.toMap
       val typeBinds: Map[String, Column] =
         accums.map { case (n, _, _) => s"__accs_$n" -> lit(0L) }.toMap
+      // ordinal entry arrays: forward tops enumerate the eligible prefix
+      // 1..K; reverse tops map it to backward ordinals T−K+1..T (callers
+      // gate on K >= 1 — an unguarded sequence would DESCEND at K = 0)
+      def ordinalSeq(k: Column): Column =
+        if (levels.head.reverse)
+          sequence(col("__spawnT") - k + lit(1L), col("__spawnT"))
+        else sequence(lit(1L), k)
       def nodeStruct(d: Int, keys: Seq[Column]): Column =
         struct((lit(d).as("depth") +:
           (0 until OslEngine.MaxDepth).map(i =>
@@ -688,7 +708,7 @@ object TierA {
             .isInstanceOf[org.apache.spark.sql.types.NumericType]
         }
         val (spawnArr, nonEmpty) =
-          if (ordinal) (sequence(lit(1L), col("__spawnN")), col("__spawnN") >= 1)
+          if (ordinal) (ordinalSeq(col("__spawnN")), col("__spawnN") >= 1)
           else (col("__sv"), size(col("__sv")) > 0)
         (1 to gs.length).map { d =>
           when(rowP && nonEmpty,
@@ -721,7 +741,7 @@ object TierA {
                 .isInstanceOf[org.apache.spark.sql.types.NumericType]
             }
             val (spawnArrJ, nonEmptyJ) =
-              if (ordinal) (sequence(lit(1L), col(s"__K$j")), col(s"__K$j") >= 1)
+              if (ordinal) (ordinalSeq(col(s"__K$j")), col(s"__K$j") >= 1)
               else (col("__sv"), size(col("__sv")) > 0)
             (1 to gs.length).map { d =>
               when(rowP && nonEmptyJ,

@@ -178,6 +178,26 @@ class TierChainAccumSpec extends SparkSpec {
          |""".stripMargin)
   }
 
+  test("reverse int-literal chains ride the ordinal path (round 11)") {
+    // the spawn SET is direction-independent; a reverse top only remaps
+    // the eligible prefix to backward ordinals T−K+1..T — so literal
+    // increments need no collected array and no row-bound probe
+    val script =
+      s"""${sel}n = 0
+         |each_row.reverse() where event.is(== 'view')
+         |  n += 2
+         |  each_row.continue().next() where event.is(== 'purchase')
+         |    << n, event
+         |  end
+         |end
+         |""".stripMargin
+    val c = TierA.compile(Parser.program(script), world, Mon + 100 * H, 1800000L)
+    assert(c.isDefined)
+    assert(!c.get.queryExecution.executedPlan.toString.contains("collect_list"),
+      "reverse literal chain must ride the ordinal path, not a collect")
+    diff(script)
+  }
+
   test("reverse top with FLOATING-POINT accumulator (round 11)") {
     // the chain-witness accumulator runs over a __rn-DESC running frame:
     // Spark streams it in the interpreter's backward fold order, so
