@@ -3695,6 +3695,113 @@ object Queries {
           COUNT(DISTINCT id), COUNT(*)
         FROM trip GROUP BY i""")),
 
+    // Round-12 Tier A widening: an inner `.limit(n)` on the INTERMEDIATE
+    // step of a depth-3 chain accumulator — only the first 2 views within
+    // 12 h of each signup spawn the purchase scan. The ordinal bound
+    // "s1 among the first n level-1 matches after the spawn" is
+    // C(s1) ≤ C(s0)+n, and prefix counts are monotone in stamp, so it is
+    // one more min-term over the interval's upper endpoint counts — the
+    // reach check stays pure in-row arithmetic on the collected tuple.
+    // Reference: nested loop match cap src/queryinterpreter.cpp:2437-2533.
+    Q("q_osl_chain3_limited",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |each_row where event.is(== 'signup')
+            |  n += 1
+            |  each_row.continue().next().look_ahead(12_hours).limit(2) where event.is(== 'view')
+            |    each_row.continue().next().look_ahead(24_hours) where event.is(== 'purchase')
+            |      << n, event
+            |    end
+            |  end
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"))
+      },
+      Some(s"""$E, su AS (
+          SELECT id, stamp,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
+          FROM e WHERE event = 'signup'),
+        trip AS (
+          SELECT DISTINCT p.id, p.stamp, su.i
+          FROM e p JOIN su ON su.id = p.id AND su.stamp < p.stamp
+          WHERE p.event = 'purchase'
+            AND EXISTS (SELECT 1 FROM e v
+              WHERE v.id = p.id AND v.event = 'view'
+                AND v.stamp > su.stamp AND v.stamp - su.stamp <= 43200000
+                AND v.stamp < p.stamp AND p.stamp - v.stamp <= 86400000
+                AND (SELECT COUNT(*) FROM e v2
+                  WHERE v2.id = p.id AND v2.event = 'view'
+                    AND v2.stamp > su.stamp AND v2.stamp <= v.stamp) <= 2))
+        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
+          'purchase' AS g2, COUNT(DISTINCT id) AS customers,
+          COUNT(*) AS n_rows
+        FROM trip GROUP BY i
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*)
+        FROM trip GROUP BY i""")),
+
+    // Round-12 Tier A widening: an inner `.limit(m)` on the DEEPEST step
+    // of a depth-3 chain accumulator — each view within 48 h of the
+    // signup scans only its FIRST purchase within 48 h. Reach needs
+    // C₂(r) − C₂(s1) ≤ m for some valid view s1; later views always do
+    // better (C₂ monotone), and the latest spawning view at-or-before
+    // the interval's upper endpoint lies inside the (nonempty) interval,
+    // so reach ⇔ interval count > 0 ∧ C₂(r) − min(G(r⁻), G(s0+span₁))
+    // ≤ m with G = running max of C₂ over spawning views (the row
+    // carries G(r⁻), the spawn tuple G(s0+span₁)).
+    Q("q_osl_chain3_limit_deep",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |each_row where event.is(== 'signup')
+            |  n += 1
+            |  each_row.continue().next().look_ahead(48_hours) where event.is(== 'view')
+            |    each_row.continue().next().look_ahead(48_hours).limit(1) where event.is(== 'purchase')
+            |      << n, event
+            |    end
+            |  end
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"))
+      },
+      Some(s"""$E, su AS (
+          SELECT id, stamp,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
+          FROM e WHERE event = 'signup'),
+        trip AS (
+          SELECT DISTINCT p.id, p.stamp, su.i
+          FROM e p JOIN su ON su.id = p.id AND su.stamp < p.stamp
+          WHERE p.event = 'purchase'
+            AND EXISTS (SELECT 1 FROM e v
+              WHERE v.id = p.id AND v.event = 'view'
+                AND v.stamp > su.stamp AND v.stamp - su.stamp <= 172800000
+                AND v.stamp < p.stamp AND p.stamp - v.stamp <= 172800000
+                AND (SELECT COUNT(*) FROM e p2
+                  WHERE p2.id = p.id AND p2.event = 'purchase'
+                    AND p2.stamp > v.stamp AND p2.stamp <= p.stamp) <= 1))
+        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
+          'purchase' AS g2, COUNT(DISTINCT id) AS customers,
+          COUNT(*) AS n_rows
+        FROM trip GROUP BY i
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*)
+        FROM trip GROUP BY i""")),
+
     // Round-9 Tier A widening: an EVER-read BELOW a chain step — the
     // operand observes the SPAWNING signup's running ordinal, so the
     // compiled compare (person-level max(value) aggregate vs n*50)

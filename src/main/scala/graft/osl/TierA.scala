@@ -353,24 +353,45 @@ object TierA {
     * because prefix counts are monotone: C(min(a,b)) = min(C(a), C(b)).
     * The tuple carries C(s0) and C(s0+span₁) (a rangeBetween window at
     * the spawn); the row carries C(r⁻) and C(r−span₂−1); reach ⇔
-    * min(upper endpoints) > max(lower endpoints). Look_back, limits,
-    * reverse and `.from` inner steps — and a deepest-step guard that
-    * READS the accumulator (it would observe the running value at s1,
-    * not the spawn's) — stay Tier B. */
+    * min(upper endpoints) > max(lower endpoints).
+    *
+    * ONE inner `.limit(n)` also composes (round 12), because an ordinal
+    * bound is itself a stamp bound under monotone counts:
+    *  - on the INTERMEDIATE step ("first n level-1 matches after the
+    *    spawn"): s1 is valid iff C(s1) ≤ C(s0)+n, so C(s0)+n is simply
+    *    one more min-term among the upper endpoints. Needs an UNGUARDED
+    *    deepest step — the limit counts pred₁ VISITS while the interval
+    *    count is over SPAWNING matches pred₁∧guard₂, and they only
+    *    coincide when guard₂ is absent.
+    *  - on the DEEPEST step ("r among the first m level-2 matches after
+    *    s1", i.e. C₂(r)−C₂(s1) ≤ m): later s1 is always better (C₂
+    *    monotone), and if the stamp interval holds ≥1 spawning match
+    *    the LATEST spawning match at-or-before the interval's upper
+    *    endpoint lies inside it — so reach ⇔ interval count > 0 ∧
+    *    C₂(r) − G(upper) ≤ m, where G(x) = max over spawning matches
+    *    y ≤ x of C₂(y) is monotone (G at a min of stamps = min of Gs).
+    *    G(r⁻) is a row window, G(s0+span₁) rides the tuple.
+    * Look_back, reverse and `.from` inner steps, BOTH steps limited —
+    * and a deepest-step guard that READS the accumulator (it would
+    * observe the running value at s1, not the spawn's) — stay Tier B. */
   private def chainDeepOk(levels: Seq[ChainLevel]): Boolean =
     // a reverse TOP only changes which rows spawn (level-0 eligibility,
     // folded into spawnCond); the inner scans still walk forward, so the
     // reachability ladder is direction-independent
     levels.size <= OslEngine.MaxDepth &&
-      (if (levels.size == 3) levels.tail.forall(frameableStep)
+      (if (levels.size == 3)
+         levels.tail.forall(frameableStep) &&
+           (levels(1).limitN.isEmpty ||
+             (levels(2).limitN.isEmpty && levels(2).guard.isEmpty))
        else levels.tail.forall(plainStep))
 
   /** Depth-3 inner-step shapes the interval-count reachability handles:
-    * forward, unlimited, no restart, no look_back; finite look_ahead and
-    * row-prop guards compose (accumulator-reading guards below the first
-    * chain step decline — their `__accs_` rewrite marks them). */
+    * forward, no restart, no look_back; finite look_ahead, row-prop
+    * guards and (per [[chainDeepOk]], at most one) `.limit(n)` compose
+    * (accumulator-reading guards below the first chain step decline —
+    * their `__accs_` rewrite marks them). */
   private def frameableStep(l: ChainLevel): Boolean =
-    l.contraSpanMs.isEmpty && l.limitN.isEmpty && !l.reverse &&
+    l.contraSpanMs.isEmpty && !l.reverse &&
       !l.isFromStep &&
       !l.guard.exists(readsName(_, _.startsWith("__accs_")))
 
@@ -534,6 +555,11 @@ object TierA {
       val span2Fin =
         if (levels.size == 3) levels(2).spanMs.filter(_ != Long.MaxValue)
         else None
+      // depth-3 inner limits (round 12): at most one (chainDeepOk); an
+      // intermediate-step limit is an extra min-term over the upper
+      // endpoint counts, a deepest-step limit a running-max C₂ lookup
+      val lim1 = if (levels.size == 3) levels(1).limitN else None
+      val lim2 = if (levels.size == 3) levels(2).limitN else None
       val spawnCond = levels(1).guard
         .map(g => visited0 && compileExpr(g, now, real).get).getOrElse(visited0)
       if (ordinal) {
@@ -606,6 +632,20 @@ object TierA {
             df = df.withColumn("__loA", count(when(predA, 1))
               .over(person.rangeBetween(W.unboundedPreceding, -sp - 1)))
           }
+          // deepest-step `.limit(m)` (round 12): C₂(x) = inclusive count
+          // of deepest-where matches, G(x) = max over spawning level-1
+          // matches y ≤ x of C₂(y). Reach needs C₂(r) − G(upper) ≤ m,
+          // with G(upper) = min(G(r⁻), G(s0+span₁)) by monotonicity —
+          // the row carries __g2, the spawn tuple __g2hi.
+          lim2.foreach { _ =>
+            df = df
+              .withColumn("__c2c", count(when(levelPreds(2), 1)).over(curRows))
+              .withColumn("__g2", max(when(predA, col("__c2c"))).over(prevRows))
+            span1Fin.foreach { sp =>
+              df = df.withColumn("__g2hi", max(when(predA, col("__c2c")))
+                .over(person.rangeBetween(W.unboundedPreceding, sp)))
+            }
+          }
           (2 to levels.size - 2).foreach { j =>
             df = df.withColumn(s"__P$j",
               max(when(levelPreds(j), col(s"__P${j - 1}"))).over(prevRows))
@@ -616,7 +656,9 @@ object TierA {
             Seq(col("stamp").as("__st")) ++
             levels(1).limitN.map(_ => col("__mc1").as("__mc")).toSeq ++
             (if (levels.size >= 3) Seq(col("__cm1c").as("__cm")) else Nil) ++
-            (if (span1Fin.isDefined) Seq(col("__hiA").as("__hi")) else Nil)
+            (if (span1Fin.isDefined) Seq(col("__hiA").as("__hi")) else Nil) ++
+            (if (lim2.isDefined && span1Fin.isDefined)
+               Seq(col("__g2hi").as("__ghi")) else Nil)
         val svStruct = struct(svFields: _*)
         // a finite-frame chain bounds how far a ROW can sit past its
         // spawn, so the collect window itself is range-bounded: depth 2 by
@@ -757,13 +799,27 @@ object TierA {
                   val reach =
                     if (ordinal) lit(true)
                     else if (j == 2) {
-                      val ub = span1Fin.map(_ =>
-                        least(col("__P1"), v.getField("__hi")))
-                        .getOrElse(col("__P1"))
-                      val lb = span2Fin.map(_ =>
-                        greatest(v.getField("__cm"), col("__loA")))
-                        .getOrElse(v.getField("__cm"))
-                      ub > lb
+                      // an intermediate-step limit is an ordinal upper
+                      // bound C(s1) ≤ C(s0)+n — one more min-term
+                      val ubs = Seq(col("__P1")) ++
+                        span1Fin.map(_ => v.getField("__hi")) ++
+                        lim1.map(n => v.getField("__cm") + lit(n))
+                      val lbs = Seq(v.getField("__cm")) ++
+                        span2Fin.map(_ => col("__loA"))
+                      val ub = if (ubs.size == 1) ubs.head else least(ubs: _*)
+                      val lb = if (lbs.size == 1) lbs.head else greatest(lbs: _*)
+                      val base = ub > lb
+                      // a deepest-step limit: the LATEST spawning match in
+                      // the (nonempty, by `base`) interval maximizes C₂,
+                      // and G at the interval's upper endpoint IS that
+                      // match's C₂ (both G windows are non-null whenever
+                      // `base` holds, so the null-skipping `least` is safe)
+                      lim2.map { m =>
+                        val gs = Seq(col("__g2")) ++
+                          span1Fin.map(_ => v.getField("__ghi"))
+                        val g = if (gs.size == 1) gs.head else least(gs: _*)
+                        base && col("__c2c") - g <= lit(m)
+                      }.getOrElse(base)
                     } else col(s"__P${j - 1}") > v.getField("__cm")
                   val keys = gs.zip(canonFlags).map { case (g, num) =>
                     canonPure(compileExpr(g, now, r, b).get, num)

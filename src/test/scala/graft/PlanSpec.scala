@@ -49,7 +49,9 @@ class PlanSpec extends SparkSpec {
         "q_osl_chain_ever_read", // ever-read below a chain step (round 9)
         "q_osl_reverse_accum", // reverse fp accumulator, DESC running frame (round 10)
         "q_osl_reverse_chain_accum", // reverse CHAIN-top fp accumulator (round 11)
-        "q_osl_chain3_framed")) // framed inner steps below a depth-3 accum (round 11)
+        "q_osl_chain3_framed", // framed inner steps below a depth-3 accum (round 11)
+        "q_osl_chain3_limited", // intermediate-step limit below a depth-3 accum (round 12)
+        "q_osl_chain3_limit_deep")) // deepest-step limit below a depth-3 accum (round 12)
       assert(!plan(q).contains("MapGroups"), s"$q fell back to Tier B")
     // and an interpreter-only shape does (sanity that the probe works):
     // a guard READING the accumulator observes a mid-visit partial sum ->

@@ -501,6 +501,93 @@ class TierChainAccumSpec extends SparkSpec {
          |""".stripMargin)
   }
 
+  test("depth-3 inner .limit(n) composes (round 12)") {
+    // limit on the INTERMEDIATE step: only the first n views after each
+    // signup can spawn the deepest scan — an ordinal upper bound
+    // C(s1) ≤ C(s0)+n, one more min-term over the upper endpoint counts
+    for (lim <- Seq(1, 2, 3)) {
+      diff(
+        s"""${sel}n = 0
+           |each_row where event.is(== 'signup')
+           |  n += 1
+           |  each_row.continue().next().limit($lim) where event.is(== 'view')
+           |    each_row.continue().next() where event.is(== 'purchase')
+           |      << n, event
+           |    end
+           |  end
+           |end
+           |""".stripMargin)
+    }
+    // intermediate limit + frames on both steps + level-1 tallies
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(!= 'error')
+         |  n += 1
+         |  each_row.continue().next().look_ahead(36_hours).limit(2) where event.is(== 'view')
+         |    << bucket(n, 2), event
+         |    each_row.continue().next().look_ahead(24_hours) where event.is(== 'purchase')
+         |      << n, event
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
+    // limit on the DEEPEST step: each view scans only its first m
+    // purchases — reach via the running-max C₂ lookup at the interval's
+    // upper endpoint (G(r⁻) alone when the first hop is unframed)
+    for (lim <- Seq(1, 2)) {
+      diff(
+        s"""${sel}n = 0
+           |each_row where event.is(== 'signup')
+           |  n += 1
+           |  each_row.continue().next() where event.is(== 'view')
+           |    each_row.continue().next().limit($lim) where event.is(== 'purchase')
+           |      << n, event
+           |    end
+           |  end
+           |end
+           |""".stripMargin)
+    }
+    // deepest limit + GUARDED deepest step + both frames: G counts
+    // spawning (pred1 ∧ guard2) matches and __ghi rides the tuple
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(!= 'error')
+         |  n += 1
+         |  each_row.continue().next().look_ahead(60_hours) where event.is(== 'view')
+         |    if product_price.is(> 20)
+         |      each_row.continue().next().look_ahead(48_hours).limit(1) where event.is(== 'purchase')
+         |        << n, event
+         |      end
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
+    // deepest limit + fp accumulator + reverse top (full composition)
+    diff(
+      s"""${sel}spend = 0
+         |each_row.reverse() where event.is(!= 'error')
+         |  spend += product_price
+         |  each_row.continue().next().look_ahead(60_hours) where event.is(== 'view')
+         |    each_row.continue().next().limit(2) where event.is(== 'purchase')
+         |      << bucket(spend, 70), event
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
+    // tight frame + limit 1 at the boundary (adjacent-row reach only)
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(!= 'error')
+         |  n += 1
+         |  each_row.continue().next().look_ahead(5_hours).limit(1) where event.is(== 'view')
+         |    each_row.continue().next().look_ahead(5_hours) where event.is(== 'purchase')
+         |      << n, event
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
+  }
+
   test("depth-3 chains with plain inner steps compile (round 9)") {
     // the canonical signup -> view -> purchase chain reading the running
     // signup ordinal at the deepest level
@@ -631,15 +718,31 @@ class TierChainAccumSpec extends SparkSpec {
          |  end
          |end
          |""".stripMargin, expectTierA = false)
-    // a LIMITED inner step at depth 3 declines (the interval-count
-    // reachability has no per-spawn rank bound)
+    // BOTH inner steps limited at depth 3 declines (an ordinal-bounded
+    // upper endpoint makes the G lookup spawn-dependent in count space)
     diff(
       s"""${sel}n = 0
          |each_row where event.is(== 'signup')
          |  n += 1
          |  each_row.continue().next().limit(2) where event.is(== 'view')
-         |    each_row.continue().next() where event.is(== 'purchase')
+         |    each_row.continue().next().limit(1) where event.is(== 'purchase')
          |      << n, event
+         |    end
+         |  end
+         |end
+         |""".stripMargin, expectTierA = false)
+    // an INTERMEDIATE-step limit with a GUARDED deepest step declines:
+    // the limit counts pred1 VISITS, the interval count spawning
+    // (pred1 ∧ guard2) matches — different count spaces
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(== 'signup')
+         |  n += 1
+         |  each_row.continue().next().limit(2) where event.is(== 'view')
+         |    if product_price.is(> 20)
+         |      each_row.continue().next() where event.is(== 'purchase')
+         |        << n, event
+         |      end
          |    end
          |  end
          |end

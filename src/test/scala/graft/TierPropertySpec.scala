@@ -752,9 +752,9 @@ class TierPropertySpec extends SparkSpec {
     val genTopTally = Gen.oneOf(true, false)
     val genMidTally = Gen.oneOf(true, false)
     val genMidMods = Gen.oneOf("", "", ".look_ahead(15_hours)",
-      ".look_ahead(40_hours)")
+      ".look_ahead(40_hours)", ".limit(2)", ".look_ahead(40_hours).limit(1)")
     val genDeepMods = Gen.oneOf("", "", ".look_ahead(20_hours)",
-      ".look_ahead(50_hours)")
+      ".look_ahead(50_hours)", ".limit(1)", ".look_ahead(50_hours).limit(2)")
     val genDeepGuard = Gen.option(Gen.oneOf(
       "event.is(!= 'error')", "product_price.is(> 25)"))
     (1 to 15).foreach { i =>
@@ -773,15 +773,21 @@ class TierPropertySpec extends SparkSpec {
       // reachability ladder gains a running-max window per level
       val depth4 = i % 3 == 0
       val w3 = genWhere.pureApply(params, s0.slide.slide.next.next)
-      // framed/guarded inner steps are depth-3 only (round 11)
+      // framed/guarded inner steps are depth-3 only (round 11); inner
+      // limits (round 12) allow at most ONE limit across the two steps,
+      // and an intermediate-step limit needs an unguarded deepest step
       val midMods =
         if (depth4) "" else genMidMods.pureApply(params, s0.slide.slide.slide)
-      val deepMods =
+      val deepMods0 =
         if (depth4) ""
         else genDeepMods.pureApply(params, s0.slide.slide.slide.next)
-      val deepGuard =
+      val deepGuard0 =
         if (depth4) None
         else genDeepGuard.pureApply(params, s0.slide.slide.slide.next.next)
+      val midLim = midMods.contains(".limit(")
+      val deepMods =
+        if (midLim) deepMods0.replaceAll("\\.limit\\(\\d+\\)", "") else deepMods0
+      val deepGuard = if (midLim) None else deepGuard0
       val gincLine = ginc.map(g => s"  $g\n").getOrElse("")
       val topTallyLine = if (topTally) s"  << 'top', $read\n" else ""
       val midTallyLine = if (midTally) s"    << $read, 'mid'\n" else ""
