@@ -138,6 +138,21 @@ object Plans {
         "windows), all on the ONE (id) exchange — and the collect window itself is " +
         "range-bounded by span1+span2, so the plan is memory-safe without the " +
         "row-bound gate"),
+    P("q_osl_chain3_limited",
+      "depth-3 chain accumulator with an INTERMEDIATE-step .limit(n) (round 12): " +
+        "the ordinal cap C(s0)+n is one more min-term over the interval's upper " +
+        "endpoint counts — same windows as the framed shape, zero extra state, " +
+        "collect window still range-bounded by span1+span2"),
+    P("q_osl_chain3_limit_deep",
+      "depth-3 chain accumulator with a DEEPEST-step .limit(m) (round 12): reach " +
+        "adds C2(r) − min(G(r⁻), G(s0+span1)) <= m with G a running max of the " +
+        "deep-match count over spawning rows — two more windows on the same (id) " +
+        "exchange, no self-join"),
+    P("q_osl_chain4_guarded",
+      "depth-4 chain accumulator with SPLIT guards (round 12): the row-prop guard " +
+        "folds into a ladder window predicate and the accumulator-reading guard " +
+        "evaluates per ordinal — still the collect-free ordinal path, three " +
+        "windows on one exchange, no spawn-tuple array"),
     P("q_ann_ivf_indexed",
       "persisted IVF index (round 11): the cells scan carries an explicit " +
         "PartitionFilters: cell IN (probed) — a query reads nprobe/nlist of the " +

@@ -3802,6 +3802,67 @@ object Queries {
           COUNT(DISTINCT id), COUNT(*)
         FROM trip GROUP BY i""")),
 
+    // Round-12 Tier A widening: guards on DEEP chain-accumulator steps —
+    // a depth-4 signup -> view -> click -> purchase chain where the click
+    // step is guarded by a ROW prop (view value > 50: folds into the
+    // reachability-ladder window predicate — it restricts rows uniformly
+    // across spawns) and the purchase step by an ACCUMULATOR read
+    // (n <= 3: the interpreter evaluates it mid-nested-scan where n still
+    // holds the SPAWN's running ordinal, so it prunes spawns uniformly
+    // across rows and evaluates per ordinal). Literal increments + plain
+    // first step keep this on the collect-free ordinal path: three
+    // running windows on one (id, stamp) sort, no spawn-tuple array.
+    // Reference: nested guard semantics src/queryinterpreter.cpp:2460-2533.
+    Q("q_osl_chain4_guarded",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |each_row where event.is(== 'signup')
+            |  n += 1
+            |  each_row.continue().next() where event.is(== 'view')
+            |    if value.is(> 50)
+            |      each_row.continue().next() where event.is(== 'click')
+            |        if n <= 3
+            |          each_row.continue().next() where event.is(== 'purchase')
+            |            << n, event
+            |          end
+            |        end
+            |      end
+            |    end
+            |  end
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"))
+      },
+      Some(s"""$E, su AS (
+          SELECT id, stamp,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
+          FROM e WHERE event = 'signup'),
+        quad AS (
+          SELECT DISTINCT p.id, p.stamp, su.i
+          FROM e p JOIN su ON su.id = p.id AND su.stamp < p.stamp
+          WHERE p.event = 'purchase' AND su.i <= 3
+            AND EXISTS (SELECT 1 FROM e v
+              WHERE v.id = p.id AND v.event = 'view' AND v.value > 50
+                AND v.stamp > su.stamp AND v.stamp < p.stamp
+                AND EXISTS (SELECT 1 FROM e c
+                  WHERE c.id = p.id AND c.event = 'click'
+                    AND c.stamp > v.stamp AND c.stamp < p.stamp)))
+        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
+          'purchase' AS g2, COUNT(DISTINCT id) AS customers,
+          COUNT(*) AS n_rows
+        FROM quad GROUP BY i
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*)
+        FROM quad GROUP BY i""")),
+
     // Round-9 Tier A widening: an EVER-read BELOW a chain step — the
     // operand observes the SPAWNING signup's running ordinal, so the
     // compiled compare (person-level max(value) aggregate vs n*50)

@@ -331,8 +331,52 @@ object TierA {
     * restart — its visited set from spawn s is exactly "where-matching
     * rows strictly after s". */
   private def plainStep(l: ChainLevel): Boolean =
-    l.guard.isEmpty && l.spanMs.isEmpty && l.contraSpanMs.isEmpty &&
+    l.guard.isEmpty && unframedStep(l)
+
+  /** Plain except possibly a guard: unframed, unlimited, forward, no
+    * restart. */
+  private def unframedStep(l: ChainLevel): Boolean =
+    l.spanMs.isEmpty && l.contraSpanMs.isEmpty &&
       l.limitN.isEmpty && !l.reverse && !l.isFromStep
+
+  private def conjunctsOf(e: Expr): Seq[Expr] = e match {
+    case BinOp("&&", l, r) => conjunctsOf(l) ++ conjunctsOf(r)
+    case x => Seq(x)
+  }
+
+  /** A guard conjunct whose only data references are in-chain accumulator
+    * reads (`__accs_` rewrites): a pure function of the SPAWN tuple —
+    * increments lead the top body, so nothing changes during a nested
+    * scan and the interpreter observes the spawn's running value. Such
+    * conjuncts evaluate per collected tuple / ordinal (with the tuple
+    * binds) instead of folding into the row-count predicates. Calls
+    * require a nonempty argument list: a zero-arg builtin (`get_row()`)
+    * is cursor-dependent even with no argument to inspect. */
+  private def spawnPure(e: Expr): Boolean = e match {
+    case Lit(_) => true
+    case VarRef("now") | PropRef("now") => true
+    case VarRef(n)  => n.startsWith("__accs_")
+    case PropRef(n) => n.startsWith("__accs_")
+    case BinOp(_, l, r) => spawnPure(l) && spawnPure(r)
+    case UnOp(_, x)     => spawnPure(x)
+    case Call(_, as)    => as.nonEmpty && as.forall(spawnPure)
+    case _ => false
+  }
+
+  /** Guards on inner chain steps (k ≥ 2, evaluated at the parent-level
+    * row) split by top-level `&&` conjunct: accumulator-free conjuncts
+    * fold into the count/ladder predicates, spawn-pure conjuncts
+    * evaluate per tuple — a conjunct that mixes both (e.g. `n < price`)
+    * declines. */
+  private def guardSplitOk(l: ChainLevel): Boolean =
+    l.guard.forall(g => conjunctsOf(g).forall(c =>
+      spawnPure(c) || !readsName(c, _.startsWith("__accs_"))))
+
+  /** Is the step's guard free of row-prop conjuncts (absent, or every
+    * conjunct spawn-pure)? Required under an intermediate-step limit,
+    * whose count space must be the bare level-1 where. */
+  private def rowFreeGuard(l: ChainLevel): Boolean =
+    l.guard.forall(g => conjunctsOf(g).forall(spawnPure))
 
   /** Deep (≥3-level) chain accumulators. Reachability from a spawn
     * composes through running-max windows: with `P1(x)` = count of
@@ -371,29 +415,36 @@ object TierA {
     *    C₂(r) − G(upper) ≤ m, where G(x) = max over spawning matches
     *    y ≤ x of C₂(y) is monotone (G at a min of stamps = min of Gs).
     *    G(r⁻) is a row window, G(s0+span₁) rides the tuple.
-    * Look_back, reverse and `.from` inner steps, BOTH steps limited —
-    * and a deepest-step guard that READS the accumulator (it would
-    * observe the running value at s1, not the spawn's) — stay Tier B. */
+    * Look_back, reverse and `.from` inner steps, and BOTH steps limited,
+    * stay Tier B.
+    *
+    * GUARDS on inner steps (round 12) compose at ANY depth via the
+    * split in [[guardSplitOk]]: row-prop conjuncts restrict ROWS
+    * uniformly across spawns, so they fold into the ladder/count
+    * predicates (`__Pj` gains the guard gating step j+1 — evaluated at
+    * the level-j row — and the induction is unchanged); spawn-pure
+    * accumulator conjuncts prune SPAWNS uniformly across rows — the
+    * chain-existence machinery stays unguarded and the conjunct is
+    * AND'ed per tuple/ordinal with the spawn binds. Frames and limits
+    * remain depth-3-only. */
   private def chainDeepOk(levels: Seq[ChainLevel]): Boolean =
     // a reverse TOP only changes which rows spawn (level-0 eligibility,
     // folded into spawnCond); the inner scans still walk forward, so the
     // reachability ladder is direction-independent
     levels.size <= OslEngine.MaxDepth &&
+      levels.drop(2).forall(guardSplitOk) &&
       (if (levels.size == 3)
          levels.tail.forall(frameableStep) &&
            (levels(1).limitN.isEmpty ||
-             (levels(2).limitN.isEmpty && levels(2).guard.isEmpty))
-       else levels.tail.forall(plainStep))
+             (levels(2).limitN.isEmpty && rowFreeGuard(levels(2))))
+       else levels.tail.forall(unframedStep))
 
   /** Depth-3 inner-step shapes the interval-count reachability handles:
-    * forward, no restart, no look_back; finite look_ahead, row-prop
-    * guards and (per [[chainDeepOk]], at most one) `.limit(n)` compose
-    * (accumulator-reading guards below the first chain step decline —
-    * their `__accs_` rewrite marks them). */
+    * forward, no restart, no look_back; finite look_ahead, split-ok
+    * guards (see [[guardSplitOk]]) and (per [[chainDeepOk]], at most
+    * one) `.limit(n)` compose. */
   private def frameableStep(l: ChainLevel): Boolean =
-    l.contraSpanMs.isEmpty && !l.reverse &&
-      !l.isFromStep &&
-      !l.guard.exists(readsName(_, _.startsWith("__accs_")))
+    l.contraSpanMs.isEmpty && !l.reverse && !l.isFromStep
 
   /** Chain-accumulator shapes whose per-spawn values derive from the spawn
     * ORDINAL alone (value = init + c·j): plain inner steps (any depth —
@@ -417,10 +468,19 @@ object TierA {
     * spawn ordinal T−i+1 (T = the person's total spawn count, one more
     * full-partition count on the same sort). The eligible prefix of
     * forward size K maps to backward ordinals {T−K+1 … T}, so the entry
-    * array is `sequence(T−K+1, T)` instead of `sequence(1, K)`. */
+    * array is `sequence(T−K+1, T)` instead of `sequence(1, K)`.
+    *
+    * Inner-step GUARDS at levels ≥ 2 (round 12) ride the ordinal path
+    * too: row-prop conjuncts fold into the K-ladder window predicates,
+    * spawn-pure conjuncts evaluate per ordinal (the binds give the
+    * exact value init + c·j). The FIRST chain step must stay fully
+    * plain — its guard is evaluated at the SPAWN and makes some top
+    * visits non-spawning, breaking the visit-ordinal = spawn-ordinal
+    * value mapping (those shapes collect). */
   private def chainOrdinalOnly(levels: Seq[ChainLevel],
                                accums: Seq[(String, Long, Seq[AccumPart])]): Boolean = {
-    levels.size >= 2 && levels.tail.forall(plainStep) &&
+    levels.size >= 2 && plainStep(levels(1)) &&
+      levels.drop(2).forall(l => unframedStep(l) && guardSplitOk(l)) &&
       accums.forall { case (_, _, parts) =>
         parts.forall(p => p.cond.isEmpty &&
           p.incThen.forall { case Lit(VInt(_)) => true; case _ => false })
@@ -560,6 +620,23 @@ object TierA {
       // endpoint counts, a deepest-step limit a running-max C₂ lookup
       val lim1 = if (levels.size == 3) levels(1).limitN else None
       val lim2 = if (levels.size == 3) levels(2).limitN else None
+      // guard split (round 12), inner steps k ≥ 2 (guard evaluated at the
+      // level-(k−1) row): row-prop conjuncts restrict ROWS uniformly
+      // across spawns → folded into the count/ladder predicates below;
+      // spawn-pure conjuncts (accumulator-only reads — increments lead
+      // the top body, so a nested scan observes the SPAWN's running
+      // value) prune SPAWNS uniformly across rows → AND'ed per
+      // tuple/ordinal with the spawn binds inside the entry transform
+      val guardSplits: Map[Int, (Option[Column], Seq[Expr])] =
+        (2 until levels.size).map { k =>
+          val cs = levels(k).guard.map(conjunctsOf).getOrElse(Nil)
+          val (sp, rp) = cs.partition(spawnPure)
+          k -> (rp.reduceOption(BinOp("&&", _, _))
+                  .map(g => compileExpr(g, now, real).get), sp)
+        }.toMap
+      def rowGuard(k: Int): Option[Column] = guardSplits.get(k).flatMap(_._1)
+      def spawnGuards(k: Int): Seq[Expr] =
+        guardSplits.get(k).map(_._2).getOrElse(Nil)
       val spawnCond = levels(1).guard
         .map(g => visited0 && compileExpr(g, now, real).get).getOrElse(visited0)
       if (ordinal) {
@@ -578,8 +655,12 @@ object TierA {
         // y < r of K_(j−1)(y), base K_1 = __spawnN (see chainOrdinalOnly)
         (2 until levels.size).foreach { j =>
           val prev = if (j == 2) col("__spawnN") else col(s"__K${j - 1}")
+          // the guard gating step j evaluates at the level-(j−1) row —
+          // its row-prop part restricts which rows extend reach
+          val wPred = rowGuard(j)
+            .map(levelPreds(j - 1) && _).getOrElse(levelPreds(j - 1))
           df = df.withColumn(s"__K$j",
-            coalesce(max(when(levelPreds(j - 1), prev)).over(prevRows), lit(0L)))
+            coalesce(max(when(wPred, prev)).over(prevRows), lit(0L)))
         }
         // reverse top: backward ordinals need the person's TOTAL spawn
         // count (same sort, full-partition frame — no extra exchange)
@@ -618,9 +699,7 @@ object TierA {
         // columns. Plain shapes degenerate to __P1 > __cm exactly.
         if (levels.size >= 3) {
           val curRows = person.rowsBetween(W.unboundedPreceding, W.currentRow)
-          val guard2 = levels(2).guard
-            .map(g => compileExpr(g, now, real).get)
-          val predA = guard2.map(levelPreds(1) && _).getOrElse(levelPreds(1))
+          val predA = rowGuard(2).map(levelPreds(1) && _).getOrElse(levelPreds(1))
           df = df
             .withColumn("__cm1c", count(when(predA, 1)).over(curRows))
             .withColumn("__P1", count(when(predA, 1)).over(prevRows))
@@ -647,8 +726,12 @@ object TierA {
             }
           }
           (2 to levels.size - 2).foreach { j =>
+            // fold the row-prop part of the guard gating step j+1
+            // (evaluated at the level-j row) into the ladder window
+            val wPred = rowGuard(j + 1)
+              .map(levelPreds(j) && _).getOrElse(levelPreds(j))
             df = df.withColumn(s"__P$j",
-              max(when(levelPreds(j), col(s"__P${j - 1}"))).over(prevRows))
+              max(when(wPred, col(s"__P${j - 1}"))).over(prevRows))
           }
         }
         val svFields =
@@ -821,10 +904,15 @@ object TierA {
                         base && col("__c2c") - g <= lit(m)
                       }.getOrElse(base)
                     } else col(s"__P${j - 1}") > v.getField("__cm")
+                  // spawn-pure guard conjuncts of every step on the
+                  // chain to level j prune spawns per tuple/ordinal
+                  val spg = (2 to j).flatMap(spawnGuards)
+                    .map(x => compileExpr(x, now, r, b).get)
                   val keys = gs.zip(canonFlags).map { case (g, num) =>
                     canonPure(compileExpr(g, now, r, b).get, num)
                   }
-                  when(reach && p, nodeStruct(d, keys)).otherwise(lit(null))
+                  when((Seq(reach, p) ++ spg).reduce(_ && _),
+                    nodeStruct(d, keys)).otherwise(lit(null))
                 }))
                 .otherwise(array().cast(nodeType))
             }
@@ -954,8 +1042,19 @@ object TierA {
     val eligible: Seq[Column] = elig0 +: (1 until levels.length).map { k =>
       val rev = levels(k).reverse
       // an `if`-wrapped nested loop spawns only from parent rows satisfying
-      // the guard — AND it into the witness condition
+      // the guard — AND it into the witness condition. Spawn-pure
+      // accumulator conjuncts (`__accs_` reads on steps k ≥ 2, round 12)
+      // are dropped HERE: they have no row-level meaning in the witness
+      // windows, and the accum path — the only one where they occur —
+      // never consults these eligibility columns for deep levels (reach
+      // is decided per collected tuple / ordinal, where chainPlan ANDs
+      // the spawn-pure parts with the spawn binds). Without accums the
+      // filter is a no-op (no `__accs_` rewrite exists).
       val spawn = levels(k).guard
+        .map(g => conjunctsOf(g)
+          .filterNot(readsName(_, _.startsWith("__accs_")))
+          .reduceOption(BinOp("&&", _, _)))
+        .flatten
         .map(g => visited && compileExpr(g, now, real).get)
         .getOrElse(visited)
       val elig: Column = if (levels(k).isFromStep) {

@@ -588,6 +588,137 @@ class TierChainAccumSpec extends SparkSpec {
          |""".stripMargin)
   }
 
+  test("accumulator-reading deepest-step guards + depth-4 guards (round 12)") {
+    // spawn-pure guard on the deepest step of a depth-3 chain: the
+    // interpreter evaluates it mid-nested-scan, where the accumulator
+    // still holds the SPAWN's running value (increments lead the top
+    // body) — so it factors out of the row counting and evaluates per
+    // collected tuple / ordinal with the spawn binds
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(== 'signup')
+         |  n += 1
+         |  each_row.continue().next() where event.is(== 'view')
+         |    if n <= 2
+         |      each_row.continue().next() where event.is(== 'purchase')
+         |        << n, event
+         |      end
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
+    // mixed guard: the accum conjunct splits from the row-prop conjunct
+    // (row part folds into the count predicate, spawn part per tuple)
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(!= 'error')
+         |  n += 1
+         |  each_row.continue().next() where event.is(== 'view')
+         |    if n > 1 && product_price.is(> 10)
+         |      each_row.continue().next() where event.is(== 'purchase')
+         |        << n, event
+         |      end
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
+    // frames + spawn-pure guard + deepest limit compose
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(!= 'error')
+         |  n += 1
+         |  each_row.continue().next().look_ahead(36_hours) where event.is(== 'view')
+         |    if n <= 3
+         |      each_row.continue().next().look_ahead(24_hours).limit(1) where event.is(== 'purchase')
+         |        << n, event
+         |      end
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
+    // spawn-pure guard + INTERMEDIATE limit: the count spaces coincide
+    // (the spawn-pure part never constrains rows), so lim1 composes
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(== 'signup')
+         |  n += 1
+         |  each_row.continue().next().limit(2) where event.is(== 'view')
+         |    if n != 2
+         |      each_row.continue().next() where event.is(== 'purchase')
+         |        << n, event
+         |      end
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
+    // depth-4: row-prop guards on middle AND deepest steps fold into
+    // the reachability-ladder window predicates
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(== 'signup')
+         |  n += 1
+         |  each_row.continue().next() where event.is(!= 'error')
+         |    if product_price.is(> 20)
+         |      each_row.continue().next() where event.is(== 'view')
+         |        if product_price.is(> 10)
+         |          each_row.continue().next() where event.is(== 'purchase')
+         |            << n, event
+         |          end
+         |        end
+         |      end
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
+    // depth-4: spawn-pure guard on the deepest step + fp accumulator
+    // (collect path — real values in the tuples)
+    diff(
+      s"""${sel}spend = 0
+         |each_row where event.is(!= 'error')
+         |  spend += product_price
+         |  each_row.continue().next() where event.is(== 'view')
+         |    each_row.continue().next() where product_price.is(> 5)
+         |      if spend > 100
+         |        each_row.continue().next() where event.is(== 'purchase')
+         |          << bucket(spend, 100), event
+         |        end
+         |      end
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
+    // reverse top + spawn-pure guard: backward ordinals carry the
+    // backward-scan accumulator values into the guard
+    diff(
+      s"""${sel}n = 0
+         |each_row.reverse() where event.is(!= 'error')
+         |  n += 1
+         |  each_row.continue().next() where event.is(== 'view')
+         |    if n > 2
+         |      each_row.continue().next() where event.is(== 'purchase')
+         |        << n, event
+         |      end
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
+    // decline: a single conjunct mixing an accum read with a row prop
+    // cannot split (it reads the PARENT row's prop, not the tally row's)
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(== 'signup')
+         |  n += 1
+         |  each_row.continue().next() where event.is(== 'view')
+         |    if product_price.is(> n)
+         |      each_row.continue().next() where event.is(== 'purchase')
+         |        << n, event
+         |      end
+         |    end
+         |  end
+         |end
+         |""".stripMargin, expectTierA = false)
+  }
+
   test("depth-3 chains with plain inner steps compile (round 9)") {
     // the canonical signup -> view -> purchase chain reading the running
     // signup ordinal at the deepest level

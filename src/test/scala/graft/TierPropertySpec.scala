@@ -756,7 +756,9 @@ class TierPropertySpec extends SparkSpec {
     val genDeepMods = Gen.oneOf("", "", ".look_ahead(20_hours)",
       ".look_ahead(50_hours)", ".limit(1)", ".look_ahead(50_hours).limit(2)")
     val genDeepGuard = Gen.option(Gen.oneOf(
-      "event.is(!= 'error')", "product_price.is(> 25)"))
+      "event.is(!= 'error')", "product_price.is(> 25)",
+      // round 12: spawn-pure accumulator guards + a mixed split guard
+      "n <= 2", "n > 1", "n > 1 && product_price.is(> 25)"))
     (1 to 15).foreach { i =>
       val s0 = Seed(i.toLong * 9437183)
       val w0 = genWhere.pureApply(params, s0)
@@ -773,31 +775,47 @@ class TierPropertySpec extends SparkSpec {
       // reachability ladder gains a running-max window per level
       val depth4 = i % 3 == 0
       val w3 = genWhere.pureApply(params, s0.slide.slide.next.next)
-      // framed/guarded inner steps are depth-3 only (round 11); inner
-      // limits (round 12) allow at most ONE limit across the two steps,
-      // and an intermediate-step limit needs an unguarded deepest step
+      // framed inner steps are depth-3 only (round 11); inner limits
+      // (round 12) allow at most ONE limit across the two steps, and an
+      // intermediate-step limit needs a row-prop-free deepest guard;
+      // guards (row-prop folded, accum spawn-pure split) compose at any
+      // depth (round 12)
       val midMods =
         if (depth4) "" else genMidMods.pureApply(params, s0.slide.slide.slide)
       val deepMods0 =
         if (depth4) ""
         else genDeepMods.pureApply(params, s0.slide.slide.slide.next)
       val deepGuard0 =
-        if (depth4) None
-        else genDeepGuard.pureApply(params, s0.slide.slide.slide.next.next)
+        genDeepGuard.pureApply(params, s0.slide.slide.slide.next.next)
       val midLim = midMods.contains(".limit(")
       val deepMods =
         if (midLim) deepMods0.replaceAll("\\.limit\\(\\d+\\)", "") else deepMods0
-      val deepGuard = if (midLim) None else deepGuard0
+      // under an intermediate limit only spawn-pure (no `.is(`) deepest
+      // guards keep the count spaces aligned
+      val deepGuard =
+        if (midLim) deepGuard0.filter(g => !g.contains(".is(")) else deepGuard0
       val gincLine = ginc.map(g => s"  $g\n").getOrElse("")
       val topTallyLine = if (topTally) s"  << 'top', $read\n" else ""
       val midTallyLine = if (midTally) s"    << $read, 'mid'\n" else ""
       val deepest =
-        if (depth4)
-          s"""each_row.continue().next() where $w2
-             |      each_row.continue().next() where $w3
-             |        << $read, $g2
-             |      end
-             |    end""".stripMargin
+        if (depth4) deepGuard match {
+          // round 12: depth-4 deepest-step guards compose (row-prop
+          // conjuncts fold into the ladder, accum conjuncts per tuple)
+          case Some(g) =>
+            s"""each_row.continue().next() where $w2
+               |      if $g
+               |        each_row.continue().next() where $w3
+               |          << $read, $g2
+               |        end
+               |      end
+               |    end""".stripMargin
+          case None =>
+            s"""each_row.continue().next() where $w2
+               |      each_row.continue().next() where $w3
+               |        << $read, $g2
+               |      end
+               |    end""".stripMargin
+        }
         else deepGuard match {
           case Some(g) =>
             s"""if $g
