@@ -153,6 +153,12 @@ object Plans {
         "folds into a ladder window predicate and the accumulator-reading guard " +
         "evaluates per ordinal — still the collect-free ordinal path, three " +
         "windows on one exchange, no spawn-tuple array"),
+    P("q_osl_chain4_limited",
+      "depth-4 chain accumulator with a FRAMED+LIMITED deepest step (round 12): " +
+        "valid last hops form a suffix, so the final ladder window range-bounds " +
+        "(rangeBetween(-span, -1)) and the limit is one spawn-independent " +
+        "__cdc/__gd conjunct — five windows on ONE (id) exchange, ordinal path, " +
+        "no collected array"),
     P("q_ann_ivf_indexed",
       "persisted IVF index (round 11): the cells scan carries an explicit " +
         "PartitionFilters: cell IN (probed) — a query reads nprobe/nlist of the " +

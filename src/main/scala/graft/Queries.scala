@@ -3863,6 +3863,66 @@ object Queries {
           COUNT(DISTINCT id), COUNT(*)
         FROM quad GROUP BY i""")),
 
+    // Round-12 Tier A widening: a FRAMED + LIMITED deepest step at depth
+    // 4 — signup -> view -> click -> the FIRST purchase within 48 h of
+    // the click. Validity of a click c for a spawn (a view chain exists
+    // through c) is monotone in c, so valid clicks form a SUFFIX and the
+    // latest in-frame click is valid for every eligible spawn: the frame
+    // range-bounds the FINAL reachability-ladder window
+    // (rangeBetween(-48h, -1)) and the limit is one spawn-independent
+    // conjunct C(r) − G ≤ 1, G = the purchase count at the latest
+    // in-frame click. Still the collect-free ordinal path.
+    // Reference: nested frame semantics src/queryinterpreter.cpp:2460-2533.
+    Q("q_osl_chain4_limited",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |each_row where event.is(== 'signup')
+            |  n += 1
+            |  each_row.continue().next() where event.is(== 'view')
+            |    each_row.continue().next() where event.is(== 'click')
+            |      each_row.continue().next().look_ahead(48_hours).limit(1) where event.is(== 'purchase')
+            |        << n, event
+            |      end
+            |    end
+            |  end
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"))
+      },
+      Some(s"""$E, su AS (
+          SELECT id, stamp,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
+          FROM e WHERE event = 'signup'),
+        quad AS (
+          SELECT DISTINCT p.id, p.stamp, su.i
+          FROM e p JOIN su ON su.id = p.id AND su.stamp < p.stamp
+          WHERE p.event = 'purchase'
+            AND EXISTS (SELECT 1 FROM e v
+              WHERE v.id = p.id AND v.event = 'view'
+                AND v.stamp > su.stamp AND v.stamp < p.stamp
+                AND EXISTS (SELECT 1 FROM e c
+                  WHERE c.id = p.id AND c.event = 'click'
+                    AND c.stamp > v.stamp AND c.stamp < p.stamp
+                    AND p.stamp - c.stamp <= 172800000
+                    AND (SELECT COUNT(*) FROM e p2
+                      WHERE p2.id = p.id AND p2.event = 'purchase'
+                        AND p2.stamp > c.stamp AND p2.stamp <= p.stamp) <= 1)))
+        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
+          'purchase' AS g2, COUNT(DISTINCT id) AS customers,
+          COUNT(*) AS n_rows
+        FROM quad GROUP BY i
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*)
+        FROM quad GROUP BY i""")),
+
     // Round-9 Tier A widening: an EVER-read BELOW a chain step — the
     // operand observes the SPAWNING signup's running ordinal, so the
     // compiled compare (person-level max(value) aggregate vs n*50)

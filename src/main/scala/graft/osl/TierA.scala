@@ -60,12 +60,12 @@ object TierA {
           // person — a cumulative-match-count cap on the same person sort.
           // A where-cap is the SAME mechanism (both bound the count of
           // residual-where matches visited), so they compose by min.
-          topLimit0 <- limitOf(mods)
+          topLimit0 <- limitOf(mods, now)
           topLimit = (topLimit0.toSeq ++ whereCap.toSeq).reduceOption(_ min _)
           // top-level `.from(k)` (literal): iteration starts at 0-based row
           // index k — single loops handle it below; chains thread it into
           // level 0's eligibility (chainWitnesses __fc0)
-          topFrom <- fromOf(mods)
+          topFrom <- fromOf(mods, now)
           // extracted where-caps leave a residual where; reads of
           // accumulated names compile to their window column
           erW = residualW.map(w => er.copy(where = w)).getOrElse(er)
@@ -437,7 +437,15 @@ object TierA {
          levels.tail.forall(frameableStep) &&
            (levels(1).limitN.isEmpty ||
              (levels(2).limitN.isEmpty && rowFreeGuard(levels(2))))
-       else levels.tail.forall(unframedStep))
+       else
+         // depth ≥ 4 (round 12): middle steps stay unframed/unlimited,
+         // but the DEEPEST step may carry a finite look_ahead and/or a
+         // `.limit(m)` — validity of a last-hop row y for spawn s0
+         // (`__P(size−3)(y) > cm(s0)`) is monotone in y, so valid rows
+         // form a SUFFIX and "the latest match is best" holds: a frame
+         // range-bounds the last ladder window, a limit is one
+         // spawn-independent G-lookup conjunct (see chainPlan)
+         levels.tail.init.forall(unframedStep) && frameableStep(levels.last))
 
   /** Depth-3 inner-step shapes the interval-count reachability handles:
     * forward, no restart, no look_back; finite look_ahead, split-ok
@@ -479,8 +487,18 @@ object TierA {
     * value mapping (those shapes collect). */
   private def chainOrdinalOnly(levels: Seq[ChainLevel],
                                accums: Seq[(String, Long, Seq[AccumPart])]): Boolean = {
+    // the DEEPEST step may be framed (finite look_ahead) and/or limited
+    // when at least one intermediate level separates it from the spawn
+    // (round 12): its frame anchors at the last-hop row, so reach stays
+    // "∃ valid last hop in [r−span, r)" — suffix-monotone, hence still a
+    // spawn PREFIX. At depth 2 the deepest step IS the first — its frame
+    // anchors at the spawn itself and old spawns fall OUT of frame (not
+    // a prefix), so depth-2 framed/limited shapes keep collecting.
     levels.size >= 2 && plainStep(levels(1)) &&
-      levels.drop(2).forall(l => unframedStep(l) && guardSplitOk(l)) &&
+      levels.slice(2, levels.size - 1)
+        .forall(l => unframedStep(l) && guardSplitOk(l)) &&
+      (levels.size == 2 ||
+        (frameableStep(levels.last) && guardSplitOk(levels.last))) &&
       accums.forall { case (_, _, parts) =>
         parts.forall(p => p.cond.isEmpty &&
           p.incThen.forall { case Lit(VInt(_)) => true; case _ => false })
@@ -620,6 +638,20 @@ object TierA {
       // endpoint counts, a deepest-step limit a running-max C₂ lookup
       val lim1 = if (levels.size == 3) levels(1).limitN else None
       val lim2 = if (levels.size == 3) levels(2).limitN else None
+      // deepest-step frames/limits past depth 2 (round 12): both keep the
+      // spawn-PREFIX structure because they constrain the LAST-HOP row,
+      // whose validity for a spawn (`ladder(y) ≥ v`) is suffix-monotone —
+      // a frame range-bounds the FINAL ladder window ("∃ valid last hop
+      // in [r−span, r)"), a limit becomes one spawn-independent conjunct
+      // comparing the deep-match count against G = the count at the
+      // LATEST last-hop match, which is valid for every eligible spawn.
+      // The depth-3 COLLECT path keeps its interval-count machinery
+      // (span2Fin/lim2 above — an s0-anchored first frame needs it);
+      // these drive the ordinal path (depth ≥ 3) and collect depth ≥ 4.
+      val spanDeep =
+        if (levels.size >= 3) levels.last.spanMs.filter(_ != Long.MaxValue)
+        else None
+      val limDeep = if (levels.size >= 3) levels.last.limitN else None
       // guard split (round 12), inner steps k ≥ 2 (guard evaluated at the
       // level-(k−1) row): row-prop conjuncts restrict ROWS uniformly
       // across spawns → folded into the count/ladder predicates below;
@@ -659,8 +691,14 @@ object TierA {
           // its row-prop part restricts which rows extend reach
           val wPred = rowGuard(j)
             .map(levelPreds(j - 1) && _).getOrElse(levelPreds(j - 1))
+          // a framed DEEPEST step bounds only the last hop: the final
+          // ladder window becomes "latest valid hop within [r−span, r)"
+          val win =
+            if (j == levels.size - 1 && spanDeep.isDefined)
+              person.rangeBetween(-spanDeep.get, -1)
+            else prevRows
           df = df.withColumn(s"__K$j",
-            coalesce(max(when(wPred, prev)).over(prevRows), lit(0L)))
+            coalesce(max(when(wPred, prev)).over(win), lit(0L)))
         }
         // reverse top: backward ordinals need the person's TOTAL spawn
         // count (same sort, full-partition frame — no extra exchange)
@@ -730,8 +768,14 @@ object TierA {
             // (evaluated at the level-j row) into the ladder window
             val wPred = rowGuard(j + 1)
               .map(levelPreds(j) && _).getOrElse(levelPreds(j))
+            // depth ≥ 4 framed deepest step: its only consumer is the
+            // deepest level's reach, so range-bound the FINAL __P window
+            val win =
+              if (levels.size >= 4 && j == levels.size - 2 && spanDeep.isDefined)
+                person.rangeBetween(-spanDeep.get, -1)
+              else prevRows
             df = df.withColumn(s"__P$j",
-              max(when(wPred, col(s"__P${j - 1}"))).over(prevRows))
+              max(when(wPred, col(s"__P${j - 1}"))).over(win))
           }
         }
         val svFields =
@@ -765,6 +809,27 @@ object TierA {
         df = df.withColumn("__sv",
           collect_list(when(spawnCond, svStruct)).over(collectW))
       }
+      // deepest-step `.limit(m)` conjunct (ordinal depth ≥ 3, collect
+      // depth ≥ 4 — the depth-3 collect path uses the interval G
+      // machinery above instead): __cdc = inclusive deep-match count;
+      // __gd = its value at the LATEST last-hop match (in-frame when
+      // framed), which is valid for every eligible spawn — so the
+      // check is spawn-independent. Null __gd only occurs when the
+      // ladder already says "no eligible spawn".
+      val deepLimCond: Option[Column] =
+        limDeep.filter(_ => ordinal || levels.size >= 4).map { m =>
+          val curRows = person.rowsBetween(W.unboundedPreceding, W.currentRow)
+          val lastWin = spanDeep.map(sp => person.rangeBetween(-sp, -1))
+            .getOrElse(prevRows)
+          val k = levels.size - 2
+          val matchPred = rowGuard(k + 1)
+            .map(levelPreds(k) && _).getOrElse(levelPreds(k))
+          df = df
+            .withColumn("__cdc",
+              count(when(levelPreds(levels.size - 1), 1)).over(curRows))
+            .withColumn("__gd", max(when(matchPred, col("__cdc"))).over(lastWin))
+          col("__cdc") - col("__gd") <= lit(m)
+        }
       // per-spawn eligibility, evaluated in-row on each collected tuple
       def spawnOk(v: Column): Column = {
         val span = levels(1).spanMs.map(sp =>
@@ -879,7 +944,7 @@ object TierA {
                   // depth-3 framed shapes: interval count between endpoint
                   // prefix counts (monotone ⇒ min/max of endpoints); plain
                   // shapes reduce to __P(j-1)(r) > __cm(s0) exactly
-                  val reach =
+                  val reach0 =
                     if (ordinal) lit(true)
                     else if (j == 2) {
                       // an intermediate-step limit is an ordinal upper
@@ -904,6 +969,12 @@ object TierA {
                         base && col("__c2c") - g <= lit(m)
                       }.getOrElse(base)
                     } else col(s"__P${j - 1}") > v.getField("__cm")
+                  // the deepest level also carries the spawn-independent
+                  // deep-limit conjunct (ordinal ≥ 3 / collect ≥ 4)
+                  val reach =
+                    if (j == levels.size - 1)
+                      deepLimCond.map(reach0 && _).getOrElse(reach0)
+                    else reach0
                   // spawn-pure guard conjuncts of every step on the
                   // chain to level j prune spawns per tuple/ordinal
                   val spg = (2 to j).flatMap(spawnGuards)
@@ -1194,16 +1265,16 @@ object TierA {
         case Some((n, g)) if n.mods.continueFrom =>
           for {
             (span, contra, abs) <- chainSpan(n.mods.frame, n.mods.reverse, now)
-            lim <- limitOf(n.mods)
+            lim <- limitOf(n.mods, now)
             rest <- extractLevels(n, now, lim, span, g, n.mods.reverse, contra,
               absBounds = abs)
           } yield head +: rest
         case Some((n, g)) =>
           // `.from(k)` step: absolute restart, forward only
           for {
-            k <- fromOf(n.mods).flatten
+            k <- fromOf(n.mods, now).flatten
             (ahead, back, abs) <- fromStepFrame(n.mods.frame, now)
-            lim <- limitOf(n.mods)
+            lim <- limitOf(n.mods, now)
             // spawn-relative frames + limit: per-spawn match counts diverge
             // → Tier B; absolute bounds give one fixed match sequence
             if lim.isEmpty || (ahead.isEmpty && back.isEmpty)
@@ -1229,19 +1300,19 @@ object TierA {
     frame match {
       case None => Some((None, None, None))
       case Some(LookAhead(s, None)) =>
-        litSpan(s).map { v =>
+        litSpan(s, now).map { v =>
           if (!reverse) (if (v == Long.MaxValue) None else Some(v), None, None)
           else (None, Some(v), None) // against a reverse scan: stamp >= anchor
         }
       case Some(LookBack(s, None)) =>
-        litSpan(s).map { v =>
+        litSpan(s, now).map { v =>
           if (reverse) (if (v == Long.MaxValue) None else Some(v), None, None)
           else (None, Some(v), None) // against a forward scan: stamp <= anchor
         }
       case Some(Within(s, anchor))
           if anchor == PropRef("stamp") || anchor == VarRef("stamp") =>
         // only the aligned half can bind on a cursor-advanced scan
-        litSpan(s).map(v => (if (v == Long.MaxValue) None else Some(v), None, None))
+        litSpan(s, now).map(v => (if (v == Long.MaxValue) None else Some(v), None, None))
       case Some(f) => frameAsBounds(f, now, None).map(b => (None, None, Some(b)))
     }
   }
@@ -1255,19 +1326,49 @@ object TierA {
   private def fromStepFrame(frame: Option[Frame], now: Long)
       : Option[(Option[Long], Option[Long], Option[(TopB, TopB)])] = frame match {
     case None => Some((None, None, None))
-    case Some(LookAhead(s, None)) => litSpan(s).map(v => (Some(v), None, None))
-    case Some(LookBack(s, None))  => litSpan(s).map(v => (None, Some(v), None))
+    case Some(LookAhead(s, None)) => litSpan(s, now).map(v => (Some(v), None, None))
+    case Some(LookBack(s, None))  => litSpan(s, now).map(v => (None, Some(v), None))
     case Some(Within(s, anchor))
         if anchor == PropRef("stamp") || anchor == VarRef("stamp") =>
-      litSpan(s).map(v =>
+      litSpan(s, now).map(v =>
         if (v == Long.MaxValue) (None, None, None) else (Some(v), Some(v), None))
     case Some(f) => frameAsBounds(f, now, None).map(b => (None, None, Some(b)))
   }
 
-  private def litSpan(e: Expr): Option[Long] = e match {
+  /** Constant-fold the integer arithmetic the interpreter would evaluate
+    * cursor-invalid: `+ - *` over int literals, WHOLE doubles and `now`
+    * (unary minus included) — so `look_ahead(2_days + 12_hours)`,
+    * `.limit(1 + 1)` or `now - 7_days` anchors compile instead of
+    * sending the whole script to Tier B. Overflow or any other shape →
+    * None: the interpreter wraps on overflow, and a non-whole double
+    * inside arithmetic truncates at a different point than a per-leaf
+    * fold would — both decline rather than mimic (the shiftB policy). */
+  private def constLong(e: Expr, now: Long): Option[Long] = e match {
     case Lit(VInt(i)) => Some(i)
-    case Lit(VDbl(d)) => Some(d.toLong)
+    case Lit(VDbl(d)) => if (d.isWhole) Some(d.toLong) else None
+    case VarRef("now") | PropRef("now") => Some(now)
+    case UnOp("-", x) =>
+      constLong(x, now).flatMap(v =>
+        try Some(Math.negateExact(v))
+        catch { case _: ArithmeticException => None })
+    case BinOp(op, l, r) if op == "+" || op == "-" || op == "*" =>
+      for {
+        a <- constLong(l, now)
+        b <- constLong(r, now)
+        v <- (try Some(op match {
+                case "+" => Math.addExact(a, b)
+                case "-" => Math.subtractExact(a, b)
+                case _   => Math.multiplyExact(a, b)
+              })
+              catch { case _: ArithmeticException => None })
+      } yield v
     case _ => None
+  }
+
+  private def litSpan(e: Expr, now: Long): Option[Long] = e match {
+    // a BARE double span truncates like the interpreter's asLong
+    case Lit(VDbl(d)) => Some(d.toLong)
+    case other => constLong(other, now)
   }
 
   /** One side of a per-person-constant frame bound. */
@@ -1303,12 +1404,18 @@ object TierA {
   private def frameAsBounds(f: Frame, now: Long, anchorless: Option[TopB])
       : Option[(TopB, TopB)] = {
     def endNum(e: Expr): Option[TopB] = e match {
-      case VarRef("now") | PropRef("now") => Some(TCst(now))
-      case Lit(VInt(i)) => Some(TCst(i))
-      case Lit(VDbl(d)) => Some(TCst(d.toLong))
+      case Lit(VDbl(d)) => Some(TCst(d.toLong)) // bare double: asLong
       case VarRef("first_stamp") | PropRef("first_stamp") => Some(TMin(0))
       case VarRef("last_stamp") | PropRef("last_stamp")   => Some(TMax(0))
-      case _ => None
+      // stamp-anchored arithmetic (round 12): `first_stamp + 7_days`,
+      // `last_stamp - 2_hours` — constant shifts ride the TopB offsets
+      case BinOp("+", l, r) if endNum(l).isDefined || endNum(r).isDefined =>
+        endNum(l).zip(constLong(r, now)).flatMap { case (b, d) => shiftB(b, d) }
+          .orElse(constLong(l, now).zip(endNum(r))
+            .flatMap { case (d, b) => shiftB(b, d) })
+      case BinOp("-", l, r) if constLong(l, now).isEmpty =>
+        endNum(l).zip(constLong(r, now)).flatMap { case (b, d) => shiftB(b, -d) }
+      case other => constLong(other, now).map(TCst)
     }
     def endStamp(e: Expr): Option[TopB] = e match {
       case Lit(VStr(s)) =>
@@ -1328,19 +1435,19 @@ object TierA {
     f match {
       case LookBack(s, a) =>
         for {
-          sv <- litSpan(s)
+          sv <- litSpan(s, now)
           av <- a.map(endNum).getOrElse(anchorless)
           lo <- if (sv == Long.MaxValue) Some(TInf) else shiftB(av, -sv)
         } yield (lo, av)
       case LookAhead(s, a) =>
         for {
-          sv <- litSpan(s)
+          sv <- litSpan(s, now)
           av <- a.map(endNum).getOrElse(anchorless)
           hi <- if (sv == Long.MaxValue) Some(TInf) else shiftB(av, sv)
         } yield (av, hi)
       case Within(s, a) =>
         for {
-          sv <- litSpan(s)
+          sv <- litSpan(s, now)
           if sv != Long.MaxValue // interpreter wraps a±MaxValue; decline
           av <- endNum(a)
           lo <- shiftB(av, -sv)
@@ -1354,28 +1461,28 @@ object TierA {
   /** The level's literal match cap: Some(None) = no limit, Some(Some(n))
     * = `.limit(n)` with a positive int literal, None = unsupported shape
     * (dynamic/zero/negative limits run Tier B). */
-  private def limitOf(m: EachRowMods): Option[Option[Long]] = m.limit match {
-    case None => Some(None)
-    case Some(Lit(VInt(n))) if n >= 1 => Some(Some(n))
-    case _ => None
-  }
+  private def limitOf(m: EachRowMods, now: Long): Option[Option[Long]] =
+    m.limit match {
+      case None => Some(None)
+      case Some(e) => constLong(e, now).filter(_ >= 1).map(Some(_))
+    }
 
   /** Literal non-negative `.from(k)` start offset: Some(None) = absent,
     * None = dynamic/negative -> Tier B. */
-  private def fromOf(m: EachRowMods): Option[Option[Long]] = m.from match {
-    case None => Some(None)
-    case Some(Lit(VInt(n))) if n >= 0 => Some(Some(n))
-    case _ => None
-  }
+  private def fromOf(m: EachRowMods, now: Long): Option[Option[Long]] =
+    m.from match {
+      case None => Some(None)
+      case Some(e) => constLong(e, now).filter(_ >= 0).map(Some(_))
+    }
 
   /** A nested loop the chain compiler accepts: the classic
     * `.continue().next()` cursor step (`.from` present is ignored — the
     * interpreter gives `.continue` precedence when the cursor is live), or
     * a forward `.from(k)` absolute-restart step with a literal k. */
   private def isChainStep(m: EachRowMods): Boolean =
-    (m.continueFrom && m.next && limitOf(m).isDefined) ||
-    (!m.continueFrom && !m.reverse && fromOf(m).exists(_.isDefined) &&
-      limitOf(m).isDefined)
+    (m.continueFrom && m.next && limitOf(m, 1L).isDefined) ||
+    (!m.continueFrom && !m.reverse && fromOf(m, 1L).exists(_.isDefined) &&
+      limitOf(m, 1L).isDefined)
 
   /** Single-tally fast path: Spark `rollup` generates every prefix node in
     * one pass with partial aggregation. */
@@ -2507,7 +2614,7 @@ object TierA {
           for {
             (span, contra, abs) <- chainSpan(n.mods.frame, n.mods.reverse, now)
             if contra.isEmpty // segment steps stay cursor-aligned
-            lim <- limitOf(n.mods)
+            lim <- limitOf(n.mods, now)
             (rest, ret) <- levelsOf(n, lim, span, g, n.mods.reverse, abs)
           } yield (level +: rest, ret)
         case Left(_) => None // `.from(k)` steps: query chains only

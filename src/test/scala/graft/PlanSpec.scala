@@ -52,7 +52,8 @@ class PlanSpec extends SparkSpec {
         "q_osl_chain3_framed", // framed inner steps below a depth-3 accum (round 11)
         "q_osl_chain3_limited", // intermediate-step limit below a depth-3 accum (round 12)
         "q_osl_chain3_limit_deep", // deepest-step limit below a depth-3 accum (round 12)
-        "q_osl_chain4_guarded")) // split guards on deep chain steps (round 12)
+        "q_osl_chain4_guarded", // split guards on deep chain steps (round 12)
+        "q_osl_chain4_limited")) // framed+limited deepest step at depth 4 (round 12)
       assert(!plan(q).contains("MapGroups"), s"$q fell back to Tier B")
     // and an interpreter-only shape does (sanity that the probe works):
     // a guard READING the accumulator observes a mid-visit partial sum ->
@@ -92,7 +93,11 @@ class PlanSpec extends SparkSpec {
     // row-prop guard folds into a ladder window predicate and the accum
     // guard evaluates per ordinal, so the window count stays at `depth`
     for ((q, w) <- Seq("q_osl_chain3_accum" -> 2, "q_osl_chain4_accum" -> 3,
-        "q_osl_chain4_guarded" -> 3)) {
+        "q_osl_chain4_guarded" -> 3,
+        // framed+limited deepest step: the final ladder window turns
+        // range-bounded and the limit adds the __cdc/__gd pair — two
+        // more window levels on the SAME exchange, still no collect
+        "q_osl_chain4_limited" -> 5)) {
       val dp = plan(q)
       assert(!dp.contains("collect_list"),
         s"$q must ride the ordinal prefix ladder, not a collect")

@@ -719,6 +719,130 @@ class TierChainAccumSpec extends SparkSpec {
          |""".stripMargin, expectTierA = false)
   }
 
+  test("depth-4+ deepest-step frames and limits compile (round 12)") {
+    // framed deepest step at depth 4: the final ladder window becomes
+    // rangeBetween(-span, -1) — "some valid click within 30h before r"
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(== 'signup')
+         |  n += 1
+         |  each_row.continue().next() where event.is(== 'view')
+         |    each_row.continue().next() where event.is(!= 'error')
+         |      each_row.continue().next().look_ahead(30_hours) where event.is(== 'purchase')
+         |        << n, event
+         |      end
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
+    // limited deepest step at depth 4: spawn-independent G conjunct
+    for (lim <- Seq(1, 2)) {
+      diff(
+        s"""${sel}n = 0
+           |each_row where event.is(== 'signup')
+           |  n += 1
+           |  each_row.continue().next() where event.is(== 'view')
+           |    each_row.continue().next() where event.is(!= 'error')
+           |      each_row.continue().next().limit($lim) where event.is(== 'purchase')
+           |        << n, event
+           |      end
+           |    end
+           |  end
+           |end
+           |""".stripMargin)
+    }
+    // frame + limit + split guards together at depth 4
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(!= 'error')
+         |  n += 1
+         |  each_row.continue().next() where event.is(== 'view')
+         |    if product_price.is(> 10)
+         |      each_row.continue().next() where event.is(== 'signup')
+         |        if n <= 4
+         |          each_row.continue().next().look_ahead(40_hours).limit(1) where event.is(== 'purchase')
+         |            << n, event
+         |          end
+         |        end
+         |      end
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
+    // depth-3 deepest-only frame/limit rides the ordinal path (the
+    // intermediate step is plain, so no interval counts are needed)
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(== 'signup')
+         |  n += 1
+         |  each_row.continue().next() where event.is(== 'view')
+         |    each_row.continue().next().look_ahead(20_hours).limit(1) where event.is(== 'purchase')
+         |      << n, event
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
+    // fp accumulator (collect path) + framed deepest at depth 4
+    diff(
+      s"""${sel}spend = 0
+         |each_row where event.is(!= 'error')
+         |  spend += product_price
+         |  each_row.continue().next() where event.is(== 'view')
+         |    each_row.continue().next() where product_price.is(> 5)
+         |      each_row.continue().next().look_ahead(30_hours).limit(2) where event.is(== 'purchase')
+         |        << bucket(spend, 100), event
+         |      end
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
+    // reverse top + limited deepest at depth 4 (direction-independent)
+    diff(
+      s"""${sel}n = 0
+         |each_row.reverse() where event.is(== 'signup')
+         |  n += 1
+         |  each_row.continue().next() where event.is(== 'view')
+         |    each_row.continue().next() where event.is(!= 'error')
+         |      each_row.continue().next().limit(1) where event.is(== 'purchase')
+         |        << n, event
+         |      end
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
+    // depth 5, tight frame at the boundary
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(!= 'error')
+         |  n += 1
+         |  each_row.continue().next() where event.is(== 'view')
+         |    each_row.continue().next() where event.is(== 'signup')
+         |      each_row.continue().next() where event.is(== 'click')
+         |        each_row.continue().next().look_ahead(5_hours) where event.is(== 'purchase')
+         |          << n, event
+         |        end
+         |      end
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
+    // decline: a MIDDLE step limited at depth 4 (its cap couples spawn
+    // and hop ordinals across two intermediate levels)
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(== 'signup')
+         |  n += 1
+         |  each_row.continue().next().limit(2) where event.is(== 'view')
+         |    each_row.continue().next() where event.is(!= 'error')
+         |      each_row.continue().next() where event.is(== 'purchase')
+         |        << n, event
+         |      end
+         |    end
+         |  end
+         |end
+         |""".stripMargin, expectTierA = false)
+  }
+
   test("depth-3 chains with plain inner steps compile (round 9)") {
     // the canonical signup -> view -> purchase chain reading the running
     // signup ordinal at the deepest level

@@ -118,6 +118,67 @@ class TierPropertySpec extends SparkSpec {
     }
   }
 
+  // constant folding (round 12): spans/limits/from offsets/frame anchors
+  // built from `+ - *` over int literals, whole doubles and `now` fold to
+  // the value the interpreter would compute cursor-invalid — previously
+  // any arithmetic sent the whole script to Tier B
+  test("constant-folded spans/limits/anchors compile (round 12)") {
+    def diff(script: String, expectTierA: Boolean = true): Unit = {
+      val p = Parser.program(script)
+      assert(TierA.compile(p, world, Mon + 100 * H, 1800000L).isDefined == expectTierA,
+        s"Tier A compile expected=$expectTierA:\n$script")
+      val a = canon(OslEngine.query(world, script, now = Mon + 100 * H))
+      val b = canon(OslEngine.query(world, script, now = Mon + 100 * H,
+        forceTierB = true))
+      assert(a == b, s"tier mismatch:\n$script\nA=$a\nB=$b")
+    }
+    val sel = "select\n  count id as customers\n  count event as n_rows\nend\n"
+    // arithmetic span on a top-level frame, explicit now anchor
+    diff(s"""${sel}each_row.look_back(24_hours + 12_hours, now) where event.is(== 'purchase')
+            |  << event
+            |end
+            |""".stripMargin)
+    // arithmetic .limit and .from on the top loop
+    diff(s"""${sel}each_row.limit(1 + 2) where event.is(!= 'error')
+            |  << event
+            |end
+            |""".stripMargin)
+    diff(s"""${sel}each_row.from(2 * 1) where event.is(!= 'error')
+            |  << event
+            |end
+            |""".stripMargin)
+    // arithmetic span on a chain step + arithmetic inner limit
+    diff(s"""${sel}each_row where event.is(== 'signup')
+            |  each_row.continue().next().look_ahead(12_hours + 6_hours).limit(3 - 1) where event.is(== 'purchase')
+            |    << event
+            |  end
+            |end
+            |""".stripMargin)
+    // stamp-anchored arithmetic: first_stamp + const as a frame anchor
+    diff(s"""${sel}each_row.look_ahead(24_hours, first_stamp + 12_hours) where event.is(!= 'error')
+            |  << event
+            |end
+            |""".stripMargin)
+    // now-relative anchor arithmetic
+    diff(s"""${sel}each_row.look_back(48_hours, now - 24_hours) where event.is(!= 'error')
+            |  << event
+            |end
+            |""".stripMargin)
+    // a non-whole double INSIDE arithmetic declines: the interpreter
+    // truncates the final value, a per-leaf fold would truncate earlier
+    diff(s"""${sel}each_row.limit(2.5 + 0.5) where event.is(!= 'error')
+            |  << event
+            |end
+            |""".stripMargin, expectTierA = false)
+    // row-dependent spans still decline
+    diff(s"""${sel}each_row where event.is(== 'signup')
+            |  each_row.continue().next().look_ahead(product_price) where event.is(== 'purchase')
+            |    << event
+            |  end
+            |end
+            |""".stripMargin, expectTierA = false)
+  }
+
   // read accumulators (round 5): integer init + leading literal increment,
   // read in tally groups, if-guards, and is-test operands — compiled as a
   // running-count window over the visited set
@@ -797,6 +858,11 @@ class TierPropertySpec extends SparkSpec {
       val gincLine = ginc.map(g => s"  $g\n").getOrElse("")
       val topTallyLine = if (topTally) s"  << 'top', $read\n" else ""
       val midTallyLine = if (midTally) s"    << $read, 'mid'\n" else ""
+      // round 12: the depth-4 DEEPEST step may be framed/limited (the
+      // final ladder window range-bounds; the limit is a G conjunct)
+      val d4Mods = Gen.oneOf("", "", ".look_ahead(30_hours)", ".limit(1)",
+        ".look_ahead(50_hours).limit(2)")
+        .pureApply(params, s0.slide.slide.slide.slide)
       val deepest =
         if (depth4) deepGuard match {
           // round 12: depth-4 deepest-step guards compose (row-prop
@@ -804,14 +870,14 @@ class TierPropertySpec extends SparkSpec {
           case Some(g) =>
             s"""each_row.continue().next() where $w2
                |      if $g
-               |        each_row.continue().next() where $w3
+               |        each_row.continue().next()$d4Mods where $w3
                |          << $read, $g2
                |        end
                |      end
                |    end""".stripMargin
           case None =>
             s"""each_row.continue().next() where $w2
-               |      each_row.continue().next() where $w3
+               |      each_row.continue().next()$d4Mods where $w3
                |        << $read, $g2
                |      end
                |    end""".stripMargin
