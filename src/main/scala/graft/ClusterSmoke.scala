@@ -38,7 +38,13 @@ object ClusterSmoke {
     "q_osl_reverse_chain_accum",
     // depth-3 framed inner steps (round-11 interval-count reachability
     // incl. rangeBetween endpoint windows)
-    "q_osl_chain3_framed")
+    "q_osl_chain3_framed",
+    // split guards on a depth-4 ordinal chain (round 12: ladder-folded
+    // row guard + per-ordinal accumulator guard)
+    "q_osl_chain4_guarded",
+    // reverse inner step (round 12: FOLLOWING-window tuple collect —
+    // the mirrored checks must survive cross-JVM shuffles)
+    "q_osl_chain_reverse_inner")
 
   private def canon(df: org.apache.spark.sql.DataFrame): Set[Vector[String]] = {
     val cols = df.columns.sorted

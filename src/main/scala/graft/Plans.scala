@@ -159,6 +159,11 @@ object Plans {
         "(rangeBetween(-span, -1)) and the limit is one spawn-independent " +
         "__cdc/__gd conjunct — five windows on ONE (id) exchange, ordinal path, " +
         "no collected array"),
+    P("q_osl_chain_reverse_inner",
+      "reverse inner step below a chain accumulator (round 12): spawn tuples " +
+        "collect over the FOLLOWING window, range-bounded by the aligned " +
+        "look_back span (rangeBetween(1, span)) — mirrored frame checks ride " +
+        "the same single (id) exchange, no self-join"),
     P("q_ann_ivf_indexed",
       "persisted IVF index (round 11): the cells scan carries an explicit " +
         "PartitionFilters: cell IN (probed) — a query reads nprobe/nlist of the " +

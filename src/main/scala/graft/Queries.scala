@@ -3923,6 +3923,54 @@ object Queries {
           COUNT(DISTINCT id), COUNT(*)
         FROM quad GROUP BY i""")),
 
+    // Round-12 Tier A widening: a REVERSE inner step below a chain
+    // accumulator — for each purchase (carrying its running ordinal), the
+    // nested loop scans BACKWARD and visits the 2 nearest preceding views
+    // within 24 h. Visited rows sit BEFORE their spawn, so the compiled
+    // spawn tuples collect over the FOLLOWING window (range-bounded by
+    // the aligned look_back span) with mirrored frame checks; the reverse
+    // cumulative match count makes the limit subtraction
+    // direction-agnostic. Reference: backward nested scan
+    // src/queryinterpreter.cpp:2437-2458.
+    Q("q_osl_chain_reverse_inner",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |each_row where event.is(== 'purchase')
+            |  n += 1
+            |  each_row.continue().next().reverse().look_back(24_hours).limit(2) where event.is(== 'view')
+            |    << n, event
+            |  end
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"))
+      },
+      Some(s"""$E, pu AS (
+          SELECT id, stamp,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
+          FROM e WHERE event = 'purchase'),
+        pairs AS (
+          SELECT DISTINCT v.id, v.stamp, pu.i
+          FROM e v JOIN pu ON pu.id = v.id AND v.stamp < pu.stamp
+          WHERE v.event = 'view' AND pu.stamp - v.stamp <= 86400000
+            AND (SELECT COUNT(*) FROM e v2
+              WHERE v2.id = v.id AND v2.event = 'view'
+                AND v2.stamp >= v.stamp AND v2.stamp < pu.stamp) <= 2)
+        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
+          'view' AS g2, COUNT(DISTINCT id) AS customers,
+          COUNT(*) AS n_rows
+        FROM pairs GROUP BY i
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*)
+        FROM pairs GROUP BY i""")),
+
     // Round-9 Tier A widening: an EVER-read BELOW a chain step — the
     // operand observes the SPAWNING signup's running ordinal, so the
     // compiled compare (person-level max(value) aggregate vs n*50)

@@ -316,6 +316,22 @@ object Scale {
             |end
             |""".stripMargin, now = 1719792000000L)
       }),
+      "osl_chain_reverse_inner" -> ((_: String, e: String, _: String) => {
+        val ev = normalizeEvents(spark.read.parquet(e))
+        graft.osl.OslEngine.query(ev,
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |each_row where event.is(== 'purchase')
+            |  n += 1
+            |  each_row.continue().next().reverse().look_back(24_hours).limit(2) where event.is(== 'view')
+            |    << n, event
+            |  end
+            |end
+            |""".stripMargin, now = 1719792000000L)
+      }),
       "osl_chain_ever_read" -> ((_: String, e: String, _: String) => {
         val ev = normalizeEvents(spark.read.parquet(e))
         graft.osl.OslEngine.query(ev,

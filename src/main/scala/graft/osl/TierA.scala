@@ -316,16 +316,18 @@ object TierA {
     *              [&& lastSameLevelMatch.rn <= witness.rn -- limit(1)]
     * One sort-shuffle on `id` computes every window; tallies flow through
     * the explode plan with eligibility AND'ed in. */
-  /** Inner-step shapes that compose with chain accumulators: forward
-    * continue().next() steps, optionally framed and `.limit(n)`-capped —
-    * per-spawn eligibility is decided IN-ROW from the collected spawn
-    * tuples (stamp for the frame check, the spawn's cumulative inner-match
-    * count for the limit check, exactly the witness arithmetic
-    * [[chainWitnesses]] uses). Reverse and `.from` restart steps stay
-    * Tier B when an accumulator is read below the step: their visited
-    * sets are not "spawns strictly before the row". */
+  /** Inner-step shapes that compose with chain accumulators: forward OR
+    * reverse (round 12) continue().next() steps, optionally framed and
+    * `.limit(n)`-capped — per-spawn eligibility is decided IN-ROW from
+    * the collected spawn tuples (stamp for the frame check, the spawn's
+    * cumulative inner-match count for the limit check, exactly the
+    * witness arithmetic [[chainWitnesses]] uses). A REVERSE step's
+    * visited rows sit BEFORE its spawn, so the tuples collect over the
+    * FOLLOWING window and every check mirrors (the rev `__mc1` already
+    * counts from the right). `.from` restart steps stay Tier B: their
+    * loop revisits rows at different accumulated values. */
   private def chainAccumOk(l1: ChainLevel): Boolean =
-    !l1.reverse && !l1.isFromStep
+    !l1.isFromStep
 
   /** A PLAIN chain step: unguarded, unframed, unlimited, forward, no
     * restart — its visited set from spawn s is exactly "where-matching
@@ -795,6 +797,14 @@ object TierA {
         // with just one finite hop is unbounded spawn→row and must keep
         // the full preceding window (the row-bound memory gate applies).
         val collectW = levels.size match {
+          // a REVERSE inner step (round 12) visits rows BEFORE its spawn:
+          // collect the spawns AFTER this row, range-bounded by a finite
+          // aligned span (the spawn sits within span ABOVE the row)
+          case 2 if levels(1).reverse => levels(1).spanMs match {
+            case Some(sp) if sp != Long.MaxValue && levels(1).contraSpanMs.isEmpty =>
+              person.rangeBetween(1, sp)
+            case _ => person.rowsBetween(1, W.unboundedFollowing)
+          }
           case 2 => levels(1).spanMs match {
             case Some(sp) if sp != Long.MaxValue && levels(1).contraSpanMs.isEmpty =>
               person.rangeBetween(-sp, -1)
@@ -830,15 +840,25 @@ object TierA {
             .withColumn("__gd", max(when(matchPred, col("__cdc"))).over(lastWin))
           col("__cdc") - col("__gd") <= lit(m)
         }
-      // per-spawn eligibility, evaluated in-row on each collected tuple
+      // per-spawn eligibility, evaluated in-row on each collected tuple —
+      // frame checks mirror on a reverse step (spanMs points WITH the
+      // scan; the rev __mc1 counts from the right, so the limit
+      // subtraction is direction-agnostic)
       def spawnOk(v: Column): Column = {
+        val rev = levels(1).reverse
         val span = levels(1).spanMs.map(sp =>
           if (sp == Long.MaxValue) lit(true)
+          else if (rev) v.getField("__st") - col("stamp") <= sp
           else col("stamp") - v.getField("__st") <= sp)
         val contra = levels(1).contraSpanMs.map(sp =>
-          col("stamp") <= v.getField("__st") &&
-            (if (sp == Long.MaxValue) lit(true)
-             else v.getField("__st") - col("stamp") <= sp))
+          if (rev)
+            col("stamp") >= v.getField("__st") &&
+              (if (sp == Long.MaxValue) lit(true)
+               else col("stamp") - v.getField("__st") <= sp)
+          else
+            col("stamp") <= v.getField("__st") &&
+              (if (sp == Long.MaxValue) lit(true)
+               else v.getField("__st") - col("stamp") <= sp))
         val limit = levels(1).limitN.map(n =>
           col("__mc1") - v.getField("__mc") <= n)
         (span.toSeq ++ contra.toSeq ++ limit.toSeq)

@@ -843,6 +843,80 @@ class TierChainAccumSpec extends SparkSpec {
          |""".stripMargin, expectTierA = false)
   }
 
+  test("REVERSE inner steps below chain accumulators (round 12)") {
+    // the reverse scan visits rows BEFORE the spawn: tuples collect over
+    // the FOLLOWING window, each visited row observes its spawn's value
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(== 'purchase')
+         |  n += 1
+         |  each_row.continue().next().reverse() where event.is(== 'view')
+         |    << n, event
+         |  end
+         |end
+         |""".stripMargin)
+    // aligned frame (look_back points WITH a reverse scan): range-bounds
+    // the FOLLOWING collect window
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(== 'purchase')
+         |  n += 1
+         |  each_row.continue().next().reverse().look_back(24_hours) where event.is(== 'view')
+         |    << n, event
+         |  end
+         |end
+         |""".stripMargin)
+    // limit: the nearest k preceding matches (rev __mc1 counts from the
+    // right; the subtraction is direction-agnostic)
+    for (lim <- Seq(1, 2)) {
+      diff(
+        s"""${sel}n = 0
+           |each_row where event.is(!= 'error')
+           |  n += 1
+           |  each_row.continue().next().reverse().limit($lim) where event.is(== 'view')
+           |    << n, event
+           |  end
+           |end
+           |""".stripMargin)
+    }
+    // contra frame (look_ahead AGAINST the reverse scan): honestly empty
+    // on tie-free data
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(== 'purchase')
+         |  n += 1
+         |  each_row.continue().next().reverse().look_ahead(12_hours) where event.is(== 'view')
+         |    << n, event
+         |  end
+         |end
+         |""".stripMargin)
+    // fp accumulator + frame + limit + guard, and a REVERSE top over a
+    // reverse inner step (tuples carry real values — direction-agnostic)
+    diff(
+      s"""${sel}spend = 0
+         |each_row.reverse() where event.is(!= 'error')
+         |  spend += product_price
+         |  if product_price.is(> 10)
+         |    each_row.continue().next().reverse().look_back(36_hours).limit(2) where event.is(== 'view')
+         |      << bucket(spend, 80), event
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
+    // reverse inner steps stay Tier B at depth 3 (mixed-direction chains)
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(== 'signup')
+         |  n += 1
+         |  each_row.continue().next().reverse() where event.is(== 'view')
+         |    each_row.continue().next() where event.is(== 'purchase')
+         |      << n, event
+         |    end
+         |  end
+         |end
+         |""".stripMargin, expectTierA = false)
+  }
+
   test("depth-3 chains with plain inner steps compile (round 9)") {
     // the canonical signup -> view -> purchase chain reading the running
     // signup ordinal at the deepest level

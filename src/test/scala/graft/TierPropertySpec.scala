@@ -700,7 +700,10 @@ class TierPropertySpec extends SparkSpec {
     val genInnerMods = Gen.oneOf("", "", ".limit(1)", ".limit(2)",
       ".look_ahead(15_hours)", ".look_ahead(20_hours).limit(2)",
       ".within(16_hours, stamp)",
-      ".range('2024-01-01T08:00:00Z', '2024-01-03T00:00:00Z')")
+      ".range('2024-01-01T08:00:00Z', '2024-01-03T00:00:00Z')",
+      // round 12: reverse inner steps (FOLLOWING collect, mirrored checks)
+      ".reverse()", ".reverse().look_back(20_hours)", ".reverse().limit(2)",
+      ".reverse().look_back(30_hours).limit(1)")
     (1 to 20).foreach { i =>
       val s0 = Seed(i.toLong * 7368787)
       val w0 = genWhere.pureApply(params, s0)
