@@ -35,6 +35,35 @@ class TierChainAccumSpec extends SparkSpec {
       }.orNull).toVector).toSet
   }
 
+  // a DENSER world for the round-12 interval/boundary machinery: 3 people
+  // with 60 rows each at irregular 1–4 h spacing — deep-chain frames and
+  // limits see many in-frame candidates per spawn (the 12-rows-per-person
+  // default world is too thin to stress prefix/suffix boundaries)
+  private lazy val worldDense = {
+    val rnd = new scala.util.Random(41)
+    val events = Seq("purchase", "view", "signup", "click", "error")
+    val products = Seq("rod", "reel", "net", "fly")
+    (0 until 3).flatMap { u =>
+      var t = Mon + u * H
+      (0 until 60).map { _ =>
+        t += (1 + rnd.nextInt(4)) * H
+        (s"d$u", t, events(rnd.nextInt(5)), products(rnd.nextInt(4)),
+          math.round(rnd.nextDouble() * 10000) / 100.0)
+      }
+    }.toDF("id", "stamp", "event", "product_name", "product_price").cache()
+  }
+
+  private def diffOn(w: org.apache.spark.sql.DataFrame, script: String,
+                     expectTierA: Boolean = true): Unit = {
+    val p = Parser.program(script)
+    assert(TierA.compile(p, w, Mon + 400 * H, 1800000L).isDefined == expectTierA,
+      s"Tier A compile expected=$expectTierA for:\n$script")
+    val a = canon(OslEngine.query(w, script, now = Mon + 400 * H))
+    val b = canon(OslEngine.query(w, script, now = Mon + 400 * H,
+      forceTierB = true))
+    assert(a == b, s"tier mismatch:\n$script\nA=$a\nB=$b")
+  }
+
   private def diff(script: String, expectTierA: Boolean = true): Unit = {
     val p = Parser.program(script)
     assert(TierA.compile(p, world, Mon + 100 * H, 1800000L).isDefined == expectTierA,
@@ -915,6 +944,89 @@ class TierChainAccumSpec extends SparkSpec {
          |  end
          |end
          |""".stripMargin, expectTierA = false)
+  }
+
+  test("round-12 shapes on a dense world: Tier A == Tier B (grid)") {
+    // depth-3 intermediate-step limits × deepest frames: many in-frame
+    // views per signup stress the ordinal-capped interval endpoints
+    for (mid <- Seq(".limit(2)", ".look_ahead(9_hours).limit(1)", ".limit(4)");
+         deepF <- Seq("", ".look_ahead(7_hours)")) {
+      diffOn(worldDense,
+        s"""${sel}n = 0
+           |each_row where event.is(== 'signup')
+           |  n += 1
+           |  each_row.continue().next()$mid where event.is(== 'view')
+           |    each_row.continue().next()$deepF where event.is(== 'purchase')
+           |      << n, event
+           |    end
+           |  end
+           |end
+           |""".stripMargin)
+    }
+    // depth-3 deepest-step limits × intermediate frames (G-lookup path)
+    for (deep <- Seq(".limit(1)", ".look_ahead(8_hours).limit(2)");
+         midF <- Seq("", ".look_ahead(12_hours)")) {
+      diffOn(worldDense,
+        s"""${sel}n = 0
+           |each_row where event.is(!= 'error')
+           |  n += 1
+           |  each_row.continue().next()$midF where event.is(== 'view')
+           |    each_row.continue().next()$deep where event.is(== 'purchase')
+           |      << n, event
+           |    end
+           |  end
+           |end
+           |""".stripMargin)
+    }
+    // depth-4 deepest frames/limits + split guards (ordinal ladder with
+    // a range-bounded final window and the __cdc/__gd conjunct)
+    for (deep <- Seq(".look_ahead(10_hours)", ".limit(1)",
+                     ".look_ahead(14_hours).limit(2)")) {
+      diffOn(worldDense,
+        s"""${sel}n = 0
+           |each_row where event.is(== 'signup')
+           |  n += 1
+           |  each_row.continue().next() where event.is(== 'view')
+           |    if product_price.is(> 15)
+           |      each_row.continue().next() where event.is(== 'click')
+           |        if n <= 6
+           |          each_row.continue().next()$deep where event.is(== 'purchase')
+           |            << n, event
+           |          end
+           |        end
+           |      end
+           |    end
+           |  end
+           |end
+           |""".stripMargin)
+    }
+    // reverse inner steps: dense preceding-match runs stress the
+    // FOLLOWING collect and the rev match-count subtraction
+    for (mods <- Seq(".reverse()", ".reverse().look_back(9_hours)",
+                     ".reverse().limit(3)",
+                     ".reverse().look_back(14_hours).limit(2)")) {
+      diffOn(worldDense,
+        s"""${sel}n = 0
+           |each_row where event.is(== 'purchase')
+           |  n += 1
+           |  each_row.continue().next()$mods where event.is(== 'view')
+           |    << n, event
+           |  end
+           |end
+           |""".stripMargin)
+    }
+    // fp accumulator + reverse top over the dense world (collect paths)
+    diffOn(worldDense,
+      s"""${sel}spend = 0
+         |each_row.reverse() where event.is(!= 'error')
+         |  spend += product_price
+         |  each_row.continue().next().look_ahead(11_hours) where event.is(== 'view')
+         |    each_row.continue().next().look_ahead(9_hours).limit(1) where event.is(== 'purchase')
+         |      << bucket(spend, 150), event
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
   }
 
   test("depth-3 chains with plain inner steps compile (round 9)") {
