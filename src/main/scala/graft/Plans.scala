@@ -164,6 +164,11 @@ object Plans {
         "collect over the FOLLOWING window, range-bounded by the aligned " +
         "look_back span (rangeBetween(1, span)) — mirrored frame checks ride " +
         "the same single (id) exchange, no self-join"),
+    P("q_osl_from_accum",
+      "restart step below a chain accumulator (round 12): every spawn rescans " +
+        "the same absolute tail, so tuples collect over the inverted-frame " +
+        "range window (here spawns in [row, row+24h]) — the index floor and " +
+        "frame checks are in-row arithmetic on the same single (id) exchange"),
     P("q_ann_ivf_indexed",
       "persisted IVF index (round 11): the cells scan carries an explicit " +
         "PartitionFilters: cell IN (probed) — a query reads nprobe/nlist of the " +

@@ -3971,6 +3971,52 @@ object Queries {
           COUNT(DISTINCT id), COUNT(*)
         FROM pairs GROUP BY i""")),
 
+    // Round-12 Tier A widening: a `.from(0)` RESTART step below a chain
+    // accumulator — for each signup (carrying its running ordinal), the
+    // nested loop rescans the person from row 0 and visits the views in
+    // the 24 h window BEFORE that signup. Every spawn scans the same
+    // fixed tail, so a view's visitors sit on its FUTURE side here: the
+    // compiled spawn tuples collect over the inverted-frame range window
+    // (spawns in [row, row+24h]) and the look_back bounds anchor per
+    // tuple. Reference: absolute restart scan
+    // src/queryinterpreter.cpp:2437-2458 (from-anchored cursor).
+    Q("q_osl_from_accum",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |each_row where event.is(== 'signup')
+            |  n += 1
+            |  each_row.from(0).look_back(24_hours) where event.is(== 'view')
+            |    << n, event
+            |  end
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"))
+      },
+      Some(s"""$E, su AS (
+          SELECT id, stamp,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
+          FROM e WHERE event = 'signup'),
+        pairs AS (
+          SELECT DISTINCT v.id, v.stamp, su.i
+          FROM e v JOIN su ON su.id = v.id
+          WHERE v.event = 'view' AND v.stamp <= su.stamp
+            AND su.stamp - v.stamp <= 86400000)
+        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
+          'view' AS g2, COUNT(DISTINCT id) AS customers,
+          COUNT(*) AS n_rows
+        FROM pairs GROUP BY i
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*)
+        FROM pairs GROUP BY i""")),
+
     // Round-9 Tier A widening: an EVER-read BELOW a chain step — the
     // operand observes the SPAWNING signup's running ordinal, so the
     // compiled compare (person-level max(value) aggregate vs n*50)

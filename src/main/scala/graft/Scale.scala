@@ -332,6 +332,22 @@ object Scale {
             |end
             |""".stripMargin, now = 1719792000000L)
       }),
+      "osl_from_accum" -> ((_: String, e: String, _: String) => {
+        val ev = normalizeEvents(spark.read.parquet(e))
+        graft.osl.OslEngine.query(ev,
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |each_row where event.is(== 'signup')
+            |  n += 1
+            |  each_row.from(0).look_back(24_hours) where event.is(== 'view')
+            |    << n, event
+            |  end
+            |end
+            |""".stripMargin, now = 1719792000000L)
+      }),
       "osl_chain_ever_read" -> ((_: String, e: String, _: String) => {
         val ev = normalizeEvents(spark.read.parquet(e))
         graft.osl.OslEngine.query(ev,

@@ -324,10 +324,14 @@ object TierA {
     * witness arithmetic [[chainWitnesses]] uses). A REVERSE step's
     * visited rows sit BEFORE its spawn, so the tuples collect over the
     * FOLLOWING window and every check mirrors (the rev `__mc1` already
-    * counts from the right). `.from` restart steps stay Tier B: their
-    * loop revisits rows at different accumulated values. */
-  private def chainAccumOk(l1: ChainLevel): Boolean =
-    !l1.isFromStep
+    * counts from the right). `.from(k)` RESTART steps (round 12) also
+    * compose: every spawn rescans the SAME fixed tail (row index ≥ k),
+    * so a row's visitors can sit on EITHER side — tuples collect over a
+    * two-sided range window (the frame inverted around the row), the
+    * index floor and any `.limit(n)` are spawn-INDEPENDENT row checks
+    * (limits are upstream-gated to unframed restarts), and frames
+    * anchor per tuple. */
+  private def chainAccumOk(l1: ChainLevel): Boolean = true
 
   /** A PLAIN chain step: unguarded, unframed, unlimited, forward, no
     * restart — its visited set from spawn s is exactly "where-matching
@@ -577,11 +581,23 @@ object TierA {
                                events: DataFrame): Boolean = {
     def fin(l: ChainLevel) =
       l.spanMs.exists(_ != Long.MaxValue) && l.contraSpanMs.isEmpty
+    // a restart step's collect window is bounded iff BOTH inverted sides
+    // are finite: the lower needs a finite ahead span (or a back-only
+    // frame pinning spawns at-or-after the row), the upper a finite back
+    // span (or an ahead-only frame pinning them at-or-before)
+    def finFrom(l: ChainLevel) = {
+      val loFin = l.spanMs.exists(_ != Long.MaxValue) ||
+        (l.spanMs.isEmpty && l.contraSpanMs.isDefined)
+      val hiFin = l.contraSpanMs.exists(_ != Long.MaxValue) ||
+        (l.contraSpanMs.isEmpty && l.spanMs.isDefined)
+      loFin && hiFin
+    }
     // the collect window is range-bounded only when EVERY hop from spawn
     // to row is finite (depth 2: span₁; depth 3: span₁+span₂ — see
     // collectW in chainPlan); otherwise the row-bound memory gate decides
     val rangeBounded =
-      if (levels.size == 2) fin(levels(1))
+      if (levels.size == 2 && levels(1).isFromStep) finFrom(levels(1))
+      else if (levels.size == 2) fin(levels(1))
       else if (levels.size == 3) fin(levels(1)) && fin(levels(2))
       else false
     chainOrdinalOnly(levels, accums) || rangeBounded ||
@@ -797,6 +813,26 @@ object TierA {
         // with just one finite hop is unbounded spawn→row and must keep
         // the full preceding window (the row-bound memory gate applies).
         val collectW = levels.size match {
+          // a `.from(k)` RESTART step (round 12): every spawn scans the
+          // same fixed tail, so visitors sit on EITHER side of the row —
+          // invert the (spawn-anchored) frame to bound which spawn
+          // stamps can reach this row: ahead a ⇒ spawn ≥ row−a,
+          // back b ⇒ spawn ≤ row+b; a missing side pins the spawn to
+          // the row's own side; unframed ⇒ the whole person
+          case 2 if levels(1).isFromStep =>
+            val ahead = levels(1).spanMs
+            val back = levels(1).contraSpanMs
+            val lo = ahead match {
+              case Some(a) if a != Long.MaxValue => -a
+              case Some(_) => W.unboundedPreceding
+              case None => if (back.isDefined) 0L else W.unboundedPreceding
+            }
+            val hi = back match {
+              case Some(b) if b != Long.MaxValue => b
+              case Some(_) => W.unboundedFollowing
+              case None => if (ahead.isDefined) 0L else W.unboundedFollowing
+            }
+            person.rangeBetween(lo, hi)
           // a REVERSE inner step (round 12) visits rows BEFORE its spawn:
           // collect the spawns AFTER this row, range-bounded by a finite
           // aligned span (the spawn sits within span ABOVE the row)
@@ -844,7 +880,27 @@ object TierA {
       // frame checks mirror on a reverse step (spanMs points WITH the
       // scan; the rev __mc1 counts from the right, so the limit
       // subtraction is direction-agnostic)
-      def spawnOk(v: Column): Column = {
+      def spawnOk(v: Column): Column = if (levels(1).isFromStep) {
+        // restart step: the frame anchors at the SPAWN and the row may
+        // sit on either side — mirror Interpreter.frameBounds exactly:
+        // look_ahead ⇒ [st, st+a], look_back ⇒ [st−b, st], within ⇒
+        // [st−s, st+s] (one-sided frames pin the row to the spawn's
+        // side). The index floor and limit are row-level, not per-tuple.
+        val st = v.getField("__st")
+        val loC = levels(1).contraSpanMs match {
+          case Some(b) =>
+            Some(if (b == Long.MaxValue) lit(true)
+                 else col("stamp") >= st - b)
+          case None => levels(1).spanMs.map(_ => col("stamp") >= st)
+        }
+        val hiC = levels(1).spanMs match {
+          case Some(a) =>
+            Some(if (a == Long.MaxValue) lit(true)
+                 else col("stamp") <= st + a)
+          case None => levels(1).contraSpanMs.map(_ => col("stamp") <= st)
+        }
+        (loC.toSeq ++ hiC.toSeq).reduceOption(_ && _).getOrElse(lit(true))
+      } else {
         val rev = levels(1).reverse
         val span = levels(1).spanMs.map(sp =>
           if (sp == Long.MaxValue) lit(true)
@@ -910,8 +966,18 @@ object TierA {
         // per-tuple conditions (a tuple exists = a spawn precedes; frames/
         // limits re-check per tuple via spawnOk) — leaving it OUT lets
         // Catalyst prune the witness-struct and row_number windows from
-        // the accum plan entirely: one running-count window survives
-        val rowP = levelPreds(1)
+        // the accum plan entirely: one running-count window survives.
+        // Restart steps add their spawn-independent row checks here: the
+        // absolute index floor, and the fixed-sequence rank cap (limits
+        // are upstream-gated to UNFRAMED restarts, where every spawn
+        // sees the identical match sequence)
+        val rowP =
+          if (levels(1).isFromStep) {
+            var p = levelPreds(1) &&
+              col("__rn") >= lit(levels(1).fromStart.get + 1)
+            levels(1).limitN.foreach(n => p = p && col("__mc1") <= n)
+            p
+          } else levelPreds(1)
         val canonFlags = gs.map { g =>
           val probe = compileExpr(g, now, realFor(typeBinds), typeBinds).get
           df.select(probe).schema.head.dataType

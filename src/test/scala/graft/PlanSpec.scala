@@ -54,7 +54,8 @@ class PlanSpec extends SparkSpec {
         "q_osl_chain3_limit_deep", // deepest-step limit below a depth-3 accum (round 12)
         "q_osl_chain4_guarded", // split guards on deep chain steps (round 12)
         "q_osl_chain4_limited", // framed+limited deepest step at depth 4 (round 12)
-        "q_osl_chain_reverse_inner")) // reverse inner step, FOLLOWING collect (round 12)
+        "q_osl_chain_reverse_inner", // reverse inner step, FOLLOWING collect (round 12)
+        "q_osl_from_accum")) // restart step, inverted-frame two-sided collect (round 12)
       assert(!plan(q).contains("MapGroups"), s"$q fell back to Tier B")
     // and an interpreter-only shape does (sanity that the probe works):
     // a guard READING the accumulator observes a mid-visit partial sum ->

@@ -946,6 +946,95 @@ class TierChainAccumSpec extends SparkSpec {
          |""".stripMargin, expectTierA = false)
   }
 
+  test(".from(k) restart steps below chain accumulators (round 12)") {
+    // every spawn rescans the same absolute tail: a row is visited once
+    // per spawn (before OR after it), observing that spawn's value
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(== 'signup')
+         |  n += 1
+         |  each_row.from(0) where event.is(== 'view')
+         |    << n, event
+         |  end
+         |end
+         |""".stripMargin)
+    // nonzero floor + .next() offset
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(!= 'error')
+         |  n += 1
+         |  each_row.from(3) where event.is(== 'purchase')
+         |    << bucket(n, 2), event
+         |  end
+         |end
+         |""".stripMargin)
+    // look_back frame: visits within b BEFORE each spawn (spawns collect
+    // from the row's FUTURE side)
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(== 'purchase')
+         |  n += 1
+         |  each_row.from(0).look_back(24_hours) where event.is(== 'view')
+         |    << n, event
+         |  end
+         |end
+         |""".stripMargin)
+    // look_ahead frame: visits within a AFTER each spawn
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(== 'signup')
+         |  n += 1
+         |  each_row.from(0).look_ahead(24_hours) where event.is(== 'view')
+         |    << n, event
+         |  end
+         |end
+         |""".stripMargin)
+    // within frame: both sides of the spawn
+    diff(
+      s"""${sel}n = 0
+         |each_row where event.is(== 'signup')
+         |  n += 1
+         |  each_row.from(0).within(18_hours, stamp) where event.is(== 'view')
+         |    << n, event
+         |  end
+         |end
+         |""".stripMargin)
+    // unframed limit: the fixed sequence's first k matches past the floor
+    for (lim <- Seq(1, 3)) {
+      diff(
+        s"""${sel}n = 0
+           |each_row where event.is(!= 'error')
+           |  n += 1
+           |  each_row.from(1).limit($lim) where event.is(== 'view')
+           |    << n, event
+           |  end
+           |end
+           |""".stripMargin)
+    }
+    // guarded spawn + fp accumulator + reverse top
+    diff(
+      s"""${sel}spend = 0
+         |each_row.reverse() where event.is(!= 'error')
+         |  spend += product_price
+         |  if product_price.is(> 10)
+         |    each_row.from(0).look_back(30_hours) where event.is(== 'view')
+         |      << bucket(spend, 80), event
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
+    // dense world: from-floor + frame with many candidates
+    diffOn(worldDense,
+      s"""${sel}n = 0
+         |each_row where event.is(== 'signup')
+         |  n += 1
+         |  each_row.from(5).within(10_hours, stamp) where event.is(== 'view')
+         |    << n, event
+         |  end
+         |end
+         |""".stripMargin)
+  }
+
   test("round-12 shapes on a dense world: Tier A == Tier B (grid)") {
     // depth-3 intermediate-step limits × deepest frames: many in-frame
     // views per signup stress the ordinal-capped interval endpoints
