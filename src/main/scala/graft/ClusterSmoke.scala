@@ -44,7 +44,9 @@ object ClusterSmoke {
     "q_osl_chain4_guarded",
     // reverse inner step (round 12: FOLLOWING-window tuple collect —
     // the mirrored checks must survive cross-JVM shuffles)
-    "q_osl_chain_reverse_inner")
+    "q_osl_chain_reverse_inner",
+    // restart step (round 12: two-sided inverted-frame collect)
+    "q_osl_from_accum")
 
   private def canon(df: org.apache.spark.sql.DataFrame): Set[Vector[String]] = {
     val cols = df.columns.sorted

@@ -170,6 +170,12 @@ class TierPropertySpec extends SparkSpec {
             |  << event
             |end
             |""".stripMargin, expectTierA = false)
+    // a folded ZERO limit declines (the interpreter visits nothing; the
+    // compiled limited-loop shape assumes a positive cap)
+    diff(s"""${sel}each_row.limit(1 - 1) where event.is(!= 'error')
+            |  << event
+            |end
+            |""".stripMargin, expectTierA = false)
     // row-dependent spans still decline
     diff(s"""${sel}each_row where event.is(== 'signup')
             |  each_row.continue().next().look_ahead(product_price) where event.is(== 'purchase')
@@ -704,6 +710,14 @@ class TierPropertySpec extends SparkSpec {
       // round 12: reverse inner steps (FOLLOWING collect, mirrored checks)
       ".reverse()", ".reverse().look_back(20_hours)", ".reverse().limit(2)",
       ".reverse().look_back(30_hours).limit(1)")
+    // round 12: `.from(k)` restart steps (two-sided inverted-frame
+    // collect; limits compose only unframed — upstream gate)
+    val genInnerForm = Gen.oneOf(
+      "each_row.continue().next()", "each_row.continue().next()",
+      "each_row.continue().next()",
+      "each_row.from(0)", "each_row.from(2)")
+    val genFromMods = Gen.oneOf("", ".limit(2)", ".look_back(18_hours)",
+      ".look_ahead(14_hours)", ".within(12_hours, stamp)")
     (1 to 20).foreach { i =>
       val s0 = Seed(i.toLong * 7368787)
       val w0 = genWhere.pureApply(params, s0)
@@ -715,11 +729,15 @@ class TierPropertySpec extends SparkSpec {
       val cg = genChainGuard.pureApply(params, s0.slide.next.next)
       val g2 = genGroup.pureApply(params, s0.slide.next.next.next)
       val topTally = genTopTally.pureApply(params, s0.slide.slide)
-      val innerMods = genInnerMods.pureApply(params, s0.slide.slide.next)
+      val innerForm = genInnerForm.pureApply(params, s0.slide.slide.next.next)
+      val innerMods =
+        if (innerForm.contains(".from("))
+          genFromMods.pureApply(params, s0.slide.slide.next)
+        else genInnerMods.pureApply(params, s0.slide.slide.next)
       val gincLine = ginc.map(g => s"  $g\n").getOrElse("")
       val topTallyLine = if (topTally) s"  << 'top', $read\n" else ""
       val inner =
-        s"""each_row.continue().next()$innerMods where $w1
+        s"""$innerForm$innerMods where $w1
            |    << $read, $g2
            |    if n <= 4
            |      << 'low_spawn'
