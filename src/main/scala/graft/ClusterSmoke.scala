@@ -39,13 +39,13 @@ object ClusterSmoke {
     // depth-3 framed inner steps (round-11 interval-count reachability
     // incl. rangeBetween endpoint windows)
     "q_osl_chain3_framed",
-    // split guards on a depth-4 ordinal chain (round 12: ladder-folded
+    // split guards on a depth-4 ordinal chain (round 11: ladder-folded
     // row guard + per-ordinal accumulator guard)
     "q_osl_chain4_guarded",
-    // reverse inner step (round 12: FOLLOWING-window tuple collect —
+    // reverse inner step (round 11: FOLLOWING-window tuple collect —
     // the mirrored checks must survive cross-JVM shuffles)
     "q_osl_chain_reverse_inner",
-    // restart step (round 12: two-sided inverted-frame collect)
+    // restart step (round 11: two-sided inverted-frame collect)
     "q_osl_from_accum")
 
   private def canon(df: org.apache.spark.sql.DataFrame): Set[Vector[String]] = {

@@ -139,33 +139,33 @@ object Plans {
         "range-bounded by span1+span2, so the plan is memory-safe without the " +
         "row-bound gate"),
     P("q_osl_chain3_limited",
-      "depth-3 chain accumulator with an INTERMEDIATE-step .limit(n) (round 12): " +
+      "depth-3 chain accumulator with an INTERMEDIATE-step .limit(n) (round 11): " +
         "the ordinal cap C(s0)+n is one more min-term over the interval's upper " +
         "endpoint counts — same windows as the framed shape, zero extra state, " +
         "collect window still range-bounded by span1+span2"),
     P("q_osl_chain3_limit_deep",
-      "depth-3 chain accumulator with a DEEPEST-step .limit(m) (round 12): reach " +
+      "depth-3 chain accumulator with a DEEPEST-step .limit(m) (round 11): reach " +
         "adds C2(r) − min(G(r⁻), G(s0+span1)) <= m with G a running max of the " +
         "deep-match count over spawning rows — two more windows on the same (id) " +
         "exchange, no self-join"),
     P("q_osl_chain4_guarded",
-      "depth-4 chain accumulator with SPLIT guards (round 12): the row-prop guard " +
+      "depth-4 chain accumulator with SPLIT guards (round 11): the row-prop guard " +
         "folds into a ladder window predicate and the accumulator-reading guard " +
         "evaluates per ordinal — still the collect-free ordinal path, three " +
         "windows on one exchange, no spawn-tuple array"),
     P("q_osl_chain4_limited",
-      "depth-4 chain accumulator with a FRAMED+LIMITED deepest step (round 12): " +
+      "depth-4 chain accumulator with a FRAMED+LIMITED deepest step (round 11): " +
         "valid last hops form a suffix, so the final ladder window range-bounds " +
         "(rangeBetween(-span, -1)) and the limit is one spawn-independent " +
         "__cdc/__gd conjunct — five windows on ONE (id) exchange, ordinal path, " +
         "no collected array"),
     P("q_osl_chain_reverse_inner",
-      "reverse inner step below a chain accumulator (round 12): spawn tuples " +
+      "reverse inner step below a chain accumulator (round 11): spawn tuples " +
         "collect over the FOLLOWING window, range-bounded by the aligned " +
         "look_back span (rangeBetween(1, span)) — mirrored frame checks ride " +
         "the same single (id) exchange, no self-join"),
     P("q_osl_from_accum",
-      "restart step below a chain accumulator (round 12): every spawn rescans " +
+      "restart step below a chain accumulator (round 11): every spawn rescans " +
         "the same absolute tail, so tuples collect over the inverted-frame " +
         "range window (here spawns in [row, row+24h]) — the index floor and " +
         "frame checks are in-row arithmetic on the same single (id) exchange"),

@@ -317,14 +317,14 @@ object TierA {
     * One sort-shuffle on `id` computes every window; tallies flow through
     * the explode plan with eligibility AND'ed in. */
   /** Inner-step shapes that compose with chain accumulators: forward OR
-    * reverse (round 12) continue().next() steps, optionally framed and
+    * reverse (round 11) continue().next() steps, optionally framed and
     * `.limit(n)`-capped — per-spawn eligibility is decided IN-ROW from
     * the collected spawn tuples (stamp for the frame check, the spawn's
     * cumulative inner-match count for the limit check, exactly the
     * witness arithmetic [[chainWitnesses]] uses). A REVERSE step's
     * visited rows sit BEFORE its spawn, so the tuples collect over the
     * FOLLOWING window and every check mirrors (the rev `__mc1` already
-    * counts from the right). `.from(k)` RESTART steps (round 12) also
+    * counts from the right). `.from(k)` RESTART steps (round 11) also
     * compose: every spawn rescans the SAME fixed tail (row index ≥ k),
     * so a row's visitors can sit on EITHER side — tuples collect over a
     * two-sided range window (the frame inverted around the row), the
@@ -405,7 +405,7 @@ object TierA {
     * the spawn); the row carries C(r⁻) and C(r−span₂−1); reach ⇔
     * min(upper endpoints) > max(lower endpoints).
     *
-    * ONE inner `.limit(n)` also composes (round 12), because an ordinal
+    * ONE inner `.limit(n)` also composes (round 11), because an ordinal
     * bound is itself a stamp bound under monotone counts:
     *  - on the INTERMEDIATE step ("first n level-1 matches after the
     *    spawn"): s1 is valid iff C(s1) ≤ C(s0)+n, so C(s0)+n is simply
@@ -424,7 +424,7 @@ object TierA {
     * Look_back, reverse and `.from` inner steps, and BOTH steps limited,
     * stay Tier B.
     *
-    * GUARDS on inner steps (round 12) compose at ANY depth via the
+    * GUARDS on inner steps (round 11) compose at ANY depth via the
     * split in [[guardSplitOk]]: row-prop conjuncts restrict ROWS
     * uniformly across spawns, so they fold into the ladder/count
     * predicates (`__Pj` gains the guard gating step j+1 — evaluated at
@@ -444,7 +444,7 @@ object TierA {
            (levels(1).limitN.isEmpty ||
              (levels(2).limitN.isEmpty && rowFreeGuard(levels(2))))
        else
-         // depth ≥ 4 (round 12): middle steps stay unframed/unlimited,
+         // depth ≥ 4 (round 11): middle steps stay unframed/unlimited,
          // but the DEEPEST step may carry a finite look_ahead and/or a
          // `.limit(m)` — validity of a last-hop row y for spawn s0
          // (`__P(size−3)(y) > cm(s0)`) is monotone in y, so valid rows
@@ -484,7 +484,7 @@ object TierA {
     * forward size K maps to backward ordinals {T−K+1 … T}, so the entry
     * array is `sequence(T−K+1, T)` instead of `sequence(1, K)`.
     *
-    * Inner-step GUARDS at levels ≥ 2 (round 12) ride the ordinal path
+    * Inner-step GUARDS at levels ≥ 2 (round 11) ride the ordinal path
     * too: row-prop conjuncts fold into the K-ladder window predicates,
     * spawn-pure conjuncts evaluate per ordinal (the binds give the
     * exact value init + c·j). The FIRST chain step must stay fully
@@ -495,7 +495,7 @@ object TierA {
                                accums: Seq[(String, Long, Seq[AccumPart])]): Boolean = {
     // the DEEPEST step may be framed (finite look_ahead) and/or limited
     // when at least one intermediate level separates it from the spawn
-    // (round 12): its frame anchors at the last-hop row, so reach stays
+    // (round 11): its frame anchors at the last-hop row, so reach stays
     // "∃ valid last hop in [r−span, r)" — suffix-monotone, hence still a
     // spawn PREFIX. At depth 2 the deepest step IS the first — its frame
     // anchors at the spawn itself and old spawns fall OUT of frame (not
@@ -651,12 +651,12 @@ object TierA {
       val span2Fin =
         if (levels.size == 3) levels(2).spanMs.filter(_ != Long.MaxValue)
         else None
-      // depth-3 inner limits (round 12): at most one (chainDeepOk); an
+      // depth-3 inner limits (round 11): at most one (chainDeepOk); an
       // intermediate-step limit is an extra min-term over the upper
       // endpoint counts, a deepest-step limit a running-max C₂ lookup
       val lim1 = if (levels.size == 3) levels(1).limitN else None
       val lim2 = if (levels.size == 3) levels(2).limitN else None
-      // deepest-step frames/limits past depth 2 (round 12): both keep the
+      // deepest-step frames/limits past depth 2 (round 11): both keep the
       // spawn-PREFIX structure because they constrain the LAST-HOP row,
       // whose validity for a spawn (`ladder(y) ≥ v`) is suffix-monotone —
       // a frame range-bounds the FINAL ladder window ("∃ valid last hop
@@ -670,7 +670,7 @@ object TierA {
         if (levels.size >= 3) levels.last.spanMs.filter(_ != Long.MaxValue)
         else None
       val limDeep = if (levels.size >= 3) levels.last.limitN else None
-      // guard split (round 12), inner steps k ≥ 2 (guard evaluated at the
+      // guard split (round 11), inner steps k ≥ 2 (guard evaluated at the
       // level-(k−1) row): row-prop conjuncts restrict ROWS uniformly
       // across spawns → folded into the count/ladder predicates below;
       // spawn-pure conjuncts (accumulator-only reads — increments lead
@@ -767,7 +767,7 @@ object TierA {
             df = df.withColumn("__loA", count(when(predA, 1))
               .over(person.rangeBetween(W.unboundedPreceding, -sp - 1)))
           }
-          // deepest-step `.limit(m)` (round 12): C₂(x) = inclusive count
+          // deepest-step `.limit(m)` (round 11): C₂(x) = inclusive count
           // of deepest-where matches, G(x) = max over spawning level-1
           // matches y ≤ x of C₂(y). Reach needs C₂(r) − G(upper) ≤ m,
           // with G(upper) = min(G(r⁻), G(s0+span₁)) by monotonicity —
@@ -813,7 +813,7 @@ object TierA {
         // with just one finite hop is unbounded spawn→row and must keep
         // the full preceding window (the row-bound memory gate applies).
         val collectW = levels.size match {
-          // a `.from(k)` RESTART step (round 12): every spawn scans the
+          // a `.from(k)` RESTART step (round 11): every spawn scans the
           // same fixed tail, so visitors sit on EITHER side of the row —
           // invert the (spawn-anchored) frame to bound which spawn
           // stamps can reach this row: ahead a ⇒ spawn ≥ row−a,
@@ -833,7 +833,7 @@ object TierA {
               case None => if (ahead.isDefined) 0L else W.unboundedFollowing
             }
             person.rangeBetween(lo, hi)
-          // a REVERSE inner step (round 12) visits rows BEFORE its spawn:
+          // a REVERSE inner step (round 11) visits rows BEFORE its spawn:
           // collect the spawns AFTER this row, range-bounded by a finite
           // aligned span (the spawn sits within span ABOVE the row)
           case 2 if levels(1).reverse => levels(1).spanMs match {
@@ -1200,7 +1200,7 @@ object TierA {
       val rev = levels(k).reverse
       // an `if`-wrapped nested loop spawns only from parent rows satisfying
       // the guard — AND it into the witness condition. Spawn-pure
-      // accumulator conjuncts (`__accs_` reads on steps k ≥ 2, round 12)
+      // accumulator conjuncts (`__accs_` reads on steps k ≥ 2, round 11)
       // are dropped HERE: they have no row-level meaning in the witness
       // windows, and the accum path — the only one where they occur —
       // never consults these eligibility columns for deep levels (reach
@@ -1493,7 +1493,7 @@ object TierA {
       case Lit(VDbl(d)) => Some(TCst(d.toLong)) // bare double: asLong
       case VarRef("first_stamp") | PropRef("first_stamp") => Some(TMin(0))
       case VarRef("last_stamp") | PropRef("last_stamp")   => Some(TMax(0))
-      // stamp-anchored arithmetic (round 12): `first_stamp + 7_days`,
+      // stamp-anchored arithmetic (round 11): `first_stamp + 7_days`,
       // `last_stamp - 2_hours` — constant shifts ride the TopB offsets
       case BinOp("+", l, r) if endNum(l).isDefined || endNum(r).isDefined =>
         endNum(l).zip(constLong(r, now)).flatMap { case (b, d) => shiftB(b, d) }

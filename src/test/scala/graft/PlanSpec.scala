@@ -50,12 +50,12 @@ class PlanSpec extends SparkSpec {
         "q_osl_reverse_accum", // reverse fp accumulator, DESC running frame (round 10)
         "q_osl_reverse_chain_accum", // reverse CHAIN-top fp accumulator (round 11)
         "q_osl_chain3_framed", // framed inner steps below a depth-3 accum (round 11)
-        "q_osl_chain3_limited", // intermediate-step limit below a depth-3 accum (round 12)
-        "q_osl_chain3_limit_deep", // deepest-step limit below a depth-3 accum (round 12)
-        "q_osl_chain4_guarded", // split guards on deep chain steps (round 12)
-        "q_osl_chain4_limited", // framed+limited deepest step at depth 4 (round 12)
-        "q_osl_chain_reverse_inner", // reverse inner step, FOLLOWING collect (round 12)
-        "q_osl_from_accum")) // restart step, inverted-frame two-sided collect (round 12)
+        "q_osl_chain3_limited", // intermediate-step limit below a depth-3 accum (round 11)
+        "q_osl_chain3_limit_deep", // deepest-step limit below a depth-3 accum (round 11)
+        "q_osl_chain4_guarded", // split guards on deep chain steps (round 11)
+        "q_osl_chain4_limited", // framed+limited deepest step at depth 4 (round 11)
+        "q_osl_chain_reverse_inner", // reverse inner step, FOLLOWING collect (round 11)
+        "q_osl_from_accum")) // restart step, inverted-frame two-sided collect (round 11)
       assert(!plan(q).contains("MapGroups"), s"$q fell back to Tier B")
     // and an interpreter-only shape does (sanity that the probe works):
     // a guard READING the accumulator observes a mid-visit partial sum ->
@@ -91,7 +91,7 @@ class PlanSpec extends SparkSpec {
     // sequence, sized by a running-max ladder — depth 3 is TWO windows
     // (running spawn count + one K level) and depth 4 THREE, with no
     // collected array and no row-bound probe anywhere
-    // round 12: guarded deep chains ride the ordinal path too — the
+    // round 11: guarded deep chains ride the ordinal path too — the
     // row-prop guard folds into a ladder window predicate and the accum
     // guard evaluates per ordinal, so the window count stays at `depth`
     for ((q, w) <- Seq("q_osl_chain3_accum" -> 2, "q_osl_chain4_accum" -> 3,

@@ -35,7 +35,7 @@ class TierChainAccumSpec extends SparkSpec {
       }.orNull).toVector).toSet
   }
 
-  // a DENSER world for the round-12 interval/boundary machinery: 3 people
+  // a DENSER world for the round-11 interval/boundary machinery: 3 people
   // with 60 rows each at irregular 1–4 h spacing — deep-chain frames and
   // limits see many in-frame candidates per spawn (the 12-rows-per-person
   // default world is too thin to stress prefix/suffix boundaries)
@@ -530,7 +530,7 @@ class TierChainAccumSpec extends SparkSpec {
          |""".stripMargin)
   }
 
-  test("depth-3 inner .limit(n) composes (round 12)") {
+  test("depth-3 inner .limit(n) composes (round 11)") {
     // limit on the INTERMEDIATE step: only the first n views after each
     // signup can spawn the deepest scan — an ordinal upper bound
     // C(s1) ≤ C(s0)+n, one more min-term over the upper endpoint counts
@@ -617,7 +617,7 @@ class TierChainAccumSpec extends SparkSpec {
          |""".stripMargin)
   }
 
-  test("accumulator-reading deepest-step guards + depth-4 guards (round 12)") {
+  test("accumulator-reading deepest-step guards + depth-4 guards (round 11)") {
     // spawn-pure guard on the deepest step of a depth-3 chain: the
     // interpreter evaluates it mid-nested-scan, where the accumulator
     // still holds the SPAWN's running value (increments lead the top
@@ -748,7 +748,7 @@ class TierChainAccumSpec extends SparkSpec {
          |""".stripMargin, expectTierA = false)
   }
 
-  test("depth-4+ deepest-step frames and limits compile (round 12)") {
+  test("depth-4+ deepest-step frames and limits compile (round 11)") {
     // framed deepest step at depth 4: the final ladder window becomes
     // rangeBetween(-span, -1) — "some valid click within 30h before r"
     diff(
@@ -872,7 +872,7 @@ class TierChainAccumSpec extends SparkSpec {
          |""".stripMargin, expectTierA = false)
   }
 
-  test("REVERSE inner steps below chain accumulators (round 12)") {
+  test("REVERSE inner steps below chain accumulators (round 11)") {
     // the reverse scan visits rows BEFORE the spawn: tuples collect over
     // the FOLLOWING window, each visited row observes its spawn's value
     diff(
@@ -946,7 +946,7 @@ class TierChainAccumSpec extends SparkSpec {
          |""".stripMargin, expectTierA = false)
   }
 
-  test(".from(k) restart steps below chain accumulators (round 12)") {
+  test(".from(k) restart steps below chain accumulators (round 11)") {
     // every spawn rescans the same absolute tail: a row is visited once
     // per spawn (before OR after it), observing that spawn's value
     diff(
@@ -1035,7 +1035,7 @@ class TierChainAccumSpec extends SparkSpec {
          |""".stripMargin)
   }
 
-  test("round-12 shapes on a dense world: Tier A == Tier B (grid)") {
+  test("round-11 shapes on a dense world: Tier A == Tier B (grid)") {
     // depth-3 intermediate-step limits × deepest frames: many in-frame
     // views per signup stress the ordinal-capped interval endpoints
     for (mid <- Seq(".limit(2)", ".look_ahead(9_hours).limit(1)", ".limit(4)");

@@ -118,11 +118,11 @@ class TierPropertySpec extends SparkSpec {
     }
   }
 
-  // constant folding (round 12): spans/limits/from offsets/frame anchors
+  // constant folding (round 11): spans/limits/from offsets/frame anchors
   // built from `+ - *` over int literals, whole doubles and `now` fold to
   // the value the interpreter would compute cursor-invalid — previously
   // any arithmetic sent the whole script to Tier B
-  test("constant-folded spans/limits/anchors compile (round 12)") {
+  test("constant-folded spans/limits/anchors compile (round 11)") {
     def diff(script: String, expectTierA: Boolean = true): Unit = {
       val p = Parser.program(script)
       assert(TierA.compile(p, world, Mon + 100 * H, 1800000L).isDefined == expectTierA,
@@ -707,10 +707,10 @@ class TierPropertySpec extends SparkSpec {
       ".look_ahead(15_hours)", ".look_ahead(20_hours).limit(2)",
       ".within(16_hours, stamp)",
       ".range('2024-01-01T08:00:00Z', '2024-01-03T00:00:00Z')",
-      // round 12: reverse inner steps (FOLLOWING collect, mirrored checks)
+      // round 11: reverse inner steps (FOLLOWING collect, mirrored checks)
       ".reverse()", ".reverse().look_back(20_hours)", ".reverse().limit(2)",
       ".reverse().look_back(30_hours).limit(1)")
-    // round 12: `.from(k)` restart steps (two-sided inverted-frame
+    // round 11: `.from(k)` restart steps (two-sided inverted-frame
     // collect; limits compose only unframed — upstream gate)
     val genInnerForm = Gen.oneOf(
       "each_row.continue().next()", "each_row.continue().next()",
@@ -839,7 +839,7 @@ class TierPropertySpec extends SparkSpec {
       ".look_ahead(50_hours)", ".limit(1)", ".look_ahead(50_hours).limit(2)")
     val genDeepGuard = Gen.option(Gen.oneOf(
       "event.is(!= 'error')", "product_price.is(> 25)",
-      // round 12: spawn-pure accumulator guards + a mixed split guard
+      // round 11: spawn-pure accumulator guards + a mixed split guard
       "n <= 2", "n > 1", "n > 1 && product_price.is(> 25)"))
     (1 to 15).foreach { i =>
       val s0 = Seed(i.toLong * 9437183)
@@ -858,10 +858,10 @@ class TierPropertySpec extends SparkSpec {
       val depth4 = i % 3 == 0
       val w3 = genWhere.pureApply(params, s0.slide.slide.next.next)
       // framed inner steps are depth-3 only (round 11); inner limits
-      // (round 12) allow at most ONE limit across the two steps, and an
+      // (round 11) allow at most ONE limit across the two steps, and an
       // intermediate-step limit needs a row-prop-free deepest guard;
       // guards (row-prop folded, accum spawn-pure split) compose at any
-      // depth (round 12)
+      // depth (round 11)
       val midMods =
         if (depth4) "" else genMidMods.pureApply(params, s0.slide.slide.slide)
       val deepMods0 =
@@ -879,14 +879,14 @@ class TierPropertySpec extends SparkSpec {
       val gincLine = ginc.map(g => s"  $g\n").getOrElse("")
       val topTallyLine = if (topTally) s"  << 'top', $read\n" else ""
       val midTallyLine = if (midTally) s"    << $read, 'mid'\n" else ""
-      // round 12: the depth-4 DEEPEST step may be framed/limited (the
+      // round 11: the depth-4 DEEPEST step may be framed/limited (the
       // final ladder window range-bounds; the limit is a G conjunct)
       val d4Mods = Gen.oneOf("", "", ".look_ahead(30_hours)", ".limit(1)",
         ".look_ahead(50_hours).limit(2)")
         .pureApply(params, s0.slide.slide.slide.slide)
       val deepest =
         if (depth4) deepGuard match {
-          // round 12: depth-4 deepest-step guards compose (row-prop
+          // round 11: depth-4 deepest-step guards compose (row-prop
           // conjuncts fold into the ladder, accum conjuncts per tuple)
           case Some(g) =>
             s"""each_row.continue().next() where $w2
