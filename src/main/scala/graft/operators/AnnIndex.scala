@@ -28,8 +28,9 @@ import org.apache.spark.sql.functions._
   *    at 100 TB a query touches nprobe/nlist of the corpus bytes and the
   *    build cost is paid once, not per session.
   *  - `path/books`      (s, c, vec) — m·ksub codeword rows.
-  *  - `path/codes`      (vec_id, code) — 4-int codes, the only thing a PQ
-  *    search scans.
+  *  - `path/codes`      (vec_id, code) partitioned by `idb` (id-hash
+  *    bucket) — 4-int codes, the only thing a PQ search scans; appends
+  *    dedup against only the buckets their ids hash into.
   *
   * Appends assign/encode NEW vectors against the STORED
   * centroids/codebooks (no retrain — the faiss discipline; recall drifts
@@ -43,13 +44,13 @@ object AnnIndex {
 
   // ------------------------------------------------------------------- meta
   private case class Meta(kind: String, dim: Int, nlist: Int, m: Int,
-                          ksub: Int, fp: Long)
+                          ksub: Int, fp: Long, nb: Int)
 
   private def writeMeta(spark: SparkSession, path: String, meta: Meta): Unit = {
     import spark.implicits._
     val prev = metaDirStamp(path)
-    Seq((meta.kind, meta.dim, meta.nlist, meta.m, meta.ksub, meta.fp))
-      .toDF("kind", "dim", "nlist", "m", "ksub", "fp")
+    Seq((meta.kind, meta.dim, meta.nlist, meta.m, meta.ksub, meta.fp, meta.nb))
+      .toDF("kind", "dim", "nlist", "m", "ksub", "fp", "nb")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     // the store cache trusts an unchanged meta-dir mtime stamp; force it
     // strictly past the previous version's so a same-millisecond rewrite
@@ -62,9 +63,12 @@ object AnnIndex {
   }
 
   private def readMeta(spark: SparkSession, path: String): Meta = {
-    val r = spark.read.parquet(s"$path/meta").head()
+    val df = spark.read.parquet(s"$path/meta")
+    require(df.columns.contains("nb"),
+      s"index at $path predates the id-bucketed codes layout — rebuild it")
+    val r = df.head()
     Meta(r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
-      r.getLong(5))
+      r.getLong(5), r.getInt(6))
   }
 
   /** Fingerprint of the corpus' resolved file listing (0 for in-memory
@@ -81,7 +85,10 @@ object AnnIndex {
 
   private def metaIfAny(spark: SparkSession, path: String): Option[Meta] =
     try Some(readMeta(spark, path))
-    catch { case _: org.apache.spark.sql.AnalysisException => None }
+    catch {
+      case _: org.apache.spark.sql.AnalysisException => None // no index yet
+      case _: IllegalArgumentException => None // pre-`nb` layout: rebuild
+    }
 
   /** (meta-dir mtime stamp, meta, centroids-or-books) per index path: the
     * meta row and the broadcast-side model (nlist centroids / m·ksub
@@ -123,7 +130,8 @@ object AnnIndex {
     * vectors against the stored centroids (the anti-join skips
     * already-indexed ids), never a rebuild. The idempotent entry point
     * for "ensure indexed" call sites — an ingest pipeline calls this
-    * after every commit and pays O(new vectors). */
+    * after every commit and pays one pass over the new vectors plus a
+    * cell-pruned id-column dedup scan, never a corpus rescan. */
   def buildIvfIfStale(corpus: DataFrame, path: String, nlist: Int = 16): Unit = {
     val spark = corpus.sparkSession
     val fp = corpusFp(corpus)
@@ -172,7 +180,8 @@ object AnnIndex {
     val spark = corpus.sparkSession
     val (assigned, centroids) = Similarity.ivfAssign(corpus, nlist)
     import spark.implicits._
-    writeMeta(spark, path, Meta("ivf", dimOf(corpus), nlist, 0, 0, corpusFp(corpus)))
+    writeMeta(spark, path,
+      Meta("ivf", dimOf(corpus), nlist, 0, 0, corpusFp(corpus), 0))
     centroids.toSeq.toDF("cid", "vec")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     assigned.select(col("vec_id"), col("e"), col("cell"))
@@ -187,19 +196,42 @@ object AnnIndex {
 
   /** Incrementally index new vectors: assign against the STORED centroids,
     * append into their cell partitions; vectors already indexed (by
-    * `vec_id`) are skipped. The indexed corpus is never rescanned — the
-    * append cost is O(new vectors), not O(corpus). */
+    * `vec_id`) are skipped. The dedup never rescans the whole corpus:
+    * new vectors are assigned to cells FIRST (one pass over the batch vs
+    * the broadcast centroids), and the anti-join reads only the `vec_id`
+    * column of the cells the batch lands in — a `cell IN (touched)`
+    * partition filter, the same pruning discipline [[ivfTopK]] uses. A
+    * batch of b vectors touches ≤ min(b, nlist) cells, so the per-append
+    * cost is the batch plus that slice of the id column, not the corpus;
+    * with a corpus-sized nlist (the faiss √N discipline) a micro-batch
+    * append is effectively O(new). Pruned dedup is exact because ids are
+    * immutable keys: a re-sent `vec_id` carries the same embedding, and
+    * the same embedding lands in the same cell under the stored centroids
+    * — re-sending an id with a DIFFERENT embedding is a contract
+    * violation (an update needs a rebuild, like any index retrain). */
   def appendIvf(newVecs: DataFrame, path: String): Unit = {
+    val (frame, touched) = ivfAppendFrame(newVecs, path)
+    if (touched.nonEmpty)
+      frame.write.partitionBy("cell").mode("append").parquet(s"$path/cells")
+  }
+
+  /** The deduped, cell-assigned frame an IVF append writes, plus the cells
+    * it touches — split from [[appendIvf]] so specs can pin the dedup
+    * scan's `PartitionFilters` (the O(new-not-corpus) evidence). */
+  private[graft] def ivfAppendFrame(newVecs: DataFrame,
+                                    path: String): (DataFrame, Array[Long]) = {
     val spark = newVecs.sparkSession
     val meta = readMeta(spark, path)
     require(meta.kind == "ivf", s"index at $path is ${meta.kind}, not ivf")
     checkDim(meta, newVecs)
     val centroids = storedCentroids(spark, path)
-    val existing = spark.read.parquet(s"$path/cells").select("vec_id")
-    newVecs.select(col("vec_id"), asDouble(col("embedding")).as("e"))
-      .join(existing, Seq("vec_id"), "left_anti")
+    val assigned = newVecs
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .withColumn("cell", Similarity.nearestCentroid(col("e"), centroids, 1)(0))
-      .write.partitionBy("cell").mode("append").parquet(s"$path/cells")
+    val touched = assigned.select("cell").distinct().collect().map(_.getLong(0))
+    val existing = spark.read.parquet(s"$path/cells")
+      .where(col("cell").isin(touched: _*)).select("vec_id")
+    (assigned.join(existing, Seq("vec_id"), "left_anti"), touched)
   }
 
   /** IVF top-k answered from the store: centroids collected (tiny), probe
@@ -226,21 +258,35 @@ object AnnIndex {
   }
 
   // --------------------------------------------------------------------- PQ
+  /** Deterministic id→bucket for the codes layout: Murmur3 of the id,
+    * folded non-negative. Stable across JVMs/sessions (Spark's `hash`),
+    * so an append computes the same buckets the build wrote. */
+  private def idBucket(idCol: org.apache.spark.sql.Column, nb: Int) =
+    pmod(hash(idCol), lit(nb))
+
   /** Build (or rebuild) the PQ index: codebooks via the same deterministic
     * strided sampling as [[Similarity.pqCodebooks]], corpus stored as
-    * m-int codes. */
-  def buildPq(corpus: DataFrame, path: String, m: Int = 4, ksub: Int = 16): Unit = {
+    * m-int codes partitioned by an id-hash bucket `idb` — a search scans
+    * every code (ADC is a full-codes pass by design, `idb` doesn't change
+    * that), but an append's dedup prunes to the buckets the new ids hash
+    * into instead of scanning the whole id column. `nb` trades layout
+    * granularity for prune factor; size it ≥ the expected micro-batch
+    * row count so each append touches ~1 bucket per new id. */
+  def buildPq(corpus: DataFrame, path: String, m: Int = 4, ksub: Int = 16,
+              nb: Int = 32): Unit = {
     val spark = corpus.sparkSession
     val books = Similarity.pqCodebooks(corpus, m, ksub)
     import spark.implicits._
-    writeMeta(spark, path, Meta("pq", dimOf(corpus), 0, m, ksub, corpusFp(corpus)))
+    writeMeta(spark, path,
+      Meta("pq", dimOf(corpus), 0, m, ksub, corpusFp(corpus), nb))
     books.zipWithIndex.flatMap { case (sub, s) =>
       sub.zipWithIndex.map { case (cw, c) => (s, c, cw.toSeq) }
     }.toSeq.toDF("s", "c", "vec")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/books")
     Similarity.pqEncode(corpus, m, ksub)
       .select(col("vec_id"), col("code"))
-      .write.mode("overwrite").parquet(s"$path/codes")
+      .withColumn("idb", idBucket(col("vec_id"), nb))
+      .write.partitionBy("idb").mode("overwrite").parquet(s"$path/codes")
   }
 
   private def storedBooks(spark: SparkSession, path: String,
@@ -253,19 +299,40 @@ object AnnIndex {
   }
 
   /** Incrementally encode new vectors against the STORED codebooks and
-    * append their codes; already-indexed `vec_id`s are skipped. */
+    * append their codes; already-indexed `vec_id`s are skipped. Like
+    * [[appendIvf]], the dedup never rescans the whole codes table: new ids
+    * hash to their `idb` buckets first, and the anti-join reads only the
+    * `vec_id` column of those bucket partitions (`idb IN (touched)` as a
+    * partition filter). Exact by construction — the bucket of an id is a
+    * pure function of the id, so an already-indexed duplicate can only
+    * live in a bucket the batch touches. Encoding (the expensive kernel)
+    * runs AFTER the dedup, so replayed batches pay only the hash. */
   def appendPq(newVecs: DataFrame, path: String): Unit = {
+    val (frame, touched) = pqAppendFrame(newVecs, path)
+    if (touched.nonEmpty)
+      frame.write.partitionBy("idb").mode("append").parquet(s"$path/codes")
+  }
+
+  /** The deduped, encoded frame a PQ append writes, plus the id buckets it
+    * touches — split from [[appendPq]] so specs can pin the dedup scan's
+    * `PartitionFilters`. */
+  private[graft] def pqAppendFrame(newVecs: DataFrame,
+                                   path: String): (DataFrame, Array[Int]) = {
     val spark = newVecs.sparkSession
     val meta = readMeta(spark, path)
     require(meta.kind == "pq", s"index at $path is ${meta.kind}, not pq")
     checkDim(meta, newVecs)
     val books = storedBooks(spark, path, meta)
-    val existing = spark.read.parquet(s"$path/codes").select("vec_id")
-    newVecs.select(col("vec_id"), asDouble(col("embedding")).as("e"))
-      .join(existing, Seq("vec_id"), "left_anti")
+    val incoming = newVecs
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("idb", idBucket(col("vec_id"), meta.nb))
+    val touched = incoming.select("idb").distinct().collect().map(_.getInt(0))
+    val existing = spark.read.parquet(s"$path/codes")
+      .where(col("idb").isin(touched: _*)).select("vec_id")
+    val frame = incoming.join(existing, Seq("vec_id"), "left_anti")
       .withColumn("code", Similarity.pqCodeKernel(books)(col("e")))
-      .select(col("vec_id"), col("code"))
-      .write.mode("append").parquet(s"$path/codes")
+      .select(col("vec_id"), col("code"), col("idb"))
+    (frame, touched)
   }
 
   /** PQ-ADC top-k answered from the store: codebooks collected (tiny), the

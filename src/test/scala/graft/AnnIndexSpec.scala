@@ -92,6 +92,40 @@ class AnnIndexSpec extends SparkSpec {
     assert(spark.read.parquet(s"$path/codes").count() == 60)
   }
 
+  test("IVF append dedup prunes to the touched cells (never a corpus scan)") {
+    val path = java.nio.file.Files.createTempDirectory("annidx").toString
+    AnnIndex.buildIvf(corpus(0 until 60), path, nlist = 8)
+    val cellDirs = Option(new java.io.File(s"$path/cells").listFiles).toSeq
+      .flatten.count(_.getName.startsWith("cell="))
+    // a batch from ONE cluster (ids ≡ 0 mod 3 share a center) lands in a
+    // strict subset of the cells
+    val batch = Seq(100L, 101L).map(i => (i, vec(i.toInt * 3).toSeq))
+      .toDF("vec_id", "embedding")
+    val (frame, touched) = AnnIndex.ivfAppendFrame(batch, path)
+    assert(touched.nonEmpty && touched.length < cellDirs,
+      s"batch should touch a strict subset of $cellDirs cells, got ${touched.length}")
+    // the dedup scan's plan prunes statically: `cell IN (touched)` reaches
+    // the parquet scan as a PARTITION filter — the O(new)-not-O(corpus)
+    // evidence the append contract claims
+    val plan = frame.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"expected a non-empty cell partition filter on the dedup scan in:\n$plan")
+    // and the frame is exactly the new vectors, assigned
+    assert(frame.count() == 2)
+  }
+
+  test("PQ append dedup prunes to the touched id buckets") {
+    val path = java.nio.file.Files.createTempDirectory("annidx").toString
+    AnnIndex.buildPq(corpus(0 until 60), path, m = 4, ksub = 8)
+    val batch = Seq((200L, vec(7).toSeq)).toDF("vec_id", "embedding")
+    val (frame, touched) = AnnIndex.pqAppendFrame(batch, path)
+    assert(touched.length == 1, "one new id hashes to exactly one bucket")
+    val plan = frame.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*idb".r.findFirstIn(plan).isDefined,
+      s"expected a non-empty idb partition filter on the dedup scan in:\n$plan")
+    assert(frame.count() == 1)
+  }
+
   test("buildIfStale: no-op on same listing, append-only on growth") {
     // file-backed corpus (in-memory frames have no listing fingerprint
     // and always rebuild)
