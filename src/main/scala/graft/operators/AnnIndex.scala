@@ -44,13 +44,31 @@ object AnnIndex {
 
   // ------------------------------------------------------------------- meta
   private case class Meta(kind: String, dim: Int, nlist: Int, m: Int,
-                          ksub: Int, fp: Long, nb: Int)
+                          ksub: Int, fp: Long, nb: Int, gen: Long) {
+    /** Base name of the generation-current data dir ("cells" for IVF,
+      * "codes" for PQ). */
+    def dataBase: String = if (kind == "ivf") "cells" else "codes"
+    def partCol: String = if (kind == "ivf") "cell" else "idb"
+  }
+
+  /** Data dirs are generation-versioned so [[compact]] can swap in a
+    * rewritten copy WITHOUT renaming or deleting files a concurrent reader
+    * may have planned (the rename-free discipline of `TableCommit`): a new
+    * generation is written beside the old one, the meta row flips to it,
+    * and only generations older than the just-retired one are removed —
+    * the previous generation stays on disk as the grace window. */
+  private def dataDir(path: String, base: String, gen: Long): String =
+    if (gen == 0L) s"$path/$base" else s"$path/${base}_v$gen"
+
+  private def currentData(path: String, meta: Meta): String =
+    dataDir(path, meta.dataBase, meta.gen)
 
   private def writeMeta(spark: SparkSession, path: String, meta: Meta): Unit = {
     import spark.implicits._
     val prev = metaDirStamp(path)
-    Seq((meta.kind, meta.dim, meta.nlist, meta.m, meta.ksub, meta.fp, meta.nb))
-      .toDF("kind", "dim", "nlist", "m", "ksub", "fp", "nb")
+    Seq((meta.kind, meta.dim, meta.nlist, meta.m, meta.ksub, meta.fp,
+        meta.nb, meta.gen))
+      .toDF("kind", "dim", "nlist", "m", "ksub", "fp", "nb", "gen")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     // the store cache trusts an unchanged meta-dir mtime stamp; force it
     // strictly past the previous version's so a same-millisecond rewrite
@@ -64,11 +82,11 @@ object AnnIndex {
 
   private def readMeta(spark: SparkSession, path: String): Meta = {
     val df = spark.read.parquet(s"$path/meta")
-    require(df.columns.contains("nb"),
-      s"index at $path predates the id-bucketed codes layout — rebuild it")
+    require(df.columns.contains("gen"),
+      s"index at $path predates the generational layout — rebuild it")
     val r = df.head()
     Meta(r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
-      r.getLong(5), r.getInt(6))
+      r.getLong(5), r.getInt(6), r.getLong(7))
   }
 
   /** Fingerprint of the corpus' resolved file listing (0 for in-memory
@@ -132,7 +150,8 @@ object AnnIndex {
     * for "ensure indexed" call sites — an ingest pipeline calls this
     * after every commit and pays one pass over the new vectors plus a
     * cell-pruned id-column dedup scan, never a corpus rescan. */
-  def buildIvfIfStale(corpus: DataFrame, path: String, nlist: Int = 16): Unit = {
+  def buildIvfIfStale(corpus: DataFrame, path: String, nlist: Int = 16,
+                      compactAt: Int = 0): Unit = {
     val spark = corpus.sparkSession
     val fp = corpusFp(corpus)
     metaIfAny(spark, path) match {
@@ -142,13 +161,14 @@ object AnnIndex {
           m.dim == dimOf(corpus) =>
         appendIvf(corpus, path)
         writeMeta(spark, path, m.copy(fp = fp))
+        maybeCompact(spark, path, compactAt)
       case _ => buildIvf(corpus, path, nlist)
     }
   }
 
   /** PQ twin of [[buildIvfIfStale]]: build, no-op, or append-only. */
   def buildPqIfStale(corpus: DataFrame, path: String, m: Int = 4,
-                     ksub: Int = 16): Unit = {
+                     ksub: Int = 16, compactAt: Int = 0): Unit = {
     val spark = corpus.sparkSession
     val fp = corpusFp(corpus)
     metaIfAny(spark, path) match {
@@ -158,6 +178,7 @@ object AnnIndex {
           mt.dim == dimOf(corpus) =>
         appendPq(corpus, path)
         writeMeta(spark, path, mt.copy(fp = fp))
+        maybeCompact(spark, path, compactAt)
       case _ => buildPq(corpus, path, m, ksub)
     }
   }
@@ -181,11 +202,12 @@ object AnnIndex {
     val (assigned, centroids) = Similarity.ivfAssign(corpus, nlist)
     import spark.implicits._
     writeMeta(spark, path,
-      Meta("ivf", dimOf(corpus), nlist, 0, 0, corpusFp(corpus), 0))
+      Meta("ivf", dimOf(corpus), nlist, 0, 0, corpusFp(corpus), 0, 0L))
     centroids.toSeq.toDF("cid", "vec")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     assigned.select(col("vec_id"), col("e"), col("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(s"$path/cells")
+    dropOldGenerations(path, "cells", keepFrom = 0L)
   }
 
   private def storedCentroids(spark: SparkSession, path: String)
@@ -211,8 +233,11 @@ object AnnIndex {
     * violation (an update needs a rebuild, like any index retrain). */
   def appendIvf(newVecs: DataFrame, path: String): Unit = {
     val (frame, touched) = ivfAppendFrame(newVecs, path)
-    if (touched.nonEmpty)
-      frame.write.partitionBy("cell").mode("append").parquet(s"$path/cells")
+    if (touched.nonEmpty) {
+      val meta = readMeta(newVecs.sparkSession, path)
+      frame.write.partitionBy("cell").mode("append")
+        .parquet(currentData(path, meta))
+    }
   }
 
   /** The deduped, cell-assigned frame an IVF append writes, plus the cells
@@ -229,7 +254,7 @@ object AnnIndex {
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .withColumn("cell", Similarity.nearestCentroid(col("e"), centroids, 1)(0))
     val touched = assigned.select("cell").distinct().collect().map(_.getLong(0))
-    val existing = spark.read.parquet(s"$path/cells")
+    val existing = spark.read.parquet(currentData(path, meta))
       .where(col("cell").isin(touched: _*)).select("vec_id")
     (assigned.join(existing, Seq("vec_id"), "left_anti"), touched)
   }
@@ -246,13 +271,13 @@ object AnnIndex {
     * probes). */
   def ivfTopK(spark: SparkSession, path: String, queries: DataFrame, k: Int,
               nprobe: Int = 4): DataFrame = {
-    val (_, model) = cachedModel(spark, path, "ivf")(_ => storedCentroids(spark, path))
+    val (meta, model) = cachedModel(spark, path, "ivf")(_ => storedCentroids(spark, path))
     val centroids = model.asInstanceOf[Array[(Long, Array[Double])]]
     val probed = queries
       .select(explode(Similarity.nearestCentroid(
         asDouble(col("embedding")), centroids, nprobe)).as("cell"))
       .distinct().collect().map(_.getLong(0))
-    val assigned = spark.read.parquet(s"$path/cells")
+    val assigned = spark.read.parquet(currentData(path, meta))
       .where(col("cell").isin(probed: _*))
     Similarity.ivfSearch(assigned, centroids, queries, k, nprobe)
   }
@@ -278,7 +303,7 @@ object AnnIndex {
     val books = Similarity.pqCodebooks(corpus, m, ksub)
     import spark.implicits._
     writeMeta(spark, path,
-      Meta("pq", dimOf(corpus), 0, m, ksub, corpusFp(corpus), nb))
+      Meta("pq", dimOf(corpus), 0, m, ksub, corpusFp(corpus), nb, 0L))
     books.zipWithIndex.flatMap { case (sub, s) =>
       sub.zipWithIndex.map { case (cw, c) => (s, c, cw.toSeq) }
     }.toSeq.toDF("s", "c", "vec")
@@ -287,6 +312,7 @@ object AnnIndex {
       .select(col("vec_id"), col("code"))
       .withColumn("idb", idBucket(col("vec_id"), nb))
       .write.partitionBy("idb").mode("overwrite").parquet(s"$path/codes")
+    dropOldGenerations(path, "codes", keepFrom = 0L)
   }
 
   private def storedBooks(spark: SparkSession, path: String,
@@ -309,8 +335,11 @@ object AnnIndex {
     * runs AFTER the dedup, so replayed batches pay only the hash. */
   def appendPq(newVecs: DataFrame, path: String): Unit = {
     val (frame, touched) = pqAppendFrame(newVecs, path)
-    if (touched.nonEmpty)
-      frame.write.partitionBy("idb").mode("append").parquet(s"$path/codes")
+    if (touched.nonEmpty) {
+      val meta = readMeta(newVecs.sparkSession, path)
+      frame.write.partitionBy("idb").mode("append")
+        .parquet(currentData(path, meta))
+    }
   }
 
   /** The deduped, encoded frame a PQ append writes, plus the id buckets it
@@ -327,7 +356,7 @@ object AnnIndex {
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .withColumn("idb", idBucket(col("vec_id"), meta.nb))
     val touched = incoming.select("idb").distinct().collect().map(_.getInt(0))
-    val existing = spark.read.parquet(s"$path/codes")
+    val existing = spark.read.parquet(currentData(path, meta))
       .where(col("idb").isin(touched: _*)).select("vec_id")
     val frame = incoming.join(existing, Seq("vec_id"), "left_anti")
       .withColumn("code", Similarity.pqCodeKernel(books)(col("e")))
@@ -342,8 +371,82 @@ object AnnIndex {
              k: Int): DataFrame = {
     val (meta, model) = cachedModel(spark, path, "pq")(m => storedBooks(spark, path, m))
     val books = model.asInstanceOf[Array[Array[Array[Double]]]]
-    val enc = spark.read.parquet(s"$path/codes")
+    val enc = spark.read.parquet(currentData(path, meta))
       .select(col("vec_id").as("nid"), col("code"))
     Similarity.pqSearch(enc, books, queries, k, meta.m, meta.ksub)
   }
+
+  // -------------------------------------------------------------- compaction
+  /** The index's current data table (IVF cells / PQ codes) — resolves the
+    * generation-current directory, so callers never hard-code layout. */
+  def data(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(currentData(path, readMeta(spark, path)))
+
+  /** Number of parquet data files in the current generation — the
+    * small-file pressure gauge [[maybeCompact]] reads. Streaming appends
+    * write one file per touched partition per micro-batch, so this grows
+    * linearly with batches until a compaction folds it back to one file
+    * per partition value. */
+  def dataFileCount(spark: SparkSession, path: String): Int =
+    parquetFiles(currentData(path, readMeta(spark, path)))
+
+  private def parquetFiles(dir: String): Int = {
+    def walk(f: java.io.File): Int =
+      if (f.isDirectory) Option(f.listFiles).toSeq.flatten.map(walk).sum
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    walk(new java.io.File(dir))
+  }
+
+  private def deleteDir(dir: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).toSeq.flatten.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(dir))
+  }
+
+  /** Remove data generations older than `keepFrom` (the grace-window
+    * policy: [[compact]] keeps the just-retired generation for readers
+    * that already planned against its listing; the one before it can no
+    * longer have readers by the time another compaction cycle runs). */
+  private def dropOldGenerations(path: String, base: String,
+                                 keepFrom: Long): Unit = {
+    val re = s"${base}_v(\\d+)".r
+    Option(new java.io.File(path).listFiles).toSeq.flatten.foreach { f =>
+      val gen = f.getName match {
+        case `base` => Some(0L)
+        case re(g) => Some(g.toLong)
+        case _ => None
+      }
+      gen.filter(_ < keepFrom).foreach(_ => deleteDir(f.getPath))
+    }
+  }
+
+  /** Fold the append-accumulated small files back to one file per
+    * partition value, without breaking concurrent readers: the rewrite
+    * lands in a NEW generation directory beside the current one, the meta
+    * row flips to it (bumping the store-cache stamp), and only
+    * generations older than the just-retired one are deleted — a reader
+    * that planned against the old listing keeps its files for a full
+    * compaction cycle (the same retirement discipline as the event
+    * tables' `TableCommit`). Search results are unchanged: the rewrite is
+    * a partition-preserving shuffle of the same rows, and both search
+    * cores rank with deterministic tie-breaks. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val meta = readMeta(spark, path)
+    val cur = currentData(path, meta)
+    val next = dataDir(path, meta.dataBase, meta.gen + 1)
+    spark.read.parquet(cur)
+      .repartition(col(meta.partCol))
+      .write.partitionBy(meta.partCol).mode("overwrite").parquet(next)
+    writeMeta(spark, path, meta.copy(gen = meta.gen + 1))
+    dropOldGenerations(path, meta.dataBase, keepFrom = meta.gen)
+  }
+
+  /** Compact iff the current generation's file count is at or past the
+    * threshold — the cheap local check an ingest/streaming maintenance
+    * loop calls after every append. */
+  def maybeCompact(spark: SparkSession, path: String, atFiles: Int): Unit =
+    if (atFiles > 0 && dataFileCount(spark, path) >= atFiles)
+      compact(spark, path)
 }

@@ -329,15 +329,26 @@ object Streams {
     * loudly rather than mixing embedding spaces. Pair with
     * [[startIngest]]'s afterBatch hook or run standalone — the same
     * discipline keeps the MinHash [[graft.operators.TextIndex]] current
-    * (`TextIndex.append` in place of `AnnIndex.appendIvf`). */
+    * (`TextIndex.append` in place of `AnnIndex.appendIvf`).
+    *
+    * Each append writes one small parquet file per touched cell, so at
+    * micro-batch cadence the cells directory degrades into a small-file
+    * field that erodes the pruned-scan win; `compactAt` bounds it — once
+    * the current generation holds that many files, the batch also folds
+    * them back to one file per cell (`AnnIndex.compact`, a rename-free
+    * generation swap that concurrent searches ride through). */
   def annIndexStream(stream: DataFrame, path: String, checkpoint: String,
-                     trigger: Trigger = Trigger.ProcessingTime(0L))
+                     trigger: Trigger = Trigger.ProcessingTime(0L),
+                     compactAt: Int = 256)
       : StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) graft.operators.AnnIndex.appendIvf(batch, path)
+        if (!batch.isEmpty) {
+          graft.operators.AnnIndex.appendIvf(batch, path)
+          graft.operators.AnnIndex.maybeCompact(batch.sparkSession, path, compactAt)
+        }
       }
       .start()
 

@@ -191,6 +191,57 @@ class AnnIndexSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("compact folds append small-files; search bit-identical; rename-free") {
+    val path = java.nio.file.Files.createTempDirectory("annidx").toString
+    AnnIndex.buildIvf(corpus(0 until 30), path, nlist = 8)
+    // micro-batch appends accumulate one file per touched cell per batch
+    (30 until 60).grouped(5).foreach(g =>
+      AnnIndex.appendIvf(corpus(g.head until g.head + 5), path))
+    val before = AnnIndex.dataFileCount(spark, path)
+    val q = corpus(0 until 60).where(col("vec_id") < 5)
+    val resBefore = canon(AnnIndex.ivfTopK(spark, path, q, k = 4, nprobe = 3))
+    // threshold 0 = off; a threshold above the count is a no-op too
+    AnnIndex.maybeCompact(spark, path, 0)
+    AnnIndex.maybeCompact(spark, path, before + 1)
+    assert(AnnIndex.dataFileCount(spark, path) == before)
+    AnnIndex.compact(spark, path)
+    val after = AnnIndex.dataFileCount(spark, path)
+    assert(after < before && after <= 8,
+      s"compaction must fold to ≤1 file/cell: $before -> $after")
+    assert(AnnIndex.data(spark, path).count() == 60, "no rows lost")
+    assert(canon(AnnIndex.ivfTopK(spark, path, q, k = 4, nprobe = 3)) == resBefore,
+      "search must be bit-identical across a compaction")
+    // rename-free generation swap: the retired gen-0 dir stays as the
+    // grace window for readers that planned against its listing...
+    assert(new java.io.File(s"$path/cells").exists)
+    assert(new java.io.File(s"$path/cells_v1").exists)
+    // ...and the NEXT compaction cycle retires it
+    AnnIndex.compact(spark, path)
+    assert(!new java.io.File(s"$path/cells").exists)
+    assert(new java.io.File(s"$path/cells_v1").exists)
+    assert(new java.io.File(s"$path/cells_v2").exists)
+    assert(canon(AnnIndex.ivfTopK(spark, path, q, k = 4, nprobe = 3)) == resBefore)
+    // appends keep landing in the current generation
+    AnnIndex.appendIvf(corpus(60 until 65), path)
+    assert(AnnIndex.data(spark, path).count() == 65)
+    assert(new java.io.File(s"$path/cells_v2").exists &&
+      !new java.io.File(s"$path/cells").exists)
+  }
+
+  test("PQ compact: codes fold per id-bucket, rankings unchanged") {
+    val path = java.nio.file.Files.createTempDirectory("annidx").toString
+    AnnIndex.buildPq(corpus(0 until 30), path, m = 4, ksub = 8)
+    (30 until 60).grouped(10).foreach(g =>
+      AnnIndex.appendPq(corpus(g.head until g.head + 10), path))
+    val before = AnnIndex.dataFileCount(spark, path)
+    val q = corpus(0 until 60).where(col("vec_id") < 5)
+    val resBefore = canon(AnnIndex.pqTopK(spark, path, q, k = 4))
+    AnnIndex.compact(spark, path)
+    assert(AnnIndex.dataFileCount(spark, path) < before)
+    assert(AnnIndex.data(spark, path).count() == 60)
+    assert(canon(AnnIndex.pqTopK(spark, path, q, k = 4)) == resBefore)
+  }
+
   test("index invalidation: dim or kind mismatch fails loudly") {
     val base = corpus(0 until 40)
     val path = java.nio.file.Files.createTempDirectory("annidx").toString
