@@ -46,7 +46,13 @@ object ClusterSmoke {
     // the mirrored checks must survive cross-JVM shuffles)
     "q_osl_chain_reverse_inner",
     // restart step (round 11: two-sided inverted-frame collect)
-    "q_osl_from_accum")
+    "q_osl_from_accum",
+    // mixed accum-vs-row guard (round 12: ladder least-fold — the exact
+    // integer hi arithmetic must be identical across executor JVMs)
+    "q_osl_chain_mixed_guard",
+    // both depth-3 inner limits (round 12: Γ-array ordinal indexing —
+    // collected array ORDER must survive cross-JVM shuffles)
+    "q_osl_chain3_both")
 
   private def canon(df: org.apache.spark.sql.DataFrame): Set[Vector[String]] = {
     val cols = df.columns.sorted

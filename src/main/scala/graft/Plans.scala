@@ -169,6 +169,18 @@ object Plans {
         "the same absolute tail, so tuples collect over the inverted-frame " +
         "range window (here spawns in [row, row+24h]) — the index floor and " +
         "frame checks are in-row arithmetic on the same single (id) exchange"),
+    P("q_osl_chain3_both",
+      "BOTH depth-3 inner steps limited (round 12): the intermediate cap is " +
+        "one more upper-endpoint min-term and the deepest limit reads the " +
+        "purchase count at the capped ordinal from a per-row match-count " +
+        "array (span-bounded when framed) — still windows over ONE (id) " +
+        "exchange, no self-join"),
+    P("q_osl_chain_mixed_guard",
+      "MIXED accum-vs-row guard conjunct (round 12): the j-th spawn's affine " +
+        "accumulator value makes `get_hour(stamp) > n` a per-row bound on the " +
+        "spawn ordinal, folded into the reachability ladder as least(prev, hi) " +
+        "— exact integer arithmetic in-row, two windows on ONE (id) exchange, " +
+        "no collected spawn array"),
     P("q_ann_ivf_indexed",
       "persisted IVF index (round 11): the cells scan carries an explicit " +
         "PartitionFilters: cell IN (probed) — a query reads nprobe/nlist of the " +

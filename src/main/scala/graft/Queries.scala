@@ -3695,7 +3695,7 @@ object Queries {
           COUNT(DISTINCT id), COUNT(*)
         FROM trip GROUP BY i""")),
 
-    // Round-12 Tier A widening: an inner `.limit(n)` on the INTERMEDIATE
+    // Round-11 Tier A widening: an inner `.limit(n)` on the INTERMEDIATE
     // step of a depth-3 chain accumulator — only the first 2 views within
     // 12 h of each signup spawn the purchase scan. The ordinal bound
     // "s1 among the first n level-1 matches after the spawn" is
@@ -3748,7 +3748,7 @@ object Queries {
           COUNT(DISTINCT id), COUNT(*)
         FROM trip GROUP BY i""")),
 
-    // Round-12 Tier A widening: an inner `.limit(m)` on the DEEPEST step
+    // Round-11 Tier A widening: an inner `.limit(m)` on the DEEPEST step
     // of a depth-3 chain accumulator — each view within 48 h of the
     // signup scans only its FIRST purchase within 48 h. Reach needs
     // C₂(r) − C₂(s1) ≤ m for some valid view s1; later views always do
@@ -3802,7 +3802,7 @@ object Queries {
           COUNT(DISTINCT id), COUNT(*)
         FROM trip GROUP BY i""")),
 
-    // Round-12 Tier A widening: guards on DEEP chain-accumulator steps —
+    // Round-11 Tier A widening: guards on DEEP chain-accumulator steps —
     // a depth-4 signup -> view -> click -> purchase chain where the click
     // step is guarded by a ROW prop (view value > 50: folds into the
     // reachability-ladder window predicate — it restricts rows uniformly
@@ -3863,7 +3863,7 @@ object Queries {
           COUNT(DISTINCT id), COUNT(*)
         FROM quad GROUP BY i""")),
 
-    // Round-12 Tier A widening: a FRAMED + LIMITED deepest step at depth
+    // Round-11 Tier A widening: a FRAMED + LIMITED deepest step at depth
     // 4 — signup -> view -> click -> the FIRST purchase within 48 h of
     // the click. Validity of a click c for a spawn (a view chain exists
     // through c) is monotone in c, so valid clicks form a SUFFIX and the
@@ -3923,7 +3923,7 @@ object Queries {
           COUNT(DISTINCT id), COUNT(*)
         FROM quad GROUP BY i""")),
 
-    // Round-12 Tier A widening: a REVERSE inner step below a chain
+    // Round-11 Tier A widening: a REVERSE inner step below a chain
     // accumulator — for each purchase (carrying its running ordinal), the
     // nested loop scans BACKWARD and visits the 2 nearest preceding views
     // within 24 h. Visited rows sit BEFORE their spawn, so the compiled
@@ -3971,7 +3971,7 @@ object Queries {
           COUNT(DISTINCT id), COUNT(*)
         FROM pairs GROUP BY i""")),
 
-    // Round-12 Tier A widening: a `.from(0)` RESTART step below a chain
+    // Round-11 Tier A widening: a `.from(0)` RESTART step below a chain
     // accumulator — for each signup (carrying its running ordinal), the
     // nested loop rescans the person from row 0 and visits the views in
     // the 24 h window BEFORE that signup. Every spawn scans the same
@@ -4016,6 +4016,115 @@ object Queries {
         SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
           COUNT(DISTINCT id), COUNT(*)
         FROM pairs GROUP BY i""")),
+
+    // Round-12 Tier A widening: BOTH depth-3 inner steps limited —
+    // signup -> the first 2 views after it -> the first 2 purchases
+    // after the view. The intermediate cap joins the upper-endpoint
+    // min-terms (the latest VALID view for a spawn is the one at ordinal
+    // k* = min(C(r⁻), C(s0)+2)), and the deepest limit reads Γ(k*) — the
+    // purchase count at that view — from a per-row array of match
+    // counts (exact base-offset indexing; span₂-bounded when framed).
+    // Reference: nested limit scan src/queryinterpreter.cpp:2460-2533.
+    Q("q_osl_chain3_both",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |each_row where event.is(== 'signup')
+            |  n += 1
+            |  each_row.continue().next().limit(2) where event.is(== 'view')
+            |    each_row.continue().next().limit(2) where event.is(== 'purchase')
+            |      << n, event
+            |    end
+            |  end
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"))
+      },
+      Some(s"""$E, su AS (
+          SELECT id, stamp,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
+          FROM e WHERE event = 'signup'),
+        tri AS (
+          SELECT DISTINCT p.id, p.stamp, su.i
+          FROM e p JOIN su ON su.id = p.id AND su.stamp < p.stamp
+          WHERE p.event = 'purchase'
+            AND EXISTS (SELECT 1 FROM e v
+              WHERE v.id = p.id AND v.event = 'view'
+                AND v.stamp > su.stamp AND v.stamp < p.stamp
+                AND (SELECT COUNT(*) FROM e v2
+                  WHERE v2.id = v.id AND v2.event = 'view'
+                    AND v2.stamp > su.stamp AND v2.stamp <= v.stamp) <= 2
+                AND (SELECT COUNT(*) FROM e p2
+                  WHERE p2.id = v.id AND p2.event = 'purchase'
+                    AND p2.stamp > v.stamp AND p2.stamp <= p.stamp) <= 2))
+        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
+          'purchase' AS g2, COUNT(DISTINCT id) AS customers,
+          COUNT(*) AS n_rows
+        FROM tri GROUP BY i
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*)
+        FROM tri GROUP BY i""")),
+
+    // Round-12 Tier A widening: a MIXED guard conjunct — the spawn's
+    // accumulator compared against a row property of the guarded step's
+    // row (`get_hour(stamp) > n` at the view). On the ordinal path the
+    // j-th signup's value is affine (init + c·j), so the conjunct is a
+    // per-row bound on the spawn ordinal: reach stays a spawn PREFIX and
+    // the reachability ladder folds least(K, hi(row)) with hi computed
+    // in-row by exact integer arithmetic — no collected array, still one
+    // (id) exchange. Oracle: purchases preceded by a view whose hour
+    // exceeds the spawning signup's ordinal.
+    // Reference: guard scan semantics src/queryinterpreter.cpp:2437-2577.
+    Q("q_osl_chain_mixed_guard",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |each_row where event.is(== 'signup')
+            |  n += 1
+            |  each_row.continue().next() where event.is(== 'view')
+            |    if get_hour(stamp) > n
+            |      each_row.continue().next() where event.is(== 'purchase')
+            |        << n, event
+            |      end
+            |    end
+            |  end
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"))
+      },
+      Some(s"""$E, su AS (
+          SELECT id, stamp,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
+          FROM e WHERE event = 'signup'),
+        tri AS (
+          SELECT DISTINCT p.id, p.stamp, su.i
+          FROM e p JOIN su ON su.id = p.id AND su.stamp < p.stamp
+          WHERE p.event = 'purchase'
+            AND EXISTS (SELECT 1 FROM e v
+              WHERE v.id = p.id AND v.event = 'view'
+                AND v.stamp > su.stamp AND v.stamp < p.stamp
+                AND hour(make_timestamp(v.stamp * 1000)) > su.i))
+        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
+          'purchase' AS g2, COUNT(DISTINCT id) AS customers,
+          COUNT(*) AS n_rows
+        FROM tri GROUP BY i
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*)
+        FROM tri GROUP BY i""")),
 
     // Round-9 Tier A widening: an EVER-read BELOW a chain step — the
     // operand observes the SPAWNING signup's running ordinal, so the

@@ -101,8 +101,9 @@ object TierA {
           if accums.isEmpty || levels.size == 1 ||
             (levels.size == 2 && chainAccumOk(levels(1)) &&
               chainCollectSafe(levels, accums, events)) ||
-            (levels.size >= 3 && chainDeepOk(levels) &&
-              chainCollectSafe(levels, accums, events))
+            (levels.size >= 3 && chainDeepOk(levels, accums) &&
+              chainCollectSafe(levels, accums, events) &&
+              mixedRowSidesOk(levels, events, now))
           tallies = levels.flatMap(_.tallies)
           if tallies.nonEmpty &&
             tallies.forall { case (_, gs) => gs.nonEmpty && gs.size <= OslEngine.MaxDepth } &&
@@ -373,10 +374,126 @@ object TierA {
     * row) split by top-level `&&` conjunct: accumulator-free conjuncts
     * fold into the count/ladder predicates, spawn-pure conjuncts
     * evaluate per tuple — a conjunct that mixes both (e.g. `n < price`)
-    * declines. */
+    * declines on the COLLECT path (its interval counts need
+    * spawn-independent predicates), but a comparison-shaped mixed
+    * conjunct compiles on the ORDINAL path (round 12, see
+    * [[MixedBound]]). */
   private def guardSplitOk(l: ChainLevel): Boolean =
     l.guard.forall(g => conjunctsOf(g).forall(c =>
       spawnPure(c) || !readsName(c, _.startsWith("__accs_"))))
+
+  /** A MIXED guard conjunct — a bare in-chain accumulator read compared
+    * against a row expression (`n < price`, `get_hour(stamp) > n`) —
+    * normalized to "acc OP rowExpr". On the ordinal path the j-th spawn's
+    * accumulator value is the affine init + c·j, so the conjunct is a
+    * per-row bound on the spawn ordinal: when the satisfied set is
+    * downward-closed in j (OP and the sign of c agree — see
+    * [[mixedSolvable]]), reach stays a spawn PREFIX and the conjunct
+    * folds into the reachability ladder as one `least(...)` term —
+    * hi(row) = the largest satisfying ordinal, computed in-row with
+    * exact integer arithmetic (see chainPlan's `mixedHi`). Only plain
+    * `BinOp` comparisons compile; `.is(OP acc)` prop-test forms and
+    * non-bare accumulator sides stay Tier B (pinned). */
+  private case class MixedBound(acc: String, op: String, rowExpr: Expr)
+
+  private def bareAccName(e: Expr): Option[String] = e match {
+    case VarRef(n) if n.startsWith("__accs_")  => Some(n.stripPrefix("__accs_"))
+    case PropRef(n) if n.startsWith("__accs_") => Some(n.stripPrefix("__accs_"))
+    case _ => None
+  }
+
+  private val mixedCmpOps = Set("<", "<=", ">", ">=")
+  private def flipCmp(op: String): String = op match {
+    case "<" => ">"
+    case "<=" => ">="
+    case ">" => "<"
+    case ">=" => "<="
+  }
+
+  private def mixedBoundOf(c: Expr): Option[MixedBound] = c match {
+    case BinOp(op, l, r) if mixedCmpOps(op) =>
+      (bareAccName(l), bareAccName(r)) match {
+        case (Some(a), None) if !readsName(r, _.startsWith("__acc")) =>
+          Some(MixedBound(a, op, r))
+        case (None, Some(a)) if !readsName(l, _.startsWith("__acc")) =>
+          Some(MixedBound(a, flipCmp(op), l))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** The (init, total-per-visit-increment) of a constant-literal
+    * accumulator — defined exactly when the ordinal-path increment gate
+    * holds (same extraction as chainPlan's `bindsOf`). */
+  private def accAffine(accums: Seq[(String, Long, Seq[AccumPart])],
+                        n: String): Option[(Long, Long)] =
+    accums.collectFirst { case (m, init, parts) if m == n =>
+      (init, parts.flatMap(_.incThen).collect { case Lit(VInt(k)) => k }.sum)
+    }
+
+  /** Is the mixed conjunct's satisfied ordinal set downward-closed — a
+    * PREFIX of the spawn sequence? value(j) = init + c·j: increasing c
+    * needs an upper-bounding OP, decreasing c a lower-bounding one; a
+    * zero slope is j-independent (hi is all-or-nothing). The suffix
+    * forms would break the prefix reach structure the K-ladder encodes
+    * and stay Tier B. */
+  private def mixedSolvable(mb: MixedBound,
+                            accums: Seq[(String, Long, Seq[AccumPart])]): Boolean =
+    accAffine(accums, mb.acc).exists { case (_, c) =>
+      c == 0 || (if (c > 0) mb.op == "<" || mb.op == "<="
+                 else mb.op == ">" || mb.op == ">=")
+    }
+
+  /** [[guardSplitOk]] widened by the mixed class: every conjunct
+    * spawn-pure, accumulator-free, or a recognized mixed bound. */
+  private def guardSplitMixedOk(l: ChainLevel): Boolean =
+    l.guard.forall(g => conjunctsOf(g).forall(c =>
+      spawnPure(c) || !readsName(c, _.startsWith("__accs_")) ||
+        mixedBoundOf(c).isDefined))
+
+  private def mixedBoundsAt(levels: Seq[ChainLevel], k: Int): Seq[MixedBound] =
+    levels(k).guard.map(conjunctsOf(_).filterNot(spawnPure)
+      .filter(readsName(_, _.startsWith("__accs_")))
+      .flatMap(mixedBoundOf)).getOrElse(Nil)
+
+  /** Shape gate for chains carrying any mixed conjunct: forward top
+    * (reverse remaps ordinals through the person's total spawn count,
+    * which would make the affine intercept row-dependent), every mixed
+    * conjunct solvable for its accumulator, and no deepest-step
+    * `.limit(m)` when the DEEPEST step itself is mixed-guarded — the
+    * G-lookup's "latest match is valid for every eligible spawn" fails
+    * once last-hop validity depends on the spawn. */
+  private def chainMixedOk(levels: Seq[ChainLevel],
+                           accums: Seq[(String, Long, Seq[AccumPart])]): Boolean = {
+    val at = (2 until levels.size).map(k => k -> mixedBoundsAt(levels, k))
+    at.forall(_._2.isEmpty) || (!levels.head.reverse &&
+      at.forall { case (k, mbs) =>
+        mbs.forall(mixedSolvable(_, accums)) &&
+          (mbs.isEmpty || k < levels.size - 1 || levels.last.limitN.isEmpty)
+      })
+  }
+
+  private def hasMixedGuards(levels: Seq[ChainLevel]): Boolean =
+    (2 until levels.size).exists(k => mixedBoundsAt(levels, k).nonEmpty)
+
+  /** Every mixed conjunct's row side must compile AND be integral: the
+    * prefix bound ⌊(R − init − s)/c⌋ is computed in exact long/decimal
+    * arithmetic, and the interpreter's own comparison on integer values
+    * is exact too — a double row side would need fp boundary reasoning
+    * the solved form can't reproduce bit-for-bit, so it stays Tier B. */
+  private def mixedRowSidesOk(levels: Seq[ChainLevel], events: DataFrame,
+                              now: Long): Boolean = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    (2 until levels.size).forall(k => mixedBoundsAt(levels, k).forall { mb =>
+      try compileExpr(mb.rowExpr, now, Map.empty).exists { c =>
+        events.select(c).schema.head.dataType match {
+          case LongType | IntegerType | ShortType | ByteType => true
+          case _ => false
+        }
+      }
+      catch { case scala.util.control.NonFatal(_) => false }
+    })
+  }
 
   /** Is the step's guard free of row-prop conjuncts (absent, or every
     * conjunct spawn-pure)? Required under an intermediate-step limit,
@@ -433,16 +550,31 @@ object TierA {
     * chain-existence machinery stays unguarded and the conjunct is
     * AND'ed per tuple/ordinal with the spawn binds. Frames and limits
     * remain depth-3-only. */
-  private def chainDeepOk(levels: Seq[ChainLevel]): Boolean =
+  private def chainDeepOk(levels: Seq[ChainLevel],
+                          accums: Seq[(String, Long, Seq[AccumPart])]): Boolean =
     // a reverse TOP only changes which rows spawn (level-0 eligibility,
     // folded into spawnCond); the inner scans still walk forward, so the
-    // reachability ladder is direction-independent
+    // reachability ladder is direction-independent.
+    // MIXED accum+row guard conjuncts (round 12) compile ONLY through
+    // the ordinal ladder (the collect path's interval counts need
+    // spawn-independent predicates), so their presence narrows the gate
+    // to exactly the ordinal-eligible shapes.
+    (if (hasMixedGuards(levels))
+       levels.size <= OslEngine.MaxDepth && chainOrdinalOnly(levels, accums)
+     else chainDeepPlainOk(levels))
+
+  private def chainDeepPlainOk(levels: Seq[ChainLevel]): Boolean =
     levels.size <= OslEngine.MaxDepth &&
       levels.drop(2).forall(guardSplitOk) &&
       (if (levels.size == 3)
          levels.tail.forall(frameableStep) &&
-           (levels(1).limitN.isEmpty ||
-             (levels(2).limitN.isEmpty && rowFreeGuard(levels(2))))
+           // an intermediate-step limit needs a row-prop-free deepest
+           // guard (its ordinal counts pred₁ VISITS, the interval counts
+           // SPAWNING matches — they must coincide); BOTH steps limited
+           // (round 12) composes: the ordinal cap joins the upper-endpoint
+           // min-terms and the deep limit reads Γ at that capped ordinal
+           // (see chainPlan's __g2arr)
+           (levels(1).limitN.isEmpty || rowFreeGuard(levels(2)))
        else
          // depth ≥ 4 (round 11): middle steps stay unframed/unlimited,
          // but the DEEPEST step may carry a finite look_ahead and/or a
@@ -455,8 +587,9 @@ object TierA {
 
   /** Depth-3 inner-step shapes the interval-count reachability handles:
     * forward, no restart, no look_back; finite look_ahead, split-ok
-    * guards (see [[guardSplitOk]]) and (per [[chainDeepOk]], at most
-    * one) `.limit(n)` compose. */
+    * guards (see [[guardSplitOk]]) and `.limit(n)` on either or BOTH
+    * steps (round 12 — an intermediate limit needs a row-prop-free
+    * deepest guard) compose. */
   private def frameableStep(l: ChainLevel): Boolean =
     l.contraSpanMs.isEmpty && !l.reverse && !l.isFromStep
 
@@ -502,13 +635,16 @@ object TierA {
     // a prefix), so depth-2 framed/limited shapes keep collecting.
     levels.size >= 2 && plainStep(levels(1)) &&
       levels.slice(2, levels.size - 1)
-        .forall(l => unframedStep(l) && guardSplitOk(l)) &&
+        .forall(l => unframedStep(l) && guardSplitMixedOk(l)) &&
       (levels.size == 2 ||
-        (frameableStep(levels.last) && guardSplitOk(levels.last))) &&
+        (frameableStep(levels.last) && guardSplitMixedOk(levels.last))) &&
       accums.forall { case (_, _, parts) =>
         parts.forall(p => p.cond.isEmpty &&
           p.incThen.forall { case Lit(VInt(_)) => true; case _ => false })
-      }
+      } &&
+      // mixed accum+row conjuncts (round 12) ride ONLY this path — the
+      // shape gate rules out the forms the K-ladder can't encode
+      chainMixedOk(levels, accums)
   }
 
   /** Per-person row bound above which the residual COLLECT chain-accum
@@ -651,9 +787,10 @@ object TierA {
       val span2Fin =
         if (levels.size == 3) levels(2).spanMs.filter(_ != Long.MaxValue)
         else None
-      // depth-3 inner limits (round 11): at most one (chainDeepOk); an
+      // depth-3 inner limits (round 11, BOTH since round 12): an
       // intermediate-step limit is an extra min-term over the upper
       // endpoint counts, a deepest-step limit a running-max C₂ lookup
+      // (alone) or a Γ-array read at the capped ordinal (with lim1)
       val lim1 = if (levels.size == 3) levels(1).limitN else None
       val lim2 = if (levels.size == 3) levels(2).limitN else None
       // deepest-step frames/limits past depth 2 (round 11): both keep the
@@ -677,16 +814,64 @@ object TierA {
       // the top body, so a nested scan observes the SPAWN's running
       // value) prune SPAWNS uniformly across rows → AND'ed per
       // tuple/ordinal with the spawn binds inside the entry transform
-      val guardSplits: Map[Int, (Option[Column], Seq[Expr])] =
+      // MIXED conjuncts (round 12 — accumulator vs row prop, e.g.
+      // `get_hour(stamp) > n`) are their own class: gated to the ordinal
+      // path, where they fold into the K-ladder as per-row ordinal
+      // bounds (see mixedHi below) — neither a row-guard fold (the
+      // accumulator is the SPAWN's, not this row's) nor a spawn guard
+      // (the row side varies per witness row)
+      val guardSplits: Map[Int, (Option[Column], Seq[Expr], Seq[MixedBound])] =
         (2 until levels.size).map { k =>
           val cs = levels(k).guard.map(conjunctsOf).getOrElse(Nil)
-          val (sp, rp) = cs.partition(spawnPure)
-          k -> (rp.reduceOption(BinOp("&&", _, _))
-                  .map(g => compileExpr(g, now, real).get), sp)
+          val (sp, rest) = cs.partition(spawnPure)
+          val (mxRaw, rp) =
+            rest.partition(readsName(_, _.startsWith("__accs_")))
+          k -> ((rp.reduceOption(BinOp("&&", _, _))
+                   .map(g => compileExpr(g, now, real).get), sp,
+                 mxRaw.flatMap(mixedBoundOf)))
         }.toMap
       def rowGuard(k: Int): Option[Column] = guardSplits.get(k).flatMap(_._1)
       def spawnGuards(k: Int): Seq[Expr] =
         guardSplits.get(k).map(_._2).getOrElse(Nil)
+      def mixedAt(k: Int): Seq[MixedBound] =
+        guardSplits.get(k).map(_._3).getOrElse(Nil)
+      require(guardSplits.valuesIterator.forall(_._3.isEmpty) ||
+          chainOrdinalOnly(levels, accums),
+        "mixed guard conjuncts must ride the ordinal path (gate bug)")
+      // largest spawn ordinal j satisfying a mixed conjunct at THIS row:
+      // value(j) = init + c·j, normalized to a positive slope by negating
+      // both sides when c < 0, so the bound is ⌊(R − init − strict)/c⌋ —
+      // pmod makes the dividend an exact multiple of c, so the decimal
+      // quotient is integral and rounds to itself (exact at any scale,
+      // no fp division). A null row side means the interpreter's nil
+      // compare (falsy) — hi coalesces to 0 ("no ordinal passes").
+      def mixedHi(mb: MixedBound): Column = {
+        val (init, c) = accAffine(accums, mb.acc).get
+        val r0 = compileExpr(mb.rowExpr, now, real).get.cast("long")
+        def floorDiv(a: Column, d: Long): Column =
+          ((a - pmod(a, lit(d))).cast("decimal(38,0)") / lit(d)).cast("long")
+        val hi =
+          if (c == 0L) {
+            val const = mb.op match {
+              case "<"  => lit(init) < r0
+              case "<=" => lit(init) <= r0
+              case ">"  => lit(init) > r0
+              case ">=" => lit(init) >= r0
+            }
+            when(const, lit(Long.MaxValue)).otherwise(lit(0L))
+          } else {
+            val (cc, ii, rr, op) =
+              if (c > 0) (c, init, r0, mb.op)
+              else (-c, -init, -r0, flipCmp(mb.op))
+            op match {
+              case "<"  => floorDiv(rr - lit(ii) - 1, cc)
+              case "<=" => floorDiv(rr - lit(ii), cc)
+              case other => throw new IllegalStateException(
+                s"unsolvable mixed op $other passed the gate")
+            }
+          }
+        coalesce(hi, lit(0L))
+      }
       val spawnCond = levels(1).guard
         .map(g => visited0 && compileExpr(g, now, real).get).getOrElse(visited0)
       if (ordinal) {
@@ -704,7 +889,12 @@ object TierA {
         // through running-max windows — K_j(r) = max over pred_(j−1) rows
         // y < r of K_(j−1)(y), base K_1 = __spawnN (see chainOrdinalOnly)
         (2 until levels.size).foreach { j =>
-          val prev = if (j == 2) col("__spawnN") else col(s"__K${j - 1}")
+          val prev0 = if (j == 2) col("__spawnN") else col(s"__K${j - 1}")
+          // a MIXED conjunct gating step j caps which spawn ordinals this
+          // row extends: reach_j(r) = ∪_y [1, min(K_(j−1)(y), hi_j(y))]
+          // stays a prefix, so the ladder's max folds the min directly
+          val his = mixedAt(j).map(mixedHi)
+          val prev = if (his.isEmpty) prev0 else least((prev0 +: his): _*)
           // the guard gating step j evaluates at the level-(j−1) row —
           // its row-prop part restricts which rows extend reach
           val wPred = rowGuard(j)
@@ -775,10 +965,26 @@ object TierA {
           lim2.foreach { _ =>
             df = df
               .withColumn("__c2c", count(when(levelPreds(2), 1)).over(curRows))
-              .withColumn("__g2", max(when(predA, col("__c2c"))).over(prevRows))
-            span1Fin.foreach { sp =>
-              df = df.withColumn("__g2hi", max(when(predA, col("__c2c")))
-                .over(person.rangeBetween(W.unboundedPreceding, sp)))
+            if (lim1.isEmpty) {
+              df = df.withColumn("__g2",
+                max(when(predA, col("__c2c"))).over(prevRows))
+              span1Fin.foreach { sp =>
+                df = df.withColumn("__g2hi", max(when(predA, col("__c2c")))
+                  .over(person.rangeBetween(W.unboundedPreceding, sp)))
+              }
+            } else {
+              // BOTH steps limited (round 12): the intermediate cap makes
+              // the latest VALID s1 the pred₁ match at ordinal
+              // k* = min(upper endpoints incl. C(s0)+n), so the deep
+              // limit needs Γ(k*) = C₂ at that match — monotone in the
+              // ordinal, indexable from a per-row array of match-C₂s.
+              // The array window is the same span the s1 interval allows
+              // (within span₂ of r when framed), so ordinals offset by
+              // the window's base count (__loA / 0) index it exactly.
+              val w = span2Fin.map(sp => person.rangeBetween(-sp, -1))
+                .getOrElse(prevRows)
+              df = df.withColumn("__g2arr",
+                collect_list(when(predA, col("__c2c"))).over(w))
             }
           }
           (2 to levels.size - 2).foreach { j =>
@@ -802,7 +1008,7 @@ object TierA {
             levels(1).limitN.map(_ => col("__mc1").as("__mc")).toSeq ++
             (if (levels.size >= 3) Seq(col("__cm1c").as("__cm")) else Nil) ++
             (if (span1Fin.isDefined) Seq(col("__hiA").as("__hi")) else Nil) ++
-            (if (lim2.isDefined && span1Fin.isDefined)
+            (if (lim2.isDefined && span1Fin.isDefined && lim1.isEmpty)
                Seq(col("__g2hi").as("__ghi")) else Nil)
         val svStruct = struct(svFields: _*)
         // a finite-frame chain bounds how far a ROW can sit past its
@@ -1049,9 +1255,21 @@ object TierA {
                       // match's C₂ (both G windows are non-null whenever
                       // `base` holds, so the null-skipping `least` is safe)
                       lim2.map { m =>
-                        val gs = Seq(col("__g2")) ++
-                          span1Fin.map(_ => v.getField("__ghi"))
-                        val g = if (gs.size == 1) gs.head else least(gs: _*)
+                        val g =
+                          if (lim1.isEmpty) {
+                            val gs = Seq(col("__g2")) ++
+                              span1Fin.map(_ => v.getField("__ghi"))
+                            if (gs.size == 1) gs.head else least(gs: _*)
+                          } else {
+                            // both limits: Γ at the capped ordinal k* = ub
+                            // (1-based in the array after the window-base
+                            // offset; ub > lb ≥ base whenever `base` holds,
+                            // so the index is in range)
+                            val baseOrd = span2Fin.map(_ => col("__loA"))
+                              .getOrElse(lit(0L))
+                            element_at(col("__g2arr"),
+                              (ub - baseOrd).cast("int"))
+                          }
                         base && col("__c2c") - g <= lit(m)
                       }.getOrElse(base)
                     } else col(s"__P${j - 1}") > v.getField("__cm")

@@ -55,7 +55,9 @@ class PlanSpec extends SparkSpec {
         "q_osl_chain4_guarded", // split guards on deep chain steps (round 11)
         "q_osl_chain4_limited", // framed+limited deepest step at depth 4 (round 11)
         "q_osl_chain_reverse_inner", // reverse inner step, FOLLOWING collect (round 11)
-        "q_osl_from_accum")) // restart step, inverted-frame two-sided collect (round 11)
+        "q_osl_from_accum", // restart step, inverted-frame two-sided collect (round 11)
+        "q_osl_chain_mixed_guard", // mixed accum-vs-row guard, ladder least-fold (round 12)
+        "q_osl_chain3_both")) // both inner limits, Γ-array at the capped ordinal (round 12)
       assert(!plan(q).contains("MapGroups"), s"$q fell back to Tier B")
     // and an interpreter-only shape does (sanity that the probe works):
     // a guard READING the accumulator observes a mid-visit partial sum ->
@@ -99,7 +101,10 @@ class PlanSpec extends SparkSpec {
         // framed+limited deepest step: the final ladder window turns
         // range-bounded and the limit adds the __cdc/__gd pair — two
         // more window levels on the SAME exchange, still no collect
-        "q_osl_chain4_limited" -> 5)) {
+        "q_osl_chain4_limited" -> 5,
+        // round 12: a mixed accum-vs-row guard folds into the ladder as
+        // a least(prev, hi) term — in-row arithmetic, no extra window
+        "q_osl_chain_mixed_guard" -> 2)) {
       val dp = plan(q)
       assert(!dp.contains("collect_list"),
         s"$q must ride the ordinal prefix ladder, not a collect")

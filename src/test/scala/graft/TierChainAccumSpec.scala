@@ -1118,6 +1118,141 @@ class TierChainAccumSpec extends SparkSpec {
          |""".stripMargin)
   }
 
+  test("BOTH depth-3 inner steps limited compile (round 12)") {
+    // signup -> first n views -> first m purchases: the intermediate cap
+    // joins the upper-endpoint min-terms (k* = the latest VALID s1's
+    // ordinal) and the deep limit reads Γ(k*) — C₂ at that match — from
+    // the per-row match-C₂ array (exact base-offset indexing)
+    def both(midMods: String, deepMods: String, guard: Option[String] = None,
+             expectTierA: Boolean = true): Unit = {
+      val (gOpen, gClose) = guard.map(g => (s"if $g\n      ", "\n      end"))
+        .getOrElse(("", ""))
+      diffOn(worldDense,
+        s"""${sel}n = 0
+           |each_row where event.is(== 'signup')
+           |  n += 1
+           |  each_row.continue().next()$midMods where event.is(== 'view')
+           |    $gOpen each_row.continue().next()$deepMods where event.is(== 'purchase')
+           |      << n, event
+           |    end$gClose
+           |  end
+           |end
+           |""".stripMargin, expectTierA)
+    }
+    both(".limit(2)", ".limit(1)")
+    both(".limit(1)", ".limit(3)")
+    both(".limit(4)", ".limit(2)")
+    // frames compose with both limits (min-terms + the span2-bounded
+    // Γ-array window with its __loA base offset)
+    both(".look_ahead(9_hours).limit(2)", ".limit(1)")
+    both(".limit(2)", ".look_ahead(8_hours).limit(1)")
+    both(".look_ahead(12_hours).limit(3)", ".look_ahead(10_hours).limit(2)")
+    // a spawn-pure deepest guard keeps the count spaces aligned
+    both(".limit(2)", ".limit(2)", guard = Some("n <= 6"))
+    // pinned decline: a ROW-prop deepest guard under an intermediate
+    // limit (visit count != spawning-match count)
+    both(".limit(2)", ".limit(1)", guard = Some("product_price.is(> 15)"),
+      expectTierA = false)
+  }
+
+  test("MIXED accum+row guard conjuncts compile on the ordinal path (round 12)") {
+    // a guard comparing the SPAWN's accumulator against a row property of
+    // the guarded step's row — `get_hour(stamp) > n` at the view row: the
+    // j-th signup's nested scan launches the purchase scan only from
+    // views whose hour exceeds j. Compiles as a per-row ordinal bound
+    // folded into the reachability ladder (least(prev, hi)).
+    def mixed3(guard: String, expectTierA: Boolean = true,
+               init: String = "n = 0", inc: String = "n += 1",
+               deepMods: String = ""): Unit =
+      diffOn(worldDense,
+        s"""$sel$init
+           |each_row where event.is(== 'signup')
+           |  $inc
+           |  each_row.continue().next() where event.is(== 'view')
+           |    if $guard
+           |      each_row.continue().next()$deepMods where event.is(== 'purchase')
+           |        << n, event
+           |      end
+           |    end
+           |  end
+           |end
+           |""".stripMargin, expectTierA)
+    // increasing accumulator: upper-bounding ops keep reach a prefix
+    mixed3("get_hour(stamp) > n")
+    mixed3("n < get_hour(stamp)") // flipped operand order, same bound
+    mixed3("n <= get_hour(stamp)")
+    // non-unit increment: the affine slope is the summed literal
+    mixed3("get_hour(stamp) >= n", inc = "n += 3")
+    // DECREASING accumulator: lower-bounding ops are the prefix forms
+    mixed3("n > get_hour(stamp)", init = "n = 50", inc = "n -= 2")
+    mixed3("n >= get_hour(stamp)", init = "n = 50", inc = "n -= 3")
+    // a framed deepest step composes (the ladder window range-bounds)
+    mixed3("get_hour(stamp) > n", deepMods = ".look_ahead(9_hours)")
+    // spawn-pure + mixed conjuncts split per class
+    mixed3("n <= 6 && get_hour(stamp) > n")
+    // row-prop + mixed split
+    mixed3("product_price.is(> 15) && get_hour(stamp) > n")
+    // depth-4: mixed at the MIDDLE step (k=2), deepest plain
+    diffOn(worldDense,
+      s"""${sel}n = 0
+         |each_row where event.is(== 'signup')
+         |  n += 1
+         |  each_row.continue().next() where event.is(== 'view')
+         |    if get_hour(stamp) > n
+         |      each_row.continue().next() where event.is(== 'click')
+         |        each_row.continue().next() where event.is(== 'purchase')
+         |          << n, event
+         |        end
+         |      end
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
+    // depth-4: mixed at the middle step + a LIMITED deepest step — the
+    // G-lookup stays valid because last-hop validity folds the mixed
+    // bound through the ladder (K monotone in the hop row)
+    diffOn(worldDense,
+      s"""${sel}n = 0
+         |each_row where event.is(!= 'error')
+         |  n += 1
+         |  each_row.continue().next() where event.is(== 'view')
+         |    if get_hour(stamp) > n
+         |      each_row.continue().next() where event.is(== 'click')
+         |        each_row.continue().next().limit(1) where event.is(== 'purchase')
+         |          << n, event
+         |        end
+         |      end
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
+    // pinned DECLINES — each still differentially checked through Tier B:
+    // suffix form (increasing accumulator, lower-bounding op)
+    mixed3("get_hour(stamp) < n", expectTierA = false)
+    // double row side (fp boundary vs the exact integer bound)
+    mixed3("product_price > n", expectTierA = false)
+    // non-bare accumulator side
+    mixed3("n + 1 < get_hour(stamp)", expectTierA = false)
+    // prop-test form of the same compare
+    mixed3("product_price.is(> n)", expectTierA = false)
+    // mixed on the DEEPEST step + a deepest limit (G-lookup unsound)
+    mixed3("get_hour(stamp) > n", expectTierA = false, deepMods = ".limit(1)")
+    // reverse top (ordinal intercept becomes row-dependent)
+    diffOn(worldDense,
+      s"""${sel}n = 0
+         |each_row.reverse() where event.is(== 'signup')
+         |  n += 1
+         |  each_row.continue().next() where event.is(== 'view')
+         |    if get_hour(stamp) > n
+         |      each_row.continue().next() where event.is(== 'purchase')
+         |        << n, event
+         |      end
+         |    end
+         |  end
+         |end
+         |""".stripMargin, expectTierA = false)
+  }
+
   test("depth-3 chains with plain inner steps compile (round 9)") {
     // the canonical signup -> view -> purchase chain reading the running
     // signup ordinal at the deepest level
@@ -1248,19 +1383,9 @@ class TierChainAccumSpec extends SparkSpec {
          |  end
          |end
          |""".stripMargin, expectTierA = false)
-    // BOTH inner steps limited at depth 3 declines (an ordinal-bounded
-    // upper endpoint makes the G lookup spawn-dependent in count space)
-    diff(
-      s"""${sel}n = 0
-         |each_row where event.is(== 'signup')
-         |  n += 1
-         |  each_row.continue().next().limit(2) where event.is(== 'view')
-         |    each_row.continue().next().limit(1) where event.is(== 'purchase')
-         |      << n, event
-         |    end
-         |  end
-         |end
-         |""".stripMargin, expectTierA = false)
+    // BOTH inner steps limited compiles since round 12 (the Γ-array at
+    // the capped ordinal) — positive coverage in "BOTH depth-3 inner
+    // steps limited compile (round 12)" above.
     // an INTERMEDIATE-step limit with a GUARDED deepest step declines:
     // the limit counts pred1 VISITS, the interval count spawning
     // (pred1 ∧ guard2) matches — different count spaces

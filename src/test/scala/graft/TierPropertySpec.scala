@@ -840,7 +840,13 @@ class TierPropertySpec extends SparkSpec {
     val genDeepGuard = Gen.option(Gen.oneOf(
       "event.is(!= 'error')", "product_price.is(> 25)",
       // round 11: spawn-pure accumulator guards + a mixed split guard
-      "n <= 2", "n > 1", "n > 1 && product_price.is(> 25)"))
+      "n <= 2", "n > 1", "n > 1 && product_price.is(> 25)",
+      // round 12: MIXED accum-vs-row conjuncts (solvable upper-bounding
+      // forms — the sample assembly below forces the rest of the draw
+      // into ordinal-compatible shape; unsolvable/declining forms are
+      // pinned in TierChainAccumSpec)
+      "get_hour(stamp) > n", "n < get_hour(stamp)",
+      "n <= 2 && get_hour(stamp) >= n"))
     (1 to 15).foreach { i =>
       val s0 = Seed(i.toLong * 9437183)
       val w0 = genWhere.pureApply(params, s0)
@@ -858,7 +864,7 @@ class TierPropertySpec extends SparkSpec {
       val depth4 = i % 3 == 0
       val w3 = genWhere.pureApply(params, s0.slide.slide.next.next)
       // framed inner steps are depth-3 only (round 11); inner limits
-      // (round 11) allow at most ONE limit across the two steps, and an
+      // compose on either or BOTH steps (round 12), and an
       // intermediate-step limit needs a row-prop-free deepest guard;
       // guards (row-prop folded, accum spawn-pure split) compose at any
       // depth (round 11)
@@ -869,21 +875,37 @@ class TierPropertySpec extends SparkSpec {
         else genDeepMods.pureApply(params, s0.slide.slide.slide.next)
       val deepGuard0 =
         genDeepGuard.pureApply(params, s0.slide.slide.slide.next.next)
-      val midLim = midMods.contains(".limit(")
+      // round 12: a MIXED accum-vs-row draw rides the ordinal path only —
+      // force the rest of the sample into ordinal-compatible shape
+      // (constant positive increments, forward top, plain middle step, no
+      // deepest limit); the declining combinations are pinned separately
+      // in TierChainAccumSpec
+      val mixedDraw = deepGuard0.exists(_.contains("get_hour("))
+      val mods1 = if (mixedDraw && mods == ".reverse()") "" else mods
+      val inc1 = if (mixedDraw && inc == "n -= 1") "n += 1" else inc
+      val ginc1 = if (mixedDraw) None else ginc
+      val midMods1 = if (mixedDraw) "" else midMods
+      val midLim = midMods1.contains(".limit(")
+      // round 12: BOTH limits compose, so a mid limit no longer strips
+      // the deepest one; a mixed guard still rules out a deepest limit
       val deepMods =
-        if (midLim) deepMods0.replaceAll("\\.limit\\(\\d+\\)", "") else deepMods0
+        if (mixedDraw) deepMods0.replaceAll("\\.limit\\(\\d+\\)", "")
+        else deepMods0
       // under an intermediate limit only spawn-pure (no `.is(`) deepest
       // guards keep the count spaces aligned
       val deepGuard =
         if (midLim) deepGuard0.filter(g => !g.contains(".is(")) else deepGuard0
-      val gincLine = ginc.map(g => s"  $g\n").getOrElse("")
+      val gincLine = ginc1.map(g => s"  $g\n").getOrElse("")
       val topTallyLine = if (topTally) s"  << 'top', $read\n" else ""
       val midTallyLine = if (midTally) s"    << $read, 'mid'\n" else ""
       // round 11: the depth-4 DEEPEST step may be framed/limited (the
       // final ladder window range-bounds; the limit is a G conjunct)
-      val d4Mods = Gen.oneOf("", "", ".look_ahead(30_hours)", ".limit(1)",
+      val d4Mods0 = Gen.oneOf("", "", ".look_ahead(30_hours)", ".limit(1)",
         ".look_ahead(50_hours).limit(2)")
         .pureApply(params, s0.slide.slide.slide.slide)
+      // a mixed guard at the depth-4 deepest step rules out its limit
+      val d4Mods =
+        if (mixedDraw) d4Mods0.replaceAll("\\.limit\\(\\d+\\)", "") else d4Mods0
       val deepest =
         if (depth4) deepGuard match {
           // round 11: depth-4 deepest-step guards compose (row-prop
@@ -921,9 +943,9 @@ class TierPropertySpec extends SparkSpec {
            |  sum product_price as total
            |end
            |n = 0
-           |each_row$mods where $w0
-           |  $inc
-           |$gincLine$topTallyLine  each_row.continue().next()$midMods where $w1
+           |each_row$mods1 where $w0
+           |  $inc1
+           |$gincLine$topTallyLine  each_row.continue().next()$midMods1 where $w1
            |$midTallyLine    $deepest
            |  end
            |end
