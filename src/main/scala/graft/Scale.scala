@@ -348,6 +348,44 @@ object Scale {
             |end
             |""".stripMargin, now = 1719792000000L)
       }),
+      "osl_chain_mixed_guard" -> ((_: String, e: String, _: String) => {
+        val ev = normalizeEvents(spark.read.parquet(e))
+        graft.osl.OslEngine.query(ev,
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |each_row where event.is(== 'signup')
+            |  n += 1
+            |  each_row.continue().next() where event.is(== 'view')
+            |    if get_hour(stamp) > n
+            |      each_row.continue().next() where event.is(== 'purchase')
+            |        << n, event
+            |      end
+            |    end
+            |  end
+            |end
+            |""".stripMargin, now = 1719792000000L)
+      }),
+      "osl_chain3_both" -> ((_: String, e: String, _: String) => {
+        val ev = normalizeEvents(spark.read.parquet(e))
+        graft.osl.OslEngine.query(ev,
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |each_row where event.is(== 'signup')
+            |  n += 1
+            |  each_row.continue().next().limit(2) where event.is(== 'view')
+            |    each_row.continue().next().limit(2) where event.is(== 'purchase')
+            |      << n, event
+            |    end
+            |  end
+            |end
+            |""".stripMargin, now = 1719792000000L)
+      }),
       "osl_chain_ever_read" -> ((_: String, e: String, _: String) => {
         val ev = normalizeEvents(spark.read.parquet(e))
         graft.osl.OslEngine.query(ev,
@@ -383,10 +421,13 @@ object Scale {
             |""".stripMargin, now = 1719792000000L)
       }))
 
-    // optional second arg: run only operators whose name contains it
-    // (e.g. `runMain graft.Scale 1,4,10 ann_` for the ANN family)
-    val opFilter = if (args.length > 1) args(1) else ""
-    val selected = ops.filter(_._1.contains(opFilter))
+    // optional second arg: run only operators whose name contains one of
+    // the comma-separated substrings (e.g. `runMain graft.Scale 1,4,10
+    // ann_` for the ANN family, or `a,b` for two specific shapes)
+    val opFilter = (if (args.length > 1) args(1) else "")
+      .split(",").map(_.trim).filter(_.nonEmpty)
+    val selected = ops.filter(o =>
+      opFilter.isEmpty || opFilter.exists(o._1.contains))
     // untimed JVM/codegen warm-up against the BASE tables: without it the
     // first operator's x1 cold time absorbs session start-up and skews its
     // fitted exponent (a 10s warm-up at x1 reads as a NEGATIVE slope).
