@@ -52,7 +52,11 @@ object ClusterSmoke {
     "q_osl_chain_mixed_guard",
     // both depth-3 inner limits (round 12: Γ-array ordinal indexing —
     // collected array ORDER must survive cross-JVM shuffles)
-    "q_osl_chain3_both")
+    "q_osl_chain3_both",
+    // reverse/restart deepest steps (round 12: other-side interval
+    // endpoints over two-sided collect windows)
+    "q_osl_chain3_rev_deep",
+    "q_osl_chain3_restart")
 
   private def canon(df: org.apache.spark.sql.DataFrame): Set[Vector[String]] = {
     val cols = df.columns.sorted

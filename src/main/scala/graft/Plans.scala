@@ -175,6 +175,17 @@ object Plans {
         "purchase count at the capped ordinal from a per-row match-count " +
         "array (span-bounded when framed) — still windows over ONE (id) " +
         "exchange, no self-join"),
+    P("q_osl_chain3_rev_deep",
+      "REVERSE deepest step below a depth-3 accumulator (round 12): the s1 " +
+        "interval flips to the row's future side ((r, r+24h]), priced by the " +
+        "same monotone endpoint counts with one rangeBetween(…, +span) row " +
+        "window; spawn tuples collect over a two-sided range window — one " +
+        "(id) exchange, no self-join"),
+    P("q_osl_chain3_restart",
+      "RESTART deepest step below a depth-3 accumulator (round 12): the view " +
+        "interval inverts the frame around the purchase (v in [p, p+24h]) and " +
+        "the from(k) floor is a spawn-independent __rn check — same exchange, " +
+        "interval-count reachability"),
     P("q_osl_chain_mixed_guard",
       "MIXED accum-vs-row guard conjunct (round 12): the j-th spawn's affine " +
         "accumulator value makes `get_hour(stamp) > n` a per-row bound on the " +

@@ -4072,6 +4072,109 @@ object Queries {
           COUNT(DISTINCT id), COUNT(*)
         FROM tri GROUP BY i""")),
 
+    // Round-12 Tier A widening: a REVERSE deepest step below a depth-3
+    // accumulator — signup -> view (forward) -> purchases BEFORE the
+    // view, within 24 h back. The s1 interval flips to the row's future
+    // side ((r, r+24h] ∩ (s0, ∞)), priced by the same monotone endpoint
+    // counts with one rangeBetween(…, +24h) row window; spawn tuples
+    // collect over a two-sided range window. Oracle: purchases preceded
+    // ... followed within 24 h by a view that follows the signup.
+    // Reference: reverse nested scan src/queryinterpreter.cpp:2437-2533.
+    Q("q_osl_chain3_rev_deep",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |each_row where event.is(== 'signup')
+            |  n += 1
+            |  each_row.continue().next() where event.is(== 'view')
+            |    each_row.continue().next().reverse().look_back(24_hours) where event.is(== 'purchase')
+            |      << n, event
+            |    end
+            |  end
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"))
+      },
+      Some(s"""$E, su AS (
+          SELECT id, stamp,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
+          FROM e WHERE event = 'signup'),
+        tri AS (
+          SELECT DISTINCT p.id, p.stamp, su.i
+          FROM e p JOIN su ON su.id = p.id
+          WHERE p.event = 'purchase'
+            AND EXISTS (SELECT 1 FROM e v
+              WHERE v.id = p.id AND v.event = 'view'
+                AND v.stamp > su.stamp AND v.stamp > p.stamp
+                AND v.stamp - p.stamp <= 86400000))
+        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
+          'purchase' AS g2, COUNT(DISTINCT id) AS customers,
+          COUNT(*) AS n_rows
+        FROM tri GROUP BY i
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*)
+        FROM tri GROUP BY i""")),
+
+    // Round-12 Tier A widening: a RESTART deepest step below a depth-3
+    // accumulator — signup -> view -> rescan the person from row index 1
+    // visiting purchases within 24 h at-or-before the view. The view
+    // interval comes from inverting the frame around the purchase
+    // (v ∈ [p, p+24h]) and the index floor is a spawn-independent row
+    // check. Reference: from-anchored cursor
+    // src/queryinterpreter.cpp:2437-2458.
+    Q("q_osl_chain3_restart",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |each_row where event.is(== 'signup')
+            |  n += 1
+            |  each_row.continue().next() where event.is(== 'view')
+            |    each_row.from(1).look_back(24_hours) where event.is(== 'purchase')
+            |      << n, event
+            |    end
+            |  end
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"))
+      },
+      Some(s"""$E, su AS (
+          SELECT id, stamp,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
+          FROM e WHERE event = 'signup'),
+        rn AS (
+          SELECT id, stamp, event,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS r
+          FROM e),
+        tri AS (
+          SELECT DISTINCT p.id, p.stamp, su.i
+          FROM rn p JOIN su ON su.id = p.id
+          WHERE p.event = 'purchase' AND p.r >= 2
+            AND EXISTS (SELECT 1 FROM e v
+              WHERE v.id = p.id AND v.event = 'view'
+                AND v.stamp > su.stamp
+                AND p.stamp <= v.stamp AND v.stamp - p.stamp <= 86400000))
+        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
+          'purchase' AS g2, COUNT(DISTINCT id) AS customers,
+          COUNT(*) AS n_rows
+        FROM tri GROUP BY i
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*)
+        FROM tri GROUP BY i""")),
+
     // Round-12 Tier A widening: a MIXED guard conjunct — the spawn's
     // accumulator compared against a row property of the guarded step's
     // row (`get_hour(stamp) > n` at the view). On the ordinal path the

@@ -567,7 +567,7 @@ object TierA {
     levels.size <= OslEngine.MaxDepth &&
       levels.drop(2).forall(guardSplitOk) &&
       (if (levels.size == 3)
-         levels.tail.forall(frameableStep) &&
+         frameableStep(levels(1)) && deep3DeepestOk(levels(2)) &&
            // an intermediate-step limit needs a row-prop-free deepest
            // guard (its ordinal counts pred₁ VISITS, the interval counts
            // SPAWNING matches — they must coincide); BOTH steps limited
@@ -592,6 +592,21 @@ object TierA {
     * deepest guard) compose. */
   private def frameableStep(l: ChainLevel): Boolean =
     l.contraSpanMs.isEmpty && !l.reverse && !l.isFromStep
+
+  /** The DEEPEST step of a depth-3 chain may additionally be REVERSE
+    * (aligned look_back only) or a `.from(k)` RESTART (round 12): both
+    * keep reachability an interval count over the spawning level-1
+    * matches — only the interval's endpoints move to the row's other
+    * side (reverse: s1 ∈ (r, r+b]; restart: s1 ∈ [r−a, r+b] from the
+    * inverted frame), and monotone prefix counts price any endpoint
+    * direction. Their `.limit(n)` stays Tier B: a backward scan counts
+    * visits from the right and a restart scan from the absolute floor —
+    * neither is the forward match-count difference the G/Γ machinery
+    * prices. */
+  private def deep3DeepestOk(l: ChainLevel): Boolean =
+    frameableStep(l) ||
+      (l.reverse && l.limitN.isEmpty && l.contraSpanMs.isEmpty) ||
+      (l.isFromStep && l.limitN.isEmpty)
 
   /** Chain-accumulator shapes whose per-spawn values derive from the spawn
     * ORDINAL alone (value = init + c·j): plain inner steps (any depth —
@@ -734,6 +749,12 @@ object TierA {
     val rangeBounded =
       if (levels.size == 2 && levels(1).isFromStep) finFrom(levels(1))
       else if (levels.size == 2) fin(levels(1))
+      // depth-3 restart/reverse deepest steps (round 12): the spawn
+      // range inverts their frame around the row, so boundedness needs
+      // the mid span plus the deepest frame's relevant sides finite
+      // (fin also covers an aligned reverse look_back)
+      else if (levels.size == 3 && levels(2).isFromStep)
+        fin(levels(1)) && finFrom(levels(2))
       else if (levels.size == 3) fin(levels(1)) && fin(levels(2))
       else false
     chainOrdinalOnly(levels, accums) || rangeBounded ||
@@ -793,6 +814,14 @@ object TierA {
       // (alone) or a Γ-array read at the capped ordinal (with lim1)
       val lim1 = if (levels.size == 3) levels(1).limitN else None
       val lim2 = if (levels.size == 3) levels(2).limitN else None
+      // depth-3 deepest-step direction (round 12): a reverse or restart
+      // deepest step moves the s1 interval's endpoints to the row's
+      // other side; the row-side endpoint columns land in d3Ub/d3Lb
+      // (built inside the collect block below)
+      val deep3Rev = levels.size == 3 && levels(2).reverse
+      val deep3From = levels.size == 3 && levels(2).isFromStep
+      var d3Ub: Option[Column] = None
+      var d3Lb: Option[Column] = None
       // deepest-step frames/limits past depth 2 (round 11): both keep the
       // spawn-PREFIX structure because they constrain the LAST-HOP row,
       // whose validity for a spawn (`ladder(y) ≥ v`) is suffix-monotone —
@@ -953,9 +982,57 @@ object TierA {
             df = df.withColumn("__hiA", count(when(predA, 1))
               .over(person.rangeBetween(W.unboundedPreceding, sp)))
           }
-          span2Fin.foreach { sp =>
+          if (!deep3Rev && !deep3From) span2Fin.foreach { sp =>
             df = df.withColumn("__loA", count(when(predA, 1))
               .over(person.rangeBetween(W.unboundedPreceding, -sp - 1)))
+          }
+          // REVERSE / RESTART deepest steps (round 12): the s1 interval's
+          // endpoints sit on the row's OTHER side — reverse: s1 ∈ (r, r+b];
+          // restart: s1 ∈ [r−a, r+b] (the frame inverted around the row,
+          // one-sided frames pinning s1 to the row's side). Monotone
+          // prefix counts price any endpoint: the upper is a
+          // rangeBetween(…, +off) count (or the person TOTAL when
+          // unbounded), the lower C(r) itself (reverse, strict) or
+          // C(r−a−1) (restart).
+          if (deep3Rev || deep3From) {
+            def cnt(w: org.apache.spark.sql.expressions.WindowSpec) =
+              count(when(predA, 1)).over(w)
+            def total: Column = {
+              if (!df.columns.contains("__d3tot"))
+                df = df.withColumn("__d3tot", cnt(
+                  person.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+              col("__d3tot")
+            }
+            def upTo(off: Long): Column = {
+              if (!df.columns.contains("__d3hi"))
+                df = df.withColumn("__d3hi",
+                  cnt(person.rangeBetween(W.unboundedPreceding, off)))
+              col("__d3hi")
+            }
+            if (deep3Rev) {
+              d3Ub = Some(levels(2).spanMs match {
+                case Some(b) if b != Long.MaxValue => upTo(b)
+                case _ => total
+              })
+              d3Lb = Some(col("__cm1c")) // s1 > r strictly
+            } else {
+              val ahead = levels(2).spanMs
+              val back = levels(2).contraSpanMs
+              d3Ub = Some(back match {
+                case Some(b) if b != Long.MaxValue => upTo(b)
+                case Some(_) => total
+                case None => if (ahead.isDefined) col("__cm1c") else total
+              })
+              d3Lb = ahead match {
+                case Some(a) if a != Long.MaxValue =>
+                  df = df.withColumn("__d3lo", cnt(
+                    person.rangeBetween(W.unboundedPreceding, -a - 1)))
+                  Some(col("__d3lo"))
+                case Some(_) => None
+                case None =>
+                  if (back.isDefined) Some(col("__P1")) else None
+              }
+            }
           }
           // deepest-step `.limit(m)` (round 11): C₂(x) = inclusive count
           // of deepest-where matches, G(x) = max over spawning level-1
@@ -1052,6 +1129,37 @@ object TierA {
               person.rangeBetween(-sp, -1)
             case _ => prevRows
           }
+          // a REVERSE deepest step (round 12): s1 ∈ (r, r+b] and
+          // s0 ∈ (s1−span1, s1) ⇒ spawns live in (r−span1, r+b) — an
+          // inclusive superset range window when both sides are finite
+          // (the per-tuple reach check prunes exactly); otherwise the
+          // whole person (row-bound gated)
+          case 3 if levels(2).reverse =>
+            (span1Fin, levels(2).spanMs.filter(_ != Long.MaxValue)) match {
+              case (Some(a), Some(b)) => person.rangeBetween(-a, b)
+              case _ =>
+                person.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+            }
+          // a RESTART deepest step (round 12): s1 ∈ [r−a, r+b] (inverted
+          // frame, one-sided frames pin s1 to the row's side) and
+          // s0 ∈ (s1−span1, s1) ⇒ spawns in (r−a−span1, r+b)
+          case 3 if levels(2).isFromStep =>
+            val loOff = levels(2).spanMs match {
+              case Some(a) if a != Long.MaxValue => Some(a)
+              case Some(_) => None
+              case None => if (levels(2).contraSpanMs.isDefined) Some(0L) else None
+            }
+            val hiOff = levels(2).contraSpanMs match {
+              case Some(b) if b != Long.MaxValue => Some(b)
+              case Some(_) => None
+              case None => if (levels(2).spanMs.isDefined) Some(0L) else None
+            }
+            (span1Fin, loOff, hiOff) match {
+              case (Some(sp1), Some(lo), Some(hi)) =>
+                person.rangeBetween(-(sp1 + lo), hi)
+              case _ =>
+                person.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+            }
           case 3 => (span1Fin, span2Fin) match {
             case (Some(a), Some(b)) if a + b > 0 => person.rangeBetween(-(a + b), -1)
             case _ => prevRows
@@ -1240,15 +1348,26 @@ object TierA {
                     if (ordinal) lit(true)
                     else if (j == 2) {
                       // an intermediate-step limit is an ordinal upper
-                      // bound C(s1) ≤ C(s0)+n — one more min-term
-                      val ubs = Seq(col("__P1")) ++
+                      // bound C(s1) ≤ C(s0)+n — one more min-term; a
+                      // reverse/restart deepest step swaps in the
+                      // other-side endpoint columns (d3Ub/d3Lb), and a
+                      // restart adds its spawn-independent index floor
+                      val ubs =
+                        (if (deep3Rev || deep3From) Seq(d3Ub.get)
+                         else Seq(col("__P1"))) ++
                         span1Fin.map(_ => v.getField("__hi")) ++
                         lim1.map(n => v.getField("__cm") + lit(n))
                       val lbs = Seq(v.getField("__cm")) ++
-                        span2Fin.map(_ => col("__loA"))
+                        (if (deep3Rev || deep3From) d3Lb.toSeq
+                         else span2Fin.map(_ => col("__loA")).toSeq)
                       val ub = if (ubs.size == 1) ubs.head else least(ubs: _*)
                       val lb = if (lbs.size == 1) lbs.head else greatest(lbs: _*)
-                      val base = ub > lb
+                      val base0 = ub > lb
+                      val base =
+                        if (deep3From)
+                          base0 &&
+                            col("__rn") >= lit(levels(2).fromStart.get + 1)
+                        else base0
                       // a deepest-step limit: the LATEST spawning match in
                       // the (nonempty, by `base`) interval maximizes C₂,
                       // and G at the interval's upper endpoint IS that

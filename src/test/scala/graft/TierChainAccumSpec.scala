@@ -1118,6 +1118,69 @@ class TierChainAccumSpec extends SparkSpec {
          |""".stripMargin)
   }
 
+  test("REVERSE and RESTART deepest steps below depth-3 accumulators (round 12)") {
+    // reverse deepest: signup -> view (forward) -> purchases BEFORE the
+    // view — the s1 interval flips to (r, r+b] and reach is the same
+    // monotone-endpoint count with the upper endpoint on the row's
+    // future side
+    def rev3(midMods: String, deepMods: String,
+             expectTierA: Boolean = true): Unit =
+      diffOn(worldDense,
+        s"""${sel}n = 0
+           |each_row where event.is(== 'signup')
+           |  n += 1
+           |  each_row.continue().next()$midMods where event.is(== 'view')
+           |    each_row.continue().next().reverse()$deepMods where event.is(== 'purchase')
+           |      << n, event
+           |    end
+           |  end
+           |end
+           |""".stripMargin, expectTierA)
+    rev3("", "")
+    rev3("", ".look_back(9_hours)")
+    rev3(".look_ahead(12_hours)", ".look_back(8_hours)")
+    rev3(".look_ahead(20_hours)", "")
+    rev3(".limit(2)", ".look_back(10_hours)") // mid limit composes (min-term)
+    // pinned declines: a limit on the reversed step (counts from the
+    // right), and a look_ahead on it (contra side)
+    rev3("", ".limit(1)", expectTierA = false)
+    rev3("", ".look_ahead(6_hours)", expectTierA = false)
+
+    // restart deepest: signup -> view -> rescan from row k, frame
+    // anchored at the view — s1 ∈ [r−a, r+b] from the inverted frame,
+    // plus the spawn-independent index floor
+    def from3(deepMods: String, expectTierA: Boolean = true): Unit =
+      diffOn(worldDense,
+        s"""${sel}n = 0
+           |each_row where event.is(== 'signup')
+           |  n += 1
+           |  each_row.continue().next() where event.is(== 'view')
+           |    each_row.from(2)$deepMods where event.is(== 'purchase')
+           |      << n, event
+           |    end
+           |  end
+           |end
+           |""".stripMargin, expectTierA)
+    from3(".look_back(24_hours)")
+    from3(".look_ahead(18_hours)")
+    from3(".within(15_hours, stamp)")
+    from3("") // unframed: every spawn sees the whole fixed tail
+    // framed mid + restart deepest
+    diffOn(worldDense,
+      s"""${sel}n = 0
+         |each_row where event.is(!= 'error')
+         |  n += 1
+         |  each_row.continue().next().look_ahead(16_hours) where event.is(== 'view')
+         |    each_row.from(0).look_back(20_hours) where event.is(== 'purchase')
+         |      << n, event
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
+    // pinned decline: a limit on the restart step at depth 3
+    from3(".look_back(24_hours).limit(2)", expectTierA = false)
+  }
+
   test("BOTH depth-3 inner steps limited compile (round 12)") {
     // signup -> first n views -> first m purchases: the intermediate cap
     // joins the upper-endpoint min-terms (k* = the latest VALID s1's

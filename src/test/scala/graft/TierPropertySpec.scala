@@ -836,7 +836,9 @@ class TierPropertySpec extends SparkSpec {
     val genMidMods = Gen.oneOf("", "", ".look_ahead(15_hours)",
       ".look_ahead(40_hours)", ".limit(2)", ".look_ahead(40_hours).limit(1)")
     val genDeepMods = Gen.oneOf("", "", ".look_ahead(20_hours)",
-      ".look_ahead(50_hours)", ".limit(1)", ".look_ahead(50_hours).limit(2)")
+      ".look_ahead(50_hours)", ".limit(1)", ".look_ahead(50_hours).limit(2)",
+      // round 12: REVERSE deepest steps (other-side interval endpoints)
+      ".reverse()", ".reverse().look_back(25_hours)")
     val genDeepGuard = Gen.option(Gen.oneOf(
       "event.is(!= 'error')", "product_price.is(> 25)",
       // round 11: spawn-pure accumulator guards + a mixed split guard
@@ -888,9 +890,12 @@ class TierPropertySpec extends SparkSpec {
       val midLim = midMods1.contains(".limit(")
       // round 12: BOTH limits compose, so a mid limit no longer strips
       // the deepest one; a mixed guard still rules out a deepest limit
+      // and a reverse deepest (mixed rides the ordinal path only)
       val deepMods =
-        if (mixedDraw) deepMods0.replaceAll("\\.limit\\(\\d+\\)", "")
-        else deepMods0
+        if (mixedDraw) {
+          val noLim = deepMods0.replaceAll("\\.limit\\(\\d+\\)", "")
+          if (noLim.contains(".reverse")) "" else noLim
+        } else deepMods0
       // under an intermediate limit only spawn-pure (no `.is(`) deepest
       // guards keep the count spaces aligned
       val deepGuard =
