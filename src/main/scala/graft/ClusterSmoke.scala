@@ -56,7 +56,11 @@ object ClusterSmoke {
     // reverse/restart deepest steps (round 12: other-side interval
     // endpoints over two-sided collect windows)
     "q_osl_chain3_rev_deep",
-    "q_osl_chain3_restart")
+    "q_osl_chain3_restart",
+    // reverse/restart MIDDLE steps (round 12: tuple-side endpoints,
+    // floor folded into counts)
+    "q_osl_chain3_rev_mid",
+    "q_osl_chain3_restart_mid")
 
   private def canon(df: org.apache.spark.sql.DataFrame): Set[Vector[String]] = {
     val cols = df.columns.sorted

@@ -186,6 +186,16 @@ object Plans {
         "interval inverts the frame around the purchase (v in [p, p+24h]) and " +
         "the from(k) floor is a spawn-independent __rn check — same exchange, " +
         "interval-count reachability"),
+    P("q_osl_chain3_rev_mid",
+      "REVERSE middle step below a depth-3 accumulator (round 12): the s1 " +
+        "interval moves to the SPAWN's other side ([s0-24h, s0)), priced by " +
+        "tuple-side endpoint windows (exclusive spawn count + lower-offset " +
+        "count) over a two-sided collect — one (id) exchange, no self-join"),
+    P("q_osl_chain3_restart_mid",
+      "RESTART middle step below a depth-3 accumulator (round 12): the " +
+        "absolute from(k) floor folds into the counted predicate " +
+        "(spawn-independent) and the view interval inverts the frame around " +
+        "the spawn — same interval-count reachability, same exchange"),
     P("q_osl_chain_mixed_guard",
       "MIXED accum-vs-row guard conjunct (round 12): the j-th spawn's affine " +
         "accumulator value makes `get_hour(stamp) > n` a per-row bound on the " +

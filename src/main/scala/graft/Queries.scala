@@ -4175,6 +4175,106 @@ object Queries {
           COUNT(DISTINCT id), COUNT(*)
         FROM tri GROUP BY i""")),
 
+    // Round-12 Tier A widening: a REVERSE MIDDLE step — signup -> views
+    // BEFORE the signup (within 24 h back) -> purchase within 24 h after
+    // the view. The s1 interval moves to the SPAWN's other side
+    // ([s0−24h, s0)), priced by tuple-side endpoint windows (exclusive
+    // count at the spawn + the lower-offset count); spawn tuples collect
+    // over a two-sided range window. Oracle: purchases within 24 h after
+    // a view that precedes the signup by at most 24 h.
+    Q("q_osl_chain3_rev_mid",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |each_row where event.is(== 'signup')
+            |  n += 1
+            |  each_row.continue().next().reverse().look_back(24_hours) where event.is(== 'view')
+            |    each_row.continue().next().look_ahead(24_hours) where event.is(== 'purchase')
+            |      << n, event
+            |    end
+            |  end
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"))
+      },
+      Some(s"""$E, su AS (
+          SELECT id, stamp,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
+          FROM e WHERE event = 'signup'),
+        tri AS (
+          SELECT DISTINCT p.id, p.stamp, su.i
+          FROM e p JOIN su ON su.id = p.id
+          WHERE p.event = 'purchase'
+            AND EXISTS (SELECT 1 FROM e v
+              WHERE v.id = p.id AND v.event = 'view'
+                AND v.stamp < su.stamp AND su.stamp - v.stamp <= 86400000
+                AND v.stamp < p.stamp AND p.stamp - v.stamp <= 86400000))
+        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
+          'purchase' AS g2, COUNT(DISTINCT id) AS customers,
+          COUNT(*) AS n_rows
+        FROM tri GROUP BY i
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*)
+        FROM tri GROUP BY i""")),
+
+    // Round-12 Tier A widening: a RESTART MIDDLE step — signup -> rescan
+    // from row index 1 visiting views within 24 h at-or-before the
+    // signup -> purchase within 24 h after the view. The absolute index
+    // floor folds into the counted predicate (spawn-independent); the
+    // view interval inverts the frame around the SPAWN.
+    Q("q_osl_chain3_restart_mid",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |each_row where event.is(== 'signup')
+            |  n += 1
+            |  each_row.from(1).look_back(24_hours) where event.is(== 'view')
+            |    each_row.continue().next().look_ahead(24_hours) where event.is(== 'purchase')
+            |      << n, event
+            |    end
+            |  end
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"))
+      },
+      Some(s"""$E, su AS (
+          SELECT id, stamp,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
+          FROM e WHERE event = 'signup'),
+        rn AS (
+          SELECT id, stamp, event,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS r
+          FROM e),
+        tri AS (
+          SELECT DISTINCT p.id, p.stamp, su.i
+          FROM e p JOIN su ON su.id = p.id
+          WHERE p.event = 'purchase'
+            AND EXISTS (SELECT 1 FROM rn v
+              WHERE v.id = p.id AND v.event = 'view' AND v.r >= 2
+                AND v.stamp <= su.stamp AND su.stamp - v.stamp <= 86400000
+                AND v.stamp < p.stamp AND p.stamp - v.stamp <= 86400000))
+        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
+          'purchase' AS g2, COUNT(DISTINCT id) AS customers,
+          COUNT(*) AS n_rows
+        FROM tri GROUP BY i
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*)
+        FROM tri GROUP BY i""")),
+
     // Round-12 Tier A widening: a MIXED guard conjunct — the spawn's
     // accumulator compared against a row property of the guarded step's
     // row (`get_hour(stamp) > n` at the view). On the ordinal path the

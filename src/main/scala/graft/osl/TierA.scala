@@ -567,14 +567,22 @@ object TierA {
     levels.size <= OslEngine.MaxDepth &&
       levels.drop(2).forall(guardSplitOk) &&
       (if (levels.size == 3)
-         frameableStep(levels(1)) && deep3DeepestOk(levels(2)) &&
+         (frameableStep(levels(1)) && deep3DeepestOk(levels(2)) &&
            // an intermediate-step limit needs a row-prop-free deepest
            // guard (its ordinal counts pred₁ VISITS, the interval counts
            // SPAWNING matches — they must coincide); BOTH steps limited
            // (round 12) composes: the ordinal cap joins the upper-endpoint
            // min-terms and the deep limit reads Γ at that capped ordinal
            // (see chainPlan's __g2arr)
-           (levels(1).limitN.isEmpty || rowFreeGuard(levels(2)))
+           (levels(1).limitN.isEmpty || rowFreeGuard(levels(2)))) ||
+         // round 12: REVERSE/RESTART at the MIDDLE step (deepest forward,
+         // both steps unlimited): the s1 interval's endpoints move to the
+         // SPAWN's other side (reverse: s1 ∈ [s0−a1, s0); restart:
+         // s1 ∈ [s0−b, s0+a] with the index floor folded into the count
+         // predicate) — same monotone-count pricing, tuple-side endpoint
+         // windows evaluated at the spawn
+         (mid3NonFwdOk(levels(1)) && frameableStep(levels(2)) &&
+           levels(2).limitN.isEmpty)
        else
          // depth ≥ 4 (round 11): middle steps stay unframed/unlimited,
          // but the DEEPEST step may carry a finite look_ahead and/or a
@@ -607,6 +615,19 @@ object TierA {
     frameableStep(l) ||
       (l.reverse && l.limitN.isEmpty && l.contraSpanMs.isEmpty) ||
       (l.isFromStep && l.limitN.isEmpty)
+
+  /** The MIDDLE step of a depth-3 chain may be REVERSE (aligned
+    * look_back) or a `.from(k)` RESTART (round 12) when unlimited: its
+    * visited set per spawn is still a stamp interval — on the spawn's
+    * OTHER side (reverse: [s0−a1, s0)) or around it (restart:
+    * [s0−b, s0+a], one-sided frames pinning to the spawn; the absolute
+    * index floor is spawn-independent and folds into the count
+    * predicate) — so reachability stays the same interval count with
+    * tuple-side endpoint windows. Limits stay Tier B (backward /
+    * absolute-floor visit ordinals). */
+  private def mid3NonFwdOk(l: ChainLevel): Boolean =
+    l.limitN.isEmpty &&
+      ((l.reverse && l.contraSpanMs.isEmpty) || l.isFromStep)
 
   /** Chain-accumulator shapes whose per-spawn values derive from the spawn
     * ORDINAL alone (value = init + c·j): plain inner steps (any depth —
@@ -749,10 +770,12 @@ object TierA {
     val rangeBounded =
       if (levels.size == 2 && levels(1).isFromStep) finFrom(levels(1))
       else if (levels.size == 2) fin(levels(1))
-      // depth-3 restart/reverse deepest steps (round 12): the spawn
-      // range inverts their frame around the row, so boundedness needs
-      // the mid span plus the deepest frame's relevant sides finite
+      // depth-3 restart/reverse steps at EITHER position (round 12): the
+      // spawn range inverts the step's frame, so boundedness needs the
+      // other step's span plus the step frame's relevant sides finite
       // (fin also covers an aligned reverse look_back)
+      else if (levels.size == 3 && levels(1).isFromStep)
+        finFrom(levels(1)) && fin(levels(2))
       else if (levels.size == 3 && levels(2).isFromStep)
         fin(levels(1)) && finFrom(levels(2))
       else if (levels.size == 3) fin(levels(1)) && fin(levels(2))
@@ -822,6 +845,27 @@ object TierA {
       val deep3From = levels.size == 3 && levels(2).isFromStep
       var d3Ub: Option[Column] = None
       var d3Lb: Option[Column] = None
+      // MIDDLE-step direction (round 12, gated to exactly one non-forward
+      // step): the mid's visited set per spawn becomes a stamp interval
+      // on the spawn's other side / around it — tuple-side endpoint
+      // fields replace the forward __cm/__hi pair
+      val mid3Rev = levels.size == 3 && levels(1).reverse
+      val mid3From = levels.size == 3 && levels(1).isFromStep
+      val mrSpan = if (mid3Rev) levels(1).spanMs.filter(_ != Long.MaxValue)
+                   else None
+      val (mfAhead, mfBack) =
+        if (mid3From) (levels(1).spanMs, levels(1).contraSpanMs)
+        else (None, None)
+      val mfAFin = mfAhead.exists(_ != Long.MaxValue)
+      val mfBFin = mfBack.exists(_ != Long.MaxValue)
+      // one-sided restart frames pin s1 to the spawn's side
+      val mfHiCm = mid3From && mfAhead.isEmpty && mfBack.isDefined
+      val mfLoCmx = mid3From && mfBack.isEmpty && mfAhead.isDefined
+      // the lower tuple-endpoint window offset (reverse span / back side)
+      val midLoOff: Option[Long] =
+        if (mid3Rev) mrSpan
+        else if (mfBFin) mfBack
+        else None
       // deepest-step frames/limits past depth 2 (round 11): both keep the
       // spawn-PREFIX structure because they constrain the LAST-HOP row,
       // whose validity for a spawn (`ladder(y) ≥ v`) is suffix-monotone —
@@ -974,13 +1018,28 @@ object TierA {
         // columns. Plain shapes degenerate to __P1 > __cm exactly.
         if (levels.size >= 3) {
           val curRows = person.rowsBetween(W.unboundedPreceding, W.currentRow)
-          val predA = rowGuard(2).map(levelPreds(1) && _).getOrElse(levelPreds(1))
+          val predA0 = rowGuard(2).map(levelPreds(1) && _).getOrElse(levelPreds(1))
+          // a mid RESTART's absolute index floor is spawn-independent, so
+          // it folds into the counted predicate itself (round 12)
+          val predA =
+            if (mid3From)
+              predA0 && col("__rn") >= lit(levels(1).fromStart.get + 1)
+            else predA0
           df = df
             .withColumn("__cm1c", count(when(predA, 1)).over(curRows))
             .withColumn("__P1", count(when(predA, 1)).over(prevRows))
-          span1Fin.foreach { sp =>
+          // __hiA: count through s0+span — the FORWARD/ahead upper side
+          // (a mid-reverse step's span is its LOWER side instead)
+          if (!mid3Rev) span1Fin.foreach { sp =>
             df = df.withColumn("__hiA", count(when(predA, 1))
               .over(person.rangeBetween(W.unboundedPreceding, sp)))
+          }
+          // __loM: count through s0 − off − 1 — the tuple-side LOWER
+          // endpoint of a mid reverse (off = aligned span) or restart
+          // (off = back side)
+          midLoOff.foreach { off =>
+            df = df.withColumn("__loM", count(when(predA, 1))
+              .over(person.rangeBetween(W.unboundedPreceding, -off - 1)))
           }
           if (!deep3Rev && !deep3From) span2Fin.foreach { sp =>
             df = df.withColumn("__loA", count(when(predA, 1))
@@ -1084,7 +1143,12 @@ object TierA {
             Seq(col("stamp").as("__st")) ++
             levels(1).limitN.map(_ => col("__mc1").as("__mc")).toSeq ++
             (if (levels.size >= 3) Seq(col("__cm1c").as("__cm")) else Nil) ++
-            (if (span1Fin.isDefined) Seq(col("__hiA").as("__hi")) else Nil) ++
+            (if (span1Fin.isDefined && !mid3Rev)
+               Seq(col("__hiA").as("__hi")) else Nil) ++
+            // mid reverse/restart tuple endpoints (round 12): the
+            // exclusive count at the spawn and the lower-offset count
+            (if (mid3Rev || mfLoCmx) Seq(col("__P1").as("__cmx")) else Nil) ++
+            (if (midLoOff.isDefined) Seq(col("__loM").as("__mlo")) else Nil) ++
             (if (lim2.isDefined && span1Fin.isDefined && lim1.isEmpty)
                Seq(col("__g2hi").as("__ghi")) else Nil)
         val svStruct = struct(svFields: _*)
@@ -1129,6 +1193,30 @@ object TierA {
               person.rangeBetween(-sp, -1)
             case _ => prevRows
           }
+          // a REVERSE middle step (round 12): s1 ∈ [s0−a1, s0) ∩ [r−b2, r)
+          // ⇒ s0 ∈ (r−b2, r+a1) — spawns on either side of the row
+          case 3 if mid3Rev => (mrSpan, span2Fin) match {
+            case (Some(a1), Some(b2)) => person.rangeBetween(-b2, a1)
+            case _ =>
+              person.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+          }
+          // a RESTART middle step (round 12): s1 ∈ [s0−b, s0+a] ∩ [r−b2, r)
+          // ⇒ s0 ∈ [r−b2−a, r+b) (one-sided frames pin to the spawn)
+          case 3 if mid3From =>
+            val aOff =
+              if (mfAFin) mfAhead
+              else if (mfAhead.isEmpty && mfBack.isDefined) Some(0L)
+              else None
+            val hOff =
+              if (mfBFin) mfBack
+              else if (mfBack.isEmpty && mfAhead.isDefined) Some(0L)
+              else None
+            (span2Fin, aOff, hOff) match {
+              case (Some(b2), Some(a), Some(h)) =>
+                person.rangeBetween(-(b2 + a), h)
+              case _ =>
+                person.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+            }
           // a REVERSE deepest step (round 12): s1 ∈ (r, r+b] and
           // s0 ∈ (s1−span1, s1) ⇒ spawns live in (r−span1, r+b) — an
           // inclusive superset range window when both sides are finite
@@ -1309,7 +1397,17 @@ object TierA {
               val keys = gs.zip(canonFlags).map { case (g, num) =>
                 canonPure(compileExpr(g, now, r, b).get, num)
               }
-              val ok = if (ordinal) p else spawnOk(v) && p
+              // depth-3 collect windows can be TWO-SIDED (reverse/restart
+              // at either step) — the frame checks in spawnOk were
+              // window-coupled at depth 2, so level-1 visits must restore
+              // the scan-direction ordering explicitly: a forward mid
+              // visits rows strictly AFTER its spawn, a reverse mid
+              // strictly BEFORE, a restart either side (round 12)
+              val orderOk =
+                if (levels.size < 3 || levels(1).isFromStep) lit(true)
+                else if (levels(1).reverse) v.getField("__st") > col("stamp")
+                else v.getField("__st") < col("stamp")
+              val ok = if (ordinal) p else spawnOk(v) && orderOk && p
               when(ok, nodeStruct(d, keys)).otherwise(lit(null))
             }))
             .otherwise(array().cast(nodeType))
@@ -1352,16 +1450,38 @@ object TierA {
                       // reverse/restart deepest step swaps in the
                       // other-side endpoint columns (d3Ub/d3Lb), and a
                       // restart adds its spawn-independent index floor
+                      // mid-side endpoints: forward = (C(s0), s0+span1];
+                      // reverse = [s0−a1, s0); restart = the inverted
+                      // frame's sides (one-sided pins to the spawn)
+                      val (midUbs, midLbs) =
+                        if (mid3Rev)
+                          (Seq(v.getField("__cmx")),
+                           midLoOff.map(_ => v.getField("__mlo")).toSeq)
+                        else if (mid3From)
+                          ((if (mfAFin) Seq(v.getField("__hi"))
+                            else if (mfHiCm) Seq(v.getField("__cm"))
+                            else Nil),
+                           (if (mfBFin) Seq(v.getField("__mlo"))
+                            else if (mfLoCmx) Seq(v.getField("__cmx"))
+                            else Nil))
+                        else
+                          (span1Fin.map(_ => v.getField("__hi")).toSeq,
+                           Seq(v.getField("__cm")))
                       val ubs =
                         (if (deep3Rev || deep3From) Seq(d3Ub.get)
                          else Seq(col("__P1"))) ++
-                        span1Fin.map(_ => v.getField("__hi")) ++
+                        midUbs ++
                         lim1.map(n => v.getField("__cm") + lit(n))
-                      val lbs = Seq(v.getField("__cm")) ++
+                      val lbs = midLbs ++
                         (if (deep3Rev || deep3From) d3Lb.toSeq
                          else span2Fin.map(_ => col("__loA")).toSeq)
                       val ub = if (ubs.size == 1) ubs.head else least(ubs: _*)
-                      val lb = if (lbs.size == 1) lbs.head else greatest(lbs: _*)
+                      // an unframed restart mid has no lower endpoint at
+                      // all (s1 anywhere before r): reach is just ub > 0
+                      val lb =
+                        if (lbs.isEmpty) lit(0L)
+                        else if (lbs.size == 1) lbs.head
+                        else greatest(lbs: _*)
                       val base0 = ub > lb
                       val base =
                         if (deep3From)

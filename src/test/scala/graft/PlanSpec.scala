@@ -59,7 +59,9 @@ class PlanSpec extends SparkSpec {
         "q_osl_chain_mixed_guard", // mixed accum-vs-row guard, ladder least-fold (round 12)
         "q_osl_chain3_both", // both inner limits, Γ-array at the capped ordinal (round 12)
         "q_osl_chain3_rev_deep", // reverse deepest step, other-side endpoints (round 12)
-        "q_osl_chain3_restart")) // restart deepest step, inverted-frame endpoints (round 12)
+        "q_osl_chain3_restart", // restart deepest step, inverted-frame endpoints (round 12)
+        "q_osl_chain3_rev_mid", // reverse MIDDLE step, tuple-side endpoints (round 12)
+        "q_osl_chain3_restart_mid")) // restart MIDDLE step, floor folded into counts (round 12)
       assert(!plan(q).contains("MapGroups"), s"$q fell back to Tier B")
     // and an interpreter-only shape does (sanity that the probe works):
     // a guard READING the accumulator observes a mid-visit partial sum ->

@@ -932,7 +932,10 @@ class TierChainAccumSpec extends SparkSpec {
          |  end
          |end
          |""".stripMargin)
-    // reverse inner steps stay Tier B at depth 3 (mixed-direction chains)
+    // mixed-direction depth-3 chains compile since round 12 — positive
+    // coverage in "REVERSE and RESTART middle steps below depth-3
+    // accumulators (round 12)" (the dense-world variants) and below on
+    // the default world
     diff(
       s"""${sel}n = 0
          |each_row where event.is(== 'signup')
@@ -943,7 +946,7 @@ class TierChainAccumSpec extends SparkSpec {
          |    end
          |  end
          |end
-         |""".stripMargin, expectTierA = false)
+         |""".stripMargin)
   }
 
   test(".from(k) restart steps below chain accumulators (round 11)") {
@@ -1179,6 +1182,73 @@ class TierChainAccumSpec extends SparkSpec {
          |""".stripMargin)
     // pinned decline: a limit on the restart step at depth 3
     from3(".look_back(24_hours).limit(2)", expectTierA = false)
+  }
+
+  test("REVERSE and RESTART middle steps below depth-3 accumulators (round 12)") {
+    // the MID step scans the spawn's other side (reverse) or the fixed
+    // absolute tail (restart): the s1 interval's endpoints move to the
+    // SPAWN side, priced by tuple-side endpoint windows; a restart's
+    // index floor folds into the count predicate
+    def mid3(midStep: String, deepMods: String = "", midTally: Boolean = false,
+             expectTierA: Boolean = true): Unit = {
+      val mt = if (midTally) "    << n, 'mid'\n" else ""
+      diffOn(worldDense,
+        s"""${sel}n = 0
+           |each_row where event.is(== 'signup')
+           |  n += 1
+           |  $midStep where event.is(== 'view')
+           |$mt    each_row.continue().next()$deepMods where event.is(== 'purchase')
+           |      << n, event
+           |    end
+           |  end
+           |end
+           |""".stripMargin, expectTierA)
+    }
+    mid3("each_row.continue().next().reverse()")
+    mid3("each_row.continue().next().reverse().look_back(20_hours)")
+    mid3("each_row.continue().next().reverse().look_back(14_hours)",
+      deepMods = ".look_ahead(10_hours)")
+    // level-1 tallies under a reverse mid exercise the explicit
+    // scan-direction ordering (two-sided collect windows)
+    mid3("each_row.continue().next().reverse().look_back(16_hours)",
+      deepMods = ".look_ahead(12_hours)", midTally = true)
+    mid3("each_row.from(1).look_back(24_hours)")
+    mid3("each_row.from(0).look_ahead(18_hours)", deepMods = ".look_ahead(9_hours)")
+    mid3("each_row.from(2).within(15_hours, stamp)")
+    mid3("each_row.from(1)") // unframed restart: no lower endpoint at all
+    mid3("each_row.from(0).look_back(20_hours)", midTally = true)
+    // pinned declines: limits on a non-forward mid; both steps non-forward
+    mid3("each_row.continue().next().reverse().limit(2)", expectTierA = false)
+    mid3("each_row.from(1).look_back(24_hours).limit(1)", expectTierA = false)
+    mid3("each_row.continue().next().reverse().look_back(20_hours)",
+      deepMods = ".look_ahead(10_hours).limit(1)", expectTierA = false)
+    diffOn(worldDense,
+      s"""${sel}n = 0
+         |each_row where event.is(== 'signup')
+         |  n += 1
+         |  each_row.continue().next().reverse().look_back(20_hours) where event.is(== 'view')
+         |    each_row.continue().next().reverse().look_back(10_hours) where event.is(== 'purchase')
+         |      << n, event
+         |    end
+         |  end
+         |end
+         |""".stripMargin, expectTierA = false)
+    // level-1 tallies under reverse/restart DEEPEST steps (the mid is
+    // forward but the collect window is two-sided — same ordering fix)
+    for (deep <- Seq("each_row.continue().next().reverse().look_back(12_hours)",
+                     "each_row.from(1).look_back(18_hours)"))
+      diffOn(worldDense,
+        s"""${sel}n = 0
+           |each_row where event.is(== 'signup')
+           |  n += 1
+           |  each_row.continue().next() where event.is(== 'view')
+           |    << n, 'mid'
+           |    $deep where event.is(== 'purchase')
+           |      << n, event
+           |    end
+           |  end
+           |end
+           |""".stripMargin)
   }
 
   test("BOTH depth-3 inner steps limited compile (round 12)") {
