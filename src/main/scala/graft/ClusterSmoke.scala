@@ -60,7 +60,11 @@ object ClusterSmoke {
     // reverse/restart MIDDLE steps (round 12: tuple-side endpoints,
     // floor folded into counts)
     "q_osl_chain3_rev_mid",
-    "q_osl_chain3_restart_mid")
+    "q_osl_chain3_restart_mid",
+    // both steps reverse + rev-mid limit (round 12: modular endpoints)
+    "q_osl_chain3_dual_rev",
+    // depth-4 reverse deepest (round 12: flipped final ladder window)
+    "q_osl_chain4_rev")
 
   private def canon(df: org.apache.spark.sql.DataFrame): Set[Vector[String]] = {
     val cols = df.columns.sorted

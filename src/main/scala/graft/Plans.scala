@@ -196,6 +196,17 @@ object Plans {
         "absolute from(k) floor folds into the counted predicate " +
         "(spawn-independent) and the view interval inverts the frame around " +
         "the spawn — same interval-count reachability, same exchange"),
+    P("q_osl_chain3_dual_rev",
+      "BOTH steps reverse + a reverse-mid limit (round 12): mid terms " +
+        "(tuple-side endpoints incl. the clamped C(s0-)-n max-term) and deep " +
+        "terms (row-side, future-facing) compose modularly; the collect " +
+        "window spans the general [r+dLo-mA, r+dHi+mB] inversion — one (id) " +
+        "exchange, no self-join"),
+    P("q_osl_chain4_rev",
+      "depth-4 REVERSE deepest step (round 12): hop validity is K-monotone " +
+        "in the hop row in any direction, so the final reachability-ladder " +
+        "window flips to the FOLLOWING side (rangeBetween(1, 24h)) — still " +
+        "the collect-free ordinal path, three windows on one (id) exchange"),
     P("q_osl_chain_mixed_guard",
       "MIXED accum-vs-row guard conjunct (round 12): the j-th spawn's affine " +
         "accumulator value makes `get_hour(stamp) > n` a per-row bound on the " +

@@ -4275,6 +4275,115 @@ object Queries {
           COUNT(DISTINCT id), COUNT(*)
         FROM tri GROUP BY i""")),
 
+    // Round-12 Tier A widening: BOTH steps non-forward + a REVERSE-mid
+    // limit — signup -> the 2 CLOSEST views before it (within 24 h) ->
+    // purchases before the view (within 12 h). The endpoint assembly is
+    // modular, so mid terms (tuple-side, incl. the limit's clamped
+    // lower-endpoint max-term C(s0⁻)−n) and deep terms (row-side,
+    // future-facing) compose freely; the spawn collect window spans the
+    // general [r+dLo−mA, r+dHi+mB] inversion. Oracle: purchases within
+    // 12 h before a view that is among the signup's 2 closest preceding
+    // views within 24 h.
+    Q("q_osl_chain3_dual_rev",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |each_row where event.is(== 'signup')
+            |  n += 1
+            |  each_row.continue().next().reverse().look_back(24_hours).limit(2) where event.is(== 'view')
+            |    each_row.continue().next().reverse().look_back(12_hours) where event.is(== 'purchase')
+            |      << n, event
+            |    end
+            |  end
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"))
+      },
+      Some(s"""$E, su AS (
+          SELECT id, stamp,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
+          FROM e WHERE event = 'signup'),
+        tri AS (
+          SELECT DISTINCT p.id, p.stamp, su.i
+          FROM e p JOIN su ON su.id = p.id
+          WHERE p.event = 'purchase'
+            AND EXISTS (SELECT 1 FROM e v
+              WHERE v.id = p.id AND v.event = 'view'
+                AND v.stamp < su.stamp AND su.stamp - v.stamp <= 86400000
+                AND (SELECT COUNT(*) FROM e v2
+                  WHERE v2.id = v.id AND v2.event = 'view'
+                    AND v2.stamp > v.stamp AND v2.stamp < su.stamp
+                    AND su.stamp - v2.stamp <= 86400000) <= 1
+                AND p.stamp < v.stamp AND v.stamp - p.stamp <= 43200000))
+        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
+          'purchase' AS g2, COUNT(DISTINCT id) AS customers,
+          COUNT(*) AS n_rows
+        FROM tri GROUP BY i
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*)
+        FROM tri GROUP BY i""")),
+
+    // Round-12 Tier A widening: a REVERSE deepest step at DEPTH 4 —
+    // signup -> view -> click -> purchases BEFORE the click (within
+    // 24 h back). Hop validity is K-monotone in the hop row in any
+    // direction, so the final reachability-ladder window flips to the
+    // FOLLOWING side (rangeBetween(1, 24h)) — still the collect-free
+    // ordinal path, three windows on one (id) exchange. Oracle:
+    // purchases followed within 24 h by a click that completes a
+    // signup -> view -> click chain.
+    Q("q_osl_chain4_rev",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |each_row where event.is(== 'signup')
+            |  n += 1
+            |  each_row.continue().next() where event.is(== 'view')
+            |    each_row.continue().next() where event.is(== 'click')
+            |      each_row.continue().next().reverse().look_back(24_hours) where event.is(== 'purchase')
+            |        << n, event
+            |      end
+            |    end
+            |  end
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"))
+      },
+      Some(s"""$E, su AS (
+          SELECT id, stamp,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
+          FROM e WHERE event = 'signup'),
+        tri AS (
+          SELECT DISTINCT p.id, p.stamp, su.i
+          FROM e p JOIN su ON su.id = p.id
+          WHERE p.event = 'purchase'
+            AND EXISTS (SELECT 1 FROM e c
+              WHERE c.id = p.id AND c.event = 'click'
+                AND c.stamp > p.stamp AND c.stamp - p.stamp <= 86400000
+                AND EXISTS (SELECT 1 FROM e v
+                  WHERE v.id = p.id AND v.event = 'view'
+                    AND v.stamp > su.stamp AND v.stamp < c.stamp)))
+        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
+          'purchase' AS g2, COUNT(DISTINCT id) AS customers,
+          COUNT(*) AS n_rows
+        FROM tri GROUP BY i
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*)
+        FROM tri GROUP BY i""")),
+
     // Round-12 Tier A widening: a MIXED guard conjunct — the spawn's
     // accumulator compared against a row property of the guarded step's
     // row (`get_hour(stamp) > n` at the view). On the ordinal path the

@@ -567,22 +567,24 @@ object TierA {
     levels.size <= OslEngine.MaxDepth &&
       levels.drop(2).forall(guardSplitOk) &&
       (if (levels.size == 3)
-         (frameableStep(levels(1)) && deep3DeepestOk(levels(2)) &&
-           // an intermediate-step limit needs a row-prop-free deepest
-           // guard (its ordinal counts pred₁ VISITS, the interval counts
-           // SPAWNING matches — they must coincide); BOTH steps limited
-           // (round 12) composes: the ordinal cap joins the upper-endpoint
-           // min-terms and the deep limit reads Γ at that capped ordinal
-           // (see chainPlan's __g2arr)
-           (levels(1).limitN.isEmpty || rowFreeGuard(levels(2)))) ||
-         // round 12: REVERSE/RESTART at the MIDDLE step (deepest forward,
-         // both steps unlimited): the s1 interval's endpoints move to the
-         // SPAWN's other side (reverse: s1 ∈ [s0−a1, s0); restart:
-         // s1 ∈ [s0−b, s0+a] with the index floor folded into the count
-         // predicate) — same monotone-count pricing, tuple-side endpoint
-         // windows evaluated at the spawn
-         (mid3NonFwdOk(levels(1)) && frameableStep(levels(2)) &&
-           levels(2).limitN.isEmpty)
+         dir3StepOk(levels(1)) && dir3StepOk(levels(2)) &&
+           // MID-step limits need a row-prop-free deepest guard (the
+           // limit counts pred₁ VISITS, the interval counts SPAWNING
+           // matches — they must coincide). Forward-mid limits are an
+           // upper-endpoint min-term, reverse-mid limits a lower-endpoint
+           // max-term (the n closest matches below the spawn), restart-mid
+           // limits a rank cap folded into the count predicate — the
+           // latter only when UNFRAMED (every spawn then sees the
+           // identical floored sequence).
+           (levels(1).limitN.isEmpty ||
+             (rowFreeGuard(levels(2)) &&
+               (!levels(1).isFromStep ||
+                 (levels(1).spanMs.isEmpty && levels(1).contraSpanMs.isEmpty)))) &&
+           // DEEPEST-step limits keep the forward G/Γ machinery: both
+           // steps must scan forward (backward / absolute-floor visit
+           // counts are not the forward match-count difference it prices)
+           (levels(2).limitN.isEmpty ||
+             (frameableStep(levels(1)) && frameableStep(levels(2))))
        else
          // depth ≥ 4 (round 11): middle steps stay unframed/unlimited,
          // but the DEEPEST step may carry a finite look_ahead and/or a
@@ -590,8 +592,12 @@ object TierA {
          // (`__P(size−3)(y) > cm(s0)`) is monotone in y, so valid rows
          // form a SUFFIX and "the latest match is best" holds: a frame
          // range-bounds the last ladder window, a limit is one
-         // spawn-independent G-lookup conjunct (see chainPlan)
-         levels.tail.init.forall(unframedStep) && frameableStep(levels.last))
+         // spawn-independent G-lookup conjunct (see chainPlan). Round 12:
+         // the deepest step may also be REVERSE or a RESTART (unlimited)
+         // — hop validity is K-monotone in the hop row in any direction,
+         // so the final ladder window just flips/brackets (lastHopWin)
+         levels.tail.init.forall(unframedStep) && dir3StepOk(levels.last) &&
+           (levels.last.limitN.isEmpty || frameableStep(levels.last)))
 
   /** Depth-3 inner-step shapes the interval-count reachability handles:
     * forward, no restart, no look_back; finite look_ahead, split-ok
@@ -601,33 +607,59 @@ object TierA {
   private def frameableStep(l: ChainLevel): Boolean =
     l.contraSpanMs.isEmpty && !l.reverse && !l.isFromStep
 
-  /** The DEEPEST step of a depth-3 chain may additionally be REVERSE
-    * (aligned look_back only) or a `.from(k)` RESTART (round 12): both
-    * keep reachability an interval count over the spawning level-1
-    * matches — only the interval's endpoints move to the row's other
-    * side (reverse: s1 ∈ (r, r+b]; restart: s1 ∈ [r−a, r+b] from the
-    * inverted frame), and monotone prefix counts price any endpoint
-    * direction. Their `.limit(n)` stays Tier B: a backward scan counts
-    * visits from the right and a restart scan from the absolute floor —
-    * neither is the forward match-count difference the G/Γ machinery
-    * prices. */
-  private def deep3DeepestOk(l: ChainLevel): Boolean =
-    frameableStep(l) ||
-      (l.reverse && l.limitN.isEmpty && l.contraSpanMs.isEmpty) ||
-      (l.isFromStep && l.limitN.isEmpty)
+  /** EITHER depth-3 step may be forward (finite look_ahead), REVERSE
+    * (aligned look_back only) or a `.from(k)` RESTART (round 12): every
+    * combination keeps reachability an interval count over the spawning
+    * level-1 matches, because each direction only moves the s1
+    * interval's endpoints — to the row's other side for a non-forward
+    * DEEPEST step (reverse: s1 ∈ (r, r+b]; restart: s1 ∈ [r−a, r+b]) and
+    * to the spawn's other side for a non-forward MIDDLE step (reverse:
+    * s1 ∈ [s0−a1, s0); restart: s1 ∈ [s0−b, s0+a]) — and monotone prefix
+    * counts price any endpoint direction. Limit interactions are gated
+    * separately (see the depth-3 branch of [[chainDeepPlainOk]]). */
+  private def dir3StepOk(l: ChainLevel): Boolean =
+    frameableStep(l) || (l.reverse && l.contraSpanMs.isEmpty) || l.isFromStep
 
-  /** The MIDDLE step of a depth-3 chain may be REVERSE (aligned
-    * look_back) or a `.from(k)` RESTART (round 12) when unlimited: its
-    * visited set per spawn is still a stamp interval — on the spawn's
-    * OTHER side (reverse: [s0−a1, s0)) or around it (restart:
-    * [s0−b, s0+a], one-sided frames pinning to the spawn; the absolute
-    * index floor is spawn-independent and folds into the count
-    * predicate) — so reachability stays the same interval count with
-    * tuple-side endpoint windows. Limits stay Tier B (backward /
-    * absolute-floor visit ordinals). */
-  private def mid3NonFwdOk(l: ChainLevel): Boolean =
-    l.limitN.isEmpty &&
-      ((l.reverse && l.contraSpanMs.isEmpty) || l.isFromStep)
+  /** (mA, mB): the spawn's position relative to a mid-step visit —
+    * s0 ∈ [s1−mA, s1+mB]; None = that side unbounded. Used for the
+    * spawn-collect window bounds and the range-bounded memory gate. */
+  private def midSpawnOffsets(l: ChainLevel): (Option[Long], Option[Long]) =
+    if (l.isFromStep) {
+      val a = l.spanMs
+      val b = l.contraSpanMs
+      (a match {
+        case Some(x) if x != Long.MaxValue => Some(x)
+        case Some(_) => None
+        case None => if (b.isDefined) Some(0L) else None
+      },
+       b match {
+        case Some(x) if x != Long.MaxValue => Some(x)
+        case Some(_) => None
+        case None => if (a.isDefined) Some(0L) else None
+      })
+    }
+    else if (l.reverse) (Some(0L), l.spanMs.filter(_ != Long.MaxValue))
+    else (l.spanMs.filter(_ != Long.MaxValue), Some(0L))
+
+  /** (dLo, dHi): the s1 interval of a deepest-step visit relative to the
+    * row — s1 ∈ [r+dLo, r+dHi]; None = that side unbounded. */
+  private def deepS1Offsets(l: ChainLevel): (Option[Long], Option[Long]) =
+    if (l.isFromStep) {
+      val a = l.spanMs
+      val b = l.contraSpanMs
+      (a match {
+        case Some(x) if x != Long.MaxValue => Some(-x)
+        case Some(_) => None
+        case None => if (b.isDefined) Some(0L) else None
+      },
+       b match {
+        case Some(x) if x != Long.MaxValue => Some(x)
+        case Some(_) => None
+        case None => if (a.isDefined) Some(0L) else None
+      })
+    }
+    else if (l.reverse) (Some(0L), l.spanMs.filter(_ != Long.MaxValue))
+    else (l.spanMs.filter(_ != Long.MaxValue).map(-_), Some(0L))
 
   /** Chain-accumulator shapes whose per-spawn values derive from the spawn
     * ORDINAL alone (value = init + c·j): plain inner steps (any depth —
@@ -673,7 +705,10 @@ object TierA {
       levels.slice(2, levels.size - 1)
         .forall(l => unframedStep(l) && guardSplitMixedOk(l)) &&
       (levels.size == 2 ||
-        (frameableStep(levels.last) && guardSplitMixedOk(levels.last))) &&
+        // round 12: the deepest step may also be REVERSE / RESTART
+        // (unlimited) — the final ladder window flips (lastHopWin)
+        (dir3StepOk(levels.last) && guardSplitMixedOk(levels.last) &&
+          (levels.last.limitN.isEmpty || frameableStep(levels.last)))) &&
       accums.forall { case (_, _, parts) =>
         parts.forall(p => p.cond.isEmpty &&
           p.incThen.forall { case Lit(VInt(_)) => true; case _ => false })
@@ -770,15 +805,15 @@ object TierA {
     val rangeBounded =
       if (levels.size == 2 && levels(1).isFromStep) finFrom(levels(1))
       else if (levels.size == 2) fin(levels(1))
-      // depth-3 restart/reverse steps at EITHER position (round 12): the
-      // spawn range inverts the step's frame, so boundedness needs the
-      // other step's span plus the step frame's relevant sides finite
-      // (fin also covers an aligned reverse look_back)
-      else if (levels.size == 3 && levels(1).isFromStep)
-        finFrom(levels(1)) && fin(levels(2))
-      else if (levels.size == 3 && levels(2).isFromStep)
-        fin(levels(1)) && finFrom(levels(2))
-      else if (levels.size == 3) fin(levels(1)) && fin(levels(2))
+      // depth-3 (round 12): any direction combination is range-bounded
+      // exactly when every side of the spawn-range formula is finite —
+      // s0 ∈ [r + dLo − mA, r + dHi + mB] (see midSpawnOffsets /
+      // deepS1Offsets; one-sided frames pin to their anchor's side)
+      else if (levels.size == 3) {
+        val (mA, mB) = midSpawnOffsets(levels(1))
+        val (dLo, dHi) = deepS1Offsets(levels(2))
+        mA.isDefined && mB.isDefined && dLo.isDefined && dHi.isDefined
+      }
       else false
     chainOrdinalOnly(levels, accums) || rangeBounded ||
       maxRowsPerPerson(events) <= maxCollectSpawnRows
@@ -947,6 +982,27 @@ object TierA {
       }
       val spawnCond = levels(1).guard
         .map(g => visited0 && compileExpr(g, now, real).get).getOrElse(visited0)
+      // the FINAL reachability-ladder window, by deepest-step direction
+      // (round 12): forward — valid last hops precede the row
+      // (range-bounded when framed, else the caller's default); reverse —
+      // they FOLLOW it within the aligned span; restart — they bracket it
+      // per the inverted frame. Works at any depth: hop validity for a
+      // spawn is K-monotone in the hop row, so "max K over the flipped
+      // window" is reach in every direction.
+      def lastHopWin(default: org.apache.spark.sql.expressions.WindowSpec)
+          : org.apache.spark.sql.expressions.WindowSpec = {
+        val l = levels.last
+        if (l.reverse)
+          l.spanMs.filter(_ != Long.MaxValue)
+            .map(b => person.rangeBetween(1L, b))
+            .getOrElse(person.rangeBetween(1L, W.unboundedFollowing))
+        else if (l.isFromStep) {
+          val (dLo, dHi) = deepS1Offsets(l)
+          person.rangeBetween(dLo.getOrElse(W.unboundedPreceding),
+            dHi.getOrElse(W.unboundedFollowing))
+        }
+        else spanDeep.map(sp => person.rangeBetween(-sp, -1)).getOrElse(default)
+      }
       if (ordinal) {
         // ORDINAL path (round 9): plain inner steps with constant literal
         // increments on a forward top — the j-th spawn's accumulator
@@ -975,9 +1031,7 @@ object TierA {
           // a framed DEEPEST step bounds only the last hop: the final
           // ladder window becomes "latest valid hop within [r−span, r)"
           val win =
-            if (j == levels.size - 1 && spanDeep.isDefined)
-              person.rangeBetween(-spanDeep.get, -1)
-            else prevRows
+            if (j == levels.size - 1) lastHopWin(prevRows) else prevRows
           df = df.withColumn(s"__K$j",
             coalesce(max(when(wPred, prev)).over(win), lit(0L)))
         }
@@ -1020,11 +1074,19 @@ object TierA {
           val curRows = person.rowsBetween(W.unboundedPreceding, W.currentRow)
           val predA0 = rowGuard(2).map(levelPreds(1) && _).getOrElse(levelPreds(1))
           // a mid RESTART's absolute index floor is spawn-independent, so
-          // it folds into the counted predicate itself (round 12)
-          val predA =
-            if (mid3From)
-              predA0 && col("__rn") >= lit(levels(1).fromStart.get + 1)
-            else predA0
+          // it folds into the counted predicate itself (round 12); so
+          // does its `.limit(n)` — gated to UNFRAMED restarts, where
+          // every spawn sees the identical floored sequence, the cap is
+          // the row's rank among floored matches (the witness's __mc1)
+          val predA = {
+            val floored =
+              if (mid3From)
+                predA0 && col("__rn") >= lit(levels(1).fromStart.get + 1)
+              else predA0
+            if (mid3From && lim1.isDefined)
+              floored && col("__mc1") <= lit(lim1.get)
+            else floored
+          }
           df = df
             .withColumn("__cm1c", count(when(predA, 1)).over(curRows))
             .withColumn("__P1", count(when(predA, 1)).over(prevRows))
@@ -1128,11 +1190,12 @@ object TierA {
             // (evaluated at the level-j row) into the ladder window
             val wPred = rowGuard(j + 1)
               .map(levelPreds(j) && _).getOrElse(levelPreds(j))
-            // depth ≥ 4 framed deepest step: its only consumer is the
-            // deepest level's reach, so range-bound the FINAL __P window
+            // depth ≥ 4 framed / non-forward deepest step: its only
+            // consumer is the deepest level's reach, so flip/bound the
+            // FINAL __P window by the deepest step's direction
             val win =
-              if (levels.size >= 4 && j == levels.size - 2 && spanDeep.isDefined)
-                person.rangeBetween(-spanDeep.get, -1)
+              if (levels.size >= 4 && j == levels.size - 2)
+                lastHopWin(prevRows)
               else prevRows
             df = df.withColumn(s"__P$j",
               max(when(wPred, col(s"__P${j - 1}"))).over(win))
@@ -1193,65 +1256,25 @@ object TierA {
               person.rangeBetween(-sp, -1)
             case _ => prevRows
           }
-          // a REVERSE middle step (round 12): s1 ∈ [s0−a1, s0) ∩ [r−b2, r)
-          // ⇒ s0 ∈ (r−b2, r+a1) — spawns on either side of the row
-          case 3 if mid3Rev => (mrSpan, span2Fin) match {
-            case (Some(a1), Some(b2)) => person.rangeBetween(-b2, a1)
-            case _ =>
-              person.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-          }
-          // a RESTART middle step (round 12): s1 ∈ [s0−b, s0+a] ∩ [r−b2, r)
-          // ⇒ s0 ∈ [r−b2−a, r+b) (one-sided frames pin to the spawn)
-          case 3 if mid3From =>
-            val aOff =
-              if (mfAFin) mfAhead
-              else if (mfAhead.isEmpty && mfBack.isDefined) Some(0L)
-              else None
-            val hOff =
-              if (mfBFin) mfBack
-              else if (mfBack.isEmpty && mfAhead.isDefined) Some(0L)
-              else None
-            (span2Fin, aOff, hOff) match {
-              case (Some(b2), Some(a), Some(h)) =>
-                person.rangeBetween(-(b2 + a), h)
+          // depth 3, ANY direction combination (round 12): s1 lives in
+          // [r+dLo, r+dHi] (the deepest step's interval) and the spawn in
+          // [s1−mA, s1+mB] (the mid step's inversion), so spawns live in
+          // [r + dLo − mA, r + dHi + mB] — one inclusive-superset range
+          // window when every side is finite (the per-tuple reach check
+          // prunes exactly); forward-forward unbounded keeps the
+          // strictly-preceding window, anything else the whole person
+          // (row-bound gated)
+          case 3 =>
+            val (mA, mB) = midSpawnOffsets(levels(1))
+            val (dLo, dHi) = deepS1Offsets(levels(2))
+            (mA, mB, dLo, dHi) match {
+              case (Some(a), Some(b), Some(lo), Some(hi)) =>
+                person.rangeBetween(lo - a, hi + b)
+              case _ if frameableStep(levels(1)) && frameableStep(levels(2)) =>
+                prevRows
               case _ =>
                 person.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
             }
-          // a REVERSE deepest step (round 12): s1 ∈ (r, r+b] and
-          // s0 ∈ (s1−span1, s1) ⇒ spawns live in (r−span1, r+b) — an
-          // inclusive superset range window when both sides are finite
-          // (the per-tuple reach check prunes exactly); otherwise the
-          // whole person (row-bound gated)
-          case 3 if levels(2).reverse =>
-            (span1Fin, levels(2).spanMs.filter(_ != Long.MaxValue)) match {
-              case (Some(a), Some(b)) => person.rangeBetween(-a, b)
-              case _ =>
-                person.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-            }
-          // a RESTART deepest step (round 12): s1 ∈ [r−a, r+b] (inverted
-          // frame, one-sided frames pin s1 to the row's side) and
-          // s0 ∈ (s1−span1, s1) ⇒ spawns in (r−a−span1, r+b)
-          case 3 if levels(2).isFromStep =>
-            val loOff = levels(2).spanMs match {
-              case Some(a) if a != Long.MaxValue => Some(a)
-              case Some(_) => None
-              case None => if (levels(2).contraSpanMs.isDefined) Some(0L) else None
-            }
-            val hiOff = levels(2).contraSpanMs match {
-              case Some(b) if b != Long.MaxValue => Some(b)
-              case Some(_) => None
-              case None => if (levels(2).spanMs.isDefined) Some(0L) else None
-            }
-            (span1Fin, loOff, hiOff) match {
-              case (Some(sp1), Some(lo), Some(hi)) =>
-                person.rangeBetween(-(sp1 + lo), hi)
-              case _ =>
-                person.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-            }
-          case 3 => (span1Fin, span2Fin) match {
-            case (Some(a), Some(b)) if a + b > 0 => person.rangeBetween(-(a + b), -1)
-            case _ => prevRows
-          }
           case _ => prevRows
         }
         df = df.withColumn("__sv",
@@ -1421,8 +1444,13 @@ object TierA {
         (2 until levels.size).flatMap { j =>
           levels(j).tallies.flatMap { case (ip, gs) =>
             // eligibility is implied per tuple by the reachability check
-            // (ordinal: baked into the K_j prefix size)
-            val rowP = levelPreds(j)
+            // (ordinal: baked into the K_j prefix size); a RESTART
+            // deepest step's absolute index floor is a row-level gate
+            val rowP =
+              if (j == levels.size - 1 && levels(j).isFromStep)
+                levelPreds(j) &&
+                  col("__rn") >= lit(levels(j).fromStart.get + 1)
+              else levelPreds(j)
             val canonFlags = gs.map { g =>
               val probe = compileExpr(g, now, realFor(typeBinds), typeBinds).get
               df.select(probe).schema.head.dataType
@@ -1467,12 +1495,28 @@ object TierA {
                         else
                           (span1Fin.map(_ => v.getField("__hi")).toSeq,
                            Seq(v.getField("__cm")))
+                      // a mid limit by direction: forward — the first n
+                      // matches AFTER the spawn are an upper-endpoint
+                      // min-term; reverse — the n closest matches BELOW
+                      // it are a lower-endpoint max-term; restart —
+                      // folded into the counted predicate upstream
+                      val lim1Ub =
+                        if (mid3Rev || mid3From) None
+                        else lim1.map(n => v.getField("__cm") + lit(n))
+                      // clamped at the natural 0 floor: every other lb
+                      // term is a count (≥ 0), but C(s0⁻) − n can go
+                      // negative for early spawns and would otherwise
+                      // make `ub > lb` pass with an EMPTY interval
+                      val lim1Lb =
+                        if (mid3Rev)
+                          lim1.map(n =>
+                            greatest(v.getField("__cmx") - lit(n), lit(0L)))
+                        else None
                       val ubs =
                         (if (deep3Rev || deep3From) Seq(d3Ub.get)
                          else Seq(col("__P1"))) ++
-                        midUbs ++
-                        lim1.map(n => v.getField("__cm") + lit(n))
-                      val lbs = midLbs ++
+                        midUbs ++ lim1Ub
+                      val lbs = midLbs ++ lim1Lb.toSeq ++
                         (if (deep3Rev || deep3From) d3Lb.toSeq
                          else span2Fin.map(_ => col("__loA")).toSeq)
                       val ub = if (ubs.size == 1) ubs.head else least(ubs: _*)

@@ -61,7 +61,9 @@ class PlanSpec extends SparkSpec {
         "q_osl_chain3_rev_deep", // reverse deepest step, other-side endpoints (round 12)
         "q_osl_chain3_restart", // restart deepest step, inverted-frame endpoints (round 12)
         "q_osl_chain3_rev_mid", // reverse MIDDLE step, tuple-side endpoints (round 12)
-        "q_osl_chain3_restart_mid")) // restart MIDDLE step, floor folded into counts (round 12)
+        "q_osl_chain3_restart_mid", // restart MIDDLE step, floor folded into counts (round 12)
+        "q_osl_chain3_dual_rev", // both steps reverse + rev-mid limit (round 12)
+        "q_osl_chain4_rev")) // depth-4 reverse deepest, flipped ladder window (round 12)
       assert(!plan(q).contains("MapGroups"), s"$q fell back to Tier B")
     // and an interpreter-only shape does (sanity that the probe works):
     // a guard READING the accumulator observes a mid-visit partial sum ->
@@ -108,7 +110,10 @@ class PlanSpec extends SparkSpec {
         "q_osl_chain4_limited" -> 5,
         // round 12: a mixed accum-vs-row guard folds into the ladder as
         // a least(prev, hi) term — in-row arithmetic, no extra window
-        "q_osl_chain_mixed_guard" -> 2)) {
+        "q_osl_chain_mixed_guard" -> 2,
+        // round 12: a depth-4 REVERSE deepest step only flips the final
+        // ladder window to the following side — still three windows
+        "q_osl_chain4_rev" -> 3)) {
       val dp = plan(q)
       assert(!dp.contains("collect_list"),
         s"$q must ride the ordinal prefix ladder, not a collect")

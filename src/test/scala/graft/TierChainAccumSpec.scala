@@ -1217,22 +1217,42 @@ class TierChainAccumSpec extends SparkSpec {
     mid3("each_row.from(2).within(15_hours, stamp)")
     mid3("each_row.from(1)") // unframed restart: no lower endpoint at all
     mid3("each_row.from(0).look_back(20_hours)", midTally = true)
-    // pinned declines: limits on a non-forward mid; both steps non-forward
-    mid3("each_row.continue().next().reverse().limit(2)", expectTierA = false)
-    mid3("each_row.from(1).look_back(24_hours).limit(1)", expectTierA = false)
+    // mid limits by direction (round 12): reverse — the n closest
+    // matches below the spawn are a lower-endpoint max-term
+    mid3("each_row.continue().next().reverse().limit(2)")
+    mid3("each_row.continue().next().reverse().look_back(18_hours).limit(2)")
+    mid3("each_row.continue().next().reverse().limit(1)",
+      deepMods = ".look_ahead(10_hours)")
+    // restart — UNFRAMED only: every spawn sees the identical floored
+    // sequence, so the cap folds into the counted predicate
+    mid3("each_row.from(1).limit(3)")
+    mid3("each_row.from(0).limit(2)", deepMods = ".look_ahead(12_hours)")
+    // BOTH steps non-forward (round 12): the endpoint assembly is
+    // modular — mid terms and deep terms compose freely
     mid3("each_row.continue().next().reverse().look_back(20_hours)",
-      deepMods = ".look_ahead(10_hours).limit(1)", expectTierA = false)
+      deepMods = ".reverse().look_back(10_hours)")
+    mid3("each_row.continue().next().reverse()", deepMods = ".reverse()")
+    mid3("each_row.from(1).look_back(20_hours)",
+      deepMods = ".reverse().look_back(8_hours)")
+    mid3("each_row.continue().next().reverse().look_back(16_hours)",
+      deepMods = ".look_ahead(9_hours)", midTally = true)
     diffOn(worldDense,
       s"""${sel}n = 0
          |each_row where event.is(== 'signup')
          |  n += 1
-         |  each_row.continue().next().reverse().look_back(20_hours) where event.is(== 'view')
-         |    each_row.continue().next().reverse().look_back(10_hours) where event.is(== 'purchase')
+         |  each_row.continue().next().reverse().look_back(22_hours) where event.is(== 'view')
+         |    each_row.from(1).look_back(14_hours) where event.is(== 'purchase')
          |      << n, event
          |    end
          |  end
          |end
-         |""".stripMargin, expectTierA = false)
+         |""".stripMargin)
+    // pinned declines: a FRAMED restart-mid limit (per-spawn sequences
+    // diverge) and a deep limit under a non-forward mid (the G lookup
+    // needs forward-forward count spaces)
+    mid3("each_row.from(1).look_back(24_hours).limit(1)", expectTierA = false)
+    mid3("each_row.continue().next().reverse().look_back(20_hours)",
+      deepMods = ".look_ahead(10_hours).limit(1)", expectTierA = false)
     // level-1 tallies under reverse/restart DEEPEST steps (the mid is
     // forward but the collect window is two-sided — same ordering fix)
     for (deep <- Seq("each_row.continue().next().reverse().look_back(12_hours)",
@@ -1243,6 +1263,55 @@ class TierChainAccumSpec extends SparkSpec {
            |  n += 1
            |  each_row.continue().next() where event.is(== 'view')
            |    << n, 'mid'
+           |    $deep where event.is(== 'purchase')
+           |      << n, event
+           |    end
+           |  end
+           |end
+           |""".stripMargin)
+  }
+
+  test("REVERSE/RESTART deepest steps at depth 4 (ladder window flips)") {
+    // hop validity is K-monotone in the hop row in ANY direction, so the
+    // final reachability-ladder window just flips to the following side
+    // (reverse) or brackets the row (restart) — still collect-free on
+    // the ordinal path
+    def deep4(deepStep: String, midTally: Boolean = false,
+              expectTierA: Boolean = true): Unit = {
+      val mt = if (midTally) "      << n, 'mid'\n" else ""
+      diffOn(worldDense,
+        s"""${sel}n = 0
+           |each_row where event.is(== 'signup')
+           |  n += 1
+           |  each_row.continue().next() where event.is(== 'view')
+           |    each_row.continue().next() where event.is(== 'click')
+           |$mt      $deepStep where event.is(== 'purchase')
+           |        << n, event
+           |      end
+           |    end
+           |  end
+           |end
+           |""".stripMargin, expectTierA)
+    }
+    deep4("each_row.continue().next().reverse()")
+    deep4("each_row.continue().next().reverse().look_back(14_hours)")
+    deep4("each_row.from(1).look_back(20_hours)")
+    deep4("each_row.from(0).look_ahead(16_hours)")
+    deep4("each_row.from(2)")
+    deep4("each_row.continue().next().reverse().look_back(12_hours)",
+      midTally = true)
+    // pinned declines: limits on non-forward deepest steps at depth 4
+    deep4("each_row.continue().next().reverse().limit(1)", expectTierA = false)
+    deep4("each_row.from(1).look_back(20_hours).limit(2)", expectTierA = false)
+    // depth-3 rev/from deepest with constant increments now rides the
+    // ORDINAL path (collect-free) — re-pin the canonical shapes there
+    for (deep <- Seq("each_row.continue().next().reverse().look_back(24_hours)",
+                     "each_row.from(1).look_back(24_hours)"))
+      diffOn(worldDense,
+        s"""${sel}n = 0
+           |each_row where event.is(== 'signup')
+           |  n += 1
+           |  each_row.continue().next() where event.is(== 'view')
            |    $deep where event.is(== 'purchase')
            |      << n, event
            |    end
