@@ -176,16 +176,16 @@ object Plans {
         "array (span-bounded when framed) — still windows over ONE (id) " +
         "exchange, no self-join"),
     P("q_osl_chain3_rev_deep",
-      "REVERSE deepest step below a depth-3 accumulator (round 12): the s1 " +
-        "interval flips to the row's future side ((r, r+24h]), priced by the " +
-        "same monotone endpoint counts with one rangeBetween(…, +span) row " +
-        "window; spawn tuples collect over a two-sided range window — one " +
-        "(id) exchange, no self-join"),
+      "REVERSE deepest step below a depth-3 accumulator (round 12): with " +
+        "constant increments this rides the collect-free ORDINAL path — the " +
+        "final reachability-ladder window flips to the FOLLOWING side " +
+        "(rangeBetween(1, 24h)), two windows on one (id) exchange, no " +
+        "collected array, no self-join"),
     P("q_osl_chain3_restart",
-      "RESTART deepest step below a depth-3 accumulator (round 12): the view " +
-        "interval inverts the frame around the purchase (v in [p, p+24h]) and " +
-        "the from(k) floor is a spawn-independent __rn check — same exchange, " +
-        "interval-count reachability"),
+      "RESTART deepest step below a depth-3 accumulator (round 12): ordinal " +
+        "path — the final ladder window brackets the row per the inverted " +
+        "frame (rangeBetween(-24h, 0)) and the from(k) floor is a row-level " +
+        "__rn gate; two windows, no collected array"),
     P("q_osl_chain3_rev_mid",
       "REVERSE middle step below a depth-3 accumulator (round 12): the s1 " +
         "interval moves to the SPAWN's other side ([s0-24h, s0)), priced by " +
