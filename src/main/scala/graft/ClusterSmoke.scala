@@ -64,7 +64,9 @@ object ClusterSmoke {
     // both steps reverse + rev-mid limit (round 12: modular endpoints)
     "q_osl_chain3_dual_rev",
     // depth-4 reverse deepest (round 12: flipped final ladder window)
-    "q_osl_chain4_rev")
+    "q_osl_chain4_rev",
+    // int(value) mixed guard (round 12: exact truncation on both tiers)
+    "q_osl_mixed_value_guard")
 
   private def canon(df: org.apache.spark.sql.DataFrame): Set[Vector[String]] = {
     val cols = df.columns.sorted

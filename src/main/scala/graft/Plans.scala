@@ -213,6 +213,10 @@ object Plans {
         "spawn ordinal, folded into the reachability ladder as least(prev, hi) " +
         "— exact integer arithmetic in-row, two windows on ONE (id) exchange, " +
         "no collected spawn array"),
+    P("q_osl_mixed_value_guard",
+      "int(value) mixed guard (round 12): the compiled int() — truncate " +
+        "through double, nil->0 — makes a DOUBLE prop an exact-integer row " +
+        "side for the ordinal prefix bound; same two-window ladder plan"),
     P("q_ann_ivf_indexed",
       "persisted IVF index (round 11): the cells scan carries an explicit " +
         "PartitionFilters: cell IN (probed) — a query reads nprobe/nlist of the " +

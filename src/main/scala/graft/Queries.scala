@@ -4384,6 +4384,55 @@ object Queries {
           COUNT(DISTINCT id), COUNT(*)
         FROM tri GROUP BY i""")),
 
+    // Round-12: `int()` compiles (truncate-through-double, nil -> 0), so
+    // a DOUBLE prop reaches the mixed-guard machinery via explicit
+    // conversion — the guard compares the view's truncated value against
+    // the spawning signup's ordinal, exactly int-vs-int on both tiers.
+    // Oracle: DuckDB TRUNC (toward zero) + BIGINT cast.
+    Q("q_osl_mixed_value_guard",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |each_row where event.is(== 'signup')
+            |  n += 1
+            |  each_row.continue().next() where event.is(== 'view')
+            |    if int(value) > n
+            |      each_row.continue().next() where event.is(== 'purchase')
+            |        << n, event
+            |      end
+            |    end
+            |  end
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"))
+      },
+      Some(s"""$E, su AS (
+          SELECT id, stamp,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
+          FROM e WHERE event = 'signup'),
+        tri AS (
+          SELECT DISTINCT p.id, p.stamp, su.i
+          FROM e p JOIN su ON su.id = p.id AND su.stamp < p.stamp
+          WHERE p.event = 'purchase'
+            AND EXISTS (SELECT 1 FROM e v
+              WHERE v.id = p.id AND v.event = 'view'
+                AND v.stamp > su.stamp AND v.stamp < p.stamp
+                AND CAST(TRUNC(v.value) AS BIGINT) > su.i))
+        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
+          'purchase' AS g2, COUNT(DISTINCT id) AS customers,
+          COUNT(*) AS n_rows
+        FROM tri GROUP BY i
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*)
+        FROM tri GROUP BY i""")),
+
     // Round-12 Tier A widening: a MIXED guard conjunct — the spawn's
     // accumulator compared against a row property of the guarded step's
     // row (`get_hour(stamp) > n` at the view). On the ordinal path the

@@ -3624,6 +3624,16 @@ object TierA {
     }
 
   private def marshal(name: String, as: Seq[Column]): Option[Column] = name match {
+    // `int(x)`: the interpreter parses through double then truncates
+    // toward zero, with 0 for nil/unparseable (Value.asLong) — the
+    // double→long cast matches (truncation, NaN→0, ±Inf→Long.Min/Max)
+    // and the coalesce supplies the nil/unparseable 0. Long inputs
+    // round-trip exactly below 2^53 (stamps ~1.7e12 and prop values are
+    // far below). Known residue: Scala-specific string forms the SQL
+    // cast rejects ("3.7f") read 0 here vs 3 interpreted — numeric
+    // strings without suffixes are the compiled contract.
+    case "int" if as.size == 1 =>
+      Some(coalesce(as(0).cast("double").cast("long"), lit(0L)))
     case "bucket" if as.size == 2 => Some(TimeFns.bucket(as(0), as(1)))
     case "to_seconds" => Some(TimeFns.toSeconds(as(0)))
     case "to_minutes" => Some(TimeFns.toMinutes(as(0)))

@@ -63,7 +63,8 @@ class PlanSpec extends SparkSpec {
         "q_osl_chain3_rev_mid", // reverse MIDDLE step, tuple-side endpoints (round 12)
         "q_osl_chain3_restart_mid", // restart MIDDLE step, floor folded into counts (round 12)
         "q_osl_chain3_dual_rev", // both steps reverse + rev-mid limit (round 12)
-        "q_osl_chain4_rev")) // depth-4 reverse deepest, flipped ladder window (round 12)
+        "q_osl_chain4_rev", // depth-4 reverse deepest, flipped ladder window (round 12)
+        "q_osl_mixed_value_guard")) // int(value) mixed guard over a double prop (round 12)
       assert(!plan(q).contains("MapGroups"), s"$q fell back to Tier B")
     // and an interpreter-only shape does (sanity that the probe works):
     // a guard READING the accumulator observes a mid-visit partial sum ->

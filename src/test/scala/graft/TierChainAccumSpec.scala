@@ -1394,6 +1394,29 @@ class TierChainAccumSpec extends SparkSpec {
     mixed3("n <= 6 && get_hour(stamp) > n")
     // row-prop + mixed split
     mixed3("product_price.is(> 15) && get_hour(stamp) > n")
+    // round 12: int() compiles (truncate-through-double, nil -> 0), so a
+    // DOUBLE prop reaches the mixed machinery via explicit conversion
+    mixed3("int(product_price) > n")
+    mixed3("n < int(product_price)", inc = "n += 9")
+    mixed3("int(product_price) <= n", init = "n = 80", inc = "n -= 7")
+    // ...and its suffix mirror declines (R >= decreasing acc loosens
+    // with later spawns — not a prefix)
+    mixed3("int(product_price) >= n", init = "n = 80", inc = "n -= 7",
+      expectTierA = false)
+    // int() in tally groups and wheres (general marshal parity)
+    diffOn(worldDense,
+      s"""${sel}n = 0
+         |each_row where event.is(== 'signup')
+         |  n += 1
+         |  each_row.continue().next() where event.is(== 'view')
+         |    if int(product_price) > n
+         |      each_row.continue().next() where event.is(== 'purchase')
+         |        << int(product_price / 25), event
+         |      end
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
     // depth-4: mixed at the MIDDLE step (k=2), deepest plain
     diffOn(worldDense,
       s"""${sel}n = 0
