@@ -1320,6 +1320,50 @@ class TierChainAccumSpec extends SparkSpec {
            |""".stripMargin)
   }
 
+  test("depth-3 direction MATRIX on the dense world: all 3x3 combos (grid)") {
+    // systematic sweep: every (mid, deepest) combination of forward /
+    // reverse / restart, framed and unframed variants — the endpoint
+    // terms are modular, so the grid is the proof the composition holds
+    // everywhere, not just in the hand-picked shapes
+    val mids = Seq(
+      "each_row.continue().next()",
+      "each_row.continue().next().look_ahead(18_hours)",
+      "each_row.continue().next().reverse()",
+      "each_row.continue().next().reverse().look_back(16_hours)",
+      "each_row.from(1)",
+      "each_row.from(0).look_back(20_hours)")
+    val deeps = Seq(
+      "each_row.continue().next()",
+      "each_row.continue().next().look_ahead(12_hours)",
+      "each_row.continue().next().reverse().look_back(10_hours)",
+      "each_row.from(1).look_ahead(14_hours)")
+    for (mid <- mids; deep <- deeps)
+      diffOn(worldDense,
+        s"""${sel}n = 0
+           |each_row where event.is(== 'signup')
+           |  n += 1
+           |  $mid where event.is(== 'view')
+           |    $deep where event.is(== 'purchase')
+           |      << n, event
+           |    end
+           |  end
+           |end
+           |""".stripMargin)
+    // unframed reverse deepest (the O(rows²)/person window class the
+    // interpreter's own backward rescan shares — see SCALING.md)
+    diffOn(worldDense,
+      s"""${sel}n = 0
+         |each_row where event.is(== 'signup')
+         |  n += 1
+         |  each_row.continue().next() where event.is(== 'view')
+         |    each_row.continue().next().reverse() where event.is(== 'purchase')
+         |      << n, event
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
+  }
+
   test("BOTH depth-3 inner steps limited compile (round 12)") {
     // signup -> first n views -> first m purchases: the intermediate cap
     // joins the upper-endpoint min-terms (k* = the latest VALID s1's
