@@ -184,7 +184,8 @@ object Plans {
     P("q_osl_chain3_restart",
       "RESTART deepest step below a depth-3 accumulator (round 12): ordinal " +
         "path — the final ladder window brackets the row per the inverted " +
-        "frame (rangeBetween(-24h, 0)) and the from(k) floor is a row-level " +
+        "frame (a look_back-only restart inverts to the FOLLOWING side, " +
+        "rangeBetween(0, 24h)) and the from(k) floor is a row-level " +
         "__rn gate; two windows, no collected array"),
     P("q_osl_chain3_rev_mid",
       "REVERSE middle step below a depth-3 accumulator (round 12): the s1 " +

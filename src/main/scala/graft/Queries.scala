@@ -26,16 +26,16 @@ object Queries {
       bench: Boolean = true)
 
   /** Shared oracle CTE: OpenSet-normalized event stream (Tables.events). */
-  private val E = "WITH e AS (SELECT user_id AS id, epoch_ms(ts) AS stamp, event_type AS event, value, event_id FROM events)"
+  private[graft] val E = "WITH e AS (SELECT user_id AS id, epoch_ms(ts) AS stamp, event_type AS event, value, event_id FROM events)"
 
-  private val DSUM = "CAST(SUM(CAST(%s AS DECIMAL(28,4))) AS DOUBLE)"
-  private def dsumSql(expr: String) = DSUM.format(expr)
+  private[graft] val DSUM = "CAST(SUM(CAST(%s AS DECIMAL(28,4))) AS DOUBLE)"
+  private[graft] def dsumSql(expr: String) = DSUM.format(expr)
 
   /** Full IVF replica: strided centroid seeding, argmax-(cos,cid) cell
     * assignment, nprobe=4 probing, rank by (cos desc, nid asc) — shared by
     * `q_ann_ivf_topk` (session-memoized index) and `q_ann_ivf_indexed`
     * (persisted AnnIndex), which are bit-identical by construction. */
-  private val IvfOracleSql =
+  private[graft] val IvfOracleSql =
     """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         ids AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rn,
                        COUNT(*) OVER () AS n FROM v),
@@ -73,7 +73,7 @@ object Queries {
 
   /** Full PQ-ADC replica — shared by `q_ann_pq_topk` and
     * `q_ann_pq_indexed` (bit-identical by construction). */
-  private val PqOracleSql =
+  private[graft] val PqOracleSql =
     """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         ids AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rn,
                        COUNT(*) OVER () AS n FROM v),
@@ -117,15 +117,15 @@ object Queries {
     * (kind, source dir) gets a stable slot that build overwrites — fresh
     * per process, so a prior round's index can never leak into a new
     * dataset's results. */
-  private lazy val annIndexTmp =
+  private[graft] lazy val annIndexTmp =
     java.nio.file.Files.createTempDirectory("graft_annidx").toString
-  private def annIndexPath(kind: String, dir: String): String =
+  private[graft] def annIndexPath(kind: String, dir: String): String =
     s"$annIndexTmp/${kind}_${Integer.toHexString(dir.hashCode)}"
 
   /** MinHash-LSH candidate pairs in DuckDB SQL (shared by the pairs query
     * and the connected-components oracle). Split as CTE-list + final SELECT
     * so the components oracle can extend the WITH clause. */
-  private val MinhashPairsCtes: String = {
+  private[graft] val MinhashPairsCtes: String = {
     import graft.operators.Dedup.{kmA, kmB, MinhashP => MP}
     val bandSigs = (0 until 4).map { b =>
       val mins = (0 until 4).map { r =>
@@ -159,7 +159,7 @@ object Queries {
     * letters; parens verified absent at every SF). CTEs are MATERIALIZED:
     * each level is referenced twice and DuckDB's default inlining would
     * re-derive the whole prefix per reference (2^N blowup). */
-  private def bpeMergeCtes(nMerges: Int): String = {
+  private[graft] def bpeMergeCtes(nMerges: Int): String = {
     val parts = Seq.newBuilder[String]
     parts += """w0 AS MATERIALIZED (
       SELECT string_split(w,'') AS syms, freq FROM (
@@ -187,14 +187,14 @@ object Queries {
     parts.result().mkString(",\n")
   }
 
-  private val MinhashPairsSelect: String =
+  private[graft] val MinhashPairsSelect: String =
     """SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id"""
 
   /** BM25 corpus-stats + per-doc raw score CTEs (terms join/vector/slow,
     * k1=1.2, b=0.75) — shared by the keyword top-k and the hybrid-search
     * rerank oracles. */
-  private val Bm25ScoredCtes: String = {
+  private[graft] val Bm25ScoredCtes: String = {
     val terms = Seq("join", "vector", "slow")
     val dfCols = terms.zipWithIndex.map { case (t, i) =>
       s"COUNT(*) FILTER (WHERE list_contains(toks, '$t')) AS df$i"
@@ -222,7 +222,7 @@ object Queries {
 
   /** Shared oracle for both exact n-gram Jaccard tiers (cross-join and
     * inverted-index) — identical semantics, identical result. */
-  private val NgramJaccardOracle: String =
+  private[graft] val NgramJaccardOracle: String =
     """WITH t AS (
         SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
         FROM documents WHERE doc_id < 100),
@@ -241,4353 +241,12 @@ object Queries {
     * SURVEY §7.4). 2024-07-01T00:00:00Z. */
   val OslNow: Long = 1719792000000L
 
-  val registry: Seq[Q] = Seq(
-
-    // ---------------------------------------------------------------- relational
-    Q("q_lineitem_pricing",
-      (s, dir) => {
-        val l = Tables.lineitem(s, dir)
-        l.groupBy(col("l_returnflag"), col("l_linestatus"))
-          .agg(
-            dsum(col("l_quantity")).as("sum_qty"),
-            dsum(col("l_extendedprice")).as("sum_base_price"),
-            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
-            davg(col("l_quantity")).as("avg_qty"),
-            count(lit(1)).as("count_order"))
-      },
-      Some(s"""SELECT l_returnflag, l_linestatus,
-        ${dsumSql("l_quantity")} AS sum_qty,
-        ${dsumSql("l_extendedprice")} AS sum_base_price,
-        ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
-        ${dsumSql("l_quantity")} / COUNT(l_quantity) AS avg_qty,
-        COUNT(*) AS count_order
-        FROM lineitem GROUP BY l_returnflag, l_linestatus""")),
-
-    Q("q_mktsegment_orders",
-      (s, dir) => {
-        val o = Tables.orders(s, dir)
-        val c = Tables.customer(s, dir)
-        o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
-          .groupBy(col("c_mktsegment"))
-          .agg(
-            count(lit(1)).as("n_orders"),
-            dsum(col("o_totalprice")).as("revenue"),
-            countDistinct(col("o_custkey")).as("n_customers"))
-      },
-      Some(s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
-        ${dsumSql("o_totalprice")} AS revenue,
-        COUNT(DISTINCT o_custkey) AS n_customers
-        FROM orders JOIN customer ON o_custkey = c_custkey
-        GROUP BY c_mktsegment""")),
-
-    Q("q_region_nation_rollup",
-      (s, dir) => {
-        val c = Tables.customer(s, dir)
-        val n = Tables.nation(s, dir)
-        val r = Tables.region(s, dir)
-        c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
-          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-          .rollup(col("r_name"), col("n_name"))
-          .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("acctbal"))
-      },
-      Some(s"""SELECT r_name, n_name, COUNT(*) AS n_customers,
-        ${dsumSql("c_acctbal")} AS acctbal
-        FROM customer JOIN nation ON c_nationkey = n_nationkey
-        JOIN region ON n_regionkey = r_regionkey
-        GROUP BY ROLLUP(r_name, n_name)""")),
-
-    Q("q_top_order_per_customer",
-      (s, dir) => {
-        val o = Tables.orders(s, dir)
-        val w = Window.partitionBy(col("o_custkey"))
-          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-        o.withColumn("rn", row_number().over(w))
-          .where(col("rn") === 1)
-          .groupBy(col("o_orderstatus"))
-          .agg(count(lit(1)).as("n_top_orders"), dsum(col("o_totalprice")).as("top_value"))
-      },
-      Some(s"""SELECT o_orderstatus, COUNT(*) AS n_top_orders,
-        ${dsumSql("o_totalprice")} AS top_value
-        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders)
-        WHERE rn = 1 GROUP BY o_orderstatus""")),
-
-    // ------------------------------------------------- event analytics (OpenSet)
-    // Property-count endpoint on `event` (src/oloop_property.cpp:34-307).
-    Q("q_event_type_counts",
-      (s, dir) => {
-        val e = Tables.events(s, dir)
-        e.groupBy(col("event"))
-          .agg(
-            countDistinct(col("id")).as("customers"),
-            count(lit(1)).as("n_rows"),
-            dsum(col("value")).as("total_value"))
-      },
-      Some(s"""$E SELECT event, COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows,
-        ${dsumSql("value")} AS total_value FROM e GROUP BY event""")),
-
-    // Bucketed property count (`bucket` param, src/oloop_property.cpp:139-168).
-    Q("q_value_bucket_counts",
-      (s, dir) => {
-        val e = Tables.events(s, dir)
-        EventOps.propertyCountsBucketed(e, col("value"), 50.0)
-      },
-      Some(s"""$E SELECT FLOOR(value / 50.0) * 50.0 AS bucket,
-        COUNT(DISTINCT id) AS customers FROM e GROUP BY 1""")),
-
-    // Discrete percentiles per event type (quantile_disc semantics: the
-    // smallest value whose rank >= ceil(p*n)) — computed via one window
-    // rank + conditional mins so both engines take the exact same value,
-    // no floating interpolation to diverge on. One sort-shuffle per group.
-    Q("q_value_percentiles",
-      (s, dir) => {
-        val e = Tables.events(s, dir)
-        val w = Window.partitionBy(col("event")).orderBy(col("value"))
-        val ranked = e.select(col("event"), col("value"))
-          .withColumn("rn", row_number().over(w))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event"))))
-        def pct(p: Double) = min(when(col("rn") >= ceil(lit(p) * col("n")), col("value")))
-        ranked.groupBy(col("event"))
-          .agg(pct(0.5).as("p50"), pct(0.9).as("p90"), pct(0.99).as("p99"),
-            count(lit(1)).as("n_rows"))
-      },
-      Some(s"""$E, r AS (
-          SELECT event, value,
-            ROW_NUMBER() OVER (PARTITION BY event ORDER BY value) AS rn,
-            COUNT(*) OVER (PARTITION BY event) AS n
-          FROM e)
-        SELECT event,
-          MIN(CASE WHEN rn >= CEIL(0.5 * n) THEN value END) AS p50,
-          MIN(CASE WHEN rn >= CEIL(0.9 * n) THEN value END) AS p90,
-          MIN(CASE WHEN rn >= CEIL(0.99 * n) THEN value END) AS p99,
-          COUNT(*) AS n_rows
-        FROM r GROUP BY event""")),
-
-    // Rolling 7-day window per event type: daily partial aggregation first
-    // (map-side combine collapses the row count), then a tiny RANGE-frame
-    // window over the day keys — the scale shape for trailing-window
-    // metrics (the window input is days x types, not events).
-    Q("q_rolling_7day",
-      (s, dir) => {
-        val e = Tables.events(s, dir)
-        val daily = e.select(col("event"), expr("stamp div 86400000").as("day"),
-            col("value"))
-          .groupBy(col("event"), col("day"))
-          .agg(count(lit(1)).as("n"),
-            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(28, 4))).as("v"))
-        val w = Window.partitionBy(col("event")).orderBy(col("day"))
-          .rangeBetween(-6, Window.currentRow)
-        daily.select(col("event"), col("day"),
-            sum(col("n")).over(w).as("events_7d"),
-            sum(col("v")).over(w).cast("double").as("value_7d"))
-      },
-      Some(s"""$E, d AS (
-          SELECT event, stamp // 86400000 AS day, COUNT(*) AS n,
-            SUM(CAST(value AS DECIMAL(28,4))) AS v
-          FROM e GROUP BY 1, 2)
-        SELECT event, day,
-          CAST(SUM(n) OVER (PARTITION BY event ORDER BY day
-            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS events_7d,
-          CAST(SUM(v) OVER (PARTITION BY event ORDER BY day
-            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS value_7d
-        FROM d""")),
-
-    // Event JSON properties: the reference's insert path maps the event's
-    // `_` JSON sub-document into schema columns (src/grid.cpp:769-1200);
-    // the Spark-native analog extracts from the JSON props column in-query
-    // (codegen'd get_json_object — no UDF, pushdown-friendly).
-    Q("q_props_json_extract",
-      (s, dir) => {
-        val e = Tables.events(s, dir)
-        e.withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
-          .where(col("k") > 50)
-          .groupBy(col("event"))
-          .agg(countDistinct(col("k")).as("n_k"), count(lit(1)).as("n_rows"),
-            dsum(col("value")).as("total_value"))
-      },
-      Some(s"""WITH p AS (
-          SELECT event_type AS event,
-            CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k, value
-          FROM events)
-        SELECT event, COUNT(DISTINCT k) AS n_k, COUNT(*) AS n_rows,
-          ${dsumSql("value")} AS total_value
-        FROM p WHERE k > 50 GROUP BY event""")),
-
-    // Session assignment + session_count (src/grid.cpp:515-522; 30-min gap).
-    Q("q_sessions_per_user",
-      (s, dir) => {
-        val e = Tables.events(s, dir)
-        EventOps.sessionize(e)
-          .groupBy(col("id"))
-          .agg(max(col("session")).as("n_sessions"), count(lit(1)).as("n_events"))
-      },
-      Some(s"""$E, l AS (
-          SELECT id, stamp,
-            CASE WHEN stamp - LAG(stamp) OVER (PARTITION BY id ORDER BY stamp) > 1800000
-                 THEN 1 ELSE 0 END AS isnew
-          FROM e),
-        se AS (
-          SELECT id, SUM(isnew) OVER (PARTITION BY id ORDER BY stamp ROWS UNBOUNDED PRECEDING) + 1 AS session
-          FROM l)
-        SELECT id, CAST(MAX(session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM se GROUP BY id""")),
-
-    // Funnel: first signup -> first purchase within 7 days
-    // (nested each_row.continue().next(), src/queryinterpreter.cpp:2430-2577).
-    Q("q_funnel_signup_purchase",
-      (s, dir) => {
-        val e = Tables.events(s, dir)
-        val f = EventOps.funnel2(e, "signup", "purchase", TimeFns.days(7))
-        f.agg(
-          count(col("first_from")).as("n_entered"),
-          count(col("first_to_after")).as("n_converted"))
-      },
-      Some(s"""$E, f AS (
-          SELECT id,
-            MIN(CASE WHEN event = 'signup' THEN stamp END) AS first_from
-          FROM e GROUP BY id),
-        c AS (
-          SELECT f.id, MIN(e.stamp) AS first_to
-          FROM f JOIN e ON e.id = f.id AND e.event = 'purchase'
-            AND e.stamp >= f.first_from AND e.stamp <= f.first_from + 604800000
-          GROUP BY f.id)
-        SELECT (SELECT COUNT(first_from) FROM f) AS n_entered,
-               (SELECT COUNT(*) FROM c) AS n_converted""")),
-
-    // Event transition matrix (path analysis): counts of each
-    // event -> immediately-next-event step per person, deterministic order
-    // by (stamp, event_id).
-    Q("q_event_transitions",
-      (s, dir) => {
-        val e = Tables.events(s, dir)
-        EventOps.transitions(e, col("event_id"))
-      },
-      Some(s"""$E, l AS (
-          SELECT event,
-            LEAD(event) OVER (PARTITION BY id ORDER BY stamp, event_id) AS next_event,
-            id
-          FROM e)
-        SELECT event, next_event, COUNT(*) AS n_transitions,
-          COUNT(DISTINCT id) AS customers
-        FROM l WHERE next_event IS NOT NULL GROUP BY event, next_event""")),
-
-    // Top 3-step event paths (generalized transitions): the reference's
-    // sequence-correlation idiom as one window pass + one aggregation.
-    Q("q_event_paths3",
-      (s, dir) => {
-        val e = Tables.events(s, dir)
-        EventOps.paths(e, 3, col("event_id"))
-      },
-      Some(s"""$E, l AS (
-          SELECT id, event,
-            LEAD(event, 1) OVER (PARTITION BY id ORDER BY stamp, event_id) AS e2,
-            LEAD(event, 2) OVER (PARTITION BY id ORDER BY stamp, event_id) AS e3
-          FROM e)
-        SELECT event || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n_paths,
-          COUNT(DISTINCT id) AS customers
-        FROM l WHERE e2 IS NOT NULL AND e3 IS NOT NULL GROUP BY 1""")),
-
-    // Last-touch attribution: every purchase credited to the most recent
-    // preceding click/view of the same person ('direct' when none) — the
-    // backward-scan (.look_back) analytics shape as one window pass.
-    Q("q_attribution_last_touch",
-      (s, dir) => {
-        val e = Tables.events(s, dir)
-        EventOps.lastTouchAttribution(e, "purchase", Seq("click", "view"), col("event_id"))
-      },
-      Some(s"""$E, t AS (
-          SELECT id, event, value,
-            LAST_VALUE(CASE WHEN event IN ('click','view') THEN event END IGNORE NULLS)
-              OVER (PARTITION BY id ORDER BY stamp, event_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
-          FROM e)
-        SELECT COALESCE(touch, 'direct') AS channel, COUNT(*) AS n_conversions,
-          COUNT(DISTINCT id) AS customers, ${dsumSql("value")} AS attributed_value
-        FROM t WHERE event = 'purchase' GROUP BY 1""")),
-
-    // Time-to-convert histogram: whole days from first signup to the first
-    // purchase at-or-after it, distinct customers per day bucket. One
-    // groupBy on id (stamp lists fold in-row) + one tiny aggregation.
-    Q("q_time_to_convert",
-      (s, dir) => {
-        val e = Tables.events(s, dir)
-        e.groupBy(col("id")).agg(
-            min(when(col("event") === "signup", col("stamp"))).as("t_signup"),
-            collect_list(when(col("event") === "purchase", col("stamp"))).as("ps"))
-          .withColumn("t_purchase",
-            array_min(filter(col("ps"), x => x >= col("t_signup"))))
-          .where(col("t_signup").isNotNull && col("t_purchase").isNotNull)
-          .select(expr("(t_purchase - t_signup) div 86400000").as("days"))
-          .groupBy(col("days")).agg(count(lit(1)).as("customers"))
-      },
-      Some(s"""$E, s AS (
-          SELECT id, MIN(CASE WHEN event = 'signup' THEN stamp END) AS t_signup
-          FROM e GROUP BY id),
-        p AS (
-          SELECT e.id, MIN(e.stamp) AS t_purchase
-          FROM e JOIN s ON e.id = s.id
-          WHERE e.event = 'purchase' AND e.stamp >= s.t_signup
-          GROUP BY e.id)
-        SELECT (p.t_purchase - s.t_signup) // 86400000 AS days,
-          COUNT(*) AS customers
-        FROM p JOIN s ON p.id = s.id GROUP BY 1""")),
-
-    // Three-step funnel (signup -> click -> purchase, each step within 7d of
-    // the previous) via the in-row funnelN fold — no self-joins.
-    Q("q_funnel3",
-      (s, dir) => {
-        val e = Tables.events(s, dir)
-        val f = EventOps.funnelN(e, Seq("signup", "click", "purchase"),
-          TimeFns.days(7))
-        f.agg(count(col("step_0")).as("n_step0"),
-          count(col("step_1")).as("n_step1"),
-          count(col("step_2")).as("n_step2"))
-      },
-      Some(s"""$E, s0 AS (
-          SELECT id, MIN(CASE WHEN event = 'signup' THEN stamp END) AS t0
-          FROM e GROUP BY id),
-        s1 AS (
-          SELECT s0.id, t0, MIN(e.stamp) AS t1
-          FROM s0 JOIN e ON e.id = s0.id AND e.event = 'click'
-            AND e.stamp > s0.t0 AND e.stamp <= s0.t0 + 604800000
-          GROUP BY s0.id, t0),
-        s2 AS (
-          SELECT s1.id, MIN(e.stamp) AS t2
-          FROM s1 JOIN e ON e.id = s1.id AND e.event = 'purchase'
-            AND e.stamp > s1.t1 AND e.stamp <= s1.t1 + 604800000
-          GROUP BY s1.id)
-        SELECT (SELECT COUNT(t0) FROM s0) AS n_step0,
-               (SELECT COUNT(*) FROM s1) AS n_step1,
-               (SELECT COUNT(*) FROM s2) AS n_step2""")),
-
-    // .ever / .never modifiers (src/queryinterpreter.cpp:2580-2720).
-    Q("q_ever_error_never_signup",
-      (s, dir) => {
-        val e = Tables.events(s, dir)
-        e.groupBy(col("id"))
-          .agg(
-            count(when(col("event") === "error", 1)).as("n_err"),
-            count(when(col("event") === "signup", 1)).as("n_sign"))
-          .where(col("n_err") > 0 && col("n_sign") === 0)
-          .agg(count(lit(1)).as("n_customers"))
-      },
-      Some(s"""$E SELECT COUNT(*) AS n_customers FROM (
-        SELECT id FROM e GROUP BY id
-        HAVING COUNT(CASE WHEN event = 'error' THEN 1 END) > 0
-           AND COUNT(CASE WHEN event = 'signup' THEN 1 END) = 0)""")),
-
-    // Hierarchical tally `<<` by (day-of-week, event): every prefix aggregates
-    // with distinct-person counts (src/queryinterpreter.cpp:167-334 -> rollup).
-    Q("q_dow_event_tally",
-      (s, dir) => {
-        val e = Tables.events(s, dir)
-        EventOps.tallyRollup(
-          e.withColumn("dow", TimeFns.getDayOfWeek(col("stamp"))),
-          Seq(col("dow"), col("event")),
-          Seq(countDistinct(col("id")).as("customers"),
-              count(lit(1)).as("n_rows"),
-              dsum(col("value")).as("total_value")))
-      },
-      Some(s"""$E SELECT dayofweek(make_timestamp(stamp * 1000)) + 1 AS dow, event,
-        COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows, ${dsumSql("value")} AS total_value
-        FROM e GROUP BY ROLLUP(dow, event)""")),
-
-    // trim/top-k per tree node (src/result.cpp:1038-1044).
-    Q("q_top2_events_per_dow",
-      (s, dir) => {
-        val e = Tables.events(s, dir)
-        val grouped = e.withColumn("dow", TimeFns.getDayOfWeek(col("stamp")))
-          .groupBy(col("dow"), col("event"))
-          .agg(count(lit(1)).as("n_rows"))
-        EventOps.trim(grouped, Seq("dow"), col("n_rows"), col("event"), 2)
-      },
-      Some(s"""$E, g AS (
-          SELECT dayofweek(make_timestamp(stamp * 1000)) + 1 AS dow, event, COUNT(*) AS n_rows
-          FROM e GROUP BY 1, 2)
-        SELECT dow, event, n_rows FROM (
-          SELECT *, ROW_NUMBER() OVER (PARTITION BY dow ORDER BY n_rows DESC, event ASC) AS rk FROM g)
-        WHERE rk <= 2""")),
-
-    // Single-customer history fetch (GET /v1/query/{table}/customer).
-    Q("q_customer_history",
-      (s, dir) => {
-        val e = Tables.events(s, dir)
-        e.where(col("id") === 7)
-          .select(col("event_id"), col("stamp"), col("event"), col("value"))
-      },
-      Some(s"""$E SELECT event_id, stamp, event, value FROM e WHERE id = 7""")),
-
-    // Person stats: first_stamp/last_stamp/row_count/distinct events
-    // (src/queryinterpreter.cpp:1259-1352).
-    Q("q_person_stats",
-      (s, dir) => {
-        val e = Tables.events(s, dir)
-        e.groupBy(col("id"))
-          .agg(
-            min(col("stamp")).as("first_stamp"),
-            max(col("stamp")).as("last_stamp"),
-            count(lit(1)).as("row_count"),
-            countDistinct(col("event")).as("n_event_types"))
-      },
-      Some(s"""$E SELECT id, MIN(stamp) AS first_stamp, MAX(stamp) AS last_stamp,
-        COUNT(*) AS row_count, COUNT(DISTINCT event) AS n_event_types
-        FROM e GROUP BY id""")),
-
-    // stamp_counts mode: distinct stamps as the count key
-    // (src/rpc_query.cpp:329,388; src/queryinterpreter.cpp:249-251).
-    Q("q_stamp_counts",
-      (s, dir) => {
-        val e = Tables.events(s, dir)
-        e.groupBy(col("event"))
-          .agg(countDistinct(col("stamp")).as("distinct_stamps"))
-      },
-      Some(s"""$E SELECT event, COUNT(DISTINCT stamp) AS distinct_stamps FROM e GROUP BY event""")),
-
-    // Segments: materialization + population + full set algebra
-    // (src/oloop_segment.cpp; src/queryinterpreter.cpp:624-888).
-    Q("q_segment_algebra",
-      (s, dir) => {
-        val e = Tables.events(s, dir)
-        // materialized customer sets: the reference CACHES segment bitmaps
-        // and runs algebra on them (src/tablepartitioned.h) — persist the
-        // tiny membership frames so the six set operations below don't
-        // re-aggregate the event table per branch
-        // localCheckpoint (lazy), NOT persist(): persist registers the plan
-        // in the session CacheManager, which holds it FOREVER (no release
-        // path from inside a query function that returns a lazy frame) —
-        // across a 90-query sweep those entries pile up, every later
-        // query's planning pays canonicalized-plan lookups against the
-        // growing list, and storage memory stays claimed (the round-4
-        // sweep-wide regression). Checkpoint blocks are plain RDD blocks:
-        // the ContextCleaner reaps them as soon as the query's frames are
-        // garbage-collected.
-        val high = Segments.fromAggPredicate(
-          e, Seq(dsum(when(col("event") === "purchase", col("value"))).as("pv")),
-          col("pv") > 600.0)
-          .localCheckpoint(false)
-        val active = Segments.fromAggPredicate(
-          e, Seq(count(lit(1)).as("c")), col("c") >= 70L)
-          .localCheckpoint(false)
-        val universe = e.select("id").distinct()
-        val rows = Seq(
-          ("high_value", high), ("active", active),
-          ("intersection", Segments.intersection(high, active)),
-          ("union", Segments.union(high, active)),
-          ("difference", Segments.difference(high, active)),
-          ("compliment", Segments.compliment(universe, high)))
-        rows.map { case (nm, seg) =>
-          seg.agg(count(lit(1)).as("population")).select(lit(nm).as("segment"), col("population"))
-        }.reduce(_ union _)
-      },
-      Some(s"""$E, high AS (
-          SELECT id FROM e GROUP BY id
-          HAVING ${dsumSql("CASE WHEN event = 'purchase' THEN value END")} > 600.0),
-        active AS (SELECT id FROM e GROUP BY id HAVING COUNT(*) >= 70),
-        uni AS (SELECT DISTINCT id FROM e)
-        SELECT 'high_value' AS segment, COUNT(*) AS population FROM high
-        UNION ALL SELECT 'active', COUNT(*) FROM active
-        UNION ALL SELECT 'intersection', COUNT(*) FROM (SELECT id FROM high INTERSECT SELECT id FROM active)
-        UNION ALL SELECT 'union', COUNT(*) FROM (SELECT id FROM high UNION SELECT id FROM active)
-        UNION ALL SELECT 'difference', COUNT(*) FROM (SELECT id FROM high EXCEPT SELECT id FROM active)
-        UNION ALL SELECT 'compliment', COUNT(*) FROM (SELECT id FROM uni EXCEPT SELECT id FROM high)""")),
-
-    // The same algebra on the BITMAP tier: memberships aggregate into
-    // roaring-layout IdBitmaps (typed Aggregator, partial bitmaps OR-merged
-    // through the shuffle), then every population is a driver-side popcount
-    // over AND/OR/ANDNOT — the reference's whole-segment short-circuit
-    // (src/queryinterpreter.cpp:624-888). Same oracle as q_segment_algebra.
-    Q("q_segment_algebra_bitmap",
-      (s, dir) => {
-        import s.implicits._
-        val e = Tables.events(s, dir)
-        val high = Segments.membershipBitmap(Segments.fromAggPredicate(
-          e, Seq(dsum(when(col("event") === "purchase", col("value"))).as("pv")),
-          col("pv") > 600.0))
-        val active = Segments.membershipBitmap(Segments.fromAggPredicate(
-          e, Seq(count(lit(1)).as("c")), col("c") >= 70L))
-        val universe = Segments.membershipBitmap(e.select("id").distinct())
-        Seq(
-          ("high_value", high.cardinality), ("active", active.cardinality),
-          ("intersection", high.and(active).cardinality),
-          ("union", high.or(active).cardinality),
-          ("difference", high.andNot(active).cardinality),
-          ("compliment", universe.andNot(high).cardinality))
-          .toDF("segment", "population")
-      },
-      Some(s"""$E, high AS (
-          SELECT id FROM e GROUP BY id
-          HAVING ${dsumSql("CASE WHEN event = 'purchase' THEN value END")} > 600.0),
-        active AS (SELECT id FROM e GROUP BY id HAVING COUNT(*) >= 70),
-        uni AS (SELECT DISTINCT id FROM e)
-        SELECT 'high_value' AS segment, COUNT(*) AS population FROM high
-        UNION ALL SELECT 'active', COUNT(*) FROM active
-        UNION ALL SELECT 'intersection', COUNT(*) FROM (SELECT id FROM high INTERSECT SELECT id FROM active)
-        UNION ALL SELECT 'union', COUNT(*) FROM (SELECT id FROM high UNION SELECT id FROM active)
-        UNION ALL SELECT 'difference', COUNT(*) FROM (SELECT id FROM high EXCEPT SELECT id FROM active)
-        UNION ALL SELECT 'compliment', COUNT(*) FROM (SELECT id FROM uni EXCEPT SELECT id FROM high)""")),
-
-    // Segment-compare mode (`segments=a,b` -> per-segment result columns,
-    // src/oloop_query.cpp:69-107): conditional agg per membership flag.
-    Q("q_segment_compare",
-      (s, dir) => {
-        val e = Tables.events(s, dir)
-        val high = Segments.fromAggPredicate(
-          e, Seq(dsum(when(col("event") === "purchase", col("value"))).as("pv")),
-          col("pv") > 600.0)
-        val tagged = Segments.compareColumns(e, Map("high" -> high))
-        tagged.groupBy(col("event"))
-          .agg(
-            countDistinct(col("id")).as("customers_all"),
-            countDistinct(when(col("in_high"), col("id"))).as("customers_high"))
-      },
-      Some(s"""$E, high AS (
-          SELECT id FROM e GROUP BY id
-          HAVING ${dsumSql("CASE WHEN event = 'purchase' THEN value END")} > 600.0)
-        SELECT event, COUNT(DISTINCT e.id) AS customers_all,
-          COUNT(DISTINCT CASE WHEN high.id IS NOT NULL THEN e.id END) AS customers_high
-        FROM e LEFT JOIN high ON e.id = high.id GROUP BY event""")),
-
-    // Histogram endpoint: per-person expression -> bucket -> distinct persons
-    // (src/oloop_histogram.cpp:53-220).
-    Q("q_histogram_user_value",
-      (s, dir) => {
-        val e = Tables.events(s, dir)
-        e.groupBy(col("id")).agg(dsum(col("value")).as("total"))
-          .groupBy(TimeFns.bucket(col("total"), 500.0).as("bucket"))
-          .agg(count(lit(1)).as("customers"))
-      },
-      Some(s"""$E, p AS (SELECT id, ${dsumSql("value")} AS total FROM e GROUP BY id)
-        SELECT FLOOR(total / 500.0) * 500.0 AS bucket, COUNT(*) AS customers
-        FROM p GROUP BY 1""")),
-
-    // get_hour date-part marshal over the stream (src/queryinterpreter.cpp:1298-1348).
-    Q("q_hourly_activity",
-      (s, dir) => {
-        val e = Tables.events(s, dir)
-        e.groupBy(TimeFns.getHour(col("stamp")).as("hour"))
-          .agg(countDistinct(col("id")).as("customers"), count(lit(1)).as("n_rows"))
-      },
-      Some(s"""$E SELECT hour(make_timestamp(stamp * 1000)) AS hour,
-        COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows FROM e GROUP BY 1""")),
-
-    // start_of_day truncation marshal -> daily active persons.
-    Q("q_daily_active",
-      (s, dir) => {
-        val e = Tables.events(s, dir)
-        e.groupBy(TimeFns.startOfDay(col("stamp")).as("day_ms"))
-          .agg(countDistinct(col("id")).as("customers"))
-      },
-      Some(s"""$E SELECT epoch_ms(date_trunc('day', make_timestamp(stamp * 1000))) AS day_ms,
-        COUNT(DISTINCT id) AS customers FROM e GROUP BY 1""")),
-
-    // Sketch tier for the 100 TB path: HyperLogLog distinct counts and
-    // t-digest percentiles trade exactness for one-pass mergeable state —
-    // at corpus scale an exact distinct over high-cardinality keys shuffles
-    // every key, a sketch shuffles kilobytes. No SQL oracle (sketches are
-    // engine-specific): the driver records a rows-only check, and the spec
-    // pins relative error against the exact tier.
-    Q("q_daily_active_approx",
-      (s, dir) => {
-        val e = Tables.events(s, dir)
-        e.groupBy(TimeFns.startOfDay(col("stamp")).as("day_ms"))
-          .agg(approx_count_distinct(col("id"), rsd = 0.02).as("customers_approx"))
-      },
-      None),
-    Q("q_value_percentiles_approx",
-      (s, dir) => {
-        val e = Tables.events(s, dir)
-        e.groupBy(col("event"))
-          .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.9), lit(0.99)),
-            lit(10000)).as("pcts"),
-            count(lit(1)).as("n_rows"))
-          .select(col("event"), col("pcts")(0).as("p50"), col("pcts")(1).as("p90"),
-            col("pcts")(2).as("p99"), col("n_rows"))
-      },
-      None),
-
-    // Sequence correlation: the event immediately after each signup
-    // (each_row.continue().next() 1-level => lead(), SURVEY §2.3).
-    Q("q_next_event_after_signup",
-      (s, dir) => {
-        val e = Tables.events(s, dir)
-        val w = Window.partitionBy("id").orderBy(col("stamp").asc, col("event_id").asc)
-        e.withColumn("next_event", lead(col("event"), 1).over(w))
-          .where(col("event") === "signup" && col("next_event").isNotNull)
-          .groupBy(col("next_event"))
-          .agg(count(lit(1)).as("n_rows"), countDistinct(col("id")).as("customers"))
-      },
-      Some(s"""$E, le AS (
-          SELECT id, event, LEAD(event) OVER (PARTITION BY id ORDER BY stamp ASC, event_id ASC) AS next_event
-          FROM e)
-        SELECT next_event, COUNT(*) AS n_rows, COUNT(DISTINCT id) AS customers
-        FROM le WHERE event = 'signup' AND next_event IS NOT NULL GROUP BY next_event""")),
-
-    // each_row .limit(1): first purchase per person only
-    // (src/queryinterpreter.cpp:2454-2458).
-    Q("q_first_purchase",
-      (s, dir) => {
-        val e = Tables.events(s, dir)
-        val w = Window.partitionBy("id").orderBy(col("stamp").asc, col("event_id").asc)
-        e.where(col("event") === "purchase")
-          .withColumn("rn", row_number().over(w))
-          .where(col("rn") === 1)
-          .agg(count(lit(1)).as("n_customers"),
-            dsum(col("value")).as("first_purchase_value"),
-            davg(col("value")).as("avg_first_value"))
-      },
-      Some(s"""$E SELECT COUNT(*) AS n_customers,
-        ${dsumSql("value")} AS first_purchase_value,
-        ${dsumSql("value")} / COUNT(value) AS avg_first_value
-        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp ASC, event_id ASC) AS rn
-              FROM e WHERE event = 'purchase')
-        WHERE rn = 1""")),
-
-    // Inline time-framed aggregation: sum(purchases) within 24h after first
-    // signup (.look_ahead/.within, src/queryinterpreter.cpp:2460-2533).
-    Q("q_purchases_24h_after_signup",
-      (s, dir) => {
-        val e = Tables.events(s, dir)
-        val firstSignup = e.where(col("event") === "signup")
-          .groupBy("id").agg(min(col("stamp")).as("t0"))
-        e.where(col("event") === "purchase")
-          .join(firstSignup, Seq("id"))
-          .where(col("stamp") >= col("t0") && col("stamp") < col("t0") + TimeFns.days(1))
-          .groupBy("id")
-          .agg(count(lit(1)).as("n_purchases"), dsum(col("value")).as("spend_24h"))
-      },
-      Some(s"""$E, f AS (SELECT id, MIN(stamp) AS t0 FROM e WHERE event = 'signup' GROUP BY id)
-        SELECT e.id, COUNT(*) AS n_purchases, ${dsumSql("value")} AS spend_24h
-        FROM e JOIN f ON e.id = f.id
-        WHERE e.event = 'purchase' AND e.stamp >= f.t0 AND e.stamp < f.t0 + 86400000
-        GROUP BY e.id""")),
-
-    // Weekly retention cohorts: cohort week = start_of_week(first_stamp),
-    // activity offset in weeks -> distinct persons.
-    Q("q_weekly_retention",
-      (s, dir) => {
-        val e = Tables.events(s, dir)
-        val w = Window.partitionBy("id")
-        e.withColumn("cohort_ms", TimeFns.startOfWeek(min(col("stamp")).over(w)))
-          .withColumn("week_ms", TimeFns.startOfWeek(col("stamp")))
-          .withColumn("week_no", ((col("week_ms") - col("cohort_ms")) / TimeFns.WeekMs).cast("long"))
-          .groupBy(col("cohort_ms"), col("week_no"))
-          .agg(countDistinct(col("id")).as("customers"))
-      },
-      Some(s"""$E, f AS (
-          SELECT id, epoch_ms(date_trunc('week', make_timestamp(MIN(stamp) OVER (PARTITION BY id) * 1000))) AS cohort_ms,
-                 epoch_ms(date_trunc('week', make_timestamp(stamp * 1000))) AS week_ms
-          FROM e)
-        SELECT cohort_ms, CAST((week_ms - cohort_ms) / 604800000.0 AS BIGINT) AS week_no,
-          COUNT(DISTINCT id) AS customers
-        FROM f GROUP BY 1, 2""")),
-
-    // Cohort LTV: exact revenue by signup-cohort week x weeks-since-signup
-    // (the retention matrix's monetary sibling). One person-window pass for
-    // the signup anchor, then a hash aggregation over (cohort, age).
-    Q("q_cohort_ltv",
-      (s, dir) => {
-        val e = Tables.events(s, dir)
-        val w = Window.partitionBy("id")
-        val first = min(when(col("event") === "signup", col("stamp"))).over(w)
-        e.withColumn("cohort_ms", first)
-          .where(col("event") === "purchase" && col("cohort_ms").isNotNull &&
-            col("stamp") >= col("cohort_ms"))
-          .withColumn("cohort_week", expr("cohort_ms div 604800000"))
-          .withColumn("weeks_since", expr("(stamp - cohort_ms) div 604800000"))
-          .groupBy(col("cohort_week"), col("weeks_since"))
-          .agg(countDistinct(col("id")).as("customers"),
-            dsum(col("value")).as("revenue"))
-      },
-      Some(s"""$E, f AS (
-          SELECT id, stamp, event, value,
-            MIN(CASE WHEN event = 'signup' THEN stamp END)
-              OVER (PARTITION BY id) AS cohort_ms
-          FROM e)
-        SELECT cohort_ms // 604800000 AS cohort_week,
-          (stamp - cohort_ms) // 604800000 AS weeks_since,
-          COUNT(DISTINCT id) AS customers, ${dsumSql("value")} AS revenue
-        FROM f
-        WHERE event = 'purchase' AND cohort_ms IS NOT NULL AND stamp >= cohort_ms
-        GROUP BY 1, 2""")),
-
-    // RFM segmentation (recency/frequency/monetary classes by fixed
-    // thresholds): per purchaser stats in one groupBy(id), then one tiny
-    // class aggregation — no windows, no global quantile sort.
-    Q("q_rfm_segments",
-      (s, dir) => {
-        val e = Tables.events(s, dir)
-        EventOps.rfm(e, "purchase", nowMs = OslNow)
-      },
-      Some(s"""$E, per AS (
-          SELECT id, ($OslNow - MAX(stamp)) // 86400000 AS recency_days,
-            COUNT(*) AS freq, ${dsumSql("value")} AS money
-          FROM e WHERE event = 'purchase' GROUP BY id)
-        SELECT
-          CASE WHEN recency_days <= 7 THEN 'recent'
-               WHEN recency_days <= 30 THEN 'warm' ELSE 'lapsed' END AS r,
-          CASE WHEN freq >= 10 THEN 'high' WHEN freq >= 3 THEN 'mid' ELSE 'low' END AS f,
-          CASE WHEN money >= 500.0 THEN 'high' WHEN money >= 100.0 THEN 'mid' ELSE 'low' END AS m,
-          COUNT(*) AS customers, ${dsumSql("money")} AS total_value
-        FROM per GROUP BY 1, 2, 3""")),
-
-    // Session durations: sessionize -> per-session span -> bucketed counts.
-    Q("q_session_durations",
-      (s, dir) => {
-        val e = Tables.events(s, dir)
-        EventOps.sessionize(e)
-          .groupBy(col("id"), col("session"))
-          .agg((max(col("stamp")) - min(col("stamp"))).as("dur_ms"),
-            count(lit(1)).as("n_events"))
-          .groupBy(TimeFns.bucket((col("dur_ms") / lit(60000.0)), 10.0).as("dur_min_bucket"))
-          .agg(count(lit(1)).as("n_sessions"), dsum(col("n_events").cast("double")).as("n_events"))
-      },
-      Some(s"""$E, l AS (
-          SELECT id, stamp,
-            CASE WHEN stamp - LAG(stamp) OVER (PARTITION BY id ORDER BY stamp) > 1800000
-                 THEN 1 ELSE 0 END AS isnew
-          FROM e),
-        se AS (
-          SELECT id, stamp, SUM(isnew) OVER (PARTITION BY id ORDER BY stamp ROWS UNBOUNDED PRECEDING) + 1 AS session
-          FROM l),
-        d AS (
-          SELECT id, session, MAX(stamp) - MIN(stamp) AS dur_ms, COUNT(*) AS n_events
-          FROM se GROUP BY id, session)
-        SELECT FLOOR((dur_ms / 60000.0) / 10.0) * 10.0 AS dur_min_bucket,
-          COUNT(*) AS n_sessions, ${dsumSql("n_events")} AS n_events
-        FROM d GROUP BY 1""")),
-
-    // --------------------------------------------- LLM data-pipeline operators
-    // Exact dedup by content hash (hash-groupBy).
-    Q("q_dedup_exact",
-      (s, dir) => {
-        val d = Tables.documents(s, dir)
-        graft.operators.Dedup.exactGroups(d, col("doc_id"), col("text"))
-      },
-      Some("""SELECT md5(text) AS content_hash, MIN(doc_id) AS representative,
-        COUNT(*) AS n_copies FROM documents GROUP BY 1""")),
-
-    // MinHash + LSH candidate pairs (shingle -> minhash -> band -> bucket join).
-    Q("q_minhash_lsh_pairs",
-      (s, dir) => {
-        val d = Tables.documents(s, dir)
-        graft.operators.Dedup.minhashCandidates(d, col("doc_id"), col("text"))
-      },
-      Some(s"""WITH $MinhashPairsCtes
-        $MinhashPairsSelect""")),
-
-    // Edit-distance verification of the LSH candidates — the exact-check
-    // stage after recall: keep pairs whose normalized Levenshtein
-    // similarity clears 0.97. Quadratic cost confined to candidate rows.
-    Q("q_editdist_pairs",
-      (s, dir) => {
-        val d = Tables.documents(s, dir)
-        val pairs = graft.operators.Dedup.minhashCandidates(d, col("doc_id"), col("text"))
-        graft.operators.Dedup.editDistanceVerify(d, col("doc_id"), col("text"),
-          pairs, minSim = 0.97)
-      },
-      Some(s"""WITH $MinhashPairsCtes,
-        pairs AS ($MinhashPairsSelect)
-        SELECT p.id_a, p.id_b, levenshtein(da.text, db.text) AS edit_dist,
-          round(1 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
-                / greatest(greatest(len(da.text), len(db.text)), 1), 4) AS edit_sim
-        FROM pairs p
-        JOIN documents da ON p.id_a = da.doc_id
-        JOIN documents db ON p.id_b = db.doc_id
-        WHERE round(1 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
-              / greatest(greatest(len(da.text), len(db.text)), 1), 4) >= 0.97""")),
-
-    // Near-dup clustering: connected components over the LSH candidate
-    // pairs (iterative min-label propagation; representative = min doc_id).
-    // Oracle: recursive-CTE reachability over the same pair SQL.
-    Q("q_neardup_components",
-      (s, dir) => {
-        val d = Tables.documents(s, dir)
-        val pairs = graft.operators.Dedup.minhashCandidates(d, col("doc_id"), col("text"))
-        graft.operators.Dedup.connectedComponents(pairs, d.select("doc_id"))
-          .groupBy(col("label").as("component"))
-          .agg(count(lit(1)).as("n_members"))
-          .where(col("n_members") > 1)
-      },
-      Some(s"""WITH RECURSIVE $MinhashPairsCtes,
-        pairs AS ($MinhashPairsSelect),
-        edges AS (
-          SELECT id_a AS src, id_b AS dst FROM pairs
-          UNION SELECT id_b, id_a FROM pairs),
-        reach(v, l) AS (
-          SELECT src, src FROM edges
-          UNION
-          SELECT e.src, r.l FROM edges e JOIN reach r ON e.dst = r.v),
-        lab AS (SELECT v, MIN(l) AS label FROM reach GROUP BY v)
-        SELECT label AS component, COUNT(*) AS n_members
-        FROM lab GROUP BY label""")),
-
-    // Same components from spanning-star edges (n-1 per bucket instead of
-    // n(n-1)/2 pairs) — the hot-bucket-safe 100 TB path. Shares the
-    // all-pairs oracle: star linkage preserves bucket connectivity exactly,
-    // so the clusters (and this whole result) are identical.
-    Q("q_neardup_star",
-      (s, dir) => {
-        val d = Tables.documents(s, dir)
-        val edges = graft.operators.Dedup.minhashStarEdges(d, col("doc_id"), col("text"))
-        graft.operators.Dedup.connectedComponents(edges, d.select("doc_id"))
-          .groupBy(col("label").as("component"))
-          .agg(count(lit(1)).as("n_members"))
-          .where(col("n_members") > 1)
-      },
-      Some(s"""WITH RECURSIVE $MinhashPairsCtes,
-        pairs AS ($MinhashPairsSelect),
-        edges AS (
-          SELECT id_a AS src, id_b AS dst FROM pairs
-          UNION SELECT id_b, id_a FROM pairs),
-        reach(v, l) AS (
-          SELECT src, src FROM edges
-          UNION
-          SELECT e.src, r.l FROM edges e JOIN reach r ON e.dst = r.v),
-        lab AS (SELECT v, MIN(l) AS label FROM reach GROUP BY v)
-        SELECT label AS component, COUNT(*) AS n_members
-        FROM lab GROUP BY label""")),
-
-    // END-TO-END near-dedup (star edges → components → keep each cluster's
-    // min-id representative; unclustered docs keep themselves): the one-call
-    // corpus dedup pipeline, oracle-checked against the recursive-CTE
-    // clustering — kept docs are exactly those NOT labeled into someone
-    // else's component.
-    Q("q_near_dedup",
-      (s, dir) => {
-        val d = Tables.documents(s, dir)
-        graft.operators.Dedup.nearDedup(d, "doc_id", "text")
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_kept_id"))
-      },
-      Some(s"""WITH RECURSIVE $MinhashPairsCtes,
-        pairs AS ($MinhashPairsSelect),
-        edges AS (
-          SELECT id_a AS src, id_b AS dst FROM pairs
-          UNION SELECT id_b, id_a FROM pairs),
-        reach(v, l) AS (
-          SELECT src, src FROM edges
-          UNION
-          SELECT e.src, r.l FROM edges e JOIN reach r ON e.dst = r.v),
-        lab AS (SELECT v, MIN(l) AS label FROM reach GROUP BY v)
-        SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS min_kept_id
-        FROM documents
-        WHERE doc_id NOT IN (SELECT v FROM lab WHERE label <> v)
-        GROUP BY source""")),
-
-    // Substring-level duplication profile (ExactSubstr signal, Lee et al.
-    // 2022): per-doc coverage of token spans whose 8-token window occurs
-    // more than once in the corpus. Posting kernel + hash agg + per-doc
-    // interval union — text never shuffles.
-    Q("q_dup_span_coverage",
-      (s, dir) => {
-        val d = Tables.documents(s, dir)
-        graft.operators.Dedup.duplicatedSpanCoverage(d, col("doc_id"), col("text"))
-      },
-      Some("""WITH t AS (
-          SELECT doc_id, list_filter(string_split(text,' '), x -> len(x)>0) AS toks
-          FROM documents),
-        n AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM t WHERE len(toks) > 0),
-        g AS (
-          SELECT doc_id, n_tokens,
-            unnest(list_transform(range(1, n_tokens - 8 + 2),
-              i -> {'pos': i - 1,
-                    'h': ('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 15))::BIGINT})) AS s
-          FROM n WHERE n_tokens >= 8),
-        g2 AS (SELECT doc_id, n_tokens, s.pos AS pos, s.h AS h FROM g),
-        dup AS (SELECT h FROM g2 GROUP BY h HAVING COUNT(*) > 1),
-        dp AS (SELECT g2.doc_id, g2.n_tokens, g2.pos FROM g2 JOIN dup USING (h)),
-        w AS (SELECT doc_id, n_tokens, pos,
-                LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM dp),
-        c AS (SELECT doc_id, SUM(LEAST(8, COALESCE(nxt, pos + 8) - pos)) AS dup_tokens
-              FROM w GROUP BY doc_id)
-        SELECT n.doc_id, CAST(n.n_tokens AS BIGINT) AS n_tokens,
-          CAST(COALESCE(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
-          CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE) / n.n_tokens AS dup_fraction
-        FROM n LEFT JOIN c USING (doc_id)""")),
-
-    // Exact n-gram Jaccard near-dup pairs on a bounded subset (O(n²) tier;
-    // LSH above is the scale path).
-    Q("q_ngram_jaccard_pairs",
-      (s, dir) => {
-        val d = Tables.documents(s, dir).where(col("doc_id") < 100)
-        graft.operators.Dedup.ngramJaccardPairs(d, col("doc_id"), col("text"), 0.02)
-      },
-      Some(NgramJaccardOracle)),
-
-    // Same exact Jaccard via the inverted shingle index (posting self-join +
-    // pair count) — the linear-in-shared-shingles scale path; must produce
-    // byte-identical pairs to the cross-join tier, so it shares its oracle.
-    Q("q_ngram_jaccard_indexed",
-      (s, dir) => {
-        val d = Tables.documents(s, dir).where(col("doc_id") < 100)
-        graft.operators.Dedup.ngramJaccardPairsIndexed(d, col("doc_id"), col("text"), 0.02)
-      },
-      Some(NgramJaccardOracle)),
-
-    // Post-LSH candidate scoring: estimated Jaccard = fraction of the 16
-    // minhash positions two signatures share — orders candidates without
-    // re-reading any text (one signature scan + a join on the tiny pair
-    // list). Exact dyadic fraction (n/16), so the double compares bit-equal.
-    Q("q_minhash_jaccard_est",
-      (s, dir) => {
-        val d = Tables.documents(s, dir)
-        graft.operators.Dedup.minhashJaccardEstimate(d, col("doc_id"), col("text"))
-      },
-      Some {
-        import graft.operators.Dedup.{kmA, kmB, MinhashP => MP}
-        val aList = (0 until 16).map(kmA).mkString("[", ",", "]")
-        val bList = (0 until 16).map(kmB).mkString("[", ",", "]")
-        s"""WITH $MinhashPairsCtes,
-          m AS (
-            SELECT doc_id, list_transform(range(0,16), i ->
-              list_aggregate(list_transform(hs, v -> (v * ($aList)[i+1] + ($bList)[i+1]) % $MP), 'min')) AS mins
-            FROM h),
-          pairs AS ($MinhashPairsSelect)
-          SELECT p.id_a, p.id_b,
-            CAST(len(list_filter(range(1,17), i -> a.mins[i] = b.mins[i])) AS DOUBLE) / 16 AS est_jaccard
-          FROM pairs p JOIN m a ON p.id_a = a.doc_id JOIN m b ON p.id_b = b.doc_id"""
-      }),
-
-    // Document chunking: 64-token windows with 16 tokens of overlap — the
-    // pre-embedding split for RAG/context-bounded training. In-row Column
-    // exprs (sequence + slice), exploded only at the output boundary.
-    Q("q_doc_chunks",
-      (s, dir) => {
-        val d = Tables.documents(s, dir)
-          .repartition(s.sparkContext.defaultParallelism)
-        TextOps.chunk(d, col("text"), size = 64, overlap = 16)
-          .select(col("doc_id"), col("chunk_ix"), col("chunk_text"),
-            col("chunk_tokens"))
-      },
-      Some("""WITH t AS (
-          SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
-          FROM documents),
-        c AS (
-          SELECT doc_id, toks, len(toks) AS n,
-            CASE WHEN len(toks) <= 64 THEN 1
-                 ELSE 1 + CAST(CEIL((len(toks) - 64) / 48.0) AS INTEGER) END AS nc
-          FROM t WHERE len(toks) > 0)
-        SELECT doc_id, CAST(u.i AS INTEGER) AS chunk_ix,
-          array_to_string(list_slice(toks, u.i * 48 + 1, u.i * 48 + 64), ' ') AS chunk_text,
-          CAST(LEAST(64, n - u.i * 48) AS INTEGER) AS chunk_tokens
-        FROM c, LATERAL (SELECT unnest(range(0, c.nc)) AS i) u""")),
-
-    // BM25 keyword-search top-k: per-term tf evaluates in-row over the
-    // token array; corpus stats (N, avgdl, per-term df) reduce to one
-    // broadcast stats row — two scans total at any corpus size. The oracle
-    // mirrors the exact arithmetic association, scores rounded to 4dp.
-    Q("q_bm25_topk",
-      (s, dir) => {
-        val d = Tables.documents(s, dir)
-          .repartition(s.sparkContext.defaultParallelism)
-        graft.operators.Similarity.bm25TopK(d, col("doc_id"), col("text"),
-          Seq("join", "vector", "slow"), k = 25)
-      },
-      Some(s"""WITH $Bm25ScoredCtes
-        SELECT doc_id, ROUND(raw, 4) AS score FROM sc
-        ORDER BY score DESC, doc_id ASC LIMIT 25""")),
-
-    // Hybrid retrieval: BM25 keyword recall (top-25) -> exact cosine rerank
-    // against a query embedding (vec_id 0) -> top-10. The lexical stage
-    // bounds the vector work to candidate rows; both stages are the
-    // already-verified kernels.
-    Q("q_hybrid_search",
-      (s, dir) => {
-        val d = Tables.documents(s, dir)
-          .repartition(s.sparkContext.defaultParallelism)
-        val bm = graft.operators.Similarity.bm25TopK(d, col("doc_id"), col("text"),
-          Seq("join", "vector", "slow"), k = 25)
-        val emb = Tables.embeddings(s, dir)
-        val q = emb.where(col("vec_id") === 0).select(col("embedding").as("__qe"))
-        val reranked = bm
-          .join(emb.select(col("vec_id").as("doc_id"), col("embedding").as("__ce")), "doc_id")
-          .crossJoin(broadcast(q))
-          .withColumn("cos",
-            graft.operators.Similarity.cosine(col("__qe"), col("__ce")))
-        val w = Window.orderBy(col("cos").desc, col("doc_id").asc)
-        reranked.withColumn("rank", row_number().over(w))
-          .where(col("rank") <= 10)
-          .select(col("rank"), col("doc_id"), col("score"), col("cos"))
-      },
-      Some(s"""WITH $Bm25ScoredCtes,
-        bm AS (SELECT doc_id, ROUND(raw, 4) AS score FROM sc
-               ORDER BY score DESC, doc_id ASC LIMIT 25),
-        q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
-        r AS (SELECT bm.doc_id, bm.score,
-                list_dot_product(qe, ce.embedding::DOUBLE[])
-                  / (sqrt(list_dot_product(qe, qe))
-                     * sqrt(list_dot_product(ce.embedding::DOUBLE[], ce.embedding::DOUBLE[]))) AS cos
-              FROM bm JOIN embeddings ce ON bm.doc_id = ce.vec_id, q),
-        ranked AS (SELECT ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id ASC) AS rank,
-                          doc_id, score, cos FROM r)
-        SELECT rank, doc_id, score, cos FROM ranked WHERE rank <= 10""")),
-
-    // Document fingerprinting (k smallest shingle hashes).
-    Q("q_doc_fingerprints",
-      (s, dir) => {
-        // single-file local input = one partition; spread the kernel
-        val d = Tables.documents(s, dir)
-          .repartition(s.sparkContext.defaultParallelism)
-        d.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint"))
-      },
-      Some("""WITH t AS (
-          SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
-          FROM documents),
-        s AS (
-          SELECT doc_id,
-            CASE WHEN len(toks) >= 3
-                 THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-                 ELSE [] END AS sh
-          FROM t)
-        SELECT doc_id, array_to_string(list_sort(list_transform(sh, x -> md5(x)))[1:4], '|') AS fingerprint
-        FROM s""")),
-
-    // Text quality signals aggregated per language.
-    Q("q_text_quality_by_lang",
-      (s, dir) => {
-        val d = TextOps.withQualitySignals(Tables.documents(s, dir))
-        d.groupBy(col("lang"))
-          .agg(count(lit(1)).as("n_docs"),
-            dsum(col("n_tokens").cast("double")).as("total_tokens"),
-            davg(col("stopword_ratio")).as("avg_stopword_ratio"),
-            davg(col("mean_token_len")).as("avg_token_len"))
-      },
-      Some(s"""WITH t AS (
-          SELECT lang, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
-          FROM documents),
-        q AS (
-          SELECT lang, len(toks) AS n_tokens,
-            CASE WHEN len(toks) > 0
-                 THEN CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','in','to','is'], x))) AS DOUBLE) / len(toks)
-                 ELSE 0.0 END AS stopword_ratio,
-            CASE WHEN len(toks) > 0
-                 THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
-                 ELSE 0.0 END AS mean_token_len
-          FROM t)
-        SELECT lang, COUNT(*) AS n_docs,
-          ${dsumSql("n_tokens")} AS total_tokens,
-          ${dsumSql("stopword_ratio")} / COUNT(stopword_ratio) AS avg_stopword_ratio,
-          ${dsumSql("mean_token_len")} / COUNT(mean_token_len) AS avg_token_len
-        FROM q GROUP BY lang""")),
-
-    // Language-ID heuristic vs labeled lang (confusion counts).
-    Q("q_langid_confusion",
-      (s, dir) => {
-        val d = Tables.documents(s, dir)
-        d.withColumn("predicted", TextOps.langIdHeuristic(col("text")))
-          .groupBy(col("lang"), col("predicted"))
-          .agg(count(lit(1)).as("n_docs"))
-      },
-      Some("""WITH t AS (
-          SELECT lang, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
-          FROM documents)
-        SELECT lang,
-          CASE WHEN list_contains(toks, 'the') THEN 'en'
-               WHEN list_contains(toks, 'le') THEN 'fr'
-               WHEN list_contains(toks, 'der') THEN 'de'
-               WHEN list_contains(toks, 'el') THEN 'es'
-               ELSE 'unknown' END AS predicted,
-          COUNT(*) AS n_docs
-        FROM t GROUP BY 1, 2""")),
-
-    // Brute-force cosine top-k ANN (queries = vec_id < 10, k = 5).
-    Q("q_ann_cosine_topk",
-      (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
-        graft.operators.Similarity.bruteForceTopK(
-          emb, emb.where(col("vec_id") < 10), 5)
-          .select(col("qid"), col("rank"), col("nid"), col("cos"))
-      },
-      Some("""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 10),
-        c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS ce FROM embeddings),
-        scored AS (
-          SELECT qid, nid,
-            list_dot_product(qe, ce) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))) AS cos
-          FROM q JOIN c ON qid <> nid),
-        ranked AS (
-          SELECT qid, nid, cos, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
-          FROM scored)
-        SELECT qid, rank, nid, cos FROM ranked WHERE rank <= 5""")),
-
-    // LSH-bucketed ANN (scale path) — engine-side only; LSH plane derivation
-    // is not reasonably SQL-expressible, driver records rows-only.
-    Q("q_ann_lsh_topk",
-      (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
-        graft.operators.Similarity.lshTopK(
-          emb, emb.where(col("vec_id") < 10), 64, 5)
-          .select(col("qid"), col("rank"), col("nid"))
-      },
-      // Plane p component j = md5("p:j") first 8 hex chars as a centered
-      // fraction of 2^32 — reproduced verbatim; signature join + exact
-      // cosine rank inside buckets.
-      Some("""WITH planes AS (
-          SELECT p.p, list_transform(range(64),
-            j -> CAST(('0x'||substr(md5(p.p||':'||j),1,8)) AS BIGINT) / 4294967296.0 - 0.5) AS plane
-          FROM (SELECT unnest(range(8)) AS p) p),
-        v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-        sig AS (
-          SELECT vec_id, CAST(SUM(CASE WHEN list_dot_product(e, plane) > 0
-                                      THEN 1::BIGINT << CAST(p AS INT) ELSE 0 END) AS BIGINT) AS sig
-          FROM v CROSS JOIN planes GROUP BY vec_id),
-        sv AS (SELECT s.vec_id, s.sig, v.e, sqrt(list_dot_product(v.e, v.e)) AS n
-               FROM sig s JOIN v USING (vec_id)),
-        scored AS (
-          SELECT q.vec_id AS qid, c.vec_id AS nid,
-                 list_dot_product(q.e, c.e) / (q.n * c.n) AS cos
-          FROM sv c JOIN sv q ON c.sig = q.sig AND q.vec_id < 10 AND q.vec_id <> c.vec_id),
-        ranked AS (SELECT qid, nid,
-                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
-                   FROM scored)
-        SELECT qid, CAST(rank AS INT) AS rank, nid FROM ranked WHERE rank <= 5""")),
-
-    // IVF-flat ANN (scale path #2): deterministic coarse cells, probe
-    // nearest nprobe cells per query; rows-only oracle (centroid seeding is
-    // engine-side).
-    Q("q_ann_ivf_topk",
-      (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
-        graft.operators.Similarity.ivfTopK(
-          emb, emb.where(col("vec_id") < 10), k = 5)
-          .select(col("qid"), col("rank"), col("nid"))
-      },
-      // Full IVF replica: strided centroid seeding, argmax-(cos,cid) cell
-      // assignment, nprobe=4 probing, rank by (cos desc, nid asc). DuckDB
-      // list_dot_product folds j-ascending like the DotProduct expression,
-      // so every double is IEEE-identical.
-      Some(IvfOracleSql)),
-
-    // PQ-ADC top-k: product-quantized codes (m=4 subspaces × 16 codewords
-    // from the strided sample) searched by per-query distance-table lookup.
-    // Full replica oracle: same codebooks, same L2 surrogate cw·cw − 2·q·cw,
-    // same s-ascending table-sum, rank by (adist asc, nid asc).
-    Q("q_ann_pq_topk",
-      (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
-        graft.operators.Similarity.pqTopK(
-          emb, emb.where(col("vec_id") < 10), k = 5)
-          .select(col("qid"), col("rank"), col("nid"))
-      },
-      Some(PqOracleSql)),
-
-    // Round-11: the PERSISTED-index twins. AnnIndex writes the IVF cell
-    // table / PQ codes as parquet (the faiss layout: centroids broadcast,
-    // cell-partitioned inverted lists, 4-int codes) and answers from the
-    // store — a fresh session or an incremental append never re-pays the
-    // build scan (AnnIndexSpec proves append = assign-new-only; the
-    // session-memoized twins above rebuild per session). buildIfStale
-    // fingerprints the corpus file listing into the index meta: same
-    // listing → no-op, grown listing → append-only, so only the FIRST
-    // run (or a dataset change) pays the build. Same oracles: both paths
-    // run the identical search core, bit-for-bit.
-    Q("q_ann_ivf_indexed",
-      (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
-        val path = annIndexPath("ivf", dir)
-        graft.operators.AnnIndex.buildIvfIfStale(emb, path)
-        graft.operators.AnnIndex.ivfTopK(
-          s, path, emb.where(col("vec_id") < 10), k = 5)
-          .select(col("qid"), col("rank"), col("nid"))
-      },
-      Some(IvfOracleSql)),
-
-    Q("q_ann_pq_indexed",
-      (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
-        val path = annIndexPath("pq", dir)
-        graft.operators.AnnIndex.buildPqIfStale(emb, path)
-        graft.operators.AnnIndex.pqTopK(
-          s, path, emb.where(col("vec_id") < 10), k = 5)
-          .select(col("qid"), col("rank"), col("nid"))
-      },
-      Some(PqOracleSql)),
-
-    // ANN quality report (round 8): recall@5 of every approximate index
-    // (LSH, IVF, PQ) against the exact cosine top-5 on the same query set —
-    // the eval that decides whether an index is shippable. Oracle: the
-    // three full-replica oracles above plus the brute baseline, namespaced
-    // into one WITH and intersected; recall is one IEEE division + round.
-    Q("q_ann_recall",
-      (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
-        graft.operators.Similarity.annQualityReport(
-          emb, emb.where(col("vec_id") < 10), k = 5)
-      },
-      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-        nq AS (SELECT COUNT(*) AS n FROM v WHERE vec_id < 10),
-        b_scored AS (
-          SELECT q.vec_id AS qid, c.vec_id AS nid,
-            list_dot_product(q.e, c.e) / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))) AS cos
-          FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
-        b_top AS (SELECT qid, nid FROM (
-          SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS r
-          FROM b_scored) WHERE r <= 5),
-        l_planes AS (
-          SELECT p.p, list_transform(range(64),
-            j -> CAST(('0x'||substr(md5(p.p||':'||j),1,8)) AS BIGINT) / 4294967296.0 - 0.5) AS plane
-          FROM (SELECT unnest(range(8)) AS p) p),
-        l_sig AS (
-          SELECT vec_id, CAST(SUM(CASE WHEN list_dot_product(e, plane) > 0
-                                      THEN 1::BIGINT << CAST(p AS INT) ELSE 0 END) AS BIGINT) AS sig
-          FROM v CROSS JOIN l_planes GROUP BY vec_id),
-        l_sv AS (SELECT s.vec_id, s.sig, v.e, sqrt(list_dot_product(v.e, v.e)) AS n
-                 FROM l_sig s JOIN v USING (vec_id)),
-        l_scored AS (
-          SELECT q.vec_id AS qid, c.vec_id AS nid,
-                 list_dot_product(q.e, c.e) / (q.n * c.n) AS cos
-          FROM l_sv c JOIN l_sv q ON c.sig = q.sig AND q.vec_id < 10 AND q.vec_id <> c.vec_id),
-        l_top AS (SELECT qid, nid FROM (
-          SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS r
-          FROM l_scored) WHERE r <= 5),
-        i_ids AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rn,
-                         COUNT(*) OVER () AS n FROM v),
-        i_cents AS (
-          SELECT DISTINCT i.vec_id AS cid, cv.e AS ce, sqrt(list_dot_product(cv.e, cv.e)) AS cn
-          FROM (SELECT unnest(range(16)) AS k) k
-          JOIN i_ids i ON i.rn = LEAST(k.k * GREATEST(1, i.n // 16), i.n - 1)
-          JOIN v cv ON cv.vec_id = i.vec_id),
-        i_assign AS (
-          SELECT vec_id, cid AS cell FROM (
-            SELECT a.vec_id, c.cid,
-              ROW_NUMBER() OVER (PARTITION BY a.vec_id
-                ORDER BY list_dot_product(a.e, c.ce) / (sqrt(list_dot_product(a.e, a.e)) * c.cn) DESC,
-                         c.cid DESC) AS r
-            FROM v a CROSS JOIN i_cents c) WHERE r = 1),
-        i_corpus AS (
-          SELECT a.vec_id AS nid, v.e AS ce, sqrt(list_dot_product(v.e, v.e)) AS cn2, a.cell
-          FROM i_assign a JOIN v USING (vec_id)),
-        i_probes AS (
-          SELECT vec_id AS qid, cid AS cell FROM (
-            SELECT q.vec_id, c.cid,
-              ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                ORDER BY list_dot_product(q.e, c.ce) / (sqrt(list_dot_product(q.e, q.e)) * c.cn) DESC,
-                         c.cid DESC) AS r
-            FROM v q CROSS JOIN i_cents c WHERE q.vec_id < 10) WHERE r <= 4),
-        i_qv AS (SELECT vec_id AS qid, e AS qe, sqrt(list_dot_product(e, e)) AS qn FROM v WHERE vec_id < 10),
-        i_scored AS (
-          SELECT DISTINCT p.qid, c.nid,
-            list_dot_product(q.qe, c.ce) / (q.qn * c.cn2) AS cos
-          FROM i_probes p JOIN i_corpus c USING (cell) JOIN i_qv q ON q.qid = p.qid
-          WHERE p.qid <> c.nid),
-        i_top AS (SELECT qid, nid FROM (
-          SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS r
-          FROM i_scored) WHERE r <= 5),
-        p_samp AS (
-          SELECT DISTINCT i.vec_id, cv.e
-          FROM (SELECT unnest(range(16)) AS k) k
-          JOIN i_ids i ON i.rn = LEAST(k.k * GREATEST(1, i.n // 16), i.n - 1)
-          JOIN v cv ON cv.vec_id = i.vec_id),
-        p_codes AS (SELECT vec_id, e, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code FROM p_samp),
-        p_cw AS (
-          SELECT s.s AS sub, c.code, c.e[s.s*16+1 : (s.s+1)*16] AS cwv,
-            list_dot_product(c.e[s.s*16+1 : (s.s+1)*16], c.e[s.s*16+1 : (s.s+1)*16]) AS cs
-          FROM p_codes c CROSS JOIN (SELECT unnest(range(4)) AS s) s),
-        p_enc AS (
-          SELECT vec_id, sub, code FROM (
-            SELECT a.vec_id, w.sub, w.code,
-              ROW_NUMBER() OVER (PARTITION BY a.vec_id, w.sub
-                ORDER BY w.cs - 2*list_dot_product(a.e[w.sub*16+1 : (w.sub+1)*16], w.cwv) ASC,
-                         w.code ASC) AS r
-            FROM v a CROSS JOIN p_cw w) WHERE r = 1),
-        p_q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 10),
-        p_dt AS (
-          SELECT q.qid, w.sub, w.code,
-            w.cs - 2*list_dot_product(q.qe[w.sub*16+1 : (w.sub+1)*16], w.cwv) AS dd
-          FROM p_q q CROSS JOIN p_cw w),
-        p_sc AS (
-          SELECT d.qid, e2.vec_id AS nid,
-            MAX(CASE WHEN d.sub=0 THEN d.dd END) AS d0,
-            MAX(CASE WHEN d.sub=1 THEN d.dd END) AS d1,
-            MAX(CASE WHEN d.sub=2 THEN d.dd END) AS d2,
-            MAX(CASE WHEN d.sub=3 THEN d.dd END) AS d3
-          FROM p_enc e2 JOIN p_dt d ON d.sub = e2.sub AND d.code = e2.code
-          GROUP BY 1, 2),
-        p_top AS (SELECT qid, nid FROM (
-          SELECT qid, nid,
-            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ((d0+d1)+d2)+d3 ASC, nid ASC) AS r
-          FROM p_sc WHERE qid <> nid) WHERE r <= 5),
-        m AS (
-          SELECT 'ivf' AS method, COUNT(*) AS hits
-          FROM i_top t JOIN b_top b ON t.qid = b.qid AND t.nid = b.nid
-          UNION ALL SELECT 'lsh', COUNT(*)
-          FROM l_top t JOIN b_top b ON t.qid = b.qid AND t.nid = b.nid
-          UNION ALL SELECT 'pq', COUNT(*)
-          FROM p_top t JOIN b_top b ON t.qid = b.qid AND t.nid = b.nid)
-        SELECT m.method, nq.n AS n_queries, m.hits, nq.n * 5 AS possible,
-          ROUND(m.hits / (nq.n * 5.0), 6) AS recall
-        FROM m CROSS JOIN nq""")),
-
-    // Per-source corpus report (round 8): the first query a data engineer
-    // runs against a new corpus — volume, token mass, exact-dup rate and
-    // language mix per source, one scan + one hash agg.
-    Q("q_corpus_report",
-      (s, dir) => {
-        val d = Tables.documents(s, dir)
-        d.groupBy(col("source")).agg(
-          count(lit(1)).as("n_docs"),
-          sum(graft.operators.TextOps.tokenCount(col("text")).cast("long"))
-            .as("total_tokens"),
-          countDistinct(md5(col("text"))).as("distinct_docs"),
-          round(lit(1.0) - countDistinct(md5(col("text"))).cast("double") /
-            count(lit(1)).cast("double"), 6).as("dup_rate"),
-          countDistinct(col("lang")).as("n_langs"),
-          sum(col("n_chars")).as("total_chars"))
-      },
-      Some("""SELECT source,
-          COUNT(*) AS n_docs,
-          CAST(SUM(len(list_filter(string_split(text, ' '), x -> len(x) > 0))) AS BIGINT) AS total_tokens,
-          COUNT(DISTINCT md5(text)) AS distinct_docs,
-          ROUND(1.0 - COUNT(DISTINCT md5(text)) / (COUNT(*) * 1.0), 6) AS dup_rate,
-          COUNT(DISTINCT lang) AS n_langs,
-          CAST(SUM(n_chars) AS BIGINT) AS total_chars
-        FROM documents GROUP BY source""")),
-
-    // SimHash signatures (near-dup fingerprint; rows-only oracle).
-    Q("q_simhash",
-      (s, dir) => {
-        val d = Tables.documents(s, dir)
-        d.select(col("doc_id"), graft.operators.Dedup.simhash(col("text")).as("simhash"))
-      },
-      // Per-token md5 bit votes, replicated in SQL; empty/tokenless docs
-      // keep signature 0 via the left join.
-      Some("""WITH t AS (
-          SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> len(x)>0)) AS tok
-          FROM documents),
-        h AS (
-          SELECT doc_id, CAST(('0x'||substr(md5(tok),1,8)) AS BIGINT) AS h FROM t),
-        v AS (
-          SELECT doc_id, k.k, SUM(CASE WHEN (h >> k.k) & 1 = 1 THEN 1 ELSE -1 END) AS vote
-          FROM h CROSS JOIN (SELECT unnest(range(32)) AS k) k
-          GROUP BY doc_id, k.k),
-        s AS (
-          SELECT doc_id, CAST(SUM(CASE WHEN vote > 0 THEN 1::BIGINT << CAST(k AS INT) ELSE 0 END) AS BIGINT) AS simhash
-          FROM v GROUP BY doc_id)
-        SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
-        FROM documents d LEFT JOIN s USING (doc_id)""")),
-
-    // SimHash near-dup pairs within Hamming distance 3, via banded chunks
-    // (pigeonhole-exact — identical to brute force, which the oracle runs
-    // over the same 60-bit signatures: 15-hex-char token hashes, 60 vote
-    // positions).
-    Q("q_simhash_neardup",
-      (s, dir) => {
-        val d = Tables.documents(s, dir)
-        graft.operators.Dedup.simhashNearDupPairs(d, col("doc_id"), col("text"))
-      },
-      Some("""WITH t AS (
-          SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> len(x)>0)) AS tok
-          FROM documents),
-        h AS (
-          SELECT doc_id, CAST(('0x'||substr(md5(tok),1,15)) AS BIGINT) AS h FROM t),
-        v AS (
-          SELECT doc_id, k.k, SUM(CASE WHEN (h >> k.k) & 1 = 1 THEN 1 ELSE -1 END) AS vote
-          FROM h CROSS JOIN (SELECT unnest(range(60)) AS k) k
-          GROUP BY doc_id, k.k),
-        sg AS (
-          SELECT doc_id, CAST(SUM(CASE WHEN vote > 0 THEN 1::BIGINT << CAST(k AS INT) ELSE 0 END) AS BIGINT) AS simhash
-          FROM v GROUP BY doc_id),
-        sigs AS (
-          SELECT d.doc_id, COALESCE(sg.simhash, 0) AS simhash
-          FROM documents d LEFT JOIN sg USING (doc_id))
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""")),
-
-    // Multimodal: binary assets with typed metadata (text bytes stand in for
-    // image/audio payloads; plumbing is the point).
-    Q("q_binary_assets",
-      (s, dir) => {
-        val d = Tables.documents(s, dir)
-          .select(col("doc_id").as("asset_id"), encode(col("text"), "UTF-8").as("asset"),
-            col("source"))
-        graft.operators.Multimodal.withMetadata(d)
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_assets"),
-            sum(col("meta.byte_len")).as("total_bytes"),
-            countDistinct(col("meta.content_hash")).as("n_distinct"))
-      },
-      Some("""SELECT source, COUNT(*) AS n_assets,
-        CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
-        COUNT(DISTINCT md5(text)) AS n_distinct
-        FROM documents GROUP BY source""")),
-
-    // Multimodal decode — REAL: synthesize a spec-compliant PNG per doc
-    // (dims derived from doc columns), then decode it with the JDK's
-    // ImageIO reader inside mapPartitions. The oracle predicts the
-    // round-trip arithmetically, so a decoder that mis-reads dimensions,
-    // drops channels, or fails to parse (decoded=false -> channels=0)
-    // hash-mismatches.
-    Q("q_multimodal_decode",
-      (s, dir) => {
-        val m = graft.operators.Multimodal
-        // ImageIO encode+decode ≫ shuffle cost per row -> spread the
-        // under-parallel cached scan before the kernel
-        val d = Tables.spread(Tables.documents(s, dir)
-            .select(col("doc_id").as("asset_id"), col("n_chars")))
-          .select(col("asset_id"),
-            m.pngColumn(col("asset_id"),
-              (lit(1) + col("asset_id") % 48).cast("int"),
-              (lit(1) + col("n_chars") % 32).cast("int")).as("asset"))
-        m.decodeImage(d)
-          .groupBy(col("width"))
-          .agg(count(lit(1)).as("n_assets"), max(col("height")).as("max_height"),
-            sum(when(col("decoded"), col("channels"))).as("sum_channels"))
-      },
-      Some("""WITH d AS (
-          SELECT doc_id, 1 + (doc_id % 48) AS width, 1 + (n_chars % 32) AS height
-          FROM documents)
-        SELECT CAST(width AS INT) AS width, COUNT(*) AS n_assets,
-          CAST(MAX(height) AS INT) AS max_height,
-          CAST(3 * COUNT(*) AS BIGINT) AS sum_channels
-        FROM d GROUP BY width""")),
-
-    // Real audio decode: synthesized PCM16 WAVs (deterministic rate/length
-    // per asset) decoded by the JDK's AudioSystem inside mapPartitions;
-    // oracle = closed form over the synthesis parameters (frame count =
-    // sample count, duration = floor(n*1000/rate)).
-    Q("q_audio_decode",
-      (s, dir) => {
-        val m = graft.operators.Multimodal
-        val d = Tables.spread(Tables.documents(s, dir)
-            .select(col("doc_id").as("asset_id"), col("n_chars")))
-          .select(col("asset_id"),
-            m.wavColumn(col("asset_id"),
-              element_at(
-                array(lit(8000), lit(16000), lit(22050), lit(44100)),
-                (col("asset_id") % 4 + 1).cast("int")),
-              (lit(100) + col("n_chars") % 400).cast("int")).as("asset"))
-        m.decodeAudio(d)
-          .groupBy(col("sample_rate"))
-          .agg(count(lit(1)).as("n_assets"),
-            sum(col("duration_ms")).as("total_ms"),
-            sum(when(col("decoded"), col("n_frames"))).as("total_frames"))
-      },
-      Some("""WITH d AS (
-          SELECT doc_id,
-            CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 8000 WHEN 1 THEN 16000
-                 WHEN 2 THEN 22050 ELSE 44100 END AS rate,
-            100 + (n_chars % 400) AS n
-          FROM documents)
-        SELECT CAST(rate AS INT) AS sample_rate, COUNT(*) AS n_assets,
-          CAST(SUM((n * 1000) // rate) AS BIGINT) AS total_ms,
-          CAST(SUM(n) AS BIGINT) AS total_frames
-        FROM d GROUP BY rate""")),
-
-    // Decode fallback plumbing: bytes no JDK reader accepts (text bytes
-    // standing in for codec formats) take the deterministic stand-in path
-    // with decoded=false — SQL-expressible: width from byte length, height
-    // from the (signed) first UTF-8 byte.
-    Q("q_multimodal_fallback",
-      (s, dir) => {
-        val d = Tables.documents(s, dir)
-          .select(col("doc_id").as("asset_id"), encode(col("text"), "UTF-8").as("asset"))
-        graft.operators.Multimodal.decodeImage(d)
-          .where(!col("decoded"))
-          .groupBy(col("width"))
-          .agg(count(lit(1)).as("n_assets"), max(col("height")).as("max_height"))
-      },
-      Some("""WITH b AS (
-          SELECT doc_id, octet_length(encode(text)) AS blen,
-            CASE WHEN octet_length(encode(text)) = 0 THEN NULL
-                 ELSE CAST(('0x'||substr(hex(encode(text)),1,2)) AS INT) END AS b0u
-          FROM documents),
-        d AS (
-          SELECT doc_id, 1 + (blen % 64) AS width,
-            1 + (CASE WHEN b0u IS NULL THEN 0
-                      ELSE ABS(CASE WHEN b0u >= 128 THEN b0u - 256 ELSE b0u END) END % 64) AS height
-          FROM b)
-        SELECT CAST(width AS INT) AS width, COUNT(*) AS n_assets, CAST(MAX(height) AS INT) AS max_height
-        FROM d GROUP BY width""")),
-
-    // ------------------------------------------------------- OSL script engine
-    // Full OSL pipeline: parse -> per-customer interpreter (flatMapGroups)
-    // -> relational merge. Script mirrors README.md:152-196.
-    Q("q_osl_event_tally",
-      (s, dir) => {
-        val script =
-          """select
-            |  count id as customers
-            |  count event as n_rows
-            |  sum value as total_value
-            |end
-            |each_row where event.is(== 'purchase')
-            |  << get_day_of_week(stamp), event
-            |end
-            |""".stripMargin
-        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
-          .select(col("depth"), col("g1"), col("g2"),
-            col("customers"), col("n_rows"), col("total_value"))
-      },
-      Some(s"""$E, p AS (
-          SELECT id, CAST(dayofweek(make_timestamp(stamp * 1000)) + 1 AS VARCHAR) AS g1,
-                 event AS g2, value
-          FROM e WHERE event = 'purchase')
-        SELECT CAST(2 AS INTEGER) AS depth, g1, g2,
-          COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows, ${dsumSql("value")} AS total_value
-        FROM p GROUP BY g1, g2
-        UNION ALL
-        SELECT CAST(1 AS INTEGER) AS depth, g1, CAST(NULL AS VARCHAR) AS g2,
-          COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows, ${dsumSql("value")} AS total_value
-        FROM p GROUP BY g1""")),
-
-    // Three-level continue().next() funnel through the EVENT-QUERY route:
-    // Tier A compiles the chain to row_number + greedy-chain min windows
-    // (one sort-shuffle on id, no interpreter). Oracle mirrors the greedy
-    // construction: a row fires at level k iff it sits after the earliest
-    // chain matching levels 1..k-1.
-    Q("q_osl_chain_funnel",
-      (s, dir) => {
-        val script =
-          """select
-            |  count id as customers
-            |  count event as n_rows
-            |  sum value as total_value
-            |end
-            |each_row where event.is(== 'signup')
-            |  << 'signup'
-            |  each_row.continue().next() where event.is(== 'view')
-            |    << 'viewed'
-            |    each_row.continue().next() where event.is(== 'purchase')
-            |      << 'converted', bucket(value, 100)
-            |    end
-            |  end
-            |end
-            |""".stripMargin
-        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
-          .select(col("depth"), col("g1"), col("g2"),
-            col("customers"), col("n_rows"), col("total_value"))
-      },
-      Some(s"""$E, r AS (
-          SELECT id, event, value,
-                 ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS rn
-          FROM e),
-        m1 AS (SELECT id, MIN(rn) AS m FROM r WHERE event = 'signup' GROUP BY id),
-        lv2 AS (SELECT r.id, r.value, r.rn FROM r JOIN m1 ON r.id = m1.id
-                WHERE r.event = 'view' AND r.rn > m1.m),
-        m2 AS (SELECT id, MIN(rn) AS m FROM lv2 GROUP BY id),
-        lv3 AS (SELECT r.id, r.value,
-                  CAST(CAST(FLOOR(r.value / 100) * 100 AS BIGINT) AS VARCHAR) AS b
-                FROM r JOIN m2 ON r.id = m2.id
-                WHERE r.event = 'purchase' AND r.rn > m2.m),
-        lv1 AS (SELECT id, value FROM r WHERE event = 'signup')
-        SELECT CAST(1 AS INTEGER) AS depth, 'signup' AS g1, CAST(NULL AS VARCHAR) AS g2,
-          COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows, ${dsumSql("value")} AS total_value
-        FROM lv1
-        UNION ALL
-        SELECT CAST(1 AS INTEGER), 'viewed', CAST(NULL AS VARCHAR),
-          COUNT(DISTINCT id), COUNT(*), ${dsumSql("value")}
-        FROM lv2
-        UNION ALL
-        SELECT CAST(1 AS INTEGER), 'converted', CAST(NULL AS VARCHAR),
-          COUNT(DISTINCT id), COUNT(*), ${dsumSql("value")}
-        FROM lv3
-        UNION ALL
-        SELECT CAST(2 AS INTEGER), 'converted', b,
-          COUNT(DISTINCT id), COUNT(*), ${dsumSql("value")}
-        FROM lv3 GROUP BY b""")),
-
-    // Reverse (backward-scan) funnel: for each purchase, the views that
-    // PRECEDE it within 16h — the last-touch shape expressed in OSL. A
-    // `.reverse()` chain step compiles to a nearest-FOLLOWING-spawn witness
-    // window (min-struct over following rows), sharing the same single
-    // (id, stamp) sort as forward chains.
-    Q("q_osl_reverse_funnel",
-      (s, dir) => {
-        val script =
-          """select
-            |  count id as customers
-            |  count event as n_rows
-            |end
-            |each_row where event.is(== 'purchase')
-            |  << 'purchase'
-            |  each_row.continue().next().reverse().look_back(16_hours) where event.is(== 'view')
-            |    << 'prior_view'
-            |  end
-            |end
-            |""".stripMargin
-        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
-          .select(col("depth"), col("g1"), col("customers"), col("n_rows"))
-      },
-      Some(s"""$E, r AS (
-          SELECT id, event, stamp,
-                 ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS rn
-          FROM e),
-        lv1 AS (SELECT id FROM r WHERE event = 'purchase'),
-        lv2 AS (SELECT a.id FROM r a WHERE a.event = 'view' AND EXISTS (
-                  SELECT 1 FROM r p WHERE p.id = a.id AND p.event = 'purchase'
-                    AND p.rn > a.rn AND p.stamp - a.stamp <= 57600000))
-        SELECT CAST(1 AS INTEGER) AS depth, 'purchase' AS g1,
-          COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows
-        FROM lv1 HAVING COUNT(*) > 0
-        UNION ALL
-        SELECT CAST(1 AS INTEGER), 'prior_view', COUNT(DISTINCT id), COUNT(*)
-        FROM lv2 HAVING COUNT(*) > 0""")),
-
-    // Time-framed funnel through the event-query route: purchases within
-    // 24h AFTER a signup (cursor-anchored look_ahead step). Tier A compiles
-    // this to latest-witness windows; the oracle uses the same
-    // max-over-preceding construction.
-    Q("q_osl_framed_funnel",
-      (s, dir) => {
-        val script =
-          """select
-            |  count id as customers
-            |  count event as n_rows
-            |  sum value as total_value
-            |end
-            |each_row where event.is(== 'signup')
-            |  << 'signup'
-            |  each_row.continue().next().look_ahead(1_days) where event.is(== 'purchase')
-            |    << 'purchase_24h', bucket(value, 100)
-            |  end
-            |end
-            |""".stripMargin
-        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
-          .select(col("depth"), col("g1"), col("g2"),
-            col("customers"), col("n_rows"), col("total_value"))
-      },
-      Some(s"""$E, r AS (
-          SELECT id, event, value, stamp,
-                 ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS rn
-          FROM e),
-        w AS (
-          SELECT *, MAX(CASE WHEN event = 'signup' THEN stamp END)
-            OVER (PARTITION BY id ORDER BY rn
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ws
-          FROM r),
-        lv2 AS (SELECT id, value,
-                  CAST(CAST(FLOOR(value / 100) * 100 AS BIGINT) AS VARCHAR) AS b
-                FROM w
-                WHERE event = 'purchase' AND ws IS NOT NULL
-                  AND stamp - ws <= 86400000),
-        lv1 AS (SELECT id, value FROM r WHERE event = 'signup')
-        SELECT CAST(1 AS INTEGER) AS depth, 'signup' AS g1, CAST(NULL AS VARCHAR) AS g2,
-          COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows, ${dsumSql("value")} AS total_value
-        FROM lv1
-        UNION ALL
-        SELECT CAST(1 AS INTEGER), 'purchase_24h', CAST(NULL AS VARCHAR),
-          COUNT(DISTINCT id), COUNT(*), ${dsumSql("value")}
-        FROM lv2
-        UNION ALL
-        SELECT CAST(2 AS INTEGER), 'purchase_24h', b,
-          COUNT(DISTINCT id), COUNT(*), ${dsumSql("value")}
-        FROM lv2 GROUP BY b""")),
-
-    // Guarded + match-limited funnel (round 4 Tier A shapes): the nested
-    // loop spawns only from signup rows passing an `if` guard, and tallies
-    // at most the first 2 purchase matches per spawn. Compiles to the
-    // latest-witness window plan with a cumulative-match-count witness
-    // field (src/queryinterpreter.cpp:2430-2577 `.limit`, 231: matches <
-    // limit). Oracle mirrors: max spawn-row cum-count over preceding rows.
-    Q("q_osl_guarded_funnel",
-      (s, dir) => {
-        val script =
-          """select
-            |  count id as customers
-            |  count event as n_rows
-            |end
-            |each_row where event.is(== 'signup')
-            |  << 'signup'
-            |  if value.is(> 10)
-            |    each_row.continue().next().limit(2) where event.is(== 'purchase')
-            |      << 'purchase_after', bucket(value, 200)
-            |    end
-            |  end
-            |end
-            |""".stripMargin
-        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
-          .select(col("depth"), col("g1"), col("g2"),
-            col("customers"), col("n_rows"))
-      },
-      Some(s"""$E, r AS (
-          SELECT id, event, value,
-                 ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS rn,
-                 SUM(CASE WHEN event = 'purchase' THEN 1 ELSE 0 END)
-                   OVER (PARTITION BY id ORDER BY stamp
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mc
-          FROM e),
-        w AS (
-          SELECT *, MAX(CASE WHEN event = 'signup' AND value > 10 THEN mc END)
-            OVER (PARTITION BY id ORDER BY rn
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wmc
-          FROM r),
-        lv2 AS (SELECT id, value,
-                  CAST(CAST(FLOOR(value / 200) * 200 AS BIGINT) AS VARCHAR) AS b
-                FROM w WHERE event = 'purchase' AND wmc IS NOT NULL
-                  AND mc - wmc <= 2),
-        lv1 AS (SELECT id FROM e WHERE event = 'signup')
-        SELECT CAST(1 AS INTEGER) AS depth, 'signup' AS g1, CAST(NULL AS VARCHAR) AS g2,
-          COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows FROM lv1
-        UNION ALL
-        SELECT CAST(1 AS INTEGER), 'purchase_after', CAST(NULL AS VARCHAR),
-          COUNT(DISTINCT id), COUNT(*) FROM lv2
-        UNION ALL
-        SELECT CAST(2 AS INTEGER), 'purchase_after', b, COUNT(DISTINCT id), COUNT(*)
-        FROM lv2 GROUP BY b""")),
-
-    // OSL `var` select aggregator: declares a script variable; the result
-    // column counts tallies deduped per (var value, row, node)
-    // (src/queryinterpreter.cpp:242-244, 306-311). The variable mutates per
-    // row, so the dedup key stays row-unique and the node count equals the
-    // tallied-row count.
-    Q("q_osl_var_tally",
-      (s, dir) => {
-        val script =
-          """select
-            |  count id as customers
-            |  var n as hits
-            |end
-            |each_row where event.is(== 'purchase')
-            |  n = n + 1
-            |  << get_day_of_week(stamp)
-            |end
-            |""".stripMargin
-        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
-          .select(col("g1"), col("customers"), col("hits"))
-      },
-      Some(s"""$E SELECT CAST(dayofweek(make_timestamp(stamp * 1000)) + 1 AS VARCHAR) AS g1,
-        COUNT(DISTINCT id) AS customers, COUNT(*) AS hits
-        FROM e WHERE event = 'purchase' GROUP BY g1""")),
-
-    // Framed TOP-LEVEL loop (round 5): the scan itself is time-boxed —
-    // `.range(iso, iso)` bounds compile to a constant stamp predicate
-    // AND'ed into the row filter (scan-speed, no window, no interpreter;
-    // the common "query this date window" shape of the reference's REST
-    // examples). Bounds are inclusive like Interpreter.frameBounds.
-    Q("q_osl_top_range",
-      (s, dir) => {
-        val script =
-          """select
-            |  count id as customers
-            |  count event as n_rows
-            |  sum value as total_value
-            |end
-            |each_row.range('2024-01-10T00:00:00Z', '2024-01-20T00:00:00Z') where event.is(== 'purchase')
-            |  << get_day_of_week(stamp), event
-            |end
-            |""".stripMargin
-        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
-          .select(col("depth"), col("g1"), col("g2"),
-            col("customers"), col("n_rows"), col("total_value"))
-      },
-      Some(s"""$E, p AS (
-          SELECT id, CAST(dayofweek(make_timestamp(stamp * 1000)) + 1 AS VARCHAR) AS g1,
-                 event AS g2, value
-          FROM e WHERE event = 'purchase'
-            AND stamp >= 1704844800000 AND stamp <= 1705708800000)
-        SELECT CAST(2 AS INTEGER) AS depth, g1, g2,
-          COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows, ${dsumSql("value")} AS total_value
-        FROM p GROUP BY g1, g2
-        UNION ALL
-        SELECT CAST(1 AS INTEGER) AS depth, g1, CAST(NULL AS VARCHAR) AS g2,
-          COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows, ${dsumSql("value")} AS total_value
-        FROM p GROUP BY g1""")),
-
-    // READ accumulator (round 5): the per-person purchase index drives both
-    // a tally group and an if-guard. Tier A compiles the variable to a
-    // running-count window over the visited rows — one sort-shuffle, no
-    // interpreter (OslSpec pins Tier A ≡ Tier B for this shape). Counts
-    // only: rank assignment among same-stamp ties is arbitrary in both
-    // engines, but tied rows share their stamp (hence day-of-week), so
-    // count-type selects are tie-order-independent.
-    Q("q_osl_accum_tally",
-      (s, dir) => {
-        val script =
-          """select
-            |  count id as customers
-            |  count event as n_rows
-            |end
-            |n = 0
-            |each_row where event.is(== 'purchase')
-            |  n = n + 1
-            |  if n <= 3
-            |    << n, get_day_of_week(stamp)
-            |  end
-            |end
-            |""".stripMargin
-        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
-          .select(col("depth"), col("g1"), col("g2"),
-            col("customers"), col("n_rows"))
-      },
-      Some(s"""$E, p AS (
-          SELECT id, stamp,
-                 ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS n
-          FROM e WHERE event = 'purchase'),
-        q AS (
-          SELECT CAST(n AS VARCHAR) AS g1,
-                 CAST(dayofweek(make_timestamp(stamp * 1000)) + 1 AS VARCHAR) AS g2,
-                 id
-          FROM p WHERE n <= 3)
-        SELECT CAST(2 AS INTEGER) AS depth, g1, g2,
-          COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows
-        FROM q GROUP BY g1, g2
-        UNION ALL
-        SELECT CAST(1 AS INTEGER), g1, CAST(NULL AS VARCHAR),
-          COUNT(DISTINCT id), COUNT(*)
-        FROM q GROUP BY g1""")),
-
-    // Tier A widened shapes in one script: an unframed `ever` person
-    // predicate (window-exists, no interpreter) + an unconditional tally +
-    // an if-wrapped tally — compiles to filter/explode/dedup/hash-agg with
-    // zero flatMapGroups (the OslSpec differential tests pin Tier A ≡ B).
-    Q("q_osl_ever_multitally",
-      (s, dir) => {
-        val script =
-          """select
-            |  count id as customers
-            |  count event as n_rows
-            |  sum value as total_value
-            |end
-            |each_row where event.ever(== 'error') && event.is(== 'purchase')
-            |  << 'all'
-            |  if value.is(> 100)
-            |    << 'big', get_day_of_week(stamp)
-            |  end
-            |end
-            |""".stripMargin
-        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
-          .select(col("depth"), col("g1"), col("g2"),
-            col("customers"), col("n_rows"), col("total_value"))
-      },
-      Some(s"""$E, pe AS (
-          SELECT id FROM e GROUP BY id
-          HAVING SUM(CASE WHEN event = 'error' THEN 1 ELSE 0 END) > 0),
-        p AS (
-          SELECT e.id, e.value, e.stamp FROM e JOIN pe USING (id)
-          WHERE e.event = 'purchase')
-        SELECT CAST(1 AS INTEGER) AS depth, 'all' AS g1, CAST(NULL AS VARCHAR) AS g2,
-          COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows, ${dsumSql("value")} AS total_value
-        FROM p
-        UNION ALL
-        SELECT CAST(1 AS INTEGER), 'big', CAST(NULL AS VARCHAR),
-          COUNT(DISTINCT id), COUNT(*), ${dsumSql("value")}
-        FROM p WHERE value > 100
-        UNION ALL
-        SELECT CAST(2 AS INTEGER), 'big',
-          CAST(dayofweek(make_timestamp(stamp * 1000)) + 1 AS VARCHAR),
-          COUNT(DISTINCT id), COUNT(*), ${dsumSql("value")}
-        FROM p WHERE value > 100 GROUP BY 3""")),
-
-    // Framed (cursor-anchored) ever inside a Tier A script: purchases with a
-    // signup in the trailing 24h window — compiles to a RANGE window frame
-    // on stamp, no interpreter (PlanSpec-style: zero MapGroups).
-    Q("q_osl_framed_ever",
-      (s, dir) => {
-        val script =
-          """select
-            |  count id as customers
-            |  count event as n_rows
-            |end
-            |each_row where event.look_back(24_hours).ever(== 'signup') && event.is(== 'purchase')
-            |  << get_day_of_week(stamp)
-            |end
-            |""".stripMargin
-        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
-          .select(col("g1"), col("customers"), col("n_rows"))
-      },
-      Some(s"""$E SELECT CAST(dayofweek(make_timestamp(p.stamp * 1000)) + 1 AS VARCHAR) AS g1,
-        COUNT(DISTINCT p.id) AS customers, COUNT(*) AS n_rows
-        FROM e p WHERE p.event = 'purchase' AND EXISTS (
-          SELECT 1 FROM e s2 WHERE s2.id = p.id AND s2.event = 'signup'
-            AND s2.stamp BETWEEN p.stamp - 86400000 AND p.stamp)
-        GROUP BY g1""")),
-
-    // OSL @segment scripts: ever/never predicates evaluated per customer.
-    Q("q_osl_segments",
-      (s, dir) => {
-        val script =
-          """@segment buyers
-            |if event.ever(== 'purchase')
-            |  return(true)
-            |end
-            |@segment errorless
-            |if event.never(== 'error')
-            |  return(true)
-            |end
-            |""".stripMargin
-        val m = graft.osl.OslEngine.segments(Tables.events(s, dir), script, now = OslNow)
-          .groupBy(col("segment")).agg(count(lit(1)).as("n"))
-        // a segment with zero members still reports population 0
-        import s.implicits._
-        Seq("buyers", "errorless").toDF("segment")
-          .join(m, Seq("segment"), "left")
-          .select(col("segment"), coalesce(col("n"), lit(0L)).as("population"))
-      },
-      Some(s"""$E SELECT 'buyers' AS segment, COUNT(*) AS population FROM (
-          SELECT id FROM e GROUP BY id
-          HAVING COUNT(CASE WHEN event = 'purchase' THEN 1 END) > 0)
-        UNION ALL
-        SELECT 'errorless', COUNT(*) FROM (
-          SELECT id FROM e GROUP BY id
-          HAVING COUNT(CASE WHEN event = 'error' THEN 1 END) = 0)""")),
-
-    // OSL nested sequence iteration (continue().next()) as a segment —
-    // purchase strictly after a signup row.
-    Q("q_osl_funnel_segment",
-      (s, dir) => {
-        val script =
-          """@segment signup_then_purchase
-            |each_row where event.is(== 'signup')
-            |  each_row.continue().next() where event.is(== 'purchase')
-            |    return(true)
-            |  end
-            |end
-            |""".stripMargin
-        graft.osl.OslEngine.segments(Tables.events(s, dir), script, now = OslNow)
-          .groupBy(col("segment")).agg(count(lit(1)).as("population"))
-      },
-      Some(s"""$E, r AS (
-          SELECT id, event, ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS rn
-          FROM e),
-        sg AS (SELECT id, MIN(rn) AS srn FROM r WHERE event = 'signup' GROUP BY id)
-        SELECT 'signup_then_purchase' AS segment, COUNT(*) AS population FROM (
-          SELECT DISTINCT sg.id FROM sg JOIN r ON r.id = sg.id
-          WHERE r.event = 'purchase' AND r.rn > sg.srn)""")),
-
-    // `.from(0)` absolute-restart chain step with a BACKWARD frame: for
-    // every signup, the purchases up to 1 day BEFORE it (prior-event
-    // attribution — a shape `.continue()` cursors can't reach). Round 5:
-    // compiles to bidirectional nearest-spawn witnesses on the one
-    // (id, stamp) sort (src/queryinterpreter.cpp:2440-2447 `.from` start).
-    Q("q_osl_from_restart",
-      (s, dir) => {
-        val script =
-          """select
-            |  count id as customers
-            |  count event as n_rows
-            |end
-            |each_row where event.is(== 'signup')
-            |  each_row.from(0).look_back(1_days) where event.is(== 'purchase')
-            |    << 'prior_purchase', get_day_of_week(stamp)
-            |  end
-            |end
-            |""".stripMargin
-        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
-          .where(col("depth") === 2)
-          .select(col("g2").as("dow"), col("customers"), col("n_rows"))
-      },
-      Some(s"""$E, pp AS (
-          SELECT DISTINCT p.id, p.stamp
-          FROM e p JOIN e s ON p.id = s.id AND s.event = 'signup'
-            AND p.stamp BETWEEN s.stamp - 86400000 AND s.stamp
-          WHERE p.event = 'purchase')
-        SELECT CAST(dayofweek(make_timestamp(stamp * 1000)) + 1 AS VARCHAR) AS dow,
-          COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows
-        FROM pp GROUP BY dow""")),
-
-    // OSL histogram script: per-person inline aggregation -> bucket
-    // (src/oloop_histogram.cpp semantics; fixed-point sums for parity).
-    Q("q_osl_histogram",
-      (s, dir) => {
-        val script =
-          """total = sum(value) where event.is(== 'purchase')
-            |return(bucket(total, 100))
-            |""".stripMargin
-        graft.osl.OslEngine.histogram(Tables.events(s, dir), script, now = OslNow)
-          .groupBy(col("value").as("bucket"))
-          .agg(count(lit(1)).as("customers"))
-      },
-      Some(s"""$E, p AS (
-          SELECT id, COALESCE(CAST(SUM(CASE WHEN event = 'purchase' THEN CAST(value AS DECIMAL(28,4)) END) AS DOUBLE), 0.0) AS total
-          FROM e GROUP BY id)
-        SELECT FLOOR(total / 100) * 100 AS bucket, COUNT(*) AS customers
-        FROM p GROUP BY 1"""))
-  )
-
-  /** Property-endpoint value filter modes (rx / sub / comparisons —
-    * src/oloop_property.cpp:139-218) and customer-prop enrichment
-    * (src/queryinterpreter.cpp:3116-3264) exposed as registry entries. */
-  private val extraRegistry: Seq[Q] = Seq(
-    Q("q_property_filter_modes",
-      (s, dir) => {
-        val e = Tables.events(s, dir)
-        e.where(col("event").rlike("^(sign|err)") || col("event").contains("view"))
-          .groupBy(col("event"))
-          .agg(countDistinct(col("id")).as("customers"))
-      },
-      Some(s"""$E SELECT event, COUNT(DISTINCT id) AS customers FROM e
-        WHERE regexp_matches(event, '^(sign|err)') OR contains(event, 'view')
-        GROUP BY event""")),
-
-    Q("q_customer_prop_enrichment",
-      (s, dir) => {
-        val e = Tables.events(s, dir)
-        val props = Tables.customer(s, dir)
-          .select(col("c_custkey").as("id"), col("c_mktsegment"))
-        graft.operators.CustomerProps.enrich(e, props)
-          .groupBy(col("c_mktsegment"))
-          .agg(countDistinct(col("id")).as("customers"),
-            count(lit(1)).as("n_rows"))
-      },
-      Some(s"""$E SELECT c_mktsegment, COUNT(DISTINCT e.id) AS customers, COUNT(*) AS n_rows
-        FROM e LEFT JOIN customer ON e.id = c_custkey
-        GROUP BY c_mktsegment""")),
-
-    // OSL script-driven customer-prop WRITE-BACK (setGridProps,
-    // src/queryinterpreter.cpp:3116-3264): the script assigns declared
-    // is_customer props per person; the result is the write-back updates
-    // frame a catalog merge would apply (Catalog.runPropWriteback). One
-    // cogroup shuffle on id — the storage bucketing key.
-    Q("q_osl_prop_writeback",
-      (s, dir) => {
-        import org.apache.spark.sql.types._
-        val script =
-          """total_value = sum(value) where event.is(== 'purchase')
-            |purchase_count = count(id) where event.is(== 'purchase')
-            |""".stripMargin
-        val cust = s.createDataFrame(
-          s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(Seq(
-            StructField("id", LongType),
-            StructField("total_value", DoubleType),
-            StructField("purchase_count", LongType))))
-        graft.osl.OslEngine.propWriteback(Tables.events(s, dir), cust, script,
-          now = OslNow)
-      },
-      Some(s"""$E SELECT id,
-        COALESCE(CAST(SUM(CASE WHEN event = 'purchase' THEN CAST(value AS DECIMAL(28,4)) END) AS DOUBLE), 0.0) AS total_value,
-        COUNT(CASE WHEN event = 'purchase' THEN 1 END) AS purchase_count
-        FROM e GROUP BY id""")),
-
-    // Embedding-cosine near-duplicate detection (dedup family; bounded
-    // subset for the O(n²) tier — LSH buckets are the scale path).
-    Q("q_embedding_neardup",
-      (s, dir) => {
-        val emb = Tables.embeddings(s, dir).where(col("vec_id") < 500)
-        graft.operators.Similarity.cosineNearDupPairs(emb, 0.9)
-          .agg(count(lit(1)).as("n_pairs"),
-            countDistinct(col("id_a")).as("n_left"))
-      },
-      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 500),
-        p AS (
-          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-            list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cos
-          FROM v a JOIN v b ON a.vec_id < b.vec_id)
-        SELECT COUNT(*) AS n_pairs, COUNT(DISTINCT id_a) AS n_left
-        FROM p WHERE cos >= 0.9""")),
-
-    // Cross-source exact dedup: within each content-hash group keep the
-    // copy from the most-preferred source (curated dump beats crawl), then
-    // lowest id. One min_by hash aggregation — no window, no join.
-    Q("q_dedup_priority",
-      (s, dir) => {
-        val d = Tables.documents(s, dir)
-        graft.operators.Dedup.exactDedupPrioritized(d, col("doc_id"),
-            col("text"), col("source"), Seq("src3", "src1", "src0"))
-          .groupBy(col("kept_source"))
-          .agg(count(lit(1)).as("n_groups"), sum(col("n_copies")).as("n_docs"))
-      },
-      Some("""WITH g AS (
-          SELECT md5(text) AS content_hash,
-            arg_min(source, printf('%02d|%012d',
-              CASE WHEN source = 'src3' THEN 0
-                   WHEN source = 'src1' THEN 1
-                   WHEN source = 'src0' THEN 2 ELSE 3 END, doc_id)) AS kept_source,
-            COUNT(*) AS n_copies
-          FROM documents GROUP BY md5(text))
-        SELECT kept_source, COUNT(*) AS n_groups,
-          CAST(SUM(n_copies) AS BIGINT) AS n_docs
-        FROM g GROUP BY kept_source""")),
-
-    // SemDedup (cluster-then-pairwise semantic dedup): IVF-cell clustering
-    // confines the quadratic cosine scan to single cells; inside each cell
-    // any vector with a lower-id near-duplicate (cos >= 0.9) is dropped.
-    // Reports per-cell corpus and survivor counts.
-    Q("q_semdedup",
-      (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
-        graft.operators.Similarity.semDedup(emb, tau = 0.9)
-          .groupBy(col("cell"))
-          .agg(count(lit(1)).as("n_vectors"),
-            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
-      },
-      // Mirrors the IVF oracle's strided-centroid seeding + argmax-(cos,cid)
-      // assignment, then the in-cell lower-id near-dup rule.
-      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-        ids AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rn,
-                       COUNT(*) OVER () AS n FROM v),
-        cents AS (
-          SELECT DISTINCT i.vec_id AS cid, cv.e AS ce, sqrt(list_dot_product(cv.e, cv.e)) AS cn
-          FROM (SELECT unnest(range(16)) AS k) k
-          JOIN ids i ON i.rn = LEAST(k.k * GREATEST(1, i.n // 16), i.n - 1)
-          JOIN v cv ON cv.vec_id = i.vec_id),
-        assign AS (
-          SELECT vec_id, cid AS cell FROM (
-            SELECT a.vec_id, c.cid,
-              ROW_NUMBER() OVER (PARTITION BY a.vec_id
-                ORDER BY list_dot_product(a.e, c.ce) / (sqrt(list_dot_product(a.e, a.e)) * c.cn) DESC,
-                         c.cid DESC) AS r
-            FROM v a CROSS JOIN cents c) WHERE r = 1),
-        av AS (
-          SELECT a.vec_id, a.cell, v.e, sqrt(list_dot_product(v.e, v.e)) AS nn
-          FROM assign a JOIN v USING (vec_id)),
-        dropped AS (
-          SELECT DISTINCT b.vec_id
-          FROM av a JOIN av b ON a.cell = b.cell AND a.vec_id < b.vec_id
-          WHERE list_dot_product(a.e, b.e) / (a.nn * b.nn) >= 0.9)
-        SELECT av.cell, COUNT(*) AS n_vectors,
-          CAST(SUM(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-        FROM av LEFT JOIN dropped d ON av.vec_id = d.vec_id
-        GROUP BY av.cell""")),
-
-    // PII scan + redaction audit: per source, regex hit counts for emails /
-    // IPv4s / phones and the chars a redaction pass would remove. Pure
-    // codegen'd regexp over the scan — the compliance sweep every corpus
-    // release runs. (Synthetic corpus carries no PII: the zeros ARE the
-    // expected audit result, and the spec proves the patterns on real
-    // fixtures.)
-    Q("q_pii_scan",
-      (s, dir) => {
-        val d = Tables.documents(s, dir)
-        d.select(col("source"), TextOps.piiCounts(col("text")).as("c"),
-            (length(col("text")) - length(TextOps.piiRedact(col("text"))))
-              .cast("long").as("delta"))
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(col("c.emails").cast("long")).as("emails"),
-            sum(col("c.ipv4s").cast("long")).as("ipv4s"),
-            sum(col("c.phones").cast("long")).as("phones"),
-            sum(col("delta")).as("chars_removed"))
-      },
-      Some(s"""SELECT source, COUNT(*) AS n_docs,
-          CAST(SUM(len(regexp_extract_all(text, '${TextOps.EmailPattern}'))) AS BIGINT) AS emails,
-          CAST(SUM(len(regexp_extract_all(text, '${TextOps.Ipv4Pattern}'))) AS BIGINT) AS ipv4s,
-          CAST(SUM(len(regexp_extract_all(text, '${TextOps.PhonePattern}'))) AS BIGINT) AS phones,
-          CAST(SUM(len(text) - len(
-            regexp_replace(regexp_replace(regexp_replace(text,
-              '${TextOps.EmailPattern}', '<EMAIL>', 'g'),
-              '${TextOps.Ipv4Pattern}', '<IP>', 'g'),
-              '${TextOps.PhonePattern}', '<PHONE>', 'g'))) AS BIGINT) AS chars_removed
-        FROM documents GROUP BY source""")),
-
-    // Sequence packing (concat-then-chunk): per source stream, docs ordered
-    // by id form one token stream cut into 256-token training sequences;
-    // a doc belongs to the pack its first token lands in. One window over
-    // one shuffle on source; packs then aggregate per (source, pack).
-    Q("q_pack_sequences",
-      (s, dir) => {
-        val d = Tables.documents(s, dir)
-          .select(col("source"), col("doc_id"), TextOps.tokenCount(col("text")).as("toks"))
-        graft.operators.Sampling.packSequences(d, col("source"), col("doc_id"),
-            col("toks"), budget = 256)
-          .groupBy(col("source"), col("pack"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(col("toks").cast("long")).as("pack_tokens"),
-            min(col("token_offset")).as("first_offset"))
-      },
-      Some("""WITH t AS (
-          SELECT source, doc_id,
-            len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS toks
-          FROM documents),
-        o AS (
-          SELECT source, doc_id, toks,
-            CAST(COALESCE(SUM(toks) OVER (PARTITION BY source ORDER BY doc_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
-          FROM t)
-        SELECT source, off // 256 AS pack, COUNT(*) AS n_docs,
-          CAST(SUM(toks) AS BIGINT) AS pack_tokens, MIN(off) AS first_offset
-        FROM o GROUP BY source, off // 256""")),
-
-    // Composite quality filter (C4/Gopher-style rule cascade): every doc
-    // gets a verdict — first failing rule or 'kept' — and per-(source,
-    // verdict) counts audit the cut. Pure scan-speed Column expressions.
-    Q("q_quality_filter",
-      (s, dir) => {
-        val d = TextOps.withQualitySignals(Tables.documents(s, dir))
-        val verdict = when(col("n_tokens") < 30, "too_short")
-          .when(col("stopword_ratio") < 0.02, "low_stopword")
-          .when(col("mean_token_len") > 5.0, "long_tokens")
-          .otherwise("kept")
-        d.groupBy(col("source"), verdict.as("verdict"))
-          .agg(count(lit(1)).as("n_docs"),
-            dsum(col("n_tokens").cast("double")).as("tokens"))
-      },
-      Some(s"""WITH t AS (
-          SELECT source, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
-          FROM documents),
-        q AS (
-          SELECT source, len(toks) AS n_tokens,
-            CASE WHEN len(toks) > 0
-                 THEN CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','in','to','is'], x))) AS DOUBLE) / len(toks)
-                 ELSE 0.0 END AS stopword_ratio,
-            CASE WHEN len(toks) > 0
-                 THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
-                 ELSE 0.0 END AS mean_token_len
-          FROM t),
-        v AS (
-          SELECT source, n_tokens,
-            CASE WHEN n_tokens < 30 THEN 'too_short'
-                 WHEN stopword_ratio < 0.02 THEN 'low_stopword'
-                 WHEN mean_token_len > 5.0 THEN 'long_tokens'
-                 ELSE 'kept' END AS verdict
-          FROM q)
-        SELECT source, verdict, COUNT(*) AS n_docs,
-          ${dsumSql("n_tokens")} AS tokens
-        FROM v GROUP BY source, verdict""")),
-
-    // BPE merge training: the tokenizer-vocabulary induction step. Corpus
-    // touched once (distinct-word frequency table); each merge iteration
-    // aggregates pair counts over that table only. nMerges=12 is a fixed
-    // literal, so the driver loop unrolls into a 12-step chained-CTE DuckDB
-    // oracle (bpeMergeCtes) — hash-exact, no longer rows-only. Excluded
-    // from the bench sweep (12 iterations = 12 jobs).
-    Q("q_bpe_merges",
-      (s, dir) => {
-        val d = Tables.documents(s, dir)
-        val merges = TextOps.trainBpeMerges(d, col("text"), nMerges = 12)
-        import s.implicits._
-        merges.zipWithIndex
-          .map { case ((a, b), i) => (i + 1L, a, b) }
-          .toDF("rank", "lhs", "rhs")
-      },
-      Some(s"""WITH ${bpeMergeCtes(12)}
-        SELECT CAST(rank AS BIGINT) AS rank, lhs, rhs FROM merges"""),
-      bench = false),
-
-    // Tokenizer application: encode the corpus with the merges trained
-    // above; per-source sub-word token economy. The encode loop (apply the
-    // lowest-rank applicable merge until none apply) is a recursive CTE
-    // over the DISTINCT vocab: a word row recurses only while some merge's
-    // paren-wrapped pair occurs in its encoded form, so the per-word
-    // fixpoint is exactly the one non-recursing row.
-    Q("q_bpe_encode",
-      (s, dir) => {
-        val d = Tables.documents(s, dir)
-        val merges = TextOps.trainBpeMerges(d, col("text"), nMerges = 12)
-        TextOps.bpeEncode(d, col("doc_id"), col("text"), merges)
-          .join(d.select(col("doc_id"), col("source")), "doc_id")
-          .groupBy(col("source"))
-          .agg(sum(col("n_bpe_tokens")).as("bpe_tokens"),
-            count(lit(1)).as("n_docs"))
-      },
-      Some(s"""WITH RECURSIVE ${bpeMergeCtes(12)},
-        vocab AS MATERIALIZED (
-          SELECT DISTINCT unnest(list_filter(string_split(text,' '), x -> len(x) > 0)) AS w
-          FROM documents),
-        enc AS (
-          SELECT w, '(' || array_to_string(string_split(w,''), ')(') || ')' AS es FROM vocab
-          UNION ALL
-          SELECT e2.w, replace(e2.es, '('||mm.lhs||')('||mm.rhs||')', '('||mm.lhs||mm.rhs||')') AS es
-          FROM (
-            SELECT e.w, e.es,
-              (SELECT MIN(m2.rank) FROM merges m2
-                WHERE contains(e.es, '('||m2.lhs||')('||m2.rhs||')')) AS best
-            FROM enc e) e2
-          JOIN merges mm ON mm.rank = e2.best),
-        final AS (
-          SELECT w, len(string_split(substr(es, 2, len(es)-2), ')(')) AS ntok
-          FROM enc e
-          WHERE NOT EXISTS (SELECT 1 FROM merges m
-                            WHERE contains(e.es, '('||m.lhs||')('||m.rhs||')'))),
-        tok AS (
-          SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> len(x) > 0)) AS w
-          FROM documents),
-        dc AS (
-          SELECT t.doc_id, SUM(f.ntok) AS n FROM tok t JOIN final f USING (w) GROUP BY t.doc_id)
-        SELECT d.source, CAST(SUM(dc.n) AS BIGINT) AS bpe_tokens, COUNT(*) AS n_docs
-        FROM dc JOIN documents d USING (doc_id) GROUP BY d.source"""),
-      bench = false),
-
-    // Canonical text normalization (NFC + lower + control-strip + whitespace
-    // collapse): the cleaning step ahead of exact/near dedup. Counts how
-    // many raw docs collapse to each normalized form.
-    Q("q_text_normalize",
-      (s, dir) => {
-        val d = Tables.documents(s, dir)
-        d.select(col("source"), TextOps.normalize(col("text")).as("norm"))
-          .groupBy(col("source"))
-          .agg(countDistinct(col("norm")).as("n_distinct"),
-            count(lit(1)).as("n_docs"),
-            sum(length(col("norm")).cast("long")).as("total_chars"))
-      },
-      Some("""WITH n AS (
-          SELECT source,
-            trim(regexp_replace(
-              regexp_replace(lower(nfc_normalize(text)), '[\x00-\x20\x7f]', ' ', 'g'),
-              ' +', ' ', 'g'), ' ') AS norm
-          FROM documents)
-        SELECT source, COUNT(DISTINCT norm) AS n_distinct, COUNT(*) AS n_docs,
-          CAST(SUM(len(norm)) AS BIGINT) AS total_chars
-        FROM n GROUP BY source""")),
-
-    // Corpus vocabulary: top-k tokens by document frequency (stopword/vocab
-    // derivation; explode -> hash agg -> tiny top-k).
-    Q("q_top_tokens",
-      (s, dir) => {
-        val d = Tables.documents(s, dir)
-        TextOps.topTokens(d, col("text"), 20)
-      },
-      Some("""WITH t AS (
-          SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS token
-          FROM documents)
-        SELECT token, COUNT(DISTINCT doc_id) AS doc_freq, COUNT(*) AS occurrences
-        FROM t GROUP BY token ORDER BY doc_freq DESC, token ASC LIMIT 20""")),
-
-    // Gopher-style repetition quality filter: per-doc top-bigram fraction
-    // and distinct-token ratio (compiled kernel, scan speed) plus the keep
-    // verdict — summarized per language so the result is a stable small
-    // table. Division happens once on exact integer counts in both engines.
-    Q("q_repetition_filter",
-      (s, dir) => {
-        val d = Tables.documents(s, dir)
-        TextOps.repetitionFilter(d)
-          .groupBy(col("lang"))
-          .agg(
-            count(lit(1)).as("n_docs"),
-            count(when(col("keep"), 1)).as("n_kept"),
-            dsum(col("top_bigram_frac")).as("sum_tb"),
-            dsum(col("distinct_token_ratio")).as("sum_dr"))
-      },
-      Some(s"""WITH t AS (
-          SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
-          FROM documents),
-        n AS (SELECT doc_id, lang, len(toks) AS n, len(list_distinct(toks)) AS nd FROM t),
-        bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
-                 i -> toks[i] || ' ' || toks[i + 1])) AS g
-               FROM t WHERE len(toks) >= 2),
-        mx AS (SELECT doc_id, MAX(c) AS mx FROM (
-                 SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2) GROUP BY doc_id),
-        sig AS (
-          SELECT n.doc_id, n.lang,
-            CASE WHEN n.n >= 2 THEN CAST(mx.mx AS DOUBLE) / (n.n - 1) ELSE 0.0 END AS tb,
-            CASE WHEN n.n > 0 THEN CAST(n.nd AS DOUBLE) / n.n ELSE 0.0 END AS dr
-          FROM n LEFT JOIN mx USING (doc_id))
-        SELECT lang, COUNT(*) AS n_docs,
-          COUNT(CASE WHEN tb <= 0.05 AND dr >= 0.4 THEN 1 END) AS n_kept,
-          ${dsumSql("tb")} AS sum_tb,
-          ${dsumSql("dr")} AS sum_dr
-        FROM sig GROUP BY lang""")),
-
-    // Per-source document caps (domain caps): keep the first 15 docs of
-    // each source by doc_id — one window rank over a hash shuffle on the
-    // key, the standard anti-domination step in corpus mixing.
-    Q("q_source_caps",
-      (s, dir) => {
-        val d = Tables.documents(s, dir)
-        graft.operators.Sampling.capPerKey(d, col("source"), col("doc_id"), 15)
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_kept"),
-            max(col("doc_id")).as("max_kept_id"))
-      },
-      Some("""WITH r AS (
-          SELECT source, doc_id,
-                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rk
-          FROM documents)
-        SELECT source, COUNT(*) AS n_kept, MAX(doc_id) AS max_kept_id
-        FROM r WHERE rk <= 15 GROUP BY source""")),
-
-    // Corpus-wide top bigrams by document frequency (n-gram statistics for
-    // vocab/boilerplate analysis): in-row shingling, one explode + one
-    // aggregation, tiny top-k sort.
-    Q("q_bigram_topk",
-      (s, dir) => {
-        // ~200× explode amplification per doc: a 1-split scan would chain
-        // the whole explode+agg to one core — spread qualifies here
-        val d = Tables.spread(Tables.documents(s, dir))
-        d.select(explode(TextOps.shingles(col("text"), 2)).as("bigram"),
-            col("doc_id"))
-          .groupBy(col("bigram"))
-          .agg(countDistinct(col("doc_id")).as("doc_freq"),
-            count(lit(1)).as("occurrences"))
-          .orderBy(col("doc_freq").desc, col("bigram").asc)
-          .limit(20)
-      },
-      Some("""WITH t AS (
-          SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
-          FROM documents),
-        b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
-                i -> toks[i] || ' ' || toks[i + 1])) AS bigram
-              FROM t WHERE len(toks) >= 2)
-        SELECT bigram, COUNT(DISTINCT doc_id) AS doc_freq, COUNT(*) AS occurrences
-        FROM b GROUP BY bigram ORDER BY doc_freq DESC, bigram ASC LIMIT 20""")),
-
-    // Int8 scalar quantization of embeddings (the storage-compression step
-    // for vector indexes): per-label code sums + worst reconstruction error.
-    // Per-label centroids (class prototypes / IVF training step): exact
-    // decimal component sums -> order-independent, oracle-bit-equal. The
-    // shuffle carries only labels×dim partial sums, never the vectors.
-    Q("q_embedding_centroids",
-      (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
-        graft.operators.Similarity.labelCentroids(emb, col("label"), col("embedding"))
-      },
-      Some("""WITH u AS (
-          SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
-            unnest(embedding) AS x
-          FROM embeddings)
-        SELECT label, pos,
-          CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS centroid,
-          COUNT(*) AS n
-        FROM u GROUP BY label, pos""")),
-
-    Q("q_embedding_quantize",
-      (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
-        emb.select(col("label"),
-            graft.operators.Similarity.quantizeStats(col("embedding")).as("st"))
-          .groupBy(col("label"))
-          .agg(count(lit(1)).as("n_vecs"),
-            sum(col("st.qsum")).as("total_qsum"),
-            max(col("st.max_err")).as("max_err"))
-      },
-      Some("""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
-        q AS (SELECT label, list_aggregate(e, 'min') AS mn,
-                     list_aggregate(e, 'max') AS mx, e FROM v),
-        z AS (SELECT label, mn, (mx - mn) / 255.0 AS scale,
-          CASE WHEN mx = mn THEN list_transform(e, x -> CAST(0 AS BIGINT))
-               ELSE list_transform(e, x -> CAST(round((x - mn) / ((mx - mn) / 255.0)) AS BIGINT)) END AS qs,
-          e FROM q),
-        w AS (SELECT label, CAST(list_sum(qs) AS BIGINT) AS qsum,
-          list_aggregate(list_transform(range(1, len(e) + 1),
-            i -> abs(e[i] - (mn + qs[i] * scale))), 'max') AS max_err
-          FROM z)
-        SELECT label, COUNT(*) AS n_vecs, CAST(SUM(qsum) AS BIGINT) AS total_qsum,
-          MAX(max_err) AS max_err
-        FROM w GROUP BY label""")),
-
-    // Benchmark decontamination: distinct word-8-gram overlap of every doc
-    // against a held-out benchmark slice (doc_id < 25) — counts per
-    // contamination level.
-    Q("q_contamination",
-      (s, dir) => {
-        val d = Tables.documents(s, dir)
-        TextOps.contaminationCounts(
-            d.where(col("doc_id") >= 25), d.where(col("doc_id") < 25))
-          .groupBy(col("n_contaminated"))
-          .agg(count(lit(1)).as("n_docs"))
-      },
-      Some("""WITH t AS (
-          SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
-          FROM documents),
-        g AS (
-          SELECT doc_id,
-            CASE WHEN len(toks) >= 8
-                 THEN list_distinct(list_transform(range(1, len(toks) - 6),
-                   i -> CAST(('0x' || substr(md5(list_aggregate(toks[i:i+7], 'string_agg', ' ')), 1, 15)) AS BIGINT)))
-                 ELSE [] END AS grams
-          FROM t),
-        bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 25),
-        corpus AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id >= 25),
-        hits AS (
-          SELECT c.doc_id, COUNT(*) AS n
-          FROM corpus c JOIN bench b USING (gram) GROUP BY c.doc_id),
-        per_doc AS (
-          SELECT d.doc_id, COALESCE(h.n, 0) AS n_contaminated
-          FROM (SELECT doc_id FROM documents WHERE doc_id >= 25) d
-          LEFT JOIN hits h USING (doc_id))
-        SELECT CAST(n_contaminated AS BIGINT) AS n_contaminated, COUNT(*) AS n_docs
-        FROM per_doc GROUP BY 1""")),
-
-    // Deterministic stratified sampling (corpus mixing): per-source keep
-    // rates over a stable id-hash bucket — reproducible across engines,
-    // runs and cluster sizes; a scan-speed filter, no shuffle.
-    // Deterministic 90/5/5 train/val/test split (id-hash percentiles, no
-    // shuffle; the same recipe as deterministicSample so samples and splits
-    // compose consistently).
-    Q("q_train_val_test",
-      (s, dir) => {
-        val d = Tables.documents(s, dir)
-        graft.operators.Sampling.trainValTestSplit(d, col("doc_id"))
-          .groupBy(col("split"))
-          .agg(count(lit(1)).as("n_docs"),
-            dsum(length(col("text")).cast("double")).as("total_chars"))
-      },
-      Some("""WITH h AS (
-          SELECT text,
-            CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'train'
-                 WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 95 THEN 'val'
-                 ELSE 'test' END AS split
-          FROM documents)
-        SELECT split, COUNT(*) AS n_docs,
-          CAST(SUM(CAST(CAST(LENGTH(text) AS DOUBLE) AS DECIMAL(28,4))) AS DOUBLE) AS total_chars
-        FROM h GROUP BY split""")),
-
-    Q("q_stratified_sample",
-      (s, dir) => {
-        val d = Tables.documents(s, dir)
-        val rates = Map("src0" -> 50, "src1" -> 100, "src2" -> 25)
-        graft.operators.Sampling.stratifiedSample(d, col("doc_id"), col("source"), rates)
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_kept"), countDistinct(col("doc_id")).as("n_docs"))
-      },
-      Some("""WITH h AS (
-          SELECT source, doc_id,
-            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
-          FROM documents),
-        kept AS (
-          SELECT * FROM h
-          WHERE bucket < CASE source WHEN 'src0' THEN 50 WHEN 'src1' THEN 100
-                                     WHEN 'src2' THEN 25 ELSE 0 END)
-        SELECT source, COUNT(*) AS n_kept, COUNT(DISTINCT doc_id) AS n_docs
-        FROM kept GROUP BY source""")),
-
-    // Token counting: whitespace vs BPE-ish regex sub-word tokens per source.
-    Q("q_token_counts",
-      (s, dir) => {
-        val d = Tables.documents(s, dir)
-        d.groupBy(col("source"))
-          .agg(
-            sum(TextOps.tokenCount(col("text")).cast("long")).as("ws_tokens"),
-            sum(TextOps.bpeishTokenCount(col("text")).cast("long")).as("bpe_tokens"),
-            count(lit(1)).as("n_docs"))
-      },
-      Some(s"""SELECT source,
-        CAST(SUM(len(list_filter(string_split(text, ' '), x -> len(x) > 0))) AS BIGINT) AS ws_tokens,
-        CAST(SUM(len(regexp_extract_all(text, '${TextOps.BpeishPattern}'))) AS BIGINT) AS bpe_tokens,
-        COUNT(*) AS n_docs
-        FROM documents GROUP BY source""")),
-
-    // As-of join: each purchase picks up the latest at-or-before click of
-    // the same person (union + one sorted window pass — no range join).
-    // Oracle: DuckDB's native ASOF LEFT JOIN over the same pre-aggregated
-    // right side.
-    Q("q_asof_prior_click",
-      (s, dir) => {
-        val e = Tables.events(s, dir)
-        val purchases = e.where(col("event") === "purchase")
-          .select("id", "stamp", "event_id", "value")
-        val clicks = e.where(col("event") === "click")
-          .groupBy(col("id"), col("stamp").as("click_stamp"))
-          .agg(max(col("value")).as("click_value"))
-        EventOps.asofJoin(purchases, clicks, "id", "stamp", "click_stamp",
-          Seq("click_value"))
-      },
-      Some(s"""$E,
-        l AS (SELECT id, stamp, event_id, value FROM e WHERE event = 'purchase'),
-        r AS (SELECT id, stamp AS click_stamp, MAX(value) AS click_value
-              FROM e WHERE event = 'click' GROUP BY 1, 2)
-        SELECT l.id, l.stamp, l.event_id, l.value,
-          r.click_stamp AS asof_click_stamp, r.click_value AS asof_click_value
-        FROM l ASOF LEFT JOIN r ON l.id = r.id AND l.stamp >= r.click_stamp""")),
-
-    // CCNet-style line dedup (boilerplate removal): lines present in more
-    // than 390 distinct docs drop; docs reassemble in original order.
-    // The synthetic corpus has no newlines, so "lines" are the
-    // space-delimited tokens — same machinery, same oracle shape.
-    Q("q_line_dedup",
-      (s, dir) => {
-        val d = Tables.documents(s, dir)
-        TextOps.lineDedup(d, col("doc_id"), col("text"), " ", 390L)
-      },
-      Some("""WITH ls AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-        lines AS (SELECT doc_id, unnest(l) AS line,
-                         unnest(generate_series(1, len(l))) AS pos FROM ls),
-        nz AS (SELECT * FROM lines WHERE len(line) > 0),
-        freq AS (SELECT line, COUNT(DISTINCT doc_id) AS df FROM nz GROUP BY 1),
-        kept AS (SELECT n.doc_id, n.pos, n.line
-                 FROM nz n JOIN freq f ON n.line = f.line WHERE f.df <= 390),
-        agg AS (SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS text_clean,
-                       COUNT(*) AS n_kept FROM kept GROUP BY 1)
-        SELECT d.doc_id, COALESCE(a.text_clean, '') AS text_clean,
-               COALESCE(a.n_kept, 0) AS n_kept
-        FROM documents d LEFT JOIN agg a USING (doc_id)""")),
-
-    // Unigram LM (perplexity-proxy) quality filter: bits/token under corpus
-    // unigram frequencies; keep <= 4.95 (rare-token-heavy docs score high).
-    Q("q_unigram_bits",
-      (s, dir) => {
-        val d = Tables.documents(s, dir)
-        TextOps.unigramBits(d, col("doc_id"), col("text"), keepMaxBits = 4.95)
-      },
-      Some("""WITH toks AS (SELECT doc_id,
-            unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
-          FROM documents),
-        cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1),
-        tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM cnt),
-        b AS (SELECT doc_id, round(-log2(cnt.c / tot.t), 4) AS bits
-              FROM toks, cnt, tot WHERE toks.tok = cnt.tok)
-        SELECT doc_id, COUNT(*) AS n_tokens,
-          CAST(SUM(CAST(bits AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS bits_per_token,
-          (CAST(SUM(CAST(bits AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*)) <= 4.95 AS keep
-        FROM b GROUP BY 1""")),
-
-    // CCNet head/middle/tail: NTILE terciles of the unigram-LM
-    // bits-per-token ranking (rank-based cut — no float-interpolated
-    // percentile at any boundary). Global rank via distributed sort +
-    // zipWithIndex, never a one-partition window.
-    Q("q_perplexity_buckets",
-      (s, dir) => {
-        val d = Tables.documents(s, dir)
-        graft.operators.TextOps.perplexityBuckets(d, col("doc_id"), col("text"))
-          .groupBy(col("bucket"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(col("n_tokens")).as("total_tokens"),
-            min(col("bits_per_token")).as("min_bits"),
-            max(col("bits_per_token")).as("max_bits"))
-      },
-      Some("""WITH toks AS (SELECT doc_id,
-            unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
-          FROM documents),
-        cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1),
-        tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM cnt),
-        b AS (SELECT doc_id, round(-log2(cnt.c / tot.t), 4) AS bits
-              FROM toks, cnt, tot WHERE toks.tok = cnt.tok),
-        bdoc AS (SELECT doc_id, COUNT(*) AS n_tokens,
-            CAST(SUM(CAST(bits AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS bits_per_token
-          FROM b GROUP BY 1),
-        nt AS (SELECT doc_id, n_tokens, bits_per_token,
-            NTILE(3) OVER (ORDER BY bits_per_token ASC, doc_id ASC) AS bucket
-          FROM bdoc)
-        SELECT CAST(bucket AS INT) AS bucket, COUNT(*) AS n_docs,
-          CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-          MIN(bits_per_token) AS min_bits, MAX(bits_per_token) AS max_bits
-        FROM nt GROUP BY bucket""")),
-
-    // One-pass column profiling over the corpus table: non-null count,
-    // exact distinct, min/max per column — the data-quality gate.
-    Q("q_profile_documents",
-      (s, dir) => {
-        val d = Tables.documents(s, dir)
-        graft.operators.Profiling.profile(d,
-          Seq("doc_id", "lang", "source", "n_chars"))
-      },
-      Some(Seq("doc_id", "lang", "source", "n_chars").map { c =>
-        s"""SELECT '$c' AS "column", COUNT($c) AS n_nonnull,
-           COUNT(DISTINCT $c) AS n_distinct,
-           CAST(MIN($c) AS VARCHAR) AS min_value,
-           CAST(MAX($c) AS VARCHAR) AS max_value FROM documents"""
-      }.mkString(" UNION ALL "))),
-
-    // Temperature-based rebalancing (alpha = 0.5) over the skewed lang
-    // distribution: each language keeps sqrt(n_min/n_lang) of its docs,
-    // decided by the portable id-hash bucket — dominant langs shed rows.
-    Q("q_temperature_mix",
-      (s, dir) => {
-        val d = Tables.documents(s, dir)
-        graft.operators.Sampling.temperatureMix(d, col("doc_id"), col("lang"), 0.5)
-          .groupBy(col("lang"))
-          .agg(count(lit(1)).as("n_kept"),
-            round(max(col("keep_frac")), 4).as("keep_frac"))
-      },
-      Some("""WITH c AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n FROM documents GROUP BY 1),
-        w AS (SELECT lang, pow(n, -0.5) AS w FROM c),
-        m AS (SELECT MAX(w) AS mw FROM w),
-        r AS (SELECT lang, w / mw AS keep_frac FROM w, m),
-        kept AS (SELECT d.lang, r.keep_frac FROM documents d JOIN r USING (lang)
-          WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
-                < keep_frac * 100)
-        SELECT lang, COUNT(*) AS n_kept, round(MAX(keep_frac), 4) AS keep_frac
-        FROM kept GROUP BY 1""")),
-
-    // DSIR-style importance weights: hashed-unigram log-likelihood ratio of
-    // target (lang='en') vs background, per-token log2 rounded to 4
-    // decimals and decimal-summed (the unigram_bits exactness recipe).
-    // Top-20 docs the resampler would favor.
-    Q("q_dsir_weights",
-      (s, dir) => {
-        val d = Tables.documents(s, dir)
-        graft.operators.Sampling.dsirWeights(
-            d, col("doc_id"), col("text"), col("lang") === "en")
-          .orderBy(col("weight").desc, col("doc_id").asc)
-          .limit(20)
-      },
-      Some("""WITH toks AS (
-          SELECT doc_id, lang = 'en' AS t,
-            unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
-          FROM documents),
-        tb AS (
-          SELECT doc_id, t,
-            ('0x' || substr(md5(tok), 1, 6))::BIGINT % 4096 AS b
-          FROM toks),
-        model AS (
-          SELECT b,
-            SUM(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
-            SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS cb
-          FROM tb GROUP BY b),
-        tot AS (SELECT SUM(ct) AS tt, SUM(cb) AS tb2 FROM model),
-        lr AS (
-          SELECT b, round(log2(
-            ((ct + 1) / CAST(tt + 4096 AS DOUBLE)) /
-            ((cb + 1) / CAST(tb2 + 4096 AS DOUBLE))), 4) AS lrv
-          FROM model, tot),
-        scored AS (
-          SELECT tb.doc_id, COUNT(*) AS n_tokens,
-            CAST(SUM(CAST(lrv AS DECIMAL(28,4))) AS DOUBLE) AS weight
-          FROM tb JOIN lr USING (b) GROUP BY tb.doc_id)
-        SELECT doc_id, n_tokens, weight FROM scored
-        ORDER BY weight DESC, doc_id ASC LIMIT 20""")),
-
-    // foreach-mode histogram (`each_value` iteration over a property's
-    // distinct values, src/oloop_histogram.cpp:232-330) compiled as ONE
-    // grouped plan: a single groupByKey(id) pass binds each_value per
-    // customer in memory, then one aggregation buckets every value's
-    // per-person returns — not |values| sequential driver-looped queries.
-    Q("q_histogram_foreach",
-      (s, dir) => {
-        val e = Tables.events(s, dir)
-        val values = e.select(col("event")).distinct().limit(256)
-          .collect().map(_.get(0)).filter(_ != null)
-        val script = "n = count(id) where event == each_value\nreturn(n)\n"
-        graft.osl.OslEngine.histogramForeach(
-            e, script, scala.collection.immutable.ArraySeq.unsafeWrapArray(values),
-            now = OslNow)
-          .groupBy(col("each_value"),
-            (floor(col("value") / 5) * 5).cast("double").as("bucket"))
-          .agg(countDistinct(col("id")).as("customers"))
-      },
-      Some(s"""$E, vals AS (SELECT DISTINCT event AS v FROM e WHERE event IS NOT NULL),
-        persons AS (SELECT DISTINCT id FROM e),
-        counts AS (SELECT id, event AS v, COUNT(*) AS cnt FROM e GROUP BY 1, 2),
-        per AS (
-          SELECT vals.v, p.id, COALESCE(c.cnt, 0) AS cnt
-          FROM vals CROSS JOIN persons p
-          LEFT JOIN counts c ON c.id = p.id AND c.v = vals.v)
-        SELECT v AS each_value, CAST(FLOOR(cnt / 5.0) * 5 AS DOUBLE) AS bucket,
-          COUNT(DISTINCT id) AS customers
-        FROM per GROUP BY 1, 2""")),
-
-    // Deterministic Lloyd's k-means (k=4, 2 iterations) over the embedding
-    // corpus: seeded from the 4 lowest vec_ids, cosine assignment with
-    // position-order sums (IEEE ≡ list_dot_product), DECIMAL(18,6) centroid
-    // means — the oracle unrolls the same two iterations and lands on
-    // bit-identical centroids. Oracle caveat: a MID-LOOP empty cluster
-    // keeps its previous centroid in the operator, while the unrolled SQL's
-    // GROUP BY drops it — parity holds because no cluster empties on this
-    // data (k lowest-id seeds over a dense corpus); a k far above the
-    // natural cluster count could diverge on that edge.
-    Q("q_kmeans_clusters",
-      (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
-        graft.operators.Similarity.kmeansCentroids(emb, 4, 2)
-      },
-      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-        init AS (
-          SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS cid, e AS ce
-          FROM (SELECT vec_id, e FROM v ORDER BY vec_id ASC LIMIT 4)),
-        s1 AS (
-          SELECT v.vec_id, i.cid,
-            list_dot_product(v.e, i.ce) /
-              (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(i.ce, i.ce))) AS cos
-          FROM v CROSS JOIN init i),
-        a1 AS (
-          SELECT vec_id, cid FROM (
-            SELECT vec_id, cid,
-              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
-            FROM s1) WHERE rn = 1),
-        u1 AS (
-          SELECT a1.cid, generate_subscripts(v.e, 1) - 1 AS pos, unnest(v.e) AS x
-          FROM a1 JOIN v USING (vec_id)),
-        c1 AS (
-          SELECT cid, pos,
-            CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS c
-          FROM u1 GROUP BY cid, pos),
-        ce1 AS (SELECT cid, list(c ORDER BY pos ASC) AS ce FROM c1 GROUP BY cid),
-        s2 AS (
-          SELECT v.vec_id, ce1.cid,
-            list_dot_product(v.e, ce1.ce) /
-              (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(ce1.ce, ce1.ce))) AS cos
-          FROM v CROSS JOIN ce1),
-        a2 AS (
-          SELECT vec_id, cid FROM (
-            SELECT vec_id, cid,
-              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
-            FROM s2) WHERE rn = 1),
-        u2 AS (
-          SELECT a2.cid, generate_subscripts(v.e, 1) - 1 AS pos, unnest(v.e) AS x
-          FROM a2 JOIN v USING (vec_id))
-        SELECT cid AS cluster, pos,
-          CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS centroid,
-          COUNT(*) AS n
-        FROM u2 GROUP BY cid, pos""")),
-
-    // Bloom-filter pre-filtered semi-join: lineitems of urgent orders. The
-    // Bloom stage drops non-members at scan speed before any shuffle; the
-    // exact verify join removes false positives, so the result is EXACTLY
-    // the plain semi-join the oracle computes.
-    Q("q_bloom_semijoin",
-      (s, dir) => {
-        val li = Tables.lineitem(s, dir)
-        val urgent = Tables.orders(s, dir)
-          .where(col("o_orderpriority") === "1-URGENT")
-        graft.operators.BloomOps.bloomSemiJoin(
-            li, col("l_orderkey"), urgent, col("o_orderkey"))
-          .groupBy(col("l_returnflag"))
-          .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
-      },
-      Some(s"""SELECT l_returnflag, COUNT(*) AS n_items,
-          ${dsumSql("l_quantity")} AS sum_qty
-        FROM lineitem
-        WHERE l_orderkey IN (
-          SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
-        GROUP BY l_returnflag""")),
-
-    // Bloom pre-filtered DECONTAMINATION (anti-join): drop corpus docs whose
-    // content fingerprint appears in the benchmark set. The filter splits
-    // the corpus at scan speed — definite non-members bypass the join
-    // entirely; only possible members pay the exact anti-join (a false
-    // positive must never drop a clean row).
-    Q("q_bloom_decontaminate",
-      (s, dir) => {
-        val d = Tables.documents(s, dir)
-        val bench = d.where(col("doc_id") % 7 === 0)
-          .select(md5(col("text")).as("fp"))
-        graft.operators.BloomOps.bloomAntiJoin(
-            d.withColumn("fp", md5(col("text"))), col("fp"), bench, col("fp"))
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
-      },
-      Some("""SELECT source, COUNT(*) AS n_kept,
-          CAST(SUM(n_chars) AS BIGINT) AS chars_kept
-        FROM documents
-        WHERE md5(text) NOT IN (
-          SELECT md5(text) FROM documents WHERE doc_id % 7 = 0)
-        GROUP BY source""")),
-
-    // Corpus-mix drift monitoring: KL divergence (bits) of each source's
-    // hashed-unigram distribution from the whole corpus — per-bucket terms
-    // round to 4 decimals and decimal-sum (the dsir/unigram_bits exactness
-    // recipe), so the oracle lands on identical bits.
-    Q("q_source_drift",
-      (s, dir) => {
-        val d = Tables.documents(s, dir)
-        graft.operators.Sampling.groupDriftKL(d, col("source"), col("text"))
-          .withColumnRenamed("group", "source")
-      },
-      Some("""WITH toks AS (
-          SELECT source AS grp,
-            unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
-          FROM documents),
-        tb AS (SELECT grp,
-            ('0x' || substr(md5(tok), 1, 6))::BIGINT % 4096 AS b
-          FROM toks),
-        gb AS (SELECT grp, b, COUNT(*) AS c_gb FROM tb GROUP BY 1, 2),
-        cbh AS (SELECT b, SUM(c_gb) AS c_b FROM gb GROUP BY 1),
-        cb AS (SELECT r.range AS b, COALESCE(cbh.c_b, 0) AS c_b
-          FROM range(4096) r LEFT JOIN cbh ON cbh.b = r.range),
-        ng AS (SELECT grp, SUM(c_gb) AS n_g FROM gb GROUP BY 1),
-        nt AS (SELECT SUM(c_b) AS n FROM cbh),
-        fl AS (SELECT ng.grp, ng.n_g, cb.b, cb.c_b, nt.n,
-            COALESCE(gb.c_gb, 0) AS c_gb
-          FROM ng CROSS JOIN cb CROSS JOIN nt
-          LEFT JOIN gb ON gb.grp = ng.grp AND gb.b = cb.b),
-        terms AS (SELECT grp, n_g,
-            round(((c_gb + 1) / CAST(n_g + 4096 AS DOUBLE)) *
-              log2(((c_gb + 1) / CAST(n_g + 4096 AS DOUBLE)) /
-                   ((c_b + 1) / CAST(n + 4096 AS DOUBLE))), 8) AS t
-          FROM fl)
-        SELECT grp AS source, CAST(MAX(n_g) AS BIGINT) AS n_tokens,
-          CAST(SUM(CAST(t AS DECIMAL(28,8))) AS DOUBLE) AS kl_bits
-        FROM terms GROUP BY grp""")),
-
-    // Real image RESIZE: synthesized PNGs decoded and nearest-neighbor
-    // downsampled to 8×8 inside mapPartitions; the exact per-channel pixel
-    // sums of the resized raster are recomputed arithmetically by the
-    // oracle from the synthesis formula (PNG is lossless, the NN mapping is
-    // integer floor — every byte is a closed form of the parameters).
-    Q("q_image_resize",
-      (s, dir) => {
-        val m = graft.operators.Multimodal
-        val d = Tables.spread(Tables.documents(s, dir)
-            .select(col("doc_id").as("asset_id"), col("n_chars")))
-          .select(col("asset_id"),
-            m.pngColumn(col("asset_id"),
-              (lit(1) + col("asset_id") % 48).cast("int"),
-              (lit(1) + col("n_chars") % 32).cast("int")).as("asset"))
-        m.resizeImage(d, 8, 8)
-          .where(col("decoded"))
-          .select(col("asset_id"), col("sum_r"), col("sum_g"), col("sum_b"))
-      },
-      Some("""WITH d AS (
-          SELECT doc_id AS asset_id, 1 + (doc_id % 48) AS w, 1 + (n_chars % 32) AS h
-          FROM documents),
-        g AS (SELECT gx.range AS x, gy.range AS y
-          FROM range(8) gx CROSS JOIN range(8) gy),
-        px AS (SELECT d.asset_id,
-            ((d.asset_id * 2654435761 + ((g.x * d.w) // 8) * 31
-              + ((g.y * d.h) // 8) * 17) & 16777215) AS rgb
-          FROM d CROSS JOIN g)
-        SELECT asset_id,
-          CAST(SUM((rgb >> 16) & 255) AS BIGINT) AS sum_r,
-          CAST(SUM((rgb >> 8) & 255) AS BIGINT) AS sum_g,
-          CAST(SUM(rgb & 255) AS BIGINT) AS sum_b
-        FROM px GROUP BY asset_id""")),
-
-    // Real FRAME SAMPLING: synthesized multi-image GIFs (one shrinking
-    // grayscale frame per index) opened with the JDK's ImageReader, every
-    // 2nd frame decoded; per-frame dimensions and frame counts are closed
-    // forms of the synthesis parameters.
-    Q("q_video_frames",
-      (s, dir) => {
-        val m = graft.operators.Multimodal
-        val d = Tables.spread(Tables.documents(s, dir)
-            .select(col("doc_id").as("asset_id")))
-          .select(col("asset_id"),
-            m.gifColumn(col("asset_id"),
-              (lit(4) + col("asset_id") % 16).cast("int"),
-              (lit(3) + col("asset_id") % 12).cast("int"),
-              (lit(1) + col("asset_id") % 7).cast("int")).as("asset"))
-        m.sampleFrames(d, 2)
-      },
-      Some("""WITH d AS (
-          SELECT doc_id AS asset_id, 4 + (doc_id % 16) AS w,
-            3 + (doc_id % 12) AS h, 1 + (doc_id % 7) AS n
-          FROM documents),
-        f AS (SELECT d.asset_id, d.w, d.h, d.n, r.range AS fi
-          FROM d CROSS JOIN range(7) r
-          WHERE r.range < d.n AND r.range % 2 = 0)
-        SELECT asset_id, CAST(fi AS INT) AS frame_idx,
-          CAST(GREATEST(1, w - fi) AS INT) AS width,
-          CAST(GREATEST(1, h - fi) AS INT) AS height,
-          CAST(n AS INT) AS n_frames, TRUE AS decoded
-        FROM f""")),
-
-    // Corpus-governance overlap matrix: pairwise source-level shingle
-    // Jaccard over 60-bit hash postings (text never shuffles). Top-10
-    // most-overlapping source pairs.
-    Q("q_source_overlap",
-      (s, dir) => {
-        val d = Tables.documents(s, dir)
-        graft.operators.Dedup.sourceShingleOverlap(d, col("source"), col("text"))
-          .orderBy(col("jaccard").desc, col("source_a").asc, col("source_b").asc)
-          .limit(10)
-      },
-      Some("""WITH post AS (
-          SELECT DISTINCT source AS src,
-            ('0x' || substr(md5(g), 1, 15))::BIGINT % 2147483647 AS h
-          FROM (
-            SELECT source, unnest(list_distinct(sh)) AS g FROM (
-              SELECT source, list_transform(
-                range(1, len(toks) - 1),
-                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
-              FROM (SELECT source,
-                list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
-                FROM documents)))),
-        sizes AS (SELECT src, COUNT(*) AS n FROM post GROUP BY 1),
-        pairs AS (
-          SELECT a.src AS source_a, b.src AS source_b, COUNT(*) AS common
-          FROM post a JOIN post b ON a.h = b.h AND a.src < b.src
-          GROUP BY 1, 2)
-        SELECT source_a, source_b,
-          CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
-          common,
-          round(common / CAST(sa.n + sb.n - common AS DOUBLE), 6) AS jaccard
-        FROM pairs
-        JOIN sizes sa ON sa.src = source_a
-        JOIN sizes sb ON sb.src = source_b
-        ORDER BY jaccard DESC, source_a ASC, source_b ASC LIMIT 10""")),
-
-    // Bounded-heap top-k per key: the aggregator's partial buffer caps at k,
-    // so map-side combine ships keys×k entries through the shuffle where the
-    // window-rank form sorts each key's whole history on one reducer.
-    // Oracle = that window-rank form (identical deterministic ordering).
-    Q("q_topk_agg",
-      (s, dir) => {
-        val li = Tables.lineitem(s, dir)
-        val f = graft.functions.TopK.topK(3)
-        li.groupBy(col("l_returnflag"))
-          .agg(f(col("l_extendedprice"), col("l_orderkey")).as("top"))
-          .select(col("l_returnflag"), posexplode(col("top")).as(Seq("i", "e")))
-          .select(col("l_returnflag"), (col("i") + 1).cast("int").as("rank"),
-            col("e.ord").as("l_extendedprice"), col("e.payload").as("l_orderkey"))
-      },
-      Some("""SELECT l_returnflag, CAST(rank AS INT) AS rank,
-          l_extendedprice, l_orderkey
-        FROM (
-          SELECT l_returnflag, l_extendedprice, l_orderkey,
-            ROW_NUMBER() OVER (PARTITION BY l_returnflag
-              ORDER BY l_extendedprice DESC, l_orderkey ASC) AS rank
-          FROM lineitem)
-        WHERE rank <= 3""")),
-
-    // Outlier-robust value stats: clip each event type's values at the
-    // discrete p05/p95 (rank-based — engine-portable bounds), then the
-    // winsorized mean through the DECIMAL path. One sort window + one agg.
-    Q("q_value_winsorized",
-      (s, dir) => {
-        val e = Tables.events(s, dir)
-        graft.operators.EventOps.winsorizedStats(
-          e, col("event"), col("value"), 0.05, 0.95, keyAlias = "event")
-      },
-      Some(s"""$E, r AS (
-          SELECT event, value,
-            ROW_NUMBER() OVER (PARTITION BY event ORDER BY value) AS rn,
-            COUNT(*) OVER (PARTITION BY event) AS n
-          FROM e WHERE value IS NOT NULL),
-        b AS (
-          SELECT event, value,
-            MIN(CASE WHEN rn >= CEIL(0.05 * n) THEN value END) OVER (PARTITION BY event) AS lo,
-            MIN(CASE WHEN rn >= CEIL(0.95 * n) THEN value END) OVER (PARTITION BY event) AS hi
-          FROM r)
-        SELECT event, COUNT(*) AS n_rows, MIN(lo) AS lo, MIN(hi) AS hi,
-          CAST(SUM(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
-          ${dsumSql("LEAST(GREATEST(value, lo), hi)")} / COUNT(*) AS mean_winsorized
-        FROM b GROUP BY event""")),
-
-    // Skew-safe exact distinct: the events table is the skewed shape (5 hot
-    // event types over 32 cores) — salting splits each key 16 ways by user
-    // hash, so per-cell distincts are disjoint and their sum is exact while
-    // no reducer sees a whole hot key. Oracle = plain COUNT(DISTINCT).
-    Q("q_skew_distinct",
-      (s, dir) => {
-        val e = Tables.events(s, dir)
-        graft.operators.EventOps.saltedDistinctCount(
-          e, col("event"), col("id"), salts = 16,
-          keyAlias = "event", alias = "n_users")
-      },
-      Some(s"""$E SELECT event, COUNT(DISTINCT id) AS n_users
-        FROM e GROUP BY event""")),
-
-    // Round-7 Tier A widening: an IF-GUARDED accumulator (purchases-so-far
-    // counter bumped only on purchase rows, read as every visited row's
-    // tally key) compiles to a conditional running-sum window on the single
-    // person sort — no interpreter. Oracle = the same inclusive conditional
-    // running count in SQL.
-    Q("q_osl_guarded_accum",
-      (s, dir) => {
-        val script =
-          """select
-            |  count id as customers
-            |  count event as n_rows
-            |end
-            |n = 0
-            |each_row where stamp.is(> 0)
-            |  if event.is(== 'purchase')
-            |    n = n + 1
-            |  end
-            |  << n, event
-            |end
-            |""".stripMargin
-        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
-          .select(col("depth"), col("g1"), col("g2"),
-            col("customers"), col("n_rows"))
-      },
-      Some(s"""$E, p AS (
-          SELECT id, event,
-            SUM(CASE WHEN event = 'purchase' THEN 1 ELSE 0 END)
-              OVER (PARTITION BY id ORDER BY stamp
-                    ROWS UNBOUNDED PRECEDING) AS n
-          FROM e WHERE stamp > 0)
-        SELECT CAST(2 AS INTEGER) AS depth, CAST(n AS VARCHAR) AS g1,
-          event AS g2, COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows
-        FROM p GROUP BY g1, g2
-        UNION ALL
-        SELECT CAST(1 AS INTEGER), CAST(n AS VARCHAR), CAST(NULL AS VARCHAR),
-          COUNT(DISTINCT id), COUNT(*)
-        FROM p GROUP BY CAST(n AS VARCHAR)""")),
-
-    // Round-8 Tier A widening: an accumulator READ inside an ever-test
-    // OPERAND (`value.ever(> n * 50)` — "does this person's history ever
-    // exceed 50× the rows seen so far") compiles to a scanned-prop MAX
-    // window on the person partition compared at the visiting row, instead
-    // of interpreting. Oracle = the same row_number × person-max compare.
-    Q("q_osl_ever_read",
-      (s, dir) => {
-        val script =
-          """select
-            |  count id as customers
-            |  count event as n_rows
-            |end
-            |n = 0
-            |each_row where stamp.is(> 0)
-            |  n += 1
-            |  if value.ever(> n * 50)
-            |    << 'big_history', event
-            |  end
-            |  << 'all', event
-            |end
-            |""".stripMargin
-        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
-          .select(col("depth"), col("g1"), col("g2"),
-            col("customers"), col("n_rows"))
-      },
-      Some(s"""$E, p AS (
-          SELECT id, event,
-            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS n,
-            MAX(value) OVER (PARTITION BY id) AS mx
-          FROM e WHERE stamp > 0)
-        SELECT CAST(2 AS INTEGER) AS depth, 'big_history' AS g1, event AS g2,
-          COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows
-        FROM p WHERE mx > 50 * n GROUP BY event HAVING COUNT(*) > 0
-        UNION ALL
-        SELECT CAST(1 AS INTEGER), 'big_history', CAST(NULL AS VARCHAR),
-          COUNT(DISTINCT id), COUNT(*)
-        FROM p WHERE mx > 50 * n HAVING COUNT(*) > 0
-        UNION ALL
-        SELECT CAST(2 AS INTEGER), 'all', event,
-          COUNT(DISTINCT id), COUNT(*)
-        FROM p GROUP BY event
-        UNION ALL
-        SELECT CAST(1 AS INTEGER), 'all', CAST(NULL AS VARCHAR),
-          COUNT(DISTINCT id), COUNT(*)
-        FROM p"""))
-  ,
-
-    // Round-8 Tier A widening: an accumulator on a CHAIN — the increment
-    // leads the top body, the read sits in the inner step's tally, so each
-    // purchase tallies once per preceding signup under that signup's
-    // ordinal ("which signup # funneled this purchase"). Compiled as a
-    // spawn-value array (collect over the preceding window) exploded into
-    // per-(row, distinct spawn value) tally entries — no interpreter.
-    // Oracle = the signup-ordinal × later-purchase join.
-    Q("q_osl_chain_accum",
-      (s, dir) => {
-        val script =
-          """select
-            |  count id as customers
-            |  count event as n_rows
-            |end
-            |n = 0
-            |each_row where event.is(== 'signup')
-            |  n += 1
-            |  each_row.continue().next() where event.is(== 'purchase')
-            |    << n, event
-            |  end
-            |end
-            |""".stripMargin
-        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
-          .select(col("depth"), col("g1"), col("g2"),
-            col("customers"), col("n_rows"))
-      },
-      Some(s"""$E, su AS (
-          SELECT id, stamp,
-            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
-          FROM e WHERE event = 'signup'),
-        pairs AS (
-          SELECT p.id, p.stamp, su.i
-          FROM e p JOIN su ON su.id = p.id AND su.stamp < p.stamp
-          WHERE p.event = 'purchase')
-        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
-          'purchase' AS g2, COUNT(DISTINCT id) AS customers,
-          COUNT(*) AS n_rows
-        FROM pairs GROUP BY i
-        UNION ALL
-        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
-          COUNT(DISTINCT id), COUNT(*)
-        FROM pairs GROUP BY i""")),
-
-    // Round-11 Tier A widening: a REVERSE chain top with a FLOATING-POINT
-    // accumulator — spend folds BACKWARD over signups (the interpreter
-    // scans the person's rows descending; increments lead the body), and
-    // each later purchase tallies under the spawning signup's
-    // backward-running spend bucket. Compiled: the chain-witness
-    // accumulator runs as a running sum over a __rn-DESC running frame —
-    // Spark streams it in exactly the interpreter's backward fold order,
-    // so the doubles are bit-identical (never an unbounded-FOLLOWING
-    // frame, which re-aggregates ascending: different association and
-    // O(rows²) per person). Inner scans still walk forward under a
-    // reverse top. A purchase reached by several signups with the SAME
-    // bucket tallies once (per-(row, node) dedup) — the oracle's
-    // DISTINCT. Reference: reverse scan src/queryinterpreter.cpp
-    // (iter walks indices down) + continue().next() forward semantics.
-    Q("q_osl_reverse_chain_accum",
-      (s, dir) => {
-        val script =
-          """select
-            |  count id as customers
-            |  count event as n_rows
-            |end
-            |spend = 0
-            |each_row.reverse() where event.is(== 'signup')
-            |  spend = spend + value
-            |  each_row.continue().next() where event.is(== 'purchase')
-            |    << bucket(spend, 200), event
-            |  end
-            |end
-            |""".stripMargin
-        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
-          .select(col("depth"), col("g1"), col("g2"),
-            col("customers"), col("n_rows"))
-      },
-      Some(s"""$E, su AS (
-          SELECT id, stamp,
-            SUM(COALESCE(value, 0)) OVER (PARTITION BY id ORDER BY stamp DESC
-                  ROWS UNBOUNDED PRECEDING) AS spend
-          FROM e WHERE event = 'signup'),
-        pairs AS (
-          SELECT DISTINCT p.id, p.stamp,
-            CAST(CAST(FLOOR(b.spend / 200) * 200 AS BIGINT) AS VARCHAR) AS g1
-          FROM e p JOIN su b ON b.id = p.id AND b.stamp < p.stamp
-          WHERE p.event = 'purchase')
-        SELECT CAST(2 AS INTEGER) AS depth, g1, 'purchase' AS g2,
-          COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows
-        FROM pairs GROUP BY g1
-        UNION ALL
-        SELECT CAST(1 AS INTEGER), g1, CAST(NULL AS VARCHAR),
-          COUNT(DISTINCT id), COUNT(*)
-        FROM pairs GROUP BY g1""")),
-
-    // Late round 8: the FRAMED + LIMITED chain-accumulator shape — each
-    // purchase within 24 h of a signup, while that signup's scan has made
-    // at most 2 purchase-matches, tallied under the signup's ordinal.
-    // Compiled per-spawn: the collected tuples carry the spawn stamp and
-    // its cumulative purchase count, checked in-row. Oracle: running
-    // purchase count difference reproduces the per-spawn match-count cap.
-    Q("q_osl_chain_accum_framed",
-      (s, dir) => {
-        val script =
-          """select
-            |  count id as customers
-            |  count event as n_rows
-            |end
-            |n = 0
-            |each_row where event.is(== 'signup')
-            |  n += 1
-            |  each_row.continue().next().look_ahead(24_hours).limit(2) where event.is(== 'purchase')
-            |    << n, event
-            |  end
-            |end
-            |""".stripMargin
-        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
-          .select(col("depth"), col("g1"), col("g2"),
-            col("customers"), col("n_rows"))
-      },
-      Some(s"""$E, ec AS (
-          SELECT id, stamp, event,
-            SUM(CASE WHEN event = 'purchase' THEN 1 ELSE 0 END)
-              OVER (PARTITION BY id ORDER BY stamp
-                    ROWS UNBOUNDED PRECEDING) AS pc
-          FROM e),
-        su AS (
-          SELECT id, stamp, pc,
-            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
-          FROM ec WHERE event = 'signup'),
-        pairs AS (
-          SELECT p.id, p.stamp, su.i
-          FROM ec p JOIN su ON su.id = p.id AND su.stamp < p.stamp
-            AND p.stamp - su.stamp <= 86400000
-            AND p.pc - su.pc <= 2
-          WHERE p.event = 'purchase')
-        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
-          'purchase' AS g2, COUNT(DISTINCT id) AS customers,
-          COUNT(*) AS n_rows
-        FROM pairs GROUP BY i
-        UNION ALL
-        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
-          COUNT(DISTINCT id), COUNT(*)
-        FROM pairs GROUP BY i""")),
-
-    // Round-8 Tier A widening: a NON-LITERAL accumulator — running spend
-    // (`spend = spend + value` under a purchase guard), read as a bucketed
-    // tally key. Compiles to a conditional double running-sum window whose
-    // add sequence is exactly the interpreter's fold. Oracle: the same
-    // cumulative conditional sum (both engines stream the default
-    // cumulative frame sequentially in (stamp) order, so the double sums
-    // agree bit-for-bit; the hash gate would catch an engine that didn't).
-    Q("q_osl_prop_accum",
-      (s, dir) => {
-        val script =
-          """select
-            |  count id as customers
-            |  count event as n_rows
-            |end
-            |spend = 0
-            |each_row where stamp.is(> 0)
-            |  if event.is(== 'purchase')
-            |    spend = spend + value
-            |  end
-            |  << bucket(spend, 200), event
-            |end
-            |""".stripMargin
-        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
-          .select(col("depth"), col("g1"), col("g2"),
-            col("customers"), col("n_rows"))
-      },
-      Some(s"""$E, p AS (
-          SELECT id, event,
-            SUM(CASE WHEN event = 'purchase' THEN value ELSE 0 END)
-              OVER (PARTITION BY id ORDER BY stamp
-                    ROWS UNBOUNDED PRECEDING) AS spend
-          FROM e WHERE stamp > 0),
-        k AS (
-          SELECT id, event,
-            CAST(CAST(FLOOR(spend / 200) * 200 AS BIGINT) AS VARCHAR) AS g1
-          FROM p)
-        SELECT CAST(2 AS INTEGER) AS depth, g1, event AS g2,
-          COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows
-        FROM k GROUP BY g1, event
-        UNION ALL
-        SELECT CAST(1 AS INTEGER), g1, CAST(NULL AS VARCHAR),
-          COUNT(DISTINCT id), COUNT(*)
-        FROM k GROUP BY g1"""))
-  ,
-
-    // Round-10 Tier A widening: the REVERSE twin of q_osl_prop_accum — a
-    // floating-point accumulator under a `.reverse()` top. The interpreter
-    // folds the per-visit adds in DESCENDING row order; Tier A compiles it
-    // as a running sum over a DESC running frame (ordered by the forward
-    // sort's own row_number, mirrored), which Spark — like DuckDB's
-    // `ORDER BY stamp DESC ROWS UNBOUNDED PRECEDING` here — streams
-    // sequentially in exactly that backward order, so the doubles are
-    // bit-identical across all three engines. Reference: reverse scan
-    // semantics src/queryinterpreter.cpp (iter walks indices down).
-    // Tie caveat (shared with the forward twin): both the engine's person
-    // sort and this oracle order by stamp alone, so bit-exactness across
-    // engines assumes (id, stamp)-unique data — pinned by VerifySpec's
-    // uniqueness guard over the driver testdata.
-    Q("q_osl_reverse_accum",
-      (s, dir) => {
-        val script =
-          """select
-            |  count id as customers
-            |  count event as n_rows
-            |end
-            |spend = 0
-            |each_row.reverse() where stamp.is(> 0)
-            |  if event.is(== 'purchase')
-            |    spend = spend + value
-            |  end
-            |  << bucket(spend, 200), event
-            |end
-            |""".stripMargin
-        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
-          .select(col("depth"), col("g1"), col("g2"),
-            col("customers"), col("n_rows"))
-      },
-      Some(s"""$E, p AS (
-          SELECT id, event,
-            SUM(CASE WHEN event = 'purchase' THEN value ELSE 0 END)
-              OVER (PARTITION BY id ORDER BY stamp DESC
-                    ROWS UNBOUNDED PRECEDING) AS spend
-          FROM e WHERE stamp > 0),
-        k AS (
-          SELECT id, event,
-            CAST(CAST(FLOOR(spend / 200) * 200 AS BIGINT) AS VARCHAR) AS g1
-          FROM p)
-        SELECT CAST(2 AS INTEGER) AS depth, g1, event AS g2,
-          COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows
-        FROM k GROUP BY g1, event
-        UNION ALL
-        SELECT CAST(1 AS INTEGER), g1, CAST(NULL AS VARCHAR),
-          COUNT(DISTINCT id), COUNT(*)
-        FROM k GROUP BY g1"""))
-  ,
-
-    // Round-9 Tier A widening: an accumulator READ in the top-level WHERE
-    // — the canonical stateful-cap script ("visit at most 3 purchases").
-    // The where observes the PRE-increment value and n freezes once the
-    // conjunct fails, so the visited set is the first m* where-matches: a
-    // static `.limit(m*)` solved at compile time (TierA.capSolve; the
-    // reference compiles the same script through its sequential VM,
-    // src/queryparserosl.h:3726-3812). The tally reads n post-increment
-    // (the visit ordinal). Oracle = rank-capped purchase rows.
-    Q("q_osl_where_read",
-      (s, dir) => {
-        val script =
-          """select
-            |  count id as customers
-            |  count event as n_rows
-            |end
-            |n = 0
-            |each_row where event.is(== 'purchase') && n < 3
-            |  n += 1
-            |  << n, event
-            |end
-            |""".stripMargin
-        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
-          .select(col("depth"), col("g1"), col("g2"),
-            col("customers"), col("n_rows"))
-      },
-      Some(s"""$E, p0 AS (
-          SELECT id, event,
-            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS n
-          FROM e WHERE event = 'purchase'),
-        p AS (SELECT * FROM p0 WHERE n <= 3)
-        SELECT CAST(2 AS INTEGER) AS depth, CAST(n AS VARCHAR) AS g1,
-          'purchase' AS g2, COUNT(DISTINCT id) AS customers,
-          COUNT(*) AS n_rows
-        FROM p GROUP BY n
-        UNION ALL
-        SELECT CAST(1 AS INTEGER), CAST(n AS VARCHAR), CAST(NULL AS VARCHAR),
-          COUNT(DISTINCT id), COUNT(*)
-        FROM p GROUP BY n"""))
-  ,
-
-    // Round-9 Tier A widening: accumulators on a DEPTH-3 chain (plain
-    // inner steps) — signup -> view -> purchase, tallying the running
-    // signup ordinal at the deepest level. Compiled per-spawn: each
-    // collected tuple carries the running view-match count through its
-    // spawn, and a purchase row is a level-2 visit for spawn i iff a view
-    // lies strictly between them (match-count difference >= 1). Tally
-    // dedup is per (row, node), so the oracle is the DISTINCT
-    // (purchase, signup-ordinal) pairs with an interleaved view.
-    Q("q_osl_chain3_accum",
-      (s, dir) => {
-        val script =
-          """select
-            |  count id as customers
-            |  count event as n_rows
-            |end
-            |n = 0
-            |each_row where event.is(== 'signup')
-            |  n += 1
-            |  each_row.continue().next() where event.is(== 'view')
-            |    each_row.continue().next() where event.is(== 'purchase')
-            |      << n, event
-            |    end
-            |  end
-            |end
-            |""".stripMargin
-        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
-          .select(col("depth"), col("g1"), col("g2"),
-            col("customers"), col("n_rows"))
-      },
-      Some(s"""$E, su AS (
-          SELECT id, stamp,
-            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
-          FROM e WHERE event = 'signup'),
-        trip AS (
-          SELECT DISTINCT p.id, p.stamp, su.i
-          FROM e p JOIN su ON su.id = p.id AND su.stamp < p.stamp
-          WHERE p.event = 'purchase'
-            AND EXISTS (SELECT 1 FROM e v
-              WHERE v.id = p.id AND v.event = 'view'
-                AND v.stamp > su.stamp AND v.stamp < p.stamp))
-        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
-          'purchase' AS g2, COUNT(DISTINCT id) AS customers,
-          COUNT(*) AS n_rows
-        FROM trip GROUP BY i
-        UNION ALL
-        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
-          COUNT(DISTINCT id), COUNT(*)
-        FROM trip GROUP BY i"""))
-  ,
-
-    // Round-11 Tier A widening: a DEPTH-3 chain accumulator with FRAMED
-    // inner steps — signup -> view within 12 h -> purchase within 24 h of
-    // the view, tallying the running signup ordinal at the deepest level.
-    // With exactly one intermediate level, per-spawn reachability is an
-    // INTERVAL COUNT of views in (signup, signup+12h] ∩ [purchase−24h,
-    // purchase): prefix counts are monotone, so the count between interval
-    // endpoints is min(endpoint prefix counts) − max(...) — the spawn
-    // tuple carries its own endpoint counts (a rangeBetween window at the
-    // signup), the row carries the other two. The collect window is
-    // range-bounded by span1+span2 (36 h), so this shape is memory-safe
-    // WITHOUT the row-bound gate. Reference: nested frame semantics
-    // src/queryinterpreter.cpp:2460-2533.
-    Q("q_osl_chain3_framed",
-      (s, dir) => {
-        val script =
-          """select
-            |  count id as customers
-            |  count event as n_rows
-            |end
-            |n = 0
-            |each_row where event.is(== 'signup')
-            |  n += 1
-            |  each_row.continue().next().look_ahead(12_hours) where event.is(== 'view')
-            |    each_row.continue().next().look_ahead(24_hours) where event.is(== 'purchase')
-            |      << n, event
-            |    end
-            |  end
-            |end
-            |""".stripMargin
-        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
-          .select(col("depth"), col("g1"), col("g2"),
-            col("customers"), col("n_rows"))
-      },
-      Some(s"""$E, su AS (
-          SELECT id, stamp,
-            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
-          FROM e WHERE event = 'signup'),
-        trip AS (
-          SELECT DISTINCT p.id, p.stamp, su.i
-          FROM e p JOIN su ON su.id = p.id AND su.stamp < p.stamp
-          WHERE p.event = 'purchase'
-            AND EXISTS (SELECT 1 FROM e v
-              WHERE v.id = p.id AND v.event = 'view'
-                AND v.stamp > su.stamp AND v.stamp - su.stamp <= 43200000
-                AND v.stamp < p.stamp AND p.stamp - v.stamp <= 86400000))
-        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
-          'purchase' AS g2, COUNT(DISTINCT id) AS customers,
-          COUNT(*) AS n_rows
-        FROM trip GROUP BY i
-        UNION ALL
-        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
-          COUNT(DISTINCT id), COUNT(*)
-        FROM trip GROUP BY i""")),
-
-    // Round-11 Tier A widening: an inner `.limit(n)` on the INTERMEDIATE
-    // step of a depth-3 chain accumulator — only the first 2 views within
-    // 12 h of each signup spawn the purchase scan. The ordinal bound
-    // "s1 among the first n level-1 matches after the spawn" is
-    // C(s1) ≤ C(s0)+n, and prefix counts are monotone in stamp, so it is
-    // one more min-term over the interval's upper endpoint counts — the
-    // reach check stays pure in-row arithmetic on the collected tuple.
-    // Reference: nested loop match cap src/queryinterpreter.cpp:2437-2533.
-    Q("q_osl_chain3_limited",
-      (s, dir) => {
-        val script =
-          """select
-            |  count id as customers
-            |  count event as n_rows
-            |end
-            |n = 0
-            |each_row where event.is(== 'signup')
-            |  n += 1
-            |  each_row.continue().next().look_ahead(12_hours).limit(2) where event.is(== 'view')
-            |    each_row.continue().next().look_ahead(24_hours) where event.is(== 'purchase')
-            |      << n, event
-            |    end
-            |  end
-            |end
-            |""".stripMargin
-        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
-          .select(col("depth"), col("g1"), col("g2"),
-            col("customers"), col("n_rows"))
-      },
-      Some(s"""$E, su AS (
-          SELECT id, stamp,
-            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
-          FROM e WHERE event = 'signup'),
-        trip AS (
-          SELECT DISTINCT p.id, p.stamp, su.i
-          FROM e p JOIN su ON su.id = p.id AND su.stamp < p.stamp
-          WHERE p.event = 'purchase'
-            AND EXISTS (SELECT 1 FROM e v
-              WHERE v.id = p.id AND v.event = 'view'
-                AND v.stamp > su.stamp AND v.stamp - su.stamp <= 43200000
-                AND v.stamp < p.stamp AND p.stamp - v.stamp <= 86400000
-                AND (SELECT COUNT(*) FROM e v2
-                  WHERE v2.id = p.id AND v2.event = 'view'
-                    AND v2.stamp > su.stamp AND v2.stamp <= v.stamp) <= 2))
-        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
-          'purchase' AS g2, COUNT(DISTINCT id) AS customers,
-          COUNT(*) AS n_rows
-        FROM trip GROUP BY i
-        UNION ALL
-        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
-          COUNT(DISTINCT id), COUNT(*)
-        FROM trip GROUP BY i""")),
-
-    // Round-11 Tier A widening: an inner `.limit(m)` on the DEEPEST step
-    // of a depth-3 chain accumulator — each view within 48 h of the
-    // signup scans only its FIRST purchase within 48 h. Reach needs
-    // C₂(r) − C₂(s1) ≤ m for some valid view s1; later views always do
-    // better (C₂ monotone), and the latest spawning view at-or-before
-    // the interval's upper endpoint lies inside the (nonempty) interval,
-    // so reach ⇔ interval count > 0 ∧ C₂(r) − min(G(r⁻), G(s0+span₁))
-    // ≤ m with G = running max of C₂ over spawning views (the row
-    // carries G(r⁻), the spawn tuple G(s0+span₁)).
-    Q("q_osl_chain3_limit_deep",
-      (s, dir) => {
-        val script =
-          """select
-            |  count id as customers
-            |  count event as n_rows
-            |end
-            |n = 0
-            |each_row where event.is(== 'signup')
-            |  n += 1
-            |  each_row.continue().next().look_ahead(48_hours) where event.is(== 'view')
-            |    each_row.continue().next().look_ahead(48_hours).limit(1) where event.is(== 'purchase')
-            |      << n, event
-            |    end
-            |  end
-            |end
-            |""".stripMargin
-        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
-          .select(col("depth"), col("g1"), col("g2"),
-            col("customers"), col("n_rows"))
-      },
-      Some(s"""$E, su AS (
-          SELECT id, stamp,
-            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
-          FROM e WHERE event = 'signup'),
-        trip AS (
-          SELECT DISTINCT p.id, p.stamp, su.i
-          FROM e p JOIN su ON su.id = p.id AND su.stamp < p.stamp
-          WHERE p.event = 'purchase'
-            AND EXISTS (SELECT 1 FROM e v
-              WHERE v.id = p.id AND v.event = 'view'
-                AND v.stamp > su.stamp AND v.stamp - su.stamp <= 172800000
-                AND v.stamp < p.stamp AND p.stamp - v.stamp <= 172800000
-                AND (SELECT COUNT(*) FROM e p2
-                  WHERE p2.id = p.id AND p2.event = 'purchase'
-                    AND p2.stamp > v.stamp AND p2.stamp <= p.stamp) <= 1))
-        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
-          'purchase' AS g2, COUNT(DISTINCT id) AS customers,
-          COUNT(*) AS n_rows
-        FROM trip GROUP BY i
-        UNION ALL
-        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
-          COUNT(DISTINCT id), COUNT(*)
-        FROM trip GROUP BY i""")),
-
-    // Round-11 Tier A widening: guards on DEEP chain-accumulator steps —
-    // a depth-4 signup -> view -> click -> purchase chain where the click
-    // step is guarded by a ROW prop (view value > 50: folds into the
-    // reachability-ladder window predicate — it restricts rows uniformly
-    // across spawns) and the purchase step by an ACCUMULATOR read
-    // (n <= 3: the interpreter evaluates it mid-nested-scan where n still
-    // holds the SPAWN's running ordinal, so it prunes spawns uniformly
-    // across rows and evaluates per ordinal). Literal increments + plain
-    // first step keep this on the collect-free ordinal path: three
-    // running windows on one (id, stamp) sort, no spawn-tuple array.
-    // Reference: nested guard semantics src/queryinterpreter.cpp:2460-2533.
-    Q("q_osl_chain4_guarded",
-      (s, dir) => {
-        val script =
-          """select
-            |  count id as customers
-            |  count event as n_rows
-            |end
-            |n = 0
-            |each_row where event.is(== 'signup')
-            |  n += 1
-            |  each_row.continue().next() where event.is(== 'view')
-            |    if value.is(> 50)
-            |      each_row.continue().next() where event.is(== 'click')
-            |        if n <= 3
-            |          each_row.continue().next() where event.is(== 'purchase')
-            |            << n, event
-            |          end
-            |        end
-            |      end
-            |    end
-            |  end
-            |end
-            |""".stripMargin
-        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
-          .select(col("depth"), col("g1"), col("g2"),
-            col("customers"), col("n_rows"))
-      },
-      Some(s"""$E, su AS (
-          SELECT id, stamp,
-            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
-          FROM e WHERE event = 'signup'),
-        quad AS (
-          SELECT DISTINCT p.id, p.stamp, su.i
-          FROM e p JOIN su ON su.id = p.id AND su.stamp < p.stamp
-          WHERE p.event = 'purchase' AND su.i <= 3
-            AND EXISTS (SELECT 1 FROM e v
-              WHERE v.id = p.id AND v.event = 'view' AND v.value > 50
-                AND v.stamp > su.stamp AND v.stamp < p.stamp
-                AND EXISTS (SELECT 1 FROM e c
-                  WHERE c.id = p.id AND c.event = 'click'
-                    AND c.stamp > v.stamp AND c.stamp < p.stamp)))
-        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
-          'purchase' AS g2, COUNT(DISTINCT id) AS customers,
-          COUNT(*) AS n_rows
-        FROM quad GROUP BY i
-        UNION ALL
-        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
-          COUNT(DISTINCT id), COUNT(*)
-        FROM quad GROUP BY i""")),
-
-    // Round-11 Tier A widening: a FRAMED + LIMITED deepest step at depth
-    // 4 — signup -> view -> click -> the FIRST purchase within 48 h of
-    // the click. Validity of a click c for a spawn (a view chain exists
-    // through c) is monotone in c, so valid clicks form a SUFFIX and the
-    // latest in-frame click is valid for every eligible spawn: the frame
-    // range-bounds the FINAL reachability-ladder window
-    // (rangeBetween(-48h, -1)) and the limit is one spawn-independent
-    // conjunct C(r) − G ≤ 1, G = the purchase count at the latest
-    // in-frame click. Still the collect-free ordinal path.
-    // Reference: nested frame semantics src/queryinterpreter.cpp:2460-2533.
-    Q("q_osl_chain4_limited",
-      (s, dir) => {
-        val script =
-          """select
-            |  count id as customers
-            |  count event as n_rows
-            |end
-            |n = 0
-            |each_row where event.is(== 'signup')
-            |  n += 1
-            |  each_row.continue().next() where event.is(== 'view')
-            |    each_row.continue().next() where event.is(== 'click')
-            |      each_row.continue().next().look_ahead(48_hours).limit(1) where event.is(== 'purchase')
-            |        << n, event
-            |      end
-            |    end
-            |  end
-            |end
-            |""".stripMargin
-        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
-          .select(col("depth"), col("g1"), col("g2"),
-            col("customers"), col("n_rows"))
-      },
-      Some(s"""$E, su AS (
-          SELECT id, stamp,
-            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
-          FROM e WHERE event = 'signup'),
-        quad AS (
-          SELECT DISTINCT p.id, p.stamp, su.i
-          FROM e p JOIN su ON su.id = p.id AND su.stamp < p.stamp
-          WHERE p.event = 'purchase'
-            AND EXISTS (SELECT 1 FROM e v
-              WHERE v.id = p.id AND v.event = 'view'
-                AND v.stamp > su.stamp AND v.stamp < p.stamp
-                AND EXISTS (SELECT 1 FROM e c
-                  WHERE c.id = p.id AND c.event = 'click'
-                    AND c.stamp > v.stamp AND c.stamp < p.stamp
-                    AND p.stamp - c.stamp <= 172800000
-                    AND (SELECT COUNT(*) FROM e p2
-                      WHERE p2.id = p.id AND p2.event = 'purchase'
-                        AND p2.stamp > c.stamp AND p2.stamp <= p.stamp) <= 1)))
-        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
-          'purchase' AS g2, COUNT(DISTINCT id) AS customers,
-          COUNT(*) AS n_rows
-        FROM quad GROUP BY i
-        UNION ALL
-        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
-          COUNT(DISTINCT id), COUNT(*)
-        FROM quad GROUP BY i""")),
-
-    // Round-11 Tier A widening: a REVERSE inner step below a chain
-    // accumulator — for each purchase (carrying its running ordinal), the
-    // nested loop scans BACKWARD and visits the 2 nearest preceding views
-    // within 24 h. Visited rows sit BEFORE their spawn, so the compiled
-    // spawn tuples collect over the FOLLOWING window (range-bounded by
-    // the aligned look_back span) with mirrored frame checks; the reverse
-    // cumulative match count makes the limit subtraction
-    // direction-agnostic. Reference: backward nested scan
-    // src/queryinterpreter.cpp:2437-2458.
-    Q("q_osl_chain_reverse_inner",
-      (s, dir) => {
-        val script =
-          """select
-            |  count id as customers
-            |  count event as n_rows
-            |end
-            |n = 0
-            |each_row where event.is(== 'purchase')
-            |  n += 1
-            |  each_row.continue().next().reverse().look_back(24_hours).limit(2) where event.is(== 'view')
-            |    << n, event
-            |  end
-            |end
-            |""".stripMargin
-        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
-          .select(col("depth"), col("g1"), col("g2"),
-            col("customers"), col("n_rows"))
-      },
-      Some(s"""$E, pu AS (
-          SELECT id, stamp,
-            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
-          FROM e WHERE event = 'purchase'),
-        pairs AS (
-          SELECT DISTINCT v.id, v.stamp, pu.i
-          FROM e v JOIN pu ON pu.id = v.id AND v.stamp < pu.stamp
-          WHERE v.event = 'view' AND pu.stamp - v.stamp <= 86400000
-            AND (SELECT COUNT(*) FROM e v2
-              WHERE v2.id = v.id AND v2.event = 'view'
-                AND v2.stamp >= v.stamp AND v2.stamp < pu.stamp) <= 2)
-        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
-          'view' AS g2, COUNT(DISTINCT id) AS customers,
-          COUNT(*) AS n_rows
-        FROM pairs GROUP BY i
-        UNION ALL
-        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
-          COUNT(DISTINCT id), COUNT(*)
-        FROM pairs GROUP BY i""")),
-
-    // Round-11 Tier A widening: a `.from(0)` RESTART step below a chain
-    // accumulator — for each signup (carrying its running ordinal), the
-    // nested loop rescans the person from row 0 and visits the views in
-    // the 24 h window BEFORE that signup. Every spawn scans the same
-    // fixed tail, so a view's visitors sit on its FUTURE side here: the
-    // compiled spawn tuples collect over the inverted-frame range window
-    // (spawns in [row, row+24h]) and the look_back bounds anchor per
-    // tuple. Reference: absolute restart scan
-    // src/queryinterpreter.cpp:2437-2458 (from-anchored cursor).
-    Q("q_osl_from_accum",
-      (s, dir) => {
-        val script =
-          """select
-            |  count id as customers
-            |  count event as n_rows
-            |end
-            |n = 0
-            |each_row where event.is(== 'signup')
-            |  n += 1
-            |  each_row.from(0).look_back(24_hours) where event.is(== 'view')
-            |    << n, event
-            |  end
-            |end
-            |""".stripMargin
-        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
-          .select(col("depth"), col("g1"), col("g2"),
-            col("customers"), col("n_rows"))
-      },
-      Some(s"""$E, su AS (
-          SELECT id, stamp,
-            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
-          FROM e WHERE event = 'signup'),
-        pairs AS (
-          SELECT DISTINCT v.id, v.stamp, su.i
-          FROM e v JOIN su ON su.id = v.id
-          WHERE v.event = 'view' AND v.stamp <= su.stamp
-            AND su.stamp - v.stamp <= 86400000)
-        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
-          'view' AS g2, COUNT(DISTINCT id) AS customers,
-          COUNT(*) AS n_rows
-        FROM pairs GROUP BY i
-        UNION ALL
-        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
-          COUNT(DISTINCT id), COUNT(*)
-        FROM pairs GROUP BY i""")),
-
-    // Round-12 Tier A widening: BOTH depth-3 inner steps limited —
-    // signup -> the first 2 views after it -> the first 2 purchases
-    // after the view. The intermediate cap joins the upper-endpoint
-    // min-terms (the latest VALID view for a spawn is the one at ordinal
-    // k* = min(C(r⁻), C(s0)+2)), and the deepest limit reads Γ(k*) — the
-    // purchase count at that view — from a per-row array of match
-    // counts (exact base-offset indexing; span₂-bounded when framed).
-    // Reference: nested limit scan src/queryinterpreter.cpp:2460-2533.
-    Q("q_osl_chain3_both",
-      (s, dir) => {
-        val script =
-          """select
-            |  count id as customers
-            |  count event as n_rows
-            |end
-            |n = 0
-            |each_row where event.is(== 'signup')
-            |  n += 1
-            |  each_row.continue().next().limit(2) where event.is(== 'view')
-            |    each_row.continue().next().limit(2) where event.is(== 'purchase')
-            |      << n, event
-            |    end
-            |  end
-            |end
-            |""".stripMargin
-        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
-          .select(col("depth"), col("g1"), col("g2"),
-            col("customers"), col("n_rows"))
-      },
-      Some(s"""$E, su AS (
-          SELECT id, stamp,
-            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
-          FROM e WHERE event = 'signup'),
-        tri AS (
-          SELECT DISTINCT p.id, p.stamp, su.i
-          FROM e p JOIN su ON su.id = p.id AND su.stamp < p.stamp
-          WHERE p.event = 'purchase'
-            AND EXISTS (SELECT 1 FROM e v
-              WHERE v.id = p.id AND v.event = 'view'
-                AND v.stamp > su.stamp AND v.stamp < p.stamp
-                AND (SELECT COUNT(*) FROM e v2
-                  WHERE v2.id = v.id AND v2.event = 'view'
-                    AND v2.stamp > su.stamp AND v2.stamp <= v.stamp) <= 2
-                AND (SELECT COUNT(*) FROM e p2
-                  WHERE p2.id = v.id AND p2.event = 'purchase'
-                    AND p2.stamp > v.stamp AND p2.stamp <= p.stamp) <= 2))
-        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
-          'purchase' AS g2, COUNT(DISTINCT id) AS customers,
-          COUNT(*) AS n_rows
-        FROM tri GROUP BY i
-        UNION ALL
-        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
-          COUNT(DISTINCT id), COUNT(*)
-        FROM tri GROUP BY i""")),
-
-    // Round-12 Tier A widening: a REVERSE deepest step below a depth-3
-    // accumulator — signup -> view (forward) -> purchases BEFORE the
-    // view, within 24 h back. The s1 interval flips to the row's future
-    // side ((r, r+24h] ∩ (s0, ∞)), priced by the same monotone endpoint
-    // counts with one rangeBetween(…, +24h) row window; spawn tuples
-    // collect over a two-sided range window. Oracle: purchases preceded
-    // ... followed within 24 h by a view that follows the signup.
-    // Reference: reverse nested scan src/queryinterpreter.cpp:2437-2533.
-    Q("q_osl_chain3_rev_deep",
-      (s, dir) => {
-        val script =
-          """select
-            |  count id as customers
-            |  count event as n_rows
-            |end
-            |n = 0
-            |each_row where event.is(== 'signup')
-            |  n += 1
-            |  each_row.continue().next() where event.is(== 'view')
-            |    each_row.continue().next().reverse().look_back(24_hours) where event.is(== 'purchase')
-            |      << n, event
-            |    end
-            |  end
-            |end
-            |""".stripMargin
-        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
-          .select(col("depth"), col("g1"), col("g2"),
-            col("customers"), col("n_rows"))
-      },
-      Some(s"""$E, su AS (
-          SELECT id, stamp,
-            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
-          FROM e WHERE event = 'signup'),
-        tri AS (
-          SELECT DISTINCT p.id, p.stamp, su.i
-          FROM e p JOIN su ON su.id = p.id
-          WHERE p.event = 'purchase'
-            AND EXISTS (SELECT 1 FROM e v
-              WHERE v.id = p.id AND v.event = 'view'
-                AND v.stamp > su.stamp AND v.stamp > p.stamp
-                AND v.stamp - p.stamp <= 86400000))
-        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
-          'purchase' AS g2, COUNT(DISTINCT id) AS customers,
-          COUNT(*) AS n_rows
-        FROM tri GROUP BY i
-        UNION ALL
-        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
-          COUNT(DISTINCT id), COUNT(*)
-        FROM tri GROUP BY i""")),
-
-    // Round-12 Tier A widening: a RESTART deepest step below a depth-3
-    // accumulator — signup -> view -> rescan the person from row index 1
-    // visiting purchases within 24 h at-or-before the view. The view
-    // interval comes from inverting the frame around the purchase
-    // (v ∈ [p, p+24h]) and the index floor is a spawn-independent row
-    // check. Reference: from-anchored cursor
-    // src/queryinterpreter.cpp:2437-2458.
-    Q("q_osl_chain3_restart",
-      (s, dir) => {
-        val script =
-          """select
-            |  count id as customers
-            |  count event as n_rows
-            |end
-            |n = 0
-            |each_row where event.is(== 'signup')
-            |  n += 1
-            |  each_row.continue().next() where event.is(== 'view')
-            |    each_row.from(1).look_back(24_hours) where event.is(== 'purchase')
-            |      << n, event
-            |    end
-            |  end
-            |end
-            |""".stripMargin
-        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
-          .select(col("depth"), col("g1"), col("g2"),
-            col("customers"), col("n_rows"))
-      },
-      Some(s"""$E, su AS (
-          SELECT id, stamp,
-            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
-          FROM e WHERE event = 'signup'),
-        rn AS (
-          SELECT id, stamp, event,
-            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS r
-          FROM e),
-        tri AS (
-          SELECT DISTINCT p.id, p.stamp, su.i
-          FROM rn p JOIN su ON su.id = p.id
-          WHERE p.event = 'purchase' AND p.r >= 2
-            AND EXISTS (SELECT 1 FROM e v
-              WHERE v.id = p.id AND v.event = 'view'
-                AND v.stamp > su.stamp
-                AND p.stamp <= v.stamp AND v.stamp - p.stamp <= 86400000))
-        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
-          'purchase' AS g2, COUNT(DISTINCT id) AS customers,
-          COUNT(*) AS n_rows
-        FROM tri GROUP BY i
-        UNION ALL
-        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
-          COUNT(DISTINCT id), COUNT(*)
-        FROM tri GROUP BY i""")),
-
-    // Round-12 Tier A widening: a REVERSE MIDDLE step — signup -> views
-    // BEFORE the signup (within 24 h back) -> purchase within 24 h after
-    // the view. The s1 interval moves to the SPAWN's other side
-    // ([s0−24h, s0)), priced by tuple-side endpoint windows (exclusive
-    // count at the spawn + the lower-offset count); spawn tuples collect
-    // over a two-sided range window. Oracle: purchases within 24 h after
-    // a view that precedes the signup by at most 24 h.
-    Q("q_osl_chain3_rev_mid",
-      (s, dir) => {
-        val script =
-          """select
-            |  count id as customers
-            |  count event as n_rows
-            |end
-            |n = 0
-            |each_row where event.is(== 'signup')
-            |  n += 1
-            |  each_row.continue().next().reverse().look_back(24_hours) where event.is(== 'view')
-            |    each_row.continue().next().look_ahead(24_hours) where event.is(== 'purchase')
-            |      << n, event
-            |    end
-            |  end
-            |end
-            |""".stripMargin
-        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
-          .select(col("depth"), col("g1"), col("g2"),
-            col("customers"), col("n_rows"))
-      },
-      Some(s"""$E, su AS (
-          SELECT id, stamp,
-            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
-          FROM e WHERE event = 'signup'),
-        tri AS (
-          SELECT DISTINCT p.id, p.stamp, su.i
-          FROM e p JOIN su ON su.id = p.id
-          WHERE p.event = 'purchase'
-            AND EXISTS (SELECT 1 FROM e v
-              WHERE v.id = p.id AND v.event = 'view'
-                AND v.stamp < su.stamp AND su.stamp - v.stamp <= 86400000
-                AND v.stamp < p.stamp AND p.stamp - v.stamp <= 86400000))
-        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
-          'purchase' AS g2, COUNT(DISTINCT id) AS customers,
-          COUNT(*) AS n_rows
-        FROM tri GROUP BY i
-        UNION ALL
-        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
-          COUNT(DISTINCT id), COUNT(*)
-        FROM tri GROUP BY i""")),
-
-    // Round-12 Tier A widening: a RESTART MIDDLE step — signup -> rescan
-    // from row index 1 visiting views within 24 h at-or-before the
-    // signup -> purchase within 24 h after the view. The absolute index
-    // floor folds into the counted predicate (spawn-independent); the
-    // view interval inverts the frame around the SPAWN.
-    Q("q_osl_chain3_restart_mid",
-      (s, dir) => {
-        val script =
-          """select
-            |  count id as customers
-            |  count event as n_rows
-            |end
-            |n = 0
-            |each_row where event.is(== 'signup')
-            |  n += 1
-            |  each_row.from(1).look_back(24_hours) where event.is(== 'view')
-            |    each_row.continue().next().look_ahead(24_hours) where event.is(== 'purchase')
-            |      << n, event
-            |    end
-            |  end
-            |end
-            |""".stripMargin
-        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
-          .select(col("depth"), col("g1"), col("g2"),
-            col("customers"), col("n_rows"))
-      },
-      Some(s"""$E, su AS (
-          SELECT id, stamp,
-            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
-          FROM e WHERE event = 'signup'),
-        rn AS (
-          SELECT id, stamp, event,
-            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS r
-          FROM e),
-        tri AS (
-          SELECT DISTINCT p.id, p.stamp, su.i
-          FROM e p JOIN su ON su.id = p.id
-          WHERE p.event = 'purchase'
-            AND EXISTS (SELECT 1 FROM rn v
-              WHERE v.id = p.id AND v.event = 'view' AND v.r >= 2
-                AND v.stamp <= su.stamp AND su.stamp - v.stamp <= 86400000
-                AND v.stamp < p.stamp AND p.stamp - v.stamp <= 86400000))
-        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
-          'purchase' AS g2, COUNT(DISTINCT id) AS customers,
-          COUNT(*) AS n_rows
-        FROM tri GROUP BY i
-        UNION ALL
-        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
-          COUNT(DISTINCT id), COUNT(*)
-        FROM tri GROUP BY i""")),
-
-    // Round-12 Tier A widening: BOTH steps non-forward + a REVERSE-mid
-    // limit — signup -> the 2 CLOSEST views before it (within 24 h) ->
-    // purchases before the view (within 12 h). The endpoint assembly is
-    // modular, so mid terms (tuple-side, incl. the limit's clamped
-    // lower-endpoint max-term C(s0⁻)−n) and deep terms (row-side,
-    // future-facing) compose freely; the spawn collect window spans the
-    // general [r+dLo−mA, r+dHi+mB] inversion. Oracle: purchases within
-    // 12 h before a view that is among the signup's 2 closest preceding
-    // views within 24 h.
-    Q("q_osl_chain3_dual_rev",
-      (s, dir) => {
-        val script =
-          """select
-            |  count id as customers
-            |  count event as n_rows
-            |end
-            |n = 0
-            |each_row where event.is(== 'signup')
-            |  n += 1
-            |  each_row.continue().next().reverse().look_back(24_hours).limit(2) where event.is(== 'view')
-            |    each_row.continue().next().reverse().look_back(12_hours) where event.is(== 'purchase')
-            |      << n, event
-            |    end
-            |  end
-            |end
-            |""".stripMargin
-        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
-          .select(col("depth"), col("g1"), col("g2"),
-            col("customers"), col("n_rows"))
-      },
-      Some(s"""$E, su AS (
-          SELECT id, stamp,
-            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
-          FROM e WHERE event = 'signup'),
-        tri AS (
-          SELECT DISTINCT p.id, p.stamp, su.i
-          FROM e p JOIN su ON su.id = p.id
-          WHERE p.event = 'purchase'
-            AND EXISTS (SELECT 1 FROM e v
-              WHERE v.id = p.id AND v.event = 'view'
-                AND v.stamp < su.stamp AND su.stamp - v.stamp <= 86400000
-                AND (SELECT COUNT(*) FROM e v2
-                  WHERE v2.id = v.id AND v2.event = 'view'
-                    AND v2.stamp > v.stamp AND v2.stamp < su.stamp
-                    AND su.stamp - v2.stamp <= 86400000) <= 1
-                AND p.stamp < v.stamp AND v.stamp - p.stamp <= 43200000))
-        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
-          'purchase' AS g2, COUNT(DISTINCT id) AS customers,
-          COUNT(*) AS n_rows
-        FROM tri GROUP BY i
-        UNION ALL
-        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
-          COUNT(DISTINCT id), COUNT(*)
-        FROM tri GROUP BY i""")),
-
-    // Round-12 Tier A widening: a REVERSE deepest step at DEPTH 4 —
-    // signup -> view -> click -> purchases BEFORE the click (within
-    // 24 h back). Hop validity is K-monotone in the hop row in any
-    // direction, so the final reachability-ladder window flips to the
-    // FOLLOWING side (rangeBetween(1, 24h)) — still the collect-free
-    // ordinal path, three windows on one (id) exchange. Oracle:
-    // purchases followed within 24 h by a click that completes a
-    // signup -> view -> click chain.
-    Q("q_osl_chain4_rev",
-      (s, dir) => {
-        val script =
-          """select
-            |  count id as customers
-            |  count event as n_rows
-            |end
-            |n = 0
-            |each_row where event.is(== 'signup')
-            |  n += 1
-            |  each_row.continue().next() where event.is(== 'view')
-            |    each_row.continue().next() where event.is(== 'click')
-            |      each_row.continue().next().reverse().look_back(24_hours) where event.is(== 'purchase')
-            |        << n, event
-            |      end
-            |    end
-            |  end
-            |end
-            |""".stripMargin
-        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
-          .select(col("depth"), col("g1"), col("g2"),
-            col("customers"), col("n_rows"))
-      },
-      Some(s"""$E, su AS (
-          SELECT id, stamp,
-            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
-          FROM e WHERE event = 'signup'),
-        tri AS (
-          SELECT DISTINCT p.id, p.stamp, su.i
-          FROM e p JOIN su ON su.id = p.id
-          WHERE p.event = 'purchase'
-            AND EXISTS (SELECT 1 FROM e c
-              WHERE c.id = p.id AND c.event = 'click'
-                AND c.stamp > p.stamp AND c.stamp - p.stamp <= 86400000
-                AND EXISTS (SELECT 1 FROM e v
-                  WHERE v.id = p.id AND v.event = 'view'
-                    AND v.stamp > su.stamp AND v.stamp < c.stamp)))
-        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
-          'purchase' AS g2, COUNT(DISTINCT id) AS customers,
-          COUNT(*) AS n_rows
-        FROM tri GROUP BY i
-        UNION ALL
-        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
-          COUNT(DISTINCT id), COUNT(*)
-        FROM tri GROUP BY i""")),
-
-    // Round-12: `int()` compiles (truncate-through-double, nil -> 0), so
-    // a DOUBLE prop reaches the mixed-guard machinery via explicit
-    // conversion — the guard compares the view's truncated value against
-    // the spawning signup's ordinal, exactly int-vs-int on both tiers.
-    // Oracle: DuckDB TRUNC (toward zero) + BIGINT cast.
-    Q("q_osl_mixed_value_guard",
-      (s, dir) => {
-        val script =
-          """select
-            |  count id as customers
-            |  count event as n_rows
-            |end
-            |n = 0
-            |each_row where event.is(== 'signup')
-            |  n += 1
-            |  each_row.continue().next() where event.is(== 'view')
-            |    if int(value) > n
-            |      each_row.continue().next() where event.is(== 'purchase')
-            |        << n, event
-            |      end
-            |    end
-            |  end
-            |end
-            |""".stripMargin
-        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
-          .select(col("depth"), col("g1"), col("g2"),
-            col("customers"), col("n_rows"))
-      },
-      Some(s"""$E, su AS (
-          SELECT id, stamp,
-            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
-          FROM e WHERE event = 'signup'),
-        tri AS (
-          SELECT DISTINCT p.id, p.stamp, su.i
-          FROM e p JOIN su ON su.id = p.id AND su.stamp < p.stamp
-          WHERE p.event = 'purchase'
-            AND EXISTS (SELECT 1 FROM e v
-              WHERE v.id = p.id AND v.event = 'view'
-                AND v.stamp > su.stamp AND v.stamp < p.stamp
-                AND CAST(TRUNC(v.value) AS BIGINT) > su.i))
-        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
-          'purchase' AS g2, COUNT(DISTINCT id) AS customers,
-          COUNT(*) AS n_rows
-        FROM tri GROUP BY i
-        UNION ALL
-        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
-          COUNT(DISTINCT id), COUNT(*)
-        FROM tri GROUP BY i""")),
-
-    // Round-12 Tier A widening: a MIXED guard conjunct — the spawn's
-    // accumulator compared against a row property of the guarded step's
-    // row (`get_hour(stamp) > n` at the view). On the ordinal path the
-    // j-th signup's value is affine (init + c·j), so the conjunct is a
-    // per-row bound on the spawn ordinal: reach stays a spawn PREFIX and
-    // the reachability ladder folds least(K, hi(row)) with hi computed
-    // in-row by exact integer arithmetic — no collected array, still one
-    // (id) exchange. Oracle: purchases preceded by a view whose hour
-    // exceeds the spawning signup's ordinal.
-    // Reference: guard scan semantics src/queryinterpreter.cpp:2437-2577.
-    Q("q_osl_chain_mixed_guard",
-      (s, dir) => {
-        val script =
-          """select
-            |  count id as customers
-            |  count event as n_rows
-            |end
-            |n = 0
-            |each_row where event.is(== 'signup')
-            |  n += 1
-            |  each_row.continue().next() where event.is(== 'view')
-            |    if get_hour(stamp) > n
-            |      each_row.continue().next() where event.is(== 'purchase')
-            |        << n, event
-            |      end
-            |    end
-            |  end
-            |end
-            |""".stripMargin
-        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
-          .select(col("depth"), col("g1"), col("g2"),
-            col("customers"), col("n_rows"))
-      },
-      Some(s"""$E, su AS (
-          SELECT id, stamp,
-            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
-          FROM e WHERE event = 'signup'),
-        tri AS (
-          SELECT DISTINCT p.id, p.stamp, su.i
-          FROM e p JOIN su ON su.id = p.id AND su.stamp < p.stamp
-          WHERE p.event = 'purchase'
-            AND EXISTS (SELECT 1 FROM e v
-              WHERE v.id = p.id AND v.event = 'view'
-                AND v.stamp > su.stamp AND v.stamp < p.stamp
-                AND hour(make_timestamp(v.stamp * 1000)) > su.i))
-        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
-          'purchase' AS g2, COUNT(DISTINCT id) AS customers,
-          COUNT(*) AS n_rows
-        FROM tri GROUP BY i
-        UNION ALL
-        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
-          COUNT(DISTINCT id), COUNT(*)
-        FROM tri GROUP BY i""")),
-
-    // Round-9 Tier A widening: an EVER-read BELOW a chain step — the
-    // operand observes the SPAWNING signup's running ordinal, so the
-    // compiled compare (person-level max(value) aggregate vs n*50)
-    // re-derives per collected spawn tuple (TierA realB late binding).
-    // Oracle: (purchase, signup-ordinal) pairs where the person's max
-    // value exceeds 50x the ordinal.
-    Q("q_osl_chain_ever_read",
-      (s, dir) => {
-        val script =
-          """select
-            |  count id as customers
-            |  count event as n_rows
-            |end
-            |n = 0
-            |each_row where event.is(== 'signup')
-            |  n += 1
-            |  each_row.continue().next() where event.is(== 'purchase')
-            |    if value.ever(> n * 50)
-            |      << n, event
-            |    end
-            |  end
-            |end
-            |""".stripMargin
-        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
-          .select(col("depth"), col("g1"), col("g2"),
-            col("customers"), col("n_rows"))
-      },
-      Some(s"""$E, su AS (
-          SELECT id, stamp,
-            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
-          FROM e WHERE event = 'signup'),
-        mv AS (SELECT id, MAX(value) AS mx FROM e GROUP BY id),
-        pairs AS (
-          SELECT p.id, p.stamp, su.i
-          FROM e p
-          JOIN su ON su.id = p.id AND su.stamp < p.stamp
-          JOIN mv ON mv.id = p.id
-          WHERE p.event = 'purchase' AND mv.mx > su.i * 50)
-        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
-          'purchase' AS g2, COUNT(DISTINCT id) AS customers,
-          COUNT(*) AS n_rows
-        FROM pairs GROUP BY i
-        UNION ALL
-        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
-          COUNT(DISTINCT id), COUNT(*)
-        FROM pairs GROUP BY i"""))
-  ,
-
-    // Round-9 Tier A widening: a DEPTH-4 chain accumulator — signup ->
-    // view -> purchase -> click, tallying the signup ordinal at the
-    // deepest level. Compiled with the reachability ladder (__P1 running
-    // count, __P2 running max of __P1 over purchase rows; a click row is
-    // a level-3 visit for spawn i iff __P2(row) > c1(spawn)). Oracle:
-    // (click, signup-ordinal) pairs with an interleaved view-then-purchase
-    // chain strictly between them.
-    Q("q_osl_chain4_accum",
-      (s, dir) => {
-        val script =
-          """select
-            |  count id as customers
-            |  count event as n_rows
-            |end
-            |n = 0
-            |each_row where event.is(== 'signup')
-            |  n += 1
-            |  each_row.continue().next() where event.is(== 'view')
-            |    each_row.continue().next() where event.is(== 'purchase')
-            |      each_row.continue().next() where event.is(== 'click')
-            |        << n, event
-            |      end
-            |    end
-            |  end
-            |end
-            |""".stripMargin
-        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
-          .select(col("depth"), col("g1"), col("g2"),
-            col("customers"), col("n_rows"))
-      },
-      Some(s"""$E, su AS (
-          SELECT id, stamp,
-            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
-          FROM e WHERE event = 'signup'),
-        quad AS (
-          SELECT DISTINCT c.id, c.stamp, su.i
-          FROM e c JOIN su ON su.id = c.id AND su.stamp < c.stamp
-          WHERE c.event = 'click'
-            AND EXISTS (SELECT 1 FROM e v JOIN e p
-              ON p.id = v.id AND v.stamp < p.stamp
-              WHERE v.id = c.id AND v.event = 'view' AND p.event = 'purchase'
-                AND v.stamp > su.stamp AND p.stamp < c.stamp))
-        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
-          'click' AS g2, COUNT(DISTINCT id) AS customers,
-          COUNT(*) AS n_rows
-        FROM quad GROUP BY i
-        UNION ALL
-        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
-          COUNT(DISTINCT id), COUNT(*)
-        FROM quad GROUP BY i"""))
-  )
-
-  def allRegistry: Seq[Q] = registry ++ extraRegistry
+  /** The full registry, split by operator family (round 13): relational /
+    * pipeline / ANN / OSL. Order is preserved within each family; the
+    * driver and bench key queries by NAME, so cross-family order is free. */
+  def allRegistry: Seq[Q] =
+    QueriesRelational.entries ++ QueriesPipeline.entries ++
+      QueriesAnn.entries ++ QueriesOsl.entries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     allRegistry.map(q => q.name -> q.fn).toMap

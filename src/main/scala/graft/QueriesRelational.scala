@@ -1,0 +1,729 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.AggFns._
+import graft.functions.TimeFns
+import graft.operators.{EventOps, Segments, TextOps}
+
+import graft.Queries._
+
+/** Registry family: relational (TPC-H-ish) and event-analytics queries —
+  * scans, joins, aggregations, windows, funnels, segments, sessions.
+  * Split from Queries.scala in round 13 (pure mechanical move). */
+object QueriesRelational {
+
+  val entries: Seq[Q] = Seq(
+
+    Q("q_lineitem_pricing",
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+        l.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+            davg(col("l_quantity")).as("avg_qty"),
+            count(lit(1)).as("count_order"))
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        ${dsumSql("l_quantity")} AS sum_qty,
+        ${dsumSql("l_extendedprice")} AS sum_base_price,
+        ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+        ${dsumSql("l_quantity")} / COUNT(l_quantity) AS avg_qty,
+        COUNT(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus""")),
+
+    Q("q_mktsegment_orders",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("revenue"),
+            countDistinct(col("o_custkey")).as("n_customers"))
+      },
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+        ${dsumSql("o_totalprice")} AS revenue,
+        COUNT(DISTINCT o_custkey) AS n_customers
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment""")),
+
+    Q("q_region_nation_rollup",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val n = Tables.nation(s, dir)
+        val r = Tables.region(s, dir)
+        c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("acctbal"))
+      },
+      Some(s"""SELECT r_name, n_name, COUNT(*) AS n_customers,
+        ${dsumSql("c_acctbal")} AS acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)""")),
+
+    Q("q_top_order_per_customer",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        o.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_top_orders"), dsum(col("o_totalprice")).as("top_value"))
+      },
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n_top_orders,
+        ${dsumSql("o_totalprice")} AS top_value
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders)
+        WHERE rn = 1 GROUP BY o_orderstatus""")),
+
+    // Property-count endpoint on `event` (src/oloop_property.cpp:34-307).
+    Q("q_event_type_counts",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        e.groupBy(col("event"))
+          .agg(
+            countDistinct(col("id")).as("customers"),
+            count(lit(1)).as("n_rows"),
+            dsum(col("value")).as("total_value"))
+      },
+      Some(s"""$E SELECT event, COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows,
+        ${dsumSql("value")} AS total_value FROM e GROUP BY event""")),
+
+    // Bucketed property count (`bucket` param, src/oloop_property.cpp:139-168).
+    Q("q_value_bucket_counts",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        EventOps.propertyCountsBucketed(e, col("value"), 50.0)
+      },
+      Some(s"""$E SELECT FLOOR(value / 50.0) * 50.0 AS bucket,
+        COUNT(DISTINCT id) AS customers FROM e GROUP BY 1""")),
+
+    // Discrete percentiles per event type (quantile_disc semantics: the
+    // smallest value whose rank >= ceil(p*n)) — computed via one window
+    // rank + conditional mins so both engines take the exact same value,
+    // no floating interpolation to diverge on. One sort-shuffle per group.
+    Q("q_value_percentiles",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val w = Window.partitionBy(col("event")).orderBy(col("value"))
+        val ranked = e.select(col("event"), col("value"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event"))))
+        def pct(p: Double) = min(when(col("rn") >= ceil(lit(p) * col("n")), col("value")))
+        ranked.groupBy(col("event"))
+          .agg(pct(0.5).as("p50"), pct(0.9).as("p90"), pct(0.99).as("p99"),
+            count(lit(1)).as("n_rows"))
+      },
+      Some(s"""$E, r AS (
+          SELECT event, value,
+            ROW_NUMBER() OVER (PARTITION BY event ORDER BY value) AS rn,
+            COUNT(*) OVER (PARTITION BY event) AS n
+          FROM e)
+        SELECT event,
+          MIN(CASE WHEN rn >= CEIL(0.5 * n) THEN value END) AS p50,
+          MIN(CASE WHEN rn >= CEIL(0.9 * n) THEN value END) AS p90,
+          MIN(CASE WHEN rn >= CEIL(0.99 * n) THEN value END) AS p99,
+          COUNT(*) AS n_rows
+        FROM r GROUP BY event""")),
+
+    // Rolling 7-day window per event type: daily partial aggregation first
+    // (map-side combine collapses the row count), then a tiny RANGE-frame
+    // window over the day keys — the scale shape for trailing-window
+    // metrics (the window input is days x types, not events).
+    Q("q_rolling_7day",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val daily = e.select(col("event"), expr("stamp div 86400000").as("day"),
+            col("value"))
+          .groupBy(col("event"), col("day"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(28, 4))).as("v"))
+        val w = Window.partitionBy(col("event")).orderBy(col("day"))
+          .rangeBetween(-6, Window.currentRow)
+        daily.select(col("event"), col("day"),
+            sum(col("n")).over(w).as("events_7d"),
+            sum(col("v")).over(w).cast("double").as("value_7d"))
+      },
+      Some(s"""$E, d AS (
+          SELECT event, stamp // 86400000 AS day, COUNT(*) AS n,
+            SUM(CAST(value AS DECIMAL(28,4))) AS v
+          FROM e GROUP BY 1, 2)
+        SELECT event, day,
+          CAST(SUM(n) OVER (PARTITION BY event ORDER BY day
+            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS events_7d,
+          CAST(SUM(v) OVER (PARTITION BY event ORDER BY day
+            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS value_7d
+        FROM d""")),
+
+    // Event JSON properties: the reference's insert path maps the event's
+    // `_` JSON sub-document into schema columns (src/grid.cpp:769-1200);
+    // the Spark-native analog extracts from the JSON props column in-query
+    // (codegen'd get_json_object — no UDF, pushdown-friendly).
+    Q("q_props_json_extract",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        e.withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+          .where(col("k") > 50)
+          .groupBy(col("event"))
+          .agg(countDistinct(col("k")).as("n_k"), count(lit(1)).as("n_rows"),
+            dsum(col("value")).as("total_value"))
+      },
+      Some(s"""WITH p AS (
+          SELECT event_type AS event,
+            CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k, value
+          FROM events)
+        SELECT event, COUNT(DISTINCT k) AS n_k, COUNT(*) AS n_rows,
+          ${dsumSql("value")} AS total_value
+        FROM p WHERE k > 50 GROUP BY event""")),
+
+    // Session assignment + session_count (src/grid.cpp:515-522; 30-min gap).
+    Q("q_sessions_per_user",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        EventOps.sessionize(e)
+          .groupBy(col("id"))
+          .agg(max(col("session")).as("n_sessions"), count(lit(1)).as("n_events"))
+      },
+      Some(s"""$E, l AS (
+          SELECT id, stamp,
+            CASE WHEN stamp - LAG(stamp) OVER (PARTITION BY id ORDER BY stamp) > 1800000
+                 THEN 1 ELSE 0 END AS isnew
+          FROM e),
+        se AS (
+          SELECT id, SUM(isnew) OVER (PARTITION BY id ORDER BY stamp ROWS UNBOUNDED PRECEDING) + 1 AS session
+          FROM l)
+        SELECT id, CAST(MAX(session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM se GROUP BY id""")),
+
+    // Funnel: first signup -> first purchase within 7 days
+    // (nested each_row.continue().next(), src/queryinterpreter.cpp:2430-2577).
+    Q("q_funnel_signup_purchase",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val f = EventOps.funnel2(e, "signup", "purchase", TimeFns.days(7))
+        f.agg(
+          count(col("first_from")).as("n_entered"),
+          count(col("first_to_after")).as("n_converted"))
+      },
+      Some(s"""$E, f AS (
+          SELECT id,
+            MIN(CASE WHEN event = 'signup' THEN stamp END) AS first_from
+          FROM e GROUP BY id),
+        c AS (
+          SELECT f.id, MIN(e.stamp) AS first_to
+          FROM f JOIN e ON e.id = f.id AND e.event = 'purchase'
+            AND e.stamp >= f.first_from AND e.stamp <= f.first_from + 604800000
+          GROUP BY f.id)
+        SELECT (SELECT COUNT(first_from) FROM f) AS n_entered,
+               (SELECT COUNT(*) FROM c) AS n_converted""")),
+
+    // Event transition matrix (path analysis): counts of each
+    // event -> immediately-next-event step per person, deterministic order
+    // by (stamp, event_id).
+    Q("q_event_transitions",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        EventOps.transitions(e, col("event_id"))
+      },
+      Some(s"""$E, l AS (
+          SELECT event,
+            LEAD(event) OVER (PARTITION BY id ORDER BY stamp, event_id) AS next_event,
+            id
+          FROM e)
+        SELECT event, next_event, COUNT(*) AS n_transitions,
+          COUNT(DISTINCT id) AS customers
+        FROM l WHERE next_event IS NOT NULL GROUP BY event, next_event""")),
+
+    // Top 3-step event paths (generalized transitions): the reference's
+    // sequence-correlation idiom as one window pass + one aggregation.
+    Q("q_event_paths3",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        EventOps.paths(e, 3, col("event_id"))
+      },
+      Some(s"""$E, l AS (
+          SELECT id, event,
+            LEAD(event, 1) OVER (PARTITION BY id ORDER BY stamp, event_id) AS e2,
+            LEAD(event, 2) OVER (PARTITION BY id ORDER BY stamp, event_id) AS e3
+          FROM e)
+        SELECT event || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n_paths,
+          COUNT(DISTINCT id) AS customers
+        FROM l WHERE e2 IS NOT NULL AND e3 IS NOT NULL GROUP BY 1""")),
+
+    // Last-touch attribution: every purchase credited to the most recent
+    // preceding click/view of the same person ('direct' when none) — the
+    // backward-scan (.look_back) analytics shape as one window pass.
+    Q("q_attribution_last_touch",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        EventOps.lastTouchAttribution(e, "purchase", Seq("click", "view"), col("event_id"))
+      },
+      Some(s"""$E, t AS (
+          SELECT id, event, value,
+            LAST_VALUE(CASE WHEN event IN ('click','view') THEN event END IGNORE NULLS)
+              OVER (PARTITION BY id ORDER BY stamp, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+          FROM e)
+        SELECT COALESCE(touch, 'direct') AS channel, COUNT(*) AS n_conversions,
+          COUNT(DISTINCT id) AS customers, ${dsumSql("value")} AS attributed_value
+        FROM t WHERE event = 'purchase' GROUP BY 1""")),
+
+    // Time-to-convert histogram: whole days from first signup to the first
+    // purchase at-or-after it, distinct customers per day bucket. One
+    // groupBy on id (stamp lists fold in-row) + one tiny aggregation.
+    Q("q_time_to_convert",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        e.groupBy(col("id")).agg(
+            min(when(col("event") === "signup", col("stamp"))).as("t_signup"),
+            collect_list(when(col("event") === "purchase", col("stamp"))).as("ps"))
+          .withColumn("t_purchase",
+            array_min(filter(col("ps"), x => x >= col("t_signup"))))
+          .where(col("t_signup").isNotNull && col("t_purchase").isNotNull)
+          .select(expr("(t_purchase - t_signup) div 86400000").as("days"))
+          .groupBy(col("days")).agg(count(lit(1)).as("customers"))
+      },
+      Some(s"""$E, s AS (
+          SELECT id, MIN(CASE WHEN event = 'signup' THEN stamp END) AS t_signup
+          FROM e GROUP BY id),
+        p AS (
+          SELECT e.id, MIN(e.stamp) AS t_purchase
+          FROM e JOIN s ON e.id = s.id
+          WHERE e.event = 'purchase' AND e.stamp >= s.t_signup
+          GROUP BY e.id)
+        SELECT (p.t_purchase - s.t_signup) // 86400000 AS days,
+          COUNT(*) AS customers
+        FROM p JOIN s ON p.id = s.id GROUP BY 1""")),
+
+    // Three-step funnel (signup -> click -> purchase, each step within 7d of
+    // the previous) via the in-row funnelN fold — no self-joins.
+    Q("q_funnel3",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val f = EventOps.funnelN(e, Seq("signup", "click", "purchase"),
+          TimeFns.days(7))
+        f.agg(count(col("step_0")).as("n_step0"),
+          count(col("step_1")).as("n_step1"),
+          count(col("step_2")).as("n_step2"))
+      },
+      Some(s"""$E, s0 AS (
+          SELECT id, MIN(CASE WHEN event = 'signup' THEN stamp END) AS t0
+          FROM e GROUP BY id),
+        s1 AS (
+          SELECT s0.id, t0, MIN(e.stamp) AS t1
+          FROM s0 JOIN e ON e.id = s0.id AND e.event = 'click'
+            AND e.stamp > s0.t0 AND e.stamp <= s0.t0 + 604800000
+          GROUP BY s0.id, t0),
+        s2 AS (
+          SELECT s1.id, MIN(e.stamp) AS t2
+          FROM s1 JOIN e ON e.id = s1.id AND e.event = 'purchase'
+            AND e.stamp > s1.t1 AND e.stamp <= s1.t1 + 604800000
+          GROUP BY s1.id)
+        SELECT (SELECT COUNT(t0) FROM s0) AS n_step0,
+               (SELECT COUNT(*) FROM s1) AS n_step1,
+               (SELECT COUNT(*) FROM s2) AS n_step2""")),
+
+    // .ever / .never modifiers (src/queryinterpreter.cpp:2580-2720).
+    Q("q_ever_error_never_signup",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        e.groupBy(col("id"))
+          .agg(
+            count(when(col("event") === "error", 1)).as("n_err"),
+            count(when(col("event") === "signup", 1)).as("n_sign"))
+          .where(col("n_err") > 0 && col("n_sign") === 0)
+          .agg(count(lit(1)).as("n_customers"))
+      },
+      Some(s"""$E SELECT COUNT(*) AS n_customers FROM (
+        SELECT id FROM e GROUP BY id
+        HAVING COUNT(CASE WHEN event = 'error' THEN 1 END) > 0
+           AND COUNT(CASE WHEN event = 'signup' THEN 1 END) = 0)""")),
+
+    // Hierarchical tally `<<` by (day-of-week, event): every prefix aggregates
+    // with distinct-person counts (src/queryinterpreter.cpp:167-334 -> rollup).
+    Q("q_dow_event_tally",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        EventOps.tallyRollup(
+          e.withColumn("dow", TimeFns.getDayOfWeek(col("stamp"))),
+          Seq(col("dow"), col("event")),
+          Seq(countDistinct(col("id")).as("customers"),
+              count(lit(1)).as("n_rows"),
+              dsum(col("value")).as("total_value")))
+      },
+      Some(s"""$E SELECT dayofweek(make_timestamp(stamp * 1000)) + 1 AS dow, event,
+        COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows, ${dsumSql("value")} AS total_value
+        FROM e GROUP BY ROLLUP(dow, event)""")),
+
+    // trim/top-k per tree node (src/result.cpp:1038-1044).
+    Q("q_top2_events_per_dow",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val grouped = e.withColumn("dow", TimeFns.getDayOfWeek(col("stamp")))
+          .groupBy(col("dow"), col("event"))
+          .agg(count(lit(1)).as("n_rows"))
+        EventOps.trim(grouped, Seq("dow"), col("n_rows"), col("event"), 2)
+      },
+      Some(s"""$E, g AS (
+          SELECT dayofweek(make_timestamp(stamp * 1000)) + 1 AS dow, event, COUNT(*) AS n_rows
+          FROM e GROUP BY 1, 2)
+        SELECT dow, event, n_rows FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY dow ORDER BY n_rows DESC, event ASC) AS rk FROM g)
+        WHERE rk <= 2""")),
+
+    // Single-customer history fetch (GET /v1/query/{table}/customer).
+    Q("q_customer_history",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        e.where(col("id") === 7)
+          .select(col("event_id"), col("stamp"), col("event"), col("value"))
+      },
+      Some(s"""$E SELECT event_id, stamp, event, value FROM e WHERE id = 7""")),
+
+    // Person stats: first_stamp/last_stamp/row_count/distinct events
+    // (src/queryinterpreter.cpp:1259-1352).
+    Q("q_person_stats",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        e.groupBy(col("id"))
+          .agg(
+            min(col("stamp")).as("first_stamp"),
+            max(col("stamp")).as("last_stamp"),
+            count(lit(1)).as("row_count"),
+            countDistinct(col("event")).as("n_event_types"))
+      },
+      Some(s"""$E SELECT id, MIN(stamp) AS first_stamp, MAX(stamp) AS last_stamp,
+        COUNT(*) AS row_count, COUNT(DISTINCT event) AS n_event_types
+        FROM e GROUP BY id""")),
+
+    // stamp_counts mode: distinct stamps as the count key
+    // (src/rpc_query.cpp:329,388; src/queryinterpreter.cpp:249-251).
+    Q("q_stamp_counts",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        e.groupBy(col("event"))
+          .agg(countDistinct(col("stamp")).as("distinct_stamps"))
+      },
+      Some(s"""$E SELECT event, COUNT(DISTINCT stamp) AS distinct_stamps FROM e GROUP BY event""")),
+
+    // Segments: materialization + population + full set algebra
+    // (src/oloop_segment.cpp; src/queryinterpreter.cpp:624-888).
+    Q("q_segment_algebra",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        // materialized customer sets: the reference CACHES segment bitmaps
+        // and runs algebra on them (src/tablepartitioned.h) — persist the
+        // tiny membership frames so the six set operations below don't
+        // re-aggregate the event table per branch
+        // localCheckpoint (lazy), NOT persist(): persist registers the plan
+        // in the session CacheManager, which holds it FOREVER (no release
+        // path from inside a query function that returns a lazy frame) —
+        // across a 90-query sweep those entries pile up, every later
+        // query's planning pays canonicalized-plan lookups against the
+        // growing list, and storage memory stays claimed (the round-4
+        // sweep-wide regression). Checkpoint blocks are plain RDD blocks:
+        // the ContextCleaner reaps them as soon as the query's frames are
+        // garbage-collected.
+        val high = Segments.fromAggPredicate(
+          e, Seq(dsum(when(col("event") === "purchase", col("value"))).as("pv")),
+          col("pv") > 600.0)
+          .localCheckpoint(false)
+        val active = Segments.fromAggPredicate(
+          e, Seq(count(lit(1)).as("c")), col("c") >= 70L)
+          .localCheckpoint(false)
+        val universe = e.select("id").distinct()
+        val rows = Seq(
+          ("high_value", high), ("active", active),
+          ("intersection", Segments.intersection(high, active)),
+          ("union", Segments.union(high, active)),
+          ("difference", Segments.difference(high, active)),
+          ("compliment", Segments.compliment(universe, high)))
+        rows.map { case (nm, seg) =>
+          seg.agg(count(lit(1)).as("population")).select(lit(nm).as("segment"), col("population"))
+        }.reduce(_ union _)
+      },
+      Some(s"""$E, high AS (
+          SELECT id FROM e GROUP BY id
+          HAVING ${dsumSql("CASE WHEN event = 'purchase' THEN value END")} > 600.0),
+        active AS (SELECT id FROM e GROUP BY id HAVING COUNT(*) >= 70),
+        uni AS (SELECT DISTINCT id FROM e)
+        SELECT 'high_value' AS segment, COUNT(*) AS population FROM high
+        UNION ALL SELECT 'active', COUNT(*) FROM active
+        UNION ALL SELECT 'intersection', COUNT(*) FROM (SELECT id FROM high INTERSECT SELECT id FROM active)
+        UNION ALL SELECT 'union', COUNT(*) FROM (SELECT id FROM high UNION SELECT id FROM active)
+        UNION ALL SELECT 'difference', COUNT(*) FROM (SELECT id FROM high EXCEPT SELECT id FROM active)
+        UNION ALL SELECT 'compliment', COUNT(*) FROM (SELECT id FROM uni EXCEPT SELECT id FROM high)""")),
+
+    // The same algebra on the BITMAP tier: memberships aggregate into
+    // roaring-layout IdBitmaps (typed Aggregator, partial bitmaps OR-merged
+    // through the shuffle), then every population is a driver-side popcount
+    // over AND/OR/ANDNOT — the reference's whole-segment short-circuit
+    // (src/queryinterpreter.cpp:624-888). Same oracle as q_segment_algebra.
+    Q("q_segment_algebra_bitmap",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.events(s, dir)
+        val high = Segments.membershipBitmap(Segments.fromAggPredicate(
+          e, Seq(dsum(when(col("event") === "purchase", col("value"))).as("pv")),
+          col("pv") > 600.0))
+        val active = Segments.membershipBitmap(Segments.fromAggPredicate(
+          e, Seq(count(lit(1)).as("c")), col("c") >= 70L))
+        val universe = Segments.membershipBitmap(e.select("id").distinct())
+        Seq(
+          ("high_value", high.cardinality), ("active", active.cardinality),
+          ("intersection", high.and(active).cardinality),
+          ("union", high.or(active).cardinality),
+          ("difference", high.andNot(active).cardinality),
+          ("compliment", universe.andNot(high).cardinality))
+          .toDF("segment", "population")
+      },
+      Some(s"""$E, high AS (
+          SELECT id FROM e GROUP BY id
+          HAVING ${dsumSql("CASE WHEN event = 'purchase' THEN value END")} > 600.0),
+        active AS (SELECT id FROM e GROUP BY id HAVING COUNT(*) >= 70),
+        uni AS (SELECT DISTINCT id FROM e)
+        SELECT 'high_value' AS segment, COUNT(*) AS population FROM high
+        UNION ALL SELECT 'active', COUNT(*) FROM active
+        UNION ALL SELECT 'intersection', COUNT(*) FROM (SELECT id FROM high INTERSECT SELECT id FROM active)
+        UNION ALL SELECT 'union', COUNT(*) FROM (SELECT id FROM high UNION SELECT id FROM active)
+        UNION ALL SELECT 'difference', COUNT(*) FROM (SELECT id FROM high EXCEPT SELECT id FROM active)
+        UNION ALL SELECT 'compliment', COUNT(*) FROM (SELECT id FROM uni EXCEPT SELECT id FROM high)""")),
+
+    // Segment-compare mode (`segments=a,b` -> per-segment result columns,
+    // src/oloop_query.cpp:69-107): conditional agg per membership flag.
+    Q("q_segment_compare",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val high = Segments.fromAggPredicate(
+          e, Seq(dsum(when(col("event") === "purchase", col("value"))).as("pv")),
+          col("pv") > 600.0)
+        val tagged = Segments.compareColumns(e, Map("high" -> high))
+        tagged.groupBy(col("event"))
+          .agg(
+            countDistinct(col("id")).as("customers_all"),
+            countDistinct(when(col("in_high"), col("id"))).as("customers_high"))
+      },
+      Some(s"""$E, high AS (
+          SELECT id FROM e GROUP BY id
+          HAVING ${dsumSql("CASE WHEN event = 'purchase' THEN value END")} > 600.0)
+        SELECT event, COUNT(DISTINCT e.id) AS customers_all,
+          COUNT(DISTINCT CASE WHEN high.id IS NOT NULL THEN e.id END) AS customers_high
+        FROM e LEFT JOIN high ON e.id = high.id GROUP BY event""")),
+
+    // Histogram endpoint: per-person expression -> bucket -> distinct persons
+    // (src/oloop_histogram.cpp:53-220).
+    Q("q_histogram_user_value",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        e.groupBy(col("id")).agg(dsum(col("value")).as("total"))
+          .groupBy(TimeFns.bucket(col("total"), 500.0).as("bucket"))
+          .agg(count(lit(1)).as("customers"))
+      },
+      Some(s"""$E, p AS (SELECT id, ${dsumSql("value")} AS total FROM e GROUP BY id)
+        SELECT FLOOR(total / 500.0) * 500.0 AS bucket, COUNT(*) AS customers
+        FROM p GROUP BY 1""")),
+
+    // get_hour date-part marshal over the stream (src/queryinterpreter.cpp:1298-1348).
+    Q("q_hourly_activity",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        e.groupBy(TimeFns.getHour(col("stamp")).as("hour"))
+          .agg(countDistinct(col("id")).as("customers"), count(lit(1)).as("n_rows"))
+      },
+      Some(s"""$E SELECT hour(make_timestamp(stamp * 1000)) AS hour,
+        COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows FROM e GROUP BY 1""")),
+
+    // start_of_day truncation marshal -> daily active persons.
+    Q("q_daily_active",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        e.groupBy(TimeFns.startOfDay(col("stamp")).as("day_ms"))
+          .agg(countDistinct(col("id")).as("customers"))
+      },
+      Some(s"""$E SELECT epoch_ms(date_trunc('day', make_timestamp(stamp * 1000))) AS day_ms,
+        COUNT(DISTINCT id) AS customers FROM e GROUP BY 1""")),
+
+    // Sketch tier for the 100 TB path: HyperLogLog distinct counts and
+    // t-digest percentiles trade exactness for one-pass mergeable state —
+    // at corpus scale an exact distinct over high-cardinality keys shuffles
+    // every key, a sketch shuffles kilobytes. No SQL oracle (sketches are
+    // engine-specific): the driver records a rows-only check, and the spec
+    // pins relative error against the exact tier.
+    Q("q_daily_active_approx",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        e.groupBy(TimeFns.startOfDay(col("stamp")).as("day_ms"))
+          .agg(approx_count_distinct(col("id"), rsd = 0.02).as("customers_approx"))
+      },
+      None),
+
+    Q("q_value_percentiles_approx",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        e.groupBy(col("event"))
+          .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.9), lit(0.99)),
+            lit(10000)).as("pcts"),
+            count(lit(1)).as("n_rows"))
+          .select(col("event"), col("pcts")(0).as("p50"), col("pcts")(1).as("p90"),
+            col("pcts")(2).as("p99"), col("n_rows"))
+      },
+      None),
+
+    // Sequence correlation: the event immediately after each signup
+    // (each_row.continue().next() 1-level => lead(), SURVEY §2.3).
+    Q("q_next_event_after_signup",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val w = Window.partitionBy("id").orderBy(col("stamp").asc, col("event_id").asc)
+        e.withColumn("next_event", lead(col("event"), 1).over(w))
+          .where(col("event") === "signup" && col("next_event").isNotNull)
+          .groupBy(col("next_event"))
+          .agg(count(lit(1)).as("n_rows"), countDistinct(col("id")).as("customers"))
+      },
+      Some(s"""$E, le AS (
+          SELECT id, event, LEAD(event) OVER (PARTITION BY id ORDER BY stamp ASC, event_id ASC) AS next_event
+          FROM e)
+        SELECT next_event, COUNT(*) AS n_rows, COUNT(DISTINCT id) AS customers
+        FROM le WHERE event = 'signup' AND next_event IS NOT NULL GROUP BY next_event""")),
+
+    // each_row .limit(1): first purchase per person only
+    // (src/queryinterpreter.cpp:2454-2458).
+    Q("q_first_purchase",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val w = Window.partitionBy("id").orderBy(col("stamp").asc, col("event_id").asc)
+        e.where(col("event") === "purchase")
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .agg(count(lit(1)).as("n_customers"),
+            dsum(col("value")).as("first_purchase_value"),
+            davg(col("value")).as("avg_first_value"))
+      },
+      Some(s"""$E SELECT COUNT(*) AS n_customers,
+        ${dsumSql("value")} AS first_purchase_value,
+        ${dsumSql("value")} / COUNT(value) AS avg_first_value
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp ASC, event_id ASC) AS rn
+              FROM e WHERE event = 'purchase')
+        WHERE rn = 1""")),
+
+    // Inline time-framed aggregation: sum(purchases) within 24h after first
+    // signup (.look_ahead/.within, src/queryinterpreter.cpp:2460-2533).
+    Q("q_purchases_24h_after_signup",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val firstSignup = e.where(col("event") === "signup")
+          .groupBy("id").agg(min(col("stamp")).as("t0"))
+        e.where(col("event") === "purchase")
+          .join(firstSignup, Seq("id"))
+          .where(col("stamp") >= col("t0") && col("stamp") < col("t0") + TimeFns.days(1))
+          .groupBy("id")
+          .agg(count(lit(1)).as("n_purchases"), dsum(col("value")).as("spend_24h"))
+      },
+      Some(s"""$E, f AS (SELECT id, MIN(stamp) AS t0 FROM e WHERE event = 'signup' GROUP BY id)
+        SELECT e.id, COUNT(*) AS n_purchases, ${dsumSql("value")} AS spend_24h
+        FROM e JOIN f ON e.id = f.id
+        WHERE e.event = 'purchase' AND e.stamp >= f.t0 AND e.stamp < f.t0 + 86400000
+        GROUP BY e.id""")),
+
+    // Weekly retention cohorts: cohort week = start_of_week(first_stamp),
+    // activity offset in weeks -> distinct persons.
+    Q("q_weekly_retention",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val w = Window.partitionBy("id")
+        e.withColumn("cohort_ms", TimeFns.startOfWeek(min(col("stamp")).over(w)))
+          .withColumn("week_ms", TimeFns.startOfWeek(col("stamp")))
+          .withColumn("week_no", ((col("week_ms") - col("cohort_ms")) / TimeFns.WeekMs).cast("long"))
+          .groupBy(col("cohort_ms"), col("week_no"))
+          .agg(countDistinct(col("id")).as("customers"))
+      },
+      Some(s"""$E, f AS (
+          SELECT id, epoch_ms(date_trunc('week', make_timestamp(MIN(stamp) OVER (PARTITION BY id) * 1000))) AS cohort_ms,
+                 epoch_ms(date_trunc('week', make_timestamp(stamp * 1000))) AS week_ms
+          FROM e)
+        SELECT cohort_ms, CAST((week_ms - cohort_ms) / 604800000.0 AS BIGINT) AS week_no,
+          COUNT(DISTINCT id) AS customers
+        FROM f GROUP BY 1, 2""")),
+
+    // Cohort LTV: exact revenue by signup-cohort week x weeks-since-signup
+    // (the retention matrix's monetary sibling). One person-window pass for
+    // the signup anchor, then a hash aggregation over (cohort, age).
+    Q("q_cohort_ltv",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val w = Window.partitionBy("id")
+        val first = min(when(col("event") === "signup", col("stamp"))).over(w)
+        e.withColumn("cohort_ms", first)
+          .where(col("event") === "purchase" && col("cohort_ms").isNotNull &&
+            col("stamp") >= col("cohort_ms"))
+          .withColumn("cohort_week", expr("cohort_ms div 604800000"))
+          .withColumn("weeks_since", expr("(stamp - cohort_ms) div 604800000"))
+          .groupBy(col("cohort_week"), col("weeks_since"))
+          .agg(countDistinct(col("id")).as("customers"),
+            dsum(col("value")).as("revenue"))
+      },
+      Some(s"""$E, f AS (
+          SELECT id, stamp, event, value,
+            MIN(CASE WHEN event = 'signup' THEN stamp END)
+              OVER (PARTITION BY id) AS cohort_ms
+          FROM e)
+        SELECT cohort_ms // 604800000 AS cohort_week,
+          (stamp - cohort_ms) // 604800000 AS weeks_since,
+          COUNT(DISTINCT id) AS customers, ${dsumSql("value")} AS revenue
+        FROM f
+        WHERE event = 'purchase' AND cohort_ms IS NOT NULL AND stamp >= cohort_ms
+        GROUP BY 1, 2""")),
+
+    // RFM segmentation (recency/frequency/monetary classes by fixed
+    // thresholds): per purchaser stats in one groupBy(id), then one tiny
+    // class aggregation — no windows, no global quantile sort.
+    Q("q_rfm_segments",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        EventOps.rfm(e, "purchase", nowMs = OslNow)
+      },
+      Some(s"""$E, per AS (
+          SELECT id, ($OslNow - MAX(stamp)) // 86400000 AS recency_days,
+            COUNT(*) AS freq, ${dsumSql("value")} AS money
+          FROM e WHERE event = 'purchase' GROUP BY id)
+        SELECT
+          CASE WHEN recency_days <= 7 THEN 'recent'
+               WHEN recency_days <= 30 THEN 'warm' ELSE 'lapsed' END AS r,
+          CASE WHEN freq >= 10 THEN 'high' WHEN freq >= 3 THEN 'mid' ELSE 'low' END AS f,
+          CASE WHEN money >= 500.0 THEN 'high' WHEN money >= 100.0 THEN 'mid' ELSE 'low' END AS m,
+          COUNT(*) AS customers, ${dsumSql("money")} AS total_value
+        FROM per GROUP BY 1, 2, 3""")),
+
+    // Session durations: sessionize -> per-session span -> bucketed counts.
+    Q("q_session_durations",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        EventOps.sessionize(e)
+          .groupBy(col("id"), col("session"))
+          .agg((max(col("stamp")) - min(col("stamp"))).as("dur_ms"),
+            count(lit(1)).as("n_events"))
+          .groupBy(TimeFns.bucket((col("dur_ms") / lit(60000.0)), 10.0).as("dur_min_bucket"))
+          .agg(count(lit(1)).as("n_sessions"), dsum(col("n_events").cast("double")).as("n_events"))
+      },
+      Some(s"""$E, l AS (
+          SELECT id, stamp,
+            CASE WHEN stamp - LAG(stamp) OVER (PARTITION BY id ORDER BY stamp) > 1800000
+                 THEN 1 ELSE 0 END AS isnew
+          FROM e),
+        se AS (
+          SELECT id, stamp, SUM(isnew) OVER (PARTITION BY id ORDER BY stamp ROWS UNBOUNDED PRECEDING) + 1 AS session
+          FROM l),
+        d AS (
+          SELECT id, session, MAX(stamp) - MIN(stamp) AS dur_ms, COUNT(*) AS n_events
+          FROM se GROUP BY id, session)
+        SELECT FLOOR((dur_ms / 60000.0) / 10.0) * 10.0 AS dur_min_bucket,
+          COUNT(*) AS n_sessions, ${dsumSql("n_events")} AS n_events
+        FROM d GROUP BY 1""")),
+  )
+}

@@ -52,6 +52,15 @@ object StageBudget {
     }
     val totalSec = rows.map(_._4).sum
     val totalStages = rows.map(_._2).sum
+    if (rows.isEmpty || totalStages == 0L) {
+      // every query failed (or scheduled nothing): a 0/0 floor would write
+      // NaN/Infinity — invalid JSON — into STAGES.json; fail loudly instead
+      System.err.println(
+        s"STAGES.json NOT written: ${rows.size} queries succeeded, " +
+          s"$totalStages stages — nothing to budget")
+      spark.stop()
+      sys.exit(1)
+    }
     val floor = totalSec / totalStages
     def sec(v: Double) =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString

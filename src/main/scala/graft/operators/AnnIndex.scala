@@ -207,7 +207,7 @@ object AnnIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     assigned.select(col("vec_id"), col("e"), col("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(s"$path/cells")
-    dropOldGenerations(path, "cells", keepFrom = 0L)
+    dropRebuiltGenerations(spark, path, "cells")
   }
 
   private def storedCentroids(spark: SparkSession, path: String)
@@ -312,7 +312,7 @@ object AnnIndex {
       .select(col("vec_id"), col("code"))
       .withColumn("idb", idBucket(col("vec_id"), nb))
       .write.partitionBy("idb").mode("overwrite").parquet(s"$path/codes")
-    dropOldGenerations(path, "codes", keepFrom = 0L)
+    dropRebuiltGenerations(spark, path, "codes")
   }
 
   private def storedBooks(spark: SparkSession, path: String,
@@ -388,37 +388,64 @@ object AnnIndex {
     * linearly with batches until a compaction folds it back to one file
     * per partition value. */
   def dataFileCount(spark: SparkSession, path: String): Int =
-    parquetFiles(currentData(path, readMeta(spark, path)))
+    parquetFiles(spark, currentData(path, readMeta(spark, path)))
 
-  private def parquetFiles(dir: String): Int = {
-    def walk(f: java.io.File): Int =
-      if (f.isDirectory) Option(f.listFiles).toSeq.flatten.map(walk).sum
-      else if (f.getName.endsWith(".parquet")) 1 else 0
-    walk(new java.io.File(dir))
+  // file counting and generation retirement go through the Hadoop
+  // FileSystem API resolved from the index path itself, so the store is
+  // genuinely storage-agnostic: on s3a/hdfs paths a java.io.File walk
+  // would silently report 0 files — maybeCompact would never fire and
+  // retirement could never delete (round-13 fix, ADVICE r12).
+  private def hadoopFs(spark: SparkSession, p: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    (hp.getFileSystem(spark.sessionState.newHadoopConf()), hp)
   }
 
-  private def deleteDir(dir: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles).toSeq.flatten.foreach(rm)
-      f.delete(): Unit
+  private def parquetFiles(spark: SparkSession, dir: String): Int = {
+    val (fsys, p) = hadoopFs(spark, dir)
+    if (!fsys.exists(p)) 0
+    else {
+      val it = fsys.listFiles(p, true)
+      var n = 0
+      while (it.hasNext)
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
     }
-    rm(new java.io.File(dir))
   }
 
   /** Remove data generations older than `keepFrom` (the grace-window
     * policy: [[compact]] keeps the just-retired generation for readers
     * that already planned against its listing; the one before it can no
     * longer have readers by the time another compaction cycle runs). */
-  private def dropOldGenerations(path: String, base: String,
-                                 keepFrom: Long): Unit = {
+  private def dropOldGenerations(spark: SparkSession, path: String,
+                                 base: String, keepFrom: Long): Unit = {
     val re = s"${base}_v(\\d+)".r
-    Option(new java.io.File(path).listFiles).toSeq.flatten.foreach { f =>
-      val gen = f.getName match {
+    val (fsys, p) = hadoopFs(spark, path)
+    if (fsys.exists(p)) fsys.listStatus(p).foreach { st =>
+      val gen = st.getPath.getName match {
         case `base` => Some(0L)
         case re(g) => Some(g.toLong)
         case _ => None
       }
-      gen.filter(_ < keepFrom).foreach(_ => deleteDir(f.getPath))
+      gen.filter(_ < keepFrom).foreach(_ => fsys.delete(st.getPath, true): Unit)
+    }
+  }
+
+  /** Retire EVERY `base_vN` generation dir after a full rebuild: the
+    * rebuild overwrites the gen-0 base dir and flips meta back to gen 0,
+    * so all numbered generations from prior compactions are stale the
+    * moment the meta lands — left in place they'd orphan disk forever
+    * (a later compact would overwrite but never reclaim them;
+    * round-13 fix, ADVICE r12). */
+  private def dropRebuiltGenerations(spark: SparkSession, path: String,
+                                     base: String): Unit = {
+    val re = s"${base}_v(\\d+)".r
+    val (fsys, p) = hadoopFs(spark, path)
+    if (fsys.exists(p)) fsys.listStatus(p).foreach { st =>
+      st.getPath.getName match {
+        case re(_) => fsys.delete(st.getPath, true): Unit
+        case _ => ()
+      }
     }
   }
 
@@ -440,7 +467,7 @@ object AnnIndex {
       .repartition(col(meta.partCol))
       .write.partitionBy(meta.partCol).mode("overwrite").parquet(next)
     writeMeta(spark, path, meta.copy(gen = meta.gen + 1))
-    dropOldGenerations(path, meta.dataBase, keepFrom = meta.gen)
+    dropOldGenerations(spark, path, meta.dataBase, keepFrom = meta.gen)
   }
 
   /** Compact iff the current generation's file count is at or past the

@@ -264,9 +264,17 @@ object TierA {
                  Seq.empty[String])
             val withAcc = accums.foldLeft(accBase) {
               case (df, (n, init, parts)) =>
-                df.withColumn(s"__acc_$n",
-                  lit(init) + coalesce(
-                    sum(perVisitInc(parts, now, real)).over(accFrame), lit(0L)))
+                val acc =
+                  if (foldNeeded(init, parts))
+                    // multi-statement / nonzero-init fp accumulators: the
+                    // statement-ordered FoldSum replays the interpreter's
+                    // exact add sequence (round 13)
+                    graft.functions.FoldSum.foldSum(init.toDouble,
+                      foldStages(parts, now, real, None)).over(accFrame)
+                  else
+                    lit(init) + coalesce(
+                      sum(perVisitInc(parts, now, real)).over(accFrame), lit(0L))
+                df.withColumn(s"__acc_$n", acc)
             }.drop(accTmp: _*)
             // per-person write rank for `value` selects (merge key): counts
             // the WRITING rows — tally predicate satisfied, source non-null.
@@ -410,14 +418,45 @@ object TierA {
     case ">=" => "<="
   }
 
+  /** Affine-in-accumulator side: `n`, `n ± k`, `k + n` (recursively, so
+    * `n + 1 - 2` works) → (name, shift). The accumulator is a long
+    * (mixed bounds require literal-constant increments), so shifting the
+    * comparison — `n + s OP R ⟺ n OP R − s` — is exact integer
+    * arithmetic, the same as the interpreter's own `Value.plus` fold
+    * (round 13, residue item: non-bare accumulator sides). */
+  private def accShifted(e: Expr): Option[(String, Long)] = e match {
+    case _ if bareAccName(e).isDefined => bareAccName(e).map(_ -> 0L)
+    case BinOp("+", a, Lit(VInt(k))) =>
+      accShifted(a).map { case (n, s) => (n, s + k) }
+    case BinOp("+", Lit(VInt(k)), a) =>
+      accShifted(a).map { case (n, s) => (n, s + k) }
+    case BinOp("-", a, Lit(VInt(k))) =>
+      accShifted(a).map { case (n, s) => (n, s - k) }
+    case _ => None
+  }
+
+  private def shiftRow(e: Expr, d: Long): Expr =
+    if (d == 0L) e else BinOp("-", e, Lit(VInt(d)))
+
   private def mixedBoundOf(c: Expr): Option[MixedBound] = c match {
     case BinOp(op, l, r) if mixedCmpOps(op) =>
-      (bareAccName(l), bareAccName(r)) match {
-        case (Some(a), None) if !readsName(r, _.startsWith("__acc")) =>
-          Some(MixedBound(a, op, r))
-        case (None, Some(a)) if !readsName(l, _.startsWith("__acc")) =>
-          Some(MixedBound(a, flipCmp(op), l))
+      (accShifted(l), accShifted(r)) match {
+        case (Some((a, s)), None) if !readsName(r, _.startsWith("__acc")) =>
+          Some(MixedBound(a, op, shiftRow(r, s)))
+        case (None, Some((a, s))) if !readsName(l, _.startsWith("__acc")) =>
+          Some(MixedBound(a, flipCmp(op), shiftRow(l, s)))
         case _ => None
+      }
+    // `.is(OP acc)` prop-test form (round 13): `p.is(> n)` at the guarded
+    // row means `p > n ⟺ n < p` — the same bound with the prop as the
+    // row side. Unframed `.is` only (frames re-anchor the scan; `.is_not`
+    // complements differently on nil props — the interpreter's nil
+    // compare is falsy under BOTH `.is(>)` and `.is_not(>)`, which no
+    // single flipped op reproduces).
+    case PropTest(p, "is", Comparator(op, o), None, false)
+        if mixedCmpOps(op) && !p.startsWith("__accs_") =>
+      accShifted(o).map { case (a, s) =>
+        MixedBound(a, flipCmp(op), shiftRow(PropRef(p), s))
       }
     case _ => None
   }
@@ -1691,11 +1730,19 @@ object TierA {
           .rowsBetween(W.unboundedPreceding, W.currentRow)
       else curRows
     accums.foreach { case (n, init, parts) =>
-      df = df.withColumn(s"__acc_$n",
-        lit(init) + coalesce(
-          sum(when(visited, perVisitInc(parts, now, real)))
-            .over(accRunFrame),
-          lit(0L)))
+      val acc =
+        if (foldNeeded(init, parts))
+          // multi-statement / nonzero-init fp accumulators (round 13):
+          // FoldSum replays the interpreter's statement-ordered add
+          // sequence; non-visited rows skip every stage (guard AND)
+          graft.functions.FoldSum.foldSum(init.toDouble,
+            foldStages(parts, now, real, Some(visited))).over(accRunFrame)
+        else
+          lit(init) + coalesce(
+            sum(when(visited, perVisitInc(parts, now, real)))
+              .over(accRunFrame),
+            lit(0L))
+      df = df.withColumn(s"__acc_$n", acc)
     }
     val eligible: Seq[Column] = elig0 +: (1 until levels.length).map { k =>
       val rev = levels(k).reverse
@@ -2299,6 +2346,52 @@ object TierA {
     }.reduceOption(_ + _).getOrElse(lit(0L))
   }
 
+  private def isIntLitE(e: Expr): Boolean = e match {
+    case Lit(VInt(_)) => true
+    case _ => false
+  }
+
+  /** Multi-statement or nonzero-init FLOATING-POINT accumulators need the
+    * statement-ordered fold ([[graft.functions.FoldSum]]): a plain window
+    * SUM re-associates the interpreter's left-fold add sequence
+    * (`((init+v1)+v2)` vs `init+(v1+v2)`), which diverges in final ULPs.
+    * Literal-only accumulators are exact long arithmetic under any
+    * association, and the single-statement zero-init fp shape IS a plain
+    * running sum (`0 + v` is the IEEE identity the interpreter also
+    * computes), so both keep the cheaper built-in SUM. */
+  private def foldNeeded(init: Long, parts: Seq[AccumPart]): Boolean = {
+    val incs = parts.flatMap(p => p.incThen ++ p.incElse)
+    incs.exists(!isIntLitE(_)) &&
+      (init != 0L || parts.size > 1 ||
+        parts.exists(p => p.incThen.size > 1 || p.incElse.size > 1))
+  }
+
+  /** [[graft.functions.FoldSum]] stages for one accumulator — one
+    * (guard, value-as-double) pair per increment statement, in statement
+    * order. `visited` (chain builder) ANDs into every guard so
+    * non-visited rows skip the whole visit. A null guard skips its stage
+    * (the interpreter's falsy branch); null VALUES coalesce to 0.0 —
+    * the interpreter ADDS zero for nil props (`Value.plus(_, VNone)`)
+    * rather than skipping. Int literals widen exactly (`|k| < 2^53`). */
+  private def foldStages(parts: Seq[AccumPart], now: Long,
+                         real: Map[PropTest, Column],
+                         visited: Option[Column]): Seq[(Column, Column)] = {
+    def dbl(e: Expr): Column = e match {
+      case Lit(VInt(k)) => lit(k.toDouble)
+      case other =>
+        coalesce(compileExpr(other, now, real).get.cast("double"), lit(0.0))
+    }
+    def onTop(g: Column): Column = visited.map(_ && g).getOrElse(g)
+    parts.flatMap {
+      case AccumPart(None, t, _) =>
+        t.map(e => (visited.getOrElse(lit(true)), dbl(e)))
+      case AccumPart(Some(c), t, e2) =>
+        val g = compileExpr(c, now, real).get
+        t.map(x => (onTop(g), dbl(x))) ++
+          e2.map(x => (onTop(!coalesce(g, lit(false))), dbl(x)))
+    }
+  }
+
   /** Classify the program's assigned variable names into (write-only names,
     * integer read-accumulators `(name, init, parts)`), or None when
     * some assignment fits neither class (→ Tier B).
@@ -2592,15 +2685,14 @@ object TierA {
       // per branch, forward scan, numeric un-shadowed column refs
       val allIncs = parts.flatMap(p => p.incThen ++ p.incElse)
       if (allIncs.exists(!isIntLit(_))) {
-        if (init != 0L) return None
-        // a reverse top accumulates in DESCENDING row order — compiled
-        // bit-exactly by BOTH window builders (single loops round 10,
-        // chainWitnesses round 11): the accumulator runs as a running sum
-        // over a DESC running frame on the forward sort's own row_number,
-        // which Spark streams sequentially in exactly the interpreter's
-        // backward fold order.
-        if (parts.size != 1 ||
-            parts.exists(p => p.incThen.size > 1 || p.incElse.size > 1)) return None
+        // round 13: ANY number of statements/parts and nonzero integer
+        // inits compile — multi-statement / nonzero-init fp accumulators
+        // ride the statement-ordered FoldSum window fold (see
+        // [[foldNeeded]]); the single-statement zero-init shape keeps the
+        // plain running SUM. Reverse tops compose with both builders (the
+        // DESC running frame streams in the interpreter's backward fold
+        // order, one update per row). Values must be numeric un-shadowed
+        // refs or literals either way.
         if (allIncs.exists(e => !isIntLit(e) && !numericRef(e))) return None
       }
       Some((init, parts))

@@ -228,6 +228,26 @@ class AnnIndexSpec extends SparkSpec {
       !new java.io.File(s"$path/cells").exists)
   }
 
+  test("rebuild retires ALL prior generation dirs (no orphans)") {
+    val path = java.nio.file.Files.createTempDirectory("annidx").toString
+    AnnIndex.buildIvf(corpus(0 until 30), path, nlist = 8)
+    AnnIndex.appendIvf(corpus(30 until 40), path)
+    AnnIndex.compact(spark, path) // -> cells_v1 current, cells grace
+    AnnIndex.compact(spark, path) // -> cells_v2 current, cells gone
+    assert(new java.io.File(s"$path/cells_v1").exists &&
+      new java.io.File(s"$path/cells_v2").exists)
+    // a full rebuild flips meta back to gen 0: every numbered generation
+    // is stale and must be reclaimed, not orphaned until the next compact
+    AnnIndex.buildIvf(corpus(0 until 50), path, nlist = 8)
+    assert(new java.io.File(s"$path/cells").exists)
+    assert(!new java.io.File(s"$path/cells_v1").exists &&
+      !new java.io.File(s"$path/cells_v2").exists,
+      "rebuild must delete stale generation dirs")
+    assert(AnnIndex.data(spark, path).count() == 50)
+    val q = corpus(0 until 50).where(col("vec_id") < 3)
+    assert(AnnIndex.ivfTopK(spark, path, q, k = 2, nprobe = 3).count() == 6)
+  }
+
   test("PQ compact: codes fold per id-bucket, rankings unchanged") {
     val path = java.nio.file.Files.createTempDirectory("annidx").toString
     AnnIndex.buildPq(corpus(0 until 30), path, m = 4, ksub = 8)

@@ -1495,6 +1495,18 @@ class TierChainAccumSpec extends SparkSpec {
          |  end
          |end
          |""".stripMargin)
+    // round 13 (ADVICE r12): mixed guard at the MID step composed with a
+    // NON-FORWARD deepest — gate-allowed since round 12 (the mixed bound
+    // folds into the ladder; lastHopWin flips/brackets the final window
+    // independently), but previously untested. Reverse deepest:
+    mixed3("get_hour(stamp) > n",
+      deepMods = ".reverse().look_back(24_hours)")
+    mixed3("n < get_hour(stamp)", inc = "n += 2",
+      deepMods = ".reverse().look_back(9_hours)")
+    // ...and a `.from(k)` restart deepest (unframed + framed):
+    mixed3("get_hour(stamp) > n", deepMods = ".from(0)")
+    mixed3("n >= get_hour(stamp)", init = "n = 50", inc = "n -= 2",
+      deepMods = ".from(1).look_back(24_hours)")
     // pinned DECLINES — each still differentially checked through Tier B:
     // suffix form (increasing accumulator, lower-bounding op)
     mixed3("get_hour(stamp) < n", expectTierA = false)

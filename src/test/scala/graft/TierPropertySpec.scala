@@ -671,10 +671,22 @@ class TierPropertySpec extends SparkSpec {
         forceTierB = true))
       assert(a == b, s"reverse chain-top prop-accum mismatch:\n$script\nA=$a\nB=$b")
     }
-    // declines: nonzero init, two increments, string prop
-    for (bad <- Seq(
+    // round 13: nonzero inits and multi-statement fp bodies COMPILE now
+    // (FoldSum replays the interpreter's statement-ordered add sequence)
+    for (good <- Seq(
       "spend = 5\neach_row where event.is(!= 'x')\n  spend += product_price\n  << bucket(spend, 50)\nend\n",
-      "spend = 0\neach_row where event.is(!= 'x')\n  spend += product_price\n  spend += 1\n  << bucket(spend, 50)\nend\n",
+      "spend = 0\neach_row where event.is(!= 'x')\n  spend += product_price\n  spend += 1\n  << bucket(spend, 50)\nend\n")) {
+      val script = s"select\n  count id as customers\nend\n$good"
+      val p = Parser.program(script)
+      assert(TierA.compile(p, world, Mon + 100 * H, 1800000L).isDefined,
+        s"expected Tier A (round-13 FoldSum) for:\n$script")
+      val a = canon(OslEngine.query(world, script, now = Mon + 100 * H))
+      val b = canon(OslEngine.query(world, script, now = Mon + 100 * H,
+        forceTierB = true))
+      assert(a == b, s"FoldSum shape mismatch:\n$script")
+    }
+    // declines: string prop (concatenation, not arithmetic)
+    for (bad <- Seq(
       "spend = 0\neach_row where event.is(!= 'x')\n  spend += product_name\n  << bucket(spend, 50)\nend\n")) {
       val script = s"select\n  count id as customers\nend\n$bad"
       val p = Parser.program(script)
@@ -889,8 +901,11 @@ class TierPropertySpec extends SparkSpec {
       val midMods1 = if (mixedDraw) "" else midMods
       val midLim = midMods1.contains(".limit(")
       // round 12: BOTH limits compose, so a mid limit no longer strips
-      // the deepest one; a mixed guard still rules out a deepest limit
-      // and a reverse deepest (mixed rides the ordinal path only)
+      // the deepest one; a mixed guard still rules out a deepest LIMIT
+      // (mixed rides the ordinal path only). A reverse/restart deepest
+      // IS gate-allowed under a mixed guard — that combination is pinned
+      // in TierChainAccumSpec (round 13); this generator keeps its draw
+      // space ordinal-plain to avoid skewing the other dimensions
       val deepMods =
         if (mixedDraw) {
           val noLim = deepMods0.replaceAll("\\.limit\\(\\d+\\)", "")
