@@ -2156,5 +2156,64 @@ object QueriesOsl {
         SELECT CAST(1 AS INTEGER), CAST(n7 AS VARCHAR), CAST(NULL AS VARCHAR),
           COUNT(DISTINCT id), COUNT(*)
         FROM tri GROUP BY n7""")),
+
+    // Round-14 adjudication query (VERDICT r13 #1): a MIXED guard
+    // (decreasing accumulator, lower-bounding `>=`) over a FRAMED
+    // `.from(1).look_back(24h)` RESTART deepest. The restart deepest is a
+    // bare nested `each_row.from(k)` (`.from` is interpreter-dead under
+    // `.continue()` — Interpreter.execEachRow resolves the scan start
+    // continueFrom-first); the mixed bound folds into the ordinal ladder
+    // (least(K, hi)) while lastHopWin brackets the inverted restart frame
+    // (s1 ∈ [r, r+24h]) and the `__rn` index floor stays
+    // spawn-independent. Reference: src/queryinterpreter.cpp:2437-2577
+    // (loop restart), src/queryparserosl.h:2167-2524 (guard compare).
+    Q("q_osl_chain3_restart_framed_mixed",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 50
+            |each_row where event.is(== 'signup')
+            |  n -= 2
+            |  each_row.continue().next() where event.is(== 'view')
+            |    if n >= get_hour(stamp)
+            |      each_row.from(1).look_back(24_hours) where event.is(== 'purchase')
+            |        << n, event
+            |      end
+            |    end
+            |  end
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"))
+      },
+      Some(s"""$E, su AS (
+          SELECT id, stamp,
+            50 - 2 * ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS nv
+          FROM e WHERE event = 'signup'),
+        rn AS (
+          SELECT id, stamp, event,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS r
+          FROM e),
+        tri AS (
+          SELECT DISTINCT p.id, p.stamp, su.nv
+          FROM rn p JOIN su ON su.id = p.id
+          WHERE p.event = 'purchase' AND p.r >= 2
+            AND EXISTS (SELECT 1 FROM e v
+              WHERE v.id = p.id AND v.event = 'view'
+                AND v.stamp > su.stamp
+                AND su.nv >= hour(make_timestamp(v.stamp * 1000))
+                AND p.stamp <= v.stamp AND v.stamp - p.stamp <= 86400000))
+        SELECT CAST(2 AS INTEGER) AS depth, CAST(nv AS VARCHAR) AS g1,
+          'purchase' AS g2, COUNT(DISTINCT id) AS customers,
+          COUNT(*) AS n_rows
+        FROM tri GROUP BY nv
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), CAST(nv AS VARCHAR), CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*)
+        FROM tri GROUP BY nv""")),
   )
 }

@@ -1409,14 +1409,14 @@ class TierChainAccumSpec extends SparkSpec {
     // folded into the reachability ladder (least(prev, hi)).
     def mixed3(guard: String, expectTierA: Boolean = true,
                init: String = "n = 0", inc: String = "n += 1",
-               deepMods: String = ""): Unit =
+               deepMods: String = "", deepStep: Option[String] = None): Unit =
       diffOn(worldDense,
         s"""$sel$init
            |each_row where event.is(== 'signup')
            |  $inc
            |  each_row.continue().next() where event.is(== 'view')
            |    if $guard
-           |      each_row.continue().next()$deepMods where event.is(== 'purchase')
+           |      ${deepStep.getOrElse(s"each_row.continue().next()$deepMods")} where event.is(== 'purchase')
            |        << n, event
            |      end
            |    end
@@ -1503,18 +1503,36 @@ class TierChainAccumSpec extends SparkSpec {
       deepMods = ".reverse().look_back(24_hours)")
     mixed3("n < get_hour(stamp)", inc = "n += 2",
       deepMods = ".reverse().look_back(9_hours)")
-    // ...and a `.from(k)` restart deepest (unframed + framed):
-    mixed3("get_hour(stamp) > n", deepMods = ".from(0)")
+    // ...and a GENUINE `.from(k)` restart deepest (unframed + framed).
+    // Round 14 adjudication of the round-13 red pin: `.from(k)` must NOT
+    // ride a `.continue()` step — the interpreter resolves the scan start
+    // continueFrom-first (Interpreter.execEachRow), so
+    // `.continue().next().from(k)` is a plain continue step with a dead
+    // `.from`; a restart step is a bare nested `each_row.from(k)`.
+    mixed3("get_hour(stamp) > n", deepStep = Some("each_row.from(0)"))
+    mixed3("get_hour(stamp) > n", deepStep = Some("each_row.from(2)"))
     mixed3("n >= get_hour(stamp)", init = "n = 50", inc = "n -= 2",
-      deepMods = ".from(1).look_back(24_hours)")
+      deepStep = Some("each_row.from(1).look_back(24_hours)"))
+    mixed3("get_hour(stamp) > n",
+      deepStep = Some("each_row.from(0).look_ahead(18_hours)"))
+    // what the round-13 pin actually spelled: a CONTRA-framed continue
+    // deepest (forward scan + look_back — only stamp-ties can match).
+    // dir3StepOk declines it at depth ≥ 3, mixed or not; Tier B answers.
+    mixed3("n >= get_hour(stamp)", init = "n = 50", inc = "n -= 2",
+      deepMods = ".look_back(24_hours)", expectTierA = false)
+    mixed3("n >= get_hour(stamp)", init = "n = 50", inc = "n -= 2",
+      deepMods = ".from(1).look_back(24_hours)", expectTierA = false)
+    // affine accumulator side — COMPILES since round 13 (accShifted folds
+    // the literal shift into the intercept; q_osl_mixed_shift_guard).
+    // Round 13 left this pinned as a decline, masked by the then-failing
+    // restart pin above (one test block — execution never reached it).
+    mixed3("n + 1 < get_hour(stamp)")
     // pinned DECLINES — each still differentially checked through Tier B:
     // suffix form (increasing accumulator, lower-bounding op)
     mixed3("get_hour(stamp) < n", expectTierA = false)
     // double row side (fp boundary vs the exact integer bound)
     mixed3("product_price > n", expectTierA = false)
-    // non-bare accumulator side
-    mixed3("n + 1 < get_hour(stamp)", expectTierA = false)
-    // prop-test form of the same compare
+    // prop-test form over a DOUBLE prop (integral row sides only)
     mixed3("product_price.is(> n)", expectTierA = false)
     // mixed on the DEEPEST step + a deepest limit (G-lookup unsound)
     mixed3("get_hour(stamp) > n", expectTierA = false, deepMods = ".limit(1)")

@@ -903,8 +903,10 @@ class TierPropertySpec extends SparkSpec {
       // round 12: BOTH limits compose, so a mid limit no longer strips
       // the deepest one; a mixed guard still rules out a deepest LIMIT
       // (mixed rides the ordinal path only). A reverse/restart deepest
-      // IS gate-allowed under a mixed guard — that combination is pinned
-      // in TierChainAccumSpec (round 13); this generator keeps its draw
+      // IS gate-allowed under a mixed guard — pinned in
+      // TierChainAccumSpec (rounds 13–14; a restart deepest is a bare
+      // nested `each_row.from(k)` — `.from` is interpreter-dead under
+      // `.continue()`); this generator keeps its draw
       // space ordinal-plain to avoid skewing the other dimensions
       val deepMods =
         if (mixedDraw) {
