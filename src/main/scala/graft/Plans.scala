@@ -218,6 +218,34 @@ object Plans {
       "int(value) mixed guard (round 12): the compiled int() — truncate " +
         "through double, nil->0 — makes a DOUBLE prop an exact-integer row " +
         "side for the ordinal prefix bound; same two-window ladder plan"),
+    P("q_osl_multi_accum",
+      "multi-statement nonzero-init fp accumulator (round 13 FoldSum): the " +
+        "statement-ordered DeclarativeAggregate rides the SAME single running " +
+        "frame the plain accumulator uses — one hashpartitioning(id) exchange, " +
+        "one extra window column vs the SUM path, O(1) buffer state, pure " +
+        "Catalyst If/Add updates (codegen-able), no interpreter MapGroups"),
+    P("q_osl_multi_accum_chain",
+      "FoldSum below a chain step (round 13): the chain-witness builder " +
+        "materializes the same statement-ordered fold before tuple collection " +
+        "— single-exchange chain-witness shape, the fold adds one window " +
+        "column, no extra shuffle"),
+    P("q_osl_mixed_shift_guard",
+      "AFFINE accumulator side `n + 1 < get_hour(stamp)` (round 13): " +
+        "accShifted folds the literal shift into the affine intercept at " +
+        "extraction, so the compiled plan is IDENTICAL in shape to the " +
+        "round-12 mixed ladder — least-fold on the K-ladder, two windows on " +
+        "one (id) exchange, no collect"),
+    P("q_osl_mixed_is_guard",
+      ".is(OP acc) prop-test mixed form (round 13): the prop-test compare " +
+        "lowers to the same per-row ordinal bound with the integral prop as " +
+        "the row side — same two-window ladder plan, nil props coalesce the " +
+        "bound to 0 in-row"),
+    P("q_osl_chain3_restart_framed_mixed",
+      "MIXED guard over a FRAMED .from(k) restart deepest (round 14): the " +
+        "mixed bound folds into the ordinal ladder (least(K, hi)) while the " +
+        "final ladder window brackets the inverted restart frame " +
+        "(rangeBetween(0, 24h)) and the from(k) floor is a row-level __rn " +
+        "gate — collect-free ordinal path, windows on ONE (id) exchange"),
     P("q_ann_ivf_indexed",
       "persisted IVF index (round 11): the cells scan carries an explicit " +
         "PartitionFilters: cell IN (probed) — a query reads nprobe/nlist of the " +

@@ -478,6 +478,65 @@ object Scale {
             |end
             |""".stripMargin, now = 1719792000000L)
       }),
+      "osl_multi_accum" -> ((_: String, e: String, _: String) => {
+        val ev = normalizeEvents(spark.read.parquet(e))
+        graft.osl.OslEngine.query(ev,
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |total = 0
+            |n = 0
+            |each_row where stamp.is(> 0)
+            |  if event.is(== 'purchase')
+            |    total += value
+            |  end
+            |  total += 1
+            |  n += 1
+            |  << bucket(total, 500), bucket(n, 40)
+            |end
+            |""".stripMargin, now = 1719792000000L)
+      }),
+      "osl_mixed_shift_guard" -> ((_: String, e: String, _: String) => {
+        val ev = normalizeEvents(spark.read.parquet(e))
+        graft.osl.OslEngine.query(ev,
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |each_row where event.is(== 'signup')
+            |  n += 1
+            |  each_row.continue().next() where event.is(== 'view')
+            |    if n + 1 < get_hour(stamp)
+            |      each_row.continue().next() where event.is(== 'purchase')
+            |        << n, event
+            |      end
+            |    end
+            |  end
+            |end
+            |""".stripMargin, now = 1719792000000L)
+      }),
+      "osl_chain3_restart_framed_mixed" -> ((_: String, e: String, _: String) => {
+        val ev = normalizeEvents(spark.read.parquet(e))
+        graft.osl.OslEngine.query(ev,
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 50
+            |each_row where event.is(== 'signup')
+            |  n -= 2
+            |  each_row.continue().next() where event.is(== 'view')
+            |    if n >= get_hour(stamp)
+            |      each_row.from(1).look_back(24_hours) where event.is(== 'purchase')
+            |        << n, event
+            |      end
+            |    end
+            |  end
+            |end
+            |""".stripMargin, now = 1719792000000L)
+      }),
       "osl_chain_ever_read" -> ((_: String, e: String, _: String) => {
         val ev = normalizeEvents(spark.read.parquet(e))
         graft.osl.OslEngine.query(ev,

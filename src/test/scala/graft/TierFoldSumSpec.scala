@@ -172,6 +172,70 @@ class TierFoldSumSpec extends SparkSpec {
         |""".stripMargin)
   }
 
+  // round 14 (VERDICT r13 #6): a guard expression reading a NIL prop —
+  // the interpreter's nil compare is falsy, so the stage skips; and a nil
+  // INCREMENT value adds 0.0 (Value.plus(_, VNone)). Both asserted in the
+  // FoldSum scaladoc, previously only unit-covered.
+  private lazy val worldNil = {
+    val rnd = new scala.util.Random(313)
+    val events = Seq("purchase", "view", "signup", "buy", "error")
+    (0 until 120).map { i =>
+      (s"u${i % 6}", Mon + (i / 6) * 5 * H + (i % 6) * H,
+        events(rnd.nextInt(5)),
+        rnd.nextDouble() * 97.3 + 0.017,
+        if (i % 3 == 0) null.asInstanceOf[java.lang.Double]
+        else java.lang.Double.valueOf(rnd.nextDouble() * 80))
+    }.toDF("id", "stamp", "event", "value", "score").cache()
+  }
+
+  test("a guard reading a nil prop skips that stage (nil compares falsy)") {
+    diff(
+      """select
+        |  count id as customers
+        |end
+        |total = 0
+        |each_row where stamp.is(> 0)
+        |  if score.is(> 40)
+        |    total += value
+        |  end
+        |  total += 1
+        |  << bucket(total, 64)
+        |end
+        |""".stripMargin, data = worldNil)
+  }
+
+  test("a nil increment value adds 0.0 through the fold") {
+    diff(
+      """select
+        |  count id as customers
+        |end
+        |total = 0
+        |each_row where stamp.is(> 0)
+        |  total += score
+        |  total += 1
+        |  << bucket(total, 64)
+        |end
+        |""".stripMargin, data = worldNil)
+  }
+
+  test("depth-3 chain reads observe the spawn's multi-statement fold value") {
+    diff(
+      """select
+        |  count id as customers
+        |end
+        |total = 0
+        |each_row where event.is(== 'signup')
+        |  total += value
+        |  total += 1
+        |  each_row.continue().next() where event.is(== 'view')
+        |    each_row.continue().next() where event.is(== 'buy')
+        |      << bucket(total, 64), event
+        |    end
+        |  end
+        |end
+        |""".stripMargin)
+  }
+
   test("single-statement zero-init fp accumulators keep the plain SUM") {
     val script =
       """select
