@@ -246,6 +246,18 @@ object Plans {
         "final ladder window brackets the inverted restart frame " +
         "(rangeBetween(0, 24h)) and the from(k) floor is a row-level __rn " +
         "gate — collect-free ordinal path, windows on ONE (id) exchange"),
+    P("q_osl_chain3_rev_deep_limited",
+      "REVERSE deepest + .limit(m) (round 14): valid hops are a prefix of " +
+        "the following mids while K grows with later hops, so reach is the " +
+        "exact max over the filtered hop set — (between-count, K) structs " +
+        "collected over the frame-bounded following window " +
+        "(rangeBetween(1, 24h)), filtered/maxed in-row; one (id) exchange, " +
+        "per-row state bounded by the frame's row density"),
+    P("q_osl_chain3_restart_limited",
+      "UNFRAMED restart deepest + .limit(m) (round 14): every hop rescans " +
+        "the identical floored tail, so the limit is ONE row-level count " +
+        "conjunct (__mcD <= m) — no per-hop state at all, same collect-free " +
+        "ordinal windows on one (id) exchange"),
     P("q_ann_ivf_indexed",
       "persisted IVF index (round 11): the cells scan carries an explicit " +
         "PartitionFilters: cell IN (probed) — a query reads nprobe/nlist of the " +

@@ -2215,5 +2215,111 @@ object QueriesOsl {
         SELECT CAST(1 AS INTEGER), CAST(nv AS VARCHAR), CAST(NULL AS VARCHAR),
           COUNT(DISTINCT id), COUNT(*)
         FROM tri GROUP BY nv""")),
+
+    // Round-14 widening (VERDICT r13 #4): `.limit(m)` on a REVERSE
+    // deepest step (framed). A hop (view) only visits the purchases with
+    // fewer than m purchase matches strictly between them — valid hops
+    // are a PREFIX of the following views while the ladder value grows
+    // with LATER hops, so reach is the exact max over the filtered hop
+    // set (collected over the frame-bounded following window, the
+    // round-11/12 collect-window cost class).
+    // Reference: src/queryinterpreter.cpp:2437-2577 (backward scan cap).
+    Q("q_osl_chain3_rev_deep_limited",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |each_row where event.is(== 'signup')
+            |  n += 1
+            |  each_row.continue().next() where event.is(== 'view')
+            |    each_row.continue().next().reverse().look_back(24_hours).limit(2) where event.is(== 'purchase')
+            |      << n, event
+            |    end
+            |  end
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"))
+      },
+      Some(s"""$E, su AS (
+          SELECT id, stamp,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
+          FROM e WHERE event = 'signup'),
+        tri AS (
+          SELECT DISTINCT p.id, p.stamp, su.i
+          FROM e p JOIN su ON su.id = p.id
+          WHERE p.event = 'purchase'
+            AND EXISTS (SELECT 1 FROM e v
+              WHERE v.id = p.id AND v.event = 'view'
+                AND v.stamp > su.stamp AND v.stamp > p.stamp
+                AND v.stamp - p.stamp <= 86400000
+                AND (SELECT COUNT(*) FROM e p2
+                     WHERE p2.id = p.id AND p2.event = 'purchase'
+                       AND p2.stamp > p.stamp AND p2.stamp < v.stamp) < 2))
+        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
+          'purchase' AS g2, COUNT(DISTINCT id) AS customers,
+          COUNT(*) AS n_rows
+        FROM tri GROUP BY i
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*)
+        FROM tri GROUP BY i""")),
+
+    // Round-14 widening: `.limit(m)` on an UNFRAMED RESTART deepest —
+    // every hop rescans the identical floored tail, so the visited set
+    // is the first m floored purchase matches for every hop and spawn:
+    // one row-level count conjunct on the ordinal path.
+    Q("q_osl_chain3_restart_limited",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |each_row where event.is(== 'signup')
+            |  n += 1
+            |  each_row.continue().next() where event.is(== 'view')
+            |    each_row.from(1).limit(2) where event.is(== 'purchase')
+            |      << n, event
+            |    end
+            |  end
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"))
+      },
+      Some(s"""$E, su AS (
+          SELECT id, stamp,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
+          FROM e WHERE event = 'signup'),
+        rn AS (
+          SELECT id, stamp, event,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS r
+          FROM e),
+        pp AS (
+          SELECT id, stamp,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS pr
+          FROM rn WHERE event = 'purchase' AND r >= 2),
+        tri AS (
+          SELECT DISTINCT p.id, p.stamp, su.i
+          FROM pp p JOIN su ON su.id = p.id
+          WHERE p.pr <= 2
+            AND EXISTS (SELECT 1 FROM e v
+              WHERE v.id = p.id AND v.event = 'view'
+                AND v.stamp > su.stamp))
+        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
+          'purchase' AS g2, COUNT(DISTINCT id) AS customers,
+          COUNT(*) AS n_rows
+        FROM tri GROUP BY i
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*)
+        FROM tri GROUP BY i""")),
   )
 }

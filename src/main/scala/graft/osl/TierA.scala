@@ -600,9 +600,11 @@ object TierA {
     // to exactly the ordinal-eligible shapes.
     (if (hasMixedGuards(levels))
        levels.size <= OslEngine.MaxDepth && chainOrdinalOnly(levels, accums)
-     else chainDeepPlainOk(levels))
+     else chainDeepPlainOk(levels, accums))
 
-  private def chainDeepPlainOk(levels: Seq[ChainLevel]): Boolean =
+  private def chainDeepPlainOk(levels: Seq[ChainLevel],
+                               accums: Seq[(String, Long, Seq[AccumPart])])
+      : Boolean =
     levels.size <= OslEngine.MaxDepth &&
       levels.drop(2).forall(guardSplitOk) &&
       (if (levels.size == 3)
@@ -621,9 +623,14 @@ object TierA {
                  (levels(1).spanMs.isEmpty && levels(1).contraSpanMs.isEmpty)))) &&
            // DEEPEST-step limits keep the forward G/Γ machinery: both
            // steps must scan forward (backward / absolute-floor visit
-           // counts are not the forward match-count difference it prices)
+           // counts are not the forward match-count difference it prices).
+           // Round 14: non-forward deepest limits compose on the ORDINAL
+           // path only (framed reverse: exact max over the filtered hop
+           // set; unframed restart: row-level floored-count conjunct) —
+           // the depth-3 COLLECT interval-G machinery stays forward-only
            (levels(2).limitN.isEmpty ||
-             (frameableStep(levels(1)) && frameableStep(levels(2))))
+             (frameableStep(levels(1)) && frameableStep(levels(2))) ||
+             (nonFwdLimDeepOk(levels(2)) && chainOrdinalOnly(levels, accums)))
        else
          // depth ≥ 4 (round 11): middle steps stay unframed/unlimited,
          // but the DEEPEST step may carry a finite look_ahead and/or a
@@ -634,9 +641,12 @@ object TierA {
          // spawn-independent G-lookup conjunct (see chainPlan). Round 12:
          // the deepest step may also be REVERSE or a RESTART (unlimited)
          // — hop validity is K-monotone in the hop row in any direction,
-         // so the final ladder window just flips/brackets (lastHopWin)
+         // so the final ladder window just flips/brackets (lastHopWin).
+         // Round 14: non-forward deepest limits, ordinal path only.
          levels.tail.init.forall(unframedStep) && dir3StepOk(levels.last) &&
-           (levels.last.limitN.isEmpty || frameableStep(levels.last)))
+           (levels.last.limitN.isEmpty || frameableStep(levels.last) ||
+             (nonFwdLimDeepOk(levels.last) &&
+               chainOrdinalOnly(levels, accums))))
 
   /** Depth-3 inner-step shapes the interval-count reachability handles:
     * forward, no restart, no look_back; finite look_ahead, split-ok
@@ -658,6 +668,25 @@ object TierA {
     * separately (see the depth-3 branch of [[chainDeepPlainOk]]). */
   private def dir3StepOk(l: ChainLevel): Boolean =
     frameableStep(l) || (l.reverse && l.contraSpanMs.isEmpty) || l.isFromStep
+
+  /** `.limit(m)` on a NON-FORWARD deepest step (round 14), ordinal path
+    * only. REVERSE needs a finite aligned `look_back`: valid hops y for a
+    * row r are the mid-matches in (r, r+b] with fewer than m deep matches
+    * strictly between r and y — a PREFIX of the following hops (the
+    * between-count grows with y), while the ladder value K grows with
+    * LATER hops, so no single extreme hop decides both criteria and reach
+    * must be the exact max over the filtered hop set; the frame bounds
+    * the per-row hop-candidate collect (O(rows-in-span) structs, the
+    * round-11/12 collect-window cost class). An unframed reverse limit
+    * would need an unbounded following collect — Tier B. A RESTART
+    * deepest must be UNFRAMED (extraction already declines framed restart
+    * limits): every hop rescans the identical floored tail, so the limit
+    * is one row-level count conjunct (r among the first m floored deep
+    * matches). Reference: src/queryinterpreter.cpp:2437-2577. */
+  private def nonFwdLimDeepOk(l: ChainLevel): Boolean =
+    (l.reverse && l.contraSpanMs.isEmpty &&
+      l.spanMs.exists(_ != Long.MaxValue)) ||
+      (l.isFromStep && l.spanMs.isEmpty && l.contraSpanMs.isEmpty)
 
   /** (mA, mB): the spawn's position relative to a mid-step visit —
     * s0 ∈ [s1−mA, s1+mB]; None = that side unbounded. Used for the
@@ -745,9 +774,12 @@ object TierA {
         .forall(l => unframedStep(l) && guardSplitMixedOk(l)) &&
       (levels.size == 2 ||
         // round 12: the deepest step may also be REVERSE / RESTART
-        // (unlimited) — the final ladder window flips (lastHopWin)
+        // (unlimited) — the final ladder window flips (lastHopWin).
+        // Round 14: non-forward deepest LIMITS compose too (framed
+        // reverse / unframed restart — see nonFwdLimDeepOk)
         (dir3StepOk(levels.last) && guardSplitMixedOk(levels.last) &&
-          (levels.last.limitN.isEmpty || frameableStep(levels.last)))) &&
+          (levels.last.limitN.isEmpty || frameableStep(levels.last) ||
+            nonFwdLimDeepOk(levels.last)))) &&
       accums.forall { case (_, _, parts) =>
         parts.forall(p => p.cond.isEmpty &&
           p.incThen.forall { case Lit(VInt(_)) => true; case _ => false })
@@ -1071,8 +1103,40 @@ object TierA {
           // ladder window becomes "latest valid hop within [r−span, r)"
           val win =
             if (j == levels.size - 1) lastHopWin(prevRows) else prevRows
-          df = df.withColumn(s"__K$j",
-            coalesce(max(when(wPred, prev)).over(win), lit(0L)))
+          if (j == levels.size - 1 && levels.last.reverse &&
+              levels.last.limitN.isDefined) {
+            // round 14: REVERSE deepest + .limit(m). A hop y (mid match
+            // in (r, r+b]) only visits r when fewer than m deep matches
+            // sit strictly BETWEEN r and y — validity holds for a PREFIX
+            // of the following hops (the between-count grows with y)
+            // while the ladder value K grows with LATER hops, so reach
+            // is the exact max over the filtered hop set: collect
+            // (between-count, K) per candidate hop over the frame-bounded
+            // following window and filter/max in-row. D is the inclusive
+            // running deep-match count; D(y⁻) − D(r) ≤ m − 1 is the
+            // interpreter's backward-scan cap exactly.
+            val b = spanDeep.get // nonFwdLimDeepOk: finite aligned frame
+            val m = levels.last.limitN.get
+            val deepPred = levelPreds(levels.size - 1)
+            val curRows =
+              person.rowsBetween(W.unboundedPreceding, W.currentRow)
+            df = df
+              .withColumn("__cdcR", count(when(deepPred, 1)).over(curRows))
+              .withColumn("__hopArr",
+                collect_list(when(wPred, struct(
+                  (col("__cdcR") -
+                    when(deepPred, lit(1L)).otherwise(lit(0L))).as("d"),
+                  prev.as("k")))).over(person.rangeBetween(1L, b)))
+              .withColumn(s"__K$j",
+                coalesce(aggregate(
+                  filter(col("__hopArr"),
+                    e => e.getField("d") - col("__cdcR") <= lit(m - 1)),
+                  lit(0L),
+                  (acc, e) => greatest(acc, e.getField("k"))), lit(0L)))
+              .drop("__hopArr")
+          } else
+            df = df.withColumn(s"__K$j",
+              coalesce(max(when(wPred, prev)).over(win), lit(0L)))
         }
         // reverse top: backward ordinals need the person's TOTAL spawn
         // count (same sort, full-partition frame — no extra exchange)
@@ -1327,18 +1391,36 @@ object TierA {
       // check is spawn-independent. Null __gd only occurs when the
       // ladder already says "no eligible spawn".
       val deepLimCond: Option[Column] =
-        limDeep.filter(_ => ordinal || levels.size >= 4).map { m =>
-          val curRows = person.rowsBetween(W.unboundedPreceding, W.currentRow)
-          val lastWin = spanDeep.map(sp => person.rangeBetween(-sp, -1))
-            .getOrElse(prevRows)
-          val k = levels.size - 2
-          val matchPred = rowGuard(k + 1)
-            .map(levelPreds(k) && _).getOrElse(levelPreds(k))
-          df = df
-            .withColumn("__cdc",
-              count(when(levelPreds(levels.size - 1), 1)).over(curRows))
-            .withColumn("__gd", max(when(matchPred, col("__cdc"))).over(lastWin))
-          col("__cdc") - col("__gd") <= lit(m)
+        limDeep.filter(_ => ordinal || levels.size >= 4).flatMap { m =>
+          if (levels.last.reverse)
+            None // round 14: folded into the __K ladder's filtered hop max
+          else if (levels.last.isFromStep) {
+            // round 14: UNFRAMED restart deepest + .limit(m) — every hop
+            // rescans the identical floored tail, so the visited set is
+            // the first m floored deep matches for EVERY hop and spawn:
+            // one row-level count conjunct.
+            val curRows =
+              person.rowsBetween(W.unboundedPreceding, W.currentRow)
+            val floored = levelPreds(levels.size - 1) &&
+              col("__rn") >= lit(levels.last.fromStart.get + 1)
+            df = df.withColumn("__mcD",
+              count(when(floored, 1)).over(curRows))
+            Some(col("__mcD") <= lit(m))
+          } else Some {
+            val curRows =
+              person.rowsBetween(W.unboundedPreceding, W.currentRow)
+            val lastWin = spanDeep.map(sp => person.rangeBetween(-sp, -1))
+              .getOrElse(prevRows)
+            val k = levels.size - 2
+            val matchPred = rowGuard(k + 1)
+              .map(levelPreds(k) && _).getOrElse(levelPreds(k))
+            df = df
+              .withColumn("__cdc",
+                count(when(levelPreds(levels.size - 1), 1)).over(curRows))
+              .withColumn("__gd",
+                max(when(matchPred, col("__cdc"))).over(lastWin))
+            col("__cdc") - col("__gd") <= lit(m)
+          }
         }
       // per-spawn eligibility, evaluated in-row on each collected tuple —
       // frame checks mirror on a reverse step (spanMs points WITH the

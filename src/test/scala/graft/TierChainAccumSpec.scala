@@ -1144,10 +1144,19 @@ class TierChainAccumSpec extends SparkSpec {
     rev3(".look_ahead(12_hours)", ".look_back(8_hours)")
     rev3(".look_ahead(20_hours)", "")
     rev3(".limit(2)", ".look_back(10_hours)") // mid limit composes (min-term)
-    // pinned declines: a limit on the reversed step (counts from the
-    // right), and a look_ahead on it (contra side)
+    // round 14: a FRAMED reverse deepest + .limit(m) compiles (ordinal
+    // path): valid hops are a prefix of the following mids while K grows
+    // with later hops, so reach is the exact max over the filtered hop
+    // set, collected over the frame-bounded following window
+    rev3("", ".look_back(10_hours).limit(1)")
+    rev3("", ".look_back(24_hours).limit(2)")
+    rev3("", ".look_back(9_hours).limit(3)")
+    // pinned declines: an UNFRAMED limit on the reversed step (the hop
+    // collect would be unbounded), a look_ahead on it (contra side), and
+    // a mid limit alongside (mid limits leave the ordinal path)
     rev3("", ".limit(1)", expectTierA = false)
     rev3("", ".look_ahead(6_hours)", expectTierA = false)
+    rev3(".limit(2)", ".look_back(10_hours).limit(1)", expectTierA = false)
 
     // restart deepest: signup -> view -> rescan from row k, frame
     // anchored at the view — s1 ∈ [r−a, r+b] from the inverted frame,
@@ -1180,7 +1189,13 @@ class TierChainAccumSpec extends SparkSpec {
          |  end
          |end
          |""".stripMargin)
-    // pinned decline: a limit on the restart step at depth 3
+    // round 14: an UNFRAMED restart deepest + .limit(m) compiles — every
+    // hop rescans the identical floored tail, so the limit is one
+    // row-level count conjunct (r among the first m floored deep matches)
+    from3(".limit(1)")
+    from3(".limit(2)")
+    // pinned decline: a FRAMED limit on the restart step at depth 3
+    // (per-hop match sequences diverge under a spawn-anchored frame)
     from3(".look_back(24_hours).limit(2)", expectTierA = false)
   }
 
@@ -1300,7 +1315,15 @@ class TierChainAccumSpec extends SparkSpec {
     deep4("each_row.from(2)")
     deep4("each_row.continue().next().reverse().look_back(12_hours)",
       midTally = true)
-    // pinned declines: limits on non-forward deepest steps at depth 4
+    // round 14: non-forward deepest LIMITS compose at depth 4 too —
+    // framed reverse (filtered hop max) and unframed restart (row-level
+    // floored-count conjunct)
+    deep4("each_row.continue().next().reverse().look_back(14_hours).limit(2)")
+    deep4("each_row.continue().next().reverse().look_back(20_hours).limit(1)")
+    deep4("each_row.from(1).limit(2)")
+    deep4("each_row.from(0).limit(1)")
+    // pinned declines: an UNFRAMED reverse limit (unbounded hop collect)
+    // and a FRAMED restart limit (per-hop sequences diverge)
     deep4("each_row.continue().next().reverse().limit(1)", expectTierA = false)
     deep4("each_row.from(1).look_back(20_hours).limit(2)", expectTierA = false)
     // depth-3 rev/from deepest with constant increments now rides the
@@ -1488,6 +1511,24 @@ class TierChainAccumSpec extends SparkSpec {
          |    if get_hour(stamp) > n
          |      each_row.continue().next() where event.is(== 'click')
          |        each_row.continue().next().limit(1) where event.is(== 'purchase')
+         |          << n, event
+         |        end
+         |      end
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
+    // round 14: mixed at the middle step + a REVERSE FRAMED LIMITED
+    // deepest — the filtered hop max composes with the mixed least-fold
+    // (K already carries the ordinal bound when the hop array collects)
+    diffOn(worldDense,
+      s"""${sel}n = 0
+         |each_row where event.is(!= 'error')
+         |  n += 1
+         |  each_row.continue().next() where event.is(== 'view')
+         |    if get_hour(stamp) > n
+         |      each_row.continue().next() where event.is(== 'click')
+         |        each_row.continue().next().reverse().look_back(24_hours).limit(2) where event.is(== 'purchase')
          |          << n, event
          |        end
          |      end
