@@ -258,6 +258,19 @@ object Plans {
         "the identical floored tail, so the limit is ONE row-level count " +
         "conjunct (__mcD <= m) — no per-hop state at all, same collect-free " +
         "ordinal windows on one (id) exchange"),
+    P("q_osl_mixed_reverse_top",
+      "MIXED guard under a REVERSE top (round 14): backward-ordinal reach " +
+        "is a suffix, so the upward-closed guard folds as " +
+        "least(K, T - lo + 1) — the forward fold's exact dual, one extra " +
+        "full-partition count (__spawnT) on the SAME (id) exchange, " +
+        "collect-free"),
+    P("q_osl_mixed_suffix_guard",
+      "CONTRA-direction (suffix) mixed guard over a framed deepest " +
+        "(round 14): per-hop valid ordinal intervals can gap, so entries " +
+        "are the exact merged-interval union — interval structs collected " +
+        "over the frame-bounded hop window, sorted/merged/flattened " +
+        "in-row; state bounded by the frame's row density, one (id) " +
+        "exchange, no self-join"),
     P("q_ann_ivf_indexed",
       "persisted IVF index (round 11): the cells scan carries an explicit " +
         "PartitionFilters: cell IN (probed) — a query reads nprobe/nlist of the " +

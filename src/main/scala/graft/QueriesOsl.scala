@@ -2321,5 +2321,109 @@ object QueriesOsl {
         SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
           COUNT(DISTINCT id), COUNT(*)
         FROM tri GROUP BY i""")),
+
+    // Round-14 widening (VERDICT r13 #5): a MIXED guard under a REVERSE
+    // top. Reachability in backward-ordinal space is a SUFFIX
+    // (i ≥ T−K+1), so upward-closed guard classes — here increasing
+    // accumulator with a lower-bounding op (`n > get_hour(stamp)`) —
+    // compose as least(K, T − lo + 1) on the same ordinal ladder (the
+    // exact dual of the forward-top prefix fold).
+    // Reference: src/queryparserosl.h:2167-2524 (guard compares),
+    // src/queryinterpreter.cpp reverse scan.
+    Q("q_osl_mixed_reverse_top",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |each_row.reverse() where event.is(== 'signup')
+            |  n += 1
+            |  each_row.continue().next() where event.is(== 'view')
+            |    if n > get_hour(stamp)
+            |      each_row.continue().next() where event.is(== 'purchase')
+            |        << n, event
+            |      end
+            |    end
+            |  end
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"))
+      },
+      Some(s"""$E, su AS (
+          SELECT id, stamp,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp DESC) AS i
+          FROM e WHERE event = 'signup'),
+        tri AS (
+          SELECT DISTINCT p.id, p.stamp, su.i
+          FROM e p JOIN su ON su.id = p.id AND su.stamp < p.stamp
+          WHERE p.event = 'purchase'
+            AND EXISTS (SELECT 1 FROM e v
+              WHERE v.id = p.id AND v.event = 'view'
+                AND v.stamp > su.stamp AND v.stamp < p.stamp
+                AND su.i > hour(make_timestamp(v.stamp * 1000))))
+        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
+          'purchase' AS g2, COUNT(DISTINCT id) AS customers,
+          COUNT(*) AS n_rows
+        FROM tri GROUP BY i
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*)
+        FROM tri GROUP BY i""")),
+
+    // Round-14 widening (VERDICT r13 #5): a SUFFIX-direction mixed guard
+    // — decreasing accumulator with an upper-bounding compare
+    // (`int(value) >= n`: satisfied ordinals sit ABOVE a bound) over a
+    // FRAMED forward deepest. Per-hop valid ordinal intervals can GAP
+    // across hops, so entries are the exact merged-interval union over
+    // the frame-bounded hop window (collect → sort → merge → flatten;
+    // output ≤ spawns). Reference: src/queryparserosl.h:2167-2524.
+    Q("q_osl_mixed_suffix_guard",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 80
+            |each_row where event.is(== 'signup')
+            |  n -= 7
+            |  each_row.continue().next() where event.is(== 'view')
+            |    if int(value) >= n
+            |      each_row.continue().next().look_ahead(24_hours) where event.is(== 'purchase')
+            |        << n, event
+            |      end
+            |    end
+            |  end
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"))
+      },
+      Some(s"""$E, su AS (
+          SELECT id, stamp,
+            80 - 7 * ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS nv
+          FROM e WHERE event = 'signup'),
+        tri AS (
+          SELECT DISTINCT p.id, p.stamp, su.nv
+          FROM e p JOIN su ON su.id = p.id AND su.stamp < p.stamp
+          WHERE p.event = 'purchase'
+            AND EXISTS (SELECT 1 FROM e v
+              WHERE v.id = p.id AND v.event = 'view'
+                AND v.stamp > su.stamp AND v.stamp < p.stamp
+                AND p.stamp - v.stamp <= 86400000
+                AND CAST(TRUNC(v.value) AS BIGINT) >= su.nv))
+        SELECT CAST(2 AS INTEGER) AS depth, CAST(nv AS VARCHAR) AS g1,
+          'purchase' AS g2, COUNT(DISTINCT id) AS customers,
+          COUNT(*) AS n_rows
+        FROM tri GROUP BY nv
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), CAST(nv AS VARCHAR), CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*)
+        FROM tri GROUP BY nv""")),
   )
 }

@@ -475,12 +475,32 @@ object TierA {
     * needs an upper-bounding OP, decreasing c a lower-bounding one; a
     * zero slope is j-independent (hi is all-or-nothing). The suffix
     * forms would break the prefix reach structure the K-ladder encodes
-    * and stay Tier B. */
+    * and stay Tier B — under a FORWARD top. */
   private def mixedSolvable(mb: MixedBound,
                             accums: Seq[(String, Long, Seq[AccumPart])]): Boolean =
     accAffine(accums, mb.acc).exists { case (_, c) =>
       c == 0 || (if (c > 0) mb.op == "<" || mb.op == "<="
                  else mb.op == ">" || mb.op == ">=")
+    }
+
+  /** Reverse-top dual (round 14): under a REVERSE top the j-th BACKWARD
+    * spawn ordinal carries value init + c·j, and reachability of a hop y
+    * is a SUFFIX in backward-ordinal space (i ≥ T − K(y) + 1, K the
+    * forward prefix ladder, T the person's spawn total). A mixed guard
+    * whose satisfied set is upward-closed in i — increasing c with a
+    * lower-bounding OP, decreasing c with an upper-bounding one: exactly
+    * the classes the forward top DECLINES — keeps every per-hop valid
+    * set a suffix [max(T−K+1, lo), T], and a union of common-upper
+    * suffixes is contiguous, so the existing max-ladder composes with
+    * prev := least(K, T − lo(y) + 1). Prefix-form guards under a reverse
+    * top leave per-hop sets with hop-dependent LOWER ends (unions gap)
+    * and stay Tier B. */
+  private def mixedSuffixSolvable(mb: MixedBound,
+                                  accums: Seq[(String, Long, Seq[AccumPart])])
+      : Boolean =
+    accAffine(accums, mb.acc).exists { case (_, c) =>
+      c == 0 || (if (c > 0) mb.op == ">" || mb.op == ">="
+                 else mb.op == "<" || mb.op == "<=")
     }
 
   /** [[guardSplitOk]] widened by the mixed class: every conjunct
@@ -495,22 +515,44 @@ object TierA {
       .filter(readsName(_, _.startsWith("__accs_")))
       .flatMap(mixedBoundOf)).getOrElse(Nil)
 
-  /** Shape gate for chains carrying any mixed conjunct: forward top
-    * (reverse remaps ordinals through the person's total spawn count,
-    * which would make the affine intercept row-dependent), every mixed
-    * conjunct solvable for its accumulator, and no deepest-step
-    * `.limit(m)` when the DEEPEST step itself is mixed-guarded — the
-    * G-lookup's "latest match is valid for every eligible spawn" fails
-    * once last-hop validity depends on the spawn. */
+  /** Shape gate for chains carrying any mixed conjunct: every mixed
+    * conjunct PREFIX-solvable under a forward top / SUFFIX-solvable
+    * under a reverse top (round 14 — the backward-ordinal dual, see
+    * [[mixedSuffixSolvable]]), and no deepest-step `.limit(m)` when the
+    * DEEPEST step itself is mixed-guarded — the G-lookup's "latest match
+    * is valid for every eligible spawn" fails once last-hop validity
+    * depends on the spawn. */
   private def chainMixedOk(levels: Seq[ChainLevel],
                            accums: Seq[(String, Long, Seq[AccumPart])]): Boolean = {
+    def aligned(mb: MixedBound) =
+      if (levels.head.reverse) mixedSuffixSolvable(mb, accums)
+      else mixedSolvable(mb, accums)
+    def contra(mb: MixedBound) =
+      if (levels.head.reverse) mixedSolvable(mb, accums)
+      else mixedSuffixSolvable(mb, accums)
     val at = (2 until levels.size).map(k => k -> mixedBoundsAt(levels, k))
-    at.forall(_._2.isEmpty) || (!levels.head.reverse &&
+    at.forall(_._2.isEmpty) ||
       at.forall { case (k, mbs) =>
-        mbs.forall(mixedSolvable(_, accums)) &&
+        mbs.forall(mb => aligned(mb) || contra(mb)) &&
+          // CONTRA-direction bounds (round 14: suffix forms under a
+          // forward top / prefix forms under a reverse top) compile only
+          // at the DEEPEST level over a finite forward frame: per-hop
+          // valid sets become arbitrary intervals whose union can gap,
+          // so entries are the exact merged-interval union over the
+          // frame-bounded hop window — no closed-form ladder fold exists
+          // (the mismatched endpoint varies per hop)
+          mbs.filterNot(aligned).forall(_ => k == levels.size - 1 &&
+            mixedUnionFrameOk(levels.last)) &&
           (mbs.isEmpty || k < levels.size - 1 || levels.last.limitN.isEmpty)
-      })
+      }
   }
+
+  /** A contra-direction mixed bound's hop window must be range-bounded:
+    * finite forward look_ahead, unlimited (the per-row interval collect
+    * is then capped by the frame's row density). */
+  private def mixedUnionFrameOk(l: ChainLevel): Boolean =
+    frameableStep(l) && l.spanMs.exists(_ != Long.MaxValue) &&
+      l.limitN.isEmpty
 
   private def hasMixedGuards(levels: Seq[ChainLevel]): Boolean =
     (2 until levels.size).exists(k => mixedBoundsAt(levels, k).nonEmpty)
@@ -1024,33 +1066,74 @@ object TierA {
       // quotient is integral and rounds to itself (exact at any scale,
       // no fp division). A null row side means the interpreter's nil
       // compare (falsy) — hi coalesces to 0 ("no ordinal passes").
-      def mixedHi(mb: MixedBound): Column = {
+      def mixedNorm(mb: MixedBound): (Long, Long, Column, String) = {
         val (init, c) = accAffine(accums, mb.acc).get
         val r0 = compileExpr(mb.rowExpr, now, real).get.cast("long")
-        def floorDiv(a: Column, d: Long): Column =
-          ((a - pmod(a, lit(d))).cast("decimal(38,0)") / lit(d)).cast("long")
+        if (c >= 0) (c, init, r0, mb.op)
+        else (-c, -init, -r0, flipCmp(mb.op))
+      }
+      def floorDivC(a: Column, d: Long): Column =
+        ((a - pmod(a, lit(d))).cast("decimal(38,0)") / lit(d)).cast("long")
+      // largest ordinal o with value(o) = init + c·o satisfying the bound
+      // (DOWN-closed forms — {<, <=} after positive-slope normalization);
+      // exact integer arithmetic, null row side coalesces to 0 ("none")
+      def entryHi(mb: MixedBound): Column = {
+        val (cc, ii, rr, op) = mixedNorm(mb)
         val hi =
-          if (c == 0L) {
-            val const = mb.op match {
-              case "<"  => lit(init) < r0
-              case "<=" => lit(init) <= r0
-              case ">"  => lit(init) > r0
-              case ">=" => lit(init) >= r0
+          if (cc == 0L) {
+            val const = op match {
+              case "<"  => lit(ii) < rr
+              case "<=" => lit(ii) <= rr
+              case ">"  => lit(ii) > rr
+              case ">=" => lit(ii) >= rr
             }
             when(const, lit(Long.MaxValue)).otherwise(lit(0L))
-          } else {
-            val (cc, ii, rr, op) =
-              if (c > 0) (c, init, r0, mb.op)
-              else (-c, -init, -r0, flipCmp(mb.op))
-            op match {
-              case "<"  => floorDiv(rr - lit(ii) - 1, cc)
-              case "<=" => floorDiv(rr - lit(ii), cc)
-              case other => throw new IllegalStateException(
-                s"unsolvable mixed op $other passed the gate")
-            }
+          } else op match {
+            case "<"  => floorDivC(rr - lit(ii) - 1, cc)
+            case "<=" => floorDivC(rr - lit(ii), cc)
+            case other => throw new IllegalStateException(
+              s"entryHi on non-down-closed mixed op $other (gate bug)")
           }
         coalesce(hi, lit(0L))
       }
+      // smallest satisfying ordinal (UP-closed forms — {>, >=} after
+      // normalization); null row side coalesces to MaxValue ("none")
+      def entryLo(mb: MixedBound): Column = {
+        val (cc, ii, rr, op) = mixedNorm(mb)
+        val lo =
+          if (cc == 0L) {
+            val const = op match {
+              case "<"  => lit(ii) < rr
+              case "<=" => lit(ii) <= rr
+              case ">"  => lit(ii) > rr
+              case ">=" => lit(ii) >= rr
+            }
+            when(const, lit(1L)).otherwise(lit(Long.MaxValue))
+          } else op match {
+            case ">"  => floorDivC(rr - lit(ii), cc) + lit(1L)
+            case ">=" => floorDivC(rr - lit(ii) + lit(cc) - 1, cc)
+            case other => throw new IllegalStateException(
+              s"entryLo on non-up-closed mixed op $other (gate bug)")
+          }
+        coalesce(lo, lit(Long.MaxValue))
+      }
+      // the ALIGNED fold term (matches the reach set's closure direction):
+      // forward tops cap the prefix at entryHi; reverse tops cap the
+      // suffix SIZE at T − lo + 1 (lo clamped to ≥ 1), both folded with
+      // least() into the K-ladder (round 12 forward; round 14 reverse)
+      def mixedHi(mb: MixedBound): Column =
+        if (!levels.head.reverse) entryHi(mb)
+        else coalesce(
+          col("__spawnT") - greatest(entryLo(mb), lit(1L)) + lit(1L),
+          lit(0L))
+      // closure-direction tests mirroring the chainMixedOk gate
+      def alignedMb(mb: MixedBound): Boolean =
+        if (levels.head.reverse) mixedSuffixSolvable(mb, accums)
+        else mixedSolvable(mb, accums)
+      // contra bounds at the deepest level switch its entries from the
+      // sequence(1..K) prefix to the exact merged-interval union __ordU
+      val mixedUnionLast = levels.size >= 3 &&
+        mixedAt(levels.size - 1).exists(mb => !alignedMb(mb))
       val spawnCond = levels(1).guard
         .map(g => visited0 && compileExpr(g, now, real).get).getOrElse(visited0)
       // the FINAL reachability-ladder window, by deepest-step direction
@@ -1084,6 +1167,15 @@ object TierA {
         // VERDICT r8 "What's wrong #2").
         df = df.withColumn("__spawnN",
           coalesce(sum(when(spawnCond, lit(1L))).over(prevRows), lit(0L)))
+        // reverse top: backward ordinals need the person's TOTAL spawn
+        // count (same sort, full-partition frame — no extra exchange);
+        // computed BEFORE the ladder since round 14 — reverse-top mixed
+        // fold terms read it (mixedHi's T − lo + 1)
+        if (levels.head.reverse)
+          df = df.withColumn("__spawnT",
+            coalesce(sum(when(spawnCond, lit(1L))).over(
+              person.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)),
+              lit(0L)))
         // ANY depth (round 11): the spawns reaching a row at level j form
         // a PREFIX of the spawn sequence, and the prefix size composes
         // through running-max windows — K_j(r) = max over pred_(j−1) rows
@@ -1093,7 +1185,9 @@ object TierA {
           // a MIXED conjunct gating step j caps which spawn ordinals this
           // row extends: reach_j(r) = ∪_y [1, min(K_(j−1)(y), hi_j(y))]
           // stays a prefix, so the ladder's max folds the min directly
-          val his = mixedAt(j).map(mixedHi)
+          val mbsJ = mixedAt(j)
+          val contraJ = mbsJ.filterNot(alignedMb)
+          val his = mbsJ.filter(alignedMb).map(mixedHi)
           val prev = if (his.isEmpty) prev0 else least((prev0 +: his): _*)
           // the guard gating step j evaluates at the level-(j−1) row —
           // its row-prop part restricts which rows extend reach
@@ -1103,7 +1197,51 @@ object TierA {
           // ladder window becomes "latest valid hop within [r−span, r)"
           val win =
             if (j == levels.size - 1) lastHopWin(prevRows) else prevRows
-          if (j == levels.size - 1 && levels.last.reverse &&
+          if (j == levels.size - 1 && contraJ.nonEmpty) {
+            // round 14: CONTRA-direction mixed bounds at the deepest
+            // level (suffix forms under a forward top / prefix forms
+            // under a reverse top). Per hop y the valid entry-ordinal
+            // set is an arbitrary interval [lo(y), hi(y)] — its
+            // mismatched endpoint varies per hop, so the union over hops
+            // can GAP and no single ladder value represents it. Entries
+            // are computed exactly: collect per-hop intervals over the
+            // frame-bounded preceding window, sort, merge overlapping
+            // intervals, and flatten the merged sequences (output size
+            // ≤ spawns; intermediate ≤ hops-in-frame).
+            val sp = spanDeep.get // mixedUnionFrameOk: finite look_ahead
+            val rev = levels.head.reverse
+            val ivLo =
+              if (!rev) greatest((lit(1L) +: contraJ.map(entryLo)): _*)
+              else // T − prev + 1 already folds the aligned suffix caps
+                greatest(lit(1L), col("__spawnT") - prev + lit(1L))
+            val ivHi =
+              if (!rev) prev // aligned caps already folded via least
+              else least((col("__spawnT") +: contraJ.map(entryHi)): _*)
+            val ivType = "array<struct<lo:bigint,hi:bigint>>"
+            df = df
+              .withColumn("__ivArr",
+                collect_list(when(wPred && ivLo <= ivHi,
+                  struct(ivLo.as("lo"), ivHi.as("hi"))))
+                  .over(person.rangeBetween(-sp, -1L)))
+              .withColumn("__ordU", {
+                val merged = aggregate(
+                  array_sort(col("__ivArr")),
+                  array().cast(ivType),
+                  (acc, h) => {
+                    val lastIv = element_at(acc, -1)
+                    when(size(acc) === 0, array(h))
+                      .when(h.getField("lo") <= lastIv.getField("hi") + 1,
+                        concat(slice(acc, lit(1), size(acc) - 1),
+                          array(struct(lastIv.getField("lo").as("lo"),
+                            greatest(lastIv.getField("hi"),
+                              h.getField("hi")).as("hi")))))
+                      .otherwise(concat(acc, array(h)))
+                  })
+                flatten(transform(merged,
+                  iv => sequence(iv.getField("lo"), iv.getField("hi"))))
+              })
+              .drop("__ivArr")
+          } else if (j == levels.size - 1 && levels.last.reverse &&
               levels.last.limitN.isDefined) {
             // round 14: REVERSE deepest + .limit(m). A hop y (mid match
             // in (r, r+b]) only visits r when fewer than m deep matches
@@ -1138,13 +1276,6 @@ object TierA {
             df = df.withColumn(s"__K$j",
               coalesce(max(when(wPred, prev)).over(win), lit(0L)))
         }
-        // reverse top: backward ordinals need the person's TOTAL spawn
-        // count (same sort, full-partition frame — no extra exchange)
-        if (levels.head.reverse)
-          df = df.withColumn("__spawnT",
-            coalesce(sum(when(spawnCond, lit(1L))).over(
-              person.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)),
-              lit(0L)))
       } else {
         // COLLECT path: ordered spawn tuples strictly before this row
         // (guarded spawns only); each tuple carries the spawn's stamp
@@ -1578,7 +1709,9 @@ object TierA {
                 .isInstanceOf[org.apache.spark.sql.types.NumericType]
             }
             val (spawnArrJ, nonEmptyJ) =
-              if (ordinal) (ordinalSeq(col(s"__K$j")), col(s"__K$j") >= 1)
+              if (ordinal && j == levels.size - 1 && mixedUnionLast)
+                (col("__ordU"), size(col("__ordU")) > 0)
+              else if (ordinal) (ordinalSeq(col(s"__K$j")), col(s"__K$j") >= 1)
               else (col("__sv"), size(col("__sv")) > 0)
             (1 to gs.length).map { d =>
               when(rowP && nonEmptyJ,

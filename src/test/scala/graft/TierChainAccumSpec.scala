@@ -1568,8 +1568,23 @@ class TierChainAccumSpec extends SparkSpec {
     // Round 13 left this pinned as a decline, masked by the then-failing
     // restart pin above (one test block — execution never reached it).
     mixed3("n + 1 < get_hour(stamp)")
+    // round 14: CONTRA-direction (suffix) forms compile when the deepest
+    // step is FRAMED forward — per-hop valid intervals can gap across
+    // hops, so entries are the exact merged-interval union over the
+    // frame-bounded hop window
+    mixed3("get_hour(stamp) < n", deepMods = ".look_ahead(12_hours)")
+    mixed3("n > get_hour(stamp)", deepMods = ".look_ahead(24_hours)")
+    mixed3("n >= get_hour(stamp)", inc = "n += 2",
+      deepMods = ".look_ahead(9_hours)")
+    mixed3("int(product_price) >= n", init = "n = 80", inc = "n -= 7",
+      deepMods = ".look_ahead(24_hours)")
+    // ...and contra + aligned conjuncts together (a two-sided per-hop
+    // interval: the union machinery folds both endpoints)
+    mixed3("get_hour(stamp) < n && n <= get_hour(stamp) + 6",
+      deepMods = ".look_ahead(18_hours)")
     // pinned DECLINES — each still differentially checked through Tier B:
-    // suffix form (increasing accumulator, lower-bounding op)
+    // UNFRAMED suffix form (the per-row interval collect would be
+    // unbounded; framed variants compile above)
     mixed3("get_hour(stamp) < n", expectTierA = false)
     // double row side (fp boundary vs the exact integer bound)
     mixed3("product_price > n", expectTierA = false)
@@ -1577,20 +1592,68 @@ class TierChainAccumSpec extends SparkSpec {
     mixed3("product_price.is(> n)", expectTierA = false)
     // mixed on the DEEPEST step + a deepest limit (G-lookup unsound)
     mixed3("get_hour(stamp) > n", expectTierA = false, deepMods = ".limit(1)")
-    // reverse top (ordinal intercept becomes row-dependent)
+    // REVERSE tops (round 14): reachability in backward-ordinal space is
+    // a SUFFIX (i >= T−K+1), so exactly the guard classes a forward top
+    // declines — upward-closed satisfied sets (increasing acc with a
+    // lower-bounding op, decreasing acc with an upper-bounding one) —
+    // compose: per-hop valid sets are common-upper suffixes whose union
+    // is contiguous, folded as least(K, T − lo + 1) on the same ladder.
+    def mixedRev3(guard: String, expectTierA: Boolean = true,
+                  init: String = "n = 0", inc: String = "n += 1",
+                  deepStep: Option[String] = None): Unit =
+      diffOn(worldDense,
+        s"""$sel$init
+           |each_row.reverse() where event.is(== 'signup')
+           |  $inc
+           |  each_row.continue().next() where event.is(== 'view')
+           |    if $guard
+           |      ${deepStep.getOrElse("each_row.continue().next()")} where event.is(== 'purchase')
+           |        << n, event
+           |      end
+           |    end
+           |  end
+           |end
+           |""".stripMargin, expectTierA)
+    mixedRev3("n > get_hour(stamp)")
+    mixedRev3("n >= get_hour(stamp)", inc = "n += 3")
+    mixedRev3("get_hour(stamp) < n") // flipped operand order, same bound
+    mixedRev3("n < get_hour(stamp)", init = "n = 50", inc = "n -= 2")
+    mixedRev3("n + 1 > get_hour(stamp)") // affine side composes
+    // non-forward deepest under a reverse-top mixed guard
+    mixedRev3("n > get_hour(stamp)",
+      deepStep = Some("each_row.continue().next().reverse().look_back(24_hours)"))
+    mixedRev3("n > get_hour(stamp)",
+      deepStep = Some("each_row.from(1).look_back(24_hours)"))
+    // round 14: CONTRA (prefix-form) guards under a reverse top compile
+    // with a FRAMED forward deepest via the same merged-interval union
+    mixedRev3("get_hour(stamp) > n",
+      deepStep = Some("each_row.continue().next().look_ahead(12_hours)"))
+    mixedRev3("n <= get_hour(stamp)",
+      deepStep = Some("each_row.continue().next().look_ahead(20_hours)"))
+    // pinned DECLINES: UNFRAMED prefix-form guards under a reverse top
+    // (per-hop valid sets get hop-dependent LOWER ends — unions gap and
+    // the union collect would be unbounded)
+    mixedRev3("get_hour(stamp) > n", expectTierA = false)
+    mixedRev3("n <= get_hour(stamp)", expectTierA = false)
+    mixedRev3("n >= get_hour(stamp)", init = "n = 50", inc = "n -= 2",
+      expectTierA = false)
+    // depth-4 contra union: suffix form at the deepest of a 4-level
+    // chain, framed — the hop window is the level-2 (click) matches
     diffOn(worldDense,
       s"""${sel}n = 0
-         |each_row.reverse() where event.is(== 'signup')
+         |each_row where event.is(== 'signup')
          |  n += 1
          |  each_row.continue().next() where event.is(== 'view')
-         |    if get_hour(stamp) > n
-         |      each_row.continue().next() where event.is(== 'purchase')
-         |        << n, event
+         |    each_row.continue().next() where event.is(== 'click')
+         |      if get_hour(stamp) < n
+         |        each_row.continue().next().look_ahead(30_hours) where event.is(== 'purchase')
+         |          << n, event
+         |        end
          |      end
          |    end
          |  end
          |end
-         |""".stripMargin, expectTierA = false)
+         |""".stripMargin)
   }
 
   test("depth-3 chains with plain inner steps compile (round 9)") {
