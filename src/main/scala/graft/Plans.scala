@@ -271,6 +271,15 @@ object Plans {
         "over the frame-bounded hop window, sorted/merged/flattened " +
         "in-row; state bounded by the frame's row density, one (id) " +
         "exchange, no self-join"),
+    P("q_osl_chain4_rev_mid",
+      "REVERSE middle step at depth 4 (round 14): the click level's " +
+        "ladder window flips to the following side (rangeBetween(1, 24h)) " +
+        "while every other level keeps its own direction — still the " +
+        "collect-free ordinal path, three windows on ONE (id) exchange"),
+    P("q_osl_chain4_framed_mid",
+      "FRAMED forward middle at depth 4 (round 14): the click level's " +
+        "ladder window range-bounds to [r-24h, r) — per-level hopWin, " +
+        "same single-exchange window ladder, no collected array"),
     P("q_ann_ivf_indexed",
       "persisted IVF index (round 11): the cells scan carries an explicit " +
         "PartitionFilters: cell IN (probed) — a query reads nprobe/nlist of the " +

@@ -2425,5 +2425,109 @@ object QueriesOsl {
         SELECT CAST(1 AS INTEGER), CAST(nv AS VARCHAR), CAST(NULL AS VARCHAR),
           COUNT(DISTINCT id), COUNT(*)
         FROM tri GROUP BY nv""")),
+
+    // Round-14 widening: a REVERSE MIDDLE step at depth 4 (previously
+    // Tier B — middles were gated plain on the ordinal path). Each
+    // level's ladder window follows ITS step's direction: the click
+    // level scans BACKWARD from views within 24 h, so its reach window
+    // flips to the following side; reach stays a spawn prefix per level
+    // and the max-ladder composes. Oracle: purchase after a click that
+    // precedes (within 24 h) a view that follows the signup.
+    Q("q_osl_chain4_rev_mid",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |each_row where event.is(== 'signup')
+            |  n += 1
+            |  each_row.continue().next() where event.is(== 'view')
+            |    each_row.continue().next().reverse().look_back(24_hours) where event.is(== 'click')
+            |      each_row.continue().next() where event.is(== 'purchase')
+            |        << n, event
+            |      end
+            |    end
+            |  end
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"))
+      },
+      Some(s"""$E, su AS (
+          SELECT id, stamp,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
+          FROM e WHERE event = 'signup'),
+        tri AS (
+          SELECT DISTINCT p.id, p.stamp, su.i
+          FROM e p JOIN su ON su.id = p.id
+          WHERE p.event = 'purchase'
+            AND EXISTS (SELECT 1 FROM e c
+              WHERE c.id = p.id AND c.event = 'click'
+                AND c.stamp < p.stamp
+                AND EXISTS (SELECT 1 FROM e v
+                  WHERE v.id = p.id AND v.event = 'view'
+                    AND v.stamp > su.stamp AND v.stamp > c.stamp
+                    AND v.stamp - c.stamp <= 86400000)))
+        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
+          'purchase' AS g2, COUNT(DISTINCT id) AS customers,
+          COUNT(*) AS n_rows
+        FROM tri GROUP BY i
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*)
+        FROM tri GROUP BY i""")),
+
+    // Round-14 widening: a FRAMED FORWARD MIDDLE step at depth 4 — the
+    // click must follow its view within 24 h; the click level's ladder
+    // window range-bounds to [r−24h, r) on the same single exchange.
+    Q("q_osl_chain4_framed_mid",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |each_row where event.is(== 'signup')
+            |  n += 1
+            |  each_row.continue().next() where event.is(== 'view')
+            |    each_row.continue().next().look_ahead(24_hours) where event.is(== 'click')
+            |      each_row.continue().next() where event.is(== 'purchase')
+            |        << n, event
+            |      end
+            |    end
+            |  end
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"))
+      },
+      Some(s"""$E, su AS (
+          SELECT id, stamp,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
+          FROM e WHERE event = 'signup'),
+        tri AS (
+          SELECT DISTINCT p.id, p.stamp, su.i
+          FROM e p JOIN su ON su.id = p.id
+          WHERE p.event = 'purchase'
+            AND EXISTS (SELECT 1 FROM e c
+              WHERE c.id = p.id AND c.event = 'click'
+                AND c.stamp < p.stamp
+                AND EXISTS (SELECT 1 FROM e v
+                  WHERE v.id = p.id AND v.event = 'view'
+                    AND v.stamp > su.stamp AND v.stamp < c.stamp
+                    AND c.stamp - v.stamp <= 86400000)))
+        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
+          'purchase' AS g2, COUNT(DISTINCT id) AS customers,
+          COUNT(*) AS n_rows
+        FROM tri GROUP BY i
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*)
+        FROM tri GROUP BY i""")),
   )
 }

@@ -684,8 +684,12 @@ object TierA {
          // the deepest step may also be REVERSE or a RESTART (unlimited)
          // — hop validity is K-monotone in the hop row in any direction,
          // so the final ladder window just flips/brackets (lastHopWin).
-         // Round 14: non-forward deepest limits, ordinal path only.
-         levels.tail.init.forall(unframedStep) && dir3StepOk(levels.last) &&
+         // Round 14: non-forward deepest limits, ordinal path only; and
+         // framed / reverse / restart MIDDLE steps, also ordinal-only
+         // (the collect path's reachability counts stay forward-plain).
+         (levels.tail.init.forall(unframedStep) ||
+           chainOrdinalOnly(levels, accums)) &&
+           dir3StepOk(levels.last) &&
            (levels.last.limitN.isEmpty || frameableStep(levels.last) ||
              (nonFwdLimDeepOk(levels.last) &&
                chainOrdinalOnly(levels, accums))))
@@ -812,8 +816,15 @@ object TierA {
     // anchors at the spawn itself and old spawns fall OUT of frame (not
     // a prefix), so depth-2 framed/limited shapes keep collecting.
     levels.size >= 2 && plainStep(levels(1)) &&
+      // MIDDLE levels (round 14 — previously plain-only): any direction
+      // with its cursor-anchored frame rides the per-level hopWin — each
+      // level's reach set stays a spawn PREFIX, so the max-ladder
+      // composes under any direction mix. Middle limits stay Tier B
+      // (an ordinal cap at a middle level is hop-relative, not a stamp
+      // bound on this ladder).
       levels.slice(2, levels.size - 1)
-        .forall(l => unframedStep(l) && guardSplitMixedOk(l)) &&
+        .forall(l => l.limitN.isEmpty && dir3StepOk(l) &&
+          guardSplitMixedOk(l)) &&
       (levels.size == 2 ||
         // round 12: the deepest step may also be REVERSE / RESTART
         // (unlimited) — the final ladder window flips (lastHopWin).
@@ -1143,9 +1154,9 @@ object TierA {
       // per the inverted frame. Works at any depth: hop validity for a
       // spawn is K-monotone in the hop row, so "max K over the flipped
       // window" is reach in every direction.
-      def lastHopWin(default: org.apache.spark.sql.expressions.WindowSpec)
+      def hopWin(l: ChainLevel,
+                 default: org.apache.spark.sql.expressions.WindowSpec)
           : org.apache.spark.sql.expressions.WindowSpec = {
-        val l = levels.last
         if (l.reverse)
           l.spanMs.filter(_ != Long.MaxValue)
             .map(b => person.rangeBetween(1L, b))
@@ -1155,8 +1166,12 @@ object TierA {
           person.rangeBetween(dLo.getOrElse(W.unboundedPreceding),
             dHi.getOrElse(W.unboundedFollowing))
         }
-        else spanDeep.map(sp => person.rangeBetween(-sp, -1)).getOrElse(default)
+        else l.spanMs.filter(_ != Long.MaxValue)
+          .map(sp => person.rangeBetween(-sp, -1)).getOrElse(default)
       }
+      def lastHopWin(default: org.apache.spark.sql.expressions.WindowSpec)
+          : org.apache.spark.sql.expressions.WindowSpec =
+        hopWin(levels.last, default)
       if (ordinal) {
         // ORDINAL path (round 9): plain inner steps with constant literal
         // increments on a forward top — the j-th spawn's accumulator
@@ -1190,13 +1205,24 @@ object TierA {
           val his = mbsJ.filter(alignedMb).map(mixedHi)
           val prev = if (his.isEmpty) prev0 else least((prev0 +: his): _*)
           // the guard gating step j evaluates at the level-(j−1) row —
-          // its row-prop part restricts which rows extend reach
-          val wPred = rowGuard(j)
-            .map(levelPreds(j - 1) && _).getOrElse(levelPreds(j - 1))
-          // a framed DEEPEST step bounds only the last hop: the final
-          // ladder window becomes "latest valid hop within [r−span, r)"
+          // its row-prop part restricts which rows extend reach; a
+          // from-step level's absolute index floor gates which of its
+          // rows act as hops for the NEXT level (round 14)
+          val hopPred0 =
+            if (j - 1 >= 2 && levels(j - 1).isFromStep)
+              levelPreds(j - 1) &&
+                col("__rn") >= lit(levels(j - 1).fromStart.get + 1)
+            else levelPreds(j - 1)
+          val wPred = rowGuard(j).map(hopPred0 && _).getOrElse(hopPred0)
+          // each level's ladder window follows ITS step's direction and
+          // frame (round 14 — previously middles were gated plain):
+          // forward = preceding (range-bounded when framed), reverse =
+          // following within the aligned span, restart = the inverted
+          // frame's bracket. Reach stays a spawn PREFIX per level, so
+          // the max composes in any direction mix.
           val win =
-            if (j == levels.size - 1) lastHopWin(prevRows) else prevRows
+            if (j == levels.size - 1) lastHopWin(prevRows)
+            else hopWin(levels(j), prevRows)
           if (j == levels.size - 1 && contraJ.nonEmpty) {
             // round 14: CONTRA-direction mixed bounds at the deepest
             // level (suffix forms under a forward top / prefix forms
@@ -1543,8 +1569,13 @@ object TierA {
             val lastWin = spanDeep.map(sp => person.rangeBetween(-sp, -1))
               .getOrElse(prevRows)
             val k = levels.size - 2
+            val matchPred0 =
+              if (k >= 2 && levels(k).isFromStep)
+                levelPreds(k) &&
+                  col("__rn") >= lit(levels(k).fromStart.get + 1)
+              else levelPreds(k)
             val matchPred = rowGuard(k + 1)
-              .map(levelPreds(k) && _).getOrElse(levelPreds(k))
+              .map(matchPred0 && _).getOrElse(matchPred0)
             df = df
               .withColumn("__cdc",
                 count(when(levelPreds(levels.size - 1), 1)).over(curRows))
@@ -1697,9 +1728,11 @@ object TierA {
           levels(j).tallies.flatMap { case (ip, gs) =>
             // eligibility is implied per tuple by the reachability check
             // (ordinal: baked into the K_j prefix size); a RESTART
-            // deepest step's absolute index floor is a row-level gate
+            // step's absolute index floor is a row-level gate (any level
+            // since round 14 — middles may be restarts on the ordinal
+            // path)
             val rowP =
-              if (j == levels.size - 1 && levels(j).isFromStep)
+              if (levels(j).isFromStep)
                 levelPreds(j) &&
                   col("__rn") >= lit(levels(j).fromStart.get + 1)
               else levelPreds(j)

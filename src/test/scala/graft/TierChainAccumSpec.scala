@@ -1343,6 +1343,64 @@ class TierChainAccumSpec extends SparkSpec {
            |""".stripMargin)
   }
 
+  test("framed / reverse / restart MIDDLE steps at depth 4 (round 14)") {
+    // round 14: middle levels (2..size−2) ride the per-level hopWin —
+    // each level's reach set stays a spawn PREFIX under any direction,
+    // so the max-ladder composes. Previously middles were gated plain.
+    def mid4(midStep: String, deepStep: String =
+               "each_row.continue().next()", guard: String = "",
+             midTally: Boolean = false,
+             expectTierA: Boolean = true): Unit = {
+      val g = if (guard.isEmpty) "" else s"    if $guard\n"
+      val gEnd = if (guard.isEmpty) "" else "    end\n"
+      val mt = if (midTally) "      << n, 'mid'\n" else ""
+      diffOn(worldDense,
+        s"""${sel}n = 0
+           |each_row where event.is(== 'signup')
+           |  n += 1
+           |  each_row.continue().next() where event.is(== 'view')
+           |$g    $midStep where event.is(== 'click')
+           |$mt      $deepStep where event.is(== 'purchase')
+           |        << n, event
+           |      end
+           |    end
+           |$gEnd  end
+           |end
+           |""".stripMargin, expectTierA)
+    }
+    // framed forward middle (previously Tier B at depth >= 4)
+    mid4("each_row.continue().next().look_ahead(30_hours)")
+    mid4("each_row.continue().next().look_ahead(16_hours)", midTally = true)
+    // reverse middle (aligned look_back; unframed = unbounded following)
+    mid4("each_row.continue().next().reverse().look_back(30_hours)")
+    mid4("each_row.continue().next().reverse()")
+    // restart middle (unframed + framed both sides)
+    mid4("each_row.from(1)")
+    mid4("each_row.from(0).look_back(30_hours)")
+    mid4("each_row.from(2).look_ahead(40_hours)")
+    // direction mixes: non-forward middle + non-forward deepest
+    mid4("each_row.continue().next().reverse().look_back(24_hours)",
+      deepStep = "each_row.continue().next().reverse().look_back(20_hours)")
+    mid4("each_row.from(1).look_back(30_hours)",
+      deepStep = "each_row.from(0).look_ahead(24_hours)")
+    // framed middle + limited deepest (round-14 G-lookup still valid:
+    // the deep-limit conjunct is hop-window-local)
+    mid4("each_row.continue().next().look_ahead(30_hours)",
+      deepStep = "each_row.continue().next().look_ahead(20_hours).limit(2)")
+    // non-forward middle + MIXED guard at the deepest (ladder fold is
+    // per-level, so the least() cap rides the flipped middle window)
+    mid4("each_row.continue().next().reverse().look_back(30_hours)",
+      guard = "get_hour(stamp) > n")
+    mid4("each_row.from(1)", guard = "n < get_hour(stamp)")
+    // pinned declines: middle limits stay Tier B on the ordinal path
+    mid4("each_row.continue().next().limit(2)", expectTierA = false)
+    mid4("each_row.continue().next().reverse().look_back(30_hours).limit(1)",
+      expectTierA = false)
+    // contra-framed middle (forward scan + look_back)
+    mid4("each_row.continue().next().look_back(30_hours)",
+      expectTierA = false)
+  }
+
   test("depth-3 direction MATRIX on the dense world: all 3x3 combos (grid)") {
     // systematic sweep: every (mid, deepest) combination of forward /
     // reverse / restart, framed and unframed variants — the endpoint
