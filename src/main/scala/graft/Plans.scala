@@ -280,6 +280,11 @@ object Plans {
       "FRAMED forward middle at depth 4 (round 14): the click level's " +
         "ladder window range-bounds to [r-24h, r) — per-level hopWin, " +
         "same single-exchange window ladder, no collected array"),
+    P("q_osl_chain4_mid_limited",
+      "LIMITED forward middle at depth 4 (round 14): the latest hop " +
+        "dominates reach and limit validity, so the click level's reach " +
+        "zeroes under ONE G-conjunct (C - G <= 2) — two extra running " +
+        "windows on the same (id) exchange, no per-hop state"),
     P("q_ann_ivf_indexed",
       "persisted IVF index (round 11): the cells scan carries an explicit " +
         "PartitionFilters: cell IN (probed) — a query reads nprobe/nlist of the " +

@@ -543,7 +543,11 @@ object TierA {
           // (the mismatched endpoint varies per hop)
           mbs.filterNot(aligned).forall(_ => k == levels.size - 1 &&
             mixedUnionFrameOk(levels.last)) &&
-          (mbs.isEmpty || k < levels.size - 1 || levels.last.limitN.isEmpty)
+          (mbs.isEmpty || k < levels.size - 1 || levels.last.limitN.isEmpty) &&
+          // a mixed-guarded level must itself be UNLIMITED (round 14:
+          // the limited-middle G-conjunct needs hop-monotone reach, and
+          // a mixed least-fold breaks that monotonicity)
+          (mbs.isEmpty || levels(k).limitN.isEmpty)
       }
   }
 
@@ -819,20 +823,39 @@ object TierA {
       // MIDDLE levels (round 14 — previously plain-only): any direction
       // with its cursor-anchored frame rides the per-level hopWin — each
       // level's reach set stays a spawn PREFIX, so the max-ladder
-      // composes under any direction mix. Middle limits stay Tier B
-      // (an ordinal cap at a middle level is hop-relative, not a stamp
-      // bound on this ladder).
-      levels.slice(2, levels.size - 1)
-        .forall(l => l.limitN.isEmpty && dir3StepOk(l) &&
-          guardSplitMixedOk(l)) &&
+      // composes under any direction mix. A FORWARD middle may also be
+      // LIMITED: the latest in-frame hop dominates both reach (K is
+      // hop-monotone) and limit validity (largest hop count = smallest
+      // between-count), so a failing limit at the latest hop fails at
+      // every hop — the level's reach zeroes under one G-conjunct
+      // (C_j − G_j ≤ n). Non-forward middle limits stay Tier B (the
+      // best-reach and best-limit hops diverge).
+      (2 until levels.size - 1).forall { k =>
+        val l = levels(k)
+        // a LIMITED forward middle's G-conjunct needs the hop-side reach
+        // column monotone: every level BELOW it must be unframed forward
+        // (running-max windows; sliding/flipped windows aren't
+        // monotone). A LIMITED unframed RESTART middle is simpler: every
+        // hop rescans the identical floored tail, so its limit is a
+        // row-level count conjunct on the level's visit predicate.
+        (l.limitN.isEmpty || (frameableStep(l) &&
+          (2 until k).forall(i => unframedStep(levels(i)))) ||
+          (l.isFromStep && l.spanMs.isEmpty && l.contraSpanMs.isEmpty)) &&
+          dir3StepOk(l) && guardSplitMixedOk(l)
+      } &&
       (levels.size == 2 ||
         // round 12: the deepest step may also be REVERSE / RESTART
         // (unlimited) — the final ladder window flips (lastHopWin).
         // Round 14: non-forward deepest LIMITS compose too (framed
-        // reverse / unframed restart — see nonFwdLimDeepOk)
+        // reverse / unframed restart — see nonFwdLimDeepOk; those two
+        // are EXACT per-hop computations, so they tolerate non-monotone
+        // reach below). The FORWARD deepest-limit G-lookup ("latest hop
+        // dominates") needs monotone reach: middles must be unframed
+        // forward under it.
         (dir3StepOk(levels.last) && guardSplitMixedOk(levels.last) &&
-          (levels.last.limitN.isEmpty || frameableStep(levels.last) ||
-            nonFwdLimDeepOk(levels.last)))) &&
+          (levels.last.limitN.isEmpty || nonFwdLimDeepOk(levels.last) ||
+            (frameableStep(levels.last) &&
+              levels.slice(2, levels.size - 1).forall(unframedStep))))) &&
       accums.forall { case (_, _, parts) =>
         parts.forall(p => p.cond.isEmpty &&
           p.incThen.forall { case Lit(VInt(_)) => true; case _ => false })
@@ -1191,6 +1214,25 @@ object TierA {
             coalesce(sum(when(spawnCond, lit(1L))).over(
               person.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)),
               lit(0L)))
+        // a LIMITED unframed RESTART middle's visit set is the first m
+        // floored where-matches — identical for every hop (round 14):
+        // materialize the floored running count once per such level; the
+        // conjunct gates the level's visit predicate everywhere below
+        (2 until levels.size - 1).foreach { i =>
+          val l = levels(i)
+          if (l.isFromStep && l.limitN.isDefined) {
+            val curRows =
+              person.rowsBetween(W.unboundedPreceding, W.currentRow)
+            df = df.withColumn(s"__mcF$i",
+              count(when(levelPreds(i) &&
+                col("__rn") >= lit(l.fromStart.get + 1), 1)).over(curRows))
+          }
+        }
+        def fromMidLim(i: Int): Option[Column] =
+          if (i >= 2 && i < levels.size - 1 && levels(i).isFromStep &&
+              levels(i).limitN.isDefined)
+            Some(col(s"__mcF$i") <= lit(levels(i).limitN.get))
+          else None
         // ANY depth (round 11): the spawns reaching a row at level j form
         // a PREFIX of the spawn sequence, and the prefix size composes
         // through running-max windows — K_j(r) = max over pred_(j−1) rows
@@ -1208,11 +1250,14 @@ object TierA {
           // its row-prop part restricts which rows extend reach; a
           // from-step level's absolute index floor gates which of its
           // rows act as hops for the NEXT level (round 14)
-          val hopPred0 =
-            if (j - 1 >= 2 && levels(j - 1).isFromStep)
-              levelPreds(j - 1) &&
-                col("__rn") >= lit(levels(j - 1).fromStart.get + 1)
-            else levelPreds(j - 1)
+          val hopPred0 = {
+            val base =
+              if (j - 1 >= 2 && levels(j - 1).isFromStep)
+                levelPreds(j - 1) &&
+                  col("__rn") >= lit(levels(j - 1).fromStart.get + 1)
+              else levelPreds(j - 1)
+            fromMidLim(j - 1).map(base && _).getOrElse(base)
+          }
           val wPred = rowGuard(j).map(hopPred0 && _).getOrElse(hopPred0)
           // each level's ladder window follows ITS step's direction and
           // frame (round 14 — previously middles were gated plain):
@@ -1298,6 +1343,25 @@ object TierA {
                   lit(0L),
                   (acc, e) => greatest(acc, e.getField("k"))), lit(0L)))
               .drop("__hopArr")
+          } else if (j < levels.size - 1 && levels(j).limitN.isDefined) {
+            // round 14: a LIMITED forward middle — the latest in-frame
+            // hop y* dominates both reach (K hop-monotone; no mixed
+            // bounds at a limited level, gate-enforced) and limit
+            // validity (largest hop count = smallest between-count
+            // C_j(y_j) − C_j(y*)), so the level's reach is the plain
+            // ladder max gated by ONE row-level conjunct at y*.
+            val n = levels(j).limitN.get
+            val curRows =
+              person.rowsBetween(W.unboundedPreceding, W.currentRow)
+            df = df
+              .withColumn(s"__c$j",
+                count(when(levelPreds(j), 1)).over(curRows))
+              .withColumn(s"__g$j",
+                max(when(wPred, col(s"__c$j"))).over(win))
+              .withColumn(s"__K$j",
+                when(col(s"__c$j") - col(s"__g$j") <= lit(n),
+                  coalesce(max(when(wPred, prev)).over(win), lit(0L)))
+                  .otherwise(lit(0L)))
           } else
             df = df.withColumn(s"__K$j",
               coalesce(max(when(wPred, prev)).over(win), lit(0L)))
@@ -1731,11 +1795,19 @@ object TierA {
             // step's absolute index floor is a row-level gate (any level
             // since round 14 — middles may be restarts on the ordinal
             // path)
-            val rowP =
-              if (levels(j).isFromStep)
-                levelPreds(j) &&
-                  col("__rn") >= lit(levels(j).fromStart.get + 1)
-              else levelPreds(j)
+            val rowP = {
+              val base =
+                if (levels(j).isFromStep)
+                  levelPreds(j) &&
+                    col("__rn") >= lit(levels(j).fromStart.get + 1)
+                else levelPreds(j)
+              // a from-limited MIDDLE's tally rows are capped by the
+              // same floored-count conjunct (ordinal path only)
+              if (ordinal && j < levels.size - 1 && levels(j).isFromStep &&
+                  levels(j).limitN.isDefined)
+                base && col(s"__mcF$j") <= lit(levels(j).limitN.get)
+              else base
+            }
             val canonFlags = gs.map { g =>
               val probe = compileExpr(g, now, realFor(typeBinds), typeBinds).get
               df.select(probe).schema.head.dataType

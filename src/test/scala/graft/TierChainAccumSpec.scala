@@ -1383,18 +1383,41 @@ class TierChainAccumSpec extends SparkSpec {
       deepStep = "each_row.continue().next().reverse().look_back(20_hours)")
     mid4("each_row.from(1).look_back(30_hours)",
       deepStep = "each_row.from(0).look_ahead(24_hours)")
-    // framed middle + limited deepest (round-14 G-lookup still valid:
-    // the deep-limit conjunct is hop-window-local)
+    // LIMITED forward middles (round 14): the latest in-frame hop
+    // dominates reach AND limit validity, so the level's reach zeroes
+    // under one G-conjunct — needs unframed-forward levels BELOW it
+    // (monotone hop-side reach)
+    mid4("each_row.continue().next().limit(2).look_ahead(40_hours)")
+    mid4("each_row.continue().next().limit(1)")
+    mid4("each_row.continue().next().limit(3)",
+      deepStep = "each_row.continue().next().reverse().look_back(24_hours)")
+    // a framed REVERSE-LIMITED deepest below a non-forward middle stays
+    // sound (the filtered hop max is exact per hop, no dominance needed)
+    mid4("each_row.continue().next().reverse().look_back(30_hours)",
+      deepStep =
+        "each_row.continue().next().reverse().look_back(20_hours).limit(2)")
+    // pinned DECLINE: a framed middle below a FORWARD limited deepest —
+    // the G-lookup's "latest hop dominates" needs monotone reach below,
+    // and a sliding-window middle max is not monotone
     mid4("each_row.continue().next().look_ahead(30_hours)",
-      deepStep = "each_row.continue().next().look_ahead(20_hours).limit(2)")
+      deepStep = "each_row.continue().next().look_ahead(20_hours).limit(2)",
+      expectTierA = false)
     // non-forward middle + MIXED guard at the deepest (ladder fold is
     // per-level, so the least() cap rides the flipped middle window)
     mid4("each_row.continue().next().reverse().look_back(30_hours)",
       guard = "get_hour(stamp) > n")
     mid4("each_row.from(1)", guard = "n < get_hour(stamp)")
-    // pinned declines: middle limits stay Tier B on the ordinal path
-    mid4("each_row.continue().next().limit(2)", expectTierA = false)
+    // a LIMITED unframed RESTART middle: the floored match sequence is
+    // identical for every hop, so the limit is a row-level count
+    // conjunct on the level's visit predicate
+    mid4("each_row.from(1).limit(2)")
+    mid4("each_row.from(0).limit(1)", midTally = true)
+    // pinned declines: REVERSE middle limits stay Tier B (the
+    // best-reach and best-limit hops diverge on a flipped window), as
+    // do FRAMED restart-middle limits (per-hop sequences diverge)
     mid4("each_row.continue().next().reverse().look_back(30_hours).limit(1)",
+      expectTierA = false)
+    mid4("each_row.from(1).look_back(30_hours).limit(2)",
       expectTierA = false)
     // contra-framed middle (forward scan + look_back)
     mid4("each_row.continue().next().look_back(30_hours)",
