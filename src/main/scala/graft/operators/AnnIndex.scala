@@ -201,18 +201,63 @@ object AnnIndex {
     val spark = corpus.sparkSession
     val (assigned, centroids) = Similarity.ivfAssign(corpus, nlist)
     import spark.implicits._
-    writeMeta(spark, path,
-      Meta("ivf", dimOf(corpus), nlist, 0, 0, corpusFp(corpus), 0, 0L))
+    // REBUILD-over-existing lands in the NEXT generation (round 14,
+    // ADVICE r13): data and model dirs a concurrent reader may have
+    // planned against are never overwritten in place — the new
+    // generation is written first, the meta flips to it last (the
+    // cutover), and generations older than the just-retired one reclaim
+    // under the same grace window [[compact]] uses. A fresh path builds
+    // straight into gen 0.
+    val prevGen = metaIfAny(spark, path).map(_.gen)
+    val gen = prevGen.map(_ + 1).getOrElse(0L)
     centroids.toSeq.toDF("cid", "vec")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dataDir(path, "centroids", gen))
     assigned.select(col("vec_id"), col("e"), col("cell"))
-      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/cells")
-    dropRebuiltGenerations(spark, path, "cells")
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(dataDir(path, "cells", gen))
+    writeMeta(spark, path,
+      Meta("ivf", dimOf(corpus), nlist, 0, 0, corpusFp(corpus), 0, gen))
+    prevGen.foreach { pg =>
+      dropOldGenerations(spark, path, "cells", keepFrom = pg)
+      // the model's grace dir is the one a prev-meta reader RESOLVES
+      // (highest model gen ≤ the retired meta gen), not the meta gen
+      // itself — compactions bump meta without rewriting the model
+      dropOldGenerations(spark, path, "centroids",
+        keepFrom = modelGen(spark, path, "centroids", pg))
+      dropOldGenerations(spark, path, "codes", keepFrom = Long.MaxValue)
+      dropOldGenerations(spark, path, "books", keepFrom = Long.MaxValue)
+    }
   }
 
-  private def storedCentroids(spark: SparkSession, path: String)
+  /** The model dir (centroids/books) for this meta generation: rebuilds
+    * write the model at the SAME generation as the data, while
+    * [[compact]] bumps the data generation without touching the model —
+    * so the current model is the highest-numbered dir ≤ meta.gen. The
+    * cap also closes the rebuild race: a reader holding the OLD meta
+    * never resolves the in-flight new model. Bare dirs read as gen 0
+    * (pre-round-14 stores). */
+  private def modelGen(spark: SparkSession, path: String, base: String,
+                       maxGen: Long): Long = {
+    val re = s"${base}_v(\\d+)".r
+    val (fsys, p) = hadoopFs(spark, path)
+    val gens =
+      if (!fsys.exists(p)) Seq(0L)
+      else fsys.listStatus(p).toSeq.flatMap(_.getPath.getName match {
+        case `base` => Some(0L)
+        case re(g) => Some(g.toLong)
+        case _ => None
+      }).filter(_ <= maxGen)
+    if (gens.isEmpty) 0L else gens.max
+  }
+
+  private def modelDir(spark: SparkSession, path: String, base: String,
+                       maxGen: Long): String =
+    dataDir(path, base, modelGen(spark, path, base, maxGen))
+
+  private def storedCentroids(spark: SparkSession, path: String, meta: Meta)
       : Array[(Long, Array[Double])] =
-    spark.read.parquet(s"$path/centroids").collect()
+    spark.read.parquet(modelDir(spark, path, "centroids", meta.gen)).collect()
       .map(r => (r.getAs[Long]("cid"), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
 
@@ -249,7 +294,7 @@ object AnnIndex {
     val meta = readMeta(spark, path)
     require(meta.kind == "ivf", s"index at $path is ${meta.kind}, not ivf")
     checkDim(meta, newVecs)
-    val centroids = storedCentroids(spark, path)
+    val centroids = storedCentroids(spark, path, meta)
     val assigned = newVecs
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .withColumn("cell", Similarity.nearestCentroid(col("e"), centroids, 1)(0))
@@ -271,7 +316,7 @@ object AnnIndex {
     * probes). */
   def ivfTopK(spark: SparkSession, path: String, queries: DataFrame, k: Int,
               nprobe: Int = 4): DataFrame = {
-    val (meta, model) = cachedModel(spark, path, "ivf")(_ => storedCentroids(spark, path))
+    val (meta, model) = cachedModel(spark, path, "ivf")(m => storedCentroids(spark, path, m))
     val centroids = model.asInstanceOf[Array[(Long, Array[Double])]]
     val probed = queries
       .select(explode(Similarity.nearestCentroid(
@@ -302,22 +347,36 @@ object AnnIndex {
     val spark = corpus.sparkSession
     val books = Similarity.pqCodebooks(corpus, m, ksub)
     import spark.implicits._
-    writeMeta(spark, path,
-      Meta("pq", dimOf(corpus), 0, m, ksub, corpusFp(corpus), nb, 0L))
+    // rebuild-over-existing lands in the NEXT generation; the meta flip
+    // is the cutover and older generations retire under the compact
+    // grace window (round 14, ADVICE r13 — see buildIvf)
+    val prevGen = metaIfAny(spark, path).map(_.gen)
+    val gen = prevGen.map(_ + 1).getOrElse(0L)
     books.zipWithIndex.flatMap { case (sub, s) =>
       sub.zipWithIndex.map { case (cw, c) => (s, c, cw.toSeq) }
     }.toSeq.toDF("s", "c", "vec")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/books")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(dataDir(path, "books", gen))
     Similarity.pqEncode(corpus, m, ksub)
       .select(col("vec_id"), col("code"))
       .withColumn("idb", idBucket(col("vec_id"), nb))
-      .write.partitionBy("idb").mode("overwrite").parquet(s"$path/codes")
-    dropRebuiltGenerations(spark, path, "codes")
+      .write.partitionBy("idb").mode("overwrite")
+      .parquet(dataDir(path, "codes", gen))
+    writeMeta(spark, path,
+      Meta("pq", dimOf(corpus), 0, m, ksub, corpusFp(corpus), nb, gen))
+    prevGen.foreach { pg =>
+      dropOldGenerations(spark, path, "codes", keepFrom = pg)
+      dropOldGenerations(spark, path, "books",
+        keepFrom = modelGen(spark, path, "books", pg))
+      dropOldGenerations(spark, path, "cells", keepFrom = Long.MaxValue)
+      dropOldGenerations(spark, path, "centroids", keepFrom = Long.MaxValue)
+    }
   }
 
   private def storedBooks(spark: SparkSession, path: String,
                           meta: Meta): Array[Array[Array[Double]]] = {
-    val rows = spark.read.parquet(s"$path/books").collect()
+    val rows = spark.read.parquet(modelDir(spark, path, "books", meta.gen))
+      .collect()
       .map(r => ((r.getAs[Int]("s"), r.getAs[Int]("c")), r.getSeq[Double](2).toArray))
       .toMap
     Array.tabulate(meta.m)(s =>
@@ -428,24 +487,6 @@ object AnnIndex {
         case _ => None
       }
       gen.filter(_ < keepFrom).foreach(_ => fsys.delete(st.getPath, true): Unit)
-    }
-  }
-
-  /** Retire EVERY `base_vN` generation dir after a full rebuild: the
-    * rebuild overwrites the gen-0 base dir and flips meta back to gen 0,
-    * so all numbered generations from prior compactions are stale the
-    * moment the meta lands — left in place they'd orphan disk forever
-    * (a later compact would overwrite but never reclaim them;
-    * round-13 fix, ADVICE r12). */
-  private def dropRebuiltGenerations(spark: SparkSession, path: String,
-                                     base: String): Unit = {
-    val re = s"${base}_v(\\d+)".r
-    val (fsys, p) = hadoopFs(spark, path)
-    if (fsys.exists(p)) fsys.listStatus(p).foreach { st =>
-      st.getPath.getName match {
-        case re(_) => fsys.delete(st.getPath, true): Unit
-        case _ => ()
-      }
     }
   }
 

@@ -160,9 +160,16 @@ class AnnIndexSpec extends SparkSpec {
     val files1 = cellFiles()
     AnnIndex.buildIvfIfStale(read(), path, nlist = 8)
     assert(cellFiles() == files1)
-    // different nlist = a different index: full rebuild
+    // different nlist = a different index: full rebuild — round 14:
+    // into the NEXT generation (gen 1); the bare gen-0 model stays as
+    // the reader grace copy
     AnnIndex.buildIvfIfStale(read(), path, nlist = 4)
-    assert(spark.read.parquet(s"$path/centroids").count() == 4)
+    assert(spark.read.parquet(s"$path/centroids_v1").count() == 4)
+    assert(spark.read.parquet(s"$path/centroids").count() == 8,
+      "the retired model generation is the reader grace window")
+    // and the rebuilt store answers with the new model
+    val q14 = read().where(col("vec_id") < 2)
+    assert(AnnIndex.ivfTopK(spark, path, q14, k = 2, nprobe = 2).count() == 4)
   }
 
   test("streaming index maintenance: appends per batch, replay-idempotent") {
@@ -228,7 +235,7 @@ class AnnIndexSpec extends SparkSpec {
       !new java.io.File(s"$path/cells").exists)
   }
 
-  test("rebuild retires ALL prior generation dirs (no orphans)") {
+  test("rebuild lands in the NEXT generation, reader-safe, no orphans") {
     val path = java.nio.file.Files.createTempDirectory("annidx").toString
     AnnIndex.buildIvf(corpus(0 until 30), path, nlist = 8)
     AnnIndex.appendIvf(corpus(30 until 40), path)
@@ -236,16 +243,41 @@ class AnnIndexSpec extends SparkSpec {
     AnnIndex.compact(spark, path) // -> cells_v2 current, cells gone
     assert(new java.io.File(s"$path/cells_v1").exists &&
       new java.io.File(s"$path/cells_v2").exists)
-    // a full rebuild flips meta back to gen 0: every numbered generation
-    // is stale and must be reclaimed, not orphaned until the next compact
+    // round 14 (ADVICE r13): a full rebuild writes the NEW generation
+    // beside the current one — cells_v2, which a concurrent reader may
+    // have planned against, is never overwritten or deleted on this
+    // cycle (it is the grace window); only OLDER generations reclaim
     AnnIndex.buildIvf(corpus(0 until 50), path, nlist = 8)
-    assert(new java.io.File(s"$path/cells").exists)
-    assert(!new java.io.File(s"$path/cells_v1").exists &&
-      !new java.io.File(s"$path/cells_v2").exists,
-      "rebuild must delete stale generation dirs")
+    assert(new java.io.File(s"$path/cells_v3").exists,
+      "rebuild must land in the next generation")
+    assert(new java.io.File(s"$path/cells_v2").exists,
+      "the just-retired generation is the reader grace window")
+    assert(!new java.io.File(s"$path/cells_v1").exists,
+      "older generations must be reclaimed")
+    // the rebuilt model rides its own generation dir, capped at meta.gen
+    assert(new java.io.File(s"$path/centroids_v3").exists)
     assert(AnnIndex.data(spark, path).count() == 50)
     val q = corpus(0 until 50).where(col("vec_id") < 3)
     assert(AnnIndex.ivfTopK(spark, path, q, k = 2, nprobe = 3).count() == 6)
+    // the NEXT maintenance cycle (a compact) retires the grace dir
+    AnnIndex.compact(spark, path)
+    assert(!new java.io.File(s"$path/cells_v2").exists &&
+      new java.io.File(s"$path/cells_v3").exists &&
+      new java.io.File(s"$path/cells_v4").exists)
+    // and searches still resolve the gen-3 model under the gen-4 meta
+    assert(AnnIndex.ivfTopK(spark, path, q, k = 2, nprobe = 3).count() == 6)
+    // a SECOND rebuild over the compacted store: gen 5; cells_v3
+    // reclaimed (older than the retired v4), v4 kept as grace. The MODEL
+    // grace is the dir a gen-4 reader RESOLVES — centroids_v3 — so it is
+    // kept; the gen-0 bare centroids (two rebuilds stale) reclaim.
+    AnnIndex.buildIvf(corpus(0 until 60), path, nlist = 8)
+    assert(new java.io.File(s"$path/cells_v5").exists &&
+      new java.io.File(s"$path/cells_v4").exists &&
+      !new java.io.File(s"$path/cells_v3").exists)
+    assert(new java.io.File(s"$path/centroids_v5").exists &&
+      new java.io.File(s"$path/centroids_v3").exists &&
+      !new java.io.File(s"$path/centroids").exists)
+    assert(AnnIndex.data(spark, path).count() == 60)
   }
 
   test("PQ compact: codes fold per id-bucket, rankings unchanged") {
