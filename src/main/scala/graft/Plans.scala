@@ -285,6 +285,12 @@ object Plans {
         "dominates reach and limit validity, so the click level's reach " +
         "zeroes under ONE G-conjunct (C - G <= 2) — two extra running " +
         "windows on the same (id) exchange, no per-hop state"),
+    P("q_osl_mixed_double_guard",
+      "BARE double row side in a mixed guard (round 14): the inclusive " +
+        "ordinal bound solves exactly through floor/ceil (v < R iff " +
+        "v <= ceil(R)-1), NaN nulled to the falsy default — same " +
+        "two-window ladder plan as the integral mixed shapes, no fp " +
+        "division anywhere"),
     P("q_ann_ivf_indexed",
       "persisted IVF index (round 11): the cells scan carries an explicit " +
         "PartitionFilters: cell IN (probed) — a query reads nprobe/nlist of the " +

@@ -103,7 +103,7 @@ object TierA {
               chainCollectSafe(levels, accums, events)) ||
             (levels.size >= 3 && chainDeepOk(levels, accums) &&
               chainCollectSafe(levels, accums, events) &&
-              mixedRowSidesOk(levels, events, now))
+              mixedRowSidesOk(levels, events, now, accums))
           tallies = levels.flatMap(_.tallies)
           if tallies.nonEmpty &&
             tallies.forall { case (_, gs) => gs.nonEmpty && gs.size <= OslEngine.MaxDepth } &&
@@ -561,18 +561,30 @@ object TierA {
   private def hasMixedGuards(levels: Seq[ChainLevel]): Boolean =
     (2 until levels.size).exists(k => mixedBoundsAt(levels, k).nonEmpty)
 
-  /** Every mixed conjunct's row side must compile AND be integral: the
-    * prefix bound ⌊(R − init − s)/c⌋ is computed in exact long/decimal
-    * arithmetic, and the interpreter's own comparison on integer values
-    * is exact too — a double row side would need fp boundary reasoning
-    * the solved form can't reproduce bit-for-bit, so it stays Tier B. */
+  /** Every mixed conjunct's row side must compile AND be a numeric type
+    * the solved bound reproduces bit-for-bit: integral sides compare
+    * exactly at any magnitude; DOUBLE/FLOAT sides (round 14) solve
+    * exactly through floor/ceil inclusive bounds — valid because the
+    * interpreter's own long-vs-double compare converts the accumulator
+    * to double, which is lossless while |value| stays inside 2^53. The
+    * magnitude gate bounds it: |init| ≤ 2^51 and |c| ≤ 2^21 keep
+    * |init + c·j| < 2^53 for any j a Spark window partition can hold
+    * (< 2^31 rows). Wilder literals decline rather than mimic fp
+    * rounding (the shiftB policy). */
   private def mixedRowSidesOk(levels: Seq[ChainLevel], events: DataFrame,
-                              now: Long): Boolean = {
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+                              now: Long,
+                              accums: Seq[(String, Long, Seq[AccumPart])])
+      : Boolean = {
+    import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType,
+      IntegerType, LongType, ShortType}
     (2 until levels.size).forall(k => mixedBoundsAt(levels, k).forall { mb =>
       try compileExpr(mb.rowExpr, now, Map.empty).exists { c =>
         events.select(c).schema.head.dataType match {
           case LongType | IntegerType | ShortType | ByteType => true
+          case DoubleType | FloatType =>
+            accAffine(accums, mb.acc).exists { case (init, slope) =>
+              math.abs(init) <= (1L << 51) && math.abs(slope) <= (1L << 21)
+            }
           case _ => false
         }
       }
@@ -1100,19 +1112,50 @@ object TierA {
       // quotient is integral and rounds to itself (exact at any scale,
       // no fp division). A null row side means the interpreter's nil
       // compare (falsy) — hi coalesces to 0 ("no ordinal passes").
-      def mixedNorm(mb: MixedBound): (Long, Long, Column, String) = {
+      def mixedNorm(mb: MixedBound): (Long, Long, Column, String, Boolean) = {
         val (init, c) = accAffine(accums, mb.acc).get
-        val r0 = compileExpr(mb.rowExpr, now, real).get.cast("long")
-        if (c >= 0) (c, init, r0, mb.op)
-        else (-c, -init, -r0, flipCmp(mb.op))
+        val raw = compileExpr(mb.rowExpr, now, real).get
+        val floating = base.select(raw).schema.head.dataType match {
+          case org.apache.spark.sql.types.DoubleType |
+               org.apache.spark.sql.types.FloatType => true
+          case _ => false
+        }
+        val r0 = if (floating) raw.cast("double") else raw.cast("long")
+        if (c >= 0) (c, init, r0, mb.op, floating)
+        else (-c, -init, -r0, flipCmp(mb.op), floating)
       }
       def floorDivC(a: Column, d: Long): Column =
         ((a - pmod(a, lit(d))).cast("decimal(38,0)") / lit(d)).cast("long")
+      // the INCLUSIVE long bound of a (possibly double) row side: the
+      // integer values v satisfying `v OP R` are exactly v ≤/≥ this
+      // bound. DOUBLE sides solve exactly through floor/ceil (both
+      // return LONG): v < R ⟺ v ≤ ceil(R)−1, v ≤ R ⟺ v ≤ floor(R),
+      // v > R ⟺ v ≥ floor(R)+1, v ≥ R ⟺ v ≥ ceil(R) — no fp division,
+      // and the magnitude gate (mixedMagnitudeOk) keeps every compared
+      // accumulator value inside the exact long↔double range, so this
+      // matches the interpreter's double compare bit-for-bit. NaN row
+      // sides compare falsy: nulled here, caught by the callers'
+      // coalesce defaults.
+      def inclBound(r0: Column, op: String, floating: Boolean): Column =
+        if (!floating) op match {
+          case "<" => r0 - 1
+          case "<=" => r0
+          case ">" => r0 + 1
+          case ">=" => r0
+        } else {
+          val b = op match {
+            case "<" => ceil(r0) - 1
+            case "<=" => floor(r0)
+            case ">" => floor(r0) + 1
+            case ">=" => ceil(r0)
+          }
+          when(isnan(r0), lit(null)).otherwise(b)
+        }
       // largest ordinal o with value(o) = init + c·o satisfying the bound
       // (DOWN-closed forms — {<, <=} after positive-slope normalization);
       // exact integer arithmetic, null row side coalesces to 0 ("none")
       def entryHi(mb: MixedBound): Column = {
-        val (cc, ii, rr, op) = mixedNorm(mb)
+        val (cc, ii, rr, op, fl) = mixedNorm(mb)
         val hi =
           if (cc == 0L) {
             val const = op match {
@@ -1121,10 +1164,11 @@ object TierA {
               case ">"  => lit(ii) > rr
               case ">=" => lit(ii) >= rr
             }
-            when(const, lit(Long.MaxValue)).otherwise(lit(0L))
+            when(const && !(if (fl) isnan(rr) else lit(false)),
+              lit(Long.MaxValue)).otherwise(lit(0L))
           } else op match {
-            case "<"  => floorDivC(rr - lit(ii) - 1, cc)
-            case "<=" => floorDivC(rr - lit(ii), cc)
+            case "<" | "<=" =>
+              floorDivC(inclBound(rr, op, fl) - lit(ii), cc)
             case other => throw new IllegalStateException(
               s"entryHi on non-down-closed mixed op $other (gate bug)")
           }
@@ -1133,7 +1177,7 @@ object TierA {
       // smallest satisfying ordinal (UP-closed forms — {>, >=} after
       // normalization); null row side coalesces to MaxValue ("none")
       def entryLo(mb: MixedBound): Column = {
-        val (cc, ii, rr, op) = mixedNorm(mb)
+        val (cc, ii, rr, op, fl) = mixedNorm(mb)
         val lo =
           if (cc == 0L) {
             val const = op match {
@@ -1142,10 +1186,11 @@ object TierA {
               case ">"  => lit(ii) > rr
               case ">=" => lit(ii) >= rr
             }
-            when(const, lit(1L)).otherwise(lit(Long.MaxValue))
+            when(const && !(if (fl) isnan(rr) else lit(false)),
+              lit(1L)).otherwise(lit(Long.MaxValue))
           } else op match {
-            case ">"  => floorDivC(rr - lit(ii), cc) + lit(1L)
-            case ">=" => floorDivC(rr - lit(ii) + lit(cc) - 1, cc)
+            case ">" | ">=" =>
+              floorDivC(inclBound(rr, op, fl) - lit(ii) + lit(cc) - 1, cc)
             case other => throw new IllegalStateException(
               s"entryLo on non-up-closed mixed op $other (gate bug)")
           }

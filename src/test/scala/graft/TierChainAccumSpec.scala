@@ -731,8 +731,10 @@ class TierChainAccumSpec extends SparkSpec {
          |  end
          |end
          |""".stripMargin)
-    // decline: a single conjunct mixing an accum read with a row prop
-    // cannot split (it reads the PARENT row's prop, not the tally row's)
+    // a single conjunct mixing an accum read with a row prop was the
+    // round-11 decline here; it COMPILES since rounds 12-14 (the mixed
+    // ordinal-bound fold — round 14 extends it to bare DOUBLE props via
+    // exact floor/ceil inclusive bounds)
     diff(
       s"""${sel}n = 0
          |each_row where event.is(== 'signup')
@@ -745,7 +747,7 @@ class TierChainAccumSpec extends SparkSpec {
          |    end
          |  end
          |end
-         |""".stripMargin, expectTierA = false)
+         |""".stripMargin)
   }
 
   test("depth-4+ deepest-step frames and limits compile (round 11)") {
@@ -1663,14 +1665,51 @@ class TierChainAccumSpec extends SparkSpec {
     // interval: the union machinery folds both endpoints)
     mixed3("get_hour(stamp) < n && n <= get_hour(stamp) + 6",
       deepMods = ".look_ahead(18_hours)")
+    // DOUBLE row sides — COMPILE since round 14: the inclusive bound
+    // solves exactly through floor/ceil (v < R ⟺ v ≤ ceil(R)−1 …), and
+    // the magnitude gate keeps compared values inside the exact
+    // long↔double range (the interpreter converts the accumulator to
+    // double the same way)
+    mixed3("product_price > n")
+    mixed3("n < product_price", inc = "n += 2")
+    mixed3("product_price >= n", init = "n = 9")
+    mixed3("n > product_price", init = "n = 90", inc = "n -= 4")
+    mixed3("product_price.is(> n)")
+    mixed3("product_price.is(>= n)", inc = "n += 3")
+    // double + SUFFIX direction rides the merged-interval union
+    mixed3("product_price <= n", deepMods = ".look_ahead(18_hours)")
+    // exact-integer boundary world: prices sit ON and BESIDE integer
+    // accumulator values, exercising the R == ⌈R⌉ branch both ways
+    locally {
+      val wb = (0 until 40).map { i =>
+        (s"b${i % 2}", Mon + i * H,
+          Seq("signup", "view", "purchase")(i % 3),
+          "rod", Seq(1.0, 1.5, 2.0, 2.5, 3.0, 3.5, 4.0, 4.5)(i % 8))
+      }.toDF("id", "stamp", "event", "product_name", "product_price")
+        .cache()
+      for (g <- Seq("product_price > n", "product_price >= n",
+                    "n < product_price", "n <= product_price"))
+        diffOn(wb,
+          s"""${sel}n = 0
+             |each_row where event.is(== 'signup')
+             |  n += 1
+             |  each_row.continue().next() where event.is(== 'view')
+             |    if $g
+             |      each_row.continue().next() where event.is(== 'purchase')
+             |        << n, event
+             |      end
+             |    end
+             |  end
+             |end
+             |""".stripMargin)
+    }
     // pinned DECLINES — each still differentially checked through Tier B:
     // UNFRAMED suffix form (the per-row interval collect would be
     // unbounded; framed variants compile above)
     mixed3("get_hour(stamp) < n", expectTierA = false)
-    // double row side (fp boundary vs the exact integer bound)
-    mixed3("product_price > n", expectTierA = false)
-    // prop-test form over a DOUBLE prop (integral row sides only)
-    mixed3("product_price.is(> n)", expectTierA = false)
+    // a magnitude past the exact long↔double range declines (the
+    // interpreter's compare would round; decline rather than mimic)
+    mixed3("product_price > n", inc = "n += 3000000", expectTierA = false)
     // mixed on the DEEPEST step + a deepest limit (G-lookup unsound)
     mixed3("get_hour(stamp) > n", expectTierA = false, deepMods = ".limit(1)")
     // REVERSE tops (round 14): reachability in backward-ordinal space is
