@@ -285,6 +285,12 @@ object Plans {
         "dominates reach and limit validity, so the click level's reach " +
         "zeroes under ONE G-conjunct (C - G <= 2) — two extra running " +
         "windows on the same (id) exchange, no per-hop state"),
+    P("q_osl_mixed_limited_deepest",
+      "MIXED guard on a framed LIMITED deepest (round 14): the limit " +
+        "prices per hop — (deep-count, mixed-folded K) structs collected " +
+        "over the frame-bounded preceding window, filtered by the " +
+        "between-count, maxed in-row; state bounded by the frame's row " +
+        "density on the same (id) exchange"),
     P("q_osl_mixed_double_guard",
       "BARE double row side in a mixed guard (round 14): the inclusive " +
         "ordinal bound solves exactly through floor/ceil (v < R iff " +

@@ -2634,5 +2634,59 @@ object QueriesOsl {
         SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
           COUNT(DISTINCT id), COUNT(*)
         FROM tri GROUP BY i""")),
+
+    // Round-14 widening: a MIXED guard on a LIMITED (framed forward)
+    // deepest — the G-lookup can't carry it (min(K, hi) isn't
+    // hop-monotone), so the limit prices per hop: (deep-count, folded K)
+    // structs collected over the frame-bounded preceding window,
+    // filtered by the between-count and maxed in-row.
+    Q("q_osl_mixed_limited_deepest",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |each_row where event.is(== 'signup')
+            |  n += 1
+            |  each_row.continue().next() where event.is(== 'view')
+            |    if get_hour(stamp) > n
+            |      each_row.continue().next().look_ahead(24_hours).limit(2) where event.is(== 'purchase')
+            |        << n, event
+            |      end
+            |    end
+            |  end
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"))
+      },
+      Some(s"""$E, su AS (
+          SELECT id, stamp,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
+          FROM e WHERE event = 'signup'),
+        tri AS (
+          SELECT DISTINCT p.id, p.stamp, su.i
+          FROM e p JOIN su ON su.id = p.id
+          WHERE p.event = 'purchase'
+            AND EXISTS (SELECT 1 FROM e v
+              WHERE v.id = p.id AND v.event = 'view'
+                AND v.stamp > su.stamp AND v.stamp < p.stamp
+                AND p.stamp - v.stamp <= 86400000
+                AND hour(make_timestamp(v.stamp * 1000)) > su.i
+                AND (SELECT COUNT(*) FROM e p2
+                     WHERE p2.id = p.id AND p2.event = 'purchase'
+                       AND p2.stamp > v.stamp
+                       AND p2.stamp <= p.stamp) <= 2))
+        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
+          'purchase' AS g2, COUNT(DISTINCT id) AS customers,
+          COUNT(*) AS n_rows
+        FROM tri GROUP BY i
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*)
+        FROM tri GROUP BY i""")),
   )
 }

@@ -543,11 +543,21 @@ object TierA {
           // (the mismatched endpoint varies per hop)
           mbs.filterNot(aligned).forall(_ => k == levels.size - 1 &&
             mixedUnionFrameOk(levels.last)) &&
-          (mbs.isEmpty || k < levels.size - 1 || levels.last.limitN.isEmpty) &&
-          // a mixed-guarded level must itself be UNLIMITED (round 14:
+          // a mixed-guarded DEEPEST may be limited when the limit is an
+          // exact per-hop computation (round 14): framed forward — the
+          // hop collect carries (count, mixed-folded K) pairs; framed
+          // reverse / unframed restart — the nonFwdLimDeepOk machinery
+          // is already per-hop/row-level exact. The forward G-lookup
+          // alone can't carry it (min(K, hi) isn't hop-monotone).
+          (mbs.isEmpty || k < levels.size - 1 ||
+            levels.last.limitN.isEmpty ||
+            nonFwdLimDeepOk(levels.last) ||
+            fwdLimCollectOk(levels.last)) &&
+          // a mixed-guarded MIDDLE must itself be UNLIMITED (round 14:
           // the limited-middle G-conjunct needs hop-monotone reach, and
-          // a mixed least-fold breaks that monotonicity)
-          (mbs.isEmpty || levels(k).limitN.isEmpty)
+          // a mixed least-fold breaks that monotonicity); the deepest
+          // case is governed by the per-hop rule above
+          (mbs.isEmpty || k == levels.size - 1 || levels(k).limitN.isEmpty)
       }
   }
 
@@ -750,6 +760,15 @@ object TierA {
       l.spanMs.exists(_ != Long.MaxValue)) ||
       (l.isFromStep && l.spanMs.isEmpty && l.contraSpanMs.isEmpty)
 
+  /** A FORWARD framed deepest limit priced by the exact per-hop collect
+    * (round 14): needed whenever the G-lookup's monotone-dominance
+    * argument doesn't hold — a mixed guard at the deepest (min(K, hi)
+    * isn't hop-monotone) or non-plain middles below (sliding/flipped
+    * window maxima aren't monotone). The frame bounds the per-row hop
+    * array. */
+  private def fwdLimCollectOk(l: ChainLevel): Boolean =
+    frameableStep(l) && l.spanMs.exists(_ != Long.MaxValue)
+
   /** (mA, mB): the spawn's position relative to a mid-step visit —
     * s0 ∈ [s1−mA, s1+mB]; None = that side unbounded. Used for the
     * spawn-collect window bounds and the range-bounded memory gate. */
@@ -866,6 +885,11 @@ object TierA {
         // forward under it.
         (dir3StepOk(levels.last) && guardSplitMixedOk(levels.last) &&
           (levels.last.limitN.isEmpty || nonFwdLimDeepOk(levels.last) ||
+            // framed forward limits always compile (the per-hop collect
+            // prices them exactly when monotonicity fails); UNFRAMED
+            // forward limits keep the G-lookup, which needs unframed
+            // forward middles below it
+            fwdLimCollectOk(levels.last) ||
             (frameableStep(levels.last) &&
               levels.slice(2, levels.size - 1).forall(unframedStep))))) &&
       accums.forall { case (_, _, parts) =>
@@ -1213,6 +1237,14 @@ object TierA {
       // sequence(1..K) prefix to the exact merged-interval union __ordU
       val mixedUnionLast = levels.size >= 3 &&
         mixedAt(levels.size - 1).exists(mb => !alignedMb(mb))
+      // a framed FORWARD deepest limit prices per-hop (round 14) when
+      // the G-lookup's dominance argument fails: deepest mixed bounds
+      // (min(K, hi) isn't hop-monotone) or non-plain middles below
+      val fwdLimCollect = levels.size >= 3 &&
+        levels.last.limitN.isDefined && frameableStep(levels.last) &&
+        levels.last.spanMs.exists(_ != Long.MaxValue) &&
+        (mixedAt(levels.size - 1).nonEmpty ||
+          !levels.slice(2, levels.size - 1).forall(unframedStep))
       val spawnCond = levels(1).guard
         .map(g => visited0 && compileExpr(g, now, real).get).getOrElse(visited0)
       // the FINAL reachability-ladder window, by deepest-step direction
@@ -1357,6 +1389,29 @@ object TierA {
                   iv => sequence(iv.getField("lo"), iv.getField("hi"))))
               })
               .drop("__ivArr")
+          } else if (j == levels.size - 1 && fwdLimCollect) {
+            // round 14: framed FORWARD deepest + .limit(m) when the
+            // hop-side values aren't monotone (deepest mixed fold /
+            // non-plain middles): collect (deep-count, K) per candidate
+            // hop over the frame-bounded preceding window and take the
+            // exact max over hops whose between-count C(r) − C(y) ≤ m.
+            val sp = spanDeep.get
+            val m = levels.last.limitN.get
+            val deepPred = levelPreds(levels.size - 1)
+            val curRows =
+              person.rowsBetween(W.unboundedPreceding, W.currentRow)
+            df = df
+              .withColumn("__cdcF", count(when(deepPred, 1)).over(curRows))
+              .withColumn("__hopArrF",
+                collect_list(when(wPred, struct(col("__cdcF").as("c"),
+                  prev.as("k")))).over(person.rangeBetween(-sp, -1L)))
+              .withColumn(s"__K$j",
+                coalesce(aggregate(
+                  filter(col("__hopArrF"),
+                    e => col("__cdcF") - e.getField("c") <= lit(m)),
+                  lit(0L),
+                  (acc, e) => greatest(acc, e.getField("k"))), lit(0L)))
+              .drop("__hopArrF")
           } else if (j == levels.size - 1 && levels.last.reverse &&
               levels.last.limitN.isDefined) {
             // round 14: REVERSE deepest + .limit(m). A hop y (mid match
@@ -1658,7 +1713,9 @@ object TierA {
       // ladder already says "no eligible spawn".
       val deepLimCond: Option[Column] =
         limDeep.filter(_ => ordinal || levels.size >= 4).flatMap { m =>
-          if (levels.last.reverse)
+          if (ordinal && fwdLimCollect)
+            None // round 14: priced inside the per-hop collect branch
+          else if (levels.last.reverse)
             None // round 14: folded into the __K ladder's filtered hop max
           else if (levels.last.isFromStep) {
             // round 14: UNFRAMED restart deepest + .limit(m) — every hop

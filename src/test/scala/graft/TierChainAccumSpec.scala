@@ -1398,11 +1398,19 @@ class TierChainAccumSpec extends SparkSpec {
     mid4("each_row.continue().next().reverse().look_back(30_hours)",
       deepStep =
         "each_row.continue().next().reverse().look_back(20_hours).limit(2)")
-    // pinned DECLINE: a framed middle below a FORWARD limited deepest —
-    // the G-lookup's "latest hop dominates" needs monotone reach below,
-    // and a sliding-window middle max is not monotone
+    // a framed middle below a FRAMED forward limited deepest: the
+    // G-lookup's dominance argument fails (sliding-window middle maxima
+    // aren't monotone), so this prices per hop via the frame-bounded
+    // collect (round 14) — exact at any middle mix
     mid4("each_row.continue().next().look_ahead(30_hours)",
-      deepStep = "each_row.continue().next().look_ahead(20_hours).limit(2)",
+      deepStep = "each_row.continue().next().look_ahead(20_hours).limit(2)")
+    mid4("each_row.continue().next().reverse().look_back(30_hours)",
+      deepStep = "each_row.continue().next().look_ahead(24_hours).limit(1)")
+    // pinned DECLINE: an UNFRAMED forward limited deepest below a
+    // non-plain middle (no bound for the hop collect, and the G-lookup
+    // needs monotone reach below)
+    mid4("each_row.continue().next().look_ahead(30_hours)",
+      deepStep = "each_row.continue().next().limit(2)",
       expectTierA = false)
     // non-forward middle + MIXED guard at the deepest (ladder fold is
     // per-level, so the least() cap rides the flipped middle window)
@@ -1710,8 +1718,24 @@ class TierChainAccumSpec extends SparkSpec {
     // a magnitude past the exact long↔double range declines (the
     // interpreter's compare would round; decline rather than mimic)
     mixed3("product_price > n", inc = "n += 3000000", expectTierA = false)
-    // mixed on the DEEPEST step + a deepest limit (G-lookup unsound)
+    // round 14: a mixed-guarded deepest may be LIMITED when the limit is
+    // exact per hop — framed forward (the hop collect carries
+    // (count, mixed-folded K) pairs), framed reverse, unframed restart
+    mixed3("get_hour(stamp) > n", deepMods = ".look_ahead(12_hours).limit(1)")
+    mixed3("n >= get_hour(stamp)", init = "n = 50", inc = "n -= 2",
+      deepMods = ".look_ahead(24_hours).limit(2)")
+    mixed3("product_price > n", deepMods = ".look_ahead(18_hours).limit(2)")
+    mixed3("get_hour(stamp) > n",
+      deepStep = Some("each_row.continue().next().reverse().look_back(20_hours).limit(1)"))
+    mixed3("get_hour(stamp) > n", deepStep = Some("each_row.from(1).limit(2)"))
+    // declines: UNFRAMED forward limit under a deepest mixed guard (no
+    // bound for the hop collect), and contra forms under any limit (the
+    // union machinery requires an unlimited deepest)
     mixed3("get_hour(stamp) > n", expectTierA = false, deepMods = ".limit(1)")
+    mixed3("get_hour(stamp) < n",
+      deepMods = ".look_ahead(12_hours).limit(1)", expectTierA = false)
+    // (mixed-deepest + limit combinations live at the end of this test:
+    // framed forms compile per-hop since round 14, unframed declines)
     // REVERSE tops (round 14): reachability in backward-ordinal space is
     // a SUFFIX (i >= T−K+1), so exactly the guard classes a forward top
     // declines — upward-closed satisfied sets (increasing acc with a
