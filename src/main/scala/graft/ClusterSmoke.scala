@@ -66,7 +66,21 @@ object ClusterSmoke {
     // depth-4 reverse deepest (round 12: flipped final ladder window)
     "q_osl_chain4_rev",
     // int(value) mixed guard (round 12: exact truncation on both tiers)
-    "q_osl_mixed_value_guard")
+    "q_osl_mixed_value_guard",
+    // statement-ordered FoldSum (round 13: the DeclarativeAggregate's
+    // buffer must fold identically across executor boundaries)
+    "q_osl_multi_accum",
+    // round 14: mixed over a framed restart deepest (ordinal least-fold
+    // + inverted-frame bracket window), reverse-top mixed (backward
+    // ordinal suffix fold via the person total), the contra-direction
+    // merged-interval union (collected interval structs must keep exact
+    // contents across JVMs), the filtered-hop-max reverse limit, and a
+    // non-forward middle at depth 4 (per-level hopWin)
+    "q_osl_chain3_restart_framed_mixed",
+    "q_osl_mixed_reverse_top",
+    "q_osl_mixed_suffix_guard",
+    "q_osl_chain3_rev_deep_limited",
+    "q_osl_chain4_rev_mid")
 
   private def canon(df: org.apache.spark.sql.DataFrame): Set[Vector[String]] = {
     val cols = df.columns.sorted

@@ -1478,6 +1478,39 @@ class TierChainAccumSpec extends SparkSpec {
          |""".stripMargin)
   }
 
+  test("depth-4 direction MATRIX: middle x deepest combos (round 14 grid)") {
+    // round 14 opened MIDDLE steps to any direction on the ordinal
+    // path — the systematic sweep proves the per-level hopWin composes
+    // everywhere, not just in the hand-picked mid4 shapes
+    val mids = Seq(
+      "each_row.continue().next()",
+      "each_row.continue().next().look_ahead(24_hours)",
+      "each_row.continue().next().reverse()",
+      "each_row.continue().next().reverse().look_back(24_hours)",
+      "each_row.from(1)",
+      "each_row.from(0).look_back(30_hours)")
+    val deeps = Seq(
+      "each_row.continue().next()",
+      "each_row.continue().next().look_ahead(16_hours)",
+      "each_row.continue().next().look_ahead(16_hours).limit(2)",
+      "each_row.continue().next().reverse().look_back(14_hours)",
+      "each_row.from(1).look_ahead(18_hours)")
+    for (mid <- mids; deep <- deeps)
+      diffOn(worldDense,
+        s"""${sel}n = 0
+           |each_row where event.is(== 'signup')
+           |  n += 1
+           |  each_row.continue().next() where event.is(== 'view')
+           |    $mid where event.is(== 'click')
+           |      $deep where event.is(== 'purchase')
+           |        << n, event
+           |      end
+           |    end
+           |  end
+           |end
+           |""".stripMargin)
+  }
+
   test("BOTH depth-3 inner steps limited compile (round 12)") {
     // signup -> first n views -> first m purchases: the intermediate cap
     // joins the upper-endpoint min-terms (k* = the latest VALID s1's
@@ -1633,6 +1666,7 @@ class TierChainAccumSpec extends SparkSpec {
     // independently), but previously untested. Reverse deepest:
     mixed3("get_hour(stamp) > n",
       deepMods = ".reverse().look_back(24_hours)")
+    mixed3("get_hour(stamp) > n", deepMods = ".reverse()") // unframed too
     mixed3("n < get_hour(stamp)", inc = "n += 2",
       deepMods = ".reverse().look_back(9_hours)")
     // ...and a GENUINE `.from(k)` restart deepest (unframed + framed).

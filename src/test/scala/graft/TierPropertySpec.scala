@@ -850,7 +850,9 @@ class TierPropertySpec extends SparkSpec {
     val genDeepMods = Gen.oneOf("", "", ".look_ahead(20_hours)",
       ".look_ahead(50_hours)", ".limit(1)", ".look_ahead(50_hours).limit(2)",
       // round 12: REVERSE deepest steps (other-side interval endpoints)
-      ".reverse()", ".reverse().look_back(25_hours)")
+      ".reverse()", ".reverse().look_back(25_hours)",
+      // round 14: framed reverse + limit (exact filtered hop max)
+      ".reverse().look_back(25_hours).limit(1)")
     val genDeepGuard = Gen.option(Gen.oneOf(
       "event.is(!= 'error')", "product_price.is(> 25)",
       // round 11: spawn-pure accumulator guards + a mixed split guard
@@ -860,7 +862,9 @@ class TierPropertySpec extends SparkSpec {
       // into ordinal-compatible shape; unsolvable/declining forms are
       // pinned in TierChainAccumSpec)
       "get_hour(stamp) > n", "n < get_hour(stamp)",
-      "n <= 2 && get_hour(stamp) >= n"))
+      "n <= 2 && get_hour(stamp) >= n",
+      // round 13/14: affine accumulator sides and bare DOUBLE row sides
+      "n + 1 < get_hour(stamp)", "product_price > n"))
     (1 to 15).foreach { i =>
       val s0 = Seed(i.toLong * 9437183)
       val w0 = genWhere.pureApply(params, s0)
@@ -894,7 +898,8 @@ class TierPropertySpec extends SparkSpec {
       // (constant positive increments, forward top, plain middle step, no
       // deepest limit); the declining combinations are pinned separately
       // in TierChainAccumSpec
-      val mixedDraw = deepGuard0.exists(_.contains("get_hour("))
+      val mixedDraw = deepGuard0.exists(g =>
+        g.contains("get_hour(") || g.contains("product_price > n"))
       val mods1 = if (mixedDraw && mods == ".reverse()") "" else mods
       val inc1 = if (mixedDraw && inc == "n -= 1") "n += 1" else inc
       val ginc1 = if (mixedDraw) None else ginc
@@ -908,11 +913,11 @@ class TierPropertySpec extends SparkSpec {
       // nested `each_row.from(k)` — `.from` is interpreter-dead under
       // `.continue()`); this generator keeps its draw
       // space ordinal-plain to avoid skewing the other dimensions
+      // round 14: mixed deepest guards compose with FRAMED limits (the
+      // per-hop collect) and with reverse deepests in any framing — only
+      // an UNFRAMED limit still declines under mixed
       val deepMods =
-        if (mixedDraw) {
-          val noLim = deepMods0.replaceAll("\\.limit\\(\\d+\\)", "")
-          if (noLim.contains(".reverse")) "" else noLim
-        } else deepMods0
+        if (mixedDraw && deepMods0 == ".limit(1)") "" else deepMods0
       // under an intermediate limit only spawn-pure (no `.is(`) deepest
       // guards keep the count spaces aligned
       val deepGuard =
@@ -925,9 +930,10 @@ class TierPropertySpec extends SparkSpec {
       val d4Mods0 = Gen.oneOf("", "", ".look_ahead(30_hours)", ".limit(1)",
         ".look_ahead(50_hours).limit(2)")
         .pureApply(params, s0.slide.slide.slide.slide)
-      // a mixed guard at the depth-4 deepest step rules out its limit
+      // a mixed guard at the depth-4 deepest rules out only the
+      // UNFRAMED limit since round 14 (framed limits price per hop)
       val d4Mods =
-        if (mixedDraw) d4Mods0.replaceAll("\\.limit\\(\\d+\\)", "") else d4Mods0
+        if (mixedDraw && d4Mods0 == ".limit(1)") "" else d4Mods0
       val deepest =
         if (depth4) deepGuard match {
           // round 11: depth-4 deepest-step guards compose (row-prop
