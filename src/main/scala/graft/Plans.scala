@@ -285,6 +285,11 @@ object Plans {
         "dominates reach and limit validity, so the click level's reach " +
         "zeroes under ONE G-conjunct (C - G <= 2) — two extra running " +
         "windows on the same (id) exchange, no per-hop state"),
+    P("q_osl_chain4_rev_mid_limited",
+      "LIMITED framed reverse MIDDLE (round 14): the filtered-hop-max " +
+        "collect generalized to the click level — (between-count, K) " +
+        "structs over its following frame window, exact per hop; deeper " +
+        "levels consume the result through the ordinary max-ladder"),
     P("q_osl_mixed_limited_deepest",
       "MIXED guard on a framed LIMITED deepest (round 14): the limit " +
         "prices per hop — (deep-count, mixed-folded K) structs collected " +

@@ -2688,5 +2688,62 @@ object QueriesOsl {
         SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
           COUNT(DISTINCT id), COUNT(*)
         FROM tri GROUP BY i""")),
+
+    // Round-14 widening: a LIMITED framed REVERSE MIDDLE step — a click
+    // is a valid mid visit from view v only among the first 2 clicks
+    // scanning BACKWARD from v within 24 h. Priced exactly per hop at
+    // the click level: (between-count, K) structs over the following
+    // frame window, filtered and maxed in-row (the reverse-deepest
+    // machinery generalized to any level).
+    Q("q_osl_chain4_rev_mid_limited",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |each_row where event.is(== 'signup')
+            |  n += 1
+            |  each_row.continue().next() where event.is(== 'view')
+            |    each_row.continue().next().reverse().look_back(24_hours).limit(2) where event.is(== 'click')
+            |      each_row.continue().next() where event.is(== 'purchase')
+            |        << n, event
+            |      end
+            |    end
+            |  end
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"))
+      },
+      Some(s"""$E, su AS (
+          SELECT id, stamp,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
+          FROM e WHERE event = 'signup'),
+        tri AS (
+          SELECT DISTINCT p.id, p.stamp, su.i
+          FROM e p JOIN su ON su.id = p.id
+          WHERE p.event = 'purchase'
+            AND EXISTS (SELECT 1 FROM e c
+              WHERE c.id = p.id AND c.event = 'click'
+                AND c.stamp < p.stamp
+                AND EXISTS (SELECT 1 FROM e v
+                  WHERE v.id = p.id AND v.event = 'view'
+                    AND v.stamp > su.stamp AND v.stamp > c.stamp
+                    AND v.stamp - c.stamp <= 86400000
+                    AND (SELECT COUNT(*) FROM e c2
+                         WHERE c2.id = p.id AND c2.event = 'click'
+                           AND c2.stamp > c.stamp
+                           AND c2.stamp < v.stamp) <= 1)))
+        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
+          'purchase' AS g2, COUNT(DISTINCT id) AS customers,
+          COUNT(*) AS n_rows
+        FROM tri GROUP BY i
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*)
+        FROM tri GROUP BY i""")),
   )
 }

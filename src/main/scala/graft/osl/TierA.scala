@@ -868,10 +868,15 @@ object TierA {
         // (running-max windows; sliding/flipped windows aren't
         // monotone). A LIMITED unframed RESTART middle is simpler: every
         // hop rescans the identical floored tail, so its limit is a
-        // row-level count conjunct on the level's visit predicate.
+        // row-level count conjunct on the level's visit predicate. A
+        // LIMITED framed REVERSE middle prices exactly per hop (the
+        // same filtered-hop-max collect the reverse deepest uses), so
+        // it needs no monotonicity below it.
         (l.limitN.isEmpty || (frameableStep(l) &&
           (2 until k).forall(i => unframedStep(levels(i)))) ||
-          (l.isFromStep && l.spanMs.isEmpty && l.contraSpanMs.isEmpty)) &&
+          (l.isFromStep && l.spanMs.isEmpty && l.contraSpanMs.isEmpty) ||
+          (l.reverse && l.contraSpanMs.isEmpty &&
+            l.spanMs.exists(_ != Long.MaxValue))) &&
           dir3StepOk(l) && guardSplitMixedOk(l)
       } &&
       (levels.size == 2 ||
@@ -1412,38 +1417,39 @@ object TierA {
                   lit(0L),
                   (acc, e) => greatest(acc, e.getField("k"))), lit(0L)))
               .drop("__hopArrF")
-          } else if (j == levels.size - 1 && levels.last.reverse &&
-              levels.last.limitN.isDefined) {
-            // round 14: REVERSE deepest + .limit(m). A hop y (mid match
-            // in (r, r+b]) only visits r when fewer than m deep matches
+          } else if (levels(j).reverse && levels(j).limitN.isDefined) {
+            // round 14: REVERSE step + .limit(m) — deepest OR middle
+            // (generalized this round). A hop y (level-(j−1) match in
+            // (r, r+b]) only visits r when fewer than m level-j matches
             // sit strictly BETWEEN r and y — validity holds for a PREFIX
             // of the following hops (the between-count grows with y)
             // while the ladder value K grows with LATER hops, so reach
             // is the exact max over the filtered hop set: collect
             // (between-count, K) per candidate hop over the frame-bounded
             // following window and filter/max in-row. D is the inclusive
-            // running deep-match count; D(y⁻) − D(r) ≤ m − 1 is the
+            // running level-j match count; D(y⁻) − D(r) ≤ m − 1 is the
             // interpreter's backward-scan cap exactly.
-            val b = spanDeep.get // nonFwdLimDeepOk: finite aligned frame
-            val m = levels.last.limitN.get
-            val deepPred = levelPreds(levels.size - 1)
+            val b = levels(j).spanMs.get // gate: finite aligned frame
+            val m = levels(j).limitN.get
+            val jPred = levelPreds(j)
             val curRows =
               person.rowsBetween(W.unboundedPreceding, W.currentRow)
             df = df
-              .withColumn("__cdcR", count(when(deepPred, 1)).over(curRows))
+              .withColumn(s"__cdcR$j", count(when(jPred, 1)).over(curRows))
               .withColumn("__hopArr",
                 collect_list(when(wPred, struct(
-                  (col("__cdcR") -
-                    when(deepPred, lit(1L)).otherwise(lit(0L))).as("d"),
+                  (col(s"__cdcR$j") -
+                    when(jPred, lit(1L)).otherwise(lit(0L))).as("d"),
                   prev.as("k")))).over(person.rangeBetween(1L, b)))
               .withColumn(s"__K$j",
                 coalesce(aggregate(
                   filter(col("__hopArr"),
-                    e => e.getField("d") - col("__cdcR") <= lit(m - 1)),
+                    e => e.getField("d") - col(s"__cdcR$j") <= lit(m - 1)),
                   lit(0L),
                   (acc, e) => greatest(acc, e.getField("k"))), lit(0L)))
               .drop("__hopArr")
-          } else if (j < levels.size - 1 && levels(j).limitN.isDefined) {
+          } else if (j < levels.size - 1 && levels(j).limitN.isDefined &&
+              frameableStep(levels(j))) {
             // round 14: a LIMITED forward middle — the latest in-frame
             // hop y* dominates both reach (K hop-monotone; no mixed
             // bounds at a limited level, gate-enforced) and limit

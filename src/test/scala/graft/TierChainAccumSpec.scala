@@ -1422,10 +1422,17 @@ class TierChainAccumSpec extends SparkSpec {
     // conjunct on the level's visit predicate
     mid4("each_row.from(1).limit(2)")
     mid4("each_row.from(0).limit(1)", midTally = true)
-    // pinned declines: REVERSE middle limits stay Tier B (the
-    // best-reach and best-limit hops diverge on a flipped window), as
-    // do FRAMED restart-middle limits (per-hop sequences diverge)
+    // a LIMITED framed REVERSE middle prices exactly per hop — the same
+    // filtered-hop-max collect the reverse deepest uses, at its level
+    mid4("each_row.continue().next().reverse().look_back(30_hours).limit(1)")
+    mid4("each_row.continue().next().reverse().look_back(24_hours).limit(2)",
+      midTally = true)
     mid4("each_row.continue().next().reverse().look_back(30_hours).limit(1)",
+      deepStep = "each_row.continue().next().reverse().look_back(20_hours)")
+    // pinned declines: UNFRAMED reverse-middle limits (unbounded hop
+    // collect) and FRAMED restart-middle limits (per-hop sequences
+    // diverge — declined at extraction)
+    mid4("each_row.continue().next().reverse().limit(1)",
       expectTierA = false)
     mid4("each_row.from(1).look_back(30_hours).limit(2)",
       expectTierA = false)
