@@ -114,10 +114,43 @@ class PlanSpec extends SparkSpec {
         "q_osl_chain_mixed_guard" -> 2,
         // round 12: a depth-4 REVERSE deepest step only flips the final
         // ladder window to the following side — still three windows
-        "q_osl_chain4_rev" -> 3)) {
+        "q_osl_chain4_rev" -> 3,
+        // round 13: FoldSum rides the same running frame the plain
+        // accumulator uses — one extra window column, not a new node
+        // class (ADVICE r13: pin the FoldSum plan shape)
+        "q_osl_multi_accum" -> 2,
+        // round 14 collect-free shapes: mixed over a framed restart
+        // deepest (ladder + bracket window + spawn count), reverse-top
+        // mixed (one more full-partition total), non-forward middles
+        // (per-level hopWin — same node count as plain depth 4), the
+        // restart-deepest limit (a row-level count column), the
+        // forward-middle limit (the C/G running pair), and double row
+        // sides (in-row floor/ceil arithmetic, no new window)
+        "q_osl_chain3_restart_framed_mixed" -> 3,
+        "q_osl_mixed_reverse_top" -> 3,
+        "q_osl_chain4_rev_mid" -> 3,
+        "q_osl_chain4_framed_mid" -> 3,
+        "q_osl_chain3_restart_limited" -> 4,
+        "q_osl_chain4_mid_limited" -> 5,
+        "q_osl_mixed_double_guard" -> 2)) {
       val dp = plan(q)
       assert(!dp.contains("collect_list"),
         s"$q must ride the ordinal prefix ladder, not a collect")
+      val dw = dp.linesIterator.count(_.trim.startsWith("+- Window"))
+      assert(dw == w, s"$q: expected $w Window nodes, got $dw:\n$dp")
+    }
+    // round-14 exact per-hop shapes DO collect — but over frame-bounded
+    // windows (state capped by the frame's row density, never the
+    // person's history): reverse limits (deepest + middle), the
+    // contra-direction merged-interval union, and the mixed limited
+    // deepest. Pin the window count AND that the collect is present.
+    for ((q, w) <- Seq("q_osl_chain3_rev_deep_limited" -> 3,
+        "q_osl_chain4_rev_mid_limited" -> 4,
+        "q_osl_mixed_suffix_guard" -> 2,
+        "q_osl_mixed_limited_deepest" -> 3)) {
+      val dp = plan(q)
+      assert(dp.contains("collect_list"),
+        s"$q prices per hop and must carry its frame-bounded collect")
       val dw = dp.linesIterator.count(_.trim.startsWith("+- Window"))
       assert(dw == w, s"$q: expected $w Window nodes, got $dw:\n$dp")
     }

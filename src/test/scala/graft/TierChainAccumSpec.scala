@@ -1516,6 +1516,23 @@ class TierChainAccumSpec extends SparkSpec {
            |  end
            |end
            |""".stripMargin)
+    // depth 5 with TWO non-forward middles + a framed limited deepest:
+    // the per-level hopWin and the per-hop collect compose at any depth
+    diffOn(worldDense,
+      s"""${sel}n = 0
+         |each_row where event.is(!= 'error')
+         |  n += 1
+         |  each_row.continue().next() where event.is(== 'signup')
+         |    each_row.continue().next().reverse().look_back(40_hours) where event.is(== 'view')
+         |      each_row.from(1) where event.is(== 'click')
+         |        each_row.continue().next().look_ahead(30_hours).limit(2) where event.is(== 'purchase')
+         |          << n, event
+         |        end
+         |      end
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
   }
 
   test("BOTH depth-3 inner steps limited compile (round 12)") {
