@@ -2625,6 +2625,11 @@ object QueriesOsl {
             AND EXISTS (SELECT 1 FROM e v
               WHERE v.id = p.id AND v.event = 'view'
                 AND v.stamp > su.stamp AND v.stamp < p.stamp
+                -- NaN note (round 15): the engine ranks NaN GREATEST in
+                -- comparisons (Spark/DuckDB/interpreter all agree — see
+                -- Value.cmp), so `v.value > su.i` matches on NaN-bearing
+                -- worlds too; pinned by the TierChainAccumSpec
+                -- saturation world differential
                 AND v.value > su.i))
         SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
           'purchase' AS g2, COUNT(DISTINCT id) AS customers,

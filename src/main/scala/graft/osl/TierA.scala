@@ -572,15 +572,19 @@ object TierA {
     (2 until levels.size).exists(k => mixedBoundsAt(levels, k).nonEmpty)
 
   /** Every mixed conjunct's row side must compile AND be a numeric type
-    * the solved bound reproduces bit-for-bit: integral sides compare
-    * exactly at any magnitude; DOUBLE/FLOAT sides (round 14) solve
-    * exactly through floor/ceil inclusive bounds — valid because the
-    * interpreter's own long-vs-double compare converts the accumulator
-    * to double, which is lossless while |value| stays inside 2^53. The
-    * magnitude gate bounds it: |init| ≤ 2^51 and |c| ≤ 2^21 keep
-    * |init + c·j| < 2^53 for any j a Spark window partition can hold
-    * (< 2^31 rows). Wilder literals decline rather than mimic fp
-    * rounding (the shiftB policy). */
+    * the solved bound reproduces bit-for-bit. DOUBLE/FLOAT sides
+    * (round 14) solve exactly through floor/ceil inclusive bounds —
+    * valid because the interpreter's own long-vs-double compare
+    * converts the accumulator to double, which is lossless while
+    * |value| stays inside 2^53. The magnitude gate bounds it:
+    * |init| ≤ 2^51 and |c| ≤ 2^21 keep |init + c·j| < 2^53 for any j a
+    * Spark window partition can hold (< 2^31 rows). Round 15 applies
+    * the same gate to INTEGRAL sides: the solved-bound arithmetic
+    * clamps row sides to ±2^62 and offsets them by ±init, ±(c−1)
+    * (wrap-free only under the gate — an ungated init near Long.Max
+    * would make `bound − init` overflow). Wilder literals decline to
+    * the interpreter rather than mimic wrap/fp rounding (the shiftB
+    * policy). */
   private def mixedRowSidesOk(levels: Seq[ChainLevel], events: DataFrame,
                               now: Long,
                               accums: Seq[(String, Long, Seq[AccumPart])])
@@ -590,8 +594,8 @@ object TierA {
     (2 until levels.size).forall(k => mixedBoundsAt(levels, k).forall { mb =>
       try compileExpr(mb.rowExpr, now, Map.empty).exists { c =>
         events.select(c).schema.head.dataType match {
-          case LongType | IntegerType | ShortType | ByteType => true
-          case DoubleType | FloatType =>
+          case LongType | IntegerType | ShortType | ByteType |
+               DoubleType | FloatType =>
             accAffine(accums, mb.acc).exists { case (init, slope) =>
               math.abs(init) <= (1L << 51) && math.abs(slope) <= (1L << 21)
             }
@@ -1141,6 +1145,12 @@ object TierA {
       // quotient is integral and rounds to itself (exact at any scale,
       // no fp division). A null row side means the interpreter's nil
       // compare (falsy) — hi coalesces to 0 ("no ordinal passes").
+      // clamp/saturation helpers (shared by mixedNorm + inclBound; see
+      // the saturation note on inclBound below)
+      val SAFE = 1L << 62
+      val LONG_EDGE = 9.223372036854776e18 // 2^63, exactly a double
+      def clampSafe(c: Column): Column =
+        least(greatest(c, lit(-SAFE)), lit(SAFE))
       def mixedNorm(mb: MixedBound): (Long, Long, Column, String, Boolean) = {
         val (init, c) = accAffine(accums, mb.acc).get
         val raw = compileExpr(mb.rowExpr, now, real).get
@@ -1149,9 +1159,24 @@ object TierA {
                org.apache.spark.sql.types.FloatType => true
           case _ => false
         }
-        val r0 = if (floating) raw.cast("double") else raw.cast("long")
+        val rd = if (floating) raw.cast("double") else raw.cast("long")
+        // NaN ranks GREATEST engine-wide (Spark comparisons, the
+        // interpreter's Double.compare, DuckDB — see Value.cmp; the
+        // reference's fixed-point storage can't even hold a NaN).
+        // Substitute +Infinity up front: the saturation branches below
+        // then price it exactly, and it NEGATES correctly under a
+        // negative slope (NaN itself wouldn't flip to "least").
+        val r0 =
+          if (floating) when(isnan(rd), lit(Double.PositiveInfinity)).otherwise(rd)
+          else rd
         if (c >= 0) (c, init, r0, mb.op, floating)
-        else (-c, -init, -r0, flipCmp(mb.op), floating)
+        else {
+          // negating a LONG row side of Long.MinValue would WRAP (to
+          // itself); clamp first — exact, every gated accumulator value
+          // is strictly inside ±2^53 ≪ ±2^62 (doubles negate exactly)
+          val neg = if (floating) -r0 else -clampSafe(r0)
+          (-c, -init, neg, flipCmp(mb.op), floating)
+        }
       }
       def floorDivC(a: Column, d: Long): Column =
         ((a - pmod(a, lit(d))).cast("decimal(38,0)") / lit(d)).cast("long")
@@ -1160,17 +1185,34 @@ object TierA {
       // bound. DOUBLE sides solve exactly through floor/ceil (both
       // return LONG): v < R ⟺ v ≤ ceil(R)−1, v ≤ R ⟺ v ≤ floor(R),
       // v > R ⟺ v ≥ floor(R)+1, v ≥ R ⟺ v ≥ ceil(R) — no fp division,
-      // and the magnitude gate (mixedMagnitudeOk) keeps every compared
+      // and the magnitude gate (mixedRowSidesOk) keeps every compared
       // accumulator value inside the exact long↔double range, so this
-      // matches the interpreter's double compare bit-for-bit. NaN row
-      // sides compare falsy: nulled here, caught by the callers'
-      // coalesce defaults.
+      // matches the interpreter's double compare bit-for-bit. (NaN row
+      // sides never reach here — mixedNorm substitutes +Infinity, the
+      // engine-wide NaN-greatest ordering.)
+      //
+      // Saturation (round 15): Spark's ceil/floor SATURATE at
+      // Long.Min/MaxValue for |R| ≥ 2^63 (incl. ±Infinity), so the ±1
+      // adjust would WRAP ("none pass" flips to "all pass"); a LONG row
+      // side at Long.MinValue wraps the same way under `<`. The gate
+      // bounds every reachable accumulator value strictly inside ±2^53
+      // (|init| ≤ 2^51, |c| ≤ 2^21, < 2^31 rows per window partition),
+      // so clamping the bound to ±2^62 never changes which ordinals
+      // pass, and it keeps the callers' ±init, ±(c−1) offsets
+      // (|…| ≤ 2^51, 2^21) and the ladder folds wrap-free. Out-of-range
+      // doubles resolve the compare as a constant: the down-closed side
+      // of +huge and the up-closed side of −huge admit every gated
+      // value (sentinel ±2^62); the opposite sides admit none (null →
+      // the callers' falsy defaults).
       def inclBound(r0: Column, op: String, floating: Boolean): Column =
-        if (!floating) op match {
-          case "<" => r0 - 1
-          case "<=" => r0
-          case ">" => r0 + 1
-          case ">=" => r0
+        if (!floating) {
+          val r = clampSafe(r0)
+          op match {
+            case "<" => r - 1
+            case "<=" => r
+            case ">" => r + 1
+            case ">=" => r
+          }
         } else {
           val b = op match {
             case "<" => ceil(r0) - 1
@@ -1178,7 +1220,14 @@ object TierA {
             case ">" => floor(r0) + 1
             case ">=" => ceil(r0)
           }
-          when(isnan(r0), lit(null)).otherwise(b)
+          val allPass = op match {
+            case "<" | "<=" => r0 >= lit(LONG_EDGE)
+            case ">" | ">=" => r0 <= lit(-LONG_EDGE)
+          }
+          when(abs(r0) < lit(LONG_EDGE), clampSafe(b))
+            .when(allPass,
+              lit(if (op == "<" || op == "<=") SAFE else -SAFE))
+            .otherwise(lit(null))
         }
       // largest ordinal o with value(o) = init + c·o satisfying the bound
       // (DOWN-closed forms — {<, <=} after positive-slope normalization);
@@ -1193,8 +1242,7 @@ object TierA {
               case ">"  => lit(ii) > rr
               case ">=" => lit(ii) >= rr
             }
-            when(const && !(if (fl) isnan(rr) else lit(false)),
-              lit(Long.MaxValue)).otherwise(lit(0L))
+            when(const, lit(Long.MaxValue)).otherwise(lit(0L))
           } else op match {
             case "<" | "<=" =>
               floorDivC(inclBound(rr, op, fl) - lit(ii), cc)
@@ -1215,8 +1263,7 @@ object TierA {
               case ">"  => lit(ii) > rr
               case ">=" => lit(ii) >= rr
             }
-            when(const && !(if (fl) isnan(rr) else lit(false)),
-              lit(1L)).otherwise(lit(Long.MaxValue))
+            when(const, lit(1L)).otherwise(lit(Long.MaxValue))
           } else op match {
             case ">" | ">=" =>
               floorDivC(inclBound(rr, op, fl) - lit(ii) + lit(cc) - 1, cc)

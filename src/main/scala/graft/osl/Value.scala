@@ -77,19 +77,43 @@ object Value {
     case other           => VStr(other.toString)
   }
 
-  /** Loose equality: numeric compare when both numeric, else string compare
+  private def isFloating(v: Value): Boolean = v match {
+    case VDbl(_) => true
+    case _ => false
+  }
+  // Spark SQL comparison semantics for doubles: -0.0 is normalized to
+  // 0.0 and NaN ranks ABOVE every value (and equals itself). Tier B
+  // mirrors that ordering exactly so both tiers agree on any world —
+  // NaN can never come out of the reference's own storage (doubles are
+  // fixed-point ×10,000, src/grid.cpp:809), so the engine-wide ordering
+  // is ours to pin, and Spark/DuckDB both use NaN-greatest.
+  private def normD(d: Double): Double = if (d == 0.0) 0.0 else d
+
+  /** Loose equality: numeric compare when both numeric (exact int64 for
+    * int-int pairs, mirroring cvar lib/var/var.h:1173-1198 and Spark's
+    * long `=`; Spark double semantics otherwise), else string compare
     * when one side is a string and the other scalar, else structural. */
   def eq(a: Value, b: Value): Boolean = (a, b) match {
     case (VNone, VNone) => true
     case (VNone, _) | (_, VNone) => false
-    case (x, y) if x.isNumeric && y.isNumeric => x.asDouble == y.asDouble
+    case (x, y) if x.isNumeric && y.isNumeric =>
+      if (isFloating(x) || isFloating(y))
+        java.lang.Double.compare(normD(x.asDouble), normD(y.asDouble)) == 0
+      else x.asLong == y.asLong
     case (VStr(s), y) => s == y.asStr
     case (x, VStr(s)) => x.asStr == s
     case (x, y) => x == y
   }
 
+  /** Ordering: int-int pairs compare as exact int64 (cvar
+    * lib/var/var.h:1204-1208 — no round-trip through double, so longs
+    * past 2^53 order correctly); any double operand compares in Spark's
+    * double ordering (NaN greatest, -0.0 = 0.0); else string-wise. */
   def cmp(a: Value, b: Value): Int = (a, b) match {
-    case (x, y) if x.isNumeric && y.isNumeric => java.lang.Double.compare(x.asDouble, y.asDouble)
+    case (x, y) if x.isNumeric && y.isNumeric =>
+      if (isFloating(x) || isFloating(y))
+        java.lang.Double.compare(normD(x.asDouble), normD(y.asDouble))
+      else java.lang.Long.compare(x.asLong, y.asLong)
     case (x, y) => x.asStr.compareTo(y.asStr)
   }
 

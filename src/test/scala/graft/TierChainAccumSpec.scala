@@ -1776,6 +1776,65 @@ class TierChainAccumSpec extends SparkSpec {
     // a magnitude past the exact long↔double range declines (the
     // interpreter's compare would round; decline rather than mimic)
     mixed3("product_price > n", inc = "n += 3000000", expectTierA = false)
+    // round 15 (ADVICE): SATURATING row sides — doubles at/beyond ±2^63
+    // (±Infinity, NaN, ±1e300, ±2^63 itself) and longs at
+    // Long.Min/MaxValue. Spark's ceil/floor SATURATE there, so the
+    // solved bounds' ±1 adjusts would WRAP ("no ordinal passes" flips
+    // to "every ordinal passes"); the bounds now clamp to ±2^62 (exact
+    // under the magnitude gate — every reachable accumulator value is
+    // inside ±2^53) and resolve out-of-range doubles as constant
+    // compares. Sizes 13 and 10 are coprime to the 3-event cycle so
+    // view rows see EVERY extreme.
+    locally {
+      val prices = Seq(Double.NaN, Double.PositiveInfinity,
+        Double.NegativeInfinity, 1e300, -1e300, 9.3e18, -9.3e18,
+        9.223372036854776e18, -9.223372036854776e18, 2.5, 17.0, -3.5, 0.0)
+      val qtys = Seq(Long.MinValue, Long.MaxValue, Long.MinValue + 1,
+        Long.MaxValue - 1, 1L << 62, -(1L << 62), 0L, 5L, -7L, 23L)
+      val wx = (0 until 80).map { i =>
+        (s"x${i % 2}", Mon + i * H,
+          Seq("signup", "view", "purchase")(i % 3),
+          prices(i % prices.size), qtys(i % qtys.size))
+      }.toDF("id", "stamp", "event", "product_price", "qty").cache()
+      // no `sum product_price` here: ±1e300/±Inf are outside the
+      // engine's fixed-point ×10,000 value domain (AggFns.dsum) — the
+      // extremes under test are GUARD row sides, not aggregated values
+      val selX = "select\n  count id as customers\n  count event as n_rows\nend\n"
+      def x3(guard: String, init: String = "n = 0", inc: String = "n += 1",
+             deepMods: String = "", expectTierA: Boolean = true): Unit =
+        diffOn(wx,
+          s"""$selX$init
+             |each_row where event.is(== 'signup')
+             |  $inc
+             |  each_row.continue().next() where event.is(== 'view')
+             |    if $guard
+             |      each_row.continue().next()$deepMods where event.is(== 'purchase')
+             |        << n, event
+             |      end
+             |    end
+             |  end
+             |end
+             |""".stripMargin, expectTierA)
+      // double sides: aligned forms, both slopes, all four ops
+      x3("product_price > n")
+      x3("n < product_price", inc = "n += 2")
+      x3("product_price >= n", init = "n = 9")
+      x3("n > product_price", init = "n = 50", inc = "n -= 4")
+      // ...and the contra (suffix) form through the interval union
+      x3("product_price <= n", deepMods = ".look_ahead(18_hours)")
+      // LONG sides at Long.Min/MaxValue: the same wrap existed for
+      // integral row sides (MinValue − 1, and −MinValue under a
+      // negative slope's operand negation)
+      x3("qty > n")
+      x3("n < qty", inc = "n += 2")
+      x3("n > qty", init = "n = 50", inc = "n -= 2")
+      x3("qty <= n", deepMods = ".look_ahead(18_hours)")
+      // the round-15 gate widening: INTEGRAL sides now require the same
+      // |init| ≤ 2^51, |slope| ≤ 2^21 magnitude gate (the clamp is only
+      // exact under it) — wilder literals decline to Tier B
+      x3("qty > n", inc = "n += 3000000", expectTierA = false)
+      x3("qty > n", init = "n = 9007199254740992", expectTierA = false)
+    }
     // round 14: a mixed-guarded deepest may be LIMITED when the limit is
     // exact per hop — framed forward (the hop collect carries
     // (count, mixed-folded K) pairs), framed reverse, unframed restart
