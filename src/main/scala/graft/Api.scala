@@ -157,9 +157,9 @@ final class Api(spark: SparkSession, val warehouse: String,
     val withFlags = segNames.zipWithIndex.foldLeft(filtered.select(valueCol, col("id"))) {
       case (df, ("*", i)) => df.withColumn(s"__s$i", lit(true))
       case (df, (name, i)) =>
-        val segDir = new java.io.File(warehouse, s"$table/segments/$name").toString
-        Fs.recoverForRead(segDir)
-        val members = spark.read.parquet(segDir).select(col("id").as("__mid"))
+        val members = graft.streaming.Streams.membership(spark,
+          new java.io.File(warehouse, table).toString, name)
+          .select(col("id").as("__mid"))
         df.join(broadcast(members), df("id") === col("__mid"), "left")
           .withColumn(s"__s$i", col("__mid").isNotNull).drop("__mid")
     }
@@ -609,9 +609,8 @@ final class Api(spark: SparkSession, val warehouse: String,
       if (useSegments.isEmpty) df
       else {
         val members = useSegments.map { name =>
-          val segDir = new java.io.File(warehouse, s"$table/segments/$name").toString
-          Fs.recoverForRead(segDir)
-          spark.read.parquet(segDir)
+          graft.streaming.Streams.membership(spark,
+            new java.io.File(warehouse, table).toString, name)
         }.reduce(_ union _).distinct()
         df.join(broadcast(members), Seq("id"), "left_semi")
       }
@@ -672,8 +671,8 @@ final class Api(spark: SparkSession, val warehouse: String,
       else {
         val counts = segSections.map { s =>
           val name = s.header.split("\\s+").head
-          val segDir = new java.io.File(warehouse, s"$table/segments/$name").toString
-          Fs.recoverForRead(segDir)
+          val segDir = graft.streaming.Streams.membershipDir(
+            new java.io.File(warehouse, table).toString, name)
           val n =
             if (!new java.io.File(segDir).isDirectory) 0L // not yet refreshed
             else spark.read.parquet(segDir).count()

@@ -2750,5 +2750,65 @@ object QueriesOsl {
         SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
           COUNT(DISTINCT id), COUNT(*)
         FROM tri GROUP BY i""")),
+
+    // Round-15 widening: a DYNAMIC where-conjunct cap — the reference's
+    // canonical budget pattern (`n < value` compared against the ROW's
+    // value, src/queryinterpreter.cpp:2151-2274 where-eval + vars-first
+    // lookup). A failing row does NOT freeze the scan, so the visited set
+    // is a sequential (acc, vis) recurrence; Tier A prices it with the
+    // GatedFold window (one running frame on the same person exchange).
+    // The oracle replays the identical recurrence as a recursive CTE in
+    // per-person purchase order — DuckDB's double adds run in the same
+    // sequence, so the fp fold is bit-exact.
+    Q("q_osl_where_dynamic",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |  sum value as total_spend
+            |end
+            |n = 0
+            |each_row where event.is(== 'purchase') && n < value
+            |  n += value
+            |  << get_day_of_week(stamp), event
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"), col("total_spend"))
+      },
+      Some(s"""WITH RECURSIVE e AS (
+          SELECT user_id AS id, epoch_ms(ts) AS stamp,
+                 event_type AS event, value FROM events),
+        m AS (
+          SELECT id, stamp, value,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
+          FROM e WHERE event = 'purchase'),
+        f AS (
+          SELECT id, 0 AS i, CAST(0.0 AS DOUBLE) AS acc, FALSE AS vis,
+                 CAST(NULL AS BIGINT) AS stamp, CAST(NULL AS DOUBLE) AS value
+          FROM (SELECT DISTINCT id FROM m)
+          UNION ALL
+          SELECT m.id, m.i,
+            CASE WHEN f.acc < m.value
+                 THEN f.acc + COALESCE(m.value, 0) ELSE f.acc END,
+            COALESCE(f.acc < m.value, FALSE),
+            m.stamp, m.value
+          FROM f JOIN m ON m.id = f.id AND m.i = f.i + 1),
+        vis AS (
+          SELECT id,
+            CAST(dayofweek(make_timestamp(stamp * 1000)) + 1 AS VARCHAR) AS g1,
+            'purchase' AS g2, value
+          FROM f WHERE vis)
+        SELECT CAST(2 AS INTEGER) AS depth, g1, g2,
+          COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows,
+          ${dsumSql("value")} AS total_spend
+        FROM vis GROUP BY g1, g2
+        UNION ALL
+        SELECT CAST(1 AS INTEGER) AS depth, g1, CAST(NULL AS VARCHAR) AS g2,
+          COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows,
+          ${dsumSql("value")} AS total_spend
+        FROM vis GROUP BY g1""")),
   )
 }

@@ -208,8 +208,8 @@ object AnnIndex {
     // cutover), and generations older than the just-retired one reclaim
     // under the same grace window [[compact]] uses. A fresh path builds
     // straight into gen 0.
-    val prevGen = metaIfAny(spark, path).map(_.gen)
-    val gen = prevGen.map(_ + 1).getOrElse(0L)
+    val prevMeta = metaIfAny(spark, path)
+    val gen = prevMeta.map(_.gen + 1).getOrElse(0L)
     centroids.toSeq.toDF("cid", "vec")
       .coalesce(1).write.mode("overwrite")
       .parquet(dataDir(path, "centroids", gen))
@@ -218,15 +218,26 @@ object AnnIndex {
       .parquet(dataDir(path, "cells", gen))
     writeMeta(spark, path,
       Meta("ivf", dimOf(corpus), nlist, 0, 0, corpusFp(corpus), 0, gen))
-    prevGen.foreach { pg =>
+    prevMeta.foreach { pm =>
+      val pg = pm.gen
       dropOldGenerations(spark, path, "cells", keepFrom = pg)
       // the model's grace dir is the one a prev-meta reader RESOLVES
       // (highest model gen ≤ the retired meta gen), not the meta gen
       // itself — compactions bump meta without rewriting the model
       dropOldGenerations(spark, path, "centroids",
         keepFrom = modelGen(spark, path, "centroids", pg))
-      dropOldGenerations(spark, path, "codes", keepFrom = Long.MaxValue)
-      dropOldGenerations(spark, path, "books", keepFrom = Long.MaxValue)
+      // kind REPURPOSING (ivf over a pq store — round 15, ADVICE r14): a
+      // concurrent pq reader may still hold files it planned under the
+      // previous meta — its codes/books generations retire under the
+      // SAME grace window as a same-kind rebuild, not immediately. They
+      // reclaim fully one maintenance cycle later: the next build or
+      // compact over the (now-ivf) store sees prev.kind == "ivf" and
+      // deletes every pq generation (no reader can hold them by then).
+      val (codesKeep, booksKeep) =
+        if (pm.kind == "pq") (pg, modelGen(spark, path, "books", pg))
+        else (Long.MaxValue, Long.MaxValue)
+      dropOldGenerations(spark, path, "codes", keepFrom = codesKeep)
+      dropOldGenerations(spark, path, "books", keepFrom = booksKeep)
     }
   }
 
@@ -350,8 +361,8 @@ object AnnIndex {
     // rebuild-over-existing lands in the NEXT generation; the meta flip
     // is the cutover and older generations retire under the compact
     // grace window (round 14, ADVICE r13 — see buildIvf)
-    val prevGen = metaIfAny(spark, path).map(_.gen)
-    val gen = prevGen.map(_ + 1).getOrElse(0L)
+    val prevMeta = metaIfAny(spark, path)
+    val gen = prevMeta.map(_.gen + 1).getOrElse(0L)
     books.zipWithIndex.flatMap { case (sub, s) =>
       sub.zipWithIndex.map { case (cw, c) => (s, c, cw.toSeq) }
     }.toSeq.toDF("s", "c", "vec")
@@ -364,12 +375,19 @@ object AnnIndex {
       .parquet(dataDir(path, "codes", gen))
     writeMeta(spark, path,
       Meta("pq", dimOf(corpus), 0, m, ksub, corpusFp(corpus), nb, gen))
-    prevGen.foreach { pg =>
+    prevMeta.foreach { pm =>
+      val pg = pm.gen
       dropOldGenerations(spark, path, "codes", keepFrom = pg)
       dropOldGenerations(spark, path, "books",
         keepFrom = modelGen(spark, path, "books", pg))
-      dropOldGenerations(spark, path, "cells", keepFrom = Long.MaxValue)
-      dropOldGenerations(spark, path, "centroids", keepFrom = Long.MaxValue)
+      // kind repurposing (pq over an ivf store): grace-retire the ivf
+      // reader's resolvable generations, reclaim fully next cycle — see
+      // the buildIvf twin
+      val (cellsKeep, centroidsKeep) =
+        if (pm.kind == "ivf") (pg, modelGen(spark, path, "centroids", pg))
+        else (Long.MaxValue, Long.MaxValue)
+      dropOldGenerations(spark, path, "cells", keepFrom = cellsKeep)
+      dropOldGenerations(spark, path, "centroids", keepFrom = centroidsKeep)
     }
   }
 

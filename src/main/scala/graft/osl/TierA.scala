@@ -54,14 +54,21 @@ object TierA {
           // observe the accumulation. Pure-accumulator WHERE conjuncts
           // (`n < 3` — the pre-increment stateful cap) extract to a static
           // visit cap + residual where (see splitWhereCaps/capSolve).
-          (writeOnly, accums, residualW, whereCap) <- classifyVars(program, events)
+          (writeOnly, accums, residualW, whereCap, dynCap) <-
+            classifyVars(program, events)
           // top-level `.limit(n)` (literal, positive) compiles: the visited
           // set is the first (reverse: last) n where-matching rows per
           // person — a cumulative-match-count cap on the same person sort.
           // A where-cap is the SAME mechanism (both bound the count of
           // residual-where matches visited), so they compose by min.
+          // Under a DYNAMIC cap (round 15) visits are no longer a prefix
+          // of residual matches: both caps move to a post-fold rank on
+          // the gate's vis output (dynRankCap below).
           topLimit0 <- limitOf(mods, now)
-          topLimit = (topLimit0.toSeq ++ whereCap.toSeq).reduceOption(_ min _)
+          topLimit = if (dynCap.isDefined) None
+            else (topLimit0.toSeq ++ whereCap.toSeq).reduceOption(_ min _)
+          dynRankCap = if (dynCap.isEmpty) None
+            else (topLimit0.toSeq ++ whereCap.toSeq).reduceOption(_ min _)
           // top-level `.from(k)` (literal): iteration starts at 0-based row
           // index k — single loops handle it below; chains thread it into
           // level 0's eligibility (chainWitnesses __fc0)
@@ -69,8 +76,8 @@ object TierA {
           // extracted where-caps leave a residual where; reads of
           // accumulated names compile to their window column
           erW = residualW.map(w => er.copy(where = w)).getOrElse(er)
-          erC = if (accums.isEmpty) erW
-                else substAccums(erW, accums.map(_._1).toSet)
+          accNames = accums.map(_._1).toSet ++ dynCap.map(_.name)
+          erC = if (accNames.isEmpty) erW else substAccums(erW, accNames)
           levels0 <- extractLevels(erC, now, topLimit, None, None, mods.reverse)
           levels = if (levels0.size > 1 && topFrom.isDefined)
             levels0.head.copy(fromStart = topFrom) +: levels0.tail
@@ -111,16 +118,30 @@ object TierA {
             // node via two tallies — or, in a chain, via two outer cursor
             // positions) -> Tier B for mixed shapes
             ((tallies.size == 1 && levels.size == 1) || selects.forall(!_.all))
+          // a dynamic cap gates a SINGLE top loop (classifyVars declines
+          // chains; belt-and-braces here)
+          if dynCap.isEmpty || levels.size == 1
           wheres = levels.map(_.where)
           guards = levels.flatMap(_.guard)
           // guarded-increment conditions compile exactly like tally guards
-          accumConds = accums.flatMap(_._3.flatMap(_.cond))
+          accumConds = accums.flatMap(_._3.flatMap(_.cond)) ++
+            dynCap.toSeq.flatMap(_.parts.flatMap(_.cond))
           personTests <- personTestColumns(
             wheres ++ guards ++ tallies.flatMap(_._1) ++ accumConds, now,
             rowCtx = Some(events))
           // validate every expression compiles (placeholders for person tests)
           placeholder = personTests.map { case (pt, _, _) => pt -> (lit(true): Column) }.toMap
           _ <- traverse((wheres ++ guards ++ accumConds).map(compileExpr(_, now, placeholder)))
+          // dynamic gate row sides must compile AND be numeric — a
+          // non-numeric side would string-compare per row in the
+          // interpreter (Value.cmp), which the double gate can't replay
+          _ <- traverse(dynCap.toSeq.flatMap(_.gates).map { case (_, e) =>
+            compileExpr(e, now, placeholder).filter { c =>
+              try events.select(c).schema.head.dataType
+                .isInstanceOf[org.apache.spark.sql.types.NumericType]
+              catch { case scala.util.control.NonFatal(_) => false }
+            }
+          })
           _ <- traverse(tallies.map(_._1.map(compileExpr(_, now, placeholder))
             .getOrElse(Some(lit(true)))))
           _ <- traverse(tallies.map(t =>
@@ -254,14 +275,46 @@ object TierA {
             // The DESC order mirrors the forward scan EXACTLY, ties
             // included: it descends on the forward sort's own row_number,
             // not on the (possibly duplicated) stamp.
-            val (accBase, accFrame, accTmp) =
-              if (mods.reverse && accums.nonEmpty) {
+            val (accBase0, accFrame, accTmp) =
+              if (mods.reverse && (accums.nonEmpty || dynCap.isDefined)) {
                 val b = filtered0.withColumn("__ord0", row_number().over(frame))
                 (b, W.partitionBy(col("id")).orderBy(col("__ord0").desc)
                   .rowsBetween(W.unboundedPreceding, W.currentRow), Seq("__ord0"))
               } else
                 (filtered0, frame.rowsBetween(W.unboundedPreceding, W.currentRow),
                  Seq.empty[String])
+            // DYNAMIC where-cap (round 15): every row of filtered0 is a
+            // residual-where CANDIDATE; the GatedFold window replays the
+            // interpreter's sequential gate — vis = (running acc CMP
+            // row side), acc updates only on visits — over the same
+            // running frame the accumulators use (reverse tops ride the
+            // identical DESC order). Visited rows filter on vis (plus
+            // the post-fold visit-rank cap when `.limit(n)` or a static
+            // cap on ANOTHER accumulator composes), and body reads of
+            // the gating name observe the fold's post-visit acc.
+            val accBase = dynCap match {
+              case None => accBase0
+              case Some(dc) =>
+                val gates = dc.gates.map { case (op, e) =>
+                  (op, compileExpr(e, now, real).get.cast("double"))
+                }
+                val fold = graft.functions.GatedFold.gatedFold(
+                  dc.init.toDouble, gates,
+                  foldStages(dc.parts, now, real, None)).over(accFrame)
+                val b0 = accBase0.withColumn("__gf", fold)
+                val visCol = col("__gf").getField("vis")
+                val (b1, visCond) = dynRankCap match {
+                  case None => (b0, visCol)
+                  case Some(m) =>
+                    (b0.withColumn("__gfr",
+                       count(when(visCol, 1)).over(accFrame)),
+                     visCol && col("__gfr") <= m)
+                }
+                b1.where(visCond)
+                  .withColumn(s"__acc_${dc.name}",
+                    col("__gf").getField("acc"))
+                  .drop("__gf", "__gfr")
+            }
             val withAcc = accums.foldLeft(accBase) {
               case (df, (n, init, parts)) =>
                 val acc =
@@ -2803,6 +2856,14 @@ object TierA {
   private final case class AccumPart(cond: Option[Expr],
                                      incThen: Seq[Expr], incElse: Seq[Expr])
 
+  /** A DYNAMIC where-conjunct cap (round 15): the gating accumulator, its
+    * gate conjuncts `(cmpOp, accum-free row expr)` — static-literal
+    * conjuncts on the same name join as constant sides — and the
+    * accumulator's init/parts for the [[graft.functions.GatedFold]]
+    * stages. */
+  private final case class DynCap(name: String, gates: Seq[(String, Expr)],
+                                  init: Long, parts: Seq[AccumPart])
+
   /** Compile one visit's total increment for an accumulator. Non-literal
     * refs pass through `coalesce(_, 0)` — a null prop must not null the
     * whole visit's contribution (the interpreter adds 0 for VNone). */
@@ -2916,13 +2977,13 @@ object TierA {
     * [[perVisitInc]]. */
   private def classifyVars(program: Program, events: DataFrame)
       : Option[(Set[String], Seq[(String, Long, Seq[AccumPart])],
-                Option[Expr], Option[Long])] = {
+                Option[Expr], Option[Long], Option[DynCap])] = {
     val eventCols: Set[String] = events.columns.toSet
     val numericCols: Set[String] = events.schema.fields.collect {
       case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] => f.name
     }.toSet
     writeOnlyAssignedVars(program) match {
-      case Some(w) => return Some((w, Nil, None, None))
+      case Some(w) => return Some((w, Nil, None, None, None))
       case None    => ()
     }
     // mirror compile()'s core-shape split: leading inits + one top loop
@@ -3010,7 +3071,7 @@ object TierA {
     // same sequential VM, src/queryparserosl.h:3726-3812). Extractable:
     // top-level `&&` conjuncts comparing ONE accumulator to an integer
     // literal; any other accumulator read in the where stays Tier B.
-    val (residualWhere, capConjs) = splitWhereCaps(er.where, dR)
+    val (residualWhere, capConjs0, dynConjs) = splitWhereCaps(er.where, dR)
       .getOrElse(return None)
     if (program.select.exists(s => dR(s.prop) || s.withKey.exists(dR))) return None
     // reads inside ever/never OPERANDS now compile (round 8): the
@@ -3136,6 +3197,8 @@ object TierA {
         case a @ Assign(VarRef(m), _, _) if m == n => a
       } match {
         case Seq(Assign(_, "=", Lit(VInt(v)))) => v
+        // negative literals parse as a unary minus (round 15)
+        case Seq(Assign(_, "=", UnOp("-", Lit(VInt(v))))) => -v
         case _ => return None
       }
       // every body assignment to a READ name must be an increment form
@@ -3172,12 +3235,54 @@ object TierA {
       }
       Some((init, parts))
     }
+    // round 15: DYNAMIC caps. A conjunct needs the sequential
+    // [[graft.functions.GatedFold]] gate when its row side is dynamic,
+    // OR when its accumulator's recurrence can't capSolve (guarded or
+    // row-prop increments — no constant per-visit slope, so the
+    // freeze-once-failed prefix argument doesn't hold; the fold prices
+    // the exact recurrence either way). Every fold-needing conjunct must
+    // gate ONE name (a second gating accumulator would need a joint fold
+    // buffer — Tier B); static conjuncts on that same name join the gate
+    // as constant sides. Chains under a dynamic cap stay Tier B (the
+    // spawn set would gate chainWitnesses — unproven composition).
+    def capSolvable(nm: String): Boolean = accumOf(nm).exists { case (_, parts) =>
+      parts.isEmpty ||
+        parts.forall(p => p.cond.isEmpty && p.incThen.forall(isIntLit))
+    }
+    val (capStatics, foldStatics) = capConjs0.partition(c => capSolvable(c._1))
+    val dynName: Option[String] =
+      (dynConjs.map(_._1) ++ foldStatics.map(_._1)).distinct match {
+        case Seq()  => None
+        case Seq(n) => Some(n)
+        case _      => return None
+      }
+    val (dynStatics, capConjs) = capStatics.partition(c => dynName.contains(c._1))
+    val dynCap: Option[DynCap] = dynName.map { n =>
+      if (chainSteps.nonEmpty) return None
+      val (init, parts) = accumOf(n).getOrElse(return None)
+      if (parts.isEmpty) return None // never incremented: a static conjunct
+      // INT-literal increments live exactly in the fold's double buffer
+      // only inside ±2^53: gate |init| ≤ 2^51 and per-visit literal |Δ| ≤
+      // 2^21 (< 2^31 visits per window partition). Prop increments make
+      // the interpreter's own value a double fold — bit-identical to the
+      // GatedFold sequence at any magnitude, no gate needed.
+      val litDelta = parts.map { p =>
+        def s(es: Seq[Expr]) = es.collect { case Lit(VInt(k)) => math.abs(k) }.sum
+        math.max(s(p.incThen), s(p.incElse))
+      }.sum
+      if (math.abs(init) > (1L << 51) || litDelta > (1L << 21)) return None
+      DynCap(n,
+        dynConjs.map(c => (c._2, c._3)) ++
+          (foldStatics ++ dynStatics).map(c => (c._2, Lit(VInt(c._3)): Expr)),
+        init, parts)
+    }
     // names read OUTSIDE the where need a materialized window column; a
     // name read ONLY in (extracted) where conjuncts needs no column at all
-    // — its effect is entirely the static visit cap
+    // — its effect is entirely the static visit cap (the dynamic gate's
+    // name rides the fold either way)
     val matReads = allReads.filterNot(_ eq er.where)
     val matNames = readNames.filter(n => matReads.exists(readsName(_, Set(n))))
-    val accums = matNames.toSeq.sorted.map { n =>
+    val accums = matNames.filterNot(dynName.contains).toSeq.sorted.map { n =>
       val (init, parts) = accumOf(n).getOrElse(return None)
       (n, init, parts)
     }
@@ -3199,7 +3304,8 @@ object TierA {
     val whereCap: Option[Long] =
       capMs.minOption.filter(_ != Long.MaxValue)
     Some((writeOnly, accums,
-      if (capConjs.isEmpty) None else Some(residualWhere), whereCap))
+      if (capConjs0.isEmpty && dynConjs.isEmpty) None else Some(residualWhere),
+      whereCap, dynCap))
   }
 
   /** Does `init CMP k` hold? (cap-conjunct evaluation at a fixed value) */
@@ -3234,14 +3340,19 @@ object TierA {
     }
   }
 
-  /** Split a where into (residual, accumulator-cap conjuncts
-    * `(name, cmpOp, k)`): top-level `&&` conjuncts of the form
-    * `<accum> cmp <int literal>` (either operand order) extract; None when
-    * any OTHER conjunct still reads an accumulator (→ Tier B). A where
-    * with no accumulator reads passes through unchanged. */
+  /** Split a where into (residual, static cap conjuncts `(name, cmpOp,
+    * k)`, DYNAMIC cap conjuncts `(name, cmpOp, rowExpr)`): top-level `&&`
+    * conjuncts of the form `<accum> cmp <int literal>` (either operand
+    * order) extract statically; `<accum> cmp <accum-free row expr>`
+    * (round 15 — the reference's budget pattern `n < price`) extract
+    * dynamically, to be priced by the [[graft.functions.GatedFold]]
+    * sequential window gate. None when any OTHER conjunct still reads an
+    * accumulator (→ Tier B). A where with no accumulator reads passes
+    * through unchanged. */
   private def splitWhereCaps(where: Expr, dR: String => Boolean)
-      : Option[(Expr, Seq[(String, String, Long)])] = {
-    if (!readsName(where, dR)) return Some((where, Nil))
+      : Option[(Expr, Seq[(String, String, Long)],
+                Seq[(String, String, Expr)])] = {
+    if (!readsName(where, dR)) return Some((where, Nil, Nil))
     def conjuncts(e: Expr): Seq[Expr] = e match {
       case BinOp("&&", l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
@@ -3257,19 +3368,28 @@ object TierA {
       case _ => None
     }
     val caps = Seq.newBuilder[(String, String, Long)]
+    val dyn = Seq.newBuilder[(String, String, Expr)]
     val rest = Seq.newBuilder[Expr]
     conjuncts(where).foreach {
       case BinOp(op, l, Lit(VInt(k))) if cmpOps(op) && nameOf(l).isDefined =>
         caps += ((nameOf(l).get, op, k))
       case BinOp(op, Lit(VInt(k)), r) if cmpOps(op) && nameOf(r).isDefined =>
         caps += ((nameOf(r).get, flip(op), k))
+      // dynamic side: any accumulator-free row expression (flip-safe for
+      // the nil string path too — compareTo is antisymmetric)
+      case BinOp(op, l, r) if cmpOps(op) && nameOf(l).isDefined &&
+          !readsName(r, dR) =>
+        dyn += ((nameOf(l).get, op, r))
+      case BinOp(op, l, r) if cmpOps(op) && nameOf(r).isDefined &&
+          !readsName(l, dR) =>
+        dyn += ((nameOf(r).get, flip(op), l))
       case other =>
         if (readsName(other, dR)) return None
         rest += other
     }
     val residual = rest.result().reduceOption(BinOp("&&", _, _))
       .getOrElse(Lit(VBool(true)))
-    Some((residual, caps.result()))
+    Some((residual, caps.result(), dyn.result()))
   }
 
   /** Rewrite reads of accumulator names to their materialized window

@@ -19,7 +19,9 @@ import graft.operators.Segments
   *
   * Storage is plain parquet directories (this container has no Delta):
   *   dir/events/          — the event log (append)
-  *   dir/segments/<name>/ — current membership (overwritten per refresh)
+  *   dir/segments/<name>_v{g}/ + <name>.gen pointer — membership, one
+  *     GENERATION per rewrite (rename-free; the retired generation is the
+  *     reader grace window — round 15)
   *   dir/segment_events/  — enter/exit stream (append)
   *
   * Late/out-of-order data: the reference supports unbounded lateness via
@@ -40,8 +42,8 @@ object Streams {
     *  1. append to `dir/events`
     *  2. for each on-insert segment: recompute membership for touched ids
     *     over their FULL history, diff vs stored membership → enter/exit
-    *  3. append enter/exit records to `dir/segment_events`, update
-    *     `dir/segments/<name>`
+    *  3. append enter/exit records to `dir/segment_events`, write the
+    *     next membership generation and flip `segments/<name>.gen`
     */
   def startIngest(stream: DataFrame, dir: String, checkpoint: String,
                   onInsertSegments: Map[String, SegmentFn] = Map.empty,
@@ -77,12 +79,11 @@ object Streams {
         .join(touched, Seq("id"), "left_semi")
       val nowMs = batch.agg(max(col("stamp"))).head().getLong(0)
       onInsertSegments.foreach { case (name, fn) =>
-        val segDir = s"$dir/segments/$name"
         // same writer lock as refreshSegments: the batch diff-and-rewrite
-        // is a read-modify-write of the membership dir
-        graft.Fs.withWriteLock(segDir) {
+        // is a read-modify-write of the membership pointer
+        graft.Fs.withWriteLock(s"$dir/segments/$name") {
           val newMembers = fn(history).select("id").distinct().cache()
-          val prev = previousMembership(spark, segDir, newMembers)
+          val prev = previousMembership(spark, dir, name, newMembers)
           val oldMembers = prev.join(touched, Seq("id"), "left_semi")
           val entered = newMembers.join(oldMembers, Seq("id"), "left_anti")
             .select(col("id"), lit(name).as("segment"), lit("entered").as("state"),
@@ -93,13 +94,13 @@ object Streams {
           val changes = entered.unionByName(exited)
           if (!changes.isEmpty)
             appendSegmentEvents(changes, dir)
-          // new membership = (stored - touched exits) + entries; rewrite fully
+          // new membership = (stored - touched exits) + entries. The
+          // generational write reads the PREVIOUS generation while
+          // writing the next — no staging copy, no overwrite of a dir a
+          // reader (or this very plan) holds (round 15)
           val untouchedMembers = prev.join(touched, Seq("id"), "left_anti")
-          val updated = untouchedMembers.unionByName(newMembers)
-          val staged = updated.cache()
-          staged.count() // materialize before overwriting the source directory
-          staged.write.mode("overwrite").parquet(s"$segDir.tmp")
-          spark.read.parquet(s"$segDir.tmp").write.mode("overwrite").parquet(segDir)
+          writeMembership(spark, dir, name,
+            untouchedMembers.unionByName(newMembers))
         }
       }
       touched.unpersist()
@@ -117,13 +118,12 @@ object Streams {
                       segments: Map[String, SegmentFn], nowMs: Long): Unit = {
     val history = spark.read.parquet(s"$dir/events")
     segments.foreach { case (name, fn) =>
-      val segDir = s"$dir/segments/$name"
-      // diff-then-swap holds the segment's writer lock: two refreshers
+      // diff-then-rewrite holds the segment's writer lock: two refreshers
       // racing would otherwise diff against the same previous membership
       // and double-append enter/exit events
-      graft.Fs.withWriteLock(segDir) {
+      graft.Fs.withWriteLock(s"$dir/segments/$name") {
         val newMembers = fn(history).select("id").distinct().cache()
-        val prev = previousMembership(spark, segDir, newMembers).cache()
+        val prev = previousMembership(spark, dir, name, newMembers).cache()
         val entered = newMembers.join(prev, Seq("id"), "left_anti")
           .select(col("id"), lit(name).as("segment"), lit("entered").as("state"),
             lit(nowMs).as("stamp"), lit(-1L).as("batch_id"))
@@ -133,17 +133,81 @@ object Streams {
         val changes = entered.unionByName(exited)
         if (!changes.isEmpty)
           appendSegmentEvents(changes, dir)
-        // crash-safe swap: a reader never sees a half-written membership dir
-        graft.Fs.swapInto(segDir)(tmp =>
-          newMembers.write.mode("overwrite").parquet(tmp))
+        // rename-free generational rewrite: a concurrent reader keeps the
+        // files it planned (the old swap's rename broke them — round 15)
+        writeMembership(spark, dir, name, newMembers)
         newMembers.unpersist(); prev.unpersist()
       }
     }
   }
 
-  private def previousMembership(spark: SparkSession, segDir: String,
+  // ------------------------------------------ generational membership dirs
+  /** Resolve a segment's CURRENT membership directory. Membership
+    * rewrites are GENERATIONAL since round 15 (found live by the soak
+    * spec: the old rename/overwrite swap broke concurrent readers with
+    * FAILED_READ_FILE on files they had already planned): the pointer
+    * file `segments/<name>.gen` names the live generation
+    * (`<name>_v{g}`), each rewrite lands in the NEXT generation and
+    * flips the pointer with one atomic file move, the just-retired
+    * generation stays on disk as the reader grace window, and older ones
+    * retire — the `TableCommit`/`AnnIndex` discipline. No pointer =
+    * never refreshed (the bare legacy dir, recovered if a pre-round-15
+    * swap crashed there). */
+  def membershipDir(tableDir: String, name: String): String = {
+    val gen = membershipGen(tableDir, name)
+    if (gen == 0L) {
+      val base = s"$tableDir/segments/$name"
+      graft.Fs.recoverForRead(base)
+      base
+    } else s"$tableDir/segments/${name}_v$gen"
+  }
+
+  /** Current membership frame (PATH_NOT_FOUND when never refreshed —
+    * callers that tolerate that check the dir first, like before). */
+  def membership(spark: SparkSession, tableDir: String, name: String): DataFrame =
+    spark.read.parquet(membershipDir(tableDir, name))
+
+  private def membershipGen(tableDir: String, name: String): Long = {
+    val p = new java.io.File(s"$tableDir/segments/$name.gen")
+    if (!p.isFile) 0L
+    else try new String(java.nio.file.Files.readAllBytes(p.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    catch { case _: Exception => 0L }
+  }
+
+  /** Rewrite a segment's membership rename-free: write generation g+1
+    * beside the current one, flip the pointer atomically, retire
+    * generations older than the just-retired g (the grace window).
+    * Callers hold the segment's writer lock. */
+  private def writeMembership(spark: SparkSession, tableDir: String,
+                              name: String, members: DataFrame): Unit = {
+    val cur = membershipGen(tableDir, name)
+    val next = cur + 1
+    members.write.mode("overwrite")
+      .parquet(s"$tableDir/segments/${name}_v$next")
+    val pf = new java.io.File(s"$tableDir/segments/$name.gen")
+    val tmp = new java.io.File(pf.toString + "_tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp.toPath, pf.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val re = s"${java.util.regex.Pattern.quote(name)}_v(\\d+)".r
+    Option(new java.io.File(s"$tableDir/segments").listFiles)
+      .getOrElse(Array.empty).foreach { f =>
+        val g = f.getName match {
+          case n if n == name => Some(0L) // the pre-generational bare dir
+          case re(g0) => Some(g0.toLong)
+          case _ => None
+        }
+        g.filter(_ < cur).foreach(_ => graft.Fs.rmTree(f))
+      }
+  }
+
+  private def previousMembership(spark: SparkSession, tableDir: String,
+                                 name: String,
                                  template: DataFrame): DataFrame = {
-    graft.Fs.recoverSwap(segDir) // finish/roll back an interrupted swap
+    val segDir = membershipDir(tableDir, name)
     if (!new java.io.File(segDir).isDirectory)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], template.schema)
@@ -172,9 +236,35 @@ object Streams {
     }
 
   /** Current enter/exit event log (the subscriber view —
-    * `src/rpc_sub.cpp:274-411`'s queue equivalent). */
-  def segmentEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/segment_events")
+    * `src/rpc_sub.cpp:274-411`'s queue equivalent).
+    *
+    * Round 15 (found by the soak spec): the log's FIRST append exposes a
+    * window where the directory exists but holds no committed parquet
+    * yet (only `_temporary`) — schema inference fails there on every
+    * retry, yet semantically it is an EMPTY feed (cursor untouched, the
+    * rows deliver on the next cycle once committed), exactly like the
+    * missing-directory state the callers already map to empty. A
+    * mid-compaction swap recovers first, as before. */
+  def segmentEvents(spark: SparkSession, dir: String): DataFrame = {
+    val log = s"$dir/segment_events"
+    graft.Fs.recoverForRead(log)
+    val committed = Option(new java.io.File(log).listFiles)
+      .exists(_.exists(_.getName.endsWith(".parquet")))
+    if (committed) spark.read.parquet(log)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("segment",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("state",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("stamp",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("batch_id",
+          org.apache.spark.sql.types.LongType))))
+  }
 
   /** All appenders to the enter/exit log funnel through the log's own
     * writer lock: the ingest batch and the refresh loop already hold a

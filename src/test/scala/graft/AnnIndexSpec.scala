@@ -280,6 +280,45 @@ class AnnIndexSpec extends SparkSpec {
     assert(AnnIndex.data(spark, path).count() == 60)
   }
 
+  test("kind repurposing grace-retires the other kind's dirs (round 15)") {
+    // ADVICE r14: buildIvf over an existing PQ store (and vice versa)
+    // deleted the other kind's CURRENT codes/books immediately — a
+    // concurrent reader of the previous kind mid-query lost its planned
+    // files. The repurposed build now retires the other kind under the
+    // same grace window as a same-kind rebuild; the NEXT maintenance
+    // cycle (any build/compact, whose prev meta is already the new kind)
+    // reclaims it fully.
+    val path = java.nio.file.Files.createTempDirectory("annidx").toString
+    AnnIndex.buildPq(corpus(0 until 30), path, m = 4, ksub = 8)
+    assert(new java.io.File(s"$path/codes").exists &&
+      new java.io.File(s"$path/books").exists)
+    // repurpose to IVF: the pq reader's resolvable gen-0 dirs SURVIVE
+    AnnIndex.buildIvf(corpus(0 until 30), path, nlist = 8)
+    assert(new java.io.File(s"$path/cells_v1").exists)
+    assert(new java.io.File(s"$path/codes").exists &&
+      new java.io.File(s"$path/books").exists,
+      "the previous kind's current generation is the reader grace window")
+    val q = corpus(0 until 30).where(col("vec_id") < 3)
+    assert(AnnIndex.ivfTopK(spark, path, q, k = 2, nprobe = 3).count() == 6)
+    // next same-kind maintenance cycle: the pq leftovers reclaim
+    AnnIndex.buildIvf(corpus(0 until 40), path, nlist = 8)
+    assert(!new java.io.File(s"$path/codes").exists &&
+      !new java.io.File(s"$path/books").exists,
+      "repurposed-kind dirs reclaim one maintenance cycle later")
+    assert(new java.io.File(s"$path/cells_v1").exists &&
+      new java.io.File(s"$path/cells_v2").exists)
+    // ...and the mirror direction: PQ over an IVF store
+    val path2 = java.nio.file.Files.createTempDirectory("annidx").toString
+    AnnIndex.buildIvf(corpus(0 until 30), path2, nlist = 8)
+    AnnIndex.buildPq(corpus(0 until 30), path2, m = 4, ksub = 8)
+    assert(new java.io.File(s"$path2/cells").exists &&
+      new java.io.File(s"$path2/centroids").exists,
+      "ivf dirs survive the pq repurposing as the grace window")
+    AnnIndex.buildPq(corpus(0 until 40), path2, m = 4, ksub = 8)
+    assert(!new java.io.File(s"$path2/cells").exists &&
+      !new java.io.File(s"$path2/centroids").exists)
+  }
+
   test("PQ compact: codes fold per id-bucket, rankings unchanged") {
     val path = java.nio.file.Files.createTempDirectory("annidx").toString
     AnnIndex.buildPq(corpus(0 until 30), path, m = 4, ksub = 8)

@@ -164,7 +164,7 @@ class IngestStreamSpec extends SparkSpec {
     val segEvents = Streams.segmentEvents(spark, dir)
       .select("id", "state").as[(Long, String)].collect().toSet
     assert(segEvents == Set((1L, "entered"), (2L, "entered")))
-    val members = spark.read.parquet(s"$dir/segments/big_spender")
+    val members = Streams.membership(spark, dir, "big_spender")
       .as[Long].collect().toSet
     assert(members == Set(1L, 2L))
   }
@@ -178,12 +178,12 @@ class IngestStreamSpec extends SparkSpec {
       ev.where(col("event") === "purchase").groupBy("id")
         .agg(sum("value").as("v")).where(col("v") > 100).select("id")
     Streams.refreshSegments(spark, dir, Map("big" -> seg), nowMs = 2000L)
-    assert(spark.read.parquet(s"$dir/segments/big").as[Long].collect().toSet == Set(1L, 2L))
+    assert(Streams.membership(spark, dir, "big").as[Long].collect().toSet == Set(1L, 2L))
     // u2's spend drops below threshold via a refund event -> exit on refresh
     Seq((2L, 3000L, "purchase", -100.0)).toDF("id", "stamp", "event", "value")
       .write.mode("append").parquet(s"$dir/events")
     Streams.refreshSegments(spark, dir, Map("big" -> seg), nowMs = 4000L)
-    assert(spark.read.parquet(s"$dir/segments/big").as[Long].collect().toSet == Set(1L))
+    assert(Streams.membership(spark, dir, "big").as[Long].collect().toSet == Set(1L))
     val exits = Streams.segmentEvents(spark, dir).where(col("state") === "exited")
       .select("id").as[Long].collect().toSeq
     assert(exits == Seq(2L))
@@ -364,6 +364,160 @@ class IngestStreamSpec extends SparkSpec {
       yield s"w${w}_b${b}_$i").toSet
     assert(ids == expected, // every batch from both writers is present
       s"lost updates: missing ${(expected -- ids).take(5)}")
+  }
+
+  test("round-15 soak: full loop — ingest → on_insert → push → compaction under reads") {
+    // The reference's actual operating mode, exercised as a WHOLE for the
+    // first time (src/oloop_insert.cpp:166-183 insert drain + the message
+    // broker): ten streaming batches each run insert → upsert → on_insert
+    // segment refresh → enter/exit diff append → async push drain, while a
+    // concurrent reader queries the table and membership THROUGHOUT and a
+    // segment-event compaction + a full segmentRefresh run mid-soak.
+    // Asserts: the reader never hits a failed read and row counts are
+    // monotone; the webhook receives every enter/exit EXACTLY once (a
+    // reliable 2xx hook collapses at-least-once to exactly-once, since the
+    // cursor advances only on 2xx); deliveries arrive in cursor order
+    // (stamps non-decreasing across the concatenated feed); and the final
+    // feed equals the on-disk segment-event log.
+    val now0 = 1704067200000L
+    val clockMs = new java.util.concurrent.atomic.AtomicLong(now0)
+    val wh = Files.createTempDirectory("graft_soak").toString
+    val api = new Api(spark, wh, clock = () => clockMs.get())
+    api.tableCreate(TableMeta("soak",
+      Seq(PropDef("product_price", "double")), TableSettings()))
+    // spend-sum membership: refunds (negative prices) make members EXIT,
+    // so the soak exercises both diff directions
+    val script =
+      """@segment big on_insert=true
+        |spend = sum(product_price) where event.is(== 'purchase')
+        |if spend > 100
+        |  return(true)
+        |end
+        |""".stripMargin
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/hook", { exchange =>
+      received.add(new String(exchange.getRequestBody.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)): Unit
+      exchange.sendResponseHeaders(200, -1)
+      exchange.close()
+    })
+    server.start()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val stopReader = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val polled = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // the reader drives PRODUCTION query entry points (which carry the
+    // recover-and-retry read discipline every caller uses — raw
+    // spark.read on an append-in-progress dir can see a footerless
+    // directory, by design absorbed at the call sites), plus an
+    // independent POLL subscriber whose cumulative feed is checked
+    // against the log at the end
+    val reader = new Thread(() =>
+      try {
+        var lastRows = 0L
+        var segSeen = false
+        while (!stopReader.get()) {
+          val n = api.catalog.events("soak").count()
+          assert(n >= lastRows, s"event count went backwards: $lastRows -> $n")
+          lastRows = n
+          segSeen = segSeen || new java.io.File(Streams.membershipDir(
+            new java.io.File(wh, "soak").toString, "big")).isDirectory
+          if (segSeen)
+            api.queryProperty("soak", "product_price",
+              segments = Seq("*", "big")): Unit
+          if (new java.io.File(wh, "soak/subs/big/pollster.properties").isFile)
+            polled.add(api.subscriptionPoll("soak", "big", "pollster",
+              nowMs = clockMs.get())): Unit
+        }
+      } catch { case t: Throwable => errs.add(t) })
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/hook"
+      api.subscriptionCreate("soak", "big", "hook", nowMs = now0,
+        pushUrl = Some(url))
+      api.subscriptionCreate("soak", "big", "pollster", nowMs = now0)
+      implicit val sc = spark.sqlContext
+      val mem = MemoryStream[(String, Long, String, Double)]
+      val stream = mem.toDF.toDF("id", "stamp", "event", "product_price")
+      val ckpt = Files.createTempDirectory("graft_soak_ckpt").toString
+      val q = api.startIngest("soak", stream, ckpt,
+        onInsertScript = Some(script), nowMs = now0)
+      reader.start()
+      // membership plan (threshold 100): u1 enters at b2, exits at b5
+      // (refund), re-enters at b8; u2 enters at b1, exits at b4; u3
+      // accumulates +10/batch and never crosses — 5 deliveries total
+      def rows(b: Int): Seq[(String, Long, String, Double)] = {
+        val t = now0 + b * 10000L
+        Seq(("u3", t + 3, "purchase", 10.0)) ++
+          (b match {
+            case 1 => Seq(("u1", t + 1, "purchase", 60.0),
+                          ("u2", t + 2, "purchase", 150.0))
+            case 2 => Seq(("u1", t + 1, "purchase", 60.0))
+            case 4 => Seq(("u2", t + 2, "purchase", -100.0))
+            case 5 => Seq(("u1", t + 1, "purchase", -100.0))
+            case 8 => Seq(("u1", t + 1, "purchase", 150.0))
+            case _ => Seq(("u1", t + 1, "view", 0.0))
+          })
+      }
+      for (b <- 1 to 10) {
+        clockMs.set(now0 + b * 10000L + 5000L)
+        mem.addData(rows(b): _*)
+        q.processAllAvailable()
+        if (b == 6) {
+          // mid-soak maintenance under the live reader: fold the
+          // enter/exit log's small files, then a FULL refresh (no diff —
+          // membership is already current — so no spurious deliveries)
+          Streams.compactSegmentEvents(spark,
+            new java.io.File(wh, "soak").toString): Unit
+          api.segmentRefresh("soak", script, nowMs = clockMs.get() + 1)
+        }
+      }
+      q.stop()
+      api.pushDrainAwait(60000)
+      api.subscriptionPushDrain("soak", nowMs = clockMs.get() + 1000): Unit
+      api.pushDrainAwait(60000)
+      stopReader.set(true); reader.join(120000)
+      assert(errs.isEmpty,
+        s"concurrent reader failed: ${Option(errs.peek()).map(_.toString)}")
+      // parse every delivered message across all POSTs, in arrival order
+      val msgRe =
+        """\{"stamp":(\d+),[^}]*"uid":"([^"]+)","state":"(\w+)"\}""".r
+      val delivered = received.toArray(Array.empty[String]).toSeq.flatMap(p =>
+        msgRe.findAllMatchIn(p).map(m =>
+          (m.group(1).toLong, m.group(2), m.group(3))).toSeq)
+      // exactly-once: the feed is precisely the on-disk enter/exit log
+      val logged = Streams.segmentEvents(spark,
+          new java.io.File(wh, "soak").toString)
+        .select("stamp", "id", "state")
+        .collect().map(r => (r.getLong(0), String.valueOf(r.get(1)),
+          r.getString(2))).toSeq
+      assert(delivered.sorted == logged.sorted,
+        s"delivered feed != log:\n  delivered=$delivered\n  logged=$logged")
+      assert(delivered.size == delivered.distinct.size,
+        s"duplicate delivery in $delivered")
+      assert(delivered.map(t => (t._2, t._3)).sorted ==
+        Seq(("u1", "entered"), ("u1", "entered"), ("u1", "exited"),
+            ("u2", "entered"), ("u2", "exited")),
+        s"unexpected feed: $delivered")
+      // cursor monotonicity: the concatenated feed's stamps never regress
+      assert(delivered.map(_._1) == delivered.map(_._1).sorted,
+        s"deliveries out of cursor order: $delivered")
+      // the independent POLL subscriber saw the identical feed, no
+      // message dropped or doubled across its concurrent polls
+      polled.add(api.subscriptionPoll("soak", "big", "pollster",
+        nowMs = clockMs.get() + 2000))
+      val pollFeed = polled.toArray(Array.empty[String]).toSeq.flatMap(p =>
+        msgRe.findAllMatchIn(p).map(m =>
+          (m.group(1).toLong, m.group(2), m.group(3))).toSeq)
+      assert(pollFeed == pollFeed.sorted && pollFeed.sorted == logged.sorted,
+        s"poll feed != log:\n  polled=$pollFeed\n  logged=$logged")
+      // final state: u1 back in (170), u2 out (50), u3 under (100)
+      assert(Streams.membership(spark,
+        new java.io.File(wh, "soak").toString, "big")
+        .as[String].collect().toSet == Set("u1"))
+      assert(api.catalog.events("soak").count() ==
+        (1 to 10).map(rows(_).size).sum)
+    } finally { stopReader.set(true); server.stop(0) }
   }
 
   test("bucketed layout removes the person-key shuffle") {

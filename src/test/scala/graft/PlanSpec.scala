@@ -64,8 +64,18 @@ class PlanSpec extends SparkSpec {
         "q_osl_chain3_restart_mid", // restart MIDDLE step, floor folded into counts (round 12)
         "q_osl_chain3_dual_rev", // both steps reverse + rev-mid limit (round 12)
         "q_osl_chain4_rev", // depth-4 reverse deepest, flipped ladder window (round 12)
-        "q_osl_mixed_value_guard")) // int(value) mixed guard over a double prop (round 12)
+        "q_osl_mixed_value_guard", // int(value) mixed guard over a double prop (round 12)
+        "q_osl_where_dynamic")) // dynamic where-cap, GatedFold window (round 15)
       assert(!plan(q).contains("MapGroups"), s"$q fell back to Tier B")
+    // the dynamic cap's plan: ONE GatedFold running window on the person
+    // exchange, no collect, no static limit machinery (round 15)
+    locally {
+      val p = plan("q_osl_where_dynamic")
+      assert(p.contains("graft_gated_fold"), s"GatedFold missing:\n$p")
+      assert(!p.contains("collect_list"))
+      val w = p.linesIterator.count(_.trim.startsWith("+- Window"))
+      assert(w == 1, s"expected 1 Window node, got $w:\n$p")
+    }
     // and an interpreter-only shape does (sanity that the probe works):
     // a guard READING the accumulator observes a mid-visit partial sum ->
     // Tier B (plain conditional increments compile since round 7)

@@ -1770,9 +1770,82 @@ class TierChainAccumSpec extends SparkSpec {
              |""".stripMargin)
     }
     // pinned DECLINES — each still differentially checked through Tier B:
-    // UNFRAMED suffix form (the per-row interval collect would be
-    // unbounded; framed variants compile above)
+    // UNFRAMED suffix form (round-15 adjudication, VERDICT r14 #3:
+    // INHERENT under this architecture — the per-row interval collect
+    // ranges over an unbounded hop window, and the per-hop endpoints
+    // lo(y)/hi(y) are data-dependent with no monotone structure to fold,
+    // exactly the unframed reverse-limit decline's shape; framed
+    // variants compile above)
     mixed3("get_hour(stamp) < n", expectTierA = false)
+    // round-15 adjudication (VERDICT r14 #3): CONTRA forms at
+    // NON-DEEPEST levels decline — with the gap EXHIBITED below. At a
+    // contra level each hop y contributes an ordinal INTERVAL
+    // [lo(y), hi(y)] whose mismatched endpoint varies per hop, so the
+    // union over hops can GAP; the state that composes reach through
+    // FURTHER ladder levels is one scalar per row ("reach = a prefix of
+    // size K"), and ANY scalar over-approximates a gapped union by its
+    // hull. Exact composition needs interval-array state per row at
+    // every level between the contra level and the deepest (state ×
+    // frame-density per level, then flattened per deepest row —
+    // quadratic in frame density for ONE extra level), while the
+    // interpreter prices the same shape at O(visits) with no
+    // materialized history. Declined, not approximated; framed and
+    // unframed middles both.
+    for (mods <- Seq("", ".look_ahead(12_hours)"))
+      diffOn(worldDense,
+        s"""${sel}n = 0
+           |each_row where event.is(== 'signup')
+           |  n += 1
+           |  each_row.continue().next()$mods where event.is(== 'view')
+           |    if get_hour(stamp) < n
+           |      each_row.continue().next() where event.is(== 'click')
+           |        each_row.continue().next() where event.is(== 'purchase')
+           |          << n, event
+           |        end
+           |      end
+           |    end
+           |  end
+           |end
+           |""".stripMargin, expectTierA = false)
+    // the GAP, concretely: two-sided contra intervals at the middle of a
+    // depth-4 chain. Views at hours 2 and 12 admit spawn ordinals
+    // [3, 8] and [13, 18] — the union gaps at {9..12}, which the hull
+    // [3, 18] (any scalar ladder state) would wrongly include. Pinned on
+    // the interpreter's exact output.
+    locally {
+      val day = Mon // 00:00 UTC Monday
+      val rows =
+        (1 to 20).map(j => ("z", day + j * 60000L, "signup")) ++ Seq(
+          ("z", day + 24 * H + 2 * H, "view"),   // hour 2, next day
+          ("z", day + 24 * H + 12 * H, "view"),  // hour 12
+          ("z", day + 24 * H + 13 * H, "click"),
+          ("z", day + 24 * H + 14 * H, "purchase"))
+      val wg = rows.toDF("id", "stamp", "event").cache()
+      val out = OslEngine.query(wg,
+        s"""select
+           |  count id as customers
+           |end
+           |n = 0
+           |each_row where event.is(== 'signup')
+           |  n += 1
+           |  each_row.continue().next() where event.is(== 'view')
+           |    if get_hour(stamp) < n && n <= get_hour(stamp) + 6
+           |      each_row.continue().next() where event.is(== 'click')
+           |        each_row.continue().next() where event.is(== 'purchase')
+           |          << n
+           |        end
+           |      end
+           |    end
+           |  end
+           |end
+           |""".stripMargin, now = Mon + 400 * H)
+      val got = out.where(org.apache.spark.sql.functions.col("depth") === 1)
+        .select("g1").collect()
+        .map(_.getString(0).toDouble.toInt).toSet
+      val want = ((3 to 8) ++ (13 to 18)).toSet
+      assert(got == want,
+        s"union must gap at {9..12} (hull would include them): got $got")
+    }
     // a magnitude past the exact long↔double range declines (the
     // interpreter's compare would round; decline rather than mimic)
     mixed3("product_price > n", inc = "n += 3000000", expectTierA = false)

@@ -222,15 +222,35 @@ class TierWhereCapSpec extends SparkSpec {
          |""".stripMargin)
   }
 
-  test("declines stay Tier B: dynamic caps and non-conjunct reads") {
-    diff( // compares the accumulator to a row prop: not static
+  test("DYNAMIC caps compile: accumulator vs row value (round 15)") {
+    // the reference's canonical budget pattern (queryinterpreter.cpp
+    // where-eval + vars-first lookup): a spend cap compared against a ROW
+    // value. A failing row does NOT freeze the scan — the GatedFold
+    // window replays the sequential (acc, vis) recurrence exactly.
+    diff( // fp increments: the fold IS the interpreter's add sequence
       s"""${sel}n = 0
-         |each_row where event.is(!= 'error') && n < product_price
-         |  n += 1
+         |each_row where event.is(== 'purchase') && n < product_price
+         |  n += product_price
          |  << 'dyn', event
          |end
-         |""".stripMargin, expectTierA = false)
-    diff( // guarded increment: per-visit delta is not constant
+         |""".stripMargin)
+    diff( // flipped operand order, int increments
+      s"""${sel}n = 0
+         |each_row where event.is(!= 'error') && product_price > n
+         |  n += 1
+         |  << 'dynflip', event
+         |end
+         |""".stripMargin)
+    diff( // computed row side (the top-where mixed form)
+      s"""${sel}n = 0
+         |each_row where event.is(!= 'error') && get_hour(stamp) >= n
+         |  n += 1
+         |  << 'dynhour', event
+         |end
+         |""".stripMargin)
+    diff( // guarded increment under a STATIC cap: capSolve has no constant
+      // slope, so the conjunct re-routes through the fold (was a pinned
+      // decline through round 14)
       s"""${sel}n = 0
          |each_row where event.is(!= 'error') && n < 3
          |  if event.is(== 'purchase')
@@ -238,7 +258,120 @@ class TierWhereCapSpec extends SparkSpec {
          |  end
          |  << 'guarded', event
          |end
-         |""".stripMargin, expectTierA = false)
+         |""".stripMargin)
+    diff( // prop increment under a static cap: the OTHER budget flavor
+      // (was a pinned decline through round 14)
+      s"""${sel}n = 0
+         |each_row where event.is(== 'purchase') && n < 100
+         |  n += product_price
+         |  << 'prop_inc', event
+         |end
+         |""".stripMargin)
+    diff( // dynamic + static conjuncts on the SAME accumulator AND both
+      // operand orders at once
+      s"""${sel}n = 0
+         |each_row where event.is(!= 'error') && n < product_price && n < 50
+         |  n += product_price
+         |  << 'dynboth', event
+         |end
+         |""".stripMargin)
+    diff( // body reads observe the fold's post-visit value
+      s"""${sel}n = 0
+         |each_row where event.is(!= 'error') && n < product_price
+         |  n += 1
+         |  << n, event
+         |end
+         |""".stripMargin)
+    diff( // a SECOND accumulator: its window runs over the vis-filtered
+      // frame; its own static cap composes as a post-fold visit rank
+      s"""${sel}n = 0
+         |k = 0
+         |each_row where event.is(!= 'error') && n < product_price && k < 9
+         |  n += product_price
+         |  k += 2
+         |  << k, event
+         |end
+         |""".stripMargin)
+  }
+
+  test("dynamic caps compose with .limit/.reverse/.from/frames (round 15)") {
+    diff( // `.limit(n)` becomes a post-fold visit rank
+      s"""${sel}n = 0
+         |each_row.limit(2) where event.is(!= 'error') && n < product_price
+         |  n += product_price
+         |  << 'dynlim', event
+         |end
+         |""".stripMargin)
+    diff( // reverse: the fold rides the same DESC running frame
+      s"""${sel}n = 0
+         |each_row.reverse() where event.is(!= 'error') && n < product_price
+         |  n += product_price
+         |  << 'dynrev', event
+         |end
+         |""".stripMargin)
+    diff( // reverse + limit: both walk from the scan's end
+      s"""${sel}n = 0
+         |each_row.reverse().limit(3) where event.is(!= 'error') && product_price > n
+         |  n += 1
+         |  << 'dynrevlim', event
+         |end
+         |""".stripMargin)
+    diff( // `.from(k)`: candidates start at row index k
+      s"""${sel}n = 0
+         |each_row.from(2) where event.is(!= 'error') && n < product_price
+         |  n += product_price
+         |  << 'dynfrom', event
+         |end
+         |""".stripMargin)
+    diff( // a top frame gates the candidate range before the fold
+      s"""${sel}n = 0
+         |each_row.look_ahead(30_hours, first_stamp) where event.is(!= 'error') && n < product_price
+         |  n += product_price
+         |  << 'dynframe', event
+         |end
+         |""".stripMargin)
+  }
+
+  test("dynamic caps: negative prices and nil row sides (round 15)") {
+    import spark.implicits._
+    // negative sides: a negative running spend keeps passing/failing per
+    // the exact compare; nil sides follow Value.cmp's string path — a
+    // numeric left vs "" makes {>, >=, !=} hold and {<, <=, ==} fail
+    val wneg = (0 until 60).map { i =>
+      (s"g${i % 3}", Mon + i * H,
+        Seq("purchase", "view", "error")(i % 3) ,
+        if (i % 7 == 0) None
+        else Some(Seq(-12.5, 3.25, -0.5, 40.0, 7.75, -20.0)(i % 6)))
+    }.toDF("id", "stamp", "event", "product_price").cache()
+    def diffN(script: String, expectTierA: Boolean = true): Unit = {
+      val p = Parser.program(script)
+      assert(TierA.compile(p, wneg, Mon + 100 * H, 1800000L).isDefined == expectTierA,
+        s"Tier A compile expected=$expectTierA for:\n$script")
+      val a = canon(OslEngine.query(wneg, script, now = Mon + 100 * H))
+      val b = canon(OslEngine.query(wneg, script, now = Mon + 100 * H,
+        forceTierB = true))
+      assert(a == b, s"tier mismatch:\n$script\nA=$a\nB=$b")
+    }
+    val selN = "select\n  count id as customers\n  count event as n_rows\nend\n"
+    for (op <- Seq("<", "<=", ">", ">=", "==", "!="))
+      diffN(
+        s"""${selN}n = 0
+           |each_row where event.is(!= 'error') && n $op product_price
+           |  n += product_price
+           |  << 'op', event
+           |end
+           |""".stripMargin)
+    diffN( // negative init and a decreasing literal stage mixed in
+      s"""${selN}n = -5
+         |each_row where event.is(!= 'error') && n <= product_price
+         |  n += product_price
+         |  n -= 1
+         |  << 'mixed', event
+         |end
+         |""".stripMargin)
+  }
+
+  test("declines stay Tier B: non-conjunct reads and unpriceable shapes") {
     diff( // read under || is not a conjunct cap
       s"""${sel}n = 0
          |each_row where event.is(== 'purchase') || n < 3
@@ -246,11 +379,37 @@ class TierWhereCapSpec extends SparkSpec {
          |  << 'or', event
          |end
          |""".stripMargin, expectTierA = false)
-    diff( // non-literal increment: the cap value is data-dependent
+    diff( // TWO gating accumulators would need a joint fold buffer
       s"""${sel}n = 0
-         |each_row where event.is(== 'purchase') && n < 100
+         |k = 0
+         |each_row where event.is(!= 'error') && n < product_price && k < stamp
          |  n += product_price
-         |  << 'prop_inc', event
+         |  k += 1
+         |  << 'two', event
+         |end
+         |""".stripMargin, expectTierA = false)
+    diff( // non-numeric row side: the interpreter string-compares per row
+      s"""${sel}n = 0
+         |each_row where event.is(!= 'error') && n < product_name
+         |  n += 1
+         |  << 'str', event
+         |end
+         |""".stripMargin, expectTierA = false)
+    diff( // a chain below a dynamic cap: the spawn set would gate
+      // chainWitnesses — unproven composition, pinned Tier B
+      s"""${sel}n = 0
+         |each_row where event.is(== 'signup') && n < product_price
+         |  n += 1
+         |  each_row.continue().next() where event.is(== 'purchase')
+         |    << 'chained', event
+         |  end
+         |end
+         |""".stripMargin, expectTierA = false)
+    diff( // |init| past 2^51: the int fold leaves the exact double range
+      s"""${sel}n = 9007199254740992
+         |each_row where event.is(!= 'error') && n < product_price
+         |  n -= 1
+         |  << 'huge', event
          |end
          |""".stripMargin, expectTierA = false)
   }
