@@ -28,13 +28,14 @@ object JobAudit {
       val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]
       val listener = new SparkListener {
         override def onJobStart(js: SparkListenerJobStart): Unit = {
-          val desc = Option(js.properties)
-            .flatMap(p => Option(p.getProperty("spark.job.description")))
+          val names = js.stageInfos.map(_.name.takeWhile(_ != '\n').take(70))
+            .mkString(" | ")
+          val site = js.stageInfos.lastOption
+            .map(_.details.linesIterator
+              .filter(l => l.contains("graft.") && !l.contains("JobAudit"))
+              .take(2).mkString(" <- ").take(160))
             .getOrElse("")
-          val site = Option(js.properties)
-            .flatMap(p => Option(p.getProperty("callSite.short")))
-            .getOrElse("")
-          jobs.add(s"stages=${js.stageIds.size} site=[$site] desc=[${desc.take(120)}]")
+          jobs.add(s"stages=${js.stageIds.size} [$names] at [$site]")
         }
       }
       spark.sparkContext.addSparkListener(listener)

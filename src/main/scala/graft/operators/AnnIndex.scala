@@ -96,17 +96,71 @@ object AnnIndex {
     * protocol never rewrites a data file in place, so an unchanged
     * listing means unchanged bytes. */
   private def corpusFp(corpus: DataFrame): Long = {
-    val files = corpus.inputFiles
+    // a CACHED corpus hides its files from Dataset.inputFiles
+    // (InMemoryRelation is a leaf node) — which made every warm query
+    // treat the index as never-current and pay a full no-op append cycle
+    // (round 15, found by JobAudit: 16 of q_ann_ivf_indexed's 27 driver
+    // jobs). Resolve the listing through the cached plan's file scans.
+    val direct = corpus.inputFiles
+    val files =
+      if (direct.nonEmpty) direct
+      else corpus.queryExecution.optimizedPlan.collect {
+        case m: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+          m.cacheBuilder.cachedPlan.collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+              f.relation.location.inputFiles.toSeq
+          }.flatten
+      }.flatten.toArray
     if (files.isEmpty) 0L
     else files.sorted.foldLeft(1125899906842597L)((h, f) => h * 31 + f.hashCode)
   }
 
   private def metaIfAny(spark: SparkSession, path: String): Option[Meta] =
-    try Some(readMeta(spark, path))
+    try Some(cachedMeta(spark, path))
     catch {
       case _: org.apache.spark.sql.AnalysisException => None // no index yet
       case _: IllegalArgumentException => None // pre-`nb` layout: rebuild
     }
+
+  /** The meta row, cached by the meta dir's mtime stamp like the model —
+    * the "is the index current?" check a query server runs per query must
+    * not cost two Spark jobs (schema infer + head) every time (round 15,
+    * directive #2). Every build/append/compact rewrites the meta, so the
+    * stamp always moves with the row. */
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Meta)]
+
+  private def cachedMeta(spark: SparkSession, path: String): Meta = {
+    val stamp = metaDirStamp(path)
+    val hit = metaCache.get(path)
+    if (hit != null && hit._1 == stamp) return hit._2
+    val meta = readMeta(spark, path)
+    metaCache.put(path, (stamp, meta))
+    meta
+  }
+
+  /** The generation-current data table read with a stamp-cached SCHEMA —
+    * parquet schema inference is a Spark job per read, and the cells/codes
+    * schema is fixed by the layout; the file listing itself stays live
+    * (appends land new files without a meta bump, and partition discovery
+    * is driver-side). */
+  private val dataSchemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, org.apache.spark.sql.types.StructType)]
+
+  private def readData(spark: SparkSession, path: String,
+                       meta: Meta): DataFrame = {
+    val dir = currentData(path, meta)
+    val stamp = metaDirStamp(path)
+    val hit = dataSchemaCache.get(path)
+    val schema =
+      if (hit != null && hit._1 == stamp) hit._2
+      else {
+        val s = spark.read.parquet(dir).schema
+        dataSchemaCache.put(path, (stamp, s))
+        s
+      }
+    spark.read.schema(schema).parquet(dir)
+  }
 
   /** (meta-dir mtime stamp, meta, centroids-or-books) per index path: the
     * meta row and the broadcast-side model (nlist centroids / m·ksub
@@ -133,7 +187,7 @@ object AnnIndex {
       require(hit._2.kind == kind, s"index at $path is ${hit._2.kind}, not $kind")
       return (hit._2, hit._3)
     }
-    val meta = readMeta(spark, path)
+    val meta = cachedMeta(spark, path)
     // kind gates BEFORE the model load: reading an IVF store through the
     // PQ entry point must fail the contract check, not a missing-path read
     require(meta.kind == kind, s"index at $path is ${meta.kind}, not $kind")
@@ -290,7 +344,7 @@ object AnnIndex {
   def appendIvf(newVecs: DataFrame, path: String): Unit = {
     val (frame, touched) = ivfAppendFrame(newVecs, path)
     if (touched.nonEmpty) {
-      val meta = readMeta(newVecs.sparkSession, path)
+      val meta = cachedMeta(newVecs.sparkSession, path)
       frame.write.partitionBy("cell").mode("append")
         .parquet(currentData(path, meta))
     }
@@ -302,7 +356,7 @@ object AnnIndex {
   private[graft] def ivfAppendFrame(newVecs: DataFrame,
                                     path: String): (DataFrame, Array[Long]) = {
     val spark = newVecs.sparkSession
-    val meta = readMeta(spark, path)
+    val meta = cachedMeta(spark, path)
     require(meta.kind == "ivf", s"index at $path is ${meta.kind}, not ivf")
     checkDim(meta, newVecs)
     val centroids = storedCentroids(spark, path, meta)
@@ -310,7 +364,7 @@ object AnnIndex {
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .withColumn("cell", Similarity.nearestCentroid(col("e"), centroids, 1)(0))
     val touched = assigned.select("cell").distinct().collect().map(_.getLong(0))
-    val existing = spark.read.parquet(currentData(path, meta))
+    val existing = readData(spark, path, meta)
       .where(col("cell").isin(touched: _*)).select("vec_id")
     (assigned.join(existing, Seq("vec_id"), "left_anti"), touched)
   }
@@ -333,7 +387,7 @@ object AnnIndex {
       .select(explode(Similarity.nearestCentroid(
         asDouble(col("embedding")), centroids, nprobe)).as("cell"))
       .distinct().collect().map(_.getLong(0))
-    val assigned = spark.read.parquet(currentData(path, meta))
+    val assigned = readData(spark, path, meta)
       .where(col("cell").isin(probed: _*))
     Similarity.ivfSearch(assigned, centroids, queries, k, nprobe)
   }
@@ -413,7 +467,7 @@ object AnnIndex {
   def appendPq(newVecs: DataFrame, path: String): Unit = {
     val (frame, touched) = pqAppendFrame(newVecs, path)
     if (touched.nonEmpty) {
-      val meta = readMeta(newVecs.sparkSession, path)
+      val meta = cachedMeta(newVecs.sparkSession, path)
       frame.write.partitionBy("idb").mode("append")
         .parquet(currentData(path, meta))
     }
@@ -425,7 +479,7 @@ object AnnIndex {
   private[graft] def pqAppendFrame(newVecs: DataFrame,
                                    path: String): (DataFrame, Array[Int]) = {
     val spark = newVecs.sparkSession
-    val meta = readMeta(spark, path)
+    val meta = cachedMeta(spark, path)
     require(meta.kind == "pq", s"index at $path is ${meta.kind}, not pq")
     checkDim(meta, newVecs)
     val books = storedBooks(spark, path, meta)
@@ -433,7 +487,7 @@ object AnnIndex {
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .withColumn("idb", idBucket(col("vec_id"), meta.nb))
     val touched = incoming.select("idb").distinct().collect().map(_.getInt(0))
-    val existing = spark.read.parquet(currentData(path, meta))
+    val existing = readData(spark, path, meta)
       .where(col("idb").isin(touched: _*)).select("vec_id")
     val frame = incoming.join(existing, Seq("vec_id"), "left_anti")
       .withColumn("code", Similarity.pqCodeKernel(books)(col("e")))
@@ -448,7 +502,7 @@ object AnnIndex {
              k: Int): DataFrame = {
     val (meta, model) = cachedModel(spark, path, "pq")(m => storedBooks(spark, path, m))
     val books = model.asInstanceOf[Array[Array[Array[Double]]]]
-    val enc = spark.read.parquet(currentData(path, meta))
+    val enc = readData(spark, path, meta)
       .select(col("vec_id").as("nid"), col("code"))
     Similarity.pqSearch(enc, books, queries, k, meta.m, meta.ksub)
   }
@@ -457,7 +511,7 @@ object AnnIndex {
   /** The index's current data table (IVF cells / PQ codes) — resolves the
     * generation-current directory, so callers never hard-code layout. */
   def data(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(currentData(path, readMeta(spark, path)))
+    readData(spark, path, cachedMeta(spark, path))
 
   /** Number of parquet data files in the current generation — the
     * small-file pressure gauge [[maybeCompact]] reads. Streaming appends
@@ -465,7 +519,7 @@ object AnnIndex {
     * linearly with batches until a compaction folds it back to one file
     * per partition value. */
   def dataFileCount(spark: SparkSession, path: String): Int =
-    parquetFiles(spark, currentData(path, readMeta(spark, path)))
+    parquetFiles(spark, currentData(path, cachedMeta(spark, path)))
 
   // file counting and generation retirement go through the Hadoop
   // FileSystem API resolved from the index path itself, so the store is
@@ -519,7 +573,7 @@ object AnnIndex {
     * a partition-preserving shuffle of the same rows, and both search
     * cores rank with deterministic tie-breaks. */
   def compact(spark: SparkSession, path: String): Unit = {
-    val meta = readMeta(spark, path)
+    val meta = cachedMeta(spark, path)
     val cur = currentData(path, meta)
     val next = dataDir(path, meta.dataBase, meta.gen + 1)
     spark.read.parquet(cur)

@@ -656,20 +656,34 @@ object Similarity {
     * (qid, nid) pairs — k×queries rows, broadcast-sized. */
   def annQualityReport(corpus: DataFrame, queries: DataFrame, k: Int,
                        lshDim: Int = 64): DataFrame = {
+    // One action, one exchange past the method pipelines (round 15,
+    // directive #2: the driver-job diet): the exact top-k is CACHED (one
+    // materialization instead of three brute-force recomputes) and
+    // BROADCAST into one tagged join (nQ·k rows by contract); the three
+    // per-method counts fold into ONE aggregation; and the query-set
+    // size rides a broadcast 1-row frame off the same cache (every query
+    // has k exact neighbors, so exact's distinct qids ARE the query set)
+    // instead of a separate driver count.
     val exact = bruteForceTopK(corpus, queries, k)
-      .select(col("qid"), col("nid"))
-    // query-set size is bounded by contract (a sampled eval set)
-    val nQ = queries.select(col("vec_id")).distinct().count()
-    def method(name: String, approx: DataFrame): DataFrame =
-      approx.select(col("qid"), col("nid"))
-        .join(exact, Seq("qid", "nid"), "left_semi")
-        .agg(count(lit(1)).as("hits"))
-        .select(lit(name).as("method"), lit(nQ).as("n_queries"),
-          col("hits"), lit(nQ * k).as("possible"),
-          round(col("hits").cast("double") / lit(nQ * k).cast("double"), 6)
-            .as("recall"))
-    method("ivf", ivfTopK(corpus, queries, k))
-      .unionByName(method("lsh", lshTopK(corpus, queries, lshDim, k)))
-      .unionByName(method("pq", pqTopK(corpus, queries, k)))
+      .select(col("qid"), col("nid")).cache()
+    val nqRow = broadcast(exact.agg(
+      countDistinct(col("qid")).as("n_queries"),
+      (countDistinct(col("qid")) * k).as("possible")))
+    def tagged(name: String, approx: DataFrame): DataFrame =
+      approx.select(lit(name).as("method"), col("qid"), col("nid"))
+    tagged("ivf", ivfTopK(corpus, queries, k))
+      .unionByName(tagged("lsh", lshTopK(corpus, queries, lshDim, k)))
+      .unionByName(tagged("pq", pqTopK(corpus, queries, k)))
+      .join(broadcast(exact.withColumn("__hit", lit(1))),
+        Seq("qid", "nid"), "left")
+      .groupBy("method")
+      .agg(count(col("__hit")).as("hits"))
+      .crossJoin(nqRow)
+      .select(col("method"), col("n_queries"),
+        col("hits"), col("possible"),
+        round(col("hits").cast("double") / col("possible").cast("double"), 6)
+          .as("recall"))
+    // no orderBy: three rows, and the driver compare sorts rows itself —
+    // a sort here would cost one more exchange (= one more driver job)
   }
 }
