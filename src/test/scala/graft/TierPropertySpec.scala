@@ -244,7 +244,13 @@ class TierPropertySpec extends SparkSpec {
       (0L, "n += 2", "n < 5"), (0L, "n += 1", "n != 2"),
       (0L, "n += 1", "n == 0"), (5L, "n -= 1", "n > 1"),
       (5L, "n -= 2", "n >= 2"), (0L, "n += 1", "4 > n"),
-      (9L, "n += 1", "n < 3") /* init already fails: zero visits */)
+      (9L, "n += 1", "n < 3"), /* init already fails: zero visits */
+      // round 15: DYNAMIC caps (row-value sides / prop increments) ride
+      // the GatedFold sequential gate instead of capSolve
+      (0L, "n += 1", "n < product_price"),
+      (0L, "n += 1", "get_hour(stamp) >= n"),
+      (0L, "n += product_price", "n < 100"),
+      (50L, "n -= 2", "n > product_price"))
     val genMods = Gen.oneOf("", "", ".reverse()", ".limit(2)", ".from(1)")
     val genBodyRead = Gen.oneOf("", "", "n", "bucket(n, 3)")
     (1 to 20).foreach { i =>
@@ -986,6 +992,155 @@ class TierPropertySpec extends SparkSpec {
         forceTierB = true))
       assert(a == b, s"tier mismatch on depth-3 accum sample $i:\n$script\nA=$a\nB=$b")
     }
+  }
+
+  // round-15 directive #4: every round-14 compile class draws in the
+  // seeded differential harness (this harness caught the G-lookup
+  // monotonicity hazard, the `__accs_` prefix trap and the unclamped
+  // reverse-mid endpoint — classes that never draw never get that
+  // protection). Grammar table — one row per class, each a constrained
+  // template whose free slots (wheres, spans, limits, groups) randomize
+  // per seed:
+  //   mixed_rev_top        mixed guards under REVERSE tops (suffix fold)
+  //   contra_union         framed-deepest suffix forms (interval union)
+  //   contra_two_sided     two-sided per-hop intervals through the union
+  //   double_row           bare DOUBLE row sides (floor/ceil bounds)
+  //   rev_deep_limited     framed reverse deepest + .limit (per-hop max)
+  //   restart_deep         genuine .from(k) deepests (framed / limited)
+  //   mid_direction        framed / reverse / restart MIDDLE steps (d4)
+  //   fwd_mid_limited      forward middle .limit via the G-conjunct (d4)
+  //   rev_mid_limited      framed reverse middle .limit (d4)
+  //   mixed_deep_limited   mixed guard on a framed limited deepest
+  //   dyn_where_cap        round-15 dynamic where caps (GatedFold)
+  // A round-robin over the table guarantees coverage; the counter
+  // asserts every class drew ≥ 2 of the 33 samples.
+  test("round-14/15 plan classes: Tier A == Tier B (33 samples, full class coverage)") {
+    val params = Gen.Parameters.default
+    def draw[A](g: Gen[A], s: Seed): A = g.pureApply(params, s)
+    val genSpan = Gen.oneOf("15_hours", "24_hours", "40_hours")
+    val genLim = Gen.oneOf(1, 2)
+    val sel = "select\n  count id as customers\n  count event as n_rows\nend\n"
+    def d3(top: String, init: String, inc: String, guard: Option[String],
+           deep: String, s: Seed): String = {
+      val w0 = draw(genWhere, s)
+      val w1 = draw(genWhere, s.next)
+      val w2 = draw(genWhere, s.next.next)
+      val g2 = draw(genGroup, s.slide)
+      val inner = guard match {
+        case Some(g) =>
+          s"""if $g
+             |      $deep where $w2
+             |        << n, $g2
+             |      end
+             |    end""".stripMargin
+        case None =>
+          s"""$deep where $w2
+             |      << n, $g2
+             |    end""".stripMargin
+      }
+      s"""${sel}n = $init
+         |each_row$top where $w0
+         |  $inc
+         |  each_row.continue().next() where $w1
+         |    $inner
+         |  end
+         |end
+         |""".stripMargin
+    }
+    def d4(mid: String, deep: String, s: Seed): String = {
+      val w0 = draw(genWhere, s)
+      val w1 = draw(genWhere, s.next)
+      val w2 = draw(genWhere, s.next.next)
+      val w3 = draw(genWhere, s.slide)
+      val g2 = draw(genGroup, s.slide.next)
+      s"""${sel}n = 0
+         |each_row where $w0
+         |  n += 1
+         |  each_row.continue().next() where $w1
+         |    $mid where $w2
+         |      $deep where $w3
+         |        << n, $g2
+         |      end
+         |    end
+         |  end
+         |end
+         |""".stripMargin
+    }
+    val cont = "each_row.continue().next()"
+    val classes: Seq[(String, Seed => String)] = Seq(
+      "mixed_rev_top" -> (s => d3(".reverse()", "0", "n += 1",
+        Some(draw(Gen.oneOf("n > get_hour(stamp)", "n >= get_hour(stamp)"), s.slide.next)),
+        cont, s)),
+      "contra_union" -> { s =>
+        val (init, inc, g) = draw(Gen.oneOf(
+          ("0", "n += 1", "get_hour(stamp) < n"),
+          ("80", "n -= 7", "product_price >= n")), s.slide.next)
+        d3("", init, inc, Some(g),
+          s"$cont.look_ahead(${draw(genSpan, s.slide.next.next)})", s)
+      },
+      "contra_two_sided" -> (s => d3("", "0", "n += 1",
+        Some("get_hour(stamp) < n && n <= get_hour(stamp) + 6"),
+        s"$cont.look_ahead(${draw(genSpan, s.slide.next)})", s)),
+      "double_row" -> { s =>
+        val (inc, g) = draw(Gen.oneOf(
+          ("n += 1", "product_price > n"), ("n += 2", "n < product_price"),
+          ("n += 3", "product_price.is(>= n)")), s.slide.next)
+        d3("", "0", inc, Some(g), cont, s)
+      },
+      "rev_deep_limited" -> (s => d3("", "0", "n += 1", None,
+        s"$cont.reverse().look_back(${draw(genSpan, s.slide.next)})" +
+          s".limit(${draw(genLim, s.slide.next.next)})", s)),
+      "restart_deep" -> { s =>
+        val deep = draw(Gen.oneOf(
+          "each_row.from(1)", "each_row.from(0).look_ahead(18_hours)",
+          "each_row.from(1).limit(2)"), s.slide.next)
+        d3("", "0", "n += 1", None, deep, s)
+      },
+      "mid_direction" -> { s =>
+        val mid = draw(Gen.oneOf(
+          s"$cont.look_ahead(${draw(genSpan, s.slide.next.next)})",
+          s"$cont.reverse().look_back(${draw(genSpan, s.slide.next.next)})",
+          "each_row.from(1)"), s.slide.next)
+        d4(mid, cont, s)
+      },
+      "fwd_mid_limited" -> (s =>
+        d4(s"$cont.limit(${draw(genLim, s.slide.next)})", cont, s)),
+      "rev_mid_limited" -> (s =>
+        d4(s"$cont.reverse().look_back(${draw(genSpan, s.slide.next)})" +
+           s".limit(${draw(genLim, s.slide.next.next)})", cont, s)),
+      "mixed_deep_limited" -> (s => d3("", "0", "n += 1",
+        Some("get_hour(stamp) > n"),
+        s"$cont.look_ahead(${draw(genSpan, s.slide.next)})" +
+          s".limit(${draw(genLim, s.slide.next.next)})", s)),
+      "dyn_where_cap" -> { s =>
+        val w0 = draw(genWhere, s)
+        val g2 = draw(genGroup, s.next)
+        val (init, inc, cap) = draw(Gen.oneOf(
+          ("0", "n += 1", "n < product_price"),
+          ("0", "n += product_price", "n < 120"),
+          ("0", "n += 1", "get_hour(stamp) >= n")), s.next.next)
+        s"""${sel}n = $init
+           |each_row where $w0 && $cap
+           |  $inc
+           |  << n, $g2
+           |end
+           |""".stripMargin
+      })
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+    (1 to 33).foreach { i =>
+      val (nm, build) = classes((i - 1) % classes.size)
+      counts(nm) = counts.getOrElse(nm, 0) + 1
+      val script = build(Seed(i.toLong * 6700417))
+      val p = Parser.program(script)
+      assert(TierA.compile(p, chainWorld, Mon + 100 * H, 1800000L).isDefined,
+        s"class $nm sample $i did not compile to Tier A:\n$script")
+      val a = canon(OslEngine.query(chainWorld, script, now = Mon + 100 * H))
+      val b = canon(OslEngine.query(chainWorld, script, now = Mon + 100 * H,
+        forceTierB = true))
+      assert(a == b, s"tier mismatch on class $nm sample $i:\n$script\nA=$a\nB=$b")
+    }
+    classes.foreach { case (nm, _) =>
+      assert(counts.getOrElse(nm, 0) >= 2, s"class $nm never drew") }
   }
 
   test("random continue().next() chains: Tier A == Tier B (40 seeded samples)") {
