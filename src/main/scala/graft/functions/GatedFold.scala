@@ -31,11 +31,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * the interpreter's — forward, or backward over a mirrored row-number
   * sort.
   *
-  * Children: `init` (foldable double), `gateCount` (foldable int, ≥ 1),
-  * then `gateCount` (op: foldable string, side: double) gate pairs —
-  * ANDed, each comparing the RUNNING acc to the row's side — then
-  * interleaved (guard: boolean, value: double) stage pairs in statement
-  * order, exactly as [[FoldSum]]. A NULL gate side is the interpreter's
+  * Children: `init` (foldable double), `cand` (boolean — whether this
+  * row is a residual-where CANDIDATE at all; single loops pre-filter and
+  * pass `true`, chain tops evaluate it in-row because the witness
+  * windows need every row in the frame — a non-candidate row neither
+  * tests the gate nor updates the accumulator), `gateCount` (foldable
+  * int, ≥ 1), then `gateCount` (op: foldable string, side: double) gate
+  * pairs — ANDed, each comparing the RUNNING acc to the row's side —
+  * then interleaved (guard: boolean, value: double) stage pairs in
+  * statement order, exactly as [[FoldSum]]. A NULL gate side is the interpreter's
   * nil compare: `Value.cmp` falls through to the string path where a
   * numeric left side is a nonempty string vs `""`, so {>, >=, !=} hold
   * and {<, <=, ==} fail — a constant per op, baked in here.
@@ -51,13 +55,15 @@ case class GatedFold(children: Seq[Expression]) extends DeclarativeAggregate {
 
   private val CmpOps = Set("<", "<=", ">", ">=", "==", "!=")
 
-  private def gateCount: Int = children(1) match {
+  private def cand: Expression = children(1)
+
+  private def gateCount: Int = children(2) match {
     case Literal(v: Int, IntegerType) => v
     case _ => -1
   }
 
   private def gatePairs: Seq[(String, Expression)] =
-    children.slice(2, 2 + 2 * gateCount).grouped(2).map { p =>
+    children.slice(3, 3 + 2 * gateCount).grouped(2).map { p =>
       val op = p.head match {
         case Literal(s: UTF8String, StringType) => s.toString
         case _ => ""
@@ -66,21 +72,24 @@ case class GatedFold(children: Seq[Expression]) extends DeclarativeAggregate {
     }.toSeq
 
   private def stagePairs: Seq[(Expression, Expression)] =
-    children.drop(2 + 2 * gateCount).grouped(2).map(p => (p(0), p(1))).toSeq
+    children.drop(3 + 2 * gateCount).grouped(2).map(p => (p(0), p(1))).toSeq
 
   override def checkInputDataTypes(): TypeCheckResult = {
-    if (children.size < 2)
+    if (children.size < 3)
       return TypeCheckResult.TypeCheckFailure(
-        "graft_gated_fold needs init, gateCount, gates and stages")
+        "graft_gated_fold needs init, cand, gateCount, gates and stages")
     if (!children.head.foldable || children.head.dataType != DoubleType)
       return TypeCheckResult.TypeCheckFailure(
         "graft_gated_fold init must be a foldable double")
-    if (!children(1).foldable || children(1).dataType != IntegerType ||
+    if (children(1).dataType != BooleanType)
+      return TypeCheckResult.TypeCheckFailure(
+        "graft_gated_fold cand must be boolean")
+    if (!children(2).foldable || children(2).dataType != IntegerType ||
         gateCount < 1)
       return TypeCheckResult.TypeCheckFailure(
         "graft_gated_fold gateCount must be a foldable positive int")
-    if (children.size < 2 + 2 * gateCount ||
-        (children.size - 2 - 2 * gateCount) % 2 != 0)
+    if (children.size < 3 + 2 * gateCount ||
+        (children.size - 3 - 2 * gateCount) % 2 != 0)
       return TypeCheckResult.TypeCheckFailure(
         "graft_gated_fold needs gateCount (op, side) pairs then (guard, value) pairs")
     val badGate = gatePairs.collectFirst {
@@ -131,7 +140,10 @@ case class GatedFold(children: Seq[Expression]) extends DeclarativeAggregate {
       // hold, {<, <=, ==} fail (constant per op)
       val nilTruth = op == ">" || op == ">=" || op == "!="
       If(IsNull(side), Literal(nilTruth, BooleanType), cmp): Expression
-    }.reduce(And(_, _))
+    }.reduce(And(_, _)) match {
+      // a null candidacy is the interpreter's falsy where (never a visit)
+      case g => And(If(IsNull(cand), Literal(false, BooleanType), cand), g)
+    }
 
   override lazy val updateExpressions: Seq[Expression] = {
     val accNext = stagePairs.foldLeft(acc: Expression) { case (s, (g, v)) =>
@@ -171,11 +183,11 @@ object GatedFold {
     * `gates` are (cmpOp, side-as-double) conjuncts comparing the running
     * accumulator to the row; `stages` are (guard, value-as-double) in
     * statement order. Result: `struct(acc, vis)`. */
-  def gatedFold(init: Double, gates: Seq[(String, Column)],
+  def gatedFold(init: Double, cand: Column, gates: Seq[(String, Column)],
                 stages: Seq[(Column, Column)]): Column = {
     SparkSession.getActiveSession.foreach(register)
     import org.apache.spark.sql.functions.lit
-    val args = Seq(lit(init), lit(gates.size)) ++
+    val args = Seq(lit(init), cand, lit(gates.size)) ++
       gates.flatMap { case (op, s) => Seq(lit(op), s) } ++
       stages.flatMap { case (g, v) => Seq(g, v) }
     call_function("graft_gated_fold", args: _*)

@@ -118,9 +118,6 @@ object TierA {
             // node via two tallies — or, in a chain, via two outer cursor
             // positions) -> Tier B for mixed shapes
             ((tallies.size == 1 && levels.size == 1) || selects.forall(!_.all))
-          // a dynamic cap gates a SINGLE top loop (classifyVars declines
-          // chains; belt-and-braces here)
-          if dynCap.isEmpty || levels.size == 1
           wheres = levels.map(_.where)
           guards = levels.flatMap(_.guard)
           // guarded-increment conditions compile exactly like tally guards
@@ -299,7 +296,7 @@ object TierA {
                   (op, compileExpr(e, now, real).get.cast("double"))
                 }
                 val fold = graft.functions.GatedFold.gatedFold(
-                  dc.init.toDouble, gates,
+                  dc.init.toDouble, lit(true), gates,
                   foldStages(dc.parts, now, real, None)).over(accFrame)
                 val b0 = accBase0.withColumn("__gf", fold)
                 val visCol = col("__gf").getField("vis")
@@ -352,7 +349,7 @@ object TierA {
               explodePlan(filtered, tallyGroupsF, tallyPredsF, selects, aggs)
           } else
             chainPlan(baseTF, levels, now, real, selects, aggs, topFrameCond,
-              accums, realB)
+              accums, realB, dynCap, dynRankCap)
         }
       case _ => None
     }
@@ -1072,9 +1069,12 @@ object TierA {
                         topFrameCond: Option[Column] = None,
                         accums: Seq[(String, Long, Seq[AccumPart])] = Nil,
                         realB: Map[PropTest, Map[String, Column] => Column] =
-                          Map.empty): DataFrame = {
+                          Map.empty,
+                        dynCap: Option[DynCap] = None,
+                        dynRankCap: Option[Long] = None): DataFrame = {
     val (df0, eligible, levelPreds) =
-      chainWitnesses(base, levels, now, real, topFrameCond, accums)
+      chainWitnesses(base, levels, now, real, topFrameCond, accums,
+        dynCap, dynRankCap)
     if (accums.isEmpty) {
       val tallyPreds = levels.zip(eligible).zip(levelPreds).flatMap {
         case ((lvl, elig), p) =>
@@ -2156,7 +2156,9 @@ object TierA {
   private def chainWitnesses(base: DataFrame, levels: Seq[ChainLevel],
                              now: Long, real: Map[PropTest, Column],
                              topFrameCond: Option[Column] = None,
-                             accums: Seq[(String, Long, Seq[AccumPart])] = Nil)
+                             accums: Seq[(String, Long, Seq[AccumPart])] = Nil,
+                             dynCap: Option[DynCap] = None,
+                             dynRankCap: Option[Long] = None)
       : (DataFrame, Seq[Column], Seq[Column]) = {
     val W = org.apache.spark.sql.expressions.Window
     val person = W.partitionBy(col("id"))
@@ -2216,6 +2218,16 @@ object TierA {
     // column so later witness windows can reference it (a window expression
     // can't nest inside another window's aggregate).
     val head = levels.head
+    // running frame shared by the accumulator folds (and the round-15
+    // dynamic-cap gate below): forward = the (id, stamp) running frame;
+    // reverse tops mirror over the forward sort's own row_number so ties
+    // replay the interpreter's backward fold exactly (see the note at
+    // the accums loop below)
+    val accRunFrame =
+      if (head.reverse)
+        person.orderBy(col("__rn").desc)
+          .rowsBetween(W.unboundedPreceding, W.currentRow)
+      else curRows
     val fromCond0: Option[Column] = head.fromStart.map { k0 =>
       df = df.withColumn("__fc0",
         if (head.reverse)
@@ -2229,13 +2241,44 @@ object TierA {
       // where runs, so they neither spawn nor count toward `.limit`)
       val fc = (fromCond0.toSeq ++ topFrameCond.toSeq)
         .foldLeft(lit(true): Column)(_ && _)
-      head.limitN match {
-        case None => fc
-        case Some(n) =>
-          df = df.withColumn("__mc0",
-            count(when(levelPreds.head && fc, 1))
-              .over(if (head.reverse) curRowsR else curRows))
-          fc && col("__mc0") <= n
+      dynCap match {
+        case Some(dc) =>
+          // round 15: a DYNAMIC where-cap on a chain top. Candidacy
+          // (residual where + frame/from floors) evaluates IN-ROW inside
+          // the GatedFold — the witness windows need every row, so the
+          // single-loop path's pre-filter is not available — and the
+          // fold's vis output gates which rows SPAWN. `.limit(n)` and
+          // static caps on OTHER accumulators compose as a post-fold
+          // visit rank (dynRankCap; the pre-fold `head.limitN` is None
+          // by construction — compile() routes it here). Level-0 body
+          // reads of the gating name ride the fold's post-visit acc;
+          // reads below chain steps decline upstream (classifyVars).
+          val gates = dc.gates.map { case (op, e) =>
+            (op, compileExpr(e, now, real).get.cast("double"))
+          }
+          val cand = levelPreds.head && fc
+          df = df.withColumn("__gf", graft.functions.GatedFold.gatedFold(
+            dc.init.toDouble, cand, gates,
+            foldStages(dc.parts, now, real, None)).over(accRunFrame))
+          val vis = col("__gf").getField("vis")
+          val cond = dynRankCap match {
+            case None => vis
+            case Some(m) =>
+              df = df.withColumn("__mc0",
+                count(when(vis, 1)).over(accRunFrame))
+              vis && col("__mc0") <= m
+          }
+          df = df.withColumn(s"__acc_${dc.name}",
+            col("__gf").getField("acc"))
+          cond
+        case None => head.limitN match {
+          case None => fc
+          case Some(n) =>
+            df = df.withColumn("__mc0",
+              count(when(levelPreds.head && fc, 1))
+                .over(if (head.reverse) curRowsR else curRows))
+            fc && col("__mc0") <= n
+        }
       }
     }
     var visited: Column = levelPreds.head && elig0
@@ -2252,11 +2295,6 @@ object TierA {
     // stay bit-identical (round 11; the single-loop twin landed in round
     // 10) — while an unbounded-FOLLOWING frame re-aggregates ascending
     // from each row (different fp association AND O(rows²) per person).
-    val accRunFrame =
-      if (head.reverse)
-        person.orderBy(col("__rn").desc)
-          .rowsBetween(W.unboundedPreceding, W.currentRow)
-      else curRows
     accums.foreach { case (n, init, parts) =>
       val acc =
         if (foldNeeded(init, parts))
@@ -3258,7 +3296,15 @@ object TierA {
       }
     val (dynStatics, capConjs) = capStatics.partition(c => dynName.contains(c._1))
     val dynCap: Option[DynCap] = dynName.map { n =>
-      if (chainSteps.nonEmpty) return None
+      // chain tops compose since round 15: the fold gates which rows
+      // SPAWN (chainWitnesses evaluates candidacy in-row — the witness
+      // windows need every row). Reads of the gating name BELOW a chain
+      // step still decline: its value is not affine in the spawn ordinal
+      // under a dynamic gate and the witness tuples don't carry it, so
+      // neither bind path can serve them; top-level reads ride the fold
+      // column.
+      if (chainSteps.exists(st => readPositions(Seq(st)).exists(
+          readsName(_, Set(n))))) return None
       val (init, parts) = accumOf(n).getOrElse(return None)
       if (parts.isEmpty) return None // never incremented: a static conjunct
       // INT-literal increments live exactly in the fold's double buffer

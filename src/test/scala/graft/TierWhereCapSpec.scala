@@ -371,6 +371,93 @@ class TierWhereCapSpec extends SparkSpec {
          |""".stripMargin)
   }
 
+  test("dynamic caps on CHAIN TOPS: the fold gates which rows spawn (round 15)") {
+    // the GatedFold's candidacy child evaluates the residual where in-row
+    // (witness windows need every row — no pre-filter); vis gates spawns,
+    // and `.limit`/static-other-acc caps compose as a post-fold visit rank
+    diff( // canonical: budget-capped signups spawn a purchase funnel
+      s"""${sel}n = 0
+         |each_row where event.is(== 'signup') && n < product_price
+         |  n += product_price
+         |  each_row.continue().next() where event.is(== 'purchase')
+         |    << 'chained', event
+         |  end
+         |end
+         |""".stripMargin)
+    diff( // top-level body read of the gating name (fold column) + chain
+      s"""${sel}n = 0
+         |each_row where event.is(== 'signup') && n < product_price
+         |  n += 1
+         |  << n, event
+         |  each_row.continue().next() where event.is(== 'view')
+         |    << 'seen', event
+         |  end
+         |end
+         |""".stripMargin)
+    diff( // `.limit` composes as the post-fold visit rank
+      s"""${sel}n = 0
+         |each_row.limit(2) where event.is(!= 'error') && n < product_price
+         |  n += product_price
+         |  each_row.continue().next() where event.is(== 'purchase')
+         |    << 'lim', event
+         |  end
+         |end
+         |""".stripMargin)
+    diff( // computed row side + a framed chain step below
+      s"""${sel}n = 0
+         |each_row where event.is(== 'signup') && get_hour(stamp) >= n
+         |  n += 1
+         |  each_row.continue().next().look_ahead(30_hours) where event.is(== 'purchase')
+         |    << 'framed', event
+         |  end
+         |end
+         |""".stripMargin)
+    diff( // a SECOND accumulator read below the step still binds per spawn
+      s"""${sel}n = 0
+         |k = 0
+         |each_row where event.is(== 'signup') && n < product_price
+         |  n += product_price
+         |  k += 1
+         |  each_row.continue().next() where event.is(== 'purchase')
+         |    << k, event
+         |  end
+         |end
+         |""".stripMargin)
+    diff( // depth 3 below a dynamic top cap
+      s"""${sel}n = 0
+         |each_row where event.is(== 'signup') && n < product_price
+         |  n += 1
+         |  each_row.continue().next() where event.is(== 'view')
+         |    each_row.continue().next() where event.is(== 'purchase')
+         |      << 'deep', event
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
+    diff( // REVERSE chain top: the fold and the spawn set both walk the
+      // mirrored running frame
+      s"""${sel}n = 0
+         |each_row.reverse() where event.is(== 'signup') && n < product_price
+         |  n += product_price
+         |  each_row.continue().next() where event.is(== 'purchase')
+         |    << 'rev', event
+         |  end
+         |end
+         |""".stripMargin)
+    diff( // a step GUARD reading the gating name in TOP scope observes the
+      // fold column at the spawn row (an in-step read would decline)
+      s"""${sel}n = 0
+         |each_row where event.is(== 'signup') && n < product_price
+         |  n += product_price
+         |  if n < 120
+         |    each_row.continue().next() where event.is(== 'purchase')
+         |      << 'guarded', event
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
+  }
+
   test("declines stay Tier B: non-conjunct reads and unpriceable shapes") {
     diff( // read under || is not a conjunct cap
       s"""${sel}n = 0
@@ -395,13 +482,15 @@ class TierWhereCapSpec extends SparkSpec {
          |  << 'str', event
          |end
          |""".stripMargin, expectTierA = false)
-    diff( // a chain below a dynamic cap: the spawn set would gate
-      // chainWitnesses — unproven composition, pinned Tier B
+    diff( // reads of the GATING name below a chain step: its value is not
+      // affine in the spawn ordinal under a dynamic gate and the witness
+      // tuples don't carry it — neither bind path serves it (chain tops
+      // themselves compose since round 15, next test)
       s"""${sel}n = 0
          |each_row where event.is(== 'signup') && n < product_price
          |  n += 1
          |  each_row.continue().next() where event.is(== 'purchase')
-         |    << 'chained', event
+         |    << n, event
          |  end
          |end
          |""".stripMargin, expectTierA = false)
