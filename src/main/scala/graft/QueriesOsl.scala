@@ -2810,5 +2810,61 @@ object QueriesOsl {
           COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows,
           ${dsumSql("value")} AS total_spend
         FROM vis GROUP BY g1""")),
+
+    // Round-15 widening #2: the dynamic cap on a CHAIN TOP — budget-gated
+    // signups spawn a purchase funnel. The GatedFold's candidacy child
+    // evaluates the residual where in-row (witness windows need every
+    // row); vis gates which rows spawn. Oracle: the same recursive-CTE
+    // recurrence picks the visited signups, and a purchase fires iff ANY
+    // visited signup precedes it (⟺ it follows the EARLIEST one).
+    Q("q_osl_where_dynamic_chain",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |each_row where event.is(== 'signup') && n < value
+            |  n += 1
+            |  each_row.continue().next() where event.is(== 'purchase')
+            |    << 'funnel', event
+            |  end
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"))
+      },
+      Some(s"""WITH RECURSIVE e AS (
+          SELECT user_id AS id, epoch_ms(ts) AS stamp,
+                 event_type AS event, value FROM events),
+        m AS (
+          SELECT id, stamp, value,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
+          FROM e WHERE event = 'signup'),
+        f AS (
+          SELECT id, 0 AS i, CAST(0.0 AS DOUBLE) AS acc, FALSE AS vis,
+                 CAST(NULL AS BIGINT) AS stamp
+          FROM (SELECT DISTINCT id FROM m)
+          UNION ALL
+          SELECT m.id, m.i,
+            CASE WHEN f.acc < m.value THEN f.acc + 1 ELSE f.acc END,
+            COALESCE(f.acc < m.value, FALSE),
+            m.stamp
+          FROM f JOIN m ON m.id = f.id AND m.i = f.i + 1),
+        vs AS (SELECT id, MIN(stamp) AS s0 FROM f WHERE vis GROUP BY id),
+        p AS (
+          SELECT e.id FROM e JOIN vs ON vs.id = e.id AND e.stamp > vs.s0
+          WHERE e.event = 'purchase')
+        SELECT CAST(2 AS INTEGER) AS depth, 'funnel' AS g1,
+          'purchase' AS g2, COUNT(DISTINCT id) AS customers,
+          COUNT(*) AS n_rows
+        FROM p
+        UNION ALL
+        SELECT CAST(1 AS INTEGER) AS depth, 'funnel' AS g1,
+          CAST(NULL AS VARCHAR) AS g2, COUNT(DISTINCT id) AS customers,
+          COUNT(*) AS n_rows
+        FROM p""")),
   )
 }

@@ -65,7 +65,8 @@ class PlanSpec extends SparkSpec {
         "q_osl_chain3_dual_rev", // both steps reverse + rev-mid limit (round 12)
         "q_osl_chain4_rev", // depth-4 reverse deepest, flipped ladder window (round 12)
         "q_osl_mixed_value_guard", // int(value) mixed guard over a double prop (round 12)
-        "q_osl_where_dynamic")) // dynamic where-cap, GatedFold window (round 15)
+        "q_osl_where_dynamic", // dynamic where-cap, GatedFold window (round 15)
+        "q_osl_where_dynamic_chain")) // ...and on a chain top (round 15)
       assert(!plan(q).contains("MapGroups"), s"$q fell back to Tier B")
     // the dynamic cap's plan: ONE GatedFold running window on the person
     // exchange, no collect, no static limit machinery (round 15)
