@@ -80,7 +80,12 @@ object ClusterSmoke {
     "q_osl_mixed_reverse_top",
     "q_osl_mixed_suffix_guard",
     "q_osl_chain3_rev_deep_limited",
-    "q_osl_chain4_rev_mid")
+    "q_osl_chain4_rev_mid",
+    // round 15: the GatedFold (acc, vis) buffer — the sequential gate
+    // must fold identically when the person partition lands on a remote
+    // executor, single-loop and chain-top both
+    "q_osl_where_dynamic",
+    "q_osl_where_dynamic_chain")
 
   private def canon(df: org.apache.spark.sql.DataFrame): Set[Vector[String]] = {
     val cols = df.columns.sorted
@@ -123,6 +128,36 @@ object ClusterSmoke {
     overlaid == 2 && committed == 4 && gens == 1
   }
 
+  /** Round-15 leg: GENERATIONAL membership on the cluster session — the
+    * on-disk pointer flip, grace retirement and resolver reads with the
+    * refresh writes running on remote executors. */
+  private def membershipLeg(spark: org.apache.spark.sql.SparkSession): Boolean = {
+    import org.apache.spark.sql.functions.{col, sum}
+    val s2 = spark
+    import s2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_smoke_seg").toString
+    val seg: graft.streaming.Streams.SegmentFn = ev =>
+      ev.where(col("event") === "purchase").groupBy("id")
+        .agg(sum("value").as("v")).where(col("v") > 100).select("id")
+    Seq((1L, 1000L, "purchase", 150.0), (2L, 1000L, "purchase", 50.0))
+      .toDF("id", "stamp", "event", "value")
+      .write.mode("append").parquet(s"$dir/events")
+    graft.streaming.Streams.refreshSegments(spark, dir, Map("big" -> seg), 2000L)
+    val m1 = graft.streaming.Streams.membership(spark, dir, "big")
+      .as[Long].collect().toSet
+    Seq((2L, 3000L, "purchase", 80.0)).toDF("id", "stamp", "event", "value")
+      .write.mode("append").parquet(s"$dir/events")
+    graft.streaming.Streams.refreshSegments(spark, dir, Map("big" -> seg), 4000L)
+    val m2 = graft.streaming.Streams.membership(spark, dir, "big")
+      .as[Long].collect().toSet
+    val enters = graft.streaming.Streams.segmentEvents(spark, dir)
+      .where(col("state") === "entered").count()
+    // gen 2 is live; gen 1 retained as the reader grace window
+    val v1 = new java.io.File(s"$dir/segments/big_v1").isDirectory
+    val v2 = new java.io.File(s"$dir/segments/big_v2").isDirectory
+    m1 == Set(1L) && m2 == Set(1L, 2L) && enters == 2 && v1 && v2
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     require(sys.env.contains("SPARK_HOME"),
@@ -131,6 +166,7 @@ object ClusterSmoke {
         "otherwise probes source-tree build dirs)")
     // two worker JVMs x 8 cores: every shuffle crosses process boundaries
     var ingestOk = false
+    var membershipOk = false
     val clusterSession = GraftSession.builder("local-cluster[2,8,1536]", 16)
       .config("spark.driver.host", "127.0.0.1")
       .config("spark.executor.extraClassPath", sys.props("java.class.path"))
@@ -142,6 +178,7 @@ object ClusterSmoke {
         val r = queryNames.map(n =>
           n -> canon(Queries.queries(n)(clusterSession, sfDir))).toMap
         ingestOk = ingestLeg(clusterSession)
+        membershipOk = membershipLeg(clusterSession)
         r
       } finally clusterSession.stop()
     val local = runAll("local[8]", sfDir, Map.empty)
@@ -154,7 +191,10 @@ object ClusterSmoke {
     }
     println(s"CLUSTERSMOKE ingest_roundtrip " + (if (ingestOk) "PASS" else "FAIL"))
     if (!ingestOk) failed += 1
-    println(s"CLUSTERSMOKE total=${queryNames.size + 1} failed=$failed " +
+    println(s"CLUSTERSMOKE membership_generations " +
+      (if (membershipOk) "PASS" else "FAIL"))
+    if (!membershipOk) failed += 1
+    println(s"CLUSTERSMOKE total=${queryNames.size + 2} failed=$failed " +
       (if (failed == 0) "ALL MATCH across 2 executor JVMs" else "MISMATCH"))
     if (failed > 0) sys.exit(1)
   }
