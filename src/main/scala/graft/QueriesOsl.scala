@@ -2811,6 +2811,70 @@ object QueriesOsl {
           ${dsumSql("value")} AS total_spend
         FROM vis GROUP BY g1""")),
 
+    // Round-15 widening #3: a FRAMED forward MIDDLE limit above a
+    // NON-MONOTONE level (the framed click step below it) — the round-14
+    // G-conjunct's dominance argument fails there, so the limit prices
+    // exactly per hop: (level count, K) structs collected over the
+    // frame-bounded window, filtered by the between-count cap. Oracle:
+    // the nested-EXISTS chain with the rank cap as a correlated count.
+    Q("q_osl_chain5_mid_limited",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |each_row where event.is(== 'signup')
+            |  n += 1
+            |  each_row.continue().next() where event.is(== 'view')
+            |    each_row.continue().next().look_ahead(24_hours) where event.is(== 'click')
+            |      each_row.continue().next().look_ahead(24_hours).limit(2) where event.is(== 'purchase')
+            |        each_row.continue().next() where event.is(== 'error')
+            |          << n, event
+            |        end
+            |      end
+            |    end
+            |  end
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"))
+      },
+      Some(s"""$E, su AS (
+          SELECT id, stamp,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
+          FROM e WHERE event = 'signup'),
+        tri AS (
+          SELECT DISTINCT z.id, z.stamp, su.i
+          FROM e z JOIN su ON su.id = z.id
+          WHERE z.event = 'error'
+            AND EXISTS (SELECT 1 FROM e p
+              WHERE p.id = z.id AND p.event = 'purchase'
+                AND p.stamp < z.stamp
+                AND EXISTS (SELECT 1 FROM e c
+                  WHERE c.id = z.id AND c.event = 'click'
+                    AND c.stamp < p.stamp
+                    AND p.stamp - c.stamp <= 86400000
+                    AND (SELECT COUNT(*) FROM e p2
+                         WHERE p2.id = z.id AND p2.event = 'purchase'
+                           AND p2.stamp > c.stamp
+                           AND p2.stamp <= p.stamp) <= 2
+                    AND EXISTS (SELECT 1 FROM e v
+                      WHERE v.id = z.id AND v.event = 'view'
+                        AND v.stamp < c.stamp
+                        AND c.stamp - v.stamp <= 86400000
+                        AND v.stamp > su.stamp))))
+        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
+          'error' AS g2, COUNT(DISTINCT id) AS customers,
+          COUNT(*) AS n_rows
+        FROM tri GROUP BY i
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*)
+        FROM tri GROUP BY i""")),
+
     // Round-15 widening #2: the dynamic cap on a CHAIN TOP — budget-gated
     // signups spawn a purchase funnel. The GatedFold's candidacy child
     // evaluates the residual where in-row (witness windows need every

@@ -920,14 +920,19 @@ object TierA {
         // a LIMITED forward middle's G-conjunct needs the hop-side reach
         // column monotone: every level BELOW it must be unframed forward
         // (running-max windows; sliding/flipped windows aren't
-        // monotone). A LIMITED unframed RESTART middle is simpler: every
+        // monotone). When monotonicity fails, a FRAMED forward middle
+        // limit prices exactly PER HOP instead (round 15 — the deepest
+        // fwdLimCollect machinery applied at the level; the frame bounds
+        // the collect, so unframed forms above non-monotone levels stay
+        // Tier B). A LIMITED unframed RESTART middle is simpler: every
         // hop rescans the identical floored tail, so its limit is a
         // row-level count conjunct on the level's visit predicate. A
         // LIMITED framed REVERSE middle prices exactly per hop (the
         // same filtered-hop-max collect the reverse deepest uses), so
         // it needs no monotonicity below it.
         (l.limitN.isEmpty || (frameableStep(l) &&
-          (2 until k).forall(i => unframedStep(levels(i)))) ||
+          ((2 until k).forall(i => unframedStep(levels(i))) ||
+            l.spanMs.exists(_ != Long.MaxValue))) ||
           (l.isFromStep && l.spanMs.isEmpty && l.contraSpanMs.isEmpty) ||
           (l.reverse && l.contraSpanMs.isEmpty &&
             l.spanMs.exists(_ != Long.MaxValue))) &&
@@ -1548,6 +1553,37 @@ object TierA {
                   lit(0L),
                   (acc, e) => greatest(acc, e.getField("k"))), lit(0L)))
               .drop("__hopArr")
+          } else if (j < levels.size - 1 && levels(j).limitN.isDefined &&
+              frameableStep(levels(j)) &&
+              levels(j).spanMs.exists(_ != Long.MaxValue) &&
+              !(2 until j).forall(i => unframedStep(levels(i)))) {
+            // round 15: a FRAMED forward MIDDLE limit above NON-MONOTONE
+            // (framed/flipped/restart) levels — the G-conjunct's
+            // dominance argument fails exactly as at the deepest
+            // (round 14: min over non-monotone K isn't carried by the
+            // latest hop), so price per hop: collect (level-j count, K)
+            // per candidate hop over the frame-bounded preceding window,
+            // filter by the between-count cap C_j(r) − C_j(y) ≤ m — the
+            // interpreter's per-scan visit rank exactly (every counted
+            // match in (y, r] is inside y's frame because r is) — and
+            // take the max K. Bounded by the frame's row density.
+            val sp = levels(j).spanMs.get
+            val m = levels(j).limitN.get
+            val jPred = levelPreds(j)
+            val curRows =
+              person.rowsBetween(W.unboundedPreceding, W.currentRow)
+            df = df
+              .withColumn(s"__cdcM$j", count(when(jPred, 1)).over(curRows))
+              .withColumn("__hopArrM",
+                collect_list(when(wPred, struct(col(s"__cdcM$j").as("c"),
+                  prev.as("k")))).over(person.rangeBetween(-sp, -1L)))
+              .withColumn(s"__K$j",
+                coalesce(aggregate(
+                  filter(col("__hopArrM"),
+                    e => col(s"__cdcM$j") - e.getField("c") <= lit(m)),
+                  lit(0L),
+                  (acc, e) => greatest(acc, e.getField("k"))), lit(0L)))
+              .drop("__hopArrM")
           } else if (j < levels.size - 1 && levels(j).limitN.isDefined &&
               frameableStep(levels(j))) {
             // round 14: a LIMITED forward middle — the latest in-frame

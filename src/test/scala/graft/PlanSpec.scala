@@ -158,7 +158,10 @@ class PlanSpec extends SparkSpec {
     for ((q, w) <- Seq("q_osl_chain3_rev_deep_limited" -> 3,
         "q_osl_chain4_rev_mid_limited" -> 4,
         "q_osl_mixed_suffix_guard" -> 2,
-        "q_osl_mixed_limited_deepest" -> 3)) {
+        "q_osl_mixed_limited_deepest" -> 3,
+        // round 15: framed forward middle limit above a non-monotone
+        // level — per-hop (count, K) collect at the limited level
+        "q_osl_chain5_mid_limited" -> 5)) {
       val dp = plan(q)
       assert(dp.contains("collect_list"),
         s"$q prices per hop and must carry its frame-bounded collect")

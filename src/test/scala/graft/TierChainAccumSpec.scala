@@ -1990,6 +1990,49 @@ class TierChainAccumSpec extends SparkSpec {
          |""".stripMargin)
   }
 
+  test("FRAMED forward middle limits above non-monotone levels (round 15)") {
+    // depth-5 shapes: level 2 framed / flipped / restart (its window
+    // isn't row-monotone), level 3 a framed forward LIMITED middle. The
+    // round-14 G-conjunct's dominance argument fails there — the limit
+    // now prices exactly per hop (the deepest fwdLimCollect machinery at
+    // the level), bounded by the frame's row density. Unframed forms
+    // above non-monotone levels stay pinned declines (unbounded collect).
+    // the level BELOW the limited middle must itself be a MIDDLE (index
+    // ≥ 2 — level 1's frame anchors at the spawn and stays collect-path
+    // plain), so the shape is depth 6: plain step 1, non-monotone step
+    // 2, limited framed step 3, plain deepest
+    def d5(mid2: String, mid3: String,
+           expectTierA: Boolean = true): Unit = {
+      val step2 =
+        if (mid2.startsWith("each_row.from")) mid2
+        else s"each_row.continue().next()$mid2"
+      diffOn(worldDense,
+        s"""${sel}n = 0
+           |each_row where event.is(== 'signup')
+           |  n += 1
+           |  each_row.continue().next() where event.is(== 'view')
+           |    $step2 where event.is(== 'click')
+           |      each_row.continue().next()$mid3 where event.is(== 'purchase')
+           |        each_row.continue().next() where event.is(!= 'error')
+           |          << n, event
+           |        end
+           |      end
+           |    end
+           |  end
+           |end
+           |""".stripMargin, expectTierA)
+    }
+    d5(".look_ahead(40_hours)", ".look_ahead(30_hours).limit(1)")
+    d5(".look_ahead(50_hours)", ".look_ahead(40_hours).limit(2)")
+    d5(".reverse().look_back(40_hours)", ".look_ahead(30_hours).limit(1)")
+    d5("each_row.from(1)", ".look_ahead(30_hours).limit(1)")
+    // UNFRAMED forward middle limit above a non-monotone level: no bound
+    // for the per-hop collect — pinned decline
+    d5(".look_ahead(40_hours)", ".limit(1)", expectTierA = false)
+    // monotone below: the round-14 G-conjunct path, untouched
+    d5("", ".look_ahead(30_hours).limit(1)")
+  }
+
   test("depth-3 chains with plain inner steps compile (round 9)") {
     // the canonical signup -> view -> purchase chain reading the running
     // signup ordinal at the deepest level
