@@ -599,6 +599,10 @@ object TierA {
           // reverse / unframed restart — the nonFwdLimDeepOk machinery
           // is already per-hop/row-level exact. The forward G-lookup
           // alone can't carry it (min(K, hi) isn't hop-monotone).
+          // Round 15: CONTRA forms under a FRAMED deepest limit compose
+          // too — the union's interval collect gains the same per-hop
+          // rank filter (mixedUnionFrameOk no longer requires
+          // unlimited); non-forward limited deepests stay aligned-only.
           (mbs.isEmpty || k < levels.size - 1 ||
             levels.last.limitN.isEmpty ||
             nonFwdLimDeepOk(levels.last) ||
@@ -612,11 +616,13 @@ object TierA {
   }
 
   /** A contra-direction mixed bound's hop window must be range-bounded:
-    * finite forward look_ahead, unlimited (the per-row interval collect
-    * is then capped by the frame's row density). */
+    * finite forward look_ahead (the per-row interval collect is then
+    * capped by the frame's row density). A deepest `.limit(m)` composes
+    * since round 15: each hop's interval only counts when the row is
+    * within the hop's first m deepest matches — the fwdLimCollect rank
+    * filter applied to the collected interval structs. */
   private def mixedUnionFrameOk(l: ChainLevel): Boolean =
-    frameableStep(l) && l.spanMs.exists(_ != Long.MaxValue) &&
-      l.limitN.isEmpty
+    frameableStep(l) && l.spanMs.exists(_ != Long.MaxValue)
 
   private def hasMixedGuards(levels: Seq[ChainLevel]): Boolean =
     (2 until levels.size).exists(k => mixedBoundsAt(levels, k).nonEmpty)
@@ -1476,14 +1482,38 @@ object TierA {
               if (!rev) prev // aligned caps already folded via least
               else least((col("__spawnT") +: contraJ.map(entryHi)): _*)
             val ivType = "array<struct<lo:bigint,hi:bigint>>"
+            // round 15: a deepest `.limit(m)` composes with the union —
+            // a hop's interval only counts when the row sits within the
+            // hop's first m deepest matches (C(r) − C(y) ≤ m, the same
+            // rank the fwdLimCollect branch prices); the hop's running
+            // count rides the collected struct and filters in-row before
+            // the sort/merge
+            val limM = levels.last.limitN
+            limM.foreach { _ =>
+              df = df.withColumn("__cdcU",
+                count(when(levelPreds(levels.size - 1), 1)).over(
+                  person.rowsBetween(W.unboundedPreceding, W.currentRow)))
+            }
+            val hopStruct = limM match {
+              case None => struct(ivLo.as("lo"), ivHi.as("hi"))
+              case Some(_) =>
+                struct(ivLo.as("lo"), ivHi.as("hi"), col("__cdcU").as("c"))
+            }
             df = df
               .withColumn("__ivArr",
-                collect_list(when(wPred && ivLo <= ivHi,
-                  struct(ivLo.as("lo"), ivHi.as("hi"))))
+                collect_list(when(wPred && ivLo <= ivHi, hopStruct))
                   .over(person.rangeBetween(-sp, -1L)))
               .withColumn("__ordU", {
+                val arr = limM match {
+                  case None => col("__ivArr")
+                  case Some(m) => transform(
+                    filter(col("__ivArr"),
+                      e => col("__cdcU") - e.getField("c") <= lit(m)),
+                    e => struct(e.getField("lo").as("lo"),
+                      e.getField("hi").as("hi")))
+                }
                 val merged = aggregate(
-                  array_sort(col("__ivArr")),
+                  array_sort(arr),
                   array().cast(ivType),
                   (acc, h) => {
                     val lastIv = element_at(acc, -1)
@@ -1498,7 +1528,7 @@ object TierA {
                 flatten(transform(merged,
                   iv => sequence(iv.getField("lo"), iv.getField("hi"))))
               })
-              .drop("__ivArr")
+              .drop("__ivArr", "__cdcU")
           } else if (j == levels.size - 1 && fwdLimCollect) {
             // round 14: framed FORWARD deepest + .limit(m) when the
             // hop-side values aren't monotone (deepest mixed fold /

@@ -1918,12 +1918,17 @@ class TierChainAccumSpec extends SparkSpec {
     mixed3("get_hour(stamp) > n",
       deepStep = Some("each_row.continue().next().reverse().look_back(20_hours).limit(1)"))
     mixed3("get_hour(stamp) > n", deepStep = Some("each_row.from(1).limit(2)"))
+    // round 15: CONTRA forms compose with FRAMED deepest limits — the
+    // union's interval collect gains the per-hop rank filter
+    mixed3("get_hour(stamp) < n", deepMods = ".look_ahead(12_hours).limit(1)")
+    mixed3("n > get_hour(stamp)", deepMods = ".look_ahead(24_hours).limit(2)")
+    mixed3("get_hour(stamp) < n && n <= get_hour(stamp) + 6",
+      deepMods = ".look_ahead(18_hours).limit(1)")
+    mixed3("product_price <= n", deepMods = ".look_ahead(18_hours).limit(2)")
     // declines: UNFRAMED forward limit under a deepest mixed guard (no
-    // bound for the hop collect), and contra forms under any limit (the
-    // union machinery requires an unlimited deepest)
+    // bound for the hop collect) — aligned or contra
     mixed3("get_hour(stamp) > n", expectTierA = false, deepMods = ".limit(1)")
-    mixed3("get_hour(stamp) < n",
-      deepMods = ".look_ahead(12_hours).limit(1)", expectTierA = false)
+    mixed3("get_hour(stamp) < n", expectTierA = false, deepMods = ".limit(1)")
     // (mixed-deepest + limit combinations live at the end of this test:
     // framed forms compile per-hop since round 14, unframed declines)
     // REVERSE tops (round 14): reachability in backward-ordinal space is

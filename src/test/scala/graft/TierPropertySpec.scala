@@ -1075,8 +1075,11 @@ class TierPropertySpec extends SparkSpec {
         val (init, inc, g) = draw(Gen.oneOf(
           ("0", "n += 1", "get_hour(stamp) < n"),
           ("80", "n -= 7", "product_price >= n")), s.slide.next)
+        // round 15: deepest limits compose with the union (rank filter)
+        val lim = draw(Gen.oneOf("", "", ".limit(1)", ".limit(2)"),
+          s.slide.next.next.next)
         d3("", init, inc, Some(g),
-          s"$cont.look_ahead(${draw(genSpan, s.slide.next.next)})", s)
+          s"$cont.look_ahead(${draw(genSpan, s.slide.next.next)})$lim", s)
       },
       "contra_two_sided" -> (s => d3("", "0", "n += 1",
         Some("get_hour(stamp) < n && n <= get_hour(stamp) + 6"),
