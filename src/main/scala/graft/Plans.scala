@@ -299,9 +299,25 @@ object Plans {
     P("q_osl_mixed_double_guard",
       "BARE double row side in a mixed guard (round 14): the inclusive " +
         "ordinal bound solves exactly through floor/ceil (v < R iff " +
-        "v <= ceil(R)-1), NaN nulled to the falsy default — same " +
-        "two-window ladder plan as the integral mixed shapes, no fp " +
-        "division anywhere"),
+        "v <= ceil(R)-1), clamped to +-2^62 against Long saturation and " +
+        "NaN ranked greatest (round 15) — same two-window ladder plan " +
+        "as the integral mixed shapes, no fp division anywhere"),
+    P("q_osl_where_dynamic",
+      "DYNAMIC where-conjunct cap (round 15): the visited-set recurrence " +
+        "rides ONE GatedFold running window — buffer = (acc, vis) pair, " +
+        "gate compares chained ahead of the fold stages — on the person " +
+        "exchange; no collect, no MapGroups, no static limit machinery"),
+    P("q_osl_where_dynamic_chain",
+      "dynamic cap on a CHAIN TOP (round 15): the fold's candidacy child " +
+        "evaluates the residual where in-row (witness windows need every " +
+        "row) and vis gates which rows spawn — the funnel machinery is " +
+        "unchanged on the same exchange"),
+    P("q_osl_chain5_mid_limited",
+      "framed forward MIDDLE limit above a NON-MONOTONE level " +
+        "(round 15): the G-conjunct's dominance fails, so the limit " +
+        "prices per hop — (level-count, K) structs collected over the " +
+        "frame-bounded window, filtered by the between-count cap; state " +
+        "capped by frame row density, never the person's history"),
     P("q_ann_ivf_indexed",
       "persisted IVF index (round 11): the cells scan carries an explicit " +
         "PartitionFilters: cell IN (probed) — a query reads nprobe/nlist of the " +
