@@ -64,29 +64,57 @@ object AnnIndex {
     dataDir(path, meta.dataBase, meta.gen)
 
   private def writeMeta(spark: SparkSession, path: String, meta: Meta): Unit = {
-    import spark.implicits._
     val prev = metaDirStamp(path)
-    Seq((meta.kind, meta.dim, meta.nlist, meta.m, meta.ksub, meta.fp,
-        meta.nb, meta.gen))
-      .toDF("kind", "dim", "nlist", "m", "ksub", "fp", "nb", "gen")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-    // the store cache trusts an unchanged meta-dir mtime stamp; force it
+    // ONE properties file flipped with an atomic move — the meta used to
+    // be a parquet dir OVERWRITTEN in place, which exposed a footerless
+    // window to concurrent readers (round-15 ANN soak caught it live:
+    // UNABLE_TO_INFER_SCHEMA mid-maintenance). The membership-pointer
+    // discipline applies: write beside, move atomically, never delete a
+    // state a reader may be mid-read of (a legacy parquet meta dir is
+    // left in place; the file wins resolution).
+    val f = new java.io.File(s"$path/meta.properties")
+    f.getParentFile.mkdirs()
+    val p = new java.util.Properties
+    p.setProperty("kind", meta.kind)
+    p.setProperty("dim", meta.dim.toString)
+    p.setProperty("nlist", meta.nlist.toString)
+    p.setProperty("m", meta.m.toString)
+    p.setProperty("ksub", meta.ksub.toString)
+    p.setProperty("fp", meta.fp.toString)
+    p.setProperty("nb", meta.nb.toString)
+    p.setProperty("gen", meta.gen.toString)
+    val tmp = new java.io.File(f.toString + "_tmp")
+    val out = new java.io.FileOutputStream(tmp)
+    try p.store(out, null) finally out.close()
+    java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // the store cache trusts an unchanged meta mtime stamp; force it
     // strictly past the previous version's so a same-millisecond rewrite
     // can never serve the old model (Catalog.writeMeta's discipline)
-    if (metaDirStamp(path) <= prev) {
-      val d = new java.io.File(s"$path/meta")
-      Option(d.listFiles).flatMap(_.headOption)
-        .getOrElse(d).setLastModified(prev + 1): Unit
-    }
+    if (metaDirStamp(path) <= prev) f.setLastModified(prev + 1): Unit
   }
 
   private def readMeta(spark: SparkSession, path: String): Meta = {
-    val df = spark.read.parquet(s"$path/meta")
-    require(df.columns.contains("gen"),
-      s"index at $path predates the generational layout — rebuild it")
-    val r = df.head()
-    Meta(r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
-      r.getLong(5), r.getInt(6), r.getLong(7))
+    val f = new java.io.File(s"$path/meta.properties")
+    if (f.isFile) {
+      val p = new java.util.Properties
+      val in = new java.io.FileInputStream(f)
+      try p.load(in) finally in.close()
+      Meta(p.getProperty("kind"), p.getProperty("dim").toInt,
+        p.getProperty("nlist").toInt, p.getProperty("m").toInt,
+        p.getProperty("ksub").toInt, p.getProperty("fp").toLong,
+        p.getProperty("nb").toInt, p.getProperty("gen").toLong)
+    } else {
+      // legacy parquet meta (pre-round-15 store): readable, and the next
+      // writeMeta flips it to the properties file
+      val df = spark.read.parquet(s"$path/meta")
+      require(df.columns.contains("gen"),
+        s"index at $path predates the generational layout — rebuild it")
+      val r = df.head()
+      Meta(r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
+        r.getLong(5), r.getInt(6), r.getLong(7))
+    }
   }
 
   /** Fingerprint of the corpus' resolved file listing (0 for in-memory
@@ -174,9 +202,11 @@ object AnnIndex {
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Meta, AnyRef)]
 
   private def metaDirStamp(path: String): Long = {
+    val f = new java.io.File(s"$path/meta.properties")
     val d = new java.io.File(s"$path/meta")
-    Option(d.listFiles).map(_.foldLeft(d.lastModified)((m, f) =>
-      math.max(m, f.lastModified))).getOrElse(d.lastModified)
+    val legacy = Option(d.listFiles).map(_.foldLeft(d.lastModified)((m, x) =>
+      math.max(m, x.lastModified))).getOrElse(d.lastModified)
+    math.max(f.lastModified, legacy)
   }
 
   private def cachedModel(spark: SparkSession, path: String, kind: String)

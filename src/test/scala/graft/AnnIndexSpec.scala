@@ -333,6 +333,55 @@ class AnnIndexSpec extends SparkSpec {
     assert(canon(AnnIndex.pqTopK(spark, path, q, k = 4)) == resBefore)
   }
 
+  test("round-15 soak: concurrent searches during appends, rebuilds, compactions") {
+    // The generational machinery (gen+1 cutover, pointer-capped model
+    // resolution, one-cycle grace retirement) has so far been spec'd with
+    // SEQUENTIAL steps; this drives a live reader through the full
+    // maintenance lifecycle. The grace contract is "a reader that planned
+    // against the old listing keeps its files for one maintenance cycle" —
+    // the writer barriers on the reader completing at least one full
+    // query between operations, so no reader ever spans two cycles
+    // (the documented operating envelope), and then every search must
+    // succeed with the full result set: no FAILED_READ_FILE, no partial
+    // top-k, no stale-model mix.
+    val path = java.nio.file.Files.createTempDirectory("annidx").toString
+    AnnIndex.buildIvf(corpus(0 until 30), path, nlist = 8)
+    val q = corpus(0 until 30).where(col("vec_id") < 3)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val completed = new java.util.concurrent.atomic.AtomicLong(0)
+    val reader = new Thread(() =>
+      try while (!stop.get()) {
+        val n = AnnIndex.ivfTopK(spark, path, q, k = 2, nprobe = 3).count()
+        assert(n == 6, s"partial search result: $n rows")
+        completed.incrementAndGet(): Unit
+      } catch { case t: Throwable => errs.add(t) })
+    reader.start()
+    def barrier(): Unit = {
+      val at = completed.get()
+      val t0 = System.nanoTime()
+      while (completed.get() < at + 1 && errs.isEmpty &&
+        System.nanoTime() - t0 < 60e9) Thread.sleep(10)
+    }
+    try {
+      (30 until 60).grouped(10).foreach { g =>
+        barrier()
+        AnnIndex.appendIvf(corpus(g.head until g.head + 10), path)
+      }
+      barrier()
+      AnnIndex.compact(spark, path)
+      barrier()
+      AnnIndex.buildIvf(corpus(0 until 70), path, nlist = 8) // full rebuild
+      barrier()
+      AnnIndex.compact(spark, path)
+      barrier()
+    } finally { stop.set(true); reader.join(120000) }
+    assert(errs.isEmpty,
+      s"reader failed during maintenance: ${Option(errs.peek()).map(_.toString)}")
+    assert(completed.get() >= 7, s"reader starved: ${completed.get()} queries")
+    assert(AnnIndex.data(spark, path).count() == 70)
+  }
+
   test("index invalidation: dim or kind mismatch fails loudly") {
     val base = corpus(0 until 40)
     val path = java.nio.file.Files.createTempDirectory("annidx").toString
