@@ -24,15 +24,56 @@ import org.apache.spark.sql.functions._
   */
 object TextIndex {
 
-  /** Build (or rebuild) the signature index for a corpus. */
+  // ---------------------------------------------- generational layout
+  // Rebuilds are GENERATIONAL since round 15 (the overwrite audit after
+  // the ANN-soak meta hole): the sibling pointer file `${path}.gen`
+  // names the live generation (the bare `path` for gen 0, `${path}_v{g}`
+  // after), a rebuild writes the next generation beside the current one
+  // and flips the pointer with one atomic move, and the just-retired
+  // generation stays on disk as the reader grace window — appends never
+  // delete anything and land in the current generation.
+  private def genOf(path: String): Long = {
+    val p = new java.io.File(s"$path.gen")
+    if (!p.isFile) 0L
+    else try new String(java.nio.file.Files.readAllBytes(p.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    catch { case _: Exception => 0L }
+  }
+
+  private def dataDir(path: String, g: Long): String =
+    if (g == 0L) path else s"${path}_v$g"
+
+  /** The generation-current signature directory. */
+  def currentDir(path: String): String = dataDir(path, genOf(path))
+
+  /** Build (or rebuild) the signature index for a corpus — rename-free:
+    * a rebuild over a live index lands in the next generation and cuts
+    * over via the pointer; generations older than the just-retired one
+    * reclaim. */
   def build(docs: DataFrame, id: Column, text: Column, path: String,
-            k: Int = 16): Unit =
+            k: Int = 16): Unit = {
+    val cur = genOf(path)
+    val rebuild = new java.io.File(dataDir(path, cur)).isDirectory
+    val next = if (rebuild) cur + 1 else cur
     Dedup.minhashSignatures(docs, id, text, k)
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite").parquet(dataDir(path, next))
+    if (rebuild) {
+      val pf = new java.io.File(s"$path.gen")
+      val tmp = new java.io.File(pf.toString + "_tmp")
+      java.nio.file.Files.write(tmp.toPath,
+        next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp.toPath, pf.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      (0L until cur).foreach { g =>
+        graft.Fs.rmTree(new java.io.File(dataDir(path, g)))
+      }
+    }
+  }
 
   /** The stored `(doc_id, mins)` signature table. */
   def signatures(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    spark.read.parquet(currentDir(path))
 
   /** Incrementally index new documents: signatures are computed for docs
     * whose `doc_id` is not yet present and appended — existing entries are
@@ -49,7 +90,7 @@ object TextIndex {
       catch { case _: org.apache.spark.sql.AnalysisException =>
         build(newDocs, id, text, path, k); return }
     fresh.join(existing, Seq("doc_id"), "left_anti")
-      .write.mode("append").parquet(path)
+      .write.mode("append").parquet(currentDir(path))
   }
 
   private def bandRowsFromIndex(spark: SparkSession, path: String,

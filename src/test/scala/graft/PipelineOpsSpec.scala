@@ -178,6 +178,23 @@ class PipelineOpsSpec extends SparkSpec {
     // the appended doc joins the existing cluster via stored signatures only
     val star = TextIndex.starEdges(spark, idx).as[(Long, Long)].collect().toSet
     assert(star == Set((30L, 31L), (30L, 33L)))
+    // round 15: a REBUILD is generational — the next generation lands
+    // beside the live one, the pointer flips atomically, and the retired
+    // generation stays as the reader grace window (the old in-place
+    // overwrite exposed a footerless window to concurrent readers)
+    TextIndex.build(c1, col("doc_id"), col("text"), idx)
+    assert(new java.io.File(s"${idx}_v1").isDirectory, "rebuild -> gen 1")
+    assert(new java.io.File(idx).isDirectory,
+      "the retired generation is the reader grace window")
+    assert(TextIndex.signatures(spark, idx).count() == 3) // rebuilt corpus
+    // the NEXT rebuild reclaims the grace generation
+    TextIndex.build(c1, col("doc_id"), col("text"), idx)
+    assert(new java.io.File(s"${idx}_v2").isDirectory &&
+      new java.io.File(s"${idx}_v1").isDirectory &&
+      !new java.io.File(idx).isDirectory)
+    // appends keep landing in the current generation
+    TextIndex.append(c2, col("doc_id"), col("text"), idx)
+    assert(TextIndex.signatures(spark, idx).count() == 4)
   }
 
   test("dsir importance weights: target-like docs score above background-like") {
