@@ -85,7 +85,11 @@ object ClusterSmoke {
     // must fold identically when the person partition lands on a remote
     // executor, single-loop and chain-top both
     "q_osl_where_dynamic",
-    "q_osl_where_dynamic_chain")
+    "q_osl_where_dynamic_chain",
+    // round 15: the depth-6 per-hop middle-limit collect and the
+    // contra-union-under-limit rank filter — collected struct CONTENTS
+    // must survive cross-JVM shuffles exactly
+    "q_osl_chain5_mid_limited")
 
   private def canon(df: org.apache.spark.sql.DataFrame): Set[Vector[String]] = {
     val cols = df.columns.sorted
