@@ -89,6 +89,30 @@ final class Catalog(spark: SparkSession, warehouse: String) {
   private[graft] def eventsDir(table: String) = new java.io.File(dir(table), "events").toString
   private def customersDir(table: String) = new java.io.File(dir(table), "customers").toString
 
+  // Customer-prop rewrites are GENERATIONAL since round 15 (rename-free):
+  // the old write-back swap renamed files a concurrent reader may have
+  // planned — the same FAILED_READ_FILE class the membership soak caught.
+  // The pointer file `customers.gen` names the live generation (the bare
+  // dir for gen 0), each merge writes the next generation beside it and
+  // flips the pointer atomically, and generations older than the
+  // just-retired one reclaim (one-cycle reader grace window).
+  private def customersGen(table: String): Long = {
+    val p = new java.io.File(dir(table), "customers.gen")
+    if (!p.isFile) 0L
+    else try new String(java.nio.file.Files.readAllBytes(p.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    catch { case _: Exception => 0L }
+  }
+
+  private def currentCustomersDir(table: String): String = {
+    val g = customersGen(table)
+    if (g == 0L) {
+      // legacy pointerless dir: recover a pre-round-15 crashed swap once
+      Fs.recoverForRead(customersDir(table))
+      customersDir(table)
+    } else s"${customersDir(table)}_v$g"
+  }
+
   // ------------------------------------------------------------------ meta IO
   private def writeMeta(m: TableMeta): Unit = {
     val sb = new StringBuilder
@@ -278,9 +302,20 @@ final class Catalog(spark: SparkSession, warehouse: String) {
   private def bucketCol(n: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(col("id")), lit(n.toLong)).cast("int")
 
+  /** Does the directory hold any COMMITTED parquet file, by Spark's own
+    * visibility rules — `_temporary` (an in-flight append's task files)
+    * and other `_`/`.`-prefixed entries don't count, EXCEPT partition
+    * dirs (`__bucket=N`), which Spark does read. Counting `_temporary`
+    * contents made a first-append race deterministic-ish: hasParquet said
+    * yes while the reader's listing found nothing committed →
+    * UNABLE_TO_INFER_SCHEMA (round-15 soak). */
   private def hasParquet(f: java.io.File): Boolean =
-    (f.isFile && f.getName.endsWith(".parquet")) ||
-      Option(f.listFiles()).getOrElse(Array.empty).exists(hasParquet)
+    (f.isFile && f.getName.endsWith(".parquet") &&
+      !f.getName.startsWith("_") && !f.getName.startsWith(".")) ||
+      (f.isDirectory &&
+        (!f.getName.startsWith("_") || f.getName.contains("=")) &&
+        !f.getName.startsWith(".") &&
+        Option(f.listFiles()).getOrElse(Array.empty).exists(hasParquet))
 
   /** Event history with the `__bucket` partition column retained (for
     * partition-pruned reads); empty (right schema) before the first insert. */
@@ -709,17 +744,38 @@ final class Catalog(spark: SparkSession, warehouse: String) {
   /** Customer-property facts (`is_customer` props), merged by id. */
   def customers(table: String): DataFrame = {
     val m = describe(table)
-    Fs.recoverForRead(customersDir(table)) // readers mutate only on crash evidence
-    val d = new java.io.File(customersDir(table))
-    if (!d.isDirectory) spark.createDataFrame(
+    val cur = currentCustomersDir(table)
+    if (!new java.io.File(cur).isDirectory) spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.customerSchema)
-    else spark.read.parquet(customersDir(table))
+    else spark.read.parquet(cur)
   }
 
   def mergeCustomers(table: String, updates: DataFrame): Unit =
     Fs.withWriteLock(customersDir(table)) {
       val merged = graft.operators.CustomerProps.writeBack(customers(table), updates)
-      swapInto(customersDir(table))(tmp => merged.write.mode(SaveMode.Overwrite).parquet(tmp))
+      val cur = customersGen(table)
+      val next = cur + 1
+      // the generational write reads the previous generation while
+      // writing the next — rename-free, readers keep their planned files
+      merged.write.mode(SaveMode.Overwrite)
+        .parquet(s"${customersDir(table)}_v$next")
+      val pf = new java.io.File(dir(table), "customers.gen")
+      val tmp = new java.io.File(pf.toString + "_tmp")
+      java.nio.file.Files.write(tmp.toPath,
+        next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp.toPath, pf.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val re = "customers_v(\\d+)".r
+      Option(dir(table).listFiles)
+        .getOrElse(Array.empty).foreach { f =>
+          val g = f.getName match {
+            case "customers" => Some(0L)
+            case re(g0) => Some(g0.toLong)
+            case _ => None
+          }
+          g.filter(_ < cur).foreach(_ => Fs.rmTree(f))
+        }
     }
 
   /** Run an OSL script over the table's event history and merge any

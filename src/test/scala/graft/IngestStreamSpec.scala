@@ -418,17 +418,20 @@ class IngestStreamSpec extends SparkSpec {
         var lastRows = 0L
         var segSeen = false
         while (!stopReader.get()) {
-          val n = api.catalog.events("soak").count()
+          def tag[A](t: String)(body: => A): A =
+            try body catch { case e: Throwable =>
+              throw new RuntimeException(s"[reader step: $t] $e", e) }
+          val n = tag("events.count")(api.catalog.events("soak").count())
           assert(n >= lastRows, s"event count went backwards: $lastRows -> $n")
           lastRows = n
           segSeen = segSeen || new java.io.File(Streams.membershipDir(
             new java.io.File(wh, "soak").toString, "big")).isDirectory
           if (segSeen)
-            api.queryProperty("soak", "product_price",
-              segments = Seq("*", "big")): Unit
+            tag("queryProperty")(api.queryProperty("soak", "product_price",
+              segments = Seq("*", "big"))): Unit
           if (new java.io.File(wh, "soak/subs/big/pollster.properties").isFile)
-            polled.add(api.subscriptionPoll("soak", "big", "pollster",
-              nowMs = clockMs.get())): Unit
+            polled.add(tag("poll")(api.subscriptionPoll("soak", "big", "pollster",
+              nowMs = clockMs.get()))): Unit
         }
       } catch { case t: Throwable => errs.add(t) })
     try {
@@ -478,7 +481,8 @@ class IngestStreamSpec extends SparkSpec {
       api.pushDrainAwait(60000)
       stopReader.set(true); reader.join(120000)
       assert(errs.isEmpty,
-        s"concurrent reader failed: ${Option(errs.peek()).map(_.toString)}")
+        s"concurrent reader failed: ${Option(errs.peek()).map(t =>
+          t.toString + "\n" + t.getStackTrace.take(18).mkString("\n"))}")
       // parse every delivered message across all POSTs, in arrival order
       val msgRe =
         """\{"stamp":(\d+),[^}]*"uid":"([^"]+)","state":"(\w+)"\}""".r
