@@ -197,6 +197,49 @@ class PipelineOpsSpec extends SparkSpec {
     assert(TextIndex.signatures(spark, idx).count() == 4)
   }
 
+  test("round-15 soak: TextIndex readers during appends and rebuilds") {
+    // the generational-rebuild twin of the ANN store soak: a live
+    // candidate-pairs reader runs through appends and two full rebuilds,
+    // barriered so no reader spans two maintenance cycles (the grace
+    // envelope); every read must return the full pair set
+    val dir = java.nio.file.Files.createTempDirectory("graft_tidx_soak").toString
+    val idx = s"$dir/idx"
+    def corp(n: Int) = (0 until n).map(i =>
+      (i.toLong, if (i % 2 == 0) "the same boilerplate sentence repeated"
+                 else s"unique document number $i about topic ${i % 7}"))
+      .toDF("doc_id", "text")
+    TextIndex.build(corp(20), col("doc_id"), col("text"), idx)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val completed = new java.util.concurrent.atomic.AtomicLong(0)
+    val reader = new Thread(() =>
+      try while (!stop.get()) {
+        // all even docs share one text → the star must link 2→ every
+        // other even doc present at read time (≥ 9 edges, monotone)
+        val edges = TextIndex.starEdges(spark, idx).count()
+        assert(edges >= 9, s"partial star: $edges edges")
+        completed.incrementAndGet(): Unit
+      } catch { case t: Throwable => errs.add(t) })
+    reader.start()
+    def barrier(): Unit = {
+      val at = completed.get()
+      val t0 = System.nanoTime()
+      while (completed.get() < at + 1 && errs.isEmpty &&
+        System.nanoTime() - t0 < 60e9) Thread.sleep(10)
+    }
+    try {
+      barrier(); TextIndex.append(corp(30), col("doc_id"), col("text"), idx)
+      barrier(); TextIndex.build(corp(40), col("doc_id"), col("text"), idx)
+      barrier(); TextIndex.append(corp(50), col("doc_id"), col("text"), idx)
+      barrier(); TextIndex.build(corp(50), col("doc_id"), col("text"), idx)
+      barrier()
+    } finally { stop.set(true); reader.join(120000) }
+    assert(errs.isEmpty,
+      s"reader failed during maintenance: ${Option(errs.peek()).map(_.toString)}")
+    assert(completed.get() >= 5, s"reader starved: ${completed.get()}")
+    assert(TextIndex.signatures(spark, idx).count() == 50)
+  }
+
   test("dsir importance weights: target-like docs score above background-like") {
     val corpus = Seq(
       (0L, "alpha beta gamma delta", true),
