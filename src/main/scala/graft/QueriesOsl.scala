@@ -2930,5 +2930,236 @@ object QueriesOsl {
           CAST(NULL AS VARCHAR) AS g2, COUNT(DISTINCT id) AS customers,
           COUNT(*) AS n_rows
         FROM p""")),
+
+    // Round-15 widening: FRAMED `.from(k)` restart steps + `.limit(m)`.
+    // Every hop rescans from the same absolute floor, but its frame cuts
+    // a DIFFERENT prefix of the floored tail — so unlike the unframed
+    // form (round 14) there is no row-level rank cap. The rank of row r
+    // in hop y's scan is exact arithmetic though: C'(r) − G(y), with C'
+    // the running floored-match count and G(y) the floored matches
+    // strictly below y's frame (a range-window count at the hop). Depth 2
+    // prices it per collected spawn tuple (the tuple carries G).
+    // Reference: src/queryinterpreter.cpp:2437-2577 (from/frame/limit
+    // resolution in the row loop).
+    Q("q_osl_restart_framed_limited",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |each_row where event.is(== 'signup')
+            |  n += 1
+            |  each_row.from(1).within(12_hours, stamp).limit(2) where event.is(== 'view')
+            |    << n, event
+            |  end
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"))
+      },
+      Some(s"""$E, su AS (
+          SELECT id, stamp,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
+          FROM e WHERE event = 'signup'),
+        rn AS (
+          SELECT id, stamp, event,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS r
+          FROM e),
+        vw AS (
+          SELECT id, stamp FROM rn WHERE event = 'view' AND r >= 2),
+        tri AS (
+          SELECT DISTINCT w.id, w.stamp, su.i
+          FROM vw w JOIN su ON su.id = w.id
+          WHERE w.stamp BETWEEN su.stamp - 43200000 AND su.stamp + 43200000
+            AND (SELECT COUNT(*) FROM vw q
+                 WHERE q.id = w.id AND q.stamp >= su.stamp - 43200000
+                   AND q.stamp <= w.stamp) <= 2)
+        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
+          'view' AS g2, COUNT(DISTINCT id) AS customers,
+          COUNT(*) AS n_rows
+        FROM tri GROUP BY i
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*)
+        FROM tri GROUP BY i""")),
+
+    // Depth-3: the framed-from-limited step at the DEEPEST level — the
+    // ordinal ladder's (G, K) per-hop collect over the inverted-frame
+    // bracket (hops = views whose frame contains the purchase).
+    Q("q_osl_chain3_restart_framed_limited",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |each_row where event.is(== 'signup')
+            |  n += 1
+            |  each_row.continue().next() where event.is(== 'view')
+            |    each_row.from(1).look_back(24_hours).limit(2) where event.is(== 'purchase')
+            |      << n, event
+            |    end
+            |  end
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"))
+      },
+      Some(s"""$E, su AS (
+          SELECT id, stamp,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
+          FROM e WHERE event = 'signup'),
+        rn AS (
+          SELECT id, stamp, event,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS r
+          FROM e),
+        pp AS (
+          SELECT id, stamp FROM rn WHERE event = 'purchase' AND r >= 2),
+        tri AS (
+          SELECT DISTINCT p.id, p.stamp, su.i
+          FROM pp p JOIN su ON su.id = p.id
+          WHERE EXISTS (SELECT 1 FROM e v
+            WHERE v.id = p.id AND v.event = 'view' AND v.stamp > su.stamp
+              AND p.stamp BETWEEN v.stamp - 86400000 AND v.stamp
+              AND (SELECT COUNT(*) FROM pp q
+                   WHERE q.id = p.id AND q.stamp >= v.stamp - 86400000
+                     AND q.stamp <= p.stamp) <= 2))
+        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
+          'purchase' AS g2, COUNT(DISTINCT id) AS customers,
+          COUNT(*) AS n_rows
+        FROM tri GROUP BY i
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*)
+        FROM tri GROUP BY i""")),
+
+    // Depth-4: the framed-from-limited step at a MIDDLE level — the same
+    // (G, K) collect applied at its level; K composes through the plain
+    // deepest's running-max ladder.
+    Q("q_osl_chain4_restart_framed_mid_limited",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |each_row where event.is(== 'signup')
+            |  n += 1
+            |  each_row.continue().next() where event.is(== 'view')
+            |    each_row.from(1).look_back(24_hours).limit(1) where event.is(== 'click')
+            |      each_row.continue().next() where event.is(== 'purchase')
+            |        << n, event
+            |      end
+            |    end
+            |  end
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"))
+      },
+      Some(s"""$E, su AS (
+          SELECT id, stamp,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
+          FROM e WHERE event = 'signup'),
+        rn AS (
+          SELECT id, stamp, event,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS r
+          FROM e),
+        cc AS (
+          SELECT id, stamp FROM rn WHERE event = 'click' AND r >= 2),
+        tri AS (
+          SELECT DISTINCT p.id, p.stamp, su.i
+          FROM e p JOIN su ON su.id = p.id
+          WHERE p.event = 'purchase'
+            AND EXISTS (SELECT 1 FROM cc c
+              WHERE c.id = p.id AND c.stamp < p.stamp
+                AND EXISTS (SELECT 1 FROM e v
+                  WHERE v.id = p.id AND v.event = 'view'
+                    AND v.stamp > su.stamp
+                    AND c.stamp BETWEEN v.stamp - 86400000 AND v.stamp
+                    AND (SELECT COUNT(*) FROM cc q
+                         WHERE q.id = p.id
+                           AND q.stamp >= v.stamp - 86400000
+                           AND q.stamp <= c.stamp) <= 1)))
+        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
+          'purchase' AS g2, COUNT(DISTINCT id) AS customers,
+          COUNT(*) AS n_rows
+        FROM tri GROUP BY i
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*)
+        FROM tri GROUP BY i""")),
+
+    // Round-15 widening: MULTIPLE gating accumulators in a dynamic
+    // where-cap — `n < value && m < get_hour(stamp)` with both names
+    // incremented. ONE GatedFold prices the joint recurrence: its buffer
+    // is the (n, m, vis) tuple, a visit requires EVERY gate, and both
+    // accumulators update on a visit (the interpreter's vars-first
+    // pre-increment where-eval, src/queryinterpreter.cpp:2151-2274). The
+    // oracle replays the identical joint recurrence as a recursive CTE in
+    // per-person purchase order — same double-add sequence, bit-exact fp.
+    Q("q_osl_where_dynamic_dual",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |  sum value as total_spend
+            |end
+            |n = 0
+            |m = 0
+            |each_row where event.is(== 'purchase') && n < value && m < get_hour(stamp)
+            |  n += value
+            |  m += 1
+            |  << get_day_of_week(stamp), event
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"), col("total_spend"))
+      },
+      Some(s"""WITH RECURSIVE e AS (
+          SELECT user_id AS id, epoch_ms(ts) AS stamp,
+                 event_type AS event, value FROM events),
+        mm AS (
+          SELECT id, stamp, value,
+            hour(make_timestamp(stamp * 1000)) AS hr,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
+          FROM e WHERE event = 'purchase'),
+        f AS (
+          SELECT id, 0 AS i, CAST(0.0 AS DOUBLE) AS n,
+                 CAST(0.0 AS DOUBLE) AS m, FALSE AS vis,
+                 CAST(NULL AS BIGINT) AS stamp, CAST(NULL AS DOUBLE) AS value
+          FROM (SELECT DISTINCT id FROM mm)
+          UNION ALL
+          SELECT mm.id, mm.i,
+            CASE WHEN COALESCE(f.n < mm.value AND f.m < mm.hr, FALSE)
+                 THEN f.n + COALESCE(mm.value, 0) ELSE f.n END,
+            CASE WHEN COALESCE(f.n < mm.value AND f.m < mm.hr, FALSE)
+                 THEN f.m + 1 ELSE f.m END,
+            COALESCE(f.n < mm.value AND f.m < mm.hr, FALSE),
+            mm.stamp, mm.value
+          FROM f JOIN mm ON mm.id = f.id AND mm.i = f.i + 1),
+        vis AS (
+          SELECT id,
+            CAST(dayofweek(make_timestamp(stamp * 1000)) + 1 AS VARCHAR) AS g1,
+            'purchase' AS g2, value
+          FROM f WHERE vis)
+        SELECT CAST(2 AS INTEGER) AS depth, g1, g2,
+          COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows,
+          ${dsumSql("value")} AS total_spend
+        FROM vis GROUP BY g1, g2
+        UNION ALL
+        SELECT CAST(1 AS INTEGER) AS depth, g1, CAST(NULL AS VARCHAR) AS g2,
+          COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows,
+          ${dsumSql("value")} AS total_spend
+        FROM vis GROUP BY g1""")),
   )
 }

@@ -76,7 +76,8 @@ object TierA {
           // extracted where-caps leave a residual where; reads of
           // accumulated names compile to their window column
           erW = residualW.map(w => er.copy(where = w)).getOrElse(er)
-          accNames = accums.map(_._1).toSet ++ dynCap.map(_.name)
+          accNames = accums.map(_._1).toSet ++
+            dynCap.toSeq.flatMap(_.caps.map(_.name))
           erC = if (accNames.isEmpty) erW else substAccums(erW, accNames)
           levels0 <- extractLevels(erC, now, topLimit, None, None, mods.reverse)
           levels = if (levels0.size > 1 && topFrom.isDefined)
@@ -122,7 +123,7 @@ object TierA {
           guards = levels.flatMap(_.guard)
           // guarded-increment conditions compile exactly like tally guards
           accumConds = accums.flatMap(_._3.flatMap(_.cond)) ++
-            dynCap.toSeq.flatMap(_.parts.flatMap(_.cond))
+            dynCap.toSeq.flatMap(_.caps.flatMap(_.parts.flatMap(_.cond)))
           personTests <- personTestColumns(
             wheres ++ guards ++ tallies.flatMap(_._1) ++ accumConds, now,
             rowCtx = Some(events))
@@ -132,7 +133,7 @@ object TierA {
           // dynamic gate row sides must compile AND be numeric — a
           // non-numeric side would string-compare per row in the
           // interpreter (Value.cmp), which the double gate can't replay
-          _ <- traverse(dynCap.toSeq.flatMap(_.gates).map { case (_, e) =>
+          _ <- traverse(dynCap.toSeq.flatMap(_.caps.flatMap(_.gates)).map { case (_, e) =>
             compileExpr(e, now, placeholder).filter { c =>
               try events.select(c).schema.head.dataType
                 .isInstanceOf[org.apache.spark.sql.types.NumericType]
@@ -292,12 +293,14 @@ object TierA {
             val accBase = dynCap match {
               case None => accBase0
               case Some(dc) =>
-                val gates = dc.gates.map { case (op, e) =>
-                  (op, compileExpr(e, now, real).get.cast("double"))
+                val gates = dc.caps.zipWithIndex.flatMap { case (c, i) =>
+                  c.gates.map { case (op, e) =>
+                    (i, op, compileExpr(e, now, real).get.cast("double")) }
                 }
-                val fold = graft.functions.GatedFold.gatedFold(
-                  dc.init.toDouble, lit(true), gates,
-                  foldStages(dc.parts, now, real, None)).over(accFrame)
+                val fold = graft.functions.GatedFold.gatedFoldN(
+                  dc.caps.map(c => (c.init.toDouble,
+                    foldStages(c.parts, now, real, None))),
+                  lit(true), gates).over(accFrame)
                 val b0 = accBase0.withColumn("__gf", fold)
                 val visCol = col("__gf").getField("vis")
                 val (b1, visCond) = dynRankCap match {
@@ -307,10 +310,10 @@ object TierA {
                        count(when(visCol, 1)).over(accFrame)),
                      visCol && col("__gfr") <= m)
                 }
-                b1.where(visCond)
-                  .withColumn(s"__acc_${dc.name}",
-                    col("__gf").getField("acc"))
-                  .drop("__gf", "__gfr")
+                dc.caps.zipWithIndex.foldLeft(b1.where(visCond)) {
+                  case (df2, (c, i)) => df2.withColumn(s"__acc_${c.name}",
+                    col("__gf").getField(if (i == 0) "acc" else s"acc$i"))
+                }.drop("__gf", "__gfr")
             }
             val withAcc = accums.foldLeft(accBase) {
               case (df, (n, init, parts)) =>
@@ -810,15 +813,36 @@ object TierA {
     * must be the exact max over the filtered hop set; the frame bounds
     * the per-row hop-candidate collect (O(rows-in-span) structs, the
     * round-11/12 collect-window cost class). An unframed reverse limit
-    * would need an unbounded following collect — Tier B. A RESTART
-    * deepest must be UNFRAMED (extraction already declines framed restart
-    * limits): every hop rescans the identical floored tail, so the limit
-    * is one row-level count conjunct (r among the first m floored deep
-    * matches). Reference: src/queryinterpreter.cpp:2437-2577. */
+    * would need an unbounded following collect — Tier B. An UNFRAMED
+    * RESTART deepest: every hop rescans the identical floored tail, so
+    * the limit is one row-level count conjunct (r among the first m
+    * floored deep matches). A FRAMED restart deepest (round 15) prices
+    * per hop instead — see [[fromFramedLimOk]].
+    * Reference: src/queryinterpreter.cpp:2437-2577. */
   private def nonFwdLimDeepOk(l: ChainLevel): Boolean =
     (l.reverse && l.contraSpanMs.isEmpty &&
       l.spanMs.exists(_ != Long.MaxValue)) ||
-      (l.isFromStep && l.spanMs.isEmpty && l.contraSpanMs.isEmpty)
+      (l.isFromStep && l.spanMs.isEmpty && l.contraSpanMs.isEmpty) ||
+      fromFramedLimOk(l)
+
+  /** A FRAMED `.from(k)` restart step + `.limit(m)` (round 15), ordinal
+    * path, deepest OR middle: every hop rescans from the same absolute
+    * floor, but its frame cuts a DIFFERENT prefix of the floored tail —
+    * so no single row-level rank cap exists. The row's rank in hop y's
+    * scan is exact arithmetic though: rank = C'(r) − G(y), with C' the
+    * running floored-match count and G(y) the floored matches strictly
+    * below y's frame (stamp < st_y − back), a per-hop range-window
+    * count. The ladder prices it with the filtered-hop-max collect the
+    * framed-reverse limit uses — (G, K) structs over the inverted-frame
+    * bracket — which must be FINITE on both sides to bound the per-row
+    * hop array (a half-infinite frame leaves the bracket unbounded →
+    * Tier B; the witness path has no such restriction, its max-G
+    * window needs no collect). */
+  private def fromFramedLimOk(l: ChainLevel): Boolean =
+    l.isFromStep && (l.spanMs.isDefined || l.contraSpanMs.isDefined) && {
+      val (dLo, dHi) = deepS1Offsets(l)
+      dLo.isDefined && dHi.isDefined
+    }
 
   /** A FORWARD framed deepest limit priced by the exact per-hop collect
     * (round 14): needed whenever the G-lookup's monotone-dominance
@@ -935,11 +959,15 @@ object TierA {
         // row-level count conjunct on the level's visit predicate. A
         // LIMITED framed REVERSE middle prices exactly per hop (the
         // same filtered-hop-max collect the reverse deepest uses), so
-        // it needs no monotonicity below it.
+        // it needs no monotonicity below it — and so does a LIMITED
+        // FRAMED RESTART middle (round 15): each hop's rank is
+        // C'(r) − G(y), collected per hop over the finite inverted-frame
+        // bracket (fromFramedLimOk).
         (l.limitN.isEmpty || (frameableStep(l) &&
           ((2 until k).forall(i => unframedStep(levels(i))) ||
             l.spanMs.exists(_ != Long.MaxValue))) ||
           (l.isFromStep && l.spanMs.isEmpty && l.contraSpanMs.isEmpty) ||
+          fromFramedLimOk(l) ||
           (l.reverse && l.contraSpanMs.isEmpty &&
             l.spanMs.exists(_ != Long.MaxValue))) &&
           dir3StepOk(l) && guardSplitMixedOk(l)
@@ -1410,10 +1438,15 @@ object TierA {
         // a LIMITED unframed RESTART middle's visit set is the first m
         // floored where-matches — identical for every hop (round 14):
         // materialize the floored running count once per such level; the
-        // conjunct gates the level's visit predicate everywhere below
+        // conjunct gates the level's visit predicate everywhere below.
+        // FRAMED restart-middle limits (round 15) have NO row-level cap
+        // (each hop's frame cuts a different prefix) — they price per
+        // hop inside the K-ladder's (G, K) collect branch instead.
+        def unframedFrom(l: ChainLevel): Boolean =
+          l.isFromStep && l.spanMs.isEmpty && l.contraSpanMs.isEmpty
         (2 until levels.size - 1).foreach { i =>
           val l = levels(i)
-          if (l.isFromStep && l.limitN.isDefined) {
+          if (unframedFrom(l) && l.limitN.isDefined) {
             val curRows =
               person.rowsBetween(W.unboundedPreceding, W.currentRow)
             df = df.withColumn(s"__mcF$i",
@@ -1422,7 +1455,7 @@ object TierA {
           }
         }
         def fromMidLim(i: Int): Option[Column] =
-          if (i >= 2 && i < levels.size - 1 && levels(i).isFromStep &&
+          if (i >= 2 && i < levels.size - 1 && unframedFrom(levels(i)) &&
               levels(i).limitN.isDefined)
             Some(col(s"__mcF$i") <= lit(levels(i).limitN.get))
           else None
@@ -1583,6 +1616,48 @@ object TierA {
                   lit(0L),
                   (acc, e) => greatest(acc, e.getField("k"))), lit(0L)))
               .drop("__hopArr")
+          } else if (levels(j).isFromStep && levels(j).limitN.isDefined &&
+              (levels(j).spanMs.isDefined || levels(j).contraSpanMs.isDefined)) {
+            // round 15: FRAMED `.from(k)` RESTART step + .limit(m) —
+            // deepest OR middle. Every hop rescans from the absolute
+            // floor, but its frame cuts a DIFFERENT prefix of the
+            // floored tail, so no row-level rank cap exists (the
+            // unframed form's __mcD/__mcF trick). Exact per hop instead:
+            // row r's rank in hop y's scan is C'(r) − G(y) — C' the
+            // running floored level-j match count, G(y) the floored
+            // matches strictly BELOW y's frame (stamp < st_y − back, a
+            // range window at the hop; matches above the frame can't
+            // precede r while r is in frame, stamps being person-unique
+            // and sorted). Hops bracket the row (r ∈ y's frame ⟺
+            // st_y ∈ [r − ahead, r + back]), so collect (G, K) per
+            // candidate hop over the finite bracket window
+            // (fromFramedLimOk gates both sides finite) and take the
+            // exact max over hops whose rank is ≤ m.
+            val m = levels(j).limitN.get
+            val l = levels(j)
+            val (dLo, dHi) = deepS1Offsets(l) // both finite by gate
+            val jPredF = levelPreds(j) &&
+              col("__rn") >= lit(l.fromStart.get + 1)
+            val backOff: Long = l.contraSpanMs match {
+              case Some(b) => b // finite by gate
+              case None => 0L // pure look_ahead: frame lower = hop stamp
+            }
+            val curRows =
+              person.rowsBetween(W.unboundedPreceding, W.currentRow)
+            df = df
+              .withColumn(s"__cdcX$j", count(when(jPredF, 1)).over(curRows))
+              .withColumn(s"__ggX$j", count(when(jPredF, 1)).over(
+                person.rangeBetween(W.unboundedPreceding, -backOff - 1L)))
+              .withColumn("__hopArrX",
+                collect_list(when(wPred, struct(col(s"__ggX$j").as("g"),
+                  prev.as("k")))).over(person.rangeBetween(dLo.get, dHi.get)))
+              .withColumn(s"__K$j",
+                coalesce(aggregate(
+                  filter(col("__hopArrX"),
+                    e => col(s"__cdcX$j") - e.getField("g") <= lit(m)),
+                  lit(0L),
+                  (acc, e) => greatest(acc, e.getField("k"))), lit(0L)))
+              .drop("__hopArrX")
           } else if (j < levels.size - 1 && levels(j).limitN.isDefined &&
               frameableStep(levels(j)) &&
               levels(j).spanMs.exists(_ != Long.MaxValue) &&
@@ -1801,6 +1876,14 @@ object TierA {
           accums.map { case (n, _, _) => col(s"__acc_$n").as(n) } ++
             Seq(col("stamp").as("__st")) ++
             levels(1).limitN.map(_ => col("__mc1").as("__mc")).toSeq ++
+            // depth-2 FRAMED `.from(k)` + `.limit(n)` (round 15): the
+            // tuple carries G(y) — the floored matches strictly below
+            // the spawn's frame (chainWitnesses' `__gg1`) — so spawnOk
+            // can price the per-spawn rank C'(r) − G(y) exactly
+            (if (levels.size == 2 && levels(1).isFromStep &&
+                 levels(1).limitN.isDefined &&
+                 (levels(1).spanMs.isDefined || levels(1).contraSpanMs.isDefined))
+               Seq(col("__gg1").as("__g")) else Nil) ++
             (if (levels.size >= 3) Seq(col("__cm1c").as("__cm")) else Nil) ++
             (if (span1Fin.isDefined && !mid3Rev)
                Seq(col("__hiA").as("__hi")) else Nil) ++
@@ -1889,6 +1972,9 @@ object TierA {
             None // round 14: priced inside the per-hop collect branch
           else if (levels.last.reverse)
             None // round 14: folded into the __K ladder's filtered hop max
+          else if (levels.last.isFromStep &&
+              (levels.last.spanMs.isDefined || levels.last.contraSpanMs.isDefined))
+            None // round 15: framed restart limits price per hop in the ladder
           else if (levels.last.isFromStep) {
             // round 14: UNFRAMED restart deepest + .limit(m) — every hop
             // rescans the identical floored tail, so the visited set is
@@ -1945,7 +2031,17 @@ object TierA {
                  else col("stamp") <= st + a)
           case None => levels(1).contraSpanMs.map(_ => col("stamp") <= st)
         }
-        (loC.toSeq ++ hiC.toSeq).reduceOption(_ && _).getOrElse(lit(true))
+        // FRAMED + `.limit(n)` (round 15): the rank of this row in THIS
+        // spawn's scan is C'(r) − G(y) — C' the floored running match
+        // count (`__mc1`), G the tuple's below-frame count (`__g`).
+        // The unframed cap stays row-level in ent1's rowP (G ≡ 0 there).
+        val limC = levels(1).limitN.flatMap { n =>
+          if (levels(1).spanMs.isDefined || levels(1).contraSpanMs.isDefined)
+            Some(col("__mc1") - v.getField("__g") <= lit(n))
+          else None
+        }
+        (loC.toSeq ++ hiC.toSeq ++ limC.toSeq)
+          .reduceOption(_ && _).getOrElse(lit(true))
       } else {
         val rev = levels(1).reverse
         val span = levels(1).spanMs.map(sp =>
@@ -2014,14 +2110,16 @@ object TierA {
         // Catalyst prune the witness-struct and row_number windows from
         // the accum plan entirely: one running-count window survives.
         // Restart steps add their spawn-independent row checks here: the
-        // absolute index floor, and the fixed-sequence rank cap (limits
-        // are upstream-gated to UNFRAMED restarts, where every spawn
-        // sees the identical match sequence)
+        // absolute index floor, and — UNFRAMED only, where every spawn
+        // sees the identical match sequence — the fixed-sequence rank
+        // cap. A FRAMED restart's rank diverges per spawn and is priced
+        // per tuple in spawnOk (round 15).
         val rowP =
           if (levels(1).isFromStep) {
             var p = levelPreds(1) &&
               col("__rn") >= lit(levels(1).fromStart.get + 1)
-            levels(1).limitN.foreach(n => p = p && col("__mc1") <= n)
+            if (levels(1).spanMs.isEmpty && levels(1).contraSpanMs.isEmpty)
+              levels(1).limitN.foreach(n => p = p && col("__mc1") <= n)
             p
           } else levelPreds(1)
         val canonFlags = gs.map { g =>
@@ -2075,9 +2173,12 @@ object TierA {
                   levelPreds(j) &&
                     col("__rn") >= lit(levels(j).fromStart.get + 1)
                 else levelPreds(j)
-              // a from-limited MIDDLE's tally rows are capped by the
-              // same floored-count conjunct (ordinal path only)
+              // an UNFRAMED from-limited MIDDLE's tally rows are capped
+              // by the same floored-count conjunct (ordinal path only);
+              // a FRAMED one's cap is per hop, already folded into its
+              // K-ladder value (the round-15 (G, K) collect branch)
               if (ordinal && j < levels.size - 1 && levels(j).isFromStep &&
+                  levels(j).spanMs.isEmpty && levels(j).contraSpanMs.isEmpty &&
                   levels(j).limitN.isDefined)
                 base && col(s"__mcF$j") <= lit(levels(j).limitN.get)
               else base
@@ -2319,13 +2420,15 @@ object TierA {
           // by construction — compile() routes it here). Level-0 body
           // reads of the gating name ride the fold's post-visit acc;
           // reads below chain steps decline upstream (classifyVars).
-          val gates = dc.gates.map { case (op, e) =>
-            (op, compileExpr(e, now, real).get.cast("double"))
+          val gates = dc.caps.zipWithIndex.flatMap { case (c, i) =>
+            c.gates.map { case (op, e) =>
+              (i, op, compileExpr(e, now, real).get.cast("double")) }
           }
           val cand = levelPreds.head && fc
-          df = df.withColumn("__gf", graft.functions.GatedFold.gatedFold(
-            dc.init.toDouble, cand, gates,
-            foldStages(dc.parts, now, real, None)).over(accRunFrame))
+          df = df.withColumn("__gf", graft.functions.GatedFold.gatedFoldN(
+            dc.caps.map(c => (c.init.toDouble,
+              foldStages(c.parts, now, real, None))),
+            cand, gates).over(accRunFrame))
           val vis = col("__gf").getField("vis")
           val cond = dynRankCap match {
             case None => vis
@@ -2334,8 +2437,10 @@ object TierA {
                 count(when(vis, 1)).over(accRunFrame))
               vis && col("__mc0") <= m
           }
-          df = df.withColumn(s"__acc_${dc.name}",
-            col("__gf").getField("acc"))
+          dc.caps.zipWithIndex.foreach { case (c, i) =>
+            df = df.withColumn(s"__acc_${c.name}",
+              col("__gf").getField(if (i == 0) "acc" else s"acc$i"))
+          }
           cond
         case None => head.limitN match {
           case None => fc
@@ -2401,10 +2506,10 @@ object TierA {
         // person, (c) a framed step needs some spawn whose stamp brackets
         // the row — the nearest at-or-before (max stamp) / at-or-after
         // (min stamp) spawn is optimal per side, and a spawn may be the
-        // row itself — and (d) `.limit(n)` counts the same fixed match
-        // sequence every run, so the cap is the row's absolute rank among
-        // where-matches past the floor (limits are rejected on framed
-        // from-steps upstream: per-spawn counts diverge under a frame).
+        // row itself — and (d) an UNFRAMED `.limit(n)` counts the same
+        // fixed match sequence every run, so the cap is the row's
+        // absolute rank among where-matches past the floor; a FRAMED
+        // limit prices per spawn via the max-G witness below (round 15).
         val start = levels(k).fromStart.get
         val rowCond = col("__rn") >= start + 1
         levels(k).limitN.foreach { _ =>
@@ -2413,29 +2518,62 @@ object TierA {
         }
         val ahead = levels(k).spanMs
         val back = levels(k).contraSpanMs
-        val frameElig: Column =
-          if (ahead.isEmpty && back.isEmpty) {
-            df = df.withColumn(s"__pv$k", max(when(spawn, lit(1))).over(allRows))
-            col(s"__pv$k").isNotNull
-          } else {
-            val sides = ahead.map { a =>
-              df = df.withColumn(s"__pv$k",
-                max(when(spawn, col("stamp"))).over(curRows))
-              col(s"__pv$k").isNotNull &&
-                (if (a == Long.MaxValue) lit(true)
-                 else col("stamp") - col(s"__pv$k") <= a)
-            }.toSeq ++ back.map { b =>
-              df = df.withColumn(s"__nv$k",
-                min(when(spawn, col("stamp"))).over(curRowsR))
-              col(s"__nv$k").isNotNull &&
-                (if (b == Long.MaxValue) lit(true)
-                 else col(s"__nv$k") - col("stamp") <= b)
-            }.toSeq
-            sides.reduce(_ || _)
+        if (levels(k).limitN.isDefined && (ahead.nonEmpty || back.nonEmpty)) {
+          // FRAMED `.from(k)` + `.limit(n)` (round 15): per-spawn match
+          // sequences diverge (each spawn's frame cuts a different prefix
+          // of the floored tail), but this row's rank in spawn y's scan
+          // is C'(r) − G(y) — C' the running floored-match count
+          // (`__mc$k` above), G(y) the floored matches strictly BELOW y's
+          // frame (stamp < st_y − b, a range-window count at the spawn;
+          // matches above the frame can't precede r once r is in frame,
+          // stamps being person-unique and sorted). The BEST spawn
+          // maximizes G, so eligibility is ONE max-G window over the
+          // bracketing spawns (st_y ∈ [r−ahead, r+back]) — no collect,
+          // and a missing/infinite side just unbounds the max window.
+          val n = levels(k).limitN.get
+          val backOff: Option[Long] = back match {
+            case Some(b) if b != Long.MaxValue => Some(b)
+            case Some(_) => None // infinite back side: the frame never cuts
+            case None => Some(0L) // pure look_ahead: frame lower = spawn stamp
           }
-        var e = rowCond && frameElig
-        levels(k).limitN.foreach(n => e = e && col(s"__mc$k") <= n)
-        e
+          df = df.withColumn(s"__gg$k", backOff match {
+            case Some(b) => count(when(levelPreds(k) && rowCond, 1))
+              .over(person.orderBy(col("stamp"))
+                .rangeBetween(W.unboundedPreceding, -b - 1))
+            case None => lit(0L)
+          })
+          val (dLo, dHi) = deepS1Offsets(levels(k))
+          val bracket = person.orderBy(col("stamp")).rangeBetween(
+            dLo.getOrElse(W.unboundedPreceding),
+            dHi.getOrElse(W.unboundedFollowing))
+          df = df.withColumn(s"__gw$k",
+            max(when(spawn, col(s"__gg$k"))).over(bracket))
+          rowCond && (col(s"__mc$k") - col(s"__gw$k") <= n)
+        } else {
+          val frameElig: Column =
+            if (ahead.isEmpty && back.isEmpty) {
+              df = df.withColumn(s"__pv$k", max(when(spawn, lit(1))).over(allRows))
+              col(s"__pv$k").isNotNull
+            } else {
+              val sides = ahead.map { a =>
+                df = df.withColumn(s"__pv$k",
+                  max(when(spawn, col("stamp"))).over(curRows))
+                col(s"__pv$k").isNotNull &&
+                  (if (a == Long.MaxValue) lit(true)
+                   else col("stamp") - col(s"__pv$k") <= a)
+              }.toSeq ++ back.map { b =>
+                df = df.withColumn(s"__nv$k",
+                  min(when(spawn, col("stamp"))).over(curRowsR))
+                col(s"__nv$k").isNotNull &&
+                  (if (b == Long.MaxValue) lit(true)
+                   else col(s"__nv$k") - col("stamp") <= b)
+              }.toSeq
+              sides.reduce(_ || _)
+            }
+          var e = rowCond && frameElig
+          levels(k).limitN.foreach(n => e = e && col(s"__mc$k") <= n)
+          e
+        }
       } else {
         // `.limit(n)`: the interpreter tallies a row only while its inner
         // loop has made < n matches — i.e. the row's rank among
@@ -2541,9 +2679,11 @@ object TierA {
             k <- fromOf(n.mods, now).flatten
             (ahead, back, abs) <- fromStepFrame(n.mods.frame, now)
             lim <- limitOf(n.mods, now)
-            // spawn-relative frames + limit: per-spawn match counts diverge
-            // → Tier B; absolute bounds give one fixed match sequence
-            if lim.isEmpty || (ahead.isEmpty && back.isEmpty)
+            // spawn-relative frames + limit compile since round 15: the
+            // row's rank in spawn y's scan is C'(r) − G(y) with G a
+            // per-spawn range-window count (witness path: one max-G
+            // window; accum paths: per-tuple/per-hop G) — downstream
+            // gates decline the shapes their machinery can't price
             rest <- extractLevels(n, now, lim, ahead, g, reverse = false, back,
               Some(k + (if (n.mods.next) 1L else 0L)), isFromStep = true,
               absBounds = abs)
@@ -2960,13 +3100,19 @@ object TierA {
   private final case class AccumPart(cond: Option[Expr],
                                      incThen: Seq[Expr], incElse: Seq[Expr])
 
-  /** A DYNAMIC where-conjunct cap (round 15): the gating accumulator, its
-    * gate conjuncts `(cmpOp, accum-free row expr)` — static-literal
-    * conjuncts on the same name join as constant sides — and the
-    * accumulator's init/parts for the [[graft.functions.GatedFold]]
-    * stages. */
-  private final case class DynCap(name: String, gates: Seq[(String, Expr)],
+  /** One gating accumulator of a DYNAMIC where-conjunct cap: its gate
+    * conjuncts `(cmpOp, accum-free row expr)` — static-literal conjuncts
+    * on the same name join as constant sides — and the accumulator's
+    * init/parts for its [[graft.functions.GatedFold]] stage group. */
+  private final case class CapAcc(name: String, gates: Seq[(String, Expr)],
                                   init: Long, parts: Seq[AccumPart])
+
+  /** A DYNAMIC where-conjunct cap (round 15): one or more gating
+    * accumulators priced by ONE GatedFold whose buffer is the JOINT
+    * (acc_0…acc_{n−1}, visited) tuple — a visit requires EVERY gate to
+    * pass, and every accumulator updates on a visit (the interpreter's
+    * vars-first pre-increment where-eval, conjunct by conjunct). */
+  private final case class DynCap(caps: Seq[CapAcc])
 
   /** Compile one visit's total increment for an accumulator. Non-literal
     * refs pass through `coalesce(_, 0)` — a null prop must not null the
@@ -3344,57 +3490,58 @@ object TierA {
     // OR when its accumulator's recurrence can't capSolve (guarded or
     // row-prop increments — no constant per-visit slope, so the
     // freeze-once-failed prefix argument doesn't hold; the fold prices
-    // the exact recurrence either way). Every fold-needing conjunct must
-    // gate ONE name (a second gating accumulator would need a joint fold
-    // buffer — Tier B); static conjuncts on that same name join the gate
-    // as constant sides. Chains under a dynamic cap stay Tier B (the
-    // spawn set would gate chainWitnesses — unproven composition).
+    // the exact recurrence either way). MULTIPLE gating names compile
+    // through ONE fold with the JOINT (acc_0…acc_{n−1}, vis) buffer
+    // (round 15 second act — a visit needs every gate, every gating
+    // accumulator updates on a visit); static conjuncts on a gating name
+    // join its gate as constant sides. Chains under a dynamic cap stay
+    // Tier B (the spawn set would gate chainWitnesses — unproven
+    // composition).
     def capSolvable(nm: String): Boolean = accumOf(nm).exists { case (_, parts) =>
       parts.isEmpty ||
         parts.forall(p => p.cond.isEmpty && p.incThen.forall(isIntLit))
     }
     val (capStatics, foldStatics) = capConjs0.partition(c => capSolvable(c._1))
-    val dynName: Option[String] =
-      (dynConjs.map(_._1) ++ foldStatics.map(_._1)).distinct match {
-        case Seq()  => None
-        case Seq(n) => Some(n)
-        case _      => return None
-      }
-    val (dynStatics, capConjs) = capStatics.partition(c => dynName.contains(c._1))
-    val dynCap: Option[DynCap] = dynName.map { n =>
-      // chain tops compose since round 15: the fold gates which rows
-      // SPAWN (chainWitnesses evaluates candidacy in-row — the witness
-      // windows need every row). Reads of the gating name BELOW a chain
-      // step still decline: its value is not affine in the spawn ordinal
-      // under a dynamic gate and the witness tuples don't carry it, so
-      // neither bind path can serve them; top-level reads ride the fold
-      // column.
-      if (chainSteps.exists(st => readPositions(Seq(st)).exists(
-          readsName(_, Set(n))))) return None
-      val (init, parts) = accumOf(n).getOrElse(return None)
-      if (parts.isEmpty) return None // never incremented: a static conjunct
-      // INT-literal increments live exactly in the fold's double buffer
-      // only inside ±2^53: gate |init| ≤ 2^51 and per-visit literal |Δ| ≤
-      // 2^21 (< 2^31 visits per window partition). Prop increments make
-      // the interpreter's own value a double fold — bit-identical to the
-      // GatedFold sequence at any magnitude, no gate needed.
-      val litDelta = parts.map { p =>
-        def s(es: Seq[Expr]) = es.collect { case Lit(VInt(k)) => math.abs(k) }.sum
-        math.max(s(p.incThen), s(p.incElse))
-      }.sum
-      if (math.abs(init) > (1L << 51) || litDelta > (1L << 21)) return None
-      DynCap(n,
-        dynConjs.map(c => (c._2, c._3)) ++
-          (foldStatics ++ dynStatics).map(c => (c._2, Lit(VInt(c._3)): Expr)),
-        init, parts)
-    }
+    val dynNames: Seq[String] =
+      (dynConjs.map(_._1) ++ foldStatics.map(_._1)).distinct
+    val (dynStatics, capConjs) = capStatics.partition(c => dynNames.contains(c._1))
+    val dynCap: Option[DynCap] =
+      if (dynNames.isEmpty) None
+      else Some(DynCap(dynNames.map { n =>
+        // chain tops compose since round 15: the fold gates which rows
+        // SPAWN (chainWitnesses evaluates candidacy in-row — the witness
+        // windows need every row). Reads of a gating name BELOW a chain
+        // step still decline: its value is not affine in the spawn
+        // ordinal under a dynamic gate and the witness tuples don't
+        // carry it, so neither bind path can serve them; top-level reads
+        // ride the fold column.
+        if (chainSteps.exists(st => readPositions(Seq(st)).exists(
+            readsName(_, Set(n))))) return None
+        val (init, parts) = accumOf(n).getOrElse(return None)
+        if (parts.isEmpty) return None // never incremented: a static conjunct
+        // INT-literal increments live exactly in the fold's double buffer
+        // only inside ±2^53: gate |init| ≤ 2^51 and per-visit literal |Δ| ≤
+        // 2^21 (< 2^31 visits per window partition). Prop increments make
+        // the interpreter's own value a double fold — bit-identical to the
+        // GatedFold sequence at any magnitude, no gate needed.
+        val litDelta = parts.map { p =>
+          def s(es: Seq[Expr]) = es.collect { case Lit(VInt(k)) => math.abs(k) }.sum
+          math.max(s(p.incThen), s(p.incElse))
+        }.sum
+        if (math.abs(init) > (1L << 51) || litDelta > (1L << 21)) return None
+        CapAcc(n,
+          dynConjs.filter(_._1 == n).map(c => (c._2, c._3)) ++
+            (foldStatics ++ dynStatics).filter(_._1 == n)
+              .map(c => (c._2, Lit(VInt(c._3)): Expr)),
+          init, parts)
+      }))
     // names read OUTSIDE the where need a materialized window column; a
     // name read ONLY in (extracted) where conjuncts needs no column at all
     // — its effect is entirely the static visit cap (the dynamic gate's
     // name rides the fold either way)
     val matReads = allReads.filterNot(_ eq er.where)
     val matNames = readNames.filter(n => matReads.exists(readsName(_, Set(n))))
-    val accums = matNames.filterNot(dynName.contains).toSeq.sorted.map { n =>
+    val accums = matNames.filterNot(dynNames.contains).toSeq.sorted.map { n =>
       val (init, parts) = accumOf(n).getOrElse(return None)
       (n, init, parts)
     }

@@ -1223,14 +1223,19 @@ class OslSpec extends SparkSpec {
         |  end
         |end
         |""".stripMargin)
-    declines( // from-step with BOTH a frame and a limit: per-spawn match
-      // counts diverge under the frame -> interpreter
-      """each_row where event.is(== 'signup')
+    // a from-step with BOTH a frame and a limit COMPILES since round 15
+    // (per-spawn match counts diverge under the frame, but each spawn's
+    // rank is C'(r) − G(y) — the max-G witness); Tier A ≡ Tier B
+    tierDiff(
+      """select
+        |  count id as customers
+        |end
+        |each_row where product_name.is(== 'fly rod')
         |  each_row.from(0).look_back(1_days).limit(1) where event.is(== 'purchase')
         |    << 'framed_limited'
         |  end
         |end
-        |""".stripMargin)
+        |""".stripMargin, highstreet)
     declines( // reverse from-step -> interpreter
       """each_row where event.is(== 'signup')
         |  each_row.from(3).reverse() where event.is(== 'purchase')

@@ -1196,9 +1196,12 @@ class TierChainAccumSpec extends SparkSpec {
     // row-level count conjunct (r among the first m floored deep matches)
     from3(".limit(1)")
     from3(".limit(2)")
-    // pinned decline: a FRAMED limit on the restart step at depth 3
-    // (per-hop match sequences diverge under a spawn-anchored frame)
-    from3(".look_back(24_hours).limit(2)", expectTierA = false)
+    // round 15: a FRAMED limit on the restart deepest compiles — per-hop
+    // sequences diverge, but each hop's rank is exact arithmetic
+    // (C'(r) − G(y), the (G, K) collect branch)
+    from3(".look_back(24_hours).limit(2)")
+    from3(".look_ahead(18_hours).limit(1)")
+    from3(".within(15_hours, stamp).limit(2)")
   }
 
   test("REVERSE and RESTART middle steps below depth-3 accumulators (round 12)") {
@@ -1324,10 +1327,12 @@ class TierChainAccumSpec extends SparkSpec {
     deep4("each_row.continue().next().reverse().look_back(20_hours).limit(1)")
     deep4("each_row.from(1).limit(2)")
     deep4("each_row.from(0).limit(1)")
-    // pinned declines: an UNFRAMED reverse limit (unbounded hop collect)
-    // and a FRAMED restart limit (per-hop sequences diverge)
+    // pinned decline: an UNFRAMED reverse limit (unbounded hop collect)
     deep4("each_row.continue().next().reverse().limit(1)", expectTierA = false)
-    deep4("each_row.from(1).look_back(20_hours).limit(2)", expectTierA = false)
+    // round 15: a FRAMED restart limit at depth 4 compiles — per-hop
+    // sequences diverge, but each hop's rank is C'(r) − G(y) exactly
+    deep4("each_row.from(1).look_back(20_hours).limit(2)")
+    deep4("each_row.from(0).look_ahead(16_hours).limit(1)")
     // depth-3 rev/from deepest with constant increments now rides the
     // ORDINAL path (collect-free) — re-pin the canonical shapes there
     for (deep <- Seq("each_row.continue().next().reverse().look_back(24_hours)",
@@ -1429,13 +1434,14 @@ class TierChainAccumSpec extends SparkSpec {
       midTally = true)
     mid4("each_row.continue().next().reverse().look_back(30_hours).limit(1)",
       deepStep = "each_row.continue().next().reverse().look_back(20_hours)")
-    // pinned declines: UNFRAMED reverse-middle limits (unbounded hop
-    // collect) and FRAMED restart-middle limits (per-hop sequences
-    // diverge — declined at extraction)
+    // pinned decline: UNFRAMED reverse-middle limits (unbounded hop
+    // collect)
     mid4("each_row.continue().next().reverse().limit(1)",
       expectTierA = false)
-    mid4("each_row.from(1).look_back(30_hours).limit(2)",
-      expectTierA = false)
+    // round 15: a FRAMED restart-middle limit compiles — per-hop rank is
+    // C'(r) − G(y), the (G, K) collect branch applied at the level
+    mid4("each_row.from(1).look_back(30_hours).limit(2)")
+    mid4("each_row.from(0).look_ahead(20_hours).limit(1)", midTally = true)
     // contra-framed middle (forward scan + look_back)
     mid4("each_row.continue().next().look_back(30_hours)",
       expectTierA = false)
@@ -2036,6 +2042,134 @@ class TierChainAccumSpec extends SparkSpec {
     d5(".look_ahead(40_hours)", ".limit(1)", expectTierA = false)
     // monotone below: the round-14 G-conjunct path, untouched
     d5("", ".look_ahead(30_hours).limit(1)")
+  }
+
+  test("FRAMED .from(k) restart limits price per hop (round 15)") {
+    // Every hop rescans from the same absolute floor, but its FRAME cuts
+    // a different prefix of the floored tail — so unlike the round-14
+    // unframed form there is no row-level rank cap. The rank of row r in
+    // hop y's scan is exact arithmetic though: C'(r) − G(y), with C' the
+    // running floored-match count and G(y) the floored matches strictly
+    // below y's frame (a range-window count at the hop).
+    // Depth 2, accumulator top: the spawn tuple carries G(y) and spawnOk
+    // prices the rank per tuple.
+    for (mods <- Seq(".look_back(24_hours).limit(1)",
+                     ".look_back(30_hours).limit(2)",
+                     ".look_ahead(18_hours).limit(1)",
+                     ".within(15_hours, stamp).limit(2)"))
+      diffOn(worldDense,
+        s"""${sel}n = 0
+           |each_row where event.is(== 'signup')
+           |  n += 1
+           |  each_row.from(1)$mods where event.is(== 'view')
+           |    << n, event
+           |  end
+           |end
+           |""".stripMargin)
+    // nonzero floors move G and C' together; guarded spawns and fp
+    // accumulators ride the same tuples
+    diffOn(worldDense,
+      s"""${sel}spend = 0
+         |each_row where event.is(!= 'error')
+         |  spend += product_price
+         |  if product_price.is(> 10)
+         |    each_row.from(4).look_back(30_hours).limit(2) where event.is(== 'view')
+         |      << bucket(spend, 80), event
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
+    // reverse top: the backward fold only changes the accumulator mapping
+    diffOn(worldDense,
+      s"""${sel}n = 0
+         |each_row.reverse() where event.is(== 'signup')
+         |  n += 1
+         |  each_row.from(2).look_ahead(20_hours).limit(1) where event.is(== 'view')
+         |    << n, event
+         |  end
+         |end
+         |""".stripMargin)
+    // PLAIN chains (no accumulators) ride the witness path: ONE max-G
+    // window (the best spawn maximizes G) instead of a collect
+    val sel2 = "select\n  count id as customers\n  count event as n_rows\nend\n"
+    for (mods <- Seq(".look_back(24_hours).limit(1)",
+                     ".look_ahead(16_hours).limit(2)",
+                     ".within(12_hours, stamp).limit(1)"))
+      diffOn(worldDense,
+        s"""$sel2
+           |each_row where event.is(== 'signup')
+           |  each_row.from(1)$mods where event.is(== 'view')
+           |    << event
+           |  end
+           |end
+           |""".stripMargin)
+    // witness path, depth 3: framed-from limit on the DEEPEST step
+    diffOn(worldDense,
+      s"""$sel2
+         |each_row where event.is(== 'signup')
+         |  each_row.continue().next() where event.is(== 'view')
+         |    each_row.from(2).look_back(20_hours).limit(2) where event.is(== 'purchase')
+         |      << event
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
+    // ...and on a MIDDLE step (the max-G witness works per level)
+    diffOn(worldDense,
+      s"""$sel2
+         |each_row where event.is(== 'signup')
+         |  each_row.from(1).look_back(24_hours).limit(2) where event.is(== 'view')
+         |    each_row.continue().next() where event.is(== 'purchase')
+         |      << event
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
+    // MIXED guard over a framed-from-limited deepest: the rank filter
+    // and the mixed least-fold both live per hop in the (G, K) collect
+    diffOn(worldDense,
+      s"""${sel}n = 0
+         |each_row where event.is(== 'signup')
+         |  n += 1
+         |  each_row.continue().next() where event.is(== 'view')
+         |    if get_hour(stamp) > n
+         |      each_row.from(1).look_back(24_hours).limit(2) where event.is(== 'purchase')
+         |        << n, event
+         |      end
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
+    // depth-5: framed-from-limited MIDDLE under a framed reverse deepest
+    // (the per-hop branches at different levels compose)
+    diffOn(worldDense,
+      s"""${sel}n = 0
+         |each_row where event.is(== 'signup')
+         |  n += 1
+         |  each_row.continue().next() where event.is(== 'view')
+         |    each_row.from(1).look_back(30_hours).limit(2) where event.is(== 'click')
+         |      each_row.continue().next().reverse().look_back(20_hours) where event.is(== 'purchase')
+         |        << n, event
+         |      end
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
+    // pinned decline that REMAINS: a framed-from-limited step at the
+    // depth-3 MIDDLE below accumulators — level 1 must stay plain for
+    // the ordinal ladder, and the depth-3 collect path's interval counts
+    // have no per-spawn rank seam (the min-term fold is future work)
+    diffOn(worldDense,
+      s"""${sel}n = 0
+         |each_row where event.is(== 'signup')
+         |  n += 1
+         |  each_row.from(1).look_back(24_hours).limit(2) where event.is(== 'view')
+         |    each_row.continue().next() where event.is(== 'purchase')
+         |      << n, event
+         |    end
+         |  end
+         |end
+         |""".stripMargin, expectTierA = false)
   }
 
   test("depth-3 chains with plain inner steps compile (round 9)") {

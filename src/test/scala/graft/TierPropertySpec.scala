@@ -1007,6 +1007,8 @@ class TierPropertySpec extends SparkSpec {
   //   double_row           bare DOUBLE row sides (floor/ceil bounds)
   //   rev_deep_limited     framed reverse deepest + .limit (per-hop max)
   //   restart_deep         genuine .from(k) deepests (framed / limited)
+  //   restart_framed_lim   FRAMED .from(k) + .limit — per-hop C'−G rank
+  //                        (round 15; depth 2 tuple-G / d3 deepest / d4 mid)
   //   mid_direction        framed / reverse / restart MIDDLE steps (d4)
   //   fwd_mid_limited      forward middle .limit via the G-conjunct (d4)
   //   rev_mid_limited      framed reverse middle .limit (d4)
@@ -1098,6 +1100,30 @@ class TierPropertySpec extends SparkSpec {
           "each_row.from(1)", "each_row.from(0).look_ahead(18_hours)",
           "each_row.from(1).limit(2)"), s.slide.next)
         d3("", "0", "n += 1", None, deep, s)
+      },
+      "restart_framed_lim" -> { s =>
+        val frame = draw(Gen.oneOf(".look_back(24_hours)",
+          ".look_ahead(18_hours)", ".within(15_hours, stamp)"), s.slide.next)
+        val lim = draw(genLim, s.slide.next.next)
+        draw(Gen.oneOf(1, 2, 3), s.slide.next.next.next) match {
+          case 1 => // depth-3 deepest: the ladder's (G, K) collect
+            d3("", "0", "n += 1", None,
+              s"each_row.from(1)$frame.limit($lim)", s)
+          case 2 => // depth-4 middle: the same branch at its level
+            d4(s"each_row.from(1)$frame.limit($lim)", cont, s)
+          case _ => // depth 2: the spawn tuple carries G, spawnOk prices
+            val w0 = draw(genWhere, s)
+            val w1 = draw(genWhere, s.next)
+            val g2 = draw(genGroup, s.slide)
+            s"""${sel}n = 0
+               |each_row where $w0
+               |  n += 1
+               |  each_row.from(1)$frame.limit($lim) where $w1
+               |    << n, $g2
+               |  end
+               |end
+               |""".stripMargin
+        }
       },
       "mid_direction" -> { s =>
         val mid = draw(Gen.oneOf(

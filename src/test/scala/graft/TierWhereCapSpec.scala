@@ -371,6 +371,90 @@ class TierWhereCapSpec extends SparkSpec {
          |""".stripMargin)
   }
 
+  test("JOINT fold buffer: multiple gating accumulators (round 15)") {
+    // `n < price && k < hour` with both names incremented: ONE GatedFold
+    // whose buffer is the (acc_0…acc_{n−1}, vis) tuple — a visit needs
+    // EVERY gate to pass and every gating accumulator updates on a visit
+    // (the interpreter's vars-first pre-increment where-eval).
+    diff( // two dynamic row sides (the flipped round-15 decline pin)
+      s"""${sel}n = 0
+         |k = 0
+         |each_row where event.is(!= 'error') && n < product_price && k < stamp
+         |  n += product_price
+         |  k += 1
+         |  << 'two', event
+         |end
+         |""".stripMargin)
+    diff( // dual budget: fp spend gate + int visit gate
+      s"""${sel}n = 0
+         |k = 0
+         |each_row where event.is(== 'purchase') && n < product_price && k < get_hour(stamp)
+         |  n += product_price
+         |  k += 1
+         |  << k, event
+         |end
+         |""".stripMargin)
+    diff( // one dynamic side + one fold-needing STATIC (prop slope): the
+      // static conjunct joins its accumulator's gate as a constant side
+      s"""${sel}n = 0
+         |k = 0
+         |each_row where event.is(!= 'error') && n < product_price && k < 120
+         |  n += 1
+         |  k += product_price
+         |  << 'mixed', event
+         |end
+         |""".stripMargin)
+    diff( // static conjunct on a gating name joins that gate; nonzero init
+      s"""${sel}n = 0
+         |k = 5
+         |each_row where event.is(!= 'error') && n < product_price && n < 200 && k >= get_hour(stamp)
+         |  n += product_price
+         |  k -= 1
+         |  << 'three', event
+         |end
+         |""".stripMargin)
+    diff( // reverse top: both folds ride the same DESC running frame
+      s"""${sel}n = 0
+         |k = 0
+         |each_row.reverse() where event.is(!= 'error') && n < product_price && k < get_hour(stamp)
+         |  n += product_price
+         |  k += 2
+         |  << 'rev', event
+         |end
+         |""".stripMargin)
+    diff( // chain top: the joint vis gates which rows spawn
+      s"""${sel}n = 0
+         |k = 0
+         |each_row where event.is(== 'signup') && n < product_price && k < get_hour(stamp)
+         |  n += product_price
+         |  k += 1
+         |  each_row.continue().next() where event.is(== 'purchase')
+         |    << 'chained2', event
+         |  end
+         |end
+         |""".stripMargin)
+    diff( // body reads of BOTH gating names ride their fold fields
+      s"""${sel}n = 0
+         |k = 0
+         |each_row where event.is(!= 'error') && n < product_price && k < get_hour(stamp)
+         |  n += 1
+         |  k += 2
+         |  << bucket(n + k, 2), event
+         |end
+         |""".stripMargin)
+    diff( // decline stays: a read of EITHER gating name below a chain step
+      s"""${sel}n = 0
+         |k = 0
+         |each_row where event.is(== 'signup') && n < product_price && k < get_hour(stamp)
+         |  n += product_price
+         |  k += 1
+         |  each_row.continue().next() where event.is(== 'purchase')
+         |    << k, event
+         |  end
+         |end
+         |""".stripMargin, expectTierA = false)
+  }
+
   test("dynamic caps on CHAIN TOPS: the fold gates which rows spawn (round 15)") {
     // the GatedFold's candidacy child evaluates the residual where in-row
     // (witness windows need every row — no pre-filter); vis gates spawns,
@@ -466,15 +550,8 @@ class TierWhereCapSpec extends SparkSpec {
          |  << 'or', event
          |end
          |""".stripMargin, expectTierA = false)
-    diff( // TWO gating accumulators would need a joint fold buffer
-      s"""${sel}n = 0
-         |k = 0
-         |each_row where event.is(!= 'error') && n < product_price && k < stamp
-         |  n += product_price
-         |  k += 1
-         |  << 'two', event
-         |end
-         |""".stripMargin, expectTierA = false)
+    // TWO gating accumulators compile since the round-15 second act
+    // (joint fold buffer) — see the "JOINT fold buffer" test below
     diff( // non-numeric row side: the interpreter string-compares per row
       s"""${sel}n = 0
          |each_row where event.is(!= 'error') && n < product_name
