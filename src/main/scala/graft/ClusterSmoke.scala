@@ -89,7 +89,13 @@ object ClusterSmoke {
     // round 15: the depth-6 per-hop middle-limit collect and the
     // contra-union-under-limit rank filter — collected struct CONTENTS
     // must survive cross-JVM shuffles exactly
-    "q_osl_chain5_mid_limited")
+    "q_osl_chain5_mid_limited",
+    // round 15: framed restart limits (the per-hop (G, K) collect at
+    // deepest and middle levels) and the JOINT dual-gate fold buffer —
+    // both must reproduce exactly on remote-executor partitions
+    "q_osl_chain3_restart_framed_limited",
+    "q_osl_chain4_restart_framed_mid_limited",
+    "q_osl_where_dynamic_dual")
 
   private def canon(df: org.apache.spark.sql.DataFrame): Set[Vector[String]] = {
     val cols = df.columns.sorted

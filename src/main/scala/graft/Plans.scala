@@ -318,6 +318,27 @@ object Plans {
         "prices per hop — (level-count, K) structs collected over the " +
         "frame-bounded window, filtered by the between-count cap; state " +
         "capped by frame row density, never the person's history"),
+    P("q_osl_restart_framed_limited",
+      "FRAMED .from(k) + .limit (round 15, depth 2): the spawn tuples " +
+        "carry G (the below-frame floored count) and the rank check " +
+        "C'(r) - G <= n evaluates per tuple — the collect window is the " +
+        "finite inverted-frame bracket, state capped by frame density"),
+    P("q_osl_chain3_restart_framed_limited",
+      "framed restart DEEPEST limit (round 15): the ordinal ladder " +
+        "collects (G, K) structs per hop over the finite bracket window " +
+        "and takes the exact max over hops whose rank passes — same " +
+        "single person exchange, no MapGroups, collect bounded by the " +
+        "frame's row density"),
+    P("q_osl_chain4_restart_framed_mid_limited",
+      "framed restart MIDDLE limit (round 15): the (G, K) collect at its " +
+        "level; deeper levels consume the exact result through the " +
+        "ordinary running-max ladder — one window per level on one " +
+        "exchange"),
+    P("q_osl_where_dynamic_dual",
+      "JOINT dynamic cap (round 15): TWO gating accumulators ride ONE " +
+        "GatedFold running window — buffer = (n, m, vis) tuple, both " +
+        "gates chained ahead of both stage groups; still no collect, no " +
+        "MapGroups, one window on the person exchange"),
     P("q_ann_ivf_indexed",
       "persisted IVF index (round 11): the cells scan carries an explicit " +
         "PartitionFilters: cell IN (probed) — a query reads nprobe/nlist of the " +
