@@ -94,6 +94,7 @@ object ClusterSmoke {
     // deepest and middle levels) and the JOINT dual-gate fold buffer —
     // both must reproduce exactly on remote-executor partitions
     "q_osl_chain3_restart_framed_limited",
+    "q_osl_chain3_restart_framed_mid_limited",
     "q_osl_chain4_restart_framed_mid_limited",
     "q_osl_where_dynamic_dual")
 

@@ -329,6 +329,11 @@ object Plans {
         "and takes the exact max over hops whose rank passes — same " +
         "single person exchange, no MapGroups, collect bounded by the " +
         "frame's row density"),
+    P("q_osl_chain3_restart_framed_mid_limited",
+      "framed restart limit at the depth-3 MIDDLE (round 15): the " +
+        "collect path's interval counts gain ONE min-term n + G(s0) — " +
+        "G is the tuple's own below-frame lower endpoint, so the plan " +
+        "is byte-identical in window count to the unlimited form"),
     P("q_osl_chain4_restart_framed_mid_limited",
       "framed restart MIDDLE limit (round 15): the (G, K) collect at its " +
         "level; deeper levels consume the exact result through the " +

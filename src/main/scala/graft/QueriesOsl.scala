@@ -3038,6 +3038,62 @@ object QueriesOsl {
           COUNT(DISTINCT id), COUNT(*)
         FROM tri GROUP BY i""")),
 
+    // Depth-3: the framed-from-limited step at the MIDDLE level — this
+    // one rides the COLLECT path (level 1 can't be ordinal): under
+    // rowFreeGuard the rank space is the interval-count space, so the
+    // cap is one more upper-endpoint min-term n + G(s0), with G already
+    // the tuple's own below-frame lower endpoint.
+    Q("q_osl_chain3_restart_framed_mid_limited",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |each_row where event.is(== 'signup')
+            |  n += 1
+            |  each_row.from(1).look_back(24_hours).limit(2) where event.is(== 'view')
+            |    each_row.continue().next() where event.is(== 'purchase')
+            |      << n, event
+            |    end
+            |  end
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"))
+      },
+      Some(s"""$E, su AS (
+          SELECT id, stamp,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
+          FROM e WHERE event = 'signup'),
+        rn AS (
+          SELECT id, stamp, event,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS r
+          FROM e),
+        vv AS (
+          SELECT id, stamp FROM rn WHERE event = 'view' AND r >= 2),
+        tri AS (
+          SELECT DISTINCT p.id, p.stamp, su.i
+          FROM e p JOIN su ON su.id = p.id
+          WHERE p.event = 'purchase'
+            AND EXISTS (SELECT 1 FROM vv v
+              WHERE v.id = p.id AND v.stamp < p.stamp
+                AND v.stamp BETWEEN su.stamp - 86400000 AND su.stamp
+                AND (SELECT COUNT(*) FROM vv q
+                     WHERE q.id = p.id
+                       AND q.stamp >= su.stamp - 86400000
+                       AND q.stamp <= v.stamp) <= 2))
+        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
+          'purchase' AS g2, COUNT(DISTINCT id) AS customers,
+          COUNT(*) AS n_rows
+        FROM tri GROUP BY i
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*)
+        FROM tri GROUP BY i""")),
+
     // Depth-4: the framed-from-limited step at a MIDDLE level — the same
     // (G, K) collect applied at its level; K composes through the plain
     // deepest's running-max ladder.

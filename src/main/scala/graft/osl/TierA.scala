@@ -744,14 +744,15 @@ object TierA {
            // limit counts pred₁ VISITS, the interval counts SPAWNING
            // matches — they must coincide). Forward-mid limits are an
            // upper-endpoint min-term, reverse-mid limits a lower-endpoint
-           // max-term (the n closest matches below the spawn), restart-mid
-           // limits a rank cap folded into the count predicate — the
-           // latter only when UNFRAMED (every spawn then sees the
-           // identical floored sequence).
-           (levels(1).limitN.isEmpty ||
-             (rowFreeGuard(levels(2)) &&
-               (!levels(1).isFromStep ||
-                 (levels(1).spanMs.isEmpty && levels(1).contraSpanMs.isEmpty)))) &&
+           // max-term (the n closest matches below the spawn), UNFRAMED
+           // restart-mid limits a rank cap folded into the count
+           // predicate (every spawn sees the identical floored
+           // sequence), and FRAMED restart-mid limits (round 15) one
+           // more upper-endpoint min-term n + G(s0) — under rowFreeGuard
+           // the rank space IS the interval-count space, and G (the
+           // below-frame floored count at the spawn) already rides the
+           // tuple as the interval's own lower endpoint (__mlo/__cmx).
+           (levels(1).limitN.isEmpty || rowFreeGuard(levels(2))) &&
            // DEEPEST-step limits keep the forward G/Γ machinery: both
            // steps must scan forward (backward / absolute-floor visit
            // counts are not the forward match-count difference it prices).
@@ -1748,13 +1749,17 @@ object TierA {
           // it folds into the counted predicate itself (round 12); so
           // does its `.limit(n)` — gated to UNFRAMED restarts, where
           // every spawn sees the identical floored sequence, the cap is
-          // the row's rank among floored matches (the witness's __mc1)
+          // the row's rank among floored matches (the witness's __mc1).
+          // A FRAMED restart mid's rank diverges per spawn (round 15) —
+          // its cap stays OUT of predA and joins the upper-endpoint
+          // min-terms as n + G(s0) instead (see lim1Ub below).
           val predA = {
             val floored =
               if (mid3From)
                 predA0 && col("__rn") >= lit(levels(1).fromStart.get + 1)
               else predA0
-            if (mid3From && lim1.isDefined)
+            if (mid3From && lim1.isDefined &&
+                mfAhead.isEmpty && mfBack.isEmpty)
               floored && col("__mc1") <= lit(lim1.get)
             else floored
           }
@@ -1876,12 +1881,12 @@ object TierA {
           accums.map { case (n, _, _) => col(s"__acc_$n").as(n) } ++
             Seq(col("stamp").as("__st")) ++
             levels(1).limitN.map(_ => col("__mc1").as("__mc")).toSeq ++
-            // depth-2 FRAMED `.from(k)` + `.limit(n)` (round 15): the
+            // a FRAMED `.from(k)` + `.limit(n)` level 1 (round 15): the
             // tuple carries G(y) — the floored matches strictly below
             // the spawn's frame (chainWitnesses' `__gg1`) — so spawnOk
-            // can price the per-spawn rank C'(r) − G(y) exactly
-            (if (levels.size == 2 && levels(1).isFromStep &&
-                 levels(1).limitN.isDefined &&
+            // can price the per-spawn rank C'(r) − G(y) exactly (depth-2
+            // visits AND depth-3 level-1 tallies)
+            (if (levels(1).isFromStep && levels(1).limitN.isDefined &&
                  (levels(1).spanMs.isDefined || levels(1).contraSpanMs.isDefined))
                Seq(col("__gg1").as("__g")) else Nil) ++
             (if (levels.size >= 3) Seq(col("__cm1c").as("__cm")) else Nil) ++
@@ -2232,10 +2237,22 @@ object TierA {
                       // a mid limit by direction: forward — the first n
                       // matches AFTER the spawn are an upper-endpoint
                       // min-term; reverse — the n closest matches BELOW
-                      // it are a lower-endpoint max-term; restart —
-                      // folded into the counted predicate upstream
+                      // it are a lower-endpoint max-term; UNFRAMED
+                      // restart — folded into the counted predicate
+                      // upstream; FRAMED restart (round 15) — rank =
+                      // C(s1) − G(s0) ≤ n with G the below-frame floored
+                      // count, which IS the interval's own tuple-side
+                      // lower endpoint (__mlo / __cmx; an infinite back
+                      // side never cuts, G ≡ 0) — one more min-term
                       val lim1Ub =
-                        if (mid3Rev || mid3From) None
+                        if (mid3Rev) None
+                        else if (mid3From) lim1.flatMap { n =>
+                          if (mfAhead.isEmpty && mfBack.isEmpty) None
+                          else Some((
+                            if (mfBFin) v.getField("__mlo")
+                            else if (mfLoCmx) v.getField("__cmx")
+                            else lit(0L)) + lit(n))
+                        }
                         else lim1.map(n => v.getField("__cm") + lit(n))
                       // clamped at the natural 0 floor: every other lb
                       // term is a count (≥ 0), but C(s0⁻) − n can go
@@ -3494,9 +3511,9 @@ object TierA {
     // through ONE fold with the JOINT (acc_0…acc_{n−1}, vis) buffer
     // (round 15 second act — a visit needs every gate, every gating
     // accumulator updates on a visit); static conjuncts on a gating name
-    // join its gate as constant sides. Chains under a dynamic cap stay
-    // Tier B (the spawn set would gate chainWitnesses — unproven
-    // composition).
+    // join its gate as constant sides. Chain TOPS compose (the fold's
+    // vis gates which rows spawn — see chainWitnesses); reads of a
+    // gating name BELOW a chain step decline per cap below.
     def capSolvable(nm: String): Boolean = accumOf(nm).exists { case (_, parts) =>
       parts.isEmpty ||
         parts.forall(p => p.cond.isEmpty && p.incThen.forall(isIntLit))

@@ -1267,10 +1267,11 @@ class TierChainAccumSpec extends SparkSpec {
          |  end
          |end
          |""".stripMargin)
-    // pinned declines: a FRAMED restart-mid limit (per-spawn sequences
-    // diverge) and a deep limit under a non-forward mid (the G lookup
-    // needs forward-forward count spaces)
-    mid3("each_row.from(1).look_back(24_hours).limit(1)", expectTierA = false)
+    // round 15: a FRAMED restart-mid limit compiles (per-spawn sequences
+    // diverge, but the rank is one more min-term n + G(s0) — see the
+    // round-15 framed-restart test); still pinned: a deep limit under a
+    // non-forward mid (the G lookup needs forward-forward count spaces)
+    mid3("each_row.from(1).look_back(24_hours).limit(1)")
     mid3("each_row.continue().next().reverse().look_back(20_hours)",
       deepMods = ".look_ahead(10_hours).limit(1)", expectTierA = false)
     // level-1 tallies under reverse/restart DEEPEST steps (the mid is
@@ -2155,21 +2156,50 @@ class TierChainAccumSpec extends SparkSpec {
          |  end
          |end
          |""".stripMargin)
-    // pinned decline that REMAINS: a framed-from-limited step at the
-    // depth-3 MIDDLE below accumulators — level 1 must stay plain for
-    // the ordinal ladder, and the depth-3 collect path's interval counts
-    // have no per-spawn rank seam (the min-term fold is future work)
+    // depth-3 MIDDLE framed-from limits ride the COLLECT path's interval
+    // counts (level 1 can't be ordinal): under rowFreeGuard the rank
+    // space IS the interval-count space, so the cap is one more
+    // upper-endpoint min-term n + G(s0), with G the tuple's own
+    // below-frame lower endpoint (__mlo / __cmx)
+    for (mods <- Seq(".look_back(24_hours).limit(2)",
+                     ".look_ahead(18_hours).limit(1)",
+                     ".within(15_hours, stamp).limit(2)"))
+      diffOn(worldDense,
+        s"""${sel}n = 0
+           |each_row where event.is(== 'signup')
+           |  n += 1
+           |  each_row.from(1)$mods where event.is(== 'view')
+           |    each_row.continue().next() where event.is(== 'purchase')
+           |      << n, event
+           |    end
+           |  end
+           |end
+           |""".stripMargin)
+    // ...with a level-1 tally (spawnOk's per-tuple rank check at depth 3)
     diffOn(worldDense,
       s"""${sel}n = 0
          |each_row where event.is(== 'signup')
          |  n += 1
-         |  each_row.from(1).look_back(24_hours).limit(2) where event.is(== 'view')
+         |  each_row.from(1).look_back(24_hours).limit(1) where event.is(== 'view')
+         |    << n, 'mid'
          |    each_row.continue().next() where event.is(== 'purchase')
          |      << n, event
          |    end
          |  end
          |end
-         |""".stripMargin, expectTierA = false)
+         |""".stripMargin)
+    // ...and under a non-forward DEEPEST (the endpoint terms stay modular)
+    diffOn(worldDense,
+      s"""${sel}n = 0
+         |each_row where event.is(== 'signup')
+         |  n += 1
+         |  each_row.from(1).look_ahead(20_hours).limit(2) where event.is(== 'view')
+         |    each_row.continue().next().reverse().look_back(12_hours) where event.is(== 'purchase')
+         |      << n, event
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
   }
 
   test("depth-3 chains with plain inner steps compile (round 9)") {

@@ -1105,12 +1105,27 @@ class TierPropertySpec extends SparkSpec {
         val frame = draw(Gen.oneOf(".look_back(24_hours)",
           ".look_ahead(18_hours)", ".within(15_hours, stamp)"), s.slide.next)
         val lim = draw(genLim, s.slide.next.next)
-        draw(Gen.oneOf(1, 2, 3), s.slide.next.next.next) match {
+        draw(Gen.oneOf(1, 2, 3, 4), s.slide.next.next.next) match {
           case 1 => // depth-3 deepest: the ladder's (G, K) collect
             d3("", "0", "n += 1", None,
               s"each_row.from(1)$frame.limit($lim)", s)
           case 2 => // depth-4 middle: the same branch at its level
             d4(s"each_row.from(1)$frame.limit($lim)", cont, s)
+          case 4 => // depth-3 MIDDLE: collect path, n + G(s0) min-term
+            val w0 = draw(genWhere, s)
+            val w1 = draw(genWhere, s.next)
+            val w2 = draw(genWhere, s.next.next)
+            val g2 = draw(genGroup, s.slide)
+            s"""${sel}n = 0
+               |each_row where $w0
+               |  n += 1
+               |  each_row.from(1)$frame.limit($lim) where $w1
+               |    each_row.continue().next() where $w2
+               |      << n, $g2
+               |    end
+               |  end
+               |end
+               |""".stripMargin
           case _ => // depth 2: the spawn tuple carries G, spawnOk prices
             val w0 = draw(genWhere, s)
             val w1 = draw(genWhere, s.next)
@@ -1148,12 +1163,25 @@ class TierPropertySpec extends SparkSpec {
           ("0", "n += 1", "n < product_price"),
           ("0", "n += product_price", "n < 120"),
           ("0", "n += 1", "get_hour(stamp) >= n")), s.next.next)
-        s"""${sel}n = $init
-           |each_row where $w0 && $cap
-           |  $inc
-           |  << n, $g2
-           |end
-           |""".stripMargin
+        // round 15 second act: a JOINT second gating accumulator on half
+        // the draws (one GatedFold, (n, m, vis) buffer)
+        val dual = draw(Gen.oneOf(true, false), s.next.next.next)
+        if (dual)
+          s"""${sel}n = $init
+             |m = 0
+             |each_row where $w0 && $cap && m < get_hour(stamp)
+             |  $inc
+             |  m += 1
+             |  << n, $g2
+             |end
+             |""".stripMargin
+        else
+          s"""${sel}n = $init
+             |each_row where $w0 && $cap
+             |  $inc
+             |  << n, $g2
+             |end
+             |""".stripMargin
       })
     val counts = scala.collection.mutable.Map.empty[String, Int]
     (1 to 33).foreach { i =>
