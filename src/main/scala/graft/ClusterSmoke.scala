@@ -96,7 +96,8 @@ object ClusterSmoke {
     "q_osl_chain3_restart_framed_limited",
     "q_osl_chain3_restart_framed_mid_limited",
     "q_osl_chain4_restart_framed_mid_limited",
-    "q_osl_where_dynamic_dual")
+    "q_osl_where_dynamic_dual",
+    "q_osl_where_dynamic_carried")
 
   private def canon(df: org.apache.spark.sql.DataFrame): Set[Vector[String]] = {
     val cols = df.columns.sorted

@@ -344,6 +344,10 @@ object Plans {
         "GatedFold running window — buffer = (n, m, vis) tuple, both " +
         "gates chained ahead of both stage groups; still no collect, no " +
         "MapGroups, one window on the person exchange"),
+    P("q_osl_where_dynamic_carried",
+      "CARRIED cap (round 15): the gating accumulator read below a " +
+        "chain step rides the fold column into the chain machinery - " +
+        "same single person exchange, the funnel windows unchanged"),
     P("q_ann_ivf_indexed",
       "persisted IVF index (round 11): the cells scan carries an explicit " +
         "PartitionFilters: cell IN (probed) — a query reads nprobe/nlist of the " +

@@ -3217,5 +3217,63 @@ object QueriesOsl {
           COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows,
           ${dsumSql("value")} AS total_spend
         FROM vis GROUP BY g1""")),
+
+    // Round-15 widening: a CARRIED cap — the gating accumulator read
+    // BELOW a chain step. Spawns ARE the fold's visits, so the gating
+    // name joins the chain machinery like any other accumulator: each
+    // purchase after a budget-admitted signup tallies under the spawn's
+    // post-visit running spend. The oracle replays the (acc, vis)
+    // recurrence, keeps the visited signups' post-visit values, and
+    // joins purchases after them.
+    Q("q_osl_where_dynamic_carried",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |each_row where event.is(== 'signup') && n < value
+            |  n += value
+            |  each_row.continue().next() where event.is(== 'purchase')
+            |    << bucket(n, 50), event
+            |  end
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"))
+      },
+      Some(s"""WITH RECURSIVE e AS (
+          SELECT user_id AS id, epoch_ms(ts) AS stamp,
+                 event_type AS event, value FROM events),
+        m AS (
+          SELECT id, stamp, value,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
+          FROM e WHERE event = 'signup'),
+        f AS (
+          SELECT id, 0 AS i, CAST(0.0 AS DOUBLE) AS acc, FALSE AS vis,
+                 CAST(NULL AS BIGINT) AS stamp
+          FROM (SELECT DISTINCT id FROM m)
+          UNION ALL
+          SELECT m.id, m.i,
+            CASE WHEN f.acc < m.value
+                 THEN f.acc + COALESCE(m.value, 0) ELSE f.acc END,
+            COALESCE(f.acc < m.value, FALSE),
+            m.stamp
+          FROM f JOIN m ON m.id = f.id AND m.i = f.i + 1),
+        sp AS (SELECT id, stamp, acc FROM f WHERE vis),
+        pairs AS (
+          SELECT DISTINCT p.id, p.stamp,
+            CAST(CAST(FLOOR(b.acc / 50) * 50 AS BIGINT) AS VARCHAR) AS g1
+          FROM e p JOIN sp b ON b.id = p.id AND b.stamp < p.stamp
+          WHERE p.event = 'purchase')
+        SELECT CAST(2 AS INTEGER) AS depth, g1, 'purchase' AS g2,
+          COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows
+        FROM pairs GROUP BY g1
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), g1, CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*)
+        FROM pairs GROUP BY g1""")),
   )
 }

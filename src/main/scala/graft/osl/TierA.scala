@@ -106,12 +106,20 @@ object TierA {
           // look_ahead) and GUARDED inner steps (round 11): reachability
           // becomes an interval count between endpoint prefix counts
           // (see chainDeepOk)
-          if accums.isEmpty || levels.size == 1 ||
+          // carried caps (round 15): a gating accumulator read below a
+          // chain step joins the chain machinery as one more accumulator
+          // — spawns ARE the fold's visits, so its per-spawn value is
+          // affine on the ordinal path and the `__acc_` column (built by
+          // the chainWitnesses fold, not the plain accum loop) rides the
+          // collect tuples
+          accumsEff = accums ++ dynCap.toSeq.flatMap(_.caps.filter(_.carried)
+            .map(c => (c.name, c.init, c.parts)))
+          if accumsEff.isEmpty || levels.size == 1 ||
             (levels.size == 2 && chainAccumOk(levels(1)) &&
-              chainCollectSafe(levels, accums, events)) ||
-            (levels.size >= 3 && chainDeepOk(levels, accums) &&
-              chainCollectSafe(levels, accums, events) &&
-              mixedRowSidesOk(levels, events, now, accums))
+              chainCollectSafe(levels, accumsEff, events)) ||
+            (levels.size >= 3 && chainDeepOk(levels, accumsEff) &&
+              chainCollectSafe(levels, accumsEff, events) &&
+              mixedRowSidesOk(levels, events, now, accumsEff))
           tallies = levels.flatMap(_.tallies)
           if tallies.nonEmpty &&
             tallies.forall { case (_, gs) => gs.nonEmpty && gs.size <= OslEngine.MaxDepth } &&
@@ -352,7 +360,7 @@ object TierA {
               explodePlan(filtered, tallyGroupsF, tallyPredsF, selects, aggs)
           } else
             chainPlan(baseTF, levels, now, real, selects, aggs, topFrameCond,
-              accums, realB, dynCap, dynRankCap)
+              accumsEff, realB, dynCap, dynRankCap)
         }
       case _ => None
     }
@@ -2483,7 +2491,11 @@ object TierA {
     // stay bit-identical (round 11; the single-loop twin landed in round
     // 10) — while an unbounded-FOLLOWING frame re-aggregates ascending
     // from each row (different fp association AND O(rows²) per person).
-    accums.foreach { case (n, init, parts) =>
+    // carried caps (round 15) arrive in `accums` so the chain machinery
+    // binds them, but their `__acc_` columns were already built by the
+    // dynCap GatedFold above — a plain sum here would miss the gates
+    val capBuilt = dynCap.toSeq.flatMap(_.caps.map(_.name)).toSet
+    accums.filterNot(a => capBuilt(a._1)).foreach { case (n, init, parts) =>
       val acc =
         if (foldNeeded(init, parts))
           // multi-statement / nonzero-init fp accumulators (round 13):
@@ -3120,9 +3132,15 @@ object TierA {
   /** One gating accumulator of a DYNAMIC where-conjunct cap: its gate
     * conjuncts `(cmpOp, accum-free row expr)` — static-literal conjuncts
     * on the same name join as constant sides — and the accumulator's
-    * init/parts for its [[graft.functions.GatedFold]] stage group. */
+    * init/parts for its [[graft.functions.GatedFold]] stage group.
+    * `carried` (round 15): the name is read BELOW a chain step — the
+    * fold's post-visit column then joins the chain machinery like any
+    * other accumulator (spawns ARE the fold's visits, so the j-th
+    * spawn's value is affine init + c·j on the ordinal path, and the
+    * collect path's tuples carry the `__acc_` column verbatim). */
   private final case class CapAcc(name: String, gates: Seq[(String, Expr)],
-                                  init: Long, parts: Seq[AccumPart])
+                                  init: Long, parts: Seq[AccumPart],
+                                  carried: Boolean = false)
 
   /** A DYNAMIC where-conjunct cap (round 15): one or more gating
     * accumulators priced by ONE GatedFold whose buffer is the JOINT
@@ -3528,12 +3546,15 @@ object TierA {
         // chain tops compose since round 15: the fold gates which rows
         // SPAWN (chainWitnesses evaluates candidacy in-row — the witness
         // windows need every row). Reads of a gating name BELOW a chain
-        // step still decline: its value is not affine in the spawn
-        // ordinal under a dynamic gate and the witness tuples don't
-        // carry it, so neither bind path can serve them; top-level reads
-        // ride the fold column.
-        if (chainSteps.exists(st => readPositions(Seq(st)).exists(
-            readsName(_, Set(n))))) return None
+        // step also compose (round 15, `carried`): spawns ARE the fold's
+        // visits, so the j-th spawn observes init + c·j (ordinal path,
+        // int-literal increments) or the tuple-carried `__acc_` column
+        // (collect path) — compile() widens its accums with carried
+        // caps so both bind paths serve the reads. (The step's own
+        // where / frame / limit reads declined above, as for any
+        // accumulator.)
+        val carried = chainSteps.exists(st => readPositions(Seq(st)).exists(
+          readsName(_, Set(n))))
         val (init, parts) = accumOf(n).getOrElse(return None)
         if (parts.isEmpty) return None // never incremented: a static conjunct
         // INT-literal increments live exactly in the fold's double buffer
@@ -3550,7 +3571,7 @@ object TierA {
           dynConjs.filter(_._1 == n).map(c => (c._2, c._3)) ++
             (foldStatics ++ dynStatics).filter(_._1 == n)
               .map(c => (c._2, Lit(VInt(c._3)): Expr)),
-          init, parts)
+          init, parts, carried)
       }))
     // names read OUTSIDE the where need a materialized window column; a
     // name read ONLY in (extracted) where conjuncts needs no column at all

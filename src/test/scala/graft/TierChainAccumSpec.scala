@@ -2200,6 +2200,13 @@ class TierChainAccumSpec extends SparkSpec {
          |  end
          |end
          |""".stripMargin)
+    // HALF-INFINITE step frames (span = Long.MaxValue) are handled
+    // defensively throughout (witness G degenerates to the strict-before
+    // count or 0; the ordinal ladder declines its unbounded bracket) but
+    // are NOT constructible from source: the parser requires an argument
+    // on each_row `.look_ahead/.look_back` (no-arg forms exist only on
+    // ever/never test frames — Parser.parseEachRowMods vs :413), and no
+    // literal span reaches Long.MaxValue.
   }
 
   test("depth-3 chains with plain inner steps compile (round 9)") {

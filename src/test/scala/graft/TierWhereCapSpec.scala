@@ -442,7 +442,9 @@ class TierWhereCapSpec extends SparkSpec {
          |  << bucket(n + k, 2), event
          |end
          |""".stripMargin)
-    diff( // decline stays: a read of EITHER gating name below a chain step
+    diff( // a read of a gating name below a chain step (round 15 third
+      // act, `carried`): k has int-literal increments, so the ordinal
+      // path serves it — spawns ARE the fold's visits, value = init+c·j
       s"""${sel}n = 0
          |k = 0
          |each_row where event.is(== 'signup') && n < product_price && k < get_hour(stamp)
@@ -450,6 +452,96 @@ class TierWhereCapSpec extends SparkSpec {
          |  k += 1
          |  each_row.continue().next() where event.is(== 'purchase')
          |    << k, event
+         |  end
+         |end
+         |""".stripMargin)
+  }
+
+  test("carried caps: gating-name reads below chain steps (round 15)") {
+    // spawns ARE the fold's visits, so the gating accumulator joins the
+    // chain machinery like any other accumulator: affine init + c·j on
+    // the ordinal path (int-literal increments), the tuple-carried
+    // `__acc_` fold column on the collect path (prop/guarded increments)
+    diff( // int-literal increments: ordinal path
+      s"""${sel}n = 0
+         |each_row where event.is(== 'signup') && n < product_price
+         |  n += 1
+         |  each_row.continue().next() where event.is(== 'purchase')
+         |    << n, event
+         |  end
+         |end
+         |""".stripMargin)
+    diff( // fp prop increments: the collect path carries the fold column
+      s"""${sel}n = 0
+         |each_row where event.is(!= 'error') && n < 150
+         |  n += product_price
+         |  each_row.continue().next() where event.is(== 'purchase')
+         |    << bucket(n, 60), event
+         |  end
+         |end
+         |""".stripMargin)
+    diff( // guarded increments: collect path too
+      s"""${sel}n = 0
+         |each_row where event.is(!= 'error') && n < product_price
+         |  if product_price.is(> 10)
+         |    n += 2
+         |  end
+         |  each_row.continue().next() where event.is(== 'view')
+         |    << n, event
+         |  end
+         |end
+         |""".stripMargin)
+    diff( // read at depth 3 (the reachability ladder binds the ordinal)
+      s"""${sel}n = 0
+         |each_row where event.is(== 'signup') && n < product_price
+         |  n += 1
+         |  each_row.continue().next() where event.is(== 'view')
+         |    each_row.continue().next() where event.is(== 'purchase')
+         |      << n, event
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
+    diff( // mixed guard READING the gating name on an inner step
+      s"""${sel}n = 0
+         |each_row where event.is(== 'signup') && n < product_price
+         |  n += 1
+         |  each_row.continue().next() where event.is(== 'view')
+         |    if get_hour(stamp) > n
+         |      each_row.continue().next() where event.is(== 'purchase')
+         |        << n, event
+         |      end
+         |    end
+         |  end
+         |end
+         |""".stripMargin)
+    diff( // dual gates, both names read below the step
+      s"""${sel}n = 0
+         |k = 0
+         |each_row where event.is(== 'signup') && n < product_price && k < get_hour(stamp)
+         |  n += product_price
+         |  k += 1
+         |  each_row.continue().next() where event.is(== 'purchase')
+         |    << bucket(n + k, 50), event
+         |  end
+         |end
+         |""".stripMargin)
+    diff( // `.limit` (post-fold rank) composes with a below-chain read
+      s"""${sel}n = 0
+         |each_row.limit(3) where event.is(!= 'error') && n < product_price
+         |  n += 1
+         |  each_row.continue().next() where event.is(== 'view')
+         |    << n, event
+         |  end
+         |end
+         |""".stripMargin)
+    diff( // decline stays: a read in the chain step's own WHERE
+      // (evaluates during the scan, not at the spawn)
+      s"""${sel}n = 0
+         |each_row where event.is(== 'signup') && n < product_price
+         |  n += 1
+         |  each_row.continue().next() where product_price > n
+         |    << n, event
          |  end
          |end
          |""".stripMargin, expectTierA = false)
@@ -559,18 +651,8 @@ class TierWhereCapSpec extends SparkSpec {
          |  << 'str', event
          |end
          |""".stripMargin, expectTierA = false)
-    diff( // reads of the GATING name below a chain step: its value is not
-      // affine in the spawn ordinal under a dynamic gate and the witness
-      // tuples don't carry it — neither bind path serves it (chain tops
-      // themselves compose since round 15, next test)
-      s"""${sel}n = 0
-         |each_row where event.is(== 'signup') && n < product_price
-         |  n += 1
-         |  each_row.continue().next() where event.is(== 'purchase')
-         |    << n, event
-         |  end
-         |end
-         |""".stripMargin, expectTierA = false)
+    // reads of the GATING name below a chain step compile since the
+    // round-15 third act (`carried` caps) — see the dedicated test
     diff( // |init| past 2^51: the int fold leaves the exact double range
       s"""${sel}n = 9007199254740992
          |each_row where event.is(!= 'error') && n < product_price
