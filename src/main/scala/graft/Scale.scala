@@ -648,6 +648,49 @@ object Scale {
             |  << bucket(spend, 200), event
             |end
             |""".stripMargin, now = 1719792000000L)
+      }),
+      // round 15: framed restart limit at the DEEPEST — the ordinal
+      // ladder's per-hop (G, K) struct collect over the inverted-frame
+      // bracket; state is capped by the frame's row density, so cost
+      // must stay linear in data as replicas multiply the population
+      "osl_restart_framed_lim" -> ((_: String, e: String, _: String) => {
+        val ev = normalizeEvents(spark.read.parquet(e))
+        graft.osl.OslEngine.query(ev,
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |each_row where event.is(== 'signup')
+            |  n += 1
+            |  each_row.continue().next() where event.is(== 'view')
+            |    each_row.from(1).look_back(24_hours).limit(2) where event.is(== 'purchase')
+            |      << n, event
+            |    end
+            |  end
+            |end
+            |""".stripMargin, now = 1719792000000L)
+      }),
+      // round 15: the JOINT dual-gate fold + a carried below-chain read —
+      // one GatedFold window plus the ordinary funnel machinery; no
+      // collect anywhere, so nothing may grow super-linearly
+      "osl_dyn_carried" -> ((_: String, e: String, _: String) => {
+        val ev = normalizeEvents(spark.read.parquet(e))
+        graft.osl.OslEngine.query(ev,
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |k = 0
+            |each_row where event.is(== 'signup') && n < value && k < get_hour(stamp)
+            |  n += value
+            |  k += 1
+            |  each_row.continue().next() where event.is(== 'purchase')
+            |    << bucket(n, 50), event
+            |  end
+            |end
+            |""".stripMargin, now = 1719792000000L)
       }))
 
     // optional second arg: run only operators whose name contains one of
