@@ -597,13 +597,16 @@ object TierA {
         mbs.forall(mb => aligned(mb) || contra(mb)) &&
           // CONTRA-direction bounds (round 14: suffix forms under a
           // forward top / prefix forms under a reverse top) compile only
-          // at the DEEPEST level over a finite forward frame: per-hop
+          // at the DEEPEST level over a range-bounded hop window: per-hop
           // valid sets become arbitrary intervals whose union can gap,
           // so entries are the exact merged-interval union over the
           // frame-bounded hop window — no closed-form ladder fold exists
-          // (the mismatched endpoint varies per hop)
+          // (the mismatched endpoint varies per hop). Round 15: the
+          // window may follow any direction (mixedUnionDirOk) — finite
+          // forward look_ahead, finite aligned reverse look_back, or a
+          // finite-bracket framed restart.
           mbs.filterNot(aligned).forall(_ => k == levels.size - 1 &&
-            mixedUnionFrameOk(levels.last)) &&
+            mixedUnionDirOk(levels.last)) &&
           // a mixed-guarded DEEPEST may be limited when the limit is an
           // exact per-hop computation (round 14): framed forward — the
           // hop collect carries (count, mixed-folded K) pairs; framed
@@ -634,6 +637,23 @@ object TierA {
     * filter applied to the collected interval structs. */
   private def mixedUnionFrameOk(l: ChainLevel): Boolean =
     frameableStep(l) && l.spanMs.exists(_ != Long.MaxValue)
+
+  /** Round-15 continuation: the contra union composes with NON-FORWARD
+    * deepests too — the hop window follows the step's direction (finite
+    * aligned REVERSE look_back: hops follow the row; finite-bracket
+    * FRAMED RESTART: hops bracket it), and a deepest `.limit(m)` joins
+    * as that direction's own per-hop rank filter (reverse: the backward
+    * between-count D(y⁻) − C(r) ≤ m−1; restart: the floored rank
+    * C'(r) − G(y) ≤ m). UNFRAMED restarts stay Tier B — the bracket is
+    * unbounded, so the interval collect has no cap. */
+  private def mixedUnionDirOk(l: ChainLevel): Boolean =
+    mixedUnionFrameOk(l) ||
+      (l.reverse && l.contraSpanMs.isEmpty &&
+        l.spanMs.exists(_ != Long.MaxValue)) ||
+      (l.isFromStep && (l.spanMs.isDefined || l.contraSpanMs.isDefined) && {
+        val (dLo, dHi) = deepS1Offsets(l)
+        dLo.isDefined && dHi.isDefined
+      })
 
   private def hasMixedGuards(levels: Seq[ChainLevel]): Boolean =
     (2 until levels.size).exists(k => mixedBoundsAt(levels, k).nonEmpty)
@@ -1514,7 +1534,19 @@ object TierA {
             // frame-bounded preceding window, sort, merge overlapping
             // intervals, and flatten the merged sequences (output size
             // ≤ spawns; intermediate ≤ hops-in-frame).
-            val sp = spanDeep.get // mixedUnionFrameOk: finite look_ahead
+            // hop window by deepest-step direction (round 15): forward
+            // hops precede the row within the finite look_ahead; reverse
+            // hops FOLLOW it within the aligned look_back; framed-restart
+            // hops BRACKET it per the inverted frame (all range-bounded
+            // by mixedUnionDirOk)
+            val lastL = levels.last
+            val unionWin =
+              if (lastL.reverse)
+                person.rangeBetween(1L, lastL.spanMs.get)
+              else if (lastL.isFromStep) {
+                val (uLo, uHi) = deepS1Offsets(lastL)
+                person.rangeBetween(uLo.get, uHi.get)
+              } else person.rangeBetween(-spanDeep.get, -1L)
             val rev = levels.head.reverse
             val ivLo =
               if (!rev) greatest((lit(1L) +: contraJ.map(entryLo)): _*)
@@ -1531,26 +1563,51 @@ object TierA {
             // count rides the collected struct and filters in-row before
             // the sort/merge
             val limM = levels.last.limitN
+            // the rank filter in the DIRECTION's own count space
+            // (round 15): forward carries the hop's inclusive deep count
+            // (between-count C(r) − c ≤ m); reverse the hop's EXCLUSIVE
+            // count (backward between-count c − C(r) ≤ m−1); restart the
+            // hop's below-frame floored count G (rank C'(r) − G ≤ m)
+            val deepPredU =
+              if (lastL.isFromStep)
+                levelPreds(levels.size - 1) &&
+                  col("__rn") >= lit(lastL.fromStart.get + 1)
+              else levelPreds(levels.size - 1)
             limM.foreach { _ =>
               df = df.withColumn("__cdcU",
-                count(when(levelPreds(levels.size - 1), 1)).over(
+                count(when(deepPredU, 1)).over(
                   person.rowsBetween(W.unboundedPreceding, W.currentRow)))
+              if (lastL.isFromStep) {
+                val backOff = lastL.contraSpanMs.getOrElse(0L) // finite by gate
+                df = df.withColumn("__gUc",
+                  count(when(deepPredU, 1)).over(
+                    person.rangeBetween(W.unboundedPreceding, -backOff - 1L)))
+              }
             }
-            val hopStruct = limM match {
+            val hopC: Option[Column] = limM.map { _ =>
+              if (lastL.isFromStep) col("__gUc")
+              else if (lastL.reverse)
+                col("__cdcU") - when(deepPredU, lit(1L)).otherwise(lit(0L))
+              else col("__cdcU")
+            }
+            val hopStruct = hopC match {
               case None => struct(ivLo.as("lo"), ivHi.as("hi"))
-              case Some(_) =>
-                struct(ivLo.as("lo"), ivHi.as("hi"), col("__cdcU").as("c"))
+              case Some(c) =>
+                struct(ivLo.as("lo"), ivHi.as("hi"), c.as("c"))
             }
             df = df
               .withColumn("__ivArr",
                 collect_list(when(wPred && ivLo <= ivHi, hopStruct))
-                  .over(person.rangeBetween(-sp, -1L)))
+                  .over(unionWin))
               .withColumn("__ordU", {
                 val arr = limM match {
                   case None => col("__ivArr")
                   case Some(m) => transform(
                     filter(col("__ivArr"),
-                      e => col("__cdcU") - e.getField("c") <= lit(m)),
+                      e =>
+                        if (lastL.reverse)
+                          e.getField("c") - col("__cdcU") <= lit(m - 1)
+                        else col("__cdcU") - e.getField("c") <= lit(m)),
                     e => struct(e.getField("lo").as("lo"),
                       e.getField("hi").as("hi")))
                 }
@@ -1570,7 +1627,7 @@ object TierA {
                 flatten(transform(merged,
                   iv => sequence(iv.getField("lo"), iv.getField("hi"))))
               })
-              .drop("__ivArr", "__cdcU")
+              .drop("__ivArr", "__cdcU", "__gUc")
           } else if (j == levels.size - 1 && fwdLimCollect) {
             // round 14: framed FORWARD deepest + .limit(m) when the
             // hop-side values aren't monotone (deepest mixed fold /

@@ -1730,6 +1730,28 @@ class TierChainAccumSpec extends SparkSpec {
     // frame-bounded hop window
     mixed3("get_hour(stamp) < n", deepMods = ".look_ahead(12_hours)")
     mixed3("n > get_hour(stamp)", deepMods = ".look_ahead(24_hours)")
+    // round 15: the contra union composes with NON-FORWARD deepests —
+    // the hop window flips (finite aligned reverse) or brackets (framed
+    // restart), and a deepest .limit joins as the direction's own
+    // per-hop rank filter
+    mixed3("get_hour(stamp) < n",
+      deepStep = Some("each_row.continue().next().reverse().look_back(14_hours)"))
+    mixed3("get_hour(stamp) < n",
+      deepStep = Some("each_row.continue().next().reverse().look_back(20_hours).limit(2)"))
+    mixed3("product_price >= n", init = "n = 80", inc = "n -= 7",
+      deepStep = Some("each_row.continue().next().reverse().look_back(16_hours).limit(1)"))
+    mixed3("get_hour(stamp) < n",
+      deepStep = Some("each_row.from(1).look_back(20_hours)"))
+    mixed3("get_hour(stamp) < n",
+      deepStep = Some("each_row.from(1).look_back(20_hours).limit(2)"))
+    mixed3("get_hour(stamp) < n",
+      deepStep = Some("each_row.from(0).within(16_hours, stamp).limit(1)"))
+    // declines stay: contra over an UNFRAMED restart deepest (the
+    // bracket is unbounded — no cap for the interval collect)
+    mixed3("get_hour(stamp) < n",
+      deepStep = Some("each_row.from(1)"), expectTierA = false)
+    mixed3("get_hour(stamp) < n",
+      deepStep = Some("each_row.from(1).limit(2)"), expectTierA = false)
     mixed3("n >= get_hour(stamp)", inc = "n += 2",
       deepMods = ".look_ahead(9_hours)")
     mixed3("int(product_price) >= n", init = "n = 80", inc = "n -= 7",
