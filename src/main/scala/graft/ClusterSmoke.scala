@@ -97,7 +97,10 @@ object ClusterSmoke {
     "q_osl_chain3_restart_framed_mid_limited",
     "q_osl_chain4_restart_framed_mid_limited",
     "q_osl_where_dynamic_dual",
-    "q_osl_where_dynamic_carried")
+    "q_osl_where_dynamic_carried",
+    // round 15: the contra union over a framed-restart-limited deepest
+    // (bracket hop window + floored C'-G rank filter in one collect)
+    "q_osl_mixed_suffix_restart_limited")
 
   private def canon(df: org.apache.spark.sql.DataFrame): Set[Vector[String]] = {
     val cols = df.columns.sorted

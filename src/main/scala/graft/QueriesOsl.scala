@@ -3218,6 +3218,63 @@ object QueriesOsl {
           ${dsumSql("value")} AS total_spend
         FROM vis GROUP BY g1""")),
 
+    // Round-15 widening: a CONTRA-direction mixed guard over a FRAMED
+    // RESTART deepest with a `.limit` — the merged-interval union's hop
+    // window BRACKETS the row (the inverted frame) and the rank filter
+    // is the restart's own floored C'(r) − G(y) ≤ m. The most composite
+    // shape of the round: contra union × framed restart × limit.
+    Q("q_osl_mixed_suffix_restart_limited",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |n = 0
+            |each_row where event.is(== 'signup')
+            |  n += 1
+            |  each_row.continue().next() where event.is(== 'view')
+            |    if get_hour(stamp) < n
+            |      each_row.from(1).look_back(24_hours).limit(2) where event.is(== 'purchase')
+            |        << n, event
+            |      end
+            |    end
+            |  end
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"))
+      },
+      Some(s"""$E, su AS (
+          SELECT id, stamp,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS i
+          FROM e WHERE event = 'signup'),
+        rn AS (
+          SELECT id, stamp, event,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS r
+          FROM e),
+        pp AS (
+          SELECT id, stamp FROM rn WHERE event = 'purchase' AND r >= 2),
+        tri AS (
+          SELECT DISTINCT p.id, p.stamp, su.i
+          FROM pp p JOIN su ON su.id = p.id
+          WHERE EXISTS (SELECT 1 FROM e v
+            WHERE v.id = p.id AND v.event = 'view' AND v.stamp > su.stamp
+              AND hour(make_timestamp(v.stamp * 1000)) < su.i
+              AND p.stamp BETWEEN v.stamp - 86400000 AND v.stamp
+              AND (SELECT COUNT(*) FROM pp q
+                   WHERE q.id = p.id AND q.stamp >= v.stamp - 86400000
+                     AND q.stamp <= p.stamp) <= 2))
+        SELECT CAST(2 AS INTEGER) AS depth, CAST(i AS VARCHAR) AS g1,
+          'purchase' AS g2, COUNT(DISTINCT id) AS customers,
+          COUNT(*) AS n_rows
+        FROM tri GROUP BY i
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), CAST(i AS VARCHAR), CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*)
+        FROM tri GROUP BY i""")),
+
     // Round-15 widening: a CARRIED cap — the gating accumulator read
     // BELOW a chain step. Spawns ARE the fold's visits, so the gating
     // name joins the chain machinery like any other accumulator: each

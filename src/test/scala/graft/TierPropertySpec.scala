@@ -1077,11 +1077,17 @@ class TierPropertySpec extends SparkSpec {
         val (init, inc, g) = draw(Gen.oneOf(
           ("0", "n += 1", "get_hour(stamp) < n"),
           ("80", "n -= 7", "product_price >= n")), s.slide.next)
-        // round 15: deepest limits compose with the union (rank filter)
+        // round 15: deepest limits compose with the union (rank filter),
+        // and the hop window follows any direction — forward look_ahead,
+        // aligned reverse look_back, or a framed-restart bracket
         val lim = draw(Gen.oneOf("", "", ".limit(1)", ".limit(2)"),
           s.slide.next.next.next)
-        d3("", init, inc, Some(g),
-          s"$cont.look_ahead(${draw(genSpan, s.slide.next.next)})$lim", s)
+        val sp = draw(genSpan, s.slide.next.next)
+        val deep = draw(Gen.oneOf(
+          s"$cont.look_ahead($sp)",
+          s"$cont.reverse().look_back($sp)",
+          s"each_row.from(1).look_back($sp)"), s.slide.slide)
+        d3("", init, inc, Some(g), s"$deep$lim", s)
       },
       "contra_two_sided" -> (s => d3("", "0", "n += 1",
         Some("get_hour(stamp) < n && n <= get_hour(stamp) + 6"),
