@@ -348,6 +348,11 @@ object Plans {
       "CARRIED cap (round 15): the gating accumulator read below a " +
         "chain step rides the fold column into the chain machinery - " +
         "same single person exchange, the funnel windows unchanged"),
+    P("q_osl_mixed_suffix_restart_limited",
+      "contra union x framed restart x limit (round 15): ONE interval " +
+        "collect over the bracket window carries (lo, hi, G) per hop; " +
+        "the rank filter and the merged-interval flatten happen in-row " +
+        "- still the single person exchange"),
     P("q_ann_ivf_indexed",
       "persisted IVF index (round 11): the cells scan carries an explicit " +
         "PartitionFilters: cell IN (probed) — a query reads nprobe/nlist of the " +

@@ -1015,8 +1015,8 @@ class TierPropertySpec extends SparkSpec {
   //   mixed_deep_limited   mixed guard on a framed limited deepest
   //   dyn_where_cap        round-15 dynamic where caps (GatedFold)
   // A round-robin over the table guarantees coverage; the counter
-  // asserts every class drew ≥ 2 of the 33 samples.
-  test("round-14/15 plan classes: Tier A == Tier B (33 samples, full class coverage)") {
+  // asserts every class drew ≥ 3 of the 39 samples.
+  test("round-14/15 plan classes: Tier A == Tier B (39 samples, full class coverage)") {
     val params = Gen.Parameters.default
     def draw[A](g: Gen[A], s: Seed): A = g.pureApply(params, s)
     val genSpan = Gen.oneOf("15_hours", "24_hours", "40_hours")
@@ -1190,7 +1190,7 @@ class TierPropertySpec extends SparkSpec {
              |""".stripMargin
       })
     val counts = scala.collection.mutable.Map.empty[String, Int]
-    (1 to 33).foreach { i =>
+    (1 to 39).foreach { i =>
       val (nm, build) = classes((i - 1) % classes.size)
       counts(nm) = counts.getOrElse(nm, 0) + 1
       val script = build(Seed(i.toLong * 6700417))
@@ -1203,7 +1203,7 @@ class TierPropertySpec extends SparkSpec {
       assert(a == b, s"tier mismatch on class $nm sample $i:\n$script\nA=$a\nB=$b")
     }
     classes.foreach { case (nm, _) =>
-      assert(counts.getOrElse(nm, 0) >= 2, s"class $nm never drew") }
+      assert(counts.getOrElse(nm, 0) >= 3, s"class $nm drew < 3") }
   }
 
   test("random continue().next() chains: Tier A == Tier B (40 seeded samples)") {
