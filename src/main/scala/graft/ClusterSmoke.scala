@@ -100,7 +100,9 @@ object ClusterSmoke {
     "q_osl_where_dynamic_carried",
     // round 15: the contra union over a framed-restart-limited deepest
     // (bracket hop window + floored C'-G rank filter in one collect)
-    "q_osl_mixed_suffix_restart_limited")
+    "q_osl_mixed_suffix_restart_limited",
+    // round 15: sessionize windows + the session_count person column
+    "q_osl_session_tally")
 
   private def canon(df: org.apache.spark.sql.DataFrame): Set[Vector[String]] = {
     val cols = df.columns.sorted

@@ -3218,6 +3218,92 @@ object QueriesOsl {
           ${dsumSql("value")} AS total_spend
         FROM vis GROUP BY g1""")),
 
+    // Round-15: SESSION references compile in Tier A (the table row said
+    // Tier B — stale): `needsSession` sessionizes the base (lag/gap/sum
+    // windows on the same person sort) and round 15 adds the
+    // `session_count` column (max(session) over the person — previously
+    // a compiled session_count reference hit an unresolved column at
+    // analysis). Oracle: the identical LAG/SUM sessionization in SQL.
+    Q("q_osl_session_tally",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |  count session as sessions
+            |end
+            |each_row where event.is(!= 'error')
+            |  << session, event
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"), col("sessions"))
+      },
+      Some(s"""$E, sz AS (
+          SELECT id, stamp, event,
+            1 + SUM(CASE WHEN prev IS NOT NULL AND stamp - prev > 1800000
+                         THEN 1 ELSE 0 END)
+              OVER (PARTITION BY id ORDER BY stamp
+                    ROWS UNBOUNDED PRECEDING) AS session
+          FROM (SELECT id, stamp, event,
+                  LAG(stamp) OVER (PARTITION BY id ORDER BY stamp) AS prev
+                FROM e)),
+        p AS (
+          SELECT id, CAST(session AS VARCHAR) AS g1, event AS g2, session
+          FROM sz WHERE event != 'error')
+        SELECT CAST(2 AS INTEGER) AS depth, g1, g2,
+          COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows,
+          COUNT(DISTINCT (id, session)) AS sessions
+        FROM p GROUP BY g1, g2
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), g1, CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*), COUNT(DISTINCT (id, session))
+        FROM p GROUP BY g1""")),
+
+    // session_count as a BARE expression in the WHERE and the tally key
+    // (the round-15 fix's regression surface: the max(session) person
+    // window; the interpreter's VarRef path serves bare reads — the
+    // `.is()` form reads a MISSING prop there and stays Tier B).
+    Q("q_osl_session_count_where",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |end
+            |each_row where session_count > 1 && event.is(== 'purchase')
+            |  << session_count, event
+            |end
+            |""".stripMargin
+        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"))
+      },
+      Some(s"""$E, sz AS (
+          SELECT id, stamp, event,
+            1 + SUM(CASE WHEN prev IS NOT NULL AND stamp - prev > 1800000
+                         THEN 1 ELSE 0 END)
+              OVER (PARTITION BY id ORDER BY stamp
+                    ROWS UNBOUNDED PRECEDING) AS session
+          FROM (SELECT id, stamp, event,
+                  LAG(stamp) OVER (PARTITION BY id ORDER BY stamp) AS prev
+                FROM e)),
+        sc AS (
+          SELECT id, stamp, event,
+            MAX(session) OVER (PARTITION BY id) AS session_count
+          FROM sz),
+        p AS (
+          SELECT id, CAST(session_count AS VARCHAR) AS g1, event AS g2
+          FROM sc WHERE session_count > 1 AND event = 'purchase')
+        SELECT CAST(2 AS INTEGER) AS depth, g1, g2,
+          COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows
+        FROM p GROUP BY g1, g2
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), g1, CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*)
+        FROM p GROUP BY g1""")),
+
     // Round-15 widening: a CONTRA-direction mixed guard over a FRAMED
     // RESTART deepest with a `.limit` — the merged-interval union's hop
     // window BRACKETS the row (the inverted frame) and the rank filter

@@ -59,7 +59,17 @@ object OslEngine {
             stampedRowIds: Boolean = false): DataFrame = {
     val program = Parser.program(script)
     if (!forceTierB && !stampedRowIds) {
-      TierA.compile(program, events, now, sessionGapMs) match {
+      // a reference to a prop the frame doesn't carry resolves to NIL in
+      // the interpreter (Value.cmp string semantics) but to an UNRESOLVED
+      // column in a compiled plan — Tier A's eager withColumn/select
+      // construction then throws AnalysisException mid-compile. That's a
+      // decline, not an error: Tier B is the authority for missing-prop
+      // scripts (round 15 — previously the exception escaped to the
+      // caller and the query crashed instead of answering).
+      val compiled =
+        try TierA.compile(program, events, now, sessionGapMs)
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+      compiled match {
         case Some(df) => return df
         case None => ()
       }
@@ -174,7 +184,12 @@ object OslEngine {
                 forceTierB: Boolean = false): DataFrame = {
     val program = Parser.program(script)
     if (!forceTierB) {
-      TierA.compileHistogram(program, events, now) match {
+      // missing-prop references decline to the interpreter (nil
+      // semantics), same as the event-query route (round 15)
+      val compiled =
+        try TierA.compileHistogram(program, events, now, sessionGapMs)
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+      compiled match {
         case Some(df) => return df
         case None => ()
       }

@@ -169,9 +169,18 @@ object TierA {
           })
         } yield {
           val needsSession = Interpreter.referencesSession(program)
-          val base0 = if (needsSession)
+          // `session` AND `session_count` materialize together (round 15
+          // fix: a compiled `session_count` reference previously hit an
+          // unresolved column at analysis — loud, but it should compile:
+          // the interpreter's value is the person's LAST 1-based session
+          // index = max(session) over the partition). Catalyst prunes
+          // whichever column the program doesn't actually read.
+          val base0 = if (needsSession) {
+            val W = org.apache.spark.sql.expressions.Window
             graft.operators.EventOps.sessionize(events, sessionGapMs)
-          else events
+              .withColumn("session_count",
+                max(col("session")).over(W.partitionBy(col("id"))))
+          } else events
           // person-level predicates (unframed ever/never) evaluate over the
           // customer's FULL history: window columns, added pre-filter; each
           // test's predicate comes from its own builder (exists-compare for
@@ -4048,10 +4057,20 @@ object TierA {
     *    reads as 0 — compiled as coalesce(…, 0).
     * Frames, `.reverse`, session references, vars referencing other vars
     * and non-inline-agg assignments decline to the interpreter. */
-  def compileHistogram(program: Program, events: DataFrame,
-                       now: Long): Option[DataFrame] = {
+  def compileHistogram(program: Program, events0: DataFrame,
+                       now: Long,
+                       sessionGapMs: Long = 30 * 60 * 1000L): Option[DataFrame] = {
     if (program.select.nonEmpty || program.code.isEmpty) return None
-    if (Interpreter.referencesSession(program)) return None
+    // round 15: session references compile on this route too — the base
+    // sessionizes, the per-row `session` joins the row columns (inline
+    // agg wheres/args), and `session_count` (the person's LAST 1-based
+    // index = max(session)) is served in the RETURN as an implicit
+    // aggregated var (`return(session_count)` is the reference's
+    // canonical per-person session count, src/oloop_histogram.cpp).
+    val needsSession = Interpreter.referencesSession(program)
+    val events = if (needsSession)
+      graft.operators.EventOps.sessionize(events0, sessionGapMs)
+    else events0
     val rowCols = events.columns.toSet
     // every name referenced below must be a row column or builtin — inline
     // aggs referencing earlier VARS (or anything stateful) decline
@@ -4100,6 +4119,19 @@ object TierA {
         vars(name) = c
       case _ => return None
     }
+    // `session_count` rides the RETURN as an implicit aggregated var
+    // (the interpreter's expression eval serves it — its `.is` valueAt
+    // does NOT, so PropTests on it still decline via compileExpr)
+    def retRefsSessionCount(e: Expr): Boolean = e match {
+      case VarRef("session_count") => true
+      case BinOp(_, l, r) => retRefsSessionCount(l) || retRefsSessionCount(r)
+      case UnOp(_, x) => retRefsSessionCount(x)
+      case Call(_, as) => as.exists(retRefsSessionCount)
+      case _ => false
+    }
+    if (retRefsSessionCount(retExpr))
+      vars.getOrElseUpdate("session_count",
+        coalesce(max(col("session")), lit(0L)))
     if (vars.isEmpty) return None
     // the return expr may only reference the declared vars (+ now/literals)
     def retOk(e: Expr): Boolean = e match {
@@ -4619,7 +4651,15 @@ object TierA {
       for { lc <- compileExpr(l, now, person, binds); rc <- compileExpr(r, now, person, binds); c <- binop(op, lc, rc) } yield c
 
     case PropTest(prop, kind, cmp, None, false) if kind == "is" || kind == "is_not" =>
-      compileCmp(col(prop), cmp, now, binds).map(c => if (kind == "is") c else !c)
+      // the interpreter's `.is` valueAt resolves "session"/"stamp" and
+      // row COLUMNS only — `session_count.is(...)` reads a MISSING prop
+      // there (nil, Value.cmp string semantics), so it must NOT compare
+      // the materialized session_count column (round 15): decline to
+      // Tier B, which prices the nil compare exactly. Bare-expression
+      // reads (`where session_count > 1`) stay compiled — the
+      // interpreter's VarRef path does serve those.
+      if (prop == "session_count") None
+      else compileCmp(col(prop), cmp, now, binds).map(c => if (kind == "is") c else !c)
 
     case Call(name, args) =>
       traverse(args.map(compileExpr(_, now, person, binds))).flatMap(as => marshal(name, as))

@@ -228,6 +228,94 @@ class OslSpec extends SparkSpec {
     ).toDF("id", "stamp", "event", "product_name", "product_price", "product_group")
     val out = OslEngine.histogram(data, script, now = Tue).as[(String, Double)].head()
     assert(out == (("u1", 2.0)))
+    // round 15: the histogram route COMPILES `return(session_count)`
+    // (implicit max(session) var) — both tiers agree
+    assert(TierA.compileHistogram(Parser.program(script), data, Tue).isDefined)
+    assert(OslEngine.histogram(data, script, now = Tue, forceTierB = true)
+      .as[(String, Double)].head() == (("u1", 2.0)))
+
+    // round 15: session/session_count references compile in Tier A on
+    // single loops (sessionize windows + the max(session) person column;
+    // a compiled session_count previously failed analysis — the column
+    // was never materialized). Tier A ≡ Tier B on all three surfaces:
+    // session tally keys, session_count tallies, session_count wheres.
+    tierDiff(
+      """select
+        |  count id as customers
+        |  count session as sessions
+        |end
+        |each_row where event.is(!= 'nope')
+        |  << session, product_name
+        |end
+        |""".stripMargin, data)
+    tierDiff(
+      """select
+        |  count id as customers
+        |end
+        |each_row where event.is(== 'e')
+        |  << session_count
+        |end
+        |""".stripMargin, data)
+    tierDiff(
+      """select
+        |  count id as customers
+        |  count event as n_rows
+        |end
+        |each_row where session_count > 1
+        |  << session, event
+        |end
+        |""".stripMargin, data)
+    // `.is()` on session_count reads a MISSING prop in the interpreter
+    // (valueAt resolves "session"/"stamp"/row columns only — nil,
+    // Value.cmp string semantics: {<, <=, !=} hold, {>, >=, ==} fail).
+    // Tier A declines; both tiers agree on the nil outcome.
+    locally {
+      val script =
+        """select
+          |  count id as customers
+          |end
+          |each_row where session_count.is(> 1)
+          |  << session, event
+          |end
+          |""".stripMargin
+      assert(TierA.compile(Parser.program(script), data, Tue, 1800000L).isEmpty,
+        "expected Tier B for session_count.is")
+      val a = OslEngine.query(data, script, now = Tue)
+      val b = OslEngine.query(data, script, now = Tue, forceTierB = true)
+      assert(a.collect().isEmpty && b.collect().isEmpty) // nil `>` fails
+    }
+    locally { // nil `<` HOLDS (Value.cmp string path) — rows survive
+      val script =
+        """select
+          |  count id as customers
+          |end
+          |each_row where session_count.is(< 1)
+          |  << event
+          |end
+          |""".stripMargin
+      assert(TierA.compile(Parser.program(script), data, Tue, 1800000L).isEmpty)
+      val b = OslEngine.query(data, script, now = Tue, forceTierB = true)
+      assert(b.collect().nonEmpty)
+      val a = OslEngine.query(data, script, now = Tue) // falls back to B
+      assert(a.collect().toSet.map((r: org.apache.spark.sql.Row) => r.toString) ==
+        b.collect().toSet.map((r: org.apache.spark.sql.Row) => r.toString))
+    }
+    // a MISSING prop in a compiled position no longer crashes the query:
+    // the AnalysisException is a DECLINE (Tier B answers with the
+    // reference's nil semantics)
+    locally {
+      val script =
+        """select
+          |  count id as customers
+          |end
+          |each_row where bogus_prop.is(< 1)
+          |  << event
+          |end
+          |""".stripMargin
+      val a = OslEngine.query(data, script, now = Tue)
+      val b = OslEngine.query(data, script, now = Tue, forceTierB = true)
+      assert(a.collect().nonEmpty && a.collect().length == b.collect().length)
+    }
   }
 
   test("ever/never with look_back frame") {
