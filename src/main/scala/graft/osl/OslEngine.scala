@@ -126,18 +126,28 @@ object OslEngine {
     // declarative ones into the interpreter. Declarative defs share one
     // aggregation pass; funnel (chain) defs compile to window-exists plans
     // (round 4); the rest share one interpreter pass.
-    val (aggDefs, rest0) =
+    val (aggDefs0, rest0) =
       if (forceTierB) (Nil, allDefs)
       else allDefs.partition(d => TierA.segmentCompilable(d, now))
-    val (chainDefs, defs) =
+    val (chainDefs0, defs0) =
       if (forceTierB) (Nil, rest0)
       else rest0.partition(d => TierA.segmentChainCompilable(d, now))
     // one batch compile for every compilable def (shared aggregation pass);
     // the probes above are pure AST shape checks, so each def is compiled
-    // exactly once
-    val compiled = (TierA.compileSegments(aggDefs, events, now).toSeq ++
-      chainDefs.map(d => TierA.compileSegmentChain(d, events, now).get))
-      .reduceOption(_ unionByName _)
+    // exactly once. A def referencing a prop the frame doesn't carry
+    // throws AnalysisException mid-compile — that's a DECLINE to the
+    // interpreter's nil semantics, not an error (round 15, same seam as
+    // query/histogram): re-route every compiled def to Tier B.
+    val (defs, compiled) =
+      try {
+        val c = (TierA.compileSegments(aggDefs0, events, now).toSeq ++
+          chainDefs0.map(d => TierA.compileSegmentChain(d, events, now).get))
+          .reduceOption(_ unionByName _)
+        (defs0, c)
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          (allDefs, None)
+      }
     (compiled, defs) match {
       case (Some(c), Seq()) => return c
       case _ =>

@@ -316,6 +316,24 @@ class OslSpec extends SparkSpec {
       val b = OslEngine.query(data, script, now = Tue, forceTierB = true)
       assert(a.collect().nonEmpty && a.collect().length == b.collect().length)
     }
+    // ...and on the SEGMENTS route: a def referencing a missing prop
+    // re-routes EVERY compiled def to the interpreter (nil semantics),
+    // instead of throwing out of OslEngine.segments
+    locally {
+      val segs =
+        """@segment oops
+          |if bogus_prop.ever(== 'x')
+          |  return(true)
+          |end
+          |@segment everyone
+          |if event.ever(== 'e')
+          |  return(true)
+          |end
+          |""".stripMargin
+      val m = OslEngine.segments(data, segs, now = Tue)
+        .as[(String, String)].collect().toSet
+      assert(m == Set(("everyone", "u1")))
+    }
   }
 
   test("ever/never with look_back frame") {

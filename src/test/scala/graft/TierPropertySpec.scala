@@ -46,7 +46,7 @@ class TierPropertySpec extends SparkSpec {
 
   private val genGroup: Gen[String] = Gen.oneOf(
     "event", "product_name", "get_day_of_week(stamp)",
-    "bucket(product_price, 25)", "'k'")
+    "bucket(product_price, 25)", "'k'", "session")
 
   private val genSelect: Gen[String] = Gen.someOf(
     Seq("count event as n_rows", "sum product_price as total",
