@@ -353,6 +353,11 @@ object Plans {
         "collect over the bracket window carries (lo, hi, G) per hop; " +
         "the rank filter and the merged-interval flatten happen in-row " +
         "- still the single person exchange"),
+    P("q_osl_session_tally",
+      "OSL session references (round 15): the sessionize lag/gap/sum " +
+        "windows ride the SAME (id, stamp) sort as the tally machinery " +
+        "- no extra exchange; count session = one countDistinct(id, " +
+        "session) beside the other aggregators"),
     P("q_ann_ivf_indexed",
       "persisted IVF index (round 11): the cells scan carries an explicit " +
         "PartitionFilters: cell IN (probed) — a query reads nprobe/nlist of the " +
