@@ -369,6 +369,28 @@ class TierWhereCapSpec extends SparkSpec {
          |  << 'mixed', event
          |end
          |""".stripMargin)
+    // JOINT gates over the nil/negative world (round 15 second act): the
+    // dual fold's per-gate nil handling and both fp stage groups replay
+    // the interpreter's exact sequence through negative and nil sides
+    for (op <- Seq("<", ">=", "!="))
+      diffN(
+        s"""${selN}n = 0
+           |k = 3
+           |each_row where event.is(!= 'error') && n $op product_price && k >= get_hour(stamp)
+           |  n += product_price
+           |  k -= 1
+           |  << 'dual', event
+           |end
+           |""".stripMargin)
+    diffN( // a carried read below a chain step through the nil world
+      s"""${selN}n = 0
+         |each_row where event.is(== 'purchase') && n < product_price
+         |  n += product_price
+         |  each_row.continue().next() where event.is(== 'view')
+         |    << bucket(n, 10), event
+         |  end
+         |end
+         |""".stripMargin)
   }
 
   test("JOINT fold buffer: multiple gating accumulators (round 15)") {
