@@ -8,7 +8,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
+      // per-query stage/job counts ride the status store (round-16 #6:
+      // BENCH.json carries the sec/stage evidence itself, so the noise
+      // adjudication quotes ONE file); both measured sweeps' jobs must
+      // survive until the end-of-run snapshot, above the 1000 default
+      .config("spark.ui.retainedJobs", "20000")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.hotCache = true // warm-engine mode (see Tables.hotCache)
 
@@ -55,11 +61,15 @@ object Bench {
     // co-tenant CPU spike that covers one back-to-back pair would otherwise
     // poison both samples and the min alike.
     val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    for (_ <- 1 to 2; name <- names) {
+    val idx = names.zipWithIndex.toMap
+    for (pass <- 1 to 2; name <- names) {
       reap()
+      // per-(query, pass) job group: pass 2's groups supply the profile
+      spark.sparkContext.setJobGroup(s"b${pass}_${idx(name)}", name)
       val t0 = System.nanoTime()
       val err = run(name, sfDir)
       val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.clearJobGroup()
       // A crashed query must not masquerade as a fast result: report -1.
       err.foreach(errors(name) = _)
       val v = if (err.isDefined) -1.0 else dt
@@ -70,6 +80,18 @@ object Bench {
       }
     }
     val results = names.map(n => n -> best(n))
+    // one drain for the whole run: the status store is listener-fed (async).
+    // Profile counts come from PASS 2 unconditionally — always steady-state
+    // (the hot-table caches fill during pass 1, so a pass-1 group can carry
+    // cache-build jobs that would read as a phantom plan change).
+    Thread.sleep(1000)
+    val tracker = spark.sparkContext.statusTracker
+    val profile: Map[String, (Long, Long)] = names.map { n =>
+      val jobIds = tracker.getJobIdsForGroup(s"b2_${idx(n)}")
+      val stages = jobIds.flatMap(id =>
+        tracker.getJobInfo(id).map(_.stageIds.length.toLong)).sum
+      n -> ((stages, jobIds.length.toLong))
+    }.toMap
     // Keep the JSON line COMPACT (ms precision): the harness that reads it
     // keeps only a bounded tail of the process output, and full double
     // precision over ~60 queries pushed the line start past that window.
@@ -87,13 +109,20 @@ object Bench {
       } + "\""
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
+    // per-query scheduled stage/job counts (from the min pass's job group):
+    // a SIBLING key so the harness's {"queries": name->sec} parse is
+    // untouched; the sec/stage noise protocol reads this file alone
+    val profJson = results.flatMap { case (k, _) =>
+      profile.get(k).map { case (s, j) =>
+        "\"" + k + "\":{\"stages\":" + s + ",\"jobs\":" + j + "}" }
+    }.mkString("{", ",", "}")
     // The harness keeps only a bounded TAIL of process output; at 90+
     // queries a single all-in-one line overflows it and the line START
     // (where "value" lives) is lost (round 4 recorded parsed:null). So:
     //   1. persist the full payload to BENCH.json next to the repo root,
     //   2. print the per-query map on its own line (best-effort detail),
     //   3. print a LAST, tiny, self-checked total line the tail always holds.
-    val full = s"""{"metric":"total","value":${sec(total)},"unit":"sec","stat":"min-of-2","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${sec(total)},"unit":"sec","stat":"min-of-2","queries":$qs,"errors":$errJson,"profile":$profJson,"sf":"$sfDir"}"""
     if (only.isEmpty) try { // subset A/B runs must not clobber the real record
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH.json"),

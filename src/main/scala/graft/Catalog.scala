@@ -39,7 +39,15 @@ final case class TableSettings(
     // and merge into bucket parquet only once this many rows are pending.
     // 0 = merge every batch (classic eager behavior). Reads always see
     // pending rows (WAL overlay), so visibility is unaffected either way.
-    flushRows: Int = 0)
+    flushRows: Int = 0,
+    // Which id-hash assigns rows to storage buckets. "murmur3" is Spark's
+    // own bucket-table hash (HashPartitioning.partitionIdExpression), which
+    // lets reads claim the bucket layout to Catalyst — person-scoped
+    // queries then plan with NO exchange and NO per-person sort (see
+    // graft.sources.BucketedEvents). Metas written before this field
+    // existed parse as "xxhash64" (their on-disk layout) and keep the
+    // explicit-file-list read path.
+    bucketHash: String = "murmur3")
 
 final case class TableMeta(
     table: String,
@@ -129,7 +137,7 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     sb.append(s"""\"event_max\":${m.settings.eventMax},\"event_ttl_ms\":${m.settings.eventTtlMs},""")
     sb.append(s"""\"session_time_ms\":${m.settings.sessionTimeMs},\"segment_interval_ms\":${m.settings.segmentIntervalMs},""")
     sb.append(s"""\"tz_offset_ms\":${m.settings.tzOffsetMs},\"storage_buckets\":${m.settings.storageBuckets},""")
-    sb.append(s"""\"flush_rows\":${m.settings.flushRows}}}""")
+    sb.append(s"""\"flush_rows\":${m.settings.flushRows},\"bucket_hash\":${js(m.settings.bucketHash)}}}""")
     dir(m.table).mkdirs()
     val p = metaFile(m.table).toPath
     val prevMtime =
@@ -159,7 +167,7 @@ final class Catalog(spark: SparkSession, warehouse: String) {
       StructField("event_max", LongType), StructField("event_ttl_ms", LongType),
       StructField("session_time_ms", LongType), StructField("segment_interval_ms", LongType),
       StructField("tz_offset_ms", LongType), StructField("storage_buckets", LongType),
-      StructField("flush_rows", LongType))))))
+      StructField("flush_rows", LongType), StructField("bucket_hash", StringType))))))
 
   /** (stat size, stat mtime millis, content hash, parsed meta) — describe()
     * runs on every insert and query. The common path is ONE stat: if the
@@ -213,7 +221,10 @@ final class Catalog(spark: SparkSession, warehouse: String) {
       eventOrder = row.getSeq[String](3),
       // metas written before bucketed storage existed default to 32
       storageBuckets = if (st.isNullAt(5)) 32 else st.getLong(5).toInt,
-      flushRows = if (st.isNullAt(6)) 0 else st.getLong(6).toInt))
+      flushRows = if (st.isNullAt(6)) 0 else st.getLong(6).toInt,
+      // pre-round-16 metas carry no hash field: their files were laid out
+      // by xxhash64 and must keep reading (and pruning) that way
+      bucketHash = if (st.isNullAt(7)) "xxhash64" else st.getString(7)))
   }
 
   // --------------------------------------------------------------------- DDL
@@ -299,8 +310,20 @@ final class Catalog(spark: SparkSession, warehouse: String) {
       .foreach(b => recoverSwap(new java.io.File(d, b).toString))
   }
 
-  private def bucketCol(n: Int): org.apache.spark.sql.Column =
-    pmod(xxhash64(col("id")), lit(n.toLong)).cast("int")
+  /** Storage-bucket id of a row (or of a literal id, for pruned customer
+    * fetches). murmur3 is `pmod(hash(id), n)` — bit-identical to Spark's
+    * `HashPartitioning.partitionIdExpression`, which is what lets the read
+    * path claim the layout as a native bucketed table (BucketedEvents). */
+  private def bucketOf(m: TableMeta, id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    m.settings.bucketHash match {
+      case "murmur3" =>
+        pmod(hash(id), lit(m.settings.storageBuckets))
+      case _ =>
+        pmod(xxhash64(id), lit(m.settings.storageBuckets.toLong)).cast("int")
+    }
+
+  private def bucketCol(m: TableMeta): org.apache.spark.sql.Column =
+    bucketOf(m, col("id"))
 
   /** Does the directory hold any COMMITTED parquet file, by Spark's own
     * visibility rules — `_temporary` (an in-flight append's task files)
@@ -336,6 +359,14 @@ final class Catalog(spark: SparkSession, warehouse: String) {
       val files = c.buckets.toSeq.sortBy(_._1).flatMap { case (b, fs) =>
         fs.map(f => s"$root/__bucket=$b/$f") }
       if (files.isEmpty) empty
+      // murmur3 layouts read through the native bucketed-scan path: the
+      // manifest-backed FileIndex lists exactly the committed snapshot and
+      // the relation claims HashPartitioning(id) + (id, stamp) order, so
+      // person-scoped plans drop their exchange and sort (round-16 #1)
+      else if (m.settings.bucketHash == "murmur3" &&
+          graft.sources.BucketedEvents.allBucketNamed(c))
+        align(graft.sources.BucketedEvents.snapshot(
+          spark, root, c, schema, m.settings.storageBuckets))
       // basePath keeps the __bucket dir component as a partition column
       else align(spark.read.option("basePath", root).parquet(files: _*))
     }
@@ -396,12 +427,12 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     // seen by at least one of them).
     val hasPending = pendingFiles(table).nonEmpty
     // Hash the literal AT THE STORED id TYPE: Spark hash functions are
-    // type-sensitive (xxhash64 of Int 5 != Long 5 != String "5"), so an
+    // type-sensitive (hash/xxhash64 of Int 5 != Long 5 != String "5"), so an
     // uncast caller-supplied literal would prune to the wrong bucket.
-    // Mirrors insert's xxhash64(col("id")).
+    // Mirrors insert's bucketCol hash (per-meta: murmur3 or legacy xxhash64).
     val idLit = lit(id).cast(m.eventsSchema("id").dataType)
     if (!hasPending) {
-      val b = pmod(xxhash64(idLit), lit(m.settings.storageBuckets.toLong)).cast("int")
+      val b = bucketOf(m, idLit)
       eventsWithBucket(table, m)
         .where(col("__bucket").isNull || col("__bucket") === b)
         .where(col("id") === idLit)
@@ -501,6 +532,16 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     * and "plan committed base" to prove the ordering is race-safe. */
   private[graft] var afterWalListHook: () => Unit = () => ()
 
+  /** Test-only kill point between the drain's COMMIT (insertLocked
+    * returned — the new generation is published, the pointer is flipped)
+    * and WAL retirement (the `.drained` markers): a throw here simulates a
+    * crash in that window, leaving the WAL listed AND its rows committed.
+    * Recovery contract: replay is idempotent — the upsert key
+    * (id, stamp, z-rank, row-hash) collapses the re-merged rows — and
+    * overlay reads in the window dedup the double-counted rows the same
+    * way (GroupCommitSpec round-16 crash legs). */
+  private[graft] var afterDrainCommitHook: () => Unit = () => ()
+
   /** The touched-bucket set memoized for the current pending WAL (None
     * when no overlay read has probed yet). Diagnostic surface for specs
     * and WalReadBench: the overlay's read amplification is bounded by
@@ -567,6 +608,7 @@ final class Catalog(spark: SparkSession, warehouse: String) {
         val WalName(_, now, _) = f.getName: @unchecked; now.toLong
       }.max.max(nowMs)
       insertLocked(table, parsePending(m, files), walNow)
+      afterDrainCommitHook()
       files.foreach { f =>
         val marker = new java.io.File(f.getPath + ".drained")
         if (!marker.exists()) java.nio.file.Files.createFile(marker.toPath): Unit
@@ -644,10 +686,9 @@ final class Catalog(spark: SparkSession, warehouse: String) {
                            knownTouched: Option[Seq[Int]] = None)
       : (Seq[Int], DataFrame) = {
     import graft.operators.EventIngest
-    val nB = m.settings.storageBuckets
     // bounded by storage_buckets — a tiny driver-side list, never row data
     val touched: Seq[Int] = knownTouched.getOrElse(
-      aligned.select(bucketCol(nB).as("__bucket"))
+      aligned.select(bucketCol(m).as("__bucket"))
         .distinct().collect().map(_.getInt(0)).toSeq.sorted)
     val existing = eventsWithBucket(table, m)
       .where(col("__bucket").isNull || col("__bucket").isin(touched: _*))
@@ -662,7 +703,6 @@ final class Catalog(spark: SparkSession, warehouse: String) {
 
   private def insertLocked(table: String, incoming: DataFrame, nowMs: Long): Unit = {
     val m = describe(table)
-    val nB = m.settings.storageBuckets
     val aligned = incoming.select(m.eventsSchema.fieldNames.map(col): _*)
     recoverEvents(table)
     if (legacyFlatFiles(new java.io.File(eventsDir(table))).nonEmpty)
@@ -677,11 +717,14 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     val root = new java.io.File(eventsDir(table))
     val stage = new java.io.File(eventsDir(table) + "_stage")
     rmTree(stage)
-    merged.withColumn("__bucket", bucketCol(nB))
+    merged.withColumn("__bucket", bucketCol(m))
       .repartition(math.max(touched.size, 1), col("__bucket"))
       // cluster each bucket's files by (id, stamp): parquet row-group stats
       // then prune customer fetches and time-bounded scans, and readers get
-      // the person-major order every window consumer re-sorts into anyway
+      // the person-major order every window consumer re-sorts into anyway.
+      // A bucket's rows all hash into ONE writer partition, so each touched
+      // bucket commits exactly one (id, stamp)-sorted file — the invariant
+      // that lets the bucketed read claim the sort order (BucketedEvents).
       .sortWithinPartitions(col("__bucket"), col("id"), col("stamp"))
       .write.partitionBy("__bucket").mode(SaveMode.Overwrite).parquet(stage.toString)
     root.mkdirs()
@@ -699,9 +742,15 @@ final class Catalog(spark: SparkSession, warehouse: String) {
           Option(staged.listFiles()).getOrElse(Array.empty)
             .filter(f => f.isFile && f.getName.endsWith(".parquet"))
             .map { f => // Spark part-file names carry a fresh UUID: no clash
-              val dst = new java.io.File(dstDir, f.getName)
+              // murmur3 layouts embed the bucket id in the NAME — the tag
+              // FileSourceScanExec uses to map files onto bucket partitions
+              val name =
+                if (m.settings.bucketHash == "murmur3")
+                  graft.sources.BucketedEvents.bucketedFileName(f.getName, b)
+                else f.getName
+              val dst = new java.io.File(dstDir, name)
               require(f.renameTo(dst), s"stage move failed for $dst")
-              f.getName
+              name
             }.toSeq
         }
       retiredNow ++= newBuckets.getOrElse(b, Nil).map(n => s"__bucket=$b/$n")
@@ -731,7 +780,7 @@ final class Catalog(spark: SparkSession, warehouse: String) {
       EventIngest.cullTtl(merged0, nowMs, m.settings.eventTtlMs),
       m.settings.eventMax, m.settings.eventOrder)
     swapInto(eventsDir(table)) { tmp =>
-      merged.withColumn("__bucket", bucketCol(nB))
+      merged.withColumn("__bucket", bucketCol(m))
         .repartition(nB, col("__bucket"))
         .sortWithinPartitions(col("__bucket"), col("id"), col("stamp"))
         .write.partitionBy("__bucket").mode(SaveMode.Overwrite).parquet(tmp)

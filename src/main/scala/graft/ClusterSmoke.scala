@@ -102,7 +102,13 @@ object ClusterSmoke {
     // (bracket hop window + floored C'-G rank filter in one collect)
     "q_osl_mixed_suffix_restart_limited",
     // round 15: sessionize windows + the session_count person column
-    "q_osl_session_tally")
+    "q_osl_session_tally",
+    // round 16: the manifest-backed BUCKETED catalog read — the claimed
+    // HashPartitioning(id)/(id, stamp) order must hold when bucket file
+    // partitions land on remote executor JVMs (zero-exchange window
+    // chain + the pruned single-customer fetch)
+    "q_catalog_funnel",
+    "q_catalog_customer")
 
   private def canon(df: org.apache.spark.sql.DataFrame): Set[Vector[String]] = {
     val cols = df.columns.sorted

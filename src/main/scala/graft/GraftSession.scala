@@ -37,6 +37,13 @@ object GraftSession {
       // stage. With it on, cached frames coalesce by bytes like everything
       // else; at scale partitions are byte-sized either way.
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // Catalog events tables are id-bucketed AND (id, stamp)-sorted with
+      // ONE live file per bucket (Catalog.insertLocked invariant). This
+      // flag lets FileSourceScanExec claim that sort order, which removes
+      // the per-person Sort under every OSL window — off by default only
+      // because the file-per-bucket check can slow planning on huge
+      // multi-file buckets, a shape our commit protocol never produces.
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       // zstd ~ 2x smaller files than snappy at comparable scan speed — at
       // 100 TB the scan is IO-bound, so storage compression is throughput.
       // (The reference ships LZ4 level 5 for the same trade, src/table.h:128.)
@@ -59,6 +66,7 @@ object GraftSession {
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     spark
   }
 }

@@ -68,6 +68,32 @@ object Layout {
           to_date(timestamp_millis(lit(toMs)))))
       .where(col("stamp").between(fromMs, toMs))
 
+  /** Run an OSL script over a [[writePartitionedEvents]] table with
+    * automatic time-partition pruning: when the script's readable stamp
+    * window is statically bounded ([[graft.osl.OslEngine.staticScanWindow]]
+    * — e.g. a top-level `.range(iso, iso)` scan), the read carries
+    * `event_date` bounds that Catalyst turns into PartitionFilters, so a
+    * one-week query over a years-deep store opens 7 directories, not
+    * 36 500. The date bounds are inclusive-widened from the stamp window
+    * (date is monotone in stamp, so no qualifying row is outside the
+    * scanned partitions); the script's own frame does the row-exact
+    * filtering, exactly as over an unpartitioned read. */
+  def oslQuery(spark: SparkSession, table: String, script: String,
+               now: Long, sessionGapMs: Long = 30L * 60L * 1000L): DataFrame = {
+    val base = spark.table(table)
+    val pruned = graft.osl.OslEngine.staticScanWindow(script, now) match {
+      case Some((lo, hi)) =>
+        var p = base
+        if (lo > Long.MinValue)
+          p = p.where(col("event_date") >= to_date(timestamp_millis(lit(lo))))
+        if (hi < Long.MaxValue)
+          p = p.where(col("event_date") <= to_date(timestamp_millis(lit(hi))))
+        p
+      case None => base
+    }
+    graft.osl.OslEngine.query(pruned.drop("event_date"), script, now, sessionGapMs)
+  }
+
   /** True when a per-person aggregation over `df` keyed on `id` would
     * shuffle (used by specs/benchmarks to prove the bucketed layout removes
     * the Exchange). */

@@ -15,7 +15,86 @@ import graft.Queries._
   * Split from Queries.scala in round 13 (pure mechanical move). */
 object QueriesOsl {
 
+  /** The canonical 3-level chain funnel — shared by the raw-parquet route
+    * (`q_osl_chain_funnel`) and the ingested-catalog route
+    * (`q_catalog_funnel`), which must produce the identical tree. */
+  private[graft] val ChainFunnelScript: String =
+    """select
+      |  count id as customers
+      |  count event as n_rows
+      |  sum value as total_value
+      |end
+      |each_row where event.is(== 'signup')
+      |  << 'signup'
+      |  each_row.continue().next() where event.is(== 'view')
+      |    << 'viewed'
+      |    each_row.continue().next() where event.is(== 'purchase')
+      |      << 'converted', bucket(value, 100)
+      |    end
+      |  end
+      |end
+      |""".stripMargin
+
+  private[graft] val ChainFunnelOracle: String =
+    s"""$E, r AS (
+          SELECT id, event, value,
+                 ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS rn
+          FROM e),
+        m1 AS (SELECT id, MIN(rn) AS m FROM r WHERE event = 'signup' GROUP BY id),
+        lv2 AS (SELECT r.id, r.value, r.rn FROM r JOIN m1 ON r.id = m1.id
+                WHERE r.event = 'view' AND r.rn > m1.m),
+        m2 AS (SELECT id, MIN(rn) AS m FROM lv2 GROUP BY id),
+        lv3 AS (SELECT r.id, r.value,
+                  CAST(CAST(FLOOR(r.value / 100) * 100 AS BIGINT) AS VARCHAR) AS b
+                FROM r JOIN m2 ON r.id = m2.id
+                WHERE r.event = 'purchase' AND r.rn > m2.m),
+        lv1 AS (SELECT id, value FROM r WHERE event = 'signup')
+        SELECT CAST(1 AS INTEGER) AS depth, 'signup' AS g1, CAST(NULL AS VARCHAR) AS g2,
+          COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows, ${dsumSql("value")} AS total_value
+        FROM lv1
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), 'viewed', CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*), ${dsumSql("value")}
+        FROM lv2
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), 'converted', CAST(NULL AS VARCHAR),
+          COUNT(DISTINCT id), COUNT(*), ${dsumSql("value")}
+        FROM lv3
+        UNION ALL
+        SELECT CAST(2 AS INTEGER), 'converted', b,
+          COUNT(DISTINCT id), COUNT(*), ${dsumSql("value")}
+        FROM lv3 GROUP BY b"""
+
   val entries: Seq[Q] = Seq(
+
+    // Round 16: the same funnel through the INGESTED catalog store —
+    // murmur3-bucketed, (id, stamp)-sorted, manifest-committed parquet
+    // built by the full insert pipeline (CatalogStore, once per process ×
+    // dataset). The person window rides the storage layout: ZERO
+    // `Exchange hashpartitioning(id)` and ZERO stamp sort in the plan
+    // (PlanSpec pins the shape; the reference gets this from permanent
+    // insert-time hash partitioning, src/rpc_insert.cpp:154). The oracle
+    // is the raw-data funnel — row parity with the source is exact, see
+    // CatalogStore's scaladoc.
+    Q("q_catalog_funnel",
+      (s, dir) => {
+        graft.osl.OslEngine.query(CatalogStore.events(s, dir),
+            ChainFunnelScript, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"), col("total_value"))
+      },
+      Some(ChainFunnelOracle)),
+
+    // Round 16: single-customer fetch from the ingested store — the scan
+    // prunes to the id's hash bucket (1/storage_buckets of the table; the
+    // reference answers GET /customer from the person's partition,
+    // src/oloop_person.cpp) with no exchange and no sort.
+    Q("q_catalog_customer",
+      (s, dir) => {
+        CatalogStore.customerEvents(s, dir, 7L)
+          .select(col("event_id"), col("stamp"), col("event"), col("value"))
+      },
+      Some(s"""$E SELECT event_id, stamp, event, value FROM e WHERE id = 7""")),
 
     // Full OSL pipeline: parse -> per-customer interpreter (flatMapGroups)
     // -> relational merge. Script mirrors README.md:152-196.
@@ -54,54 +133,12 @@ object QueriesOsl {
     // chain matching levels 1..k-1.
     Q("q_osl_chain_funnel",
       (s, dir) => {
-        val script =
-          """select
-            |  count id as customers
-            |  count event as n_rows
-            |  sum value as total_value
-            |end
-            |each_row where event.is(== 'signup')
-            |  << 'signup'
-            |  each_row.continue().next() where event.is(== 'view')
-            |    << 'viewed'
-            |    each_row.continue().next() where event.is(== 'purchase')
-            |      << 'converted', bucket(value, 100)
-            |    end
-            |  end
-            |end
-            |""".stripMargin
-        graft.osl.OslEngine.query(Tables.events(s, dir), script, now = OslNow)
+        graft.osl.OslEngine.query(Tables.events(s, dir), ChainFunnelScript,
+            now = OslNow)
           .select(col("depth"), col("g1"), col("g2"),
             col("customers"), col("n_rows"), col("total_value"))
       },
-      Some(s"""$E, r AS (
-          SELECT id, event, value,
-                 ROW_NUMBER() OVER (PARTITION BY id ORDER BY stamp) AS rn
-          FROM e),
-        m1 AS (SELECT id, MIN(rn) AS m FROM r WHERE event = 'signup' GROUP BY id),
-        lv2 AS (SELECT r.id, r.value, r.rn FROM r JOIN m1 ON r.id = m1.id
-                WHERE r.event = 'view' AND r.rn > m1.m),
-        m2 AS (SELECT id, MIN(rn) AS m FROM lv2 GROUP BY id),
-        lv3 AS (SELECT r.id, r.value,
-                  CAST(CAST(FLOOR(r.value / 100) * 100 AS BIGINT) AS VARCHAR) AS b
-                FROM r JOIN m2 ON r.id = m2.id
-                WHERE r.event = 'purchase' AND r.rn > m2.m),
-        lv1 AS (SELECT id, value FROM r WHERE event = 'signup')
-        SELECT CAST(1 AS INTEGER) AS depth, 'signup' AS g1, CAST(NULL AS VARCHAR) AS g2,
-          COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows, ${dsumSql("value")} AS total_value
-        FROM lv1
-        UNION ALL
-        SELECT CAST(1 AS INTEGER), 'viewed', CAST(NULL AS VARCHAR),
-          COUNT(DISTINCT id), COUNT(*), ${dsumSql("value")}
-        FROM lv2
-        UNION ALL
-        SELECT CAST(1 AS INTEGER), 'converted', CAST(NULL AS VARCHAR),
-          COUNT(DISTINCT id), COUNT(*), ${dsumSql("value")}
-        FROM lv3
-        UNION ALL
-        SELECT CAST(2 AS INTEGER), 'converted', b,
-          COUNT(DISTINCT id), COUNT(*), ${dsumSql("value")}
-        FROM lv3 GROUP BY b""")),
+      Some(ChainFunnelOracle)),
 
     // Reverse (backward-scan) funnel: for each purchase, the views that
     // PRECEDE it within 16h — the last-touch shape expressed in OSL. A

@@ -550,30 +550,65 @@ object QueriesRelational {
         COUNT(DISTINCT id) AS customers FROM e GROUP BY 1""")),
 
     // Sketch tier for the 100 TB path: HyperLogLog distinct counts and
-    // t-digest percentiles trade exactness for one-pass mergeable state —
-    // at corpus scale an exact distinct over high-cardinality keys shuffles
-    // every key, a sketch shuffles kilobytes. No SQL oracle (sketches are
-    // engine-specific): the driver records a rows-only check, and the spec
-    // pins relative error against the exact tier.
+    // t-digest-style percentiles trade exactness for one-pass mergeable
+    // state — at corpus scale an exact distinct over high-cardinality keys
+    // shuffles every key, a sketch shuffles kilobytes. A SQL oracle cannot
+    // reproduce the estimates (sketches are engine-specific), so each query
+    // DECLARES its tolerance contract and asserts it in-row against the
+    // exact tier computed alongside: the oracle then checks the exact
+    // values plus a TRUE literal per bound — the sketch is hash-gated to
+    // its contract instead of `no_oracle` (round-16 directive #3). The
+    // spec (PipelineOpsSpec) additionally pins the tighter observed error.
     Q("q_daily_active_approx",
       (s, dir) => {
         val e = Tables.events(s, dir)
+        // contract: HLL++ at rsd=0.02 within ±5% of exact (2.5σ) + 1
+        // absolute (integer slack for single-digit days)
         e.groupBy(TimeFns.startOfDay(col("stamp")).as("day_ms"))
-          .agg(approx_count_distinct(col("id"), rsd = 0.02).as("customers_approx"))
+          .agg(approx_count_distinct(col("id"), rsd = 0.02).as("approx"),
+            countDistinct(col("id")).as("customers_exact"))
+          .select(col("day_ms"), col("customers_exact"),
+            (abs(col("approx").cast("double") - col("customers_exact").cast("double"))
+              <= lit(0.05) * col("customers_exact").cast("double") + lit(1.0))
+              .as("within_5pct"))
       },
-      None),
+      Some(s"""$E SELECT epoch_ms(date_trunc('day', make_timestamp(stamp * 1000))) AS day_ms,
+        COUNT(DISTINCT id) AS customers_exact, TRUE AS within_5pct
+        FROM e GROUP BY 1""")),
 
     Q("q_value_percentiles_approx",
       (s, dir) => {
         val e = Tables.events(s, dir)
-        e.groupBy(col("event"))
-          .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.9), lit(0.99)),
-            lit(10000)).as("pcts"),
-            count(lit(1)).as("n_rows"))
-          .select(col("event"), col("pcts")(0).as("p50"), col("pcts")(1).as("p90"),
-            col("pcts")(2).as("p99"), col("n_rows"))
+        // contract: percentile_approx(accuracy=10000) returns an actual
+        // column value whose rank interval [#(<v)+1, #(<=v)] intersects
+        // q·n ± (2/accuracy·n + 1) — the published 1/accuracy rank-ε
+        // guarantee with one extra ε + 1 row of integer slack
+        val apx = e.groupBy(col("event"))
+          .agg(percentile_approx(col("value"),
+            array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("pcts"))
+        val eps = 2.0 / 10000.0
+        val joined = e.join(broadcast(apx), Seq("event"))
+        def lo(i: Int) = sum(when(col("value") < col("pcts")(i), 1L).otherwise(0L))
+        def hi(i: Int) = sum(when(col("value") <= col("pcts")(i), 1L).otherwise(0L))
+        val agged = joined.groupBy(col("event")).agg(
+          count(col("value")).as("n_vals"),
+          lo(0).as("lo50"), hi(0).as("hi50"),
+          lo(1).as("lo90"), hi(1).as("hi90"),
+          lo(2).as("lo99"), hi(2).as("hi99"))
+        def ok(q: Double, loC: org.apache.spark.sql.Column,
+               hiC: org.apache.spark.sql.Column) = {
+          val n = col("n_vals").cast("double")
+          val slack = lit(eps) * n + lit(1.0)
+          (hiC.cast("double") >= lit(q) * n - slack) &&
+            (loC.cast("double") + lit(1.0) <= lit(q) * n + slack)
+        }
+        agged.select(col("event"), col("n_vals"),
+          ok(0.5, col("lo50"), col("hi50")).as("p50_rank_ok"),
+          ok(0.9, col("lo90"), col("hi90")).as("p90_rank_ok"),
+          ok(0.99, col("lo99"), col("hi99")).as("p99_rank_ok"))
       },
-      None),
+      Some(s"""$E SELECT event, COUNT(value) AS n_vals, TRUE AS p50_rank_ok,
+        TRUE AS p90_rank_ok, TRUE AS p99_rank_ok FROM e GROUP BY event""")),
 
     // Sequence correlation: the event immediately after each signup
     // (each_row.continue().next() 1-level => lead(), SURVEY §2.3).

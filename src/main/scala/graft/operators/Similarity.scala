@@ -290,7 +290,12 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val (assigned, centroids) = ivfAssign(corpus, nlist)
-    ivfSearch(assigned, centroids, queries, k, nprobe)
+    // materialize the cell assignment once (lazy localCheckpoint): codegen
+    // defers the centroid-argmax kernel into the broadcast join's per-pair
+    // loop otherwise — nQ kernel runs per corpus row. The persisted-index
+    // path ([[AnnIndex.ivfTopK]]) reads assignments from parquet and needs
+    // no barrier.
+    ivfSearch(assigned.localCheckpoint(false), centroids, queries, k, nprobe)
   }
 
   /** The IVF search core over an already-assigned corpus `(vec_id, e,
@@ -466,19 +471,25 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
              m: Int = 4, ksub: Int = 16): DataFrame = {
     val books = pqCodebooks(corpus, m, ksub)
+    // materialize the codes once (lazy localCheckpoint) — same deferred-
+    // kernel trap as [[ivfTopK]]: the encode kernel would re-run nQ× per
+    // corpus row inside the broadcast join loop. [[AnnIndex.pqTopK]] reads
+    // codes from parquet and needs no barrier.
     val enc = pqEncode(corpus, m, ksub)
       .select(col("vec_id").as("nid"), col("code"))
+      .localCheckpoint(false)
     pqSearch(enc, books, queries, k, m, ksub)
   }
 
   /** The PQ-ADC search core over an already-encoded corpus `(nid, code)` —
     * shared by the session-memoized path above and the persisted index
     * ([[AnnIndex]]), so both produce bit-identical rankings. */
-  private[operators] def pqSearch(enc: DataFrame,
-                                  books: Array[Array[Array[Double]]],
-                                  queries: DataFrame, k: Int,
-                                  m: Int, ksub: Int): DataFrame = {
-    val dtKernel = udf { (arr: Seq[Double]) =>
+  /** Per-query ADC distance table (`m × ksub` surrogate L2 entries) as a
+    * compiled kernel column — shared by [[pqSearch]] and the one-pass
+    * quality report. */
+  private[operators] def pqDistTableKernel(books: Array[Array[Array[Double]]],
+                                           m: Int, ksub: Int): Column => Column = {
+    val kernel = udf { (arr: Seq[Double]) =>
       if (arr == null) null
       else {
         val out = new Array[Double](m * ksub)
@@ -503,8 +514,15 @@ object Similarity {
         out
       }
     }
+    kernel(_)
+  }
+
+  private[operators] def pqSearch(enc: DataFrame,
+                                  books: Array[Array[Array[Double]]],
+                                  queries: DataFrame, k: Int,
+                                  m: Int, ksub: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
-      .withColumn("dt", dtKernel(col("qe")))
+      .withColumn("dt", pqDistTableKernel(books, m, ksub)(col("qe")))
     // s-ascending explicit fold — the exact addition order the oracle mirrors
     val adist = (0 until m).map(s =>
         element_at(col("dt"), element_at(col("code"), s + 1) + lit(s * ksub + 1)))
@@ -656,33 +674,103 @@ object Similarity {
     * (qid, nid) pairs — k×queries rows, broadcast-sized. */
   def annQualityReport(corpus: DataFrame, queries: DataFrame, k: Int,
                        lshDim: Int = 64): DataFrame = {
-    // One action, one exchange past the method pipelines (round 15,
-    // directive #2: the driver-job diet): the exact top-k is CACHED (one
-    // materialization instead of three brute-force recomputes) and
-    // BROADCAST into one tagged join (nQ·k rows by contract); the three
-    // per-method counts fold into ONE aggregation; and the query-set
-    // size rides a broadcast 1-row frame off the same cache (every query
-    // has k exact neighbors, so exact's distinct qids ARE the query set)
-    // instead of a separate driver count.
-    val exact = bruteForceTopK(corpus, queries, k)
-      .select(col("qid"), col("nid")).cache()
-    val nqRow = broadcast(exact.agg(
-      countDistinct(col("qid")).as("n_queries"),
-      (countDistinct(col("qid")) * k).as("possible")))
-    def tagged(name: String, approx: DataFrame): DataFrame =
-      approx.select(lit(name).as("method"), col("qid"), col("nid"))
-    tagged("ivf", ivfTopK(corpus, queries, k))
-      .unionByName(tagged("lsh", lshTopK(corpus, queries, lshDim, k)))
-      .unionByName(tagged("pq", pqTopK(corpus, queries, k)))
-      .join(broadcast(exact.withColumn("__hit", lit(1))),
-        Seq("qid", "nid"), "left")
-      .groupBy("method")
-      .agg(count(col("__hit")).as("hits"))
-      .crossJoin(nqRow)
-      .select(col("method"), col("n_queries"),
-        col("hits"), col("possible"),
-        round(col("hits").cast("double") / col("possible").cast("double"), 6)
-          .as("recall"))
+    // ONE action, ~6 scheduled stages past the (memoized) model builds
+    // (round-16 directive #2; the r15 shape ran 11 jobs / 23 stages —
+    // four separate per-method rank windows, a cached exact side and two
+    // extra broadcast builds). The whole report is one DAG:
+    //
+    //  - ONE query-side frame carries every per-method model column
+    //    (IVF probe cells, LSH signature, PQ distance table) and
+    //    broadcasts once — the exact/ivf/pq branches share one identity
+    //    broadcast (ReuseExchange collapses their non-equi joins); lsh's
+    //    hashed sig-join adds the second;
+    //  - the IVF probe is `array_contains(qcells, cell)` inside the join
+    //    condition — same pair set as the explode+equi-join, but
+    //    duplicate-free by construction, so no distinct() pass;
+    //  - ONE rank window over the 4-way union — partitionBy(method, qid),
+    //    orderBy(skey, nid) with skey = −cos (order-exact negation) for
+    //    the cosine methods and the ADC distance for PQ — replaces four
+    //    per-method windows with a single exchange;
+    //  - hits fall out of a (qid, nid) window (a pair is a hit for m iff
+    //    'exact' ranked it too), and the 3-row report is ONE global agg
+    //    (per-method conditional sums + the distinct-qid query count,
+    //    exploded back to rows). Every query has k exact neighbors, so
+    //    exact's distinct qids ARE the query set.
+    val m = 4; val ksub = 16; val nlist = 16; val nprobe = 4
+    val (assigned, centroids) = ivfAssign(corpus, nlist)
+    val books = pqCodebooks(corpus, m, ksub)
+    // The encoded corpus materializes ONCE (lazy localCheckpoint, the
+    // semDedup discipline): under whole-stage codegen a projection feeding
+    // a broadcast join defers non-condition columns into the per-pair
+    // loop, so the cell/signature/code kernels would otherwise re-run
+    // nQ× per corpus row (measured 4-6× wall time). At 100 TB the encoded
+    // corpus is what [[AnnIndex]] persists — this is the in-session
+    // equivalent of reading it back.
+    val c = assigned.select(col("vec_id").as("nid"), col("e").as("ce"), col("cell"))
+      .withColumn("cn", norm(col("ce")))
+      .withColumn("csig", lshSignature(col("ce"), lshDim))
+      .withColumn("code", pqCodeKernel(books)(col("ce")))
+      .localCheckpoint(false)
+    val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
+      .withColumn("qn", norm(col("qe")))
+      .withColumn("qcells", nearestCentroid(col("qe"), centroids, nprobe))
+      .withColumn("qsig", lshSignature(col("qe"), lshDim))
+      .withColumn("qdt", pqDistTableKernel(books, m, ksub)(col("qe")))
+    val qb = broadcast(q)
+    val cos = dot(col("qe"), col("ce")) / (col("qn") * col("cn"))
+    // s-ascending explicit fold — the exact addition order the oracle mirrors
+    val adist = (0 until m).map(s =>
+        element_at(col("qdt"), element_at(col("code"), s + 1) + lit(s * ksub + 1)))
+      .reduce(_ + _)
+    // every method's candidate test is a per-pair predicate (the exact and
+    // PQ branches score all pairs anyway — this is the brute-force-graded
+    // EVAL, run on a sampled query set; the serving paths keep their
+    // pruned per-method plans), so ONE pair scan emits all four methods'
+    // entries. cos/adist and the membership flags are computed ONCE per
+    // pair in a codegen projection BELOW the explode; the generator is a
+    // plain array of (method, skey) structs with nulls filtered after the
+    // explode — a higher-order `filter` inside the generator would drop
+    // the whole expression to interpreted eval (CodegenFallback), paying
+    // 3 interpreted 64-dim dots per pair.
+    val pairs = c.join(qb, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), cos.as("__cos"), adist.as("__adist"),
+        array_contains(col("qcells"), col("cell")).as("__in_ivf"),
+        (col("qsig") === col("csig")).as("__in_lsh"))
+    val union = pairs
+      .select(col("qid"), col("nid"), explode(array(
+        struct(lit("exact").as("method"), (-col("__cos")).as("skey")),
+        when(col("__in_ivf"),
+          struct(lit("ivf").as("method"), (-col("__cos")).as("skey"))),
+        when(col("__in_lsh"),
+          struct(lit("lsh").as("method"), (-col("__cos")).as("skey"))),
+        struct(lit("pq").as("method"), col("__adist").as("skey")))).as("e"))
+      .where(col("e").isNotNull)
+      .select(col("e.method").as("method"), col("qid"), col("nid"),
+        col("e.skey").as("skey"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("method"), col("qid"))
+      .orderBy(col("skey").asc, col("nid").asc)
+    val ranked = union.withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= k)
+    val wPair = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"), col("nid"))
+    val flagged = ranked.withColumn("__hit",
+      max(when(col("method") === "exact", 1).otherwise(0)).over(wPair))
+    def hitsOf(name: String) =
+      sum(when(col("method") === name && col("__hit") === 1, 1L).otherwise(0L))
+    flagged.agg(
+        countDistinct(when(col("method") === "exact", col("qid"))).as("nq"),
+        hitsOf("ivf").as("h_ivf"), hitsOf("lsh").as("h_lsh"),
+        hitsOf("pq").as("h_pq"))
+      .select(explode(array(
+          struct(lit("ivf").as("method"), col("h_ivf").as("hits")),
+          struct(lit("lsh").as("method"), col("h_lsh").as("hits")),
+          struct(lit("pq").as("method"), col("h_pq").as("hits")))).as("mh"),
+        col("nq"))
+      .select(col("mh.method").as("method"), col("nq").as("n_queries"),
+        col("mh.hits").as("hits"), (col("nq") * k).as("possible"),
+        round(col("mh.hits").cast("double") /
+          (col("nq") * k).cast("double"), 6).as("recall"))
     // no orderBy: three rows, and the driver compare sorts rows itself —
     // a sort here would cost one more exchange (= one more driver job)
   }

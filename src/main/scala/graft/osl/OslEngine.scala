@@ -361,6 +361,67 @@ object OslEngine {
     }
   }
 
+  /** The widest stamp window a script can READ, when that window is
+    * statically bounded — the hook that lets a date-partitioned events
+    * layout prune whole directories for ranged queries (round-16 #5; the
+    * reference reads only the index blocks its range covers,
+    * `src/table.h` time blocks).
+    *
+    * Sound by construction: Some((lo, hi)) is returned ONLY for programs
+    * whose every history read is a top-level `each_row` with a
+    * constant-evaluable frame and whose where/body/select expressions read
+    * nothing beyond the spawning row — no nested levels (a `.continue()`
+    * step may match arbitrarily far ahead), no inline aggs, no
+    * `.ever/.never` (both scan the whole history). Everything else returns
+    * None = scan everything. An unframed top-level each_row widens the
+    * window to (MinValue, MaxValue), which callers treat as no pruning. */
+  def staticScanWindow(script: String, now: Long): Option[(Long, Long)] = {
+    val program = Parser.program(script)
+    def exprLocal(e: Expr): Boolean = e match {
+      case Lit(_) | VarRef(_) | PropRef(_) => true
+      case ListLit(xs) => xs.forall(exprLocal)
+      case SetLit(xs) => xs.forall(exprLocal)
+      case DictLit(ps) => ps.forall { case (k, v) => exprLocal(k) && exprLocal(v) }
+      case BinOp(_, l, r) => exprLocal(l) && exprLocal(r)
+      case UnOp(_, x) => exprLocal(x)
+      case Call(_, args) => args.forall(exprLocal)
+      case MethodCall(r, _, args) => exprLocal(r) && args.forall(exprLocal)
+      case Subscript(r, i) => exprLocal(r) && exprLocal(i)
+      case PropTest(_, kind, cmp, frame, _) =>
+        // is/is_not test the CURRENT row; ever/never (and any framed
+        // variant) scan history beyond it
+        (kind == "is" || kind == "is_not") && frame.isEmpty &&
+          exprLocal(cmp.operand)
+      case InlineAgg(_, _, _, _, _) => false
+    }
+    def stmtLocal(s: Stmt): Boolean = s match {
+      case EachRow(_, _, _) => false // nested level: reads past the row
+      case Assign(t, _, v) => exprLocal(t) && exprLocal(v)
+      case If(c, b, e) => exprLocal(c) && b.forall(stmtLocal) && e.forall(stmtLocal)
+      case ForIn(_, it, b) => exprLocal(it) && b.forall(stmtLocal)
+      case Tally(gs) => gs.forall(exprLocal)
+      case Return(v) => v.forall(exprLocal)
+      case Break(_, _, _) | ContinueStmt | ExitStmt => true
+      case ExprStmt(e) => exprLocal(e)
+    }
+    val windows = program.code.map {
+      case EachRow(mods, where, body)
+          if exprLocal(where) && body.forall(stmtLocal) =>
+        TierA.constBounds(mods.frame, now)
+      case s if stmtLocal(s) =>
+        Some((Long.MaxValue, Long.MinValue)) // reads no rows: empty window
+      case _ => None
+    }
+    if (windows.exists(_.isEmpty) || windows.isEmpty) None
+    else {
+      val bs = windows.flatten
+      val lo = bs.map(_._1).min
+      val hi = bs.map(_._2).max
+      if (lo > hi) None // no statement reads rows — nothing to prune against
+      else Some((lo, hi))
+    }
+  }
+
   // ------------------------------------------------------------------ private
   /** Tier B index pre-filter (SURVEY §4.1): when the whole script is one
     * each_row, a person whose rows never satisfy the (weakened, row-pure)

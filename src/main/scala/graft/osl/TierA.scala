@@ -4306,7 +4306,7 @@ object TierA {
   }
 
   /** Constant frame bounds at top level (cursor invalid → anchor = now). */
-  private def constBounds(frame: Option[Frame], now: Long): Option[(Long, Long)] = {
+  private[osl] def constBounds(frame: Option[Frame], now: Long): Option[(Long, Long)] = {
     def c(e: Expr): Option[Long] = e match {
       case VarRef("now") | PropRef("now") => Some(now)
       case Lit(VInt(i)) => Some(i)

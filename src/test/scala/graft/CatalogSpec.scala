@@ -608,9 +608,11 @@ class CatalogSpec extends SparkSpec {
       """{"id":"u1","stamp":"1704070800","event":"purchase","product_name":"reel","product_price":5.0}"""),
       nowMs = now)
     val m = api.catalog.describe("highstreet")
-    import org.apache.spark.sql.functions.{pmod, xxhash64, lit => flit}
+    import org.apache.spark.sql.functions.{hash, pmod, lit => flit}
+    // new tables bucket by murmur3 (Spark's own bucket-table hash)
+    assert(m.settings.bucketHash == "murmur3")
     val b1 = Seq("u1").toDF("id")
-      .select(pmod(xxhash64(col("id")), flit(m.settings.storageBuckets.toLong)).cast("int"))
+      .select(pmod(hash(col("id")), flit(m.settings.storageBuckets)))
       .head().getInt(0)
     val after = bucketDirs.map(d => d.getName -> d.lastModified()).toMap
     after.foreach { case (name, mtime) =>

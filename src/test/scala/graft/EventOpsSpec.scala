@@ -151,24 +151,45 @@ class EventOpsSpec extends SparkSpec {
 
   test("sketch tier tracks the exact tier within declared error") {
     val dir = "/root/testdata/sf0.001"
+    // the registry queries now carry their tolerance CONTRACT in-row
+    // (round-16 #3: exact comparator + bound verdict, oracle-hash-gated);
+    // assert every verdict is true and the exact tier matches its twin
     val exact = Queries.queries("q_daily_active")(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val approx = Queries.queries("q_daily_active_approx")(spark, dir)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
     assert(approx.keySet == exact.keySet)
-    approx.foreach { case (day, a) =>
+    approx.foreach { case (day, (ex, ok)) =>
+      assert(ex == exact(day), s"day $day: exact tier disagrees")
+      assert(ok, s"day $day: HLL outside the declared ±5% contract")
+    }
+    // raw sketch error, pinned tighter than the query's contract
+    val e = Tables.events(spark, dir)
+    val raw = e.groupBy(graft.functions.TimeFns.startOfDay(col("stamp")).as("d"))
+      .agg(approx_count_distinct(col("id"), rsd = 0.02).as("a"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    raw.foreach { case (day, a) =>
       assert(math.abs(a - exact(day)).toDouble / exact(day) < 0.1,
         s"day $day: approx $a vs exact ${exact(day)}")
     }
+    val approxP = Queries.queries("q_value_percentiles_approx")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))).toMap
     val exactP = Queries.queries("q_value_percentiles")(spark, dir)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap // p50
-    val approxP = Queries.queries("q_value_percentiles_approx")(spark, dir)
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(approxP.keySet == exactP.keySet)
-    approxP.foreach { case (ev, a) =>
-      val e = exactP(ev)
-      assert(math.abs(a - e) / math.max(math.abs(e), 1e-9) < 0.05,
-        s"event $ev: approx p50 $a vs exact $e")
+    approxP.foreach { case (ev, (ok50, ok90, ok99)) =>
+      assert(ok50 && ok90 && ok99,
+        s"event $ev: percentile sketch outside the declared rank-ε contract")
+    }
+    // raw p50 sketch error vs the exact tier, tighter than the contract
+    val rawP = e.groupBy(col("event"))
+      .agg(percentile_approx(col("value"), lit(0.5), lit(10000)).as("a"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rawP.foreach { case (ev, a) =>
+      val ex = exactP(ev)
+      assert(math.abs(a - ex) / math.max(math.abs(ex), 1e-9) < 0.05,
+        s"event $ev: approx p50 $a vs exact $ex")
     }
   }
 

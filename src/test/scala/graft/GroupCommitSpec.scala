@@ -215,4 +215,128 @@ class GroupCommitSpec extends SparkSpec {
       "flush_rows=0 must merge every batch immediately")
     assert(api.catalog.events(t).count() == 1)
   }
+
+  // ------------------------------------------------------- round-16 #4:
+  // crash-recovery legs for the WAL loop — the reference's sidelog replays
+  // from its cursor after a restart (src/sidelog.h:15-60); here a "restart"
+  // is a FRESH Api/Catalog over the same warehouse (new caches, new locks),
+  // exactly what a replacement driver process sees.
+
+  test("crash recovery: WAL appended, crash before drain — restart replays, nothing lost") {
+    val wh = Files.createTempDirectory("graft_crash_a").toString
+    val api = new Api(spark, wh)
+    api.tableCreate(TableMeta("shop",
+      Seq(PropDef("product_name", "text"), PropDef("product_price", "double")),
+      TableSettings(eventOrder = Seq("purchase"), flushRows = 1000)))
+    api.insert("shop", Seq(
+      ev("u1", 1704067200L, "view"), ev("u2", 1704067201L, "view"),
+      ev("u1", 1704067202L, "purchase")), T0) // acked: WAL only, no commit
+    assert(api.catalog.eventVersions("shop").isEmpty, "nothing committed yet")
+    // crash + restart
+    val api2 = new Api(spark, wh)
+    assert(api2.catalog.events("shop").count() == 3,
+      "acked rows must survive the crash via WAL replay visibility")
+    assert(api2.catalog.customerEvents("shop", "u1").count() == 2)
+    api2.catalog.flush("shop", T0) // the restarted drain resumes the WAL
+    assert(api2.catalog.eventVersions("shop").nonEmpty)
+    assert(api2.catalog.events("shop").count() == 3)
+    api2.catalog.flush("shop", T0) // and replaying again changes nothing
+    assert(api2.catalog.events("shop").count() == 3)
+  }
+
+  test("crash recovery: committed but WAL unretired — replay is idempotent, no duplicates") {
+    val wh = Files.createTempDirectory("graft_crash_b").toString
+    val api = new Api(spark, wh)
+    api.tableCreate(TableMeta("shop",
+      Seq(PropDef("product_name", "text"), PropDef("product_price", "double")),
+      TableSettings(eventOrder = Seq("purchase")))) // flush_rows=0: eager drain
+    api.insert("shop", Seq(ev("u1", 1704067200L, "view")), T0)
+    api.insert("shop", Seq(ev("u2", 1704067201L, "view")), T0)
+    // kill point: the drain commits the generation (pointer flipped), then
+    // dies BEFORE writing the .drained retirement markers
+    object Boom extends RuntimeException("simulated crash after commit")
+    api.catalog.afterDrainCommitHook = () => throw Boom
+    val thrown = intercept[RuntimeException] {
+      api.insert("shop", Seq(ev("u3", 1704067202L, "purchase")), T0)
+    }
+    assert(thrown eq Boom)
+    // window state on disk: u3 is committed AND still listed in the WAL
+    // (its .jsonl has no .drained marker; earlier batches' markers persist
+    // until the grace-window cleanup and are irrelevant here)
+    val pend = new java.io.File(wh, "shop/events_pending")
+    def liveWals = {
+      val ls = Option(pend.listFiles()).getOrElse(Array.empty)
+      val drained = ls.filter(_.getName.endsWith(".drained"))
+        .map(_.getName.stripSuffix(".drained")).toSet
+      ls.filter(f => f.getName.endsWith(".jsonl") && !drained(f.getName))
+    }
+    assert(liveWals.nonEmpty, "the crashed drain's WAL must still be live")
+    // crash + restart: overlay reads dedup the double-counted rows
+    val api2 = new Api(spark, wh)
+    assert(api2.catalog.events("shop").count() == 3,
+      "replayed WAL rows must collapse into their committed copies")
+    assert(api2.catalog.customerEvents("shop", "u3").count() == 1)
+    // the restarted drain re-merges the same rows — upsert-idempotent —
+    // and finally retires the WAL
+    api2.catalog.flush("shop", T0)
+    assert(api2.catalog.events("shop").count() == 3)
+    assert(liveWals.isEmpty, "replay must retire the WAL")
+    // life goes on: the next insert lands exactly once
+    api2.insert("shop", Seq(ev("u4", 1704067203L, "view")), T0)
+    assert(api2.catalog.events("shop").count() == 4)
+  }
+
+  test("crash recovery: enter/exit appended, crash before push drain — exactly-once resume") {
+    val wh = Files.createTempDirectory("graft_crash_c").toString
+    val api = new Api(spark, wh, clock = () => T0)
+    api.tableCreate(TableMeta("shop",
+      Seq(PropDef("product_name", "text"), PropDef("product_price", "double")),
+      TableSettings(eventOrder = Seq("purchase"))))
+    api.insert("shop", Seq(
+      ev("u1", 1704067200L, "purchase", price = 150.0),
+      ev("u2", 1704067201L, "view")), T0)
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val respond500 = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/hook", { exchange =>
+      val body = new String(exchange.getRequestBody.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      if (respond500.get()) exchange.sendResponseHeaders(500, -1)
+      else { received.add(body): Unit; exchange.sendResponseHeaders(200, -1) }
+      exchange.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/hook"
+      api.subscriptionCreate("shop", "spenders", "hook", nowMs = T0,
+        pushUrl = Some(url))
+      // the refresh appends the enter event; the push drain then "crashes":
+      // we run refreshSegments DIRECTLY (no drain scheduled) — the exact
+      // on-disk state of a process that died between append and delivery
+      val fns: Map[String, graft.streaming.Streams.SegmentFn] = Map(
+        "spenders" -> ((ev: org.apache.spark.sql.DataFrame) =>
+          ev.where(col("event") === "purchase" && col("product_price") >= 100.0)
+            .select("id").distinct()))
+      graft.streaming.Streams.refreshSegments(spark,
+        new java.io.File(wh, "shop").toString, fns, nowMs = T0 + 1000L)
+      assert(received.isEmpty, "nothing delivered before the drain")
+      // restart: a fresh Api resumes delivery from the stored cursor.
+      // First attempt fails mid-flight (500 = the crash window between
+      // POST and ack): the cursor must NOT advance
+      val api2 = new Api(spark, wh, clock = () => T0 + 2000L)
+      respond500.set(true)
+      api2.subscriptionPushDrain("shop", nowMs = T0 + 2000L)
+      assert(received.isEmpty)
+      // next drain redelivers the SAME batch exactly once
+      respond500.set(false)
+      api2.subscriptionPushDrain("shop", nowMs = T0 + 2000L)
+      assert(received.size == 1, s"expected one delivery, got $received")
+      assert(received.peek().contains("\"uid\":\"u1\"") &&
+        received.peek().contains("entered"), received.peek())
+      // cursor advanced: a further drain delivers nothing
+      api2.subscriptionPushDrain("shop", nowMs = T0 + 3000L)
+      assert(received.size == 1, s"duplicate delivery after resume: $received")
+    } finally server.stop(0)
+  }
 }

@@ -593,6 +593,56 @@ class IngestStreamSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_part_test")
   }
 
+  test("OSL .range() over the partitioned layout prunes date partitions (round-16 #5)") {
+    val day = 86400000L
+    val d0 = 1704067200000L // 2024-01-01T00:00Z
+    // 30 days, 3 persons, purchases every day (plus views): a ranged tally
+    // over days 10..12 must open exactly 3 of 30 date partitions
+    val e = (0 until 30).flatMap(i => Seq(
+        (i.toLong % 3, d0 + i * day + 3600000L, "purchase", 10.0 + i),
+        (i.toLong % 3, d0 + i * day + 7200000L, "view", 1.0)))
+      .toDF("id", "stamp", "event", "value")
+    spark.sql("DROP TABLE IF EXISTS graft_range_test")
+    Layout.writePartitionedEvents(e, "graft_range_test", buckets = 2)
+    val script =
+      """select
+        |  count id as customers
+        |  count event as n_rows
+        |  sum value as total_value
+        |end
+        |each_row.range('2024-01-11T00:00:00Z', '2024-01-13T23:59:59Z') where event.is(== 'purchase')
+        |  << event
+        |end
+        |""".stripMargin
+    val now = d0 + 40 * day
+    // the static window derives from the range literals alone
+    val win = graft.osl.OslEngine.staticScanWindow(script, now)
+    assert(win.contains((1704931200000L, 1705190399000L)), win.toString)
+    val framed = Layout.oslQuery(spark, "graft_range_test", script, now)
+    val plan = framed.queryExecution.executedPlan.toString
+    // explicit PartitionFilters with BOTH event_date bounds reach the scan
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("event_date") && pf.contains(">=") && pf.contains("<="),
+      s"expected two-sided event_date partition bounds, got: $pf\n${plan.take(3000)}")
+    // oracle parity: identical result to the same script over the raw frame
+    val expect = graft.osl.OslEngine.query(e, script, now)
+      .collect().map(_.toString).sorted.toSeq
+    val got = framed.collect().map(_.toString).sorted.toSeq
+    assert(got == expect, s"ranged funnel diverged:\n got=$got\n exp=$expect")
+    assert(got.nonEmpty)
+    // an UNBOUNDED script must not prune (ever() reads all history)
+    val unbounded = graft.osl.OslEngine.staticScanWindow(
+      """select
+        |  count id as customers
+        |end
+        |each_row.range('2024-01-11T00:00:00Z', '2024-01-13T23:59:59Z') where event.ever(== 'signup')
+        |  << event
+        |end
+        |""".stripMargin, now)
+    assert(unbounded.isEmpty, s"ever() must defeat static pruning: $unbounded")
+    spark.sql("DROP TABLE IF EXISTS graft_range_test")
+  }
+
   test("result tree: g/c/_ nesting with sort and trim") {
     val df = Seq(
       (1, "2", null, 2L), (2, "2", "fly rod", 2L), (2, "2", "spoon", 1L),

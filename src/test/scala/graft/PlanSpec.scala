@@ -225,6 +225,133 @@ class PlanSpec extends SparkSpec {
     assert(viaSql == 11.0)
   }
 
+  test("catalog events read back BUCKETED: person-scoped plans carry no exchange and no sort") {
+    // Round-16 directive #1: ingested tables are permanently id-bucketed +
+    // (id, stamp)-sorted on disk (the reference's layout —
+    // src/rpc_insert.cpp:154 hash partitions, src/grid.cpp:1194-1369
+    // stamp-sorted grids); the manifest-backed bucketed relation exposes
+    // that to Catalyst, so the person exchange AND the per-person sort —
+    // the dominant 100 TB cost of every person-scoped query — vanish.
+    import org.apache.spark.sql.functions.{count => fcount, lit => flit}
+    val api = new Api(spark,
+      java.nio.file.Files.createTempDirectory("graft_bkt").toString)
+    api.tableCreate(TableMeta("shop",
+      Seq(PropDef("value", "double")), TableSettings()))
+    val now = 1704067200000L
+    def ev(id: String, t: Long, e: String, v: Double) =
+      s"""{"id":"$id","stamp":"${1704067200L + t}","event":"$e","value":$v}"""
+    val batch1 = (0 until 8).flatMap(u => Seq(
+      ev(s"u$u", u * 10L, "signup", 1.0),
+      ev(s"u$u", u * 10L + 1, "view", 2.0),
+      ev(s"u$u", u * 10L + 2, "purchase", 30.0)))
+    val batch2 = (0 until 8).map(u => ev(s"u$u", u * 10L + 3, "view", 4.0))
+    api.insert("shop", batch1, nowMs = now)
+    api.insert("shop", batch2, nowMs = now) // second gen: buckets re-merge
+    val events = api.catalog.events("shop")
+
+    // (a) groupBy(id) aggregates in place: zero Exchange anywhere
+    val aggPlan = events.groupBy("id").agg(fcount(flit(1)))
+      .queryExecution.executedPlan.toString
+    assert(!aggPlan.contains("Exchange"), s"person agg still shuffles:\n$aggPlan")
+    assert(!aggPlan.contains("Sort"), aggPlan)
+
+    // (b) a Tier-A OSL chain funnel: the person window rides the bucket
+    // layout — no id exchange, no (id, stamp) sort; the only exchange left
+    // is the final tiny result-tree rollup
+    val chain = graft.osl.OslEngine.query(events,
+      """select
+        |  count id as customers
+        |  sum value as total_value
+        |end
+        |each_row where event.is(== 'signup')
+        |  << 'signup'
+        |  each_row.continue().next() where event.is(== 'view')
+        |    each_row.continue().next() where event.is(== 'purchase')
+        |      << 'converted'
+        |    end
+        |  end
+        |end
+        |""".stripMargin, now = now + 86400000L)
+    val p = chain.queryExecution.executedPlan.toString
+    assert(!p.contains("MapGroups"), s"chain fell back to Tier B:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(id"),
+      s"person window still pays the id exchange:\n$p")
+    val stampSorts = p.linesIterator
+      .filter(l => l.trim.startsWith("+- Sort") || l.trim.startsWith("Sort "))
+      .filter(_.contains("stamp"))
+    assert(stampSorts.isEmpty,
+      s"person window still sorts by stamp:\n${stampSorts.mkString("\n")}\n$p")
+    // parity: the bucketed-path rows are exactly the committed snapshot
+    val got = events.collect().map(_.toString).sorted.toSeq
+    assert(got.size == 32, s"expected 32 committed rows, got ${got.size}")
+    assert(chain.collect().nonEmpty)
+
+    // (c) single-customer fetch: filter-only plan — no exchange, no sort,
+    // and bucket pruning reaches the scan (SelectedBucketsCount)
+    val cust = api.catalog.customerEvents("shop", "u3")
+    val cp = cust.queryExecution.executedPlan.toString
+    assert(!cp.contains("Exchange") && !cp.contains("Sort"), cp)
+    assert(cust.count() == 4)
+
+    // (d) the claimed HashPartitioning is TRUTHFUL (murmur3 = Spark's own
+    // bucket hash): a join against a genuinely SHUFFLED side co-partitions
+    // correctly — the silent-corruption case a false claim would hit
+    import spark.implicits._
+    val shuffled = (0 until 8).map(u => (s"u$u", u)).toDF("id", "tag")
+      // forces a real HashPartitioning exchange on the other side
+      .repartition(org.apache.spark.sql.functions.col("id"))
+    val joined = api.catalog.events("shop").groupBy("id")
+      .agg(fcount(flit(1)).as("n")).hint("merge")
+      .join(shuffled, Seq("id"))
+    // a false claim silently DROPS rows here (the sides would co-partition
+    // under two different hashes) — the values check is the real guard
+    val rows = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == (0 until 8).map(u => s"u$u" -> 4L).toMap,
+      s"co-partitioned join dropped rows — the partitioning claim is false: $rows")
+    // and the bucketed side itself contributed no shuffle: the SMJ's left
+    // (agg-over-scan) subtree is exchange-free — the OTHER side conformed
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val pl = joined.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // AQE wraps materialized stages in leaf-like QueryStageExec nodes —
+    // descend through them explicitly
+    def findSmj(p: SparkPlan): Option[SortMergeJoinExec] = p match {
+      case j: SortMergeJoinExec => Some(j)
+      case q: QueryStageExec => findSmj(q.plan)
+      case other => other.children.iterator.flatMap(findSmj).nextOption()
+    }
+    val smj = findSmj(pl)
+    assert(smj.isDefined, s"expected a sort-merge join:\n$pl")
+    val leftShuffles = smj.get.left.collect {
+      case e: ShuffleExchangeLike => e
+      case q: ShuffleQueryStageExec => q
+    }
+    assert(leftShuffles.isEmpty,
+      s"bucketed join side re-exchanged:\n${smj.get.left}")
+  }
+
+  test("catalog-backed registry queries ride the bucketed store") {
+    // q_catalog_funnel: the person window needs NO id exchange and NO
+    // stamp sort — the storage layout carries both (round 16)
+    val p = plan("q_catalog_funnel")
+    assert(!p.contains("MapGroups"), s"catalog funnel fell back to Tier B:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(id"),
+      s"catalog funnel still pays the person exchange:\n$p")
+    val stampSorts = p.linesIterator
+      .filter(l => l.contains("Sort [") && l.contains("stamp"))
+    assert(stampSorts.isEmpty, s"catalog funnel still sorts by stamp:\n$p")
+    // q_catalog_customer: pruned to the id's hash bucket, filter-only plan
+    val cp = plan("q_catalog_customer")
+    assert(!cp.contains("Exchange") && !cp.contains("Sort ["), cp.take(3000))
+    val pf = cp.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("__bucket"), s"customer fetch lost bucket pruning: $pf")
+  }
+
   test("hot-table cache returns identical results to cold scans") {
     def rows(name: String) =
       Queries.queries(name)(spark, dir).collect().map(_.toString).sorted.toSeq
