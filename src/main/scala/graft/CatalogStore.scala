@@ -27,13 +27,17 @@ object CatalogStore {
   private lazy val root =
     java.nio.file.Files.createTempDirectory("graft_catstore").toString
 
+  // keyed by (session, dir): a Catalog embeds its session, and plans built
+  // on a stopped session must never serve a new one (ClusterSmoke runs two
+  // sessions in one JVM). The WAREHOUSE path depends on dir alone, so the
+  // second session reuses the on-disk store the first one built.
   private val catalogs =
-    new java.util.concurrent.ConcurrentHashMap[String, Catalog]
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Catalog]
 
   private val Table = "events_store"
 
   private def catalogFor(spark: SparkSession, dir: String): Catalog =
-    catalogs.computeIfAbsent(dir, _ => {
+    catalogs.computeIfAbsent((spark, dir), _ => {
       val wh = s"$root/${Integer.toHexString(dir.hashCode)}"
       new java.io.File(wh).mkdirs()
       new Catalog(spark, wh)

@@ -361,7 +361,24 @@ object Plans {
     P("q_ann_ivf_indexed",
       "persisted IVF index (round 11): the cells scan carries an explicit " +
         "PartitionFilters: cell IN (probed) — a query reads nprobe/nlist of the " +
-        "corpus bytes by construction; centroids are a collected broadcast"))
+        "corpus bytes by construction; centroids are a collected broadcast"),
+    P("q_catalog_funnel",
+      "round 16: the chain funnel over an INGESTED catalog table — the scan " +
+        "says 'Bucketed: true' with a ManifestFileIndex location, and the whole " +
+        "person-window chain runs with ZERO Exchange hashpartitioning(id) and " +
+        "ZERO (id, stamp) Sort: the storage layout carries both (the reference's " +
+        "permanent insert-time partitioning, src/rpc_insert.cpp:154)"),
+    P("q_catalog_customer",
+      "round 16: single-person fetch from the ingested store — filter-only " +
+        "plan, partition-pruned to the id's hash bucket (PartitionFilters on " +
+        "__bucket), no exchange, no sort"),
+    P("q_ann_recall",
+      "round 16: the 4-method quality report is ONE pair scan (a single " +
+        "broadcast query frame carries the IVF cells / LSH signature / PQ " +
+        "distance table), ONE rank window over the tagged union, one (qid, nid) " +
+        "hit window, one global agg — 6 scheduled jobs, down from 11; the " +
+        "encoded corpus materializes once via lazy localCheckpoint (codegen " +
+        "defers non-condition columns into the pair loop otherwise)"))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("local[4]", 4).getOrCreate()
