@@ -313,7 +313,9 @@ final class Api(spark: SparkSession, val warehouse: String,
             .where(col("segment") === d.name))
       }.toMap
     graft.streaming.Streams.refreshSegments(spark,
-      new java.io.File(warehouse, table).toString, fns, nowMs)
+      new java.io.File(warehouse, table).toString, fns, nowMs,
+      // the committed catalog view, never the raw listing (round 16)
+      historyOverride = Some(_ => catalog.events(table)))
     // hand the refresh's enter/exit diff to the push worker — delivery is
     // async so a slow webhook can't stall the refresh loop
     schedulePushDrain(table, nowMs)
@@ -563,7 +565,24 @@ final class Api(spark: SparkSession, val warehouse: String,
       // per-batch clock(): the drain cutoff must track wall time on a
       // long-running stream, not freeze at the stream-start nowMs — and
       // the enqueue is O(1), so subscriber health never gates batch latency
-      afterBatch = () => schedulePushDrain(table, clock()))
+      afterBatch = () => schedulePushDrain(table, clock()),
+      // route each micro-batch through the CATALOG insert pipeline
+      // (upsert/z-order/TTL + the bucketed manifest-committed layout) and
+      // read segment history from the committed view — a flat append next
+      // to a manifest store would be invisible to catalog reads (round 16;
+      // the reference's insert consumer drains into the same table store,
+      // src/oloop_insert.cpp:166-183). Streamed tables thereby ride the
+      // same exchange-free person-scoped plans as batch-inserted ones.
+      ingest = Some { b =>
+        // a stream need not carry every declared prop — absent ones land
+        // as nulls, the same tolerance the raw-JSON route has
+        val m = catalog.describe(table)
+        val aligned = m.eventsSchema.fields.foldLeft(b)((df, f) =>
+          if (df.columns.contains(f.name)) df
+          else df.withColumn(f.name, lit(null).cast(f.dataType)))
+        catalog.insert(table, aligned, clock())
+      },
+      history = Some(_ => catalog.events(table)))
   }
 
   // -------------------------------------------------------------------- batch

@@ -48,14 +48,16 @@ object Streams {
   def startIngest(stream: DataFrame, dir: String, checkpoint: String,
                   onInsertSegments: Map[String, SegmentFn] = Map.empty,
                   trigger: Trigger = Trigger.ProcessingTime(0L),
-                  afterBatch: () => Unit = () => ()): StreamingQuery = {
+                  afterBatch: () => Unit = () => (),
+                  ingest: Option[DataFrame => Unit] = None,
+                  history: Option[SparkSession => DataFrame] = None): StreamingQuery = {
     // Trigger.AvailableNow terminates once the data available AT START is
     // drained — use it for scheduled catch-up jobs, not live ingest.
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestBatch(batch, dir, onInsertSegments, batchId)
+        ingestBatch(batch, dir, onInsertSegments, batchId, ingest, history)
         // post-batch hook: subscription push delivery rides here (the
         // reference broker notifies subscribers as messages enqueue,
         // src/message_broker.h:19-130)
@@ -66,23 +68,39 @@ object Streams {
   }
 
   /** The batch body of the ingest pipeline — also callable directly (the
-    * reference's bulk `POST /v1/insert` path). */
+    * reference's bulk `POST /v1/insert` path).
+    *
+    * `ingest`/`history` override WHERE batches land and where per-person
+    * history is read back from. The defaults are the standalone streaming
+    * layout (plain appends under `dir/events`); a CATALOG-managed table
+    * must pass its own insert pipeline + committed read instead
+    * ([[graft.Api.startIngest]] does) — a flat append next to a
+    * manifest-committed store would be INVISIBLE to manifest reads, and
+    * the catalog route additionally buys the streamed rows the bucketed
+    * (exchange-free, sorted) layout and upsert/TTL semantics, exactly the
+    * reference's insert consumer draining into the same table store
+    * (src/oloop_insert.cpp:166-183). */
   def ingestBatch(batch: DataFrame, dir: String,
-                  onInsertSegments: Map[String, SegmentFn], batchId: Long): Unit = {
+                  onInsertSegments: Map[String, SegmentFn], batchId: Long,
+                  ingest: Option[DataFrame => Unit] = None,
+                  history: Option[SparkSession => DataFrame] = None): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
-    batch.write.mode("append").parquet(s"$dir/events")
+    ingest.getOrElse((b: DataFrame) =>
+      b.write.mode("append").parquet(s"$dir/events"))(batch)
 
     if (onInsertSegments.nonEmpty) {
       val touched = batch.select("id").distinct().cache()
-      val history = spark.read.parquet(s"$dir/events")
+      val history0 = history.map(_(spark))
+        .getOrElse(spark.read.parquet(s"$dir/events"))
+      val historyTouched = history0
         .join(touched, Seq("id"), "left_semi")
       val nowMs = batch.agg(max(col("stamp"))).head().getLong(0)
       onInsertSegments.foreach { case (name, fn) =>
         // same writer lock as refreshSegments: the batch diff-and-rewrite
         // is a read-modify-write of the membership pointer
         graft.Fs.withWriteLock(s"$dir/segments/$name") {
-          val newMembers = fn(history).select("id").distinct().cache()
+          val newMembers = fn(historyTouched).select("id").distinct().cache()
           val prev = previousMembership(spark, dir, name, newMembers)
           val oldMembers = prev.join(touched, Seq("id"), "left_semi")
           val entered = newMembers.join(oldMembers, Seq("id"), "left_anti")
@@ -115,8 +133,13 @@ object Streams {
     * flag dictates (e.g. from a cron'd batch job or Trigger.AvailableNow
     * stream). */
   def refreshSegments(spark: SparkSession, dir: String,
-                      segments: Map[String, SegmentFn], nowMs: Long): Unit = {
-    val history = spark.read.parquet(s"$dir/events")
+                      segments: Map[String, SegmentFn], nowMs: Long,
+                      historyOverride: Option[SparkSession => DataFrame] = None): Unit = {
+    // catalog-managed tables pass their committed view: a raw listing
+    // over a manifest store would double-read retired-but-not-vacuumed
+    // files (same contract as ingestBatch's history override)
+    val history = historyOverride.map(_(spark))
+      .getOrElse(spark.read.parquet(s"$dir/events"))
     segments.foreach { case (name, fn) =>
       // diff-then-rewrite holds the segment's writer lock: two refreshers
       // racing would otherwise diff against the same previous membership

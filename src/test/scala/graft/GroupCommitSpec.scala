@@ -319,7 +319,8 @@ class GroupCommitSpec extends SparkSpec {
           ev.where(col("event") === "purchase" && col("product_price") >= 100.0)
             .select("id").distinct()))
       graft.streaming.Streams.refreshSegments(spark,
-        new java.io.File(wh, "shop").toString, fns, nowMs = T0 + 1000L)
+        new java.io.File(wh, "shop").toString, fns, nowMs = T0 + 1000L,
+        historyOverride = Some(_ => api.catalog.events("shop")))
       assert(received.isEmpty, "nothing delivered before the drain")
       // restart: a fresh Api resumes delivery from the stored cursor.
       // First attempt fails mid-flight (500 = the crash window between

@@ -366,6 +366,54 @@ class IngestStreamSpec extends SparkSpec {
       s"lost updates: missing ${(expected -- ids).take(5)}")
   }
 
+  test("mixed batch + stream ingest stays consistent: streamed batches land in the catalog store (round 16)") {
+    // Before round 16 the streaming route appended FLAT parquet next to
+    // the manifest-committed store — rows a manifest read never lists.
+    // Now every micro-batch rides the catalog insert pipeline, so mixed
+    // use is one consistent (and bucketed) table.
+    val T0 = 1704067200000L
+    val wh = Files.createTempDirectory("graft_mix").toString
+    val api = new Api(spark, wh, clock = () => T0 + 60000L)
+    api.tableCreate(TableMeta("mix",
+      Seq(PropDef("value", "double")), TableSettings(idTextual = false)))
+    // batch insert FIRST: the manifest exists before any streaming
+    api.insert("mix",
+      Seq("""{"id":1,"stamp":1704067200,"event":"signup","value":1.0}"""),
+      nowMs = T0)
+    assert(api.catalog.events("mix").count() == 1)
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Double)]
+    val stream = mem.toDF.toDF("id", "stamp", "event", "value")
+    val ckpt = Files.createTempDirectory("graft_mix_ckpt").toString
+    val q = api.startIngest("mix", stream, ckpt, nowMs = T0)
+    try {
+      mem.addData((2L, T0 + 1000L, "view", 2.0), (1L, T0 + 2000L, "purchase", 30.0))
+      q.processAllAvailable()
+      // BOTH routes' rows are visible through the committed catalog view
+      val rows = api.catalog.events("mix")
+        .select("id", "event").as[(Long, String)].collect().toSet
+      assert(rows == Set((1L, "signup"), (2L, "view"), (1L, "purchase")),
+        s"mixed ingest lost rows: $rows")
+      // idempotent replay semantics hold across routes too: re-streaming
+      // an identical row upserts, not duplicates
+      mem.addData((2L, T0 + 1000L, "view", 2.0))
+      q.processAllAvailable()
+      assert(api.catalog.events("mix").count() == 3)
+      // and the streamed table reads back BUCKETED: person-scoped
+      // aggregation plans carry no exchange
+      val plan = api.catalog.events("mix").groupBy("id")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)))
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"streamed store still shuffles:\n$plan")
+      // no flat parquet orphans at the events root
+      val root = new java.io.File(wh, "mix/events")
+      val flat = Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      assert(flat.isEmpty, s"flat files written next to the manifest: ${flat.toSeq}")
+    } finally q.stop()
+  }
+
   test("round-15 soak: full loop — ingest → on_insert → push → compaction under reads") {
     // The reference's actual operating mode, exercised as a WHOLE for the
     // first time (src/oloop_insert.cpp:166-183 insert drain + the message
