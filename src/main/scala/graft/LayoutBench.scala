@@ -90,12 +90,33 @@ object LayoutBench {
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
         .count()
 
+    // round 16: the INGESTED catalog events store vs raw parquet — the
+    // person-scoped exchange + sort are what the bucketed manifest read
+    // eliminates (the dominant 100 TB cost of every person-scoped query;
+    // setup builds the store once, not measured)
+    val eventsRaw = Tables.events(spark, sfDir)
+      .select("id", "stamp", "event", "value")
+    val eventsCat = CatalogStore.events(spark, sfDir)
+      .select("id", "stamp", "event", "value")
+    def personAgg(e: org.apache.spark.sql.DataFrame): Long =
+      e.groupBy(col("id"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("v"),
+          min(col("stamp")).as("first"), max(col("stamp")).as("last"))
+        .count()
+    def funnel(e: org.apache.spark.sql.DataFrame): Long =
+      graft.osl.OslEngine.query(e, QueriesOsl.ChainFunnelScript,
+        now = Queries.OslNow).count()
+
     for (round <- 1 to 2) { // round 1 warms code/IO caches; round 2 is clean
       val suffix = if (round == 1) "_warmup" else ""
       measure(s"enrich_join_flat$suffix")(enrich(docs, scoresFlat))
       measure(s"enrich_join_bucketed$suffix")(enrich(docsB, scoresB))
       measure(s"chunk_stats_flat$suffix")(chunkStats(docs))
       measure(s"chunk_stats_bucketed$suffix")(chunkStats(docsB))
+      measure(s"person_agg_flat$suffix")(personAgg(eventsRaw))
+      measure(s"person_agg_catalog$suffix")(personAgg(eventsCat))
+      measure(s"osl_funnel_flat$suffix")(funnel(eventsRaw))
+      measure(s"osl_funnel_catalog$suffix")(funnel(eventsCat))
     }
     spark.stop()
   }
