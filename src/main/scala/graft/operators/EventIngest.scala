@@ -48,14 +48,22 @@ object EventIngest {
   /** Upsert semantics (`src/grid.cpp:1306-1364`): an incoming event replaces
     * an existing row when (id, stamp, event-rank, row-hash) match; otherwise
     * it merge-sorts into the history. `existing` and `incoming` must share a
-    * schema; payload columns define the row hash. Latest batch wins. */
+    * schema; payload columns define the row hash. Latest batch wins.
+    *
+    * The EVENT NAME is always part of the row hash — in the reference's
+    * grid the event is itself a row attribute covered by the content hash,
+    * so two DIFFERENT events at one stamp with identical payloads are two
+    * rows. Hashing the payload alone collapsed them whenever both events
+    * shared the default z-rank (unlisted in event_order) — a silent
+    * data-loss hole found by StoreDifferentialSpec (round 16). */
   def upsert(existing: DataFrame, incoming: DataFrame,
              eventOrder: Seq[String], payload: Seq[String]): DataFrame = {
     val tagged = existing.withColumn("__gen", lit(0))
       .unionByName(incoming.withColumn("__gen", lit(1)))
+    val hashCols = if (payload.contains("event")) payload else "event" +: payload
     val keyed = tagged
       .withColumn("__rank", eventRank(col("event"), eventOrder))
-      .withColumn("__rh", rowHash(payload.map(col)))
+      .withColumn("__rh", rowHash(hashCols.map(col)))
     val w = Window
       .partitionBy(col("id"), col("stamp"), col("__rank"), col("__rh"))
       .orderBy(col("__gen").desc)
