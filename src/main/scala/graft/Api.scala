@@ -100,7 +100,15 @@ final class Api(spark: SparkSession, val warehouse: String,
     val selects =
       (if (program.select.nonEmpty) program.select
        else Seq(graft.osl.Ast.SelectCol("count", "id", "id", None, all = false)))
-    val df = graft.osl.OslEngine.query(catalog.events(table), script,
+    // statically-bounded scan windows (a top-level `.range(iso, iso)` etc.)
+    // prune the store's event_date partitions on date_partition tables —
+    // the row-exact frame stays with the script, exactly as unpruned
+    // (round-17 #1; Layout.oslQuery does the same for standalone layouts)
+    val ev = graft.osl.OslEngine.staticScanWindow(script, nowMs) match {
+      case Some((lo, hi)) => catalog.eventsFramed(table, lo, hi)
+      case None => catalog.events(table)
+    }
+    val df = graft.osl.OslEngine.query(ev, script,
       now = nowMs, sessionGapMs = m.settings.sessionTimeMs)
     val nodes = ResultTree.fromProgramSort(df, selects.map(_.alias), program.sort, trim)
     ResultTree.toJson(nodes)
@@ -547,6 +555,18 @@ final class Api(spark: SparkSession, val warehouse: String,
                   onInsertScript: Option[String] = None,
                   nowMs: Long): org.apache.spark.sql.streaming.StreamingQuery = {
     require(catalog.exists(table), s"no such table '$table'")
+    // Schema contract validated at stream START, not first batch: columns
+    // the table doesn't declare would be silently dropped by insert's
+    // aligned select (a behavior change from the old flat-append route —
+    // data loss the user only notices at read time), so reject them loudly
+    // here where the fix (declare the property / drop the column) is clear.
+    locally {
+      val declared = catalog.describe(table).eventsSchema.fieldNames.toSet
+      val extra = stream.columns.filterNot(declared)
+      require(extra.isEmpty,
+        s"stream carries undeclared columns ${extra.mkString(", ")} for " +
+          s"table '$table' — declare them as properties or drop them upstream")
+    }
     val fns: Map[String, graft.streaming.Streams.SegmentFn] =
       onInsertScript.map { script =>
         graft.osl.Parser.segments(script)
@@ -575,10 +595,14 @@ final class Api(spark: SparkSession, val warehouse: String,
       // same exchange-free person-scoped plans as batch-inserted ones.
       ingest = Some { b =>
         // a stream need not carry every declared prop — absent ones land
-        // as nulls, the same tolerance the raw-JSON route has
+        // as nulls, and present ones CAST to the declared type (the same
+        // coercion the raw-JSON route's schema-driven parse applies; an
+        // uncastable value fails the batch loudly instead of failing later
+        // inside unionByName with a confusing merge error)
         val m = catalog.describe(table)
         val aligned = m.eventsSchema.fields.foldLeft(b)((df, f) =>
-          if (df.columns.contains(f.name)) df
+          if (df.columns.contains(f.name))
+            df.withColumn(f.name, col(f.name).cast(f.dataType))
           else df.withColumn(f.name, lit(null).cast(f.dataType)))
         catalog.insert(table, aligned, clock())
       },

@@ -80,18 +80,25 @@ object Bench {
       }
     }
     val results = names.map(n => n -> best(n))
-    // one drain for the whole run: the status store is listener-fed (async).
-    // Profile counts come from PASS 2 unconditionally — always steady-state
-    // (the hot-table caches fill during pass 1, so a pass-1 group can carry
-    // cache-build jobs that would read as a phantom plan change).
-    Thread.sleep(1000)
+    // Drain the listener bus before snapshotting: the status store is
+    // listener-fed (async), and a fixed sleep raced co-tenant load. Poll
+    // until the whole-run profile is STABLE across two reads (bounded).
     val tracker = spark.sparkContext.statusTracker
-    val profile: Map[String, (Long, Long)] = names.map { n =>
+    def snapshot(): Map[String, (Long, Long)] = names.map { n =>
       val jobIds = tracker.getJobIdsForGroup(s"b2_${idx(n)}")
       val stages = jobIds.flatMap(id =>
         tracker.getJobInfo(id).map(_.stageIds.length.toLong)).sum
       n -> ((stages, jobIds.length.toLong))
     }.toMap
+    var profile = snapshot()
+    var stable = false
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (!stable && System.nanoTime() < deadline) {
+      Thread.sleep(500)
+      val again = snapshot()
+      stable = again == profile
+      profile = again
+    }
     // Keep the JSON line COMPACT (ms precision): the harness that reads it
     // keeps only a bounded tail of the process output, and full double
     // precision over ~60 queries pushed the line start past that window.
@@ -109,8 +116,11 @@ object Bench {
       } + "\""
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
-    // per-query scheduled stage/job counts (from the min pass's job group):
-    // a SIBLING key so the harness's {"queries": name->sec} parse is
+    // per-query scheduled stage/job counts — ALWAYS from pass 2 (steady
+    // state; pass 1 can carry hot-cache build jobs), regardless of which
+    // pass supplied the min time: identical plans schedule identical
+    // counts either pass, so the profile describes the min run's PLAN.
+    // A SIBLING key so the harness's {"queries": name->sec} parse is
     // untouched; the sec/stage noise protocol reads this file alone
     val profJson = results.flatMap { case (k, _) =>
       profile.get(k).map { case (s, j) =>

@@ -47,7 +47,19 @@ final case class TableSettings(
     // graft.sources.BucketedEvents). Metas written before this field
     // existed parse as "xxhash64" (their on-disk layout) and keep the
     // explicit-file-list read path.
-    bucketHash: String = "murmur3")
+    bucketHash: String = "murmur3",
+    // Two-level layout: `__bucket=B/event_date=D/` — time-framed queries
+    // (`.range(iso, iso)`, framed OSL scans) PRUNE whole date directories
+    // (a 1-week query over 5-year retention opens ~0.4% of the store,
+    // matching the reference's time-boxed block iteration,
+    // src/queryinterpreter.cpp:2460-2533). The adjudicated trade (r16
+    // verdict #1): date-splitting multiplies files per bucket, so an
+    // UNFRAMED person-scoped scan keeps its exchange-free claim but
+    // re-sorts per person (Spark claims the (id, stamp) order only when
+    // each selected bucket has <= 1 file — a frame pruning to one date
+    // gets the sort claim back automatically). Default off: history-wide
+    // workloads keep the zero-sort single-file-per-bucket layout.
+    datePartition: Boolean = false)
 
 final case class TableMeta(
     table: String,
@@ -137,7 +149,8 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     sb.append(s"""\"event_max\":${m.settings.eventMax},\"event_ttl_ms\":${m.settings.eventTtlMs},""")
     sb.append(s"""\"session_time_ms\":${m.settings.sessionTimeMs},\"segment_interval_ms\":${m.settings.segmentIntervalMs},""")
     sb.append(s"""\"tz_offset_ms\":${m.settings.tzOffsetMs},\"storage_buckets\":${m.settings.storageBuckets},""")
-    sb.append(s"""\"flush_rows\":${m.settings.flushRows},\"bucket_hash\":${js(m.settings.bucketHash)}}}""")
+    sb.append(s"""\"flush_rows\":${m.settings.flushRows},\"bucket_hash\":${js(m.settings.bucketHash)},""")
+    sb.append(s"""\"date_partition\":${m.settings.datePartition}}}""")
     dir(m.table).mkdirs()
     val p = metaFile(m.table).toPath
     val prevMtime =
@@ -167,7 +180,8 @@ final class Catalog(spark: SparkSession, warehouse: String) {
       StructField("event_max", LongType), StructField("event_ttl_ms", LongType),
       StructField("session_time_ms", LongType), StructField("segment_interval_ms", LongType),
       StructField("tz_offset_ms", LongType), StructField("storage_buckets", LongType),
-      StructField("flush_rows", LongType), StructField("bucket_hash", StringType))))))
+      StructField("flush_rows", LongType), StructField("bucket_hash", StringType),
+      StructField("date_partition", BooleanType))))))
 
   /** (stat size, stat mtime millis, content hash, parsed meta) — describe()
     * runs on every insert and query. The common path is ONE stat: if the
@@ -224,7 +238,9 @@ final class Catalog(spark: SparkSession, warehouse: String) {
       flushRows = if (st.isNullAt(6)) 0 else st.getLong(6).toInt,
       // pre-round-16 metas carry no hash field: their files were laid out
       // by xxhash64 and must keep reading (and pruning) that way
-      bucketHash = if (st.isNullAt(7)) "xxhash64" else st.getString(7)))
+      bucketHash = if (st.isNullAt(7)) "xxhash64" else st.getString(7),
+      // pre-round-17 metas: id-bucketed only (no date dirs on disk)
+      datePartition = if (st.isNullAt(8)) false else st.getBoolean(8)))
   }
 
   // --------------------------------------------------------------------- DDL
@@ -283,7 +299,25 @@ final class Catalog(spark: SparkSession, warehouse: String) {
   def updateSettings(table: String, f: TableSettings => TableSettings): Unit = {
     flush(table) // pending WAL rows merge under the pre-update settings
     val m = describe(table)
-    writeMeta(m.copy(settings = f(m.settings)))
+    val next = f(m.settings)
+    // layout-determining settings are immutable once any file is committed:
+    // files are named/laid out under the OLD (hash, modulus, date split) —
+    // a changed BucketSpec would silently DROP files whose embedded bucket
+    // id >= the new count from the native bucketed scan, and co-partitioned
+    // joins would read the wrong buckets. The reference fixes its partition
+    // count at table creation the same way (src/rpc_insert.cpp:154).
+    if (TableCommit.read(eventsDir(table)).exists(_.buckets.nonEmpty) ||
+        hasParquet(new java.io.File(eventsDir(table)))) {
+      require(next.storageBuckets == m.settings.storageBuckets,
+        s"storage_buckets is immutable once '$table' holds data " +
+          s"(${m.settings.storageBuckets} -> ${next.storageBuckets}); " +
+          "create a new table and re-insert to re-bucket")
+      require(next.bucketHash == m.settings.bucketHash,
+        s"bucket_hash is immutable once '$table' holds data")
+      require(next.datePartition == m.settings.datePartition,
+        s"date_partition is immutable once '$table' holds data")
+    }
+    writeMeta(m.copy(settings = next))
   }
 
   // -------------------------------------------------------------------- data
@@ -325,6 +359,18 @@ final class Catalog(spark: SparkSession, warehouse: String) {
   private def bucketCol(m: TableMeta): org.apache.spark.sql.Column =
     bucketOf(m, col("id"))
 
+  /** UTC calendar date of the event stamp — the second partition level for
+    * `date_partition` tables. Monotone in stamp, so inclusive-widened date
+    * bounds derived from a stamp window can never exclude a qualifying row. */
+  private def dateCol: org.apache.spark.sql.Column =
+    to_date(timestamp_millis(col("stamp")))
+
+  /** The partition columns a read of this table's store carries (dropped
+    * before the caller sees the events schema). */
+  private def partCols(m: TableMeta): Seq[String] =
+    if (m.settings.datePartition) Seq("__bucket", "event_date")
+    else Seq("__bucket")
+
   /** Does the directory hold any COMMITTED parquet file, by Spark's own
     * visibility rules — `_temporary` (an in-flight append's task files)
     * and other `_`/`.`-prefixed entries don't count, EXCEPT partition
@@ -340,14 +386,21 @@ final class Catalog(spark: SparkSession, warehouse: String) {
         !f.getName.startsWith(".") &&
         Option(f.listFiles()).getOrElse(Array.empty).exists(hasParquet))
 
-  /** Event history with the `__bucket` partition column retained (for
-    * partition-pruned reads); empty (right schema) before the first insert. */
+  /** Event history with the partition columns (`__bucket`, and
+    * `event_date` for `date_partition` tables) retained for pruned reads;
+    * empty (right schema) before the first insert. `dateBounds` (epoch ms,
+    * inclusive) becomes an `event_date` predicate Catalyst turns into
+    * PartitionFilters — whole date directories never open. */
   private def eventsWithBucket(table: String, m: TableMeta,
-                               atGen: Option[Long] = None): DataFrame = {
+                               atGen: Option[Long] = None,
+                               dateBounds: Option[(Long, Long)] = None): DataFrame = {
     val schema = m.eventsSchema
     val root = eventsDir(table)
     val d = new java.io.File(root)
-    val withBucket = StructType(schema.fields :+ StructField("__bucket", IntegerType))
+    val dateParted = m.settings.datePartition
+    val withBucket = StructType(schema.fields ++
+      (StructField("__bucket", IntegerType) ::
+        (if (dateParted) List(StructField("event_date", DateType)) else Nil)))
     def empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withBucket)
     def align(raw: DataFrame) =
@@ -355,20 +408,35 @@ final class Catalog(spark: SparkSession, warehouse: String) {
         if (df.columns.contains(f.name)) df
         else df.withColumn(f.name, lit(null).cast(f.dataType))
       }.select(withBucket.fieldNames.map(col): _*)
+    // inclusive-widened to the bounds' UTC dates: event_date is monotone in
+    // stamp, so no qualifying row is outside the kept partitions; the
+    // caller's own stamp predicates stay row-exact
+    def prune(df: DataFrame): DataFrame = dateBounds match {
+      case Some((lo, hi)) if dateParted =>
+        var p = df
+        if (lo > Long.MinValue)
+          p = p.where(col("event_date") >= to_date(timestamp_millis(lit(lo))))
+        if (hi < Long.MaxValue)
+          p = p.where(col("event_date") <= to_date(timestamp_millis(lit(hi))))
+        p
+      case _ => df
+    }
     def scanSnapshot(c: TableCommit.State) = {
       val files = c.buckets.toSeq.sortBy(_._1).flatMap { case (b, fs) =>
         fs.map(f => s"$root/__bucket=$b/$f") }
       if (files.isEmpty) empty
       // murmur3 layouts read through the native bucketed-scan path: the
       // manifest-backed FileIndex lists exactly the committed snapshot and
-      // the relation claims HashPartitioning(id) + (id, stamp) order, so
-      // person-scoped plans drop their exchange and sort (round-16 #1)
+      // the relation claims HashPartitioning(id) (+ the (id, stamp) order
+      // whenever each selected bucket holds one file — always for the
+      // undated layout; after date pruning to one date for dated ones), so
+      // person-scoped plans drop their exchange (round-16 #1, round-17 #1)
       else if (m.settings.bucketHash == "murmur3" &&
           graft.sources.BucketedEvents.allBucketNamed(c))
-        align(graft.sources.BucketedEvents.snapshot(
-          spark, root, c, schema, m.settings.storageBuckets))
-      // basePath keeps the __bucket dir component as a partition column
-      else align(spark.read.option("basePath", root).parquet(files: _*))
+        prune(align(graft.sources.BucketedEvents.snapshot(
+          spark, root, c, schema, m.settings.storageBuckets, dateParted)))
+      // basePath keeps the partition dir components as partition columns
+      else prune(align(spark.read.option("basePath", root).parquet(files: _*)))
     }
     atGen match {
       case Some(gen) =>
@@ -387,10 +455,13 @@ final class Catalog(spark: SparkSession, warehouse: String) {
           // the staging dir would abort a concurrent writer's job
           Fs.recoverForRead(root)
           if (!hasParquet(d)) empty
-          else align(spark.read.parquet(root))
+          else prune(align(spark.read.parquet(root)))
       }
     }
   }
+
+  private def dropPartCols(m: TableMeta, df: DataFrame): DataFrame =
+    df.drop(partCols(m): _*)
 
   def events(table: String): DataFrame = {
     val m = describe(table)
@@ -399,7 +470,27 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     // manifest). Planning the base first would race a concurrent drain —
     // commit gen N+1, then .drained markers — into returning the stale
     // gen-N base with an empty WAL listing, dropping acked raw inserts.
-    overlayPending(table, m, eventsWithBucket(table, m).drop("__bucket"))
+    overlayPending(table, m, dropPartCols(m, eventsWithBucket(table, m)))
+  }
+
+  /** Time-framed events view (bounds in epoch ms, inclusive): on a
+    * `date_partition` table the bounds become `event_date` partition
+    * filters — a one-week query over a years-deep store opens ~0.4% of its
+    * directories (the reference's time-boxed block iteration,
+    * `src/queryinterpreter.cpp:2460-2533`, and TTL culling,
+    * `src/grid.cpp:698-750`, bound reads the same way). The view is
+    * inclusive-WIDENED to whole UTC dates: callers keep their row-exact
+    * stamp predicates (an OSL frame, a `.range()` filter) exactly as over
+    * the unframed view. Undated tables return the plain view. Buckets
+    * touched by a pending WAL overlay unpruned (bounded by flush_rows),
+    * preserving read-your-writes. */
+  def eventsFramed(table: String, loMs: Long, hiMs: Long): DataFrame = {
+    val m = describe(table)
+    if (!m.settings.datePartition) return events(table)
+    val bounds = Some((loMs, hiMs))
+    overlayPending(table, m,
+      dropPartCols(m, eventsWithBucket(table, m, dateBounds = bounds)),
+      dateBounds = bounds)
   }
 
   /** Time travel: the events table exactly as committed at generation
@@ -408,7 +499,7 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     * retention. */
   def eventsAt(table: String, gen: Long): DataFrame = {
     val m = describe(table)
-    eventsWithBucket(table, m, atGen = Some(gen)).drop("__bucket")
+    dropPartCols(m, eventsWithBucket(table, m, atGen = Some(gen)))
   }
 
   /** Generations of `table` currently readable via [[eventsAt]],
@@ -433,15 +524,14 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     val idLit = lit(id).cast(m.eventsSchema("id").dataType)
     if (!hasPending) {
       val b = bucketOf(m, idLit)
-      eventsWithBucket(table, m)
-        .where(col("__bucket").isNull || col("__bucket") === b)
+      dropPartCols(m, eventsWithBucket(table, m)
+          .where(col("__bucket").isNull || col("__bucket") === b))
         .where(col("id") === idLit)
-        .drop("__bucket")
     }
     // WAL rows for this id may supersede stored ones: overlay, then filter.
     // Pruning is lost only while a pending WAL exists (bounded by flushRows)
     else overlayPending(table, m,
-      eventsWithBucket(table, m).drop("__bucket")).where(col("id") === idLit)
+      dropPartCols(m, eventsWithBucket(table, m))).where(col("id") === idLit)
   }
 
   // ------------------------------------------------- group-commit pending WAL
@@ -559,7 +649,8 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     * double-counted rows by the upsert key. The reverse order could pair a
     * stale base with an empty listing and lose acked rows. */
   private def overlayPending(table: String, m: TableMeta,
-                             base: => DataFrame): DataFrame = {
+                             base: => DataFrame,
+                             dateBounds: Option[(Long, Long)] = None): DataFrame = {
     val files = pendingFiles(table)
     afterWalListHook()
     if (files.isEmpty) {
@@ -585,9 +676,12 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     val (touched, merged) =
       mergeTouched(table, m, parsed, walNow, memo)
     if (memo.isEmpty) overlayTouched.put(table, (key, touched)): Unit
-    val untouched = eventsWithBucket(table, m)
-      .where(col("__bucket").isNotNull && !col("__bucket").isin(touched: _*))
-      .drop("__bucket")
+    // untouched buckets keep any caller-requested date pruning; touched
+    // buckets merge their full history (upsert semantics need it) — the
+    // caller's row-exact stamp predicates still apply above this view
+    val untouched = dropPartCols(m,
+      eventsWithBucket(table, m, dateBounds = dateBounds)
+        .where(col("__bucket").isNotNull && !col("__bucket").isin(touched: _*)))
     untouched.unionByName(merged)
   }
 
@@ -690,15 +784,62 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     val touched: Seq[Int] = knownTouched.getOrElse(
       aligned.select(bucketCol(m).as("__bucket"))
         .distinct().collect().map(_.getInt(0)).toSeq.sorted)
-    val existing = eventsWithBucket(table, m)
-      .where(col("__bucket").isNull || col("__bucket").isin(touched: _*))
-      .drop("__bucket")
+    val existing = dropPartCols(m, eventsWithBucket(table, m)
+      .where(col("__bucket").isNull || col("__bucket").isin(touched: _*)))
     val merged0 = EventIngest.upsert(existing, aligned,
       m.settings.eventOrder, m.eventProps.map(_.name))
     val merged = EventIngest.cullEventMax(
       EventIngest.cullTtl(merged0, nowMs, m.settings.eventTtlMs),
       m.settings.eventMax, m.settings.eventOrder)
     (touched, merged)
+  }
+
+  /** Stage the merged touched-bucket rows as partitioned parquet. Each
+    * writer partition holds exactly one bucket's rows sorted by
+    * (__bucket, [event_date,] id, stamp): the partition dirs split that
+    * sorted run, so EVERY staged file is (id, stamp)-sorted — the invariant
+    * that lets the bucketed read claim the sort order whenever a bucket
+    * contributes one file (always for undated tables; per pruned date for
+    * dated ones). The sort leads with the write's partition columns, so
+    * FileFormatWriter's required ordering is already satisfied and no
+    * second (order-destroying) sort is inserted. */
+  private def stageWrite(m: TableMeta, merged: DataFrame, nTouched: Int,
+                         stage: String): Unit = {
+    val dated = m.settings.datePartition
+    val withParts =
+      if (dated)
+        merged.withColumn("__bucket", bucketCol(m)).withColumn("event_date", dateCol)
+      else merged.withColumn("__bucket", bucketCol(m))
+    val sortCols = partCols(m) ++ Seq("id", "stamp")
+    withParts
+      .repartition(math.max(nTouched, 1), col("__bucket"))
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.partitionBy(partCols(m): _*).mode(SaveMode.Overwrite).parquet(stage)
+  }
+
+  /** Move a staged bucket's files into the live bucket dir, descending into
+    * `event_date=` subdirs for dated tables; returns the manifest-relative
+    * names (`[event_date=D/]file`). murmur3 layouts embed the bucket id in
+    * the file NAME — the tag FileSourceScanExec uses to map files onto
+    * bucket partitions. Spark part-file names carry a fresh UUID: no clash. */
+  private def moveStaged(m: TableMeta, staged: java.io.File,
+                         dstDir: java.io.File, b: Int,
+                         prefix: String): Seq[String] = {
+    dstDir.mkdirs()
+    Option(staged.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
+      case f if f.isFile && f.getName.endsWith(".parquet") =>
+        val name =
+          if (m.settings.bucketHash == "murmur3")
+            graft.sources.BucketedEvents.bucketedFileName(f.getName, b)
+          else f.getName
+        val dst = new java.io.File(dstDir, name)
+        require(f.renameTo(dst), s"stage move failed for $dst")
+        Seq(prefix + name)
+      case sd if sd.isDirectory && sd.getName.startsWith("event_date=") =>
+        moveStaged(m, sd, new java.io.File(dstDir, sd.getName), b,
+          prefix + sd.getName + "/")
+      case _ => Nil
+    }
   }
 
   private def insertLocked(table: String, incoming: DataFrame, nowMs: Long): Unit = {
@@ -717,16 +858,7 @@ final class Catalog(spark: SparkSession, warehouse: String) {
     val root = new java.io.File(eventsDir(table))
     val stage = new java.io.File(eventsDir(table) + "_stage")
     rmTree(stage)
-    merged.withColumn("__bucket", bucketCol(m))
-      .repartition(math.max(touched.size, 1), col("__bucket"))
-      // cluster each bucket's files by (id, stamp): parquet row-group stats
-      // then prune customer fetches and time-bounded scans, and readers get
-      // the person-major order every window consumer re-sorts into anyway.
-      // A bucket's rows all hash into ONE writer partition, so each touched
-      // bucket commits exactly one (id, stamp)-sorted file — the invariant
-      // that lets the bucketed read claim the sort order (BucketedEvents).
-      .sortWithinPartitions(col("__bucket"), col("id"), col("stamp"))
-      .write.partitionBy("__bucket").mode(SaveMode.Overwrite).parquet(stage.toString)
+    stageWrite(m, merged, touched.size, stage.toString)
     root.mkdirs()
     val commit0 = TableCommit.read(root.toString)
       .getOrElse(TableCommit.fromListing(root.toString)) // one-time migration
@@ -737,22 +869,7 @@ final class Catalog(spark: SparkSession, warehouse: String) {
       val dstDir = new java.io.File(root, s"__bucket=$b")
       val moved: Seq[String] =
         if (!staged.isDirectory) Nil // every row of the bucket was culled
-        else {
-          dstDir.mkdirs()
-          Option(staged.listFiles()).getOrElse(Array.empty)
-            .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-            .map { f => // Spark part-file names carry a fresh UUID: no clash
-              // murmur3 layouts embed the bucket id in the NAME — the tag
-              // FileSourceScanExec uses to map files onto bucket partitions
-              val name =
-                if (m.settings.bucketHash == "murmur3")
-                  graft.sources.BucketedEvents.bucketedFileName(f.getName, b)
-                else f.getName
-              val dst = new java.io.File(dstDir, name)
-              require(f.renameTo(dst), s"stage move failed for $dst")
-              name
-            }.toSeq
-        }
+        else moveStaged(m, staged, dstDir, b, prefix = "")
       retiredNow ++= newBuckets.getOrElse(b, Nil).map(n => s"__bucket=$b/$n")
       if (moved.nonEmpty) newBuckets(b) = moved else newBuckets.remove(b): Unit
     }
@@ -780,10 +897,7 @@ final class Catalog(spark: SparkSession, warehouse: String) {
       EventIngest.cullTtl(merged0, nowMs, m.settings.eventTtlMs),
       m.settings.eventMax, m.settings.eventOrder)
     swapInto(eventsDir(table)) { tmp =>
-      merged.withColumn("__bucket", bucketCol(m))
-        .repartition(nB, col("__bucket"))
-        .sortWithinPartitions(col("__bucket"), col("id"), col("stamp"))
-        .write.partitionBy("__bucket").mode(SaveMode.Overwrite).parquet(tmp)
+      stageWrite(m, merged, nB, tmp)
     }
     // seed the manifest so every subsequent read/commit is snapshot-isolated
     TableCommit.write(eventsDir(table),

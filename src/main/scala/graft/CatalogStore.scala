@@ -36,9 +36,17 @@ object CatalogStore {
 
   private val Table = "events_store"
 
+  /** Collision-proof warehouse slot per dataset dir: a String.hashCode
+    * collision between two dirs would silently serve one dataset's store
+    * for the other's queries — key by a strong digest of the full path. */
+  private[graft] def dirKey(dir: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(12).map("%02x".format(_)).mkString
+
   private def catalogFor(spark: SparkSession, dir: String): Catalog =
     catalogs.computeIfAbsent((spark, dir), _ => {
-      val wh = s"$root/${Integer.toHexString(dir.hashCode)}"
+      val wh = s"$root/${dirKey(dir)}"
       new java.io.File(wh).mkdirs()
       new Catalog(spark, wh)
     })
@@ -65,5 +73,45 @@ object CatalogStore {
   def customerEvents(spark: SparkSession, dir: String, id: Long): DataFrame = {
     events(spark, dir) // ensure built
     catalogFor(spark, dir).customerEvents(Table, id)
+  }
+
+  private val TableDated = "events_store_dated"
+
+  /** The DATE-PARTITIONED ingested twin (`date_partition = true`): layout
+    * `__bucket=B/event_date=D/`, so statically-bounded OSL frames prune
+    * whole date directories (round-17 #1). Built once per (process,
+    * dataset) like the undated store; row parity with the source is exact
+    * for the same reasons (see class scaladoc). */
+  private def ensureDated(spark: SparkSession, dir: String): Catalog = {
+    val cat = catalogFor(spark, dir)
+    this.synchronized {
+      if (!cat.exists(TableDated)) {
+        cat.create(TableMeta(TableDated,
+          Seq(
+            PropDef("value", "double"),
+            PropDef("props", "text"),
+            PropDef("event_id", "int")),
+          TableSettings(idTextual = false, eventMax = 10000000,
+            datePartition = true)))
+        cat.insert(TableDated, Tables.events(spark, dir), nowMs = Queries.OslNow)
+      }
+    }
+    cat
+  }
+
+  def eventsDated(spark: SparkSession, dir: String): DataFrame =
+    ensureDated(spark, dir).events(TableDated)
+
+  /** Run an OSL script over the dated store with automatic event_date
+    * pruning when the script's readable stamp window is statically bounded
+    * — the catalog-backed analogue of [[Layout.oslQuery]]. */
+  def oslQueryDated(spark: SparkSession, dir: String, script: String,
+                    now: Long): DataFrame = {
+    val cat = ensureDated(spark, dir)
+    val ev = graft.osl.OslEngine.staticScanWindow(script, now) match {
+      case Some((lo, hi)) => cat.eventsFramed(TableDated, lo, hi)
+      case None => cat.events(TableDated)
+    }
+    graft.osl.OslEngine.query(ev, script, now)
   }
 }

@@ -120,7 +120,7 @@ object Queries {
   private[graft] lazy val annIndexTmp =
     java.nio.file.Files.createTempDirectory("graft_annidx").toString
   private[graft] def annIndexPath(kind: String, dir: String): String =
-    s"$annIndexTmp/${kind}_${Integer.toHexString(dir.hashCode)}"
+    s"$annIndexTmp/${kind}_${CatalogStore.dirKey(dir)}" // digest, not hashCode
 
   /** MinHash-LSH candidate pairs in DuckDB SQL (shared by the pairs query
     * and the connected-components oracle). Split as CTE-list + final SELECT

@@ -96,6 +96,44 @@ object QueriesOsl {
       },
       Some(s"""$E SELECT event_id, stamp, event, value FROM e WHERE id = 7""")),
 
+    // Round 17: a statically-bounded `.range(iso, iso)` scan over the
+    // DATE-PARTITIONED ingested store (`date_partition = true`,
+    // `__bucket=B/event_date=D/` layout): the frame's stamp window becomes
+    // event_date PartitionFilters — the scan opens ~10 of the store's date
+    // directories instead of the full history (PlanSpec pins the executed
+    // plan's PartitionFilters + file count; the reference iterates only the
+    // index blocks its range covers, src/queryinterpreter.cpp:2460-2533).
+    // Row-exactness stays with the script's own frame, so the oracle is
+    // the same SQL as the raw-parquet `q_osl_top_range`.
+    Q("q_catalog_range_tally",
+      (s, dir) => {
+        val script =
+          """select
+            |  count id as customers
+            |  count event as n_rows
+            |  sum value as total_value
+            |end
+            |each_row.range('2024-01-10T00:00:00Z', '2024-01-20T00:00:00Z') where event.is(== 'purchase')
+            |  << get_day_of_week(stamp), event
+            |end
+            |""".stripMargin
+        CatalogStore.oslQueryDated(s, dir, script, now = OslNow)
+          .select(col("depth"), col("g1"), col("g2"),
+            col("customers"), col("n_rows"), col("total_value"))
+      },
+      Some(s"""$E, p AS (
+          SELECT id, CAST(dayofweek(make_timestamp(stamp * 1000)) + 1 AS VARCHAR) AS g1,
+                 event AS g2, value
+          FROM e WHERE event = 'purchase'
+            AND stamp >= 1704844800000 AND stamp <= 1705708800000)
+        SELECT CAST(2 AS INTEGER) AS depth, g1, g2,
+          COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows, ${dsumSql("value")} AS total_value
+        FROM p GROUP BY g1, g2
+        UNION ALL
+        SELECT CAST(1 AS INTEGER) AS depth, g1, CAST(NULL AS VARCHAR) AS g2,
+          COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows, ${dsumSql("value")} AS total_value
+        FROM p GROUP BY g1""")),
+
     // Full OSL pipeline: parse -> per-customer interpreter (flatMapGroups)
     // -> relational merge. Script mirrors README.md:152-196.
     Q("q_osl_event_tally",

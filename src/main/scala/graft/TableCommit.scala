@@ -170,18 +170,26 @@ object TableCommit {
     commitFile(root).delete(): Unit
   }
 
+  /** Parquet files of one bucket dir as manifest-relative names —
+    * `file` at the top level, `event_date=D/file` one level down (the
+    * `date_partition` layout). */
+  private def bucketEntries(bd: java.io.File): Seq[String] =
+    Option(bd.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
+      case f if f.isFile && f.getName.endsWith(".parquet") => Seq(f.getName)
+      case sd if sd.isDirectory && sd.getName.startsWith("event_date=") =>
+        Option(sd.listFiles()).getOrElse(Array.empty).toSeq
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .map(f => s"${sd.getName}/${f.getName}")
+      case _ => Nil
+    }
+
   /** Synthesize a manifest from the directory listing — the one-time
     * migration for stores written before the manifest existed. */
   def fromListing(root: String): State = {
     val d = new java.io.File(root)
     val buckets = Option(d.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
-      .map { bd =>
-        bd.getName.stripPrefix("__bucket=").toInt ->
-          Option(bd.listFiles()).getOrElse(Array.empty)
-            .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-            .map(_.getName).toSeq
-      }
+      .map(bd => bd.getName.stripPrefix("__bucket=").toInt -> bucketEntries(bd))
       .filter(_._2.nonEmpty)
       .toMap
     State(0L, buckets, Nil)
@@ -194,8 +202,14 @@ object TableCommit {
     * enough that no pre-crash reader can still want them. */
   def gc(root: String, st: State, nowMs: Long): State = {
     val (expired, live) = st.retired.partition(_.ts + graceMs <= nowMs)
-    expired.foreach(_.paths.foreach(p =>
-      new java.io.File(root, p).delete(): Unit))
+    expired.foreach(_.paths.foreach { p =>
+      val f = new java.io.File(root, p)
+      f.delete()
+      // a fully-vacuumed date dir is dead weight for future listings
+      val parent = f.getParentFile
+      if (parent != null && parent.getName.startsWith("event_date="))
+        parent.delete(): Unit // fails (kept) while non-empty — fine
+    })
     val referenced: Set[String] =
       st.buckets.flatMap { case (b, fs) => fs.map(f => s"__bucket=$b/$f") }.toSet ++
         st.retired.flatMap(_.paths)
@@ -203,11 +217,12 @@ object TableCommit {
     Option(d.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
       .foreach { bd =>
-        Option(bd.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
-            !referenced.contains(s"${bd.getName}/${f.getName}") &&
-            f.lastModified() + graceMs <= nowMs)
-          .foreach(_.delete(): Unit)
+        bucketEntries(bd).foreach { rel =>
+          val f = new java.io.File(bd, rel)
+          if (!referenced.contains(s"${bd.getName}/$rel") &&
+              f.lastModified() + graceMs <= nowMs)
+            f.delete(): Unit
+        }
       }
     // drop version manifests whose snapshot is no longer fully on disk —
     // they can never be read again

@@ -706,13 +706,22 @@ object Similarity {
     // nQ× per corpus row (measured 4-6× wall time). At 100 TB the encoded
     // corpus is what [[AnnIndex]] persists — this is the in-session
     // equivalent of reading it back.
+    // Degenerate vectors (null / zero-norm) are EXCLUDED from the eval:
+    // their cosine is null/NaN, and the single −cos ASC rank key here
+    // places NaN/null opposite to the serving paths' cos DESC windows
+    // (desc: NaN first, nulls last; asc-on-negation: NaN last, nulls
+    // first) — the report's rankings would diverge from what the index
+    // actually serves. A recall eval over unit-normalizable vectors only
+    // is the honest comparison; serving paths keep their own semantics.
     val c = assigned.select(col("vec_id").as("nid"), col("e").as("ce"), col("cell"))
       .withColumn("cn", norm(col("ce")))
+      .where(col("ce").isNotNull && col("cn") > 0)
       .withColumn("csig", lshSignature(col("ce"), lshDim))
       .withColumn("code", pqCodeKernel(books)(col("ce")))
       .localCheckpoint(false)
     val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qe"))
       .withColumn("qn", norm(col("qe")))
+      .where(col("qe").isNotNull && col("qn") > 0)
       .withColumn("qcells", nearestCentroid(col("qe"), centroids, nprobe))
       .withColumn("qsig", lshSignature(col("qe"), lshDim))
       .withColumn("qdt", pqDistTableKernel(books, m, ksub)(col("qe")))

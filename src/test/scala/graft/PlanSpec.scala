@@ -352,6 +352,118 @@ class PlanSpec extends SparkSpec {
     assert(pf.contains("__bucket"), s"customer fetch lost bucket pruning: $pf")
   }
 
+  test("date-partitioned catalog store prunes event_date for framed scans (round-17 #1)") {
+    // q_catalog_range_tally scans the DATED ingested store with a
+    // statically-bounded `.range()` frame: the executed plan must carry
+    // event_date PartitionFilters with BOTH bounds, open strictly fewer
+    // files than the store holds, and keep the exchange-free person claim.
+    val df = Queries.queries("q_catalog_range_tally")(spark, dir)
+    val executed = df.queryExecution.executedPlan
+    val p = executed.toString
+    val pf = p.linesIterator.find(l =>
+      l.contains("PartitionFilters") && l.contains("event_date")).getOrElse("")
+    assert(pf.contains(">=") && pf.contains("<="),
+      s"expected two-sided event_date partition bounds, got: $pf\n${p.take(3000)}")
+    assert(!p.contains("Exchange hashpartitioning(id"),
+      s"dated store lost the bucket partitioning claim:\n$p")
+    // the scan's selected file set is a strict subset of the live store
+    // (descend through AQE wrappers — collect() treats them as leaves)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+      case q: QueryStageExec => scansOf(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scansOf)
+    }
+    val scans = scansOf(executed)
+    assert(scans.nonEmpty, p.take(2000))
+    val selected = scans.map(_.selectedPartitions.totalNumberOfFiles).sum
+    val total = scans.map(_.relation.location.inputFiles.length.toLong).sum
+    assert(selected > 0 && selected < total,
+      s"expected pruned file set, got $selected of $total")
+    // the frame covers 11 calendar days: per bucket at most 11 of the
+    // store's date splits stay selected
+    val perBucket = scans.map(_.selectedPartitions.partitionCount).sum
+    val buckets = 32 // CatalogStore default storage_buckets
+    assert(perBucket <= 11 * buckets,
+      s"expected <= ${11 * buckets} (bucket, date) partitions, got $perBucket")
+    // row parity with the same script over the raw frame (oracle double-
+    // checks in CI; this guards the pruning itself against row loss)
+    val script =
+      """select
+        |  count id as customers
+        |  count event as n_rows
+        |  sum value as total_value
+        |end
+        |each_row.range('2024-01-10T00:00:00Z', '2024-01-20T00:00:00Z') where event.is(== 'purchase')
+        |  << get_day_of_week(stamp), event
+        |end
+        |""".stripMargin
+    val raw = graft.osl.OslEngine.query(Tables.events(spark, dir), script,
+        now = Queries.OslNow)
+      .select(org.apache.spark.sql.functions.col("depth"),
+        org.apache.spark.sql.functions.col("g1"),
+        org.apache.spark.sql.functions.col("g2"),
+        org.apache.spark.sql.functions.col("customers"),
+        org.apache.spark.sql.functions.col("n_rows"),
+        org.apache.spark.sql.functions.col("total_value"))
+      .collect().map(_.toString).sorted.toSeq
+    val got = df.collect().map(_.toString).sorted.toSeq
+    assert(got == raw, s"dated store diverged:\n got=$got\n exp=$raw")
+    assert(got.nonEmpty)
+  }
+
+  test("date-partitioned store: single-date frames reclaim the sort-free claim") {
+    // The adjudicated trade (round-17 #1): date splits cost the (id, stamp)
+    // order claim on UNFRAMED scans (multi-file buckets -> Spark re-sorts,
+    // exchange-free), but a frame pruning to ONE date leaves one file per
+    // selected bucket and Spark's own single-file check restores the claim.
+    import org.apache.spark.sql.functions.{count => fcount, lit => flit}
+    val api = new Api(spark,
+      java.nio.file.Files.createTempDirectory("graft_dated").toString)
+    api.tableCreate(TableMeta("shopd", Seq(PropDef("value", "double")),
+      TableSettings(datePartition = true, storageBuckets = 4)))
+    val day = 86400000L
+    val d0 = 1704067200000L // 2024-01-01T00:00Z
+    def ev(id: String, ms: Long, e: String, v: Double) =
+      s"""{"id":"$id","stamp":$ms,"event":"$e","value":$v}"""
+    val batch = for (u <- 0 until 6; d <- 0 until 5) yield
+      ev(s"u$u", d0 + d * day + u * 1000L, if (d % 2 == 0) "view" else "purchase", d.toDouble)
+    api.insert("shopd", batch, nowMs = d0 + 30 * day)
+    // (a) unframed person agg: exchange-free (order claim legitimately lost)
+    val full = api.catalog.events("shopd")
+    val aggPlan = full.groupBy("id").agg(fcount(flit(1)))
+      .queryExecution.executedPlan.toString
+    assert(!aggPlan.contains("Exchange hashpartitioning(id"),
+      s"dated store lost the bucket claim:\n$aggPlan")
+    assert(full.count() == 30)
+    // (b) one-day frame: sort-free AND exchange-free window plan
+    val framed = api.catalog.eventsFramed("shopd", d0 + 2 * day, d0 + 2 * day + day - 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("stamp")
+    val ranked = framed.withColumn("rn",
+      org.apache.spark.sql.functions.row_number().over(w))
+    val rp = ranked.queryExecution.executedPlan.toString
+    assert(!rp.contains("Exchange hashpartitioning(id"), rp)
+    val stampSorts = rp.linesIterator
+      .filter(l => l.contains("Sort [") && l.contains("stamp"))
+    assert(stampSorts.isEmpty,
+      s"single-date frame should reclaim the sort claim:\n$rp")
+    assert(framed.count() == 6)
+    // (c) layout-determining settings are frozen once data exists (ADVICE)
+    val thrown = intercept[IllegalArgumentException] {
+      api.catalog.updateSettings("shopd", _.copy(storageBuckets = 8))
+    }
+    assert(thrown.getMessage.contains("immutable"))
+    intercept[IllegalArgumentException] {
+      api.catalog.updateSettings("shopd", _.copy(datePartition = false))
+    }
+    // non-layout settings still update
+    api.catalog.updateSettings("shopd", _.copy(eventMax = 123))
+    assert(api.catalog.describe("shopd").settings.eventMax == 123)
+  }
+
   test("hot-table cache returns identical results to cold scans") {
     def rows(name: String) =
       Queries.queries(name)(spark, dir).collect().map(_.toString).sorted.toSeq
