@@ -139,47 +139,77 @@ final class Api(spark: SparkSession, val warehouse: String,
                     order: String = "desc", trim: Int = 0,
                     segments: Seq[String] = Nil): String = {
     require(bucket.forall(_ > 0), s"bucket must be > 0, got ${bucket.get}")
-    val ev = catalog.events(table)
-    val c = col(prop)
-    val num = c.cast("string").try_cast("double") // ANSI-safe numeric view
-    val filtered = modes.foldLeft(ev) { case (df, (op, v)) =>
-      op match {
-        case "gt"  => df.where(num > v.toDouble)
-        case "gte" => df.where(num >= v.toDouble)
-        case "lt"  => df.where(num < v.toDouble)
-        case "lte" => df.where(num <= v.toDouble)
-        case "eq"  => df.where(num === v.toDouble)
-        case "between" => // "lo,hi": >= lo and < hi (reference: between + and)
-          val Array(lo, hi) = v.split(",", 2).map(_.trim.toDouble)
-          df.where(num >= lo && num < hi)
-        case "rx"  => df.where(c.cast("string").rlike(v))
-        case "sub" => df.where(c.cast("string").contains(v))
-        case other => throw new IllegalArgumentException(s"bad search mode '$other'")
+    // every search mode is a VALUE-level predicate — evaluable on raw rows
+    // and on the materialized value index alike
+    def applyModes(df: DataFrame, str: org.apache.spark.sql.Column): DataFrame = {
+      val num = str.try_cast("double") // ANSI-safe numeric view
+      modes.foldLeft(df) { case (d, (op, v)) =>
+        op match {
+          case "gt"  => d.where(num > v.toDouble)
+          case "gte" => d.where(num >= v.toDouble)
+          case "lt"  => d.where(num < v.toDouble)
+          case "lte" => d.where(num <= v.toDouble)
+          case "eq"  => d.where(num === v.toDouble)
+          case "between" => // "lo,hi": >= lo and < hi (reference: between + and)
+            val Array(lo, hi) = v.split(",", 2).map(_.trim.toDouble)
+            d.where(num >= lo && num < hi)
+          case "rx"  => d.where(str.rlike(v))
+          case "sub" => d.where(str.contains(v))
+          case other => throw new IllegalArgumentException(s"bad search mode '$other'")
+        }
       }
     }
-    val valueCol = bucket match {
-      case Some(b) => (floor(num / b) * b).as("__v")
-      case None    => c.as("__v")
-    }
     val segNames = if (segments.isEmpty) Seq("*") else segments
-    val withFlags = segNames.zipWithIndex.foldLeft(filtered.select(valueCol, col("id"))) {
-      case (df, ("*", i)) => df.withColumn(s"__s$i", lit(true))
-      case (df, (name, i)) =>
-        val members = graft.streaming.Streams.membership(spark,
-          new java.io.File(warehouse, table).toString, name)
-          .select(col("id").as("__mid"))
-        df.join(broadcast(members), df("id") === col("__mid"), "left")
-          .withColumn(s"__s$i", col("__mid").isNotNull).drop("__mid")
-    }
-    val aggs = segNames.indices.map(i =>
-      countDistinct(when(col(s"__s$i"), col("id"))).as(s"__c$i"))
-    val counted = withFlags.groupBy(col("__v"))
-      .agg(aggs.head, aggs.tail: _*)
-    // reference default: descending by customer count (first segment)
-    val sorted = counted.orderBy(
-      if (order == "asc") col("__c0").asc else col("__c0").desc,
-      col("__v").asc)
-    val limited = if (trim > 0) sorted.limit(trim) else sorted
+    val m = catalog.describe(table)
+    // INDEX-ONLY path (the reference's attribute-index answer,
+    // src/oloop_property.cpp:34-307): plain distinct-person counts over an
+    // indexable scalar prop with no numeric re-bucketing and no named
+    // segments read the materialized (prop, value, bucket) postings —
+    // zero event-row scans. Falls back to the row scan otherwise (numeric
+    // bucket= merges values, so per-value counts can't sum; a pending WAL
+    // holds uncommitted rows the index doesn't cover).
+    val indexOnly = bucket.isEmpty && segNames == Seq("*") &&
+      PropIndex.indexable(m, prop) && !catalog.hasPendingWal(table)
+    val limited =
+      if (indexOnly) {
+        val vType = m.eventsSchema(prop).dataType
+        val counts = PropIndex.valueCounts(
+          PropIndex.ensure(spark, catalog, table), prop)
+        val sorted = applyModes(counts, col("value_str"))
+          .select(col("value_str").cast(vType).as("__v"),
+            col("customers").as("__c0"))
+          .orderBy(
+            if (order == "asc") col("__c0").asc else col("__c0").desc,
+            col("__v").asc)
+        if (trim > 0) sorted.limit(trim) else sorted
+      } else {
+        val ev = catalog.events(table)
+        val c = col(prop)
+        val num = c.cast("string").try_cast("double")
+        val filtered = applyModes(ev, c.cast("string"))
+        val valueCol = bucket match {
+          case Some(b) => (floor(num / b) * b).as("__v")
+          case None    => c.as("__v")
+        }
+        val withFlags = segNames.zipWithIndex.foldLeft(filtered.select(valueCol, col("id"))) {
+          case (df, ("*", i)) => df.withColumn(s"__s$i", lit(true))
+          case (df, (name, i)) =>
+            val members = graft.streaming.Streams.membership(spark,
+              new java.io.File(warehouse, table).toString, name)
+              .select(col("id").as("__mid"))
+            df.join(broadcast(members), df("id") === col("__mid"), "left")
+              .withColumn(s"__s$i", col("__mid").isNotNull).drop("__mid")
+        }
+        val aggs = segNames.indices.map(i =>
+          countDistinct(when(col(s"__s$i"), col("id"))).as(s"__c$i"))
+        val counted = withFlags.groupBy(col("__v"))
+          .agg(aggs.head, aggs.tail: _*)
+        // reference default: descending by customer count (first segment)
+        val sorted = counted.orderBy(
+          if (order == "asc") col("__c0").asc else col("__c0").desc,
+          col("__v").asc)
+        if (trim > 0) sorted.limit(trim) else sorted
+      }
     val rows = limited.collect()
     rows.map { r =>
       val v = Option(r.get(0)).map {

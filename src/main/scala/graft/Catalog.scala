@@ -99,7 +99,7 @@ final case class TableMeta(
   * data IO is all Spark jobs. Property-name rules follow
   * docs/rest/README.md:42 (lowercase alphanumeric + `_`, no leading digit).
   */
-final class Catalog(spark: SparkSession, warehouse: String) {
+final class Catalog(spark: SparkSession, val warehouse: String) {
 
   private val NameRx = "^[a-z_][a-z0-9_]*$".r
   private val MaxProps = 4096 // src/common.h:10
@@ -561,6 +561,12 @@ final class Catalog(spark: SparkSession, warehouse: String) {
         !drained(f.getName))
       .sortBy(_.getName).toSeq
   }
+
+  /** True while raw-JSON rows await their group-commit merge — readers that
+    * must see ONLY committed state (e.g. the property-value index) check
+    * this and fall back to the overlay scan. */
+  private[graft] def hasPendingWal(table: String): Boolean =
+    pendingFiles(table).nonEmpty
 
   private def pendingRows(table: String): Long =
     pendingFiles(table).map { f =>

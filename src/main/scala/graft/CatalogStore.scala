@@ -51,6 +51,16 @@ object CatalogStore {
       new Catalog(spark, wh)
     })
 
+  /** The Catalog hosting the ingested twin for `dir` (built on first use) —
+    * for registry queries that exercise catalog-side machinery (the
+    * property-value index, framed reads) beyond the plain events view. */
+  def catalogOf(spark: SparkSession, dir: String): Catalog = {
+    events(spark, dir): Unit // ensure built
+    catalogFor(spark, dir)
+  }
+
+  private[graft] val tableName: String = Table
+
   /** The ingested events table for `dir`, building it on first use. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val cat = catalogFor(spark, dir)

@@ -134,6 +134,24 @@ object QueriesOsl {
           COUNT(DISTINCT id) AS customers, COUNT(*) AS n_rows, ${dsumSql("value")} AS total_value
         FROM p GROUP BY g1""")),
 
+    // Round 17: the materialized property-value index — distinct-customer
+    // counts per value answered from (prop, value, bucket) postings with
+    // ZERO event-row scans (PlanSpec pins that no events parquet is read),
+    // like the reference's attribute index (src/oloop_property.cpp:34-307).
+    // Exactness without bitmaps: storage buckets partition PERSONS, so
+    // per-bucket COUNT(DISTINCT id) partials sum to the global count. The
+    // oracle is the full scan the index replaces.
+    Q("q_propindex_counts",
+      (s, dir) => {
+        val cat = CatalogStore.catalogOf(s, dir)
+        PropIndex.valueCounts(
+            PropIndex.ensure(s, cat, CatalogStore.tableName), "event")
+          .select(col("value_str").as("event"),
+            col("customers"), col("n_rows"))
+      },
+      Some(s"""$E SELECT event, COUNT(DISTINCT id) AS customers,
+        COUNT(*) AS n_rows FROM e GROUP BY event""")),
+
     // Full OSL pipeline: parse -> per-customer interpreter (flatMapGroups)
     // -> relational merge. Script mirrors README.md:152-196.
     Q("q_osl_event_tally",

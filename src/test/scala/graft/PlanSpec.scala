@@ -464,6 +464,29 @@ class PlanSpec extends SparkSpec {
     assert(api.catalog.describe("shopd").settings.eventMax == 123)
   }
 
+  test("property-value index answers with ZERO event-row scans (round-17 #2)") {
+    // q_propindex_counts must read ONLY propindex parquet — the whole point
+    // of the materialized index is that /property queries stop scanning
+    // event history (the reference's attribute index,
+    // src/oloop_property.cpp:34-307)
+    val df = Queries.queries("q_propindex_counts")(spark, dir)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+      case q: QueryStageExec => scansOf(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scansOf)
+    }
+    val scans = scansOf(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty)
+    val files = scans.flatMap(_.relation.location.inputFiles)
+    assert(files.nonEmpty)
+    assert(files.forall(_.contains("/propindex/")),
+      s"index query read non-index files:\n${files.filterNot(_.contains("/propindex/")).mkString("\n")}")
+    assert(df.collect().nonEmpty)
+  }
+
   test("hot-table cache returns identical results to cold scans") {
     def rows(name: String) =
       Queries.queries(name)(spark, dir).collect().map(_.toString).sorted.toSeq

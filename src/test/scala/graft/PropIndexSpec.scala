@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The materialized property-value index (round-17 #2): answer parity with
+  * the row scan across the full queryProperty parameter surface,
+  * incremental per-touched-bucket refresh, DDL invalidation, and the
+  * fallback routes. */
+class PropIndexSpec extends SparkSpec {
+
+  private def freshApi(): Api = new Api(spark,
+    java.nio.file.Files.createTempDirectory("graft_pidx").toString)
+
+  private def mkTable(api: Api, buckets: Int = 4): Unit = {
+    api.tableCreate(TableMeta("shop",
+      Seq(PropDef("value", "double"), PropDef("plan", "text"),
+        PropDef("tags", "text", isSet = true)),
+      TableSettings(storageBuckets = buckets)))
+  }
+
+  private val now = 1704067200000L
+  private def ev(id: String, t: Long, e: String, v: Double, plan: String) =
+    s"""{"id":"$id","stamp":${now + t},"event":"$e","value":$v,"plan":"$plan"}"""
+
+  /** The scan-path answer computed independently in the spec (the pre-index
+    * semantics), for any (prop, modes, order, trim). */
+  private def scanAnswer(api: Api, prop: String,
+                         modes: Seq[(String, String)],
+                         order: String, trim: Int): Seq[(Option[Any], Long)] = {
+    val ev = api.catalog.events("shop")
+    val c = col(prop)
+    val num = c.cast("string").try_cast("double")
+    val filtered = modes.foldLeft(ev) { case (df, (op, v)) =>
+      op match {
+        case "gt"  => df.where(num > v.toDouble)
+        case "gte" => df.where(num >= v.toDouble)
+        case "lt"  => df.where(num < v.toDouble)
+        case "lte" => df.where(num <= v.toDouble)
+        case "eq"  => df.where(num === v.toDouble)
+        case "between" =>
+          val Array(lo, hi) = v.split(",", 2).map(_.trim.toDouble)
+          df.where(num >= lo && num < hi)
+        case "rx"  => df.where(c.cast("string").rlike(v))
+        case "sub" => df.where(c.cast("string").contains(v))
+      }
+    }
+    val counted = filtered.groupBy(c.as("__v"))
+      .agg(countDistinct(col("id")).as("__c0"))
+      .orderBy(if (order == "asc") col("__c0").asc else col("__c0").desc,
+        col("__v").asc)
+    val limited = if (trim > 0) counted.limit(trim) else counted
+    limited.collect().toSeq.map(r => (Option(r.get(0)), r.getLong(1)))
+  }
+
+  private def viaApi(api: Api, prop: String, modes: Seq[(String, String)],
+                     order: String, trim: Int): String =
+    api.queryProperty("shop", prop, modes = modes, order = order, trim = trim)
+
+  private def render(rows: Seq[(Option[Any], Long)]): String =
+    rows.map { case (v, n) =>
+      val vs = v.map {
+        case s: String => Json.str(s)
+        case d: Double => if (d == d.floor && math.abs(d) < 1e15) d.toLong.toString else d.toString
+        case o => o.toString
+      }.getOrElse("null")
+      s"""{"value":$vs,"customers":$n}"""
+    }.mkString("[", ",", "]")
+
+  test("index-only answers match the row scan across modes/order/trim") {
+    val api = freshApi()
+    mkTable(api)
+    val batch = (0 until 20).flatMap(u => Seq(
+      ev(s"u$u", u * 1000L, "view", u * 1.5, if (u % 3 == 0) "pro" else "free"),
+      ev(s"u$u", u * 1000L + 1, "purchase", u * 10.0, "free"))) :+
+      // a null-valued prop row: the null group must count in both paths
+      s"""{"id":"u0","stamp":${now + 99000},"event":"ping","value":1.0}"""
+    api.insert("shop", batch, nowMs = now)
+    val cases = Seq(
+      ("event", Nil, "desc", 0),
+      ("event", Nil, "asc", 0),
+      ("event", Nil, "desc", 2),
+      ("plan", Nil, "desc", 0),
+      ("plan", Seq("sub" -> "ro"), "desc", 0),
+      ("plan", Seq("rx" -> "^f"), "asc", 0),
+      ("value", Seq("gte" -> "30", "lt" -> "120"), "desc", 0),
+      ("value", Seq("between" -> "10,100"), "asc", 3),
+      ("value", Seq("eq" -> "15"), "desc", 0))
+    cases.foreach { case (prop, modes, order, trim) =>
+      val got = viaApi(api, prop, modes.toSeq, order, trim)
+      val want = render(scanAnswer(api, prop, modes.toSeq, order, trim))
+      assert(got == want, s"($prop, $modes, $order, $trim):\n got=$got\n exp=$want")
+    }
+  }
+
+  test("refresh is incremental: an insert re-indexes only its touched buckets") {
+    val api = freshApi()
+    mkTable(api, buckets = 8)
+    api.insert("shop", (0 until 32).map(u =>
+      ev(s"u$u", u * 1000L, "view", 1.0, "free")), nowMs = now)
+    api.queryProperty("shop", "event"): Unit // builds the index
+    val dataDir = new java.io.File(api.warehouse, "shop/propindex/data")
+    val before = TableCommit.read(dataDir.toString).get.buckets
+    assert(before.nonEmpty)
+    // one new person -> exactly one touched storage bucket
+    api.insert("shop", Seq(ev("u_new", 500L, "purchase", 2.0, "pro")), nowMs = now)
+    api.queryProperty("shop", "event"): Unit // incremental refresh
+    val after = TableCommit.read(dataDir.toString).get.buckets
+    val changed = (before.keySet ++ after.keySet).filter(b =>
+      before.get(b) != after.get(b))
+    assert(changed.size == 1,
+      s"expected exactly 1 re-indexed bucket, got $changed")
+    // and the counts stay exact
+    val got = api.queryProperty("shop", "event")
+    assert(got.contains(""""value":"purchase","customers":1"""), got)
+    assert(got.contains(""""value":"view","customers":32"""), got)
+  }
+
+  test("DDL invalidates: a property added after indexing is served correctly") {
+    val api = freshApi()
+    mkTable(api)
+    api.insert("shop", Seq(ev("u1", 0L, "view", 1.0, "free")), nowMs = now)
+    api.queryProperty("shop", "event"): Unit // index built pre-DDL
+    api.propertyAdd("shop", PropDef("tier", "int"))
+    api.insert("shop",
+      Seq(s"""{"id":"u2","stamp":${now + 1000},"event":"view","value":2.0,"tier":5}"""),
+      nowMs = now)
+    val got = api.queryProperty("shop", "tier")
+    // u2 has tier=5; u1 predates the column -> null group of 1
+    assert(got.contains(""""value":5,"customers":1"""), got)
+    assert(got.contains(""""value":null,"customers":1"""), got)
+  }
+
+  test("fallbacks: pending WAL, set props, bucket=, named segments stay scan-served") {
+    val api = freshApi()
+    mkTable(api)
+    api.insert("shop", (0 until 6).map(u =>
+      ev(s"u$u", u * 1000L, "view", u.toDouble, "free")), nowMs = now)
+    // pending WAL (flush_rows high): raw rows visible via overlay, so the
+    // answer must INCLUDE them -> index path must decline
+    api.catalog.updateSettings("shop", _.copy(flushRows = 1000))
+    api.insert("shop", Seq(ev("u9", 0L, "ping", 9.0, "pro")), nowMs = now)
+    val got = api.queryProperty("shop", "event")
+    assert(got.contains(""""value":"ping","customers":1"""), got)
+    api.catalog.flush("shop")
+    // set-valued props can't index; the scan path serves them
+    val setQ = api.queryProperty("shop", "tags")
+    assert(setQ.startsWith("["), setQ)
+    // numeric bucket= falls back (merged values need row-level distincts)
+    val bucketed = api.queryProperty("shop", "value", bucket = Some(2.0))
+    assert(bucketed.contains(""""value":0,"customers":"""), bucketed)
+  }
+}
