@@ -273,7 +273,8 @@ final class Api(spark: SparkSession, val warehouse: String,
                      bucket: Option[Double] = None,
                      min: Option[Double] = None,
                      max: Option[Double] = None,
-                     foreach: Option[String] = None): String = {
+                     foreach: Option[String] = None,
+                     foreachMax: Int = 256): String = {
     require(bucket.forall(_ > 0), s"bucket must be > 0, got ${bucket.get}")
     val m = catalog.describe(table)
     def runOne(inject: String): Seq[(Double, Long)] = {
@@ -293,7 +294,7 @@ final class Api(spark: SparkSession, val warehouse: String,
       case Some(prop) =>
         val groups = foreachHistogram(catalog.events(table),
           catalog.events(table), script, prop,
-          bucket, nowMs, m.settings.sessionTimeMs)
+          bucket, nowMs, m.settings.sessionTimeMs, foreachMax)
         val inner = groups.map { case (v, rows) =>
           s"""${Json.str(v)}:${render(rows)}"""
         }.mkString(",")
@@ -302,22 +303,34 @@ final class Api(spark: SparkSession, val warehouse: String,
   }
 
   /** `foreach=` histogram evaluation as ONE distributed plan: the distinct
-    * value walk (bounded at 256 — the reference walks the property index,
-    * src/oloop_histogram.cpp:96) feeds [[graft.osl.OslEngine.histogramForeach]],
-    * which binds `each_value` per customer IN MEMORY inside a single
-    * groupByKey pass, and one grouped aggregation buckets every value's
-    * per-person returns together. Replaces |values| sequential driver-looped
-    * Spark jobs with 2 jobs total regardless of value count. Returns
-    * (value → bucket rows) in the distinct-collect order the sequential
-    * loop produced. */
+    * value walk feeds [[graft.osl.OslEngine.histogramForeach]], which binds
+    * `each_value` per customer IN MEMORY inside a single groupByKey pass,
+    * and one grouped aggregation buckets every value's per-person returns
+    * together. Replaces |values| sequential driver-looped Spark jobs with 2
+    * jobs total regardless of value count. Returns (value → bucket rows) in
+    * the distinct-collect order the sequential loop produced.
+    *
+    * `maxValues` bounds the per-value fan-out (each distinct value is a
+    * whole histogram in the response, and `each_value` state is
+    * per-(person, value)); the reference iterates the property's FULL
+    * value index (src/oloop_histogram.cpp:232-330), so exceeding the bound
+    * FAILS LOUDLY — a silent cap would drop response groups (round-17 #4;
+    * callers raise `foreachMax` deliberately instead). */
   private def foreachHistogram(events: DataFrame, valuesFrom: DataFrame,
                                script: String, prop: String,
                                bucket: Option[Double], nowMs: Long,
-                               sessionGapMs: Long): Seq[(String, Seq[(Double, Long)])] = {
+                               sessionGapMs: Long,
+                               maxValues: Int): Seq[(String, Seq[(Double, Long)])] = {
+    require(maxValues > 0, s"foreach_max must be > 0, got $maxValues")
     // value walk over the UNFILTERED table — the reference reads the
-    // property index, which segment membership does not narrow
+    // property index, which segment membership does not narrow. limit+1
+    // detects (without scanning) whether the true value set exceeds the cap
     val values = valuesFrom.select(col(prop)).distinct()
-      .limit(256).collect().map(_.get(0)).filter(_ != null)
+      .limit(maxValues + 1).collect().map(_.get(0)).filter(_ != null)
+    require(values.length <= maxValues,
+      s"foreach=$prop has more than $maxValues distinct values; raise " +
+        s"foreach_max (the response carries one histogram PER value) or " +
+        s"bucket the property instead")
     if (values.isEmpty) return Nil
     val perPerson = graft.osl.OslEngine.histogramForeach(
       events, script, scala.collection.immutable.ArraySeq.unsafeWrapArray(values),
@@ -723,7 +736,8 @@ final class Api(spark: SparkSession, val warehouse: String,
             case Some(prop) =>
               // one grouped plan over all values — see [[foreachHistogram]]
               foreachHistogram(events, catalog.events(table),
-                s.body.toString, prop, bucket, nowMs, m.settings.sessionTimeMs)
+                s.body.toString, prop, bucket, nowMs, m.settings.sessionTimeMs,
+                kv.get("foreach_max").map(_.toInt).getOrElse(256))
           }
           def render(rows: Seq[(Double, Long)]): String =
             histogramRender(rows, bucket, minO, maxO)

@@ -32,7 +32,7 @@ object Bench {
     // the noop sink evaluates every output column without writing.
     def run(name: String, dir: String): Option[String] =
       try {
-        Queries.queries(name)(spark, dir)
+        Queries.allQueries(name)(spark, dir)
           .write.mode("overwrite").format("noop").save()
         None
       } catch {

@@ -7,7 +7,7 @@ object BenchOne {
     spark.sparkContext.setLogLevel("WARN")
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      Queries.queries(name)(spark, dir).write.mode("overwrite").format("noop").save()
+      Queries.allQueries(name)(spark, dir).write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }
     names.foreach { n => run(n, "/root/testdata/sf0.001") } // warm

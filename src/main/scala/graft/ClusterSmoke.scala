@@ -108,7 +108,14 @@ object ClusterSmoke {
     // partitions land on remote executor JVMs (zero-exchange window
     // chain + the pruned single-customer fetch)
     "q_catalog_funnel",
-    "q_catalog_customer")
+    "q_catalog_customer",
+    // round 17: the DATE-PARTITIONED store — event_date pruning + the
+    // bucketed claim must hold when the (bucket, date) file partitions
+    // land on remote executor JVMs
+    "q_catalog_range_tally",
+    // round 17: the property-value index — per-bucket distinct partials
+    // computed on remote executors must sum to the exact global counts
+    "q_propindex_counts")
 
   private def canon(df: org.apache.spark.sql.DataFrame): Set[Vector[String]] = {
     val cols = df.columns.sorted

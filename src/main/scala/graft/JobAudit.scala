@@ -20,7 +20,7 @@ object JobAudit {
     Tables.hotCache = true
 
     def run(name: String): Unit =
-      Queries.queries(name)(spark, sfDir)
+      Queries.allQueries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
 
     for (name <- names) {

@@ -15,11 +15,11 @@ object QBench {
     Tables.hotCache = true // mirror Bench's warm-engine mode
     for (name <- names) {
       // codegen/JIT warmup at the smallest SF, as in Bench
-      Queries.queries(name)(spark, "/root/testdata/sf0.001")
+      Queries.allQueries(name)(spark, "/root/testdata/sf0.001")
         .write.mode("overwrite").format("noop").save()
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        Queries.queries(name)(spark, sfDir)
+        Queries.allQueries(name)(spark, sfDir)
           .write.mode("overwrite").format("noop").save()
         (System.nanoTime() - t0) / 1e9
       }

@@ -23,7 +23,14 @@ object Queries {
       name: String,
       fn: (SparkSession, String) => DataFrame,
       oracle: Option[String],
-      bench: Boolean = true)
+      bench: Boolean = true,
+      // bench-ONLY instrumentation rows (e.g. the raw-sketch twins of the
+      // oracle-gated approx queries) set verify=false: they measure a plan
+      // the correctness gate can't hash-check (sketch estimates are
+      // engine-specific), and their semantics are already verified through
+      // their gated twin + a spec-pinned error bound. Everything
+      // correctness-bearing stays verify=true.
+      verify: Boolean = true)
 
   /** Shared oracle CTE: OpenSet-normalized event stream (Tables.events). */
   private[graft] val E = "WITH e AS (SELECT user_id AS id, epoch_ms(ts) AS stamp, event_type AS event, value, event_id FROM events)"
@@ -72,7 +79,12 @@ object Queries {
         SELECT qid, CAST(rank AS INT) AS rank, nid FROM ranked WHERE rank <= 5"""
 
   /** Full PQ-ADC replica — shared by `q_ann_pq_topk` and
-    * `q_ann_pq_indexed` (bit-identical by construction). */
+    * `q_ann_pq_indexed` (bit-identical by construction). Includes the ONE
+    * Lloyd refinement the engine runs (round-17 #6): seed codewords from
+    * the strided sample, assign every corpus subvector, refine each
+    * codeword to the decimal-exact mean of its assignees (seed kept when
+    * unassigned) — `CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)/COUNT(*)`
+    * mirrors Spark's order-independent decimal route exactly. */
   private[graft] val PqOracleSql =
     """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         ids AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rn,
@@ -83,10 +95,32 @@ object Queries {
           JOIN ids i ON i.rn = LEAST(k.k * GREATEST(1, i.n // 16), i.n - 1)
           JOIN v cv ON cv.vec_id = i.vec_id),
         codes AS (SELECT vec_id, e, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code FROM samp),
-        cw AS (
+        cw0 AS (
           SELECT s.s AS sub, c.code, c.e[s.s*16+1 : (s.s+1)*16] AS cwv,
             list_dot_product(c.e[s.s*16+1 : (s.s+1)*16], c.e[s.s*16+1 : (s.s+1)*16]) AS cs
           FROM codes c CROSS JOIN (SELECT unnest(range(4)) AS s) s),
+        enc0 AS (
+          SELECT vec_id, sub, code FROM (
+            SELECT a.vec_id, w.sub, w.code,
+              ROW_NUMBER() OVER (PARTITION BY a.vec_id, w.sub
+                ORDER BY w.cs - 2*list_dot_product(a.e[w.sub*16+1 : (w.sub+1)*16], w.cwv) ASC,
+                         w.code ASC) AS r
+            FROM v a CROSS JOIN cw0 w) WHERE r = 1),
+        subc AS (
+          SELECT e0.sub, e0.code,
+            unnest(a.e[e0.sub*16+1 : (e0.sub+1)*16]) AS x,
+            generate_subscripts(a.e[e0.sub*16+1 : (e0.sub+1)*16], 1) AS j
+          FROM enc0 e0 JOIN v a USING (vec_id)),
+        mu AS (
+          SELECT sub, code, j,
+            CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mu
+          FROM subc GROUP BY 1, 2, 3),
+        cw AS MATERIALIZED (
+          SELECT w.sub, w.code, COALESCE(m2.cwv, w.cwv) AS cwv,
+            list_dot_product(COALESCE(m2.cwv, w.cwv), COALESCE(m2.cwv, w.cwv)) AS cs
+          FROM cw0 w LEFT JOIN (
+            SELECT sub, code, list(mu ORDER BY j) AS cwv FROM mu GROUP BY 1, 2) m2
+            ON m2.sub = w.sub AND m2.code = w.code),
         enc AS (
           SELECT vec_id, sub, code FROM (
             SELECT a.vec_id, w.sub, w.code,
@@ -248,7 +282,14 @@ object Queries {
     QueriesRelational.entries ++ QueriesPipeline.entries ++
       QueriesAnn.entries ++ QueriesOsl.entries
 
+  /** The correctness-gate surface (SparkEntry/Verify): every verify=true
+    * entry — one per implemented operator, each oracle-checked. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allRegistry.filter(_.verify).map(q => q.name -> q.fn).toMap
+
+  /** Every registry entry including bench-only rows — the bench/QBench
+    * lookup surface. */
+  def allQueries: Map[String, (SparkSession, String) => DataFrame] =
     allRegistry.map(q => q.name -> q.fn).toMap
 
   def oracleSql: Map[String, String] =

@@ -205,10 +205,32 @@ object QueriesAnn {
           JOIN i_ids i ON i.rn = LEAST(k.k * GREATEST(1, i.n // 16), i.n - 1)
           JOIN v cv ON cv.vec_id = i.vec_id),
         p_codes AS (SELECT vec_id, e, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code FROM p_samp),
-        p_cw AS (
+        p_cw0 AS (
           SELECT s.s AS sub, c.code, c.e[s.s*16+1 : (s.s+1)*16] AS cwv,
             list_dot_product(c.e[s.s*16+1 : (s.s+1)*16], c.e[s.s*16+1 : (s.s+1)*16]) AS cs
           FROM p_codes c CROSS JOIN (SELECT unnest(range(4)) AS s) s),
+        p_enc0 AS (
+          SELECT vec_id, sub, code FROM (
+            SELECT a.vec_id, w.sub, w.code,
+              ROW_NUMBER() OVER (PARTITION BY a.vec_id, w.sub
+                ORDER BY w.cs - 2*list_dot_product(a.e[w.sub*16+1 : (w.sub+1)*16], w.cwv) ASC,
+                         w.code ASC) AS r
+            FROM v a CROSS JOIN p_cw0 w) WHERE r = 1),
+        p_subc AS (
+          SELECT e0.sub, e0.code,
+            unnest(a.e[e0.sub*16+1 : (e0.sub+1)*16]) AS x,
+            generate_subscripts(a.e[e0.sub*16+1 : (e0.sub+1)*16], 1) AS j
+          FROM p_enc0 e0 JOIN v a USING (vec_id)),
+        p_mu AS (
+          SELECT sub, code, j,
+            CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mu
+          FROM p_subc GROUP BY 1, 2, 3),
+        p_cw AS MATERIALIZED (
+          SELECT w.sub, w.code, COALESCE(m2.cwv, w.cwv) AS cwv,
+            list_dot_product(COALESCE(m2.cwv, w.cwv), COALESCE(m2.cwv, w.cwv)) AS cs
+          FROM p_cw0 w LEFT JOIN (
+            SELECT sub, code, list(mu ORDER BY j) AS cwv FROM p_mu GROUP BY 1, 2) m2
+            ON m2.sub = w.sub AND m2.code = w.code),
         p_enc AS (
           SELECT vec_id, sub, code FROM (
             SELECT a.vec_id, w.sub, w.code,

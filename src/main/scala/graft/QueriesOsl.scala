@@ -662,8 +662,13 @@ object QueriesOsl {
     Q("q_histogram_foreach",
       (s, dir) => {
         val e = Tables.events(s, dir)
-        val values = e.select(col("event")).distinct().limit(256)
+        // limit+1 + require: the value walk must never SILENTLY truncate
+        // (round-17 #4 — the reference iterates the full value index); the
+        // events column holds 5 values, so the bound documents rather than
+        // bites
+        val values = e.select(col("event")).distinct().limit(257)
           .collect().map(_.get(0)).filter(_ != null)
+        require(values.length <= 256, s"foreach over ${values.length} values")
         val script = "n = count(id) where event == each_value\nreturn(n)\n"
         graft.osl.OslEngine.histogramForeach(
             e, script, scala.collection.immutable.ArraySeq.unsafeWrapArray(values),

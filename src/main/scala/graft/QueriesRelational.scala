@@ -576,6 +576,21 @@ object QueriesRelational {
         COUNT(DISTINCT id) AS customers_exact, TRUE AS within_5pct
         FROM e GROUP BY 1""")),
 
+    // Bench-only RAW twin (round-17 #5): the sketch ALONE — the 3-stage
+    // one-pass mergeable-state plan that is the operator's 100 TB story.
+    // The gated query above measures sketch+exact by design (its in-row
+    // tolerance contract needs the exact tier); this row restores the
+    // honest sketch cost to BENCH.json. No oracle (estimates are
+    // engine-specific); the error bound is spec-pinned (EventOpsSpec) and
+    // the gated twin hash-checks the contract every round.
+    Q("q_daily_active_approx_raw",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        e.groupBy(TimeFns.startOfDay(col("stamp")).as("day_ms"))
+          .agg(approx_count_distinct(col("id"), rsd = 0.02).as("approx"))
+      },
+      None, verify = false),
+
     Q("q_value_percentiles_approx",
       (s, dir) => {
         val e = Tables.events(s, dir)
@@ -609,6 +624,19 @@ object QueriesRelational {
       },
       Some(s"""$E SELECT event, COUNT(value) AS n_vals, TRUE AS p50_rank_ok,
         TRUE AS p90_rank_ok, TRUE AS p99_rank_ok FROM e GROUP BY event""")),
+
+    // Bench-only RAW twin (round-17 #5): percentile_approx without the
+    // rank-interval join-back — the one-pass t-digest-style plan a 100 TB
+    // deployment actually runs. Rank-exactness is carried by the gated
+    // twin above.
+    Q("q_value_percentiles_approx_raw",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        e.groupBy(col("event"))
+          .agg(percentile_approx(col("value"),
+            array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("pcts"))
+      },
+      None, verify = false),
 
     // Sequence correlation: the event immediately after each signup
     // (each_row.continue().next() 1-level => lead(), SURVEY §2.3).

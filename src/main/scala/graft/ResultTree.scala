@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
 
 /** Assembles the reference's hierarchical JSON result shape from the flat
   * `(depth, g1..g8, agg…)` node rows produced by `OslEngine.query` (or any
@@ -63,11 +64,67 @@ object ResultTree {
     * `c`-array order; `sortBy` is an index into aggCols (None = first),
     * descending by default; `trim` keeps top-k children per node (0 = all);
     * `byGroup` sorts by group label instead of an aggregate. */
+  /** Plan-side top-k pre-trim (round-17 #3): when the tree will keep only
+    * `trim` children per node, filter rank-≤-trim PER PARENT PATH in the
+    * PLAN, cascading level by level (children of trimmed parents drop too),
+    * so the driver collect receives ≤ Σ kept-nodes rows instead of the full
+    * grouping cardinality — the reference merges full trees then trims
+    * (src/result.cpp:1038), but Spark can do better. The rank key mirrors
+    * the driver sort exactly: sort-aggregate cast to double with null →
+    * −∞ (Spark and TotalOrdering agree NaN is greatest in both
+    * directions), ties broken by the child label ascending — labels are
+    * UNIQUE per parent (node rows key by path), so the rank is total and
+    * the kept set is bit-identical to the driver-side trim. */
+  private[graft] def pruneForTrim(df: DataFrame, aggCols: Seq[String],
+                                  sortCol: Int, ascending: Boolean,
+                                  trim: Int, byGroup: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxDepth = graft.osl.OslEngine.MaxDepth
+    var kept = Vector.empty[DataFrame]
+    for (d <- 1 to maxDepth) {
+      val parentCols = (1 until d).map(i => s"g$i")
+      val w0 =
+        if (parentCols.isEmpty) Window.partitionBy(lit(1))
+        else Window.partitionBy(parentCols.map(col): _*)
+      val orderCols: Seq[Column] =
+        if (byGroup) Seq(if (ascending) col(s"g$d").asc else col(s"g$d").desc)
+        else {
+          val k = coalesce(col(aggCols(sortCol)).cast("double"),
+            lit(Double.NegativeInfinity))
+          Seq(if (ascending) k.asc else k.desc, col(s"g$d").asc)
+        }
+      var level = df.where(col("depth") === d)
+      if (d > 1) {
+        // survivors only: parents the previous level kept (null-safe on the
+        // path columns); the parent frame is ≤ kept-node-sized — broadcast
+        val parents = kept(d - 2).select(parentCols.map(col): _*)
+          .dropDuplicates(parentCols)
+        val cond = parentCols.map(c => level(c) <=> parents(c)).reduce(_ && _)
+        level = level.join(broadcast(parents), cond, "left_semi")
+      }
+      kept :+= level
+        .withColumn("__rk", row_number().over(w0.orderBy(orderCols: _*)))
+        .where(col("__rk") <= trim).drop("__rk")
+    }
+    kept.reduce(_ unionByName _)
+  }
+
   def fromNodeRows(df: DataFrame, aggCols: Seq[String],
                    sortCol: Int = 0, ascending: Boolean = false,
                    trim: Int = 0, byGroup: Boolean = false): Seq[Node] = {
     val maxDepth = graft.osl.OslEngine.MaxDepth
-    val rows = df.collect()
+    // pushdown needs a plan-expressible rank key: the label (byGroup) or a
+    // NUMERIC sort aggregate (the driver's fallback for other types is
+    // String.hashCode — not reproducible in-plan, so those trees collect
+    // whole, as before)
+    val canPush = trim > 0 && (byGroup ||
+      (aggCols.nonEmpty && df.schema(aggCols(math.max(0, math.min(sortCol,
+        aggCols.length - 1)))).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType]))
+    val src =
+      if (canPush) pruneForTrim(df, aggCols, sortCol, ascending, trim, byGroup)
+      else df
+    val rows = src.collect()
     val byPath: Map[Vector[String], Row] = rows.map { r =>
       val depth = r.getInt(r.fieldIndex("depth"))
       val path = (1 to depth).map(i =>
@@ -96,9 +153,15 @@ object ResultTree {
         if (byGroup) {
           val sorted = nodes.sortBy(_.g.toString)
           if (ascending) sorted else sorted.reverse
-        } else nodes.sortBy(sortKey)(
-          if (ascending) Ordering.Double.TotalOrdering
-          else Ordering.Double.TotalOrdering.reverse)
+        } else {
+          // label tiebreak (ascending) makes equal-key order deterministic
+          // — and identical to the plan-side pre-trim's rank order
+          val keyOrd =
+            if (ascending) Ordering.Double.TotalOrdering
+            else Ordering.Double.TotalOrdering.reverse
+          nodes.sortBy(n => (sortKey(n), n.g.toString))(
+            Ordering.Tuple2(keyOrd, Ordering.String))
+        }
       if (trim > 0) nodes.take(trim) else nodes
     }
 

@@ -69,6 +69,31 @@ object Scale {
         operators.Dedup.connectedComponents(edges, docs.select(col("doc_id")))
           .groupBy(col("label")).agg(count(lit(1)).as("n"))
       }),
+      // Round-17 #7: the dedup chain's claimed worst case MEASURED — a
+      // pathological boilerplate cluster (|corpus|/10 near-identical docs,
+      // distinct texts, ALL landing in the same LSH buckets) through
+      // star-edges -> connected components -> edit-distance verify. The
+      // hot bucket must cost n−1 edges and n−1 Levenshtein pairs (linear),
+      // never the 5·10¹¹-pair collect_list blowup the star layout exists
+      // to prevent (Dedup.scala star-edge scaladoc).
+      "neardup_hotbucket" -> ((d: String, _: String, _: String) => {
+        val base = spark.read.parquet(d).select(col("doc_id"), col("text"))
+        val boiler = Seq.tabulate(60)(i => s"w${i % 12}").mkString(" ")
+        val nHot = math.max(100L, base.count() / 10)
+        val hot = spark.range(nHot).select(
+          (col("id") + 900000000L).as("doc_id"),
+          concat(lit(boiler + " end"),
+            (col("id") % 37).cast("string")).as("text"))
+        val docs = base.unionByName(hot)
+        val edges = operators.Dedup.minhashStarEdges(docs, col("doc_id"), col("text"))
+        val comp = operators.Dedup.connectedComponents(edges, docs.select(col("doc_id")))
+          .groupBy(col("label")).agg(count(lit(1)).as("n"))
+          .agg(max(col("n")).as("max_cluster"), count(lit(1)).as("n_components"))
+        val ver = operators.Dedup.editDistanceVerify(docs, col("doc_id"),
+            col("text"), edges, 0.5)
+          .agg(count(lit(1)).as("verified_pairs"), avg(col("edit_sim")).as("mean_sim"))
+        comp.crossJoin(ver)
+      }),
       "dup_span_coverage" -> ((d: String, _: String, _: String) => {
         val docs = spark.read.parquet(d)
         operators.Dedup.duplicatedSpanCoverage(docs, col("doc_id"), col("text"))

@@ -28,7 +28,7 @@ object StageBudget {
     Tables.hotCache = true
 
     def run(name: String): Unit =
-      Queries.queries(name)(spark, sfDir)
+      Queries.allQueries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
 
     val names = Queries.benchNames

@@ -16,7 +16,7 @@ object VerifyOne {
     Tables.hotCache = true
     new java.io.File(outDir).mkdirs()
     for (name <- names) {
-      Queries.queries(name)(spark, sfDir).coalesce(1)
+      Queries.allQueries(name)(spark, sfDir).coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/$name")
       Queries.oracleSql.get(name).foreach { sql =>
         java.nio.file.Files.writeString(

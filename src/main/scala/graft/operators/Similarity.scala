@@ -376,13 +376,17 @@ object Similarity {
 
   // ------------------------------------------------------------------ PQ
 
-  /** Product-quantization codebooks from the strided corpus sample: `ksub`
-    * sample vectors (the same deterministic seeding [[ivfAssign]] uses),
-    * sliced into `m` subvectors — codebook `s` holds the samples'
-    * subvectors for dimensions `[s·d, (s+1)·d)`, codes ordered by sample
-    * vec_id. Sampled codebooks are the cheap deterministic variant of PQ
-    * training (k-means init without Lloyd refinement — a refinement pass
-    * would slot in here without changing encode/search mechanics).
+  /** Product-quantization codebooks: `ksub` strided sample vectors seed
+    * each of the `m` sub-codebooks (the deterministic seeding
+    * [[ivfAssign]] uses), then ONE Lloyd refinement replaces every
+    * codeword with the mean of the corpus subvectors assigned to it
+    * (round-17 #6; empty codes keep their seed). The means run in exact
+    * decimal space — per-component `sum(cast(x as decimal(18,6)))` then a
+    * single IEEE divide, the [[labelCentroids]] discipline — so the
+    * refined books are order-independent and oracle-reproducible, and the
+    * recall gain is gated by recall@k in PipelineOpsSpec (ship only if
+    * ≥ seed). Cost: one corpus scan + an `m×ksub×d`-row aggregate — the
+    * same shape as a [[kmeansCentroids]] iteration, linear at 100 TB.
     * Returns `m × ksub × d` doubles, memoized like the IVF centroids. */
   private val pqCache = new java.util.LinkedHashMap[
     (org.apache.spark.sql.SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int),
@@ -392,11 +396,11 @@ object Similarity {
       size() > centroidCacheMax
   }
 
-  def pqCodebooks(corpus: DataFrame, m: Int, ksub: Int): Array[Array[Array[Double]]] = {
+  /** The strided-sample SEED books (pre-refinement) — the spec's recall
+    * baseline. */
+  private[graft] def pqCodebooksSeed(corpus: DataFrame, m: Int,
+                                         ksub: Int): Array[Array[Array[Double]]] = {
     val v = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
-    val cacheKey = (v.sparkSession, v.queryExecution.analyzed.canonicalized, m, ksub)
-    val cached = pqCache.synchronized(pqCache.get(cacheKey))
-    if (cached != null) return cached
     val n = v.count()
     val stride = math.max(1L, n / ksub)
     val targets = (0 until ksub).map(i => math.min(i.toLong * stride, n - 1))
@@ -413,9 +417,44 @@ object Similarity {
     val dim = samples.head._2.length
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val d = dim / m
-    val books = Array.tabulate(m) { s =>
+    Array.tabulate(m) { s =>
       samples.map { case (_, e) => e.slice(s * d, (s + 1) * d) }
     }
+  }
+
+  /** One Lloyd step over `seed`: assign every corpus subvector to its
+    * nearest seed codeword (the same surrogate + smaller-code ties as
+    * [[pqCodeKernel]]), then per (sub, code, component) take the
+    * decimal-exact mean; unassigned codes keep the seed codeword. One scan
+    * + a tiny (m·ksub·d-row) collect. */
+  private[graft] def pqLloydStep(corpus: DataFrame,
+                                     seed: Array[Array[Array[Double]]],
+                                     m: Int, ksub: Int): Array[Array[Array[Double]]] = {
+    val v = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val d = seed.head.head.length
+    val stats = v
+      .select(pqCodeKernel(seed)(col("e")).as("code"), col("e"))
+      .select(posexplode(col("code")).as(Seq("s", "c")), col("e"))
+      .select(col("s"), col("c"),
+        posexplode(slice(col("e"), col("s") * d + lit(1), lit(d))).as(Seq("j", "x")))
+      .groupBy(col("s"), col("c"), col("j"))
+      .agg(sum(col("x").cast("decimal(18,6)")).cast("double").as("sx"),
+        count(lit(1)).as("n"))
+      .collect()
+    val refined = seed.map(_.map(_.clone()))
+    stats.foreach { r =>
+      refined(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+        r.getDouble(3) / r.getLong(4)
+    }
+    refined
+  }
+
+  def pqCodebooks(corpus: DataFrame, m: Int, ksub: Int): Array[Array[Array[Double]]] = {
+    val v = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val cacheKey = (v.sparkSession, v.queryExecution.analyzed.canonicalized, m, ksub)
+    val cached = pqCache.synchronized(pqCache.get(cacheKey))
+    if (cached != null) return cached
+    val books = pqLloydStep(corpus, pqCodebooksSeed(corpus, m, ksub), m, ksub)
     pqCache.synchronized(pqCache.put(cacheKey, books))
     books
   }
@@ -432,7 +471,7 @@ object Similarity {
     v.withColumn("code", pqCodeKernel(books)(col("e")))
   }
 
-  private[operators] def pqCodeKernel(books: Array[Array[Array[Double]]]): Column => Column = {
+  private[graft] def pqCodeKernel(books: Array[Array[Array[Double]]]): Column => Column = {
     val m = books.length
     val cs = books.map(_.map(cw => { var s = 0.0; var j = 0; while (j < cw.length) { s += cw(j) * cw(j); j += 1 }; s }))
     val kernel = udf { (arr: Seq[Double]) =>
@@ -517,7 +556,7 @@ object Similarity {
     kernel(_)
   }
 
-  private[operators] def pqSearch(enc: DataFrame,
+  private[graft] def pqSearch(enc: DataFrame,
                                   books: Array[Array[Array[Double]]],
                                   queries: DataFrame, k: Int,
                                   m: Int, ksub: Int): DataFrame = {

@@ -200,6 +200,47 @@ class CatalogSpec extends SparkSpec {
     assert(histEach.contains("\"rod\":[") && histEach.contains("\"reel\":["))
   }
 
+  test("foreach histogram: the value cap is loud and raisable, never silent (round-17 #4)") {
+    val api = freshApi()
+    api.tableCreate(highstreetMeta)
+    val now = 1704067200000L
+    // 8 distinct product values across 4 persons
+    val batch = for (u <- 1 to 4; p <- 1 to 8) yield
+      s"""{"id":"u$u","stamp":"${1704067200L + u * 100 + p}","event":"purchase","product_name":"p$p","product_price":1.0}"""
+    api.insert("highstreet", batch, nowMs = now)
+    val script =
+      """n = count(event) where product_name.is(== each_value)
+        |return(n)
+        |""".stripMargin
+    // cap below the distinct count: FAIL LOUDLY (the old behavior silently
+    // dropped values past the cap — the reference walks the full index,
+    // src/oloop_histogram.cpp:232-330)
+    val err = intercept[IllegalArgumentException] {
+      api.queryHistogram("highstreet", "per_product", script,
+        nowMs = now + 86400000L, foreach = Some("product_name"), foreachMax = 5)
+    }
+    assert(err.getMessage.contains("foreach_max"), err.getMessage)
+    // raised cap: all 8 value groups answer, each identical to the
+    // sequential single-value run it replaces
+    val got = api.queryHistogram("highstreet", "per_product", script,
+      nowMs = now + 86400000L, foreach = Some("product_name"), foreachMax = 8)
+    (1 to 8).foreach { p =>
+      val one = api.queryHistogram("highstreet", "per_product",
+        s"each_value = 'p$p'\n" + script, nowMs = now + 86400000L)
+      val inner = one.stripPrefix("""{"name":"per_product","histogram":""")
+        .stripSuffix("}")
+      assert(got.contains(s""""p$p":$inner"""),
+        s"foreach group p$p diverged:\n got=$got\n one=$inner")
+    }
+    // the batch route's foreach_max flag reaches the same guard
+    val batchErr = intercept[IllegalArgumentException] {
+      api.queryBatch("highstreet",
+        "@histogram hp foreach=product_name foreach_max=3\n" + script,
+        nowMs = now + 86400000L)
+    }
+    assert(batchErr.getMessage.contains("foreach_max"), batchErr.getMessage)
+  }
+
   test("subscriptions: independent cursors over segment enter/exit events") {
     val api = freshApi()
     api.tableCreate(highstreetMeta)

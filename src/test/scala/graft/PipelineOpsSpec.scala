@@ -394,11 +394,19 @@ class PipelineOpsSpec extends SparkSpec {
       (4L, Array(0f, 0f, 1f, 0f)), (5L, Array(0f, 0f, 0.9f, 0.1f)),
       (6L, Array(0f, 0f, 0f, 1f)), (7L, Array(0.1f, 0f, 0f, 0.9f))
     ).toDF("vec_id", "embedding")
+    // SEED mechanics (pre-Lloyd): each sampled vector is its own nearest
+    // seed codeword — pins the strided seeding the refinement starts from
+    val seed = Similarity.pqCodebooksSeed(v, 2, 4)
+    val encSeed = v.select(col("vec_id"),
+        Similarity.pqCodeKernel(seed)(col("embedding").cast("array<double>")).as("code"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(encSeed(0L) == Seq(0, 0) && encSeed(2L) == Seq(1, 0))
+    assert(encSeed(4L) == Seq(2, 1) || encSeed(4L)(0) == 2) // sub 1 of vec 4 = (1,0)
+    // SHIPPED (refined) books: exact duplicates still share a code, and
+    // ADC still ranks the duplicate first — refinement moves codewords to
+    // assignment means, never splits identical vectors
     val enc = Similarity.pqEncode(v, m = 2, ksub = 4)
       .select(col("vec_id"), col("code")).as[(Long, Seq[Int])].collect().toMap
-    // each sampled vector is its own nearest codeword
-    assert(enc(0L) == Seq(0, 0) && enc(2L) == Seq(1, 0))
-    assert(enc(4L) == Seq(2, 1) || enc(4L)(0) == 2) // sub 1 of vec 4 = (1,0)
     assert(enc(1L) == enc(0L)) // exact dup -> same code
     val top = Similarity.pqTopK(v, v.where(col("vec_id") === 0), k = 3,
         m = 2, ksub = 4)
@@ -426,6 +434,32 @@ class PipelineOpsSpec extends SparkSpec {
       .select("nid").as[Long].collect().toSet
     assert(top.size == 3 && top.subsetOf((1L to 7L).toSet),
       s"ADC left the cluster: $top")
+  }
+
+  test("PQ Lloyd refinement ships only a recall win: refined >= seed on the pinned eval (round-17 #6)") {
+    // the real embeddings table, the registry's pinned eval set (vec_id<10)
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.where(col("vec_id") < 10)
+    val k = 5
+    val exact = Similarity.bruteForceTopK(emb, queries, k)
+      .select(col("qid"), col("nid")).as[(Long, Long)].collect().toSet
+    def recallOf(books: Array[Array[Array[Double]]]): Double = {
+      val enc = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .select(col("vec_id").as("nid"), Similarity.pqCodeKernel(books)(col("e")).as("code"))
+        .localCheckpoint(false)
+      val got = Similarity.pqSearch(enc, books, queries, k, m = 4, ksub = 16)
+        .select(col("qid"), col("nid")).as[(Long, Long)].collect().toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val seed = Similarity.pqCodebooksSeed(emb, 4, 16)
+    val refined = Similarity.pqLloydStep(emb, seed, 4, 16)
+    val (rSeed, rRefined) = (recallOf(seed), recallOf(refined))
+    info(f"PQ recall@$k: seed=$rSeed%.3f refined=$rRefined%.3f")
+    assert(rRefined >= rSeed,
+      f"Lloyd refinement REGRESSED recall: $rRefined%.3f < $rSeed%.3f — do not ship")
+    // and the shipped pqCodebooks ARE the refined books (not the seed)
+    val shipped = Similarity.pqCodebooks(emb, 4, 16)
+    assert(shipped.flatten.flatten.toSeq == refined.flatten.flatten.toSeq)
   }
 
   test("semDedup drops lower-id near-duplicates within a cell only") {
