@@ -114,16 +114,70 @@ final class Api(spark: SparkSession, val warehouse: String,
     ResultTree.toJson(nodes)
   }
 
-  /** `POST /v1/query/{t}/segment`: @segment script(s) → per-segment counts. */
+  /** `POST /v1/query/{t}/segment`: @segment script(s) → per-segment counts.
+    *
+    * INDEX-COUNTABLE segments (the reference's bitmap short-circuit,
+    * `src/oloop_segment.cpp:184-196`): a definition whose whole body is
+    * `if <prop>.ever(== <literal>) return(true)` is a value-index lookup —
+    * the population is the index's distinct-customer count for that
+    * (prop, value), zero row scans. Equality only: our index stores exact
+    * per-(value, bucket) counts (not person bitmaps), which sum across
+    * values only disjointly — a range predicate could double-count a
+    * person matching two values. When EVERY definition is countable (and
+    * no WAL overlays uncommitted rows), the whole route answers
+    * index-only; otherwise the standard engine pass runs. */
   def querySegment(table: String, script: String, nowMs: Long): String = {
     val m = catalog.describe(table)
     val defs = graft.osl.Parser.segments(script)
-    val counts = graft.osl.OslEngine.segments(catalog.events(table), script,
-        now = nowMs, sessionGapMs = m.settings.sessionTimeMs)
-      .groupBy(col("segment")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = indexCountable(m, table, defs) match {
+      case Some(lookups) =>
+        val idx = PropIndex.ensure(spark, catalog, table)
+        lookups.map { case (name, (prop, vType, litV)) =>
+          val n = PropIndex.valueCounts(idx, prop)
+            .where(col("value_str").cast(vType) === lit(litV))
+            .agg(coalesce(sum(col("customers")), lit(0L)))
+            .collect().head.getLong(0)
+          name -> n
+        }.toMap
+      case None =>
+        graft.osl.OslEngine.segments(catalog.events(table), script,
+            now = nowMs, sessionGapMs = m.settings.sessionTimeMs)
+          .groupBy(col("segment")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
     defs.map(d => s"""{"segment":"${d.name}","count":${counts.getOrElse(d.name, 0L)}}""")
       .mkString("[", ",", "]")
+  }
+
+  /** Some((name -> (prop, sparkType, typed literal)) per def) when EVERY
+    * definition is an index-countable equality lookup; None otherwise. */
+  private def indexCountable(m: TableMeta, table: String,
+                             defs: Seq[graft.osl.Ast.SegmentDef])
+      : Option[Seq[(String, (String, org.apache.spark.sql.types.DataType, Any))]] = {
+    import graft.osl.Ast._
+    import org.apache.spark.sql.types._
+    if (defs.isEmpty || catalog.hasPendingWal(table)) return None
+    val lookups = defs.map { d =>
+      d.code match {
+        case Seq(If(PropTest(prop, "ever", Comparator("==", Lit(v)), None, false),
+                    Seq(Return(Some(Lit(t)))), Seq()))
+            if t.truthy && PropIndex.indexable(m, prop) =>
+          // lossless (type, literal) pairings only — anything else keeps
+          // the engine's full coercion semantics
+          val typed: Option[(DataType, Any)] =
+            (m.eventsSchema(prop).dataType, v) match {
+              case (StringType, s: graft.osl.VStr)   => Some((StringType, s.s))
+              case (LongType, i: graft.osl.VInt)     => Some((LongType, i.i))
+              case (DoubleType, i: graft.osl.VInt)   => Some((DoubleType, i.i.toDouble))
+              case (DoubleType, f: graft.osl.VDbl)   => Some((DoubleType, f.d))
+              case (BooleanType, b: graft.osl.VBool) => Some((BooleanType, b.b))
+              case _ => None
+            }
+          typed.map(tv => d.name -> ((prop, tv._1, tv._2)))
+        case _ => None
+      }
+    }
+    if (lookups.forall(_.isDefined)) Some(lookups.flatten) else None
   }
 
   /** `GET /v1/query/{t}/property/{p}` with the full parameter surface

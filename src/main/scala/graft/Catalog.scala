@@ -740,8 +740,10 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     val m = describe(table)
     Fs.withWriteLock(eventsDir(table)) {
       appendPending(table, jsonEvents, nowMs)
-      if (pendingRows(table) >= math.max(1L, m.settings.flushRows.toLong))
+      if (pendingRows(table) >= math.max(1L, m.settings.flushRows.toLong)) {
         drainPendingLocked(table, nowMs)
+        vacuumExpiredLocked(table, nowMs): Unit
+      }
     }
   }
 
@@ -774,7 +776,56 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     Fs.withWriteLock(eventsDir(table)) {
       drainPendingLocked(table, nowMs)
       insertLocked(table, incoming, nowMs)
+      vacuumExpiredLocked(table, nowMs): Unit
     }
+
+  /** Retention sweep: on a `date_partition` table, whole date directories
+    * past the TTL horizon drop from the manifest at METADATA cost — no
+    * data job, no file read (the reference culls expired blocks the same
+    * way, `src/grid.cpp:698-750`). A date D is swept only when EVERY
+    * possible stamp in it is expired (`(D+1) ≤ now − ttl`, UTC) — rows of
+    * the partial day at the horizon stay until a merge culls them, exactly
+    * the [[graft.operators.EventIngest.cullTtl]] row rule, conservatively.
+    * This complements the merge-time cull, which only reaches TOUCHED
+    * buckets: at 100 TB with 5-year retention the untouched 99% of history
+    * ages out by manifest edits alone. Dropped files retire through the
+    * standard grace window (in-flight readers keep their snapshot).
+    * Returns the number of files swept. */
+  def vacuumExpired(table: String, nowMs: Long): Int =
+    Fs.withWriteLock(eventsDir(table)) { vacuumExpiredLocked(table, nowMs) }
+
+  private def vacuumExpiredLocked(table: String, nowMs: Long): Int = {
+    val m = describe(table)
+    if (!m.settings.datePartition) return 0
+    val root = eventsDir(table)
+    TableCommit.read(root) match {
+      case None => 0
+      case Some(c) =>
+        val horizon = nowMs - m.settings.eventTtlMs
+        def expired(entry: String): Boolean =
+          entry.startsWith("event_date=") && {
+            val d = entry.takeWhile(_ != '/').stripPrefix("event_date=")
+            try {
+              val day = java.time.LocalDate.parse(d).toEpochDay
+              (day + 1) * 86400000L <= horizon
+            } catch { case _: Exception => false }
+          }
+        val parts = c.buckets.toSeq.map { case (b, fs) =>
+          val (drop, keep) = fs.partition(expired)
+          (b, drop, keep)
+        }
+        val dropped = parts.flatMap { case (b, drop, _) =>
+          drop.map(f => s"__bucket=$b/$f") }
+        if (dropped.isEmpty) return 0
+        val keepBuckets = parts.collect {
+          case (b, _, keep) if keep.nonEmpty => b -> keep }.toMap
+        val wallNow = System.currentTimeMillis()
+        val next = TableCommit.State(c.gen + 1, keepBuckets,
+          c.retired :+ TableCommit.Retired(wallNow, dropped))
+        TableCommit.write(root, TableCommit.gc(root, next, wallNow))
+        dropped.size
+    }
+  }
 
   /** The merge both the eager insert WRITES and the pending-WAL overlay
     * READS: existing rows of the batch's touched buckets upserted with the

@@ -241,6 +241,54 @@ class CatalogSpec extends SparkSpec {
     assert(batchErr.getMessage.contains("foreach_max"), batchErr.getMessage)
   }
 
+  test("dated-store retention: expired date partitions drop at metadata cost (round 17)") {
+    val api = freshApi()
+    val day = 86400000L
+    val d0 = 1704067200000L // 2024-01-01T00:00Z
+    api.tableCreate(TableMeta("aged", Seq(PropDef("value", "double")),
+      TableSettings(datePartition = true, storageBuckets = 2,
+        eventTtlMs = 10 * day)))
+    def ev(id: String, ms: Long) =
+      s"""{"id":"$id","stamp":$ms,"event":"view","value":1.0}"""
+    // 20 days of history for 2 persons
+    val batch = for (u <- 0 until 2; d <- 0 until 20) yield
+      ev(s"u$u", d0 + d * day + 3600000L)
+    // insert with 'now' inside the window: nothing expired yet
+    api.insert("aged", batch, nowMs = d0 + 9 * day)
+    val root = api.catalog.eventsDir("aged")
+    val before = TableCommit.read(root).get
+    val filesBefore = before.buckets.values.map(_.size).sum
+    assert(api.catalog.events("aged").count() == 40)
+    // advance the clock: days 0..9 fully expired at now = d0+20d (horizon
+    // d0+10d); the sweep is metadata-only — no Spark job, files retire
+    val swept = api.catalog.vacuumExpired("aged", nowMs = d0 + 20 * day)
+    assert(swept > 0, "expected expired date partitions to sweep")
+    val after = TableCommit.read(root).get
+    val filesAfter = after.buckets.values.map(_.size).sum
+    assert(filesAfter < filesBefore, s"$filesAfter vs $filesBefore")
+    // rows: exactly the stamps >= horizon remain (days 10..19)
+    val stamps = api.catalog.events("aged")
+      .select("stamp").collect().map(_.getLong(0)).toSet
+    val expect = (for (u <- 0 until 2; d <- 10 until 20)
+      yield d0 + d * day + 3600000L).toSet
+    assert(stamps == expect, s"retention row mismatch: ${stamps.size} rows")
+    // swept files RETIRE (grace window) rather than delete: still on disk
+    val retiredPaths = after.retired.flatMap(_.paths)
+    assert(retiredPaths.nonEmpty)
+    assert(retiredPaths.forall(p => new java.io.File(root, p).isFile),
+      "retired files must stay readable through the grace window")
+    // idempotent: nothing more to sweep at the same clock
+    assert(api.catalog.vacuumExpired("aged", nowMs = d0 + 20 * day) == 0)
+    // inserts run the sweep inline: new data + an advanced clock ages out
+    // another day without any explicit vacuum call
+    api.insert("aged", Seq(ev("u0", d0 + 21 * day)), nowMs = d0 + 21 * day)
+    val gens = TableCommit.read(root).get
+    val dates = gens.buckets.values.flatten
+      .map(_.takeWhile(_ != '/').stripPrefix("event_date="))
+    assert(!dates.exists(_ == "2024-01-11"), // day 10 expired at now=d0+21d
+      s"inline sweep missed an expired day: ${dates.toSeq.sorted}")
+  }
+
   test("subscriptions: independent cursors over segment enter/exit events") {
     val api = freshApi()
     api.tableCreate(highstreetMeta)

@@ -130,6 +130,47 @@ class PropIndexSpec extends SparkSpec {
     assert(got.contains(""""value":null,"customers":1"""), got)
   }
 
+  test("index-countable segments: .ever(== lit) populations answer from the index") {
+    val api = freshApi()
+    mkTable(api)
+    val batch = (0 until 12).flatMap(u => Seq(
+      ev(s"u$u", u * 1000L, "view", u.toDouble, "free")) ++
+      (if (u % 3 == 0) Seq(ev(s"u$u", u * 1000L + 1, "purchase", 5.0, "pro")) else Nil))
+    api.insert("shop", batch, nowMs = now)
+    val script =
+      """@segment buyers
+        |if event.ever(== 'purchase')
+        |  return(true)
+        |end
+        |@segment pro_users
+        |if plan.ever(== 'pro')
+        |  return(true)
+        |end
+        |""".stripMargin
+    // the engine's answer (forced through the standard pass)
+    val engine = graft.osl.OslEngine.segments(
+        api.catalog.events("shop"), script, now = now)
+      .groupBy("segment").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = api.querySegment("shop", script, nowMs = now)
+    assert(got.contains(s"""{"segment":"buyers","count":${engine("buyers")}}"""), got)
+    assert(got.contains(s"""{"segment":"pro_users","count":${engine("pro_users")}}"""), got)
+    assert(engine("buyers") == 4L && engine("pro_users") == 4L)
+    // a zero-population lookup renders 0, not a missing entry
+    val none = api.querySegment("shop",
+      "@segment ghosts\nif event.ever(== 'refund')\n  return(true)\nend\n", nowMs = now)
+    assert(none.contains("""{"segment":"ghosts","count":0}"""), none)
+    // NON-countable shapes (range compare, funnels) keep the engine route
+    // and stay correct
+    val mixed = api.querySegment("shop",
+      """@segment big_spenders
+        |if value.ever(> 8)
+        |  return(true)
+        |end
+        |""".stripMargin, nowMs = now)
+    assert(mixed.contains("""{"segment":"big_spenders","count":3}"""), mixed)
+  }
+
   test("fallbacks: pending WAL, set props, bucket=, named segments stay scan-served") {
     val api = freshApi()
     mkTable(api)
