@@ -113,6 +113,102 @@ class StoreDifferentialSpec extends SparkSpec {
     }
   }
 
+  test("randomized dated-store model: framed reads, advancing clock, vacuum (round 17)") {
+    // The date_partition layout faces the same differential as the flat
+    // store: random inserts spread across ~30 days with an ADVANCING
+    // clock, so rows age out through BOTH cull paths — merge-time TTL on
+    // touched buckets and the metadata vacuum on whole expired dates —
+    // checked after every op against an independent model, through the
+    // full view, random eventsFramed windows (inclusive-widened date
+    // semantics), and the pruned per-customer fetch.
+    import org.apache.spark.sql.functions.{hash, lit => flit, pmod}
+    import spark.implicits._
+    val day = 86400000L
+    val ttlMs = 12L * day
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(300 + seed)
+      val buckets = Seq(2, 4)(rnd.nextInt(2))
+      val wh = Files.createTempDirectory(s"graft_dated$seed").toString
+      var api = new Api(spark, wh)
+      api.tableCreate(TableMeta("t",
+        Seq(PropDef("value", "double")),
+        TableSettings(idTextual = true, eventMax = 1000000, eventTtlMs = ttlMs,
+          storageBuckets = buckets, datePartition = true)))
+      val ids = Seq("u0", "u1", "u2", "u3", "u4")
+      val bucketOf: Map[String, Int] = ids.map { id =>
+        id -> ids.toDF("id").where($"id" === id)
+          .select(pmod(hash($"id"), flit(buckets))).head().getInt(0)
+      }.toMap
+
+      final case class R(id: String, stampSec: Long)
+      val committed = scala.collection.mutable.Map.empty[Int, Set[R]]
+        .withDefaultValue(Set.empty)
+      val usedStamps = scala.collection.mutable.Map.empty[String, Set[Long]]
+        .withDefaultValue(Set.empty)
+      def dayOf(stampSec: Long): Long = stampSec * 1000L / day
+      def freshStamp(id: String): Long = {
+        var s = 0L
+        do s = T0 / 1000L + rnd.nextInt(30) * 86400L + rnd.nextInt(3600)
+        while (usedStamps(id).contains(s))
+        usedStamps(id) += s
+        s
+      }
+      def modelVacuum(nowMs: Long): Unit = committed.keys.toSeq.foreach { b =>
+        committed(b) = committed(b).filter(r =>
+          (dayOf(r.stampSec) + 1) * day > nowMs - ttlMs)
+      }
+      def modelAll: Set[R] = committed.values.flatten.toSet
+      def gotAll(): Set[R] = api.catalog.events("t").collect()
+        .map(r => R(r.getString(0), r.getLong(1) / 1000L)).toSet
+
+      var now = T0 + 5 * day
+      for (op <- 1 to 8) {
+        now += rnd.nextInt(4) * day // the clock only advances
+        rnd.nextInt(10) match {
+          case n if n <= 5 => // insert at the advanced clock
+            val batch = Seq.fill(1 + rnd.nextInt(4)) {
+              val id = ids(rnd.nextInt(ids.size))
+              R(id, freshStamp(id))
+            }
+            api.insert("t", batch.map(r =>
+              s"""{"id":"${r.id}","stamp":${r.stampSec},"event":"ev","value":1.0}"""),
+              nowMs = now)
+            val touched = batch.map(r => bucketOf(r.id)).toSet
+            touched.foreach { b =>
+              val merged = committed(b) ++ batch.filter(r => bucketOf(r.id) == b)
+              committed(b) = merged.filter(_.stampSec * 1000L >= now - ttlMs)
+            }
+            modelVacuum(now) // insert runs the sweep inline
+          case 6 | 7 => // explicit vacuum at the advanced clock
+            api.catalog.vacuumExpired("t", nowMs = now)
+            modelVacuum(now)
+          case 8 => // cold restart
+            api = new Api(spark, wh)
+          case 9 => // framed read over a random window (checked below too)
+            ()
+        }
+        assert(gotAll() == modelAll,
+          s"seed $seed op$op full view diverged:\n missing=${(modelAll -- gotAll()).take(5)}" +
+            s"\n extra=${(gotAll() -- modelAll).take(5)}")
+        // random framed window: inclusive-widened DATE semantics
+        val lo = T0 + rnd.nextInt(30) * day + rnd.nextInt(1000) * 1000L
+        val hi = lo + rnd.nextInt(10) * day
+        val framed = api.catalog.eventsFramed("t", lo, hi).collect()
+          .map(r => R(r.getString(0), r.getLong(1) / 1000L)).toSet
+        val wantFramed = modelAll.filter(r =>
+          dayOf(r.stampSec) >= lo / day && dayOf(r.stampSec) <= hi / day)
+        assert(framed == wantFramed,
+          s"seed $seed op$op framed [$lo,$hi] diverged:" +
+            s"\n missing=${(wantFramed -- framed).take(5)}" +
+            s"\n extra=${(framed -- wantFramed).take(5)}")
+        // pruned per-customer fetch
+        val probe = ids(rnd.nextInt(ids.size))
+        assert(api.catalog.customerEvents("t", probe).count() ==
+          modelAll.count(_.id == probe), s"seed $seed op$op fetch $probe")
+      }
+    }
+  }
+
   test("randomized retention model: eventMax + TTL cull exactly the touched buckets") {
     // Culls are PER-TOUCHED-BUCKET at insert time (the reference re-packs a
     // person's grid on insert, not table-wide): rows in untouched buckets
