@@ -378,7 +378,21 @@ object Plans {
         "distance table), ONE rank window over the tagged union, one (qid, nid) " +
         "hit window, one global agg — 6 scheduled jobs, down from 11; the " +
         "encoded corpus materializes once via lazy localCheckpoint (codegen " +
-        "defers non-condition columns into the pair loop otherwise)"))
+        "defers non-condition columns into the pair loop otherwise)"),
+    P("q_catalog_range_tally",
+      "round 17: a statically-bounded .range() scan over the DATE-PARTITIONED " +
+        "ingested store — PartitionFilters carry BOTH event_date bounds, so the " +
+        "scan opens only the frame's ~11 date splits per bucket (a one-week " +
+        "query over 5-year retention opens ~0.4% of the store); the bucket " +
+        "partitioning claim survives (zero Exchange hashpartitioning(id)), and " +
+        "a frame pruning to ONE date reclaims the sort-free claim via Spark's " +
+        "single-file-per-bucket check (the adjudicated layout trade)"),
+    P("q_propindex_counts",
+      "round 17: distinct-customer counts per property value answered from the " +
+        "materialized (prop, value, bucket) postings — every scanned file lives " +
+        "under propindex/ (zero event-row reads, the reference's attribute " +
+        "index); per-bucket COUNT(DISTINCT id) partials sum exactly because " +
+        "buckets partition persons"))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("local[4]", 4).getOrCreate()
