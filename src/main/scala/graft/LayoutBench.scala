@@ -31,21 +31,24 @@ object LayoutBench {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
     val shuffleW = new java.util.concurrent.atomic.AtomicLong
+    val inputR = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         shuffleW.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        inputR.addAndGet(s.stageInfo.taskMetrics.inputMetrics.recordsRead)
         ()
       }
     })
     def measure(tag: String)(f: => Long): Unit = {
       Thread.sleep(800) // drain pending stage events from setup work
       shuffleW.set(0)
+      inputR.set(0)
       val t0 = System.nanoTime
       val rows = f
       Thread.sleep(800)
       println(f"LAYOUT $tag rows=$rows time=${(System.nanoTime - t0) / 1e9}%.3f " +
-        s"shuffle_write_bytes=${shuffleW.get}")
+        s"shuffle_write_bytes=${shuffleW.get} input_records=${inputR.get}")
     }
 
     // fresh bucketed tables (orphaned warehouse dirs fail saveAsTable)
@@ -107,6 +110,41 @@ object LayoutBench {
       graft.osl.OslEngine.query(e, QueriesOsl.ChainFunnelScript,
         now = Queries.OslNow).count()
 
+    // round 17: the DATE-PARTITIONED store vs the undated bucketed store on
+    // a DEEP history — 240 days × 1 500 persons × 3 events/day ingested into
+    // both layouts (setup, not measured). A one-week framed tally over the
+    // dated store must READ ~7/240 ≈ 3% of the bytes the undated store
+    // scans (at 5-year retention the same mechanism reads ~0.4% — the
+    // pruning is the 100 TB knob for every .range()/framed query).
+    val whDeep = java.nio.file.Files.createTempDirectory("graft_lb_deep").toString
+    val catDeep = new Catalog(spark, whDeep)
+    val days = 240
+    val base = 1672531200000L // 2023-01-01T00:00Z
+    locally {
+      val props = Seq(PropDef("value", "double"))
+      catDeep.create(TableMeta("deep_dated", props,
+        TableSettings(idTextual = false, eventMax = 10000000,
+          storageBuckets = 4, datePartition = true)))
+      catDeep.create(TableMeta("deep_flat", props,
+        TableSettings(idTextual = false, eventMax = 10000000,
+          storageBuckets = 4)))
+      val rows = spark.range(days.toLong * 1500 * 3).selectExpr(
+        "id % 1500 AS id",
+        s"$base + (id div 4500) * 86400000 + (id % 4500) * 6000 AS stamp",
+        "element_at(array('view', 'click', 'purchase'), CAST(id % 3 + 1 AS INT)) AS event",
+        "CAST(id % 97 AS DOUBLE) AS value")
+      val nowIngest = base + (days + 1).toLong * 86400000L
+      catDeep.insert("deep_dated", rows, nowMs = nowIngest)
+      catDeep.insert("deep_flat", rows, nowMs = nowIngest)
+    }
+    val weekLo = base + 120L * 86400000L
+    val weekHi = weekLo + 7L * 86400000L - 1
+    def framedWeek(e: org.apache.spark.sql.DataFrame): Long =
+      e.where(col("stamp").between(weekLo, weekHi))
+        .groupBy(col("event"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+        .count()
+
     for (round <- 1 to 2) { // round 1 warms code/IO caches; round 2 is clean
       val suffix = if (round == 1) "_warmup" else ""
       measure(s"enrich_join_flat$suffix")(enrich(docs, scoresFlat))
@@ -117,6 +155,10 @@ object LayoutBench {
       measure(s"person_agg_catalog$suffix")(personAgg(eventsCat))
       measure(s"osl_funnel_flat$suffix")(funnel(eventsRaw))
       measure(s"osl_funnel_catalog$suffix")(funnel(eventsCat))
+      measure(s"framed_week_undated$suffix")(
+        framedWeek(catDeep.events("deep_flat")))
+      measure(s"framed_week_dated$suffix")(
+        framedWeek(catDeep.eventsFramed("deep_dated", weekLo, weekHi)))
     }
     spark.stop()
   }
