@@ -289,6 +289,30 @@ class CatalogSpec extends SparkSpec {
       s"inline sweep missed an expired day: ${dates.toSeq.sorted}")
   }
 
+  test("vacuum is snapshot-isolated: a pre-planned reader completes on its old files") {
+    val api = freshApi()
+    val day = 86400000L
+    val d0 = 1704067200000L
+    api.tableCreate(TableMeta("iso", Seq(PropDef("value", "double")),
+      TableSettings(datePartition = true, storageBuckets = 2,
+        eventTtlMs = 5 * day)))
+    api.insert("iso", (0 until 10).map(d =>
+      s"""{"id":"u1","stamp":${d0 + d * day},"event":"ev","value":1.0}"""),
+      nowMs = d0 + 4 * day) // nothing expired at ingest
+    // plan (and snapshot) the full view BEFORE the sweep
+    val planned = api.catalog.events("iso")
+    planned.queryExecution.executedPlan: Unit // forces file listing
+    // sweep at an advanced clock: days 0..4 expire
+    val swept = api.catalog.vacuumExpired("iso", nowMs = d0 + 10 * day)
+    assert(swept > 0)
+    // the pre-planned frame still reads its full snapshot (retired files
+    // stay on disk through the grace window)
+    assert(planned.count() == 10,
+      "pre-vacuum reader lost rows — retire grace violated")
+    // a fresh read sees the swept state
+    assert(api.catalog.events("iso").count() == 5)
+  }
+
   test("subscriptions: independent cursors over segment enter/exit events") {
     val api = freshApi()
     api.tableCreate(highstreetMeta)

@@ -171,6 +171,63 @@ class PropIndexSpec extends SparkSpec {
     assert(mixed.contains("""{"segment":"big_spenders","count":3}"""), mixed)
   }
 
+  test("soak: concurrent index reads during inserts/DDL/vacuum never fail or lie") {
+    // the membership-soak discipline pointed at PropIndex: reader threads
+    // hammer queryProperty/querySegment while a writer interleaves inserts
+    // (each triggering incremental re-index on next read), a property add,
+    // and an explicit vacuum; readers must never throw (manifest snapshot
+    // isolation + grace-window retires) and every answer must be a count
+    // the model could have produced at SOME prefix of the writes
+    // (monotonically growing per-event counts — inserts only add persons).
+    val api = freshApi()
+    mkTable(api, buckets = 4)
+    api.insert("shop", (0 until 8).map(u =>
+      ev(s"u$u", u * 1000L, "view", 1.0, "free")), nowMs = now)
+    api.queryProperty("shop", "event"): Unit // seed the index
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val viewCounts = new java.util.concurrent.ConcurrentLinkedQueue[Long]
+    val readers = (1 to 3).map { r =>
+      new Thread(() => {
+        try {
+          while (!stop.get()) {
+            val js = api.queryProperty("shop", "event")
+            val m = """"value":"view","customers":(\d+)""".r
+              .findFirstMatchIn(js)
+            m.foreach(g => viewCounts.add(g.group(1).toLong))
+            api.querySegment("shop",
+              "@segment viewers\nif event.ever(== 'view')\n  return(true)\nend\n",
+              nowMs = now): Unit
+          }
+        } catch { case t: Throwable => failures.add(t); () }
+      }, s"pidx-reader-$r")
+    }
+    readers.foreach(_.start())
+    try {
+      for (wave <- 1 to 6) {
+        api.insert("shop", (0 until 4).map(u =>
+          ev(s"w${wave}_u$u", wave * 100000L + u * 1000L, "view", 1.0, "free")),
+          nowMs = now)
+        if (wave == 3) api.propertyAdd("shop", PropDef(s"px$wave", "int"))
+        if (wave == 5) api.catalog.vacuumExpired("shop", nowMs = now): Unit
+        Thread.sleep(150)
+      }
+    } finally {
+      stop.set(true)
+      readers.foreach(_.join(30000))
+    }
+    assert(failures.isEmpty, s"concurrent index reads failed: ${failures.peek()}")
+    // monotone view-person counts: 8 initially, +4 per wave, never between
+    val seen = viewCounts.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSet
+    val legal = (0 to 6).map(w => 8L + 4L * w).toSet
+    assert(seen.nonEmpty && seen.subsetOf(legal),
+      s"reader saw an impossible count: ${seen -- legal}")
+    // final state exact, including through a cold restart
+    val api2 = new Api(spark, api.warehouse)
+    val finalJs = api2.queryProperty("shop", "event")
+    assert(finalJs.contains(""""value":"view","customers":32"""), finalJs)
+  }
+
   test("fallbacks: pending WAL, set props, bucket=, named segments stay scan-served") {
     val api = freshApi()
     mkTable(api)
