@@ -899,12 +899,96 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     }
   }
 
+  /** Date-SCOPED merge for `date_partition` tables: a batch's rows can
+    * upsert-collide only with rows at the same (id, stamp) — the same
+    * `event_date` — so the merge needs to read and rewrite ONLY the
+    * batch's dates (plus the TTL horizon date, whose partial-day rows
+    * cull row-level; wholly-expired dates sweep via [[vacuumExpired]]).
+    * At 5-year retention this turns a daily batch's write cost from
+    * O(touched buckets × full history) into O(touched buckets × 1 day) —
+    * the reference's insert likewise re-packs only the person-grid blocks
+    * it touches (`src/grid.cpp:1194-1369`).
+    *
+    * The ONE cross-date effect is eventMax eviction (new rows can push a
+    * person over the cap, evicting their OLDEST rows in other dates), so
+    * a guard job (an id-column count over the touched buckets — column-
+    * pruned, no payload read) checks whether any touched person could
+    * exceed the cap; if so — or for a first insert, or a backfill
+    * spanning > 32 dates (rewriting the bucket outright is cheaper) —
+    * the full-bucket merge runs instead. Returns true when the scoped
+    * path committed. */
+  private def insertDatedScoped(table: String, m: TableMeta,
+                                aligned: DataFrame, nowMs: Long): Boolean = {
+    val root = new java.io.File(eventsDir(table))
+    val commit0 = TableCommit.read(root.toString).getOrElse(return false)
+    if (commit0.buckets.isEmpty) return false // first insert seeds full
+    // touched buckets + the batch's dates: driver-side lists bounded by
+    // the batch's spread (one tiny job)
+    val probe = aligned.select(bucketCol(m).as("__b"), dateCol.as("__d"))
+      .distinct().collect()
+    if (probe.isEmpty) return true // empty batch: nothing to do
+    val touched = probe.map(_.getInt(0)).distinct.toSeq.sorted
+    val batchDates = probe.map(_.getDate(1).toLocalDate).distinct.toSeq
+    if (batchDates.size > 32) return false // backfill: full rewrite wins
+    val horizonDate = java.time.Instant.ofEpochMilli(nowMs - m.settings.eventTtlMs)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate
+    val affected = (batchDates :+ horizonDate).distinct.sorted
+      .map(d => s"event_date=$d").toSet
+    // eventMax guard: would ANY touched person exceed the cap? (existing
+    // counts via an id-only scan of the touched buckets + the batch)
+    val existingIds = dropPartCols(m, eventsWithBucket(table, m)
+      .where(col("__bucket").isin(touched: _*))).select(col("id"))
+    val capped = existingIds.unionByName(aligned.select(col("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("__n"))
+      .where(col("__n") > m.settings.eventMax)
+      .head(1).nonEmpty
+    if (capped) return false
+    // merge ONLY the affected dates of the touched buckets — the read is
+    // partition-pruned on both levels
+    // typed date literals so the IN-predicate prunes partitions directly
+    val affDates = affected.map(_.stripPrefix("event_date=")).toSeq.sorted
+      .map(java.sql.Date.valueOf)
+    val existing = dropPartCols(m, eventsWithBucket(table, m)
+      .where(col("__bucket").isin(touched: _*) &&
+        col("event_date").isin(affDates: _*)))
+    import graft.operators.EventIngest
+    val merged = EventIngest.cullTtl(
+      EventIngest.upsert(existing, aligned,
+        m.settings.eventOrder, m.eventProps.map(_.name)),
+      nowMs, m.settings.eventTtlMs)
+    val stage = new java.io.File(eventsDir(table) + "_stage")
+    rmTree(stage)
+    stageWrite(m, merged, touched.size, stage.toString)
+    val newBuckets = scala.collection.mutable.Map(commit0.buckets.toSeq: _*)
+    val retiredNow = scala.collection.mutable.ArrayBuffer.empty[String]
+    touched.foreach { b =>
+      val staged = new java.io.File(stage, s"__bucket=$b")
+      val dstDir = new java.io.File(root, s"__bucket=$b")
+      val moved: Seq[String] =
+        if (!staged.isDirectory) Nil
+        else moveStaged(m, staged, dstDir, b, prefix = "")
+      val (replaced, kept) = newBuckets.getOrElse(b, Nil)
+        .partition(e => affected.contains(e.takeWhile(_ != '/')))
+      retiredNow ++= replaced.map(n => s"__bucket=$b/$n")
+      val next = kept ++ moved
+      if (next.nonEmpty) newBuckets(b) = next else newBuckets.remove(b): Unit
+    }
+    val wallNow = System.currentTimeMillis()
+    val next = TableCommit.State(commit0.gen + 1, newBuckets.toMap,
+      commit0.retired :+ TableCommit.Retired(wallNow, retiredNow.toSeq))
+    TableCommit.write(root.toString, TableCommit.gc(root.toString, next, wallNow))
+    rmTree(stage)
+    true
+  }
+
   private def insertLocked(table: String, incoming: DataFrame, nowMs: Long): Unit = {
     val m = describe(table)
     val aligned = incoming.select(m.eventsSchema.fieldNames.map(col): _*)
     recoverEvents(table)
     if (legacyFlatFiles(new java.io.File(eventsDir(table))).nonEmpty)
       return insertMigrateLegacy(table, m, aligned, nowMs)
+    if (m.settings.datePartition && insertDatedScoped(table, m, aligned, nowMs))
+      return
     val (touched, merged) = mergeTouched(table, m, aligned, nowMs)
     if (touched.isEmpty) return
     // stage the touched buckets, then commit via the manifest: move the

@@ -289,6 +289,48 @@ class CatalogSpec extends SparkSpec {
       s"inline sweep missed an expired day: ${dates.toSeq.sorted}")
   }
 
+  test("dated inserts are date-scoped: other dates' files never rewrite (round 17)") {
+    val api = freshApi()
+    val day = 86400000L
+    val d0 = 1704067200000L
+    api.tableCreate(TableMeta("scoped", Seq(PropDef("value", "double")),
+      TableSettings(datePartition = true, storageBuckets = 2)))
+    def ev(id: String, ms: Long, v: Double) =
+      s"""{"id":"$id","stamp":$ms,"event":"ev","value":$v}"""
+    // seed: 2 persons × 20 days
+    api.insert("scoped", (for (u <- 0 until 2; d <- 0 until 20)
+      yield ev(s"u$u", d0 + d * day + u * 1000L, 1.0)), nowMs = d0 + 20 * day)
+    val root = api.catalog.eventsDir("scoped")
+    val before = TableCommit.read(root).get.buckets
+    // a one-day batch (an exact replay INTO day 5 + a fresh row): only that
+    // day's entries (plus, at most, the TTL-horizon date) may change
+    api.insert("scoped", Seq(
+      ev("u0", d0 + 5 * day, 1.0),                 // exact dup: collapses
+      ev("u1", d0 + 5 * day + 7777L, 2.0)),        // new row, same day
+      nowMs = d0 + 20 * day)
+    val after = TableCommit.read(root).get.buckets
+    val changedDates = (before.keySet ++ after.keySet).flatMap { b =>
+      val a = before.getOrElse(b, Nil).toSet
+      val c = after.getOrElse(b, Nil).toSet
+      ((a diff c) ++ (c diff a)).map(_.takeWhile(_ != '/'))
+    }
+    assert(changedDates == Set("event_date=2024-01-06"),
+      s"date-scoped insert rewrote extra dates: $changedDates")
+    // row semantics exact: the replay collapsed, the fresh row landed
+    val rows = api.catalog.events("scoped")
+    assert(rows.count() == 41)
+    val day5 = rows.where(col("stamp") === (d0 + 5 * day))
+      .select("value").collect().map(_.getDouble(0)).toSeq
+    assert(day5 == Seq(1.0), s"upsert into the scoped day diverged: $day5")
+    // eventMax guard: shrinking the cap makes the next insert take the
+    // full-merge path and actually evict (cross-date effect intact)
+    // (cap change is allowed — only the layout trio is frozen)
+    api.catalog.updateSettings("scoped", _.copy(eventMax = 10))
+    api.insert("scoped", Seq(ev("u0", d0 + 25 * day, 3.0)), nowMs = d0 + 25 * day)
+    val u0 = api.catalog.customerEvents("scoped", "u0").count()
+    assert(u0 == 10, s"eventMax eviction through the guard path: $u0")
+  }
+
   test("vacuum is snapshot-isolated: a pre-planned reader completes on its old files") {
     val api = freshApi()
     val day = 86400000L

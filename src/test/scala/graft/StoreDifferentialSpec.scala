@@ -128,11 +128,16 @@ class StoreDifferentialSpec extends SparkSpec {
     for (seed <- 1 to 4) {
       val rnd = new scala.util.Random(300 + seed)
       val buckets = Seq(2, 4)(rnd.nextInt(2))
+      // seeds 1-2: cap never binds -> the DATE-SCOPED merge path commits
+      // (only the batch's dates rewrite); seeds 3-4: eventMax=3 trips the
+      // guard -> the full-bucket merge path with per-person caps. Both
+      // must match the same model.
+      val eventMax = if (seed <= 2) 1000000 else 3
       val wh = Files.createTempDirectory(s"graft_dated$seed").toString
       var api = new Api(spark, wh)
       api.tableCreate(TableMeta("t",
         Seq(PropDef("value", "double")),
-        TableSettings(idTextual = true, eventMax = 1000000, eventTtlMs = ttlMs,
+        TableSettings(idTextual = true, eventMax = eventMax, eventTtlMs = ttlMs,
           storageBuckets = buckets, datePartition = true)))
       val ids = Seq("u0", "u1", "u2", "u3", "u4")
       val bucketOf: Map[String, Int] = ids.map { id =>
@@ -176,7 +181,12 @@ class StoreDifferentialSpec extends SparkSpec {
             val touched = batch.map(r => bucketOf(r.id)).toSet
             touched.foreach { b =>
               val merged = committed(b) ++ batch.filter(r => bucketOf(r.id) == b)
-              committed(b) = merged.filter(_.stampSec * 1000L >= now - ttlMs)
+              val ttlOk = merged.filter(_.stampSec * 1000L >= now - ttlMs)
+              // per-person cap (newest eventMax) — a no-op when the scoped
+              // path ran (its guard proved nobody exceeds the cap)
+              committed(b) = ttlOk.groupBy(_.id).flatMap { case (_, rs) =>
+                rs.toSeq.sortBy(-_.stampSec).take(eventMax)
+              }.toSet
             }
             modelVacuum(now) // insert runs the sweep inline
           case 6 | 7 => // explicit vacuum at the advanced clock
