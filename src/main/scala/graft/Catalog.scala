@@ -821,7 +821,9 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
           case (b, _, keep) if keep.nonEmpty => b -> keep }.toMap
         val wallNow = System.currentTimeMillis()
         val next = TableCommit.State(c.gen + 1, keepBuckets,
-          c.retired :+ TableCommit.Retired(wallNow, dropped))
+          c.retired :+ TableCommit.Retired(wallNow, dropped),
+          // row removals keep every upper bound valid
+          personMax = c.personMax.filter(kv => keepBuckets.contains(kv._1)))
         TableCommit.write(root, TableCommit.gc(root, next, wallNow))
         dropped.size
     }
@@ -934,15 +936,36 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       .atZone(java.time.ZoneOffset.UTC).toLocalDate
     val affected = (batchDates :+ horizonDate).distinct.sorted
       .map(d => s"event_date=$d").toSet
-    // eventMax guard: would ANY touched person exceed the cap? (existing
-    // counts via an id-only scan of the touched buckets + the batch)
-    val existingIds = dropPartCols(m, eventsWithBucket(table, m)
-      .where(col("__bucket").isin(touched: _*))).select(col("id"))
-    val capped = existingIds.unionByName(aligned.select(col("id")))
-      .groupBy(col("id")).agg(count(lit(1)).as("__n"))
-      .where(col("__n") > m.settings.eventMax)
-      .head(1).nonEmpty
-    if (capped) return false
+    // eventMax guard. Steady state is O(batch): the manifest carries a
+    // per-bucket UPPER BOUND on any person's row count, so when
+    // bound + batch's per-person max ≤ eventMax no history scan runs at
+    // all. Only when the bound is missing (first scoped insert after a
+    // full merge / old manifest) or drifts near the cap does an id-only
+    // column scan recompute it exactly — and the result re-seeds the
+    // bound, so scans stay occasional by construction.
+    val batchMaxByBucket: Map[Int, Long] = aligned
+      .groupBy(bucketCol(m).as("__b"), col("id")).agg(count(lit(1)).as("__n"))
+      .groupBy(col("__b")).agg(max(col("__n")).as("__mx"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val bounds = commit0.personMax
+    val boundOk = touched.forall(b =>
+      bounds.get(b).exists(_ + batchMaxByBucket.getOrElse(b, 0L)
+        <= m.settings.eventMax))
+    val newBounds: Map[Int, Long] =
+      if (boundOk)
+        touched.map(b =>
+          b -> (bounds(b) + batchMaxByBucket.getOrElse(b, 0L))).toMap
+      else {
+        // exact recompute: ids of the touched buckets (column-pruned) + batch
+        val existingIds = dropPartCols(m, eventsWithBucket(table, m)
+          .where(col("__bucket").isin(touched: _*))).select(col("id"))
+        val exact = existingIds.unionByName(aligned.select(col("id")))
+          .groupBy(bucketCol(m).as("__b"), col("id")).agg(count(lit(1)).as("__n"))
+          .groupBy(col("__b")).agg(max(col("__n")).as("__mx"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        if (exact.values.exists(_ > m.settings.eventMax)) return false
+        exact
+      }
     // merge ONLY the affected dates of the touched buckets — the read is
     // partition-pruned on both levels
     // typed date literals so the IN-predicate prunes partitions directly
@@ -975,7 +998,10 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     }
     val wallNow = System.currentTimeMillis()
     val next = TableCommit.State(commit0.gen + 1, newBuckets.toMap,
-      commit0.retired :+ TableCommit.Retired(wallNow, retiredNow.toSeq))
+      commit0.retired :+ TableCommit.Retired(wallNow, retiredNow.toSeq),
+      // exact-or-upper bounds for the touched buckets; untouched keep theirs
+      personMax = (commit0.personMax ++ newBounds)
+        .filter(kv => newBuckets.contains(kv._1)))
     TableCommit.write(root.toString, TableCommit.gc(root.toString, next, wallNow))
     rmTree(stage)
     true
@@ -1016,7 +1042,12 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     }
     val wallNow = System.currentTimeMillis()
     val next = TableCommit.State(commit0.gen + 1, newBuckets.toMap,
-      commit0.retired :+ TableCommit.Retired(wallNow, retiredNow.toSeq))
+      commit0.retired :+ TableCommit.Retired(wallNow, retiredNow.toSeq),
+      // a full merge invalidates its buckets' person-count bounds (culls
+      // may have shrunk truth well below them) — the next scoped insert's
+      // guard scan re-seeds exact values; untouched buckets keep theirs
+      personMax = (commit0.personMax -- touched)
+        .filter(kv => newBuckets.contains(kv._1)))
     TableCommit.write(root.toString, TableCommit.gc(root.toString, next, wallNow))
     rmTree(stage)
   }

@@ -144,6 +144,22 @@ object LayoutBench {
         .groupBy(col("event"))
         .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
         .count()
+    // round 17: DAILY-BATCH ingest write amplification — one fresh day into
+    // the 240-day store. The undated layout re-merges every touched
+    // bucket's FULL history per insert; the date-scoped merge reads the
+    // batch's dates (plus an id-only eventMax guard scan), so its
+    // input_records must sit near the guard+day size, not the table size.
+    val nextDay = new java.util.concurrent.atomic.AtomicInteger(241)
+    def dailyIngest(t: String): Long = {
+      val d = nextDay.getAndIncrement().toLong
+      val batch = spark.range(1500L * 3).selectExpr(
+        "id % 1500 AS id",
+        s"${base + d * 86400000L} + (id % 4500) * 6000 AS stamp",
+        "element_at(array('view', 'click', 'purchase'), CAST(id % 3 + 1 AS INT)) AS event",
+        "CAST(id % 97 AS DOUBLE) AS value")
+      catDeep.insert(t, batch, nowMs = base + (d + 1) * 86400000L)
+      4500L
+    }
 
     for (round <- 1 to 2) { // round 1 warms code/IO caches; round 2 is clean
       val suffix = if (round == 1) "_warmup" else ""
@@ -159,6 +175,8 @@ object LayoutBench {
         framedWeek(catDeep.events("deep_flat")))
       measure(s"framed_week_dated$suffix")(
         framedWeek(catDeep.eventsFramed("deep_dated", weekLo, weekHi)))
+      measure(s"daily_ingest_undated$suffix")(dailyIngest("deep_flat"))
+      measure(s"daily_ingest_dated$suffix")(dailyIngest("deep_dated"))
     }
     spark.stop()
   }

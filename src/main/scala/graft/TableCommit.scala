@@ -39,9 +39,18 @@ object TableCommit {
   final case class Retired(ts: Long, paths: Seq[String])
 
   /** The manifest: monotonically increasing generation, live parquet file
-    * names per bucket (relative to `__bucket=<b>/`), and the retire log. */
+    * names per bucket (relative to `__bucket=<b>/`), the retire log, and —
+    * for date-scoped merges — an advisory per-bucket UPPER BOUND on any
+    * person's row count (`personMax`). The bound lets a scoped insert skip
+    * the eventMax guard scan when `bound + batch ≤ eventMax`: scoped
+    * inserts add their batch's per-person max to it (still an upper
+    * bound — upsert collapses only shrink truth), full-bucket merges
+    * CLEAR their buckets' entries (the next scoped insert re-seeds the
+    * exact value from its guard scan). Missing entries simply force the
+    * scan — old manifests parse as empty. */
   final case class State(gen: Long, buckets: Map[Int, Seq[String]],
-                         retired: Seq[Retired])
+                         retired: Seq[Retired],
+                         personMax: Map[Int, Long] = Map.empty)
 
   /** How long retired files stay readable after being superseded. Bounds
     * reader staleness the same way Delta's VACUUM retention does: any scan
@@ -125,8 +134,13 @@ object TableCommit {
           Retired((i \ "ts").extract[Long], (i \ "paths").extract[Seq[String]]))
         case _ => Nil
       }
+      val personMax = (j \ "person_max") match {
+        case JObject(fields) => fields.map { case (k, v) =>
+          k.toInt -> v.extract[Long] }.toMap
+        case _ => Map.empty[Int, Long]
+      }
       if (requireEof && (j \ "eof").extractOpt[Int] != Some(1)) None
-      else Some(State((j \ "gen").extract[Long], buckets, retired))
+      else Some(State((j \ "gen").extract[Long], buckets, retired, personMax))
     } catch { case _: Exception => None }
   }
 
@@ -151,8 +165,12 @@ object TableCommit {
     val retired = st.retired.map(r =>
       s"""{"ts":${r.ts},"paths":[${r.paths.map(jstr).mkString(",")}]}""")
       .mkString("[", ",", "]")
+    val personMax = st.personMax.toSeq.sortBy(_._1)
+      .map { case (b, n) => s"""${jstr(b.toString)}:$n""" }
+      .mkString("{", ",", "}")
     val json =
-      s"""{"gen":${st.gen},"buckets":$buckets,"retired":$retired,"eof":1}"""
+      s"""{"gen":${st.gen},"buckets":$buckets,"retired":$retired,""" +
+        s""""person_max":$personMax,"eof":1}"""
     val target = versionFile(root, st.gen)
     if (target.isFile && parseManifest(target).isEmpty)
       target.delete(): Unit // torn write from a crashed committer — reclaim
