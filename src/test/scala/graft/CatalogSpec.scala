@@ -331,6 +331,63 @@ class CatalogSpec extends SparkSpec {
     assert(u0 == 10, s"eventMax eviction through the guard path: $u0")
   }
 
+  test("manifest person-count bound: seeded exact, incremented scan-free, cleared by full merges (round 17)") {
+    val api = freshApi()
+    val day = 86400000L
+    val d0 = 1704067200000L
+    // one bucket so personMax has a single entry to reason about
+    api.tableCreate(TableMeta("bnd", Seq(PropDef("value", "double")),
+      TableSettings(datePartition = true, storageBuckets = 1)))
+    def ev(id: String, ms: Long, v: Double) =
+      s"""{"id":"$id","stamp":$ms,"event":"ev","value":$v}"""
+    val root = api.catalog.eventsDir("bnd")
+    def bound: Map[Int, Long] = TableCommit.read(root).get.personMax
+    // day 0 seeds via the FULL path (empty table): no bound yet
+    api.insert("bnd", Seq(ev("u0", d0 + 1000, 1.0), ev("u0", d0 + 2000, 1.0),
+      ev("u1", d0 + 500, 1.0)), nowMs = d0)
+    assert(bound.isEmpty, s"full seed must not carry a bound: $bound")
+    // day 1, scoped, bound missing -> the guard's id-only scan SEEDS the
+    // exact per-bucket max person-count (u0: 2 existing + 1 batch = 3)
+    api.insert("bnd", Seq(ev("u0", d0 + day + 1000, 1.0)), nowMs = d0 + day)
+    assert(bound == Map(0 -> 3L), s"guard scan must seed the exact bound: $bound")
+    // day 2 batch replays the day-1 row (upsert collapses it) + one new row:
+    // the bound increments by the batch's per-person max (3+2=5) while TRUTH
+    // stays 4 — the bound is allowed stale-high, that's what buys O(batch)
+    api.insert("bnd", Seq(ev("u0", d0 + day + 1000, 1.0),
+      ev("u0", d0 + 2 * day + 1000, 1.0)), nowMs = d0 + 2 * day)
+    assert(bound == Map(0 -> 5L), s"increment must ride the stale bound: $bound")
+    // day 3: increment path again — 5+1=6. A recompute would have found the
+    // collapse and re-seeded 5, so 6 PROVES no history scan ran.
+    api.insert("bnd", Seq(ev("u0", d0 + 3 * day + 1000, 1.0)), nowMs = d0 + 3 * day)
+    assert(bound == Map(0 -> 6L),
+      s"steady-state insert must increment, not rescan (recompute would give 5): $bound")
+    // shrink the cap so the bound trips but TRUTH fits: the guard rescans,
+    // RE-SEEDS the exact value, and still commits SCOPED (day-0 files intact)
+    api.catalog.updateSettings("bnd", _.copy(eventMax = 7))
+    val day0Before = TableCommit.read(root).get.buckets(0)
+      .filter(_.startsWith("event_date=2024-01-01/")).toSet
+    api.insert("bnd", Seq(ev("u0", d0 + 4 * day + 1000, 1.0),
+      ev("u0", d0 + 4 * day + 2000, 1.0)), nowMs = d0 + 4 * day)
+    assert(bound == Map(0 -> 7L), s"tripped guard must re-seed exact: $bound")
+    val day0After = TableCommit.read(root).get.buckets(0)
+      .filter(_.startsWith("event_date=2024-01-01/")).toSet
+    assert(day0After == day0Before,
+      "a re-seeding scoped insert must not rewrite untouched dates")
+    // one more row exceeds the cap -> full merge (eviction) -> bound CLEARED
+    api.insert("bnd", Seq(ev("u0", d0 + 5 * day + 1000, 1.0)), nowMs = d0 + 5 * day)
+    assert(api.catalog.customerEvents("bnd", "u0").count() == 7,
+      "cap overflow must evict through the full merge")
+    assert(bound.isEmpty, s"full merge must clear its buckets' bounds: $bound")
+    // next scoped insert re-seeds from its guard scan (u0 sits AT the cap:
+    // 7+0=7 fits; u1 at 2)
+    api.insert("bnd", Seq(ev("u1", d0 + 6 * day + 1000, 1.0)), nowMs = d0 + 6 * day)
+    assert(bound == Map(0 -> 7L), s"post-merge insert must re-seed: $bound")
+    // vacuum that drops a whole bucket drops its bound with it
+    api.catalog.updateSettings("bnd", _.copy(eventTtlMs = day))
+    assert(api.catalog.vacuumExpired("bnd", nowMs = d0 + 100 * day) > 0)
+    assert(bound.isEmpty, s"vacuumed-away buckets must not keep bounds: $bound")
+  }
+
   test("vacuum is snapshot-isolated: a pre-planned reader completes on its old files") {
     val api = freshApi()
     val day = 86400000L
