@@ -912,13 +912,18 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     * it touches (`src/grid.cpp:1194-1369`).
     *
     * The ONE cross-date effect is eventMax eviction (new rows can push a
-    * person over the cap, evicting their OLDEST rows in other dates), so
-    * a guard job (an id-column count over the touched buckets — column-
-    * pruned, no payload read) checks whether any touched person could
-    * exceed the cap; if so — or for a first insert, or a backfill
-    * spanning > 32 dates (rewriting the bucket outright is cheaper) —
-    * the full-bucket merge runs instead. Returns true when the scoped
-    * path committed. */
+    * person over the cap, evicting their OLDEST rows in other dates). The
+    * guard handles it in three tiers: (1) steady state — the manifest's
+    * per-bucket person-count bound proves nobody can exceed the cap, no
+    * scan at all; (2) bound missing or tripped — one narrow (id, stamp,
+    * event) column scan recomputes truth, re-seeds the bound, and evicts
+    * SCOPED: the merge widens to the dates holding over-cap persons'
+    * surplus rows and filters below their exact per-person cutoffs;
+    * (3) only genuine ambiguity (a possible upsert-collapse with an
+    * over-cap person, a retention-order tie at the cap boundary), a first
+    * insert, or a backfill spanning > 32 dates (rewriting the bucket
+    * outright is cheaper) falls back to the full-bucket merge. Returns
+    * true when the scoped path committed. */
   private def insertDatedScoped(table: String, m: TableMeta,
                                 aligned: DataFrame, nowMs: Long): Boolean = {
     val root = new java.io.File(eventsDir(table))
@@ -934,38 +939,97 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     if (batchDates.size > 32) return false // backfill: full rewrite wins
     val horizonDate = java.time.Instant.ofEpochMilli(nowMs - m.settings.eventTtlMs)
       .atZone(java.time.ZoneOffset.UTC).toLocalDate
-    val affected = (batchDates :+ horizonDate).distinct.sorted
-      .map(d => s"event_date=$d").toSet
+    import graft.operators.EventIngest
+    val cap = m.settings.eventMax
+    val horizonMs = nowMs - m.settings.eventTtlMs
     // eventMax guard. Steady state is O(batch): the manifest carries a
     // per-bucket UPPER BOUND on any person's row count, so when
     // bound + batch's per-person max ≤ eventMax no history scan runs at
-    // all. Only when the bound is missing (first scoped insert after a
-    // full merge / old manifest) or drifts near the cap does an id-only
-    // column scan recompute it exactly — and the result re-seeds the
-    // bound, so scans stay occasional by construction.
+    // all. When the bound is missing (first scoped insert after a full
+    // merge / old manifest) or trips the cap, ONE narrow (id, stamp,
+    // event) column scan of the touched buckets (no payload read)
+    // recomputes truth exactly, re-seeds the bound, and — round 17 —
+    // drives SCOPED EVICTION: over-cap persons' surplus rows live in
+    // dates the scan identifies from their stamps, so the merge widens to
+    // those dates and drops rows below each person's cap-th-newest
+    // (stamp, z-rank) cutoff, instead of rewriting the bucket's whole
+    // history. The cutoff is exact as long as no batch row can
+    // upsert-collapse with an over-cap person's rows (a collapse needs a
+    // matching (id, stamp, event) triple — the full-row hash refines it)
+    // and no tie straddles the cap boundary; either ambiguity falls back
+    // to the full merge, whose upsert decides on complete rows. Without
+    // this, one at-cap person would degrade every future insert touching
+    // their bucket into a full-history rewrite.
     val batchMaxByBucket: Map[Int, Long] = aligned
       .groupBy(bucketCol(m).as("__b"), col("id")).agg(count(lit(1)).as("__n"))
       .groupBy(col("__b")).agg(max(col("__n")).as("__mx"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val bounds = commit0.personMax
     val boundOk = touched.forall(b =>
-      bounds.get(b).exists(_ + batchMaxByBucket.getOrElse(b, 0L)
-        <= m.settings.eventMax))
-    val newBounds: Map[Int, Long] =
+      bounds.get(b).exists(_ + batchMaxByBucket.getOrElse(b, 0L) <= cap))
+    val (newBounds: Map[Int, Long],
+         evictDates: Seq[java.time.LocalDate],
+         cutoffs: Option[DataFrame]) =
       if (boundOk)
-        touched.map(b =>
-          b -> (bounds(b) + batchMaxByBucket.getOrElse(b, 0L))).toMap
+        (touched.map(b =>
+          b -> (bounds(b) + batchMaxByBucket.getOrElse(b, 0L))).toMap,
+         Seq.empty[java.time.LocalDate], None)
       else {
-        // exact recompute: ids of the touched buckets (column-pruned) + batch
-        val existingIds = dropPartCols(m, eventsWithBucket(table, m)
-          .where(col("__bucket").isin(touched: _*))).select(col("id"))
-        val exact = existingIds.unionByName(aligned.select(col("id")))
-          .groupBy(bucketCol(m).as("__b"), col("id")).agg(count(lit(1)).as("__n"))
-          .groupBy(col("__b")).agg(max(col("__n")).as("__mx"))
-          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-        if (exact.values.exists(_ > m.settings.eventMax)) return false
-        exact
+        val exist = dropPartCols(m, eventsWithBucket(table, m)
+          .where(col("__bucket").isin(touched: _*)))
+          .select(col("id"), col("stamp"), col("event"))
+          .where(col("stamp") >= horizonMs)
+          .withColumn("__new", lit(0))
+        val fresh = aligned.select(col("id"), col("stamp"), col("event"))
+          .where(col("stamp") >= horizonMs)
+          .withColumn("__new", lit(1))
+        val zr = EventIngest.eventRank(col("event"), m.settings.eventOrder)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id")).orderBy(col("stamp").desc, zr.desc)
+        // localCheckpoint: three consumers (decision, evicted dates, the
+        // merge's cutoff join) read the narrow scan once
+        val ranked = exist.unionByName(fresh)
+          .withColumn("__zr", zr)
+          .withColumn("__rn", row_number().over(w))
+          .localCheckpoint()
+        val perPerson = ranked.groupBy(col("id")).agg(
+          count(lit(1)).as("__n"),
+          max(when(col("__rn") === cap,
+            struct(col("stamp").as("s"), col("__zr").as("r")))).as("__cut"),
+          max(when(col("__rn") === cap + 1,
+            struct(col("stamp").as("s"), col("__zr").as("r")))).as("__nxt"),
+          // the dates holding this person's surplus rows (collect_list
+          // skips the non-evicted rows' nulls; bounded by retention days)
+          array_distinct(collect_list(
+            when(col("__rn") > cap, dateCol))).as("__evd"))
+        // a batch row MAY collapse with an existing row only on a matching
+        // (id, stamp, event) triple
+        val collided = ranked.groupBy(col("id"), col("stamp"), col("event"))
+          .agg(min(col("__new")).as("__mn"), max(col("__new")).as("__mx"))
+          .where(col("__mn") === 0 && col("__mx") === 1)
+          .select(col("id")).distinct()
+        // ONE decision pass: per-bucket exact bound, ambiguity flag, and
+        // the union of evicted-row dates
+        val summary = perPerson
+          .join(collided.withColumn("__coll", lit(1)), Seq("id"), "left_outer")
+          .groupBy(bucketCol(m).as("__b")).agg(
+            max(least(col("__n"), lit(cap.toLong))).as("__mx"),
+            max(when(col("__n") > cap &&
+              (col("__coll") === 1 || col("__cut") === col("__nxt")), 1)
+              .otherwise(0)).as("__bad"),
+            array_distinct(flatten(collect_list(col("__evd")))).as("__evd"))
+          .collect().map(r => r.getInt(0) ->
+            ((r.getLong(1), r.getInt(2),
+              r.getSeq[java.sql.Date](3).map(_.toLocalDate)))).toMap
+        if (summary.values.exists(_._2 == 1)) return false // ambiguous: full merge
+        val evicted = summary.values.flatMap(_._3).toSeq.distinct
+        val cuts = perPerson.where(col("__n") > cap)
+          .select(col("id"), col("__cut.s").as("__cs"), col("__cut.r").as("__cr"))
+        (touched.map(b => b -> summary.get(b).map(_._1).getOrElse(0L)).toMap,
+         evicted, if (evicted.isEmpty) None else Some(cuts))
       }
+    val affected = (batchDates ++ evictDates :+ horizonDate).distinct.sorted
+      .map(d => s"event_date=$d").toSet
     // merge ONLY the affected dates of the touched buckets — the read is
     // partition-pruned on both levels
     // typed date literals so the IN-predicate prunes partitions directly
@@ -974,11 +1038,22 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     val existing = dropPartCols(m, eventsWithBucket(table, m)
       .where(col("__bucket").isin(touched: _*) &&
         col("event_date").isin(affDates: _*)))
-    import graft.operators.EventIngest
-    val merged = EventIngest.cullTtl(
+    val merged0 = EventIngest.cullTtl(
       EventIngest.upsert(existing, aligned,
         m.settings.eventOrder, m.eventProps.map(_.name)),
       nowMs, m.settings.eventTtlMs)
+    // scoped eviction: drop over-cap persons' rows strictly below their
+    // cutoff in the (stamp desc, z-rank desc) retention order — the same
+    // order cullEventMax applies on the full-merge path
+    val merged = cutoffs match {
+      case None => merged0
+      case Some(cuts) =>
+        val zr = EventIngest.eventRank(col("event"), m.settings.eventOrder)
+        merged0.join(cuts, Seq("id"), "left_outer")
+          .where(col("__cs").isNull || col("stamp") > col("__cs") ||
+            (col("stamp") === col("__cs") && zr >= col("__cr")))
+          .drop("__cs", "__cr")
+    }
     val stage = new java.io.File(eventsDir(table) + "_stage")
     rmTree(stage)
     stageWrite(m, merged, touched.size, stage.toString)

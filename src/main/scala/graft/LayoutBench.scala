@@ -32,11 +32,13 @@ object LayoutBench {
 
     val shuffleW = new java.util.concurrent.atomic.AtomicLong
     val inputR = new java.util.concurrent.atomic.AtomicLong
+    val outputR = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         shuffleW.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
         inputR.addAndGet(s.stageInfo.taskMetrics.inputMetrics.recordsRead)
+        outputR.addAndGet(s.stageInfo.taskMetrics.outputMetrics.recordsWritten)
         ()
       }
     })
@@ -44,11 +46,13 @@ object LayoutBench {
       Thread.sleep(800) // drain pending stage events from setup work
       shuffleW.set(0)
       inputR.set(0)
+      outputR.set(0)
       val t0 = System.nanoTime
       val rows = f
       Thread.sleep(800)
       println(f"LAYOUT $tag rows=$rows time=${(System.nanoTime - t0) / 1e9}%.3f " +
-        s"shuffle_write_bytes=${shuffleW.get} input_records=${inputR.get}")
+        s"shuffle_write_bytes=${shuffleW.get} input_records=${inputR.get} " +
+        s"output_records=${outputR.get}")
     }
 
     // fresh bucketed tables (orphaned warehouse dirs fail saveAsTable)
@@ -177,6 +181,29 @@ object LayoutBench {
         framedWeek(catDeep.eventsFramed("deep_dated", weekLo, weekHi)))
       measure(s"daily_ingest_undated$suffix")(dailyIngest("deep_flat"))
       measure(s"daily_ingest_dated$suffix")(dailyIngest("deep_dated"))
+    }
+    // round 17: AT-CAP daily ingest — the eventMax-eviction steady state.
+    // Pin the cap at the current per-person count (726 = 240 seeded days ×3
+    // + two daily legs ×3) so every further day's batch evicts its own size.
+    // The undated layout can only full-merge (read + REWRITE the touched
+    // buckets' full history); the dated store's SCOPED EVICTION reads the
+    // narrow (id, stamp, event) guard columns plus the affected dates and
+    // rewrites only the new day + the evicted tail date — output_records is
+    // the write-amplification signal (full table vs ~one day). NOTE on
+    // input_records: Spark counts block-cache reads as input, so the dated
+    // leg's figure includes the guard's localCheckpoint being RE-READ from
+    // memory by the decision/merge jobs — the parquet is scanned once
+    // (verified by deleting it post-checkpoint), and that one scan is
+    // 3 narrow columns, not the full payload the undated full merge reads.
+    locally {
+      val capAt = 726
+      catDeep.updateSettings("deep_flat", _.copy(eventMax = capAt))
+      catDeep.updateSettings("deep_dated", _.copy(eventMax = capAt))
+      for (round <- 1 to 2) {
+        val suffix = if (round == 1) "_warmup" else ""
+        measure(s"atcap_ingest_undated$suffix")(dailyIngest("deep_flat"))
+        measure(s"atcap_ingest_dated$suffix")(dailyIngest("deep_dated"))
+      }
     }
     spark.stop()
   }

@@ -322,13 +322,19 @@ class CatalogSpec extends SparkSpec {
     val day5 = rows.where(col("stamp") === (d0 + 5 * day))
       .select("value").collect().map(_.getDouble(0)).toSeq
     assert(day5 == Seq(1.0), s"upsert into the scoped day diverged: $day5")
-    // eventMax guard: shrinking the cap makes the next insert take the
-    // full-merge path and actually evict (cross-date effect intact)
+    // eventMax guard: shrinking the cap makes the next insert evict
+    // through the SCOPED path (cross-date effect intact — round 17's
+    // scoped eviction widens the merge to the surplus rows' dates)
     // (cap change is allowed — only the layout trio is frozen)
     api.catalog.updateSettings("scoped", _.copy(eventMax = 10))
     api.insert("scoped", Seq(ev("u0", d0 + 25 * day, 3.0)), nowMs = d0 + 25 * day)
     val u0 = api.catalog.customerEvents("scoped", "u0").count()
     assert(u0 == 10, s"eventMax eviction through the guard path: $u0")
+    // and it kept exactly the 10 NEWEST rows (same retention order as the
+    // full merge's cullEventMax)
+    val u0min = api.catalog.customerEvents("scoped", "u0")
+      .agg(min(col("stamp"))).head().getLong(0)
+    assert(u0min == d0 + 11 * day, s"scoped eviction kept the wrong tail: $u0min")
   }
 
   test("manifest person-count bound: seeded exact, incremented scan-free, cleared by full merges (round 17)") {
@@ -373,11 +379,23 @@ class CatalogSpec extends SparkSpec {
       .filter(_.startsWith("event_date=2024-01-01/")).toSet
     assert(day0After == day0Before,
       "a re-seeding scoped insert must not rewrite untouched dates")
-    // one more row exceeds the cap -> full merge (eviction) -> bound CLEARED
+    // one more row exceeds the cap -> SCOPED eviction (no collision, no
+    // tie): u0 keeps the 7 newest, the bound re-seeds at exactly the cap
     api.insert("bnd", Seq(ev("u0", d0 + 5 * day + 1000, 1.0)), nowMs = d0 + 5 * day)
     assert(api.catalog.customerEvents("bnd", "u0").count() == 7,
-      "cap overflow must evict through the full merge")
-    assert(bound.isEmpty, s"full merge must clear its buckets' bounds: $bound")
+      "cap overflow must evict through the scoped path")
+    assert(api.catalog.customerEvents("bnd", "u0")
+      .agg(min(col("stamp"))).head().getLong(0) == d0 + 2000,
+      "scoped eviction must drop the single OLDEST row")
+    assert(bound == Map(0 -> 7L), s"scoped eviction must re-seed at the cap: $bound")
+    // a batch row that COULD upsert-collapse with an over-cap person (same
+    // id/stamp/event as a stored row) is ambiguous without payloads ->
+    // the full merge decides on complete rows, and CLEARS the bound
+    api.insert("bnd", Seq(ev("u0", d0 + 5 * day + 1000, 1.0), // exact replay
+      ev("u0", d0 + 6 * day + 1000, 1.0)), nowMs = d0 + 6 * day)
+    assert(api.catalog.customerEvents("bnd", "u0").count() == 7,
+      "the ambiguous-collapse fallback must still cap at 7 (replay collapsed)")
+    assert(bound.isEmpty, s"full-merge fallback must clear its buckets' bounds: $bound")
     // next scoped insert re-seeds from its guard scan (u0 sits AT the cap:
     // 7+0=7 fits; u1 at 2)
     api.insert("bnd", Seq(ev("u1", d0 + 6 * day + 1000, 1.0)), nowMs = d0 + 6 * day)

@@ -130,8 +130,9 @@ class StoreDifferentialSpec extends SparkSpec {
       val buckets = Seq(2, 4)(rnd.nextInt(2))
       // seeds 1-2: cap never binds -> the DATE-SCOPED merge path commits
       // (only the batch's dates rewrite); seeds 3-4: eventMax=3 trips the
-      // guard -> the full-bucket merge path with per-person caps. Both
-      // must match the same model.
+      // guard every insert -> SCOPED EVICTION (stamps are unique, so no
+      // collapse/tie ambiguity forces the full merge after the seeding
+      // insert). Both must match the same model.
       val eventMax = if (seed <= 2) 1000000 else 3
       val wh = Files.createTempDirectory(s"graft_dated$seed").toString
       var api = new Api(spark, wh)
@@ -182,8 +183,8 @@ class StoreDifferentialSpec extends SparkSpec {
             touched.foreach { b =>
               val merged = committed(b) ++ batch.filter(r => bucketOf(r.id) == b)
               val ttlOk = merged.filter(_.stampSec * 1000L >= now - ttlMs)
-              // per-person cap (newest eventMax) — a no-op when the scoped
-              // path ran (its guard proved nobody exceeds the cap)
+              // per-person cap (newest eventMax): scoped eviction and the
+              // full merge both implement exactly this bucket-wide rule
               committed(b) = ttlOk.groupBy(_.id).flatMap { case (_, rs) =>
                 rs.toSeq.sortBy(-_.stampSec).take(eventMax)
               }.toSet
