@@ -188,6 +188,34 @@ object ClusterSmoke {
     m1 == Set(1L) && m2 == Set(1L, 2L) && enters == 2 && v1 && v2
   }
 
+  /** Round-17 leg: SCOPED eventMax eviction on the cluster session — the
+    * guard's narrow column scan, its localCheckpoint (executor block
+    * storage), the per-person cutoff join and the date-scoped staged
+    * write all run on remote executor JVMs; then the ambiguity fallback
+    * (an exact replay of a stored row) runs the full merge there too. */
+  private def evictionLeg(spark: org.apache.spark.sql.SparkSession): Boolean = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_smoke_evict").toString
+    val api = new Api(spark, wh)
+    val day = 86400000L
+    val d0 = 1704067200000L
+    api.catalog.create(TableMeta("ev17", Seq(PropDef("value", "double")),
+      TableSettings(datePartition = true, storageBuckets = 2)))
+    def ev(id: String, ms: Long) =
+      s"""{"id":"$id","stamp":$ms,"event":"e","value":1.0}"""
+    api.insert("ev17", (0 until 6).map(d => ev("u1", d0 + d * day)),
+      nowMs = d0 + 6 * day)
+    api.catalog.updateSettings("ev17", _.copy(eventMax = 6))
+    // over-cap fresh row -> scoped eviction must keep exactly the 6 newest
+    api.insert("ev17", Seq(ev("u1", d0 + 6 * day)), nowMs = d0 + 6 * day)
+    val afterScoped = api.catalog.customerEvents("ev17", "u1")
+      .select("stamp").collect().map(_.getLong(0)).toSet
+    // exact replay + fresh row -> ambiguity fallback (full merge) still caps
+    api.insert("ev17", Seq(ev("u1", d0 + 6 * day), ev("u1", d0 + 7 * day)),
+      nowMs = d0 + 7 * day)
+    val afterFull = api.catalog.customerEvents("ev17", "u1").count()
+    afterScoped == (1 to 6).map(d => d0 + d * day).toSet && afterFull == 6
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     require(sys.env.contains("SPARK_HOME"),
@@ -197,6 +225,7 @@ object ClusterSmoke {
     // two worker JVMs x 8 cores: every shuffle crosses process boundaries
     var ingestOk = false
     var membershipOk = false
+    var evictionOk = false
     val clusterSession = GraftSession.builder("local-cluster[2,8,1536]", 16)
       .config("spark.driver.host", "127.0.0.1")
       .config("spark.executor.extraClassPath", sys.props("java.class.path"))
@@ -209,6 +238,7 @@ object ClusterSmoke {
           n -> canon(Queries.queries(n)(clusterSession, sfDir))).toMap
         ingestOk = ingestLeg(clusterSession)
         membershipOk = membershipLeg(clusterSession)
+        evictionOk = evictionLeg(clusterSession)
         r
       } finally clusterSession.stop()
     val local = runAll("local[8]", sfDir, Map.empty)
@@ -224,7 +254,10 @@ object ClusterSmoke {
     println(s"CLUSTERSMOKE membership_generations " +
       (if (membershipOk) "PASS" else "FAIL"))
     if (!membershipOk) failed += 1
-    println(s"CLUSTERSMOKE total=${queryNames.size + 2} failed=$failed " +
+    println(s"CLUSTERSMOKE scoped_eviction " +
+      (if (evictionOk) "PASS" else "FAIL"))
+    if (!evictionOk) failed += 1
+    println(s"CLUSTERSMOKE total=${queryNames.size + 3} failed=$failed " +
       (if (failed == 0) "ALL MATCH across 2 executor JVMs" else "MISMATCH"))
     if (failed > 0) sys.exit(1)
   }

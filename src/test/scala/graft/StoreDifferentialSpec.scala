@@ -125,15 +125,21 @@ class StoreDifferentialSpec extends SparkSpec {
     import spark.implicits._
     val day = 86400000L
     val ttlMs = 12L * day
-    for (seed <- 1 to 4) {
+    for (seed <- 1 to 6) {
       val rnd = new scala.util.Random(300 + seed)
       val buckets = Seq(2, 4)(rnd.nextInt(2))
       // seeds 1-2: cap never binds -> the DATE-SCOPED merge path commits
       // (only the batch's dates rewrite); seeds 3-4: eventMax=3 trips the
       // guard every insert -> SCOPED EVICTION (stamps are unique, so no
       // collapse/tie ambiguity forces the full merge after the seeding
-      // insert). Both must match the same model.
+      // insert); seeds 5-6: eventMax=3 AND 30% of rows REPLAY an existing
+      // stamp — value/event are constant, so a reuse is an exact-duplicate
+      // row: the store's upsert collapses it, the model's set semantics
+      // collapse identically, and a replay touching an over-cap person
+      // drives the guard's ambiguity fallback (full merge) — all three
+      // guard tiers mixed randomly against ONE model.
       val eventMax = if (seed <= 2) 1000000 else 3
+      val replayP = if (seed >= 5) 0.3 else 0.0
       val wh = Files.createTempDirectory(s"graft_dated$seed").toString
       var api = new Api(spark, wh)
       api.tableCreate(TableMeta("t",
@@ -159,6 +165,11 @@ class StoreDifferentialSpec extends SparkSpec {
         usedStamps(id) += s
         s
       }
+      def pickStamp(id: String): Long =
+        if (rnd.nextDouble() < replayP && usedStamps(id).nonEmpty) {
+          val prior = usedStamps(id).toSeq.sorted
+          prior(rnd.nextInt(prior.size)) // exact replay (possibly evicted)
+        } else freshStamp(id)
       def modelVacuum(nowMs: Long): Unit = committed.keys.toSeq.foreach { b =>
         committed(b) = committed(b).filter(r =>
           (dayOf(r.stampSec) + 1) * day > nowMs - ttlMs)
@@ -174,7 +185,7 @@ class StoreDifferentialSpec extends SparkSpec {
           case n if n <= 5 => // insert at the advanced clock
             val batch = Seq.fill(1 + rnd.nextInt(4)) {
               val id = ids(rnd.nextInt(ids.size))
-              R(id, freshStamp(id))
+              R(id, pickStamp(id))
             }
             api.insert("t", batch.map(r =>
               s"""{"id":"${r.id}","stamp":${r.stampSec},"event":"ev","value":1.0}"""),
