@@ -87,6 +87,12 @@ object CatalogStore {
 
   private val TableDated = "events_store_dated"
 
+  private[graft] val tableNameDated: String = TableDated
+
+  /** The dated store's catalog, built on first use (for index queries). */
+  def catalogOfDated(spark: SparkSession, dir: String): Catalog =
+    ensureDated(spark, dir)
+
   /** The DATE-PARTITIONED ingested twin (`date_partition = true`): layout
     * `__bucket=B/event_date=D/`, so statically-bounded OSL frames prune
     * whole date directories (round-17 #1). Built once per (process,

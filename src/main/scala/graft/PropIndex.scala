@@ -19,12 +19,18 @@ import org.apache.spark.sql.types._
   * distinct count, for textual and numeric ids alike.
   *
   * Freshness is generational and incremental: `srcgen.json` records, per
-  * bucket, a fingerprint of the events manifest's live file list for that
-  * bucket. [[ensure]] diffs fingerprints against the CURRENT commit and
-  * recomputes only the buckets whose files changed (the same touched-bucket
-  * discipline as ingest itself — at 100 TB an insert touching 3 buckets
-  * re-indexes 3/`storage_buckets` of the data). The index data dir carries
-  * its own [[TableCommit]] manifest, so index readers get the identical
+  * CELL, a fingerprint of the events manifest's live file list — a cell is
+  * a whole bucket for undated tables and a (bucket, date) pair for
+  * `date_partition` tables. [[ensure]] diffs fingerprints against the
+  * CURRENT commit and recomputes only the cells whose files changed. On
+  * dated tables that grain matters: a daily insert rewrites one date per
+  * touched bucket, so the refresh reads ONE DAY of events into the
+  * per-(bucket, date) POSTINGS tier (`propindex/postings` — the
+  * reference's per-value person lists), then re-aggregates the touched
+  * buckets' serving counts from postings alone (index-sized, never a
+  * history scan; distinct persons are not additive across dates, which is
+  * why the bucket-level rollup exists). The index data dirs carry their
+  * own [[TableCommit]] manifests, so index readers get the identical
   * snapshot isolation (create-new log, grace-window retires) as events
   * readers — no swap can fail a planned scan.
   *
@@ -58,16 +64,27 @@ object PropIndex {
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(12).map("%02x".format(_)).mkString
 
-  /** Per-bucket fingerprint of the events store's live files (order-fixed),
+  /** Per-CELL fingerprint of the events store's live files (order-fixed),
     * plus the prop-list fingerprint a DDL change invalidates everything
-    * through. */
-  private def fingerprints(state: TableCommit.State): Map[Int, String] =
-    state.buckets.map { case (b, fs) => b -> sha(fs.sorted.mkString("\n")) }
+    * through. A cell is a whole bucket (`"3"`) for undated tables, and a
+    * (bucket, date) pair (`"3/event_date=2024-01-01"`) for
+    * `date_partition` tables — the grain an insert actually touches, so a
+    * daily batch staleness-marks only its dates, never whole buckets. */
+  private def fingerprints(state: TableCommit.State,
+                           dated: Boolean): Map[String, String] =
+    if (!dated)
+      state.buckets.map { case (b, fs) =>
+        b.toString -> sha(fs.sorted.mkString("\n")) }
+    else
+      state.buckets.toSeq.flatMap { case (b, fs) =>
+        fs.groupBy(_.takeWhile(_ != '/')).map { case (datePart, cellFs) =>
+          s"$b/$datePart" -> sha(cellFs.sorted.mkString("\n")) }
+      }.toMap
 
   private def propsFp(m: TableMeta): String =
     sha(indexableProps(m).mkString("\n"))
 
-  private final case class SrcGen(propsFp: String, buckets: Map[Int, String])
+  private final case class SrcGen(propsFp: String, cells: Map[String, String])
 
   private def readSrcGen(f: java.io.File): Option[SrcGen] = {
     if (!f.isFile) return None
@@ -77,17 +94,17 @@ object PropIndex {
       import org.json4s._
       implicit val fmts: Formats = DefaultFormats
       val j = org.json4s.jackson.JsonMethods.parse(s)
-      val buckets = (j \ "buckets") match {
+      val cells = (j \ "buckets") match {
         case JObject(fields) => fields.map { case (k, v) =>
-          k.toInt -> v.extract[String] }.toMap
-        case _ => Map.empty[Int, String]
+          k -> v.extract[String] }.toMap
+        case _ => Map.empty[String, String]
       }
-      Some(SrcGen((j \ "props_fp").extract[String], buckets))
+      Some(SrcGen((j \ "props_fp").extract[String], cells))
     } catch { case _: Exception => None }
   }
 
   private def writeSrcGen(f: java.io.File, g: SrcGen): Unit = {
-    val buckets = g.buckets.toSeq.sortBy(_._1)
+    val buckets = g.cells.toSeq.sorted
       .map { case (b, fp) => s""""$b":"$fp"""" }.mkString("{", ",", "}")
     val json = s"""{"props_fp":"${g.propsFp}","buckets":$buckets}"""
     val tmp = new java.io.File(f.getPath + "_tmp")
@@ -129,21 +146,29 @@ object PropIndex {
     val eventsRoot = cat.eventsDir(table)
     val state = TableCommit.read(eventsRoot)
       .getOrElse(TableCommit.fromListing(eventsRoot))
-    val want = SrcGen(propsFp(m), fingerprints(state))
+    val dated = m.settings.datePartition
+    val want = SrcGen(propsFp(m), fingerprints(state, dated))
     val dir = dataDir(cat, table)
     val have = readSrcGen(srcGenFile(cat, table))
     if (!have.contains(want)) {
       Fs.withWriteLock(indexRoot(cat, table).toString) {
         // re-read under the lock: a concurrent ensure may have done the work
         val have2 = readSrcGen(srcGenFile(cat, table))
-        if (!have2.contains(want)) rebuild(spark, cat, table, m, state, want,
-          // a props fingerprint change invalidates every bucket
-          stale = if (have2.exists(_.propsFp == want.propsFp))
-              want.buckets.filter { case (b, fp) =>
-                !have2.exists(_.buckets.get(b).contains(fp)) }.keySet
-            else want.buckets.keySet,
-          dropped = have2.map(_.buckets.keySet.diff(want.buckets.keySet))
-            .getOrElse(Set.empty))
+        if (!have2.contains(want)) {
+          // a props fingerprint change invalidates every cell
+          val stale =
+            if (have2.exists(_.propsFp == want.propsFp))
+              want.cells.filter { case (k, fp) =>
+                !have2.exists(_.cells.get(k).contains(fp)) }.keySet
+            else want.cells.keySet
+          val dropped = have2.map(_.cells.keySet.diff(want.cells.keySet))
+            .getOrElse(Set.empty)
+          if (dated)
+            rebuildDated(spark, cat, table, m, state, want, stale, dropped)
+          else
+            rebuild(spark, cat, table, m, state, want,
+              stale.map(_.toInt), dropped.map(_.toInt))
+        }
       }
     }
     read(spark, dir.toString)
@@ -153,31 +178,50 @@ object PropIndex {
                       m: TableMeta, state: TableCommit.State, want: SrcGen,
                       stale: Set[Int], dropped: Set[Int]): Unit = {
     val eventsRoot = cat.eventsDir(table)
+    val counts: Option[DataFrame] =
+      if (stale.isEmpty) None
+      else {
+        // snapshot-consistent source: the SAME manifest the fingerprints
+        // came from, as an explicit file list (a racing insert can't skew it)
+        val files = state.buckets.toSeq.filter(p => stale(p._1))
+          .sortBy(_._1).flatMap { case (b, fs) =>
+            fs.map(f => s"$eventsRoot/__bucket=$b/$f") }
+        if (files.isEmpty) None
+        else {
+          // explicit schema: buckets written under older DDL epochs may lack
+          // later-added prop columns — they read as nulls; __bucket (and any
+          // event_date) come from the dir names via basePath
+          val readSchema = StructType(
+            m.eventsSchema.fields.map(_.copy(nullable = true)) :+
+              StructField("__bucket", IntegerType))
+          val events = spark.read.option("basePath", eventsRoot)
+            .schema(readSchema).parquet(files: _*)
+          Some(aggregate(events, indexableProps(m)))
+        }
+      }
+    commitCounts(cat, table, stale, dropped, counts)
+    writeSrcGen(srcGenFile(cat, table), want)
+  }
+
+  /** Stage `counts` (`prop, value_str, customers, n_rows, __bucket`) and
+    * commit it into the serving manifest: `stale` buckets replace their
+    * files (or drop out when the staged dir is absent — no rows left),
+    * `dropped` buckets drop outright; everything retires through the
+    * grace window. */
+  private def commitCounts(cat: Catalog, table: String, stale: Set[Int],
+                           dropped: Set[Int],
+                           counts: Option[DataFrame]): Unit = {
     val dir = dataDir(cat, table)
     dir.mkdirs()
     val commit0 = TableCommit.read(dir.toString)
       .getOrElse(TableCommit.State(0L, Map.empty, Nil))
     val newBuckets = scala.collection.mutable.Map(commit0.buckets.toSeq: _*)
     val retiredNow = scala.collection.mutable.ArrayBuffer.empty[String]
-    if (stale.nonEmpty) {
-      // snapshot-consistent source: the SAME manifest the fingerprints came
-      // from, as an explicit file list (a racing insert can't skew it)
-      val files = state.buckets.toSeq.filter(p => stale(p._1))
-        .sortBy(_._1).flatMap { case (b, fs) =>
-          fs.map(f => s"$eventsRoot/__bucket=$b/$f") }
-      if (files.nonEmpty) {
-        // explicit schema: buckets written under older DDL epochs may lack
-        // later-added prop columns — they read as nulls; __bucket (and any
-        // event_date) come from the dir names via basePath
-        val readSchema = StructType(
-          m.eventsSchema.fields.map(_.copy(nullable = true)) :+
-            StructField("__bucket", IntegerType))
-        val events = spark.read.option("basePath", eventsRoot)
-          .schema(readSchema).parquet(files: _*)
+    counts match {
+      case Some(df) =>
         val stage = new java.io.File(dir.getPath + "_stage")
         Fs.rmTree(stage)
-        aggregate(events, indexableProps(m))
-          .repartition(math.max(stale.size, 1), col("__bucket"))
+        df.repartition(math.max(stale.size, 1), col("__bucket"))
           .write.partitionBy("__bucket").mode(SaveMode.Overwrite)
           .parquet(stage.toString)
         stale.toSeq.sorted.foreach { b =>
@@ -199,7 +243,7 @@ object PropIndex {
           if (moved.nonEmpty) newBuckets(b) = moved else newBuckets.remove(b): Unit
         }
         Fs.rmTree(stage)
-      } else stale.foreach { b =>
+      case None => stale.foreach { b =>
         retiredNow ++= newBuckets.getOrElse(b, Nil).map(n => s"__bucket=$b/$n")
         newBuckets.remove(b): Unit
       }
@@ -212,6 +256,134 @@ object PropIndex {
     val next = TableCommit.State(commit0.gen + 1, newBuckets.toMap,
       commit0.retired :+ TableCommit.Retired(now, retiredNow.toSeq))
     TableCommit.write(dir.toString, TableCommit.gc(dir.toString, next, now))
+  }
+
+  private def postingsDir(cat: Catalog, table: String) =
+    new java.io.File(indexRoot(cat, table), "postings")
+
+  private val postingsSchema = StructType(Seq(
+    StructField("prop", StringType),
+    StructField("value_str", StringType),
+    StructField("id", StringType),
+    StructField("n_rows", LongType)))
+
+  /** Per-(bucket, date) postings: one row per (prop, value, person, date)
+    * with that person's row count for the value — the reference's
+    * per-value person lists (`src/oloop_property.cpp:34-307`) keyed so a
+    * changed date recomputes alone. Distinct-person counts are NOT
+    * additive across dates (one person spans many), which is why the
+    * serving counts tier re-aggregates a bucket's postings — index-sized,
+    * never events — whenever any of its cells change. */
+  private def postingsAgg(events: DataFrame, props: Seq[String]): DataFrame = {
+    val pairs = array(props.map(p =>
+      struct(lit(p).as("prop"), col(p).cast("string").as("value_str"))): _*)
+    events
+      .select(col("id").cast("string").as("id"), col("__bucket"),
+        col("event_date"), explode(pairs).as("pv"))
+      .groupBy(col("__bucket"), col("event_date"),
+        col("pv.prop").as("prop"), col("pv.value_str").as("value_str"),
+        col("id"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(col("prop"), col("value_str"), col("id"), col("n_rows"),
+        col("__bucket"), col("event_date"))
+  }
+
+  /** Dated-table rebuild: refresh the per-(bucket, date) POSTINGS for the
+    * stale cells (reading ONLY those dates' events — a daily insert costs
+    * one day, not the bucket's history), then recompute the serving
+    * counts of every touched bucket from its postings. */
+  private def rebuildDated(spark: SparkSession, cat: Catalog, table: String,
+                           m: TableMeta, state: TableCommit.State,
+                           want: SrcGen, staleCells: Set[String],
+                           droppedCells: Set[String]): Unit = {
+    val eventsRoot = cat.eventsDir(table)
+    val pDir = postingsDir(cat, table)
+    pDir.mkdirs()
+    def parse(k: String): (Int, String) = {
+      val i = k.indexOf('/')
+      (k.take(i).toInt, k.drop(i + 1))
+    }
+    val stale = staleCells.map(parse)
+    val dropped = droppedCells.map(parse)
+    val pCommit0 = TableCommit.read(pDir.toString)
+      .getOrElse(TableCommit.State(0L, Map.empty, Nil))
+    val pBuckets = scala.collection.mutable.Map(pCommit0.buckets.toSeq: _*)
+    val pRetired = scala.collection.mutable.ArrayBuffer.empty[String]
+    def dropCell(b: Int, datePart: String): Unit = {
+      val (replaced, kept) = pBuckets.getOrElse(b, Nil)
+        .partition(_.startsWith(datePart + "/"))
+      pRetired ++= replaced.map(n => s"__bucket=$b/$n")
+      if (kept.nonEmpty) pBuckets(b) = kept else pBuckets.remove(b): Unit
+    }
+    if (stale.nonEmpty) {
+      // snapshot-consistent source: the stale cells' live files from the
+      // SAME manifest the fingerprints came from
+      val files = state.buckets.toSeq.sortBy(_._1).flatMap { case (b, fs) =>
+        fs.filter(f => stale.contains((b, f.takeWhile(_ != '/'))))
+          .map(f => s"$eventsRoot/__bucket=$b/$f") }
+      val readSchema = StructType(
+        m.eventsSchema.fields.map(_.copy(nullable = true)) ++ Seq(
+          StructField("__bucket", IntegerType),
+          StructField("event_date", DateType)))
+      val events = spark.read.option("basePath", eventsRoot)
+        .schema(readSchema).parquet(files: _*)
+      val stage = new java.io.File(pDir.getPath + "_stage")
+      Fs.rmTree(stage)
+      postingsAgg(events, indexableProps(m))
+        .repartition(math.max(stale.size, 1),
+          col("__bucket"), col("event_date"))
+        .sortWithinPartitions(col("prop"), col("value_str"), col("id"))
+        .write.partitionBy("__bucket", "event_date")
+        .mode(SaveMode.Overwrite).parquet(stage.toString)
+      stale.toSeq.sorted.foreach { case (b, datePart) =>
+        val staged = new java.io.File(
+          new java.io.File(stage, s"__bucket=$b"), datePart)
+        val moved: Seq[String] =
+          if (!staged.isDirectory) Nil // cell has no rows
+          else {
+            val dstDir = new java.io.File(
+              new java.io.File(pDir, s"__bucket=$b"), datePart)
+            dstDir.mkdirs()
+            Option(staged.listFiles()).getOrElse(Array.empty).toSeq
+              .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+              .map { f =>
+                val dst = new java.io.File(dstDir, f.getName)
+                require(f.renameTo(dst), s"postings stage move failed: $dst")
+                s"$datePart/${f.getName}"
+              }
+          }
+        dropCell(b, datePart)
+        if (moved.nonEmpty) pBuckets(b) = pBuckets.getOrElse(b, Nil) ++ moved
+      }
+      Fs.rmTree(stage)
+    }
+    dropped.foreach { case (b, d) => dropCell(b, d) }
+    val now0 = System.currentTimeMillis()
+    val pNext = TableCommit.State(pCommit0.gen + 1, pBuckets.toMap,
+      pCommit0.retired :+ TableCommit.Retired(now0, pRetired.toSeq))
+    TableCommit.write(pDir.toString, TableCommit.gc(pDir.toString, pNext, now0))
+    // serving tier: re-aggregate the touched buckets from their postings
+    val staleBuckets: Set[Int] = stale.map(_._1) ++ dropped.map(_._1)
+    val counts: Option[DataFrame] = {
+      val pFiles = pNext.buckets.toSeq.filter(p => staleBuckets(p._1))
+        .sortBy(_._1).flatMap { case (b, fs) =>
+          fs.map(f => s"$pDir/__bucket=$b/$f") }
+      if (pFiles.isEmpty) None
+      else {
+        val withParts = StructType(postingsSchema.fields ++ Seq(
+          StructField("__bucket", IntegerType),
+          StructField("event_date", DateType)))
+        val postings = spark.read.option("basePath", pDir.toString)
+          .schema(withParts).parquet(pFiles: _*)
+        Some(postings
+          .groupBy(col("__bucket"), col("prop"), col("value_str"))
+          .agg(countDistinct(col("id")).as("customers"),
+            sum(col("n_rows")).as("n_rows"))
+          .select(col("prop"), col("value_str"), col("customers"),
+            col("n_rows"), col("__bucket")))
+      }
+    }
+    commitCounts(cat, table, staleBuckets, Set.empty, counts)
     writeSrcGen(srcGenFile(cat, table), want)
   }
 

@@ -152,6 +152,21 @@ object QueriesOsl {
       Some(s"""$E SELECT event, COUNT(DISTINCT id) AS customers,
         COUNT(*) AS n_rows FROM e GROUP BY event""")),
 
+    // The DATED store's index: built through the per-(bucket, date)
+    // POSTINGS tier (round 17 — a daily insert re-indexes one day, the
+    // serving counts re-aggregate from postings, never events). Same
+    // oracle: the full scan both tiers replace.
+    Q("q_propindex_dated",
+      (s, dir) => {
+        val cat = CatalogStore.catalogOfDated(s, dir)
+        PropIndex.valueCounts(
+            PropIndex.ensure(s, cat, CatalogStore.tableNameDated), "event")
+          .select(col("value_str").as("event"),
+            col("customers"), col("n_rows"))
+      },
+      Some(s"""$E SELECT event, COUNT(DISTINCT id) AS customers,
+        COUNT(*) AS n_rows FROM e GROUP BY event""")),
+
     // Full OSL pipeline: parse -> per-customer interpreter (flatMapGroups)
     // -> relational merge. Script mirrors README.md:152-196.
     Q("q_osl_event_tally",

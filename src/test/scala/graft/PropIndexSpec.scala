@@ -92,6 +92,50 @@ class PropIndexSpec extends SparkSpec {
     }
   }
 
+  test("dated tables: refresh is per-DATE through postings — a daily insert re-reads one day (round 17)") {
+    val api = freshApi()
+    api.tableCreate(TableMeta("shopd",
+      Seq(PropDef("value", "double"), PropDef("plan", "text")),
+      TableSettings(storageBuckets = 2, datePartition = true)))
+    val day = 86400000L
+    def evd(id: String, d: Int, e: String, plan: String) =
+      s"""{"id":"$id","stamp":${now + d * day},"event":"$e",""" +
+        s""""value":1.0,"plan":"$plan"}"""
+    // 10 days × 4 persons, alternating values
+    api.insert("shopd", (for (u <- 0 until 4; d <- 0 until 10)
+      yield evd(s"u$u", d, if (d % 2 == 0) "view" else "click",
+        if (u % 2 == 0) "pro" else "free")), nowMs = now + 10 * day)
+    val got1 = api.queryProperty("shopd", "event")
+    assert(got1.contains(""""value":"view","customers":4"""), got1)
+    assert(got1.contains(""""value":"click","customers":4"""), got1)
+    val plans = api.queryProperty("shopd", "plan")
+    assert(plans.contains(""""value":"pro","customers":2"""), plans)
+    val pDir = new java.io.File(api.warehouse, "shopd/propindex/postings")
+    val p1 = TableCommit.read(pDir.toString).get.buckets
+    assert(p1.values.flatten.exists(_.startsWith("event_date=")),
+      s"postings must be (bucket, date)-partitioned: $p1")
+    // a one-day insert: the refresh must rewrite ONLY that (bucket, date)
+    // postings cell — every other date's postings files stay byte-identical
+    api.insert("shopd", Seq(evd("u9", 10, "purchase", "pro")),
+      nowMs = now + 11 * day)
+    val got2 = api.queryProperty("shopd", "event")
+    assert(got2.contains(""""value":"purchase","customers":1"""), got2)
+    assert(got2.contains(""""value":"view","customers":4"""), got2)
+    val p2 = TableCommit.read(pDir.toString).get.buckets
+    val changedCells = (p1.keySet ++ p2.keySet).flatMap { b =>
+      val a = p1.getOrElse(b, Nil).toSet
+      val c = p2.getOrElse(b, Nil).toSet
+      ((a diff c) ++ (c diff a)).map(f => s"$b/${f.takeWhile(_ != '/')}")
+    }
+    assert(changedCells.size == 1 &&
+      changedCells.head.endsWith("/event_date=2024-01-11"),
+      s"a one-day insert must refresh exactly its one postings cell: $changedCells")
+    // and a full-surface parity probe on the dated index
+    val sub = api.queryProperty("shopd", "event", modes = Seq("sub" -> "ick"))
+    assert(sub.contains(""""value":"click","customers":4""") &&
+      !sub.contains("view"), sub)
+  }
+
   test("refresh is incremental: an insert re-indexes only its touched buckets") {
     val api = freshApi()
     mkTable(api, buckets = 8)
