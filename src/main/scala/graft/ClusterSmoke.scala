@@ -115,7 +115,10 @@ object ClusterSmoke {
     "q_catalog_range_tally",
     // round 17: the property-value index — per-bucket distinct partials
     // computed on remote executors must sum to the exact global counts
-    "q_propindex_counts")
+    "q_propindex_counts",
+    // round 17: the dated store's index built through the per-(bucket,
+    // date) postings tier, aggregated across executor JVMs
+    "q_propindex_dated")
 
   private def canon(df: org.apache.spark.sql.DataFrame): Set[Vector[String]] = {
     val cols = df.columns.sorted
