@@ -945,9 +945,9 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     // eventMax guard. Steady state is O(batch): the manifest carries a
     // per-bucket UPPER BOUND on any person's row count, so when
     // bound + batch's per-person max ≤ eventMax no history scan runs at
-    // all. When the bound is missing (first scoped insert after a full
-    // merge / old manifest) or trips the cap, ONE narrow (id, stamp,
-    // event) column scan of the touched buckets (no payload read)
+    // all. When a bucket's bound is missing (first scoped insert after a
+    // full merge / old manifest) or trips the cap, ONE narrow (id, stamp,
+    // event) column scan of THE TRIPPED BUCKETS ONLY (no payload read)
     // recomputes truth exactly, re-seeds the bound, and — round 17 —
     // drives SCOPED EVICTION: over-cap persons' surplus rows live in
     // dates the scan identifies from their stamps, so the merge widens to
@@ -965,22 +965,26 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       .groupBy(col("__b")).agg(max(col("__n")).as("__mx"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val bounds = commit0.personMax
-    val boundOk = touched.forall(b =>
+    // only the buckets whose bound is missing or would cross the cap need
+    // the scan — a batch touching 1 000 buckets where 10 tripped reads 10
+    val tripped = touched.filterNot(b =>
       bounds.get(b).exists(_ + batchMaxByBucket.getOrElse(b, 0L) <= cap))
     val (newBounds: Map[Int, Long],
          evictDates: Seq[java.time.LocalDate],
          cutoffs: Option[DataFrame]) =
-      if (boundOk)
+      if (tripped.isEmpty)
         (touched.map(b =>
           b -> (bounds(b) + batchMaxByBucket.getOrElse(b, 0L))).toMap,
          Seq.empty[java.time.LocalDate], None)
       else {
         val exist = dropPartCols(m, eventsWithBucket(table, m)
-          .where(col("__bucket").isin(touched: _*)))
+          .where(col("__bucket").isin(tripped: _*)))
           .select(col("id"), col("stamp"), col("event"))
           .where(col("stamp") >= horizonMs)
           .withColumn("__new", lit(0))
-        val fresh = aligned.select(col("id"), col("stamp"), col("event"))
+        val fresh = aligned
+          .where(bucketCol(m).isin(tripped: _*))
+          .select(col("id"), col("stamp"), col("event"))
           .where(col("stamp") >= horizonMs)
           .withColumn("__new", lit(1))
         val zr = EventIngest.eventRank(col("event"), m.settings.eventOrder)
@@ -1025,7 +1029,11 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
         val evicted = summary.values.flatMap(_._3).toSeq.distinct
         val cuts = perPerson.where(col("__n") > cap)
           .select(col("id"), col("__cut.s").as("__cs"), col("__cut.r").as("__cr"))
-        (touched.map(b => b -> summary.get(b).map(_._1).getOrElse(0L)).toMap,
+        val okBounds = touched.filterNot(tripped.contains).map(b =>
+          b -> (bounds(b) + batchMaxByBucket.getOrElse(b, 0L))).toMap
+        val exactBounds = tripped.map(b =>
+          b -> summary.get(b).map(_._1).getOrElse(0L)).toMap
+        (okBounds ++ exactBounds,
          evicted, if (evicted.isEmpty) None else Some(cuts))
       }
     val affected = (batchDates ++ evictDates :+ horizonDate).distinct.sorted

@@ -406,6 +406,48 @@ class CatalogSpec extends SparkSpec {
     assert(bound.isEmpty, s"vacuumed-away buckets must not keep bounds: $bound")
   }
 
+  test("bound trip is per-bucket: untripped buckets increment, never rescan (round 17)") {
+    val api = freshApi()
+    val day = 86400000L
+    val d0 = 1704067200000L
+    api.tableCreate(TableMeta("bnd2", Seq(PropDef("value", "double")),
+      TableSettings(datePartition = true, storageBuckets = 2)))
+    def ev(id: String, ms: Long, v: Double) =
+      s"""{"id":"$id","stamp":$ms,"event":"ev","value":$v}"""
+    // two ids on different storage buckets (same murmur3 the store uses)
+    val ids = (0 until 10).map(i => s"u$i")
+    val bucketOf: Map[String, Int] = ids.map { id =>
+      id -> ids.toDF("id").where(col("id") === id)
+        .select(pmod(hash(col("id")), lit(2))).head().getInt(0)
+    }.toMap
+    val a = ids.find(bucketOf(_) == 0).get
+    val b = ids.find(bucketOf(_) == 1).get
+    val root = api.catalog.eventsDir("bnd2")
+    def bound: Map[Int, Long] = TableCommit.read(root).get.personMax
+    // seed (full), then a scoped insert seeds exact bounds: 3 rows each
+    api.insert("bnd2", Seq(ev(a, d0 + 1000, 1.0), ev(a, d0 + 2000, 1.0),
+      ev(b, d0 + 1000, 1.0), ev(b, d0 + 2000, 1.0)), nowMs = d0)
+    api.insert("bnd2", Seq(ev(a, d0 + day + 1000, 1.0),
+      ev(b, d0 + day + 1000, 1.0)), nowMs = d0 + day)
+    assert(bound == Map(0 -> 3L, 1 -> 3L), s"exact seed: $bound")
+    // b's bucket goes stale-high (replay collapses: truth 4, bound 5)
+    api.insert("bnd2", Seq(ev(b, d0 + day + 1000, 1.0),
+      ev(b, d0 + 2 * day + 1000, 1.0)), nowMs = d0 + 2 * day)
+    assert(bound == Map(0 -> 3L, 1 -> 5L), s"stale-high increment: $bound")
+    // a >32-date backfill for `a` full-merges ONLY bucket 0 -> clears its
+    // bound; bucket 1 keeps the stale-high 5
+    api.insert("bnd2", (10 until 43).map(d =>
+      ev(a, d0 + d.toLong * day, 1.0)), nowMs = d0 + 43 * day)
+    assert(bound == Map(1 -> 5L), s"full merge clears only its bucket: $bound")
+    // mixed batch: bucket 0 tripped (bound missing -> exact 37), bucket 1
+    // fine (5+1=6 — a rescan would find truth 5, so 6 PROVES bucket 1's
+    // history was not read)
+    api.insert("bnd2", Seq(ev(a, d0 + 43 * day + 1000, 1.0),
+      ev(b, d0 + 3 * day + 1000, 1.0)), nowMs = d0 + 43 * day)
+    assert(bound == Map(0 -> 37L, 1 -> 6L),
+      s"per-bucket trip: exact for tripped, increment for ok: $bound")
+  }
+
   test("vacuum is snapshot-isolated: a pre-planned reader completes on its old files") {
     val api = freshApi()
     val day = 86400000L
