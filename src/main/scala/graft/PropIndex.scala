@@ -273,7 +273,12 @@ object PropIndex {
     * changed date recomputes alone. Distinct-person counts are NOT
     * additive across dates (one person spans many), which is why the
     * serving counts tier re-aggregates a bucket's postings — index-sized,
-    * never events — whenever any of its cells change. */
+    * never events — whenever any of its cells change. Size honesty: the
+    * collapse factor is rows-per-(person, value, day), so postings win
+    * big on repeated values (event names, categorical props — the
+    * reference's indexed attributes) and degrade toward events size for
+    * continuous props whose every row is a fresh value; the narrow
+    * 4-column schema still keeps the rollup far below an events re-read. */
   private def postingsAgg(events: DataFrame, props: Seq[String]): DataFrame = {
     val pairs = array(props.map(p =>
       struct(lit(p).as("prop"), col(p).cast("string").as("value_str"))): _*)
