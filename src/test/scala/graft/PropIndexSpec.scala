@@ -272,6 +272,70 @@ class PropIndexSpec extends SparkSpec {
     assert(finalJs.contains(""""value":"view","customers":32"""), finalJs)
   }
 
+  test("soak (dated): concurrent reads during per-date postings refresh + srcgen-loss recovery") {
+    // the undated soak pointed at the round-17 postings tier: every wave
+    // writes a NEW date (one fresh cell per touched bucket), wave 3
+    // deletes srcgen.json mid-flight (forcing a full postings+counts
+    // rebuild under live readers), wave 5 vacuums. Readers must never
+    // throw and every count must be one a write-prefix could produce.
+    val api = freshApi()
+    api.tableCreate(TableMeta("shopd2",
+      Seq(PropDef("value", "double"), PropDef("plan", "text")),
+      TableSettings(storageBuckets = 4, datePartition = true)))
+    val day = 86400000L
+    def evd(id: String, d: Int, off: Long) =
+      s"""{"id":"$id","stamp":${now + d * day + off},"event":"view",""" +
+        s""""value":1.0,"plan":"free"}"""
+    api.insert("shopd2", (0 until 8).map(u => evd(s"u$u", 0, u * 1000L)),
+      nowMs = now)
+    api.queryProperty("shopd2", "event"): Unit // seed the index
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val viewCounts = new java.util.concurrent.ConcurrentLinkedQueue[Long]
+    val readers = (1 to 3).map { r =>
+      new Thread(() => {
+        try {
+          while (!stop.get()) {
+            val js = api.queryProperty("shopd2", "event")
+            """"value":"view","customers":(\d+)""".r
+              .findFirstMatchIn(js)
+              .foreach(g => viewCounts.add(g.group(1).toLong))
+          }
+        } catch { case t: Throwable => failures.add(t); () }
+      }, s"pidxd-reader-$r")
+    }
+    readers.foreach(_.start())
+    try {
+      for (wave <- 1 to 6) {
+        api.insert("shopd2", (0 until 4).map(u =>
+          evd(s"w${wave}_u$u", wave, u * 1000L)), nowMs = now + wave * day)
+        if (wave == 3)
+          new java.io.File(api.warehouse,
+            "shopd2/propindex/srcgen.json").delete(): Unit
+        if (wave == 5)
+          api.catalog.vacuumExpired("shopd2", nowMs = now + 5 * day): Unit
+        Thread.sleep(150)
+      }
+    } finally {
+      stop.set(true)
+      readers.foreach(_.join(30000))
+    }
+    assert(failures.isEmpty, s"concurrent dated-index reads failed: ${failures.peek()}")
+    val seen = viewCounts.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSet
+    val legal = (0 to 6).map(w => 8L + 4L * w).toSet
+    assert(seen.nonEmpty && seen.subsetOf(legal),
+      s"reader saw an impossible count: ${seen -- legal}")
+    // the postings tier really is per-date: one cell per written date
+    val p = TableCommit.read(new java.io.File(api.warehouse,
+      "shopd2/propindex/postings").toString).get
+    val dates = p.buckets.values.flatten.map(_.takeWhile(_ != '/')).toSet
+    assert(dates.size == 7, s"expected 7 per-date postings cells: $dates")
+    // final state exact through a cold restart
+    val api2 = new Api(spark, api.warehouse)
+    assert(api2.queryProperty("shopd2", "event")
+      .contains(""""value":"view","customers":32"""))
+  }
+
   test("fallbacks: pending WAL, set props, bucket=, named segments stay scan-served") {
     val api = freshApi()
     mkTable(api)
