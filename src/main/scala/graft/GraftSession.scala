@@ -30,6 +30,19 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // AQE coalescing keeps `parallelismFirst` (Spark default): the target
+      // partition size is max(shuffleBytes / defaultParallelism,
+      // minPartitionSize) — i.e. DERIVED from input size and cluster width,
+      // never a constant. The stock 1 MiB minPartitionSize floor, however,
+      // collapses any sub-32 MiB exchange to a handful of tasks: measured on
+      // the OSL chain family, the whole sort+window+aggregate stage ran as
+      // ONE 1.1 s task on a 32-core host (31 cores idle) because the person
+      // shuffle is ~2 MiB. 64 KiB keeps tiny exchanges parallel up to
+      // cluster width while changing NOTHING at scale (any real partition is
+      // megabytes, so the total/parallelism term dominates the max() long
+      // before the floor matters). Overridable for odd deployments.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
       // Let AQE re-plan the OUTPUT partitioning of cached plans too — off by
       // default, which pins every memoized index stage (memoStage /
       // localCheckpoint frames) at the static shuffle-partition count; small

@@ -469,12 +469,19 @@ object QueriesRelational {
       (s, dir) => {
         import s.implicits._
         val e = Tables.events(s, dir)
-        val high = Segments.membershipBitmap(Segments.fromAggPredicate(
-          e, Seq(dsum(when(col("event") === "purchase", col("value"))).as("pv")),
-          col("pv") > 600.0))
-        val active = Segments.membershipBitmap(Segments.fromAggPredicate(
-          e, Seq(count(lit(1)).as("c")), col("c") >= 70L))
-        val universe = Segments.membershipBitmap(e.select("id").distinct())
+        // ONE pass builds all three bitmaps (r17: was 3 scans + 3 collects —
+        // one per membershipBitmap call): the shared per-person frame carries
+        // both aggregate predicates, and the universe is every person with
+        // ≥1 event — the same membership sets as the per-segment route.
+        val per = e.groupBy(col("id")).agg(
+          dsum(when(col("event") === "purchase", col("value"))).as("pv"),
+          count(lit(1)).as("c"))
+        val bms = Segments.membershipBitmaps(per, Seq(
+          "high" -> (col("pv") > 600.0),
+          "active" -> (col("c") >= 70L),
+          "universe" -> lit(true)))
+        val (high, active, universe) =
+          (bms("high"), bms("active"), bms("universe"))
         Seq(
           ("high_value", high.cardinality), ("active", active.cardinality),
           ("intersection", high.and(active).cardinality),

@@ -181,4 +181,21 @@ object IdBitmap {
       def bufferEncoder: Encoder[IdBitmap] = Encoders.kryo[IdBitmap]
       def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
     }.toColumn
+
+  /** Untyped (Column) form of [[agg]] that SKIPS nulls, so several segment
+    * bitmaps can build in ONE aggregation pass over a shared per-person
+    * frame — `agg(colAgg(when(predA, id)), colAgg(when(predB, id)), …)` —
+    * instead of one full scan + driver collect per segment (optimization
+    * guide §2.3: aggregate before you shuffle; share the pass). */
+  val colAgg: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(
+      new Aggregator[java.lang.Long, IdBitmap, Array[Byte]] {
+        def zero: IdBitmap = new IdBitmap
+        def reduce(b: IdBitmap, id: java.lang.Long): IdBitmap =
+          if (id == null) b else b.add(id.longValue())
+        def merge(a: IdBitmap, b: IdBitmap): IdBitmap = a.orInPlace(b)
+        def finish(b: IdBitmap): Array[Byte] = b.serialize()
+        def bufferEncoder: Encoder[IdBitmap] = Encoders.kryo[IdBitmap]
+        def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+      }, Encoders.LONG)
 }

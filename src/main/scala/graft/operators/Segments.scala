@@ -78,6 +78,27 @@ object Segments {
     graft.functions.IdBitmap.deserialize(bytes)
   }
 
+  /** Build SEVERAL segment bitmaps in ONE aggregation pass: `flags` maps
+    * segment name → membership predicate over `perPerson` (one row per
+    * person, carrying an integral `id`). Each predicate contributes
+    * `when(pred, id)` to a shared agg, so the person frame is scanned once
+    * and the driver receives one row of serialized bitmaps — versus one
+    * full scan + collect PER segment with repeated [[membershipBitmap]]
+    * calls (measured 3 jobs → 1 on the segment-algebra registry query).
+    * Null ids carry no membership, exactly as [[membershipBitmap]]. */
+  def membershipBitmaps(perPerson: DataFrame, flags: Seq[(String, Column)])
+      : Map[String, graft.functions.IdBitmap] = {
+    require(flags.nonEmpty, "need at least one segment predicate")
+    val aggs = flags.map { case (name, pred) =>
+      graft.functions.IdBitmap.colAgg(
+        when(pred, col("id").cast("long"))).as(s"__bm_$name")
+    }
+    val row = perPerson.agg(aggs.head, aggs.tail: _*).head()
+    flags.zipWithIndex.map { case ((name, _), i) =>
+      name -> graft.functions.IdBitmap.deserialize(row.getAs[Array[Byte]](i))
+    }.toMap
+  }
+
   /** Segment-compare mode (`segments=` query param,
     * `src/oloop_query.cpp:69-107`): tag each event row with membership flags
     * so downstream aggregations can produce per-segment columns without

@@ -513,20 +513,37 @@ object TextOps {
     val spark = docs.sparkSession
     val scored = unigramBits(docs, idCol, textCol, keepMaxBits = Double.MaxValue)
       .select(col("doc_id"), col("n_tokens"), col("bits_per_token"))
-      .localCheckpoint(false) // ranked AND joined below — one LM pass, not two
-    val n = scored.count()
-    val b = nBuckets.toLong
-    val rankRows = scored.select(col("doc_id"), col("bits_per_token"))
+    // r17: the PAYLOAD rides the distributed sort, so the ranking needs no
+    // join-back, no localCheckpoint and no separate count() — one sizing
+    // job (per-partition counts of the sorted ranking, which also yields n)
+    // replaces the three driver actions the old shape paid. The second pass
+    // over the sorted RDD reuses the sort's shuffle files; only its final
+    // stage recomputes.
+    val sorted = scored
       .orderBy(col("bits_per_token").asc, col("doc_id").asc).rdd
-      .zipWithIndex()
-      .map { case (r, rank) =>
-        org.apache.spark.sql.Row(r.get(0), (rank * b / n + 1).toInt) }
+    val sizes = sorted
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size)))
+      .collect().sortBy(_._1).map(_._2.toLong)
+    val n = sizes.sum
+    val offsets = sizes.scanLeft(0L)(_ + _)
+    val b = nBuckets.toLong
+    val rankRows = sorted.mapPartitionsWithIndex { (i, it) =>
+      val base = offsets(i)
+      it.zipWithIndex.map { case (r, j) =>
+        org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2),
+          ((base + j) * b / n + 1).toInt)
+      }
+    }
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
         scored.schema("doc_id").dataType),
+      org.apache.spark.sql.types.StructField("n_tokens",
+        scored.schema("n_tokens").dataType),
+      org.apache.spark.sql.types.StructField("bits_per_token",
+        scored.schema("bits_per_token").dataType),
       org.apache.spark.sql.types.StructField("bucket",
         org.apache.spark.sql.types.IntegerType)))
-    scored.join(spark.createDataFrame(rankRows, schema), Seq("doc_id"))
+    spark.createDataFrame(rankRows, schema)
   }
 
   /** CCNet-style line-level dedup / boilerplate removal: split each doc on
