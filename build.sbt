@@ -31,9 +31,18 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// experiment hook: extra forked-JVM flags for A/B runs (e.g. GC choice)
+javaOptions ++= sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Explicit System.gc() calls (Spark's own ContextCleaner periodic GC and
+  // the bench's between-query reap) run as CONCURRENT G1 cycles instead of
+  // stop-the-world full collections: reference processing still happens
+  // (which is all the reap needs — ContextCleaner cleans via weak refs),
+  // but the 32-thread JVM no longer stalls for a full-heap compaction
+  // per query. Interleaved A/B: ~20% on a GC-heavy 10-query subset.
+  "-XX:+ExplicitGCInvokesConcurrent",
   // 16g default: local[32] runs driver+executors in ONE JVM, and a 95-query
   // sweep accumulates codegen classes, status-store entries, and hot-table
   // cache blocks on top of 32 threads of UDF allocation — at 8g the old

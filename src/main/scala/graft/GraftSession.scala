@@ -22,8 +22,8 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  def builder(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession.Builder =
-    SparkSession.builder()
+  def builder(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession.Builder = {
+    val b = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
@@ -43,6 +43,18 @@ object GraftSession {
       // before the floor matters). Overridable for odd deployments.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
+      // Tungsten page size: Spark derives it from heap/cores (~18 MiB in
+      // the 16 GiB local[32] bench JVM, 64 MiB on a typical big-heap
+      // executor) and every sort/agg/window TASK allocates and zeroes at
+      // least one page — a 16-task ladder stage churned ~300 MB of pages
+      // for ~6k rows/task, and per-stage jvmGCTime (PlanProbe listener)
+      // showed 1-3 s of collector time per chain query. 2 MiB pages cut
+      // that churn ~9x; large sorts just chain more pages (the page table
+      // allows 8192 pages/consumer = 16 GiB per operator, far above any
+      // sane per-task state). Interleaved A/B on a 10-query mixed subset:
+      // 9.4-10.0 s -> 7.6-8.5 s. Env-overridable for huge-memory executors.
+      .config("spark.buffer.pageSize",
+        sys.env.getOrElse("SPARK_GRAFT_PAGE_SIZE", "2m"))
       // Let AQE re-plan the OUTPUT partitioning of cached plans too — off by
       // default, which pins every memoized index stage (memoStage /
       // localCheckpoint frames) at the static shuffle-partition count; small
@@ -73,6 +85,15 @@ object GraftSession {
       // same queries isolated. Size it to hold the whole workload.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
+    // experiment hook: override any spark conf from the environment as
+    // SPARK_GRAFT_CONF="k=v;k2=v2" (A/B runs without recompiling)
+    sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .foldLeft(b) { (bb, kv) =>
+        val Array(k, v) = kv.split("=", 2)
+        bb.config(k, v)
+      }
+  }
 
   /** Apply the graft-required runtime confs to an externally built session
     * (e.g. the driver's own Verify session). Safe to call repeatedly. */

@@ -41,7 +41,13 @@ object BloomOps {
                     small: DataFrame, smallKey: Column,
                     expectedFpp: Double = 0.01): DataFrame = {
     val kn = tempKey(large)
-    val keys = small.select(smallKey.as(kn)).where(col(kn).isNotNull).distinct()
+    // r17: NO .distinct() anywhere — a semi-join is EXISTS, so a duplicated
+    // key side changes nothing, and the old shape paid the key-dedup shuffle
+    // THREE times (sizing count, filter build, verify join). The sizing
+    // count over raw keys is a safe upper bound for expectedNumItems
+    // (duplicate inserts set the same bits, so the realized fpp only
+    // improves); both remaining passes are shuffle-free scans.
+    val keys = small.select(smallKey.as(kn)).where(col(kn).isNotNull)
     val integral = keys.schema.head.dataType match {
       case LongType | IntegerType | ShortType | ByteType => true
       case StringType => false
@@ -79,7 +85,9 @@ object BloomOps {
                     small: DataFrame, smallKey: Column,
                     expectedFpp: Double = 0.01): DataFrame = {
     val kn = tempKey(large)
-    val keys = small.select(smallKey.as(kn)).where(col(kn).isNotNull).distinct()
+    // r17: no .distinct() — anti-join semantics ignore right-side dups and
+    // the dedup shuffle ran three times (see bloomSemiJoin)
+    val keys = small.select(smallKey.as(kn)).where(col(kn).isNotNull)
     val integral = keys.schema.head.dataType match {
       case LongType | IntegerType | ShortType | ByteType => true
       case StringType => false

@@ -93,6 +93,27 @@ class EventOpsSpec extends SparkSpec {
     assert(IdBitmap.deserialize(b.serialize()).toSeq == b.toSeq)
   }
 
+  test("membershipBitmaps: one-pass multi-segment build equals per-segment builds") {
+    // r17: several bitmaps from ONE aggregation over a shared per-person
+    // frame must yield exactly the per-predicate membershipBitmap results,
+    // null/non-matching ids skipped, across partitions and 64Ki chunks
+    val per = Seq(
+      (1L, 10.0, 3L), (70000L, 700.0, 1L), (70001L, 650.0, 80L),
+      (1000000L, 0.0, 90L), (5L, 601.0, 70L)
+    ).toDF("id", "pv", "c").repartition(4)
+    val bms = Segments.membershipBitmaps(per, Seq(
+      "high" -> (col("pv") > 600.0),
+      "active" -> (col("c") >= 70L),
+      "universe" -> lit(true)))
+    val high = Segments.membershipBitmap(per.where(col("pv") > 600.0).select("id"))
+    val active = Segments.membershipBitmap(per.where(col("c") >= 70L).select("id"))
+    val universe = Segments.membershipBitmap(per.select("id"))
+    assert(bms("high").toSeq == high.toSeq)
+    assert(bms("active").toSeq == active.toSeq)
+    assert(bms("universe").toSeq == universe.toSeq)
+    assert(bms("high").andNot(bms("active")).toSeq.toSet == Set(70000L))
+  }
+
   test("funnelN chains steps within the window of the previous step") {
     val e = Seq(
       (1L, 10L, "a"), (1L, 20L, "b"), (1L, 25L, "c"),   // full a->b->c
