@@ -139,6 +139,29 @@ object Bench {
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () } // read-only cwd must not kill the bench
     println(full)
+    // Round 18: the harness keeps only the LAST ~2000 bytes of output, and
+    // the full per-query map is ~5 KB — two rounds running the driver's
+    // per-query PERF comparison got nothing ({} / n_common 0). Re-emit the
+    // per-query seconds as SHORT self-delimiting chunk lines immediately
+    // before the tail, sorted ASCENDING by time so the chunks that survive
+    // the bounded tail window are the SLOWEST (most regression-relevant)
+    // queries; plus one aggregate-stats line that always fits. Same
+    // numbers as "queries" in the full line — reporting only, the timed
+    // region and the tail line are untouched.
+    val byTime = results.sortBy { case (_, v) => if (v < 0) Double.MaxValue else v }
+    val chunks = byTime.grouped(12).toSeq
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      val body = c.map { case (k, v) => "\"" + k + "\":" + sec(v) }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"queries","part":${i + 1},"of":${chunks.size},"queries":$body}""")
+    }
+    val ok = results.map(_._2).filter(_ >= 0)
+    val geomean =
+      if (ok.exists(_ > 0)) math.exp(ok.filter(_ > 0).map(math.log).sum / ok.count(_ > 0))
+      else 0.0
+    val sortedOk = ok.sorted
+    val p50 = if (sortedOk.nonEmpty) sortedOk(sortedOk.size / 2) else 0.0
+    println(s"""{"metric":"stats","nqueries":${results.size},"nerrors":${errors.size},"geomean":${sec(geomean)},"p50":${sec(p50)},"qmin":${sec(sortedOk.headOption.getOrElse(0.0))},"qmax":${sec(sortedOk.lastOption.getOrElse(0.0))},"total":${sec(total)}}""")
     val sfName = new java.io.File(sfDir).getName
     val tail = s"""{"metric":"total","value":${sec(total)},"unit":"sec","stat":"min-of-2","nqueries":${results.size},"nerrors":${errors.size},"sf":"$sfName","detail":"BENCH.json"}"""
     // Self-check: reporting must never silently rot again — the final line

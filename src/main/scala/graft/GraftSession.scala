@@ -86,12 +86,18 @@ object GraftSession {
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
     // experiment hook: override any spark conf from the environment as
-    // SPARK_GRAFT_CONF="k=v;k2=v2" (A/B runs without recompiling)
+    // SPARK_GRAFT_CONF="k=v;k2=v2" (A/B runs without recompiling). Values
+    // may not contain ';' (the entry separator); malformed fragments fail
+    // LOUDLY instead of silently setting an empty-string key.
     sys.env.get("SPARK_GRAFT_CONF").toSeq
-      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
       .foldLeft(b) { (bb, kv) =>
+        require(kv.contains("="),
+          s"SPARK_GRAFT_CONF fragment without '=': '$kv'")
         val Array(k, v) = kv.split("=", 2)
-        bb.config(k, v)
+        require(k.trim.nonEmpty,
+          s"SPARK_GRAFT_CONF fragment with empty key: '$kv'")
+        bb.config(k.trim, v)
       }
   }
 

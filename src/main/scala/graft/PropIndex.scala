@@ -142,17 +142,26 @@ object PropIndex {
     * `(prop, value_str, customers, n_rows, __bucket)` reading ONLY index
     * parquet. Caller must have checked [[Catalog.hasPendingWal]]. */
   def ensure(spark: SparkSession, cat: Catalog, table: String): DataFrame = {
-    val m = cat.describe(table)
     val eventsRoot = cat.eventsDir(table)
-    val state = TableCommit.read(eventsRoot)
-      .getOrElse(TableCommit.fromListing(eventsRoot))
-    val dated = m.settings.datePartition
-    val want = SrcGen(propsFp(m), fingerprints(state, dated))
+    // (meta, events snapshot, target fingerprints) from the CURRENT commit
+    def target(): (TableMeta, TableCommit.State, SrcGen) = {
+      val m = cat.describe(table)
+      val state = TableCommit.read(eventsRoot)
+        .getOrElse(TableCommit.fromListing(eventsRoot))
+      (m, state, SrcGen(propsFp(m), fingerprints(state, m.settings.datePartition)))
+    }
+    val (_, _, want0) = target()
     val dir = dataDir(cat, table)
     val have = readSrcGen(srcGenFile(cat, table))
-    if (!have.contains(want)) {
+    if (!have.contains(want0)) {
       Fs.withWriteLock(indexRoot(cat, table).toString) {
-        // re-read under the lock: a concurrent ensure may have done the work
+        // recompute the target under the lock, from a FRESH manifest read:
+        // a reader queued behind a concurrent refresh must never rebuild
+        // the index BACKWARD to its pre-lock (stale) events snapshot — the
+        // refresh is forward-only, and a stale want simply finds the work
+        // already done (have2 == fresh want) and becomes a no-op
+        val (m, state, want) = target()
+        val dated = m.settings.datePartition
         val have2 = readSrcGen(srcGenFile(cat, table))
         if (!have2.contains(want)) {
           // a props fingerprint change invalidates every cell

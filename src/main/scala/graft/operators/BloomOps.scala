@@ -30,6 +30,14 @@ object BloomOps {
     Iterator.from(0).map(i => if (i == 0) "__bloom_k" else s"__bloom_k$i")
       .find(n => !large.columns.contains(n)).get
 
+  /** `expectedNumItems` for the filter: approximate distinct keys with 10%
+    * headroom (0 ⟺ the key side is truly empty — HLL of a non-empty input
+    * is ≥ 1, so the callers' empty-side early-outs stay exact). */
+  private def sizeDistinct(canon: DataFrame, kn: String): Long = {
+    val approx = canon.agg(approx_count_distinct(col(kn))).head().getLong(0)
+    if (approx == 0L) 0L else approx + approx / 10 + 16
+  }
+
   /** Exact left-semi join of `large` on `small`'s keys with a broadcast
     * Bloom pre-filter on the large side.
     *
@@ -55,9 +63,14 @@ object BloomOps {
         s"bloomSemiJoin key must be integral or string, got $other")
     }
     val canon = if (integral) keys.select(col(kn).cast("long").as(kn)) else keys
-    // small side by contract — the count prices the filter, the collect-free
-    // stat.bloomFilter aggregates partial filters per partition and OR-merges
-    val n = canon.count()
+    // small side by contract — size the filter by (approximate) DISTINCT
+    // keys, not raw rows: a duplicate-heavy reference side would otherwise
+    // over-allocate the broadcast bitset proportionally to row count
+    // (~1.2 MB per million at 1% fpp). Same single partial-agg job shape as
+    // a count; the +10% headroom absorbs the HLL estimate's error band, and
+    // an underestimate only nudges the realized fpp — the verify join keeps
+    // the result exact either way.
+    val n = sizeDistinct(canon, kn)
     if (n == 0) return large.where(lit(false)) // semi-join with nothing: empty
     val bf = canon.stat.bloomFilter(kn, n, expectedFpp)
     val might =
@@ -95,7 +108,7 @@ object BloomOps {
         s"bloomAntiJoin key must be integral or string, got $other")
     }
     val canon = if (integral) keys.select(col(kn).cast("long").as(kn)) else keys
-    val n = canon.count()
+    val n = sizeDistinct(canon, kn) // distinct-keyed sizing, see bloomSemiJoin
     if (n == 0) return large // anti-join with nothing drops nothing
     val bf = canon.stat.bloomFilter(kn, n, expectedFpp)
     val might =

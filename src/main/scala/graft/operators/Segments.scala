@@ -54,10 +54,12 @@ object Segments {
     * AND/OR/ANDNOT run in microseconds with no further scans or joins
     * (`src/queryinterpreter.cpp:624-888` — the reference short-circuits
     * whole-segment math the same way). */
-  def membershipBitmap(segment: DataFrame): graft.functions.IdBitmap = {
-    import org.apache.spark.sql.Encoders
+  /** The guarded bitmap-index cast shared by every bitmap builder: null ids
+    * stay null (no membership), a non-castable string or negative id raises
+    * a CLEAR error instead of an executor-side require / silent drop. */
+  private def guardedIdAsLong(df: DataFrame): Column = {
     import org.apache.spark.sql.types._
-    val asLong: Column = segment.schema("id").dataType match {
+    val asLong: Column = df.schema("id").dataType match {
       case LongType | IntegerType | ShortType | ByteType => col("id").cast("long")
       // ANSI-safe: try_cast turns non-numeric text into null (flagged below
       // with a clear error) instead of an opaque runtime cast exception.
@@ -65,12 +67,16 @@ object Segments {
       case t => throw new IllegalArgumentException(
         s"unsupported id type $t for bitmap segments (need integral or numeric text)")
     }
-    val guarded = when(col("id").isNull, lit(null).cast("long"))
+    when(col("id").isNull, lit(null).cast("long"))
       .when(asLong.isNull || asLong < 0, raise_error(concat(
         lit("id not bitmap-indexable (need non-negative integral): "),
         col("id").cast("string"))).cast("long"))
       .otherwise(asLong)
-    val bytes = segment.select(guarded.as("id"))
+  }
+
+  def membershipBitmap(segment: DataFrame): graft.functions.IdBitmap = {
+    import org.apache.spark.sql.Encoders
+    val bytes = segment.select(guardedIdAsLong(segment).as("id"))
       .where(col("id").isNotNull) // null ids have no membership
       .as(Encoders.scalaLong)
       .select(graft.functions.IdBitmap.agg)
@@ -89,9 +95,13 @@ object Segments {
   def membershipBitmaps(perPerson: DataFrame, flags: Seq[(String, Column)])
       : Map[String, graft.functions.IdBitmap] = {
     require(flags.nonEmpty, "need at least one segment predicate")
+    // same guarded cast as membershipBitmap: a bare cast would fail negative
+    // ids via an obscure executor-side require and silently DROP non-numeric
+    // string ids from every segment (including the universe)
+    val idAsLong = guardedIdAsLong(perPerson)
     val aggs = flags.map { case (name, pred) =>
       graft.functions.IdBitmap.colAgg(
-        when(pred, col("id").cast("long"))).as(s"__bm_$name")
+        when(pred, idAsLong)).as(s"__bm_$name")
     }
     val row = perPerson.agg(aggs.head, aggs.tail: _*).head()
     flags.zipWithIndex.map { case ((name, _), i) =>

@@ -143,7 +143,7 @@ object TierA {
           // interpreter (Value.cmp), which the double gate can't replay
           _ <- traverse(dynCap.toSeq.flatMap(_.caps.flatMap(_.gates)).map { case (_, e) =>
             compileExpr(e, now, placeholder).filter { c =>
-              try events.select(c).schema.head.dataType
+              try probeType(events, c)
                 .isInstanceOf[org.apache.spark.sql.types.NumericType]
               catch { case scala.util.control.NonFatal(_) => false }
             }
@@ -186,9 +186,12 @@ object TierA {
           // test's predicate comes from its own builder (exists-compare for
           // constant operands, scanned-prop aggregate compare for
           // current-row-dependent ones)
-          val base = personTests.zipWithIndex.foldLeft(base0) {
-            case (df, ((_, winCol, _), i)) => df.withColumn(s"__pt$i", winCol)
-          }
+          // one projection for ALL person-test windows (they only read event
+          // columns, never each other) — one analyzer pass instead of one
+          // per test (round 18)
+          val base = if (personTests.isEmpty) base0
+            else base0.withColumns(personTests.zipWithIndex.map {
+              case ((_, winCol, _), i) => s"__pt$i" -> winCol }.toMap)
           val real: Map[PropTest, Column] = personTests.zipWithIndex.map {
             case ((pt, _, mk), i) => pt -> mk(col(s"__pt$i"), Map.empty)
           }.toMap
@@ -332,8 +335,12 @@ object TierA {
                     col("__gf").getField(if (i == 0) "acc" else s"acc$i"))
                 }.drop("__gf", "__gfr")
             }
-            val withAcc = accums.foldLeft(accBase) {
-              case (df, (n, init, parts)) =>
+            // accumulator windows are mutually independent (each reads only
+            // event columns + its own guards), and so are the per-select
+            // write-rank windows — ONE projection for all of them instead
+            // of one analyzer pass per column (round 18)
+            val accCols: Seq[(String, Column)] =
+              accums.map { case (n, init, parts) =>
                 val acc =
                   if (foldNeeded(init, parts))
                     // multi-statement / nonzero-init fp accumulators: the
@@ -344,8 +351,8 @@ object TierA {
                   else
                     lit(init) + coalesce(
                       sum(perVisitInc(parts, now, real)).over(accFrame), lit(0L))
-                df.withColumn(s"__acc_$n", acc)
-            }.drop(accTmp: _*)
+                s"__acc_$n" -> acc
+              }
             // per-person write rank for `value` selects (merge key): counts
             // the WRITING rows — tally predicate satisfied, source non-null.
             // A reverse top scans backward, so its LAST write is the
@@ -356,13 +363,25 @@ object TierA {
               if (mods.reverse) f.rowsBetween(W.currentRow, W.unboundedFollowing)
               else f.rowsBetween(W.unboundedPreceding, W.currentRow)
             }
-            val filtered = selects.zipWithIndex.foldLeft(withAcc) {
-              case (df, (s, j)) if s.agg == "value" =>
-                df.withColumn(s"__vq_$j",
-                  count(when(writePred && col(s.prop).isNotNull, 1))
-                    .over(vqFrame))
-              case (df, _) => df
+            val vqCols: Seq[(String, Column)] =
+              selects.zipWithIndex.collect {
+                case (s, j) if s.agg == "value" =>
+                  s"__vq_$j" -> count(
+                    when(writePred && col(s.prop).isNotNull, 1)).over(vqFrame)
+              }
+            val derived = accCols ++ vqCols
+            // batch only when no derived column reads another's name (an
+            // accumulator increment that referenced a sibling `__acc_`
+            // column must keep the sequential projection order)
+            val independent = derived.forall { case (_, c) =>
+              val s = c.toString
+              !derived.exists { case (n2, _) => s.contains(n2) }
             }
+            val filtered = (if (derived.isEmpty) accBase
+                            else if (independent) accBase.withColumns(derived.toMap)
+                            else derived.foldLeft(accBase) {
+                              case (df, (n, c)) => df.withColumn(n, c) })
+              .drop(accTmp: _*)
             if (lvlTallies.size == 1 && lvlTallies.head._1.isEmpty)
               rollupPlan(filtered, tallyGroupsF.head, selects, aggs)
             else
@@ -689,7 +708,7 @@ object TierA {
       IntegerType, LongType, ShortType}
     (2 until levels.size).forall(k => mixedBoundsAt(levels, k).forall { mb =>
       try compileExpr(mb.rowExpr, now, Map.empty).exists { c =>
-        events.select(c).schema.head.dataType match {
+        probeType(events, c) match {
           case LongType | IntegerType | ShortType | ByteType |
                DoubleType | FloatType =>
             accAffine(accums, mb.acc).exists { case (init, slope) =>
@@ -1176,8 +1195,11 @@ object TierA {
       val visited0 = levelPreds.head && eligible.head
       // `__acc_` columns are materialized INSIDE chainWitnesses (right
       // after level-0 eligibility) so that a chain-step guard reading the
-      // accumulator resolves in the witness windows too
-      var df = df0
+      // accumulator resolves in the witness windows too.
+      // round 18: ladder columns accumulate through a ColBatch — each
+      // dependency-free run costs one analyzer pass instead of one per
+      // withColumn (the __K ladder's per-level deps flush naturally)
+      val cb = new ColBatch(df0)
       val ordinal = chainOrdinalOnly(levels, accums)
       // depth-3 framed inner steps (round 11): finite frame spans feed the
       // interval-count reachability below (depth ≥ 4 is gated plain, and
@@ -1284,7 +1306,7 @@ object TierA {
       def mixedNorm(mb: MixedBound): (Long, Long, Column, String, Boolean) = {
         val (init, c) = accAffine(accums, mb.acc).get
         val raw = compileExpr(mb.rowExpr, now, real).get
-        val floating = base.select(raw).schema.head.dataType match {
+        val floating = probeType(base, raw) match {
           case org.apache.spark.sql.types.DoubleType |
                org.apache.spark.sql.types.FloatType => true
           case _ => false
@@ -1462,14 +1484,14 @@ object TierA {
         // carries ONE scalar instead of an O(spawns) struct array (the
         // memory spike the collected path risks at a pathological person,
         // VERDICT r8 "What's wrong #2").
-        df = df.withColumn("__spawnN",
+        cb.add("__spawnN",
           coalesce(sum(when(spawnCond, lit(1L))).over(prevRows), lit(0L)))
         // reverse top: backward ordinals need the person's TOTAL spawn
         // count (same sort, full-partition frame — no extra exchange);
         // computed BEFORE the ladder since round 14 — reverse-top mixed
         // fold terms read it (mixedHi's T − lo + 1)
         if (levels.head.reverse)
-          df = df.withColumn("__spawnT",
+          cb.add("__spawnT",
             coalesce(sum(when(spawnCond, lit(1L))).over(
               person.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)),
               lit(0L)))
@@ -1487,7 +1509,7 @@ object TierA {
           if (unframedFrom(l) && l.limitN.isDefined) {
             val curRows =
               person.rowsBetween(W.unboundedPreceding, W.currentRow)
-            df = df.withColumn(s"__mcF$i",
+            cb.add(s"__mcF$i",
               count(when(levelPreds(i) &&
                 col("__rn") >= lit(l.fromStart.get + 1), 1)).over(curRows))
           }
@@ -1583,12 +1605,12 @@ object TierA {
                   col("__rn") >= lit(lastL.fromStart.get + 1)
               else levelPreds(levels.size - 1)
             limM.foreach { _ =>
-              df = df.withColumn("__cdcU",
+              cb.add("__cdcU",
                 count(when(deepPredU, 1)).over(
                   person.rowsBetween(W.unboundedPreceding, W.currentRow)))
               if (lastL.isFromStep) {
                 val backOff = lastL.contraSpanMs.getOrElse(0L) // finite by gate
-                df = df.withColumn("__gUc",
+                cb.add("__gUc",
                   count(when(deepPredU, 1)).over(
                     person.rangeBetween(W.unboundedPreceding, -backOff - 1L)))
               }
@@ -1604,11 +1626,10 @@ object TierA {
               case Some(c) =>
                 struct(ivLo.as("lo"), ivHi.as("hi"), c.as("c"))
             }
-            df = df
-              .withColumn("__ivArr",
-                collect_list(when(wPred && ivLo <= ivHi, hopStruct))
-                  .over(unionWin))
-              .withColumn("__ordU", {
+            cb.add("__ivArr",
+              collect_list(when(wPred && ivLo <= ivHi, hopStruct))
+                .over(unionWin))
+            cb.add("__ordU", {
                 val arr = limM match {
                   case None => col("__ivArr")
                   case Some(m) => transform(
@@ -1636,7 +1657,9 @@ object TierA {
                 flatten(transform(merged,
                   iv => sequence(iv.getField("lo"), iv.getField("hi"))))
               })
-              .drop("__ivArr", "__cdcU", "__gUc")
+            // __ivArr/__cdcU/__gUc intermediates stay in the frame (the
+            // entry select prunes them; an explicit drop would only add a
+            // Project and another analyzer pass)
           } else if (j == levels.size - 1 && fwdLimCollect) {
             // round 14: framed FORWARD deepest + .limit(m) when the
             // hop-side values aren't monotone (deepest mixed fold /
@@ -1648,18 +1671,16 @@ object TierA {
             val deepPred = levelPreds(levels.size - 1)
             val curRows =
               person.rowsBetween(W.unboundedPreceding, W.currentRow)
-            df = df
-              .withColumn("__cdcF", count(when(deepPred, 1)).over(curRows))
-              .withColumn("__hopArrF",
-                collect_list(when(wPred, struct(col("__cdcF").as("c"),
-                  prev.as("k")))).over(person.rangeBetween(-sp, -1L)))
-              .withColumn(s"__K$j",
-                coalesce(aggregate(
-                  filter(col("__hopArrF"),
-                    e => col("__cdcF") - e.getField("c") <= lit(m)),
-                  lit(0L),
-                  (acc, e) => greatest(acc, e.getField("k"))), lit(0L)))
-              .drop("__hopArrF")
+            cb.add("__cdcF", count(when(deepPred, 1)).over(curRows))
+            cb.add("__hopArrF",
+              collect_list(when(wPred, struct(col("__cdcF").as("c"),
+                prev.as("k")))).over(person.rangeBetween(-sp, -1L)))
+            cb.add(s"__K$j",
+              coalesce(aggregate(
+                filter(col("__hopArrF"),
+                  e => col("__cdcF") - e.getField("c") <= lit(m)),
+                lit(0L),
+                (acc, e) => greatest(acc, e.getField("k"))), lit(0L)))
           } else if (levels(j).reverse && levels(j).limitN.isDefined) {
             // round 14: REVERSE step + .limit(m) — deepest OR middle
             // (generalized this round). A hop y (level-(j−1) match in
@@ -1677,20 +1698,18 @@ object TierA {
             val jPred = levelPreds(j)
             val curRows =
               person.rowsBetween(W.unboundedPreceding, W.currentRow)
-            df = df
-              .withColumn(s"__cdcR$j", count(when(jPred, 1)).over(curRows))
-              .withColumn("__hopArr",
-                collect_list(when(wPred, struct(
-                  (col(s"__cdcR$j") -
-                    when(jPred, lit(1L)).otherwise(lit(0L))).as("d"),
-                  prev.as("k")))).over(person.rangeBetween(1L, b)))
-              .withColumn(s"__K$j",
-                coalesce(aggregate(
-                  filter(col("__hopArr"),
-                    e => e.getField("d") - col(s"__cdcR$j") <= lit(m - 1)),
-                  lit(0L),
-                  (acc, e) => greatest(acc, e.getField("k"))), lit(0L)))
-              .drop("__hopArr")
+            cb.add(s"__cdcR$j", count(when(jPred, 1)).over(curRows))
+            cb.add(s"__hopArr$j",
+              collect_list(when(wPred, struct(
+                (col(s"__cdcR$j") -
+                  when(jPred, lit(1L)).otherwise(lit(0L))).as("d"),
+                prev.as("k")))).over(person.rangeBetween(1L, b)))
+            cb.add(s"__K$j",
+              coalesce(aggregate(
+                filter(col(s"__hopArr$j"),
+                  e => e.getField("d") - col(s"__cdcR$j") <= lit(m - 1)),
+                lit(0L),
+                (acc, e) => greatest(acc, e.getField("k"))), lit(0L)))
           } else if (levels(j).isFromStep && levels(j).limitN.isDefined &&
               (levels(j).spanMs.isDefined || levels(j).contraSpanMs.isDefined)) {
             // round 15: FRAMED `.from(k)` RESTART step + .limit(m) —
@@ -1719,20 +1738,18 @@ object TierA {
             }
             val curRows =
               person.rowsBetween(W.unboundedPreceding, W.currentRow)
-            df = df
-              .withColumn(s"__cdcX$j", count(when(jPredF, 1)).over(curRows))
-              .withColumn(s"__ggX$j", count(when(jPredF, 1)).over(
-                person.rangeBetween(W.unboundedPreceding, -backOff - 1L)))
-              .withColumn("__hopArrX",
-                collect_list(when(wPred, struct(col(s"__ggX$j").as("g"),
-                  prev.as("k")))).over(person.rangeBetween(dLo.get, dHi.get)))
-              .withColumn(s"__K$j",
-                coalesce(aggregate(
-                  filter(col("__hopArrX"),
-                    e => col(s"__cdcX$j") - e.getField("g") <= lit(m)),
-                  lit(0L),
-                  (acc, e) => greatest(acc, e.getField("k"))), lit(0L)))
-              .drop("__hopArrX")
+            cb.add(s"__cdcX$j", count(when(jPredF, 1)).over(curRows))
+            cb.add(s"__ggX$j", count(when(jPredF, 1)).over(
+              person.rangeBetween(W.unboundedPreceding, -backOff - 1L)))
+            cb.add(s"__hopArrX$j",
+              collect_list(when(wPred, struct(col(s"__ggX$j").as("g"),
+                prev.as("k")))).over(person.rangeBetween(dLo.get, dHi.get)))
+            cb.add(s"__K$j",
+              coalesce(aggregate(
+                filter(col(s"__hopArrX$j"),
+                  e => col(s"__cdcX$j") - e.getField("g") <= lit(m)),
+                lit(0L),
+                (acc, e) => greatest(acc, e.getField("k"))), lit(0L)))
           } else if (j < levels.size - 1 && levels(j).limitN.isDefined &&
               frameableStep(levels(j)) &&
               levels(j).spanMs.exists(_ != Long.MaxValue) &&
@@ -1752,18 +1769,16 @@ object TierA {
             val jPred = levelPreds(j)
             val curRows =
               person.rowsBetween(W.unboundedPreceding, W.currentRow)
-            df = df
-              .withColumn(s"__cdcM$j", count(when(jPred, 1)).over(curRows))
-              .withColumn("__hopArrM",
-                collect_list(when(wPred, struct(col(s"__cdcM$j").as("c"),
-                  prev.as("k")))).over(person.rangeBetween(-sp, -1L)))
-              .withColumn(s"__K$j",
-                coalesce(aggregate(
-                  filter(col("__hopArrM"),
-                    e => col(s"__cdcM$j") - e.getField("c") <= lit(m)),
-                  lit(0L),
-                  (acc, e) => greatest(acc, e.getField("k"))), lit(0L)))
-              .drop("__hopArrM")
+            cb.add(s"__cdcM$j", count(when(jPred, 1)).over(curRows))
+            cb.add(s"__hopArrM$j",
+              collect_list(when(wPred, struct(col(s"__cdcM$j").as("c"),
+                prev.as("k")))).over(person.rangeBetween(-sp, -1L)))
+            cb.add(s"__K$j",
+              coalesce(aggregate(
+                filter(col(s"__hopArrM$j"),
+                  e => col(s"__cdcM$j") - e.getField("c") <= lit(m)),
+                lit(0L),
+                (acc, e) => greatest(acc, e.getField("k"))), lit(0L)))
           } else if (j < levels.size - 1 && levels(j).limitN.isDefined &&
               frameableStep(levels(j))) {
             // round 14: a LIMITED forward middle — the latest in-frame
@@ -1775,17 +1790,16 @@ object TierA {
             val n = levels(j).limitN.get
             val curRows =
               person.rowsBetween(W.unboundedPreceding, W.currentRow)
-            df = df
-              .withColumn(s"__c$j",
-                count(when(levelPreds(j), 1)).over(curRows))
-              .withColumn(s"__g$j",
-                max(when(wPred, col(s"__c$j"))).over(win))
-              .withColumn(s"__K$j",
-                when(col(s"__c$j") - col(s"__g$j") <= lit(n),
-                  coalesce(max(when(wPred, prev)).over(win), lit(0L)))
-                  .otherwise(lit(0L)))
+            cb.add(s"__c$j",
+              count(when(levelPreds(j), 1)).over(curRows))
+            cb.add(s"__g$j",
+              max(when(wPred, col(s"__c$j"))).over(win))
+            cb.add(s"__K$j",
+              when(col(s"__c$j") - col(s"__g$j") <= lit(n),
+                coalesce(max(when(wPred, prev)).over(win), lit(0L)))
+                .otherwise(lit(0L)))
           } else
-            df = df.withColumn(s"__K$j",
+            cb.add(s"__K$j",
               coalesce(max(when(wPred, prev)).over(win), lit(0L)))
         }
       } else {
@@ -1837,24 +1851,23 @@ object TierA {
               floored && col("__mc1") <= lit(lim1.get)
             else floored
           }
-          df = df
-            .withColumn("__cm1c", count(when(predA, 1)).over(curRows))
-            .withColumn("__P1", count(when(predA, 1)).over(prevRows))
+          cb.add("__cm1c", count(when(predA, 1)).over(curRows))
+          cb.add("__P1", count(when(predA, 1)).over(prevRows))
           // __hiA: count through s0+span — the FORWARD/ahead upper side
           // (a mid-reverse step's span is its LOWER side instead)
           if (!mid3Rev) span1Fin.foreach { sp =>
-            df = df.withColumn("__hiA", count(when(predA, 1))
+            cb.add("__hiA", count(when(predA, 1))
               .over(person.rangeBetween(W.unboundedPreceding, sp)))
           }
           // __loM: count through s0 − off − 1 — the tuple-side LOWER
           // endpoint of a mid reverse (off = aligned span) or restart
           // (off = back side)
           midLoOff.foreach { off =>
-            df = df.withColumn("__loM", count(when(predA, 1))
+            cb.add("__loM", count(when(predA, 1))
               .over(person.rangeBetween(W.unboundedPreceding, -off - 1)))
           }
           if (!deep3Rev && !deep3From) span2Fin.foreach { sp =>
-            df = df.withColumn("__loA", count(when(predA, 1))
+            cb.add("__loA", count(when(predA, 1))
               .over(person.rangeBetween(W.unboundedPreceding, -sp - 1)))
           }
           // REVERSE / RESTART deepest steps (round 12): the s1 interval's
@@ -1869,14 +1882,14 @@ object TierA {
             def cnt(w: org.apache.spark.sql.expressions.WindowSpec) =
               count(when(predA, 1)).over(w)
             def total: Column = {
-              if (!df.columns.contains("__d3tot"))
-                df = df.withColumn("__d3tot", cnt(
+              if (!cb.columns.contains("__d3tot"))
+                cb.add("__d3tot", cnt(
                   person.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
               col("__d3tot")
             }
             def upTo(off: Long): Column = {
-              if (!df.columns.contains("__d3hi"))
-                df = df.withColumn("__d3hi",
+              if (!cb.columns.contains("__d3hi"))
+                cb.add("__d3hi",
                   cnt(person.rangeBetween(W.unboundedPreceding, off)))
               col("__d3hi")
             }
@@ -1896,7 +1909,7 @@ object TierA {
               })
               d3Lb = ahead match {
                 case Some(a) if a != Long.MaxValue =>
-                  df = df.withColumn("__d3lo", cnt(
+                  cb.add("__d3lo", cnt(
                     person.rangeBetween(W.unboundedPreceding, -a - 1)))
                   Some(col("__d3lo"))
                 case Some(_) => None
@@ -1911,13 +1924,12 @@ object TierA {
           // with G(upper) = min(G(r⁻), G(s0+span₁)) by monotonicity —
           // the row carries __g2, the spawn tuple __g2hi.
           lim2.foreach { _ =>
-            df = df
-              .withColumn("__c2c", count(when(levelPreds(2), 1)).over(curRows))
+            cb.add("__c2c", count(when(levelPreds(2), 1)).over(curRows))
             if (lim1.isEmpty) {
-              df = df.withColumn("__g2",
+              cb.add("__g2",
                 max(when(predA, col("__c2c"))).over(prevRows))
               span1Fin.foreach { sp =>
-                df = df.withColumn("__g2hi", max(when(predA, col("__c2c")))
+                cb.add("__g2hi", max(when(predA, col("__c2c")))
                   .over(person.rangeBetween(W.unboundedPreceding, sp)))
               }
             } else {
@@ -1931,7 +1943,7 @@ object TierA {
               // the window's base count (__loA / 0) index it exactly.
               val w = span2Fin.map(sp => person.rangeBetween(-sp, -1))
                 .getOrElse(prevRows)
-              df = df.withColumn("__g2arr",
+              cb.add("__g2arr",
                 collect_list(when(predA, col("__c2c"))).over(w))
             }
           }
@@ -1947,7 +1959,7 @@ object TierA {
               if (levels.size >= 4 && j == levels.size - 2)
                 lastHopWin(prevRows)
               else prevRows
-            df = df.withColumn(s"__P$j",
+            cb.add(s"__P$j",
               max(when(wPred, col(s"__P${j - 1}"))).over(win))
           }
         }
@@ -2035,7 +2047,7 @@ object TierA {
             }
           case _ => prevRows
         }
-        df = df.withColumn("__sv",
+        cb.add("__sv",
           collect_list(when(spawnCond, svStruct)).over(collectW))
       }
       // deepest-step `.limit(m)` conjunct (ordinal depth ≥ 3, collect
@@ -2063,8 +2075,7 @@ object TierA {
               person.rowsBetween(W.unboundedPreceding, W.currentRow)
             val floored = levelPreds(levels.size - 1) &&
               col("__rn") >= lit(levels.last.fromStart.get + 1)
-            df = df.withColumn("__mcD",
-              count(when(floored, 1)).over(curRows))
+            cb.add("__mcD", count(when(floored, 1)).over(curRows))
             Some(col("__mcD") <= lit(m))
           } else Some {
             val curRows =
@@ -2079,11 +2090,10 @@ object TierA {
               else levelPreds(k)
             val matchPred = rowGuard(k + 1)
               .map(matchPred0 && _).getOrElse(matchPred0)
-            df = df
-              .withColumn("__cdc",
-                count(when(levelPreds(levels.size - 1), 1)).over(curRows))
-              .withColumn("__gd",
-                max(when(matchPred, col("__cdc"))).over(lastWin))
+            cb.add("__cdc",
+              count(when(levelPreds(levels.size - 1), 1)).over(curRows))
+            cb.add("__gd",
+              max(when(matchPred, col("__cdc"))).over(lastWin))
             col("__cdc") - col("__gd") <= lit(m)
           }
         }
@@ -2170,11 +2180,14 @@ object TierA {
         struct((lit(d).as("depth") +:
           (0 until OslEngine.MaxDepth).map(i =>
             (if (i < d) keys(i) else lit(null).cast("string")).as(s"g${i + 1}"))): _*)
+      // every ladder/witness column is in place — materialize the batch
+      // once; the entry constructions below only need df for type probes
+      val dfF = cb.df
       // level-0 tallies fire once per visited top row
       val ent0: Seq[Column] = levels(0).tallies.flatMap { case (ip, gs) =>
         val p = ip.map(x => compileExpr(x, now, real).get).getOrElse(lit(true)) &&
           levelPreds(0) && eligible(0)
-        val keys = gs.map(g => canonKey(df, compileExpr(g, now, real).get))
+        val keys = gs.map(g => canonKey(dfF, compileExpr(g, now, real).get))
         (1 to gs.length).map(d => array(when(p, nodeStruct(d, keys)).otherwise(lit(null))))
       }
       // level-1 tallies fire once per (row, distinct spawn tuple); the
@@ -2203,7 +2216,7 @@ object TierA {
           } else levelPreds(1)
         val canonFlags = gs.map { g =>
           val probe = compileExpr(g, now, realFor(typeBinds), typeBinds).get
-          df.select(probe).schema.head.dataType
+          probeType(dfF, probe)
             .isInstanceOf[org.apache.spark.sql.types.NumericType]
         }
         val (spawnArr, nonEmpty) =
@@ -2264,7 +2277,7 @@ object TierA {
             }
             val canonFlags = gs.map { g =>
               val probe = compileExpr(g, now, realFor(typeBinds), typeBinds).get
-              df.select(probe).schema.head.dataType
+              probeType(dfF, probe)
                 .isInstanceOf[org.apache.spark.sql.types.NumericType]
             }
             val (spawnArrJ, nonEmptyJ) =
@@ -2401,7 +2414,7 @@ object TierA {
             }
           }
         }
-      explodeEntryArrays(df, ent0 ++ ent1 ++ entDeep, selects, aggs)
+      explodeEntryArrays(dfF, ent0 ++ ent1 ++ entDeep, selects, aggs)
     }
   }
 
@@ -2420,17 +2433,19 @@ object TierA {
       : (DataFrame, Seq[Column], Seq[Column]) = {
     val W = org.apache.spark.sql.expressions.Window
     val person = W.partitionBy(col("id"))
-    var df = base.withColumn("__rn",
-      row_number().over(person.orderBy(col("stamp"))))
+    // round 18: witness columns accumulate through a ColBatch — each
+    // dependency-free run of window columns costs ONE analyzer pass
+    val cb = new ColBatch(base)
+    cb.add("__rn", row_number().over(person.orderBy(col("stamp"))))
     // absolute-anchored step frames: spawn-independent [lo, hi] stamp
     // bounds fold into the level's row predicate (the interpreter skips
     // out-of-bounds rows before the where runs, uniformly per spawn) —
     // person-anchored sides ride min/max windows on the same partition
     val absSides = levels.flatMap(_.absBounds.toSeq.flatMap(b => Seq(b._1, b._2)))
     if (absSides.exists(_.isInstanceOf[TMin]))
-      df = df.withColumn("__afmin", min(col("stamp")).over(person))
+      cb.add("__afmin", min(col("stamp")).over(person))
     if (absSides.exists(_.isInstanceOf[TMax]))
-      df = df.withColumn("__afmax", max(col("stamp")).over(person))
+      cb.add("__afmax", max(col("stamp")).over(person))
     def absCond(b: (TopB, TopB)): Column = {
       def side(bnd: TopB, isLo: Boolean): Option[Column] = bnd match {
         case TInf => None
@@ -2487,7 +2502,7 @@ object TierA {
           .rowsBetween(W.unboundedPreceding, W.currentRow)
       else curRows
     val fromCond0: Option[Column] = head.fromStart.map { k0 =>
-      df = df.withColumn("__fc0",
+      cb.add("__fc0",
         if (head.reverse)
           col("__rn") <= k0 + 1 && count(lit(1)).over(allRows) > k0
         else col("__rn") >= k0 + 1)
@@ -2516,7 +2531,7 @@ object TierA {
               (i, op, compileExpr(e, now, real).get.cast("double")) }
           }
           val cand = levelPreds.head && fc
-          df = df.withColumn("__gf", graft.functions.GatedFold.gatedFoldN(
+          cb.add("__gf", graft.functions.GatedFold.gatedFoldN(
             dc.caps.map(c => (c.init.toDouble,
               foldStages(c.parts, now, real, None))),
             cand, gates).over(accRunFrame))
@@ -2524,19 +2539,18 @@ object TierA {
           val cond = dynRankCap match {
             case None => vis
             case Some(m) =>
-              df = df.withColumn("__mc0",
-                count(when(vis, 1)).over(accRunFrame))
+              cb.add("__mc0", count(when(vis, 1)).over(accRunFrame))
               vis && col("__mc0") <= m
           }
           dc.caps.zipWithIndex.foreach { case (c, i) =>
-            df = df.withColumn(s"__acc_${c.name}",
+            cb.add(s"__acc_${c.name}",
               col("__gf").getField(if (i == 0) "acc" else s"acc$i"))
           }
           cond
         case None => head.limitN match {
           case None => fc
           case Some(n) =>
-            df = df.withColumn("__mc0",
+            cb.add("__mc0",
               count(when(levelPreds.head && fc, 1))
                 .over(if (head.reverse) curRowsR else curRows))
             fc && col("__mc0") <= n
@@ -2574,7 +2588,7 @@ object TierA {
             sum(when(visited, perVisitInc(parts, now, real)))
               .over(accRunFrame),
             lit(0L))
-      df = df.withColumn(s"__acc_$n", acc)
+      cb.add(s"__acc_$n", acc)
     }
     val eligible: Seq[Column] = elig0 +: (1 until levels.length).map { k =>
       val rev = levels(k).reverse
@@ -2608,7 +2622,7 @@ object TierA {
         val start = levels(k).fromStart.get
         val rowCond = col("__rn") >= start + 1
         levels(k).limitN.foreach { _ =>
-          df = df.withColumn(s"__mc$k",
+          cb.add(s"__mc$k",
             count(when(levelPreds(k) && rowCond, 1)).over(curRows))
         }
         val ahead = levels(k).spanMs
@@ -2631,7 +2645,7 @@ object TierA {
             case Some(_) => None // infinite back side: the frame never cuts
             case None => Some(0L) // pure look_ahead: frame lower = spawn stamp
           }
-          df = df.withColumn(s"__gg$k", backOff match {
+          cb.add(s"__gg$k", backOff match {
             case Some(b) => count(when(levelPreds(k) && rowCond, 1))
               .over(person.orderBy(col("stamp"))
                 .rangeBetween(W.unboundedPreceding, -b - 1))
@@ -2641,23 +2655,23 @@ object TierA {
           val bracket = person.orderBy(col("stamp")).rangeBetween(
             dLo.getOrElse(W.unboundedPreceding),
             dHi.getOrElse(W.unboundedFollowing))
-          df = df.withColumn(s"__gw$k",
+          cb.add(s"__gw$k",
             max(when(spawn, col(s"__gg$k"))).over(bracket))
           rowCond && (col(s"__mc$k") - col(s"__gw$k") <= n)
         } else {
           val frameElig: Column =
             if (ahead.isEmpty && back.isEmpty) {
-              df = df.withColumn(s"__pv$k", max(when(spawn, lit(1))).over(allRows))
+              cb.add(s"__pv$k", max(when(spawn, lit(1))).over(allRows))
               col(s"__pv$k").isNotNull
             } else {
               val sides = ahead.map { a =>
-                df = df.withColumn(s"__pv$k",
+                cb.add(s"__pv$k",
                   max(when(spawn, col("stamp"))).over(curRows))
                 col(s"__pv$k").isNotNull &&
                   (if (a == Long.MaxValue) lit(true)
                    else col("stamp") - col(s"__pv$k") <= a)
               }.toSeq ++ back.map { b =>
-                df = df.withColumn(s"__nv$k",
+                cb.add(s"__nv$k",
                   min(when(spawn, col("stamp"))).over(curRowsR))
                 col(s"__nv$k").isNotNull &&
                   (if (b == Long.MaxValue) lit(true)
@@ -2677,12 +2691,12 @@ object TierA {
         // its own count, the row compares; the subtraction cancels
         // direction.
         levels(k).limitN.foreach { _ =>
-          df = df.withColumn(s"__mc$k",
+          cb.add(s"__mc$k",
             count(when(levelPreds(k), 1)).over(if (rev) curRowsR else curRows))
         }
         val wFields = Seq(col("__rn").as("rn"), col("stamp").as("st")) ++
           levels(k).limitN.map(_ => col(s"__mc$k").as("mc"))
-        df = df.withColumn(s"__pv$k",
+        cb.add(s"__pv$k",
           if (rev) min(when(spawn, struct(wFields: _*))).over(nextRows)
           else max(when(spawn, struct(wFields: _*))).over(prevRows))
         val witness = col(s"__pv$k")
@@ -2713,7 +2727,7 @@ object TierA {
       visited = levelPreds(k) && elig
       elig
     }
-    (df, eligible, levelPreds)
+    (cb.df, eligible, levelPreds)
   }
 
   /** One chain level: its where, its tallies, its `.limit(n)` match cap
@@ -4546,12 +4560,65 @@ object TierA {
   private def traverse[T](xs: Seq[Option[T]]): Option[Seq[T]] =
     if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
 
+  /** Resolve an expression's data type against `df`'s SCHEMA only: the
+    * probe runs through a zero-row LocalRelation, so the analyzer touches a
+    * 2-node plan instead of re-walking the caller's full tree (a chain
+    * frame's type probe re-analyzed a ~50-operator plan PER tally group —
+    * measured as part of the round-18 build-phase profile; guide §1). */
+  private[osl] def probeType(df: org.apache.spark.sql.DataFrame, c: Column)
+      : org.apache.spark.sql.types.DataType =
+    df.sparkSession
+      .createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        df.schema)
+      .select(c).schema.head.dataType
+
+  /** Batches consecutive "add a derived column" steps into single
+    * [[org.apache.spark.sql.Dataset.withColumns]] projections. Every
+    * Dataset operation runs the FULL analyzer eagerly (DeduplicateRelations
+    * alone was ~half the chain family's 140-260 ms build phase, once per
+    * withColumn — round-18 BuildProfile), so N independent ladder columns
+    * should cost ONE pass, not N. Semantics are preserved exactly: a column
+    * whose expression references a still-pending name (detected on the
+    * unresolved attribute names) flushes the batch first, so each batch is
+    * internally dependency-free and `withColumns` order-independence holds;
+    * re-adding a pending name flushes too (replacement must see the prior
+    * projection). Reading [[df]] flushes. The analyzer extracts the batch's
+    * window expressions into per-spec Window nodes exactly as the optimizer's
+    * CollapseWindow would have merged the sequential form, so the optimized
+    * plan is unchanged (verified against plans/r18 dumps). */
+  private final class ColBatch(df0: org.apache.spark.sql.DataFrame) {
+    private var base = df0
+    private val pending =
+      scala.collection.mutable.LinkedHashMap.empty[String, Column]
+    // dependency test on the column's rendered expression: every attribute
+    // reference prints its name verbatim, so a substring probe can never
+    // MISS a pending-name reference — it can only flush spuriously on a
+    // name collision (harmless: a flush is always semantics-preserving)
+    private def refersToPending(c: Column): Boolean = {
+      val s = c.toString
+      pending.keysIterator.exists(s.contains)
+    }
+    private def flush(): Unit =
+      if (pending.nonEmpty) {
+        base = base.withColumns(pending.toMap)
+        pending.clear()
+      }
+    /** Flushed + pending column names (the `df.columns.contains` analogue). */
+    def columns: Set[String] = base.columns.toSet ++ pending.keySet
+    def add(name: String, c: Column): Unit = {
+      if (pending.contains(name) || refersToPending(c)) flush()
+      pending(name) = c
+    }
+    /** The materialized frame; flushes any pending batch first. */
+    def df: org.apache.spark.sql.DataFrame = { flush(); base }
+  }
+
   /** Canonical group-key string, matching Interpreter.canonKey: integral
     * doubles render without a decimal point. The rewrite applies only to
     * NUMERIC-typed keys — Interpreter.canonKey rewrites VDbl only, so string
     * keys ('007', ' 7', '1e3') must pass through verbatim in both tiers. */
   private def canonKey(df: org.apache.spark.sql.DataFrame, c: Column): Column =
-    canonPure(c, df.select(c).schema.head.dataType
+    canonPure(c, probeType(df, c)
       .isInstanceOf[org.apache.spark.sql.types.NumericType])
 
   /** The type-independent half of [[canonKey]]: callers that already know

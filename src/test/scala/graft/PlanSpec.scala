@@ -117,9 +117,12 @@ class PlanSpec extends SparkSpec {
     for ((q, w) <- Seq("q_osl_chain3_accum" -> 2, "q_osl_chain4_accum" -> 3,
         "q_osl_chain4_guarded" -> 3,
         // framed+limited deepest step: the final ladder window turns
-        // range-bounded and the limit adds the __cdc/__gd pair — two
-        // more window levels on the SAME exchange, still no collect
-        "q_osl_chain4_limited" -> 5,
+        // range-bounded and the limit adds the __cdc/__gd pair — since
+        // round 18's batched column construction, __cdc's running count
+        // lands in the SAME Window node as the co-spec'd ladder level
+        // (one fewer pass over the partition buffer), so depth 4 + the
+        // __gd level = 4 nodes on the same exchange, still no collect
+        "q_osl_chain4_limited" -> 4,
         // round 12: a mixed accum-vs-row guard folds into the ladder as
         // a least(prev, hi) term — in-row arithmetic, no extra window
         "q_osl_chain_mixed_guard" -> 2,
@@ -128,8 +131,10 @@ class PlanSpec extends SparkSpec {
         "q_osl_chain4_rev" -> 3,
         // round 13: FoldSum rides the same running frame the plain
         // accumulator uses — one extra window column, not a new node
-        // class (ADVICE r13: pin the FoldSum plan shape)
-        "q_osl_multi_accum" -> 2,
+        // class (ADVICE r13: pin the FoldSum plan shape). Round 18's
+        // batched construction puts both accumulators in ONE Window node
+        // (same spec, one partition pass).
+        "q_osl_multi_accum" -> 1,
         // round 14 collect-free shapes: mixed over a framed restart
         // deepest (ladder + bracket window + spawn count), reverse-top
         // mixed (one more full-partition total), non-forward middles
@@ -137,12 +142,15 @@ class PlanSpec extends SparkSpec {
         // restart-deepest limit (a row-level count column), the
         // forward-middle limit (the C/G running pair), and double row
         // sides (in-row floor/ceil arithmetic, no new window)
+        // (counts re-pinned in round 18: batched construction lands
+        // same-spec window columns in one Window node — fewer partition
+        // passes, identical results; see OPTIMIZATION_r18.md §3)
         "q_osl_chain3_restart_framed_mixed" -> 3,
-        "q_osl_mixed_reverse_top" -> 3,
+        "q_osl_mixed_reverse_top" -> 2,
         "q_osl_chain4_rev_mid" -> 3,
         "q_osl_chain4_framed_mid" -> 3,
-        "q_osl_chain3_restart_limited" -> 4,
-        "q_osl_chain4_mid_limited" -> 5,
+        "q_osl_chain3_restart_limited" -> 3,
+        "q_osl_chain4_mid_limited" -> 4,
         "q_osl_mixed_double_guard" -> 2)) {
       val dp = plan(q)
       assert(!dp.contains("collect_list"),
@@ -155,13 +163,13 @@ class PlanSpec extends SparkSpec {
     // person's history): reverse limits (deepest + middle), the
     // contra-direction merged-interval union, and the mixed limited
     // deepest. Pin the window count AND that the collect is present.
-    for ((q, w) <- Seq("q_osl_chain3_rev_deep_limited" -> 3,
-        "q_osl_chain4_rev_mid_limited" -> 4,
+    for ((q, w) <- Seq("q_osl_chain3_rev_deep_limited" -> 2,
+        "q_osl_chain4_rev_mid_limited" -> 3,
         "q_osl_mixed_suffix_guard" -> 2,
-        "q_osl_mixed_limited_deepest" -> 3,
+        "q_osl_mixed_limited_deepest" -> 2,
         // round 15: framed forward middle limit above a non-monotone
         // level — per-hop (count, K) collect at the limited level
-        "q_osl_chain5_mid_limited" -> 5)) {
+        "q_osl_chain5_mid_limited" -> 4)) {
       val dp = plan(q)
       assert(dp.contains("collect_list"),
         s"$q prices per hop and must carry its frame-bounded collect")

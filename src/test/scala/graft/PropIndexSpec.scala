@@ -325,6 +325,12 @@ class PropIndexSpec extends SparkSpec {
     val legal = (0 to 6).map(w => 8L + 4L * w).toSet
     assert(seen.nonEmpty && seen.subsetOf(legal),
       s"reader saw an impossible count: ${seen -- legal}")
+    // one settled read so the index reflects the LAST wave before the
+    // structural assert — on a loaded host every reader iteration can
+    // outlast the 150 ms pacing, leaving no read that observed wave 6
+    // (the refresh is pull-based; an unobserved final insert is legal)
+    assert(api.queryProperty("shopd2", "event")
+      .contains(""""value":"view","customers":32"""))
     // the postings tier really is per-date: one cell per written date
     val p = TableCommit.read(new java.io.File(api.warehouse,
       "shopd2/propindex/postings").toString).get
