@@ -504,38 +504,56 @@ object Dedup {
   /** Per-position k-token span hashes as 60-bit longs (md5's first 15 hex
     * chars — the same reduction [[minsKernel]] uses, so an engine-portable
     * `('0x'||substr(md5(gram),1,15))::BIGINT` reproduces every value): one
-    * value per position 0..n-k, index = position. Longs, not hex strings —
-    * the posting rows this kernel feeds are shuffled corpus-wide, and 8-byte
-    * keys keep that exchange ~5× smaller than 32-char digests. */
-  private def spanHashKernel(k: Int): String => Array[Long] =
+    * value per position 0..n-k, index = position, PLUS the doc's token
+    * count (so callers need no second tokenization pass of the text).
+    * Longs, not hex strings — the posting rows this kernel feeds are
+    * shuffled corpus-wide, and 8-byte keys keep that exchange ~5× smaller
+    * than 32-char digests.
+    *
+    * Round 18 (guide §1.2 "per-task work"): the gram `toks(p..p+k-1)
+    * .mkString(" ")` is byte-identical to a SLICE of the single-space
+    * rejoined text's UTF-8 encoding (UTF-8 is context-free; ' ' is one
+    * byte), so the kernel encodes every token ONCE, hashes gram p as
+    * `md.update(bytes, start(p), len)`, and writes the digest into a
+    * reused buffer — the old shape built a String + byte[] per position
+    * and re-encoded each token k times (measured ~8.5 s of task CPU on
+    * the sf0.1 posting stage). */
+  private def spanHashKernel(k: Int): String => (Long, Array[Long]) =
     (text: String) => {
-      if (text == null) Array.empty
+      if (text == null) (0L, Array.empty)
       else {
         val toks = text.split(" ").filter(_.nonEmpty)
         val n = toks.length
-        if (n < k) Array.empty
+        if (n < k) (n.toLong, Array.empty)
         else {
           val md = java.security.MessageDigest.getInstance("MD5")
+          // canonical single-space join, encoded ONCE; token byte starts
+          // fall out of the space bytes (0x20 cannot occur inside a
+          // multi-byte UTF-8 sequence, and tokens contain no spaces)
+          val bytes = toks.mkString(" ").getBytes("UTF-8")
+          val starts = new Array[Int](n + 1)
+          var ti = 1
+          var bi0 = 0
+          while (bi0 < bytes.length) {
+            if (bytes(bi0) == ' ') { starts(ti) = bi0 + 1; ti += 1 }
+            bi0 += 1
+          }
+          starts(n) = bytes.length + 1 // sentinel: "start of token n" − 1 = EOF
           val out = new Array[Long](n - k + 1)
-          val sb = new java.lang.StringBuilder
+          val dig = new Array[Byte](16)
           var p = 0
           while (p <= n - k) {
-            sb.setLength(0)
-            var j = 0
-            while (j < k) {
-              if (j > 0) sb.append(' ')
-              sb.append(toks(p + j))
-              j += 1
-            }
-            val dig = md.digest(sb.toString.getBytes("UTF-8"))
-            md.reset()
+            val s = starts(p)
+            val e = starts(p + k) - 1 // end of token p+k−1
+            md.update(bytes, s, e - s)
+            md.digest(dig, 0, 16): Unit // resets the digest
             var h = 0L
             var bi = 0
             while (bi < 7) { h = (h << 8) | (dig(bi) & 0xFFL); bi += 1 }
             out(p) = (h << 4) | ((dig(7) & 0xF0L) >> 4)
             p += 1
           }
-          out
+          (n.toLong, out)
         }
       }
     }
@@ -566,19 +584,20 @@ object Dedup {
   def duplicatedSpanCoverage(docs: DataFrame, id: Column, text: Column,
                              k: Int = 8): DataFrame = {
     val base = docs.select(id.as("doc_id"), text.as("__text"))
-    // n_tokens needs no kernel — a codegen'd split/filter/size per row
-    val withN = base
-      .select(col("doc_id"),
-        size(TextOps.tokens(col("__text"))).cast("long").as("n_tokens"))
-      .where(col("n_tokens") > 0)
     val u = udf(spanHashKernel(k))
-    // ONE kernel pass, narrow 20-byte posting rows; lazy localCheckpoint so
-    // both consumers below read materialized blocks instead of re-running
-    // the md5-per-position scan, and the ContextCleaner frees the blocks
-    // once the query's frames die.
-    val posts = graft.Tables.spread(base)
-      .select(col("doc_id"), posexplode(u(col("__text"))).as(Seq("pos", "h")))
+    // ONE kernel pass emits BOTH the token count and the position hashes
+    // (round 18: n_tokens previously re-tokenized every text in a second
+    // full scan); the lazy localCheckpoint materializes the narrow kernel
+    // output once for the two consumers, and the ContextCleaner frees the
+    // blocks once the query's frames die.
+    val kern = graft.Tables.spread(base)
+      .select(col("doc_id"), u(col("__text")).as("kr"))
       .localCheckpoint(false)
+    val withN = kern
+      .select(col("doc_id"), col("kr._1").as("n_tokens"))
+      .where(col("n_tokens") > 0)
+    val posts = kern
+      .select(col("doc_id"), posexplode(col("kr._2")).as(Seq("pos", "h")))
     // duplicated = the window occurs >1 time corpus-wide: a count-only
     // window over h (no sort — whole-partition frame) replaces the
     // aggregate + semi-join pair, one shuffle of the postings instead of two

@@ -124,7 +124,19 @@ object Multimodal {
       .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
     val buf = Seq.newBuilder[javax.sound.sampled.spi.AudioFileReader]
     while (it.hasNext) buf += it.next()
-    buf.result()
+    // Round 18 (the r17 residual blocked second, root-caused): the JDK's
+    // MIDI-bridge reader (SoftMidiAudioFileReader) re-runs the SYNCHRONIZED
+    // MIDI provider registry scan (MidiSystem.getMidiFileFormat →
+    // JSSecurityManager.getProviders) on EVERY probe — even to REJECT a
+    // non-MIDI stream — so 32 decode tasks convoyed on that class lock
+    // (ExecProfile: 12.6k of 23k samples BLOCKED there). Probing it LAST
+    // preserves first-accepting-reader semantics exactly (each JDK reader
+    // keys on a distinct container magic — RIFF/FORM/.snd/MThd — so no
+    // stream is accepted by two readers) while real audio containers never
+    // reach it; only genuine-MIDI or no-reader streams still pay the scan.
+    val (midi, rest) = buf.result()
+      .partition(_.getClass.getName.contains("SoftMidi"))
+    rest ++ midi
   }
 
   private def openAudio(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
